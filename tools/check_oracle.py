@@ -1,0 +1,40 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run Verify output against
+DuckDB oracle SQL and compare (columns sorted by name, rows sorted, exact
+values). Usage: check_oracle.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for p in glob.glob(f"{sf_dir}/*.parquet"):
+    name = os.path.basename(p)[:-len(".parquet")]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+fail = 0
+for name, sql in sorted(oracle.items()):
+    res_dir = f"{out_dir}/{name}"
+    if not os.path.isdir(res_dir):
+        print(f"FAIL {name}: no spark output dir"); fail += 1; continue
+    try:
+        got = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'").df()
+        want = con.sql(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: {e}"); fail += 1; continue
+    got = got.reindex(sorted(got.columns), axis=1)
+    want = want.reindex(sorted(want.columns), axis=1)
+    if list(got.columns) != list(want.columns):
+        print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}"); fail += 1; continue
+    if len(got) != len(want):
+        print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); fail += 1; continue
+    g = got.sort_values(by=list(got.columns)).reset_index(drop=True)
+    w = want.sort_values(by=list(want.columns)).reset_index(drop=True)
+    try:
+        pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+        print(f"OK   {name}: {len(got)} rows")
+    except AssertionError as e:
+        print(f"FAIL {name}: value mismatch\n{str(e)[:800]}"); fail += 1
+sys.exit(1 if fail else 0)
