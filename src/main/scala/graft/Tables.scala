@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated testdata star schema (TESTDATA.md).
   *
@@ -20,7 +21,15 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame       = table(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "region")
-  def events(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "events")
+  /** events.parquet stamps `ts` as TIMESTAMP(NANOS), which Spark's vectorized
+    * parquet reader rejects. Read nanos as long (legacy conf) and convert to
+    * a microsecond TimestampType; the generator emits micro-precision values
+    * so the ns→µs division is exact. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, sfDir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 }

@@ -54,22 +54,31 @@ object Relational {
 
   /** A2 regional rollup (pipelines/etl_zmmidr_oun.py:142-170): per region,
     * filter member sites, aggregate per article, stamp the region label,
-    * union regions. Single pass: membership map joined in, then one
-    * groupBy(region, article) — avoids one shuffle per region at scale. */
+    * union regions. Single pass: membership map (a tiny `(siteCol, region)`
+    * DataFrame) is broadcast-joined in, then one groupBy(region, groupKey) —
+    * avoids one shuffle per region at scale; sites outside any region drop
+    * out via the inner join (the reference's isin filters). */
   def regionRollup(
+      membership: DataFrame,
       siteCol: String,
-      regions: Map[String, Seq[String]],
       groupKey: String,
-      aggs: Seq[Column])(df: DataFrame): DataFrame = {
-    val membership = regions.toSeq.flatMap { case (label, sites) =>
-      sites.map(s => (s, label))
-    }
-    val spark = df.sparkSession
-    import spark.implicits._
-    val memDf = membership.toDF(siteCol, "region")
-    df.join(broadcast(memDf), Seq(siteCol), "inner")
+      aggs: Seq[Column])(df: DataFrame): DataFrame =
+    df.join(broadcast(membership), Seq(siteCol), "inner")
       .groupBy(col("region"), col(groupKey))
       .agg(aggs.head, aggs.tail: _*)
+
+  /** S8/J6 keyed upsert semantics (common/loader.py:41-153) as a dataflow
+    * op: staging rows override target rows on matching keys, unmatched
+    * target rows survive, new staging rows insert. One shuffle on `keys`.
+    * Replay-idempotent: upsert(upsert(t, s), s) == upsert(t, s). */
+  def upsertMerge(keys: Seq[String])(target: DataFrame, staging: DataFrame): DataFrame = {
+    val t = target.withColumn("__prec", lit(0))
+    val s = staging.withColumn("__prec", lit(1))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__prec").desc)
+    t.unionByName(s)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__prec")
   }
 
   /** A5 conditional aggregates (pipelines/etl_StoreRP.py:126-134):

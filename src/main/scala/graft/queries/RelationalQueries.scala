@@ -1,0 +1,490 @@
+package graft.queries
+
+import graft.Tables
+import graft.clean.Clean
+import graft.ops.Relational
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2 operator inventory instantiated on the driver testdata
+  * (FIXTURES.md mapping: Article ≙ l_partkey, Site ≙ l_suppkey,
+  * Date ≙ l_shipdate). One oracle-checked query per operator family.
+  *
+  * Determinism discipline (100 TB / 1000-executor design point):
+  *   - double sums go through DECIMAL(18,6) (exact, order-independent),
+  *   - every keep-first/keep-last has a total order (unique tie-break),
+  *   - no round() on raw doubles (binary-to-decimal string rounding differs
+  *     across engines); round only on decimals.
+  */
+object RelationalQueries {
+
+  private val D = DecimalType(18, 6)
+  private def dsum(c: Column) = sum(c.cast(D)).cast(DoubleType)
+  private def acctWk(c: Column) = date_trunc("week", c).cast(DateType)
+
+  // -------------------------------------------------------------------
+  // D2 keep-last dedup (pipelines/etl_zmmidr_oun.py:72-76): last movement
+  // per (Article, Site), "last" defined by (shipdate, orderkey, linenumber)
+  // — a total order, so the keeper is deterministic at any parallelism.
+  // -------------------------------------------------------------------
+  def dedupKeepLast(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .withColumn("l_shipdate", to_date(col("l_shipdate")))
+    Relational.dedupKeepLast(
+      Seq("l_partkey", "l_suppkey"),
+      Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))(li)
+      .select(
+        col("l_partkey").as("article"), col("l_suppkey").as("site"),
+        col("l_shipdate").as("date"), col("l_orderkey").as("orderkey"),
+        col("l_linenumber").as("linenumber"),
+        col("l_quantity").cast(D).cast(DoubleType).as("qty"))
+  }
+
+  val dedupKeepLastOracle: String =
+    """SELECT l_partkey AS article, l_suppkey AS site,
+      |       CAST(l_shipdate AS DATE) AS date, l_orderkey AS orderkey,
+      |       l_linenumber AS linenumber,
+      |       CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DOUBLE) AS qty
+      |FROM lineitem
+      |QUALIFY row_number() OVER (
+      |  PARTITION BY l_partkey, l_suppkey
+      |  ORDER BY CAST(l_shipdate AS DATE) DESC, l_orderkey DESC, l_linenumber DESC) = 1
+      |""".stripMargin
+
+  // -------------------------------------------------------------------
+  // D3 duplicate detection (pipelines/etl_zmmidr_oun.py:72-75): keys with
+  // more than one row, with counts.
+  // -------------------------------------------------------------------
+  def duplicateKeys(spark: SparkSession, sfDir: String): DataFrame =
+    Relational.duplicateKeys(Seq("l_partkey", "l_suppkey"))(Tables.lineitem(spark, sfDir))
+      .withColumnsRenamed(Map("l_partkey" -> "article", "l_suppkey" -> "site"))
+
+  val duplicateKeysOracle: String =
+    """SELECT l_partkey AS article, l_suppkey AS site, COUNT(*) AS dup_count
+      |FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) > 1
+      |""".stripMargin
+
+  // -------------------------------------------------------------------
+  // J4 anti-join new-key detection (pipelines/etl_zmachk.py:113-117):
+  // articles in the master with no movement at sites 0-4.
+  // -------------------------------------------------------------------
+  def antiJoinNewKeys(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = Tables.part(spark, sfDir)
+    val existing = Tables.lineitem(spark, sfDir)
+      .filter(col("l_suppkey") <= 4)
+      .select(col("l_partkey").as("p_partkey"))
+    Relational.antiJoinNewKeys(existing, Seq("p_partkey"))(part)
+      .select(col("p_partkey").as("article"), col("p_name").as("name"))
+  }
+
+  val antiJoinNewKeysOracle: String =
+    """SELECT p_partkey AS article, p_name AS name FROM part p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM lineitem l
+      |  WHERE l.l_partkey = p.p_partkey AND l.l_suppkey <= 4)
+      |""".stripMargin
+
+  // -------------------------------------------------------------------
+  // J1/J3 + A3 + F15: star join — fact ⋈ broadcast dim, pre-aggregated by
+  // fiscal week with a week-range filter (pipelines/etl_weekly_sales.py:25-35).
+  // -------------------------------------------------------------------
+  def starJoinWeekly(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val part = Tables.part(spark, sfDir)
+    li.withColumn("acct_wk", acctWk(col("l_shipdate")))
+      .filter(col("acct_wk").between(to_date(lit("1996-01-01")), to_date(lit("1996-12-31"))))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"), col("acct_wk"))
+      .agg(
+        dsum(col("l_quantity")).as("qty"),
+        dsum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(D)).as("cost"))
+  }
+
+  val starJoinWeeklyOracle: String =
+    """SELECT p_brand AS brand,
+      |       CAST(date_trunc('week', l_shipdate) AS DATE) AS acct_wk,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty,
+      |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS cost
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE CAST(date_trunc('week', l_shipdate) AS DATE)
+      |      BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+      |GROUP BY 1, 2
+      |""".stripMargin
+
+  // -------------------------------------------------------------------
+  // A2 + P10 regional rollup (pipelines/etl_zmmidr_oun.py:142-170):
+  // membership-filtered group label rollup, single-shuffle formulation
+  // (broadcast membership join + one groupBy instead of per-region passes).
+  // -------------------------------------------------------------------
+  private val regionGroups: Seq[(Int, String)] = Seq(
+    0 -> "GRP_A", 5 -> "GRP_A", 10 -> "GRP_A", 15 -> "GRP_A", 20 -> "GRP_A",
+    1 -> "GRP_B", 6 -> "GRP_B", 11 -> "GRP_B", 16 -> "GRP_B", 21 -> "GRP_B",
+    2 -> "GRP_C", 7 -> "GRP_C", 12 -> "GRP_C")
+
+  def regionRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+    val supp = Tables.supplier(spark, sfDir)
+    val membership = regionGroups.toDF("s_nationkey", "region")
+    val enriched = li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+    Relational.regionRollup(membership, "s_nationkey", "l_partkey",
+      Seq(dsum(col("l_quantity")).as("stock"),
+          dsum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(D)).as("value")))(enriched)
+      .withColumnRenamed("l_partkey", "article")
+  }
+
+  val regionRollupOracle: String = {
+    val grpA = "(0,5,10,15,20)"; val grpB = "(1,6,11,16,21)"; val grpC = "(2,7,12)"
+    s"""SELECT CASE WHEN s_nationkey IN $grpA THEN 'GRP_A'
+       |            WHEN s_nationkey IN $grpB THEN 'GRP_B'
+       |            ELSE 'GRP_C' END AS region,
+       |       l_partkey AS article,
+       |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS stock,
+       |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS value
+       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE s_nationkey IN (0,5,10,15,20,1,6,11,16,21,2,7,12)
+       |GROUP BY 1, 2
+       |""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // §3.3 StoreRP report — the 5-CTE chain: Base (weekly signed qty) →
+  // Sales (conditional aggs A5) → LatestRP (keep-last snapshot) → Main
+  // (join + CASE/CEILING thresholds F12/F13) → Condition (ABS + flag) →
+  // filter + projection (pipelines/etl_StoreRP.py:107-201).
+  // All post-agg arithmetic in double (exact inputs, IEEE-identical ops).
+  // -------------------------------------------------------------------
+  def storeRpReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .withColumn("l_shipdate", to_date(col("l_shipdate")))
+
+    // Base: weekly signed qty per article (returns count negative)
+    val base = li
+      .withColumn("acct_wk", acctWk(col("l_shipdate")))
+      .groupBy(col("l_partkey").as("article"), col("acct_wk"))
+      .agg(sum(when(col("l_returnflag") === "R", -col("l_quantity"))
+        .otherwise(col("l_quantity")).cast(D)).as("qty_dec"))
+
+    // Sales: conditional aggregates over positive weeks only
+    val sales = base.groupBy(col("article"))
+      .agg(
+        Relational.countWhere(col("qty_dec") > 0).as("wks"),
+        sum(when(col("qty_dec") > 0, col("qty_dec"))).as("pos_sum"))
+      .withColumn("wkly_avg",
+        col("pos_sum").cast(DoubleType) / col("wks").cast(DoubleType))
+      .drop("pos_sum")
+
+    // LatestRP: last movement per article defines RP / Rounding
+    val latest = Relational.dedupKeepLast(
+        Seq("l_partkey"),
+        Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))(li)
+      .select(
+        col("l_partkey").as("article"),
+        col("l_quantity").cast(D).cast(DoubleType).as("rp"),
+        ceil(col("l_extendedprice").cast(D) / 100).cast(DoubleType).as("rounding"))
+
+    // Main: threshold logic
+    val main = sales.join(latest, Seq("article"), "inner")
+      .withColumn("sugg_rp",
+        when(col("rounding") * 0.5 > col("wkly_avg") * 1.25,
+          ceil(col("rounding") * 0.5).cast(DoubleType))
+        .otherwise(ceil(col("wkly_avg") * 1.25).cast(DoubleType)))
+
+    // Condition: change flag, filter, final projection
+    main
+      .withColumn("rp_diff", abs(col("sugg_rp") - col("rp")))
+      .withColumn("change",
+        when(col("wks") > 25 && col("rp_diff") > 2, lit("YES")).otherwise(lit("NO")))
+      .filter(col("change") === "YES")
+      .select("article", "wks", "wkly_avg", "rp", "rounding", "sugg_rp", "rp_diff")
+  }
+
+  val storeRpReportOracle: String =
+    """WITH base AS (
+      |  SELECT l_partkey AS article,
+      |         CAST(date_trunc('week', CAST(l_shipdate AS DATE)) AS DATE) AS acct_wk,
+      |         SUM(CAST(CASE WHEN l_returnflag = 'R' THEN -l_quantity ELSE l_quantity END
+      |                  AS DECIMAL(18,6))) AS qty_dec
+      |  FROM lineitem GROUP BY 1, 2
+      |), sales AS (
+      |  SELECT article,
+      |         COUNT(CASE WHEN qty_dec > 0 THEN 1 END) AS wks,
+      |         CAST(SUM(CASE WHEN qty_dec > 0 THEN qty_dec END) AS DOUBLE)
+      |           / CAST(COUNT(CASE WHEN qty_dec > 0 THEN 1 END) AS DOUBLE) AS wkly_avg
+      |  FROM base GROUP BY 1
+      |), latest AS (
+      |  SELECT l_partkey AS article,
+      |         CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DOUBLE) AS rp,
+      |         CAST(CEIL(CAST(l_extendedprice AS DECIMAL(18,6)) / 100) AS DOUBLE) AS rounding
+      |  FROM lineitem
+      |  QUALIFY row_number() OVER (PARTITION BY l_partkey
+      |    ORDER BY CAST(l_shipdate AS DATE) DESC, l_orderkey DESC, l_linenumber DESC) = 1
+      |), main AS (
+      |  SELECT s.article, s.wks, s.wkly_avg, l.rp, l.rounding,
+      |         CASE WHEN l.rounding * 0.5 > s.wkly_avg * 1.25
+      |              THEN CAST(CEIL(l.rounding * 0.5) AS DOUBLE)
+      |              ELSE CAST(CEIL(s.wkly_avg * 1.25) AS DOUBLE) END AS sugg_rp
+      |  FROM sales s JOIN latest l ON s.article = l.article
+      |)
+      |SELECT article, wks, wkly_avg, rp, rounding, sugg_rp,
+      |       ABS(sugg_rp - rp) AS rp_diff
+      |FROM main
+      |WHERE wks > 25 AND ABS(sugg_rp - rp) > 2
+      |""".stripMargin
+
+  // -------------------------------------------------------------------
+  // S8/J6 keyed upsert (common/loader.py:41-153): staging overrides target
+  // on matching keys, non-matching target rows survive, new staging rows
+  // insert. Emulated on testdata: pre-1997 aggregate is the target, 1997+
+  // aggregate is the staging batch.
+  // -------------------------------------------------------------------
+  def upsertMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    def aggOf(pred: Column, src: String) =
+      li.filter(pred)
+        .groupBy(col("l_partkey").as("article"), col("l_suppkey").as("site"))
+        .agg(dsum(col("l_quantity")).as("qty"))
+        .withColumn("src", lit(src))
+    val cut = to_date(lit("1997-01-01"))
+    val target  = aggOf(to_date(col("l_shipdate")) <  cut, "target")
+    val staging = aggOf(to_date(col("l_shipdate")) >= cut, "staging")
+    Relational.upsertMerge(Seq("article", "site"))(target, staging)
+  }
+
+  val upsertMergeOracle: String =
+    """WITH target AS (
+      |  SELECT l_partkey AS article, l_suppkey AS site,
+      |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty,
+      |         'target' AS src, 0 AS prec
+      |  FROM lineitem WHERE CAST(l_shipdate AS DATE) < DATE '1997-01-01' GROUP BY 1,2
+      |), staging AS (
+      |  SELECT l_partkey AS article, l_suppkey AS site,
+      |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty,
+      |         'staging' AS src, 1 AS prec
+      |  FROM lineitem WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01' GROUP BY 1,2
+      |), u AS (SELECT * FROM target UNION ALL SELECT * FROM staging)
+      |SELECT article, site, qty, src FROM u
+      |QUALIFY row_number() OVER (PARTITION BY article, site ORDER BY prec DESC) = 1
+      |""".stripMargin
+
+  // -------------------------------------------------------------------
+  // §2.6 latest snapshot per key over the events stream table.
+  // -------------------------------------------------------------------
+  def latestEvent(spark: SparkSession, sfDir: String): DataFrame =
+    Relational.latestSnapshot(Seq("user_id"), Seq(col("ts"), col("event_id")))(
+      Tables.events(spark, sfDir))
+      .select("user_id", "ts", "event_id", "event_type", "value")
+
+  val latestEventOracle: String =
+    """SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, event_id,
+      |       event_type, value FROM events
+      |QUALIFY row_number() OVER (PARTITION BY user_id
+      |  ORDER BY make_timestamp(epoch_ns(ts) // 1000) DESC, event_id DESC) = 1
+      |""".stripMargin
+
+  // -------------------------------------------------------------------
+  // §2.7 bag union of two normalized streams + monthly rollup
+  // (pd.concat analog, pipelines/etl_zmb51.py:60, etl_zmmidr_oun.py:53-63).
+  // -------------------------------------------------------------------
+  def unionStreams(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(to_date(col("l_shipdate")).as("d"), lit("li").as("src"),
+        col("l_quantity").cast(D).as("amt"))
+    val ord = Tables.orders(spark, sfDir)
+      .select(to_date(col("o_orderdate")).as("d"), lit("ord").as("src"),
+        col("o_totalprice").cast(D).as("amt"))
+    Relational.unionAllByName(Seq(li, ord))
+      .groupBy(date_trunc("month", col("d")).cast(DateType).as("month"), col("src"))
+      .agg(sum(col("amt")).cast(DoubleType).as("total"))
+  }
+
+  val unionStreamsOracle: String =
+    """WITH u AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS d, 'li' AS src,
+      |         CAST(l_quantity AS DECIMAL(18,6)) AS amt FROM lineitem
+      |  UNION ALL
+      |  SELECT CAST(o_orderdate AS DATE) AS d, 'ord' AS src,
+      |         CAST(o_totalprice AS DECIMAL(18,6)) AS amt FROM orders
+      |)
+      |SELECT CAST(date_trunc('month', d) AS DATE) AS month, src,
+      |       CAST(SUM(amt) AS DOUBLE) AS total
+      |FROM u GROUP BY 1, 2
+      |""".stripMargin
+
+  // -------------------------------------------------------------------
+  // §2.8 scalar cleaning battery (F1-F16): SAP number parse with trailing
+  // minus + comma strip, MM/dd/yyyy date parse, dash-as-null, leading-zero
+  // strip, trailing-.0 strip, decimal round, sign flip — applied to
+  // deterministically constructed SAP-shaped strings.
+  // -------------------------------------------------------------------
+  def cleanFunctions(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val qtyStr = col("l_quantity").cast(DecimalType(18, 2)).cast(StringType)
+    val taxPct = (col("l_tax").cast(DecimalType(4, 2)) * 100).cast(DecimalType(6, 2))
+    li.select(
+        col("l_orderkey").as("orderkey"),
+        col("l_linenumber").as("linenumber"),
+        concat(qtyStr, when(col("l_returnflag") === "R", "-").otherwise("")).as("raw_qty"),
+        concat(lit("9,"), taxPct.cast(StringType)).as("raw_cost"),
+        date_format(col("l_shipdate"), "MM/dd/yyyy").as("raw_date"),
+        when(col("l_returnflag") === "N", "-").otherwise(qtyStr).as("raw_dash"),
+        lpad(col("l_partkey").cast(StringType), 9, "0").as("raw_padded"),
+        concat(col("l_orderkey").cast(StringType), lit(".0")).as("raw_dotzero"),
+        col("l_quantity").cast(D).as("qty_dec"))
+      .select(
+        col("orderkey"), col("linenumber"),
+        Clean.sapNumber(col("raw_qty")).cast(DoubleType).as("parsed_qty"),
+        Clean.sapNumber(col("raw_cost")).cast(DoubleType).as("parsed_cost"),
+        Clean.sapDate(col("raw_date")).as("parsed_date"),
+        Clean.dashNull(col("raw_dash")).cast(DoubleType).as("dash_qty"),
+        Clean.stripLeadingZeros(col("raw_padded")).as("article"),
+        Clean.stripDotZero(col("raw_dotzero")).as("dotzero"),
+        round(col("qty_dec"), 1).cast(DoubleType).as("qty_rounded"),
+        (-col("qty_dec")).cast(DoubleType).as("qty_flipped"))
+  }
+
+  val cleanFunctionsOracle: String =
+    """WITH raw AS (
+      |  SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+      |         CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR)
+      |           || CASE WHEN l_returnflag = 'R' THEN '-' ELSE '' END AS raw_qty,
+      |         '9,' || CAST(CAST(CAST(l_tax AS DECIMAL(4,2)) * 100 AS DECIMAL(6,2)) AS VARCHAR) AS raw_cost,
+      |         strftime(l_shipdate, '%m/%d/%Y') AS raw_date,
+      |         CASE WHEN l_returnflag = 'N' THEN '-'
+      |              ELSE CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR) END AS raw_dash,
+      |         lpad(CAST(l_partkey AS VARCHAR), 9, '0') AS raw_padded,
+      |         CAST(l_orderkey AS VARCHAR) || '.0' AS raw_dotzero,
+      |         CAST(l_quantity AS DECIMAL(18,6)) AS qty_dec
+      |  FROM lineitem
+      |)
+      |SELECT orderkey, linenumber,
+      |       CAST(TRY_CAST(regexp_replace(replace(trim(raw_qty), ',', ''),
+      |              '^(\d+\.?\d*)-$', '-\1') AS DECIMAL(18,6)) AS DOUBLE) AS parsed_qty,
+      |       CAST(TRY_CAST(regexp_replace(replace(trim(raw_cost), ',', ''),
+      |              '^(\d+\.?\d*)-$', '-\1') AS DECIMAL(18,6)) AS DOUBLE) AS parsed_cost,
+      |       CAST(strptime(raw_date, '%m/%d/%Y') AS DATE) AS parsed_date,
+      |       CAST(TRY_CAST(CASE WHEN trim(raw_dash) = '-' THEN NULL ELSE raw_dash END
+      |              AS DECIMAL(10,4)) AS DOUBLE) AS dash_qty,
+      |       CASE WHEN regexp_matches(trim(raw_padded), '^0+$') THEN '0'
+      |            ELSE regexp_replace(trim(raw_padded), '^0+', '') END AS article,
+      |       regexp_replace(trim(raw_dotzero), '\.0$', '') AS dotzero,
+      |       CAST(round(qty_dec, 1) AS DOUBLE) AS qty_rounded,
+      |       CAST(-qty_dec AS DOUBLE) AS qty_flipped
+      |FROM raw
+      |""".stripMargin
+
+  // -------------------------------------------------------------------
+  // A7 max-string-length profile (pipelines/etl_zrssale.py:66-69).
+  // -------------------------------------------------------------------
+  def stringProfile(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir).agg(
+      max(length(col("p_name"))).as("len_name"),
+      max(length(col("p_brand"))).as("len_brand"),
+      max(length(col("p_type"))).as("len_type"))
+
+  val stringProfileOracle: String =
+    """SELECT MAX(length(p_name)) AS len_name, MAX(length(p_brand)) AS len_brand,
+      |       MAX(length(p_type)) AS len_type FROM part
+      |""".stripMargin
+
+  // -------------------------------------------------------------------
+  // §2.9 week-window generator (sap_scripts/sap_utils.py:201-232): extend
+  // contiguous 7-day windows across the orders date range.
+  // -------------------------------------------------------------------
+  def weekWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    val bounds = Tables.orders(spark, sfDir)
+      .agg(min(to_date(col("o_orderdate"))).as("lo"), max(to_date(col("o_orderdate"))).as("hi"))
+    bounds.select(explode(sequence(col("lo"), col("hi"), expr("interval 7 days"))).as("week_start"))
+      .withColumn("week_end", date_add(col("week_start"), 6))
+  }
+
+  val weekWindowsOracle: String =
+    """WITH b AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+      |                  MAX(CAST(o_orderdate AS DATE)) AS hi FROM orders)
+      |SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 7 DAY)) AS DATE) AS week_start,
+      |       CAST(unnest(generate_series(lo, hi, INTERVAL 7 DAY)) AS DATE) + 6 AS week_end
+      |FROM b
+      |""".stripMargin
+
+  // -------------------------------------------------------------------
+  // J5 scalar lookup join (pipelines/etl_utils.py:71-82): AcctWk for a
+  // given date from the derived calendar.
+  // -------------------------------------------------------------------
+  def acctwkLookup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(to_date(col("l_shipdate")).as("date"))
+      .distinct()
+      .filter(col("date") === to_date(lit("1996-03-15")))
+      .withColumn("acct_wk", acctWk(col("date")))
+
+  val acctwkLookupOracle: String =
+    """SELECT DISTINCT CAST(l_shipdate AS DATE) AS date,
+      |       CAST(date_trunc('week', l_shipdate) AS DATE) AS acct_wk
+      |FROM lineitem WHERE CAST(l_shipdate AS DATE) = DATE '1996-03-15'
+      |""".stripMargin
+
+  // -------------------------------------------------------------------
+  // A5 standalone conditional-aggregate profile per site
+  // (pipelines/etl_StoreRP.py:126-134).
+  // -------------------------------------------------------------------
+  def conditionalAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val signed = when(col("l_returnflag") === "R", -col("l_quantity"))
+      .otherwise(col("l_quantity")).cast(D)
+    li.groupBy(col("l_suppkey").as("site"))
+      .agg(
+        Relational.countWhere(signed > 0).as("pos_moves"),
+        Relational.countWhere(signed < 0).as("neg_moves"),
+        sum(when(signed > 0, signed)).cast(DoubleType).as("pos_qty"),
+        sum(when(signed < 0, signed)).cast(DoubleType).as("neg_qty"))
+  }
+
+  val conditionalAggOracle: String =
+    """SELECT l_suppkey AS site,
+      |       COUNT(CASE WHEN s > 0 THEN 1 END) AS pos_moves,
+      |       COUNT(CASE WHEN s < 0 THEN 1 END) AS neg_moves,
+      |       CAST(SUM(CASE WHEN s > 0 THEN s END) AS DOUBLE) AS pos_qty,
+      |       CAST(SUM(CASE WHEN s < 0 THEN s END) AS DOUBLE) AS neg_qty
+      |FROM (SELECT l_suppkey,
+      |             CAST(CASE WHEN l_returnflag = 'R' THEN -l_quantity ELSE l_quantity END
+      |                  AS DECIMAL(18,6)) AS s
+      |      FROM lineitem)
+      |GROUP BY 1
+      |""".stripMargin
+
+  /** Registration for SparkEntry. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_keep_last" -> (dedupKeepLast _),
+    "duplicate_keys" -> (duplicateKeys _),
+    "anti_join_new_keys" -> (antiJoinNewKeys _),
+    "star_join_weekly" -> (starJoinWeekly _),
+    "region_rollup" -> (regionRollup _),
+    "store_rp_report" -> (storeRpReport _),
+    "upsert_merge" -> (upsertMerge _),
+    "latest_event" -> (latestEvent _),
+    "union_streams" -> (unionStreams _),
+    "clean_functions" -> (cleanFunctions _),
+    "string_profile" -> (stringProfile _),
+    "week_windows" -> (weekWindows _),
+    "acctwk_lookup" -> (acctwkLookup _),
+    "conditional_agg" -> (conditionalAgg _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_keep_last" -> dedupKeepLastOracle,
+    "duplicate_keys" -> duplicateKeysOracle,
+    "anti_join_new_keys" -> antiJoinNewKeysOracle,
+    "star_join_weekly" -> starJoinWeeklyOracle,
+    "region_rollup" -> regionRollupOracle,
+    "store_rp_report" -> storeRpReportOracle,
+    "upsert_merge" -> upsertMergeOracle,
+    "latest_event" -> latestEventOracle,
+    "union_streams" -> unionStreamsOracle,
+    "clean_functions" -> cleanFunctionsOracle,
+    "string_profile" -> stringProfileOracle,
+    "week_windows" -> weekWindowsOracle,
+    "acctwk_lookup" -> acctwkLookupOracle,
+    "conditional_agg" -> conditionalAggOracle,
+  )
+}
