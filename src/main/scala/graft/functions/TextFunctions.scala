@@ -32,7 +32,7 @@ object TextFunctions {
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, n), " ")))
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
       .otherwise(array().cast(ArrayType(StringType)))
 
   /** 32-bit positive integer hash of a string via md5 prefix (first 8 hex
