@@ -59,14 +59,17 @@ object TextFunctions {
 
   /** 32-bit SimHash over a token-hash array: bit b is set iff the sum of
     * ±1 votes (bit b of each token hash) is non-negative. Duplicate tokens
-    * vote multiple times (natural term weighting). */
-  def simhash32(tokenHashes: Column): Column =
-    expr(s"""aggregate(
-      transform(sequence(0, 31), b ->
-        IF(aggregate(${tokenHashes.toString}, CAST(0 AS BIGINT),
-             (acc, h) -> acc + 2 * (shiftright(h, b) % 2) - 1) >= 0,
-           shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))),
-      CAST(0 AS BIGINT), (acc, x) -> acc + x)""")
+    * vote multiple times (natural term weighting). Empty input -> 0.
+    * Static bit positions unroll into 32 codegen'd folds (map-side only,
+    * no shuffle). */
+  def simhash32(tokenHashes: Column): Column = {
+    val bits = (0 until 32).map { b =>
+      val vote = aggregate(tokenHashes, lit(0L),
+        (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1))
+      when(vote >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    when(size(tokenHashes) === 0, lit(0L)).otherwise(bits.reduce(_ + _))
+  }
 
   /** Polynomial rolling hash (left fold) over a token-hash array:
     * acc' = (acc * 31 + h) mod P. Order-sensitive document fingerprint. */

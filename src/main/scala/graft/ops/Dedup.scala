@@ -1,0 +1,93 @@
+package graft.ops
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for the LLM-data-pipeline surface
+  * (BASELINE.json north star): exact content-hash dedup, MinHash+LSH
+  * near-dup candidate generation with exact-Jaccard verification, SimHash
+  * fingerprinting with blocked Hamming search, and blocked n-gram Jaccard.
+  *
+  * 100 TB design notes:
+  *   - All per-document work (tokenize, shingle, hash, signature) is
+  *     map-side: one narrow projection, no shuffle, fully codegen'd
+  *     higher-order-function expressions — scales linearly with input.
+  *   - LSH banding shuffles once on (band, bandKey); the self-join is
+  *     equi-join shaped, so AQE can pick broadcast/skew strategies. Giant
+  *     buckets (boilerplate text at web scale) should be capped: see
+  *     `capBuckets`, which bounds the quadratic blowup per bucket.
+  *   - Exact-Jaccard verification joins shingle sets back by doc id —
+  *     two hash-partitioned joins on the (small) candidate-pair set, not
+  *     on the corpus.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: keep the row with the smallest `idCol`
+    * per distinct `contentCol` value (deterministic keeper — the pandas
+    * drop_duplicates keep-first analog with an explicit total order).
+    * One shuffle on the hash; at scale the hash (not the full text)
+    * is the shuffle key, so wide documents don't inflate the exchange. */
+  def exactDedupByContent(contentCol: Column, idCol: Column)(df: DataFrame): DataFrame =
+    Relational.dedupKeepFirst(Seq("__chash"), Seq(idCol))(
+      df.withColumn("__chash", md5(contentCol)))
+      .withColumnRenamed("__chash", "content_hash")
+
+  /** doc -> (shingle array, distinct shingle set, shingle hash array).
+    * Pure projection; `n`-token shingles over lowercase alnum tokens. */
+  def shingled(textCol: Column, n: Int): Seq[Column] = {
+    val s = shingles(tokens(textCol), n)
+    Seq(s.as("shingles"),
+        array_distinct(s).as("shingle_set"),
+        transform(s, hash32 _).as("shingle_hashes"))
+  }
+
+  /** MinHash signature column over shingle hashes (k components). */
+  def minhashSig(shingleHashes: Column, k: Int): Column =
+    minhashSignature(shingleHashes, k)
+
+  /** Explode a signature into LSH bands: (band, bandKey) where bandKey is
+    * the comma-joined slice of `rowsPerBand` components. */
+  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(b.as("band"),
+        array_join(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), ",").as("bkey"))))
+
+  /** Bound the quadratic per-bucket blowup: keep at most `maxPerBucket`
+    * members (smallest ids — deterministic) in each (band, bkey) bucket.
+    * At web scale a boilerplate bucket with 10^6 members would otherwise
+    * generate 10^12 pairs. */
+  def capBuckets(idCol: String, maxPerBucket: Int)(banded: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bkey")).orderBy(col(idCol))
+    banded.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPerBucket).drop("__rn")
+  }
+
+  /** Candidate pairs from a banded table with columns (id, band, bkey):
+    * distinct (d1 < d2) pairs sharing any band bucket. */
+  def candidatePairs(banded: DataFrame, idCol: String): DataFrame = {
+    val a = banded.select(col(idCol).as("d1"), col("band"), col("bkey"))
+    val b = banded.select(col(idCol).as("d2"), col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2")
+      .distinct()
+  }
+
+  /** Fraction of equal components between two equal-length signatures —
+    * the MinHash Jaccard estimate. */
+  def estJaccard(sigA: Column, sigB: Column, k: Int): Column =
+    aggregate(zip_with(sigA, sigB, (p, q) => when(p === q, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast(DoubleType) / k
+
+  /** Exact Jaccard of two distinct-element arrays. */
+  def jaccard(setA: Column, setB: Column): Column = {
+    val inter = size(array_intersect(setA, setB))
+    inter.cast(DoubleType) / (size(setA) + size(setB) - inter)
+  }
+
+  /** Hamming distance between two 32-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,92 @@
+package graft.ops
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text analysis operators for training-data curation (north star surface):
+  * language ID (marker-word heuristic), quality scoring, token counting
+  * (whitespace + BPE-ish regex), and document fingerprinting.
+  *
+  * All pure per-row projections — map-side, codegen'd, no shuffle; at
+  * 100 TB these run at scan speed and feed groupBy rollups (per-source
+  * token budgets etc.) that shuffle only the tiny aggregate state.
+  */
+object TextAnalysis {
+
+  /** Marker-word sets for the language-ID heuristic. A real deployment
+    * would use char-n-gram profiles; the operator shape (per-row score
+    * columns + argmax) is identical. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "un"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une"))
+
+  /** Count of tokens contained in a fixed marker set. */
+  def markerScore(toks: Column, markers: Seq[String]): Column =
+    size(array_intersect_count(toks, markers))
+
+  // array_intersect would dedup; we want multiplicity, so filter instead.
+  private def array_intersect_count(toks: Column, markers: Seq[String]): Column =
+    filter(toks, t => markers.map(m => t === m).reduce(_ || _))
+
+  /** Language scores + argmax prediction with fixed priority order
+    * (earlier language wins ties). */
+  def langScores(toks: Column): Seq[Column] =
+    langMarkers.map { case (l, ms) => markerScore(toks, ms).as(s"score_$l") }
+
+  def predictLang(en: Column, de: Column, es: Column, fr: Column): Column =
+    when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+
+  /** Stopword ratio over a fixed stopword list. */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "is", "in", "it", "on", "for")
+
+  /** Per-document quality statistics; every ratio is a single division of
+    * exact integer counts, so the doubles are bit-reproducible. */
+  def nTokens(toks: Column): Column = size(toks)
+
+  def avgTokenLen(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast(DoubleType) /
+      size(toks)
+
+  def stopwordRatio(toks: Column): Column =
+    size(filter(toks, t => stopwords.map(s => t === s).reduce(_ || _)))
+      .cast(DoubleType) / size(toks)
+
+  def digitTokenRatio(toks: Column): Column =
+    size(filter(toks, t => t.rlike("^[0-9]+$"))).cast(DoubleType) / size(toks)
+
+  /** Non-alphanumeric, non-space character count over the raw text. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[a-zA-Z0-9 ]", ""))
+
+  def punctRatio(text: Column): Column =
+    punctCount(text).cast(DoubleType) / length(text)
+
+  /** Composite quality score in [0,1]: favors long, stopword-bearing,
+    * low-punctuation text. Fixed arithmetic shape for oracle parity. */
+  def qualityScore(toks: Column, text: Column): Column =
+    lit(0.4) * least(lit(1.0), size(toks).cast(DoubleType) / 200) +
+      lit(0.4) * stopwordRatio(toks) +
+      lit(0.2) * (lit(1.0) - punctRatio(text))
+
+  /** Whitespace token count (split on runs of whitespace). */
+  def whitespaceTokenCount(text: Column): Column =
+    size(array_remove(split(text, "\\s+"), ""))
+
+  /** BPE-ish token count: letter runs, digit runs, and single
+    * non-alnum-non-space symbols each count as one token. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Order-sensitive rolling-hash fingerprint over token hashes. */
+  def fingerprint(toks: Column): Column =
+    when(size(toks) === 0, lit(0L))
+      .otherwise(rollingFingerprint(transform(toks, hash32 _)))
+}

@@ -1,0 +1,410 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.ops.{Dedup, Relational, Similarity, TextAnalysis}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The LLM-training-data operator surface (BASELINE.json north star):
+  * exact + near-duplicate detection (MinHash-LSH, SimHash, n-gram
+  * Jaccard), embedding similarity search (brute-force + sign-LSH), and
+  * text analysis (language ID, quality scoring, token counting,
+  * fingerprinting) — all oracle-checked against DuckDB on the driver's
+  * `documents` / `embeddings` tables.
+  *
+  * Cross-engine determinism:
+  *   - all hashing is md5-derived 32-bit ints (hash32) + LCG mixes —
+  *     bit-identical in DuckDB;
+  *   - double folds (dot products, norms) are sequential left folds,
+  *     matching DuckDB's list_reduce exactly;
+  *   - ratios are single divisions of exact integer counts.
+  */
+object LlmQueries {
+
+  private val D = DecimalType(18, 6)
+
+  // Shared SQL fragments for the oracles -------------------------------
+
+  /** tokens CTE body: lowercase alnum token list per doc. */
+  private val tokSql =
+    """SELECT doc_id, lang, source, text,
+      |       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+      |FROM documents""".stripMargin
+
+  /** 3-token shingle list + distinct set + hash32 list, on top of toks. */
+  private def shingleSql(n: Int) =
+    s"""SELECT doc_id,
+       |       CASE WHEN len(t) >= $n
+       |            THEN list_transform(range(0, len(t)-${n - 1}),
+       |                   i -> array_to_string(list_slice(t, i+1, i+$n), ' '))
+       |            ELSE CAST([] AS VARCHAR[]) END AS s
+       |FROM toks""".stripMargin
+
+  private val hashSql =
+    """SELECT doc_id,
+      |       list_transform(s, x -> CAST(('0x' || substring(md5(x),1,8)) AS BIGINT)) AS h,
+      |       list_distinct(s) AS sd
+      |FROM sh""".stripMargin
+
+  /** MinHash signature (k components) via the shared LCG family. */
+  private def sigSql(k: Int) =
+    s"""SELECT doc_id, sd,
+       |       list_transform(range(0,$k), j ->
+       |         list_min(list_transform(h, x ->
+       |           (x * ((1103515245*(j+1)+12345) % 1073741789 + 1)
+       |              + (214013*(j+1)+2531011) % 1073741789) % 4294967311))) AS sig
+       |FROM hs""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Exact dedup: content-hash keep-first (deterministic keeper).
+  // -------------------------------------------------------------------
+  def exactDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.exactDedupByContent(col("text"), col("doc_id"))(
+      Tables.documents(spark, sfDir))
+      .select("doc_id", "content_hash", "lang", "source", "n_chars")
+
+  val exactDedupOracle: String =
+    """SELECT doc_id, md5(text) AS content_hash, lang, source, n_chars
+      |FROM documents
+      |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+      |""".stripMargin
+
+  // -------------------------------------------------------------------
+  // MinHash + LSH near-dup pipeline: signature (k=16) -> 4x4 banding ->
+  // candidate pairs -> signature-estimated + exact shingle Jaccard.
+  // -------------------------------------------------------------------
+  private val K = 16; private val Bands = 4; private val Rows = 4
+
+  def minhashLshPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val base = docs.select(col("doc_id") +: Dedup.shingled(col("text"), 3): _*)
+    val sig = base.select(col("doc_id"), col("shingle_set"),
+      Dedup.minhashSig(col("shingle_hashes"), K).as("sig"))
+
+    val banded = sig
+      .select(col("doc_id"), Dedup.lshBands(col("sig"), Bands, Rows).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val pairs = Dedup.candidatePairs(banded, "doc_id")
+
+    val x = sig.select(col("doc_id").as("d1"), col("sig").as("sig1"), col("shingle_set").as("sd1"))
+    val y = sig.select(col("doc_id").as("d2"), col("sig").as("sig2"), col("shingle_set").as("sd2"))
+    pairs.join(x, "d1").join(y, "d2")
+      .select(col("d1"), col("d2"),
+        Dedup.estJaccard(col("sig1"), col("sig2"), K).as("est_jaccard"),
+        Dedup.jaccard(col("sd1"), col("sd2")).as("jaccard"))
+  }
+
+  val minhashLshPairsOracle: String =
+    s"""WITH toks AS ($tokSql),
+       |sh AS (${shingleSql(3)}),
+       |hs AS ($hashSql),
+       |sig AS (${sigSql(K)}),
+       |bands AS (SELECT doc_id, sd, sig, unnest(range(0,$Bands)) AS band FROM sig),
+       |keyed AS (
+       |  SELECT doc_id, band,
+       |         array_to_string(list_slice(sig, band*$Rows+1, band*$Rows+$Rows), ',') AS bkey
+       |  FROM bands),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM keyed a JOIN keyed b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+       |SELECT p.d1, p.d2,
+       |       CAST(list_sum(list_transform(range(0,$K),
+       |              i -> CASE WHEN x.sig[i+1] = y.sig[i+1] THEN 1 ELSE 0 END)) AS DOUBLE)/$K
+       |         AS est_jaccard,
+       |       CAST(len(list_filter(x.sd, e -> list_contains(y.sd, e))) AS DOUBLE)
+       |         / (len(x.sd) + len(y.sd) - len(list_filter(x.sd, e -> list_contains(y.sd, e))))
+       |         AS jaccard
+       |FROM pairs p JOIN sig x ON p.d1 = x.doc_id JOIN sig y ON p.d2 = y.doc_id
+       |""".stripMargin
+
+  // -------------------------------------------------------------------
+  // SimHash fingerprint per document (32-bit, token-level votes).
+  // -------------------------------------------------------------------
+  def simhashDocs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        simhash32(transform(tokens(col("text")), hash32 _)).as("simhash"))
+
+  val simhashDocsOracle: String =
+    s"""WITH toks AS ($tokSql),
+       |hs AS (SELECT doc_id,
+       |              list_transform(t, x -> CAST(('0x' || substring(md5(x),1,8)) AS BIGINT)) AS h
+       |       FROM toks)
+       |SELECT doc_id,
+       |       CASE WHEN len(h) = 0 THEN 0
+       |            ELSE list_sum(list_transform(range(0,32), b ->
+       |                   CASE WHEN list_sum(list_transform(h, x -> 2*((x >> b) & 1) - 1)) >= 0
+       |                        THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))
+       |       END AS simhash
+       |FROM hs
+       |""".stripMargin
+
+  // -------------------------------------------------------------------
+  // SimHash near-dup pairs: block on the upper 12 bits, emit pairs with
+  // Hamming distance <= 6 (the classic prefix-block Hamming search).
+  // -------------------------------------------------------------------
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = simhashDocs(spark, sfDir)
+      .withColumn("block", shiftright(col("simhash"), 20))
+    val a = fp.select(col("doc_id").as("d1"), col("simhash").as("h1"), col("block"))
+    val b = fp.select(col("doc_id").as("d2"), col("simhash").as("h2"), col("block"))
+    a.join(b, Seq("block")).filter(col("d1") < col("d2"))
+      .withColumn("hamming", Dedup.hamming(col("h1"), col("h2")))
+      .filter(col("hamming") <= 6)
+      .select("d1", "d2", "h1", "h2", "hamming")
+  }
+
+  val simhashPairsOracle: String =
+    s"""WITH toks AS ($tokSql),
+       |hs AS (SELECT doc_id,
+       |              list_transform(t, x -> CAST(('0x' || substring(md5(x),1,8)) AS BIGINT)) AS h
+       |       FROM toks),
+       |fp AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(h) = 0 THEN 0
+       |              ELSE list_sum(list_transform(range(0,32), b ->
+       |                     CASE WHEN list_sum(list_transform(h, x -> 2*((x >> b) & 1) - 1)) >= 0
+       |                          THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))
+       |         END AS simhash
+       |  FROM hs)
+       |SELECT a.doc_id AS d1, b.doc_id AS d2, a.simhash AS h1, b.simhash AS h2,
+       |       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |FROM fp a JOIN fp b
+       |  ON (a.simhash >> 20) = (b.simhash >> 20) AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+       |""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Blocked pairwise 2-gram Jaccard (the quadratic-verify primitive,
+  // bounded by residue blocking; at scale the block would be an LSH
+  // bucket, as in minhash_lsh_pairs).
+  // -------------------------------------------------------------------
+  def ngramJaccardBlocked(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val sets = docs.select(col("doc_id"),
+        array_distinct(shingles(tokens(col("text")), 2)).as("sd"))
+      .withColumn("block", col("doc_id") % 100)
+    val a = sets.select(col("doc_id").as("d1"), col("sd").as("sd1"), col("block"))
+    val b = sets.select(col("doc_id").as("d2"), col("sd").as("sd2"), col("block"))
+    a.join(b, Seq("block")).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), Dedup.jaccard(col("sd1"), col("sd2")).as("jaccard"))
+  }
+
+  val ngramJaccardBlockedOracle: String =
+    s"""WITH toks AS ($tokSql),
+       |sh AS (${shingleSql(2)}),
+       |sets AS (SELECT doc_id, list_distinct(s) AS sd, doc_id % 100 AS block FROM sh)
+       |SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |       CAST(len(list_filter(a.sd, e -> list_contains(b.sd, e))) AS DOUBLE)
+       |         / (len(a.sd) + len(b.sd) - len(list_filter(a.sd, e -> list_contains(b.sd, e))))
+       |         AS jaccard
+       |FROM sets a JOIN sets b ON a.block = b.block AND a.doc_id < b.doc_id
+       |""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Embedding similarity: brute-force exact cosine top-5 for a 20-vector
+  // query set against the full corpus.
+  // -------------------------------------------------------------------
+
+  /** Shared oracle CTE: per-pair sequential-fold dot and norms. */
+  private val cosPairSql =
+    """SELECT q.vec_id AS qid, c.vec_id AS nid,
+      |       list_reduce(list_transform(range(0,64),
+      |         i -> CAST(q.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE)),
+      |         (acc, x) -> acc + x)
+      |       / (sqrt(list_reduce(list_transform(range(0,64),
+      |            i -> CAST(q.embedding[i+1] AS DOUBLE) * CAST(q.embedding[i+1] AS DOUBLE)),
+      |            (acc, x) -> acc + x))
+      |        * sqrt(list_reduce(list_transform(range(0,64),
+      |            i -> CAST(c.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE)),
+      |            (acc, x) -> acc + x))) AS cos""".stripMargin
+
+  def cosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+    Similarity.bruteForceTopK(queries, corpus, 5)
+  }
+
+  val cosineTopKOracle: String =
+    s"""WITH pairs AS (
+       |  $cosPairSql
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id < 20 AND q.vec_id <> c.vec_id)
+       |SELECT qid, nid, cos, rank FROM (
+       |  SELECT qid, nid, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |  FROM pairs)
+       |WHERE rank <= 5
+       |""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Sign-LSH ANN: 4-bit coordinate-sign bucket join, top-3 per query —
+  // the pruned approximate path.
+  // -------------------------------------------------------------------
+  def annSignLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+    Similarity.signLshTopK(queries, corpus, 4, 3)
+  }
+
+  val annSignLshOracle: String =
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding,
+       |         list_sum(list_transform(range(0,4),
+       |           i -> CASE WHEN embedding[i+1] > 0 THEN (1 << i) ELSE 0 END)) AS bucket
+       |  FROM embeddings),
+       |pairs AS (
+       |  $cosPairSql, q.bucket
+       |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < 50 AND q.vec_id <> c.vec_id)
+       |SELECT qid, nid, cos, rank FROM (
+       |  SELECT qid, nid, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |  FROM pairs)
+       |WHERE rank <= 3
+       |""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Language ID: marker-word scores + priority argmax, with accuracy
+  // flag against the labeled lang column.
+  // -------------------------------------------------------------------
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val t = tokens(col("text"))
+    val scored = docs.select(
+      Seq(col("doc_id"), col("lang")) ++ TextAnalysis.langScores(t): _*)
+    scored.withColumn("predicted",
+        TextAnalysis.predictLang(col("score_en"), col("score_de"), col("score_es"), col("score_fr")))
+      .withColumn("correct", (col("predicted") === col("lang")).cast(IntegerType))
+  }
+
+  private def markerListSql(l: String): String =
+    TextAnalysis.langMarkers.toMap.apply(l).map(m => s"'$m'").mkString("[", ",", "]")
+
+  val langIdOracle: String =
+    s"""WITH toks AS ($tokSql),
+       |scored AS (
+       |  SELECT doc_id, lang,
+       |         len(list_filter(t, x -> list_contains(${markerListSql("en")}, x))) AS score_en,
+       |         len(list_filter(t, x -> list_contains(${markerListSql("de")}, x))) AS score_de,
+       |         len(list_filter(t, x -> list_contains(${markerListSql("es")}, x))) AS score_es,
+       |         len(list_filter(t, x -> list_contains(${markerListSql("fr")}, x))) AS score_fr
+       |  FROM toks)
+       |SELECT doc_id, lang, score_en, score_de, score_es, score_fr,
+       |       CASE WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+       |            WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+       |            WHEN score_es >= score_fr THEN 'es'
+       |            ELSE 'fr' END AS predicted,
+       |       CAST(CASE WHEN (CASE WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+       |            WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+       |            WHEN score_es >= score_fr THEN 'es'
+       |            ELSE 'fr' END) = lang THEN 1 ELSE 0 END AS INTEGER) AS correct
+       |FROM scored
+       |""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Quality statistics + composite score per document.
+  // -------------------------------------------------------------------
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val t = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      TextAnalysis.nTokens(t).as("n_tokens"),
+      TextAnalysis.avgTokenLen(t).as("avg_token_len"),
+      TextAnalysis.stopwordRatio(t).as("stopword_ratio"),
+      TextAnalysis.digitTokenRatio(t).as("digit_ratio"),
+      TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+      TextAnalysis.qualityScore(t, col("text")).as("quality"))
+  }
+
+  private val stopListSql =
+    TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ",", "]")
+
+  val textQualityOracle: String =
+    s"""WITH toks AS ($tokSql)
+       |SELECT doc_id,
+       |       len(t) AS n_tokens,
+       |       CAST(list_sum(list_transform(t, x -> CAST(len(x) AS BIGINT))) AS DOUBLE) / len(t) AS avg_token_len,
+       |       CAST(len(list_filter(t, x -> list_contains($stopListSql, x))) AS DOUBLE) / len(t) AS stopword_ratio,
+       |       CAST(len(list_filter(t, x -> regexp_matches(x, '^[0-9]+$$'))) AS DOUBLE) / len(t) AS digit_ratio,
+       |       CAST(len(text) - len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / len(text) AS punct_ratio,
+       |       0.4 * least(1.0, CAST(len(t) AS DOUBLE) / 200)
+       |         + 0.4 * (CAST(len(list_filter(t, x -> list_contains($stopListSql, x))) AS DOUBLE) / len(t))
+       |         + 0.2 * (1.0 - CAST(len(text) - len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / len(text))
+       |         AS quality
+       |FROM toks
+       |""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Token counting rollup per source: whitespace + BPE-ish regex counts.
+  // -------------------------------------------------------------------
+  def tokenCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    docs.select(col("source"),
+        TextAnalysis.whitespaceTokenCount(col("text")).as("ws"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("bpe"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpe_tokens"))
+  }
+
+  val tokenCountsOracle: String =
+    """SELECT source, COUNT(*) AS docs,
+      |       SUM(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS ws_tokens,
+      |       SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS bpe_tokens
+      |FROM documents GROUP BY 1
+      |""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Rolling-hash document fingerprint (order-sensitive).
+  // -------------------------------------------------------------------
+  def docFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextAnalysis.fingerprint(tokens(col("text"))).as("fingerprint"))
+
+  val docFingerprintOracle: String =
+    s"""WITH toks AS ($tokSql),
+       |hs AS (SELECT doc_id,
+       |              list_transform(t, x -> CAST(('0x' || substring(md5(x),1,8)) AS BIGINT)) AS h
+       |       FROM toks)
+       |SELECT doc_id,
+       |       CASE WHEN len(h) = 0 THEN 0
+       |            ELSE list_reduce(h, (acc, x) -> (acc * 31 + x) % 4294967311) END AS fingerprint
+       |FROM hs
+       |""".stripMargin
+
+  /** Registration for SparkEntry. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "exact_dedup" -> (exactDedup _),
+    "minhash_lsh_pairs" -> (minhashLshPairs _),
+    "simhash_docs" -> (simhashDocs _),
+    "simhash_pairs" -> (simhashPairs _),
+    "ngram_jaccard" -> (ngramJaccardBlocked _),
+    "cosine_topk" -> (cosineTopK _),
+    "ann_sign_lsh" -> (annSignLsh _),
+    "lang_id" -> (langId _),
+    "text_quality" -> (textQuality _),
+    "token_counts" -> (tokenCounts _),
+    "doc_fingerprint" -> (docFingerprint _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "exact_dedup" -> exactDedupOracle,
+    "minhash_lsh_pairs" -> minhashLshPairsOracle,
+    "simhash_docs" -> simhashDocsOracle,
+    "simhash_pairs" -> simhashPairsOracle,
+    "ngram_jaccard" -> ngramJaccardBlockedOracle,
+    "cosine_topk" -> cosineTopKOracle,
+    "ann_sign_lsh" -> annSignLshOracle,
+    "lang_id" -> langIdOracle,
+    "text_quality" -> textQualityOracle,
+    "token_counts" -> tokenCountsOracle,
+    "doc_fingerprint" -> docFingerprintOracle,
+  )
+}
