@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{LlmQueries, RefQueries, RelationalQueries}
+import graft.queries.{EventQueries, LlmQueries, MediaQueries, RefQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,10 +19,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "weekly_sales" -> (RefQueries.weeklySales _),
     "movement_agg" -> (RefQueries.movementAgg _),
-  ) ++ RelationalQueries.queries ++ LlmQueries.queries
+  ) ++ RelationalQueries.queries ++ LlmQueries.queries ++
+    EventQueries.queries ++ MediaQueries.queries
 
   def oracleSql: Map[String, String] = Map(
     "weekly_sales" -> RefQueries.weeklySalesOracle,
     "movement_agg" -> RefQueries.movementAggOracle,
-  ) ++ RelationalQueries.oracles ++ LlmQueries.oracles
+  ) ++ RelationalQueries.oracles ++ LlmQueries.oracles ++
+    EventQueries.oracles ++ MediaQueries.oracles
 }

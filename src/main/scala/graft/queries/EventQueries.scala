@@ -1,0 +1,164 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.Relational
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-stream processing surface (SURVEY.md §2.9) in batch form:
+  * tumbling/sliding windows, gap sessionization, pivot, and JSON
+  * property extraction over the `events` table. The same transforms are
+  * reused by `graft.streaming.Streams` on unbounded input; these batch
+  * twins are what the DuckDB oracle can check.
+  *
+  * Scale notes: window aggs shuffle once on (window, key) with partial
+  * aggregation; sessionization shuffles once on user_id and sorts within
+  * partitions (the classic gaps-and-islands plan — at 100 TB the sort is
+  * per-user-partition, bounded by per-user event counts, not global).
+  */
+object EventQueries {
+
+  private val D = DecimalType(18, 6)
+
+  /** DuckDB rendering of the µs-precision event timestamp (the parquet
+    * stamps TIMESTAMP(NANOS); Spark reads it as µs via Tables.events). */
+  private val tsSql = "make_timestamp(epoch_ns(ts) // 1000)"
+
+  // -------------------------------------------------------------------
+  // Tumbling 1-hour window aggregation (watermark-ready shape).
+  // -------------------------------------------------------------------
+  def eventWindowAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(D)).cast(DoubleType).as("total"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total"))
+
+  val eventWindowAggOracle: String =
+    s"""SELECT time_bucket(INTERVAL '1 hour', $tsSql) AS window_start, event_type,
+       |       COUNT(*) AS n,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+       |FROM events GROUP BY 1, 2
+       |""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Sliding 2-hour window, 1-hour slide: every event lands in 2 windows.
+  // -------------------------------------------------------------------
+  def eventSlidingWindow(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(D)).cast(DoubleType).as("total"))
+      .select(col("w.start").as("window_start"), col("n"), col("total"))
+
+  val eventSlidingWindowOracle: String =
+    s"""WITH e AS (
+       |  SELECT unnest([time_bucket(INTERVAL '1 hour', $tsSql) - INTERVAL '1 hour',
+       |                 time_bucket(INTERVAL '1 hour', $tsSql)]) AS window_start,
+       |         value
+       |  FROM events)
+       |SELECT window_start, COUNT(*) AS n,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+       |FROM e GROUP BY 1
+       |""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Gap sessionization (30-minute inactivity gap): gaps-and-islands via
+  // lag + running sum of session starts, then per-session rollup.
+  // -------------------------------------------------------------------
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000 * 1000
+    Tables.events(spark, sfDir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(ord))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_sess")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(D)).cast(DoubleType).as("total_value"))
+  }
+
+  val sessionizeOracle: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, value, $tsSql AS ts,
+       |         lag(epoch_us($tsSql)) OVER (PARTITION BY user_id ORDER BY $tsSql, event_id) AS prev_us
+       |  FROM events),
+       |flagged AS (
+       |  SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+       |                 THEN 1 ELSE 0 END AS new_sess
+       |  FROM e),
+       |sess AS (
+       |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                                ROWS UNBOUNDED PRECEDING) AS session_id
+       |  FROM flagged)
+       |SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       |       COUNT(*) AS n_events,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+       |FROM sess GROUP BY 1, 2
+       |""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Pivot: per-user event-type counts (explicit value list keeps the
+  // column set deterministic, no extra distinct pass).
+  // -------------------------------------------------------------------
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def eventPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+    eventTypes.foldLeft(p)((d, t) => d.withColumn(t, coalesce(col(t), lit(0L))))
+  }
+
+  val eventPivotOracle: String =
+    """SELECT user_id,
+      |       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+      |       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+      |       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+      |       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+      |       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+      |FROM events GROUP BY 1
+      |""".stripMargin
+
+  // -------------------------------------------------------------------
+  // JSON property extraction (semi-structured column handling).
+  // -------------------------------------------------------------------
+  def jsonProps(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(IntegerType))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+
+  val jsonPropsOracle: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |       SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k,
+      |       MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
+      |       MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+      |FROM events GROUP BY 1
+      |""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_window_agg" -> (eventWindowAgg _),
+    "event_sliding_window" -> (eventSlidingWindow _),
+    "sessionize" -> (sessionize _),
+    "event_pivot" -> (eventPivot _),
+    "json_props" -> (jsonProps _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "event_window_agg" -> eventWindowAggOracle,
+    "event_sliding_window" -> eventSlidingWindowOracle,
+    "sessionize" -> sessionizeOracle,
+    "event_pivot" -> eventPivotOracle,
+    "json_props" -> jsonPropsOracle,
+  )
+}

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.9). The reference's
+  * incrementality is hand-rolled batch (done-logs, week-window catch-up,
+  * archive-on-consume); its idiomatic Spark restatement is a file-source
+  * stream with watermarked windows and stateful sessionization.
+  *
+  * The batch twins of these transforms live in
+  * `graft.queries.EventQueries` and are DuckDB-oracle-checked; the
+  * streaming versions reuse the same expressions, so correctness carries
+  * over and the unit tests only need to prove the streaming plumbing
+  * (watermarks, state, output modes).
+  *
+  * Scale notes: windowed aggregation state is bounded by the watermark
+  * horizon x key cardinality; sessionization state is one small case
+  * class per active (user) key, dropped on timeout — both shuffle once
+  * on their grouping key, exactly like their batch twins.
+  */
+object Streams {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source ingest of event JSON/CSV drops — the streaming analog of
+    * the reference's glob-scan + done-log + archive loop
+    * (sap_scripts/sap_utils.py:20-31, pipelines/etl_zmb51.py:107-115):
+    * the source tracks processed files (exactly-once) and archives them. */
+  def readEventFileStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", 32)
+      .option("cleanSource", "archive")
+      .option("sourceArchiveDir", s"$dir/_archive")
+      .json(dir)
+
+  /** Watermarked tumbling-window counts — streaming twin of
+    * EventQueries.eventWindowAgg. Late data beyond the watermark is
+    * dropped; state for closed windows is purged. */
+  def windowedEventCounts(events: DataFrame,
+                          windowLen: String = "1 hour",
+                          watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total"))
+
+  /** Streaming exactly-once dedup by event id within the watermark
+    * horizon (replay-safe ingest, the S11 done-log analog at row
+    * granularity). */
+  def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(sessionId: Long, lastUs: Long, startUs: Long,
+                          n: Long, total: Double)
+  case class SessionOut(user_id: Long, session_id: Long,
+                        session_start: java.sql.Timestamp,
+                        session_end: java.sql.Timestamp,
+                        n_events: Long, total_value: Double)
+
+  /** Stateful gap sessionization (30-min inactivity) via
+    * flatMapGroupsWithState — emits a session row when the gap closes it;
+    * processing-time timeout flushes the last open session per user.
+    * Streaming twin of EventQueries.sessionize. */
+  def sessionizeStream(events: Dataset[Event],
+                       gapMinutes: Long = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000 * 1000
+
+    def emit(userId: Long, s: SessionState): SessionOut =
+      SessionOut(userId, s.sessionId,
+        new java.sql.Timestamp(s.startUs / 1000), new java.sql.Timestamp(s.lastUs / 1000),
+        s.n, s.total)
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (userId, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(emit(userId, _)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val us = e.ts.getTime * 1000
+              cur match {
+                case Some(s) if us - s.lastUs <= gapUs =>
+                  cur = Some(s.copy(lastUs = us, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed += emit(userId, s)
+                  cur = Some(SessionState(s.sessionId + 1, us, us, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(1, us, us, 1, e.value))
+              }
+            }
+            cur.foreach { s => state.update(s); state.setTimeoutDuration(gapMinutes * 60 * 1000) }
+            closed.result().iterator
+          }
+      }
+  }
+}
