@@ -73,13 +73,20 @@ object Streams {
                         n_events: Long, total_value: Double)
 
   /** Stateful gap sessionization (30-min inactivity) via
-    * flatMapGroupsWithState — emits a session row when the gap closes it;
-    * processing-time timeout flushes the last open session per user.
+    * flatMapGroupsWithState — emits a session row when the gap closes it.
+    * With `flushTimeout = true`, a processing-time timeout flushes the
+    * last open session per idle user (note: timeout wake-ups make the
+    * engine run continuous empty micro-batches, so leave it off when a
+    * downstream caller relies on `processAllAvailable`).
     * Streaming twin of EventQueries.sessionize. */
   def sessionizeStream(events: Dataset[Event],
-                       gapMinutes: Long = 30): Dataset[SessionOut] = {
+                       gapMinutes: Long = 30,
+                       flushTimeout: Boolean = false): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes * 60L * 1000 * 1000
+    val timeoutConf =
+      if (flushTimeout) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
 
     def emit(userId: Long, s: SessionState): SessionOut =
       SessionOut(userId, s.sessionId,
@@ -88,7 +95,7 @@ object Streams {
 
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (userId, it, state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val out = state.getOption.map(emit(userId, _)).toSeq
@@ -110,7 +117,10 @@ object Streams {
                   cur = Some(SessionState(1, us, us, 1, e.value))
               }
             }
-            cur.foreach { s => state.update(s); state.setTimeoutDuration(gapMinutes * 60 * 1000) }
+            cur.foreach { s =>
+              state.update(s)
+              if (flushTimeout) state.setTimeoutDuration(gapMinutes * 60 * 1000)
+            }
             closed.result().iterator
           }
       }

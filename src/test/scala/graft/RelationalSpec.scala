@@ -1,0 +1,66 @@
+package graft
+
+import graft.ops.Relational
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("dedupKeepLast keeps the row that sorts last on the order columns") {
+    val df = Seq((1, "a", 10), (1, "b", 20), (2, "c", 5)).toDF("k", "v", "ord")
+    val out = Relational.dedupKeepLast(Seq("k"), Seq(col("ord")))(df)
+      .select("k", "v").as[(Int, String)].collect().toSet
+    assert(out == Set((1, "b"), (2, "c")))
+  }
+
+  test("dedupKeepFirst keeps the row that sorts first") {
+    val df = Seq((1, "a", 10), (1, "b", 20)).toDF("k", "v", "ord")
+    val out = Relational.dedupKeepFirst(Seq("k"), Seq(col("ord")))(df)
+      .select("v").as[String].collect().toSeq
+    assert(out == Seq("a"))
+  }
+
+  test("duplicateKeys reports multiplicity > 1 only") {
+    val df = Seq(1, 1, 1, 2, 3, 3).toDF("k")
+    val out = Relational.duplicateKeys(Seq("k"))(df)
+      .as[(Int, Long)].collect().toSet
+    assert(out == Set((1, 3L), (3, 2L)))
+  }
+
+  test("antiJoinNewKeys returns batch rows whose key is absent") {
+    val batch = Seq((1, "n1"), (2, "n2"), (3, "n3")).toDF("k", "v")
+    val existing = Seq(2).toDF("k")
+    val out = Relational.antiJoinNewKeys(existing, Seq("k"))(batch)
+      .select("k").as[Int].collect().toSet
+    assert(out == Set(1, 3))
+  }
+
+  test("coalescedFullOuterMerge coalesces keys and zero-fills measures") {
+    val l = Seq((1, 10.0)).toDF("k", "qty")
+    val r = Seq((2, 99.0)).toDF("k", "amt")
+    val out = Relational.coalescedFullOuterMerge(Seq("k"), Seq("qty", "amt"))(l, r)
+      .select("k", "qty", "amt").as[(Int, Double, Double)].collect().toSet
+    assert(out == Set((1, 10.0, 0.0), (2, 0.0, 99.0)))
+  }
+
+  test("upsertMerge: staging overrides, target survives, new keys insert; idempotent") {
+    val target = Seq((1, "old"), (2, "keep")).toDF("k", "v")
+    val staging = Seq((1, "new"), (3, "ins")).toDF("k", "v")
+    val once = Relational.upsertMerge(Seq("k"))(target, staging)
+    assert(once.as[(Int, String)].collect().toSet ==
+      Set((1, "new"), (2, "keep"), (3, "ins")))
+    val twice = Relational.upsertMerge(Seq("k"))(once, staging)
+    assert(twice.as[(Int, String)].collect().toSet ==
+      once.as[(Int, String)].collect().toSet)
+  }
+
+  test("regionRollup stamps labels via broadcast membership and aggregates once") {
+    val data = Seq((10, "a", 1.0), (11, "a", 2.0), (20, "b", 4.0), (99, "x", 8.0))
+      .toDF("site", "article", "qty")
+    val membership = Seq((10, "R1"), (11, "R1"), (20, "R2")).toDF("site", "region")
+    val out = Relational.regionRollup(membership, "site", "article",
+      Seq(sum("qty").as("qty")))(data)
+      .as[(String, String, Double)].collect().toSet
+    assert(out == Set(("R1", "a", 3.0), ("R2", "b", 4.0))) // site 99 drops out
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.clean.Clean
+import graft.io.{SapTextReader, UpsertWriter}
+import graft.pipelines.Zmb51Pipeline
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class SapTextReaderSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** A faithful SAP "Text with Tabs" export: title row, blank row, header
+    * with blank first column, data with SAP-formatted numbers, and a
+    * trailing grand-total row with a null key. */
+  private def writeFixture(): String = {
+    val dir = Files.createTempDirectory("saptxt").toFile
+    val f = new java.io.File(dir, "ZMB51_0001.txt")
+    val content = Seq(
+      "Material Document List",
+      "",
+      "\tSite\tArticle\tQuantity i\tAmount LC\tPstng Date\tBUn",
+      "\t1000\t000123\t5.000\t1,234.50-\t03/15/1996\tEA",
+      "\t1000\t000123\t2.000\t200.00\t03/15/1996\tEA",
+      "\t1001\t000777\t1.000-\t50.25\t03/16/1996\tCS",
+      "\t\t\t8.000\t1,084.25\t\t" // grand-total row: null keys
+    ).mkString("\n")
+    Files.write(f.toPath, content.getBytes("UTF-8"))
+    dir.getAbsolutePath
+  }
+
+  test("reads header, drops junk prefix and blank first column") {
+    val df = SapTextReader.read(spark, writeFixture() + "/ZMB51_*.txt")
+    assert(df.columns.toSeq ==
+      Seq("Site", "Article", "Quantity i", "Amount LC", "Pstng Date", "BUn"))
+    assert(df.count() == 4) // 3 data rows + totals row; no junk/header rows
+    val totalsDropped = SapTextReader.dropTotalsRows(df, "Article")
+    assert(totalsDropped.count() == 3)
+  }
+
+  test("full Zmb51 pipeline: scan -> clean -> aggregate -> upsert, replay-idempotent") {
+    val in = writeFixture() + "/ZMB51_*.txt"
+    val target = Files.createTempDirectory("upsert").toFile.getAbsolutePath + "/zmb51"
+
+    Zmb51Pipeline.run(spark, in, target)
+    val r1 = spark.read.parquet(target)
+      .select(col("Article"), col("Site"), col("Quantity").cast("double"),
+        col("Cost").cast("double"), col("BUn"))
+      .as[(String, String, Double, Double, String)].collect().toSet
+    // 000123@1000: qty -(5+2)=-7, cost -(-1234.50+200)=1034.50 (trailing minus)
+    assert(r1 == Set(
+      ("000123", "1000", -7.0, 1034.5, "EA"),
+      ("000777", "1001", 1.0, -50.25, "CS")))
+
+    Zmb51Pipeline.run(spark, in, target) // replay: MERGE semantics, same state
+    val r2 = spark.read.parquet(target)
+      .select(col("Article"), col("Site"), col("Quantity").cast("double"),
+        col("Cost").cast("double"), col("BUn"))
+      .as[(String, String, Double, Double, String)].collect().toSet
+    assert(r2 == r1)
+  }
+
+  test("upsert writer overrides matched keys and keeps unmatched rows") {
+    val target = Files.createTempDirectory("upsert2").toFile.getAbsolutePath + "/t"
+    UpsertWriter.upsert(spark, Seq((1, "a"), (2, "b")).toDF("k", "v"), target, Seq("k"))
+    UpsertWriter.upsert(spark, Seq((2, "B"), (3, "c")).toDF("k", "v"), target, Seq("k"))
+    val out = spark.read.parquet(target).as[(Int, String)].collect().toSet
+    assert(out == Set((1, "a"), (2, "B"), (3, "c")))
+  }
+
+  test("fileNameColumn extracts regex groups from the source path") {
+    val df = SapTextReader.read(spark, writeFixture() + "/ZMB51_*.txt", withFileName = true)
+      .withColumn("shard", SapTextReader.fileNameColumn("ZMB51_(\\d+)\\.txt", 1))
+    assert(df.select("shard").distinct().as[String].collect().toSeq == Seq("0001"))
+  }
+}

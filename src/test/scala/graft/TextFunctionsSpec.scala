@@ -1,0 +1,70 @@
+package graft
+
+import graft.functions.TextFunctions._
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): Any =
+    Seq(1).toDF("x").select(c).head.get(0)
+
+  test("tokens lowercases and strips non-alnum") {
+    assert(one(tokens(lit("Hello, big WORLD 42!"))) ==
+      Seq("hello", "big", "world", "42"))
+    assert(one(tokens(lit("!!!"))) == Seq())
+  }
+
+  test("shingles produce overlapping n-grams; short input yields empty") {
+    assert(one(shingles(lit(Array("a", "b", "c", "d")), 3)) == Seq("a b c", "b c d"))
+    assert(one(shingles(lit(Array("a", "b")), 3)) == Seq())
+  }
+
+  test("hash32 is a positive 32-bit value and matches the md5-prefix spec") {
+    // first 8 hex chars of md5("hello world") = 5eb63bbb -> 1589001147
+    assert(one(hash32(lit("hello world"))) == 1589001147L)
+    val h = one(hash32(lit("anything"))).asInstanceOf[Long]
+    assert(h >= 0L && h < (1L << 32))
+  }
+
+  test("minhash signature has k components, all below the prime modulus") {
+    val sig = one(minhashSignature(transform(tokens(lit("a b c d e f")), hash32 _), 16))
+      .asInstanceOf[scala.collection.Seq[Long]]
+    assert(sig.length == 16)
+    assert(sig.forall(c => c >= 0 && c < MinhashP))
+  }
+
+  test("identical texts share signatures; disjoint texts differ") {
+    val df = Seq(("x y z w", "x y z w", "q r s t")).toDF("a", "b", "c")
+    def sig(name: String) =
+      minhashSignature(transform(shingles(tokens(col(name)), 2), hash32 _), 8)
+    val r = df.select(sig("a").as("sa"), sig("b").as("sb"), sig("c").as("sc")).head
+    assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    assert(r.getSeq[Long](0) != r.getSeq[Long](2))
+  }
+
+  test("simhash of a single token equals that token's hash; empty is 0") {
+    val h = one(hash32(lit("tok"))).asInstanceOf[Long]
+    assert(one(simhash32(array(hash32(lit("tok"))))) == h)
+    assert(one(simhash32(array().cast("array<bigint>"))) == 0L)
+  }
+
+  test("rollingFingerprint is order-sensitive") {
+    val ab = one(rollingFingerprint(transform(tokens(lit("a b")), hash32 _)))
+    val ba = one(rollingFingerprint(transform(tokens(lit("b a")), hash32 _)))
+    assert(ab != ba)
+  }
+
+  test("cosine of a vector with itself is 1.0") {
+    val v = typedLit(Array(0.5f, -1.5f, 2.0f))
+    val c = one(cosine(dotD(v, v), normSqD(v), normSqD(v))).asInstanceOf[Double]
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("jaccard and estJaccard agree on identical and disjoint sets") {
+    assert(one(Dedup.jaccard(typedLit(Array("a", "b")), typedLit(Array("a", "b")))) == 1.0)
+    assert(one(Dedup.jaccard(typedLit(Array("a")), typedLit(Array("b")))) == 0.0)
+    assert(one(Dedup.estJaccard(typedLit(Array(1L, 2L)), typedLit(Array(1L, 3L)), 2)) == 0.5)
+  }
+}
