@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftx.Bridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the dedup/similarity hot path
+  * (SURVEY.md §7.4's "optional codegen Expression" case, promoted to
+  * required once BENCH showed the interpreted higher-order-function trees
+  * dominating: self-joins evaluate the join-key expression on every
+  * branch, so minhash/simhash cost 20x more than the same arithmetic in
+  * a generated tight loop).
+  *
+  * Each expression delegates to a [[Kernels]] method from both the
+  * interpreted path (nullSafeEval) and generated code (doGenCode), so
+  * whole-stage codegen spans stay unbroken and both paths are literally
+  * the same kernel. Semantics are bit-identical to the HOF compositions
+  * (KernelSpec asserts it) and therefore to the DuckDB oracles.
+  */
+object GraftExpressions {
+
+  case class Md5Prefix32(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.md5Prefix32(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.md5Prefix32($c)")
+    override protected def withNewChildInternal(newChild: Expression): Md5Prefix32 =
+      copy(child = newChild)
+  }
+
+  case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.shingles(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.shingles($c, $n)")
+    override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
+      copy(child = newChild)
+  }
+
+  case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.shingleHashes(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.shingleHashes($c, $n)")
+    override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+      copy(child = newChild)
+  }
+
+  case class MinhashSigExpr(child: Expression, k: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = true)
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.minhashSig(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.minhashSig($c, $k)")
+    override protected def withNewChildInternal(newChild: Expression): MinhashSigExpr =
+      copy(child = newChild)
+  }
+
+  case class Simhash32Expr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.simhash32(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.simhash32($c)")
+    override protected def withNewChildInternal(newChild: Expression): Simhash32Expr =
+      copy(child = newChild)
+  }
+
+  // Column-level wrappers -----------------------------------------------
+
+  private def expr(c: Column): Expression = Bridge.expression(c)
+
+  def md5Prefix32(c: Column): Column = Bridge.column(Md5Prefix32(expr(c)))
+  def shingles(tokens: Column, n: Int): Column = Bridge.column(ShinglesExpr(expr(tokens), n))
+  def shingleHashes(tokens: Column, n: Int): Column = Bridge.column(ShingleHashesExpr(expr(tokens), n))
+  def minhashSig(hashes: Column, k: Int): Column = Bridge.column(MinhashSigExpr(expr(hashes), k))
+  def simhash32(hashes: Column): Column = Bridge.column(Simhash32Expr(expr(hashes)))
+}

@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+import java.security.MessageDigest
+
+/** Tight-loop kernels behind the custom Catalyst expressions in
+  * [[GraftExpressions]]. Each mirrors — bit for bit — a composition of
+  * built-in higher-order functions (kept in [[TextFunctions]] and tested
+  * for equivalence in KernelSpec), but runs as one pass of primitive
+  * arithmetic instead of interpreted per-element lambdas: the
+  * minhash/simhash hot path dropped ~20x when these replaced the HOF
+  * trees (see BENCH notes).
+  *
+  * Called from generated code (via the static forwarders Scala emits for
+  * object methods), so signatures use Spark's runtime types
+  * (UTF8String/ArrayData) directly.
+  */
+object Kernels {
+
+  /** Prime modulus for the minhash LCG family (smallest prime > 2^32);
+    * must equal TextFunctions.MinhashP and the oracle SQL literal. */
+  final val P: Long = 4294967311L
+
+  private val mdLocal: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /** First 4 md5 bytes as an unsigned 32-bit value — identical to
+    * conv(substring(md5(s),1,8),16,10) without the hex round-trip. */
+  def md5Prefix32(s: UTF8String): Long = {
+    val d = mdLocal.get()
+    d.reset()
+    val b = d.digest(s.getBytes)
+    ((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) | ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
+  }
+
+  private val space = UTF8String.fromString(" ")
+
+  /** Word n-gram shingles (space-joined) from a token array. */
+  def shingles(tokens: ArrayData, n: Int): ArrayData = {
+    val m = tokens.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m - n + 1)
+    var i = 0
+    while (i <= m - n) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = tokens.getUTF8String(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** md5Prefix32 over each n-gram shingle, skipping the string-array
+    * materialization when only hashes are needed. */
+  def shingleHashes(tokens: ArrayData, n: Int): ArrayData = {
+    val sh = shingles(tokens, n)
+    val m = sh.numElements()
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) { out(i) = md5Prefix32(sh.getUTF8String(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** LCG coefficients for minhash function j — must match
+    * TextFunctions.minhashA/B and the oracle SQL formulas. */
+  def minhashA(j: Int): Long = (1103515245L * (j + 1) + 12345L) % 1073741789L + 1L
+  def minhashB(j: Int): Long = (214013L * (j + 1) + 2531011L) % 1073741789L
+
+  /** k-component minhash signature in one pass over the hash array.
+    * Empty input -> k nulls (array_min-over-empty semantics). */
+  def minhashSig(hashes: ArrayData, k: Int): ArrayData = {
+    val m = hashes.numElements()
+    if (m == 0) return new GenericArrayData(Array.fill[Any](k)(null))
+    val as = new Array[Long](k); val bs = new Array[Long](k)
+    var j = 0
+    while (j < k) { as(j) = minhashA(j); bs(j) = minhashB(j); j += 1 }
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      val h = hashes.getLong(i)
+      j = 0
+      while (j < k) {
+        val v = (h * as(j) + bs(j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    val boxed = new Array[Any](k)
+    j = 0
+    while (j < k) { boxed(j) = mins(j); j += 1 }
+    new GenericArrayData(boxed)
+  }
+
+  /** 32-bit simhash over token hashes in one pass; empty -> 0. */
+  def simhash32(hashes: ArrayData): Long = {
+    val m = hashes.numElements()
+    if (m == 0) return 0L
+    val votes = new Array[Int](32)
+    var i = 0
+    while (i < m) {
+      val h = hashes.getLong(i)
+      var b = 0
+      while (b < 32) {
+        votes(b) += (((h >> b) & 1L).toInt << 1) - 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 32) { if (votes(b) >= 0) out |= 1L << b; b += 1 }
+    out
+  }
+}

@@ -37,10 +37,11 @@ object Dedup {
   /** doc -> (shingle array, distinct shingle set, shingle hash array).
     * Pure projection; `n`-token shingles over lowercase alnum tokens. */
   def shingled(textCol: Column, n: Int): Seq[Column] = {
-    val s = shingles(tokens(textCol), n)
+    val tk = tokens(textCol)
+    val s = shingles(tk, n)
     Seq(s.as("shingles"),
         array_distinct(s).as("shingle_set"),
-        transform(s, hash32 _).as("shingle_hashes"))
+        shingleHashes(tk, n).as("shingle_hashes"))
   }
 
   /** MinHash signature column over shingle hashes (k components). */

@@ -1,0 +1,57 @@
+package graft
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** The native kernel expressions must be bit-identical to the built-in
+  * higher-order-function compositions they replaced (which in turn match
+  * the DuckDB oracles). Checked over the real sf0.001 documents corpus
+  * plus synthetic edge cases (empty text, short text, punctuation-only).
+  */
+class KernelSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def corpus = {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val edges = Seq((9001L, ""), (9002L, "one"), (9003L, "two words"),
+      (9004L, "!!! ??? ..."), (9005L, "a b c d e f g"))
+      .toDF("doc_id", "text")
+    docs.unionByName(edges)
+  }
+
+  test("shingles kernel == composed") {
+    val t = tokens(col("text"))
+    val bad = corpus.filter(!(shingles(t, 3) <=> shinglesComposed(t, 3)))
+    assert(bad.count() == 0)
+  }
+
+  test("hash32 kernel == composed") {
+    val t = tokens(col("text"))
+    val bad = corpus.filter(
+      !(transform(t, hash32 _) <=> transform(t, hash32Composed _)))
+    assert(bad.count() == 0)
+  }
+
+  test("shingleHashes kernel == transform(shingles, hash32composed)") {
+    val t = tokens(col("text"))
+    val bad = corpus.filter(
+      !(shingleHashes(t, 3) <=> transform(shinglesComposed(t, 3), hash32Composed _)))
+    assert(bad.count() == 0)
+  }
+
+  test("minhash signature kernel == composed (including empty -> nulls)") {
+    val t = tokens(col("text"))
+    val h = shingleHashes(t, 3)
+    val bad = corpus.filter(
+      !(minhashSignature(h, 16) <=> minhashSignatureComposed(h, 16)))
+    assert(bad.count() == 0)
+  }
+
+  test("simhash kernel == composed (including empty -> 0)") {
+    val t = tokens(col("text"))
+    val h = transform(t, hash32 _)
+    val bad = corpus.filter(!(simhash32(h) <=> simhash32Composed(h)))
+    assert(bad.count() == 0)
+  }
+}
