@@ -1,5 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR and
+  * prints one JSON line. A warmup pass over the sibling sf0.001 dir (when
+  * present) runs each query shape once first, so timings measure
+  * steady-state throughput rather than JVM/classloader/codegen warmup —
+  * the comparison the baseline contract asks for.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,6 +17,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    val warmupDir = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+    if (warmupDir.isDirectory) {
+      val wd = warmupDir.getAbsolutePath
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, wd).count() catch { case _: Throwable => () }
+      }
+    }
+
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
