@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EventQueries, LlmQueries, MediaQueries, RefQueries, RelationalQueries}
+import graft.queries.{CoverageQueries, EventQueries, LlmQueries, MediaQueries, RefQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,11 +20,11 @@ object SparkEntry {
     "weekly_sales" -> (RefQueries.weeklySales _),
     "movement_agg" -> (RefQueries.movementAgg _),
   ) ++ RelationalQueries.queries ++ LlmQueries.queries ++
-    EventQueries.queries ++ MediaQueries.queries
+    EventQueries.queries ++ MediaQueries.queries ++ CoverageQueries.queries
 
   def oracleSql: Map[String, String] = Map(
     "weekly_sales" -> RefQueries.weeklySalesOracle,
     "movement_agg" -> RefQueries.movementAggOracle,
   ) ++ RelationalQueries.oracles ++ LlmQueries.oracles ++
-    EventQueries.oracles ++ MediaQueries.oracles
+    EventQueries.oracles ++ MediaQueries.oracles ++ CoverageQueries.oracles
 }

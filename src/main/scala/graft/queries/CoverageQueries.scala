@@ -1,0 +1,169 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.ops.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Remaining SURVEY §2 inventory + OLAP breadth: the disabled J7
+  * update-join, P12 range-with-exclusion extraction predicates, rollup
+  * aggregation, corpus term frequency (heavy-hitter shape), and
+  * threshold-based embedding near-dup pairs.
+  */
+object CoverageQueries {
+
+  private val D = DecimalType(18, 6)
+  private def dsum(c: org.apache.spark.sql.Column) = sum(c.cast(D)).cast(DoubleType)
+
+  // -------------------------------------------------------------------
+  // J7 update-join enrichment (pipelines/etl_weekly_sales.py:98-106,
+  // commented UPDATE..FROM..JOIN): left-join the master and COALESCE the
+  // enriched column, keeping rows without a match.
+  // -------------------------------------------------------------------
+  def updateJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey").as("article"))
+      .agg(dsum(col("l_quantity")).as("qty"))
+    val master = Tables.part(spark, sfDir)
+      .filter(col("p_partkey") % 3 === 0) // sparse master: some articles unmatched
+      .select(col("p_partkey").as("article"), col("p_brand"))
+    agg.join(broadcast(master), Seq("article"), "left")
+      .withColumn("brand", coalesce(col("p_brand"), lit("UNKNOWN")))
+      .drop("p_brand")
+  }
+
+  val updateJoinOracle: String =
+    """SELECT l.article, l.qty, COALESCE(p.p_brand, 'UNKNOWN') AS brand
+      |FROM (SELECT l_partkey AS article,
+      |             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+      |      FROM lineitem GROUP BY 1) l
+      |LEFT JOIN (SELECT p_partkey, p_brand FROM part WHERE p_partkey % 3 = 0) p
+      |  ON l.article = p.p_partkey
+      |""".stripMargin
+
+  // -------------------------------------------------------------------
+  // P12 extraction-range predicates: include-range minus exclusion
+  // interval on sites, movement-type set, posting-date window
+  // (sap_scripts/downloader_zmb51.py:20-61) — the selection-screen
+  // semantics as pushdown-able filters.
+  // -------------------------------------------------------------------
+  def rangeExclusion(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_suppkey").between(0, 79) && !col("l_suppkey").between(40, 59))
+      .filter(col("l_returnflag").isin("A", "R"))
+      .filter(to_date(col("l_shipdate")).between(
+        to_date(lit("1995-01-01")), to_date(lit("1996-12-31"))))
+      .groupBy(col("l_suppkey").as("site"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+
+  val rangeExclusionOracle: String =
+    """SELECT l_suppkey AS site, COUNT(*) AS n,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+      |FROM lineitem
+      |WHERE l_suppkey BETWEEN 0 AND 79
+      |  AND NOT (l_suppkey BETWEEN 40 AND 59)
+      |  AND l_returnflag IN ('A', 'R')
+      |  AND CAST(l_shipdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+      |GROUP BY 1
+      |""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Rollup aggregation (OLAP breadth beyond the reference): brand x month
+  // with subtotal and grand-total rows.
+  // -------------------------------------------------------------------
+  def salesRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val part = Tables.part(spark, sfDir)
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .withColumn("month", date_trunc("month", col("l_shipdate")).cast(DateType))
+      .filter(col("month").between(to_date(lit("1996-01-01")), to_date(lit("1996-06-30"))))
+      .rollup(col("p_brand").as("brand"), col("month"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+  }
+
+  val salesRollupOracle: String =
+    """SELECT p_brand AS brand, CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE CAST(date_trunc('month', l_shipdate) AS DATE)
+      |      BETWEEN DATE '1996-01-01' AND DATE '1996-06-30'
+      |GROUP BY ROLLUP(1, 2)
+      |""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Corpus term frequency: explode -> two-level aggregate -> global
+  // top-100 (TakeOrdered, not a full sort). The token-budget /
+  // vocabulary primitive of a training-data pipeline.
+  // -------------------------------------------------------------------
+  def termFrequency(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(100)
+
+  val termFrequencyOracle: String =
+    """SELECT t AS token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+      |FROM (SELECT doc_id,
+      |             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                                x -> x <> '')) AS t
+      |      FROM documents)
+      |GROUP BY 1 ORDER BY tf DESC, token LIMIT 100
+      |""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Embedding near-dup pairs: sign-LSH blocked (6 bits), cosine >= 0.3.
+  // -------------------------------------------------------------------
+  def embeddingNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val b = emb.select(col("vec_id"), col("embedding"),
+      Similarity.signBucket(col("embedding"), 6).as("bucket"))
+    val a = b.select(col("vec_id").as("d1"), col("embedding").as("e1"), col("bucket"))
+    val c = b.select(col("vec_id").as("d2"), col("embedding").as("e2"), col("bucket"))
+    a.join(c, Seq("bucket")).filter(col("d1") < col("d2"))
+      .withColumn("cos", Similarity.cosineSim(col("e1"), col("e2")))
+      .filter(col("cos") >= 0.3)
+      .select("d1", "d2", "cos")
+  }
+
+  val embeddingNeardupOracle: String =
+    """WITH b AS (
+      |  SELECT vec_id, embedding,
+      |         list_sum(list_transform(range(0,6),
+      |           i -> CASE WHEN embedding[i+1] > 0 THEN (1 << i) ELSE 0 END)) AS bucket
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT q.vec_id AS d1, c.vec_id AS d2,
+      |         list_reduce(list_transform(range(0,64),
+      |           i -> CAST(q.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE)),
+      |           (acc, x) -> acc + x)
+      |         / (sqrt(list_reduce(list_transform(range(0,64),
+      |              i -> CAST(q.embedding[i+1] AS DOUBLE) * CAST(q.embedding[i+1] AS DOUBLE)),
+      |              (acc, x) -> acc + x))
+      |          * sqrt(list_reduce(list_transform(range(0,64),
+      |              i -> CAST(c.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE)),
+      |              (acc, x) -> acc + x))) AS cos
+      |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id)
+      |SELECT d1, d2, cos FROM pairs WHERE cos >= 0.3
+      |""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "update_join" -> (updateJoin _),
+    "range_exclusion" -> (rangeExclusion _),
+    "sales_rollup" -> (salesRollup _),
+    "term_frequency" -> (termFrequency _),
+    "embedding_neardup" -> (embeddingNeardup _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "update_join" -> updateJoinOracle,
+    "range_exclusion" -> rangeExclusionOracle,
+    "sales_rollup" -> salesRollupOracle,
+    "term_frequency" -> termFrequencyOracle,
+    "embedding_neardup" -> embeddingNeardupOracle,
+  )
+}
