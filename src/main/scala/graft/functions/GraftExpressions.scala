@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftx.Bridge
 import org.apache.spark.sql.types._
@@ -71,6 +71,17 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  case class DotDExpr(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.dotD(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.dotD($a, $b)")
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotDExpr =
+      copy(left = newLeft, right = newRight)
+  }
+
   // Column-level wrappers -----------------------------------------------
 
   private def expr(c: Column): Expression = Bridge.expression(c)
@@ -80,4 +91,5 @@ object GraftExpressions {
   def shingleHashes(tokens: Column, n: Int): Column = Bridge.column(ShingleHashesExpr(expr(tokens), n))
   def minhashSig(hashes: Column, k: Int): Column = Bridge.column(MinhashSigExpr(expr(hashes), k))
   def simhash32(hashes: Column): Column = Bridge.column(Simhash32Expr(expr(hashes)))
+  def dotD(a: Column, b: Column): Column = Bridge.column(DotDExpr(expr(a), expr(b)))
 }

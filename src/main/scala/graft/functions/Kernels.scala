@@ -114,4 +114,19 @@ object Kernels {
     while (b < 32) { if (votes(b) >= 0) out |= 1L << b; b += 1 }
     out
   }
+
+  /** Sequential left-fold dot product of two float vectors in double
+    * precision — identical accumulation order to the
+    * aggregate(zip_with(...)) composition and DuckDB's list_reduce, so
+    * results stay bit-reproducible. */
+  def dotD(a: ArrayData, b: ArrayData): Double = {
+    val m = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < m) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
 }

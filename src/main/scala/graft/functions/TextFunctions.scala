@@ -93,7 +93,9 @@ object TextFunctions {
   /** Sequential-fold dot product of two equal-length float vectors in
     * double precision (cast BEFORE multiply; left-to-right accumulation —
     * bit-reproducible across engines, unlike SIMD/tree reductions). */
-  def dotD(a: Column, b: Column): Column =
+  def dotD(a: Column, b: Column): Column = GraftExpressions.dotD(a, b)
+
+  def dotDComposed(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, x) => acc + x)

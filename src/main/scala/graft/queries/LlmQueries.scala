@@ -379,8 +379,55 @@ object LlmQueries {
        |FROM hs
        |""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Document chunking: 50-token windows at stride 40 (10-token overlap)
+  // — the training-example segmentation primitive. Pure per-row
+  // generator (posexplode), no shuffle.
+  // -------------------------------------------------------------------
+  def docChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val nChunks = ((size(t) + 39) / 40).cast(IntegerType) // ceil(n/40), positive -> truncation = floor
+    Tables.documents(spark, sfDir)
+      .filter(size(t) > 0)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(t, i * 40 + 1, lit(50)), " "))))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        size(split(col("col"), " ")).as("chunk_tokens"),
+        md5(col("col")).as("chunk_hash"))
+  }
+
+  val docChunksOracle: String =
+    s"""WITH toks AS ($tokSql),
+       |ch AS (
+       |  SELECT doc_id, unnest(range(0, (len(t)+39)//40)) AS chunk_idx, t
+       |  FROM toks WHERE len(t) > 0)
+       |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       |       CAST(len(list_slice(t, chunk_idx*40+1, chunk_idx*40+50)) AS INTEGER) AS chunk_tokens,
+       |       md5(array_to_string(list_slice(t, chunk_idx*40+1, chunk_idx*40+50), ' ')) AS chunk_hash
+       |FROM ch
+       |""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Deterministic stratified sampling: ~20% per source stratum via the
+  // md5-derived hash of (source, doc_id) — reproducible across engines,
+  // runs, and cluster sizes (no RNG state), the property a training-data
+  // sample must have.
+  // -------------------------------------------------------------------
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(hash32(concat(col("source"), lit(":"), col("doc_id").cast(StringType))) % 100 < 20)
+      .select("doc_id", "source", "lang")
+
+  val stratifiedSampleOracle: String =
+    """SELECT doc_id, source, lang FROM documents
+      |WHERE CAST(('0x' || substring(md5(source || ':' || CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 100 < 20
+      |""".stripMargin
+
   /** Registration for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_chunks" -> (docChunks _),
+    "stratified_sample" -> (stratifiedSample _),
     "exact_dedup" -> (exactDedup _),
     "minhash_lsh_pairs" -> (minhashLshPairs _),
     "simhash_docs" -> (simhashDocs _),
@@ -395,6 +442,8 @@ object LlmQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "doc_chunks" -> docChunksOracle,
+    "stratified_sample" -> stratifiedSampleOracle,
     "exact_dedup" -> exactDedupOracle,
     "minhash_lsh_pairs" -> minhashLshPairsOracle,
     "simhash_docs" -> simhashDocsOracle,

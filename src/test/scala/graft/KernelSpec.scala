@@ -54,4 +54,14 @@ class KernelSpec extends SparkSpecBase {
     val bad = corpus.filter(!(simhash32(h) <=> simhash32Composed(h)))
     assert(bad.count() == 0)
   }
+
+  test("dot-product kernel == composed fold over real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = emb.select(col("vec_id").as("i"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("j"), col("embedding").as("eb"))
+    val pairs = a.join(b, col("i") % 7 === col("j") % 7)
+    val bad = pairs.filter(
+      !(dotD(col("ea"), col("eb")) <=> dotDComposed(col("ea"), col("eb"))))
+    assert(bad.count() == 0)
+  }
 }
