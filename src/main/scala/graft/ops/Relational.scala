@@ -93,4 +93,37 @@ object Relational {
     * (pipelines/etl_StoreRP.py:137-149). */
   def latestSnapshot(keys: Seq[String], order: Seq[Column])(df: DataFrame): DataFrame =
     dedupKeepLast(keys, order)(df)
+
+  /** Skew-salted aggregation: when a grouping key is pathologically hot
+    * (one key >> executor memory), aggregate in two stages — first on
+    * (key, salt) with salt = hash(whole row) % factor, then on key.
+    * Works for decomposable aggregates (sum/count/min/max); both stages
+    * are partial+final hash aggs, so the extra shuffle only carries
+    * `factor` rows per hot key. AQE's skew handling covers joins; this
+    * covers the aggregation side it doesn't. */
+  def saltedSum(keys: Seq[String], sums: Seq[(String, String)], factor: Int)(
+      df: DataFrame): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(factor)))
+    val stage1 = salted.groupBy((keys :+ "__salt").map(col): _*)
+      .agg(sums.map { case (c, a) => sum(col(c)).as(a) }.head,
+        sums.tail.map { case (c, a) => sum(col(c)).as(a) }: _*)
+    stage1.groupBy(keys.map(col): _*)
+      .agg(sums.map { case (_, a) => sum(col(a)).as(a) }.head,
+        sums.tail.map { case (_, a) => sum(col(a)).as(a) }: _*)
+  }
+
+  /** Skew-salted broadcast-free join: replicate the (small) right side
+    * `factor` times and salt the left side, so one hot left key spreads
+    * over `factor` reducers. For when the right side is too big to
+    * broadcast but small enough to replicate sparsely, and AQE's runtime
+    * skew split is unavailable (e.g. disabled or non-AQE deployments). */
+  def saltedJoin(right: DataFrame, keys: Seq[String], factor: Int)(
+      left: DataFrame): DataFrame = {
+    val saltedLeft = left.withColumn("__salt",
+      pmod(hash(left.columns.map(col).toIndexedSeq: _*), lit(factor)))
+    val replicatedRight = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(factor - 1))))
+    saltedLeft.join(replicatedRight, keys :+ "__salt").drop("__salt")
+  }
 }

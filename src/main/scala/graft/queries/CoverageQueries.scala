@@ -151,7 +151,77 @@ object CoverageQueries {
       |SELECT d1, d2, cos FROM pairs WHERE cos >= 0.3
       |""".stripMargin
 
+  // -------------------------------------------------------------------
+  // IVF-style ANN: coarse quantize to the nearest cluster representative
+  // (deterministic medoid stand-in: the min-vec_id member per label),
+  // then exact top-3 within the assigned cluster only. Two broadcast
+  // joins + windowed top-k — the inverted-file pruning shape: each query
+  // scans corpus/|clusters| instead of the full corpus.
+  // -------------------------------------------------------------------
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions.{cosine, dotD, normSqD}
+    import graft.ops.Relational
+    import org.apache.spark.sql.expressions.Window
+
+    val emb = Tables.embeddings(spark, sfDir)
+    val reps = Relational.dedupKeepFirst(Seq("label"), Seq(col("vec_id")))(emb)
+      .select(col("label").as("rlabel"), col("embedding").as("rvec"))
+
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("rcos").desc, col("rlabel"))
+    val assigned = emb.crossJoin(broadcast(reps))
+      .withColumn("rcos", cosine(dotD(col("embedding"), col("rvec")),
+        normSqD(col("embedding")), normSqD(col("rvec"))))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("rlabel").as("cluster"))
+
+    val q = assigned.filter(col("vec_id") < 30)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("cluster"))
+    val c = assigned
+      .select(col("vec_id").as("nid"), col("embedding").as("nvec"), col("cluster"))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    c.join(broadcast(q), Seq("cluster"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", cosine(dotD(col("qvec"), col("nvec")),
+        normSqD(col("qvec")), normSqD(col("nvec"))))
+      .withColumn("rank", row_number().over(wq)).filter(col("rank") <= 3)
+      .select("qid", "nid", "cluster", "cos", "rank")
+  }
+
+  /** Sequential-fold cosine between `$a.embedding`-style SQL fragments. */
+  private def cosSql(a: String, b: String): String = {
+    def nsq(x: String) =
+      s"""sqrt(list_reduce(list_transform(range(0,64),
+         |  i -> CAST($x[i+1] AS DOUBLE) * CAST($x[i+1] AS DOUBLE)), (acc, x) -> acc + x))""".stripMargin
+    s"""list_reduce(list_transform(range(0,64),
+       |  i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)), (acc, x) -> acc + x)
+       | / (${nsq(a)} * ${nsq(b)})""".stripMargin
+  }
+
+  val annIvfOracle: String =
+    s"""WITH reps AS (
+       |  SELECT label AS rlabel, embedding AS rvec FROM embeddings
+       |  QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id) = 1),
+       |assigned AS (
+       |  SELECT vec_id, embedding, rlabel AS cluster FROM (
+       |    SELECT e.vec_id, e.embedding, r.rlabel,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.embedding", "r.rvec")} DESC, r.rlabel) AS rn
+       |    FROM embeddings e CROSS JOIN reps r)
+       |  WHERE rn = 1),
+       |scored AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS nid, q.cluster,
+       |         ${cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM assigned q JOIN assigned c
+       |    ON q.cluster = c.cluster AND q.vec_id < 30 AND q.vec_id <> c.vec_id)
+       |SELECT qid, nid, cluster, cos, rank FROM (
+       |  SELECT qid, nid, cluster, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |  FROM scored)
+       |WHERE rank <= 3
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_ivf" -> (annIvf _),
     "update_join" -> (updateJoin _),
     "range_exclusion" -> (rangeExclusion _),
     "sales_rollup" -> (salesRollup _),
@@ -160,6 +230,7 @@ object CoverageQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "ann_ivf" -> annIvfOracle,
     "update_join" -> updateJoinOracle,
     "range_exclusion" -> rangeExclusionOracle,
     "sales_rollup" -> salesRollupOracle,
