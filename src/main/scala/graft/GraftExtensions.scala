@@ -14,8 +14,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `SparkSession.builder().withExtensions(new GraftExtensions)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.registrations.foreach(ext.injectFunction)
+}
 
-  private def info(name: String, usage: String) =
+object GraftExtensions {
+
+  private def info(name: String) =
     new ExpressionInfo("graft.functions.GraftExpressions", null, name)
 
   private def intArg(e: Expression, what: String): Int = e match {
@@ -23,29 +28,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
   }
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((FunctionIdentifier("graft_hash32"),
-      info("graft_hash32", "graft_hash32(str) - md5-prefix 32-bit hash"),
-      (args: Seq[Expression]) => Md5Prefix32(args.head)))
+  val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_hash32"), info("graft_hash32"),
+      args => Md5Prefix32(args.head)),
+    (FunctionIdentifier("graft_shingles"), info("graft_shingles"),
+      args => ShinglesExpr(args.head, intArg(args(1), "n"))),
+    (FunctionIdentifier("graft_shingle_hashes"), info("graft_shingle_hashes"),
+      args => ShingleHashesExpr(args.head, intArg(args(1), "n"))),
+    (FunctionIdentifier("graft_minhash"), info("graft_minhash"),
+      args => MinhashSigExpr(args.head, intArg(args(1), "k"))),
+    (FunctionIdentifier("graft_simhash32"), info("graft_simhash32"),
+      args => Simhash32Expr(args.head)),
+    (FunctionIdentifier("graft_dot"), info("graft_dot"),
+      args => DotDExpr(args.head, args(1))))
 
-    ext.injectFunction((FunctionIdentifier("graft_shingles"),
-      info("graft_shingles", "graft_shingles(tokens, n) - word n-gram shingles"),
-      (args: Seq[Expression]) => ShinglesExpr(args.head, intArg(args(1), "n"))))
-
-    ext.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
-      info("graft_shingle_hashes", "graft_shingle_hashes(tokens, n) - hashed n-gram shingles"),
-      (args: Seq[Expression]) => ShingleHashesExpr(args.head, intArg(args(1), "n"))))
-
-    ext.injectFunction((FunctionIdentifier("graft_minhash"),
-      info("graft_minhash", "graft_minhash(hashes, k) - k-component minhash signature"),
-      (args: Seq[Expression]) => MinhashSigExpr(args.head, intArg(args(1), "k"))))
-
-    ext.injectFunction((FunctionIdentifier("graft_simhash32"),
-      info("graft_simhash32", "graft_simhash32(hashes) - 32-bit simhash"),
-      (args: Seq[Expression]) => Simhash32Expr(args.head)))
-
-    ext.injectFunction((FunctionIdentifier("graft_dot"),
-      info("graft_dot", "graft_dot(a, b) - sequential-fold double dot product"),
-      (args: Seq[Expression]) => DotDExpr(args.head, args(1))))
-  }
+  /** Register directly on a live session (for sessions created without
+    * the extensions conf — extensions only apply at session build time). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    registrations.foreach { case (id, i, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, i, builder)
+    }
 }

@@ -8,14 +8,11 @@ class ExtensionsSpec extends SparkSpecBase {
   import spark.implicits._
 
   test("GraftExtensions registers SQL functions matching the Column API") {
-    val s3 = org.apache.spark.sql.SparkSession.builder()
-      .master("local[2]")
-      .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
-    try {
-      val row = s3.sql(
+    // getOrCreate would reuse the shared session and skip builder
+    // extensions, so register on an isolated session directly
+    val s3 = spark.newSession()
+    GraftExtensions.register(s3)
+    val row = s3.sql(
         """SELECT graft_hash32('hello world') AS h,
           |       graft_simhash32(array(graft_hash32('tok'))) AS sh,
           |       graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
@@ -23,12 +20,11 @@ class ExtensionsSpec extends SparkSpecBase {
           |       graft_minhash(array(CAST(7 AS BIGINT)), 4) AS mh,
           |       graft_shingles(array('a','b','c'), 2) AS sg
           |""".stripMargin).head
-      assert(row.getLong(0) == 1589001147L)
-      assert(row.getLong(1) == row.getLong(0) || row.getLong(1) >= 0) // simhash(single hash) == that hash
-      assert(row.getDouble(2) == 11.0)
-      assert(row.getSeq[Long](3).length == 4)
-      assert(row.getSeq[String](4) == Seq("a b", "b c"))
-    } finally () // shared SparkContext; session discarded
+    assert(row.getLong(0) == 1589001147L)
+    assert(row.getLong(1) == 1622020974L) // simhash(single hash) == hash32('tok')
+    assert(row.getDouble(2) == 11.0)
+    assert(row.getSeq[Long](3).length == 4)
+    assert(row.getSeq[String](4) == Seq("a b", "b c"))
   }
 
   test("saltedSum equals plain groupBy sum") {
