@@ -35,12 +35,14 @@ object Streams {
     * the reference's glob-scan + done-log + archive loop
     * (sap_scripts/sap_utils.py:20-31, pipelines/etl_zmb51.py:107-115):
     * the source tracks processed files (exactly-once) and archives them. */
-  def readEventFileStream(spark: SparkSession, dir: String): DataFrame =
+  def readEventFileStream(spark: SparkSession, dir: String,
+                          archiveDir: String = ""): DataFrame =
     spark.readStream
       .schema(eventSchema)
       .option("maxFilesPerTrigger", 32)
       .option("cleanSource", "archive")
-      .option("sourceArchiveDir", s"$dir/_archive")
+      // must be a sibling, not inside the source glob
+      .option("sourceArchiveDir", if (archiveDir.nonEmpty) archiveDir else s"${dir}_archive")
       .json(dir)
 
   /** Watermarked tumbling-window counts — streaming twin of

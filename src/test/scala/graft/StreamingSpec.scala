@@ -63,6 +63,37 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("file-source ingest: schema'd json drops, exactly-once, archived") {
+    val dir = java.nio.file.Files.createTempDirectory("evstream").toFile.getAbsolutePath + "/in"
+    new java.io.File(dir).mkdirs()
+    def drop(name: String, rows: String*): Unit =
+      java.nio.file.Files.write(new java.io.File(dir, name).toPath,
+        rows.mkString("\n").getBytes("UTF-8"))
+    drop("batch1.json",
+      """{"event_id":1,"ts":"2024-01-01T00:10:00.000Z","user_id":7,"event_type":"click","value":1.0,"props":"{}"}""",
+      """{"event_id":2,"ts":"2024-01-01T00:20:00.000Z","user_id":7,"event_type":"view","value":2.0,"props":"{}"}""")
+
+    val q = Streams.dedupEvents(Streams.readEventFileStream(spark, dir), "1 hour")
+      .writeStream.format("memory").queryName("file_ingest")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination(60000) finally q.stop()
+    assert(spark.table("file_ingest").count() == 2)
+
+    // replayed drop with a duplicate id + one new event -> only the new row adds
+    drop("batch2.json",
+      """{"event_id":2,"ts":"2024-01-01T00:20:00.000Z","user_id":7,"event_type":"view","value":2.0,"props":"{}"}""",
+      """{"event_id":3,"ts":"2024-01-01T00:25:00.000Z","user_id":8,"event_type":"click","value":3.0,"props":"{}"}""")
+    val q2 = Streams.dedupEvents(Streams.readEventFileStream(spark, dir), "1 hour")
+      .writeStream.format("memory").queryName("file_ingest2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q2.awaitTermination(60000) finally q2.stop()
+    // batch1.json was ARCHIVED by the first query (consumed-input move,
+    // the reference's processed/ dir), so only batch2's 2 events remain
+    assert(spark.table("file_ingest2").count() == 2)
+    val archived = new java.io.File(dir + "_archive")
+    assert(archived.exists, "consumed inputs should be moved to the archive dir")
+  }
+
   test("streaming windowed counts match the oracle-checked batch twin") {
     val sfDir = "/root/testdata/sf0.001"
     val batch = graft.queries.EventQueries.eventWindowAgg(spark, sfDir)
