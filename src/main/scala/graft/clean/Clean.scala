@@ -31,6 +31,11 @@ object Clean {
     signFixed.try_cast(dt)
   }
 
+  /** Strict variant: unparseable -> 0.0 instead of null (the ZMMIDR-dry
+    * cleaner, pipelines/etl_zmmidr_dry.py:9-18). */
+  def sapNumberZero(c: Column, dt: DataType = DecimalType(18, 6)): Column =
+    coalesce(sapNumber(c, dt), lit(0).cast(dt))
+
   /** Vectorized form: apply sapNumber to many columns at once
     * (fast_numeric over a column list, pipelines/etl_utils.py:29-34). */
   def sapNumberAll(df: DataFrame, cols: Seq[String], dt: DataType = DecimalType(18, 6)): DataFrame =

@@ -164,6 +164,52 @@ object StoreRpPipeline {
   }
 }
 
+object ZmachkPipeline {
+
+  /** pipelines/etl_zmachk.py — article master data: 31-col rename (subset
+    * here), active-status filter, dash-as-null numerics, lenient dates,
+    * new-article detection vs the existing dimension (anti-join J4),
+    * upsert on Article. */
+  val renames = Map(
+    "Material" -> "Article", "Material Description" -> "Article_Description",
+    "Matl Group" -> "MCH", "Valid From" -> "Valid_From_Date",
+    "Gross Weight" -> "Gross_Weight")
+  val upsertKeys = Seq("Article")
+
+  def transform(raw: DataFrame): DataFrame =
+    Clean.renameAll(raw, renames)
+      .filter(col("Status") === "Y") // P9 equality filter (etl_zmachk.py:32)
+      .drop("Status")
+      .withColumn("Gross_Weight", Clean.dashNull(col("Gross_Weight")))
+      .withColumn("Valid_From_Date",
+        coalesce(Clean.sapDate(col("Valid_From_Date")),
+          Clean.sapDate(col("Valid_From_Date"), "yyyy-MM-dd"))) // lenient parse
+      .na.drop(Seq("Article"))
+
+  /** New articles not yet in the dimension (etl_zmachk.py:113-117). */
+  def newArticles(batch: DataFrame, existingDim: DataFrame): DataFrame =
+    Relational.antiJoinNewKeys(
+      existingDim.select(col("Article")), Seq("Article"))(batch)
+}
+
+object ZmmidrDryPipeline {
+
+  /** pipelines/etl_zmmidr_dry.py — dry-goods DC inventory: dept filter
+    * via MCH prefix, strict zero-on-failure numeric clean, snapshot
+    * stamp; 17-col rollup shape shares ZmmidrOunPipeline.regionRollup. */
+  def transform(raw: DataFrame, snapshotDate: Column = current_date()): DataFrame =
+    raw
+      .withColumn("Dept", substring(col("MCH"), 1, 3)) // P7 substring-derived
+      .filter(col("Dept") === "106")                   // P9 (etl_zmmidr_dry.py:81)
+      .withColumn("Article", Clean.stripLeadingZeros(col("Article No")))
+      .drop("Article No")
+      .filter(col("Article").isNotNull && col("Article") =!= "")
+      .withColumn("Unrestricted-Use Stock",
+        Clean.sapNumberZero(col("Unrestricted-Use Stock"), DecimalType(14, 6)))
+      .withColumn("Snapshot Date", snapshotDate)
+      .withColumn("Article NoDC", concat(col("DC"), col("Article")))
+}
+
 object DimLoader {
 
   /** pipelines/etl_upload_excel.py:12-139 — dimension upload configs:

@@ -96,6 +96,41 @@ class PipelinesSpec extends SparkSpecBase {
     assert(out == Seq(("A1", 40L, 13.0, 12.0)))
   }
 
+  test("ZmachkPipeline cleans master data and detects new articles") {
+    val raw = Seq(
+      ("A1", "Widget", "M10", "03/15/1996", "1.5", "Y"),
+      ("A2", "Gadget", "M11", "1996-04-01", "-", "Y"),
+      ("A3", "Retired", "M12", "03/15/1996", "2.0", "N"))
+      .toDF("Material", "Material Description", "Matl Group", "Valid From",
+        "Gross Weight", "Status")
+    val t = ZmachkPipeline.transform(raw)
+    val rows = t.select(col("Article"), col("Valid_From_Date").cast("string"),
+        col("Gross_Weight").cast("double"))
+      .as[(String, String, Option[Double])].collect().toSet
+    assert(rows == Set(
+      ("A1", "1996-03-15", Some(1.5)),
+      ("A2", "1996-04-01", None))) // status N dropped; dash -> null; both date formats parse
+    val existing = Seq("A1").toDF("Article")
+    val fresh = ZmachkPipeline.newArticles(t, existing)
+      .select("Article").as[String].collect().toSeq
+    assert(fresh == Seq("A2"))
+  }
+
+  test("ZmmidrDryPipeline filters dept by MCH prefix with zero-on-failure numerics") {
+    val raw = Seq(
+      ("000123", "106AB", "9891", "1,000.00"),
+      ("000124", "106AB", "9891", "garbage"),
+      ("000125", "107XX", "9891", "5.00"))
+      .toDF("Article No", "MCH", "DC", "Unrestricted-Use Stock")
+    val out = ZmmidrDryPipeline.transform(raw, to_date(lit("1996-03-15")))
+      .select(col("Article"), col("Unrestricted-Use Stock").cast("double"),
+        col("Article NoDC"))
+      .as[(String, Double, String)].collect().toSet
+    assert(out == Set(
+      ("123", 1000.0, "9891123"),
+      ("124", 0.0, "9891124"))) // dept 107 dropped; garbage -> 0.0 (dry-variant cleaner)
+  }
+
   test("DimLoader schema-aligns and upserts a dimension") {
     val dir = Files.createTempDirectory("dim").toFile
     val csv = new java.io.File(dir, "calendar.csv")
