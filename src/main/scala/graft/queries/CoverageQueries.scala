@@ -220,8 +220,72 @@ object CoverageQueries {
        |WHERE rank <= 3
        |""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Window-function battery beyond row_number (§2.6 depth): per-article
+  // weekly series with lag delta, running cumulative total, and
+  // per-site dense rank of article volumes.
+  // -------------------------------------------------------------------
+  def windowFunctions(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weekly = Tables.lineitem(spark, sfDir)
+      .filter(col("l_partkey") < 200)
+      .groupBy(col("l_partkey").as("article"),
+        date_trunc("week", col("l_shipdate")).cast(DateType).as("wk"))
+      .agg(dsum(col("l_quantity")).as("qty"))
+    val series = Window.partitionBy(col("article")).orderBy(col("wk"))
+    weekly
+      .withColumn("prev_qty", lag(col("qty"), 1).over(series))
+      .withColumn("wow_delta", col("qty") - coalesce(lag(col("qty"), 1).over(series), lit(0.0)))
+      .withColumn("running_qty",
+        sum(col("qty")).over(series.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("wk_rank",
+        dense_rank().over(Window.partitionBy(col("article")).orderBy(col("qty").desc, col("wk"))))
+  }
+
+  val windowFunctionsOracle: String =
+    """WITH weekly AS (
+      |  SELECT l_partkey AS article,
+      |         CAST(date_trunc('week', l_shipdate) AS DATE) AS wk,
+      |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+      |  FROM lineitem WHERE l_partkey < 200 GROUP BY 1, 2)
+      |SELECT article, wk, qty,
+      |       lag(qty) OVER w AS prev_qty,
+      |       qty - COALESCE(lag(qty) OVER w, 0.0) AS wow_delta,
+      |       SUM(qty) OVER (PARTITION BY article ORDER BY wk
+      |                      ROWS UNBOUNDED PRECEDING) AS running_qty,
+      |       dense_rank() OVER (PARTITION BY article ORDER BY qty DESC, wk) AS wk_rank
+      |FROM weekly
+      |WINDOW w AS (PARTITION BY article ORDER BY wk)
+      |""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Exact percentile profile (interpolated, deterministic on exact
+  // decimal-cast inputs) — the NVARCHAR-sizing/profiling analog for
+  // numeric distributions.
+  // -------------------------------------------------------------------
+  def percentileProfile(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .withColumn("q", col("l_quantity").cast(D).cast(DoubleType))
+      .groupBy(col("l_suppkey").as("site"))
+      .agg(
+        expr("percentile(q, 0.5)").as("median_qty"),
+        expr("percentile(q, 0.95)").as("p95_qty"),
+        min(col("q")).as("min_qty"), max(col("q")).as("max_qty"))
+
+  val percentileProfileOracle: String =
+    """SELECT l_suppkey AS site,
+      |       quantile_cont(q, 0.5) AS median_qty,
+      |       quantile_cont(q, 0.95) AS p95_qty,
+      |       MIN(q) AS min_qty, MAX(q) AS max_qty
+      |FROM (SELECT l_suppkey, CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DOUBLE) AS q
+      |      FROM lineitem)
+      |GROUP BY 1
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivf" -> (annIvf _),
+    "window_functions" -> (windowFunctions _),
+    "percentile_profile" -> (percentileProfile _),
     "update_join" -> (updateJoin _),
     "range_exclusion" -> (rangeExclusion _),
     "sales_rollup" -> (salesRollup _),
@@ -231,6 +295,8 @@ object CoverageQueries {
 
   val oracles: Map[String, String] = Map(
     "ann_ivf" -> annIvfOracle,
+    "window_functions" -> windowFunctionsOracle,
+    "percentile_profile" -> percentileProfileOracle,
     "update_join" -> updateJoinOracle,
     "range_exclusion" -> rangeExclusionOracle,
     "sales_rollup" -> salesRollupOracle,
