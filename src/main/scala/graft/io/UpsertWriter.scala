@@ -52,6 +52,48 @@ object UpsertWriter {
     fs.delete(trash, true)
   }
 
+  /** Partition-pruned upsert — the 100 TB path. The target is stored
+    * partitioned by `partitionCol` (typically a date); only the
+    * partitions present in the staging batch are read (partition-pruned
+    * scan) and rewritten (dynamic partition overwrite). Cost is
+    * O(affected partitions), not O(target): a daily batch against a
+    * multi-year 100 TB fact touches one partition.
+    *
+    * The distinct-partition collect is driver-side but bounded by the
+    * batch's partition count (days), not data size. */
+  def upsertPartitioned(spark: SparkSession, staging: DataFrame, targetPath: String,
+                        keys: Seq[String], partitionCol: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val conf = spark.sparkContext.hadoopConfiguration
+    val target = new Path(targetPath)
+    val fs = target.getFileSystem(conf)
+
+    if (!fs.exists(target)) {
+      staging.write.partitionBy(partitionCol).parquet(targetPath)
+      return
+    }
+    val parts = staging.select(partitionCol).distinct().collect().map(_.get(0))
+    val current = spark.read.parquet(targetPath)
+      .filter(col(partitionCol).isin(parts.toIndexedSeq: _*)) // partition-pruned
+    val merged = Relational.upsertMerge(keys)(current, staging)
+
+    // Spark refuses to overwrite a path it is reading, so stage the
+    // affected partitions to a temp dir and swap each partition dir in —
+    // the dynamic-partition-overwrite effect, made explicit.
+    val tmp = new Path(targetPath + ".__tmp")
+    fs.delete(tmp, true)
+    merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(tmp.toString)
+    val partDirs = fs.listStatus(tmp).filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith(s"$partitionCol="))
+    partDirs.foreach { d =>
+      val dest = new Path(target, d.getPath.getName)
+      fs.delete(dest, true)
+      if (!fs.rename(d.getPath, dest))
+        throw new IllegalStateException(s"cannot publish partition ${d.getPath.getName}")
+    }
+    fs.delete(tmp, true)
+  }
+
   /** S9 single-file CSV side-export (etl_zmmidr_oun.py:78-79): one output
     * file for spreadsheet consumers. coalesce(1) is deliberate and only
     * for small report frames — never for fact-sized data. */

@@ -65,6 +65,56 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Event-time variant: sessions flush when the WATERMARK passes
+    * last-event + gap — deterministic w.r.t. data, no wall-clock
+    * dependence, and timeouts are evaluated on ordinary data-driven
+    * batches (no continuous empty triggers). This is the production
+    * shape; prefer it over the processing-time flush. Input must carry
+    * `withWatermark("ts", ...)` before the groupByKey. */
+  def sessionizeStreamEventTime(events: Dataset[Event],
+                                gapMinutes: Long = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000
+
+    def emit(userId: Long, s: SessionState): SessionOut =
+      SessionOut(userId, s.sessionId,
+        new java.sql.Timestamp(s.startUs / 1000), new java.sql.Timestamp(s.lastUs / 1000),
+        s.n, s.total)
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(emit(userId, _)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val us = e.ts.getTime * 1000
+              cur match {
+                case Some(s) if us - s.lastUs <= gapMinutes * 60L * 1000 * 1000 =>
+                  cur = Some(s.copy(lastUs = us, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed += emit(userId, s)
+                  cur = Some(SessionState(s.sessionId + 1, us, us, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(1, us, us, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // flush when the watermark passes the gap horizon
+              state.setTimeoutTimestamp(s.lastUs / 1000 + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(sessionId: Long, lastUs: Long, startUs: Long,

@@ -67,6 +67,26 @@ class SapTextReaderSpec extends SparkSpecBase {
     assert(out == Set((1, "a"), (2, "B"), (3, "c")))
   }
 
+  test("partitioned upsert rewrites only the partitions present in the batch") {
+    val target = Files.createTempDirectory("pupsert").toFile.getAbsolutePath + "/fact"
+    UpsertWriter.upsertPartitioned(spark,
+      Seq((1, "d1", "a"), (2, "d1", "b"), (3, "d2", "c")).toDF("k", "day", "v"),
+      target, Seq("k"), "day")
+
+    val d2FilesBefore = new java.io.File(target, "day=d2").listFiles().map(_.getName).toSet
+    // batch touches day=d1 only: update k=1, insert k=4
+    UpsertWriter.upsertPartitioned(spark,
+      Seq((1, "d1", "A"), (4, "d1", "d")).toDF("k", "day", "v"),
+      target, Seq("k"), "day")
+
+    val out = spark.read.parquet(target).select("k", "day", "v")
+      .as[(Int, String, String)].collect().toSet
+    assert(out == Set((1, "d1", "A"), (2, "d1", "b"), (3, "d2", "c"), (4, "d1", "d")))
+    // untouched partition's files were not rewritten
+    val d2FilesAfter = new java.io.File(target, "day=d2").listFiles().map(_.getName).toSet
+    assert(d2FilesAfter == d2FilesBefore)
+  }
+
   test("fileNameColumn extracts regex groups from the source path") {
     val df = SapTextReader.read(spark, writeFixture() + "/ZMB51_*.txt", withFileName = true)
       .withColumn("shard", SapTextReader.fileNameColumn("ZMB51_(\\d+)\\.txt", 1))

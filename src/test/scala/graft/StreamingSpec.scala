@@ -63,6 +63,30 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("event-time sessionization flushes idle sessions when the watermark passes") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[Streams.Event]
+    val withWm = src.toDS().withWatermark("ts", "10 minutes").as[Streams.Event]
+    val q = Streams.sessionizeStreamEventTime(withWm, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_et").outputMode("append").start()
+    try {
+      src.addData(
+        Streams.Event(1, t("2024-01-01 00:00:00"), 7L, "click", 1.0),
+        Streams.Event(2, t("2024-01-01 00:10:00"), 7L, "click", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_et").count() == 0) // session still open
+      // another USER's event advances the watermark past 00:10 + 30min gap
+      src.addData(Streams.Event(9, t("2024-01-01 02:00:00"), 8L, "view", 1.0))
+      q.processAllAvailable()
+      src.addData(Streams.Event(10, t("2024-01-01 03:00:00"), 8L, "view", 1.0))
+      q.processAllAvailable() // timeout evaluated on the next data batch
+      val sessions = spark.table("sess_et")
+        .select("user_id", "session_id", "n_events", "total_value")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(sessions.contains((7L, 1L, 2L, 3.0))) // flushed by watermark, not wall clock
+    } finally q.stop()
+  }
+
   test("file-source ingest: schema'd json drops, exactly-once, archived") {
     val dir = java.nio.file.Files.createTempDirectory("evstream").toFile.getAbsolutePath + "/in"
     new java.io.File(dir).mkdirs()
