@@ -424,8 +424,83 @@ object LlmQueries {
       |WHERE CAST(('0x' || substring(md5(source || ':' || CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 100 < 20
       |""".stripMargin
 
+  // -------------------------------------------------------------------
+  // End-to-end curation: quality gate -> exact dedup -> minhash-LSH
+  // near-dup removal (greedy: drop the higher doc_id of each verified
+  // pair) -> per-source corpus stats. One lazy plan composing the whole
+  // training-data-curation surface; every stage reuses the
+  // oracle-verified operator fragments above.
+  // -------------------------------------------------------------------
+  def curationPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val quality = TextAnalysis.qualityScore(t, col("text"))
+
+    val gated = Tables.documents(spark, sfDir)
+      .filter(size(t) >= 50 && quality >= lit(0.5))
+    val exactDeduped = Dedup.exactDedupByContent(col("text"), col("doc_id"))(gated)
+
+    val base = exactDeduped.select(col("doc_id") +: Dedup.shingled(col("text"), 3): _*)
+    val sig = base.select(col("doc_id"), col("shingle_set"),
+      Dedup.minhashSig(col("shingle_hashes"), K).as("sig"))
+    val banded = sig
+      .select(col("doc_id"), Dedup.lshBands(col("sig"), Bands, Rows).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val pairs = Dedup.candidatePairs(banded, "doc_id")
+    val x = sig.select(col("doc_id").as("d1"), col("shingle_set").as("sd1"))
+    val y = sig.select(col("doc_id").as("d2"), col("shingle_set").as("sd2"))
+    val nearDups = pairs.join(x, "d1").join(y, "d2")
+      .filter(Dedup.jaccard(col("sd1"), col("sd2")) >= 0.8)
+      .select(col("d2").as("doc_id")).distinct()
+
+    exactDeduped.join(nearDups, Seq("doc_id"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("kept_docs"), sum(size(tokens(col("text")))).as("kept_tokens"))
+  }
+
+  val curationPipelineOracle: String =
+    s"""WITH gated AS (
+       |  SELECT d.*, t FROM (
+       |    SELECT *, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+       |    FROM documents) d
+       |  WHERE len(t) >= 50
+       |    AND 0.4 * least(1.0, CAST(len(t) AS DOUBLE) / 200)
+       |      + 0.4 * (CAST(len(list_filter(t, x -> list_contains($stopListSql, x))) AS DOUBLE) / len(t))
+       |      + 0.2 * (1.0 - CAST(len(text) - len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / len(text))
+       |      >= 0.5),
+       |exact AS (
+       |  SELECT * FROM gated
+       |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+       |sh AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(t) >= 3
+       |              THEN list_transform(range(0, len(t)-2),
+       |                     i -> array_to_string(list_slice(t, i+1, i+3), ' '))
+       |              ELSE CAST([] AS VARCHAR[]) END AS s
+       |  FROM exact),
+       |hs AS ($hashSql),
+       |sig AS (${sigSql(K)}),
+       |bands AS (SELECT doc_id, sd, sig, unnest(range(0,$Bands)) AS band FROM sig),
+       |keyed AS (
+       |  SELECT doc_id, band,
+       |         array_to_string(list_slice(sig, band*$Rows+1, band*$Rows+$Rows), ',') AS bkey
+       |  FROM bands),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM keyed a JOIN keyed b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |neardups AS (
+       |  SELECT DISTINCT p.d2 AS doc_id
+       |  FROM pairs p JOIN sig x ON p.d1 = x.doc_id JOIN sig y ON p.d2 = y.doc_id
+       |  WHERE CAST(len(list_filter(x.sd, e -> list_contains(y.sd, e))) AS DOUBLE)
+       |        / (len(x.sd) + len(y.sd) - len(list_filter(x.sd, e -> list_contains(y.sd, e)))) >= 0.8)
+       |SELECT source, COUNT(*) AS kept_docs, SUM(len(t)) AS kept_tokens
+       |FROM exact e
+       |WHERE NOT EXISTS (SELECT 1 FROM neardups n WHERE n.doc_id = e.doc_id)
+       |GROUP BY 1
+       |""".stripMargin
+
   /** Registration for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_pipeline" -> (curationPipeline _),
     "doc_chunks" -> (docChunks _),
     "stratified_sample" -> (stratifiedSample _),
     "exact_dedup" -> (exactDedup _),
@@ -442,6 +517,7 @@ object LlmQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "curation_pipeline" -> curationPipelineOracle,
     "doc_chunks" -> docChunksOracle,
     "stratified_sample" -> stratifiedSampleOracle,
     "exact_dedup" -> exactDedupOracle,
