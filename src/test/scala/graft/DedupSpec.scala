@@ -1,0 +1,41 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("exactDedupByContent keeps the smallest id per content hash") {
+    val docs = Seq((5L, "same"), (2L, "same"), (9L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactDedupByContent(col("text"), col("doc_id"))(docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(2L, 9L))
+  }
+
+  test("candidatePairs emits distinct ordered pairs sharing any band bucket") {
+    val banded = Seq(
+      (1L, 0, "x"), (2L, 0, "x"), (3L, 0, "x"), // bucket of three -> 3 pairs
+      (1L, 1, "y"), (2L, 1, "y"),               // same pair again via band 1
+      (4L, 0, "z"))                             // singleton -> no pairs
+      .toDF("doc_id", "band", "bkey")
+    val pairs = Dedup.candidatePairs(banded, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("capBuckets bounds bucket membership deterministically (smallest ids kept)") {
+    val banded = (1L to 10L).map(i => (i, 0, "hot")).toDF("doc_id", "band", "bkey")
+    val capped = Dedup.capBuckets("doc_id", 3)(banded)
+      .select("doc_id").as[Long].collect().toSet
+    assert(capped == Set(1L, 2L, 3L))
+    // pair blowup bounded: 3 choose 2 instead of 10 choose 2
+    assert(Dedup.candidatePairs(Dedup.capBuckets("doc_id", 3)(banded), "doc_id").count() == 3)
+  }
+
+  test("hamming distance counts differing bits") {
+    val df = Seq((0x0FL, 0x00L)).toDF("a", "b")
+    assert(df.select(Dedup.hamming(col("a"), col("b"))).head.getInt(0) == 4)
+  }
+}
