@@ -89,4 +89,23 @@ object TextAnalysis {
   def fingerprint(toks: Column): Column =
     when(size(toks) === 0, lit(0L))
       .otherwise(rollingFingerprint(transform(toks, hash32 _)))
+
+  // Curation cleaners (RE2-safe patterns: no lookahead/backrefs, so the
+  // same regex runs identically under Java regex and DuckDB's RE2) -----
+
+  /** Drop markup tags. */
+  def stripHtml(text: Column): Column =
+    regexp_replace(text, "<[^>]+>", " ")
+
+  val emailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val phonePattern = "\\d{3}-\\d{3}-\\d{4}"
+
+  /** PII masking: emails and phone-shaped numbers replaced by tokens. */
+  def maskPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+
+  /** Count of URL-shaped substrings. */
+  def urlCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("https?://[^\\s]+"), lit(0)))
 }

@@ -282,10 +282,86 @@ object CoverageQueries {
       |GROUP BY 1
       |""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Curation cleaners: HTML strip + PII mask + URL count over
+  // deterministically constructed noisy text (the corpus is clean, so
+  // noise is synthesized from doc fields — same construction in the
+  // oracle).
+  // -------------------------------------------------------------------
+  def textCleaners(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.TextAnalysis
+    val noisy = concat(
+      lit("<p>"), substring(col("text"), 1, 40), lit("</p> contact "),
+      col("source"), lit("@example.com or 555-867-"),
+      lpad((col("doc_id") % 10000).cast(StringType), 4, "0"),
+      lit(" see https://docs.example.com/"), col("source"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        TextAnalysis.stripHtml(noisy).as("no_html"),
+        TextAnalysis.maskPii(noisy).as("masked"),
+        TextAnalysis.urlCount(noisy).as("urls"))
+  }
+
+  val textCleanersOracle: String =
+    """WITH noisy AS (
+      |  SELECT doc_id,
+      |         '<p>' || substring(text, 1, 40) || '</p> contact ' || source
+      |           || '@example.com or 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |           || ' see https://docs.example.com/' || source AS s
+      |  FROM documents)
+      |SELECT doc_id,
+      |       regexp_replace(s, '<[^>]+>', ' ', 'g') AS no_html,
+      |       regexp_replace(regexp_replace(s, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+      |                      '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g') AS masked,
+      |       len(regexp_extract_all(s, 'https?://[^\s]+')) AS urls
+      |FROM noisy
+      |""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Semi-join (the positive twin of J4's anti-join) + INTERSECT/EXCEPT
+  // set operations on article key sets.
+  // -------------------------------------------------------------------
+  def semiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val moved = Tables.lineitem(spark, sfDir).filter(col("l_suppkey") < 5)
+      .select(col("l_partkey").as("p_partkey"))
+    Tables.part(spark, sfDir)
+      .join(moved, Seq("p_partkey"), "left_semi")
+      .select(col("p_partkey").as("article"), col("p_brand").as("brand"))
+  }
+
+  val semiJoinOracle: String =
+    """SELECT p_partkey AS article, p_brand AS brand FROM part p
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_partkey = p.p_partkey AND l.l_suppkey < 5)
+      |""".stripMargin
+
+  def setOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val early = li.filter(to_date(col("l_shipdate")) < to_date(lit("1994-01-01")))
+      .select(col("l_partkey").as("article"))
+    val late = li.filter(to_date(col("l_shipdate")) >= to_date(lit("1997-01-01")))
+      .select(col("l_partkey").as("article"))
+    early.intersect(late).withColumn("op", lit("both"))
+      .unionByName(early.except(late).withColumn("op", lit("early_only")))
+  }
+
+  val setOpsOracle: String =
+    """WITH early AS (SELECT l_partkey AS article FROM lineitem
+      |               WHERE CAST(l_shipdate AS DATE) < DATE '1994-01-01'),
+      |late AS (SELECT l_partkey AS article FROM lineitem
+      |         WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01')
+      |SELECT article, 'both' AS op FROM (SELECT article FROM early INTERSECT SELECT article FROM late)
+      |UNION ALL
+      |SELECT article, 'early_only' AS op FROM (SELECT article FROM early EXCEPT SELECT article FROM late)
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivf" -> (annIvf _),
     "window_functions" -> (windowFunctions _),
     "percentile_profile" -> (percentileProfile _),
+    "text_cleaners" -> (textCleaners _),
+    "semi_join" -> (semiJoin _),
+    "set_ops" -> (setOps _),
     "update_join" -> (updateJoin _),
     "range_exclusion" -> (rangeExclusion _),
     "sales_rollup" -> (salesRollup _),
@@ -297,6 +373,9 @@ object CoverageQueries {
     "ann_ivf" -> annIvfOracle,
     "window_functions" -> windowFunctionsOracle,
     "percentile_profile" -> percentileProfileOracle,
+    "text_cleaners" -> textCleanersOracle,
+    "semi_join" -> semiJoinOracle,
+    "set_ops" -> setOpsOracle,
     "update_join" -> updateJoinOracle,
     "range_exclusion" -> rangeExclusionOracle,
     "sales_rollup" -> salesRollupOracle,
