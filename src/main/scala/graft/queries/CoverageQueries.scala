@@ -355,6 +355,25 @@ object CoverageQueries {
       |SELECT article, 'early_only' AS op FROM (SELECT article FROM early EXCEPT SELECT article FROM late)
       |""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Cube aggregation with grouping_id: all 4 grouping combinations of
+  // (returnflag, linestatus) plus which-dimensions-aggregated marker.
+  // -------------------------------------------------------------------
+  def salesCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .cube(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("qty"))
+
+  val salesCubeOracle: String =
+    """SELECT l_returnflag AS rf, l_linestatus AS ls,
+      |       GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivf" -> (annIvf _),
     "window_functions" -> (windowFunctions _),
@@ -362,6 +381,7 @@ object CoverageQueries {
     "text_cleaners" -> (textCleaners _),
     "semi_join" -> (semiJoin _),
     "set_ops" -> (setOps _),
+    "sales_cube" -> (salesCube _),
     "update_join" -> (updateJoin _),
     "range_exclusion" -> (rangeExclusion _),
     "sales_rollup" -> (salesRollup _),
@@ -376,6 +396,7 @@ object CoverageQueries {
     "text_cleaners" -> textCleanersOracle,
     "semi_join" -> semiJoinOracle,
     "set_ops" -> setOpsOracle,
+    "sales_cube" -> salesCubeOracle,
     "update_join" -> updateJoinOracle,
     "range_exclusion" -> rangeExclusionOracle,
     "sales_rollup" -> salesRollupOracle,

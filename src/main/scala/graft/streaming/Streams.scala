@@ -65,6 +65,21 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming keyed-upsert sink: every micro-batch MERGEs into the
+    * parquet target via UpsertWriter — the reference's incremental
+    * load loop (extract batch -> staging -> MERGE, SURVEY §3.1 step 5)
+    * as a streaming pipeline. Replay-idempotent by construction, so
+    * at-least-once delivery from the source still yields exactly-once
+    * table state. */
+  def upsertSink(events: DataFrame, targetPath: String, keys: Seq[String],
+                 checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.io.UpsertWriter.upsert(batch.sparkSession, batch.toDF(), targetPath, keys)
+      }
+      .start()
+
   /** Event-time variant: sessions flush when the WATERMARK passes
     * last-event + gap — deterministic w.r.t. data, no wall-clock
     * dependence, and timeouts are evaluated on ordinary data-driven

@@ -118,6 +118,23 @@ class StreamingSpec extends SparkSpecBase {
     assert(archived.exists, "consumed inputs should be moved to the archive dir")
   }
 
+  test("streaming upsert sink: replayed batches leave exactly-once table state") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("upsink").toFile.getAbsolutePath
+    val src = MemoryStream[(Long, String, Double)]
+    val events = src.toDF().toDF("k", "day", "v")
+    val q = Streams.upsertSink(events, s"$base/target", Seq("k"), s"$base/ckpt")
+    try {
+      src.addData((1L, "d1", 1.0), (2L, "d1", 2.0))
+      q.processAllAvailable()
+      src.addData((2L, "d1", 20.0), (3L, "d2", 3.0)) // update k=2, insert k=3
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$base/target")
+        .as[(Long, String, Double)].collect().toSet
+      assert(out == Set((1L, "d1", 1.0), (2L, "d1", 20.0), (3L, "d2", 3.0)))
+    } finally q.stop()
+  }
+
   test("streaming windowed counts match the oracle-checked batch twin") {
     val sfDir = "/root/testdata/sf0.001"
     val batch = graft.queries.EventQueries.eventWindowAgg(spark, sfDir)
