@@ -98,7 +98,8 @@ object EventQueries {
        |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
        |                                ROWS UNBOUNDED PRECEDING) AS session_id
        |  FROM flagged)
-       |SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       |       MIN(ts) AS session_start, MAX(ts) AS session_end,
        |       COUNT(*) AS n_events,
        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
        |FROM sess GROUP BY 1, 2
@@ -140,7 +141,7 @@ object EventQueries {
 
   val jsonPropsOracle: String =
     """SELECT event_type, COUNT(*) AS n,
-      |       SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k,
+      |       CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
       |       MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
       |       MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
       |FROM events GROUP BY 1

@@ -133,11 +133,11 @@ object LlmQueries {
        |              list_transform(t, x -> CAST(('0x' || substring(md5(x),1,8)) AS BIGINT)) AS h
        |       FROM toks)
        |SELECT doc_id,
-       |       CASE WHEN len(h) = 0 THEN 0
+       |       CAST(CASE WHEN len(h) = 0 THEN 0
        |            ELSE list_sum(list_transform(range(0,32), b ->
        |                   CASE WHEN list_sum(list_transform(h, x -> 2*((x >> b) & 1) - 1)) >= 0
        |                        THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))
-       |       END AS simhash
+       |       END AS BIGINT) AS simhash
        |FROM hs
        |""".stripMargin
 
@@ -163,14 +163,14 @@ object LlmQueries {
        |       FROM toks),
        |fp AS (
        |  SELECT doc_id,
-       |         CASE WHEN len(h) = 0 THEN 0
+       |         CAST(CASE WHEN len(h) = 0 THEN 0
        |              ELSE list_sum(list_transform(range(0,32), b ->
        |                     CASE WHEN list_sum(list_transform(h, x -> 2*((x >> b) & 1) - 1)) >= 0
        |                          THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))
-       |         END AS simhash
+       |         END AS BIGINT) AS simhash
        |  FROM hs)
        |SELECT a.doc_id AS d1, b.doc_id AS d2, a.simhash AS h1, b.simhash AS h2,
-       |       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
        |FROM fp a JOIN fp b
        |  ON (a.simhash >> 20) = (b.simhash >> 20) AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
@@ -356,8 +356,8 @@ object LlmQueries {
 
   val tokenCountsOracle: String =
     """SELECT source, COUNT(*) AS docs,
-      |       SUM(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS ws_tokens,
-      |       SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS bpe_tokens
+      |       CAST(SUM(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT) AS ws_tokens,
+      |       CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_tokens
       |FROM documents GROUP BY 1
       |""".stripMargin
 
@@ -492,7 +492,7 @@ object LlmQueries {
        |  FROM pairs p JOIN sig x ON p.d1 = x.doc_id JOIN sig y ON p.d2 = y.doc_id
        |  WHERE CAST(len(list_filter(x.sd, e -> list_contains(y.sd, e))) AS DOUBLE)
        |        / (len(x.sd) + len(y.sd) - len(list_filter(x.sd, e -> list_contains(y.sd, e)))) >= 0.8)
-       |SELECT source, COUNT(*) AS kept_docs, SUM(len(t)) AS kept_tokens
+       |SELECT source, COUNT(*) AS kept_docs, CAST(SUM(len(t)) AS BIGINT) AS kept_tokens
        |FROM exact e
        |WHERE NOT EXISTS (SELECT 1 FROM neardups n WHERE n.doc_id = e.doc_id)
        |GROUP BY 1

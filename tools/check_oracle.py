@@ -34,7 +34,16 @@ for name, sql in sorted(oracle.items()):
     w = want.sort_values(by=list(want.columns)).reset_index(drop=True)
     try:
         pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
-        print(f"OK   {name}: {len(got)} rows")
     except AssertionError as e:
-        print(f"FAIL {name}: value mismatch\n{str(e)[:800]}"); fail += 1
+        print(f"FAIL {name}: value mismatch\n{str(e)[:800]}"); fail += 1; continue
+    # Hash-style compare: the driver hashes rendered values, so a DuckDB
+    # HUGEINT (-> float64, "123.0") must not stand in for a Spark BIGINT
+    # ("123"). Compare stringified cells too.
+    gs, ws = g.astype(str), w.astype(str)
+    if not gs.equals(ws):
+        diff_cols = [c for c in gs.columns if not gs[c].equals(ws[c])]
+        print(f"FAIL {name}: rendered-value mismatch in {diff_cols} "
+              f"(dtypes got={[str(g[c].dtype) for c in diff_cols]} "
+              f"want={[str(w[c].dtype) for c in diff_cols]})"); fail += 1; continue
+    print(f"OK   {name}: {len(got)} rows")
 sys.exit(1 if fail else 0)
