@@ -4,6 +4,7 @@ import graft.functions.GraftExpressions._
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftx.Bridge
 
 /** SparkSessionExtensions hook: registers the graft expressions as SQL
   * functions so `spark.sql("SELECT graft_hash32(text) ...")` works from
@@ -23,24 +24,38 @@ object GraftExtensions {
   private def info(name: String) =
     new ExpressionInfo("graft.functions.GraftExpressions", null, name)
 
-  private def intArg(e: Expression, what: String): Int = e match {
+  /** Builder-time validation (round-3 ADVICE): wrong arity surfaces as a
+    * proper AnalysisException (Spark's WRONG_NUM_ARGS error class), not an
+    * IndexOutOfBoundsException from `args(1)`; non-literal int parameters
+    * get NON_FOLDABLE_ARGUMENT. Argument TYPES are checked by the
+    * expressions themselves via ExpectsInputTypes (DATATYPE_MISMATCH). */
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args =>
+      if (args.length != n) Bridge.wrongNumArgs(name, n, args.length)
+      else build(args)
+
+  private def intArg(e: Expression, fn: String, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+    case _ => Bridge.nonFoldableArg(fn, what)
   }
 
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_hash32"), info("graft_hash32"),
-      args => Md5Prefix32(args.head)),
+      arity("graft_hash32", 1)(args => Md5Prefix32(args.head))),
     (FunctionIdentifier("graft_shingles"), info("graft_shingles"),
-      args => ShinglesExpr(args.head, intArg(args(1), "n"))),
+      arity("graft_shingles", 2)(args =>
+        ShinglesExpr(args.head, intArg(args(1), "graft_shingles", "n")))),
     (FunctionIdentifier("graft_shingle_hashes"), info("graft_shingle_hashes"),
-      args => ShingleHashesExpr(args.head, intArg(args(1), "n"))),
+      arity("graft_shingle_hashes", 2)(args =>
+        ShingleHashesExpr(args.head, intArg(args(1), "graft_shingle_hashes", "n")))),
     (FunctionIdentifier("graft_minhash"), info("graft_minhash"),
-      args => MinhashSigExpr(args.head, intArg(args(1), "k"))),
+      arity("graft_minhash", 2)(args =>
+        MinhashSigExpr(args.head, intArg(args(1), "graft_minhash", "k")))),
     (FunctionIdentifier("graft_simhash32"), info("graft_simhash32"),
-      args => Simhash32Expr(args.head)),
+      arity("graft_simhash32", 1)(args => Simhash32Expr(args.head))),
     (FunctionIdentifier("graft_dot"), info("graft_dot"),
-      args => DotDExpr(args.head, args(1))))
+      arity("graft_dot", 2)(args => DotDExpr(args.head, args(1)))))
 
   /** Register directly on a live session (for sessions created without
     * the extensions conf — extensions only apply at session build time). */

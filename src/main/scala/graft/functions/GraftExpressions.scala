@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.graftx.Bridge
+import org.apache.spark.sql.graftx.{Bridge, GraftExpectsInputTypes}
 import org.apache.spark.sql.types._
 
 /** Native Catalyst expressions for the dedup/similarity hot path
@@ -21,7 +21,8 @@ import org.apache.spark.sql.types._
   */
 object GraftExpressions {
 
-  case class Md5Prefix32(child: Expression) extends UnaryExpression {
+  case class Md5Prefix32(child: Expression) extends UnaryExpression with GraftExpectsInputTypes {
+    override def graftInputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = LongType
     override protected def nullSafeEval(input: Any): Any =
       Kernels.md5Prefix32(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
@@ -31,7 +32,8 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
-  case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression with GraftExpectsInputTypes {
+    override def graftInputTypes: Seq[DataType] = Seq(ArrayType(StringType))
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override protected def nullSafeEval(input: Any): Any =
       Kernels.shingles(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
@@ -41,7 +43,8 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
-  case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+  case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression with GraftExpectsInputTypes {
+    override def graftInputTypes: Seq[DataType] = Seq(ArrayType(StringType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override protected def nullSafeEval(input: Any): Any =
       Kernels.shingleHashes(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
@@ -51,7 +54,8 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
-  case class MinhashSigExpr(child: Expression, k: Int) extends UnaryExpression {
+  case class MinhashSigExpr(child: Expression, k: Int) extends UnaryExpression with GraftExpectsInputTypes {
+    override def graftInputTypes: Seq[DataType] = Seq(ArrayType(LongType))
     override def dataType: DataType = ArrayType(LongType, containsNull = true)
     override protected def nullSafeEval(input: Any): Any =
       Kernels.minhashSig(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
@@ -61,7 +65,8 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
-  case class Simhash32Expr(child: Expression) extends UnaryExpression {
+  case class Simhash32Expr(child: Expression) extends UnaryExpression with GraftExpectsInputTypes {
+    override def graftInputTypes: Seq[DataType] = Seq(ArrayType(LongType))
     override def dataType: DataType = LongType
     override protected def nullSafeEval(input: Any): Any =
       Kernels.simhash32(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
@@ -71,7 +76,8 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
-  case class DotDExpr(left: Expression, right: Expression) extends BinaryExpression {
+  case class DotDExpr(left: Expression, right: Expression) extends BinaryExpression with GraftExpectsInputTypes {
+    override def graftInputTypes: Seq[DataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
     override def dataType: DataType = DoubleType
     override protected def nullSafeEval(a: Any, b: Any): Any =
       Kernels.dotD(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],

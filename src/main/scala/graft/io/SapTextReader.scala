@@ -25,8 +25,12 @@ import java.nio.charset.StandardCharsets
   */
 object SapTextReader {
 
-  /** Read the header names from the 3rd line of the first matching file. */
-  def readHeader(spark: SparkSession, glob: String): Seq[String] = {
+  /** Read the RAW header cells from the 3rd line of the first matching
+    * file — exactly as they appear in the export, padding and all. The
+    * header-row marker predicate in [[read]] must compare against these
+    * raw strings (a padded `" Pstng  Date "` cell would never equal its
+    * normalized name, and the header row would leak into the data). */
+  def readHeaderRaw(spark: SparkSession, glob: String): Seq[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new Path(glob)
     val fs = p.getFileSystem(conf)
@@ -37,15 +41,22 @@ object SapTextReader {
       in.readLine(); in.readLine() // junk prefix
       val header = Option(in.readLine())
         .getOrElse(throw new IllegalArgumentException(s"${first.getPath}: no header row"))
-      header.split("\t", -1).toSeq.map(Clean.normalizeName)
+      header.split("\t", -1).toSeq
     } finally in.close()
   }
+
+  /** Normalized header names (trim + collapse inner whitespace, the
+    * reference's `df.columns.str.strip().str.replace(r"\s+"," ")`,
+    * pipelines/etl_zmb51.py:55). */
+  def readHeader(spark: SparkSession, glob: String): Seq[String] =
+    readHeaderRaw(spark, glob).map(Clean.normalizeName)
 
   /** Read a SAP tab-text export dir/glob into an all-string DataFrame with
     * trimmed header names, junk rows and the blank first column removed.
     * Include the source file via `withFileName` for order-dependent ops. */
   def read(spark: SparkSession, glob: String, withFileName: Boolean = false): DataFrame = {
-    val names = readHeader(spark, glob) // names.head is the blank first col
+    val rawNames = readHeaderRaw(spark, glob) // rawNames.head is the blank first col
+    val names = rawNames.map(Clean.normalizeName)
     val schema = StructType(names.indices.map(i => StructField(s"_c$i", StringType)))
     val raw = spark.read
       .option("sep", "\t")
@@ -56,7 +67,10 @@ object SapTextReader {
 
     val dataCols = names.indices.drop(1)
     val notJunk = dataCols.map(i => col(s"_c$i").isNotNull).reduce(_ || _)
-    val notHeader = dataCols.map(i => col(s"_c$i") <=> lit(names(i))).reduce(_ && _).unary_!
+    // Compare against the RAW header cells: the scan sees the header row
+    // exactly as exported, so a padded header would fail a match against
+    // its normalized name and leak through as a data row (round-3 ADVICE).
+    val notHeader = dataCols.map(i => col(s"_c$i") <=> lit(rawNames(i))).reduce(_ && _).unary_!
 
     val base = raw.filter(notJunk && notHeader)
     val selected = dataCols.map(i => col(s"_c$i").as(names(i)))

@@ -48,26 +48,36 @@ object TextAnalysis {
     Seq("the", "a", "an", "of", "and", "to", "is", "in", "it", "on", "for")
 
   /** Per-document quality statistics; every ratio is a single division of
-    * exact integer counts, so the doubles are bit-reproducible. */
+    * exact integer counts, so the doubles are bit-reproducible.
+    *
+    * Zero-denominator guard: empty / punctuation-only docs would divide by
+    * zero — and since Spark sorts NaN above every double, an unguarded NaN
+    * quality would silently PASS `>=` threshold gates (round-3 ADVICE).
+    * Every ratio is therefore pinned to 0.0 when its denominator is 0. */
+  private def safeRatio(num: Column, den: Column): Column =
+    when(den === 0, lit(0.0)).otherwise(num.cast(DoubleType) / den)
+
   def nTokens(toks: Column): Column = size(toks)
 
   def avgTokenLen(toks: Column): Column =
-    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast(DoubleType) /
-      size(toks)
+    safeRatio(aggregate(toks, lit(0L), (acc, t) => acc + length(t)), size(toks))
 
   def stopwordRatio(toks: Column): Column =
-    size(filter(toks, t => stopwords.map(s => t === s).reduce(_ || _)))
-      .cast(DoubleType) / size(toks)
+    safeRatio(size(filter(toks, t => stopwords.map(s => t === s).reduce(_ || _))),
+      size(toks))
 
   def digitTokenRatio(toks: Column): Column =
-    size(filter(toks, t => t.rlike("^[0-9]+$"))).cast(DoubleType) / size(toks)
+    safeRatio(size(filter(toks, t => t.rlike("^[0-9]+$"))), size(toks))
 
-  /** Non-alphanumeric, non-space character count over the raw text. */
+  /** Non-alphanumeric, non-space character count over the raw text:
+    * stripping [a-zA-Z0-9 ] leaves exactly the punctuation. (Round 4 fix:
+    * the previous `length(text) - length(stripped)` counted the ALNUM
+    * chars — inverted — so "low punctuation" rewarded punctuation.) */
   def punctCount(text: Column): Column =
-    length(text) - length(regexp_replace(text, "[a-zA-Z0-9 ]", ""))
+    length(regexp_replace(text, "[a-zA-Z0-9 ]", ""))
 
   def punctRatio(text: Column): Column =
-    punctCount(text).cast(DoubleType) / length(text)
+    safeRatio(punctCount(text), length(text))
 
   /** Composite quality score in [0,1]: favors long, stopword-bearing,
     * low-punctuation text. Fixed arithmetic shape for oracle parity. */

@@ -34,6 +34,27 @@ class DedupSpec extends SparkSpecBase {
     assert(Dedup.candidatePairs(Dedup.capBuckets("doc_id", 3)(banded), "doc_id").count() == 3)
   }
 
+  test("boilerplate bucket through the full minhash path: capped pairs stay bounded") {
+    // 300 identical documents — the web-scale boilerplate shape: every
+    // doc lands in the same LSH bucket in every band, so the uncapped
+    // self-join would emit C(300,2) = 44,850 pairs. With a 64-member cap
+    // the blowup is bounded at C(64,2) = 2,016 regardless of corpus size.
+    val docs = (1L to 300L)
+      .map(i => (i, "the same boilerplate footer text appears on every single page"))
+      .toDF("doc_id", "text")
+    val base = docs.select(col("doc_id") +: Dedup.shingled(col("text"), 3): _*)
+    val sig = base.select(col("doc_id"), Dedup.minhashSig(col("shingle_hashes"), 16).as("sig"))
+    val banded = sig
+      .select(col("doc_id"), Dedup.lshBands(col("sig"), 4, 4).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val capped = Dedup.candidatePairs(Dedup.capBuckets("doc_id", 64)(banded), "doc_id")
+    assert(capped.count() == 64L * 63 / 2)
+    // deterministic keeper set: the smallest doc_ids survive the cap
+    val ids = capped.select(col("d1")).union(capped.select(col("d2")))
+      .distinct().as[Long].collect().toSet
+    assert(ids == (1L to 64L).toSet)
+  }
+
   test("hamming distance counts differing bits") {
     val df = Seq((0x0FL, 0x00L)).toDF("a", "b")
     assert(df.select(Dedup.hamming(col("a"), col("b"))).head.getInt(0) == 4)

@@ -27,6 +27,30 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(row.getSeq[String](4) == Seq("a b", "b c"))
   }
 
+  test("wrong arity / argument types raise AnalysisException, not internal errors") {
+    val s4 = spark.newSession()
+    GraftExtensions.register(s4)
+    import org.apache.spark.sql.AnalysisException
+
+    // arity: graft_shingles needs (array, n)
+    val e1 = intercept[AnalysisException](s4.sql("SELECT graft_shingles(array('a'))").collect())
+    assert(e1.getCondition != null && e1.getCondition.startsWith("WRONG_NUM_ARGS"))
+    val e2 = intercept[AnalysisException](s4.sql("SELECT graft_hash32('a', 'b')").collect())
+    assert(e2.getCondition.startsWith("WRONG_NUM_ARGS"))
+
+    // non-literal int parameter
+    val e3 = intercept[AnalysisException](
+      s4.sql("SELECT graft_minhash(array(CAST(1 AS BIGINT)), CAST(rand()*4 AS INT))").collect())
+    assert(e3.getCondition == "NON_FOLDABLE_ARGUMENT")
+
+    // type mismatch: int where a string is expected
+    val e4 = intercept[AnalysisException](s4.sql("SELECT graft_hash32(42)").collect())
+    assert(e4.getCondition.startsWith("DATATYPE_MISMATCH"))
+    // array<int> where array<bigint> is expected
+    val e5 = intercept[AnalysisException](s4.sql("SELECT graft_simhash32(array(1, 2))").collect())
+    assert(e5.getCondition.startsWith("DATATYPE_MISMATCH"))
+  }
+
   test("saltedSum equals plain groupBy sum") {
     val df = (1 to 1000).map(i => (i % 3, i.toLong)).toDF("k", "v")
     val plain = df.groupBy("k").agg(sum("v").as("s"))

@@ -37,6 +37,26 @@ class SapTextReaderSpec extends SparkSpecBase {
     assert(totalsDropped.count() == 3)
   }
 
+  test("padded / multi-space header cells: names normalize, header row does not leak") {
+    val dir = Files.createTempDirectory("saptxtpad").toFile
+    val f = new java.io.File(dir, "ZMB51_0002.txt")
+    // header cells carry leading/trailing padding and doubled inner spaces,
+    // the exact shape normalizeName exists for (etl_zmb51.py:55)
+    val content = Seq(
+      "Material Document List",
+      "",
+      "\t Site \tArticle\tQuantity  i\t Pstng  Date ",
+      "\t1000\t000123\t5.000\t03/15/1996",
+      "\t1001\t000777\t2.000\t03/16/1996"
+    ).mkString("\n")
+    Files.write(f.toPath, content.getBytes("UTF-8"))
+    val df = SapTextReader.read(spark, dir.getAbsolutePath + "/ZMB51_*.txt")
+    assert(df.columns.toSeq == Seq("Site", "Article", "Quantity i", "Pstng Date"))
+    // 2 data rows only — the padded header row must not survive as data
+    assert(df.count() == 2)
+    assert(df.filter(col("Site") === " Site " || col("Site") === "Site").count() == 0)
+  }
+
   test("full Zmb51 pipeline: scan -> clean -> aggregate -> upsert, replay-idempotent") {
     val in = writeFixture() + "/ZMB51_*.txt"
     val target = Files.createTempDirectory("upsert").toFile.getAbsolutePath + "/zmb51"

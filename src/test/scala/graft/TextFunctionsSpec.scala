@@ -62,6 +62,29 @@ class TextFunctionsSpec extends SparkSpecBase {
     assert(math.abs(c - 1.0) < 1e-12)
   }
 
+  test("quality ratios are 0.0 (not NaN/null) for empty and punctuation-only docs") {
+    import graft.ops.TextAnalysis
+    val docs = Seq("", "!!! ??? ...", "the cat sat on the mat")
+      .toDF("text").withColumn("t", tokens(col("text")))
+    val rows = docs.select(
+      TextAnalysis.avgTokenLen(col("t")).as("atl"),
+      TextAnalysis.stopwordRatio(col("t")).as("swr"),
+      TextAnalysis.digitTokenRatio(col("t")).as("dr"),
+      TextAnalysis.punctRatio(col("text")).as("pr"),
+      TextAnalysis.qualityScore(col("t"), col("text")).as("q")).collect()
+    // degenerate docs: every ratio defined and finite
+    rows.take(2).foreach { r =>
+      (0 until 5).foreach { i =>
+        val v = r.getDouble(i)
+        assert(!v.isNaN && !v.isInfinite, s"col $i was $v")
+      }
+    }
+    // a NaN would sort above any threshold; 0-pinned ratios must NOT pass
+    val passed = docs.filter(
+      TextAnalysis.qualityScore(col("t"), col("text")) >= 0.3).count()
+    assert(passed == 1) // only the real sentence
+  }
+
   test("jaccard and estJaccard agree on identical and disjoint sets") {
     assert(one(Dedup.jaccard(typedLit(Array("a", "b")), typedLit(Array("a", "b")))) == 1.0)
     assert(one(Dedup.jaccard(typedLit(Array("a")), typedLit(Array("b")))) == 0.0)
