@@ -239,17 +239,24 @@ object RelationalQueries {
   // insert. Emulated on testdata: pre-1997 aggregate is the target, 1997+
   // aggregate is the staging batch.
   // -------------------------------------------------------------------
+  /** Single-scan formulation (round-3 VERDICT: the two-scan + union +
+    * window version cost 3 shuffles and two lineitem reads). The MERGE
+    * decision "staging overrides target on key match" is a conditional
+    * aggregate: one scan, one partial+final hash agg on (article, site),
+    * then a map-side CASE — qty_staging is non-null iff the key has 1997+
+    * rows, exactly the "key present in staging" predicate. Decimal sums
+    * keep the values bit-identical to the windowed variant (exercised by
+    * `merge_dataflow` / Relational.upsertMerge, which this must match). */
   def upsertMerge(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
-    def aggOf(pred: Column, src: String) =
-      li.filter(pred)
-        .groupBy(col("l_partkey").as("article"), col("l_suppkey").as("site"))
-        .agg(dsum(col("l_quantity")).as("qty"))
-        .withColumn("src", lit(src))
-    val cut = to_date(lit("1997-01-01"))
-    val target  = aggOf(to_date(col("l_shipdate")) <  cut, "target")
-    val staging = aggOf(to_date(col("l_shipdate")) >= cut, "staging")
-    Relational.upsertMerge(Seq("article", "site"))(target, staging)
+    val isStaging = to_date(col("l_shipdate")) >= to_date(lit("1997-01-01"))
+    li.groupBy(col("l_partkey").as("article"), col("l_suppkey").as("site"))
+      .agg(
+        sum(when(isStaging, col("l_quantity").cast(D))).as("__qs"),
+        sum(when(!isStaging, col("l_quantity").cast(D))).as("__qt"))
+      .select(col("article"), col("site"),
+        coalesce(col("__qs"), col("__qt")).cast(DoubleType).as("qty"),
+        when(col("__qs").isNotNull, "staging").otherwise("target").as("src"))
   }
 
   val upsertMergeOracle: String =
@@ -266,6 +273,41 @@ object RelationalQueries {
       |), u AS (SELECT * FROM target UNION ALL SELECT * FROM staging)
       |SELECT article, site, qty, src FROM u
       |QUALIFY row_number() OVER (PARTITION BY article, site ORDER BY prec DESC) = 1
+      |""".stripMargin
+
+  // -------------------------------------------------------------------
+  // The Relational.upsertMerge dataflow op itself (union + precedence
+  // window), oracle-checked on the orders table — upsert_merge above now
+  // benchmarks the single-scan MERGE rewrite, this keeps the reusable
+  // operator's semantics under oracle coverage too.
+  // -------------------------------------------------------------------
+  def mergeDataflow(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    def aggOf(pred: Column, src: String) =
+      ord.filter(pred)
+        .groupBy(col("o_custkey").as("cust"))
+        .agg(dsum(col("o_totalprice")).as("total"))
+        .withColumn("src", lit(src))
+    val cut = to_date(lit("1997-01-01"))
+    val target  = aggOf(to_date(col("o_orderdate")) <  cut, "target")
+    val staging = aggOf(to_date(col("o_orderdate")) >= cut, "staging")
+    Relational.upsertMerge(Seq("cust"))(target, staging)
+  }
+
+  val mergeDataflowOracle: String =
+    """WITH target AS (
+      |  SELECT o_custkey AS cust,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+      |         'target' AS src, 0 AS prec
+      |  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1997-01-01' GROUP BY 1
+      |), staging AS (
+      |  SELECT o_custkey AS cust,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+      |         'staging' AS src, 1 AS prec
+      |  FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01' GROUP BY 1
+      |), u AS (SELECT * FROM target UNION ALL SELECT * FROM staging)
+      |SELECT cust, total, src FROM u
+      |QUALIFY row_number() OVER (PARTITION BY cust ORDER BY prec DESC) = 1
       |""".stripMargin
 
   // -------------------------------------------------------------------
@@ -462,6 +504,7 @@ object RelationalQueries {
     "region_rollup" -> (regionRollup _),
     "store_rp_report" -> (storeRpReport _),
     "upsert_merge" -> (upsertMerge _),
+    "merge_dataflow" -> (mergeDataflow _),
     "latest_event" -> (latestEvent _),
     "union_streams" -> (unionStreams _),
     "clean_functions" -> (cleanFunctions _),
@@ -479,6 +522,7 @@ object RelationalQueries {
     "region_rollup" -> regionRollupOracle,
     "store_rp_report" -> storeRpReportOracle,
     "upsert_merge" -> upsertMergeOracle,
+    "merge_dataflow" -> mergeDataflowOracle,
     "latest_event" -> latestEventOracle,
     "union_streams" -> unionStreamsOracle,
     "clean_functions" -> cleanFunctionsOracle,
