@@ -91,13 +91,13 @@ class SapTextReaderSpec extends SparkSpecBase {
     val target = Files.createTempDirectory("pupsert").toFile.getAbsolutePath + "/fact"
     UpsertWriter.upsertPartitioned(spark,
       Seq((1, "d1", "a"), (2, "d1", "b"), (3, "d2", "c")).toDF("k", "day", "v"),
-      target, Seq("k"), "day")
+      target, Seq("k", "day"), "day")
 
     val d2FilesBefore = new java.io.File(target, "day=d2").listFiles().map(_.getName).toSet
     // batch touches day=d1 only: update k=1, insert k=4
     UpsertWriter.upsertPartitioned(spark,
       Seq((1, "d1", "A"), (4, "d1", "d")).toDF("k", "day", "v"),
-      target, Seq("k"), "day")
+      target, Seq("k", "day"), "day")
 
     val out = spark.read.parquet(target).select("k", "day", "v")
       .as[(Int, String, String)].collect().toSet
@@ -105,6 +105,41 @@ class SapTextReaderSpec extends SparkSpecBase {
     // untouched partition's files were not rewritten
     val d2FilesAfter = new java.io.File(target, "day=d2").listFiles().map(_.getName).toSet
     assert(d2FilesAfter == d2FilesBefore)
+  }
+
+  test("partitioned upsert refuses a partition column outside the merge keys") {
+    val target = Files.createTempDirectory("pupsert3").toFile.getAbsolutePath + "/fact"
+    val e = intercept[IllegalArgumentException] {
+      UpsertWriter.upsertPartitioned(spark,
+        Seq((1, "d1", "a")).toDF("k", "day", "v"), target, Seq("k"), "day")
+    }
+    assert(e.getMessage.contains("migrate"))
+  }
+
+  test("partitioned upsert mid-swap crash rolls back to the pre-call state") {
+    val target = Files.createTempDirectory("pupsert4").toFile.getAbsolutePath + "/fact"
+    UpsertWriter.upsertPartitioned(spark,
+      Seq((1, "d1", "a"), (2, "d2", "b"), (3, "d3", "c")).toDF("k", "day", "v"),
+      target, Seq("k", "day"), "day")
+    val before = spark.read.parquet(target).select("k", "day", "v")
+      .as[(Int, String, String)].collect().toSet
+
+    // batch touches all three partitions; crash injected after one swap
+    val e = intercept[IllegalStateException] {
+      UpsertWriter.upsertPartitionedImpl(spark,
+        Seq((1, "d1", "A"), (2, "d2", "B"), (3, "d3", "C")).toDF("k", "day", "v"),
+        target, Seq("k", "day"), "day",
+        assumeKeyPartitionStable = false, failAfterSwaps = 1)
+    }
+    assert(e.getMessage.contains("injected"))
+    // target is readable and byte-for-byte back to its previous content
+    val after = spark.read.parquet(target).select("k", "day", "v")
+      .as[(Int, String, String)].collect().toSet
+    assert(after == before)
+    // no trash/tmp litter left behind
+    val parent = new java.io.File(target).getParentFile
+    assert(!parent.listFiles().exists(f =>
+      f.getName.endsWith(".__tmp") || f.getName.endsWith(".__trash")))
   }
 
   test("fileNameColumn extracts regex groups from the source path") {
