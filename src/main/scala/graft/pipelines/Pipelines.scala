@@ -39,30 +39,68 @@ object ZstpromoPipeline {
 
 object ZrssalePipeline {
 
-  /** pipelines/etl_zrssale.py:43-219 — wholesale billing lines (subset of
-    * the 24-entry rename map; full line-level grain, keys Bill_Doc+Item). */
+  /** pipelines/etl_zrssale.py:73-101 — the FULL shared rename map for both
+    * export branches (D2/D3), wholesale billing lines at line grain,
+    * upsert keys Bill_Doc+Item (etl_zrssale.py:219). */
   val renames = Map(
-    "Bill.Doc." -> "Bill_Doc", "Billing Date" -> "Date",
-    "Sold-to pt" -> "Sold_To", "Bill. Qty" -> "Quantity",
-    "Net Value" -> "Amt", "Material" -> "Article")
-  val numericCols = Seq("Quantity", "Amt", "Cost")
+    "SOrg." -> "SOrg", "Sold-to" -> "Sold_To", "Ship-to" -> "Ship_To",
+    "Name 1" -> "Name", "Bill.Doc." -> "Bill_Doc", "Bill. Date" -> "Date",
+    "Mdse Cat." -> "MCH", "Bill.qty" -> "Quantity_SUn", "SU" -> "SUn",
+    "BillQtySKU" -> "Quantity", "Sales Amou" -> "Amt", "Curr." -> "Curr",
+    "SAP Tax" -> "SAP_Tax", "Sales Doc." -> "Sales_Doc",
+    "Ship-to st" -> "Ship_To_State", "Ship-to Ci" -> "Ship_To_City",
+    "TaxRate %" -> "Tax_Rate", "Net Value" -> "Net", "Reg" -> "DlvState",
+    "Search Ter" -> "Search_Ter", "Postal Cod" -> "Postal_Code",
+    "N Weight" -> "N_Weight", "Inco. 2" -> "Inco_2",
+    "MTyp" -> "Article_Type", "Art.type descr." -> "Article_Type_Description",
+    "POS Tax" -> "POS_Tax", "Net Sale" -> "Net_Sale")
+
+  /** The 14 fast_numeric columns (etl_zrssale.py:104-107). */
+  val numericCols = Seq("Quantity_SUn", "Quantity", "Amt", "Cost", "SAP_Tax",
+    "ArtTax", "Tax_Rate", "CRVRate", "Net", "N_Weight", "Discount", "WSale",
+    "POS_Tax", "Net_Sale")
   val upsertKeys = Seq("Bill_Doc", "Item")
 
-  /** Line-level clean: rename, ZTTG article filter
-    * (etl_zrssale.py:107), SAP-number parse, date parse, key dropna. */
+  /** D2 per-file pre-rename (etl_zrssale.py:54-56): the D2 tab layout
+    * labels the article-type description column "Descript.". */
+  val d2PreRenames = Map("Descript." -> "Art.type descr.")
+
+  /** Line-level clean shared by both branches: date parse MM/dd/yyyy
+    * (etl_zrssale.py:53), Article dropna (etl_zrssale.py:54), rename,
+    * SAP-number parse, ZTTG article filter (etl_zrssale.py:108), key
+    * dropna. Only columns present are touched — pandas-rename semantics. */
   def transform(raw: DataFrame): DataFrame = {
-    val cleaned = Clean.sapNumberAll(
-      Clean.renameAll(raw, renames)
-        .filter(col("Article_Type") === "ZTTG")
-        .withColumn("Date", Clean.sapDate(col("Date"))),
-      numericCols)
-    cleaned.na.drop(Seq("Bill_Doc", "Item"))
+    val renamed = Clean.renameAll(raw.na.drop(Seq("Article")), renames)
+      .withColumn("Date", Clean.sapDate(col("Date")))
+    val present = numericCols.filter(renamed.columns.contains)
+    Clean.sapNumberAll(renamed, present)
+      .filter(col("Article_Type") === "ZTTG")
+      .na.drop(upsertKeys)
   }
 
-  /** The D1 dedup side path (etl_zrssale.py:63): one row per Article,
-    * deterministic keeper. */
+  /** D2 branch: pre-rename then shared clean. */
+  def transformD2(raw: DataFrame): DataFrame =
+    transform(Clean.renameAll(raw, d2PreRenames))
+
+  /** The D2 article-dedup side path (etl_zrssale.py:63): one row per
+    * Article, deterministic keeper. */
   def articleMaster(lines: DataFrame): DataFrame =
     Relational.dedupKeepFirst(Seq("Article"), Seq(col("Bill_Doc"), col("Item")))(lines)
+}
+
+object ZrssaleD3Pipeline {
+
+  /** pipelines/etl_zrssale.py:262-318 — the SECOND export format: same
+    * target table and keys, but the D3 tab layout spells two headers
+    * differently ("Descript.", "Ship-to City") and skips the Article
+    * drop_duplicates. Pre-rename to the shared shape, then the shared
+    * clean — one transform, two source layouts. */
+  val preRenames = Map(
+    "Descript." -> "Art.type descr.",
+    "Ship-to City" -> "Ship-to Ci")
+
+  def transform(raw: DataFrame): DataFrame =
+    ZrssalePipeline.transform(Clean.renameAll(raw, preRenames))
 }
 
 object ZmmidrOunPipeline {
@@ -212,24 +250,141 @@ object ZmmidrDryPipeline {
 
 object DimLoader {
 
-  /** pipelines/etl_upload_excel.py:12-139 — dimension upload configs:
-    * (source file, declared schema, PK) per dim; load -> schema-align ->
-    * keyed upsert. Spreadsheets arrive as CSV with identical columns. */
-  case class DimConfig(name: String, schema: StructType, keys: Seq[String])
+  /** pipelines/etl_upload_excel.py:12-139 — the COMPLETE dimension/fact
+    * upload config table: (source workbook, target table, declared
+    * schema, PK) per entry, mirroring every `excel_configs` entry, plus
+    * dim_Article whose load lives in the ZMACHK pipeline
+    * (etl_zmachk.py:113-117). Load -> schema-align -> PK enforcement ->
+    * keyed upsert. Spreadsheets arrive as CSV with identical columns
+    * (FIXTURES.md substitution). */
+  case class DimConfig(source: String, table: String, schema: StructType,
+                       keys: Seq[String])
+
+  private def nv(n: String)   = StructField(n, StringType)
+  private def dec(n: String)  = StructField(n, DecimalType(18, 6))
+  private def intF(n: String) = StructField(n, IntegerType)
+  private def dt(n: String)   = StructField(n, DateType)
 
   val dims: Seq[DimConfig] = Seq(
-    DimConfig("dim_Calendar", StructType(Seq(
-      StructField("Date", DateType), StructField("AcctWk", IntegerType),
-      StructField("Period", StringType))), Seq("Date")),
-    DimConfig("dim_Store", StructType(Seq(
-      StructField("Site", StringType), StructField("Name", StringType),
-      StructField("Region", StringType))), Seq("Site")),
-    DimConfig("dim_Article", StructType(Seq(
-      StructField("Article", StringType), StructField("Description", StringType),
-      StructField("MCH", StringType))), Seq("Article")))
+    // etl_upload_excel.py:13-27
+    DimConfig("Calendar", "dim_Calendar", StructType(Seq(
+      dt("Date"), nv("Wkday"), nv("Week"), nv("Period"), intF("Month"),
+      nv("Quarter"), intF("Year"), nv("AcctWk"), nv("PromWk"))), Seq("Date")),
+    // etl_upload_excel.py:29-37
+    DimConfig("WeekPeriod", "dim_WeekPeriod", StructType(Seq(
+      nv("AcctWk"), nv("Period"), nv("Quarter"), intF("Year"))), Seq("AcctWk")),
+    // etl_upload_excel.py:38-50
+    DimConfig("MCH_CM", "dim_MCH_CM", StructType(Seq(
+      nv("MCH"), nv("MCH_Description"), nv("Class"), nv("Class_Description"),
+      nv("Dept"), nv("Dept_EN"), nv("CM"))), Seq("MCH")),
+    // etl_upload_excel.py:52-61
+    DimConfig("DC", "dim_DC", StructType(Seq(
+      nv("DC"), nv("Region"), nv("DC_Type"), nv("Company"))), Seq("DC")),
+    // etl_upload_excel.py:63-76
+    DimConfig("Site", "dim_Store", StructType(Seq(
+      nv("Site"), nv("Region"), nv("Region2"), nv("Region3"), nv("State"),
+      nv("Company_Code"), nv("Store_Name"), dt("Open_Date"))), Seq("Site")),
+    // etl_upload_excel.py:78-89 — composite PK
+    DimConfig("Customer", "dim_WLChannel", StructType(Seq(
+      nv("Sales_Group"), nv("Sold_To"), nv("Customer_Name"), nv("Channel"),
+      nv("Sales_District"), nv("Sales_Office"))), Seq("Sales_Group", "Sold_To")),
+    // etl_upload_excel.py:91-111 — decimal-heavy fact shape
+    DimConfig("Tawa_Fcst", "fact_Forecast", StructType(Seq(
+      nv("Site"), nv("Article"), dec("Tawa_Fsct"), dec("Tawa_Fsct_Inlcude_Promo"),
+      dec("Tawa_On_Order"), nv("Qty_Oun"), dec("Walong_Fcst"),
+      dec("Walong_Fcst_Include_promo"), dec("Lead_Time"), dec("Order_Interval"),
+      dec("Safety_Stock"), dec("Fina_Order_Qty"), nv("Dept"),
+      nv("Article_NoDC"), dt("Date"))), Seq("Article_NoDC")),
+    // etl_upload_excel.py:113-126 — second feed into dim_MCH_CM
+    DimConfig("MCH-Dept head", "dim_MCH_CM", StructType(Seq(
+      nv("MCH"), nv("Dept_EN"), nv("Dept_CN"), nv("MCH_Section"),
+      nv("MCH_Group"), nv("Dept_Head"), nv("Current_CM"), nv("New_CM"))), Seq("MCH")),
+    // etl_upload_excel.py:128-135
+    DimConfig("Division", "Map_Division", StructType(Seq(
+      intF("Division"), nv("Description"))), Seq("Division")),
+    // etl_zmachk.py:113-117 — article master dimension
+    DimConfig("Article", "dim_Article", StructType(Seq(
+      nv("Article"), nv("Article_Description"), nv("MCH"),
+      dt("Valid_From_Date"), dec("Gross_Weight"))), Seq("Article")))
+
+  def config(source: String): DimConfig = dims.find(_.source == source)
+    .getOrElse(throw new IllegalArgumentException(s"no dim config for $source"))
+
+  /** PK enforcement — the Spark analog of the reference's
+    * `ALTER COLUMN ... NOT NULL` + `ADD CONSTRAINT ... PRIMARY KEY`
+    * (etl_upload_excel.py:180-215): one aggregate pass over the staged
+    * batch rejects null or duplicate keys before anything publishes.
+    * A SQL Server MERGE would likewise fail on either; failing BEFORE the
+    * write keeps the target untouched. */
+  def assertPrimaryKey(df: DataFrame, keys: Seq[String]): Unit = {
+    val anyNull = keys.map(col(_).isNull).reduce(_ || _)
+    val r = df.agg(
+      count(lit(1)).as("n"),
+      count(when(anyNull, 1)).as("nulls"),
+      countDistinct(keys.head, keys.tail: _*).as("dk")).head
+    if (r.getLong(1) > 0)
+      throw new IllegalStateException(
+        s"PK violation: ${r.getLong(1)} rows with null key ${keys.mkString(",")}")
+    if (r.getLong(2) != r.getLong(0))
+      throw new IllegalStateException(
+        s"PK violation: ${r.getLong(0) - r.getLong(2)} duplicate keys ${keys.mkString(",")}")
+  }
 
   def load(spark: SparkSession, cfg: DimConfig, csvPath: String, targetPath: String): Unit = {
     val raw = spark.read.option("header", "true").csv(csvPath)
-    UpsertWriter.upsert(spark, Clean.schemaAlign(raw, cfg.schema), targetPath, cfg.keys)
+    val aligned = Clean.schemaAlign(raw, cfg.schema)
+    assertPrimaryKey(aligned, cfg.keys)
+    UpsertWriter.upsert(spark, aligned, targetPath, cfg.keys)
+  }
+}
+
+object ZmmidrBUnPipeline {
+
+  /** pipelines/etl_zmmidr_bun.py:17-105 — the BUn (base-unit) DC
+    * inventory snapshot: same shape family as ZmmidrOunPipeline (filename
+    * carries dept/DC, leading-zero strip, clean_number stocks, snapshot
+    * date stamp, keep-last dedup on (Date, DC, Article)) with its own
+    * filename pattern and a DC-group rollup side output. */
+  val filenamePattern = ".*[Zz]mmidr_bun_(\\d{3})_(\\d{4})_\\d{8}\\.\\w+$"
+  val upsertKeys = Seq("DC", "Article", "Date")
+
+  def transform(raw: DataFrame, snapshotDate: Column = current_date()): DataFrame =
+    raw
+      .withColumn("Dept", SapTextReader.fileNameColumn(filenamePattern, 1))
+      .withColumn("DC", SapTextReader.fileNameColumn(filenamePattern, 2))
+      .withColumnRenamed("Article No", "Article")
+      .withColumn("Article", Clean.stripLeadingZeros(col("Article")))
+      .filter(col("Article").isNotNull && col("Article") =!= "") // totals row
+      .withColumn("Unrestricted-Use Stock", Clean.sapNumber(col("Unrestricted-Use Stock"), DecimalType(14, 6)))
+      .withColumn("On order Stock", Clean.sapNumber(col("On order Stock"), DecimalType(14, 6)))
+      .withColumn("Date", snapshotDate)
+
+  /** Keep-last on the snapshot key, file order as the tiebreak
+    * (etl_zmmidr_bun.py:64-68 keep='last'). */
+  def dedupSnapshots(df: DataFrame): DataFrame =
+    Relational.dedupKeepLast(Seq("Date", "DC", "Article"),
+      Seq(col("_source_file")))(df)
+
+  /** Process_Dry_Zmmidr (etl_zmmidr_bun.py:126-168): roll SCA
+    * {9891,9801} up under 9891 and EC {9790,9901} under 9790; 9900 and
+    * 9793 pass through; other DCs drop out (the isin filters). One
+    * broadcast membership join + one groupBy — not one shuffle per
+    * region. */
+  val dcGroups: Seq[(String, String)] = Seq(
+    "9891" -> "9891", "9801" -> "9891",
+    "9790" -> "9790", "9901" -> "9790",
+    "9900" -> "9900", "9793" -> "9793")
+
+  def dcRollup(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    df.na.drop(Seq("Article"))
+      .join(broadcast(dcGroups.toDF("DC", "DC_Group")), Seq("DC"))
+      .groupBy(col("DC_Group"), col("Article"))
+      .agg(sum(col("Unrestricted-Use Stock")).as("Unrestricted-Use Stock"),
+        sum(col("On order Stock")).as("On order Stock"))
+      .select(
+        concat(col("DC_Group"), col("Article")).as("Article NoDC"),
+        col("DC_Group").as("DC"), col("Article"),
+        col("Unrestricted-Use Stock"), col("On order Stock"))
   }
 }

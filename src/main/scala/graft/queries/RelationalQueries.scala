@@ -311,6 +311,28 @@ object RelationalQueries {
       |""".stripMargin
 
   // -------------------------------------------------------------------
+  // S11 batch done-log (sap_scripts/sap_utils.py:20-31): work units not
+  // yet in the processed-key ledger. Emulated on testdata: orders are the
+  // unit stream; pre-1996 orders form the ledger of completed extractions.
+  // -------------------------------------------------------------------
+  def doneLogPending(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("unit"), col("o_custkey").as("cust"),
+        to_date(col("o_orderdate")).as("date"))
+    val ledger = ord.filter(col("date") < to_date(lit("1996-01-01")))
+    graft.io.DoneLog.pending(ord, ledger, Seq("unit"))
+  }
+
+  val doneLogPendingOracle: String =
+    """SELECT o_orderkey AS unit, o_custkey AS cust,
+      |       CAST(o_orderdate AS DATE) AS date
+      |FROM orders
+      |WHERE o_orderkey NOT IN (
+      |  SELECT o_orderkey FROM orders
+      |  WHERE CAST(o_orderdate AS DATE) < DATE '1996-01-01')
+      |""".stripMargin
+
+  // -------------------------------------------------------------------
   // §2.6 latest snapshot per key over the events stream table.
   // -------------------------------------------------------------------
   def latestEvent(spark: SparkSession, sfDir: String): DataFrame =
@@ -505,6 +527,7 @@ object RelationalQueries {
     "store_rp_report" -> (storeRpReport _),
     "upsert_merge" -> (upsertMerge _),
     "merge_dataflow" -> (mergeDataflow _),
+    "done_log_pending" -> (doneLogPending _),
     "latest_event" -> (latestEvent _),
     "union_streams" -> (unionStreams _),
     "clean_functions" -> (cleanFunctions _),
@@ -523,6 +546,7 @@ object RelationalQueries {
     "store_rp_report" -> storeRpReportOracle,
     "upsert_merge" -> upsertMergeOracle,
     "merge_dataflow" -> mergeDataflowOracle,
+    "done_log_pending" -> doneLogPendingOracle,
     "latest_event" -> latestEventOracle,
     "union_streams" -> unionStreamsOracle,
     "clean_functions" -> cleanFunctionsOracle,

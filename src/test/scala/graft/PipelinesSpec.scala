@@ -20,18 +20,39 @@ class PipelinesSpec extends SparkSpecBase {
     assert(out == Set(("A1", 749.5, 12.0, "EA"))) // bad date row dropped
   }
 
-  test("ZrssalePipeline filters ZTTG and keeps line grain; articleMaster dedups") {
+  test("Zrssale D2: full rename map, ZTTG filter, line grain; articleMaster dedups") {
     val raw = Seq(
-      ("B1", "10", "A1", "ZTTG", "03/01/1996", "5.0", "100.00", "1.0"),
-      ("B1", "20", "A1", "ZTTG", "03/01/1996", "2.0", "40.00", "1.0"),
-      ("B2", "10", "A2", "OTHER", "03/01/1996", "9.0", "90.00", "1.0"))
-      .toDF("Bill.Doc.", "Item", "Material", "Article_Type", "Billing Date",
-        "Bill. Qty", "Net Value", "Cost")
-    val lines = ZrssalePipeline.transform(raw)
+      ("B1", "10", "A1", "ZTTG", "tax goods", "03/01/1996", "5.0", "100.00", "1,250.50-", "2.0"),
+      ("B1", "20", "A1", "ZTTG", "tax goods", "03/01/1996", "2.0", "40.00", "10.00", "1.0"),
+      ("B2", "10", "A2", "OTHER", "other", "03/01/1996", "9.0", "90.00", "9.00", "1.0"))
+      .toDF("Bill.Doc.", "Item", "Article", "MTyp", "Descript.", "Bill. Date",
+        "BillQtySKU", "Sales Amou", "Net Value", "Cost")
+    val lines = ZrssalePipeline.transformD2(raw)
     assert(lines.count() == 2) // OTHER filtered out
+    // full-map renames landed, numerics parsed (incl. trailing minus), date typed
+    val r = lines.filter(col("Item") === "10")
+      .select(col("Bill_Doc"), col("Article_Type"), col("Article_Type_Description"),
+        col("Date").cast("string"), col("Quantity").cast("double"),
+        col("Amt").cast("double"), col("Net").cast("double"))
+      .as[(String, String, String, String, Double, Double, Double)].head()
+    assert(r == ("B1", "ZTTG", "tax goods", "1996-03-01", 5.0, 100.0, -1250.5))
     val master = ZrssalePipeline.articleMaster(lines)
       .select("Article", "Bill_Doc", "Item").as[(String, String, String)].collect().toSeq
     assert(master == Seq(("A1", "B1", "10"))) // keep-first on (Bill_Doc, Item)
+  }
+
+  test("Zrssale D3: second tab layout pre-renames into the shared transform") {
+    val raw = Seq(
+      ("B9", "10", "A9", "ZTTG", "d3 desc", "Los Angeles", "04/01/1996", "3.0", "30.00"),
+      ("B9", "20", "A9", "OTHER", "d3 desc", "Irvine", "04/01/1996", "1.0", "10.00"))
+      .toDF("Bill.Doc.", "Item", "Article", "MTyp", "Descript.", "Ship-to City",
+        "Bill. Date", "BillQtySKU", "Sales Amou")
+    val lines = ZrssaleD3Pipeline.transform(raw)
+    val r = lines
+      .select(col("Bill_Doc"), col("Item"), col("Article_Type_Description"),
+        col("Ship_To_City"), col("Quantity").cast("double"))
+      .as[(String, String, String, String, Double)].collect().toSeq
+    assert(r == Seq(("B9", "10", "d3 desc", "Los Angeles", 3.0)))
   }
 
   test("ZmmidrOunPipeline: filename-derived DC, zero-strip, dedup keep-last, rollup") {
@@ -131,18 +152,118 @@ class PipelinesSpec extends SparkSpecBase {
       ("124", 0.0, "9891124"))) // dept 107 dropped; garbage -> 0.0 (dry-variant cleaner)
   }
 
-  test("DimLoader schema-aligns and upserts a dimension") {
+  test("DimLoader covers every reference upload config") {
+    // one config per excel_configs entry (etl_upload_excel.py:12-139)
+    // plus dim_Article from the ZMACHK load
+    assert(DimLoader.dims.map(_.source).toSet == Set(
+      "Calendar", "WeekPeriod", "MCH_CM", "DC", "Site", "Customer",
+      "Tawa_Fcst", "MCH-Dept head", "Division", "Article"))
+    assert(DimLoader.config("Customer").keys == Seq("Sales_Group", "Sold_To"))
+    assert(DimLoader.config("Tawa_Fcst").table == "fact_Forecast")
+    assert(DimLoader.config("Tawa_Fcst").schema.fields.length == 15)
+  }
+
+  test("DimLoader schema-aligns, enforces the PK, and upserts (typed-dim shape)") {
     val dir = Files.createTempDirectory("dim").toFile
     val csv = new java.io.File(dir, "calendar.csv")
     Files.write(csv.toPath,
-      "Date,AcctWk,Period\n1996-03-15,11,P3\n1996-03-22,twelve,P3\n".getBytes)
+      ("Date,Wkday,Week,Period,Month,Quarter,Year,AcctWk,PromWk\n" +
+        "1996-03-15,Fri,W11,P3,3,Q1,1996,199611,199611\n" +
+        "1996-03-22,Fri,W12,P3,bad-month,Q1,1996,199612,199612\n").getBytes)
     val target = dir.getAbsolutePath + "/dim_Calendar"
-    DimLoader.load(spark, DimLoader.dims.head, csv.getAbsolutePath, target)
+    DimLoader.load(spark, DimLoader.config("Calendar"), csv.getAbsolutePath, target)
     val out = spark.read.parquet(target)
-      .select(col("Date").cast("string"), col("AcctWk"), col("Period"))
+      .select(col("Date").cast("string"), col("Month"), col("AcctWk"))
       .as[(String, Option[Int], String)].collect().toSet
     assert(out == Set(
-      ("1996-03-15", Some(11), "P3"),
-      ("1996-03-22", None, "P3"))) // unparseable week -> null (coerce)
+      ("1996-03-15", Some(3), "199611"),
+      ("1996-03-22", None, "199612"))) // unparseable month -> null (coerce)
+  }
+
+  test("DimLoader composite-PK shape loads; PK violations abort before publish") {
+    val dir = Files.createTempDirectory("dim2").toFile
+    def write(name: String, body: String) = {
+      val f = new java.io.File(dir, name)
+      Files.write(f.toPath, body.getBytes); f.getAbsolutePath
+    }
+    val ok = write("cust.csv",
+      "Sales_Group,Sold_To,Customer_Name,Channel,Sales_District,Sales_Office\n" +
+        "G1,C1,Acme,WH,West,LA\nG1,C2,Bravo,WH,West,LA\n")
+    val target = dir.getAbsolutePath + "/dim_WLChannel"
+    DimLoader.load(spark, DimLoader.config("Customer"), ok, target)
+    assert(spark.read.parquet(target).count() == 2)
+
+    // duplicate composite key -> abort, target untouched
+    val dup = write("cust_dup.csv",
+      "Sales_Group,Sold_To,Customer_Name,Channel,Sales_District,Sales_Office\n" +
+        "G1,C1,Acme,WH,West,LA\nG1,C1,AcmeAgain,WH,West,LA\n")
+    val e = intercept[IllegalStateException] {
+      DimLoader.load(spark, DimLoader.config("Customer"), dup, target)
+    }
+    assert(e.getMessage.contains("duplicate"))
+    assert(spark.read.parquet(target).count() == 2)
+
+    // unparseable int PK -> coerced to null -> abort
+    val badInt = write("div.csv", "Division,Description\nnot-a-number,West\n")
+    val e3 = intercept[IllegalStateException] {
+      DimLoader.load(spark, DimLoader.config("Division"), badInt,
+        dir.getAbsolutePath + "/Map_Division")
+    }
+    assert(e3.getMessage.contains("null key"))
+  }
+
+  test("ZmmidrBUnPipeline: filename-derived DC, clean, keep-last, DC-group rollup") {
+    val dir = Files.createTempDirectory("zmmidrbun").toFile
+    def write(name: String, rows: Seq[String]): Unit =
+      Files.write(new java.io.File(dir, name).toPath,
+        (Seq("Article No,MCH,Unrestricted-Use Stock,On order Stock") ++ rows)
+          .mkString("\n").getBytes("UTF-8"))
+    write("Zmmidr_bun_106_9891_03151996.csv", Seq("000123,M1,\"1,000.00\",5.00", ",,0,0"))
+    write("Zmmidr_bun_106_9801_03151996.csv", Seq("000123,M1,200.00,1.00"))
+    write("Zmmidr_bun_106_9900_03151996.csv", Seq("000123,M1,50.00,2.00"))
+    write("Zmmidr_bun_106_9777_03151996.csv", Seq("000123,M1,7.00,0.00")) // not in any group
+
+    val raw = spark.read.option("header", "true")
+      .csv(dir.getAbsolutePath + "/Zmmidr_bun_*.csv")
+      .withColumn("_source_file", input_file_name())
+    val t = ZmmidrBUnPipeline.transform(raw, to_date(lit("1996-03-15")))
+    assert(t.count() == 4) // totals row dropped
+    assert(ZmmidrBUnPipeline.dedupSnapshots(t).count() == 4) // distinct DCs
+
+    val rollup = ZmmidrBUnPipeline.dcRollup(spark, t)
+      .select(col("DC"), col("Article"), col("Article NoDC"),
+        col("Unrestricted-Use Stock").cast("double"))
+      .as[(String, String, String, Double)].collect().toSet
+    assert(rollup == Set(
+      ("9891", "123", "9891123", 1200.0), // SCA = 9891 + 9801
+      ("9900", "123", "9900123", 50.0)))  // passthrough; 9777 dropped
+  }
+
+  test("DoneLog: pending anti-join is replay-idempotent and order-insensitive") {
+    val dir = Files.createTempDirectory("donelog").toFile.getAbsolutePath
+    val ledgerPath = dir + "/ledger"
+    val units = (1 to 10).map(i => (s"u$i", s"payload$i")).toDF("unit", "body")
+
+    val ledger0 = graft.io.DoneLog.readLedger(spark, ledgerPath, units, Seq("unit"))
+    assert(graft.io.DoneLog.pending(units, ledger0, Seq("unit")).count() == 10)
+
+    // process the first 4, twice (replay) — ledger reads stay idempotent
+    val batch1 = units.filter(col("unit").isin("u1", "u2", "u3", "u4"))
+    graft.io.DoneLog.recordDone(batch1, Seq("unit"), ledgerPath)
+    graft.io.DoneLog.recordDone(batch1, Seq("unit"), ledgerPath)
+    val ledger1 = graft.io.DoneLog.readLedger(spark, ledgerPath, units, Seq("unit"))
+    val p1 = graft.io.DoneLog.pending(units, ledger1, Seq("unit"))
+    assert(p1.count() == 6)
+
+    // finish the rest in arbitrary split order; pending converges to zero
+    graft.io.DoneLog.recordDone(p1.filter(col("unit") > "u7"), Seq("unit"), ledgerPath)
+    graft.io.DoneLog.recordDone(p1.filter(col("unit") <= "u7"), Seq("unit"), ledgerPath)
+    val ledger2 = graft.io.DoneLog.readLedger(spark, ledgerPath, units, Seq("unit"))
+    assert(graft.io.DoneLog.pending(units, ledger2, Seq("unit")).count() == 0)
+    // done-key rendering matches the reference's "_".join
+    val dk = units.limit(1).select(
+      graft.io.DoneLog.doneKey(Seq(col("unit"), col("body"))).as("k"))
+      .as[String].head()
+    assert(dk == "u1_payload1")
   }
 }
