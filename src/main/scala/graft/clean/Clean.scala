@@ -78,7 +78,9 @@ object Clean {
     */
   def schemaAlign(df: DataFrame, schema: StructType): DataFrame = {
     val cols = schema.fields.map { f =>
-      val src = if (df.columns.contains(f.name)) col(f.name) else lit(null)
+      // backtick-quote so names with dots (pandas duplicate-column
+      // artifacts like "Article Description.1") resolve as plain names
+      val src = if (df.columns.contains(f.name)) col(s"`${f.name}`") else lit(null)
       val coerced = f.dataType match {
         case StringType      => coalesce(src.cast(StringType), lit(""))
         case _: NumericType  => src.cast(StringType).try_cast(f.dataType)

@@ -94,6 +94,46 @@ object Relational {
   def latestSnapshot(keys: Seq[String], order: Seq[Column])(df: DataFrame): DataFrame =
     dedupKeepLast(keys, order)(df)
 
+  /** As-of join (beyond-reference temporal primitive): for every left
+    * row, attach the payload of the latest right row whose `rightTime`
+    * is <= the left row's `leftTime`, per join key — the point-in-time
+    * lookup a snapshot/fact enrichment needs (and what a training-data
+    * pipeline uses to join features "as of" a label timestamp).
+    *
+    * Spark has no ASOF JOIN operator; the scalable restatement is the
+    * union-and-carry plan: tag both sides, union, and carry the last
+    * right payload forward with a running `last(ignoreNulls)` window.
+    * ONE shuffle on the keys + a per-key sort — no range join, no
+    * per-key loop, no quadratic candidate set; at 100 TB the sort is
+    * bounded per key, and skewed keys fall under AQE like any window.
+    *
+    * Determinism: at equal timestamps the right row sorts first
+    * (inclusive <=), and `rightOrd` totally orders right rows sharing a
+    * timestamp (highest wins). Payload travels as one struct so all
+    * attached columns come from the SAME right row. Left rows with no
+    * prior right row get nulls (left-outer semantics). */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTime: Column, rightTime: Column, rightOrd: Column,
+               payload: Seq[String], prefix: String = "asof_"): DataFrame = {
+    val r = right.select(
+      keys.map(col) ++ Seq(rightTime.as("__t"), rightOrd.as("__ord"),
+        struct(payload.map(col): _*).as("__asof")): _*)
+      .withColumn("__side", lit(0))
+    val l = left
+      .withColumn("__t", leftTime)
+      .withColumn("__side", lit(1))
+      .withColumn("__ord", lit(null).cast(r.schema("__ord").dataType))
+      .withColumn("__asof", lit(null).cast(r.schema("__asof").dataType))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__side"), col("__ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__last", last(col("__asof"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(col) ++
+        payload.map(c => col(s"__last.`$c`").as(prefix + c)): _*)
+  }
+
   /** Skew-salted aggregation: when a grouping key is pathologically hot
     * (one key >> executor memory), aggregate in two stages — first on
     * (key, salt) with salt = hash(whole row) % factor, then on key.

@@ -52,6 +52,32 @@ object Similarity {
       .select("qid", "nid", "cos", "rank")
   }
 
+  /** Multi-probe sign-LSH top-k — the recall/fan-out dial the plain
+    * bucket join lacks. More bits shrink buckets (candidate set ~N/2^bits
+    * per probe, the 100 TB lever); probing the exact bucket PLUS every
+    * 1-bit-flip neighbor recovers the recall the extra bits cost. The
+    * query side explodes to bits+1 probe buckets (queries are the small
+    * side), the corpus keeps one bucket per vector, and the probe join
+    * stays a plain equi-join. A (query, candidate) pair matches at most
+    * one probe (probe buckets are distinct), so no dedup is needed. */
+  def signLshMultiProbeTopK(queries: DataFrame, corpus: DataFrame,
+                            bits: Int, k: Int): DataFrame = {
+    val c = corpus.withColumn("bucket", signBucket(col("nvec"), bits))
+    val flips = array((lit(0) +: (0 until bits).map(i => lit(1 << i))): _*)
+    val q = queries
+      .withColumn("__b0", signBucket(col("qvec"), bits))
+      .withColumn("__flip", explode(flips))
+      .withColumn("bucket", col("__b0").bitwiseXOR(col("__flip")))
+      .drop("__b0", "__flip")
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", cosineSim(col("qvec"), col("nvec")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "cos", "rank")
+  }
+
   /** Approximate top-k: same contract, but candidates must share the
     * query's sign-LSH bucket. One equi-join on bucket instead of a cross
     * join — the 100 TB path. */

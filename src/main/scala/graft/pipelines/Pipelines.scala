@@ -338,6 +338,45 @@ object DimLoader {
   }
 }
 
+object ZinMchPipeline {
+
+  /** pipelines/etl_zin_mch.py:23-48 — the Zmmidr_9801 assortment
+    * snapshot: strip the spreadsheet ".0" numeric-as-string artifact on
+    * five string-typed columns, align to the declared table schema
+    * (including the pandas duplicate-column name "Article
+    * Description.1"), and full-replace the target (S7 replace sink,
+    * `upload_to_sql(..., 'replace')`). */
+  val stringCols = Seq("Article No", "MCH", "Pack size", "SCA Assortment",
+    "Assortment grade")
+
+  val schema: StructType = StructType(Seq(
+    StructField("Article No", StringType), StructField("MCH", StringType),
+    StructField("Article Description", StringType),
+    StructField("Article Description.1", StringType),
+    StructField("Pack size", StringType),
+    StructField("D/C MAP", DecimalType(10, 2)),
+    StructField("Unrestricted-Use Stock", IntegerType),
+    StructField("Allocation Qty", IntegerType),
+    StructField("On order Stock", IntegerType),
+    StructField("Unrestricted Stock Value", DecimalType(14, 2)),
+    StructField("PTD MVMT", IntegerType), StructField("YTD MVMT", IntegerType),
+    StructField("SCA Assortment", StringType),
+    StructField("Assortment grade", StringType),
+    StructField("Asrt.Grade Description", StringType)))
+
+  def transform(raw: DataFrame): DataFrame =
+    Clean.schemaAlign(
+      stringCols.foldLeft(raw)((d, c) =>
+        if (d.columns.contains(c)) d.withColumn(c, Clean.stripDotZero(col(s"`$c`")))
+        else d),
+      schema)
+
+  /** Full-replace sink (the reference's if_exists='replace'). */
+  def run(spark: SparkSession, csvPath: String, targetPath: String): Unit =
+    transform(spark.read.option("header", "true").csv(csvPath))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(targetPath)
+}
+
 object ZmmidrBUnPipeline {
 
   /** pipelines/etl_zmmidr_bun.py:17-105 — the BUn (base-unit) DC

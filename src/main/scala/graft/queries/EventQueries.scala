@@ -147,7 +147,42 @@ object EventQueries {
       |FROM events GROUP BY 1
       |""".stripMargin
 
+  // -------------------------------------------------------------------
+  // As-of join: each purchase gets the latest click at-or-before it by
+  // the same user (point-in-time feature lookup). Single-shuffle
+  // union-and-carry plan — see Relational.asofJoin.
+  // -------------------------------------------------------------------
+  def asofJoinQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+    Relational.asofJoin(purchases, clicks, Seq("user_id"),
+        col("ts"), col("ts"), col("event_id"),
+        Seq("event_id", "ts", "value"), "click_")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"),
+        col("click_event_id").as("click_id"), col("click_ts"),
+        col("click_value"))
+  }
+
+  val asofJoinOracle: String =
+    s"""WITH p AS (
+       |  SELECT event_id, user_id, $tsSql AS ts, value
+       |  FROM events WHERE event_type = 'purchase'),
+       |c AS (
+       |  SELECT event_id, user_id, $tsSql AS ts, value
+       |  FROM events WHERE event_type = 'click')
+       |SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+       |       p.value AS purchase_value, c.event_id AS click_id,
+       |       c.ts AS click_ts, c.value AS click_value
+       |FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+       |QUALIFY row_number() OVER (PARTITION BY p.event_id
+       |  ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST) = 1
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_join" -> (asofJoinQuery _),
     "event_window_agg" -> (eventWindowAgg _),
     "event_sliding_window" -> (eventSlidingWindow _),
     "sessionize" -> (sessionize _),
@@ -156,6 +191,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "asof_join" -> asofJoinOracle,
     "event_window_agg" -> eventWindowAggOracle,
     "event_sliding_window" -> eventSlidingWindowOracle,
     "sessionize" -> sessionizeOracle,

@@ -278,6 +278,37 @@ object LlmQueries {
        |""".stripMargin
 
   // -------------------------------------------------------------------
+  // Multi-probe sign-LSH ANN: 8-bit buckets (4x finer than ann_sign_lsh,
+  // so each probe scans ~N/256) with 1-bit-flip probing to recover
+  // recall — the production dial for the quadratic-within-bucket concern.
+  // -------------------------------------------------------------------
+  def annMultiProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+    Similarity.signLshMultiProbeTopK(queries, corpus, 8, 3)
+  }
+
+  val annMultiProbeOracle: String =
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding,
+       |         list_sum(list_transform(range(0,8),
+       |           i -> CASE WHEN embedding[i+1] > 0 THEN (1 << i) ELSE 0 END)) AS bucket
+       |  FROM embeddings),
+       |pairs AS (
+       |  $cosPairSql
+       |  FROM b q JOIN b c
+       |    ON bit_count(xor(q.bucket, c.bucket)) <= 1
+       |   AND q.vec_id < 50 AND q.vec_id <> c.vec_id)
+       |SELECT qid, nid, cos, rank FROM (
+       |  SELECT qid, nid, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |  FROM pairs)
+       |WHERE rank <= 3
+       |""".stripMargin
+
+  // -------------------------------------------------------------------
   // Language ID: marker-word scores + priority argmax, with accuracy
   // flag against the labeled lang column.
   // -------------------------------------------------------------------
@@ -533,6 +564,7 @@ object LlmQueries {
     "ngram_jaccard" -> (ngramJaccardBlocked _),
     "cosine_topk" -> (cosineTopK _),
     "ann_sign_lsh" -> (annSignLsh _),
+    "ann_multiprobe" -> (annMultiProbe _),
     "lang_id" -> (langId _),
     "text_quality" -> (textQuality _),
     "token_counts" -> (tokenCounts _),
@@ -550,6 +582,7 @@ object LlmQueries {
     "ngram_jaccard" -> ngramJaccardBlockedOracle,
     "cosine_topk" -> cosineTopKOracle,
     "ann_sign_lsh" -> annSignLshOracle,
+    "ann_multiprobe" -> annMultiProbeOracle,
     "lang_id" -> langIdOracle,
     "text_quality" -> textQualityOracle,
     "token_counts" -> tokenCountsOracle,

@@ -212,6 +212,33 @@ class PipelinesSpec extends SparkSpecBase {
     assert(e3.getMessage.contains("null key"))
   }
 
+  test("ZinMchPipeline strips .0 artifacts, aligns dotted-name schema, replace sink") {
+    val dir = Files.createTempDirectory("zinmch").toFile
+    def write(name: String, body: String) = {
+      val f = new java.io.File(dir, name)
+      Files.write(f.toPath, body.getBytes); f.getAbsolutePath
+    }
+    val header = "Article No,MCH,Article Description,Article Description.1," +
+      "Pack size,D/C MAP,Unrestricted-Use Stock,SCA Assortment,Assortment grade\n"
+    val v1 = write("zin1.csv", header + "123.0,106AB.0,Widget,WidgetCN,12.0,1.55,10,Y.0,A\n")
+    val target = dir.getAbsolutePath + "/Zmmidr_9801"
+    ZinMchPipeline.run(spark, v1, target)
+    val r = spark.read.parquet(target)
+      .select(col("`Article No`"), col("MCH"), col("`Article Description.1`"),
+        col("`Pack size`"), col("`D/C MAP`").cast("double"),
+        col("`Unrestricted-Use Stock`"), col("`SCA Assortment`"))
+      .as[(String, String, String, String, Double, Int, String)].head()
+    assert(r == ("123", "106AB", "WidgetCN", "12", 1.55, 10, "Y"))
+    assert(spark.read.parquet(target).schema.fieldNames.length == 15) // full declared schema
+
+    // replace sink: a second load fully supersedes the first
+    val v2 = write("zin2.csv", header + "999.0,106XY,Other,OtherCN,6,2.00,5,N,B\n")
+    ZinMchPipeline.run(spark, v2, target)
+    val arts = spark.read.parquet(target).select(col("`Article No`"))
+      .as[String].collect().toSeq
+    assert(arts == Seq("999"))
+  }
+
   test("ZmmidrBUnPipeline: filename-derived DC, clean, keep-last, DC-group rollup") {
     val dir = Files.createTempDirectory("zmmidrbun").toFile
     def write(name: String, rows: Seq[String]): Unit =

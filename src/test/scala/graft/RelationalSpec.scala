@@ -27,6 +27,23 @@ class RelationalSpec extends SparkSpecBase {
     assert(out == Set((1, 3L), (3, 2L)))
   }
 
+  test("asofJoin attaches the latest right row at-or-before each left time") {
+    val left = Seq(("u", 10, "p1"), ("u", 5, "p2"), ("v", 7, "p3"))
+      .toDF("k", "t", "pid")
+    val right = Seq(
+      ("u", 3, 1L, 1.5), ("u", 10, 2L, 2.5), ("u", 10, 3L, 3.5), // ts tie: ord 3 wins
+      ("w", 1, 9L, 9.9))                                         // other key: ignored
+      .toDF("k", "t", "rid", "rv")
+    val out = Relational.asofJoin(left, right, Seq("k"),
+        col("t"), col("t"), col("rid"), Seq("rid", "rv"))
+      .select(col("pid"), col("asof_rid"), col("asof_rv"))
+      .as[(String, Option[Long], Option[Double])].collect().toSet
+    assert(out == Set(
+      ("p1", Some(3L), Some(3.5)), // inclusive <=, tie broken by highest rid
+      ("p2", Some(1L), Some(1.5)), // earlier left time sees only the t=3 row
+      ("p3", None, None)))         // no right rows for key v
+  }
+
   test("antiJoinNewKeys returns batch rows whose key is absent") {
     val batch = Seq((1, "n1"), (2, "n2"), (3, "n3")).toDF("k", "v")
     val existing = Seq(2).toDF("k")
