@@ -39,6 +39,16 @@ for name, sql in sorted(oracle.items()):
     # Hash-style compare: the driver hashes rendered values, so a DuckDB
     # HUGEINT (-> float64, "123.0") must not stand in for a Spark BIGINT
     # ("123"). Compare stringified cells too.
+    #
+    # KNOWN GAP (round-3 ADVICE): both frames pass through pandas before
+    # astype(str), so this approximates — not replicates — the driver's
+    # renderer. Differences that vanish in the duckdb->pandas conversion
+    # (Java vs Python float repr, timestamp sub-precision) are invisible
+    # here. Mitigation used by the queries themselves: doubles come from
+    # decimal casts or deterministic folds, timestamps are µs-exact, so
+    # both engines render identical canonical values by construction. If
+    # the driver's rendered/hashed dump is ever available locally, diff
+    # against it directly instead.
     gs, ws = g.astype(str), w.astype(str)
     if not gs.equals(ws):
         diff_cols = [c for c in gs.columns if not gs[c].equals(ws[c])]
