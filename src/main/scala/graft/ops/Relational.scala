@@ -134,6 +134,32 @@ object Relational {
         payload.map(c => col(s"__last.`$c`").as(prefix + c)): _*)
   }
 
+  /** Range (interval) join — left point rows joined to right interval
+    * rows with `start <= point < end`, per key. Spark would execute the
+    * naive inequality join as BroadcastNestedLoopJoin (quadratic); the
+    * scalable restatement buckets the domain at `bucket` granularity:
+    * each interval explodes to the buckets it covers, each point maps to
+    * one bucket, and the join becomes a plain equi-join on
+    * (keys, bucket) + a residual predicate. Candidates per point are
+    * bounded by intervals overlapping its bucket — pick `bucket` near the
+    * typical interval span so explosion stays O(1) per interval. A
+    * (point, interval) pair meets in exactly one bucket (the point's), so
+    * no dedup is needed. */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
+                point: Column, start: Column, end: Column,
+                bucket: Long): DataFrame = {
+    // exact integer floor-div: subtracting pmod makes the numerator an
+    // exact multiple, so the double division is exact — a plain
+    // floor(x / bucket) could misround at bucket boundaries
+    def bucketOf(c: Column) = ((c - pmod(c, lit(bucket))) / bucket).cast("long")
+    val l = points.withColumn("__b", bucketOf(point))
+    val r = intervals.withColumn("__b",
+      explode(sequence(bucketOf(start), bucketOf(end - 1))))
+    l.join(r, (keys :+ "__b").toIndexedSeq)
+      .filter(point >= start && point < end)
+      .drop("__b")
+  }
+
   /** Skew-salted aggregation: when a grouping key is pathologically hot
     * (one key >> executor memory), aggregate in two stages — first on
     * (key, salt) with salt = hash(whole row) % factor, then on key.

@@ -181,8 +181,43 @@ object EventQueries {
        |  ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST) = 1
        |""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Range join: clicks within 7 days AFTER each signup by the same user
+  // (attribution-window shape). Bucketized at 1-day granularity — an
+  // equi-join on (user, day-bucket) + residual, never a nested loop.
+  // -------------------------------------------------------------------
+  private val DayUs = 86400000000L // 1 day in µs
+  def rangeJoinQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id"),
+        unix_micros(col("ts")).as("s_us"))
+      .withColumn("e_us", col("s_us") + lit(7 * DayUs))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        unix_micros(col("ts")).as("c_us"))
+    Relational.rangeJoin(clicks, signups, Seq("user_id"),
+        col("c_us"), col("s_us"), col("e_us"), DayUs)
+      .select(col("signup_id"), col("click_id"), col("user_id"),
+        ((col("c_us") - col("s_us")) / 1000000L).cast("long").as("secs_after"))
+  }
+
+  val rangeJoinOracle: String =
+    s"""WITH s AS (
+       |  SELECT event_id AS signup_id, user_id, epoch_ns(ts) // 1000 AS s_us
+       |  FROM events WHERE event_type = 'signup'),
+       |c AS (
+       |  SELECT event_id AS click_id, user_id, epoch_ns(ts) // 1000 AS c_us
+       |  FROM events WHERE event_type = 'click')
+       |SELECT s.signup_id, c.click_id, s.user_id,
+       |       (c.c_us - s.s_us) // 1000000 AS secs_after
+       |FROM c JOIN s ON c.user_id = s.user_id
+       |  AND c.c_us >= s.s_us AND c.c_us < s.s_us + ${7 * DayUs}
+       |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join" -> (asofJoinQuery _),
+    "range_join" -> (rangeJoinQuery _),
     "event_window_agg" -> (eventWindowAgg _),
     "event_sliding_window" -> (eventSlidingWindow _),
     "sessionize" -> (sessionize _),
@@ -192,6 +227,7 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "asof_join" -> asofJoinOracle,
+    "range_join" -> rangeJoinOracle,
     "event_window_agg" -> eventWindowAggOracle,
     "event_sliding_window" -> eventSlidingWindowOracle,
     "sessionize" -> sessionizeOracle,

@@ -44,6 +44,21 @@ class RelationalSpec extends SparkSpecBase {
       ("p3", None, None)))         // no right rows for key v
   }
 
+  test("rangeJoin matches points in [start,end) per key across bucket boundaries") {
+    val points = Seq(("u", 10L), ("u", 25L), ("u", 30L), ("u", 100L), ("v", 10L))
+      .toDF("k", "p")
+    val intervals = Seq(("u", 10L, 30L, "i1"), ("u", 30L, 40L, "i2"), ("v", 0L, 5L, "i3"))
+      .toDF("k", "s", "e", "iv")
+    // bucket width 7 deliberately misaligned with the interval bounds
+    val out = Relational.rangeJoin(points, intervals, Seq("k"),
+        col("p"), col("s"), col("e"), 7L)
+      .select("p", "iv").as[(Long, String)].collect().toSet
+    assert(out == Set(
+      (10L, "i1"),  // start inclusive
+      (25L, "i1"),
+      (30L, "i2"))) // end exclusive for i1, start inclusive for i2
+  }
+
   test("antiJoinNewKeys returns batch rows whose key is absent") {
     val batch = Seq((1, "n1"), (2, "n2"), (3, "n3")).toDF("k", "v")
     val existing = Seq(2).toDF("k")
