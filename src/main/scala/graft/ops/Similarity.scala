@@ -80,7 +80,10 @@ object Similarity {
 
   /** Approximate top-k: same contract, but candidates must share the
     * query's sign-LSH bucket. One equi-join on bucket instead of a cross
-    * join — the 100 TB path. */
+    * join. With few bits the per-bucket candidate set is ~N/2^bits and
+    * grows linearly with the corpus — at 100 TB use
+    * [[signLshMultiProbeTopK]] (more bits for the bound, probes for the
+    * recall) rather than raising k here. */
   def signLshTopK(queries: DataFrame, corpus: DataFrame, bits: Int, k: Int): DataFrame = {
     val q = queries.withColumn("bucket", signBucket(col("qvec"), bits))
     val c = corpus.withColumn("bucket", signBucket(col("nvec"), bits))

@@ -28,6 +28,52 @@ class PropertySpec extends SparkSpecBase {
     if (d < 0) s + "-" else s
   }
 
+  test("asofJoin equals the naive inequality-join formulation (property)") {
+    import org.apache.spark.sql.expressions.Window
+    val gk = Gen.chooseNum(1, 5); val gt = Gen.chooseNum(0, 50)
+    val leftRows = Gen.listOfN(120, Gen.zip(gk, gt)).sample.get
+      .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+    val rightRows = Gen.listOfN(120, Gen.zip(gk, gt)).sample.get
+      .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong, k * 100.0 + t) }
+    val left = leftRows.toDF("k", "t", "lid")
+    val right = rightRows.toDF("k", "t", "rid", "rv")
+
+    val got = Relational.asofJoin(left, right, Seq("k"),
+        col("t"), col("t"), col("rid"), Seq("rid", "rv"))
+      .select(col("lid"), col("asof_rid"), col("asof_rv"))
+      .as[(Long, Option[Long], Option[Double])].collect().toSet
+
+    // naive O(L*R) reference: inequality join + latest-wins window
+    val r2 = right.select(col("k").as("rk"), col("t").as("rt"), col("rid"), col("rv"))
+    val w = Window.partitionBy(col("lid"))
+      .orderBy(col("rt").desc_nulls_last, col("rid").desc_nulls_last)
+    val naive = left.join(r2, col("k") === col("rk") && col("rt") <= col("t"), "left")
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("lid"), col("rid"), col("rv"))
+      .as[(Long, Option[Long], Option[Double])].collect().toSet
+    assert(got == naive)
+  }
+
+  test("rangeJoin equals the naive inequality join (property)") {
+    val gk = Gen.chooseNum(1, 4); val gt = Gen.chooseNum(0L, 60L)
+    val pointRows = Gen.listOfN(100, Gen.zip(gk, gt)).sample.get
+      .zipWithIndex.map { case ((k, p), i) => (k, p, i.toLong) }
+    val ivRows = Gen.listOfN(60, Gen.zip(gk, gt, Gen.chooseNum(1L, 20L))).sample.get
+      .zipWithIndex.map { case ((k, s, len), i) => (k, s, s + len, i.toLong) }
+    val points = pointRows.toDF("k", "p", "pid")
+    val intervals = ivRows.toDF("k", "s", "e", "iv")
+
+    val got = Relational.rangeJoin(points, intervals, Seq("k"),
+        col("p"), col("s"), col("e"), 7L)
+      .select("pid", "iv").as[(Long, Long)].collect().toSet
+
+    val iv2 = intervals.select(col("k").as("ik"), col("s"), col("e"), col("iv"))
+    val naive = points
+      .join(iv2, col("k") === col("ik") && col("p") >= col("s") && col("p") < col("e"))
+      .select("pid", "iv").as[(Long, Long)].collect().toSet
+    assert(got == naive)
+  }
+
   test("sapNumber round-trips SAP-formatted decimals (batch property)") {
     val samples = Gen.listOfN(300, decimals).sample.get
     val df = samples.map(d => (sapFormat(d), d.setScale(6).toString))
