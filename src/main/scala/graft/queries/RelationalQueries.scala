@@ -333,6 +333,26 @@ object RelationalQueries {
       |""".stripMargin
 
   // -------------------------------------------------------------------
+  // Skew-salted aggregation on a pathologically hot key: l_returnflag has
+  // THREE distinct values over the whole fact, so an unsalted groupBy
+  // funnels everything through 3 reducers. saltedSum spreads each hot key
+  // over 16 salt lanes and re-merges — decimal sums make the two-stage
+  // result bit-equal to the direct aggregate (which is the oracle here).
+  // -------------------------------------------------------------------
+  def saltedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").as("flag"), col("l_quantity").cast(D).as("q"))
+    Relational.saltedSum(Seq("flag"), Seq("q" -> "total_qty"), 16)(li)
+      .withColumn("total_qty", col("total_qty").cast(DoubleType))
+  }
+
+  val saltedAggOracle: String =
+    """SELECT l_returnflag AS flag,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+      |FROM lineitem GROUP BY 1
+      |""".stripMargin
+
+  // -------------------------------------------------------------------
   // §2.6 latest snapshot per key over the events stream table.
   // -------------------------------------------------------------------
   def latestEvent(spark: SparkSession, sfDir: String): DataFrame =
@@ -528,6 +548,7 @@ object RelationalQueries {
     "upsert_merge" -> (upsertMerge _),
     "merge_dataflow" -> (mergeDataflow _),
     "done_log_pending" -> (doneLogPending _),
+    "salted_agg" -> (saltedAgg _),
     "latest_event" -> (latestEvent _),
     "union_streams" -> (unionStreams _),
     "clean_functions" -> (cleanFunctions _),
@@ -547,6 +568,7 @@ object RelationalQueries {
     "upsert_merge" -> upsertMergeOracle,
     "merge_dataflow" -> mergeDataflowOracle,
     "done_log_pending" -> doneLogPendingOracle,
+    "salted_agg" -> saltedAggOracle,
     "latest_event" -> latestEventOracle,
     "union_streams" -> unionStreamsOracle,
     "clean_functions" -> cleanFunctionsOracle,
