@@ -120,8 +120,17 @@ object CoverageQueries {
   // -------------------------------------------------------------------
   def embeddingNeardup(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    val b = emb.select(col("vec_id"), col("embedding"),
+    val raw = emb.select(col("vec_id"), col("embedding"),
       Similarity.signBucket(col("embedding"), 6).as("bucket"))
+    // bucket-member cap (same guard as Dedup.capBuckets): bounds the
+    // within-bucket self-join at web scale where one sign pattern can
+    // dominate; 4096 is far above any test-scale bucket (~80 members at
+    // sf0.1), so capped and uncapped plans are oracle-identical here.
+    // Compiles to WindowGroupLimit with partial limiting pre-shuffle.
+    val wcap = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("vec_id"))
+    val b = raw.withColumn("__rn", row_number().over(wcap))
+      .filter(col("__rn") <= 4096).drop("__rn")
     val a = b.select(col("vec_id").as("d1"), col("embedding").as("e1"), col("bucket"))
     val c = b.select(col("vec_id").as("d2"), col("embedding").as("e2"), col("bucket"))
     a.join(c, Seq("bucket")).filter(col("d1") < col("d2"))
