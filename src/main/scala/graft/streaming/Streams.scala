@@ -80,6 +80,27 @@ object Streams {
       }
       .start()
 
+  /** Watermarked stream-stream interval join — the streaming twin of
+    * Relational.rangeJoin's attribution shape: each right-stream row
+    * within [left.ts, left.ts + window) by the same user. The time-range
+    * predicate plus both watermarks lets Spark bound the join state (the
+    * left row is dropped once the watermark passes its window end; the
+    * right row once it can no longer match any live left row) — without
+    * them a stream-stream join buffers forever. */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame,
+                         windowMinutes: Int, watermark: String): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("event_id").as("l_id"), col("user_id"), col("ts").as("l_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+        col("ts").as("r_ts"))
+    l.join(r,
+      col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") < col("l_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .drop("r_user")
+  }
+
   /** Event-time variant: sessions flush when the WATERMARK passes
     * last-event + gap — deterministic w.r.t. data, no wall-clock
     * dependence, and timeouts are evaluated on ordinary data-driven

@@ -44,6 +44,27 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches right rows inside the left window") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ls = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val rs = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val left = ls.toDF().toDF("event_id", "ts", "user_id")
+    val right = rs.toDF().toDF("event_id", "ts", "user_id")
+    val q = Streams.streamIntervalJoin(left, right, windowMinutes = 60, watermark = "1 hour")
+      .writeStream.format("memory").queryName("sj_test").outputMode("append").start()
+    try {
+      ls.addData((100L, t("2024-01-01 00:00:00"), 7L))
+      rs.addData(
+        (200L, t("2024-01-01 00:30:00"), 7L), // inside window, same user -> match
+        (201L, t("2024-01-01 01:30:00"), 7L), // past window end -> no match
+        (202L, t("2024-01-01 00:30:00"), 8L)) // other user -> no match
+      q.processAllAvailable()
+      val rows = spark.table("sj_test").select("l_id", "r_id")
+        .as[(Long, Long)].collect().toSet
+      assert(rows == Set((100L, 200L)))
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes a session when the gap passes") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val src = MemoryStream[Streams.Event]
