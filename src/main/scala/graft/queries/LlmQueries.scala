@@ -552,6 +552,95 @@ object LlmQueries {
        |GROUP BY 1
        |""".stripMargin
 
+  // -------------------------------------------------------------------
+  // KMV (k-minimum-values) distinct-count sketch — the mergeable
+  // cardinality sketch shape, chosen over HLL because its estimate is a
+  // pure function of the k smallest md5 hashes: deterministic, engine-
+  // independent, and therefore EXACTLY oracle-checkable (HLL estimates
+  // differ across implementations). Estimate: (k-1) * 2^32 / h_k when
+  // the group has >= k distinct hashes, else the exact count. At scale
+  // the distinct + per-key window prunes to k rows per key before the
+  // final aggregate; the sketch state (k hashes) is what a mergeable
+  // accumulator would carry.
+  // -------------------------------------------------------------------
+  private val KmvK = 256
+
+  def kmvDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = graft.Tables.table(spark, sfDir, "lineitem")
+    val hashed = li.select(col("l_returnflag").as("flag"),
+        hash32(col("l_partkey").cast(StringType)).as("h"))
+      .distinct()
+    val w = Window.partitionBy(col("flag")).orderBy(col("h"))
+    val kept = hashed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= KmvK)
+    kept.groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"), max(col("h")).as("hk"))
+      .select(col("flag"),
+        when(col("n") < KmvK, col("n").cast(DoubleType))
+          .otherwise(lit((KmvK - 1).toDouble) * lit(4294967296.0) / col("hk"))
+          .as("est_distinct"))
+  }
+
+  val kmvDistinctOracle: String =
+    s"""WITH hashed AS (
+       |  SELECT DISTINCT l_returnflag AS flag,
+       |         CAST(('0x' || substring(md5(CAST(l_partkey AS VARCHAR)),1,8)) AS BIGINT) AS h
+       |  FROM lineitem),
+       |kept AS (
+       |  SELECT flag, h FROM hashed
+       |  QUALIFY row_number() OVER (PARTITION BY flag ORDER BY h) <= $KmvK),
+       |agg AS (SELECT flag, COUNT(*) AS n, MAX(h) AS hk FROM kept GROUP BY 1)
+       |SELECT flag,
+       |       CASE WHEN n < $KmvK THEN CAST(n AS DOUBLE)
+       |            ELSE ${KmvK - 1}.0 * 4294967296.0 / hk END AS est_distinct
+       |FROM agg
+       |""".stripMargin
+
+  // -------------------------------------------------------------------
+  // TF-IDF top terms per document (rational idf = N/df — products and
+  // divisions are correctly-rounded IEEE ops on both engines, unlike
+  // ln/exp, so the scores hash-match exactly). Restricted to doc_id < 50
+  // to keep the bench query bounded; the plan shape (explode -> two
+  // aggs -> broadcast df join -> per-doc top-k window) is scale-ready.
+  // -------------------------------------------------------------------
+  def tfidfTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val nDocs = docs.select(countDistinct(col("doc_id")).as("nd"))
+    val tf = terms.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = terms.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
+    tf.filter(col("doc_id") < 50)
+      .join(broadcast(df), "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf").cast(DoubleType) * col("nd").cast(DoubleType) / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("doc_id", "token", "tf", "df", "score", "rank")
+  }
+
+  val tfidfTopKOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+      |  FROM documents),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT token, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY 1),
+      |nd AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents)
+      |SELECT doc_id, token, tf, df, score, rank FROM (
+      |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+      |         CAST(tf.tf AS DOUBLE) * CAST(nd.nd AS DOUBLE) / df.df AS score,
+      |         row_number() OVER (PARTITION BY tf.doc_id
+      |           ORDER BY CAST(tf.tf AS DOUBLE) * CAST(nd.nd AS DOUBLE) / df.df DESC, tf.token) AS rank
+      |  FROM tf JOIN df ON tf.token = df.token CROSS JOIN nd
+      |  WHERE tf.doc_id < 50)
+      |WHERE rank <= 5
+      |""".stripMargin
+
   /** Registration for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curation_pipeline" -> (curationPipeline _),
@@ -569,6 +658,8 @@ object LlmQueries {
     "text_quality" -> (textQuality _),
     "token_counts" -> (tokenCounts _),
     "doc_fingerprint" -> (docFingerprint _),
+    "kmv_distinct" -> (kmvDistinct _),
+    "tfidf_topk" -> (tfidfTopK _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -587,5 +678,7 @@ object LlmQueries {
     "text_quality" -> textQualityOracle,
     "token_counts" -> tokenCountsOracle,
     "doc_fingerprint" -> docFingerprintOracle,
+    "kmv_distinct" -> kmvDistinctOracle,
+    "tfidf_topk" -> tfidfTopKOracle,
   )
 }
