@@ -116,6 +116,33 @@ object CoverageQueries {
       |""".stripMargin
 
   // -------------------------------------------------------------------
+  // S2 schema-align coercion (pipelines/etl_utils.py:86-142) as an
+  // oracle-checked query: declared-schema projection with null->"" string
+  // fill, null-on-failure numeric coercion (a text column forced to
+  // decimal), and a missing column materialized empty.
+  // -------------------------------------------------------------------
+  def schemaAlignQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val declared = StructType(Seq(
+      StructField("name", StringType), StructField("cust_id", IntegerType),
+      StructField("nation_id", IntegerType),
+      StructField("segment_num", DecimalType(10, 2)), // text forced to decimal -> null
+      StructField("missing", StringType)))
+    val renamed = Tables.customer(spark, sfDir).withColumnsRenamed(Map(
+      "c_name" -> "name", "c_custkey" -> "cust_id",
+      "c_nationkey" -> "nation_id", "c_mktsegment" -> "segment_num"))
+    graft.clean.Clean.schemaAlign(renamed, declared)
+  }
+
+  val schemaAlignOracle: String =
+    """SELECT COALESCE(CAST(c_name AS VARCHAR), '') AS name,
+      |       TRY_CAST(CAST(c_custkey AS VARCHAR) AS INTEGER) AS cust_id,
+      |       TRY_CAST(CAST(c_nationkey AS VARCHAR) AS INTEGER) AS nation_id,
+      |       TRY_CAST(CAST(c_mktsegment AS VARCHAR) AS DECIMAL(10,2)) AS segment_num,
+      |       '' AS missing
+      |FROM customer
+      |""".stripMargin
+
+  // -------------------------------------------------------------------
   // Embedding near-dup pairs: sign-LSH blocked (6 bits), cosine >= 0.3.
   // -------------------------------------------------------------------
   def embeddingNeardup(spark: SparkSession, sfDir: String): DataFrame = {
@@ -392,6 +419,7 @@ object CoverageQueries {
     "set_ops" -> (setOps _),
     "sales_cube" -> (salesCube _),
     "update_join" -> (updateJoin _),
+    "schema_align" -> (schemaAlignQuery _),
     "range_exclusion" -> (rangeExclusion _),
     "sales_rollup" -> (salesRollup _),
     "term_frequency" -> (termFrequency _),
@@ -407,6 +435,7 @@ object CoverageQueries {
     "set_ops" -> setOpsOracle,
     "sales_cube" -> salesCubeOracle,
     "update_join" -> updateJoinOracle,
+    "schema_align" -> schemaAlignOracle,
     "range_exclusion" -> rangeExclusionOracle,
     "sales_rollup" -> salesRollupOracle,
     "term_frequency" -> termFrequencyOracle,
