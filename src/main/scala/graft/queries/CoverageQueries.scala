@@ -257,6 +257,78 @@ object CoverageQueries {
        |""".stripMargin
 
   // -------------------------------------------------------------------
+  // IVF with a REAL centroid step (one Lloyd iteration from the seed
+  // labels): centroid direction = component-wise sum of members — exact
+  // because components are quantized to integers (floor(v * 2^20)), so
+  // the sums are order-independent and engine-identical, and cosine's
+  // scale invariance means no mean division (whose decimal rounding
+  // differs across engines) is ever needed. Vectors then REASSIGN to the
+  // nearest centroid and probe within the assigned cluster only.
+  // -------------------------------------------------------------------
+  def annIvfKmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions.{cosine, dotD, dotDComposed, normSqD}
+    import org.apache.spark.sql.expressions.Window
+
+    val emb = Tables.embeddings(spark, sfDir)
+    val Q = 1048576L // 2^20 quantization
+    val comp = emb.select(col("label"), posexplode(col("embedding")))
+    val sums = comp.groupBy(col("label"), col("pos"))
+      .agg(sum(floor(col("col").cast(DoubleType) * Q).cast(LongType)).as("s"))
+    val cent = sums.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+        x => x.getField("s").cast(DoubleType)).as("cvec"))
+      .select(col("label").as("rlabel"), col("cvec"))
+
+    def cosGeneric(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      cosine(dotDComposed(a, b), dotDComposed(a, a), dotDComposed(b, b))
+
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("rcos").desc, col("rlabel"))
+    val assigned = emb.crossJoin(broadcast(cent))
+      .withColumn("rcos", cosGeneric(col("embedding"), col("cvec")))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("rlabel").as("cluster"))
+
+    val q = assigned.filter(col("vec_id") < 30)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("cluster"))
+    val c = assigned
+      .select(col("vec_id").as("nid"), col("embedding").as("nvec"), col("cluster"))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    c.join(broadcast(q), Seq("cluster"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", cosine(dotD(col("qvec"), col("nvec")),
+        normSqD(col("qvec")), normSqD(col("nvec"))))
+      .withColumn("rank", row_number().over(wq)).filter(col("rank") <= 3)
+      .select("qid", "nid", "cluster", "cos", "rank")
+  }
+
+  val annIvfKmeansOracle: String =
+    s"""WITH comp AS (
+       |  SELECT label, i,
+       |         SUM(CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1048576) AS BIGINT)) AS s
+       |  FROM embeddings, range(0,64) t(i) GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT label AS rlabel, list(CAST(s AS DOUBLE) ORDER BY i) AS cvec
+       |  FROM comp GROUP BY 1),
+       |assigned AS (
+       |  SELECT vec_id, embedding, rlabel AS cluster FROM (
+       |    SELECT e.vec_id, e.embedding, r.rlabel,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.embedding", "r.cvec")} DESC, r.rlabel) AS rn
+       |    FROM embeddings e CROSS JOIN cent r)
+       |  WHERE rn = 1),
+       |scored AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS nid, q.cluster,
+       |         ${cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM assigned q JOIN assigned c
+       |    ON q.cluster = c.cluster AND q.vec_id < 30 AND q.vec_id <> c.vec_id)
+       |SELECT qid, nid, cluster, cos, rank FROM (
+       |  SELECT qid, nid, cluster, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |  FROM scored)
+       |WHERE rank <= 3
+       |""".stripMargin
+
+  // -------------------------------------------------------------------
   // Window-function battery beyond row_number (§2.6 depth): per-article
   // weekly series with lag delta, running cumulative total, and
   // per-site dense rank of article volumes.
@@ -420,6 +492,7 @@ object CoverageQueries {
     "sales_cube" -> (salesCube _),
     "update_join" -> (updateJoin _),
     "schema_align" -> (schemaAlignQuery _),
+    "ann_ivf_kmeans" -> (annIvfKmeans _),
     "range_exclusion" -> (rangeExclusion _),
     "sales_rollup" -> (salesRollup _),
     "term_frequency" -> (termFrequency _),
@@ -436,6 +509,7 @@ object CoverageQueries {
     "sales_cube" -> salesCubeOracle,
     "update_join" -> updateJoinOracle,
     "schema_align" -> schemaAlignOracle,
+    "ann_ivf_kmeans" -> annIvfKmeansOracle,
     "range_exclusion" -> rangeExclusionOracle,
     "sales_rollup" -> salesRollupOracle,
     "term_frequency" -> termFrequencyOracle,
