@@ -26,16 +26,17 @@ object Bench {
       }
     }
 
-    // min of two timed runs: single-JVM timings at local[32] carry GC/JIT
-    // noise that one-shot numbers inherit; the min is the steady-state
-    // throughput the scale contract compares.
+    // min of three timed runs: single-JVM timings at local[32] carry
+    // GC/JIT noise — and this host shows transient contention spikes that
+    // inflate one-shot numbers several-fold — so the min is the
+    // steady-state throughput the scale contract compares.
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(timeOnce(fn), timeOnce(fn))
+      name -> Seq.fill(3)(timeOnce(fn)).min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
