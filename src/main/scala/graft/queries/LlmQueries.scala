@@ -641,6 +641,61 @@ object LlmQueries {
       |WHERE rank <= 5
       |""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Corpus-mix primitives. Both order docs by the md5 hash of their id —
+  // a deterministic, RNG-free shuffle that is reproducible across
+  // engines, runs, and cluster sizes (the property a training-data mix
+  // must have). One shuffle on source; windows stay per-partition.
+  // -------------------------------------------------------------------
+
+  /** Exactly `k` docs per source (per-source quota sampling). */
+  def balancedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = hash32(col("doc_id").cast(StringType))
+    val w = Window.partitionBy(col("source")).orderBy(h, col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select("doc_id", "source", "lang", "rn")
+  }
+
+  val balancedSampleOracle: String =
+    """SELECT doc_id, source, lang,
+      |       CAST(row_number() OVER (PARTITION BY source
+      |         ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT),
+      |                  doc_id) AS INTEGER) AS rn
+      |FROM documents
+      |QUALIFY rn <= 10
+      |""".stripMargin
+
+  /** Token-budget mix: walk each source in hash order and keep docs while
+    * the running token total stays within the per-source budget — the
+    * "N tokens from web, M from code" corpus-mixing op, as one running-sum
+    * window. */
+  def tokenBudgetSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = hash32(col("doc_id").cast(StringType))
+    val w = Window.partitionBy(col("source")).orderBy(h, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .withColumn("n_tok", size(tokens(col("text"))))
+      .withColumn("cum_tok", sum(col("n_tok").cast("long")).over(w))
+      .filter(col("cum_tok") <= 1000)
+      .select("doc_id", "source", "n_tok", "cum_tok")
+  }
+
+  val tokenBudgetSampleOracle: String =
+    s"""WITH toks AS ($tokSql)
+       |SELECT doc_id, source, n_tok, cum_tok FROM (
+       |  SELECT doc_id, source, CAST(len(t) AS INTEGER) AS n_tok,
+       |         CAST(SUM(CAST(len(t) AS BIGINT)) OVER (PARTITION BY source
+       |           ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT),
+       |                    doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+       |  FROM toks)
+       |WHERE cum_tok <= 1000
+       |""".stripMargin
+
   /** Registration for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curation_pipeline" -> (curationPipeline _),
@@ -660,6 +715,8 @@ object LlmQueries {
     "doc_fingerprint" -> (docFingerprint _),
     "kmv_distinct" -> (kmvDistinct _),
     "tfidf_topk" -> (tfidfTopK _),
+    "balanced_sample" -> (balancedSample _),
+    "token_budget_sample" -> (tokenBudgetSample _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -680,5 +737,7 @@ object LlmQueries {
     "doc_fingerprint" -> docFingerprintOracle,
     "kmv_distinct" -> kmvDistinctOracle,
     "tfidf_topk" -> tfidfTopKOracle,
+    "balanced_sample" -> balancedSampleOracle,
+    "token_budget_sample" -> tokenBudgetSampleOracle,
   )
 }
