@@ -74,6 +74,45 @@ class PropertySpec extends SparkSpecBase {
     assert(got == naive)
   }
 
+  test("upsertPartitioned replay is idempotent and matches whole-table upsert (property)") {
+    import graft.io.UpsertWriter
+    val dir = java.nio.file.Files.createTempDirectory("pup_prop").toFile.getAbsolutePath
+    val gk = Gen.chooseNum(1, 40); val gd = Gen.oneOf("d1", "d2", "d3")
+    def batch(seed: Int) = Gen.listOfN(60, Gen.zip(gk, gd)).sample.get
+      .distinctBy(x => (x._1, x._2))
+      .map { case (k, d) => (k, d, s"v$seed-$k-$d") }.toDF("k", "day", "v")
+
+    val b1 = batch(1); val b2 = batch(2)
+    val pTarget = dir + "/part"; val wTarget = dir + "/whole"
+    UpsertWriter.upsertPartitioned(spark, b1, pTarget, Seq("k", "day"), "day")
+    UpsertWriter.upsertPartitioned(spark, b2, pTarget, Seq("k", "day"), "day")
+    UpsertWriter.upsertPartitioned(spark, b2, pTarget, Seq("k", "day"), "day") // replay
+    UpsertWriter.upsert(spark, b1, wTarget, Seq("k", "day"))
+    UpsertWriter.upsert(spark, b2, wTarget, Seq("k", "day"))
+    val p = spark.read.parquet(pTarget).select("k", "day", "v")
+      .as[(Int, String, String)].collect().toSet
+    val w = spark.read.parquet(wTarget).select("k", "day", "v")
+      .as[(Int, String, String)].collect().toSet
+    assert(p == w)
+  }
+
+  test("KMV sketch estimate stays within the expected error band (property)") {
+    import graft.functions.TextFunctions.hash32
+    import org.apache.spark.sql.expressions.Window
+    val k = 128
+    val trueDistinct = 5000
+    val hashed = (1 to trueDistinct).map(i => s"key-$i").toDF("v")
+      .select(hash32(col("v")).as("h")).distinct()
+    val kept = hashed.withColumn("rn",
+        row_number().over(Window.orderBy(col("h"))))
+      .filter(col("rn") <= k)
+    val r = kept.agg(count(lit(1)), max(col("h"))).head
+    val est = (k - 1).toDouble * 4294967296.0 / r.getLong(1)
+    // standard KMV error is ~1/sqrt(k) ≈ 8.8%; allow 4 sigma
+    assert(math.abs(est - trueDistinct) / trueDistinct < 4.0 / math.sqrt(k),
+      s"estimate $est vs $trueDistinct")
+  }
+
   test("sapNumber round-trips SAP-formatted decimals (batch property)") {
     val samples = Gen.listOfN(300, decimals).sample.get
     val df = samples.map(d => (sapFormat(d), d.setScale(6).toString))
