@@ -51,10 +51,42 @@ object SapTextReader {
   def readHeader(spark: SparkSession, glob: String): Seq[String] =
     readHeaderRaw(spark, glob).map(Clean.normalizeName)
 
+  /** Guard against silently mis-mapped columns: the scan takes its layout
+    * from the FIRST matching file, so a file whose export used a
+    * different column order would bind values to the wrong names. This
+    * check reads the 3 header lines of EVERY matching file (driver-side
+    * metadata pass, a few hundred bytes per file — bounded by file count,
+    * not data size) and fails fast on any normalized-header mismatch. */
+  def validateHeaders(spark: SparkSession, glob: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(glob)
+    val fs = p.getFileSystem(conf)
+    val files = fs.globStatus(p)
+    if (files.isEmpty) throw new IllegalArgumentException(s"no files match $glob")
+    var expected: Seq[String] = null
+    files.foreach { st =>
+      val in = new BufferedReader(new InputStreamReader(fs.open(st.getPath), StandardCharsets.UTF_8))
+      try {
+        in.readLine(); in.readLine()
+        val names = Option(in.readLine()).getOrElse("")
+          .split("\t", -1).toSeq.map(Clean.normalizeName)
+        if (expected == null) expected = names
+        else if (names != expected)
+          throw new IllegalStateException(
+            s"${st.getPath}: header $names differs from ${files.head.getPath}'s " +
+              s"$expected — exports with different layouts must not share a glob")
+      } finally in.close()
+    }
+  }
+
   /** Read a SAP tab-text export dir/glob into an all-string DataFrame with
     * trimmed header names, junk rows and the blank first column removed.
-    * Include the source file via `withFileName` for order-dependent ops. */
-  def read(spark: SparkSession, glob: String, withFileName: Boolean = false): DataFrame = {
+    * Include the source file via `withFileName` for order-dependent ops.
+    * Pass `checkHeaders = true` to fail fast if any file in the glob has
+    * a different layout than the first (see [[validateHeaders]]). */
+  def read(spark: SparkSession, glob: String, withFileName: Boolean = false,
+           checkHeaders: Boolean = false): DataFrame = {
+    if (checkHeaders) validateHeaders(spark, glob)
     val rawNames = readHeaderRaw(spark, glob) // rawNames.head is the blank first col
     val names = rawNames.map(Clean.normalizeName)
     val schema = StructType(names.indices.map(i => StructField(s"_c$i", StringType)))
@@ -67,10 +99,16 @@ object SapTextReader {
 
     val dataCols = names.indices.drop(1)
     val notJunk = dataCols.map(i => col(s"_c$i").isNotNull).reduce(_ || _)
-    // Compare against the RAW header cells: the scan sees the header row
-    // exactly as exported, so a padded header would fail a match against
-    // its normalized name and leak through as a data row (round-3 ADVICE).
-    val notHeader = dataCols.map(i => col(s"_c$i") <=> lit(rawNames(i))).reduce(_ && _).unary_!
+    // Header-row marker: normalize each scanned cell the same way header
+    // names are normalized, then compare to the normalized names. This
+    // catches the header row of EVERY file in the glob even when files
+    // pad their headers differently (comparing raw cells against the
+    // first file's raw header — or normalized names, round-3 ADVICE —
+    // would each leak some padding variant). A data row would need every
+    // column to simultaneously equal its column name to be dropped.
+    def norm(c: org.apache.spark.sql.Column) =
+      regexp_replace(trim(c), "\\s+", " ")
+    val notHeader = dataCols.map(i => norm(col(s"_c$i")) <=> lit(names(i))).reduce(_ && _).unary_!
 
     val base = raw.filter(notJunk && notHeader)
     val selected = dataCols.map(i => col(s"_c$i").as(names(i)))

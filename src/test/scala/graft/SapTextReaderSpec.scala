@@ -57,6 +57,24 @@ class SapTextReaderSpec extends SparkSpecBase {
     assert(df.filter(col("Site") === " Site " || col("Site") === "Site").count() == 0)
   }
 
+  test("header validation rejects a glob mixing different export layouts") {
+    val dir = Files.createTempDirectory("saptxtmix").toFile
+    def write(name: String, header: String): Unit =
+      Files.write(new java.io.File(dir, name).toPath,
+        Seq("Title", "", header, "\t1\t2").mkString("\n").getBytes("UTF-8"))
+    write("ZX_0001.txt", "\tSite\tArticle")
+    write("ZX_0002.txt", "\t Site \tArticle") // padding only: same normalized layout
+    SapTextReader.validateHeaders(spark, dir.getAbsolutePath + "/ZX_*.txt") // ok
+    assert(SapTextReader.read(spark, dir.getAbsolutePath + "/ZX_*.txt",
+      checkHeaders = true).count() == 2)
+
+    write("ZX_0003.txt", "\tArticle\tSite") // different column ORDER
+    val e = intercept[IllegalStateException] {
+      SapTextReader.read(spark, dir.getAbsolutePath + "/ZX_*.txt", checkHeaders = true)
+    }
+    assert(e.getMessage.contains("differs"))
+  }
+
   test("full Zmb51 pipeline: scan -> clean -> aggregate -> upsert, replay-idempotent") {
     val in = writeFixture() + "/ZMB51_*.txt"
     val target = Files.createTempDirectory("upsert").toFile.getAbsolutePath + "/zmb51"
