@@ -80,6 +80,15 @@ object Streams {
       }
       .start()
 
+  /** Stream-static enrichment — the streaming twin of the J1/J5 broadcast
+    * dimension joins: each micro-batch joins against the (small, static)
+    * dimension with no streaming state at all. The dim is re-resolved per
+    * batch, so a dimension reload is picked up without restarting the
+    * query. Left-outer keeps facts whose key has no dim row yet (late
+    * dimension arrivals — the reference's new-article case). */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
   /** Watermarked stream-stream interval join — the streaming twin of
     * Relational.rangeJoin's attribution shape: each right-stream row
     * within [left.ts, left.ts + window) by the same user. The time-range

@@ -44,6 +44,22 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins each micro-batch against the dim") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(Long, Long, Double)]
+    val stream = src.toDF().toDF("event_id", "user_id", "value")
+    val dim = Seq((7L, "gold"), (8L, "silver")).toDF("user_id", "tier")
+    val q = Streams.enrichWithDim(stream, dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("dim_test").outputMode("append").start()
+    try {
+      src.addData((1L, 7L, 1.0), (2L, 9L, 2.0)) // 9 has no dim row -> null tier
+      q.processAllAvailable()
+      val rows = spark.table("dim_test").select("event_id", "tier")
+        .as[(Long, Option[String])].collect().toSet
+      assert(rows == Set((1L, Some("gold")), (2L, None)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches right rows inside the left window") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ls = MemoryStream[(Long, java.sql.Timestamp, Long)]
