@@ -52,6 +52,58 @@ object Similarity {
       .select("qid", "nid", "cos", "rank")
   }
 
+  /** IVF centroid table from seed labels — one Lloyd step with integer-
+    * quantized component sums (floor(v * 2^20)): exact, order-independent
+    * and engine-identical, and since cosine is scale-invariant the
+    * un-normalized sum vector IS the centroid direction (no mean
+    * division, whose decimal rounding differs across engines).
+    * Input columns (label, embedding) -> output (rlabel, cvec). */
+  def quantizedCentroids(emb: DataFrame): DataFrame = {
+    val Q = 1048576L
+    emb.select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(floor(col("col").cast("double") * Q).cast("long")).as("s"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+        x => x.getField("s").cast("double")).as("cvec"))
+      .select(col("label").as("rlabel"), col("cvec"))
+  }
+
+  /** Cosine via the generic interpreted fold — for mixed-width vectors
+    * (float embeddings vs double centroids) where the float-array kernel
+    * doesn't apply. Assignment-sized work only; probes use the kernel. */
+  def cosineGeneric(a: Column, b: Column): Column =
+    cosine(dotDComposed(a, b), dotDComposed(a, a), dotDComposed(b, b))
+
+  /** Assign each (vec_id, embedding) row to its `nprobe` nearest
+    * centroids by cosine (deterministic tie-break on rlabel). nprobe=1
+    * indexes the corpus; nprobe>1 widens a query's candidate lists —
+    * the standard IVF recall dial. */
+  def assignClusters(emb: DataFrame, cent: DataFrame, nprobe: Int): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("rcos").desc, col("rlabel"))
+    emb.crossJoin(broadcast(cent))
+      .withColumn("rcos", cosineGeneric(col("embedding"), col("cvec")))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= nprobe)
+      .select(col("vec_id"), col("embedding"), col("rlabel").as("cluster"))
+  }
+
+  /** IVF probe: exact top-k of each query against the candidates in its
+    * probed cluster lists. The corpus side carries ONE cluster per
+    * vector, so a (query, candidate) pair meets at most once even with
+    * nprobe > 1 — no dedup needed. */
+  def ivfTopK(corpusAssigned: DataFrame, queryAssigned: DataFrame, k: Int): DataFrame = {
+    val q = queryAssigned.select(col("vec_id").as("qid"),
+      col("embedding").as("qvec"), col("cluster"))
+    val c = corpusAssigned.select(col("vec_id").as("nid"),
+      col("embedding").as("nvec"), col("cluster"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    c.join(broadcast(q), Seq("cluster"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", cosineSim(col("qvec"), col("nvec")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("qid", "nid", "cluster", "cos", "rank")
+  }
+
   /** Multi-probe sign-LSH top-k — the recall/fan-out dial the plain
     * bucket join lacks. More bits shrink buckets (candidate set ~N/2^bits
     * per probe, the 100 TB lever); probing the exact bucket PLUS every

@@ -266,39 +266,24 @@ object CoverageQueries {
   // nearest centroid and probe within the assigned cluster only.
   // -------------------------------------------------------------------
   def annIvfKmeans(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.functions.TextFunctions.{cosine, dotD, dotDComposed, normSqD}
-    import org.apache.spark.sql.expressions.Window
-
     val emb = Tables.embeddings(spark, sfDir)
-    val Q = 1048576L // 2^20 quantization
-    val comp = emb.select(col("label"), posexplode(col("embedding")))
-    val sums = comp.groupBy(col("label"), col("pos"))
-      .agg(sum(floor(col("col").cast(DoubleType) * Q).cast(LongType)).as("s"))
-    val cent = sums.groupBy(col("label"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
-        x => x.getField("s").cast(DoubleType)).as("cvec"))
-      .select(col("label").as("rlabel"), col("cvec"))
+    val cent = Similarity.quantizedCentroids(emb)
+    val assigned = Similarity.assignClusters(emb, cent, nprobe = 1)
+    Similarity.ivfTopK(assigned, assigned.filter(col("vec_id") < 30), k = 3)
+  }
 
-    def cosGeneric(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      cosine(dotDComposed(a, b), dotDComposed(a, a), dotDComposed(b, b))
-
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("rcos").desc, col("rlabel"))
-    val assigned = emb.crossJoin(broadcast(cent))
-      .withColumn("rcos", cosGeneric(col("embedding"), col("cvec")))
-      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("rlabel").as("cluster"))
-
-    val q = assigned.filter(col("vec_id") < 30)
-      .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("cluster"))
-    val c = assigned
-      .select(col("vec_id").as("nid"), col("embedding").as("nvec"), col("cluster"))
-    val wq = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    c.join(broadcast(q), Seq("cluster"))
-      .filter(col("qid") =!= col("nid"))
-      .withColumn("cos", cosine(dotD(col("qvec"), col("nvec")),
-        normSqD(col("qvec")), normSqD(col("nvec"))))
-      .withColumn("rank", row_number().over(wq)).filter(col("rank") <= 3)
-      .select("qid", "nid", "cluster", "cos", "rank")
+  // -------------------------------------------------------------------
+  // IVF with nprobe=2: queries probe their TWO nearest refined centroids
+  // (the standard IVF recall dial) while the corpus stays indexed under
+  // one cluster each — candidate lists double, pairs stay unique.
+  // -------------------------------------------------------------------
+  def annIvfProbe2(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cent = Similarity.quantizedCentroids(emb)
+    val corpus = Similarity.assignClusters(emb, cent, nprobe = 1)
+    val queries = Similarity.assignClusters(
+      emb.filter(col("vec_id") < 30), cent, nprobe = 2)
+    Similarity.ivfTopK(corpus, queries, k = 3)
   }
 
   val annIvfKmeansOracle: String =
@@ -321,6 +306,36 @@ object CoverageQueries {
        |         ${cosSql("q.embedding", "c.embedding")} AS cos
        |  FROM assigned q JOIN assigned c
        |    ON q.cluster = c.cluster AND q.vec_id < 30 AND q.vec_id <> c.vec_id)
+       |SELECT qid, nid, cluster, cos, rank FROM (
+       |  SELECT qid, nid, cluster, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |  FROM scored)
+       |WHERE rank <= 3
+       |""".stripMargin
+
+  val annIvfProbe2Oracle: String =
+    s"""WITH comp AS (
+       |  SELECT label, i,
+       |         SUM(CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1048576) AS BIGINT)) AS s
+       |  FROM embeddings, range(0,64) t(i) GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT label AS rlabel, list(CAST(s AS DOUBLE) ORDER BY i) AS cvec
+       |  FROM comp GROUP BY 1),
+       |ranked AS (
+       |  SELECT e.vec_id, e.embedding, r.rlabel,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${cosSql("e.embedding", "r.cvec")} DESC, r.rlabel) AS rn
+       |  FROM embeddings e CROSS JOIN cent r),
+       |corpus AS (
+       |  SELECT vec_id, embedding, rlabel AS cluster FROM ranked WHERE rn = 1),
+       |queries AS (
+       |  SELECT vec_id, embedding, rlabel AS cluster FROM ranked
+       |  WHERE rn <= 2 AND vec_id < 30),
+       |scored AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS nid, q.cluster,
+       |         ${cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM queries q JOIN corpus c
+       |    ON q.cluster = c.cluster AND q.vec_id <> c.vec_id)
        |SELECT qid, nid, cluster, cos, rank FROM (
        |  SELECT qid, nid, cluster, cos,
        |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
@@ -493,6 +508,7 @@ object CoverageQueries {
     "update_join" -> (updateJoin _),
     "schema_align" -> (schemaAlignQuery _),
     "ann_ivf_kmeans" -> (annIvfKmeans _),
+    "ann_ivf_probe2" -> (annIvfProbe2 _),
     "range_exclusion" -> (rangeExclusion _),
     "sales_rollup" -> (salesRollup _),
     "term_frequency" -> (termFrequency _),
@@ -510,6 +526,7 @@ object CoverageQueries {
     "update_join" -> updateJoinOracle,
     "schema_align" -> schemaAlignOracle,
     "ann_ivf_kmeans" -> annIvfKmeansOracle,
+    "ann_ivf_probe2" -> annIvfProbe2Oracle,
     "range_exclusion" -> rangeExclusionOracle,
     "sales_rollup" -> salesRollupOracle,
     "term_frequency" -> termFrequencyOracle,
