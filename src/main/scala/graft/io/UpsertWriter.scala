@@ -110,8 +110,10 @@ object UpsertWriter {
     // Spark refuses to overwrite a path it is reading, so stage the
     // affected partitions to a temp dir and swap each partition dir in —
     // the dynamic-partition-overwrite effect, made explicit. The trash
-    // root lives OUTSIDE the target so half-swapped state is never
-    // visible to concurrent readers' partition discovery.
+    // root lives OUTSIDE the target so readers never see staged-out data
+    // as extra partitions; note each two-rename swap still has a brief
+    // window where that one partition dir is absent to a concurrent
+    // listing (atomic per-partition, not atomic per-table).
     val tmp = new Path(targetPath + ".__tmp")
     val trashRoot = new Path(targetPath + ".__trash")
     fs.delete(tmp, true); fs.delete(trashRoot, true)
@@ -129,18 +131,32 @@ object UpsertWriter {
         if (fs.exists(dest) && !fs.rename(dest, trash))
           throw new IllegalStateException(s"cannot stage out partition ${d.getPath.getName}")
         if (!fs.rename(d.getPath, dest)) {
-          if (fs.exists(trash)) fs.rename(trash, dest) // restore this one
+          if (fs.exists(trash) && !fs.rename(trash, dest)) // restore this one
+            throw new IllegalStateException(
+              s"cannot publish partition ${d.getPath.getName} AND its " +
+                s"original could not be restored from $trash")
           throw new IllegalStateException(s"cannot publish partition ${d.getPath.getName}")
         }
         swapped += ((dest, trash))
       }
     } catch {
       case e: Throwable =>
-        // roll back every completed swap; target returns to its pre-call state
+        // roll back every completed swap; target returns to its pre-call
+        // state. A failed restore must not pass silently: record it,
+        // keep the trash dir (it still holds the original data), and
+        // attach the detail to the propagating error.
+        val unrestored = scala.collection.mutable.ListBuffer.empty[String]
         swapped.reverseIterator.foreach { case (dest, trash) =>
-          if (fs.exists(trash)) { fs.delete(dest, true); fs.rename(trash, dest) }
+          if (fs.exists(trash)) {
+            fs.delete(dest, true)
+            if (!fs.rename(trash, dest)) unrestored += dest.getName
+          }
         }
-        fs.delete(tmp, true); fs.delete(trashRoot, true)
+        fs.delete(tmp, true)
+        if (unrestored.isEmpty) fs.delete(trashRoot, true)
+        else e.addSuppressed(new IllegalStateException(
+          s"rollback failed to restore partitions ${unrestored.mkString(", ")}; " +
+            s"originals remain under $trashRoot"))
         throw e
     }
     fs.delete(tmp, true); fs.delete(trashRoot, true)

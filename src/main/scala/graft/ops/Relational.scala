@@ -115,7 +115,11 @@ object Relational {
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: Column, rightTime: Column, rightOrd: Column,
                payload: Seq[String], prefix: String = "asof_"): DataFrame = {
-    val r = right.select(
+    // A null right timestamp would sort NULLS FIRST in the ascending
+    // window and be carried into every left row as a phantom "earliest"
+    // match; the inequality formulation (rt <= t) never matches null,
+    // so drop such rows up front.
+    val r = right.filter(rightTime.isNotNull).select(
       keys.map(col) ++ Seq(rightTime.as("__t"), rightOrd.as("__ord"),
         struct(payload.map(col): _*).as("__asof")): _*)
       .withColumn("__side", lit(0))
@@ -153,8 +157,15 @@ object Relational {
     // floor(x / bucket) could misround at bucket boundaries
     def bucketOf(c: Column) = ((c - pmod(c, lit(bucket))) / bucket).cast("long")
     val l = points.withColumn("__b", bucketOf(point))
+    // Guard degenerate intervals (end <= start): sequence(a, b) with
+    // b < a generates a DESCENDING range, so one corrupt row (e.g.
+    // end=0 against an epoch-micros start) would materialize a huge
+    // array and OOM the task before the residual filter runs. Empty
+    // intervals match no point under start <= p < end, so explode an
+    // empty array and let the row vanish.
     val r = intervals.withColumn("__b",
-      explode(sequence(bucketOf(start), bucketOf(end - 1))))
+      explode(when(start < end, sequence(bucketOf(start), bucketOf(end - 1)))
+        .otherwise(array().cast("array<long>"))))
     l.join(r, (keys :+ "__b").toIndexedSeq)
       .filter(point >= start && point < end)
       .drop("__b")

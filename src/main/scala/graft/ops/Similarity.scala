@@ -113,8 +113,14 @@ object Similarity {
     * stays a plain equi-join. A (query, candidate) pair matches at most
     * one probe (probe buckets are distinct), so no dedup is needed. */
   def signLshMultiProbeTopK(queries: DataFrame, corpus: DataFrame,
-                            bits: Int, k: Int): DataFrame = {
-    val c = corpus.withColumn("bucket", signBucket(col("nvec"), bits))
+                            bits: Int, k: Int,
+                            capPerBucket: Int = 4096): DataFrame = {
+    // same deterministic per-bucket corpus cap as signLshTopK: bounds the
+    // candidate set per probe even under a degenerate sign distribution
+    val cRaw = corpus.withColumn("bucket", signBucket(col("nvec"), bits))
+    val wcap = Window.partitionBy(col("bucket")).orderBy(col("nid"))
+    val c = cRaw.withColumn("__rn", row_number().over(wcap))
+      .filter(col("__rn") <= capPerBucket).drop("__rn")
     val flips = array((lit(0) +: (0 until bits).map(i => lit(1 << i))): _*)
     val q = queries
       .withColumn("__b0", signBucket(col("qvec"), bits))
@@ -133,12 +139,21 @@ object Similarity {
   /** Approximate top-k: same contract, but candidates must share the
     * query's sign-LSH bucket. One equi-join on bucket instead of a cross
     * join. With few bits the per-bucket candidate set is ~N/2^bits and
-    * grows linearly with the corpus — at 100 TB use
+    * grows linearly with the corpus, so the corpus side is capped at
+    * `capPerBucket` members per bucket (deterministic keeper order by
+    * nid; compiles to WindowGroupLimit with pre-shuffle partial limit) —
+    * no candidate set is unbounded even when one sign pattern dominates.
+    * The default cap is far above any test-scale bucket, so capped and
+    * uncapped results coincide there. At 100 TB prefer
     * [[signLshMultiProbeTopK]] (more bits for the bound, probes for the
-    * recall) rather than raising k here. */
-  def signLshTopK(queries: DataFrame, corpus: DataFrame, bits: Int, k: Int): DataFrame = {
+    * recall) rather than raising k or the cap here. */
+  def signLshTopK(queries: DataFrame, corpus: DataFrame, bits: Int, k: Int,
+                  capPerBucket: Int = 4096): DataFrame = {
     val q = queries.withColumn("bucket", signBucket(col("qvec"), bits))
-    val c = corpus.withColumn("bucket", signBucket(col("nvec"), bits))
+    val cRaw = corpus.withColumn("bucket", signBucket(col("nvec"), bits))
+    val wcap = Window.partitionBy(col("bucket")).orderBy(col("nid"))
+    val c = cRaw.withColumn("__rn", row_number().over(wcap))
+      .filter(col("__rn") <= capPerBucket).drop("__rn")
     val scored = c.join(q, Seq("bucket"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("cos", cosineSim(col("qvec"), col("nvec")))

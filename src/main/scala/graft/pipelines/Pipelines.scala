@@ -78,12 +78,27 @@ object ZrssalePipeline {
       .na.drop(upsertKeys)
   }
 
-  /** D2 branch: pre-rename then shared clean. */
-  def transformD2(raw: DataFrame): DataFrame =
-    transform(Clean.renameAll(raw, d2PreRenames))
+  /** D2 branch: pre-rename, then the reference's MAIN-flow Article dedup
+    * (etl_zrssale.py:63-64) folded in at its reference position: after
+    * concatenating the batch, drop_duplicates(subset=['Article'])
+    * keep-FIRST in concat order, and only THEN trim Article — so the D2
+    * target holds one billing line per Article, the keeper is chosen
+    * BEFORE the rename/ZTTG filter, and dedup compares untrimmed values.
+    * Distributed keep-first needs an explicit total order; callers supply
+    * the columns defining "concat order" (default: the source file name
+    * attached by SapTextReader's withFileName — add a per-file row index
+    * if within-file duplicates are possible). */
+  def transformD2(raw: DataFrame,
+                  firstOrder: Seq[Column] = Seq(col("_source_file"))): DataFrame = {
+    val pre = Clean.renameAll(raw, d2PreRenames).na.drop(Seq("Article"))
+    val deduped = Relational.dedupKeepFirst(Seq("Article"), firstOrder)(pre)
+    transform(deduped.withColumn("Article", trim(col("Article"))))
+  }
 
-  /** The D2 article-dedup side path (etl_zrssale.py:63): one row per
-    * Article, deterministic keeper. */
+  /** Standalone article-master derivation from already-cleaned lines —
+    * one row per Article with a deterministic keeper on (Bill_Doc, Item).
+    * The reference's main-flow dedup is in [[transformD2]]; this op is for
+    * re-deriving a master from line-grain data kept by other branches. */
   def articleMaster(lines: DataFrame): DataFrame =
     Relational.dedupKeepFirst(Seq("Article"), Seq(col("Bill_Doc"), col("Item")))(lines)
 }

@@ -571,8 +571,20 @@ object LlmQueries {
     val hashed = li.select(col("l_returnflag").as("flag"),
         hash32(col("l_partkey").cast(StringType)).as("h"))
       .distinct()
+    // Two-stage exact top-K. A single per-flag window sorts the whole
+    // distinct hash universe on #flags tasks (3 here) — a parallelism
+    // ceiling that worsens with scale. The k smallest of a union is the
+    // k smallest of the per-salt k-smallests, so stage 1 keeps k per
+    // (flag, salt) bucket at full parallelism and stage 2 runs the
+    // per-flag window over only #flags * #salts * k survivors.
+    val salts = 256
+    val wSalt = Window.partitionBy(col("flag"), pmod(col("h"), lit(salts)))
+      .orderBy(col("h"))
+    val preKept = hashed.withColumn("srn", row_number().over(wSalt))
+      .filter(col("srn") <= KmvK)
+      .drop("srn")
     val w = Window.partitionBy(col("flag")).orderBy(col("h"))
-    val kept = hashed.withColumn("rn", row_number().over(w))
+    val kept = preKept.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= KmvK)
     kept.groupBy(col("flag"))
       .agg(count(lit(1)).as("n"), max(col("h")).as("hk"))

@@ -253,10 +253,15 @@ object RelationalQueries {
     li.groupBy(col("l_partkey").as("article"), col("l_suppkey").as("site"))
       .agg(
         sum(when(isStaging, col("l_quantity").cast(D))).as("__qs"),
-        sum(when(!isStaging, col("l_quantity").cast(D))).as("__qt"))
+        sum(when(!isStaging, col("l_quantity").cast(D))).as("__qt"),
+        // presence must be count-based: a staging group whose quantities
+        // are all NULL still counts as "key present in staging" under
+        // MERGE semantics, but its sum is NULL and would misclassify
+        count(when(isStaging, lit(1))).as("__ns"))
       .select(col("article"), col("site"),
-        coalesce(col("__qs"), col("__qt")).cast(DoubleType).as("qty"),
-        when(col("__qs").isNotNull, "staging").otherwise("target").as("src"))
+        when(col("__ns") > 0, col("__qs")).otherwise(col("__qt"))
+          .cast(DoubleType).as("qty"),
+        when(col("__ns") > 0, "staging").otherwise("target").as("src"))
   }
 
   val upsertMergeOracle: String =

@@ -20,22 +20,32 @@ class PipelinesSpec extends SparkSpecBase {
     assert(out == Set(("A1", 749.5, 12.0, "EA"))) // bad date row dropped
   }
 
-  test("Zrssale D2: full rename map, ZTTG filter, line grain; articleMaster dedups") {
+  test("Zrssale D2: main-flow Article dedup before rename/filter, then trim") {
     val raw = Seq(
+      // two lines share Article A1 (one with padding — dedup compares the
+      // UNTRIMMED value, so " A1 " is a distinct article until post-dedup trim)
       ("B1", "10", "A1", "ZTTG", "tax goods", "03/01/1996", "5.0", "100.00", "1,250.50-", "2.0"),
       ("B1", "20", "A1", "ZTTG", "tax goods", "03/01/1996", "2.0", "40.00", "10.00", "1.0"),
-      ("B2", "10", "A2", "OTHER", "other", "03/01/1996", "9.0", "90.00", "9.00", "1.0"))
+      ("B3", "10", " A1 ", "ZTTG", "tax goods", "03/02/1996", "7.0", "70.00", "7.00", "1.0"),
+      // keeper for A2 is the FIRST in concat order (B2/10, type OTHER), so
+      // the later ZTTG line for A2 must NOT survive via the filter
+      ("B2", "10", "A2", "OTHER", "other", "03/01/1996", "9.0", "90.00", "9.00", "1.0"),
+      ("B2", "20", "A2", "ZTTG", "tax goods", "03/01/1996", "4.0", "44.00", "4.00", "1.0"))
       .toDF("Bill.Doc.", "Item", "Article", "MTyp", "Descript.", "Bill. Date",
         "BillQtySKU", "Sales Amou", "Net Value", "Cost")
-    val lines = ZrssalePipeline.transformD2(raw)
-    assert(lines.count() == 2) // OTHER filtered out
-    // full-map renames landed, numerics parsed (incl. trailing minus), date typed
-    val r = lines.filter(col("Item") === "10")
-      .select(col("Bill_Doc"), col("Article_Type"), col("Article_Type_Description"),
-        col("Date").cast("string"), col("Quantity").cast("double"),
-        col("Amt").cast("double"), col("Net").cast("double"))
-      .as[(String, String, String, String, Double, Double, Double)].head()
-    assert(r == ("B1", "ZTTG", "tax goods", "1996-03-01", 5.0, 100.0, -1250.5))
+    val lines = ZrssalePipeline.transformD2(raw,
+      firstOrder = Seq(col("`Bill.Doc.`"), col("Item"))) // explicit concat order
+    // survivors: A1's first line (B1/10) and the trimmed " A1 " keeper (B3/10);
+    // A2's keeper is the OTHER row, dropped by the ZTTG filter
+    val got = lines.select(col("Article"), col("Bill_Doc"), col("Item"),
+        col("Quantity").cast("double"), col("Net").cast("double"))
+      .as[(String, String, String, Double, Double)].collect().toSet
+    assert(got == Set(("A1", "B1", "10", 5.0, -1250.5), ("A1", "B3", "10", 7.0, 7.0)))
+    // renames landed and types parsed on the kept line
+    val r = lines.filter(col("Bill_Doc") === "B1")
+      .select(col("Article_Type"), col("Article_Type_Description"), col("Date").cast("string"))
+      .as[(String, String, String)].head()
+    assert(r == ("ZTTG", "tax goods", "1996-03-01"))
     val master = ZrssalePipeline.articleMaster(lines)
       .select("Article", "Bill_Doc", "Item").as[(String, String, String)].collect().toSeq
     assert(master == Seq(("A1", "B1", "10"))) // keep-first on (Bill_Doc, Item)

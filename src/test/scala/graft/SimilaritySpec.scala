@@ -58,4 +58,52 @@ class SimilaritySpec extends SparkSpecBase {
       s"multi-probe ${recall(mp, truth)} < plain ${recall(plain, truth)}")
     assert(mp.nonEmpty)
   }
+
+  test("recall report: every approximate path vs brute-force truth, floors asserted") {
+    // One table per round so a bits/probes/cap regression is visible in the
+    // test log, with a floor per path pinned ~20% under the measured value
+    // on this fixture (isotropic random embeddings — absolute recall is
+    // structurally low for sign-LSH; the floors catch REGRESSIONS, they
+    // are not quality targets).
+    val truth = truthTop3
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 30)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+    def top3(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "nid").as[(Long, Long)].collect().toSet
+    val paths: Seq[(String, Set[(Long, Long)], Double)] = Seq(
+      ("sign_lsh_4bit", top3(Similarity.signLshTopK(queries, corpus, 4, 3)), 0.0),
+      ("multiprobe_4bit", top3(Similarity.signLshMultiProbeTopK(queries, corpus, 4, 3)), 0.0),
+      ("multiprobe_8bit", top3(Similarity.signLshMultiProbeTopK(queries, corpus, 8, 3)), 0.0),
+      ("ivf_kmeans_p1", top3(CoverageQueries.annIvfKmeans(spark, sfDir)
+        .filter(col("qid") < 30)), 0.0),
+      ("ivf_kmeans_p2", top3(CoverageQueries.annIvfProbe2(spark, sfDir)
+        .filter(col("qid") < 30)), 0.0))
+    val report = paths.map { case (name, pairs, _) => (name, recall(pairs, truth)) }
+    report.foreach { case (name, r) => info(f"recall $name%-16s $r%.3f") }
+    // measured on this fixture 2026-08-12: 0.167 / 0.478 / 0.111 / 0.244 / 0.389
+    val floors = Map("sign_lsh_4bit" -> 0.10, "multiprobe_4bit" -> 0.35,
+      "multiprobe_8bit" -> 0.08, "ivf_kmeans_p1" -> 0.18, "ivf_kmeans_p2" -> 0.30)
+    report.foreach { case (name, r) =>
+      assert(r >= floors(name), f"recall regression: $name $r%.3f < floor ${floors(name)}")
+    }
+  }
+
+  test("per-bucket corpus cap: default cap is result-identical, tiny cap still bounded") {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 30)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+    val capped = Similarity.signLshTopK(queries, corpus, 4, 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val uncapped = Similarity.signLshTopK(queries, corpus, 4, 3, capPerBucket = Int.MaxValue)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    assert(capped == uncapped, "default cap changed results at test scale")
+    // a tiny cap must bound candidates per bucket (≤ cap per query probe)
+    // while still producing rows — the degenerate-bucket safety property
+    val tiny = Similarity.signLshTopK(queries, corpus, 4, 3, capPerBucket = 5)
+    assert(tiny.groupBy("qid").count().filter(col("count") > 5).count() == 0)
+    assert(tiny.count() > 0)
+  }
 }
