@@ -19,12 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "weekly_sales" -> (RefQueries.weeklySales _),
     "movement_agg" -> (RefQueries.movementAgg _),
+    "movement_agg_first" -> (RefQueries.movementAggFirst _),
   ) ++ RelationalQueries.queries ++ LlmQueries.queries ++
     EventQueries.queries ++ MediaQueries.queries ++ CoverageQueries.queries
 
   def oracleSql: Map[String, String] = Map(
     "weekly_sales" -> RefQueries.weeklySalesOracle,
     "movement_agg" -> RefQueries.movementAggOracle,
+    "movement_agg_first" -> RefQueries.movementAggFirstOracle,
   ) ++ RelationalQueries.oracles ++ LlmQueries.oracles ++
     EventQueries.oracles ++ MediaQueries.oracles ++ CoverageQueries.oracles
 }

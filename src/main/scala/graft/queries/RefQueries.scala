@@ -122,4 +122,37 @@ object RefQueries {
       |FROM lineitem
       |GROUP BY 1, 2, 3
       |""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // A1 order-faithful twin: pandas first() keeps the value from the FIRST
+  // row in concat (file) order (pipelines/etl_zmb51.py:76-80). The
+  // distributed restatement makes the order explicit — on real exports it
+  // is (_source_file, per-file row index), as dedup_keep_last carries; on
+  // the parquet testdata the generation order (l_orderkey, l_linenumber)
+  // is the same total order. min_by over that single composite rank is a
+  // commutative aggregate: one partial+final hash agg, deterministic at
+  // any parallelism — true first() semantics without a window or sort.
+  // ---------------------------------------------------------------------
+  def movementAggFirst(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val ord = col("l_orderkey") * lit(100L) + col("l_linenumber") // linenumber < 100
+    li.groupBy(
+        col("l_partkey").as("article"),
+        col("l_suppkey").as("site"),
+        to_date(col("l_shipdate")).as("date"))
+      .agg(
+        dsum(-col("l_quantity")).as("quantity"),
+        dsum((-col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(D)).as("cost"),
+        min_by(col("l_returnflag"), ord).as("bun"))
+  }
+
+  val movementAggFirstOracle: String =
+    """SELECT l_partkey AS article, l_suppkey AS site,
+      |       CAST(l_shipdate AS DATE) AS date,
+      |       CAST(SUM(CAST(-l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS quantity,
+      |       CAST(SUM(CAST(-l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS cost,
+      |       ARG_MIN(l_returnflag, l_orderkey * 100 + l_linenumber) AS bun
+      |FROM lineitem
+      |GROUP BY 1, 2, 3
+      |""".stripMargin
 }

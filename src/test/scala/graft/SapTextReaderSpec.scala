@@ -165,4 +165,45 @@ class SapTextReaderSpec extends SparkSpecBase {
       .withColumn("shard", SapTextReader.fileNameColumn("ZMB51_(\\d+)\\.txt", 1))
     assert(df.select("shard").distinct().as[String].collect().toSeq == Seq("0001"))
   }
+
+  test("archiveInputs moves consumed files to processed/ with collision timestamp") {
+    import graft.io.InputArchive
+    val dir = Files.createTempDirectory("archive").toFile
+    def touch(name: String): String = {
+      val f = new java.io.File(dir, name)
+      Files.write(f.toPath, "x".getBytes("UTF-8")); f.getAbsolutePath
+    }
+    val processed = new java.io.File(dir, "processed").getAbsolutePath
+    val a = touch("ZMB51_0001.txt")
+
+    // first archival: plain name
+    val moved1 = InputArchive.archiveInputs(spark, Seq(a), processed, () => "199603150000")
+    assert(moved1.map(m => new java.io.File(m._2).getName) == Seq("ZMB51_0001.txt"))
+    assert(!new java.io.File(a).exists())
+    assert(new java.io.File(processed, "ZMB51_0001.txt").exists())
+
+    // same-named file consumed again: collision -> stem_<stamp>.suffix
+    val b = touch("ZMB51_0001.txt")
+    val moved2 = InputArchive.archiveInputs(spark, Seq(b), processed, () => "199603160000")
+    assert(moved2.map(m => new java.io.File(m._2).getName) == Seq("ZMB51_0001_199603160000.txt"))
+    assert(new java.io.File(processed, "ZMB51_0001_199603160000.txt").exists())
+
+    // third collision with the SAME stamp must fail loudly, never overwrite
+    val c = touch("ZMB51_0001.txt")
+    val e = intercept[IllegalStateException] {
+      InputArchive.archiveInputs(spark, Seq(c), processed, () => "199603160000")
+    }
+    assert(e.getMessage.contains("cannot archive"))
+    assert(new java.io.File(c).exists()) // source untouched on failure
+
+    // glob form archives exactly the current matches (c still pending from
+    // the failed attempt, plus a new promo file), not the processed dir
+    val d = touch("ZSTPROMO_01.txt")
+    val moved3 = InputArchive.archiveGlob(spark, s"$dir/*.txt", processed, () => "0")
+    assert(moved3.map(m => new java.io.File(m._1).getName).toSet ==
+      Set("ZMB51_0001.txt", "ZSTPROMO_01.txt"))
+    assert(new java.io.File(processed, "ZMB51_0001_0.txt").exists()) // c collided -> stamped
+    assert(new java.io.File(processed, "ZSTPROMO_01.txt").exists())
+    assert(!new java.io.File(d).exists())
+  }
 }

@@ -172,6 +172,31 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming partitioned upsert sink rewrites only the touched partitions") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("upsinkpart").toFile.getAbsolutePath
+    val target = s"$base/target"
+    val src = MemoryStream[(Long, String, Double)]
+    val events = src.toDF().toDF("k", "day", "v")
+    // multi-day stream, one day per micro-batch: each batch must touch
+    // only its day's partition dir
+    val q = Streams.upsertPartitionedSink(events, target, Seq("k", "day"), "day", s"$base/ckpt")
+    try {
+      src.addData((1L, "d1", 1.0), (2L, "d2", 2.0))
+      q.processAllAvailable()
+      val d1Before = new java.io.File(target, "day=d1").lastModified()
+      Thread.sleep(1100) // FS mtime granularity
+      src.addData((3L, "d2", 30.0), (2L, "d2", 20.0)) // update + insert, d2 ONLY
+      q.processAllAvailable()
+      val out = spark.read.parquet(target)
+        .select("k", "day", "v").as[(Long, String, Double)].collect().toSet
+      assert(out == Set((1L, "d1", 1.0), (2L, "d2", 20.0), (3L, "d2", 30.0)))
+      // the untouched d1 partition dir was not rewritten by batch 2
+      assert(new java.io.File(target, "day=d1").lastModified() == d1Before,
+        "partition day=d1 was rewritten by a batch that only touched day=d2")
+    } finally q.stop()
+  }
+
   test("streaming windowed counts match the oracle-checked batch twin") {
     val sfDir = "/root/testdata/sf0.001"
     val batch = graft.queries.EventQueries.eventWindowAgg(spark, sfDir)
