@@ -1,0 +1,82 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** Small-file compaction — the maintenance op every streaming/incremental
+  * sink needs at scale. Each micro-batch (or partitioned upsert) writes at
+  * least one file per touched partition dir, so a day of minute-batches
+  * turns a partition into thousands of tiny files whose per-file
+  * open/footer overhead dominates scan cost long before the bytes do.
+  * Compaction rewrites a directory into ceil(bytes / targetFileBytes)
+  * files — optionally range-sorted for min/max pruning — and publishes
+  * with the same two-rename swap the upsert writer uses, so readers see
+  * either the old or the new layout, never a mix.
+  */
+object Compact {
+
+  /** Rewrite one parquet directory into ~targetFileBytes-sized files.
+    * `sortCols`, when given, range-partitions and sorts within files so
+    * parquet min/max stats prune scans on those columns (the poor man's
+    * clustering; at 100 TB this is what keeps point-lookups off full
+    * scans). Returns the resulting file count. */
+  def compactDir(spark: SparkSession, path: String,
+                 targetFileBytes: Long = 128L * 1024 * 1024,
+                 sortCols: Seq[String] = Nil): Int = {
+    import org.apache.spark.sql.functions.col
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    val dataFiles = fs.listStatus(dir).filter(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet"))
+    require(dataFiles.nonEmpty, s"$path holds no parquet files to compact")
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+
+    val df = spark.read.parquet(path)
+    val shaped =
+      if (sortCols.isEmpty) df.repartition(nFiles)
+      else df.repartitionByRange(nFiles, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+
+    val tmp = new Path(path + ".__compact")
+    val trash = new Path(path + ".__old")
+    fs.delete(tmp, true); fs.delete(trash, true)
+    shaped.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (!fs.rename(dir, trash))
+      throw new IllegalStateException(s"cannot stage out $dir for compaction")
+    if (!fs.rename(tmp, dir)) {
+      // restore: the original data is intact in trash
+      if (!fs.rename(trash, dir))
+        throw new IllegalStateException(
+          s"cannot publish compacted $dir AND the original could not be " +
+            s"restored from $trash — restore it manually")
+      throw new IllegalStateException(s"cannot publish compacted $dir; original restored")
+    }
+    fs.delete(trash, true)
+    nFiles
+  }
+
+  /** Table form: compact every `partitionCol=` child dir currently holding
+    * more than `maxFilesPerPartition` files. Partition dirs are rewritten
+    * independently (each with its own atomic swap), so a long compaction
+    * run never blocks readers and can be resumed after interruption. */
+  def compactPartitioned(spark: SparkSession, tablePath: String,
+                         targetFileBytes: Long = 128L * 1024 * 1024,
+                         maxFilesPerPartition: Int = 8,
+                         sortCols: Seq[String] = Nil): Map[String, Int] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(tablePath)
+    val fs = dir.getFileSystem(conf)
+    val partDirs = fs.listStatus(dir).filter(s =>
+      s.isDirectory && s.getPath.getName.contains("="))
+    partDirs.flatMap { p =>
+      val files = fs.listStatus(p.getPath).count(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet"))
+      if (files > maxFilesPerPartition)
+        Some(p.getPath.getName ->
+          compactDir(spark, p.getPath.toString, targetFileBytes, sortCols))
+      else None
+    }.toMap
+  }
+}

@@ -75,6 +75,27 @@ object Similarity {
   def cosineGeneric(a: Column, b: Column): Column =
     cosine(dotDComposed(a, b), dotDComposed(a, a), dotDComposed(b, b))
 
+  /** Run `iters` full Lloyd iterations from the seed `label` column:
+    * recompute quantized centroids from the current assignment, reassign
+    * each vector to its nearest centroid (spherical k-means — the sum
+    * direction maximizes within-cluster cosine, so mean cosine to the
+    * assigned centroid is non-decreasing per iteration up to quantization
+    * noise). Each iteration costs one centroid aggregation (two shuffles
+    * over exploded components) plus a broadcast assignment scan;
+    * `localCheckpoint` truncates the per-iteration lineage so iteration
+    * i+1 doesn't re-derive iterations 1..i. Input (vec_id, embedding,
+    * label) -> same shape with refined labels. */
+  def lloydIterate(emb: DataFrame, iters: Int): DataFrame = {
+    var labeled = emb.select(col("vec_id"), col("embedding"), col("label"))
+    for (_ <- 1 to iters) {
+      val cent = quantizedCentroids(labeled.select(col("label"), col("embedding")))
+      labeled = assignClusters(labeled.select(col("vec_id"), col("embedding")), cent, 1)
+        .select(col("vec_id"), col("embedding"), col("cluster").as("label"))
+        .localCheckpoint(false)
+    }
+    labeled
+  }
+
   /** Assign each (vec_id, embedding) row to its `nprobe` nearest
     * centroids by cosine (deterministic tie-break on rlabel). nprobe=1
     * indexes the corpus; nprobe>1 widens a query's candidate lists —

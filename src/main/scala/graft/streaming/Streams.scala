@@ -240,4 +240,52 @@ object Streams {
           }
       }
   }
+
+  case class AsofLeft(key: Long, ts: java.sql.Timestamp, value: Double)
+  case class AsofRight(key: Long, ts: java.sql.Timestamp, payload: Double)
+  case class AsofOut(key: Long, ts: java.sql.Timestamp, value: Double,
+                     asof_ts: Option[java.sql.Timestamp],
+                     asof_payload: Option[Double])
+  case class AsofHist(entries: List[(Long, Double)])
+
+  /** Streaming as-of enrichment — the stateful twin of
+    * [[graft.ops.Relational.asofJoin]]: each left fact is joined to the
+    * LATEST right update with right.ts <= left.ts for its key. State per
+    * key is a bounded, ascending (tsUs, payload) history (`maxHistory`
+    * entries), so total state is O(keys x maxHistory) — the watermark-free
+    * bound a rates/snapshot dimension stream needs.
+    *
+    * Semantics vs the batch op: within a micro-batch, events process in
+    * event-time order (rights before lefts at equal ts — the inclusive
+    * <= tie-break the batch op uses); ACROSS batches, a right update that
+    * arrives in a later batch than a left fact it should have matched
+    * cannot retro-enrich it. That is inherent to any unbuffered streaming
+    * as-of; the oracle-checked batch `asof_join` is the replayable truth
+    * for backfills, this operator is the low-latency path. */
+  def asofEnrichStream(left: Dataset[AsofLeft], right: Dataset[AsofRight],
+                       maxHistory: Int = 32): Dataset[AsofOut] = {
+    import left.sparkSession.implicits._
+    // side 0 = right (state writer), side 1 = left (reader): sorting by
+    // (tsUs, side) applies updates before same-timestamp lookups
+    val tagged = left.map(x => (1, x.key, x.ts.getTime * 1000L, x.value))
+      .union(right.map(x => (0, x.key, x.ts.getTime * 1000L, x.payload)))
+    tagged.groupByKey(_._2)
+      .flatMapGroupsWithState[AsofHist, AsofOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, it, state: GroupState[AsofHist]) =>
+          var hist = state.getOption.map(_.entries).getOrElse(Nil) // ascending tsUs
+          val out = Seq.newBuilder[AsofOut]
+          it.toSeq.sortBy(e => (e._3, e._1)).foreach { case (side, _, tsUs, v) =>
+            if (side == 0)
+              hist = ((tsUs, v) :: hist).sortBy(_._1).takeRight(maxHistory)
+            else {
+              val m = hist.reverseIterator.find(_._1 <= tsUs)
+              out += AsofOut(key, new java.sql.Timestamp(tsUs / 1000), v,
+                m.map(e => new java.sql.Timestamp(e._1 / 1000)), m.map(_._2))
+            }
+          }
+          state.update(AsofHist(hist))
+          out.result().iterator
+      }
+  }
 }

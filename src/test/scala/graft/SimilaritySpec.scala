@@ -90,6 +90,25 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("Lloyd iterations monotonically improve within-cluster cosine") {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    def meanCos(labeled: org.apache.spark.sql.DataFrame): Double = {
+      val cent = Similarity.quantizedCentroids(
+        labeled.select(col("label"), col("embedding")))
+      labeled.join(broadcast(cent), labeled("label") === cent("rlabel"))
+        .select(avg(Similarity.cosineGeneric(col("embedding"), col("cvec"))).as("m"))
+        .as[Double].head()
+    }
+    val q0 = meanCos(emb)
+    val q1 = meanCos(Similarity.lloydIterate(emb, 1))
+    val q3 = meanCos(Similarity.lloydIterate(emb, 3))
+    info(f"mean within-cluster cosine: seed $q0%.4f -> iter1 $q1%.4f -> iter3 $q3%.4f")
+    assert(q1 >= q0 - 1e-6, s"one Lloyd step degraded quality: $q0 -> $q1")
+    assert(q3 >= q1 - 1e-6, s"more Lloyd steps degraded quality: $q1 -> $q3")
+    assert(q3 > q0, "three Lloyd steps should strictly improve the seed labeling")
+  }
+
   test("per-bucket corpus cap: default cap is result-identical, tiny cap still bounded") {
     val emb = Tables.table(spark, sfDir, "embeddings")
     val queries = emb.filter(col("vec_id") < 30)

@@ -197,6 +197,32 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming as-of enrichment joins each fact to the latest prior update") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"1996-03-01 10:$m%02d:00")
+    val ls = MemoryStream[Streams.AsofLeft]
+    val rs = MemoryStream[Streams.AsofRight]
+    val out = Streams.asofEnrichStream(ls.toDS(), rs.toDS())
+    val q = out.writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: rate update at 10:00, facts at 10:05 (match) and 09:55 (no prior)
+      rs.addData(Streams.AsofRight(1L, ts(0), 1.5))
+      ls.addData(Streams.AsofLeft(1L, ts(5), 100.0),
+        Streams.AsofLeft(1L, java.sql.Timestamp.valueOf("1996-03-01 09:55:00"), 50.0))
+      q.processAllAvailable()
+      // batch 2: new rate at 10:20; facts at 10:30 (new rate) and 10:10
+      // (STILL the old rate — history survives across batches)
+      rs.addData(Streams.AsofRight(1L, ts(20), 2.5))
+      ls.addData(Streams.AsofLeft(1L, ts(30), 200.0), Streams.AsofLeft(1L, ts(10), 300.0))
+      q.processAllAvailable()
+      val got = spark.table("asof_stream")
+        .as[Streams.AsofOut].collect().map(o => (o.value, o.asof_payload)).toSet
+      assert(got == Set((100.0, Some(1.5)), (50.0, None),
+        (200.0, Some(2.5)), (300.0, Some(1.5))))
+    } finally q.stop()
+  }
+
   test("streaming windowed counts match the oracle-checked batch twin") {
     val sfDir = "/root/testdata/sf0.001"
     val batch = graft.queries.EventQueries.eventWindowAgg(spark, sfDir)
