@@ -708,8 +708,77 @@ object LlmQueries {
        |WHERE cum_tok <= 1000
        |""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Decontamination — the train/eval overlap scrub every training corpus
+  // needs: a candidate training document is contaminated if it shares any
+  // 5-token shingle with the held-out benchmark set (here: doc_id % 10 = 0
+  // stands in for the eval split). The benchmark side is tiny by nature
+  // (eval sets are thousands of docs, the corpus is billions), so its
+  // distinct shingle set broadcasts and the check is one map-side hash
+  // join over the training side's exploded shingles — no corpus shuffle.
+  // -------------------------------------------------------------------
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions.shingles
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(tokens(col("text")), 5))).as("shingle"))
+    val bench = sh.filter(col("doc_id") % 10 === 0)
+      .select(col("shingle"), col("doc_id").as("bench_id"))
+    sh.filter(col("doc_id") % 10 =!= 0)
+      .join(broadcast(bench), "shingle")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("shingle")).as("n_shingles"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+  }
+
+  val decontaminateOracle: String =
+    s"""WITH toks AS ($tokSql),
+       |sh AS (${shingleSql(5)}),
+       |d AS (SELECT doc_id, unnest(list_distinct(s)) AS shingle FROM sh),
+       |bench AS (SELECT shingle, doc_id AS bench_id FROM d WHERE doc_id % 10 = 0),
+       |train AS (SELECT * FROM d WHERE doc_id % 10 <> 0)
+       |SELECT t.doc_id,
+       |       COUNT(DISTINCT t.shingle) AS n_shingles,
+       |       COUNT(DISTINCT b.bench_id) AS n_bench_docs
+       |FROM train t JOIN bench b ON t.shingle = b.shingle
+       |GROUP BY 1
+       |""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Repetition scoring — the boilerplate/spam quality signal: per doc,
+  // the share of the most frequent token and the distinct-token ratio.
+  // Two partial+final hash aggs (doc,token) -> (doc); ratios are single
+  // divisions of exact integer counts, so they hash-match across engines.
+  // -------------------------------------------------------------------
+  def repetitionScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val terms = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    terms.groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_c"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (col("top_c").cast(DoubleType) / col("n_tokens")).as("top_ratio"),
+        (col("n_distinct").cast(DoubleType) / col("n_tokens")).as("distinct_ratio"))
+  }
+
+  val repetitionScoreOracle: String =
+    s"""WITH toks AS ($tokSql),
+       |t AS (SELECT doc_id, unnest(t) AS token FROM toks),
+       |cnt AS (SELECT doc_id, token, COUNT(*) AS c FROM t GROUP BY 1, 2),
+       |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |               COUNT(*) AS n_distinct, MAX(c) AS top_c
+       |        FROM cnt GROUP BY 1)
+       |SELECT doc_id, n_tokens, n_distinct,
+       |       CAST(top_c AS DOUBLE) / n_tokens AS top_ratio,
+       |       CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio
+       |FROM agg
+       |""".stripMargin
+
   /** Registration for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "decontaminate" -> (decontaminate _),
+    "repetition_score" -> (repetitionScore _),
     "curation_pipeline" -> (curationPipeline _),
     "doc_chunks" -> (docChunks _),
     "stratified_sample" -> (stratifiedSample _),
@@ -732,6 +801,8 @@ object LlmQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "decontaminate" -> decontaminateOracle,
+    "repetition_score" -> repetitionScoreOracle,
     "curation_pipeline" -> curationPipelineOracle,
     "doc_chunks" -> docChunksOracle,
     "stratified_sample" -> stratifiedSampleOracle,

@@ -2,6 +2,7 @@ package graft
 
 import graft.streaming.Streams
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, lit}
 
 class StreamingSpec extends SparkSpecBase {
   import spark.implicits._
@@ -220,6 +221,38 @@ class StreamingSpec extends SparkSpecBase {
         .as[Streams.AsofOut].collect().map(o => (o.value, o.asof_payload)).toSet
       assert(got == Set((100.0, Some(1.5)), (50.0, None),
         (200.0, Some(2.5)), (300.0, Some(1.5))))
+    } finally q.stop()
+  }
+
+  test("single-batch streaming as-of equals the oracle-checked batch asofJoin") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(42)
+    def ts(m: Int) = new java.sql.Timestamp(826621200000L + m * 60000L)
+    val lefts = (1 to 60).map(i =>
+      Streams.AsofLeft(rnd.nextInt(5).toLong, ts(rnd.nextInt(500)), i.toDouble))
+    // distinct right timestamps per key: equal-ts right updates have no
+    // defined winner in the unordered stream input, so exclude that tie
+    val rights = (0 until 5).flatMap { k =>
+      rnd.shuffle((0 until 500).toList).take(20).map(m =>
+        Streams.AsofRight(k.toLong, ts(m), k * 1000.0 + m))
+    }
+    val ls = MemoryStream[Streams.AsofLeft]
+    val rs = MemoryStream[Streams.AsofRight]
+    val q = Streams.asofEnrichStream(ls.toDS(), rs.toDS())
+      .writeStream.format("memory").queryName("asof_equiv").outputMode("append").start()
+    try {
+      ls.addData(lefts); rs.addData(rights)
+      q.processAllAvailable()
+      val streamed = spark.table("asof_equiv").as[Streams.AsofOut].collect()
+        .map(o => (o.key, o.ts.getTime, o.value, o.asof_payload)).toSet
+      val batch = graft.ops.Relational.asofJoin(
+        lefts.toDF("key", "ts", "value"), rights.toDF("key", "ts", "payload"),
+        Seq("key"), col("ts"), col("ts"), lit(0L), Seq("payload"))
+        .select(col("key"), col("ts"), col("value"), col("asof_payload"))
+        .as[(Long, java.sql.Timestamp, Double, Option[Double])].collect()
+        .map(r => (r._1, r._2.getTime, r._3, r._4)).toSet
+      assert(streamed == batch)
+      assert(streamed.size == 60)
     } finally q.stop()
   }
 
