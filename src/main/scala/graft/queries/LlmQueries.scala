@@ -775,10 +775,61 @@ object LlmQueries {
        |FROM agg
        |""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Bigram LM statistics — the n-gram fluency/novelty quality signals:
+  // per doc, mean corpus-frequency of its bigrams (low = unusual text),
+  // the share of bigrams appearing nowhere else (novelty), and the least
+  // predictable transition min P(w2|w1). Numeric discipline: sums are
+  // over integer corpus counts (exact at any parallelism); the only
+  // divisions are single int/int IEEE ops, so no ln/avg-of-doubles ever
+  // enters the hash. Plan: one bigram explode scanned once, two count
+  // aggs, two hash joins back on the (small) vocab side.
+  // -------------------------------------------------------------------
+  def bigramStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val bi = Tables.documents(spark, sfDir)
+      .filter(size(t) >= 2)
+      .select(col("doc_id"), explode(transform(sequence(lit(0), size(t) - 2),
+        i => struct(element_at(t, i + 1).as("w1"), element_at(t, i + 2).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("c2")).as("__sumc2"),
+        sum(when(col("c2") === 1, 1L).otherwise(0L)).as("__novel"),
+        min(col("c2").cast(DoubleType) / col("c1")).as("min_cond_prob"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("__sumc2").cast(DoubleType) / col("n_bigrams")).as("mean_bigram_freq"),
+        (col("__novel").cast(DoubleType) / col("n_bigrams")).as("novel_ratio"),
+        col("min_cond_prob"))
+  }
+
+  val bigramStatsOracle: String =
+    s"""WITH toks AS ($tokSql),
+       |bi AS (
+       |  SELECT doc_id,
+       |         unnest(list_slice(t, 1, len(t)-1)) AS w1,
+       |         unnest(list_slice(t, 2, len(t))) AS w2
+       |  FROM toks WHERE len(t) >= 2),
+       |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY 1, 2),
+       |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY 1)
+       |SELECT bi.doc_id, COUNT(*) AS n_bigrams,
+       |       CAST(CAST(SUM(c2.c2) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_bigram_freq,
+       |       CAST(CAST(SUM(CASE WHEN c2.c2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+       |         / COUNT(*) AS novel_ratio,
+       |       MIN(CAST(c2.c2 AS DOUBLE) / c1.c1) AS min_cond_prob
+       |FROM bi JOIN c2 ON bi.w1 = c2.w1 AND bi.w2 = c2.w2
+       |        JOIN c1 ON bi.w1 = c1.w1
+       |GROUP BY 1
+       |""".stripMargin
+
   /** Registration for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decontaminate" -> (decontaminate _),
     "repetition_score" -> (repetitionScore _),
+    "bigram_stats" -> (bigramStats _),
     "curation_pipeline" -> (curationPipeline _),
     "doc_chunks" -> (docChunks _),
     "stratified_sample" -> (stratifiedSample _),
@@ -803,6 +854,7 @@ object LlmQueries {
   val oracles: Map[String, String] = Map(
     "decontaminate" -> decontaminateOracle,
     "repetition_score" -> repetitionScoreOracle,
+    "bigram_stats" -> bigramStatsOracle,
     "curation_pipeline" -> curationPipelineOracle,
     "doc_chunks" -> docChunksOracle,
     "stratified_sample" -> stratifiedSampleOracle,
