@@ -91,4 +91,40 @@ object Dedup {
 
   /** Hamming distance between two 32-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Connected components over a near-dup pair graph by iterative
+    * min-label propagation: every node's label converges to the smallest
+    * node id in its component, which IS the deterministic cluster id (and
+    * the canonical keeper for cluster-level dedup — pairs alone under-
+    * delete, since near-dup is transitive in practice but not in pairs).
+    *
+    * Each iteration is one join + one min-aggregate; the driver-side
+    * `count()` is the convergence check (standard for iterative graph
+    * algorithms — the data never leaves the cluster, only the changed-row
+    * count does). Converges in O(component diameter) iterations; dedup
+    * graphs are shallow (boilerplate stars), so a handful in practice.
+    * `localCheckpoint` truncates the per-iteration lineage. At extreme
+    * diameters, swap in the large-star/small-star contraction — same
+    * contract, fewer rounds. */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 50): DataFrame = {
+    val sym = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+      .union(edges.select(col(bCol).as("a"), col(aCol).as("b")))
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("lab", col("node"))
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val prop = sym.join(labels, sym("a") === labels("node"))
+        .select(col("b").as("node"), col("lab"))
+        .union(labels.select(col("node"), col("lab")))
+        .groupBy("node").agg(min(col("lab")).as("newlab"))
+      val joined = labels.join(prop, "node")
+      changed = joined.filter(col("newlab") =!= col("lab")).count()
+      labels = joined.select(col("node"), col("newlab").as("lab")).localCheckpoint()
+      iter += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxIter iterations")
+    labels.select(col("node"), col("lab").as("cluster"))
+  }
 }

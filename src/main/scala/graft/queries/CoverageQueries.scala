@@ -166,8 +166,10 @@ object CoverageQueries {
       .select("d1", "d2", "cos")
   }
 
-  val embeddingNeardupOracle: String =
-    """WITH b AS (
+  /** Shared CTE body for the sign-bucketed near-dup pair graph (also the
+    * edge set of `dedup_clusters`). */
+  private val embNeardupCtes: String =
+    """b AS (
       |  SELECT vec_id, embedding,
       |         list_sum(list_transform(range(0,6),
       |           i -> CASE WHEN embedding[i+1] > 0 THEN (1 << i) ELSE 0 END)) AS bucket
@@ -183,9 +185,37 @@ object CoverageQueries {
       |          * sqrt(list_reduce(list_transform(range(0,64),
       |              i -> CAST(c.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE)),
       |              (acc, x) -> acc + x))) AS cos
-      |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id)
-      |SELECT d1, d2, cos FROM pairs WHERE cos >= 0.3
-      |""".stripMargin
+      |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id)""".stripMargin
+
+  val embeddingNeardupOracle: String =
+    s"""WITH $embNeardupCtes
+       |SELECT d1, d2, cos FROM pairs WHERE cos >= 0.3
+       |""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Near-dup CLUSTERS: connected components over the near-dup pair graph
+  // — pairs alone under-delete (near-dup similarity is transitive in
+  // practice but a pair list is not), so cluster-level dedup labels each
+  // doc with the smallest id in its component as the canonical keeper.
+  // Spark side: iterative min-label propagation (Dedup.connectedComponents);
+  // oracle side: recursive reachability closure — different algorithms,
+  // identical fixpoint, which is exactly what makes it oracle-checkable.
+  // -------------------------------------------------------------------
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = embeddingNeardup(spark, sfDir).select("d1", "d2")
+    graft.ops.Dedup.connectedComponents(edges, "d1", "d2")
+  }
+
+  val dedupClustersOracle: String =
+    s"""WITH RECURSIVE $embNeardupCtes,
+       |p AS (SELECT d1, d2 FROM pairs WHERE cos >= 0.3),
+       |edges AS (SELECT d1 AS a, d2 AS dst FROM p UNION ALL SELECT d2, d1 FROM p),
+       |nodes AS (SELECT DISTINCT a AS node FROM edges),
+       |r AS (SELECT node, node AS m FROM nodes
+       |      UNION
+       |      SELECT r.node, e.dst FROM r JOIN edges e ON e.a = r.m)
+       |SELECT node, MIN(m) AS cluster FROM r GROUP BY 1
+       |""".stripMargin
 
   // -------------------------------------------------------------------
   // IVF-style ANN: coarse quantize to the nearest cluster representative
@@ -513,6 +543,7 @@ object CoverageQueries {
     "sales_rollup" -> (salesRollup _),
     "term_frequency" -> (termFrequency _),
     "embedding_neardup" -> (embeddingNeardup _),
+    "dedup_clusters" -> (dedupClusters _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -531,5 +562,6 @@ object CoverageQueries {
     "sales_rollup" -> salesRollupOracle,
     "term_frequency" -> termFrequencyOracle,
     "embedding_neardup" -> embeddingNeardupOracle,
+    "dedup_clusters" -> dedupClustersOracle,
   )
 }

@@ -59,4 +59,17 @@ class DedupSpec extends SparkSpecBase {
     val df = Seq((0x0FL, 0x00L)).toDF("a", "b")
     assert(df.select(Dedup.hamming(col("a"), col("b"))).head.getInt(0) == 4)
   }
+
+  test("connectedComponents labels every node with its component's min id") {
+    // chain 1-2-3 (transitive closure across pairs), star 10-{11,12},
+    // isolated pair 20-21; a long path exercises multi-iteration converge
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L), (10L, 12L), (20L, 21L),
+      (30L, 31L), (31L, 32L), (32L, 33L), (33L, 34L), (34L, 35L))
+      .toDF("d1", "d2")
+    val got = Dedup.connectedComponents(edges, "d1", "d2")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L,
+      30L -> 30L, 31L -> 30L, 32L -> 30L, 33L -> 30L, 34L -> 30L, 35L -> 30L))
+  }
 }
