@@ -108,8 +108,12 @@ object Dedup {
     * contract, fewer rounds. */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 50): DataFrame = {
+    // materialize the edge list once: every iteration joins against it,
+    // and the upstream pair query (LSH, cosine blocking, ...) must not
+    // re-execute per round
     val sym = edges.select(col(aCol).as("a"), col(bCol).as("b"))
       .union(edges.select(col(bCol).as("a"), col(aCol).as("b")))
+      .localCheckpoint()
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("lab", col("node"))
     var iter = 0
@@ -119,9 +123,12 @@ object Dedup {
         .select(col("b").as("node"), col("lab"))
         .union(labels.select(col("node"), col("lab")))
         .groupBy("node").agg(min(col("lab")).as("newlab"))
-      val joined = labels.join(prop, "node")
+      // checkpoint the joined frame once per round: the convergence count
+      // and the next round's labels both read it, and without the
+      // materialization each would re-execute the join
+      val joined = labels.join(prop, "node").localCheckpoint()
       changed = joined.filter(col("newlab") =!= col("lab")).count()
-      labels = joined.select(col("node"), col("newlab").as("lab")).localCheckpoint()
+      labels = joined.select(col("node"), col("newlab").as("lab"))
       iter += 1
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIter iterations")

