@@ -55,7 +55,10 @@ object GraftExtensions {
     (FunctionIdentifier("graft_simhash32"), info("graft_simhash32"),
       arity("graft_simhash32", 1)(args => Simhash32Expr(args.head))),
     (FunctionIdentifier("graft_dot"), info("graft_dot"),
-      arity("graft_dot", 2)(args => DotDExpr(args.head, args(1)))))
+      arity("graft_dot", 2)(args => DotDExpr(args.head, args(1)))),
+    (FunctionIdentifier("graft_kmin"), info("graft_kmin"),
+      arity("graft_kmin", 2)(args =>
+        graft.functions.KMinLongs(args.head, intArg(args(1), "graft_kmin", "k")))))
 
   /** Register directly on a live session (for sessions created without
     * the extensions conf — extensions only apply at session build time). */

@@ -98,4 +98,6 @@ object GraftExpressions {
   def minhashSig(hashes: Column, k: Int): Column = Bridge.column(MinhashSigExpr(expr(hashes), k))
   def simhash32(hashes: Column): Column = Bridge.column(Simhash32Expr(expr(hashes)))
   def dotD(a: Column, b: Column): Column = Bridge.column(DotDExpr(expr(a), expr(b)))
+  def kminLongs(c: Column, k: Int): Column =
+    Bridge.column(KMinLongs(expr(c), k).toAggregateExpression())
 }

@@ -594,6 +594,26 @@ object LlmQueries {
           .as("est_distinct"))
   }
 
+  /** KMV as ONE aggregate: the custom bounded-top-K
+    * TypedImperativeAggregate ([[graft.functions.KMinLongs]]) holds the k
+    * smallest distinct hashes per flag map-side, so the whole sketch is a
+    * single partial+final hash agg — one exchange of 256-long arrays, no
+    * upstream distinct, no window, no sort. Same estimate (and oracle) as
+    * `kmv_distinct`; this is the form a 1000-executor cluster wants. */
+  def kmvDistinctAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.GraftExpressions.kminLongs
+    val li = graft.Tables.table(spark, sfDir, "lineitem")
+    li.select(col("l_returnflag").as("flag"),
+        hash32(col("l_partkey").cast(StringType)).as("h"))
+      .groupBy(col("flag"))
+      .agg(kminLongs(col("h"), KmvK).as("hs"))
+      .select(col("flag"),
+        when(size(col("hs")) < KmvK, size(col("hs")).cast(DoubleType))
+          .otherwise(lit((KmvK - 1).toDouble) * lit(4294967296.0)
+            / element_at(col("hs"), KmvK))
+          .as("est_distinct"))
+  }
+
   val kmvDistinctOracle: String =
     s"""WITH hashed AS (
        |  SELECT DISTINCT l_returnflag AS flag,
@@ -856,6 +876,7 @@ object LlmQueries {
     "token_counts" -> (tokenCounts _),
     "doc_fingerprint" -> (docFingerprint _),
     "kmv_distinct" -> (kmvDistinct _),
+    "kmv_distinct_agg" -> (kmvDistinctAgg _),
     "tfidf_topk" -> (tfidfTopK _),
     "balanced_sample" -> (balancedSample _),
     "token_budget_sample" -> (tokenBudgetSample _),
@@ -881,6 +902,7 @@ object LlmQueries {
     "token_counts" -> tokenCountsOracle,
     "doc_fingerprint" -> docFingerprintOracle,
     "kmv_distinct" -> kmvDistinctOracle,
+    "kmv_distinct_agg" -> kmvDistinctOracle, // same estimate, different plan
     "tfidf_topk" -> tfidfTopKOracle,
     "balanced_sample" -> balancedSampleOracle,
     "token_budget_sample" -> tokenBudgetSampleOracle,

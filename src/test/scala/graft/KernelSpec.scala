@@ -55,6 +55,38 @@ class KernelSpec extends SparkSpecBase {
     assert(bad.count() == 0)
   }
 
+  test("kmin aggregate == window-based k-smallest, across partitions and duplicates") {
+    import graft.functions.GraftExpressions.kminLongs
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    // duplicates + multiple groups + forced multi-partition input so the
+    // partial-buffer merge path actually runs
+    val rows = (1 to 5000).map(_ => (rnd.nextInt(3), rnd.nextInt(800).toLong))
+    val df = rows.toDF("g", "v").repartition(16)
+    val viaAgg = df.groupBy("g").agg(kminLongs(col("v"), 10).as("ks"))
+      .as[(Int, Seq[Long])].collect().toMap
+    val w = Window.partitionBy("g").orderBy("v")
+    val viaWindow = df.select(col("g"), col("v")).distinct()
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .groupBy("g").agg(sort_array(collect_list(col("v"))).as("ks"))
+      .as[(Int, Seq[Long])].collect().toMap
+    assert(viaAgg == viaWindow)
+    // k larger than the distinct count: returns all, ascending
+    val small = Seq((1, 5L), (1, 3L), (1, 5L)).toDF("g", "v")
+    assert(small.groupBy("g").agg(kminLongs(col("v"), 100).as("ks"))
+      .as[(Int, Seq[Long])].head()._2 == Seq(3L, 5L))
+  }
+
+  test("graft_kmin SQL registration matches the Column API") {
+    GraftExtensions.register(spark)
+    Seq((1, 9L), (1, 2L), (1, 7L), (2, 4L)).toDF("g", "v")
+      .createOrReplaceTempView("kmin_t")
+    val viaSql = spark.sql(
+      "SELECT g, graft_kmin(v, 2) AS ks FROM kmin_t GROUP BY g")
+      .as[(Int, Seq[Long])].collect().toMap
+    assert(viaSql == Map(1 -> Seq(2L, 7L), 2 -> Seq(4L)))
+  }
+
   test("dot-product kernel == composed fold over real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val a = emb.select(col("vec_id").as("i"), col("embedding").as("ea"))
