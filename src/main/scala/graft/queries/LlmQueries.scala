@@ -855,8 +855,72 @@ object LlmQueries {
        |GROUP BY 1
        |""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Deterministic weighted sampling — keep a doc with probability equal
+  // to a per-doc weight (here length-proportional, capped at 1), decided
+  // by comparing the doc's uniform hash draw u = h/2^32 against the
+  // weight. RNG-free, reproducible across engines/runs/cluster sizes,
+  // and map-side only — the weighted counterpart of stratified_sample.
+  // -------------------------------------------------------------------
+  def weightedSample(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).as("n_tok"),
+        (hash32(col("doc_id").cast(StringType)) / lit(4294967296.0)).as("u"))
+      .withColumn("w", least(lit(1.0), col("n_tok").cast(DoubleType) / lit(100.0)))
+      .filter(col("u") < col("w"))
+      .select("doc_id", "n_tok", "u", "w")
+
+  val weightedSampleOracle: String =
+    s"""WITH toks AS ($tokSql)
+       |SELECT doc_id, n_tok, u, w FROM (
+       |  SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tok,
+       |         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT)
+       |           / 4294967296.0 AS u,
+       |         LEAST(1.0, CAST(len(t) AS DOUBLE) / 100.0) AS w
+       |  FROM toks)
+       |WHERE u < w
+       |""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Sequence packing — assign docs to fixed-size (512-token) training
+  // sequences: hash-ordered within each source (the deterministic
+  // shuffle), running token cumsum, bin = the sequence where the doc
+  // STARTS. Per-source windows keep the packing parallel across sources
+  // (a single global order would be a one-task sort at scale); the
+  // output is the packing manifest (docs and tokens per sequence).
+  // -------------------------------------------------------------------
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = hash32(col("doc_id").cast(StringType))
+    val w = Window.partitionBy(col("source")).orderBy(h, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), size(tokens(col("text"))).as("n_tok"))
+      .withColumn("cum", sum(col("n_tok").cast("long")).over(w))
+      .withColumn("seq_bin", floor((col("cum") - col("n_tok")) / lit(512.0)))
+      .groupBy("source", "seq_bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok").cast("long")).as("tokens"))
+  }
+
+  val packSequencesOracle: String =
+    s"""WITH toks AS ($tokSql),
+       |c AS (
+       |  SELECT source, doc_id, CAST(len(t) AS INTEGER) AS n_tok,
+       |         CAST(SUM(CAST(len(t) AS BIGINT)) OVER (PARTITION BY source
+       |           ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT),
+       |                    doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM toks)
+       |SELECT source, CAST(FLOOR((cum - n_tok) / 512.0) AS BIGINT) AS seq_bin,
+       |       COUNT(*) AS n_docs, CAST(SUM(CAST(n_tok AS BIGINT)) AS BIGINT) AS tokens
+       |FROM c GROUP BY 1, 2
+       |""".stripMargin
+
   /** Registration for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "weighted_sample" -> (weightedSample _),
+    "pack_sequences" -> (packSequences _),
     "decontaminate" -> (decontaminate _),
     "repetition_score" -> (repetitionScore _),
     "bigram_stats" -> (bigramStats _),
@@ -886,6 +950,8 @@ object LlmQueries {
     "decontaminate" -> decontaminateOracle,
     "repetition_score" -> repetitionScoreOracle,
     "bigram_stats" -> bigramStatsOracle,
+    "weighted_sample" -> weightedSampleOracle,
+    "pack_sequences" -> packSequencesOracle,
     "curation_pipeline" -> curationPipelineOracle,
     "doc_chunks" -> docChunksOracle,
     "stratified_sample" -> stratifiedSampleOracle,
