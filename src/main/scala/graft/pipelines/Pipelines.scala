@@ -95,6 +95,14 @@ object ZrssalePipeline {
     transform(deduped.withColumn("Article", trim(col("Article"))))
   }
 
+  /** D2 end-to-end: read with the source-file column (the dedup's concat
+    * order), transform, upsert on the shared keys. */
+  def runD2(spark: SparkSession, inputGlob: String, targetPath: String): Unit =
+    UpsertWriter.upsert(spark,
+      transformD2(SapTextReader.read(spark, inputGlob, withFileName = true))
+        .drop("_source_file"),
+      targetPath, upsertKeys)
+
   /** Standalone article-master derivation from already-cleaned lines —
     * one row per Article with a deterministic keeper on (Bill_Doc, Item).
     * The reference's main-flow dedup is in [[transformD2]]; this op is for

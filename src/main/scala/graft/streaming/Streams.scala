@@ -241,6 +241,35 @@ object Streams {
       }
   }
 
+  case class KmvOut(key: String, n_kept: Int, est_distinct: Double)
+
+  /** Streaming KMV distinct-count — the stateful twin of the
+    * `graft_kmin`-based batch sketch (`kmv_distinct_agg`): per key, the
+    * state is the k smallest distinct hashes seen so far (ascending,
+    * capped — exactly the KMinLongs buffer), and each micro-batch emits
+    * the refreshed estimate (k-1)·2^32/h_k, or the exact count below k.
+    * State is O(keys × k) longs forever — the reason sketches, not exact
+    * distinct sets, are what a streaming cardinality monitor keeps. */
+  def kmvDistinctStream(hashes: Dataset[(String, Long)], k: Int = 256): Dataset[KmvOut] = {
+    import hashes.sparkSession.implicits._
+    hashes.groupByKey(_._1)
+      .mapGroupsWithState[Seq[Long], KmvOut](GroupStateTimeout.NoTimeout()) {
+        (key, it, state: GroupState[Seq[Long]]) =>
+          val buf = new java.util.TreeSet[java.lang.Long]()
+          state.getOption.foreach(_.foreach(h => buf.add(h)))
+          it.foreach { case (_, h) =>
+            if (buf.size < k) buf.add(h)
+            else if (h < buf.last()) { if (buf.add(h)) buf.pollLast() }
+          }
+          val hs = buf.toArray(Array.empty[java.lang.Long]).map(_.longValue).toSeq
+          state.update(hs)
+          val est =
+            if (hs.size < k) hs.size.toDouble
+            else (k - 1).toDouble * 4294967296.0 / hs.last
+          KmvOut(key, hs.size, est)
+      }
+  }
+
   case class AsofLeft(key: Long, ts: java.sql.Timestamp, value: Double)
   case class AsofRight(key: Long, ts: java.sql.Timestamp, payload: Double)
   case class AsofOut(key: Long, ts: java.sql.Timestamp, value: Double,

@@ -256,6 +256,26 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming KMV estimate converges to the batch sketch across batches") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val k = 8
+    val src = MemoryStream[(String, Long)]
+    val q = Streams.kmvDistinctStream(src.toDS(), k)
+      .writeStream.format("memory").queryName("kmv_stream").outputMode("update").start()
+    val batch1 = (1 to 50).map(i => ("a", (i * 7919L) % 100000))
+    val batch2 = (30 to 90).map(i => ("a", (i * 7919L) % 100000)) // overlap: replays dedupe
+    try {
+      src.addData(batch1); q.processAllAvailable()
+      src.addData(batch2); q.processAllAvailable()
+      val last = spark.table("kmv_stream").as[Streams.KmvOut].collect().last
+      // expected: same formula over the k smallest distinct hashes of the union
+      val hs = (batch1 ++ batch2).map(_._2).distinct.sorted.take(k)
+      val expected = (k - 1).toDouble * 4294967296.0 / hs.last
+      assert(last.n_kept == k)
+      assert(last.est_distinct == expected)
+    } finally q.stop()
+  }
+
   test("streaming windowed counts match the oracle-checked batch twin") {
     val sfDir = "/root/testdata/sf0.001"
     val batch = graft.queries.EventQueries.eventWindowAgg(spark, sfDir)
