@@ -917,8 +917,85 @@ object LlmQueries {
        |FROM c GROUP BY 1, 2
        |""".stripMargin
 
+  // -------------------------------------------------------------------
+  // PII surface counts — the scrub-stage signal: per doc, counts of
+  // digit runs, email-shaped and url-shaped substrings (conservative
+  // character-class-only patterns, which match identically under Java
+  // regex and DuckDB's RE2 — no backrefs, no lookaround, no bounded
+  // quantifier ambiguity). Map-side only; the counts feed a redact/drop
+  // policy downstream.
+  // -------------------------------------------------------------------
+  private val piiDigits = "[0-9]{4,}"
+  private val piiEmail = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+  private val piiUrl = "https?://[a-z0-9./_-]+"
+
+  def piiCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        regexp_count(lower(col("text")), lit(piiDigits)).as("n_digit_runs"),
+        regexp_count(lower(col("text")), lit(piiEmail)).as("n_emails"),
+        regexp_count(lower(col("text")), lit(piiUrl)).as("n_urls"))
+
+  val piiCountsOracle: String =
+    s"""SELECT doc_id,
+       |       CAST(len(regexp_extract_all(lower(text), '$piiDigits')) AS INTEGER) AS n_digit_runs,
+       |       CAST(len(regexp_extract_all(lower(text), '$piiEmail')) AS INTEGER) AS n_emails,
+       |       CAST(len(regexp_extract_all(lower(text), '$piiUrl')) AS INTEGER) AS n_urls
+       |FROM documents
+       |""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Curation-to-packing composition — the end-of-pipeline story: quality
+  // gate -> exact dedup (deterministic keeper) -> 512-token sequence
+  // packing manifest per source. Chains the same building blocks as
+  // curation_pipeline and pack_sequences, proving the stages compose
+  // into one lazy Catalyst plan (gate and dedup fold under the packing
+  // window's shuffle; nothing materializes between stages).
+  // -------------------------------------------------------------------
+  def curationPack(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = tokens(col("text"))
+    val quality = TextAnalysis.qualityScore(t, col("text"))
+    val gated = Tables.documents(spark, sfDir)
+      .filter(size(t) >= MinTokens && quality >= lit(MinQuality))
+    val exact = Dedup.exactDedupByContent(col("text"), col("doc_id"))(gated)
+    val h = hash32(col("doc_id").cast(StringType))
+    val w = Window.partitionBy(col("source")).orderBy(h, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    exact.select(col("source"), col("doc_id"), size(tokens(col("text"))).as("n_tok"))
+      .withColumn("cum", sum(col("n_tok").cast("long")).over(w))
+      .withColumn("seq_bin", floor((col("cum") - col("n_tok")) / lit(512.0)))
+      .groupBy("source", "seq_bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok").cast("long")).as("tokens"))
+  }
+
+  val curationPackOracle: String =
+    s"""WITH gated AS (
+       |  SELECT d.*, t FROM (
+       |    SELECT *, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+       |    FROM documents) d
+       |  WHERE len(t) >= $MinTokens
+       |    AND $qualitySql
+       |      >= $MinQuality),
+       |exact AS (
+       |  SELECT * FROM gated
+       |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+       |c AS (
+       |  SELECT source, doc_id, CAST(len(t) AS INTEGER) AS n_tok,
+       |         CAST(SUM(CAST(len(t) AS BIGINT)) OVER (PARTITION BY source
+       |           ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT),
+       |                    doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM exact)
+       |SELECT source, CAST(FLOOR((cum - n_tok) / 512.0) AS BIGINT) AS seq_bin,
+       |       COUNT(*) AS n_docs, CAST(SUM(CAST(n_tok AS BIGINT)) AS BIGINT) AS tokens
+       |FROM c GROUP BY 1, 2
+       |""".stripMargin
+
   /** Registration for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_pack" -> (curationPack _),
+    "pii_counts" -> (piiCounts _),
     "weighted_sample" -> (weightedSample _),
     "pack_sequences" -> (packSequences _),
     "decontaminate" -> (decontaminate _),
@@ -950,6 +1027,8 @@ object LlmQueries {
     "decontaminate" -> decontaminateOracle,
     "repetition_score" -> repetitionScoreOracle,
     "bigram_stats" -> bigramStatsOracle,
+    "curation_pack" -> curationPackOracle,
+    "pii_counts" -> piiCountsOracle,
     "weighted_sample" -> weightedSampleOracle,
     "pack_sequences" -> packSequencesOracle,
     "curation_pipeline" -> curationPipelineOracle,
