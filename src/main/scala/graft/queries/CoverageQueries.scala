@@ -527,7 +527,53 @@ object CoverageQueries {
       |GROUP BY CUBE(l_returnflag, l_linestatus)
       |""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Calendar densification (date spine / gap fill) — the weekly-report
+  // continuity op: a report over a sparse fact stream must show EVERY
+  // week for every site, zero-filled where nothing moved (the reference's
+  // weekly outputs assume it implicitly; pandas gets it via reindex).
+  // Spine = sites x generated week sequence — the site side is a small
+  // dim (broadcast), the week sequence is one generated array, so the
+  // spine costs no shuffle; the measures join is the only exchange.
+  // -------------------------------------------------------------------
+  def dateSpine(spark: SparkSession, sfDir: String): DataFrame = {
+    val sites = Tables.supplier(spark, sfDir)
+      .filter(col("s_suppkey") < 10).select(col("s_suppkey").as("site"))
+    val weeks = spark.range(1)
+      .select(explode(expr(
+        "sequence(to_date('1996-01-01'), to_date('1996-06-24'), interval 7 day)"))
+        .as("week"))
+    val spine = sites.crossJoin(broadcast(weeks))
+    val qty = Tables.lineitem(spark, sfDir)
+      .filter(col("l_suppkey") < 10)
+      .withColumn("week", date_trunc("week", col("l_shipdate")).cast(DateType))
+      .filter(col("week").between(
+        to_date(lit("1996-01-01")), to_date(lit("1996-06-24"))))
+      .groupBy(col("l_suppkey").as("site"), col("week"))
+      .agg(dsum(col("l_quantity")).as("qty"))
+    spine.join(qty, Seq("site", "week"), "left")
+      .withColumn("qty", coalesce(col("qty"), lit(0.0)))
+  }
+
+  val dateSpineOracle: String =
+    """WITH sites AS (SELECT s_suppkey AS site FROM supplier WHERE s_suppkey < 10),
+      |weeks AS (SELECT unnest(generate_series(DATE '1996-01-01', DATE '1996-06-24',
+      |                 INTERVAL 7 DAY)) AS week),
+      |spine AS (SELECT site, CAST(week AS DATE) AS week FROM sites CROSS JOIN weeks),
+      |qty AS (
+      |  SELECT l_suppkey AS site, CAST(date_trunc('week', l_shipdate) AS DATE) AS week,
+      |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+      |  FROM lineitem
+      |  WHERE l_suppkey < 10
+      |    AND CAST(date_trunc('week', l_shipdate) AS DATE)
+      |        BETWEEN DATE '1996-01-01' AND DATE '1996-06-24'
+      |  GROUP BY 1, 2)
+      |SELECT s.site, s.week, COALESCE(q.qty, 0.0) AS qty
+      |FROM spine s LEFT JOIN qty q ON s.site = q.site AND s.week = q.week
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "date_spine" -> (dateSpine _),
     "ann_ivf" -> (annIvf _),
     "window_functions" -> (windowFunctions _),
     "percentile_profile" -> (percentileProfile _),
@@ -554,6 +600,7 @@ object CoverageQueries {
     "semi_join" -> semiJoinOracle,
     "set_ops" -> setOpsOracle,
     "sales_cube" -> salesCubeOracle,
+    "date_spine" -> dateSpineOracle,
     "update_join" -> updateJoinOracle,
     "schema_align" -> schemaAlignOracle,
     "ann_ivf_kmeans" -> annIvfKmeansOracle,
