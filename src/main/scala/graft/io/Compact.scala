@@ -15,6 +15,26 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   */
 object Compact {
 
+  /** Streaming file sinks write a `_spark_metadata` commit log that batch
+    * readers treat as the source of truth — compacting underneath it
+    * strands every reader on the old file list (FileNotFound). Refuse
+    * unless the caller opts in to retiring the log, which converts the
+    * directory into a plain parquet table; only do that once the writing
+    * stream is permanently stopped (a resumed query would corrupt the
+    * now-logless dir). */
+  private def retireStreamingMetadata(fs: org.apache.hadoop.fs.FileSystem,
+                                      dir: Path, optIn: Boolean): Unit = {
+    val meta = new Path(dir, "_spark_metadata")
+    if (fs.exists(meta)) {
+      require(optIn,
+        s"$dir is a streaming file-sink output (_spark_metadata present); " +
+          "batch readers resolve files through the sink log, so compaction " +
+          "would strand them. Stop the writing stream permanently and pass " +
+          "retireMetadata=true to convert it to a plain parquet table.")
+      fs.delete(meta, true)
+    }
+  }
+
   /** Rewrite one parquet directory into ~targetFileBytes-sized files.
     * `sortCols`, when given, range-partitions and sorts within files so
     * parquet min/max stats prune scans on those columns (the poor man's
@@ -22,11 +42,13 @@ object Compact {
     * scans). Returns the resulting file count. */
   def compactDir(spark: SparkSession, path: String,
                  targetFileBytes: Long = 128L * 1024 * 1024,
-                 sortCols: Seq[String] = Nil): Int = {
+                 sortCols: Seq[String] = Nil,
+                 retireMetadata: Boolean = false): Int = {
     import org.apache.spark.sql.functions.col
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
+    retireStreamingMetadata(fs, dir, retireMetadata)
     val dataFiles = fs.listStatus(dir).filter(s =>
       s.isFile && s.getPath.getName.endsWith(".parquet"))
     require(dataFiles.nonEmpty, s"$path holds no parquet files to compact")
@@ -64,10 +86,12 @@ object Compact {
   def compactPartitioned(spark: SparkSession, tablePath: String,
                          targetFileBytes: Long = 128L * 1024 * 1024,
                          maxFilesPerPartition: Int = 8,
-                         sortCols: Seq[String] = Nil): Map[String, Int] = {
+                         sortCols: Seq[String] = Nil,
+                         retireMetadata: Boolean = false): Map[String, Int] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(tablePath)
     val fs = dir.getFileSystem(conf)
+    retireStreamingMetadata(fs, dir, retireMetadata)
     val partDirs = fs.listStatus(dir).filter(s =>
       s.isDirectory && s.getPath.getName.contains("="))
     partDirs.flatMap { p =>

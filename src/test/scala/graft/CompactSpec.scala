@@ -52,6 +52,47 @@ class CompactSpec extends SparkSpecBase {
     assert(spark.read.parquet(path).count() == 2000)
   }
 
+  test("streaming append sink + compaction maintenance compose") {
+    // the lifecycle a streaming parquet sink needs: micro-batches append
+    // small files per partition; a maintenance pass folds them without
+    // touching quiet partitions or losing rows
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = Files.createTempDirectory("streamcompact").toFile.getAbsolutePath
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDF().toDF("k", "day").writeStream
+      .format("parquet").option("path", s"$base/t")
+      .option("checkpointLocation", s"$base/ckpt")
+      .partitionBy("day").start()
+    try {
+      (1 to 4).foreach { b =>
+        src.addData((b.toLong, "d1"), (100L + b, if (b == 1) "d2" else "d1"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val d1 = new java.io.File(s"$base/t", "day=d1")
+    assert(parquetFiles(d1).size >= 4, "expected one-plus small file per batch")
+    val before = spark.read.parquet(s"$base/t").select("k", "day")
+      .as[(Long, String)].collect().toSet
+
+    // compacting under a live sink log must refuse: batch readers resolve
+    // files through _spark_metadata and would be stranded
+    val e = intercept[IllegalArgumentException] {
+      Compact.compactPartitioned(spark, s"$base/t",
+        targetFileBytes = 1L << 30, maxFilesPerPartition = 2)
+    }
+    assert(e.getMessage.contains("_spark_metadata"))
+
+    // retiring the log converts the dir to a plain parquet table, then
+    // compaction proceeds and nothing is lost
+    val compacted = Compact.compactPartitioned(spark, s"$base/t",
+      targetFileBytes = 1L << 30, maxFilesPerPartition = 2, retireMetadata = true)
+    assert(compacted.keySet == Set("day=d1"))
+    assert(parquetFiles(d1).size == 1)
+    assert(spark.read.parquet(s"$base/t").select("k", "day")
+      .as[(Long, String)].collect().toSet == before)
+  }
+
   test("compactPartitioned touches only partitions over the file threshold") {
     val dir = Files.createTempDirectory("compactpart").toFile
     val path = s"$dir/t"
