@@ -572,8 +572,43 @@ object CoverageQueries {
       |FROM spine s LEFT JOIN qty q ON s.site = q.site AND s.week = q.week
       |""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Percentile outlier trim — the numeric-cleaning op: per group,
+  // compute exact interpolated p01/p99 and report how many rows the
+  // trim keeps vs drops. Two passes by necessity (the bounds must see
+  // the whole group before any row can be judged); the bounds table is
+  // one row per group, so the second pass is a broadcast join — no
+  // second shuffle of the fact stream.
+  // -------------------------------------------------------------------
+  def outlierTrim(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").as("flag"),
+        col("l_extendedprice").cast(D).cast(DoubleType).as("v"))
+    val bounds = v.groupBy("flag")
+      .agg(expr("percentile(v, 0.01)").as("lo"), expr("percentile(v, 0.99)").as("hi"))
+    v.join(broadcast(bounds), "flag")
+      .groupBy("flag")
+      .agg(min(col("lo")).as("lo"), min(col("hi")).as("hi"),
+        count(when(col("v").between(col("lo"), col("hi")), 1)).as("n_kept"),
+        count(when(col("v") < col("lo") || col("v") > col("hi"), 1)).as("n_dropped"))
+  }
+
+  val outlierTrimOracle: String =
+    """WITH v AS (SELECT l_returnflag AS flag,
+      |                  CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS DOUBLE) AS v
+      |           FROM lineitem),
+      |b AS (SELECT flag, quantile_cont(v, 0.01) AS lo, quantile_cont(v, 0.99) AS hi
+      |      FROM v GROUP BY 1)
+      |SELECT v.flag, MIN(b.lo) AS lo, MIN(b.hi) AS hi,
+      |       COUNT(CASE WHEN v.v BETWEEN b.lo AND b.hi THEN 1 END) AS n_kept,
+      |       COUNT(CASE WHEN v.v < b.lo OR v.v > b.hi THEN 1 END) AS n_dropped
+      |FROM v JOIN b ON v.flag = b.flag
+      |GROUP BY 1
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "date_spine" -> (dateSpine _),
+    "outlier_trim" -> (outlierTrim _),
     "ann_ivf" -> (annIvf _),
     "window_functions" -> (windowFunctions _),
     "percentile_profile" -> (percentileProfile _),
@@ -601,6 +636,7 @@ object CoverageQueries {
     "set_ops" -> setOpsOracle,
     "sales_cube" -> salesCubeOracle,
     "date_spine" -> dateSpineOracle,
+    "outlier_trim" -> outlierTrimOracle,
     "update_join" -> updateJoinOracle,
     "schema_align" -> schemaAlignOracle,
     "ann_ivf_kmeans" -> annIvfKmeansOracle,

@@ -215,7 +215,46 @@ object EventQueries {
        |  AND c.c_us >= s.s_us AND c.c_us < s.s_us + ${7 * DayUs}
        |""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Conversion funnel — view -> click -> purchase, each stage anchored
+  // at the user's FIRST qualifying event at-or-after the previous stage
+  // (min-timestamp semantics: deterministic at any parallelism, no
+  // window sort — each stage is a hash agg + an equi-join on user_id).
+  // The product-analytics shape every event pipeline ends up needing.
+  // -------------------------------------------------------------------
+  def eventFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t0"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") >= col("t0"))
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") >= col("t1"))
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    v.select(lit("1_view").as("stage"), col("user_id"))
+      .unionByName(c.select(lit("2_click").as("stage"), col("user_id")))
+      .unionByName(p.select(lit("3_purchase").as("stage"), col("user_id")))
+      .groupBy("stage").agg(count(lit(1)).as("users"))
+  }
+
+  val eventFunnelOracle: String =
+    """WITH v AS (SELECT user_id, MIN(ts) AS t0 FROM events
+      |           WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, MIN(e.ts) AS t1 FROM events e
+      |      JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts >= v.t0 GROUP BY 1),
+      |p AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      |      JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts >= c.t1 GROUP BY 1)
+      |SELECT '1_view' AS stage, COUNT(*) AS users FROM v
+      |UNION ALL SELECT '2_click', COUNT(*) FROM c
+      |UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_funnel" -> (eventFunnel _),
     "asof_join" -> (asofJoinQuery _),
     "range_join" -> (rangeJoinQuery _),
     "event_window_agg" -> (eventWindowAgg _),
@@ -226,6 +265,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "event_funnel" -> eventFunnelOracle,
     "asof_join" -> asofJoinOracle,
     "range_join" -> rangeJoinOracle,
     "event_window_agg" -> eventWindowAggOracle,
