@@ -44,6 +44,49 @@ class RelationalSpec extends SparkSpecBase {
       ("p3", None, None)))         // no right rows for key v
   }
 
+  test("asofJoin ignores right rows with a null timestamp (round-5 ADVICE)") {
+    // a null right ts would sort NULLS FIRST and be carried into every
+    // left row as a phantom earliest match — must never match instead
+    val left = Seq(("u", 10, "p1"), ("u", 2, "p2")).toDF("k", "t", "pid")
+    val right = Seq(("u", Some(5), 1L, 1.5), ("u", None, 2L, 9.9))
+      .toDF("k", "t", "rid", "rv")
+    val out = Relational.asofJoin(left, right, Seq("k"),
+        col("t"), col("t"), col("rid"), Seq("rid", "rv"))
+      .select(col("pid"), col("asof_rid"))
+      .as[(String, Option[Long])].collect().toSet
+    assert(out == Set(("p1", Some(1L)), ("p2", None))) // null-ts row invisible
+  }
+
+  test("rangeJoin survives degenerate end <= start intervals (round-5 ADVICE)") {
+    // end far below start used to generate a DESCENDING bucket sequence
+    // (one row per step — OOM-scale); now it matches nothing and costs
+    // nothing
+    val points = Seq(("u", 10L)).toDF("k", "p")
+    val intervals = Seq(
+      ("u", 5L, 15L, "ok"),
+      ("u", 1000000000000L, 0L, "corrupt"), // epoch-micros start, end=0
+      ("u", 10L, 10L, "empty"))
+      .toDF("k", "s", "e", "iv")
+    val out = Relational.rangeJoin(points, intervals, Seq("k"),
+        col("p"), col("s"), col("e"), 7L)
+      .select("p", "iv").as[(Long, String)].collect().toSet
+    assert(out == Set((10L, "ok")))
+  }
+
+  test("upsertMerge treats an all-NULL staging group as present (round-5 ADVICE)") {
+    // MERGE semantics: a key PRESENT in staging takes staging's value
+    // even when that value is NULL — presence is count-based, not
+    // sum-is-not-null
+    val target = Seq((1L, Some(10.0), "target"), (2L, Some(20.0), "target"))
+      .toDF("k", "qty", "src")
+    val staging = Seq((2L, None: Option[Double], "staging"))
+      .toDF("k", "qty", "src")
+    val out = Relational.upsertMerge(Seq("k"))(target, staging)
+      .select(col("k"), col("qty"), col("src"))
+      .as[(Long, Option[Double], String)].collect().toSet
+    assert(out == Set((1L, Some(10.0), "target"), (2L, None, "staging")))
+  }
+
   test("rangeJoin matches points in [start,end) per key across bucket boundaries") {
     val points = Seq(("u", 10L), ("u", 25L), ("u", 30L), ("u", 100L), ("v", 10L))
       .toDF("k", "p")
