@@ -134,4 +134,67 @@ object Dedup {
     require(changed == 0, s"connectedComponents did not converge in $maxIter iterations")
     labels.select(col("node"), col("lab").as("cluster"))
   }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — the 100 TB path: converges in O(log n) rounds regardless
+    * of component diameter, where min-label propagation needs O(diameter)
+    * (a 10^6-long chain of near-dups would take 10^6 rounds there, ~20
+    * here). Each round is two grouped min-aggregations over the edge
+    * list; the result is the same (node -> min id in component) fixpoint,
+    * property-tested equal to [[connectedComponents]].
+    *
+    *   large-star: every node links its LARGER neighbors to its current
+    *     minimum (strictly decreases large labels, keeps stars shallow);
+    *   small-star: every node links its smaller-or-equal neighbors to the
+    *     minimum (hangs whole stars under their root).
+    * Convergence: the edge multiset stops changing — checked on a
+    * canonical distinct edge set per round. */
+  def connectedComponentsStar(edges: DataFrame, aCol: String, bCol: String,
+                              maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // canonical undirected edge set as (hi, lo) pairs, self-loops dropped
+    var e = edges.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct().as[(Long, Long)].localCheckpoint()
+
+    def star(cur: org.apache.spark.sql.Dataset[(Long, Long)], large: Boolean) = {
+      // neighborhood view: for large-star every edge both ways, for
+      // small-star each node with its smaller neighbors only ((u,v) u>v)
+      val nbrs = if (large)
+        cur.union(cur.map(p => (p._2, p._1)))
+      else cur
+      val withMin = nbrs.groupByKey(_._1)
+        .flatMapGroups { (u, it) =>
+          val vs = it.map(_._2).toSeq
+          val m = math.min(u, vs.min)
+          // link each qualifying neighbor to the center's minimum
+          val linked = if (large) vs.filter(_ > u) else vs
+          linked.iterator.collect { case v if v != m => (v, m) } ++
+            (if (u != m) Iterator((u, m)) else Iterator.empty)
+        }
+      withMin.map(p => (math.max(p._1, p._2), math.min(p._1, p._2)))
+        .filter(p => p._1 != p._2).distinct()
+    }
+
+    var iter = 0
+    var stable = false
+    while (!stable && iter < maxIter) {
+      val next = star(star(e, large = true), large = false).localCheckpoint()
+      stable = next.count() == e.count() &&
+        next.except(e).isEmpty
+      e = next
+      iter += 1
+    }
+    require(stable, s"connectedComponentsStar did not converge in $maxIter rounds")
+    // at the fixpoint every edge is (member, root): emit the mapping plus
+    // each root labeling itself
+    val fin = e.toDF("node", "cluster")
+    val roots = fin.select(col("cluster").as("node")).distinct()
+      .except(fin.select(col("node")))
+      .withColumn("cluster", col("node"))
+    fin.unionByName(roots.select(col("node"), col("cluster")))
+  }
 }

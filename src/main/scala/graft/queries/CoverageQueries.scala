@@ -606,9 +606,16 @@ object CoverageQueries {
       |GROUP BY 1
       |""".stripMargin
 
+  /** The same cluster fixpoint via large-star/small-star contraction —
+    * the O(log n)-round 100 TB path, under the same oracle. */
+  def dedupClustersStar(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Dedup.connectedComponentsStar(
+      embeddingNeardup(spark, sfDir).select("d1", "d2"), "d1", "d2")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "date_spine" -> (dateSpine _),
     "outlier_trim" -> (outlierTrim _),
+    "dedup_clusters_star" -> (dedupClustersStar _),
     "ann_ivf" -> (annIvf _),
     "window_functions" -> (windowFunctions _),
     "percentile_profile" -> (percentileProfile _),
@@ -637,6 +644,7 @@ object CoverageQueries {
     "sales_cube" -> salesCubeOracle,
     "date_spine" -> dateSpineOracle,
     "outlier_trim" -> outlierTrimOracle,
+    "dedup_clusters_star" -> dedupClustersOracle, // same fixpoint, O(log n) rounds
     "update_join" -> updateJoinOracle,
     "schema_align" -> schemaAlignOracle,
     "ann_ivf_kmeans" -> annIvfKmeansOracle,

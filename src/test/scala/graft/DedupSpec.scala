@@ -60,6 +60,25 @@ class DedupSpec extends SparkSpecBase {
     assert(df.select(Dedup.hamming(col("a"), col("b"))).head.getInt(0) == 4)
   }
 
+  test("star-contraction CC equals min-label propagation on random graphs (property)") {
+    val rnd = new scala.util.Random(11)
+    (1 to 5).foreach { trial =>
+      // mix of random edges + a long chain (the diameter case star
+      // contraction exists for) + a big star
+      val n = 60
+      val random = Seq.fill(40)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+      val chain = (100L until 140L).map(i => (i, i + 1))
+      val star = (200L until 220L).map(i => (250L, i))
+      val edges = (random ++ chain ++ star).toDF("d1", "d2")
+      val viaLabel = Dedup.connectedComponents(edges, "d1", "d2")
+        .as[(Long, Long)].collect().toMap
+      val viaStar = Dedup.connectedComponentsStar(edges, "d1", "d2")
+        .as[(Long, Long)].collect().toMap
+      assert(viaStar == viaLabel, s"trial $trial: star CC != min-label CC")
+    }
+  }
+
   test("connectedComponents labels every node with its component's min id") {
     // chain 1-2-3 (transitive closure across pairs), star 10-{11,12},
     // isolated pair 20-21; a long path exercises multi-iteration converge
