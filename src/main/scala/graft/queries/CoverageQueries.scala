@@ -343,6 +343,61 @@ object CoverageQueries {
        |WHERE rank <= 3
        |""".stripMargin
 
+  /** IVF after TWO full Lloyd iterations (Similarity.lloydIterate) —
+    * proves the iterative refinement loop is oracle-exact end to end,
+    * not just spec-monotone: integer-quantized centroid sums keep every
+    * iteration engine-identical, so even the second-round assignment
+    * (centroids of centroids' clusters) hash-matches DuckDB. */
+  def annIvfLloyd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val refined = Similarity.lloydIterate(emb, 2)
+    val assigned = refined.select(col("vec_id"), col("embedding"),
+      col("label").as("cluster"))
+    Similarity.ivfTopK(assigned, assigned.filter(col("vec_id") < 30), k = 3)
+  }
+
+  val annIvfLloyd2Oracle: String =
+    s"""WITH comp1 AS (
+       |  SELECT label, i,
+       |         SUM(CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1048576) AS BIGINT)) AS s
+       |  FROM embeddings, range(0,64) t(i) GROUP BY 1, 2),
+       |cent1 AS (
+       |  SELECT label AS rlabel, list(CAST(s AS DOUBLE) ORDER BY i) AS cvec
+       |  FROM comp1 GROUP BY 1),
+       |a1 AS (
+       |  SELECT vec_id, embedding, rlabel AS cluster FROM (
+       |    SELECT e.vec_id, e.embedding, r.rlabel,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.embedding", "r.cvec")} DESC, r.rlabel) AS rn
+       |    FROM embeddings e CROSS JOIN cent1 r)
+       |  WHERE rn = 1),
+       |comp2 AS (
+       |  SELECT cluster AS label, i,
+       |         SUM(CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1048576) AS BIGINT)) AS s
+       |  FROM a1, range(0,64) t(i) GROUP BY 1, 2),
+       |cent2 AS (
+       |  SELECT label AS rlabel, list(CAST(s AS DOUBLE) ORDER BY i) AS cvec
+       |  FROM comp2 GROUP BY 1),
+       |a2 AS (
+       |  SELECT vec_id, embedding, rlabel AS cluster FROM (
+       |    SELECT e.vec_id, e.embedding, r.rlabel,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.embedding", "r.cvec")} DESC, r.rlabel) AS rn
+       |    FROM embeddings e CROSS JOIN cent2 r)
+       |  WHERE rn = 1),
+       |scored AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS nid, q.cluster,
+       |         ${cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM a2 q JOIN a2 c
+       |    ON q.cluster = c.cluster AND q.vec_id < 30 AND q.vec_id <> c.vec_id)
+       |SELECT qid, nid, cluster, cos, rank FROM (
+       |  SELECT qid, nid, cluster, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |  FROM scored)
+       |WHERE rank <= 3
+       |""".stripMargin
+
   val annIvfProbe2Oracle: String =
     s"""WITH comp AS (
        |  SELECT label, i,
@@ -626,6 +681,7 @@ object CoverageQueries {
     "update_join" -> (updateJoin _),
     "schema_align" -> (schemaAlignQuery _),
     "ann_ivf_kmeans" -> (annIvfKmeans _),
+    "ann_ivf_lloyd2" -> (annIvfLloyd2 _),
     "ann_ivf_probe2" -> (annIvfProbe2 _),
     "range_exclusion" -> (rangeExclusion _),
     "sales_rollup" -> (salesRollup _),
@@ -648,6 +704,7 @@ object CoverageQueries {
     "update_join" -> updateJoinOracle,
     "schema_align" -> schemaAlignOracle,
     "ann_ivf_kmeans" -> annIvfKmeansOracle,
+    "ann_ivf_lloyd2" -> annIvfLloyd2Oracle,
     "ann_ivf_probe2" -> annIvfProbe2Oracle,
     "range_exclusion" -> rangeExclusionOracle,
     "sales_rollup" -> salesRollupOracle,
