@@ -276,6 +276,7 @@ object Streams {
                      asof_ts: Option[java.sql.Timestamp],
                      asof_payload: Option[Double])
   case class AsofHist(entries: List[(Long, Double)])
+  case class AsofBuf(lefts: List[(Long, Double)], rights: List[(Long, Double)])
 
   /** Streaming as-of enrichment — the stateful twin of
     * [[graft.ops.Relational.asofJoin]]: each left fact is joined to the
@@ -315,6 +316,61 @@ object Streams {
           }
           state.update(AsofHist(hist))
           out.result().iterator
+      }
+  }
+
+  /** EVENT-TIME-correct streaming as-of: facts are buffered until the
+    * watermark passes their timestamp, so a right update arriving late
+    * (but inside the watermark) still enriches facts it precedes — the
+    * retro-match [[asofEnrichStream]] cannot do. Emission therefore
+    * carries the same guarantee as the batch asofJoin over the
+    * watermark-complete prefix of both streams.
+    *
+    * State stays bounded without losing correctness: once a left emits
+    * it leaves the buffer, and of the rights at-or-before the watermark
+    * only the LATEST is retained — every future left has ts > watermark,
+    * so older rights can never again be the latest-at-or-before match. */
+  def asofEnrichStreamEventTime(left: Dataset[AsofLeft], right: Dataset[AsofRight],
+                                watermarkDelay: String = "10 minutes"): Dataset[AsofOut] = {
+    import left.sparkSession.implicits._
+    val tagged = left.map(x => (1, x.key, x.ts, x.value))
+      .union(right.map(x => (0, x.key, x.ts, x.payload)))
+      .toDF("side", "key", "ts", "v")
+      .withWatermark("ts", watermarkDelay)
+      .as[(Int, Long, java.sql.Timestamp, Double)]
+    tagged.groupByKey(_._2)
+      .flatMapGroupsWithState[AsofBuf, AsofOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key, it, state: GroupState[AsofBuf]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          var buf = state.getOption.getOrElse(AsofBuf(Nil, Nil))
+          if (!state.hasTimedOut) {
+            val incoming = it.toSeq
+            val newLefts = incoming.filter(_._1 == 1).map(e => (e._3.getTime * 1000L, e._4))
+            val newRights = incoming.filter(_._1 == 0).map(e => (e._3.getTime * 1000L, e._4))
+            buf = AsofBuf((buf.lefts ++ newLefts).sortBy(_._1),
+              (buf.rights ++ newRights).sortBy(_._1))
+          }
+          // emit every left the watermark has passed: all of its eligible
+          // rights (rts <= lts <= wm) are final now
+          val (ripe, pending) = buf.lefts.partition(_._1 <= wmUs)
+          val out = ripe.map { case (lts, v) =>
+            val m = buf.rights.reverseIterator.find(_._1 <= lts)
+            AsofOut(key, new java.sql.Timestamp(lts / 1000), v,
+              m.map(e => new java.sql.Timestamp(e._1 / 1000)), m.map(_._2))
+          }
+          // right-history trim: rights above the watermark stay, plus only
+          // the latest one at-or-before it
+          val (below, above) = buf.rights.partition(_._1 <= wmUs)
+          val kept = below.lastOption.toList ++ above
+          if (pending.isEmpty && kept.isEmpty) state.remove()
+          else {
+            state.update(AsofBuf(pending, kept))
+            // wake when the watermark can next ripen a pending left
+            if (pending.nonEmpty)
+              state.setTimeoutTimestamp(math.max(pending.head._1 / 1000, wmUs / 1000 + 1))
+          }
+          out.iterator
       }
   }
 }

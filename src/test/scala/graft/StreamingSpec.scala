@@ -256,6 +256,34 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("event-time as-of retro-matches a late right update before the watermark") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ls = MemoryStream[Streams.AsofLeft]
+    val rs = MemoryStream[Streams.AsofRight]
+    val q = Streams.asofEnrichStreamEventTime(ls.toDS(), rs.toDS(), "10 minutes")
+      .writeStream.format("memory").queryName("asof_et").outputMode("append").start()
+    try {
+      // fact at 10:05 and an old rate; watermark hasn't passed the fact
+      ls.addData(Streams.AsofLeft(1L, t("2024-01-01 10:05:00"), 100.0))
+      rs.addData(Streams.AsofRight(1L, t("2024-01-01 09:00:00"), 1.0))
+      q.processAllAvailable()
+      assert(spark.table("asof_et").count() == 0) // buffered, not emitted
+      // the LATE rate update at 10:00 arrives after the fact did
+      rs.addData(Streams.AsofRight(1L, t("2024-01-01 10:00:00"), 2.0))
+      q.processAllAvailable()
+      // another key's event advances the watermark past 10:05, then one
+      // more batch lets the event-time timeout fire
+      rs.addData(Streams.AsofRight(9L, t("2024-01-01 12:00:00"), 0.0))
+      q.processAllAvailable()
+      rs.addData(Streams.AsofRight(9L, t("2024-01-01 13:00:00"), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("asof_et").as[Streams.AsofOut].collect()
+        .map(o => (o.key, o.value, o.asof_payload)).toSet
+      // the fact matched the LATE 10:00 update, not the 09:00 one
+      assert(got == Set((1L, 100.0, Some(2.0))))
+    } finally q.stop()
+  }
+
   test("streaming KMV estimate converges to the batch sketch across batches") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val k = 8
