@@ -51,6 +51,43 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(e5.getCondition.startsWith("DATATYPE_MISMATCH"))
   }
 
+  test("pure-SQL minhash LSH pipeline matches the DataFrame path") {
+    // the "SQL-only user" story: the whole candidate-pair pipeline written
+    // in spark.sql with graft_* functions must produce the same pairs as
+    // the Column-API composition over the real corpus
+    val s5 = spark.newSession()
+    GraftExtensions.register(s5)
+    s5.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView("docs")
+    val viaSql = s5.sql(
+      """WITH sig AS (
+        |  SELECT doc_id,
+        |         graft_minhash(graft_shingle_hashes(
+        |           filter(split(lower(text), '[^a-z0-9]+'), x -> x != ''), 3), 16) AS sig
+        |  FROM docs),
+        |banded AS (
+        |  SELECT doc_id, b.band,
+        |         array_join(slice(sig, b.band * 4 + 1, 4), ',') AS bkey
+        |  FROM sig LATERAL VIEW explode(transform(sequence(0, 3),
+        |    i -> named_struct('band', i))) AS b)
+        |SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+        |FROM banded a JOIN banded c
+        |  ON a.band = c.band AND a.bkey = c.bkey AND a.doc_id < c.doc_id
+        |""".stripMargin)
+      .as[(Long, Long)].collect().toSet
+
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sig = docs.select(col("doc_id"),
+      minhashSignature(shingleHashes(tokens(col("text")), 3), 16).as("sig"))
+    val banded = sig.select(col("doc_id"),
+        graft.ops.Dedup.lshBands(col("sig"), 4, 4).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val viaDf = graft.ops.Dedup.candidatePairs(banded, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(viaSql == viaDf)
+    assert(viaSql.nonEmpty)
+  }
+
   test("saltedSum equals plain groupBy sum") {
     val df = (1 to 1000).map(i => (i % 3, i.toLong)).toDF("k", "v")
     val plain = df.groupBy("k").agg(sum("v").as("s"))
