@@ -134,7 +134,7 @@ object Relational {
     l.unionByName(r, allowMissingColumns = true)
       .withColumn("__last", last(col("__asof"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(left.columns.map(c => col(s"`$c`")) ++ // backtick: dotted names
+      .select(left.columns.toIndexedSeq.map(c => col(s"`$c`")) ++ // backtick: dotted names
         payload.map(c => col(s"__last.`$c`").as(prefix + c)): _*)
   }
 

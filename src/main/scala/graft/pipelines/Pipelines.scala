@@ -344,7 +344,7 @@ object DimLoader {
     val r = df.agg(
       count(lit(1)).as("n"),
       count(when(anyNull, 1)).as("nulls"),
-      countDistinct(keys.head, keys.tail: _*).as("dk")).head
+      countDistinct(keys.head, keys.tail: _*).as("dk")).head()
     if (r.getLong(1) > 0)
       throw new IllegalStateException(
         s"PK violation: ${r.getLong(1)} rows with null key ${keys.mkString(",")}")
