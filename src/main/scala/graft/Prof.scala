@@ -16,7 +16,10 @@ object Prof {
       if (args.nonEmpty) args.toSeq
       else Seq("weekly_sales", "star_join_weekly", "minhash_lsh_pairs",
         "simhash_pairs", "cosine_topk", "ann_sign_lsh", "store_rp_report",
-        "upsert_merge", "sessionize")
+        "upsert_merge", "sessionize",
+        // round-5 heavy hitters: the iterative CC pair, the re-planned
+        // sketch and bigram paths, and the packing window
+        "dedup_clusters", "kmv_distinct_agg", "bigram_stats", "curation_pack")
     names.foreach { n =>
       println(s"\n================ $n ================")
       SparkEntry.queries(n)(spark, d).explain("formatted")

@@ -667,9 +667,38 @@ object CoverageQueries {
     graft.ops.Dedup.connectedComponentsStar(
       embeddingNeardup(spark, sfDir).select("d1", "d2"), "d1", "d2")
 
+  // -------------------------------------------------------------------
+  // Equal-width histogram — the data-profiling op behind skew detection
+  // and bucket sizing: counts per fixed-width value bucket per group.
+  // Exact floor-division bucketing (no engine-specific histogram
+  // functions), one partial+final hash agg.
+  // -------------------------------------------------------------------
+  def valueHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val width = 10000.0
+    val v = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").as("flag"),
+        col("l_extendedprice").cast(D).cast(DoubleType).as("v"))
+    v.withColumn("bucket", floor(col("v") / lit(width)).cast("long"))
+      .groupBy("flag", "bucket")
+      .agg(count(lit(1)).as("n"),
+        (min(col("bucket")) * width).as("lo"),
+        ((min(col("bucket")) + 1) * width).as("hi"))
+  }
+
+  val valueHistogramOracle: String =
+    """WITH v AS (SELECT l_returnflag AS flag,
+      |                  CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS DOUBLE) AS v
+      |           FROM lineitem)
+      |SELECT flag, bucket, COUNT(*) AS n,
+      |       MIN(bucket) * 10000.0 AS lo, (MIN(bucket) + 1) * 10000.0 AS hi
+      |FROM (SELECT flag, CAST(FLOOR(v / 10000.0) AS BIGINT) AS bucket, v FROM v)
+      |GROUP BY 1, 2
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "date_spine" -> (dateSpine _),
     "outlier_trim" -> (outlierTrim _),
+    "value_histogram" -> (valueHistogram _),
     "dedup_clusters_star" -> (dedupClustersStar _),
     "ann_ivf" -> (annIvf _),
     "window_functions" -> (windowFunctions _),
@@ -700,6 +729,7 @@ object CoverageQueries {
     "sales_cube" -> salesCubeOracle,
     "date_spine" -> dateSpineOracle,
     "outlier_trim" -> outlierTrimOracle,
+    "value_histogram" -> valueHistogramOracle,
     "dedup_clusters_star" -> dedupClustersOracle, // same fixpoint, O(log n) rounds
     "update_join" -> updateJoinOracle,
     "schema_align" -> schemaAlignOracle,
