@@ -903,6 +903,46 @@ object LlmQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok").cast("long")).as("tokens"))
   }
 
+  /** Sharded packing — the 100 TB form: a per-SOURCE running cumsum has
+    * parallelism = #sources (a handful in a real corpus mix — the same
+    * partition-ceiling shape kmv_distinct had). Packing does not need one
+    * global order per source, only a deterministic partition into
+    * sequences — so shard each source by doc-id hash (256 ways) and pack
+    * within (source, shard): full parallelism, identical manifest
+    * semantics, at most one underfull trailing sequence per shard. */
+  def packSequencesSharded(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = hash32(col("doc_id").cast(StringType))
+    val shard = pmod(h, lit(256))
+    val w = Window.partitionBy(col("source"), col("shard")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), size(tokens(col("text"))).as("n_tok"),
+        h.as("h"), shard.as("shard"))
+      .withColumn("cum", sum(col("n_tok").cast("long")).over(w))
+      .withColumn("seq_bin", floor((col("cum") - col("n_tok")) / lit(512.0)))
+      .groupBy("source", "shard", "seq_bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok").cast("long")).as("tokens"))
+  }
+
+  val packSequencesShardedOracle: String =
+    s"""WITH toks AS ($tokSql),
+       |c AS (
+       |  SELECT source, doc_id, CAST(len(t) AS INTEGER) AS n_tok,
+       |         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) AS h,
+       |         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 256 AS shard
+       |  FROM toks),
+       |w AS (
+       |  SELECT source, shard, n_tok,
+       |         CAST(SUM(CAST(n_tok AS BIGINT)) OVER (PARTITION BY source, shard
+       |           ORDER BY h, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM c)
+       |SELECT source, shard, CAST(FLOOR((cum - n_tok) / 512.0) AS BIGINT) AS seq_bin,
+       |       COUNT(*) AS n_docs, CAST(SUM(CAST(n_tok AS BIGINT)) AS BIGINT) AS tokens
+       |FROM w GROUP BY 1, 2, 3
+       |""".stripMargin
+
   val packSequencesOracle: String =
     s"""WITH toks AS ($tokSql),
        |c AS (
@@ -998,6 +1038,7 @@ object LlmQueries {
     "pii_counts" -> (piiCounts _),
     "weighted_sample" -> (weightedSample _),
     "pack_sequences" -> (packSequences _),
+    "pack_sequences_sharded" -> (packSequencesSharded _),
     "decontaminate" -> (decontaminate _),
     "repetition_score" -> (repetitionScore _),
     "bigram_stats" -> (bigramStats _),
@@ -1031,6 +1072,7 @@ object LlmQueries {
     "pii_counts" -> piiCountsOracle,
     "weighted_sample" -> weightedSampleOracle,
     "pack_sequences" -> packSequencesOracle,
+    "pack_sequences_sharded" -> packSequencesShardedOracle,
     "curation_pipeline" -> curationPipelineOracle,
     "doc_chunks" -> docChunksOracle,
     "stratified_sample" -> stratifiedSampleOracle,
