@@ -39,11 +39,20 @@ object Compact {
     * `sortCols`, when given, range-partitions and sorts within files so
     * parquet min/max stats prune scans on those columns (the poor man's
     * clustering; at 100 TB this is what keeps point-lookups off full
-    * scans). Returns the resulting file count. */
+    * scans). Returns the resulting file count.
+    *
+    * `stagingRoot` places the tmp/trash dirs; the default (siblings of
+    * `path`) is ONLY safe when `path`'s parent is not itself a
+    * partitioned-table root — for a `part=` dir inside a table, staging
+    * siblings would appear to concurrent readers as phantom partitions
+    * (and a crash would leave a duplicate-data `part=x.__old` dir that
+    * partition discovery picks up). compactPartitioned always passes a
+    * staging root OUTSIDE the table. */
   def compactDir(spark: SparkSession, path: String,
                  targetFileBytes: Long = 128L * 1024 * 1024,
                  sortCols: Seq[String] = Nil,
-                 retireMetadata: Boolean = false): Int = {
+                 retireMetadata: Boolean = false,
+                 stagingRoot: String = ""): Int = {
     import org.apache.spark.sql.functions.col
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(path)
@@ -61,8 +70,14 @@ object Compact {
       else df.repartitionByRange(nFiles, sortCols.map(col): _*)
         .sortWithinPartitions(sortCols.map(col): _*)
 
-    val tmp = new Path(path + ".__compact")
-    val trash = new Path(path + ".__old")
+    val (tmp, trash) =
+      if (stagingRoot.isEmpty)
+        (new Path(path + ".__compact"), new Path(path + ".__old"))
+      else {
+        fs.mkdirs(new Path(stagingRoot))
+        (new Path(stagingRoot, dir.getName + ".__compact"),
+          new Path(stagingRoot, dir.getName + ".__old"))
+      }
     fs.delete(tmp, true); fs.delete(trash, true)
     shaped.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     if (!fs.rename(dir, trash))
@@ -92,15 +107,24 @@ object Compact {
     val dir = new Path(tablePath)
     val fs = dir.getFileSystem(conf)
     retireStreamingMetadata(fs, dir, retireMetadata)
+    // stage OUTSIDE the table root: in-root staging dirs would surface to
+    // concurrent readers as phantom partitions, and a crash would leave a
+    // duplicate-data `part=x.__old` dir that partition discovery (and the
+    // next compaction run) picks up
+    val stagingRoot = tablePath.stripSuffix("/") + ".__compactstage"
     val partDirs = fs.listStatus(dir).filter(s =>
-      s.isDirectory && s.getPath.getName.contains("="))
-    partDirs.flatMap { p =>
+      s.isDirectory && s.getPath.getName.contains("=") &&
+        !s.getPath.getName.contains(".__")) // defensive: skip staging litter
+    val out = partDirs.flatMap { p =>
       val files = fs.listStatus(p.getPath).count(s =>
         s.isFile && s.getPath.getName.endsWith(".parquet"))
       if (files > maxFilesPerPartition)
         Some(p.getPath.getName ->
-          compactDir(spark, p.getPath.toString, targetFileBytes, sortCols))
+          compactDir(spark, p.getPath.toString, targetFileBytes, sortCols,
+            stagingRoot = stagingRoot))
       else None
     }.toMap
+    fs.delete(new Path(stagingRoot), true)
+    out
   }
 }

@@ -152,49 +152,59 @@ object Dedup {
     * canonical distinct edge set per round. */
   def connectedComponentsStar(edges: DataFrame, aCol: String, bCol: String,
                               maxIter: Int = 50): DataFrame = {
-    val spark = edges.sparkSession
-    import spark.implicits._
+    // full node set BEFORE dropping self-loops: a node whose only edges
+    // are self-loops must still appear in the output (parity with
+    // connectedComponents)
+    val allNodes = edges.select(col(aCol).cast("long").as("node"))
+      .union(edges.select(col(bCol).cast("long").as("node")))
+      .distinct().localCheckpoint()
     // canonical undirected edge set as (hi, lo) pairs, self-loops dropped
     var e = edges.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-      .distinct().as[(Long, Long)].localCheckpoint()
+      .distinct().localCheckpoint()
 
-    def star(cur: org.apache.spark.sql.Dataset[(Long, Long)], large: Boolean) = {
-      // neighborhood view: for large-star every edge both ways, for
-      // small-star each node with its smaller neighbors only ((u,v) u>v)
+    // One star round as pure grouped aggregations + joins — nothing
+    // materializes a node's adjacency list in a single task's heap (a
+    // boilerplate component's root would hold the whole component), so
+    // giant stars stay distributed and AQE's skew handling applies.
+    def star(cur: DataFrame, large: Boolean): DataFrame = {
+      // neighborhood view: large-star sees every edge both ways,
+      // small-star each node with only its smaller neighbors (u > v)
       val nbrs = if (large)
-        cur.union(cur.map(p => (p._2, p._1)))
+        cur.union(cur.select(col("v").as("u"), col("u").as("v")))
       else cur
-      val withMin = nbrs.groupByKey(_._1)
-        .flatMapGroups { (u, it) =>
-          val vs = it.map(_._2).toSeq
-          val m = math.min(u, vs.min)
-          // link each qualifying neighbor to the center's minimum
-          val linked = if (large) vs.filter(_ > u) else vs
-          linked.iterator.collect { case v if v != m => (v, m) } ++
-            (if (u != m) Iterator((u, m)) else Iterator.empty)
-        }
-      withMin.map(p => (math.max(p._1, p._2), math.min(p._1, p._2)))
-        .filter(p => p._1 != p._2).distinct()
+      val mins = nbrs.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      // link each qualifying neighbor, and the center itself, to the
+      // center's minimum
+      val linkedNbrs = {
+        val joined = nbrs.join(mins, "u")
+        val q = if (large) joined.filter(col("v") > col("u")) else joined
+        q.select(col("v").as("a"), col("m").as("b"))
+      }
+      val selfLinks = mins.filter(col("u") =!= col("m"))
+        .select(col("u").as("a"), col("m").as("b"))
+      linkedNbrs.union(selfLinks)
+        .filter(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+        .distinct()
     }
 
     var iter = 0
     var stable = false
     while (!stable && iter < maxIter) {
       val next = star(star(e, large = true), large = false).localCheckpoint()
-      stable = next.count() == e.count() &&
-        next.except(e).isEmpty
+      stable = next.count() == e.count() && next.except(e).isEmpty
       e = next
       iter += 1
     }
     require(stable, s"connectedComponentsStar did not converge in $maxIter rounds")
-    // at the fixpoint every edge is (member, root): emit the mapping plus
-    // each root labeling itself
-    val fin = e.toDF("node", "cluster")
-    val roots = fin.select(col("cluster").as("node")).distinct()
-      .except(fin.select(col("node")))
-      .withColumn("cluster", col("node"))
-    fin.unionByName(roots.select(col("node"), col("cluster")))
+    // at the fixpoint every edge is (member, root): emit that mapping,
+    // then every node not appearing as a member (roots, self-loop-only
+    // and isolated-within-input nodes) labels itself
+    val fin = e.select(col("u").as("node"), col("v").as("cluster"))
+    val self = allNodes.except(fin.select("node")).withColumn("cluster", col("node"))
+    fin.unionByName(self.select(col("node"), col("cluster")))
   }
 }

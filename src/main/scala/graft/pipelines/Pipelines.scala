@@ -96,10 +96,16 @@ object ZrssalePipeline {
   }
 
   /** D2 end-to-end: read with the source-file column (the dedup's concat
-    * order), transform, upsert on the shared keys. */
+    * order), transform, upsert on the shared keys. Within one file,
+    * `_source_file` alone is not a total order, so the billing-document
+    * key (Bill.Doc., Item) breaks ties — deterministic at any
+    * parallelism, and SAP exports are emitted in document order so it
+    * coincides with the reference's keep-first-in-file-order on real
+    * data. */
   def runD2(spark: SparkSession, inputGlob: String, targetPath: String): Unit =
     UpsertWriter.upsert(spark,
-      transformD2(SapTextReader.read(spark, inputGlob, withFileName = true))
+      transformD2(SapTextReader.read(spark, inputGlob, withFileName = true),
+        firstOrder = Seq(col("_source_file"), col("`Bill.Doc.`"), col("Item")))
         .drop("_source_file"),
       targetPath, upsertKeys)
 

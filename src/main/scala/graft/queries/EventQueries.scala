@@ -233,10 +233,13 @@ object EventQueries {
     val p = ev.filter(col("event_type") === "purchase")
       .join(c, "user_id").filter(col("ts") >= col("t1"))
       .groupBy("user_id").agg(min(col("ts")).as("t2"))
-    v.select(lit("1_view").as("stage"), col("user_id"))
-      .unionByName(c.select(lit("2_click").as("stage"), col("user_id")))
-      .unionByName(p.select(lit("3_purchase").as("stage"), col("user_id")))
-      .groupBy("stage").agg(count(lit(1)).as("users"))
+    // global aggregates (one row even on empty input) so an empty stage
+    // reports 0 users — exactly like the oracle's per-CTE COUNT(*)
+    v.agg(count(lit(1)).as("users")).select(lit("1_view").as("stage"), col("users"))
+      .unionByName(c.agg(count(lit(1)).as("users"))
+        .select(lit("2_click").as("stage"), col("users")))
+      .unionByName(p.agg(count(lit(1)).as("users"))
+        .select(lit("3_purchase").as("stage"), col("users")))
   }
 
   val eventFunnelOracle: String =

@@ -994,15 +994,18 @@ object LlmQueries {
   // -------------------------------------------------------------------
   def curationPack(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val t = tokens(col("text"))
-    val quality = TextAnalysis.qualityScore(t, col("text"))
-    val gated = Tables.documents(spark, sfDir)
-      .filter(size(t) >= MinTokens && quality >= lit(MinQuality))
-    val exact = Dedup.exactDedupByContent(col("text"), col("doc_id"))(gated)
+    // tokenize ONCE into a column (the bigram_stats lesson: inline
+    // tokens(text) re-evaluates per consumer) and carry n_tok through
+    val base = Tables.documents(spark, sfDir)
+      .withColumn("t", tokens(col("text")))
+      .withColumn("n_tok", size(col("t")))
+      .filter(col("n_tok") >= MinTokens &&
+        TextAnalysis.qualityScore(col("t"), col("text")) >= lit(MinQuality))
+    val exact = Dedup.exactDedupByContent(col("text"), col("doc_id"))(base)
     val h = hash32(col("doc_id").cast(StringType))
     val w = Window.partitionBy(col("source")).orderBy(h, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    exact.select(col("source"), col("doc_id"), size(tokens(col("text"))).as("n_tok"))
+    exact.select(col("source"), col("doc_id"), col("n_tok"))
       .withColumn("cum", sum(col("n_tok").cast("long")).over(w))
       .withColumn("seq_bin", floor((col("cum") - col("n_tok")) / lit(512.0)))
       .groupBy("source", "seq_bin")

@@ -307,7 +307,13 @@ object Streams {
           val out = Seq.newBuilder[AsofOut]
           it.toSeq.sortBy(e => (e._3, e._1)).foreach { case (side, _, tsUs, v) =>
             if (side == 0)
-              hist = ((tsUs, v) :: hist).sortBy(_._1).takeRight(maxHistory)
+              // collapse equal timestamps to the max payload: stream input
+              // carries no arrival order across partitions, so "last write
+              // wins" would be nondeterministic — max is the deterministic
+              // tie-break (== batch asofJoin with rightOrd = payload)
+              hist = ((tsUs, v) :: hist).groupBy(_._1)
+                .map { case (t, es) => (t, es.map(_._2).max) }
+                .toList.sortBy(_._1).takeRight(maxHistory)
             else {
               val m = hist.reverseIterator.find(_._1 <= tsUs)
               out += AsofOut(key, new java.sql.Timestamp(tsUs / 1000), v,
@@ -348,8 +354,11 @@ object Streams {
             val incoming = it.toSeq
             val newLefts = incoming.filter(_._1 == 1).map(e => (e._3.getTime * 1000L, e._4))
             val newRights = incoming.filter(_._1 == 0).map(e => (e._3.getTime * 1000L, e._4))
-            buf = AsofBuf((buf.lefts ++ newLefts).sortBy(_._1),
-              (buf.rights ++ newRights).sortBy(_._1))
+            // equal-ts rights collapse to the max payload (deterministic
+            // tie-break; see asofEnrichStream)
+            val mergedRights = (buf.rights ++ newRights).groupBy(_._1)
+              .map { case (t, es) => (t, es.map(_._2).max) }.toList.sortBy(_._1)
+            buf = AsofBuf((buf.lefts ++ newLefts).sortBy(_._1), mergedRights)
           }
           // emit every left the watermark has passed: all of its eligible
           // rights (rts <= lts <= wm) are final now

@@ -110,5 +110,10 @@ class CompactSpec extends SparkSpecBase {
     assert(parquetFiles(new java.io.File(path, "day=d2")).map(_.getName).toSet == d2Before)
     val back = spark.read.parquet(path).select("k", "day").as[(Long, String)].collect()
     assert(back.count(_._2 == "d1") == 500 && back.count(_._2 == "d2") == 10)
+    // staging must never appear INSIDE the table root (phantom partitions
+    // to concurrent readers) and the external staging root is cleaned up
+    assert(!new java.io.File(path).listFiles().exists(_.getName.contains(".__")),
+      "staging dirs leaked inside the table root")
+    assert(!new java.io.File(path + ".__compactstage").exists())
   }
 }

@@ -67,10 +67,12 @@ class DedupSpec extends SparkSpecBase {
       // contraction exists for) + a big star
       val n = 60
       val random = Seq.fill(40)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
-        .filter(p => p._1 != p._2)
+      // keep self-loops in: a node whose only edge is (x, x) must still
+      // appear, labeled by itself, in BOTH variants
       val chain = (100L until 140L).map(i => (i, i + 1))
       val star = (200L until 220L).map(i => (250L, i))
-      val edges = (random ++ chain ++ star).toDF("d1", "d2")
+      val loops = Seq((300L, 300L), (301L, 301L))
+      val edges = (random ++ chain ++ star ++ loops).toDF("d1", "d2")
       val viaLabel = Dedup.connectedComponents(edges, "d1", "d2")
         .as[(Long, Long)].collect().toMap
       val viaStar = Dedup.connectedComponentsStar(edges, "d1", "d2")

@@ -217,10 +217,15 @@ class StreamingSpec extends SparkSpecBase {
       rs.addData(Streams.AsofRight(1L, ts(20), 2.5))
       ls.addData(Streams.AsofLeft(1L, ts(30), 200.0), Streams.AsofLeft(1L, ts(10), 300.0))
       q.processAllAvailable()
+      // batch 3: a SECOND rate at the same 10:20 instant with a smaller
+      // payload — equal-ts updates resolve deterministically to the max
+      rs.addData(Streams.AsofRight(1L, ts(20), 2.0))
+      ls.addData(Streams.AsofLeft(1L, ts(40), 400.0))
+      q.processAllAvailable()
       val got = spark.table("asof_stream")
         .as[Streams.AsofOut].collect().map(o => (o.value, o.asof_payload)).toSet
       assert(got == Set((100.0, Some(1.5)), (50.0, None),
-        (200.0, Some(2.5)), (300.0, Some(1.5))))
+        (200.0, Some(2.5)), (300.0, Some(1.5)), (400.0, Some(2.5))))
     } finally q.stop()
   }
 
