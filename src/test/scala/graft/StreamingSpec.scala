@@ -286,6 +286,18 @@ class StreamingSpec extends SparkSpecBase {
         .map(o => (o.key, o.value, o.asof_payload)).toSet
       // the fact matched the LATE 10:00 update, not the 09:00 one
       assert(got == Set((1L, 100.0, Some(2.0))))
+      // the right history was trimmed to the latest entry at-or-before
+      // the watermark — a later (non-late) fact must still find that
+      // survivor once its own timestamp ripens
+      ls.addData(Streams.AsofLeft(1L, t("2024-01-01 13:30:00"), 500.0))
+      q.processAllAvailable()
+      rs.addData(Streams.AsofRight(9L, t("2024-01-01 15:00:00"), 0.0))
+      q.processAllAvailable()
+      rs.addData(Streams.AsofRight(9L, t("2024-01-01 16:00:00"), 0.0))
+      q.processAllAvailable()
+      val got2 = spark.table("asof_et").as[Streams.AsofOut].collect()
+        .map(o => (o.key, o.value, o.asof_payload)).toSet
+      assert(got2.contains((1L, 500.0, Some(2.0))))
     } finally q.stop()
   }
 
