@@ -241,6 +241,49 @@ object Streams {
       }
   }
 
+  case class FunnelState(t0: Option[Long], t1: Option[Long], t2: Option[Long])
+  case class FunnelOut(user_id: Long, stage: String, ts: java.sql.Timestamp)
+
+  /** Streaming conversion funnel — the stateful twin of the batch
+    * `event_funnel` query: per user, emit each stage the FIRST time it is
+    * reached (view, then click at-or-after the first view, then purchase
+    * at-or-after the first click). State is three optional timestamps per
+    * user — O(users) and constant per key, no watermark needed since the
+    * stage anchors only move backward on late data (min semantics) and
+    * within-batch events process in event-time order.
+    *
+    * Caveat shared with every unbuffered streaming funnel: an
+    * out-of-order event arriving in a LATER batch than a stage it would
+    * have re-anchored cannot retract an already-emitted stage row; the
+    * batch query is the replayable truth, this is the low-latency path. */
+  def funnelStream(events: Dataset[Event]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId, it, state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(None, None, None))
+          val out = Seq.newBuilder[FunnelOut]
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val us = e.ts.getTime
+            e.event_type match {
+              case "view" if s.t0.isEmpty =>
+                s = s.copy(t0 = Some(us))
+                out += FunnelOut(userId, "1_view", e.ts)
+              case "click" if s.t0.exists(_ <= us) && s.t1.isEmpty =>
+                s = s.copy(t1 = Some(us))
+                out += FunnelOut(userId, "2_click", e.ts)
+              case "purchase" if s.t1.exists(_ <= us) && s.t2.isEmpty =>
+                s = s.copy(t2 = Some(us))
+                out += FunnelOut(userId, "3_purchase", e.ts)
+              case _ => ()
+            }
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
+
   case class KmvOut(key: String, n_kept: Int, est_distinct: Double)
 
   /** Streaming KMV distinct-count — the stateful twin of the

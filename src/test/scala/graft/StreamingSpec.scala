@@ -301,6 +301,28 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming funnel stage counts equal the oracle-checked batch funnel") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val src = MemoryStream[Streams.Event]
+    val q = Streams.funnelStream(src.toDS())
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+    try {
+      val events = Tables.events(spark, sfDir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[Streams.Event].collect()
+      src.addData(events.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("funnel_stream")
+        .groupBy("stage").count()
+        .as[(String, Long)].collect().toMap
+      val batch = graft.queries.EventQueries.eventFunnel(spark, sfDir)
+        .as[(String, Long)].collect().toMap.filter(_._2 > 0)
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+    } finally q.stop()
+  }
+
   test("streaming KMV estimate converges to the batch sketch across batches") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val k = 8
