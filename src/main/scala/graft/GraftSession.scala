@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The library's session entry point: a builder pre-loaded with the graft
+  * SQL functions and the engine's recommended scale settings, so
+  * `GraftSession.create()` is all a new user needs before running any
+  * query from the README.
+  *
+  * The confs are deliberately few — Spark 4's defaults (AQE on, skew-join
+  * splitting on) are already the right call at the 100 TB design point —
+  * and none override a value the caller sets afterwards on the returned
+  * builder.
+  */
+object GraftSession {
+
+  /** Builder with graft extensions + scale-sane settings applied. */
+  def builder(appName: String = "graft"): SparkSession.Builder =
+    SparkSession.builder()
+      .appName(appName)
+      .withExtensions(new GraftExtensions)
+      // partial aggregation pushdown through distinct-like plans
+      .config("spark.sql.optimizer.distinctBeforeIntersect.enabled", "true")
+      // parquet files split at 128 MiB — the compaction target Compact
+      // uses, so post-compaction scans get one task per file
+      .config("spark.sql.files.maxPartitionBytes", 128L * 1024 * 1024)
+
+  /** Create (or get) the session. NOTE: if a session already exists,
+    * builder extensions are silently skipped by Spark — so the graft
+    * functions are registered explicitly afterwards either way, making
+    * this safe to call in any order with other session users. */
+  def create(appName: String = "graft"): SparkSession = {
+    val spark = builder(appName).getOrCreate()
+    GraftExtensions.register(spark)
+    spark
+  }
+}

@@ -88,6 +88,14 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(viaSql.nonEmpty)
   }
 
+  test("GraftSession.create yields a session with the SQL surface ready") {
+    // an existing session means builder extensions are skipped (Spark
+    // semantics) — create() must still end with the functions registered
+    val s = GraftSession.create("graft-test")
+    assert(s.sql("SELECT graft_hash32('x') AS h").head().getLong(0) != 0L)
+    assert(s.conf.get("spark.sql.adaptive.enabled") == "true") // Spark 4 default kept
+  }
+
   test("saltedSum equals plain groupBy sum") {
     val df = (1 to 1000).map(i => (i % 3, i.toLong)).toDF("k", "v")
     val plain = df.groupBy("k").agg(sum("v").as("s"))
