@@ -56,6 +56,8 @@ object GraftExtensions {
       arity("graft_simhash32", 1)(args => Simhash32Expr(args.head))),
     (FunctionIdentifier("graft_dot"), info("graft_dot"),
       arity("graft_dot", 2)(args => DotDExpr(args.head, args(1)))),
+    (FunctionIdentifier("graft_cosine"), info("graft_cosine"),
+      arity("graft_cosine", 2)(args => CosineExpr(args.head, args(1)))),
     (FunctionIdentifier("graft_kmin"), info("graft_kmin"),
       arity("graft_kmin", 2)(args =>
         graft.functions.KMinLongs(args.head, intArg(args(1), "graft_kmin", "k")))))

@@ -88,6 +88,18 @@ object GraftExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  case class CosineExpr(left: Expression, right: Expression) extends BinaryExpression with GraftExpectsInputTypes {
+    override def graftInputTypes: Seq[DataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.cosineD(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.cosineD($a, $b)")
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineExpr =
+      copy(left = newLeft, right = newRight)
+  }
+
   // Column-level wrappers -----------------------------------------------
 
   private def expr(c: Column): Expression = Bridge.expression(c)
@@ -98,6 +110,7 @@ object GraftExpressions {
   def minhashSig(hashes: Column, k: Int): Column = Bridge.column(MinhashSigExpr(expr(hashes), k))
   def simhash32(hashes: Column): Column = Bridge.column(Simhash32Expr(expr(hashes)))
   def dotD(a: Column, b: Column): Column = Bridge.column(DotDExpr(expr(a), expr(b)))
+  def cosineD(a: Column, b: Column): Column = Bridge.column(CosineExpr(expr(a), expr(b)))
   def kminLongs(c: Column, k: Int): Column =
     Bridge.column(KMinLongs(expr(c), k).toAggregateExpression())
 }

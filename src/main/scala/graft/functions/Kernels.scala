@@ -129,4 +129,28 @@ object Kernels {
     }
     acc
   }
+
+  /** Fused cosine similarity: dot product and BOTH squared norms in a
+    * single pass over the pair (the composed form walks each array three
+    * times per candidate — the dominant cost of similarity scoring).
+    * Each accumulator follows the same sequential left-fold order as its
+    * standalone kernel, so the result is bit-identical to
+    * dot/(sqrt(nsqA)*sqrt(nsqB)) over separate dotD calls — and
+    * therefore to the DuckDB oracle's list_reduce composition. */
+  def cosineD(a: ArrayData, b: ArrayData): Double = {
+    val m = a.numElements()
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < m) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
 }

@@ -34,9 +34,12 @@ object Similarity {
       when(element_at(emb, i + 1) > 0f, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** Attach cosine similarity between two embedding columns. */
+  /** Attach cosine similarity between two embedding columns — the fused
+    * single-pass kernel (dot + both norms in one array walk; the composed
+    * form traverses each pair three times). Bit-identical to
+    * cosine(dotD, normSqD, normSqD) and the oracle (KernelSpec). */
   def cosineSim(a: Column, b: Column): Column =
-    cosine(dotD(a, b), normSqD(a), normSqD(b))
+    graft.functions.GraftExpressions.cosineD(a, b)
 
   /** Exact top-k: each row of `queries` (columns qid, qvec) against each
     * row of `corpus` (columns nid, nvec), excluding self-pairs.

@@ -87,6 +87,17 @@ class KernelSpec extends SparkSpecBase {
     assert(viaSql == Map(1 -> Seq(2L, 7L), 2 -> Seq(4L)))
   }
 
+  test("fused cosine kernel == composed dot/norm form over real embeddings") {
+    import graft.functions.GraftExpressions.cosineD
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = emb.select(col("vec_id").as("i"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("j"), col("embedding").as("eb"))
+    val pairs = a.join(b, col("i") % 5 === col("j") % 5)
+    val bad = pairs.filter(!(cosineD(col("ea"), col("eb")) <=>
+      cosine(dotD(col("ea"), col("eb")), normSqD(col("ea")), normSqD(col("eb")))))
+    assert(bad.count() == 0)
+  }
+
   test("dot-product kernel == composed fold over real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val a = emb.select(col("vec_id").as("i"), col("embedding").as("ea"))
