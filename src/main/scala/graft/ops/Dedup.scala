@@ -195,7 +195,12 @@ object Dedup {
     var stable = false
     while (!stable && iter < maxIter) {
       val next = star(star(e, large = true), large = false).localCheckpoint()
-      stable = next.count() == e.count() && next.except(e).isEmpty
+      // convergence = the canonical edge sets are equal. Both sides are
+      // distinct, so "no edge appears in exactly one side" decides it in a
+      // SINGLE grouped job (vs count+count+except = three jobs per round —
+      // fixed per-stage overhead dominates iterative rounds at any scale).
+      stable = next.union(e).groupBy("u", "v").count()
+        .filter(col("count") === 1).isEmpty
       e = next
       iter += 1
     }
