@@ -6,6 +6,13 @@ import org.apache.spark.sql.SparkSession
   * present) runs each query shape once first, so timings measure
   * steady-state throughput rather than JVM/classloader/codegen warmup —
   * the comparison the baseline contract asks for.
+  *
+  * The driver that consumes this output keeps only the last ~2000 chars of
+  * stdout, so the summary line must stay short: per-query seconds are
+  * printed with 3 significant digits, and if the line would still overflow
+  * the buffer the fastest entries are dropped from the inline map (count
+  * recorded as "omitted"). The complete map is always written to
+  * BENCH_DETAIL.json in the working directory.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -18,10 +25,25 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Optional subset filter for targeted measurement during iteration:
+    // SPARK_GRAFT_QUERIES=a,b,c times only those queries. Unknown names are
+    // an error — a typo must not silently shrink the bench.
+    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    subset.foreach { s =>
+      val unknown = s.diff(SparkEntry.queries.keySet)
+      if (unknown.nonEmpty)
+        sys.error(s"SPARK_GRAFT_QUERIES names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(",")}")
+    }
+    val selected = subset match {
+      case Some(s) => SparkEntry.queries.filter { case (n, _) => s(n) }
+      case None    => SparkEntry.queries
+    }
+
     val warmupDir = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
     if (warmupDir.isDirectory) {
       val wd = warmupDir.getAbsolutePath
-      SparkEntry.queries.foreach { case (_, fn) =>
+      selected.foreach { case (_, fn) =>
         try fn(spark, wd).count() catch { case _: Throwable => () }
       }
     }
@@ -35,21 +57,36 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    // Optional subset filter for targeted measurement during iteration:
-    // SPARK_GRAFT_QUERIES=a,b,c times only those queries.
-    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = subset match {
-      case Some(s) => SparkEntry.queries.filter { case (n, _) => s(n) }
-      case None    => SparkEntry.queries
-    }
     val results = selected.map { case (name, fn) =>
       name -> Seq.fill(3)(timeOnce(fn)).min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3g", Double.box(v))
+    def line(entries: Seq[(String, Double)], omitted: Int): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val subsetTag = if (subset.isDefined)
+        s""","subset":true,"n_selected":${selected.size},"n_total":${SparkEntry.queries.size}"""
+      else ""
+      val omitTag = if (omitted > 0) s""","omitted":$omitted""" else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$subsetTag$omitTag,"n":${results.size},"sf":"$sfDir"}"""
+    }
+    // Full detail always lands in a file; the printed line must fit the
+    // driver's tail buffer, so drop fastest entries if needed.
+    val bySlowest = results.toSeq.sortBy(-_._2)
+    val full = line(bySlowest, 0)
+    val fw = new java.io.PrintWriter("BENCH_DETAIL.json")
+    try fw.println(full) finally fw.close()
+    val budget = 1800
+    var out = full
+    if (full.length > budget) {
+      var keep = bySlowest.size
+      while (keep > 1 && line(bySlowest.take(keep), bySlowest.size - keep).length > budget) keep -= 1
+      out = line(bySlowest.take(keep), bySlowest.size - keep)
+    }
+    println(out)
     spark.stop()
   }
 }
