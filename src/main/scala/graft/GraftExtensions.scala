@@ -60,7 +60,10 @@ object GraftExtensions {
       arity("graft_cosine", 2)(args => CosineExpr(args.head, args(1)))),
     (FunctionIdentifier("graft_kmin"), info("graft_kmin"),
       arity("graft_kmin", 2)(args =>
-        graft.functions.KMinLongs(args.head, intArg(args(1), "graft_kmin", "k")))))
+        graft.functions.KMinLongs(args.head, intArg(args(1), "graft_kmin", "k")))),
+    (FunctionIdentifier("graft_topk"), info("graft_topk"),
+      arity("graft_topk", 3)(args =>
+        graft.functions.TopKPairs(args.head, args(1), intArg(args(2), "graft_topk", "k")))))
 
   /** Register directly on a live session (for sessions created without
     * the extensions conf — extensions only apply at session build time). */

@@ -113,4 +113,6 @@ object GraftExpressions {
   def cosineD(a: Column, b: Column): Column = Bridge.column(CosineExpr(expr(a), expr(b)))
   def kminLongs(c: Column, k: Int): Column =
     Bridge.column(KMinLongs(expr(c), k).toAggregateExpression())
+  def topKBy(score: Column, id: Column, k: Int): Column =
+    Bridge.column(TopKPairs(expr(score), expr(id), k).toAggregateExpression())
 }

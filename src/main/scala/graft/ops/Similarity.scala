@@ -55,6 +55,24 @@ object Similarity {
       .select("qid", "nid", "cos", "rank")
   }
 
+  /** Exact top-k via the bounded-heap `graft_topk` aggregate — same result
+    * set and ordering as [[bruteForceTopK]] but the scale-path plan: the
+    * window form exchanges EVERY scored candidate row and sorts whole
+    * partitions to keep k; here partial aggregation keeps k pairs per
+    * (query, task) map-side, so the single exchange carries at most
+    * k×|queries|×tasks structs and there is no sort at all. */
+  def bruteForceTopKAgg(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    import graft.functions.GraftExpressions.topKBy
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosineSim(col("qvec"), col("nvec")).as("cos"))
+    scored.groupBy(col("qid"))
+      .agg(topKBy(col("cos"), col("nid"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.id").as("nid"), col("col.score").as("cos"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** IVF centroid table from seed labels — one Lloyd step with integer-
     * quantized component sums (floor(v * 2^20)): exact, order-independent
     * and engine-identical, and since cosine is scale-invariant the

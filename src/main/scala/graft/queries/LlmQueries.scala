@@ -249,6 +249,17 @@ object LlmQueries {
        |WHERE rank <= 5
        |""".stripMargin
 
+  /** Same ranking as `cosine_topk` through the bounded-heap `graft_topk`
+    * aggregate instead of a window — the single-exchange, no-sort form a
+    * 1000-executor cluster wants (see Similarity.bruteForceTopKAgg). */
+  def cosineTopKAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+    Similarity.bruteForceTopKAgg(queries, corpus, 5)
+  }
+
   // -------------------------------------------------------------------
   // Sign-LSH ANN: 4-bit coordinate-sign bucket join, top-3 per query —
   // the pruned approximate path.
@@ -673,6 +684,49 @@ object LlmQueries {
       |WHERE rank <= 5
       |""".stripMargin
 
+  /** `tfidf_topk` re-planned through `graft_topk`: the per-doc top-5
+    * terms come out of a partial+final hash aggregate (k structs per doc
+    * per task on the wire) instead of a window that sorts every scored
+    * (doc, term) row. String ids break ties in binary order — identical
+    * to the oracle's ORDER BY token for these ASCII tokens. */
+  def tfidfTopKAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.GraftExpressions.topKBy
+    val docs = Tables.documents(spark, sfDir)
+    val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val nDocs = docs.select(countDistinct(col("doc_id")).as("nd"))
+    val tf = terms.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = terms.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    tf.filter(col("doc_id") < 50)
+      .join(broadcast(df), "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf").cast(DoubleType) * col("nd").cast(DoubleType) / col("df"))
+      .groupBy(col("doc_id"))
+      .agg(topKBy(col("score"), col("token"), 5).as("top"))
+      .select(col("doc_id"), posexplode(col("top")))
+      .select(col("doc_id"), col("col.id").as("token"), col("col.score").as("score"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  val tfidfTopKAggOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+      |  FROM documents),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT token, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY 1),
+      |nd AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents)
+      |SELECT doc_id, token, score, rank FROM (
+      |  SELECT tf.doc_id, tf.token,
+      |         CAST(tf.tf AS DOUBLE) * CAST(nd.nd AS DOUBLE) / df.df AS score,
+      |         row_number() OVER (PARTITION BY tf.doc_id
+      |           ORDER BY CAST(tf.tf AS DOUBLE) * CAST(nd.nd AS DOUBLE) / df.df DESC, tf.token) AS rank
+      |  FROM tf JOIN df ON tf.token = df.token CROSS JOIN nd
+      |  WHERE tf.doc_id < 50)
+      |WHERE rank <= 5
+      |""".stripMargin
+
   // -------------------------------------------------------------------
   // Corpus-mix primitives. Both order docs by the md5 hash of their id —
   // a deterministic, RNG-free shuffle that is reproducible across
@@ -1054,6 +1108,7 @@ object LlmQueries {
     "simhash_pairs" -> (simhashPairs _),
     "ngram_jaccard" -> (ngramJaccardBlocked _),
     "cosine_topk" -> (cosineTopK _),
+    "cosine_topk_agg" -> (cosineTopKAgg _),
     "ann_sign_lsh" -> (annSignLsh _),
     "ann_multiprobe" -> (annMultiProbe _),
     "lang_id" -> (langId _),
@@ -1063,6 +1118,7 @@ object LlmQueries {
     "kmv_distinct" -> (kmvDistinct _),
     "kmv_distinct_agg" -> (kmvDistinctAgg _),
     "tfidf_topk" -> (tfidfTopK _),
+    "tfidf_topk_agg" -> (tfidfTopKAgg _),
     "balanced_sample" -> (balancedSample _),
     "token_budget_sample" -> (tokenBudgetSample _),
   )
@@ -1085,6 +1141,7 @@ object LlmQueries {
     "simhash_pairs" -> simhashPairsOracle,
     "ngram_jaccard" -> ngramJaccardBlockedOracle,
     "cosine_topk" -> cosineTopKOracle,
+    "cosine_topk_agg" -> cosineTopKOracle, // same rows, single-shuffle plan
     "ann_sign_lsh" -> annSignLshOracle,
     "ann_multiprobe" -> annMultiProbeOracle,
     "lang_id" -> langIdOracle,
@@ -1094,6 +1151,7 @@ object LlmQueries {
     "kmv_distinct" -> kmvDistinctOracle,
     "kmv_distinct_agg" -> kmvDistinctOracle, // same estimate, different plan
     "tfidf_topk" -> tfidfTopKOracle,
+    "tfidf_topk_agg" -> tfidfTopKAggOracle,
     "balanced_sample" -> balancedSampleOracle,
     "token_budget_sample" -> tokenBudgetSampleOracle,
   )

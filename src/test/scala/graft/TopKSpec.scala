@@ -1,0 +1,102 @@
+package graft
+
+import graft.functions.GraftExpressions.topKBy
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** `graft_topk` (bounded-heap top-k-per-group) must return exactly the
+  * rows and order of the window row_number pattern it replaces — including
+  * score ties, groups smaller than k, null inputs, and merges across many
+  * partitions (the map-side-partial path the scale argument rests on).
+  */
+class TopKSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // Deterministic synthetic data with deliberate score ties: score depends
+  // on id mod 7 so each group has ~3 ids per score value.
+  private def longData: DataFrame =
+    spark.range(0, 2000).select(
+      (col("id") % 8).as("g"),
+      col("id").as("id"),
+      ((col("id") % 7).cast("double") / 7.0).as("s"))
+
+  private def windowTopK(df: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("g")).orderBy(col("s").desc, col("id"))
+    df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("g", "id", "s", "rank")
+  }
+
+  private def aggTopK(df: DataFrame, k: Int): DataFrame =
+    df.groupBy(col("g")).agg(topKBy(col("s"), col("id"), k).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), col("col.id").as("id"), col("col.score").as("s"),
+        (col("pos") + 1).cast("int").as("rank"))
+
+  test("long ids: agg == window, ties broken by id asc") {
+    val a = aggTopK(longData, 5).collect().toSet
+    val w = windowTopK(longData, 5).collect().toSet
+    assert(a == w)
+    assert(a.nonEmpty)
+  }
+
+  test("merge across many partitions is exact") {
+    val scattered = longData.repartition(37)
+    val a = aggTopK(scattered, 5).collect().toSet
+    val w = windowTopK(longData, 5).collect().toSet
+    assert(a == w)
+  }
+
+  test("k larger than group size returns whole group, best-first") {
+    val df = Seq((1L, 10L, 0.3), (1L, 11L, 0.9), (1L, 12L, 0.9))
+      .toDF("g", "id", "s")
+    val rows = aggTopK(df, 100).orderBy("rank").collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(11L, 12L, 10L))
+    assert(rows.map(_.getInt(3)).toSeq == Seq(1, 2, 3))
+  }
+
+  test("null score or id rows are ignored") {
+    val df = Seq((1L, Some(10L), Some(0.5)), (1L, None, Some(9.9)),
+      (1L, Some(11L), None), (1L, Some(12L), Some(0.7)))
+      .toDF("g", "id", "s")
+    val rows = aggTopK(df, 2).orderBy("rank").collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(12L, 10L))
+  }
+
+  test("string ids: binary tie-break matches window ORDER BY token") {
+    val df = Seq((1L, "beta", 1.0), (1L, "alpha", 1.0), (1L, "gamma", 1.0),
+      (1L, "delta", 2.0), (2L, "zz", 0.5), (2L, "aa", 0.5))
+      .toDF("g", "tok", "s")
+    val w = Window.partitionBy(col("g")).orderBy(col("s").desc, col("tok"))
+    val win = df.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select("g", "tok", "s", "rank").collect().toSet
+    val agg = df.groupBy(col("g")).agg(topKBy(col("s"), col("tok"), 3).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), col("col.id").as("tok"), col("col.score").as("s"),
+        (col("pos") + 1).cast("int").as("rank")).collect().toSet
+    assert(agg == win)
+  }
+
+  test("SQL registration: graft_topk works and validates arity") {
+    GraftExtensions.register(spark)
+    longData.createOrReplaceTempView("topk_in")
+    val rows = spark.sql(
+      "SELECT g, graft_topk(s, id, 3) AS top FROM topk_in GROUP BY g")
+      .collect()
+    assert(rows.length == 8)
+    assert(rows.forall(_.getSeq[Any](1).size == 3))
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_topk(s) FROM topk_in")
+    }
+    assert(err.getMessage.toLowerCase.contains("graft_topk"))
+  }
+
+  test("type validation: non-double score rejected at analysis") {
+    GraftExtensions.register(spark)
+    longData.createOrReplaceTempView("topk_in2")
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT g, graft_topk(id, id, 3) FROM topk_in2 GROUP BY g").collect()
+    }
+    assert(err.getMessage.contains("DOUBLE") || err.getMessage.contains("graft_topk"))
+  }
+}
