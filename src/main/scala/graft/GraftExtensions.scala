@@ -63,7 +63,13 @@ object GraftExtensions {
         graft.functions.KMinLongs(args.head, intArg(args(1), "graft_kmin", "k")))),
     (FunctionIdentifier("graft_topk"), info("graft_topk"),
       arity("graft_topk", 3)(args =>
-        graft.functions.TopKPairs(args.head, args(1), intArg(args(2), "graft_topk", "k")))))
+        graft.functions.TopKPairs(args.head, args(1), intArg(args(2), "graft_topk", "k")))),
+    (FunctionIdentifier("graft_argmax"), info("graft_argmax"),
+      arity("graft_argmax", 2)(args =>
+        graft.functions.ArgMaxRow(args.head, args(1), reverse = false))),
+    (FunctionIdentifier("graft_argmin"), info("graft_argmin"),
+      arity("graft_argmin", 2)(args =>
+        graft.functions.ArgMaxRow(args.head, args(1), reverse = true))))
 
   /** Register directly on a live session (for sessions created without
     * the extensions conf — extensions only apply at session build time). */

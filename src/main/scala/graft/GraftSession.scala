@@ -24,6 +24,11 @@ object GraftSession {
       // parquet files split at 128 MiB — the compaction target Compact
       // uses, so post-compaction scans get one task per file
       .config("spark.sql.files.maxPartitionBytes", 128L * 1024 * 1024)
+      // graft_argmax/graft_topk buffers are one compact row each; the
+      // 128-group default would push high-cardinality keep-last dedup
+      // into sort-based aggregation, resurrecting the sort the operator
+      // exists to avoid
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
 
   /** Create (or get) the session. NOTE: if a session already exists,
     * builder extensions are silently skipped by Spark — so the graft

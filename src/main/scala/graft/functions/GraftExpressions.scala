@@ -115,4 +115,8 @@ object GraftExpressions {
     Bridge.column(KMinLongs(expr(c), k).toAggregateExpression())
   def topKBy(score: Column, id: Column, k: Int): Column =
     Bridge.column(TopKPairs(expr(score), expr(id), k).toAggregateExpression())
+  def argMaxRow(ord: Column, payload: Column): Column =
+    Bridge.column(ArgMaxRow(expr(ord), expr(payload), reverse = false).toAggregateExpression())
+  def argMinRow(ord: Column, payload: Column): Column =
+    Bridge.column(ArgMaxRow(expr(ord), expr(payload), reverse = true).toAggregateExpression())
 }

@@ -15,17 +15,34 @@ object Relational {
   /** D2 keep-last dedup (pipelines/etl_zmmidr_oun.py:72-76). The reference
     * relies on file/row order; distributed execution needs an explicit order,
     * so callers pass the ordering columns that define "last".
-    * One shuffle on `keys`; window + filter stays in a single stage.
+    *
+    * Planned via the `graft_argmax` hash aggregate, not a window: the
+    * `row_number() OVER (PARTITION BY keys ORDER BY order DESC) = 1` form
+    * exchanges every input row and sorts whole partitions to discard all
+    * but one row per key — at 100 TB the shuffle carries the full table
+    * and a hot key serializes one task. The argmax form keeps one
+    * (order, row) pair per key per task map-side, so the single exchange
+    * ships at most |keys|×tasks buffered rows and nothing is ever sorted.
+    * Same winner row: ties and null ordering match the window defaults
+    * (see ArgMaxRow).
     */
-  def dedupKeepLast(keys: Seq[String], order: Seq[Column])(df: DataFrame): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(_.desc): _*)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
-  }
+  def dedupKeepLast(keys: Seq[String], order: Seq[Column])(df: DataFrame): DataFrame =
+    argPick(keys, order, df, graft.functions.GraftExpressions.argMaxRow)
 
-  /** D1 keep-first dedup with deterministic ordering. */
-  def dedupKeepFirst(keys: Seq[String], order: Seq[Column])(df: DataFrame): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  /** D1 keep-first dedup with deterministic ordering — argmin twin of
+    * [[dedupKeepLast]], same single-exchange no-sort plan. */
+  def dedupKeepFirst(keys: Seq[String], order: Seq[Column])(df: DataFrame): DataFrame =
+    argPick(keys, order, df, graft.functions.GraftExpressions.argMinRow)
+
+  private def argPick(keys: Seq[String], order: Seq[Column], df: DataFrame,
+                      pick: (Column, Column) => Column): DataFrame = {
+    // backtick-quote: raw names may contain dots (SAP headers like
+    // Bill.Doc) that col() would parse as nested-field paths
+    def q(c: String) = col("`" + c.replace("`", "``") + "`")
+    val payload = struct(df.columns.map(q): _*)
+    df.groupBy(keys.map(q): _*)
+      .agg(pick(struct(order: _*), payload).as("__w"))
+      .select(df.columns.map(c => col("__w").getField(c).as(c)): _*)
   }
 
   /** D3 duplicate detection: keys occurring more than once, with counts

@@ -175,10 +175,15 @@ object RelationalQueries {
         col("pos_sum").cast(DoubleType) / col("wks").cast(DoubleType))
       .drop("pos_sum")
 
-    // LatestRP: last movement per article defines RP / Rounding
+    // LatestRP: last movement per article defines RP / Rounding.
+    // Pre-project: dedupKeepLast's payload struct references every input
+    // column, so the projection must happen before it for the parquet
+    // scan to prune to these six.
     val latest = Relational.dedupKeepLast(
         Seq("l_partkey"),
-        Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))(li)
+        Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))(
+        li.select("l_partkey", "l_shipdate", "l_orderkey", "l_linenumber",
+          "l_quantity", "l_extendedprice"))
       .select(
         col("l_partkey").as("article"),
         col("l_quantity").cast(D).cast(DoubleType).as("rp"),

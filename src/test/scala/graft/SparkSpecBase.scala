@@ -10,6 +10,7 @@ object TestSpark {
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
     .getOrCreate()
 }
 
