@@ -695,7 +695,87 @@ object CoverageQueries {
       |GROUP BY 1, 2
       |""".stripMargin
 
+  // -------------------------------------------------------------------
+  // SCD2 interval build: each order becomes a version row valid from its
+  // date until the customer's next order (NULL = current). The lead()
+  // window is the semantically-required plan — interval building needs
+  // neighbor order — and costs one shuffle on the key plus a sort that
+  // AQE sizes; (o_orderdate, o_orderkey) is a total order per customer
+  // so the intervals are deterministic.
+  // -------------------------------------------------------------------
+  def scd2Intervals(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, sfDir)
+      .withColumn("o_orderdate", to_date(col("o_orderdate")))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    o.select(
+      col("o_custkey").as("custkey"),
+      col("o_orderkey").as("orderkey"),
+      col("o_orderdate").as("valid_from"),
+      lead(col("o_orderdate"), 1).over(w).as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  val scd2IntervalsOracle: String =
+    """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+      |       CAST(o_orderdate AS DATE) AS valid_from,
+      |       lead(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+      |         ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS valid_to,
+      |       lead(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+      |         ORDER BY CAST(o_orderdate AS DATE), o_orderkey) IS NULL AS is_current
+      |FROM orders
+      |""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Skew-salted join, oracle-checked end-to-end: result rows are
+  // identical to the plain equi-join (salting only changes row
+  // placement), proven against the unsalted oracle SQL. The aggregate on
+  // top keeps the checked output bounded.
+  // -------------------------------------------------------------------
+  def saltedJoinAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    val dim = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    graft.ops.Relational.saltedJoin(dim, Seq("l_orderkey"), 8)(li)
+      .groupBy(col("o_orderpriority"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+  }
+
+  val saltedJoinAggOracle: String =
+    """SELECT o_orderpriority,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+      |       COUNT(*) AS n
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1
+      |""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Unpivot/melt (wide -> long reshape): the inverse of the pivot the
+  // event_pivot query covers. Map-only — Spark's Expand emits one long
+  // row per measure with no shuffle, so it scales linearly with input.
+  // -------------------------------------------------------------------
+  def unpivotLong(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_orderkey") < 1000)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "measure", "value")
+
+  val unpivotLongOracle: String =
+    """SELECT l_orderkey, l_linenumber, measure, value
+      |FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax
+      |      FROM lineitem WHERE l_orderkey < 1000)
+      |UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scd2_intervals" -> (scd2Intervals _),
+    "salted_join" -> (saltedJoinAgg _),
+    "unpivot_long" -> (unpivotLong _),
     "date_spine" -> (dateSpine _),
     "outlier_trim" -> (outlierTrim _),
     "value_histogram" -> (valueHistogram _),
@@ -720,6 +800,9 @@ object CoverageQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "scd2_intervals" -> scd2IntervalsOracle,
+    "salted_join" -> saltedJoinAggOracle,
+    "unpivot_long" -> unpivotLongOracle,
     "ann_ivf" -> annIvfOracle,
     "window_functions" -> windowFunctionsOracle,
     "percentile_profile" -> percentileProfileOracle,
