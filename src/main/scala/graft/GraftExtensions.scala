@@ -15,8 +15,10 @@ import org.apache.spark.sql.graftx.Bridge
   * `SparkSession.builder().withExtensions(new GraftExtensions)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.registrations.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteKeepFirst)
+  }
 }
 
 object GraftExtensions {
@@ -72,9 +74,20 @@ object GraftExtensions {
         graft.functions.ArgMaxRow(args.head, args(1), reverse = true))))
 
   /** Register directly on a live session (for sessions created without
-    * the extensions conf — extensions only apply at session build time). */
+    * the extensions conf — extensions only apply at session build time).
+    * Functions only; optimizer rules need [[injectOptimizerRules]]. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     registrations.foreach { case (id, i, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, i, builder)
     }
+
+  /** Add the graft optimizer rules to a LIVE session via
+    * experimental.extraOptimizations (idempotent). Split from
+    * [[register]] so callers opt in explicitly — the rules rewrite
+    * plans session-wide. */
+  def injectOptimizerRules(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(graft.plans.RewriteKeepFirst))
+      spark.experimental.extraOptimizations = cur :+ graft.plans.RewriteKeepFirst
+  }
 }

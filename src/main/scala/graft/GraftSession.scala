@@ -37,6 +37,7 @@ object GraftSession {
   def create(appName: String = "graft"): SparkSession = {
     val spark = builder(appName).getOrCreate()
     GraftExtensions.register(spark)
+    GraftExtensions.injectOptimizerRules(spark)
     spark
   }
 }

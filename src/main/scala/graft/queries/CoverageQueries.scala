@@ -737,7 +737,7 @@ object CoverageQueries {
     val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
     val dim = Tables.orders(spark, sfDir)
       .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-    graft.ops.Relational.saltedJoin(dim, Seq("l_orderkey"), 8)(li)
+    graft.ops.Relational.saltedJoin(dim, Seq("l_orderkey"), 4)(li)
       .groupBy(col("o_orderpriority"))
       .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
   }

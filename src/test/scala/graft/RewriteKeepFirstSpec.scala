@@ -1,0 +1,132 @@
+package graft
+
+import graft.plans.RewriteKeepFirst
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The keep-first rewrite rule must (a) fire on exactly the
+  * `row_number() = 1` idiom, replacing the Window with a hash aggregate,
+  * (b) preserve the result rows bit-for-bit, and (c) bail out on every
+  * shape whose semantics it cannot guarantee. Expected row sets are
+  * collected BEFORE the rule is added to the session, so the comparison
+  * is against genuine window execution.
+  */
+class RewriteKeepFirstSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def data: DataFrame =
+    spark.range(0, 500).select(
+      (col("id") % 7).as("k"),
+      col("id").as("id"),
+      (col("id") * 13 % 31).as("o"),
+      concat(lit("p"), col("id") % 31).as("s"))
+
+  private def keepFirst(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("k")).orderBy(col("o"), col("id"))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  private def keepLast(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("k")).orderBy(col("o").desc, col("id").desc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  private def withRule[T](f: => T): T = {
+    GraftExtensions.injectOptimizerRules(spark)
+    try f
+    finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == RewriteKeepFirst)
+  }
+
+  private def planOf(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("rn = 1 asc: Window replaced by hash aggregate, same rows") {
+    val expected = keepFirst(data).collect().toSet
+    withRule {
+      val df = keepFirst(data)
+      assert(planOf(df).contains("ObjectHashAggregate"), planOf(df))
+      assert(!planOf(df).contains("Window"), planOf(df))
+      assert(df.collect().toSet == expected)
+    }
+  }
+
+  test("rn = 1 desc (keep-last): rewritten and identical") {
+    val expected = keepLast(data).collect().toSet
+    withRule {
+      val df = keepLast(data)
+      assert(!planOf(df).contains("Window"))
+      assert(df.collect().toSet == expected)
+    }
+  }
+
+  test("rn <= 1 and reversed literal forms also fire") {
+    val w = Window.partitionBy(col("k")).orderBy(col("o"), col("id"))
+    withRule {
+      val le = data.withColumn("rn", row_number().over(w)).filter(col("rn") <= 1)
+      assert(!planOf(le).contains("Window"))
+      val eq = data.withColumn("rn", row_number().over(w)).filter(lit(1) === col("rn"))
+      assert(!planOf(eq).contains("Window"))
+    }
+  }
+
+  test("retained rn column evaluates to 1 after rewrite") {
+    val w = Window.partitionBy(col("k")).orderBy(col("o"), col("id"))
+    withRule {
+      val df = data.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("k", "rn")
+      assert(!planOf(df).contains("Window"))
+      val rows = df.collect()
+      assert(rows.length == 7 && rows.forall(_.getInt(1) == 1))
+    }
+  }
+
+  test("SQL-surface subquery form is rewritten too") {
+    GraftExtensions.register(spark)
+    data.createOrReplaceTempView("rkf_in")
+    val sql =
+      """SELECT k, id, o FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY o, id) AS rn
+        |  FROM rkf_in) WHERE rn = 1""".stripMargin
+    val expected = spark.sql(sql).collect().toSet
+    withRule {
+      val df = spark.sql(sql)
+      assert(!planOf(df).contains("Window"))
+      assert(df.collect().toSet == expected)
+    }
+  }
+
+  test("bails out: rank > 1 limits, mixed directions, global, NULLS override, rank()") {
+    withRule {
+      val w = Window.partitionBy(col("k")).orderBy(col("o"), col("id"))
+      val top2 = data.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      assert(planOf(top2).contains("Window"))
+
+      val wm = Window.partitionBy(col("k")).orderBy(col("o").asc, col("id").desc)
+      val mixed = data.withColumn("rn", row_number().over(wm)).filter(col("rn") === 1)
+      assert(planOf(mixed).contains("Window"))
+
+      val wg = Window.orderBy(col("o"), col("id"))
+      val global = data.withColumn("rn", row_number().over(wg)).filter(col("rn") === 1)
+      assert(planOf(global).contains("Window"))
+
+      val wn = Window.partitionBy(col("k")).orderBy(col("o").asc_nulls_last, col("id"))
+      val nulls = data.withColumn("rn", row_number().over(wn)).filter(col("rn") === 1)
+      assert(planOf(nulls).contains("Window"))
+
+      val rk = data.withColumn("rn", rank().over(w)).filter(col("rn") === 1)
+      assert(planOf(rk).contains("Window"))
+    }
+  }
+
+  test("ties keep exactly one arbitrary contender, like row_number") {
+    // every row in a group has the same ordering value
+    val df = Seq((1L, 10L, 5L), (1L, 11L, 5L), (1L, 12L, 5L), (2L, 20L, 3L))
+      .toDF("k", "id", "o")
+    withRule {
+      val w = Window.partitionBy(col("k")).orderBy(col("o"))
+      val r = df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      assert(r.groupBy("k").count().collect().forall(_.getLong(1) == 1L))
+    }
+  }
+}
