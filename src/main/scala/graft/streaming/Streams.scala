@@ -128,6 +128,29 @@ object Streams {
       .drop("r_user")
   }
 
+  /** Left-outer twin of [[streamIntervalJoin]]: every left event emits —
+    * matched rows as soon as both sides arrive, unmatched rows with null
+    * right columns once the watermark passes the end of their match
+    * window (Spark can then prove no future right row can join, the same
+    * state-bound proof that lets it evict the buffered left row). This is
+    * the "did a click follow the view?" shape where absence is itself the
+    * signal; state stays bounded by watermark + interval exactly as in
+    * the inner form. */
+  def streamIntervalJoinLeftOuter(left: DataFrame, right: DataFrame,
+                                  windowMinutes: Int, watermark: String): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("event_id").as("l_id"), col("user_id"), col("ts").as("l_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+        col("ts").as("r_ts"))
+    l.join(r,
+      col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") < col("l_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+      "leftOuter")
+      .drop("r_user")
+  }
+
   /** Event-time variant: sessions flush when the WATERMARK passes
     * last-event + gap — deterministic w.r.t. data, no wall-clock
     * dependence, and timeouts are evaluated on ordinary data-driven

@@ -82,6 +82,33 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unmatched lefts after the watermark passes") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ls = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val rs = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val left = ls.toDF().toDF("event_id", "ts", "user_id")
+    val right = rs.toDF().toDF("event_id", "ts", "user_id")
+    val q = Streams.streamIntervalJoinLeftOuter(left, right,
+        windowMinutes = 60, watermark = "1 hour")
+      .writeStream.format("memory").queryName("sjlo_test").outputMode("append").start()
+    try {
+      ls.addData(
+        (100L, t("2024-01-01 00:00:00"), 7L), // will match
+        (101L, t("2024-01-01 00:00:00"), 9L)) // never matches
+      rs.addData((200L, t("2024-01-01 00:30:00"), 7L))
+      q.processAllAvailable()
+      // advance both watermarks far past 101's match window so the
+      // unmatched left can be proven final and emitted with nulls
+      ls.addData((110L, t("2024-01-01 06:00:00"), 7L))
+      rs.addData((210L, t("2024-01-01 06:00:00"), 8L))
+      q.processAllAvailable()
+      val rows = spark.table("sjlo_test").select("l_id", "r_id")
+        .as[(Long, Option[Long])].collect().toSet
+      assert(rows.contains((100L, Some(200L))))
+      assert(rows.contains((101L, None)))
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes a session when the gap passes") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val src = MemoryStream[Streams.Event]
@@ -246,7 +273,15 @@ class StreamingSpec extends SparkSpecBase {
     val q = Streams.asofEnrichStream(ls.toDS(), rs.toDS())
       .writeStream.format("memory").queryName("asof_equiv").outputMode("append").start()
     try {
-      ls.addData(lefts); rs.addData(rights)
+      // rights first, in their own micro-batch: with both adds in one
+      // batch window the engine may process the left source's batch
+      // before the right rows are visible (asofEnrichStream is
+      // processing-order dependent by design — the event-time variant
+      // covers late arrivals), which intermittently yielded all-None
+      // enrichments here
+      rs.addData(rights)
+      q.processAllAvailable()
+      ls.addData(lefts)
       q.processAllAvailable()
       val streamed = spark.table("asof_equiv").as[Streams.AsofOut].collect()
         .map(o => (o.key, o.ts.getTime, o.value, o.asof_payload)).toSet
