@@ -772,7 +772,69 @@ object CoverageQueries {
       |UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
       |""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Explicit GROUPING SETS (the general form behind rollup/cube): two
+  // one-dimension totals plus the grand total in ONE pass — Expand emits
+  // 3 rows per input into a single partial+final hash agg, vs 3 scans
+  // for the union-of-group-bys a naive port would write.
+  // -------------------------------------------------------------------
+  def groupingSetsAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("qty"))
+      .select(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+        col("gid"), col("n"), col("qty"))
+
+  val groupingSetsAggOracle: String =
+    """SELECT l_returnflag AS rf, l_linestatus AS ls,
+      |       GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |""".stripMargin
+
+  // -------------------------------------------------------------------
+  // RANGE-frame rolling window: 7-day trailing quantity per article over
+  // its daily aggregate. The frame is value-based (epoch days), so gaps
+  // in the calendar shrink the frame instead of silently widening it the
+  // way a ROWS frame would. Decimal inside the frame sum keeps the
+  // result order-independent and oracle-exact.
+  // -------------------------------------------------------------------
+  def rolling7d(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.lineitem(spark, sfDir)
+      .filter(col("l_partkey") < 200)
+      .groupBy(col("l_partkey").as("article"),
+        to_date(col("l_shipdate")).as("day"))
+      .agg(sum(col("l_quantity").cast(D)).as("qty_dec"))
+    val w = Window.partitionBy(col("article"))
+      .orderBy(datediff(col("day"), lit("1970-01-01").cast("date")))
+      .rangeBetween(-6, Window.currentRow)
+    daily
+      .withColumn("qty7", sum(col("qty_dec")).over(w).cast(DoubleType))
+      .select(col("article"), col("day"),
+        col("qty_dec").cast(DoubleType).as("qty"), col("qty7"))
+  }
+
+  val rolling7dOracle: String =
+    """WITH daily AS (
+      |  SELECT l_partkey AS article, CAST(l_shipdate AS DATE) AS day,
+      |         SUM(CAST(l_quantity AS DECIMAL(18,6))) AS qty_dec
+      |  FROM lineitem WHERE l_partkey < 200 GROUP BY 1, 2)
+      |SELECT article, day, CAST(qty_dec AS DOUBLE) AS qty,
+      |       CAST(SUM(qty_dec) OVER (PARTITION BY article
+      |         ORDER BY day - DATE '1970-01-01'
+      |         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS qty7
+      |FROM daily
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "grouping_sets_agg" -> (groupingSetsAgg _),
+    "rolling_7d" -> (rolling7d _),
     "scd2_intervals" -> (scd2Intervals _),
     "salted_join" -> (saltedJoinAgg _),
     "unpivot_long" -> (unpivotLong _),
@@ -800,6 +862,8 @@ object CoverageQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "grouping_sets_agg" -> groupingSetsAggOracle,
+    "rolling_7d" -> rolling7dOracle,
     "scd2_intervals" -> scd2IntervalsOracle,
     "salted_join" -> saltedJoinAggOracle,
     "unpivot_long" -> unpivotLongOracle,
