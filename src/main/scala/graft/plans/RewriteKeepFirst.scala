@@ -1,35 +1,38 @@
 package graft.plans
 
-import graft.functions.ArgMaxRow
+import graft.functions.{ArgMaxRow, TopKRows}
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types.IntegerType
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 
-/** Optimizer rule: rewrite the keep-first/keep-last idiom
+/** Optimizer rule: rewrite the keep-first/keep-last and top-k-per-key
+  * idioms
   *
   *   SELECT ... FROM (SELECT *, row_number() OVER
-  *     (PARTITION BY k ORDER BY o) AS rn FROM t) WHERE rn = 1
+  *     (PARTITION BY k ORDER BY o) AS rn FROM t) WHERE rn <= K
   *
-  * into a `graft_argmin`/`graft_argmax` hash aggregate. The window plan —
-  * even with Spark's WindowGroupLimit partial limiting — exchanges up to
-  * one row per (key, map task) AND sorts every map partition plus every
-  * reduce partition; the aggregate form buffers one row per key per task
-  * in a hash map and never sorts (measured 2.5x on the dedup_keep_last
-  * benchmark query). This gives raw-SQL users of the idiom the same plan
-  * `Relational.dedupKeepLast` builds directly.
+  * into bounded hash aggregates: `graft_argmin`/`graft_argmax` for K=1
+  * (one buffered row per key) and the k-capped heap `TopKRows` + explode
+  * for 2 <= K <= 100. The window plan — even with Spark's
+  * WindowGroupLimit partial limiting — sorts every map partition plus
+  * every reduce partition; the aggregate form buffers at most K rows per
+  * key per task in a hash map and never sorts (measured 2.5x on the
+  * dedup_keep_last benchmark query). This gives raw-SQL users of the
+  * idiom the same plan `Relational.dedupKeepLast` builds directly.
   *
   * Strictly semantics-preserving; bails out unless ALL of:
   *  - the Window node computes exactly one expression: a row_number()
-  *  - the filter keeps exactly rank 1 (`rn = 1`, `1 = rn`, `rn <= 1`,
-  *    `rn < 2`) and nothing else
+  *  - the filter keeps exactly ranks 1..K (`rn = 1`, `rn <= K`,
+  *    `rn < K+1`, literal-reversed forms) and nothing else, K <= 100
   *  - the partition spec is non-empty (a global aggregate would turn the
   *    empty input into one all-null row, unlike the window) and
   *    deterministic
   *  - every ORDER BY key is deterministic, with a single shared direction
   *    and the default null ordering for that direction (matching
   *    ArgMaxRow's null-smallest comparison)
-  * On ties the aggregate keeps an arbitrary contender, exactly as
+  * On ties the aggregates keep arbitrary contenders, exactly as
   * arbitrary as row_number over a non-total order.
   *
   * Registered both via SparkSessionExtensions.injectOptimizerRule (runs
@@ -40,11 +43,16 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object RewriteKeepFirst extends Rule[LogicalPlan] {
 
+  /** Heap buffers grow with k; past this, WindowGroupLimit's sort-based
+    * partial limiting is the reasonable plan and we leave it alone. */
+  private val MaxK = 100
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond,
         w @ Window(Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _)),
           partitionSpec, orderSpec, windowChild, _))
-        if keepsRankOne(cond, alias.toAttribute) && eligible(partitionSpec, orderSpec) =>
+        if rankLimit(cond, alias.toAttribute).exists(k => k >= 1 && k <= MaxK) &&
+          eligible(partitionSpec, orderSpec) =>
       // When InferWindowGroupLimit already ran, it inserted a
       // WindowGroupLimit between the Window and its real child; the
       // aggregate replaces that machinery wholesale.
@@ -52,24 +60,49 @@ object RewriteKeepFirst extends Rule[LogicalPlan] {
         case WindowGroupLimit(_, _, _, _, grandchild) => grandchild
         case other                                    => other
       }
+      val k = rankLimit(cond, alias.toAttribute).get
       val ascending = orderSpec.head.direction == Ascending
       val ordStruct = CreateStruct(orderSpec.map(_.child))
-      val aggExprs: Seq[NamedExpression] = child.output.map { a =>
-        val pick = ArgMaxRow(ordStruct, a, reverse = ascending).toAggregateExpression()
-        Alias(pick, a.name)(exprId = a.exprId, qualifier = a.qualifier)
-      } :+ Alias(Literal(1), alias.name)(exprId = alias.exprId, qualifier = alias.qualifier)
-      Aggregate(partitionSpec, aggExprs, child)
+      if (k == 1) {
+        val aggExprs: Seq[NamedExpression] = child.output.map { a =>
+          val pick = ArgMaxRow(ordStruct, a, reverse = ascending).toAggregateExpression()
+          Alias(pick, a.name)(exprId = a.exprId, qualifier = a.qualifier)
+        } :+ Alias(Literal(1), alias.name)(exprId = alias.exprId, qualifier = alias.qualifier)
+        Aggregate(partitionSpec, aggExprs, child)
+      } else {
+        // rn <= k: k-capped heap aggregate, then explode back to rows.
+        // rank = array position + 1 (the aggregate returns best-first).
+        val payloadStruct = CreateStruct(child.output)
+        val topk = TopKRows(ordStruct, payloadStruct, k, reverse = ascending)
+          .toAggregateExpression()
+        val bufAlias = Alias(topk, "__graft_topk")()
+        val agg = Aggregate(partitionSpec, Seq(bufAlias), child)
+        val posAttr = AttributeReference("__graft_pos", IntegerType, nullable = false)()
+        val rowAttr = AttributeReference("__graft_row",
+          payloadStruct.dataType, nullable = false)()
+        val gen = Generate(PosExplode(bufAlias.toAttribute),
+          unrequiredChildIndex = Seq(0), outer = false, qualifier = None,
+          generatorOutput = Seq(posAttr, rowAttr), agg)
+        val restored: Seq[NamedExpression] = child.output.zipWithIndex.map {
+          case (a, i) =>
+            Alias(GetStructField(rowAttr, i, Some(a.name)), a.name)(
+              exprId = a.exprId, qualifier = a.qualifier)
+        }
+        val rn = Alias(Add(posAttr, Literal(1)), alias.name)(
+          exprId = alias.exprId, qualifier = alias.qualifier)
+        Project(restored :+ rn, gen)
+      }
   }
 
-  /** The filter must keep exactly rank 1 and nothing else. */
-  private def keepsRankOne(cond: Expression, rn: Attribute): Boolean = cond match {
-    case EqualTo(a: Attribute, Literal(1, _)) => a.semanticEquals(rn)
-    case EqualTo(Literal(1, _), a: Attribute) => a.semanticEquals(rn)
-    case LessThanOrEqual(a: Attribute, Literal(1, _)) => a.semanticEquals(rn)
-    case GreaterThanOrEqual(Literal(1, _), a: Attribute) => a.semanticEquals(rn)
-    case LessThan(a: Attribute, Literal(2, _)) => a.semanticEquals(rn)
-    case GreaterThan(Literal(2, _), a: Attribute) => a.semanticEquals(rn)
-    case _ => false
+  /** The filter must keep exactly ranks 1..k and nothing else; returns k. */
+  private def rankLimit(cond: Expression, rn: Attribute): Option[Int] = cond match {
+    case EqualTo(a: Attribute, Literal(1, _)) if a.semanticEquals(rn) => Some(1)
+    case EqualTo(Literal(1, _), a: Attribute) if a.semanticEquals(rn) => Some(1)
+    case LessThanOrEqual(a: Attribute, Literal(k: Int, _)) if a.semanticEquals(rn) => Some(k)
+    case GreaterThanOrEqual(Literal(k: Int, _), a: Attribute) if a.semanticEquals(rn) => Some(k)
+    case LessThan(a: Attribute, Literal(k: Int, _)) if a.semanticEquals(rn) => Some(k - 1)
+    case GreaterThan(Literal(k: Int, _), a: Attribute) if a.semanticEquals(rn) => Some(k - 1)
+    case _ => None
   }
 
   private def eligible(partitionSpec: Seq[Expression],

@@ -832,7 +832,41 @@ object CoverageQueries {
       |FROM daily
       |""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Heavy-hitter detection — the diagnostic that decides WHEN to salt a
+  // join/agg key: the 10 hottest keys with their row counts and global
+  // share. Planned as count-per-key then a single global graft_topk —
+  // each task ships one 10-pair heap, so there is NO global sort and no
+  // single-reducer ORDER BY ... LIMIT bottleneck at any key cardinality.
+  // -------------------------------------------------------------------
+  def heavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.GraftExpressions.topKBy
+    val counts = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_suppkey").as("key"))
+      .agg(count(lit(1)).as("n"))
+    val total = Tables.lineitem(spark, sfDir).select(count(lit(1)).as("total"))
+    counts
+      .agg(topKBy(col("n").cast(DoubleType), col("key"), 10).as("top"))
+      .select(posexplode(col("top")))
+      .select(col("col.id").as("key"), col("col.score").cast("long").as("n"),
+        (col("pos") + 1).cast("int").as("rank"))
+      .crossJoin(broadcast(total))
+      .withColumn("share", col("n").cast(DoubleType) / col("total").cast(DoubleType))
+      .select("key", "n", "rank", "share")
+  }
+
+  val heavyHittersOracle: String =
+    """WITH c AS (SELECT l_suppkey AS key, COUNT(*) AS n FROM lineitem GROUP BY 1),
+      |t AS (SELECT COUNT(*) AS total FROM lineitem)
+      |SELECT key, n,
+      |       CAST(row_number() OVER (ORDER BY n DESC, key) AS INTEGER) AS rank,
+      |       CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share
+      |FROM c CROSS JOIN t
+      |QUALIFY rank <= 10
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "heavy_hitters" -> (heavyHitters _),
     "grouping_sets_agg" -> (groupingSetsAgg _),
     "rolling_7d" -> (rolling7d _),
     "scd2_intervals" -> (scd2Intervals _),
@@ -862,6 +896,7 @@ object CoverageQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "heavy_hitters" -> heavyHittersOracle,
     "grouping_sets_agg" -> groupingSetsAggOracle,
     "rolling_7d" -> rolling7dOracle,
     "scd2_intervals" -> scd2IntervalsOracle,

@@ -96,11 +96,46 @@ class RewriteKeepFirstSpec extends SparkSpecBase {
     }
   }
 
-  test("bails out: rank > 1 limits, mixed directions, global, NULLS override, rank()") {
+  test("rn <= k rewrites to the k-heap aggregate with identical rows and ranks") {
+    val w = Window.partitionBy(col("k")).orderBy(col("o"), col("id"))
+    def topk(n: Int) = data.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+    val expected5 = topk(5).collect().toSet
+    withRule {
+      val df = topk(5)
+      assert(!planOf(df).contains("Window"), planOf(df))
+      assert(planOf(df).contains("ObjectHashAggregate"))
+      assert(df.collect().toSet == expected5)
+    }
+  }
+
+  test("rn <= k desc keeps the k largest") {
+    val w = Window.partitionBy(col("k")).orderBy(col("o").desc, col("id").desc)
+    def topk(n: Int) = data.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+    val expected = topk(3).collect().toSet
+    withRule {
+      val df = topk(3)
+      assert(!planOf(df).contains("Window"))
+      assert(df.collect().toSet == expected)
+    }
+  }
+
+  test("groups smaller than k emit all their rows, ranks dense from 1") {
+    val small = Seq((1L, 10L, 3L), (1L, 11L, 1L), (2L, 20L, 9L)).toDF("k", "id", "o")
+    val w = Window.partitionBy(col("k")).orderBy(col("o"), col("id"))
+    withRule {
+      val df = small.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      assert(!planOf(df).contains("Window"))
+      val rows = df.select("k", "id", "rn").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(rows == Set((1L, 11L, 1), (1L, 10L, 2), (2L, 20L, 1)))
+    }
+  }
+
+  test("bails out: k > 100, mixed directions, global, NULLS override, rank()") {
     withRule {
       val w = Window.partitionBy(col("k")).orderBy(col("o"), col("id"))
-      val top2 = data.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
-      assert(planOf(top2).contains("Window"))
+      val big = data.withColumn("rn", row_number().over(w)).filter(col("rn") <= 101)
+      assert(planOf(big).contains("Window"))
 
       val wm = Window.partitionBy(col("k")).orderBy(col("o").asc, col("id").desc)
       val mixed = data.withColumn("rn", row_number().over(wm)).filter(col("rn") === 1)
