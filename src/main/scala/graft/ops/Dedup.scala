@@ -77,6 +77,21 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental (cross-side) candidate pairs: each NEW doc against the
+    * banded CORPUS, never corpus-vs-corpus. This is what makes near-dup
+    * dedup incremental at 100 TB — a daily batch joins the persisted
+    * banded index and generates |batch|-proportional work, instead of
+    * recomputing the corpus-quadratic pair set every run. Both inputs
+    * carry (id, band, bkey); cap the corpus side's buckets first. */
+  def candidatePairsAcross(bandedNew: DataFrame, bandedCorpus: DataFrame,
+                           idCol: String): DataFrame = {
+    val a = bandedNew.select(col(idCol).as("d_new"), col("band"), col("bkey"))
+    val b = bandedCorpus.select(col(idCol).as("d_old"), col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey"))
+      .select("d_new", "d_old")
+      .distinct()
+  }
+
   /** Fraction of equal components between two equal-length signatures —
     * the MinHash Jaccard estimate. */
   def estJaccard(sigA: Column, sigB: Column, k: Int): Column =

@@ -865,7 +865,90 @@ object CoverageQueries {
       |QUALIFY rank <= 10
       |""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Moment-based statistics with EXACT accumulation: Pearson correlation
+  // per group from decimal sums (n, Σx, Σy, Σxy, Σx², Σy²), with the
+  // only floating-point ops being the final double divisions. The
+  // built-in corr() accumulates doubles in partition order and is not
+  // reproducible across partitionings — these are bit-identical on any
+  // cluster layout AND to the DuckDB oracle. One partial+final hash agg.
+  // -------------------------------------------------------------------
+  def corrStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val x = col("l_quantity").cast(D)
+    val y = col("l_discount").cast(D)
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .select(col("flag"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+          / sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType))
+          / sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType)))
+          .as("corr_qty_disc"))
+  }
+
+  val corrStatsOracle: String =
+    """WITH m AS (
+      |  SELECT l_returnflag AS flag, COUNT(*) AS n,
+      |         SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sx,
+      |         SUM(CAST(l_discount AS DECIMAL(18,6))) AS sy,
+      |         SUM(CAST(l_quantity AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6))) AS sxy,
+      |         SUM(CAST(l_quantity AS DECIMAL(18,6)) * CAST(l_quantity AS DECIMAL(18,6))) AS sxx,
+      |         SUM(CAST(l_discount AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6))) AS syy
+      |  FROM lineitem GROUP BY 1)
+      |SELECT flag, n,
+      |       CAST(n * sxy - sx * sy AS DOUBLE)
+      |         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |         / sqrt(CAST(n * syy - sy * sy AS DOUBLE)) AS corr_qty_disc
+      |FROM m
+      |""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Per-key least-squares trend (weekly quantity slope per article) from
+  // the same exact-moment machinery: slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²)
+  // with x = integer week index, y = decimal weekly quantity. Two
+  // partial+final hash aggs ((article, week) then article); the division
+  // is the only FP op, so the slope hash-matches DuckDB exactly.
+  // -------------------------------------------------------------------
+  def trendSlope(spark: SparkSession, sfDir: String): DataFrame = {
+    val weekly = Tables.lineitem(spark, sfDir)
+      .filter(col("l_partkey") < 500)
+      .groupBy(col("l_partkey").as("article"),
+        floor(datediff(to_date(col("l_shipdate")), lit("1996-01-01").cast("date"))
+          / 7).cast("long").as("wk"))
+      .agg(sum(col("l_quantity").cast(D)).as("qty"))
+    weekly.groupBy(col("article"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("wk")).as("sx"), sum(col("qty")).as("sy"),
+        sum(col("wk") * col("qty")).as("sxy"),
+        sum(col("wk") * col("wk")).as("sxx"))
+      .filter(col("n") > 1)
+      .select(col("article"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType))
+          .as("slope"))
+  }
+
+  val trendSlopeOracle: String =
+    """WITH weekly AS (
+      |  SELECT l_partkey AS article,
+      |         CAST(FLOOR((CAST(l_shipdate AS DATE) - DATE '1996-01-01') / 7) AS BIGINT) AS wk,
+      |         SUM(CAST(l_quantity AS DECIMAL(18,6))) AS qty
+      |  FROM lineitem WHERE l_partkey < 500 GROUP BY 1, 2),
+      |m AS (
+      |  SELECT article, COUNT(*) AS n, SUM(wk) AS sx, SUM(qty) AS sy,
+      |         SUM(wk * qty) AS sxy, SUM(wk * wk) AS sxx
+      |  FROM weekly GROUP BY 1)
+      |SELECT article, n,
+      |       CAST(n * sxy - sx * sy AS DOUBLE)
+      |         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+      |FROM m WHERE n > 1
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corr_stats" -> (corrStats _),
+    "trend_slope" -> (trendSlope _),
     "heavy_hitters" -> (heavyHitters _),
     "grouping_sets_agg" -> (groupingSetsAgg _),
     "rolling_7d" -> (rolling7d _),
@@ -896,6 +979,8 @@ object CoverageQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "corr_stats" -> corrStatsOracle,
+    "trend_slope" -> trendSlopeOracle,
     "heavy_hitters" -> heavyHittersOracle,
     "grouping_sets_agg" -> groupingSetsAggOracle,
     "rolling_7d" -> rolling7dOracle,

@@ -128,6 +128,56 @@ object LlmQueries {
        |FROM pairs p JOIN sig x ON p.d1 = x.doc_id JOIN sig y ON p.d2 = y.doc_id
        |""".stripMargin
 
+  /** Incremental near-dup: a new batch (doc_id % 10 = 7) against the
+    * standing corpus via cross-side LSH only (Dedup.candidatePairsAcross)
+    * — batch-proportional work against a persisted banded index instead
+    * of the corpus-quadratic pair recompute. Corpus buckets capped, batch
+    * side left whole (every new doc must be checked). */
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val base = docs.select(col("doc_id") +: Dedup.shingled(col("text"), 3): _*)
+    val sig = base.select(col("doc_id"), col("shingle_set"),
+      Dedup.minhashSig(col("shingle_hashes"), K).as("sig"))
+    val banded = sig
+      .select(col("doc_id"), Dedup.lshBands(col("sig"), Bands, Rows).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val isBatch = col("doc_id") % 10 === 7
+    val pairs = Dedup.candidatePairsAcross(
+      banded.filter(isBatch),
+      Dedup.capBuckets("doc_id", LshBucketCap)(banded.filter(!isBatch)), "doc_id")
+    val x = sig.select(col("doc_id").as("d_new"), col("sig").as("sig1"), col("shingle_set").as("sd1"))
+    val y = sig.select(col("doc_id").as("d_old"), col("sig").as("sig2"), col("shingle_set").as("sd2"))
+    pairs.join(x, "d_new").join(y, "d_old")
+      .select(col("d_new"), col("d_old"),
+        Dedup.estJaccard(col("sig1"), col("sig2"), K).as("est_jaccard"),
+        Dedup.jaccard(col("sd1"), col("sd2")).as("jaccard"))
+  }
+
+  val dedupIncrementalOracle: String =
+    s"""WITH toks AS ($tokSql),
+       |sh AS (${shingleSql(3)}),
+       |hs AS ($hashSql),
+       |sig AS (${sigSql(K)}),
+       |bands AS (SELECT doc_id, sd, sig, unnest(range(0,$Bands)) AS band FROM sig),
+       |keyed AS (
+       |  SELECT doc_id, band,
+       |         array_to_string(list_slice(sig, band*$Rows+1, band*$Rows+$Rows), ',') AS bkey
+       |  FROM bands),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS d_new, b.doc_id AS d_old
+       |  FROM keyed a JOIN keyed b
+       |    ON a.band = b.band AND a.bkey = b.bkey
+       |   AND a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7)
+       |SELECT p.d_new, p.d_old,
+       |       CAST(list_sum(list_transform(range(0,$K),
+       |              i -> CASE WHEN x.sig[i+1] = y.sig[i+1] THEN 1 ELSE 0 END)) AS DOUBLE)/$K
+       |         AS est_jaccard,
+       |       CAST(len(list_filter(x.sd, e -> list_contains(y.sd, e))) AS DOUBLE)
+       |         / (len(x.sd) + len(y.sd) - len(list_filter(x.sd, e -> list_contains(y.sd, e))))
+       |         AS jaccard
+       |FROM pairs p JOIN sig x ON p.d_new = x.doc_id JOIN sig y ON p.d_old = y.doc_id
+       |""".stripMargin
+
   // -------------------------------------------------------------------
   // SimHash fingerprint per document (32-bit, token-level votes).
   // -------------------------------------------------------------------
@@ -1104,6 +1154,7 @@ object LlmQueries {
     "stratified_sample" -> (stratifiedSample _),
     "exact_dedup" -> (exactDedup _),
     "minhash_lsh_pairs" -> (minhashLshPairs _),
+    "dedup_incremental" -> (dedupIncremental _),
     "simhash_docs" -> (simhashDocs _),
     "simhash_pairs" -> (simhashPairs _),
     "ngram_jaccard" -> (ngramJaccardBlocked _),
@@ -1137,6 +1188,7 @@ object LlmQueries {
     "stratified_sample" -> stratifiedSampleOracle,
     "exact_dedup" -> exactDedupOracle,
     "minhash_lsh_pairs" -> minhashLshPairsOracle,
+    "dedup_incremental" -> dedupIncrementalOracle,
     "simhash_docs" -> simhashDocsOracle,
     "simhash_pairs" -> simhashPairsOracle,
     "ngram_jaccard" -> ngramJaccardBlockedOracle,
