@@ -11,6 +11,35 @@ class MultimodalSpec extends SparkSpecBase {
     (2L, "A" * 200, "de", "s1"))
     .toDF("doc_id", "text", "lang", "source")
 
+  test("filesAsMedia ingests a binary dir with mime, id, and metadata") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media").toFile
+    try {
+      java.nio.file.Files.write(new java.io.File(dir, "a.png").toPath,
+        Array[Byte](137.toByte, 80, 78, 71, 1, 2, 3))
+      java.nio.file.Files.write(new java.io.File(dir, "b.wav").toPath,
+        Array[Byte](82, 73, 70, 70))
+      java.nio.file.Files.write(new java.io.File(dir, "skip.txt").toPath,
+        Array[Byte](120))
+      val media = Multimodal.filesAsMedia(spark, dir.getAbsolutePath, "*.{png,wav}")
+        .collect().sortBy(m => m.meta("path"))
+      assert(media.length == 2) // glob pruned the .txt
+      val png = media.find(_.mime == "image/png").get
+      assert(png.bytes.length == 7 && png.meta("length") == "7")
+      assert(media.map(_.media_id).distinct.length == 2)
+      // deterministic ids: re-reading yields the same ids
+      val again = Multimodal.filesAsMedia(spark, dir.getAbsolutePath, "*.{png,wav}")
+        .collect().map(_.media_id).toSet
+      assert(again == media.map(_.media_id).toSet)
+      // the decode path runs unchanged on file-sourced media
+      val feats = Multimodal.extractFeatures(
+        Multimodal.filesAsMedia(spark, dir.getAbsolutePath, "*.{png,wav}"))
+        .collect()
+      assert(feats.map(_.n_bytes).sorted.toSeq == Seq(4L, 7L))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete(); ()
+    }
+  }
+
   test("textAsMedia carries bytes + mime + metadata") {
     val m = Multimodal.textAsMedia(docs).collect().sortBy(_.media_id)
     assert(m(0).bytes.toSeq == "abc".getBytes("UTF-8").toSeq)
