@@ -15,18 +15,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * the k best pairs by (score DESC, id ASC) and returns them best-first as
   * `array<struct<score:double, id:…>>`. The id child may be LONG or
   * STRING; string ties break in binary (codepoint) order — identical to
-  * DuckDB's default collation for the ASCII tokens we feed it.
+  * DuckDB's default collation for the ASCII tokens we feed it. Duplicate
+  * (score, id) pairs are preserved as distinct contenders, exactly as
+  * they are for `row_number()` (the buffer is a k-capped heap, not a
+  * set).
   *
   * This is the generic single-shuffle replacement for the
   * `row_number() OVER (PARTITION BY g ORDER BY s DESC) <= k` pattern. The
   * window form shuffles EVERY candidate row to its group's partition and
   * sorts the whole partition just to keep k rows — at 100 TB the exchange
   * carries the full candidate set and a skewed group serializes on one
-  * task. Here the buffer is a k-capped ordered set, so partial aggregation
-  * runs map-side (each task ships at most k pairs per group), the merge is
-  * exact (best k of a union = best k of per-buffer best-k), and the plan
-  * is one partial+final hash aggregate — no sort, no window, no
-  * parallelism ceiling at any group cardinality.
+  * task. Here partial aggregation runs map-side (each task ships at most
+  * k pairs per group), the merge is exact (best k of a union = best k of
+  * per-buffer best-k), and the plan is one partial+final hash aggregate —
+  * no sort, no window, no parallelism ceiling at any group cardinality.
   *
   * Semantics mirror the reference's per-group top-k reports (e.g.
   * `pipelines/report.py` rank-and-keep steps) re-expressed as a mergeable
@@ -35,7 +37,7 @@ import org.apache.spark.unsafe.types.UTF8String
 case class TopKPairs(score: Expression, id: Expression, k: Int,
                      mutableAggBufferOffset: Int = 0,
                      inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.TreeSet[TopKPairs.Entry]] {
+  extends TypedImperativeAggregate[java.util.PriorityQueue[TopKPairs.Entry]] {
 
   require(k > 0, s"k must be positive, got $k")
 
@@ -68,15 +70,15 @@ case class TopKPairs(score: Expression, id: Expression, k: Int,
 
   private val cmp: java.util.Comparator[TopKPairs.Entry] = new TopKPairs.WorstFirst
 
-  override def createAggregationBuffer(): java.util.TreeSet[TopKPairs.Entry] =
-    new java.util.TreeSet[TopKPairs.Entry](cmp)
+  override def createAggregationBuffer(): java.util.PriorityQueue[TopKPairs.Entry] =
+    new java.util.PriorityQueue[TopKPairs.Entry](k, cmp)
 
-  private def add(buf: java.util.TreeSet[TopKPairs.Entry], e: TopKPairs.Entry): Unit =
+  private def add(buf: java.util.PriorityQueue[TopKPairs.Entry], e: TopKPairs.Entry): Unit =
     if (buf.size < k) { buf.add(e); () }
-    else if (cmp.compare(e, buf.first()) > 0) { if (buf.add(e)) buf.pollFirst(); () }
+    else if (cmp.compare(e, buf.peek()) > 0) { buf.poll(); buf.add(e); () }
 
-  override def update(buf: java.util.TreeSet[TopKPairs.Entry],
-                      input: InternalRow): java.util.TreeSet[TopKPairs.Entry] = {
+  override def update(buf: java.util.PriorityQueue[TopKPairs.Entry],
+                      input: InternalRow): java.util.PriorityQueue[TopKPairs.Entry] = {
     val s = score.eval(input)
     val i = id.eval(input)
     if (s != null && i != null) {
@@ -90,26 +92,31 @@ case class TopKPairs(score: Expression, id: Expression, k: Int,
     buf
   }
 
-  override def merge(b1: java.util.TreeSet[TopKPairs.Entry],
-                     b2: java.util.TreeSet[TopKPairs.Entry]): java.util.TreeSet[TopKPairs.Entry] = {
+  override def merge(b1: java.util.PriorityQueue[TopKPairs.Entry],
+                     b2: java.util.PriorityQueue[TopKPairs.Entry]): java.util.PriorityQueue[TopKPairs.Entry] = {
     val it = b2.iterator()
     while (it.hasNext) add(b1, it.next())
     b1
   }
 
-  override def eval(buf: java.util.TreeSet[TopKPairs.Entry]): Any = {
-    val out = new Array[Any](buf.size)
+  override def eval(buf: java.util.PriorityQueue[TopKPairs.Entry]): Any = {
+    val n = buf.size
+    val arr = new Array[TopKPairs.Entry](n)
     var i = 0
-    val it = buf.descendingIterator() // best-first
-    while (it.hasNext) {
-      val e = it.next()
-      out(i) = new GenericInternalRow(Array[Any](e.score, e.id))
+    val it = buf.iterator()
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    // heap iteration order is arbitrary beyond the head — sort best-first
+    java.util.Arrays.sort(arr, cmp.reversed())
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      out(i) = new GenericInternalRow(Array[Any](arr(i).score, arr(i).id))
       i += 1
     }
     new GenericArrayData(out)
   }
 
-  override def serialize(buf: java.util.TreeSet[TopKPairs.Entry]): Array[Byte] = {
+  override def serialize(buf: java.util.PriorityQueue[TopKPairs.Entry]): Array[Byte] = {
     if (idIsString) {
       var bytes = 0
       val it0 = buf.iterator()
@@ -138,7 +145,7 @@ case class TopKPairs(score: Expression, id: Expression, k: Int,
     }
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[TopKPairs.Entry] = {
+  override def deserialize(bytes: Array[Byte]): java.util.PriorityQueue[TopKPairs.Entry] = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
     val buf = createAggregationBuffer()
@@ -167,7 +174,7 @@ object TopKPairs {
   final class Entry(val score: Double, val id: AnyRef)
 
   /** Worst-first ordering: ascending score, then DESCENDING id (for equal
-    * scores a larger id is worse). first() is always the eviction victim.
+    * scores a larger id is worse). peek() is always the eviction victim.
     * Top-level and Serializable: the expression ships to executors. */
   final class WorstFirst extends java.util.Comparator[Entry] with Serializable {
     override def compare(a: Entry, b: Entry): Int = {

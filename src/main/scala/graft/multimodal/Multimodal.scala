@@ -46,24 +46,27 @@ object Multimodal {
 
   /** Raw media ingestion from a directory tree via Spark's binaryFile
     * source — the actual on-ramp for image/audio dirs at scale: the scan
-    * is split across executors by file, pushdown-prunes on path glob and
-    * modifiedAfter, and never materializes a file list on the driver.
-    * media_id is the 32-bit md5 prefix of the path (deterministic across
-    * runs and clusters); mime is derived from the extension; the full
+    * is split across executors by file, prunes on the path glob and the
+    * optional `modifiedAfter` cutoff (incremental re-ingestion), and
+    * never materializes a file list on the driver. media_id is the
+    * 32-bit md5 prefix of the path (deterministic across runs and
+    * clusters); mime is derived from the lowercased extension; the full
     * path, length and mtime ride along as metadata. */
   def filesAsMedia(spark: org.apache.spark.sql.SparkSession, dir: String,
-                   glob: String = "*"): Dataset[Media] = {
+                   glob: String = "*",
+                   modifiedAfter: Option[String] = None): Dataset[Media] = {
     import spark.implicits._
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", glob)
-      .load(dir)
+    val reader = spark.read.format("binaryFile").option("pathGlobFilter", glob)
+    val withCutoff = modifiedAfter.fold(reader)(reader.option("modifiedAfter", _))
+    val p = lower(col("path"))
+    withCutoff.load(dir)
       .select(
         graft.functions.GraftExpressions.md5Prefix32(col("path")).as("media_id"),
         col("content").as("bytes"),
-        when(col("path").endsWith(".png"), "image/png")
-          .when(col("path").endsWith(".jpg"), "image/jpeg")
-          .when(col("path").endsWith(".wav"), "audio/wav")
-          .when(col("path").endsWith(".mp4"), "video/mp4")
+        when(p.endsWith(".png"), "image/png")
+          .when(p.endsWith(".jpg") || p.endsWith(".jpeg"), "image/jpeg")
+          .when(p.endsWith(".wav"), "audio/wav")
+          .when(p.endsWith(".mp4"), "video/mp4")
           .otherwise("application/octet-stream").as("mime"),
         map(lit("path"), col("path"),
           lit("length"), col("length").cast("string"),

@@ -39,10 +39,17 @@ object Relational {
     // backtick-quote: raw names may contain dots (SAP headers like
     // Bill.Doc) that col() would parse as nested-field paths
     def q(c: String) = col("`" + c.replace("`", "``") + "`")
-    val payload = struct(df.columns.map(q): _*)
+    // positional field names: restoring by name would be ambiguous when
+    // the input carries duplicate column names (e.g. an un-dropped join
+    // key), which the window form this replaces accepted fine
+    val payload = struct(df.columns.zipWithIndex.map {
+      case (c, i) => q(c).as(s"_$i")
+    }: _*)
     df.groupBy(keys.map(q): _*)
       .agg(pick(struct(order: _*), payload).as("__w"))
-      .select(df.columns.map(c => col("__w").getField(c).as(c)): _*)
+      .select(df.columns.zipWithIndex.map {
+        case (c, i) => col("__w").getField(s"_$i").as(c)
+      }: _*)
   }
 
   /** D3 duplicate detection: keys occurring more than once, with counts

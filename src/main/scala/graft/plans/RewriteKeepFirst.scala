@@ -64,11 +64,23 @@ object RewriteKeepFirst extends Rule[LogicalPlan] {
       val ascending = orderSpec.head.direction == Ascending
       val ordStruct = CreateStruct(orderSpec.map(_.child))
       if (k == 1) {
-        val aggExprs: Seq[NamedExpression] = child.output.map { a =>
-          val pick = ArgMaxRow(ordStruct, a, reverse = ascending).toAggregateExpression()
-          Alias(pick, a.name)(exprId = a.exprId, qualifier = a.qualifier)
-        } :+ Alias(Literal(1), alias.name)(exprId = alias.exprId, qualifier = alias.qualifier)
-        Aggregate(partitionSpec, aggExprs, child)
+        // One struct-payload argmax carrying the whole row (not one
+        // aggregate per column: that would duplicate the ord struct in
+        // every buffer and compare it once per column per input row),
+        // then a Project restoring the original attributes by ordinal.
+        val payloadStruct = CreateStruct(child.output)
+        val pick = ArgMaxRow(ordStruct, payloadStruct, reverse = ascending)
+          .toAggregateExpression()
+        val bufAlias = Alias(pick, "__graft_arg")()
+        val agg = Aggregate(partitionSpec, Seq(bufAlias), child)
+        val restored: Seq[NamedExpression] = child.output.zipWithIndex.map {
+          case (a, i) =>
+            Alias(GetStructField(bufAlias.toAttribute, i, Some(a.name)), a.name)(
+              exprId = a.exprId, qualifier = a.qualifier)
+        }
+        val rn = Alias(Literal(1), alias.name)(
+          exprId = alias.exprId, qualifier = alias.qualifier)
+        Project(restored :+ rn, agg)
       } else {
         // rn <= k: k-capped heap aggregate, then explode back to rows.
         // rank = array position + 1 (the aggregate returns best-first).

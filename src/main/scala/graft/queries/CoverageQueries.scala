@@ -844,15 +844,14 @@ object CoverageQueries {
     val counts = Tables.lineitem(spark, sfDir)
       .groupBy(col("l_suppkey").as("key"))
       .agg(count(lit(1)).as("n"))
-    val total = Tables.lineitem(spark, sfDir).select(count(lit(1)).as("total"))
+    // total = sum of the per-key counts: one lineitem scan, not two
     counts
-      .agg(topKBy(col("n").cast(DoubleType), col("key"), 10).as("top"))
-      .select(posexplode(col("top")))
+      .agg(topKBy(col("n").cast(DoubleType), col("key"), 10).as("top"),
+        sum(col("n")).as("total"))
+      .select(col("total"), posexplode(col("top")))
       .select(col("col.id").as("key"), col("col.score").cast("long").as("n"),
-        (col("pos") + 1).cast("int").as("rank"))
-      .crossJoin(broadcast(total))
-      .withColumn("share", col("n").cast(DoubleType) / col("total").cast(DoubleType))
-      .select("key", "n", "rank", "share")
+        (col("pos") + 1).cast("int").as("rank"),
+        (col("col.score") / col("total").cast(DoubleType)).as("share"))
   }
 
   val heavyHittersOracle: String =

@@ -115,18 +115,8 @@ object Streams {
     * right row once it can no longer match any live left row) — without
     * them a stream-stream join buffers forever. */
   def streamIntervalJoin(left: DataFrame, right: DataFrame,
-                         windowMinutes: Int, watermark: String): DataFrame = {
-    val l = left.withWatermark("ts", watermark)
-      .select(col("event_id").as("l_id"), col("user_id"), col("ts").as("l_ts"))
-    val r = right.withWatermark("ts", watermark)
-      .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
-        col("ts").as("r_ts"))
-    l.join(r,
-      col("user_id") === col("r_user") &&
-        col("r_ts") >= col("l_ts") &&
-        col("r_ts") < col("l_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
-      .drop("r_user")
-  }
+                         windowMinutes: Int, watermark: String): DataFrame =
+    intervalJoin(left, right, windowMinutes, watermark, "inner")
 
   /** Left-outer twin of [[streamIntervalJoin]]: every left event emits —
     * matched rows as soon as both sides arrive, unmatched rows with null
@@ -137,7 +127,12 @@ object Streams {
     * signal; state stays bounded by watermark + interval exactly as in
     * the inner form. */
   def streamIntervalJoinLeftOuter(left: DataFrame, right: DataFrame,
-                                  windowMinutes: Int, watermark: String): DataFrame = {
+                                  windowMinutes: Int, watermark: String): DataFrame =
+    intervalJoin(left, right, windowMinutes, watermark, "leftOuter")
+
+  private def intervalJoin(left: DataFrame, right: DataFrame,
+                           windowMinutes: Int, watermark: String,
+                           joinType: String): DataFrame = {
     val l = left.withWatermark("ts", watermark)
       .select(col("event_id").as("l_id"), col("user_id"), col("ts").as("l_ts"))
     val r = right.withWatermark("ts", watermark)
@@ -147,7 +142,7 @@ object Streams {
       col("user_id") === col("r_user") &&
         col("r_ts") >= col("l_ts") &&
         col("r_ts") < col("l_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
-      "leftOuter")
+      joinType)
       .drop("r_user")
   }
 

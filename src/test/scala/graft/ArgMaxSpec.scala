@@ -86,6 +86,16 @@ class ArgMaxSpec extends SparkSpecBase {
     assert(err.getMessage.contains("orderable") || err.getMessage.contains("graft_argmax"))
   }
 
+  test("dedupKeepLast tolerates duplicate column names") {
+    val dup = data.select(col("k"), col("id"), col("o"), col("id"))
+    val r = Relational.dedupKeepLast(Seq("k"), Seq(col("o"), col("id")))(dup)
+    assert(r.columns.toSeq == Seq("k", "id", "o", "id"))
+    assert(r.count() == 11)
+    // both duplicate columns restore the same (winning) value
+    val rows = r.collect()
+    assert(rows.forall(row => row.getLong(1) == row.getLong(3)))
+  }
+
   test("plan is a hash aggregate, not window-sort") {
     val plan = Relational
       .dedupKeepLast(Seq("k"), Seq(col("o"), col("id")))(data)

@@ -20,21 +20,25 @@ class MultimodalSpec extends SparkSpecBase {
         Array[Byte](82, 73, 70, 70))
       java.nio.file.Files.write(new java.io.File(dir, "skip.txt").toPath,
         Array[Byte](120))
-      val media = Multimodal.filesAsMedia(spark, dir.getAbsolutePath, "*.{png,wav}")
+      java.nio.file.Files.write(new java.io.File(dir, "c.JPEG").toPath,
+        Array[Byte](255.toByte, 216.toByte))
+      val media = Multimodal.filesAsMedia(spark, dir.getAbsolutePath, "*.{png,wav,JPEG}")
         .collect().sortBy(m => m.meta("path"))
-      assert(media.length == 2) // glob pruned the .txt
+      assert(media.length == 3) // glob pruned the .txt
+      // extension sniffing is case-insensitive and knows .jpeg
+      assert(media.count(_.mime == "image/jpeg") == 1)
       val png = media.find(_.mime == "image/png").get
       assert(png.bytes.length == 7 && png.meta("length") == "7")
-      assert(media.map(_.media_id).distinct.length == 2)
+      assert(media.map(_.media_id).distinct.length == 3)
       // deterministic ids: re-reading yields the same ids
-      val again = Multimodal.filesAsMedia(spark, dir.getAbsolutePath, "*.{png,wav}")
+      val again = Multimodal.filesAsMedia(spark, dir.getAbsolutePath, "*.{png,wav,JPEG}")
         .collect().map(_.media_id).toSet
       assert(again == media.map(_.media_id).toSet)
       // the decode path runs unchanged on file-sourced media
       val feats = Multimodal.extractFeatures(
-        Multimodal.filesAsMedia(spark, dir.getAbsolutePath, "*.{png,wav}"))
+        Multimodal.filesAsMedia(spark, dir.getAbsolutePath, "*.{png,wav,JPEG}"))
         .collect()
-      assert(feats.map(_.n_bytes).sorted.toSeq == Seq(4L, 7L))
+      assert(feats.map(_.n_bytes).sorted.toSeq == Seq(2L, 4L, 7L))
     } finally {
       dir.listFiles().foreach(_.delete()); dir.delete(); ()
     }

@@ -77,6 +77,13 @@ class TopKSpec extends SparkSpecBase {
     assert(agg == win)
   }
 
+  test("duplicate (score, id) pairs are distinct contenders, like row_number") {
+    val df = Seq((1L, 10L, 0.9), (1L, 10L, 0.9), (1L, 11L, 0.5), (1L, 12L, 0.4))
+      .toDF("g", "id", "s")
+    val rows = aggTopK(df, 3).orderBy("rank").collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(10L, 10L, 11L))
+  }
+
   test("SQL registration: graft_topk works and validates arity") {
     GraftExtensions.register(spark)
     longData.createOrReplaceTempView("topk_in")
