@@ -1,0 +1,145 @@
+package graft.io
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Minimal versioned table: parquet data files + a manifest log, the
+  * core mechanism behind transactional lake formats (Delta/Iceberg),
+  * restated in ~150 lines for the capabilities the reference's serial
+  * pipelines actually need on an object store:
+  *
+  *  - **Atomic commit**: a write lands data under `data/`, then
+  *    publishes by renaming a temp manifest to `_manifests/vN.txt`
+  *    listing exactly the files of that snapshot. The single rename is
+  *    the commit point — readers either see vN-1's list or vN's,
+  *    never a half-written directory.
+  *  - **Snapshot-isolated reads**: `read` resolves the highest vN once
+  *    and reads only its files; a concurrent commit cannot make a
+  *    running query see mixed versions (the failure mode of plain
+  *    directory listing, where overwrite-in-place deletes files under
+  *    a reader).
+  *  - **Time travel**: `read(spark, path, asOf = Some(n))`.
+  *  - **Retention**: `vacuum` deletes data files unreachable from the
+  *    newest `keepVersions` manifests and drops older manifests — the
+  *    GC that bounds storage after compaction/overwrite churn.
+  *
+  * At 100 TB the manifest also kills the O(files) eventually-consistent
+  * LIST on every read: one small file names the snapshot. Concurrency
+  * policy is single-writer (matching the reference's serial loads);
+  * version numbers are dense integers so `vN.txt` rename collisions
+  * would surface a second writer immediately.
+  */
+object Versioned {
+
+  private def fs(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestDir(root: String) = new Path(root, "_manifests")
+  private def dataDir(root: String) = new Path(root, "data")
+
+  private def versionOf(p: Path): Option[Long] = {
+    val n = p.getName
+    if (n.startsWith("v") && n.endsWith(".txt"))
+      n.stripPrefix("v").stripSuffix(".txt").toLongOption
+    else None
+  }
+
+  /** All committed versions, ascending (empty for a fresh/absent table). */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val dir = manifestDir(root)
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.flatMap(s => versionOf(s.getPath)).sorted
+  }
+
+  private def manifestFiles(spark: SparkSession, root: String, v: Long): Seq[String] = {
+    val p = new Path(manifestDir(root), s"v$v.txt")
+    val f = fs(spark, p)
+    val in = f.open(p)
+    try {
+      val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+      in.readFully(bytes)
+      new String(bytes, StandardCharsets.UTF_8).split("\n").toSeq
+        .map(_.trim).filter(_.nonEmpty)
+    } finally in.close()
+  }
+
+  /** Commit `df` as the next version. `replace = true` makes the new
+    * snapshot exactly `df`; `replace = false` appends: the snapshot is
+    * the previous file list plus the new files (no data rewrite). The
+    * rename of the temp manifest is the atomic commit point. Returns the
+    * committed version number. */
+  def commit(spark: SparkSession, df: DataFrame, root: String,
+             replace: Boolean = false): Long = {
+    val mdir = manifestDir(root)
+    val f = fs(spark, mdir)
+    f.mkdirs(mdir)
+    val prev = versions(spark, root)
+    val next = prev.lastOption.getOrElse(0L) + 1
+    val batchDir = new Path(dataDir(root), s"b$next")
+    // reclaim debris from a writer that crashed before its rename commit
+    // point: no committed manifest can reference b$next (v$next was never
+    // published), so deleting it is safe under the single-writer policy
+    f.delete(batchDir, true)
+    f.delete(new Path(mdir, s".v$next.txt.tmp"), false)
+    df.write.mode(SaveMode.ErrorIfExists).parquet(batchDir.toString)
+    val newFiles = f.listStatus(batchDir).toSeq.map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet"))
+      .map(p => s"data/b$next/${p.getName}")
+    val carried =
+      if (replace || prev.isEmpty) Seq.empty
+      else manifestFiles(spark, root, prev.last)
+    val body = (carried ++ newFiles).mkString("", "\n", "\n")
+    val tmp = new Path(mdir, s".v$next.txt.tmp")
+    val out = f.create(tmp, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val target = new Path(mdir, s"v$next.txt")
+    if (!f.rename(tmp, target))
+      throw new IllegalStateException(
+        s"commit conflict: v$next already published at $root (second writer?)")
+    next
+  }
+
+  /** Read the newest snapshot, or `asOf` a specific version. */
+  def read(spark: SparkSession, root: String, asOf: Option[Long] = None): DataFrame = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root")
+    val v = asOf.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not found at $root (have ${vs.mkString(",")})")
+    val files = manifestFiles(spark, root, v).map(rel => new Path(root, rel).toString)
+    spark.read.parquet(files: _*)
+  }
+
+  /** Drop manifests older than the newest `keepVersions`, then delete
+    * data files no surviving manifest references. Never touches files
+    * of retained snapshots, so time travel within the retention window
+    * keeps working. */
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1): Unit = {
+    require(keepVersions >= 1, "must keep at least one version")
+    val vs = versions(spark, root)
+    if (vs.size <= keepVersions && vs.nonEmpty) return
+    val keep = vs.takeRight(keepVersions)
+    val f = fs(spark, new Path(root))
+    val live: Set[String] =
+      keep.flatMap(v => manifestFiles(spark, root, v)).toSet
+    // delete unreachable data files, then empty batch dirs, then manifests
+    val ddir = dataDir(root)
+    if (f.exists(ddir)) {
+      f.listStatus(ddir).foreach { batch =>
+        f.listStatus(batch.getPath).foreach { df0 =>
+          val rel = s"data/${batch.getPath.getName}/${df0.getPath.getName}"
+          if (df0.getPath.getName.endsWith(".parquet") && !live.contains(rel))
+            f.delete(df0.getPath, false)
+        }
+        if (f.listStatus(batch.getPath)
+              .forall(s => !s.getPath.getName.endsWith(".parquet")))
+          f.delete(batch.getPath, true)
+      }
+    }
+    vs.dropRight(keepVersions).foreach { v =>
+      f.delete(new Path(manifestDir(root), s"v$v.txt"), false)
+    }
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.io.Versioned
+import org.apache.spark.sql.functions._
+
+/** The versioned table must give atomic commits (readers see whole
+  * snapshots), append vs replace semantics, time travel, crash safety
+  * (a half-finished commit is invisible), and a vacuum that never
+  * breaks retained versions.
+  */
+class VersionedSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmpRoot(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_versioned").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  test("append commits accumulate; replace starts a new snapshot") {
+    val root = tmpRoot()
+    val v1 = Versioned.commit(spark, Seq((1L, "a")).toDF("id", "v"), root)
+    val v2 = Versioned.commit(spark, Seq((2L, "b")).toDF("id", "v"), root)
+    assert((v1, v2) == (1L, 2L))
+    assert(Versioned.read(spark, root).count() == 2)
+    val v3 = Versioned.commit(spark, Seq((9L, "z")).toDF("id", "v"), root,
+      replace = true)
+    assert(v3 == 3L)
+    assert(Versioned.read(spark, root).select("id").as[Long].collect().toSeq == Seq(9L))
+  }
+
+  test("time travel reads exactly the asked-for snapshot") {
+    val root = tmpRoot()
+    Versioned.commit(spark, Seq((1L, "a")).toDF("id", "v"), root)
+    Versioned.commit(spark, Seq((2L, "b")).toDF("id", "v"), root)
+    Versioned.commit(spark, Seq((9L, "z")).toDF("id", "v"), root, replace = true)
+    assert(Versioned.read(spark, root, asOf = Some(1L)).count() == 1)
+    assert(Versioned.read(spark, root, asOf = Some(2L)).count() == 2)
+    assert(Versioned.read(spark, root, asOf = Some(3L)).count() == 1)
+    val err = intercept[IllegalArgumentException] {
+      Versioned.read(spark, root, asOf = Some(7L))
+    }
+    assert(err.getMessage.contains("not found"))
+  }
+
+  test("a crash before the manifest rename is invisible to readers") {
+    val root = tmpRoot()
+    Versioned.commit(spark, Seq((1L, "a")).toDF("id", "v"), root)
+    // simulate a writer that died after writing data + temp manifest but
+    // before the rename commit point
+    Seq((666L, "junk")).toDF("id", "v").write
+      .parquet(new java.io.File(root, "data/b2").getAbsolutePath)
+    java.nio.file.Files.write(
+      new java.io.File(root, "_manifests/.v2.txt.tmp").toPath,
+      "data/b2/whatever.parquet\n".getBytes)
+    assert(Versioned.versions(spark, root) == Seq(1L))
+    assert(Versioned.read(spark, root).select("id").as[Long].collect().toSeq == Seq(1L))
+    // a restarted writer reclaims the unpublished debris and commits v2
+    // cleanly — the junk rows never appear
+    val v2 = Versioned.commit(spark, Seq((2L, "b")).toDF("id", "v"), root)
+    assert(v2 == 2L)
+    assert(Versioned.read(spark, root).select("id").as[Long].collect().toSet ==
+      Set(1L, 2L))
+  }
+
+  test("vacuum drops unreachable files but keeps retained snapshots readable") {
+    val root = tmpRoot()
+    Versioned.commit(spark, Seq((1L, "a")).toDF("id", "v"), root)
+    Versioned.commit(spark, Seq((2L, "b")).toDF("id", "v"), root)
+    Versioned.commit(spark, Seq((9L, "z")).toDF("id", "v"), root, replace = true)
+    Versioned.vacuum(spark, root, keepVersions = 2)
+    assert(Versioned.versions(spark, root) == Seq(2L, 3L))
+    // both retained versions still read fine
+    assert(Versioned.read(spark, root, asOf = Some(2L)).count() == 2)
+    assert(Versioned.read(spark, root, asOf = Some(3L)).count() == 1)
+    // after keeping only the replace-snapshot, v1/v2's files are gone
+    Versioned.vacuum(spark, root, keepVersions = 1)
+    assert(Versioned.versions(spark, root) == Seq(3L))
+    assert(Versioned.read(spark, root).count() == 1)
+    val b1 = new java.io.File(root, "data/b1")
+    assert(!b1.exists || b1.listFiles().forall(!_.getName.endsWith(".parquet")))
+  }
+
+  test("snapshot isolation: a reader resolved to vN is unaffected by later commits") {
+    val root = tmpRoot()
+    Versioned.commit(spark, (1L to 100L).toDF("id"), root)
+    val snapshot = Versioned.read(spark, root) // resolves v1's file list now
+    Versioned.commit(spark, (101L to 200L).toDF("id"), root)
+    Versioned.commit(spark, Seq(999L).toDF("id"), root, replace = true)
+    // the in-flight frame still reads exactly v1 even though the table
+    // has since been replaced (files live until vacuum)
+    assert(snapshot.count() == 100)
+    assert(Versioned.read(spark, root).count() == 1)
+  }
+}
