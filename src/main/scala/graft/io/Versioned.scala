@@ -54,7 +54,7 @@ object Versioned {
     else f.listStatus(dir).toSeq.flatMap(s => versionOf(s.getPath)).sorted
   }
 
-  private def manifestFiles(spark: SparkSession, root: String, v: Long): Seq[String] = {
+  private def manifestLines(spark: SparkSession, root: String, v: Long): Seq[String] = {
     val p = new Path(manifestDir(root), s"v$v.txt")
     val f = fs(spark, p)
     val in = f.open(p)
@@ -66,13 +66,27 @@ object Versioned {
     } finally in.close()
   }
 
+  private def manifestFiles(spark: SparkSession, root: String, v: Long): Seq[String] =
+    manifestLines(spark, root, v).filterNot(_.startsWith("#"))
+
+  /** The `tag` the given (default: newest) version was committed with,
+    * if any — the idempotence key for replay-safe writers. */
+  def committedTag(spark: SparkSession, root: String,
+                   asOf: Option[Long] = None): Option[String] = {
+    val vs = versions(spark, root)
+    asOf.orElse(vs.lastOption).filter(vs.contains).flatMap { v =>
+      manifestLines(spark, root, v)
+        .find(_.startsWith("#tag=")).map(_.stripPrefix("#tag="))
+    }
+  }
+
   /** Commit `df` as the next version. `replace = true` makes the new
     * snapshot exactly `df`; `replace = false` appends: the snapshot is
     * the previous file list plus the new files (no data rewrite). The
     * rename of the temp manifest is the atomic commit point. Returns the
     * committed version number. */
   def commit(spark: SparkSession, df: DataFrame, root: String,
-             replace: Boolean = false): Long = {
+             replace: Boolean = false, tag: Option[String] = None): Long = {
     val mdir = manifestDir(root)
     val f = fs(spark, mdir)
     f.mkdirs(mdir)
@@ -91,7 +105,8 @@ object Versioned {
     val carried =
       if (replace || prev.isEmpty) Seq.empty
       else manifestFiles(spark, root, prev.last)
-    val body = (carried ++ newFiles).mkString("", "\n", "\n")
+    val body = (tag.map(t => s"#tag=$t").toSeq ++ carried ++ newFiles)
+      .mkString("", "\n", "\n")
     val tmp = new Path(mdir, s".v$next.txt.tmp")
     val out = f.create(tmp, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()

@@ -80,6 +80,28 @@ object Streams {
       }
       .start()
 
+  /** Streaming append sink into a [[graft.io.Versioned]] table: each
+    * micro-batch commits as one new snapshot version tagged with its
+    * batch id, so a batch replayed after a crash (foreachBatch is
+    * at-least-once) is detected via the last committed tag and skipped —
+    * exactly-once table state with NO data rewrite per batch (unlike the
+    * MERGE sinks, appends only write the new files and a manifest).
+    * Readers concurrently see whole snapshots, never a half-written
+    * batch. */
+  def versionedSink(events: DataFrame, root: String,
+                    checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        val tag = s"batch-$id"
+        if (!graft.io.Versioned.committedTag(spark, root).contains(tag)) {
+          graft.io.Versioned.commit(spark, batch.toDF(), root, tag = Some(tag))
+          ()
+        }
+      }
+      .start()
+
   /** Partition-pruned streaming MERGE sink: like [[upsertSink]] but each
     * micro-batch rewrites ONLY the target partitions its keys touch
     * (UpsertWriter.upsertPartitioned) instead of the whole table. For a

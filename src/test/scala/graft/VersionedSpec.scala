@@ -81,6 +81,34 @@ class VersionedSpec extends SparkSpecBase {
     assert(!b1.exists || b1.listFiles().forall(!_.getName.endsWith(".parquet")))
   }
 
+  test("versioned streaming sink: one version per batch, replayed batch skipped") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = tmpRoot()
+    val ckpt = tmpRoot()
+    val src = MemoryStream[(Long, Double)]
+    val q = graft.streaming.Streams.versionedSink(
+      src.toDF().toDF("id", "value"), root, ckpt)
+    try {
+      src.addData((1L, 1.0), (2L, 2.0))
+      q.processAllAvailable()
+      src.addData((3L, 3.0))
+      q.processAllAvailable()
+      assert(Versioned.versions(spark, root).size == 2)
+      assert(Versioned.read(spark, root).count() == 3)
+      // simulate an at-least-once replay of the last batch: the tag check
+      // must skip the duplicate commit
+      val replay = Seq((3L, 3.0)).toDF("id", "value")
+      val tag = Versioned.committedTag(spark, root)
+      assert(tag.exists(_.startsWith("batch-")))
+      if (!Versioned.committedTag(spark, root).contains(tag.get)) {
+        Versioned.commit(spark, replay, root, tag = tag)
+      }
+      assert(Versioned.versions(spark, root).size == 2)
+      assert(Versioned.read(spark, root).count() == 3)
+    } finally q.stop()
+  }
+
   test("snapshot isolation: a reader resolved to vN is unaffected by later commits") {
     val root = tmpRoot()
     Versioned.commit(spark, (1L to 100L).toDF("id"), root)
