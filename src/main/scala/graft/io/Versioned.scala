@@ -127,6 +127,25 @@ object Versioned {
     spark.read.parquet(files: _*)
   }
 
+  /** Incremental (CDC-style) read: the rows ADDED between `fromV`
+    * (exclusive) and `toV` (inclusive, default newest) — the file-list
+    * difference of the two manifests, so a downstream consumer processes
+    * each appended batch exactly once without replaying the table.
+    * Meaningful for append commits; a replace commit's snapshot shows up
+    * wholesale (its files are all new). */
+  def readChanges(spark: SparkSession, root: String, fromV: Long,
+                  toV: Option[Long] = None): DataFrame = {
+    val vs = versions(spark, root)
+    require(vs.contains(fromV), s"version $fromV not found at $root")
+    val to = toV.getOrElse(vs.last)
+    require(vs.contains(to), s"version $to not found at $root")
+    require(to >= fromV, s"to=$to earlier than from=$fromV")
+    val before = manifestFiles(spark, root, fromV).toSet
+    val added = manifestFiles(spark, root, to).filterNot(before)
+    if (added.isEmpty) read(spark, root, Some(to)).limit(0)
+    else spark.read.parquet(added.map(rel => new Path(root, rel).toString): _*)
+  }
+
   /** Drop manifests older than the newest `keepVersions`, then delete
     * data files no surviving manifest references. Never touches files
     * of retained snapshots, so time travel within the retention window

@@ -109,6 +109,18 @@ class VersionedSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("readChanges yields exactly the rows appended between two versions") {
+    val root = tmpRoot()
+    Versioned.commit(spark, Seq(1L, 2L).toDF("id"), root)
+    Versioned.commit(spark, Seq(3L).toDF("id"), root)
+    Versioned.commit(spark, Seq(4L, 5L).toDF("id"), root)
+    assert(Versioned.readChanges(spark, root, 1L).select("id")
+      .as[Long].collect().toSet == Set(3L, 4L, 5L))
+    assert(Versioned.readChanges(spark, root, 1L, Some(2L)).select("id")
+      .as[Long].collect().toSet == Set(3L))
+    assert(Versioned.readChanges(spark, root, 3L).count() == 0)
+  }
+
   test("snapshot isolation: a reader resolved to vN is unaffected by later commits") {
     val root = tmpRoot()
     Versioned.commit(spark, (1L to 100L).toDF("id"), root)
