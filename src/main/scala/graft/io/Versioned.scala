@@ -111,7 +111,11 @@ object Versioned {
     val out = f.create(tmp, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
     val target = new Path(mdir, s"v$next.txt")
-    if (!f.rename(tmp, target))
+    // narrow second-writer detection: on HDFS the no-overwrite rename
+    // itself refuses an existing target; local File.renameTo would
+    // silently replace, so check first (policy is single-writer — this
+    // surfaces a violation, it is not full concurrency control)
+    if (f.exists(target) || !f.rename(tmp, target))
       throw new IllegalStateException(
         s"commit conflict: v$next already published at $root (second writer?)")
     next

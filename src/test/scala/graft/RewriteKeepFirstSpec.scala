@@ -154,6 +154,31 @@ class RewriteKeepFirstSpec extends SparkSpecBase {
     }
   }
 
+  test("rewrite handles date ordering keys and map payload columns") {
+    val df = Seq(
+      (1L, java.sql.Date.valueOf("2024-01-02"), Map("a" -> 1)),
+      (1L, java.sql.Date.valueOf("2024-03-01"), Map("b" -> 2)),
+      (2L, java.sql.Date.valueOf("2023-12-31"), Map("c" -> 3)))
+      .toDF("k", "d", "m")
+    val w = Window.partitionBy(col("k")).orderBy(col("d").desc)
+    val expected = df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("k"), col("d"), map_keys(col("m")).getItem(0).as("mk"))
+      .collect().toSet
+    withRule {
+      val got = df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("k"), col("d"), map_keys(col("m")).getItem(0).as("mk"))
+      assert(!planOf(got).contains("Window"))
+      assert(got.collect().toSet == expected)
+    }
+    // and through the k>1 heap path
+    withRule {
+      val got2 = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+        .select(col("k"), col("d"), map_keys(col("m")).getItem(0).as("mk"), col("rn"))
+      assert(!planOf(got2).contains("Window"))
+      assert(got2.count() == 3)
+    }
+  }
+
   test("ties keep exactly one arbitrary contender, like row_number") {
     // every row in a group has the same ordering value
     val df = Seq((1L, 10L, 5L), (1L, 11L, 5L), (1L, 12L, 5L), (2L, 20L, 3L))

@@ -121,6 +121,23 @@ class VersionedSpec extends SparkSpecBase {
     assert(Versioned.readChanges(spark, root, 3L).count() == 0)
   }
 
+  test("a manifest published by another writer becomes committed history") {
+    val root = tmpRoot()
+    Versioned.commit(spark, Seq(1L).toDF("id"), root)
+    // a manifest that appeared outside this writer (name is the contract)
+    Seq(7L).toDF("id").write
+      .parquet(new java.io.File(root, "data/b2").getAbsolutePath)
+    val files = new java.io.File(root, "data/b2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => s"data/b2/${f.getName}")
+    java.nio.file.Files.write(
+      new java.io.File(root, "_manifests/v2.txt").toPath,
+      files.mkString("", "\n", "\n").getBytes)
+    // the next commit builds on v2, not over it
+    val v = Versioned.commit(spark, Seq(2L).toDF("id"), root)
+    assert(v == 3L)
+    assert(Versioned.read(spark, root).select("id").as[Long].collect().toSet == Set(7L, 2L))
+  }
+
   test("snapshot isolation: a reader resolved to vN is unaffected by later commits") {
     val root = tmpRoot()
     Versioned.commit(spark, (1L to 100L).toDF("id"), root)
