@@ -144,4 +144,48 @@ class PropertySpec extends SparkSpecBase {
     val targetRows = target.as[(Int, String)].collect().toSet
     assert(targetRows.filter(r => !stagingKeys(r._1)).subsetOf(once))
   }
+
+  test("graft_topk equals window top-k on random data at any partitioning (property)") {
+    import graft.functions.GraftExpressions.topKBy
+    import org.apache.spark.sql.expressions.Window
+    val rows = Gen.listOfN(400,
+      Gen.zip(Gen.chooseNum(0L, 6L), Gen.chooseNum(0L, 500L), Gen.chooseNum(0, 9)))
+      .sample.get.map { case (g, id, s) => (g, id, s / 10.0) } // coarse scores -> many ties
+    val df = rows.toDF("g", "id", "s")
+    val w = Window.partitionBy(col("g")).orderBy(col("s").desc, col("id"))
+    val win = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+      .select("g", "id", "s", "rn").collect().toSet
+    for (parts <- Seq(1, 3, 17)) {
+      val agg = df.repartition(parts).groupBy(col("g"))
+        .agg(topKBy(col("s"), col("id"), 4).as("top"))
+        .select(col("g"), posexplode(col("top")))
+        .select(col("g"), col("col.id").as("id"), col("col.score").as("s"),
+          (col("pos") + 1).cast("int").as("rn")).collect().toSet
+      // identical except where equal (s, id) duplicates make row_number
+      // order arbitrary — compare as multisets of (g, id, s)
+      assert(agg.map(r => (r: Any)).size == win.size)
+      val norm = (s: Set[org.apache.spark.sql.Row]) =>
+        s.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .groupBy(identity).view.mapValues(_.size).toMap
+      assert(norm(agg) == norm(win), s"parts=$parts")
+    }
+  }
+
+  test("graft_argmax equals window keep-last on random data at any partitioning (property)") {
+    import graft.functions.GraftExpressions.argMaxRow
+    import org.apache.spark.sql.expressions.Window
+    val rows = Gen.listOfN(300,
+      Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(0L, 1000L)))
+      .sample.get.zipWithIndex.map { case ((g, o), i) => (g, o, i.toLong) }
+    val df = rows.toDF("g", "o", "uid") // (o, uid) is a total order
+    val w = Window.partitionBy(col("g")).orderBy(col("o").desc, col("uid").desc)
+    val win = df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("g", "uid").collect().toSet
+    for (parts <- Seq(1, 5, 23)) {
+      val agg = df.repartition(parts).groupBy(col("g"))
+        .agg(argMaxRow(struct(col("o"), col("uid")), col("uid")).as("uid"))
+        .select("g", "uid").collect().toSet
+      assert(agg == win, s"parts=$parts")
+    }
+  }
 }
