@@ -62,10 +62,19 @@ object Similarity {
     * (query, task) map-side, so the single exchange carries at most
     * k×|queries|×tasks structs and there is no sort at all. */
   def bruteForceTopKAgg(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    import graft.functions.GraftExpressions.topKBy
     val scored = corpus.crossJoin(broadcast(queries))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), cosineSim(col("qvec"), col("nvec")).as("cos"))
+    topkPerQuery(scored, k)
+  }
+
+  /** Per-query bounded-heap top-k over a scored (qid, nid, cos) frame —
+    * the shared final stage of the aggregate-path rankers: one
+    * partial+final hash agg, k pairs per (query, task) on the wire,
+    * rank = heap position. Tie-break (cos desc, nid asc) matches the
+    * window form it replaces. */
+  private def topkPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    import graft.functions.GraftExpressions.topKBy
     scored.groupBy(col("qid"))
       .agg(topKBy(col("cos"), col("nid"), k).as("top"))
       .select(col("qid"), posexplode(col("top")))
@@ -171,11 +180,8 @@ object Similarity {
       .drop("__b0", "__flip")
     val scored = c.join(q, Seq("bucket"))
       .filter(col("qid") =!= col("nid"))
-      .withColumn("cos", cosineSim(col("qvec"), col("nvec")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "nid", "cos", "rank")
+      .select(col("qid"), col("nid"), cosineSim(col("qvec"), col("nvec")).as("cos"))
+    topkPerQuery(scored, k)
   }
 
   /** Approximate top-k: same contract, but candidates must share the
@@ -198,10 +204,7 @@ object Similarity {
       .filter(col("__rn") <= capPerBucket).drop("__rn")
     val scored = c.join(q, Seq("bucket"))
       .filter(col("qid") =!= col("nid"))
-      .withColumn("cos", cosineSim(col("qvec"), col("nvec")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "nid", "cos", "rank")
+      .select(col("qid"), col("nid"), cosineSim(col("qvec"), col("nvec")).as("cos"))
+    topkPerQuery(scored, k)
   }
 }
