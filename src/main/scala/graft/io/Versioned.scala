@@ -150,6 +150,23 @@ object Versioned {
     else spark.read.parquet(added.map(rel => new Path(root, rel).toString): _*)
   }
 
+  /** Compact the current snapshot: read it, rewrite as `nFiles`
+    * (optionally range-sorted on `sortCols` so parquet min/max stats
+    * prune on them), and publish as a REPLACE commit. Unlike in-place
+    * compaction (Compact.compactDir's rename dance), readers of older
+    * versions are untouched — the small-file originals stay until
+    * `vacuum` — so compaction is safe under concurrent reads by
+    * construction. Returns the new version. */
+  def compactLatest(spark: SparkSession, root: String, nFiles: Int,
+                    sortCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.col
+    val df = read(spark, root)
+    val shaped =
+      if (sortCols.isEmpty) df.repartition(nFiles)
+      else df.repartitionByRange(nFiles, sortCols.map(col): _*)
+    commit(spark, shaped, root, replace = true)
+  }
+
   /** Drop manifests older than the newest `keepVersions`, then delete
     * data files no surviving manifest references. Never touches files
     * of retained snapshots, so time travel within the retention window

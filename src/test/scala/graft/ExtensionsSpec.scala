@@ -92,8 +92,18 @@ class ExtensionsSpec extends SparkSpecBase {
     // an existing session means builder extensions are skipped (Spark
     // semantics) — create() must still end with the functions registered
     val s = GraftSession.create("graft-test")
-    assert(s.sql("SELECT graft_hash32('x') AS h").head().getLong(0) != 0L)
-    assert(s.conf.get("spark.sql.adaptive.enabled") == "true") // Spark 4 default kept
+    try {
+      assert(s.sql("SELECT graft_hash32('x') AS h").head().getLong(0) != 0L)
+      assert(s.conf.get("spark.sql.adaptive.enabled") == "true") // Spark 4 default kept
+      // live-session path also arms the optimizer rules
+      assert(s.experimental.extraOptimizations.contains(graft.plans.RewriteKeepFirst))
+    } finally {
+      // the shared spec session must not keep the rewrite rule: other
+      // suites compute window-form expectations that the rule would
+      // silently turn into the aggregate plan (vacuous comparisons)
+      s.experimental.extraOptimizations = s.experimental.extraOptimizations
+        .filterNot(_ == graft.plans.RewriteKeepFirst)
+    }
   }
 
   test("saltedSum equals plain groupBy sum") {

@@ -121,6 +121,23 @@ class VersionedSpec extends SparkSpecBase {
     assert(Versioned.readChanges(spark, root, 3L).count() == 0)
   }
 
+  test("compactLatest collapses many small appends into one snapshot safely") {
+    val root = tmpRoot()
+    (1 to 5).foreach(i => Versioned.commit(spark, Seq(i.toLong).toDF("id"), root))
+    val before = Versioned.read(spark, root)
+    val v = Versioned.compactLatest(spark, root, nFiles = 1, sortCols = Seq("id"))
+    assert(v == 6L)
+    val after = Versioned.read(spark, root)
+    assert(after.select("id").as[Long].collect().sorted.toSeq == (1L to 5L))
+    assert(after.inputFiles.length == 1)
+    // pre-compaction snapshot still readable until vacuum
+    assert(Versioned.read(spark, root, asOf = Some(5L)).count() == 5)
+    assert(before.count() == 5)
+    Versioned.vacuum(spark, root, keepVersions = 1)
+    assert(Versioned.versions(spark, root) == Seq(6L))
+    assert(Versioned.read(spark, root).count() == 5)
+  }
+
   test("a manifest published by another writer becomes committed history") {
     val root = tmpRoot()
     Versioned.commit(spark, Seq(1L).toDF("id"), root)
