@@ -52,7 +52,7 @@ case class ArgMaxRow(ord: Expression, payload: Expression, reverse: Boolean,
   // Projects (ord, payload) of the current input row into one UnsafeRow —
   // the whole buffer is that row's copy.
   @transient private lazy val pairProj: UnsafeProjection =
-    UnsafeProjection.create(Array(ord, payload))
+    UnsafeProjection.create(Seq(ord, payload))
   @transient private lazy val ordering: Ordering[Any] =
     TypeUtils.getInterpretedOrdering(ord.dataType)
 

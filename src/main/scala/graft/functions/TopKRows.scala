@@ -51,7 +51,7 @@ case class TopKRows(ord: Expression, payload: Expression, k: Int, reverse: Boole
   override def prettyName: String = if (reverse) "graft_bottomk_rows" else "graft_topk_rows"
 
   @transient private lazy val pairProj: UnsafeProjection =
-    UnsafeProjection.create(Array(ord, payload))
+    UnsafeProjection.create(Seq(ord, payload))
   @transient private lazy val baseOrdering: Ordering[Any] =
     TypeUtils.getInterpretedOrdering(ord.dataType)
 

@@ -121,15 +121,36 @@ object Versioned {
     next
   }
 
-  /** Read the newest snapshot, or `asOf` a specific version. */
-  def read(spark: SparkSession, root: String, asOf: Option[Long] = None): DataFrame = {
+  /** Absolute data-file paths of a snapshot (newest unless `asOf`) — the
+    * resolution step shared by [[read]] and the DataSource V2 format
+    * ([[VersionedDataSource]]): resolving the manifest ONCE here is what
+    * makes every downstream consumer snapshot-isolated. */
+  def snapshotFiles(spark: SparkSession, root: String,
+                    asOf: Option[Long] = None): Seq[String] = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no committed versions at $root")
     val v = asOf.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not found at $root (have ${vs.mkString(",")})")
-    val files = manifestFiles(spark, root, v).map(rel => new Path(root, rel).toString)
-    spark.read.parquet(files: _*)
+    manifestFiles(spark, root, v).map(rel => new Path(root, rel).toString)
   }
+
+  /** Absolute paths of the data files ADDED between `fromV` (exclusive)
+    * and `toV` (inclusive, default newest) — may be empty. */
+  def changedFiles(spark: SparkSession, root: String, fromV: Long,
+                   toV: Option[Long] = None): Seq[String] = {
+    val vs = versions(spark, root)
+    require(vs.contains(fromV), s"version $fromV not found at $root")
+    val to = toV.getOrElse(vs.last)
+    require(vs.contains(to), s"version $to not found at $root")
+    require(to >= fromV, s"to=$to earlier than from=$fromV")
+    val before = manifestFiles(spark, root, fromV).toSet
+    manifestFiles(spark, root, to).filterNot(before)
+      .map(rel => new Path(root, rel).toString)
+  }
+
+  /** Read the newest snapshot, or `asOf` a specific version. */
+  def read(spark: SparkSession, root: String, asOf: Option[Long] = None): DataFrame =
+    spark.read.parquet(snapshotFiles(spark, root, asOf): _*)
 
   /** Incremental (CDC-style) read: the rows ADDED between `fromV`
     * (exclusive) and `toV` (inclusive, default newest) — the file-list
@@ -139,15 +160,9 @@ object Versioned {
     * wholesale (its files are all new). */
   def readChanges(spark: SparkSession, root: String, fromV: Long,
                   toV: Option[Long] = None): DataFrame = {
-    val vs = versions(spark, root)
-    require(vs.contains(fromV), s"version $fromV not found at $root")
-    val to = toV.getOrElse(vs.last)
-    require(vs.contains(to), s"version $to not found at $root")
-    require(to >= fromV, s"to=$to earlier than from=$fromV")
-    val before = manifestFiles(spark, root, fromV).toSet
-    val added = manifestFiles(spark, root, to).filterNot(before)
-    if (added.isEmpty) read(spark, root, Some(to)).limit(0)
-    else spark.read.parquet(added.map(rel => new Path(root, rel).toString): _*)
+    val added = changedFiles(spark, root, fromV, toV)
+    if (added.isEmpty) read(spark, root, toV).limit(0)
+    else spark.read.parquet(added: _*)
   }
 
   /** Compact the current snapshot: read it, rewrite as `nFiles`

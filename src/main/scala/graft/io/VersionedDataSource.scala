@@ -1,0 +1,99 @@
+package graft.io
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 surface for [[Versioned]] tables, so a snapshot is a
+  * first-class `spark.read` citizen rather than a library call:
+  *
+  * {{{
+  *   spark.read.format("graft-versioned").load(root)                   // newest snapshot
+  *   spark.read.format("graft-versioned").option("asOf", 3).load(root) // time travel
+  *   spark.read.format("graft-versioned")
+  *     .option("changesFrom", 1).option("changesTo", 3).load(root)     // CDC read
+  * }}}
+  *
+  * The provider resolves the manifest ONCE at table-creation time and hands
+  * the snapshot's explicit file list to Spark's own [[ParquetTable]], so the
+  * scan is the native vectorized parquet path with full filter pushdown,
+  * column pruning, and file-level min/max pruning — nothing is re-listed, and
+  * a commit that lands mid-query cannot change the file set (snapshot
+  * isolation at plan level). Writes through the format are deliberately
+  * unsupported: commits must go through [[Versioned.commit]] /
+  * `Streams.versionedSink`, because an uncommitted `df.write` into the table
+  * directory would bypass the manifest (capabilities() advertises BATCH_READ
+  * only, so the analyzer rejects `df.write.format("graft-versioned")`).
+  *
+  * Registered via META-INF/services as `graft-versioned`.
+  */
+class VersionedDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-versioned"
+
+  // Schema always comes from the snapshot's own parquet footers.
+  override def supportsExternalMetadata(): Boolean = false
+
+  private def resolveFiles(spark: SparkSession,
+                           options: CaseInsensitiveStringMap): (String, Seq[String]) = {
+    val root = Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
+      "graft-versioned requires a table root: .load(root)"))
+    val asOf = Option(options.get("asOf")).map(_.toLong)
+    val changesFrom = Option(options.get("changesFrom")).map(_.toLong)
+    require(asOf.isEmpty || changesFrom.isEmpty,
+      "asOf and changesFrom are mutually exclusive")
+    val files = changesFrom match {
+      case Some(from) =>
+        val to = Option(options.get("changesTo")).map(_.toLong)
+        Versioned.changedFiles(spark, root, from, to)
+      case None =>
+        Versioned.snapshotFiles(spark, root, asOf)
+    }
+    (root, files)
+  }
+
+  private def delegate(options: CaseInsensitiveStringMap,
+                       schema: Option[StructType]): ParquetTable = {
+    val spark = SparkSession.active
+    val (root, files) = resolveFiles(spark, options)
+    // An empty change-set still needs a schema: borrow it from the snapshot
+    // the diff was computed against (zero files scan = zero rows).
+    val userSchema =
+      if (files.nonEmpty) schema
+      else schema.orElse {
+        val to = Option(options.get("changesTo")).map(_.toLong)
+        Some(spark.read.parquet(Versioned.snapshotFiles(spark, root, to): _*).schema)
+      }
+    ParquetTable(s"graft-versioned `$root`", spark, options, files.toList,
+      userSchema, classOf[ParquetFileFormat])
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    delegate(options, None).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new VersionedReadTable(delegate(opts, Option(schema)))
+  }
+}
+
+/** Read-only wrapper: scans delegate to the native parquet table; the
+  * absence of SupportsWrite (and of BATCH_WRITE in capabilities) makes the
+  * analyzer reject writes instead of silently bypassing the manifest. */
+private[io] class VersionedReadTable(inner: ParquetTable) extends Table with SupportsRead {
+  override def name(): String = inner.name
+  override def schema(): StructType = inner.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    inner.newScanBuilder(options)
+}

@@ -42,12 +42,12 @@ object Relational {
     // positional field names: restoring by name would be ambiguous when
     // the input carries duplicate column names (e.g. an un-dropped join
     // key), which the window form this replaces accepted fine
-    val payload = struct(df.columns.zipWithIndex.map {
+    val payload = struct(df.columns.toSeq.zipWithIndex.map {
       case (c, i) => q(c).as(s"_$i")
     }: _*)
     df.groupBy(keys.map(q): _*)
       .agg(pick(struct(order: _*), payload).as("__w"))
-      .select(df.columns.zipWithIndex.map {
+      .select(df.columns.toSeq.zipWithIndex.map {
         case (c, i) => col("__w").getField(s"_$i").as(c)
       }: _*)
   }
