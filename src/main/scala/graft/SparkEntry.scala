@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoverageQueries, EventQueries, LlmQueries, MediaQueries, RefQueries, RelationalQueries}
+import graft.queries.{CoverageQueries, EventQueries, LlmQueries, MediaQueries, RefQueries, RelationalQueries, VersionedQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,12 +21,14 @@ object SparkEntry {
     "movement_agg" -> (RefQueries.movementAgg _),
     "movement_agg_first" -> (RefQueries.movementAggFirst _),
   ) ++ RelationalQueries.queries ++ LlmQueries.queries ++
-    EventQueries.queries ++ MediaQueries.queries ++ CoverageQueries.queries
+    EventQueries.queries ++ MediaQueries.queries ++ CoverageQueries.queries ++
+    VersionedQueries.queries
 
   def oracleSql: Map[String, String] = Map(
     "weekly_sales" -> RefQueries.weeklySalesOracle,
     "movement_agg" -> RefQueries.movementAggOracle,
     "movement_agg_first" -> RefQueries.movementAggFirstOracle,
   ) ++ RelationalQueries.oracles ++ LlmQueries.oracles ++
-    EventQueries.oracles ++ MediaQueries.oracles ++ CoverageQueries.oracles
+    EventQueries.oracles ++ MediaQueries.oracles ++ CoverageQueries.oracles ++
+    VersionedQueries.oracles
 }
