@@ -152,6 +152,19 @@ object Versioned {
   def read(spark: SparkSession, root: String, asOf: Option[Long] = None): DataFrame =
     spark.read.parquet(snapshotFiles(spark, root, asOf): _*)
 
+  /** The newest version committed at or before `tsMillis` (manifest
+    * publish time — the rename commit point's mtime), if any. Backs SQL
+    * `TIMESTAMP AS OF` in [[VersionedCatalog]]. */
+  def versionAt(spark: SparkSession, root: String, tsMillis: Long): Option[Long] = {
+    val dir = manifestDir(root)
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) None
+    else f.listStatus(dir).toSeq
+      .flatMap(s => versionOf(s.getPath).map(_ -> s.getModificationTime))
+      .filter(_._2 <= tsMillis)
+      .map(_._1).maxOption
+  }
+
   /** Incremental (CDC-style) read: the rows ADDED between `fromV`
     * (exclusive) and `toV` (inclusive, default newest) — the file-list
     * difference of the two manifests, so a downstream consumer processes

@@ -35,6 +35,19 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * Registered via META-INF/services as `graft-versioned`.
   */
+object VersionedDataSource {
+  /** Read-only Table over one resolved snapshot — shared by the path-based
+    * format above and [[VersionedCatalog]]'s identifier-based loads. */
+  private[io] def snapshotTable(spark: SparkSession, root: String,
+                                asOf: Option[Long]): Table = {
+    val files = Versioned.snapshotFiles(spark, root, asOf)
+    new VersionedReadTable(ParquetTable(
+      s"graft-versioned `$root`" + asOf.map(v => s" @v$v").getOrElse(""),
+      spark, CaseInsensitiveStringMap.empty(), files.toList, None,
+      classOf[ParquetFileFormat]))
+  }
+}
+
 class VersionedDataSource extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-versioned"

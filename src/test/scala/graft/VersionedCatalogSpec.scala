@@ -1,0 +1,96 @@
+package graft
+
+import graft.io.Versioned
+import org.apache.hadoop.fs.Path
+
+/** The catalog must give versioned tables the real SQL surface: resolve
+  * `graft_test.ns.tbl` to a warehouse root, serve VERSION AS OF and
+  * TIMESTAMP AS OF through the connector time-travel API, list tables,
+  * and reject every mutation path (read-only by policy).
+  */
+class VersionedCatalogSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // epoch anchor for deterministic TIMESTAMP AS OF: 2026-01-01 00:00:00 UTC
+  private val T0 = 1767225600000L
+
+  private lazy val warehouse: String = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toFile
+    wh.deleteOnExit()
+    spark.conf.set("spark.sql.catalog.graft_test", classOf[graft.io.VersionedCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_test.warehouse", wh.getAbsolutePath)
+    val root = new java.io.File(wh, "sales/orders").getAbsolutePath
+    Versioned.commit(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "k"), root)
+    Versioned.commit(spark, Seq((3L, "c")).toDF("id", "k"), root)
+    Versioned.commit(spark, Seq((9L, "z")).toDF("id", "k"), root, replace = true)
+    // pin manifest publish times 10s apart so TIMESTAMP AS OF is exact
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(1L, 2L, 3L).foreach { v =>
+      fs.setTimes(new Path(root, s"_manifests/v$v.txt"), T0 + (v - 1) * 10000L, -1)
+    }
+    wh.getAbsolutePath
+  }
+
+  test("SELECT resolves the newest snapshot through the catalog") {
+    warehouse
+    assert(spark.sql("SELECT id FROM graft_test.sales.orders")
+      .as[Long].collect().toSeq == Seq(9L))
+  }
+
+  test("VERSION AS OF reads the pinned snapshot") {
+    warehouse
+    assert(spark.sql("SELECT id FROM graft_test.sales.orders VERSION AS OF 1")
+      .as[Long].collect().toSet == Set(1L, 2L))
+    assert(spark.sql("SELECT id FROM graft_test.sales.orders VERSION AS OF 2")
+      .as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
+  test("TIMESTAMP AS OF resolves to the newest version committed by then") {
+    warehouse
+    // 00:00:05 — only v1 (T0) is published
+    assert(spark.sql(
+      "SELECT id FROM graft_test.sales.orders TIMESTAMP AS OF '2026-01-01 00:00:05'")
+      .as[Long].collect().toSet == Set(1L, 2L))
+    // 00:00:15 — v2 (T0+10s) is the newest at-or-before
+    assert(spark.sql(
+      "SELECT id FROM graft_test.sales.orders TIMESTAMP AS OF '2026-01-01 00:00:15'")
+      .as[Long].collect().toSet == Set(1L, 2L, 3L))
+    // before any commit -> loud failure
+    val err = intercept[Exception] {
+      spark.sql(
+        "SELECT id FROM graft_test.sales.orders TIMESTAMP AS OF '2025-12-31 00:00:00'")
+        .collect()
+    }
+    assert(err.getMessage.contains("no version committed"))
+  }
+
+  test("SHOW TABLES lists committed tables only; missing tables fail to resolve") {
+    warehouse
+    new java.io.File(warehouse, "sales/empty_dir").mkdirs()
+    val listed = spark.sql("SHOW TABLES IN graft_test.sales")
+      .select("tableName").as[String].collect().toSet
+    assert(listed == Set("orders"))
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM graft_test.sales.nope").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("cannot be found")
+      || err.getMessage.toLowerCase.contains("not found"))
+  }
+
+  test("mutation through the catalog is rejected (read-only policy)") {
+    warehouse
+    val ins = intercept[Exception] {
+      spark.sql("INSERT INTO graft_test.sales.orders VALUES (7, 'q')")
+    }
+    val msg = ins.getMessage.toLowerCase
+    assert(msg.contains("does not support") || msg.contains("read-only"),
+      s"unexpected: ${ins.getMessage}")
+    val drop = intercept[Exception] {
+      spark.sql("DROP TABLE graft_test.sales.orders")
+    }
+    assert(drop.getMessage.contains("read-only"))
+    // table untouched
+    assert(spark.sql("SELECT count(*) FROM graft_test.sales.orders")
+      .as[Long].head() == 1L)
+  }
+}
