@@ -1,0 +1,189 @@
+package graft.io
+
+import java.nio.charset.StandardCharsets
+import java.util.Base64
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.LogicalTypeAnnotation.{StringLogicalTypeAnnotation, TimestampLogicalTypeAnnotation}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+/** Per-file min/max column statistics for [[Versioned]] tables, harvested
+  * from parquet FOOTERS at commit time (no data read) and persisted as a
+  * tiny sidecar per batch directory. This is the file-skipping metadata
+  * every lake format keeps (Delta's stats in the log, Iceberg's manifests):
+  * at 100 TB a range predicate that touches one week of a year-partitioned
+  * sort layout must open ~2% of the files, not list-and-open all of them —
+  * the parquet row-group pushdown only helps AFTER a file is opened;
+  * this prunes the file opens themselves, on the driver, from one
+  * sidecar read per batch.
+  *
+  * Supported column shapes (everything else simply records no stats and is
+  * never pruned): INT32/INT64 (`long`), FLOAT/DOUBLE (`double`), UTF8
+  * binary (`string`), INT64 timestamps (`ts-millis`/`ts-micros`, compared
+  * in their own unit). Values are base64-encoded in the sidecar so
+  * delimiters in string data can never corrupt it. Pruning is always
+  * conservative: a missing sidecar, an unknown column, an empty or
+  * null-only stat keeps the file; correctness never depends on stats
+  * because the residual predicate is re-applied to every row read.
+  */
+object FileStats {
+
+  /** One column's encoded min/max for one file. */
+  case class ColStats(tag: String, min: String, max: String)
+
+  private def enc(s: String): String =
+    Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
+  private def dec(s: String): String =
+    new String(Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
+
+  /** Footer-read the min/max of `cols` for each file. Returns
+    * fileName -> (col -> stats); columns without usable stats are absent. */
+  def collect(conf: Configuration, files: Seq[Path],
+              cols: Seq[String]): Map[String, Map[String, ColStats]] = {
+    val wanted = cols.toSet
+    files.map { p =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      val footer = try reader.getFooter finally reader.close()
+      val schema = footer.getFileMetaData.getSchema
+      // merge min/max across row groups, skipping groups with no usable stat
+      val perCol = scala.collection.mutable.Map[String, ColStats]()
+      var unusable = Set.empty[String]
+      footer.getBlocks.asScala.foreach { block =>
+        block.getColumns.asScala.foreach { cc =>
+          val name = cc.getPath.toDotString
+          if (wanted.contains(name) && !unusable.contains(name)) {
+            val st: org.apache.parquet.column.statistics.Statistics[_] =
+              cc.getStatistics
+            if (st == null || st.isEmpty ||
+                (!st.hasNonNullValue && st.getNumNulls == 0)) {
+              // stats genuinely unknown for this group -> whole file unusable
+              unusable += name; perCol.remove(name)
+            } else if (st.hasNonNullValue) {
+              val field = schema.getType(cc.getPath.toArray: _*).asPrimitiveType()
+              encodeStat(field.getPrimitiveTypeName.name(),
+                field.getLogicalTypeAnnotation,
+                st.genericGetMin.asInstanceOf[AnyRef],
+                st.genericGetMax.asInstanceOf[AnyRef])
+                match {
+                  case Some(cs) => perCol(name) = perCol.get(name).map(merge(_, cs)).getOrElse(cs)
+                  case None => unusable += name; perCol.remove(name)
+                }
+            } // null-only group: contributes no non-null values, nothing to merge
+          }
+        }
+      }
+      p.getName -> perCol.toMap
+    }.toMap
+  }
+
+  private def encodeStat(physical: String, logical: LogicalTypeAnnotation,
+                         min: AnyRef, max: AnyRef): Option[ColStats] =
+    (physical, logical) match {
+      case ("INT64", ts: TimestampLogicalTypeAnnotation) =>
+        val tag = ts.getUnit.name() match {
+          case "MILLIS" => "ts-millis"
+          case "MICROS" => "ts-micros"
+          case _ => return None
+        }
+        Some(ColStats(tag, min.toString, max.toString))
+      case ("INT32", _: LogicalTypeAnnotation.DateLogicalTypeAnnotation) =>
+        Some(ColStats("date", min.toString, max.toString)) // epoch days
+      case ("INT64" | "INT32", _) => Some(ColStats("long", min.toString, max.toString))
+      case ("DOUBLE" | "FLOAT", _) => Some(ColStats("double", min.toString, max.toString))
+      case ("BINARY", _: StringLogicalTypeAnnotation) =>
+        Some(ColStats("string",
+          enc(min.asInstanceOf[Binary].toStringUsingUTF8),
+          enc(max.asInstanceOf[Binary].toStringUsingUTF8)))
+      case _ => None
+    }
+
+  private def merge(a: ColStats, b: ColStats): ColStats = {
+    require(a.tag == b.tag, s"mixed stat tags ${a.tag}/${b.tag}")
+    def lt(x: String, y: String): Boolean = a.tag match {
+      case "double" => x.toDouble < y.toDouble
+      case "string" => dec(x) < dec(y)
+      case _ => x.toLong < y.toLong // long / ts-*
+    }
+    ColStats(a.tag,
+      if (lt(b.min, a.min)) b.min else a.min,
+      if (lt(a.max, b.max)) b.max else a.max)
+  }
+
+  // ---------------------------------------------------------------- sidecar
+
+  private val SidecarName = ".stats.tsv"
+
+  def sidecarPath(batchDir: Path): Path = new Path(batchDir, SidecarName)
+
+  /** Write the batch's stats sidecar (TSV: file, col, tag, min, max). */
+  def writeSidecar(fs: FileSystem, batchDir: Path,
+                   stats: Map[String, Map[String, ColStats]]): Unit = {
+    val body = stats.toSeq.sortBy(_._1).flatMap { case (file, byCol) =>
+      byCol.toSeq.sortBy(_._1).map { case (c, s) =>
+        s"$file\t$c\t${s.tag}\t${s.min}\t${s.max}"
+      }
+    }.mkString("", "\n", "\n")
+    val out = fs.create(sidecarPath(batchDir), true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  /** Read a batch's sidecar; empty if absent (older commit or no stats). */
+  def readSidecar(fs: FileSystem, batchDir: Path): Map[String, Map[String, ColStats]] = {
+    val p = sidecarPath(batchDir)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val bytes = try {
+      val b = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      in.readFully(b); b
+    } finally in.close()
+    new String(bytes, StandardCharsets.UTF_8).split("\n")
+      .map(_.trim).filter(_.nonEmpty)
+      .map(_.split("\t", -1)).collect {
+        case Array(file, c, tag, mn, mx) => (file, c, ColStats(tag, mn, mx))
+      }
+      .groupBy(_._1)
+      .map { case (f, rows) => f -> rows.map(r => r._2 -> r._3).toMap }
+  }
+
+  // ---------------------------------------------------------------- pruning
+
+  /** Can a file with these stats contain a row with value in [lo, hi]?
+    * Either bound may be None (open). Conservative on any mismatch. */
+  def mayContain(stats: Option[ColStats], lo: Option[Any], hi: Option[Any]): Boolean =
+    stats match {
+      case None => true
+      case Some(cs) =>
+        def cmp(bound: Any, stat: String): Option[Int] = coerce(cs.tag, bound).map {
+          case b: Long => java.lang.Long.compare(stat.toLong, b)
+          case b: Double => java.lang.Double.compare(stat.toDouble, b)
+          case b: String => dec(stat).compareTo(b)
+        }
+        val belowLo = lo.flatMap(b => cmp(b, cs.max)).exists(_ < 0) // max < lo
+        val aboveHi = hi.flatMap(b => cmp(b, cs.min)).exists(_ > 0) // min > hi
+        !(belowLo || aboveHi)
+    }
+
+  /** Coerce a caller-supplied bound into the stat tag's comparison domain;
+    * None (no coercion possible) disables pruning for that bound. */
+  private def coerce(tag: String, v: Any): Option[Any] = (tag, v) match {
+    case ("long", n: Number) => Some(n.longValue())
+    case ("double", n: Number) => Some(n.doubleValue())
+    case ("string", s: String) => Some(s)
+    case ("ts-millis", t: java.sql.Timestamp) => Some(t.toInstant.toEpochMilli)
+    case ("ts-millis", i: java.time.Instant) => Some(i.toEpochMilli)
+    case ("ts-micros", t: java.sql.Timestamp) =>
+      val i = t.toInstant; Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    case ("ts-micros", i: java.time.Instant) =>
+      Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    case ("date", d: java.time.LocalDate) => Some(d.toEpochDay)
+    case ("date", d: java.sql.Date) => Some(d.toLocalDate.toEpochDay)
+    case _ => None
+  }
+}

@@ -84,9 +84,15 @@ object Versioned {
     * snapshot exactly `df`; `replace = false` appends: the snapshot is
     * the previous file list plus the new files (no data rewrite). The
     * rename of the temp manifest is the atomic commit point. Returns the
-    * committed version number. */
+    * committed version number.
+    *
+    * `statsCols`: harvest per-file min/max for these columns from the
+    * parquet footers (no data read) into the batch's sidecar, enabling
+    * [[readPruned]] file skipping. The sidecar lands before the manifest
+    * rename, so a published version always has its stats. */
   def commit(spark: SparkSession, df: DataFrame, root: String,
-             replace: Boolean = false, tag: Option[String] = None): Long = {
+             replace: Boolean = false, tag: Option[String] = None,
+             statsCols: Seq[String] = Nil): Long = {
     val mdir = manifestDir(root)
     val f = fs(spark, mdir)
     f.mkdirs(mdir)
@@ -99,9 +105,13 @@ object Versioned {
     f.delete(batchDir, true)
     f.delete(new Path(mdir, s".v$next.txt.tmp"), false)
     df.write.mode(SaveMode.ErrorIfExists).parquet(batchDir.toString)
-    val newFiles = f.listStatus(batchDir).toSeq.map(_.getPath)
+    val newPaths = f.listStatus(batchDir).toSeq.map(_.getPath)
       .filter(p => p.getName.endsWith(".parquet"))
-      .map(p => s"data/b$next/${p.getName}")
+    if (statsCols.nonEmpty) {
+      FileStats.writeSidecar(f, batchDir,
+        FileStats.collect(spark.sparkContext.hadoopConfiguration, newPaths, statsCols))
+    }
+    val newFiles = newPaths.map(p => s"data/b$next/${p.getName}")
     val carried =
       if (replace || prev.isEmpty) Seq.empty
       else manifestFiles(spark, root, prev.last)
@@ -151,6 +161,42 @@ object Versioned {
   /** Read the newest snapshot, or `asOf` a specific version. */
   def read(spark: SparkSession, root: String, asOf: Option[Long] = None): DataFrame =
     spark.read.parquet(snapshotFiles(spark, root, asOf): _*)
+
+  /** Range scan with file skipping: read only the snapshot files whose
+    * footer-harvested min/max (see `commit(statsCols = ...)`) can overlap
+    * `[lo, hi]` on `column` (either bound open via None), then re-apply
+    * the predicate to the rows read. Stats are advisory: files without a
+    * sidecar entry are always read, so the result is exactly
+    * `read(...).filter(lo <= col <= hi)` regardless of stats coverage —
+    * what stats change is how many files get OPENED, which on a
+    * range-clustered layout (repartitionByRange before commit, or
+    * compactLatest(sortCols)) drops from all to the overlapping few.
+    * Bound types: numbers for int/double columns, String for string
+    * columns, java.time.Instant or java.sql.Timestamp for timestamps. */
+  def readPruned(spark: SparkSession, root: String, column: String,
+                 lo: Option[Any], hi: Option[Any],
+                 asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{col, lit}
+    require(lo.nonEmpty || hi.nonEmpty, "at least one bound required")
+    val f = fs(spark, new Path(root))
+    val kept = snapshotFiles(spark, root, asOf).map(new Path(_))
+      .groupBy(_.getParent).toSeq.flatMap { case (batchDir, paths) =>
+        val side = FileStats.readSidecar(f, batchDir)
+        paths.filter(p => FileStats.mayContain(
+          side.get(p.getName).flatMap(_.get(column)), lo, hi))
+      }.map(_.toString)
+    def litOf(v: Any): Column = v match {
+      case i: java.time.Instant => lit(java.sql.Timestamp.from(i))
+      case other => lit(other)
+    }
+    val base =
+      if (kept.isEmpty) read(spark, root, asOf).limit(0)
+      else spark.read.parquet(kept: _*)
+    val c = col("`" + column.replace("`", "``") + "`")
+    val preds = lo.map(v => c >= litOf(v)) ++ hi.map(v => c <= litOf(v))
+    base.filter(preds.reduce(_ && _))
+  }
 
   /** The newest version committed at or before `tsMillis` (manifest
     * publish time — the rename commit point's mtime), if any. Backs SQL

@@ -1,0 +1,90 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.Bucketed
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked queries for physical-layout operators: results must be
+  * layout-invariant (a bucketed table holds exactly the same rows), so each
+  * query materializes the layout for real and the DuckDB oracle checks the
+  * dataflow over the original parquet. The layout's *plan* effect — zero
+  * Exchange on co-located joins/aggs — is asserted in BucketedSpec, where
+  * session confs can be toggled safely.
+  */
+object LayoutQueries {
+
+  private val D = org.apache.spark.sql.types.DecimalType(38, 6)
+
+  /** Write orders and customer bucketed on the join key, then join and
+    * aggregate from the bucketed tables. At the design point both sides are
+    * fact-scale and the bucket layout replaces the nightly re-shuffle; here
+    * the oracle pins that bucketing never changes results. */
+  def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    Bucketed.writeBucketed(
+      Tables.orders(spark, sfDir).withColumnRenamed("o_custkey", "custkey"),
+      "graft_bq_orders", Seq("custkey"), 8)
+    Bucketed.writeBucketed(
+      Tables.customer(spark, sfDir).withColumnRenamed("c_custkey", "custkey"),
+      "graft_bq_customer", Seq("custkey"), 8)
+    spark.table("graft_bq_orders")
+      .join(spark.table("graft_bq_customer"), "custkey")
+      .groupBy(col("c_mktsegment").as("segment"),
+        col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast(D)).cast("double").as("sum_price"))
+  }
+
+  val bucketedJoinOracle: String =
+    """SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+      |       COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Commit lineitem range-clustered on ship date with footer stats, then
+    * range-scan half of 1997 through Versioned.readPruned: the manifest
+    * sidecar skips the non-overlapping file OPENS (proven by file count in
+    * FileStatsSpec); the oracle pins that pruning never changes rows. */
+  def prunedScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.io.Versioned
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_pruned_src_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}").getAbsolutePath
+    deleteRecursively(root)
+    val li = Tables.lineitem(spark, sfDir)
+      .withColumn("ship_date", to_date(col("l_shipdate")))
+    Versioned.commit(spark,
+      li.repartitionByRange(8, col("ship_date")).sortWithinPartitions("ship_date"),
+      root, statsCols = Seq("ship_date"))
+    Versioned.readPruned(spark, root, "ship_date",
+      Some(java.time.LocalDate.parse("1997-01-01")),
+      Some(java.time.LocalDate.parse("1997-06-30")))
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast(D)).cast("double").as("sum_qty"))
+  }
+
+  val prunedScanOracle: String =
+    """SELECT l_returnflag AS flag, COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-06-30'
+      |GROUP BY 1""".stripMargin
+
+  private def deleteRecursively(path: String): Unit = {
+    val f = new java.io.File(path)
+    if (f.isDirectory) f.listFiles().foreach(c => deleteRecursively(c.getAbsolutePath))
+    f.delete()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bucketed_join" -> (bucketedJoin _),
+    "pruned_scan" -> (prunedScan _),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "bucketed_join" -> bucketedJoinOracle,
+    "pruned_scan" -> prunedScanOracle,
+  )
+}

@@ -1,0 +1,132 @@
+package graft
+
+import graft.io.Versioned
+import org.apache.spark.sql.functions._
+
+/** readPruned must open only the files whose footer min/max can overlap
+  * the range — and return exactly what a full-scan filter returns, with or
+  * without stats coverage (stats are advisory, never load-bearing).
+  */
+class FileStatsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmpRoot(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_stats").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  test("long-column range prune opens only overlapping files") {
+    val root = tmpRoot()
+    // three commits with disjoint id ranges -> one file each
+    Seq(1L to 100L, 101L to 200L, 201L to 300L).foreach { r =>
+      Versioned.commit(spark, r.toDF("id").coalesce(1), root,
+        statsCols = Seq("id"))
+    }
+    val pruned = Versioned.readPruned(spark, root, "id", Some(120L), Some(180L))
+    assert(pruned.inputFiles.length == 1, s"files: ${pruned.inputFiles.toSeq}")
+    assert(pruned.select("id").as[Long].collect().sorted.toSeq == (120L to 180L))
+    // open upper bound
+    val ge = Versioned.readPruned(spark, root, "id", Some(250L), None)
+    assert(ge.inputFiles.length == 1)
+    assert(ge.count() == 51)
+  }
+
+  test("string-column prune works and survives delimiter-hostile values") {
+    val root = tmpRoot()
+    Versioned.commit(spark,
+      Seq("alpha", "beta\tgamma", "b|pipe").toDF("s").coalesce(1), root,
+      statsCols = Seq("s"))
+    Versioned.commit(spark,
+      Seq("delta", "epsilon\nzeta").toDF("s").coalesce(1), root,
+      statsCols = Seq("s"))
+    val pruned = Versioned.readPruned(spark, root, "s", Some("d"), Some("f"))
+    assert(pruned.inputFiles.length == 1)
+    assert(pruned.select("s").as[String].collect().toSet ==
+      Set("delta", "epsilon\nzeta"))
+  }
+
+  test("timestamp-column prune compares in the column's own unit") {
+    val root = tmpRoot()
+    // Spark's default INT96 timestamps carry no usable parquet stats; the
+    // stats-friendly layout writes INT64 micros (lake formats do the same)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      val jan = Seq(java.sql.Timestamp.from(java.time.Instant.parse("1997-01-15T00:00:00Z")))
+      val jul = Seq(java.sql.Timestamp.from(java.time.Instant.parse("1997-07-15T00:00:00Z")))
+      Versioned.commit(spark, jan.toDF("ts").coalesce(1), root, statsCols = Seq("ts"))
+      Versioned.commit(spark, jul.toDF("ts").coalesce(1), root, statsCols = Seq("ts"))
+    } finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    val pruned = Versioned.readPruned(spark, root, "ts",
+      Some(java.time.Instant.parse("1997-06-01T00:00:00Z")), None)
+    assert(pruned.inputFiles.length == 1)
+    assert(pruned.count() == 1)
+  }
+
+  test("date-column prune uses epoch-day stats with LocalDate bounds") {
+    val root = tmpRoot()
+    val d1 = Seq(java.sql.Date.valueOf("1997-01-15"), java.sql.Date.valueOf("1997-02-15"))
+    val d2 = Seq(java.sql.Date.valueOf("1997-07-15"), java.sql.Date.valueOf("1997-08-15"))
+    Versioned.commit(spark, d1.toDF("d").coalesce(1), root, statsCols = Seq("d"))
+    Versioned.commit(spark, d2.toDF("d").coalesce(1), root, statsCols = Seq("d"))
+    val pruned = Versioned.readPruned(spark, root, "d",
+      Some(java.time.LocalDate.parse("1997-06-01")),
+      Some(java.time.LocalDate.parse("1997-07-31")))
+    assert(pruned.inputFiles.length == 1)
+    assert(pruned.select("d").as[java.sql.Date].collect().toSeq ==
+      Seq(java.sql.Date.valueOf("1997-07-15")))
+  }
+
+  test("files without stats are kept; result equals full-scan filter") {
+    val root = tmpRoot()
+    Versioned.commit(spark, (1L to 100L).toDF("id").coalesce(1), root,
+      statsCols = Seq("id"))
+    // a commit WITHOUT stats: must always be read
+    Versioned.commit(spark, (500L to 600L).toDF("id").coalesce(1), root)
+    val pruned = Versioned.readPruned(spark, root, "id", Some(50L), Some(60L))
+    assert(pruned.inputFiles.length == 2) // stats-less file cannot be skipped
+    val expect = Versioned.read(spark, root)
+      .filter(col("id").between(50L, 60L)).as[Long].collect().sorted.toSeq
+    assert(pruned.select("id").as[Long].collect().sorted.toSeq == expect)
+  }
+
+  test("nulls in the stats column never break pruning") {
+    val root = tmpRoot()
+    Versioned.commit(spark,
+      Seq(Some(1L), None, Some(10L)).toDF("id").coalesce(1), root,
+      statsCols = Seq("id"))
+    Versioned.commit(spark,
+      Seq(Some(100L), Some(200L)).toDF("id").coalesce(1), root,
+      statsCols = Seq("id"))
+    val pruned = Versioned.readPruned(spark, root, "id", Some(5L), Some(20L))
+    assert(pruned.select("id").as[Long].collect().toSeq == Seq(10L))
+    assert(pruned.inputFiles.length == 1)
+  }
+
+  test("range-clustered commit prunes within one batch's files") {
+    val root = tmpRoot()
+    val df = (1L to 10000L).toDF("id")
+      .repartitionByRange(8, col("id"))
+      .sortWithinPartitions("id")
+    Versioned.commit(spark, df, root, statsCols = Seq("id"))
+    val all = Versioned.read(spark, root)
+    assert(all.inputFiles.length == 8)
+    val pruned = Versioned.readPruned(spark, root, "id", Some(4000L), Some(4200L))
+    assert(pruned.inputFiles.length <= 2,
+      s"expected <=2 of 8 files, got ${pruned.inputFiles.length}")
+    assert(pruned.count() == 201)
+  }
+
+  test("vacuum after a stats-bearing replace drops the old sidecar cleanly") {
+    val root = tmpRoot()
+    Versioned.commit(spark, (1L to 10L).toDF("id").coalesce(1), root,
+      statsCols = Seq("id"))
+    Versioned.commit(spark, (11L to 20L).toDF("id").coalesce(1), root,
+      replace = true, statsCols = Seq("id"))
+    Versioned.vacuum(spark, root, keepVersions = 1)
+    val b1 = new java.io.File(root, "data/b1")
+    assert(!b1.exists(), "vacuum should remove the emptied batch dir and its sidecar")
+    val pruned = Versioned.readPruned(spark, root, "id", Some(15L), None)
+    assert(pruned.count() == 6)
+  }
+}
