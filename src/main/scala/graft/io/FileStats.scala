@@ -40,8 +40,6 @@ object FileStats {
 
   private def enc(s: String): String =
     Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
-  private def dec(s: String): String =
-    new String(Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
 
   /** Footer-read the min/max of `cols` for each file. Returns
     * fileName -> (col -> stats); columns without usable stats are absent. */
@@ -104,12 +102,28 @@ object FileStats {
       case _ => None
     }
 
+  /** Unsigned UTF-8 byte order — the order parquet computes binary stats
+    * in AND the order Spark's UTF8String comparisons use. Java's
+    * String.compareTo (UTF-16 code units) disagrees for supplementary
+    * characters (e.g. emoji sort below U+FFFF in UTF-16 but above it in
+    * UTF-8), which would prune files that actually contain matches. */
+  private def cmpUtf8(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
   private def merge(a: ColStats, b: ColStats): ColStats = {
     require(a.tag == b.tag, s"mixed stat tags ${a.tag}/${b.tag}")
     def lt(x: String, y: String): Boolean = a.tag match {
       case "double" => x.toDouble < y.toDouble
-      case "string" => dec(x) < dec(y)
-      case _ => x.toLong < y.toLong // long / ts-*
+      case "string" => cmpUtf8(Base64.getDecoder.decode(x), Base64.getDecoder.decode(y)) < 0
+      case _ => x.toLong < y.toLong // long / ts-* / date
     }
     ColStats(a.tag,
       if (lt(b.min, a.min)) b.min else a.min,
@@ -163,7 +177,7 @@ object FileStats {
         def cmp(bound: Any, stat: String): Option[Int] = coerce(cs.tag, bound).map {
           case b: Long => java.lang.Long.compare(stat.toLong, b)
           case b: Double => java.lang.Double.compare(stat.toDouble, b)
-          case b: String => dec(stat).compareTo(b)
+          case b: Array[Byte] => cmpUtf8(Base64.getDecoder.decode(stat), b)
         }
         val belowLo = lo.flatMap(b => cmp(b, cs.max)).exists(_ < 0) // max < lo
         val aboveHi = hi.flatMap(b => cmp(b, cs.min)).exists(_ > 0) // min > hi
@@ -175,7 +189,7 @@ object FileStats {
   private def coerce(tag: String, v: Any): Option[Any] = (tag, v) match {
     case ("long", n: Number) => Some(n.longValue())
     case ("double", n: Number) => Some(n.doubleValue())
-    case ("string", s: String) => Some(s)
+    case ("string", s: String) => Some(s.getBytes(StandardCharsets.UTF_8))
     case ("ts-millis", t: java.sql.Timestamp) => Some(t.toInstant.toEpochMilli)
     case ("ts-millis", i: java.time.Instant) => Some(i.toEpochMilli)
     case ("ts-micros", t: java.sql.Timestamp) =>

@@ -107,6 +107,12 @@ object Versioned {
     df.write.mode(SaveMode.ErrorIfExists).parquet(batchDir.toString)
     val newPaths = f.listStatus(batchDir).toSeq.map(_.getPath)
       .filter(p => p.getName.endsWith(".parquet"))
+    // fail loudly on a misspelled stats column: a silent miss would
+    // permanently commit the batch without stats (sidecars are immutable)
+    val missingStats = statsCols.filterNot(df.columns.contains)
+    require(missingStats.isEmpty,
+      s"statsCols not in the committed schema: ${missingStats.mkString(", ")} " +
+        s"(have ${df.columns.mkString(", ")})")
     if (statsCols.nonEmpty) {
       FileStats.writeSidecar(f, batchDir,
         FileStats.collect(spark.sparkContext.hadoopConfiguration, newPaths, statsCols))
@@ -232,13 +238,19 @@ object Versioned {
     * `vacuum` — so compaction is safe under concurrent reads by
     * construction. Returns the new version. */
   def compactLatest(spark: SparkSession, root: String, nFiles: Int,
-                    sortCols: Seq[String] = Nil): Long = {
+                    sortCols: Seq[String] = Nil,
+                    statsCols: Option[Seq[String]] = None): Long = {
     import org.apache.spark.sql.functions.col
     val df = read(spark, root)
     val shaped =
       if (sortCols.isEmpty) df.repartition(nFiles)
       else df.repartitionByRange(nFiles, sortCols.map(col): _*)
-    commit(spark, shaped, root, replace = true)
+        .sortWithinPartitions(sortCols.map(col): _*)
+    // stats default to the sort layout's own columns — compaction must
+    // REFRESH pruning metadata, not silently destroy it (the rewritten
+    // files would otherwise carry no sidecar and never prune again)
+    commit(spark, shaped, root, replace = true,
+      statsCols = statsCols.getOrElse(sortCols))
   }
 
   /** Drop manifests older than the newest `keepVersions`, then delete

@@ -56,29 +56,37 @@ class VersionedCatalog extends TableCatalog {
 
   override def tableExists(ident: Identifier): Boolean = exists(rootFor(ident))
 
-  override def loadTable(ident: Identifier): Table = {
-    val root = rootFor(ident)
-    if (!exists(root)) throw new NoSuchTableException(ident)
-    VersionedDataSource.snapshotTable(spark, root, None)
-  }
+  // one _manifests LIST per load: snapshotFiles' own "no committed
+  // versions" failure IS the existence check — mapping it to
+  // NoSuchTableException avoids a second LIST on the SQL hot path
+  // (an object-store round trip per catalog resolution at scale)
+  private def load(ident: Identifier, asOf: Option[Long]): Table =
+    try VersionedDataSource.snapshotTable(spark, rootFor(ident), asOf)
+    catch {
+      case e: IllegalArgumentException if e.getMessage != null &&
+          e.getMessage.contains("no committed versions") =>
+        throw new NoSuchTableException(ident)
+    }
+
+  override def loadTable(ident: Identifier): Table = load(ident, None)
 
   /** SQL `VERSION AS OF v`. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val root = rootFor(ident)
-    if (!exists(root)) throw new NoSuchTableException(ident)
     val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
       s"graft-versioned versions are integers, got '$version'"))
-    VersionedDataSource.snapshotTable(spark, root, Some(v))
+    load(ident, Some(v))
   }
 
   /** SQL `TIMESTAMP AS OF t` (micros since epoch per the connector API). */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val root = rootFor(ident)
-    if (!exists(root)) throw new NoSuchTableException(ident)
     val v = Versioned.versionAt(spark, root, timestamp / 1000L)
-      .getOrElse(throw new IllegalArgumentException(
-        s"no version committed at or before timestamp $timestamp at $root"))
-    VersionedDataSource.snapshotTable(spark, root, Some(v))
+      .getOrElse {
+        if (!exists(root)) throw new NoSuchTableException(ident)
+        throw new IllegalArgumentException(
+          s"no version committed at or before timestamp $timestamp at $root")
+      }
+    load(ident, Some(v))
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {

@@ -73,30 +73,42 @@ class VersionedDataSource extends TableProvider with DataSourceRegister {
     (root, files)
   }
 
-  private def delegate(options: CaseInsensitiveStringMap,
-                       schema: Option[StructType]): ParquetTable = {
-    val spark = SparkSession.active
-    val (root, files) = resolveFiles(spark, options)
-    // An empty change-set still needs a schema: borrow it from the snapshot
-    // the diff was computed against (zero files scan = zero rows).
-    val userSchema =
-      if (files.nonEmpty) schema
-      else schema.orElse {
-        val to = Option(options.get("changesTo")).map(_.toLong)
-        Some(spark.read.parquet(Versioned.snapshotFiles(spark, root, to): _*).schema)
-      }
-    ParquetTable(s"graft-versioned `$root`", spark, options, files.toList,
-      userSchema, classOf[ParquetFileFormat])
+  // Spark calls inferSchema then getTable on the SAME provider instance;
+  // resolving the manifest in each would be two LISTs and — worse — a race:
+  // a commit landing in between would pair one snapshot's schema with
+  // another's file list. Resolve once and reuse when the options match.
+  @volatile private var cached: Option[(Map[String, String], ParquetTable)] = None
+
+  private def optKey(options: CaseInsensitiveStringMap): Map[String, String] =
+    Seq("path", "asOf", "changesFrom", "changesTo")
+      .flatMap(k => Option(options.get(k)).map(k -> _)).toMap
+
+  private def delegate(options: CaseInsensitiveStringMap): ParquetTable = {
+    val key = optKey(options)
+    cached.filter(_._1 == key).map(_._2).getOrElse {
+      val spark = SparkSession.active
+      val (root, files) = resolveFiles(spark, options)
+      // An empty change-set still needs a schema: borrow it from the snapshot
+      // the diff was computed against (zero files scan = zero rows).
+      val userSchema =
+        if (files.nonEmpty) None
+        else {
+          val to = Option(options.get("changesTo")).map(_.toLong)
+          Some(spark.read.parquet(Versioned.snapshotFiles(spark, root, to): _*).schema)
+        }
+      val t = ParquetTable(s"graft-versioned `$root`", spark, options, files.toList,
+        userSchema, classOf[ParquetFileFormat])
+      cached = Some(key -> t)
+      t
+    }
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    delegate(options, None).schema
+    delegate(options).schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table = {
-    val opts = new CaseInsensitiveStringMap(properties)
-    new VersionedReadTable(delegate(opts, Option(schema)))
-  }
+                        properties: util.Map[String, String]): Table =
+    new VersionedReadTable(delegate(new CaseInsensitiveStringMap(properties)))
 }
 
 /** Read-only wrapper: scans delegate to the native parquet table; the

@@ -30,14 +30,25 @@ object Bucketed {
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
                     buckets: Int, sortCols: Seq[String] = Nil): Unit = {
     require(bucketCols.nonEmpty, "bucketCols must be non-empty")
+    // scope: an unqualified name in the CURRENT database — a qualified
+    // name would make the managed-location derivation below wrong
+    require(!table.contains("."),
+      s"pass an unqualified table name (got '$table'); the table is " +
+        "created in the current database")
     val sorts = if (sortCols.isEmpty) bucketCols else sortCols
     val spark = df.sparkSession
     // the default in-memory catalog forgets tables across JVMs while the
     // warehouse dir persists; a stale location would block saveAsTable,
-    // so clear both the (possibly unknown) table and its leftover dir
+    // so clear both the (possibly unknown) table and its leftover dir,
+    // mirroring the session catalog's managed-location convention
+    // (<warehouse>/<t> for default, <warehouse>/<db>.db/<t> otherwise,
+    // lowercased as the catalog normalizes identifiers)
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val db = spark.catalog.currentDatabase
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val dbDir = if (db == "default") wh
+                else new org.apache.hadoop.fs.Path(wh, s"${db.toLowerCase}.db")
+    val loc = new org.apache.hadoop.fs.Path(dbDir, table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)

@@ -49,6 +49,17 @@ object MaterializedAgg {
       require(srcVersions.contains(c),
         s"state covers source v$c which no longer exists at $sourceRoot " +
           "(vacuumed past the state's high-water mark?)")
+      // delta folding is only sound over append-only history: a replace
+      // commit (including compactLatest) rewrites rows the state already
+      // folded, and readChanges would re-deliver them as "new" — silent
+      // double counting. Detect it by files the covered snapshot lost.
+      val before = Versioned.snapshotFiles(spark, sourceRoot, Some(c)).toSet
+      val now = Versioned.snapshotFiles(spark, sourceRoot, Some(target)).toSet
+      val removed = before.diff(now)
+      require(removed.isEmpty,
+        s"source history since v$c is not append-only (${removed.size} file(s) " +
+          s"replaced/compacted away at $sourceRoot); folding the delta would " +
+          "double-count. Rebuild the state (delete it) or refresh before compacting.")
     }
 
     val delta = covered match {

@@ -48,10 +48,7 @@ object LayoutQueries {
     * FileStatsSpec); the oracle pins that pruning never changes rows. */
   def prunedScan(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.io.Versioned
-    val root = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft_pruned_src_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}").getAbsolutePath
-    deleteRecursively(root)
+    val root = QueryScratch.freshRoot("graft_pruned_src", sfDir)
     val li = Tables.lineitem(spark, sfDir)
       .withColumn("ship_date", to_date(col("l_shipdate")))
     Versioned.commit(spark,
@@ -71,12 +68,6 @@ object LayoutQueries {
       |FROM lineitem
       |WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-06-30'
       |GROUP BY 1""".stripMargin
-
-  private def deleteRecursively(path: String): Unit = {
-    val f = new java.io.File(path)
-    if (f.isDirectory) f.listFiles().foreach(c => deleteRecursively(c.getAbsolutePath))
-    f.delete()
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bucketed_join" -> (bucketedJoin _),

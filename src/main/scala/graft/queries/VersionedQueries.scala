@@ -26,21 +26,12 @@ object VersionedQueries {
     * scratch on every call: version numbers (1,2,3) stay deterministic
     * across repeated runs in one JVM (warmup + timed bench iterations). */
   private def buildSource(spark: SparkSession, sfDir: String): String = {
-    val root = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft_versioned_src_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}").getAbsolutePath
-    deleteRecursively(root)
+    val root = QueryScratch.freshRoot("graft_versioned_src", sfDir)
     val orders = Tables.orders(spark, sfDir)
     (0 to 2).foreach { m =>
       Versioned.commit(spark, orders.filter(pmod(col("o_orderkey"), lit(3)) === m), root)
     }
     root
-  }
-
-  private def deleteRecursively(path: String): Unit = {
-    val f = new java.io.File(path)
-    if (f.isDirectory) f.listFiles().foreach(c => deleteRecursively(c.getAbsolutePath))
-    f.delete()
   }
 
   private def priorityAgg(df: DataFrame): DataFrame =
@@ -90,14 +81,8 @@ object VersionedQueries {
     * then return the final state — which must be bit-identical to one
     * aggregation over the whole table (the oracle). */
   def incrAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    val srcRoot = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft_incr_src_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}").getAbsolutePath
-    val stateRoot = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft_incr_state_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}").getAbsolutePath
-    deleteRecursively(srcRoot)
-    deleteRecursively(stateRoot)
+    val srcRoot = QueryScratch.freshRoot("graft_incr_src", sfDir)
+    val stateRoot = QueryScratch.freshRoot("graft_incr_state", sfDir)
     val orders = Tables.orders(spark, sfDir)
     (0 to 2).foreach { m =>
       Versioned.commit(spark, orders.filter(pmod(col("o_orderkey"), lit(3)) === m), srcRoot)

@@ -77,6 +77,46 @@ class FileStatsSpec extends SparkSpecBase {
       Seq(java.sql.Date.valueOf("1997-07-15")))
   }
 
+  test("string prune orders by UTF-8 bytes, not UTF-16 code units") {
+    val root = tmpRoot()
+    // U+FFFF sorts ABOVE U+1F600 in UTF-16 code units but BELOW it in
+    // UTF-8 bytes (parquet's and Spark's order); code-unit comparison
+    // would prune this file for lo = "￿" and lose a matching row
+    Versioned.commit(spark,
+      Seq("￿", "😀").toDF("s").coalesce(1), root,
+      statsCols = Seq("s"))
+    val pruned = Versioned.readPruned(spark, root, "s", Some("￿"), None)
+    assert(pruned.inputFiles.length == 1)
+    assert(pruned.count() == 2) // both values are >= "￿" in UTF-8 order
+    val expect = Versioned.read(spark, root)
+      .filter(col("s") >= "￿").count()
+    assert(pruned.count() == expect)
+  }
+
+  test("compactLatest refreshes stats so pruning survives compaction") {
+    val root = tmpRoot()
+    (0 until 10).foreach { i =>
+      Versioned.commit(spark,
+        (i * 100L until (i + 1) * 100L).toDF("id").coalesce(1), root,
+        statsCols = Seq("id"))
+    }
+    Versioned.compactLatest(spark, root, nFiles = 5, sortCols = Seq("id"))
+    Versioned.vacuum(spark, root, keepVersions = 1)
+    val pruned = Versioned.readPruned(spark, root, "id", Some(250L), Some(350L))
+    assert(pruned.inputFiles.length < 5,
+      s"compaction should refresh stats; opened ${pruned.inputFiles.length} of 5")
+    assert(pruned.count() == 101)
+  }
+
+  test("a misspelled stats column fails the commit loudly") {
+    val root = tmpRoot()
+    val err = intercept[IllegalArgumentException] {
+      Versioned.commit(spark, (1L to 10L).toDF("id"), root,
+        statsCols = Seq("idd"))
+    }
+    assert(err.getMessage.contains("idd"))
+  }
+
   test("files without stats are kept; result equals full-scan filter") {
     val root = tmpRoot()
     Versioned.commit(spark, (1L to 100L).toDF("id").coalesce(1), root,

@@ -76,6 +76,22 @@ class MaterializedAggSpec extends SparkSpecBase {
     assert(err.getMessage.contains("no longer exists"))
   }
 
+  test("a replace/compaction between refreshes is refused, not double-counted") {
+    val src = tmpRoot(); val state = tmpRoot()
+    Versioned.commit(spark, batch("a" -> 1.0), src)
+    Versioned.commit(spark, batch("a" -> 2.0), src)
+    MaterializedAgg.refresh(spark, src, state, Seq("k"), Seq("x"))
+    // compaction rewrites rows the state already folded; folding the
+    // "delta" (= the whole compacted table) would double-count silently
+    Versioned.compactLatest(spark, src, nFiles = 1)
+    val err = intercept[IllegalArgumentException] {
+      MaterializedAgg.refresh(spark, src, state, Seq("k"), Seq("x"))
+    }
+    assert(err.getMessage.contains("not append-only"))
+    // prior state remains intact and correct
+    assert(asMap(state) == Map("a" -> ((2L, BigDecimal("3.000000")))))
+  }
+
   test("a crashed refresh leaves the prior state readable and re-runnable") {
     val src = tmpRoot(); val state = tmpRoot()
     Versioned.commit(spark, batch("a" -> 1.0), src)
