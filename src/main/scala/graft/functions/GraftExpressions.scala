@@ -100,6 +100,17 @@ object GraftExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  case class ZOrder2Expr(left: Expression, right: Expression) extends BinaryExpression with GraftExpectsInputTypes {
+    override def graftInputTypes: Seq[DataType] = Seq(LongType, LongType)
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.zorder2(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.zorder2($a, $b)")
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ZOrder2Expr =
+      copy(left = newLeft, right = newRight)
+  }
+
   // Column-level wrappers -----------------------------------------------
 
   private def expr(c: Column): Expression = Bridge.expression(c)
@@ -110,6 +121,7 @@ object GraftExpressions {
   def minhashSig(hashes: Column, k: Int): Column = Bridge.column(MinhashSigExpr(expr(hashes), k))
   def simhash32(hashes: Column): Column = Bridge.column(Simhash32Expr(expr(hashes)))
   def dotD(a: Column, b: Column): Column = Bridge.column(DotDExpr(expr(a), expr(b)))
+  def zorder2(a: Column, b: Column): Column = Bridge.column(ZOrder2Expr(expr(a), expr(b)))
   def cosineD(a: Column, b: Column): Column = Bridge.column(CosineExpr(expr(a), expr(b)))
   def kminLongs(c: Column, k: Int): Column =
     Bridge.column(KMinLongs(expr(c), k).toAggregateExpression())

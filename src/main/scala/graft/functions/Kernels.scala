@@ -115,6 +115,27 @@ object Kernels {
     out
   }
 
+  /** Morton (Z-order) interleave of two 16-bit values: bit i of `a` lands
+    * at position 2i, bit i of `b` at 2i+1, so sorting by the result
+    * clusters rows that are close in BOTH dimensions — the multi-column
+    * layout that makes file-level min/max pruning effective on either
+    * column (a single-column sort layout prunes only its own column).
+    * Callers scale each dimension to a monotone 0..65535 rank first;
+    * inputs are masked to 16 bits. */
+  def zorder2(a: Long, b: Long): Long = {
+    var x = a & 0xffffL
+    var y = b & 0xffffL
+    x = (x | (x << 8)) & 0x00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0FL
+    x = (x | (x << 2)) & 0x33333333L
+    x = (x | (x << 1)) & 0x55555555L
+    y = (y | (y << 8)) & 0x00FF00FFL
+    y = (y | (y << 4)) & 0x0F0F0F0FL
+    y = (y | (y << 2)) & 0x33333333L
+    y = (y | (y << 1)) & 0x55555555L
+    x | (y << 1)
+  }
+
   /** Sequential left-fold dot product of two float vectors in double
     * precision — identical accumulation order to the
     * aggregate(zip_with(...)) composition and DuckDB's list_reduce, so

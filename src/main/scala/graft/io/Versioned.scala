@@ -204,6 +204,37 @@ object Versioned {
     base.filter(preds.reduce(_ && _))
   }
 
+  /** Commit `df` laid out on the Z-order (Morton) curve of two numeric
+    * dimensions, with footer stats on both: each dimension is scaled to a
+    * monotone 16-bit rank (one tiny min/max agg), the ranks are
+    * bit-interleaved (codegen'd Kernels.zorder2), and files are
+    * range-partitioned + sorted on the curve. Unlike a single-column sort
+    * — which gives tight min/max on ITS column and useless full-range
+    * stats on every other — the curve keeps rows close in both
+    * dimensions, so [[readPruned]] skips file opens for ranges on EITHER
+    * column (ZOrderSpec measures both). The curve column itself is
+    * dropped before write; layout is invisible to readers. */
+  def commitZOrdered(spark: SparkSession, df: DataFrame, root: String,
+                     dimA: String, dimB: String, nFiles: Int,
+                     replace: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.{col, lit, max, min}
+    val Array(aMin, aMax, bMin, bMax) =
+      df.agg(min(col(dimA).cast("double")), max(col(dimA).cast("double")),
+             min(col(dimB).cast("double")), max(col(dimB).cast("double")))
+        .collect()(0).toSeq.map(v => Option(v).map(_.asInstanceOf[Double]).getOrElse(0.0))
+        .toArray
+    def rank(c: String, mn: Double, mx: Double) =
+      if (mx <= mn) lit(0L)
+      else ((col(c).cast("double") - lit(mn)) / lit(mx - mn) * lit(65535.0)).cast("long")
+    val curve = graft.functions.GraftExpressions.zorder2(
+      rank(dimA, aMin, aMax), rank(dimB, bMin, bMax))
+    val shaped = df.withColumn("__z", curve)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+    commit(spark, shaped, root, replace = replace, statsCols = Seq(dimA, dimB))
+  }
+
   /** The newest version committed at or before `tsMillis` (manifest
     * publish time — the rename commit point's mtime), if any. Backs SQL
     * `TIMESTAMP AS OF` in [[VersionedCatalog]]. */

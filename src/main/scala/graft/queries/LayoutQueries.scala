@@ -69,13 +69,38 @@ object LayoutQueries {
       |WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-06-30'
       |GROUP BY 1""".stripMargin
 
+  /** Z-order lineitem on (l_partkey, l_suppkey) and range-scan a band of
+    * the SECOND dimension — the slice a single-column sort layout could
+    * never prune (ZOrderSpec measures the file opens on both dimensions;
+    * the oracle pins that the curve layout never changes rows). */
+  def zorderScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.io.Versioned
+    val root = QueryScratch.freshRoot("graft_zorder_src", sfDir)
+    Versioned.commitZOrdered(spark, Tables.lineitem(spark, sfDir), root,
+      "l_partkey", "l_suppkey", nFiles = 8)
+    // band chosen inside every scale factor's suppkey range (max is
+    // 9/99/999 at sf0.001/0.01/0.1) so the check is never vacuous
+    Versioned.readPruned(spark, root, "l_suppkey", Some(2L), Some(6L))
+      .groupBy(col("l_linestatus").as("status"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_extendedprice").cast(D)).cast("double").as("sum_price"))
+  }
+
+  val zorderScanOracle: String =
+    """SELECT l_linestatus AS status, COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+      |FROM lineitem WHERE l_suppkey BETWEEN 2 AND 6
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bucketed_join" -> (bucketedJoin _),
     "pruned_scan" -> (prunedScan _),
+    "zorder_scan" -> (zorderScan _),
   )
 
   def oracles: Map[String, String] = Map(
     "bucketed_join" -> bucketedJoinOracle,
     "pruned_scan" -> prunedScanOracle,
+    "zorder_scan" -> zorderScanOracle,
   )
 }
