@@ -93,7 +93,12 @@ object FileStats {
         Some(ColStats(tag, min.toString, max.toString))
       case ("INT32", _: LogicalTypeAnnotation.DateLogicalTypeAnnotation) =>
         Some(ColStats("date", min.toString, max.toString)) // epoch days
-      case ("INT64" | "INT32", _) => Some(ColStats("long", min.toString, max.toString))
+      // plain ints only: a decimal's INT64 is the UNSCALED value — tagging
+      // it "long" would compare unscaled stats against scaled bounds and
+      // prune files that match. No stats = never pruned = safe.
+      case ("INT64" | "INT32", l)
+          if l == null || l.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] =>
+        Some(ColStats("long", min.toString, max.toString))
       case ("DOUBLE" | "FLOAT", _) => Some(ColStats("double", min.toString, max.toString))
       case ("BINARY", _: StringLogicalTypeAnnotation) =>
         Some(ColStats("string",

@@ -1,0 +1,100 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex, PartitionDirectory}
+import org.apache.spark.sql.types.{DateType, TimestampType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** File index that applies the batch sidecars' min/max stats to the DATA
+  * filters Catalyst pushes into the scan — so any range/equality predicate
+  * a SQL user writes against the `graft-versioned` format or catalog skips
+  * non-overlapping file OPENS automatically, with no library call
+  * (`Versioned.readPruned` is the explicit-API twin of the same pruning).
+  *
+  * `listFiles` receives the pushed filters during physical planning; each
+  * conjunct shaped like `col <op> literal` tightens a per-column bound map,
+  * and a file survives only if every bounded column's stats can overlap
+  * (FileStats.mayContain — conservative by construction: missing sidecar,
+  * unknown column, or unsupported literal keeps the file, and Spark
+  * re-applies the full predicate to every row read, so pruning can never
+  * change results). Strict bounds are relaxed to inclusive before the
+  * stats check — also conservative.
+  */
+private[graft] class StatsPrunedFileIndex(
+    spark: SparkSession,
+    files: Seq[Path],
+    sidecars: Map[String, Map[String, FileStats.ColStats]])
+  extends InMemoryFileIndex(spark, files, Map.empty[String, String], None,
+    FileStatusCache.getOrCreate(spark)) {
+
+  /** Files kept by the last stats-filtered listing (observability hook;
+    * -1 until a filtered listing ran). */
+  @volatile var lastKeptFiles: Int = -1
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val listed = super.listFiles(partitionFilters, dataFilters)
+    val bounds = StatsPrunedFileIndex.extractBounds(dataFilters)
+    if (bounds.isEmpty) listed
+    else {
+      val pruned = listed.map { pd =>
+        pd.copy(files = pd.files.filter { f =>
+          val byCol = sidecars.getOrElse(f.getPath.getName, Map.empty)
+          bounds.forall { case (c, (lo, hi)) =>
+            FileStats.mayContain(byCol.get(c), lo, hi)
+          }
+        })
+      }
+      lastKeptFiles = pruned.map(_.files.size).sum
+      pruned
+    }
+  }
+}
+
+private[graft] object StatsPrunedFileIndex {
+
+  /** Per-column [lo, hi] bounds implied by the pushed conjuncts; columns
+    * with no recognizable bound are absent (never pruned on). */
+  def extractBounds(filters: Seq[Expression]): Map[String, (Option[Any], Option[Any])] = {
+    val bounds = scala.collection.mutable.Map[String, (Option[Any], Option[Any])]()
+    def tightenLo(c: String, v: Any): Unit = {
+      val (lo, hi) = bounds.getOrElse(c, (None, None))
+      if (lo.isEmpty) bounds(c) = (Some(v), hi) // first bound wins; extra conjuncts only help
+    }
+    def tightenHi(c: String, v: Any): Unit = {
+      val (lo, hi) = bounds.getOrElse(c, (None, None))
+      if (hi.isEmpty) bounds(c) = (lo, Some(v))
+    }
+    filters.foreach {
+      case GreaterThan(a: Attribute, l: Literal) => literalValue(l).foreach(tightenLo(a.name, _))
+      case GreaterThanOrEqual(a: Attribute, l: Literal) => literalValue(l).foreach(tightenLo(a.name, _))
+      case LessThan(a: Attribute, l: Literal) => literalValue(l).foreach(tightenHi(a.name, _))
+      case LessThanOrEqual(a: Attribute, l: Literal) => literalValue(l).foreach(tightenHi(a.name, _))
+      case GreaterThan(l: Literal, a: Attribute) => literalValue(l).foreach(tightenHi(a.name, _))
+      case GreaterThanOrEqual(l: Literal, a: Attribute) => literalValue(l).foreach(tightenHi(a.name, _))
+      case LessThan(l: Literal, a: Attribute) => literalValue(l).foreach(tightenLo(a.name, _))
+      case LessThanOrEqual(l: Literal, a: Attribute) => literalValue(l).foreach(tightenLo(a.name, _))
+      case EqualTo(a: Attribute, l: Literal) =>
+        literalValue(l).foreach { v => tightenLo(a.name, v); tightenHi(a.name, v) }
+      case EqualTo(l: Literal, a: Attribute) =>
+        literalValue(l).foreach { v => tightenLo(a.name, v); tightenHi(a.name, v) }
+      case _ => // unsupported shape: no bound, no pruning — conservative
+    }
+    bounds.toMap
+  }
+
+  /** Catalyst literal -> the bound domain FileStats.coerce understands.
+    * None for types stats can't compare (disables pruning on that bound). */
+  private def literalValue(l: Literal): Option[Any] = (l.dataType, l.value) match {
+    case (_, null) => None // col <op> NULL matches nothing; leave to the row filter
+    case (DateType, days: Int) => Some(java.time.LocalDate.ofEpochDay(days.toLong))
+    case (TimestampType, micros: Long) =>
+      Some(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L))
+    case (_, s: UTF8String) => Some(s.toString)
+    case (_, n: Number) => Some(n)
+    case _ => None
+  }
+}

@@ -7,7 +7,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScanBuilder, ParquetTable}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -45,6 +45,17 @@ object VersionedDataSource {
       s"graft-versioned `$root`" + asOf.map(v => s" @v$v").getOrElse(""),
       spark, CaseInsensitiveStringMap.empty(), files.toList, None,
       classOf[ParquetFileFormat]))
+  }
+
+  /** Load every batch sidecar referenced by `files` (one tiny driver read
+    * per batch dir): fileName -> col -> stats, for scan-time pruning. */
+  private[io] def sidecarsFor(spark: SparkSession,
+                              files: Seq[String]): Map[String, Map[String, FileStats.ColStats]] = {
+    import org.apache.hadoop.fs.Path
+    files.map(new Path(_)).groupBy(_.getParent).flatMap { case (dir, _) =>
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      FileStats.readSidecar(fs, dir)
+    }
   }
 }
 
@@ -111,14 +122,28 @@ class VersionedDataSource extends TableProvider with DataSourceRegister {
     new VersionedReadTable(delegate(new CaseInsensitiveStringMap(properties)))
 }
 
-/** Read-only wrapper: scans delegate to the native parquet table; the
-  * absence of SupportsWrite (and of BATCH_WRITE in capabilities) makes the
-  * analyzer reject writes instead of silently bypassing the manifest. */
-private[io] class VersionedReadTable(inner: ParquetTable) extends Table with SupportsRead {
+/** Read-only wrapper: scans run through Spark's native ParquetScanBuilder
+  * but over a [[StatsPrunedFileIndex]], so predicates pushed by Catalyst
+  * skip non-overlapping file opens using the batch sidecars' min/max —
+  * SQL/DataFrame users of the format and catalog get file skipping with
+  * no API beyond WHERE. The absence of SupportsWrite (and of BATCH_WRITE
+  * in capabilities) makes the analyzer reject writes instead of silently
+  * bypassing the manifest. */
+private[graft] class VersionedReadTable(inner: ParquetTable) extends Table with SupportsRead {
   override def name(): String = inner.name
   override def schema(): StructType = inner.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
+
+  // built once per table: the snapshot's files + their sidecar stats
+  private[graft] lazy val prunedIndex: StatsPrunedFileIndex = {
+    val spark = inner.sparkSession
+    val files = inner.paths.map(new org.apache.hadoop.fs.Path(_))
+    new StatsPrunedFileIndex(spark, files,
+      VersionedDataSource.sidecarsFor(spark, inner.paths))
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    inner.newScanBuilder(options)
+    ParquetScanBuilder(inner.sparkSession, prunedIndex, inner.schema,
+      inner.dataSchema, options)
 }

@@ -76,6 +76,49 @@ class VersionedFormatSpec extends SparkSpecBase {
     assert(q.as[Long].collect().toSet == Set(3L, 4L, 5L))
   }
 
+  private def keptFiles(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect() // listFiles runs during planning/execution
+    val tables = df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table
+    }
+    tables.collectFirst {
+      case t: graft.io.VersionedReadTable => t.prunedIndex.lastKeptFiles
+    }.getOrElse(fail("no VersionedReadTable in plan"))
+  }
+
+  test("pushed WHERE ranges skip file opens via the batch sidecars") {
+    val root = tmpRoot()
+    Seq(1L to 100L, 101L to 200L, 201L to 300L).foreach { r =>
+      Versioned.commit(spark, r.toDF("id").coalesce(1), root,
+        statsCols = Seq("id"))
+    }
+    val banded = spark.read.format("graft-versioned").load(root)
+      .filter(col("id") >= 120L && col("id") <= 180L)
+    assert(keptFiles(banded) == 1)
+    assert(banded.select("id").as[Long].collect().sorted.toSeq == (120L to 180L))
+    // equality predicate prunes to the one covering file
+    val eq = spark.read.format("graft-versioned").load(root)
+      .filter(col("id") === 250L)
+    assert(keptFiles(eq) == 1)
+    assert(eq.count() == 1)
+    // SQL through a temp view prunes identically
+    spark.read.format("graft-versioned").load(root).createOrReplaceTempView("vt")
+    val viaSql = spark.sql("SELECT id FROM vt WHERE id BETWEEN 205 AND 210")
+    assert(viaSql.as[Long].collect().sorted.toSeq == (205L to 210L))
+  }
+
+  test("scan-time pruning stays conservative without stats and never drops rows") {
+    val root = tmpRoot()
+    Versioned.commit(spark, (1L to 100L).toDF("id").coalesce(1), root,
+      statsCols = Seq("id"))
+    Versioned.commit(spark, (500L to 600L).toDF("id").coalesce(1), root) // no stats
+    val q = spark.read.format("graft-versioned").load(root)
+      .filter(col("id") <= 50L)
+    assert(keptFiles(q) == 2, "the stats-less file must always be kept")
+    assert(q.count() == 50)
+  }
+
   test("writes through the format are rejected (commit protocol bypass)") {
     val root = threeCommits()
     val err = intercept[Exception] {
