@@ -41,10 +41,13 @@ object VersionedDataSource {
   private[io] def snapshotTable(spark: SparkSession, root: String,
                                 asOf: Option[Long]): Table = {
     val files = Versioned.snapshotFiles(spark, root, asOf)
+    // Only a live (non-time-travel) load is streamable: a pinned snapshot
+    // has no future versions to tail.
     new VersionedReadTable(ParquetTable(
       s"graft-versioned `$root`" + asOf.map(v => s" @v$v").getOrElse(""),
       spark, CaseInsensitiveStringMap.empty(), files.toList, None,
-      classOf[ParquetFileFormat]))
+      classOf[ParquetFileFormat]),
+      streamRoot = if (asOf.isEmpty) Some(root) else None)
   }
 
   /** Load every batch sidecar referenced by `files` (one tiny driver read
@@ -118,8 +121,15 @@ class VersionedDataSource extends TableProvider with DataSourceRegister {
     delegate(options).schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new VersionedReadTable(delegate(new CaseInsensitiveStringMap(properties)))
+                        properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    // asOf pins a snapshot and changesFrom is a bounded diff — neither can
+    // tail future commits, so only a plain load advertises streaming.
+    val streamRoot =
+      if (opts.containsKey("asOf") || opts.containsKey("changesFrom")) None
+      else Option(opts.get("path"))
+    new VersionedReadTable(delegate(opts), streamRoot)
+  }
 }
 
 /** Read-only wrapper: scans run through Spark's native ParquetScanBuilder
@@ -129,11 +139,15 @@ class VersionedDataSource extends TableProvider with DataSourceRegister {
   * no API beyond WHERE. The absence of SupportsWrite (and of BATCH_WRITE
   * in capabilities) makes the analyzer reject writes instead of silently
   * bypassing the manifest. */
-private[graft] class VersionedReadTable(inner: ParquetTable) extends Table with SupportsRead {
+private[graft] class VersionedReadTable(inner: ParquetTable,
+                                        streamRoot: Option[String] = None)
+  extends Table with SupportsRead {
   override def name(): String = inner.name
   override def schema(): StructType = inner.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    if (streamRoot.isDefined)
+      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    else util.EnumSet.of(TableCapability.BATCH_READ)
 
   // built once per table: the snapshot's files + their sidecar stats
   private[graft] lazy val prunedIndex: StatsPrunedFileIndex = {
@@ -143,7 +157,12 @@ private[graft] class VersionedReadTable(inner: ParquetTable) extends Table with 
       VersionedDataSource.sidecarsFor(spark, inner.paths))
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    ParquetScanBuilder(inner.sparkSession, prunedIndex, inner.schema,
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val parquet = ParquetScanBuilder(inner.sparkSession, prunedIndex, inner.schema,
       inner.dataSchema, options)
+    streamRoot match {
+      case Some(root) => new VersionedScanBuilder(inner.sparkSession, root, parquet)
+      case None => parquet
+    }
+  }
 }

@@ -1,0 +1,116 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomTaskMetric}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionDirectory, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder}
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming source over a [[Versioned]] table: offsets ARE
+  * version numbers, so `spark.readStream.format("graft-versioned")` tails
+  * commits with exactly-once semantics — each micro-batch reads precisely
+  * the files appended between two committed versions (the same file-diff
+  * as [[Versioned.readChanges]]), and a restarted stream resumes from the
+  * checkpointed version. The first batch processes the whole table as of
+  * stream start (offset 0 → newest), matching file-source semantics.
+  *
+  * Row reading delegates to the native vectorized parquet reader: the
+  * batch [[ParquetScan]] built by the scan builder (with whatever column
+  * pruning the streaming query pushed) provides the PartitionReaderFactory;
+  * this class only plans WHICH files make up each batch. Retention
+  * contract: `vacuum` must keep at least the versions a lagging consumer
+  * still needs — the standard lake-streaming tradeoff, surfaced loudly as
+  * a missing-version error rather than silent skipped data.
+  */
+private[graft] class VersionedMicroBatchStream(
+    spark: SparkSession, root: String, template: ParquetScan)
+  extends MicroBatchStream {
+
+  private case class VOffset(v: Long) extends Offset {
+    override def json(): String = v.toString
+  }
+
+  override def initialOffset(): Offset = VOffset(0L)
+
+  override def latestOffset(): Offset =
+    VOffset(Versioned.versions(spark, root).lastOption.getOrElse(0L))
+
+  override def deserializeOffset(json: String): Offset = VOffset(json.trim.toLong)
+
+  override def commit(end: Offset): Unit = () // progress lives in the checkpoint
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[VOffset].v
+    val to = end.asInstanceOf[VOffset].v
+    if (to <= from) return Array.empty
+    val files =
+      if (from == 0L) Versioned.snapshotFiles(spark, root, Some(to))
+      else Versioned.changedFiles(spark, root, from, Some(to))
+    if (files.isEmpty) return Array.empty
+    val statuses = files.map { f =>
+      val p = new Path(f)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p)
+    }
+    val partitioned = statuses.map { s =>
+      PartitionedFile(InternalRow.empty,
+        org.apache.spark.paths.SparkPath.fromPath(s.getPath),
+        0L, s.getLen, Array.empty[String], s.getModificationTime, s.getLen)
+    }
+    val maxSplit = FilePartition.maxSplitBytes(spark,
+      Seq(PartitionDirectory(InternalRow.empty, statuses.toArray)))
+    FilePartition.getFilePartitions(spark, partitioned, maxSplit).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    template.createReaderFactory()
+
+  override def stop(): Unit = ()
+}
+
+/** Scan wrapper handed out by the versioned table: batch reads delegate
+  * untouched to the native parquet scan (pushdown already happened on the
+  * builder); streaming reads get the version-offset micro-batch stream.
+  * Statistics and columnar hints are forwarded so batch planning (broadcast
+  * decisions, vectorized reads) is identical to the unwrapped scan. */
+private[graft] class VersionedScan(spark: SparkSession, root: String,
+                                   inner: ParquetScan)
+  extends Scan with SupportsReportStatistics {
+  override def readSchema(): StructType = inner.readSchema()
+  override def description(): String = s"graft-versioned $root ${inner.description()}"
+  override def toBatch: Batch = inner.toBatch
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new VersionedMicroBatchStream(spark, root, inner)
+  override def estimateStatistics(): Statistics = inner.estimateStatistics()
+  override def supportedCustomMetrics(): Array[CustomMetric] = inner.supportedCustomMetrics()
+  override def reportDriverMetrics(): Array[CustomTaskMetric] = inner.reportDriverMetrics()
+  override def columnarSupportMode(): Scan.ColumnarSupportMode = inner.columnarSupportMode()
+}
+
+/** ScanBuilder that keeps the native [[ParquetScanBuilder]] pushdown path
+  * (columns, Catalyst filters, aggregates) but wraps the built scan in
+  * [[VersionedScan]] so `readStream.format("graft-versioned")` works. */
+private[graft] class VersionedScanBuilder(spark: SparkSession, root: String,
+                                          inner: ParquetScanBuilder)
+  extends ScanBuilder
+  with SupportsPushDownRequiredColumns
+  with SupportsPushDownCatalystFilters
+  with SupportsPushDownAggregates {
+  override def build(): Scan = new VersionedScan(spark, root, inner.build())
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    inner.pruneColumns(requiredSchema)
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
+    inner.pushFilters(filters)
+  override def pushedFilters: Array[Predicate] = inner.pushedFilters
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    inner.pushAggregation(aggregation)
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    inner.supportCompletePushDown(aggregation)
+}

@@ -1,0 +1,96 @@
+package graft
+
+import graft.io.Versioned
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** `spark.readStream.format("graft-versioned")` must tail commits with
+  * version-number offsets: the first batch is the whole table as of stream
+  * start, each later batch is exactly the files appended between two
+  * versions, and a checkpointed restart resumes from the committed version
+  * (no re-delivery, no skipped commits).
+  */
+class VersionedStreamSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def tail(root: String, ckpt: String, name: String): StreamingQuery =
+    spark.readStream.format("graft-versioned").load(root)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .start()
+
+  private def ids(name: String): Seq[Long] =
+    spark.table(name).select("id").as[Long].collect().toSeq.sorted
+
+  test("tails commits exactly once with version offsets") {
+    val root = tmpDir("graft_vstream")
+    val ckpt = tmpDir("graft_vstream_ckpt")
+    Versioned.commit(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "k"), root)
+    Versioned.commit(spark, Seq((3L, "c")).toDF("id", "k"), root)
+    val q = tail(root, ckpt, "vtail")
+    try {
+      q.processAllAvailable()
+      // first batch: the whole table as of stream start
+      assert(ids("vtail") == Seq(1L, 2L, 3L))
+      Versioned.commit(spark, Seq((4L, "d")).toDF("id", "k"), root)
+      q.processAllAvailable()
+      assert(ids("vtail") == Seq(1L, 2L, 3L, 4L))
+      // two commits between triggers collapse into one batch, no duplicates
+      Versioned.commit(spark, Seq((5L, "e")).toDF("id", "k"), root)
+      Versioned.commit(spark, Seq((6L, "f"), (7L, "g")).toDF("id", "k"), root)
+      q.processAllAvailable()
+      assert(ids("vtail") == (1L to 7L))
+    } finally q.stop()
+  }
+
+  test("restart resumes from the checkpointed version") {
+    // memory sink forbids checkpoint recovery, so collect via foreachBatch
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def run(root: String, ckpt: String): StreamingQuery =
+      spark.readStream.format("graft-versioned").load(root)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.select("id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+            .collect().foreach(seen.add)
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+
+    val root = tmpDir("graft_vstream2")
+    val ckpt = tmpDir("graft_vstream2_ckpt")
+    Versioned.commit(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "k"), root)
+    val q1 = run(root, ckpt)
+    try {
+      q1.processAllAvailable()
+      assert(seen.toArray(Array.empty[java.lang.Long]).map(Long.unbox).sorted.toSeq == Seq(1L, 2L))
+    } finally q1.stop()
+    // commits landing while the stream is down...
+    Versioned.commit(spark, Seq((3L, "c")).toDF("id", "k"), root)
+    Versioned.commit(spark, Seq((4L, "d")).toDF("id", "k"), root)
+    // ...arrive on restart exactly once (offset came from the checkpoint)
+    val q2 = run(root, ckpt)
+    try {
+      q2.processAllAvailable()
+      assert(seen.toArray(Array.empty[java.lang.Long]).map(Long.unbox).sorted.toSeq ==
+        Seq(1L, 2L, 3L, 4L))
+    } finally q2.stop()
+  }
+
+  test("a pinned asOf snapshot is not streamable") {
+    val root = tmpDir("graft_vstream3")
+    Versioned.commit(spark, Seq((1L, "a")).toDF("id", "k"), root)
+    val err = intercept[Exception] {
+      spark.readStream.format("graft-versioned").option("asOf", "1").load(root)
+        .writeStream.format("memory").queryName("vtail_pin")
+        .option("checkpointLocation", tmpDir("graft_vstream3_ckpt"))
+        .start()
+    }
+    assert(err.getMessage.toLowerCase.contains("does not support"),
+      s"unexpected error: ${err.getMessage}")
+  }
+}
