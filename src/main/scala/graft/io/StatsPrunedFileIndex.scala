@@ -25,7 +25,8 @@ import org.apache.spark.unsafe.types.UTF8String
 private[graft] class StatsPrunedFileIndex(
     spark: SparkSession,
     files: Seq[Path],
-    sidecars: Map[String, Map[String, FileStats.ColStats]])
+    sidecars: Map[String, Map[String, FileStats.ColStats]],
+    runtimeKeep: Option[Set[String]] = None)
   extends InMemoryFileIndex(spark, files, Map.empty[String, String], None,
     FileStatusCache.getOrCreate(spark)) {
 
@@ -33,15 +34,43 @@ private[graft] class StatsPrunedFileIndex(
     * -1 until a filtered listing ran). */
   @volatile var lastKeptFiles: Int = -1
 
+  /** Files kept by the last runtime (join-driven) filter computed against
+    * this table's sidecars (-1 until one ran) — written by the scan that
+    * derived its keep-set here; observability only. */
+  @volatile var lastRuntimeKept: Int = -1
+
+  /** Columns any sidecar carries stats for — the columns runtime (join-
+    * driven) filtering can prune on. */
+  private[io] lazy val statsColumns: Set[String] =
+    sidecars.valuesIterator.flatMap(_.keysIterator).toSet
+
+  /** File names that could contain at least one value of every per-column
+    * candidate set (conservative: missing stats keep the file). */
+  private[io] def runtimeSurvivors(sets: Seq[(String, Seq[Any])]): Set[String] =
+    files.iterator.map(_.getName).filter { name =>
+      val byCol = sidecars.getOrElse(name, Map.empty)
+      sets.forall { case (c, vs) =>
+        vs.exists(v => FileStats.mayContain(byCol.get(c), Some(v), Some(v)))
+      }
+    }.toSet
+
+  /** A derived index with a runtime keep-set baked in. The parent index is
+    * shared by every scan of the table, so runtime filters must NOT mutate
+    * it — a self-join's two scans carry different runtime predicates. */
+  private[io] def withRuntimeKeep(keep: Set[String]): StatsPrunedFileIndex =
+    new StatsPrunedFileIndex(spark, files, sidecars, Some(keep))
+
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val listed = super.listFiles(partitionFilters, dataFilters)
     val bounds = StatsPrunedFileIndex.extractBounds(dataFilters)
-    if (bounds.isEmpty) listed
+    if (bounds.isEmpty && runtimeKeep.isEmpty) listed
     else {
       val pruned = listed.map { pd =>
         pd.copy(files = pd.files.filter { f =>
-          val byCol = sidecars.getOrElse(f.getPath.getName, Map.empty)
+          val name = f.getPath.getName
+          val byCol = sidecars.getOrElse(name, Map.empty)
+          runtimeKeep.forall(_.contains(name)) &&
           bounds.forall { case (c, (lo, hi)) =>
             FileStats.mayContain(byCol.get(c), lo, hi)
           }

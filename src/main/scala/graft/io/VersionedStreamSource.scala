@@ -7,11 +7,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomTaskMetric}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionDirectory, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder}
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming source over a [[Versioned]] table: offsets ARE
@@ -79,19 +81,64 @@ private[graft] class VersionedMicroBatchStream(
   * untouched to the native parquet scan (pushdown already happened on the
   * builder); streaming reads get the version-offset micro-batch stream.
   * Statistics and columnar hints are forwarded so batch planning (broadcast
-  * decisions, vectorized reads) is identical to the unwrapped scan. */
+  * decisions, vectorized reads) is identical to the unwrapped scan.
+  *
+  * Also implements DYNAMIC FILE PRUNING via [[SupportsRuntimeFiltering]]:
+  * when the table is the probe side of a broadcast join, Spark's dynamic
+  * partition pruning hands this scan the build side's join-key values at
+  * runtime, and any file whose sidecar min/max excludes every value is
+  * skipped before it is opened — the join-driven analog of the static
+  * WHERE-range pruning, and the piece that makes "join 100 TB of facts to
+  * this week's dim slice" open ~the matching files instead of all of them.
+  * The runtime filter never mutates the table's shared file index (a
+  * self-join's two scans carry different predicates): it swaps in a fresh
+  * scan over a derived index with the keep-set baked in. Conservative by
+  * construction — unknown filter shapes, columns without sidecar stats,
+  * or unconvertible values prune nothing, and the join itself re-checks
+  * every surviving row. */
 private[graft] class VersionedScan(spark: SparkSession, root: String,
                                    inner: ParquetScan)
-  extends Scan with SupportsReportStatistics {
+  extends Scan with SupportsReportStatistics with SupportsRuntimeFiltering {
+
+  // the scan batch reads plan against; replaced by a runtime filter
+  @volatile private var current: ParquetScan = inner
+
+  /** Files kept by the last runtime filter (-1 until one ran) — spec hook. */
+  @volatile private[graft] var lastRuntimeKept: Int = -1
+
+  private def statsIndex: Option[StatsPrunedFileIndex] = inner.fileIndex match {
+    case s: StatsPrunedFileIndex => Some(s)
+    case _ => None
+  }
+
   override def readSchema(): StructType = inner.readSchema()
   override def description(): String = s"graft-versioned $root ${inner.description()}"
-  override def toBatch: Batch = inner.toBatch
+  override def toBatch: Batch = current.toBatch
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new VersionedMicroBatchStream(spark, root, inner)
   override def estimateStatistics(): Statistics = inner.estimateStatistics()
   override def supportedCustomMetrics(): Array[CustomMetric] = inner.supportedCustomMetrics()
   override def reportDriverMetrics(): Array[CustomTaskMetric] = inner.reportDriverMetrics()
   override def columnarSupportMode(): Scan.ColumnarSupportMode = inner.columnarSupportMode()
+
+  override def filterAttributes(): Array[NamedReference] =
+    statsIndex.fold(Array.empty[NamedReference])(
+      _.statsColumns.toArray.sorted.map(Expressions.column))
+
+  override def filter(filters: Array[Filter]): Unit = statsIndex.foreach { idx =>
+    // IN / = over a stats column -> candidate value set; null literals can
+    // never equi-join, so they add no candidates. Anything else: no-op.
+    val sets = filters.toSeq.collect {
+      case In(col, vs) if idx.statsColumns(col) => col -> vs.toSeq.filter(_ != null)
+      case EqualTo(col, v) if idx.statsColumns(col) && v != null => col -> Seq(v)
+    }.filter(_._2.nonEmpty)
+    if (sets.nonEmpty) {
+      val keep = idx.runtimeSurvivors(sets)
+      lastRuntimeKept = keep.size
+      idx.lastRuntimeKept = keep.size // spec observability on the shared index
+      current = inner.copy(fileIndex = idx.withRuntimeKeep(keep))
+    }
+  }
 }
 
 /** ScanBuilder that keeps the native [[ParquetScanBuilder]] pushdown path

@@ -119,6 +119,35 @@ class VersionedFormatSpec extends SparkSpecBase {
     assert(q.count() == 50)
   }
 
+  private def runtimeKept(df: org.apache.spark.sql.DataFrame): Int = {
+    val tables = df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table
+    }
+    tables.collectFirst {
+      case t: graft.io.VersionedReadTable => t.prunedIndex.lastRuntimeKept
+    }.getOrElse(fail("no VersionedReadTable in plan"))
+  }
+
+  test("broadcast join against a filtered dim prunes fact file opens at runtime") {
+    val root = tmpRoot()
+    Seq(1L to 100L, 101L to 200L, 201L to 300L).foreach { r =>
+      Versioned.commit(spark, r.toDF("id").coalesce(1), root, statsCols = Seq("id"))
+    }
+    // file-backed dim: a local Seq would constant-fold the filter away and
+    // leave DPP nothing to latch onto
+    val dimPath = tmpRoot()
+    Seq((150L, "hot"), (160L, "hot"), (10L, "cold"), (250L, "cold"))
+      .toDF("id", "grp").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val fact = spark.read.format("graft-versioned").load(root)
+    val joined = fact.join(broadcast(dim.filter(col("grp") === "hot")), "id")
+    assert(joined.select("id").as[Long].collect().sorted.toSeq == Seq(150L, 160L))
+    // DPP handed the scan the build side's two keys; both land in file 2 of 3
+    assert(runtimeKept(joined) == 1,
+      "runtime filter should keep exactly the one file covering ids 150/160")
+  }
+
   test("writes through the format are rejected (commit protocol bypass)") {
     val root = threeCommits()
     val err = intercept[Exception] {
