@@ -92,15 +92,55 @@ object LayoutQueries {
       |FROM lineitem WHERE l_suppkey BETWEEN 2 AND 6
       |GROUP BY 1""".stripMargin
 
+  /** Commit orders range-clustered on o_custkey with footer stats, then
+    * broadcast-join a file-backed dim filtered on a MATERIALIZED band
+    * column (`grp` — correlated with the key range but opaque to constraint
+    * inference, so no static pushdown can pre-prune): dynamic partition
+    * pruning hands the scan the surviving custkeys at runtime and the
+    * sidecar stats skip the non-matching file opens (plan + file-count
+    * asserted in VersionedFormatSpec; the oracle pins the rows). */
+  def dppJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.io.Versioned
+    val root = QueryScratch.freshRoot("graft_dpp_orders", sfDir)
+    val orders = Tables.orders(spark, sfDir)
+    Versioned.commit(spark,
+      orders.repartitionByRange(8, col("o_custkey")).sortWithinPartitions("o_custkey"),
+      root, statsCols = Seq("o_custkey"))
+    val cust = Tables.customer(spark, sfDir)
+    val w = math.ceil((cust.agg(max("c_custkey")).head.getLong(0) + 1) / 8.0).toLong
+    val dimPath = QueryScratch.freshRoot("graft_dpp_dim", sfDir)
+    cust.select(col("c_custkey"), floor(col("c_custkey") / w).cast("long").as("grp"))
+      .write.parquet(dimPath)
+    val fact = spark.read.format("graft-versioned").load(root)
+    val dim = spark.read.parquet(dimPath).filter(col("grp") === 2L)
+    fact.join(broadcast(dim), fact("o_custkey") === dim("c_custkey"))
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast(D)).cast("double").as("sum_price"))
+  }
+
+  val dppJoinOracle: String =
+    """WITH w AS (SELECT CAST(CEIL((MAX(c_custkey)+1)/8.0) AS BIGINT) AS w FROM customer),
+      |dim AS (SELECT c_custkey,
+      |               CAST(FLOOR(c_custkey / (SELECT w FROM w)) AS BIGINT) AS grp
+      |        FROM customer)
+      |SELECT o_orderpriority AS priority, COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+      |FROM orders JOIN dim ON o_custkey = c_custkey
+      |WHERE grp = 2
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bucketed_join" -> (bucketedJoin _),
     "pruned_scan" -> (prunedScan _),
     "zorder_scan" -> (zorderScan _),
+    "dpp_join" -> (dppJoin _),
   )
 
   def oracles: Map[String, String] = Map(
     "bucketed_join" -> bucketedJoinOracle,
     "pruned_scan" -> prunedScanOracle,
     "zorder_scan" -> zorderScanOracle,
+    "dpp_join" -> dppJoinOracle,
   )
 }

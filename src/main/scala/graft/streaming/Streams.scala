@@ -102,6 +102,27 @@ object Streams {
       }
       .start()
 
+  /** Continuously-maintained materialized view: tails a [[graft.io.Versioned]]
+    * source with the `graft-versioned` stream (offsets are version numbers)
+    * and folds each newly-committed delta into the state table via
+    * [[graft.ops.MaterializedAgg.refresh]]. The micro-batch Dataset is only
+    * a TRIGGER and is never materialized — refresh reads the delta itself
+    * through readChanges and carries its own exactly-once protocol (state
+    * commits tagged `src-vN`, replayed refreshes no-op), so a crash at any
+    * point leaves the old state visible and the next trigger converges.
+    * Work per trigger is O(delta + |state|), never O(source). */
+  def maintainViewSink(spark: SparkSession, sourceRoot: String, stateRoot: String,
+                       keys: Seq[String], sumCols: Seq[String],
+                       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("graft-versioned").load(sourceRoot)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ops.MaterializedAgg.refresh(spark, sourceRoot, stateRoot, keys, sumCols)
+        ()
+      }
+      .start()
+
   /** Partition-pruned streaming MERGE sink: like [[upsertSink]] but each
     * micro-batch rewrites ONLY the target partitions its keys touch
     * (UpsertWriter.upsertPartitioned) instead of the whole table. For a

@@ -81,6 +81,33 @@ class VersionedStreamSpec extends SparkSpecBase {
     } finally q2.stop()
   }
 
+  test("maintainViewSink keeps the materialized aggregate equal to a full recompute") {
+    val src = tmpDir("graft_mview_src")
+    val state = tmpDir("graft_mview_state")
+    val ckpt = tmpDir("graft_mview_ckpt")
+    def fullRecompute(): Map[String, (Long, BigDecimal)] =
+      Versioned.read(spark, src).groupBy("k")
+        .agg(org.apache.spark.sql.functions.count("*").as("cnt"),
+          org.apache.spark.sql.functions.sum("x").cast("decimal(38,6)").as("sum_x"))
+        .collect().map(r => (r.getString(0), (r.getLong(1), BigDecimal(r.getDecimal(2))))).toMap
+    def stateNow(): Map[String, (Long, BigDecimal)] =
+      Versioned.read(spark, state)
+        .collect().map(r => (r.getString(r.fieldIndex("k")),
+          (r.getLong(r.fieldIndex("cnt")), BigDecimal(r.getDecimal(r.fieldIndex("sum_x")))))).toMap
+
+    Versioned.commit(spark, Seq(("a", 10.5), ("b", 20.0), ("a", 1.0)).toDF("k", "x"), src)
+    val q = graft.streaming.Streams.maintainViewSink(
+      spark, src, state, keys = Seq("k"), sumCols = Seq("x"), checkpointDir = ckpt)
+    try {
+      q.processAllAvailable()
+      assert(stateNow() == fullRecompute())
+      Versioned.commit(spark, Seq(("b", 5.0), ("c", 7.25)).toDF("k", "x"), src)
+      q.processAllAvailable()
+      assert(stateNow() == fullRecompute())
+      assert(stateNow().keySet == Set("a", "b", "c"))
+    } finally q.stop()
+  }
+
   test("a pinned asOf snapshot is not streamable") {
     val root = tmpDir("graft_vstream3")
     Versioned.commit(spark, Seq((1L, "a")).toDF("id", "k"), root)
