@@ -4,6 +4,7 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Minimal versioned table: parquet data files + a manifest log, the
   * core mechanism behind transactional lake formats (Delta/Iceberg),
@@ -80,6 +81,49 @@ object Versioned {
     }
   }
 
+  /** The schema recorded in a snapshot's manifest (newest unless `asOf`);
+    * None for manifests published before schema tracking. Recorded
+    * all-nullable — the same shape parquet inference yields — so reading
+    * through the recorded schema is behavior-identical for tables that
+    * never evolved. */
+  def snapshotSchema(spark: SparkSession, root: String,
+                     asOf: Option[Long] = None): Option[StructType] = {
+    val vs = versions(spark, root)
+    asOf.orElse(vs.lastOption).filter(vs.contains).flatMap { v =>
+      manifestLines(spark, root, v).find(_.startsWith("#schema="))
+        .map(s => DataType.fromJson(s.stripPrefix("#schema=")).asInstanceOf[StructType])
+    }
+  }
+
+  private def asNullable(s: StructType): StructType =
+    StructType(s.fields.map(_.copy(nullable = true)))
+
+  /** Additive schema evolution for append commits: existing columns keep
+    * their order and must keep their exact type (a changed type would make
+    * old and new files disagree about the same column — rejected loudly);
+    * new columns append after them (old files read them as null); a batch
+    * missing an old column is allowed (ITS rows read as null). A replace
+    * commit rewrites every file, so it may change schema freely. */
+  private def mergeSchemas(prev: StructType, next: StructType): StructType = {
+    val nextByName = next.fields.map(f => f.name -> f).toMap
+    val prevNames = prev.fieldNames.toSet
+    prev.fields.foreach { pf =>
+      nextByName.get(pf.name).foreach { nf =>
+        require(nf.dataType == pf.dataType,
+          s"column ${pf.name} changes type ${pf.dataType.simpleString} -> " +
+            s"${nf.dataType.simpleString}; append commits may only ADD columns " +
+            "(use replace = true to rewrite the table with a new type)")
+      }
+    }
+    StructType(prev.fields ++ next.fields.filterNot(f => prevNames(f.name)))
+  }
+
+  private def readWithSchema(spark: SparkSession, schema: Option[StructType],
+                             files: Seq[String]): DataFrame = schema match {
+    case Some(s) => spark.read.schema(s).parquet(files: _*)
+    case None => spark.read.parquet(files: _*)
+  }
+
   /** Commit `df` as the next version. `replace = true` makes the new
     * snapshot exactly `df`; `replace = false` appends: the snapshot is
     * the previous file list plus the new files (no data rewrite). The
@@ -104,6 +148,21 @@ object Versioned {
     // published), so deleting it is safe under the single-writer policy
     f.delete(batchDir, true)
     f.delete(new Path(mdir, s".v$next.txt.tmp"), false)
+    // validate + record the snapshot schema BEFORE writing any data:
+    // previous columns (validated additive) then new ones, all nullable.
+    // A legacy table without a recorded schema pays one footer inference
+    // here; every later commit reuses the manifest line.
+    val carried =
+      if (replace || prev.isEmpty) Seq.empty
+      else manifestFiles(spark, root, prev.last)
+    val prevSchema: Option[StructType] =
+      if (replace || prev.isEmpty) None
+      else snapshotSchema(spark, root, Some(prev.last)).orElse(Some(
+        spark.read.parquet(
+          carried.map(rel => new Path(root, rel).toString): _*).schema))
+    val recorded = prevSchema
+      .map(p => mergeSchemas(p, asNullable(df.schema)))
+      .getOrElse(asNullable(df.schema))
     df.write.mode(SaveMode.ErrorIfExists).parquet(batchDir.toString)
     val newPaths = f.listStatus(batchDir).toSeq.map(_.getPath)
       .filter(p => p.getName.endsWith(".parquet"))
@@ -118,10 +177,8 @@ object Versioned {
         FileStats.collect(spark.sparkContext.hadoopConfiguration, newPaths, statsCols))
     }
     val newFiles = newPaths.map(p => s"data/b$next/${p.getName}")
-    val carried =
-      if (replace || prev.isEmpty) Seq.empty
-      else manifestFiles(spark, root, prev.last)
-    val body = (tag.map(t => s"#tag=$t").toSeq ++ carried ++ newFiles)
+    val body = (tag.map(t => s"#tag=$t").toSeq ++ Seq(s"#schema=${recorded.json}")
+      ++ carried ++ newFiles)
       .mkString("", "\n", "\n")
     val tmp = new Path(mdir, s".v$next.txt.tmp")
     val out = f.create(tmp, true)
@@ -164,9 +221,13 @@ object Versioned {
       .map(rel => new Path(root, rel).toString)
   }
 
-  /** Read the newest snapshot, or `asOf` a specific version. */
+  /** Read the newest snapshot, or `asOf` a specific version. Reads through
+    * the manifest-recorded schema, so after additive evolution old files
+    * surface the added columns as null (and time travel to a pre-evolution
+    * version shows that version's schema, not today's). */
   def read(spark: SparkSession, root: String, asOf: Option[Long] = None): DataFrame =
-    spark.read.parquet(snapshotFiles(spark, root, asOf): _*)
+    readWithSchema(spark, snapshotSchema(spark, root, asOf),
+      snapshotFiles(spark, root, asOf))
 
   /** Range scan with file skipping: read only the snapshot files whose
     * footer-harvested min/max (see `commit(statsCols = ...)`) can overlap
@@ -198,7 +259,7 @@ object Versioned {
     }
     val base =
       if (kept.isEmpty) read(spark, root, asOf).limit(0)
-      else spark.read.parquet(kept: _*)
+      else readWithSchema(spark, snapshotSchema(spark, root, asOf), kept)
     val c = col("`" + column.replace("`", "``") + "`")
     val preds = lo.map(v => c >= litOf(v)) ++ hi.map(v => c <= litOf(v))
     base.filter(preds.reduce(_ && _))
@@ -258,7 +319,7 @@ object Versioned {
                   toV: Option[Long] = None): DataFrame = {
     val added = changedFiles(spark, root, fromV, toV)
     if (added.isEmpty) read(spark, root, toV).limit(0)
-    else spark.read.parquet(added: _*)
+    else readWithSchema(spark, snapshotSchema(spark, root, toV), added)
   }
 
   /** Compact the current snapshot: read it, rewrite as `nFiles`

@@ -45,7 +45,8 @@ object VersionedDataSource {
     // has no future versions to tail.
     new VersionedReadTable(ParquetTable(
       s"graft-versioned `$root`" + asOf.map(v => s" @v$v").getOrElse(""),
-      spark, CaseInsensitiveStringMap.empty(), files.toList, None,
+      spark, CaseInsensitiveStringMap.empty(), files.toList,
+      Versioned.snapshotSchema(spark, root, asOf),
       classOf[ParquetFileFormat]),
       streamRoot = if (asOf.isEmpty) Some(root) else None)
   }
@@ -102,13 +103,18 @@ class VersionedDataSource extends TableProvider with DataSourceRegister {
     cached.filter(_._1 == key).map(_._2).getOrElse {
       val spark = SparkSession.active
       val (root, files) = resolveFiles(spark, options)
-      // An empty change-set still needs a schema: borrow it from the snapshot
-      // the diff was computed against (zero files scan = zero rows).
-      val userSchema =
-        if (files.nonEmpty) None
-        else {
-          val to = Option(options.get("changesTo")).map(_.toLong)
-          Some(spark.read.parquet(Versioned.snapshotFiles(spark, root, to): _*).schema)
+      // Prefer the manifest-recorded schema (correct after additive
+      // evolution — footer inference from an arbitrary file would drop or
+      // surface columns nondeterministically). An empty change-set still
+      // needs a schema even without a recorded one: borrow it from the
+      // snapshot the diff was computed against (zero files = zero rows).
+      val schemaVersion = Option(options.get("changesTo")).map(_.toLong)
+        .orElse(Option(options.get("asOf")).map(_.toLong))
+      val userSchema = Versioned.snapshotSchema(spark, root, schemaVersion)
+        .orElse {
+          if (files.nonEmpty) None
+          else Some(spark.read.parquet(
+            Versioned.snapshotFiles(spark, root, schemaVersion): _*).schema)
         }
       val t = ParquetTable(s"graft-versioned `$root`", spark, options, files.toList,
         userSchema, classOf[ParquetFileFormat])
