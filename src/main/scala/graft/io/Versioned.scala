@@ -296,6 +296,124 @@ object Versioned {
     commit(spark, shaped, root, replace = replace, statsCols = Seq(dimA, dimB))
   }
 
+  /** Copy-on-write row-level DELETE: one pruned scan finds the files that
+    * actually CONTAIN matching rows (`input_file_name`), only those are
+    * rewritten with the matches removed, and every untouched file is
+    * carried into the new manifest by reference — at 100 TB, deleting one
+    * day's rows rewrites the files holding that day, not the table. SQL
+    * DELETE semantics: rows where the predicate is TRUE go; FALSE and
+    * NULL stay. The publish is one atomic replace-style commit, so
+    * readers see the pre-delete snapshot or the post-delete one, never a
+    * mix, and time travel to earlier versions still sees the deleted
+    * rows. Returns the new version, or the current one untouched if
+    * nothing matched. Stats sidecars: carried files keep theirs; the
+    * rewritten batch re-harvests the table's existing stats columns, so
+    * file skipping survives the rewrite. */
+  def deleteWhere(spark: SparkSession, root: String,
+                  predicate: org.apache.spark.sql.Column): Long =
+    rewriteTouched(spark, root, predicate,
+      rewrite = df => {
+        import org.apache.spark.sql.functions.{coalesce, lit, not}
+        df.filter(not(coalesce(predicate, lit(false))))
+      })
+
+  /** Copy-on-write row-level UPDATE: same touched-file machinery as
+    * [[deleteWhere]], but matching rows get `assignments` applied (each
+    * value expression may reference the row's old columns) and
+    * non-matching rows in touched files are rewritten unchanged. */
+  def updateWhere(spark: SparkSession, root: String,
+                  predicate: org.apache.spark.sql.Column,
+                  assignments: Map[String, org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    require(assignments.nonEmpty, "updateWhere needs at least one assignment")
+    rewriteTouched(spark, root, predicate,
+      rewrite = df => {
+        val missing = assignments.keySet.filterNot(df.columns.contains)
+        require(missing.isEmpty,
+          s"updateWhere assigns to absent column(s): ${missing.mkString(", ")}")
+        val hit = coalesce(predicate, lit(false))
+        df.columns.foldLeft(df) { (acc, c) =>
+          assignments.get(c) match {
+            case Some(v) => acc.withColumn(c, when(hit, v).otherwise(col(c)))
+            case None => acc
+          }
+        }
+      })
+  }
+
+  /** Shared copy-on-write core: find files containing predicate matches,
+    * rewrite exactly those with `rewrite`, carry the rest by reference. */
+  private def rewriteTouched(spark: SparkSession, root: String,
+                             predicate: org.apache.spark.sql.Column,
+                             rewrite: DataFrame => DataFrame): Long = {
+    import org.apache.spark.sql.functions.input_file_name
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root")
+    val current = vs.last
+    val schema = snapshotSchema(spark, root, Some(current))
+    val files = snapshotFiles(spark, root, Some(current))
+    val snapshot = readWithSchema(spark, schema, files)
+    // one scan finds the touched files; input_file_name is URI-shaped, the
+    // manifest is root-relative — compare canonical Path forms
+    val touchedUris = snapshot.filter(predicate)
+      .select(input_file_name()).distinct()
+      .collect().map(r => new Path(java.net.URI.create(r.getString(0))).toUri.getPath).toSet
+    if (touchedUris.isEmpty) return current
+    val (touched, untouched) = files.partition(f =>
+      touchedUris.contains(new Path(f).toUri.getPath))
+    // stats columns the table already tracks (union over batch sidecars):
+    // the rewritten files must keep pruning alive
+    val rootPath = new Path(root)
+    val f = fs(spark, rootPath)
+    val statsCols = files.map(new Path(_)).groupBy(_.getParent).keys
+      .flatMap(dir => FileStats.readSidecar(f, dir).valuesIterator.flatMap(_.keysIterator))
+      .toSeq.distinct.sorted
+    val rewritten = rewrite(readWithSchema(spark, schema, touched))
+    val untouchedRel = untouched.map { abs =>
+      val u = new Path(abs).toUri.getPath
+      val r = rootPath.toUri.getPath
+      u.stripPrefix(r).stripPrefix("/")
+    }
+    commitMixed(spark, rewritten, root, untouchedRel,
+      statsCols = statsCols.filter(c => schema.forall(_.fieldNames.contains(c))))
+  }
+
+  /** Publish a snapshot that is `carriedRel` (root-relative existing
+    * files, kept by reference) plus `df` written as the new batch — the
+    * commit shape copy-on-write rewrites need. Same atomic rename
+    * protocol as [[commit]]. */
+  private def commitMixed(spark: SparkSession, df: DataFrame, root: String,
+                          carriedRel: Seq[String],
+                          statsCols: Seq[String]): Long = {
+    val mdir = manifestDir(root)
+    val f = fs(spark, mdir)
+    val prev = versions(spark, root)
+    val next = prev.lastOption.getOrElse(0L) + 1
+    val batchDir = new Path(dataDir(root), s"b$next")
+    f.delete(batchDir, true)
+    f.delete(new Path(mdir, s".v$next.txt.tmp"), false)
+    val recorded = asNullable(df.schema)
+    df.write.mode(SaveMode.ErrorIfExists).parquet(batchDir.toString)
+    val newPaths = f.listStatus(batchDir).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    val usable = statsCols.filter(df.columns.contains)
+    if (usable.nonEmpty && newPaths.nonEmpty) {
+      FileStats.writeSidecar(f, batchDir,
+        FileStats.collect(spark.sparkContext.hadoopConfiguration, newPaths, usable))
+    }
+    val newFiles = newPaths.map(p => s"data/b$next/${p.getName}")
+    val body = (Seq(s"#schema=${recorded.json}") ++ carriedRel ++ newFiles)
+      .mkString("", "\n", "\n")
+    val tmp = new Path(mdir, s".v$next.txt.tmp")
+    val out = f.create(tmp, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val target = new Path(mdir, s"v$next.txt")
+    if (f.exists(target) || !f.rename(tmp, target))
+      throw new IllegalStateException(
+        s"commit conflict: v$next already published at $root (second writer?)")
+    next
+  }
+
   /** The newest version committed at or before `tsMillis` (manifest
     * publish time — the rename commit point's mtime), if any. Backs SQL
     * `TIMESTAMP AS OF` in [[VersionedCatalog]]. */
