@@ -48,7 +48,7 @@ object VersionedDataSource {
       spark, CaseInsensitiveStringMap.empty(), files.toList,
       Versioned.snapshotSchema(spark, root, asOf),
       classOf[ParquetFileFormat]),
-      streamRoot = if (asOf.isEmpty) Some(root) else None)
+      liveRoot = if (asOf.isEmpty) Some(root) else None)
   }
 
   /** Load every batch sidecar referenced by `files` (one tiny driver read
@@ -131,29 +131,51 @@ class VersionedDataSource extends TableProvider with DataSourceRegister {
     val opts = new CaseInsensitiveStringMap(properties)
     // asOf pins a snapshot and changesFrom is a bounded diff — neither can
     // tail future commits, so only a plain load advertises streaming.
-    val streamRoot =
+    val liveRoot =
       if (opts.containsKey("asOf") || opts.containsKey("changesFrom")) None
       else Option(opts.get("path"))
-    new VersionedReadTable(delegate(opts), streamRoot)
+    new VersionedReadTable(delegate(opts), liveRoot)
   }
 }
 
-/** Read-only wrapper: scans run through Spark's native ParquetScanBuilder
+/** Scan-side wrapper: scans run through Spark's native ParquetScanBuilder
   * but over a [[StatsPrunedFileIndex]], so predicates pushed by Catalyst
   * skip non-overlapping file opens using the batch sidecars' min/max —
   * SQL/DataFrame users of the format and catalog get file skipping with
   * no API beyond WHERE. The absence of SupportsWrite (and of BATCH_WRITE
-  * in capabilities) makes the analyzer reject writes instead of silently
-  * bypassing the manifest. */
+  * in capabilities) makes the analyzer reject appends/overwrites instead
+  * of silently bypassing the manifest. The one supported SQL mutation is
+  * DELETE: a live (non-time-travel) table implements [[SupportsDelete]]
+  * by delegating to the copy-on-write [[Versioned.deleteWhere]], which
+  * goes THROUGH the manifest protocol — `DELETE FROM cat.t WHERE ...`
+  * rewrites only the files containing matches and publishes atomically.
+  * Untranslatable conditions are refused at analysis (canDeleteWhere), so
+  * a delete can never silently fall back to a full rewrite of rows the
+  * filter did not describe. */
 private[graft] class VersionedReadTable(inner: ParquetTable,
-                                        streamRoot: Option[String] = None)
-  extends Table with SupportsRead {
+                                        liveRoot: Option[String] = None)
+  extends Table with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = inner.name
   override def schema(): StructType = inner.schema
   override def capabilities(): util.Set[TableCapability] =
-    if (streamRoot.isDefined)
+    if (liveRoot.isDefined)
       util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
     else util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    liveRoot.isDefined && filters.forall(f => VersionedReadTable.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val root = liveRoot.getOrElse(throw new UnsupportedOperationException(
+      "DELETE requires a live table load (not a time-travel or CDC read)"))
+    val cond = filters.toSeq.map(f => VersionedReadTable.filterToColumn(f).getOrElse(
+      throw new UnsupportedOperationException(s"cannot translate delete filter $f")))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true)) // unconditional DELETE/TRUNCATE
+    Versioned.deleteWhere(inner.sparkSession, root, cond)
+    ()
+  }
 
   // built once per table: the snapshot's files + their sidecar stats
   private[graft] lazy val prunedIndex: StatsPrunedFileIndex = {
@@ -166,9 +188,50 @@ private[graft] class VersionedReadTable(inner: ParquetTable,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val parquet = ParquetScanBuilder(inner.sparkSession, prunedIndex, inner.schema,
       inner.dataSchema, options)
-    streamRoot match {
+    liveRoot match {
       case Some(root) => new VersionedScanBuilder(inner.sparkSession, root, parquet)
       case None => parquet
+    }
+  }
+}
+
+private[graft] object VersionedReadTable {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit, not}
+  import org.apache.spark.sql.sources._
+
+  /** Conservative V1 Filter -> Column translation for SQL DELETE: a shape
+    * this cannot express returns None and the delete is refused at
+    * analysis — never approximated. Nested (dotted) attributes are
+    * refused: quoting them as one identifier would silently target the
+    * wrong column. */
+  private[io] def filterToColumn(f: Filter): Option[Column] = {
+    def ref(name: String): Option[Column] =
+      if (name.contains(".")) None
+      else Some(col("`" + name.replace("`", "``") + "`"))
+    f match {
+      case EqualTo(a, v) => ref(a).map(_ === lit(v))
+      case EqualNullSafe(a, v) => ref(a).map(_ <=> lit(v))
+      case GreaterThan(a, v) => ref(a).map(_ > lit(v))
+      case GreaterThanOrEqual(a, v) => ref(a).map(_ >= lit(v))
+      case LessThan(a, v) => ref(a).map(_ < lit(v))
+      case LessThanOrEqual(a, v) => ref(a).map(_ <= lit(v))
+      case In(a, vs) =>
+        if (vs.isEmpty) Some(lit(false))
+        else ref(a).map(_.isInCollection(vs.toSeq))
+      case IsNull(a) => ref(a).map(_.isNull)
+      case IsNotNull(a) => ref(a).map(_.isNotNull)
+      case StringStartsWith(a, v) => ref(a).map(_.startsWith(v))
+      case StringEndsWith(a, v) => ref(a).map(_.endsWith(v))
+      case StringContains(a, v) => ref(a).map(_.contains(v))
+      case And(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+      case Or(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+      case Not(c) => filterToColumn(c).map(not)
+      case AlwaysTrue() => Some(lit(true))
+      case AlwaysFalse() => Some(lit(false))
+      case _ => None
     }
   }
 }

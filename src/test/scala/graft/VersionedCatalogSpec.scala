@@ -77,6 +77,31 @@ class VersionedCatalogSpec extends SparkSpecBase {
       || err.getMessage.toLowerCase.contains("not found"))
   }
 
+  test("SQL DELETE goes through the copy-on-write manifest protocol") {
+    val root = new java.io.File(warehouse, "sales/cow_del").getAbsolutePath
+    Versioned.commit(spark, (1L to 100L).map(i => (i, s"r$i")).toDF("id", "k")
+      .coalesce(1), root, statsCols = Seq("id"))
+    Versioned.commit(spark, (101L to 200L).map(i => (i, s"r$i")).toDF("id", "k")
+      .coalesce(1), root, statsCols = Seq("id"))
+    spark.sql("DELETE FROM graft_test.sales.cow_del WHERE id BETWEEN 150 AND 160")
+    assert(spark.sql("SELECT count(*) FROM graft_test.sales.cow_del")
+      .as[Long].head() == 189L)
+    // one atomic version was published; time travel still sees the rows
+    assert(Versioned.versions(spark, root) == Seq(1L, 2L, 3L))
+    assert(Versioned.read(spark, root, asOf = Some(2L)).count() == 200L)
+    // the untouched band-1 file was carried by reference, not rewritten
+    val m3 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_manifests", "v3.txt")))
+    assert(m3.contains("data/b1/"), "band-1 file must be carried")
+    assert(!m3.contains("data/b2/"), "band-2 file must be rewritten, not carried")
+    // DELETE on a time-travel read has no live root and is refused
+    val err = intercept[Exception] {
+      spark.sql("DELETE FROM graft_test.sales.cow_del VERSION AS OF 1 WHERE id = 1")
+    }
+    assert(err.getMessage.toLowerCase.contains("delete"),
+      s"unexpected: ${err.getMessage}")
+  }
+
   test("mutation through the catalog is rejected (read-only policy)") {
     warehouse
     val ins = intercept[Exception] {
