@@ -177,12 +177,22 @@ object Versioned {
         FileStats.collect(spark.sparkContext.hadoopConfiguration, newPaths, statsCols))
     }
     val newFiles = newPaths.map(p => s"data/b$next/${p.getName}")
-    val body = (tag.map(t => s"#tag=$t").toSeq ++ Seq(s"#schema=${recorded.json}")
-      ++ carried ++ newFiles)
-      .mkString("", "\n", "\n")
+    publish(spark, root, next,
+      tag.map(t => s"#tag=$t").toSeq ++ Seq(s"#schema=${recorded.json}")
+        ++ carried ++ newFiles)
+  }
+
+  /** Write the manifest body to a temp file and rename it to `vN.txt` —
+    * the single atomic commit point shared by every publish path. */
+  private def publish(spark: SparkSession, root: String, next: Long,
+                      lines: Seq[String]): Long = {
+    val mdir = manifestDir(root)
+    val f = fs(spark, mdir)
+    f.mkdirs(mdir)
     val tmp = new Path(mdir, s".v$next.txt.tmp")
     val out = f.create(tmp, true)
-    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    try out.write(lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
     val target = new Path(mdir, s"v$next.txt")
     // narrow second-writer detection: on HDFS the no-overwrite rename
     // itself refuses an existing target; local File.renameTo would
@@ -341,6 +351,136 @@ object Versioned {
       })
   }
 
+  /** Copy-on-write keyed MERGE — the reference's staging-table + MERGE
+    * upsert (/root/reference/common/loader.py:41-153) re-expressed against
+    * the versioned table: every target row whose `keys` match a source row
+    * is REPLACED by that source row, source rows with unmatched keys are
+    * appended, and — the scale point — only the target files that actually
+    * CONTAIN a matched key are rewritten; every other file is carried into
+    * the new manifest by reference. On a 100 TB table a merge touching one
+    * day rewrites that day's files, and the key probe is one semi-join of
+    * the table against the (small, broadcastable) source key set.
+    *
+    * Semantics match SQL MERGE: duplicate keys in the source are rejected
+    * loudly (the "cannot update the same target row twice" rule); source
+    * rows with a null key never match (SQL join semantics) and insert;
+    * merging into an absent table inserts everything. `tag` is the replay
+    * guard for streaming sinks: if the NEWEST commit already carries it,
+    * the merge is a no-op (foreachBatch only ever replays the last
+    * uncommitted batch, so newest-tag is the right check). Time travel
+    * still shows the pre-merge rows; stats sidecars are re-harvested on the
+    * rewritten batch so file skipping survives. Returns the new version
+    * (or the current one for a replayed tag / empty source). */
+  def mergeInto(spark: SparkSession, root: String, source: DataFrame,
+                keys: Seq[String], tag: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit}
+    require(keys.nonEmpty, "mergeInto needs at least one key column")
+    val missingKeys = keys.filterNot(source.columns.contains)
+    require(missingKeys.isEmpty,
+      s"source is missing key column(s): ${missingKeys.mkString(", ")}")
+    val vs = versions(spark, root)
+    if (tag.isDefined && vs.nonEmpty && committedTag(spark, root) == tag)
+      return vs.last
+    val dupKeys = source.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
+    require(dupKeys == 0,
+      s"source has multiple rows per key (${keys.mkString(", ")}): " +
+        "MERGE would update the same target row twice")
+    if (vs.isEmpty) return commit(spark, source, root, tag = tag)
+    val current = vs.last
+    val schema = snapshotSchema(spark, root, Some(current))
+    val files = snapshotFiles(spark, root, Some(current))
+    val snapshot = readWithSchema(spark, schema, files)
+    val cols = snapshot.columns.toSeq
+    val extra = source.columns.filterNot(cols.contains)
+    require(extra.isEmpty,
+      s"source has column(s) absent from the table: ${extra.mkString(", ")} " +
+        "(evolve the schema with an append commit first)")
+    val absent = cols.filterNot(source.columns.contains)
+    require(absent.isEmpty,
+      s"source is missing table column(s): ${absent.mkString(", ")} " +
+        "(a matched row is replaced WHOLE — every column must be supplied)")
+    cols.foreach { c =>
+      require(source.schema(c).dataType == snapshot.schema(c).dataType,
+        s"column $c type mismatch: table ${snapshot.schema(c).dataType.simpleString} " +
+          s"vs source ${source.schema(c).dataType.simpleString}")
+    }
+    val aligned = source.select(cols.map(col): _*)
+    val srcKeys = aligned.select(keys.map(col): _*).distinct()
+    // one scan finds the files holding matched keys; the file name must be
+    // captured BELOW the join — input_file_name() above a join returns ""
+    // whenever the planner breaks file context (shuffle join)
+    val touchedUris = snapshot.withColumn("__file", input_file_name())
+      .join(srcKeys, keys, "left_semi")
+      .select(col("__file")).distinct()
+      .collect().map(r => new Path(java.net.URI.create(r.getString(0))).toUri.getPath)
+      .toSet
+    val statsCols = trackedStatsCols(spark, root, files)
+      .filter(c => schema.forall(_.fieldNames.contains(c)))
+    if (touchedUris.isEmpty) {
+      // pure insert (or empty source): no file rewritten, plain append
+      if (aligned.isEmpty) return current
+      return commit(spark, aligned, root, tag = tag, statsCols = statsCols)
+    }
+    val (touched, untouched) = files.partition(f =>
+      touchedUris.contains(new Path(f).toUri.getPath))
+    val survivors = readWithSchema(spark, schema, touched)
+      .join(srcKeys, keys, "left_anti")
+    commitMixed(spark, survivors.unionByName(aligned), root,
+      untouched.map(relativize(root, _)), statsCols = statsCols, tag = tag)
+  }
+
+  /** Roll the table back to `toVersion` by republishing that snapshot's
+    * manifest as a NEW version: no data is copied or rewritten — restore is
+    * O(manifest) at any table size — the bad versions stay time-travelable
+    * until vacuum, and readers flip atomically at the rename. */
+  def restore(spark: SparkSession, root: String, toVersion: Long): Long = {
+    val vs = versions(spark, root)
+    require(vs.contains(toVersion),
+      s"version $toVersion not found at $root (have ${vs.mkString(",")})")
+    val body = snapshotSchema(spark, root, Some(toVersion))
+      .map(s => s"#schema=${s.json}").toSeq ++
+      manifestFiles(spark, root, toVersion)
+    publish(spark, root, vs.last + 1, body)
+  }
+
+  /** Row-level diff between two versions: the snapshot's columns plus
+    * `_change` ('insert' | 'delete'). Where [[readChanges]] is the
+    * append-only fast path, this is the general one — correct across
+    * copy-on-write deletes/updates/merges and compactions — and still
+    * file-aware: files common to both manifests cannot contribute, so only
+    * the differing files are read (a one-day delete diffs that day's old
+    * and new files, not the table). Within those files the diff is an
+    * exact multiset EXCEPT ALL both ways, so rewritten-but-unchanged rows
+    * cancel and an update surfaces as delete(old) + insert(new). Both
+    * sides read through the newer version's schema (additive evolution
+    * makes old files surface added columns as null). */
+  def diffVersions(spark: SparkSession, root: String, fromV: Long,
+                   toV: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val vs = versions(spark, root)
+    require(vs.contains(fromV), s"version $fromV not found at $root")
+    val to = toV.getOrElse(vs.last)
+    require(vs.contains(to), s"version $to not found at $root")
+    require(to >= fromV, s"to=$to earlier than from=$fromV")
+    val before = manifestFiles(spark, root, fromV)
+    val after = manifestFiles(spark, root, to)
+    val beforeSet = before.toSet
+    val afterSet = after.toSet
+    val gone = before.filterNot(afterSet).map(rel => new Path(root, rel).toString)
+    val fresh = after.filterNot(beforeSet).map(rel => new Path(root, rel).toString)
+    val resolved = snapshotSchema(spark, root, Some(to))
+      .getOrElse(read(spark, root, Some(to)).schema)
+    def side(paths: Seq[String]): DataFrame =
+      if (paths.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], resolved)
+      else spark.read.schema(resolved).parquet(paths: _*)
+    side(fresh).exceptAll(side(gone)).withColumn("_change", lit("insert"))
+      .unionByName(
+        side(gone).exceptAll(side(fresh)).withColumn("_change", lit("delete")))
+  }
+
   /** Shared copy-on-write core: find files containing predicate matches,
     * rewrite exactly those with `rewrite`, carry the rest by reference. */
   private def rewriteTouched(spark: SparkSession, root: String,
@@ -363,19 +503,26 @@ object Versioned {
       touchedUris.contains(new Path(f).toUri.getPath))
     // stats columns the table already tracks (union over batch sidecars):
     // the rewritten files must keep pruning alive
-    val rootPath = new Path(root)
-    val f = fs(spark, rootPath)
-    val statsCols = files.map(new Path(_)).groupBy(_.getParent).keys
+    val statsCols = trackedStatsCols(spark, root, files)
+    val rewritten = rewrite(readWithSchema(spark, schema, touched))
+    commitMixed(spark, rewritten, root, untouched.map(relativize(root, _)),
+      statsCols = statsCols.filter(c => schema.forall(_.fieldNames.contains(c))))
+  }
+
+  /** Union of the stats columns any batch sidecar of `files` tracks — the
+    * set a rewrite must re-harvest so file skipping survives it. */
+  private def trackedStatsCols(spark: SparkSession, root: String,
+                               files: Seq[String]): Seq[String] = {
+    val f = fs(spark, new Path(root))
+    files.map(new Path(_)).groupBy(_.getParent).keys
       .flatMap(dir => FileStats.readSidecar(f, dir).valuesIterator.flatMap(_.keysIterator))
       .toSeq.distinct.sorted
-    val rewritten = rewrite(readWithSchema(spark, schema, touched))
-    val untouchedRel = untouched.map { abs =>
-      val u = new Path(abs).toUri.getPath
-      val r = rootPath.toUri.getPath
-      u.stripPrefix(r).stripPrefix("/")
-    }
-    commitMixed(spark, rewritten, root, untouchedRel,
-      statsCols = statsCols.filter(c => schema.forall(_.fieldNames.contains(c))))
+  }
+
+  private def relativize(root: String, abs: String): String = {
+    val u = new Path(abs).toUri.getPath
+    val r = new Path(root).toUri.getPath
+    u.stripPrefix(r).stripPrefix("/")
   }
 
   /** Publish a snapshot that is `carriedRel` (root-relative existing
@@ -384,7 +531,8 @@ object Versioned {
     * protocol as [[commit]]. */
   private def commitMixed(spark: SparkSession, df: DataFrame, root: String,
                           carriedRel: Seq[String],
-                          statsCols: Seq[String]): Long = {
+                          statsCols: Seq[String],
+                          tag: Option[String] = None): Long = {
     val mdir = manifestDir(root)
     val f = fs(spark, mdir)
     val prev = versions(spark, root)
@@ -402,16 +550,9 @@ object Versioned {
         FileStats.collect(spark.sparkContext.hadoopConfiguration, newPaths, usable))
     }
     val newFiles = newPaths.map(p => s"data/b$next/${p.getName}")
-    val body = (Seq(s"#schema=${recorded.json}") ++ carriedRel ++ newFiles)
-      .mkString("", "\n", "\n")
-    val tmp = new Path(mdir, s".v$next.txt.tmp")
-    val out = f.create(tmp, true)
-    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    val target = new Path(mdir, s"v$next.txt")
-    if (f.exists(target) || !f.rename(tmp, target))
-      throw new IllegalStateException(
-        s"commit conflict: v$next already published at $root (second writer?)")
-    next
+    publish(spark, root, next,
+      tag.map(t => s"#tag=$t").toSeq ++ Seq(s"#schema=${recorded.json}")
+        ++ carriedRel ++ newFiles)
   }
 
   /** The newest version committed at or before `tsMillis` (manifest

@@ -99,11 +99,69 @@ object VersionedQueries {
       |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** Copy-on-write MERGE: double the price of every 7th order (updates,
+    * replacing rows in exactly the files that hold them) and insert the
+    * same volume of brand-new keys (+100M — disjoint from real keys and
+    * from the update keys: 100M ≡ 2 (mod 7), so insert keys ≡ 3). The
+    * final snapshot through the DSv2 format must equal the oracle's
+    * anti-join + union restatement of MERGE. */
+  def versionedMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = buildSource(spark, sfDir)
+    val orders = Tables.orders(spark, sfDir)
+    val updates = orders.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val inserts = orders.filter(pmod(col("o_orderkey"), lit(7)) === 1)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+    Versioned.mergeInto(spark, root, updates.unionByName(inserts), Seq("o_orderkey"))
+    priorityAgg(spark.read.format("graft-versioned").load(root))
+  }
+
+  val versionedMergeOracle: String =
+    """WITH src AS (
+      |  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+      |         o_totalprice * 2 AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 7 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, o_orderstatus, o_orderpriority, o_totalprice
+      |  FROM orders WHERE o_orderkey % 7 = 1
+      |), merged AS (
+      |  SELECT o_orderstatus, o_orderpriority, o_totalprice
+      |  FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+      |  UNION ALL
+      |  SELECT o_orderstatus, o_orderpriority, o_totalprice FROM src
+      |)
+      |SELECT o_orderstatus AS status, o_orderpriority AS priority,
+      |       COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+      |FROM merged GROUP BY 1, 2""".stripMargin
+
+  /** Row-level version diff across a copy-on-write delete: v3 is the full
+    * table, v4 removes every 5th order by rewriting only the files that
+    * held them. diffVersions reads just the differing files; the
+    * rewritten-but-surviving rows cancel in the multiset EXCEPT, so the
+    * diff is exactly the deleted rows flagged 'delete' — which the oracle
+    * states directly as a WHERE over the original table. */
+  def versionedDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = buildSource(spark, sfDir)
+    Versioned.deleteWhere(spark, root, pmod(col("o_orderkey"), lit(5)) === 0)
+    Versioned.diffVersions(spark, root, fromV = 3)
+      .groupBy(col("_change"), col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast(D)).cast("double").as("sum_price"))
+  }
+
+  val versionedDiffOracle: String =
+    """SELECT 'delete' AS _change, o_orderstatus AS status, COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+      |FROM orders WHERE o_orderkey % 5 = 0 GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "versioned_snapshot" -> (versionedSnapshot _),
     "versioned_time_travel" -> (versionedTimeTravel _),
     "versioned_changes" -> (versionedChanges _),
     "incr_agg" -> (incrAgg _),
+    "versioned_merge" -> (versionedMerge _),
+    "versioned_diff" -> (versionedDiff _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -111,5 +169,7 @@ object VersionedQueries {
     "versioned_time_travel" -> versionedTimeTravelOracle,
     "versioned_changes" -> versionedChangesOracle,
     "incr_agg" -> incrAggOracle,
+    "versioned_merge" -> versionedMergeOracle,
+    "versioned_diff" -> versionedDiffOracle,
   )
 }

@@ -102,6 +102,27 @@ object Streams {
       }
       .start()
 
+  /** Exactly-once streaming MERGE into a versioned table: each micro-batch
+    * upserts by key through the copy-on-write [[graft.io.Versioned.mergeInto]]
+    * — only the target files the batch's keys touch are rewritten, the rest
+    * carried by reference — so a mostly-today key stream against a 100 TB
+    * target costs O(touched files + batch) per trigger, not O(table). The
+    * batch id becomes the commit tag: a crash-replayed batch (foreachBatch
+    * only ever replays the last uncommitted one) is recognized on the
+    * newest commit and skipped, and readers of the target always see whole
+    * post-batch snapshots. The streaming twin of the reference's
+    * staging-table + MERGE load (common/loader.py:41-153). */
+  def versionedMergeSink(events: DataFrame, root: String, keys: Seq[String],
+                         checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.io.Versioned.mergeInto(batch.sparkSession, root, batch.toDF(), keys,
+          tag = Some(s"merge-batch-$id"))
+        ()
+      }
+      .start()
+
   /** Continuously-maintained materialized view: tails a [[graft.io.Versioned]]
     * source with the `graft-versioned` stream (offsets are version numbers)
     * and folds each newly-committed delta into the state table via

@@ -1,0 +1,204 @@
+package graft
+
+import graft.io.Versioned
+import graft.streaming.Streams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Copy-on-write MERGE, restore, and row-level version diff on
+  * [[Versioned]] tables: a merge rewrites only the files holding matched
+  * keys (everything else carried by reference), matched rows are replaced
+  * whole and unmatched source rows insert, duplicate source keys are
+  * rejected, null source keys insert; restore republishes an old manifest
+  * without copying data; diffVersions yields exact row-level
+  * insert/delete sets across rewrites; the streaming merge sink is
+  * replay-safe by batch tag.
+  */
+class VersionedMergeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmpRoot(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_merge").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def manifestOf(root: String, v: Long): Seq[String] = {
+    val p = java.nio.file.Paths.get(root, "_manifests", s"v$v.txt")
+    new String(java.nio.file.Files.readAllBytes(p)).split("\n").toSeq
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+  }
+
+  test("mergeInto replaces matched rows, inserts unmatched, carries untouched files") {
+    val root = tmpRoot()
+    // three single-file batches banded by id
+    Versioned.commit(spark, (1L to 100L).map(i => (i, i * 1.0, "old"))
+      .toDF("id", "x", "src").coalesce(1), root, statsCols = Seq("id"))
+    Versioned.commit(spark, (101L to 200L).map(i => (i, i * 1.0, "old"))
+      .toDF("id", "x", "src").coalesce(1), root, statsCols = Seq("id"))
+    Versioned.commit(spark, (201L to 300L).map(i => (i, i * 1.0, "old"))
+      .toDF("id", "x", "src").coalesce(1), root, statsCols = Seq("id"))
+    val before = manifestOf(root, 3L)
+
+    // keys 150..160 update (middle band only); 1000..1005 insert
+    val source = ((150L to 160L) ++ (1000L to 1005L))
+      .map(i => (i, -1.0, "new")).toDF("id", "x", "src")
+    val v4 = Versioned.mergeInto(spark, root, source, Seq("id"))
+    assert(v4 == 4L)
+    // bands 1 and 3 are carried byte-identical, band 2 was rewritten
+    val after = manifestOf(root, 4L)
+    assert(after.count(before.contains) == 2,
+      s"expected 2 carried files, manifest: $after")
+
+    val now = Versioned.read(spark, root)
+    assert(now.count() == 306)
+    // matched rows replaced WHOLE (every column from the source)
+    assert(now.filter($"id".between(150L, 160L) && $"src" === "new" && $"x" === -1.0)
+      .count() == 11)
+    // unmatched target rows untouched, inserts present
+    assert(now.filter($"src" === "old").count() == 289)
+    assert(now.filter($"id" >= 1000L).count() == 6)
+    // time travel still sees the pre-merge rows
+    assert(Versioned.read(spark, root, asOf = Some(3L))
+      .filter($"src" === "new").count() == 0)
+  }
+
+  test("mergeInto: pure insert appends without touching any file; empty source no-ops") {
+    val root = tmpRoot()
+    Versioned.commit(spark, (1L to 50L).map(i => (i, "a")).toDF("id", "k")
+      .coalesce(1), root)
+    val before = manifestOf(root, 1L)
+    val v2 = Versioned.mergeInto(spark, root,
+      (100L to 110L).map(i => (i, "b")).toDF("id", "k"), Seq("id"))
+    assert(v2 == 2L)
+    assert(manifestOf(root, 2L).containsSlice(before)) // all carried
+    assert(Versioned.read(spark, root).count() == 61)
+    // empty source: version unchanged
+    val v = Versioned.mergeInto(spark, root,
+      Seq.empty[(Long, String)].toDF("id", "k"), Seq("id"))
+    assert(v == 2L && Versioned.versions(spark, root) == Seq(1L, 2L))
+  }
+
+  test("mergeInto into an absent table inserts everything") {
+    val root = tmpRoot() + "/fresh"
+    Versioned.mergeInto(spark, root, Seq((1L, "a")).toDF("id", "k"), Seq("id"))
+    assert(Versioned.read(spark, root).count() == 1)
+  }
+
+  test("mergeInto rejects duplicate source keys and schema drift") {
+    val root = tmpRoot()
+    Versioned.commit(spark, Seq((1L, "a")).toDF("id", "k"), root)
+    val dup = intercept[IllegalArgumentException] {
+      Versioned.mergeInto(spark, root,
+        Seq((2L, "x"), (2L, "y")).toDF("id", "k"), Seq("id"))
+    }
+    assert(dup.getMessage.contains("multiple rows per key"))
+    val missing = intercept[IllegalArgumentException] {
+      Versioned.mergeInto(spark, root, Seq(Tuple1(2L)).toDF("id"), Seq("id"))
+    }
+    assert(missing.getMessage.contains("missing table column"))
+    val extra = intercept[IllegalArgumentException] {
+      Versioned.mergeInto(spark, root,
+        Seq((2L, "x", 1.0)).toDF("id", "k", "zz"), Seq("id"))
+    }
+    assert(extra.getMessage.contains("absent from the table"))
+    val badType = intercept[IllegalArgumentException] {
+      Versioned.mergeInto(spark, root,
+        Seq((2L, 7)).toDF("id", "k"), Seq("id"))
+    }
+    assert(badType.getMessage.contains("type mismatch"))
+  }
+
+  test("mergeInto: null source keys never match — they insert (SQL join semantics)") {
+    val root = tmpRoot()
+    Versioned.commit(spark,
+      Seq((Some(1L), "a"), (None, "target-null")).toDF("id", "k"), root)
+    Versioned.mergeInto(spark, root,
+      Seq((Option.empty[Long], "src-null")).toDF("id", "k"), Seq("id"))
+    val ks = Versioned.read(spark, root).select("k").as[String].collect().toSet
+    assert(ks == Set("a", "target-null", "src-null"))
+  }
+
+  test("mergeInto keeps stats pruning alive on the rewritten batch") {
+    val root = tmpRoot()
+    Versioned.commit(spark, (1L to 100L).toDF("id").coalesce(1), root,
+      statsCols = Seq("id"))
+    Versioned.commit(spark, (101L to 200L).toDF("id").coalesce(1), root,
+      statsCols = Seq("id"))
+    Versioned.mergeInto(spark, root, Seq(150L).toDF("id"), Seq("id"))
+    assert(Versioned.readPruned(spark, root, "id", Some(150L), Some(155L))
+      .as[Long].collect().sorted.toSeq == (150L to 155L))
+    assert(Versioned.readPruned(spark, root, "id", Some(10L), Some(12L))
+      .as[Long].collect().sorted.toSeq == (10L to 12L))
+  }
+
+  test("restore republishes an old snapshot without copying data") {
+    val root = tmpRoot()
+    Versioned.commit(spark, Seq((1L, "a")).toDF("id", "k"), root)
+    Versioned.commit(spark, Seq((2L, "b")).toDF("id", "k"), root)
+    Versioned.deleteWhere(spark, root, $"id" === 1L)
+    assert(Versioned.read(spark, root).count() == 1)
+    val v4 = Versioned.restore(spark, root, 2L)
+    assert(v4 == 4L)
+    // same file list as v2 — nothing copied, flip is manifest-only
+    assert(manifestOf(root, 4L) == manifestOf(root, 2L))
+    assert(Versioned.read(spark, root).count() == 2)
+    // the rolled-back version stays time-travelable
+    assert(Versioned.read(spark, root, asOf = Some(3L)).count() == 1)
+    intercept[IllegalArgumentException] {
+      Versioned.restore(spark, root, 9L)
+    }
+  }
+
+  test("diffVersions: exact row-level insert/delete across rewrites") {
+    val root = tmpRoot()
+    Versioned.commit(spark, (1L to 100L).map(i => (i, s"r$i")).toDF("id", "k")
+      .coalesce(1), root)
+    Versioned.commit(spark, (101L to 200L).map(i => (i, s"r$i")).toDF("id", "k")
+      .coalesce(1), root)
+    // delete rewrites band 1; the surviving rows must cancel in the diff
+    Versioned.deleteWhere(spark, root, $"id".between(10L, 20L))
+    val d = Versioned.diffVersions(spark, root, 2L)
+    val del = d.filter($"_change" === "delete").select("id").as[Long].collect().sorted
+    assert(del.toSeq == (10L to 20L))
+    assert(d.filter($"_change" === "insert").count() == 0)
+    // an update is delete(old) + insert(new)
+    Versioned.updateWhere(spark, root, $"id" === 50L, Map("k" -> lit("UPD")))
+    val d2 = Versioned.diffVersions(spark, root, 3L)
+    assert(d2.filter($"_change" === "delete").select("k").as[String].collect().toSeq
+      == Seq("r50"))
+    assert(d2.filter($"_change" === "insert").select("k").as[String].collect().toSeq
+      == Seq("UPD"))
+    // append-only range still works and degenerate from==to is empty
+    Versioned.commit(spark, Seq((500L, "new")).toDF("id", "k"), root)
+    val d3 = Versioned.diffVersions(spark, root, 4L, Some(5L))
+    assert(d3.filter($"_change" === "insert").select("id").as[Long].collect().toSeq
+      == Seq(500L))
+    assert(Versioned.diffVersions(spark, root, 5L, Some(5L)).count() == 0)
+  }
+
+  test("versionedMergeSink: streaming upsert, replayed batch tag is a no-op") {
+    val root = tmpRoot()
+    val chk = tmpRoot()
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val q = Streams.versionedMergeSink(
+      src.toDF().toDF("id", "k"), root, Seq("id"), chk)
+    try {
+      src.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      src.addData((2L, "B2"), (3L, "c"))
+      q.processAllAvailable()
+      val rows = Versioned.read(spark, root)
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      assert(rows == Seq((1L, "a"), (2L, "B2"), (3L, "c")))
+      // a replay of the last batch (same tag) must not commit again
+      val vBefore = Versioned.versions(spark, root).last
+      Versioned.mergeInto(spark, root,
+        Seq((2L, "XX")).toDF("id", "k"), Seq("id"),
+        tag = Versioned.committedTag(spark, root))
+      assert(Versioned.versions(spark, root).last == vBefore)
+      assert(Versioned.read(spark, root).filter($"k" === "XX").count() == 0)
+    } finally q.stop()
+  }
+}
