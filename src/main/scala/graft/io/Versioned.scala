@@ -604,6 +604,44 @@ object Versioned {
       statsCols = statsCols.getOrElse(sortCols))
   }
 
+  /** Incremental compaction — the OPTIMIZE between [[compactLatest]]
+    * (full rewrite) and [[vacuum]] (GC): bin-pack only the files smaller
+    * than `smallBytes` into ~`targetBytes` outputs and carry every
+    * already-large file by reference. Streaming sinks and frequent small
+    * merges accrete small files; on a 100 TB table a full rewrite to fix
+    * them is absurd — this rewrites just the accreted tail, so its cost
+    * tracks the DAMAGE, not the table. Optionally sorts the rewritten rows
+    * on `sortCols` (stats re-harvested for the table's tracked columns +
+    * sortCols, so pruning improves). No-op (current version returned)
+    * unless at least `minInputFiles` small files exist — one small file
+    * cannot be packed any better. Old versions stay readable until vacuum. */
+  def compactSmall(spark: SparkSession, root: String,
+                   smallBytes: Long = 32L * 1024 * 1024,
+                   targetBytes: Long = 128L * 1024 * 1024,
+                   sortCols: Seq[String] = Nil,
+                   minInputFiles: Int = 2): Long = {
+    import org.apache.spark.sql.functions.col
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root")
+    val files = snapshotFiles(spark, root, Some(vs.last))
+    val f = fs(spark, new Path(root))
+    val sized = files.map(p => p -> f.getFileStatus(new Path(p)).getLen)
+    val (small, large) = sized.partition(_._2 < smallBytes)
+    if (small.size < minInputFiles) return vs.last
+    val totalSmall = small.map(_._2).sum
+    val nOut = math.max(1, math.ceil(totalSmall.toDouble / targetBytes).toInt)
+    val schema = snapshotSchema(spark, root, Some(vs.last))
+    val df = readWithSchema(spark, schema, small.map(_._1))
+    val shaped =
+      if (sortCols.isEmpty) df.repartition(nOut)
+      else df.repartitionByRange(nOut, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+    val statsCols = (trackedStatsCols(spark, root, files) ++ sortCols)
+      .distinct.sorted.filter(c => schema.forall(_.fieldNames.contains(c)))
+    commitMixed(spark, shaped, root, large.map(p => relativize(root, p._1)),
+      statsCols = statsCols)
+  }
+
   /** Drop manifests older than the newest `keepVersions`, then delete
     * data files no surviving manifest references. Never touches files
     * of retained snapshots, so time travel within the retention window

@@ -832,6 +832,100 @@ object LlmQueries {
        |WHERE cum_tok <= 1000
        |""".stripMargin
 
+  /** Temperature-scaled domain mixing — the corpus-mix op that upsamples
+    * rare domains relative to their natural share (the alpha<1 mixing of
+    * multilingual/multi-domain training sets): after a quality gate makes
+    * per-source counts n_s uneven, each source's quota is
+    * min(n_s, floor(2*sqrt(n_s))) — the sqrt (alpha=0.5) temperature, with
+    * NO cross-source normalization sum, so every arithmetic step (sqrt,
+    * scale, floor) is IEEE-deterministic and engine-identical. Selection
+    * within a source is the md5-ordered deterministic shuffle shared by
+    * the other mix ops. Scale shape: one tiny quota aggregate broadcast
+    * back over one per-source window — no global sort, no collect. */
+  def domainMixSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val eligible = Tables.documents(spark, sfDir)
+      .withColumn("n_tok", size(tokens(col("text"))))
+      .filter(col("n_tok") >= 60)
+    val quotas = eligible.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("quota",
+        least(col("n_docs"), floor(lit(2.0) * sqrt(col("n_docs").cast("double")))))
+    val h = hash32(col("doc_id").cast(StringType))
+    val w = Window.partitionBy(col("source")).orderBy(h, col("doc_id"))
+    eligible.withColumn("rn", row_number().over(w))
+      .join(broadcast(quotas), "source")
+      .filter(col("rn") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("rn"), col("n_docs"), col("quota"))
+  }
+
+  val domainMixSampleOracle: String =
+    s"""WITH toks AS ($tokSql),
+       |eligible AS (
+       |  SELECT doc_id, source FROM toks WHERE len(t) >= 60),
+       |q AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |         LEAST(COUNT(*),
+       |               CAST(floor(2.0 * sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)) AS quota
+       |  FROM eligible GROUP BY source),
+       |r AS (
+       |  SELECT doc_id, source,
+       |         CAST(row_number() OVER (PARTITION BY source
+       |           ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT),
+       |                    doc_id) AS INTEGER) AS rn
+       |  FROM eligible)
+       |SELECT r.doc_id, r.source, r.rn, q.n_docs, q.quota
+       |FROM r JOIN q USING (source) WHERE r.rn <= q.quota
+       |""".stripMargin
+
+  /** Cross-document exact span dedup — the C4/RefinedWeb-style "drop any
+    * repeated line/paragraph, keep its first occurrence" scrub, over
+    * 10-token spans (the synthetic corpus has no line structure): spans
+    * are hashed corpus-wide, the FIRST occurrence in (doc_id, span_idx)
+    * order survives, every later repeat is cut, and documents are
+    * reassembled from their surviving spans. Docs reduced to nothing drop
+    * out entirely. Scale shape: explode -> one window keyed by span text
+    * (span-cardinality shuffle) -> one per-doc regroup; nothing is
+    * quadratic in docs and no state leaves the executors. */
+  def paragraphDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spansOf = Tables.documents(spark, sfDir)
+      .withColumn("t", tokens(col("text")))
+      .withColumn("span_idx",
+        explode(sequence(lit(0L), ceil(size(col("t")) / lit(10.0)) - 1L)))
+      .withColumn("span",
+        array_join(slice(col("t"), (col("span_idx") * 10 + 1).cast("int"), lit(10)), " "))
+      .select("doc_id", "span_idx", "span")
+    val firstSeen = Window.partitionBy(col("span"))
+      .orderBy(col("doc_id"), col("span_idx"))
+    spansOf.withColumn("rn", row_number().over(firstSeen))
+      .filter(col("rn") === 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_spans"),
+        array_join(transform(array_sort(
+          collect_list(struct(col("span_idx"), col("span")))),
+          s => s.getField("span")), " ").as("cleaned"))
+  }
+
+  val paragraphDedupOracle: String =
+    s"""WITH toks AS ($tokSql),
+       |spans0 AS (
+       |  SELECT doc_id,
+       |         list_transform(range(0, CAST(ceil(len(t)/10.0) AS BIGINT)),
+       |           i -> array_to_string(list_slice(t, i*10+1, i*10+10), ' ')) AS sp
+       |  FROM toks),
+       |spans AS (
+       |  SELECT doc_id, UNNEST(sp) AS span, UNNEST(range(0, len(sp))) AS span_idx
+       |  FROM spans0),
+       |kept AS (
+       |  SELECT doc_id, span_idx, span,
+       |         row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+       |  FROM spans)
+       |SELECT doc_id, COUNT(*) AS kept_spans,
+       |       string_agg(span, ' ' ORDER BY span_idx) AS cleaned
+       |FROM kept WHERE rn = 1 GROUP BY doc_id
+       |""".stripMargin
+
   // -------------------------------------------------------------------
   // Decontamination — the train/eval overlap scrub every training corpus
   // needs: a candidate training document is contaminated if it shares any
@@ -1172,6 +1266,8 @@ object LlmQueries {
     "tfidf_topk_agg" -> (tfidfTopKAgg _),
     "balanced_sample" -> (balancedSample _),
     "token_budget_sample" -> (tokenBudgetSample _),
+    "domain_mix_sample" -> (domainMixSample _),
+    "paragraph_dedup" -> (paragraphDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1186,6 +1282,8 @@ object LlmQueries {
     "curation_pipeline" -> curationPipelineOracle,
     "doc_chunks" -> docChunksOracle,
     "stratified_sample" -> stratifiedSampleOracle,
+    "domain_mix_sample" -> domainMixSampleOracle,
+    "paragraph_dedup" -> paragraphDedupOracle,
     "exact_dedup" -> exactDedupOracle,
     "minhash_lsh_pairs" -> minhashLshPairsOracle,
     "dedup_incremental" -> dedupIncrementalOracle,

@@ -163,6 +163,31 @@ class VersionedFormatSpec extends SparkSpecBase {
     assert(Versioned.read(spark, root).count() == 5)
   }
 
+  test("a small versioned table auto-broadcasts from its reported statistics") {
+    val root = threeCommits()
+    // big side estimates ~16 MB (> the 10 MB broadcast threshold), so the
+    // join can only broadcast if the versioned scan reports real, finite
+    // statistics — unknown stats would force a sort-merge join
+    val big = spark.range(0L, 2000000L).toDF("id")
+    val j = big.join(spark.read.format("graft-versioned").load(root), "id")
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected stats-driven auto-broadcast in:\n$plan")
+  }
+
+  test("count(*) pushes into the parquet scan when aggregate pushdown is on") {
+    val root = threeCommits()
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      val q = spark.read.format("graft-versioned").load(root).groupBy().count()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation: [COUNT(*)]"),
+        s"expected pushed count in:\n$plan")
+      assert(q.as[Long].head() == 5L)
+    } finally spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+  }
+
   test("asOf and changesFrom are mutually exclusive; missing version fails loudly") {
     val root = threeCommits()
     intercept[IllegalArgumentException] {

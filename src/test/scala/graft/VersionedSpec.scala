@@ -166,4 +166,35 @@ class VersionedSpec extends SparkSpecBase {
     assert(snapshot.count() == 100)
     assert(Versioned.read(spark, root).count() == 1)
   }
+
+  private def manifestOf(root: String, v: Long): Seq[String] = {
+    val p = java.nio.file.Paths.get(root, "_manifests", s"v$v.txt")
+    new String(java.nio.file.Files.readAllBytes(p)).split("\n").toSeq
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+  }
+
+  test("compactSmall packs only the small files and carries large ones") {
+    val root = tmpRoot()
+    // one "large" batch (many rows, one file) + three tiny ones
+    Versioned.commit(spark, (1L to 200000L).toDF("id").coalesce(1), root,
+      statsCols = Seq("id"))
+    Seq(300001L, 300002L, 300003L).foreach { i =>
+      Versioned.commit(spark, Seq(i).toDF("id").coalesce(1), root,
+        statsCols = Seq("id"))
+    }
+    val before = manifestOf(root, 4L)
+    assert(before.size == 4)
+    val v5 = Versioned.compactSmall(spark, root, smallBytes = 100000L)
+    assert(v5 == 5L)
+    val after = manifestOf(root, 5L)
+    // the large file is carried by reference; 3 tiny files became 1
+    assert(after.count(before.contains) == 1)
+    assert(after.size == 2)
+    assert(Versioned.read(spark, root).count() == 200003L)
+    // stats were re-harvested on the packed batch: pruning still exact
+    assert(Versioned.readPruned(spark, root, "id", Some(300001L), None)
+      .as[Long].collect().sorted.toSeq == Seq(300001L, 300002L, 300003L))
+    // too few small files -> no-op
+    assert(Versioned.compactSmall(spark, root, smallBytes = 100000L) == 5L)
+  }
 }
