@@ -26,10 +26,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `graft.ns1.ns2.tbl` resolves to `<warehouse>/ns1/ns2/tbl`; a table exists
   * iff that directory has committed manifests. `TIMESTAMP AS OF` resolves to
   * the newest version whose manifest publish time (the atomic-rename commit
-  * point) is at or before the asked instant. The catalog is read-only by
-  * policy — mutation goes through [[Versioned.commit]] or
-  * `Streams.versionedSink`, never DDL/DML that could bypass the manifest —
-  * so create/alter/drop/rename all reject loudly.
+  * point) is at or before the asked instant.
+  *
+  * Mutations are allowed exactly where they route through the manifest
+  * protocol: CREATE TABLE publishes an empty v1 carrying the declared
+  * schema (so CTAS = create + INSERT works end-to-end in SQL), INSERT
+  * INTO/OVERWRITE and DELETE go through the live table's write/delete
+  * surface ([[VersionedDataSource]]), and DROP TABLE removes the whole
+  * root. ALTER and RENAME reject: schema evolves through append commits,
+  * and a rename would silently break every reader holding the old path.
   */
 class VersionedCatalog extends TableCatalog {
 
@@ -101,19 +106,40 @@ class VersionedCatalog extends TableCatalog {
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(
-      s"$catalogName is read-only: $op must go through Versioned.commit / " +
-        "Streams.versionedSink so the manifest protocol is never bypassed")
+      s"$catalogName does not support $op: schema evolves through append " +
+        "commits and paths are stable — renames would break readers")
 
+  /** CREATE TABLE: publish an empty v1 whose manifest records the declared
+    * schema — zero data files, but the table immediately reads (0 rows),
+    * lists, and accepts INSERT. This is also the non-atomic half of CTAS
+    * (Spark creates, then INSERTs, and drops on failure). */
   override def createTable(ident: Identifier, columns: Array[Column],
                            partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table =
-    readOnly(s"CREATE TABLE $ident")
+                           properties: util.Map[String, String]): Table = {
+    if (partitions.nonEmpty) throw new UnsupportedOperationException(
+      "partition transforms are not supported; use commitZOrdered / " +
+        "writeBucketed layouts instead")
+    val root = rootFor(ident)
+    if (exists(root)) throw new org.apache.spark.sql.catalyst.analysis
+      .TableAlreadyExistsException(ident.toString)
+    val schema = org.apache.spark.sql.types.StructType(columns.map(c =>
+      org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    Versioned.commit(spark, empty, root)
+    load(ident, None)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     readOnly(s"ALTER TABLE $ident")
 
-  override def dropTable(ident: Identifier): Boolean =
-    readOnly(s"DROP TABLE $ident")
+  /** DROP TABLE: remove the root (manifests + data). Returns false for a
+    * table that never committed, per the TableCatalog contract. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val root = new Path(rootFor(ident))
+    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    exists(root.toString) && f.delete(root, true)
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     readOnly(s"RENAME TABLE $oldIdent")

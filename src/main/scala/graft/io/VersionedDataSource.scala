@@ -27,11 +27,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * scan is the native vectorized parquet path with full filter pushdown,
   * column pruning, and file-level min/max pruning — nothing is re-listed, and
   * a commit that lands mid-query cannot change the file set (snapshot
-  * isolation at plan level). Writes through the format are deliberately
-  * unsupported: commits must go through [[Versioned.commit]] /
-  * `Streams.versionedSink`, because an uncommitted `df.write` into the table
-  * directory would bypass the manifest (capabilities() advertises BATCH_READ
-  * only, so the analyzer rejects `df.write.format("graft-versioned")`).
+  * isolation at plan level). Writes to a LIVE load go through the manifest
+  * protocol ([[VersionedWriteBuilder]] routes append/overwrite into
+  * [[Versioned.commit]]'s atomic rename), so
+  * `df.write.format("graft-versioned").mode("append").save(root)` and SQL
+  * INSERT publish real versions; pinned (asOf) and CDC (changesFrom) loads
+  * advertise BATCH_READ only and the analyzer rejects writing to history.
   *
   * Registered via META-INF/services as `graft-versioned`.
   */
@@ -142,26 +143,42 @@ class VersionedDataSource extends TableProvider with DataSourceRegister {
   * but over a [[StatsPrunedFileIndex]], so predicates pushed by Catalyst
   * skip non-overlapping file opens using the batch sidecars' min/max —
   * SQL/DataFrame users of the format and catalog get file skipping with
-  * no API beyond WHERE. The absence of SupportsWrite (and of BATCH_WRITE
-  * in capabilities) makes the analyzer reject appends/overwrites instead
-  * of silently bypassing the manifest. The one supported SQL mutation is
-  * DELETE: a live (non-time-travel) table implements [[SupportsDelete]]
-  * by delegating to the copy-on-write [[Versioned.deleteWhere]], which
-  * goes THROUGH the manifest protocol — `DELETE FROM cat.t WHERE ...`
-  * rewrites only the files containing matches and publishes atomically.
-  * Untranslatable conditions are refused at analysis (canDeleteWhere), so
-  * a delete can never silently fall back to a full rewrite of rows the
-  * filter did not describe. */
+  * no API beyond WHERE.
+  *
+  * Mutations are supported exactly where they can go THROUGH the manifest
+  * protocol, and nowhere else. A live (non-time-travel, non-CDC) table:
+  *  - writes: `INSERT INTO` / `df.write.mode("append")` publish one
+  *    append commit; `INSERT OVERWRITE` / mode("overwrite") one replace
+  *    commit — each a single atomic manifest rename, so concurrent
+  *    readers see whole snapshots (V1Write fallback: the data lands via
+  *    [[Versioned.commit]], never a bare directory write);
+  *  - DELETE: [[SupportsDelete]] delegates to the copy-on-write
+  *    [[Versioned.deleteWhere]] — `DELETE FROM cat.t WHERE ...` rewrites
+  *    only the files containing matches. Untranslatable conditions are
+  *    refused at analysis (canDeleteWhere), never approximated.
+  * A pinned (asOf) or CDC (changesFrom) load has no live root: every
+  * mutation path is absent from its capabilities and the analyzer
+  * rejects it — history cannot be edited. */
 private[graft] class VersionedReadTable(inner: ParquetTable,
                                         liveRoot: Option[String] = None)
   extends Table with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = inner.name
   override def schema(): StructType = inner.schema
   override def capabilities(): util.Set[TableCapability] =
     if (liveRoot.isDefined)
-      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+        TableCapability.TRUNCATE)
     else util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val root = liveRoot.getOrElse(throw new UnsupportedOperationException(
+      "cannot write to a time-travel or CDC read (history is immutable)"))
+    new VersionedWriteBuilder(inner.sparkSession, root)
+  }
 
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
     liveRoot.isDefined && filters.forall(f => VersionedReadTable.filterToColumn(f).isDefined)
@@ -193,6 +210,33 @@ private[graft] class VersionedReadTable(inner: ParquetTable,
       case None => parquet
     }
   }
+}
+
+/** Write path for live versioned tables: V1Write fallback whose
+  * InsertableRelation hands the materialized batch to [[Versioned.commit]]
+  * — append mode publishes an append commit, truncate/overwrite a replace
+  * commit. The commit's temp-dir + atomic-manifest-rename protocol is what
+  * makes the SQL write safe under concurrent readers; a failed job leaves
+  * only unpublished debris that the next committer reclaims. */
+private[graft] class VersionedWriteBuilder(spark: SparkSession, root: String)
+  extends org.apache.spark.sql.connector.write.WriteBuilder
+  with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var replace = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    replace = true
+    this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.V1Write {
+      override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+        new org.apache.spark.sql.sources.InsertableRelation {
+          override def insert(data: org.apache.spark.sql.DataFrame,
+                              overwrite: Boolean): Unit = {
+            Versioned.commit(spark, data, root, replace = replace || overwrite)
+            ()
+          }
+        }
+    }
 }
 
 private[graft] object VersionedReadTable {

@@ -6,7 +6,9 @@ import org.apache.hadoop.fs.Path
 /** The catalog must give versioned tables the real SQL surface: resolve
   * `graft_test.ns.tbl` to a warehouse root, serve VERSION AS OF and
   * TIMESTAMP AS OF through the connector time-travel API, list tables,
-  * and reject every mutation path (read-only by policy).
+  * route CREATE/INSERT/OVERWRITE/CTAS/DROP through the manifest commit
+  * protocol, and reject the paths that cannot honor it (ALTER, RENAME,
+  * writes to pinned history).
   */
 class VersionedCatalogSpec extends SparkSpecBase {
   import spark.implicits._
@@ -102,18 +104,51 @@ class VersionedCatalogSpec extends SparkSpecBase {
       s"unexpected: ${err.getMessage}")
   }
 
-  test("mutation through the catalog is rejected (read-only policy)") {
+  test("SQL CREATE / INSERT / OVERWRITE / CTAS / DROP route through the manifest protocol") {
+    val wh = warehouse
+    spark.sql("CREATE TABLE graft_test.sales.fresh (id BIGINT, k STRING)")
+    // an empty v1 carrying the declared schema: reads 0 rows, lists, inserts
+    assert(spark.sql("SELECT * FROM graft_test.sales.fresh").count() == 0L)
+    spark.sql("INSERT INTO graft_test.sales.fresh VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graft_test.sales.fresh VALUES (3, 'c')")
+    val root = new java.io.File(wh, "sales/fresh").getAbsolutePath
+    assert(Versioned.versions(spark, root) == Seq(1L, 2L, 3L))
+    assert(spark.sql("SELECT count(*) FROM graft_test.sales.fresh")
+      .as[Long].head() == 3L)
+    spark.sql("INSERT OVERWRITE graft_test.sales.fresh VALUES (9, 'z')")
+    assert(spark.sql("SELECT k FROM graft_test.sales.fresh")
+      .as[String].collect().toSeq == Seq("z"))
+    // the overwrite is a replace commit: pre-overwrite history still reads
+    assert(spark.sql("SELECT count(*) FROM graft_test.sales.fresh VERSION AS OF 3")
+      .as[Long].head() == 3L)
+    // CTAS = create + insert, end-to-end in SQL
+    spark.sql("CREATE TABLE graft_test.sales.fresh_copy AS " +
+      "SELECT * FROM graft_test.sales.fresh")
+    assert(spark.sql("SELECT k FROM graft_test.sales.fresh_copy")
+      .as[String].collect().toSeq == Seq("z"))
+    // double create fails loudly; drop removes root and resolution
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft_test.sales.fresh (id BIGINT)")
+    }
+    spark.sql("DROP TABLE graft_test.sales.fresh_copy")
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_test.sales.fresh_copy").collect()
+    }
+    spark.sql("DROP TABLE graft_test.sales.fresh")
+  }
+
+  test("ALTER and RENAME stay rejected (paths are stable, schema evolves via commits)") {
     warehouse
-    val ins = intercept[Exception] {
-      spark.sql("INSERT INTO graft_test.sales.orders VALUES (7, 'q')")
+    val alter = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_test.sales.orders ADD COLUMN z INT")
     }
-    val msg = ins.getMessage.toLowerCase
-    assert(msg.contains("does not support") || msg.contains("read-only"),
-      s"unexpected: ${ins.getMessage}")
-    val drop = intercept[Exception] {
-      spark.sql("DROP TABLE graft_test.sales.orders")
+    assert(alter.getMessage.toLowerCase.contains("does not support"),
+      s"unexpected: ${alter.getMessage}")
+    val ren = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_test.sales.orders RENAME TO graft_test.sales.orders2")
     }
-    assert(drop.getMessage.contains("read-only"))
+    assert(ren.getMessage.toLowerCase.contains("does not support"),
+      s"unexpected: ${ren.getMessage}")
     // table untouched
     assert(spark.sql("SELECT count(*) FROM graft_test.sales.orders")
       .as[Long].head() == 1L)

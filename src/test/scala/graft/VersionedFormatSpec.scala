@@ -148,19 +148,31 @@ class VersionedFormatSpec extends SparkSpecBase {
       "runtime filter should keep exactly the one file covering ids 150/160")
   }
 
-  test("writes through the format are rejected (commit protocol bypass)") {
+  test("format writes publish manifest commits; history writes are rejected") {
     val root = threeCommits()
+    // append mode = one append commit through the manifest protocol
+    Seq((6L, "d", 60.0)).toDF("id", "k", "x")
+      .write.format("graft-versioned").mode("append").save(root)
+    assert(Versioned.versions(spark, root) == Seq(1L, 2L, 3L, 4L))
+    assert(Versioned.read(spark, root).count() == 6)
+    // overwrite mode = one replace commit; earlier versions stay readable
+    Seq((9L, "zz", 90.0)).toDF("id", "k", "x")
+      .write.format("graft-versioned").mode("overwrite").save(root)
+    assert(Versioned.read(spark, root).select("id").as[Long].collect().toSeq
+      == Seq(9L))
+    assert(Versioned.read(spark, root, asOf = Some(4L)).count() == 6)
+    // a pinned snapshot has no live root: writing to history is rejected
     val err = intercept[Exception] {
-      Seq((6L, "d", 60.0)).toDF("id", "k", "x")
-        .write.format("graft-versioned").mode("append").save(root)
+      Seq((7L, "e", 70.0)).toDF("id", "k", "x")
+        .write.format("graft-versioned").option("asOf", "2")
+        .mode("append").save(root)
     }
-    // analyzer-level rejection: table advertises BATCH_READ only
     val msg = err.getMessage.toLowerCase
     assert(msg.contains("does not support") || msg.contains("unsupported")
-      || msg.contains("does not allow"),
+      || msg.contains("immutable") || msg.contains("does not allow"),
       s"unexpected error: ${err.getMessage}")
-    // and the table is untouched
-    assert(Versioned.read(spark, root).count() == 5)
+    // and nothing was committed by the refused write
+    assert(Versioned.versions(spark, root) == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
   test("a small versioned table auto-broadcasts from its reported statistics") {
