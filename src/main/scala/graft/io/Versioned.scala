@@ -211,7 +211,9 @@ object Versioned {
   def snapshotFiles(spark: SparkSession, root: String,
                     asOf: Option[Long] = None): Seq[String] = {
     val vs = versions(spark, root)
-    require(vs.nonEmpty, s"no committed versions at $root")
+    require(vs.nonEmpty, s"no committed versions at $root " +
+      "(bootstrap with Versioned.commit / mergeInto, or CREATE TABLE " +
+      "through the catalog)")
     val v = asOf.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not found at $root (have ${vs.mkString(",")})")
     manifestFiles(spark, root, v).map(rel => new Path(root, rel).toString)
@@ -381,7 +383,11 @@ object Versioned {
     val vs = versions(spark, root)
     if (tag.isDefined && vs.nonEmpty && committedTag(spark, root) == tag)
       return vs.last
-    val dupKeys = source.groupBy(keys.map(col): _*)
+    // a row with ANY null key component can never match a target row (SQL
+    // join semantics — it always inserts), so only fully-keyed rows can
+    // collide; groupBy would wrongly pool the null-keyed rows into one group
+    val keyed = keys.map(col(_).isNotNull).reduce(_ && _)
+    val dupKeys = source.filter(keyed).groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
     require(dupKeys == 0,
       s"source has multiple rows per key (${keys.mkString(", ")}): " +
@@ -405,29 +411,39 @@ object Versioned {
         s"column $c type mismatch: table ${snapshot.schema(c).dataType.simpleString} " +
           s"vs source ${source.schema(c).dataType.simpleString}")
     }
+    // pin the source: the probe, emptiness check, and final write must all
+    // see ONE evaluation — an expensive or non-deterministic upstream
+    // re-executed per job could otherwise write keys the probe never saw
+    // (leaving their old target rows un-rewritten)
     val aligned = source.select(cols.map(col): _*)
-    val srcKeys = aligned.select(keys.map(col): _*).distinct()
-    // one scan finds the files holding matched keys; the file name must be
-    // captured BELOW the join — input_file_name() above a join returns ""
-    // whenever the planner breaks file context (shuffle join)
-    val touchedUris = snapshot.withColumn("__file", input_file_name())
-      .join(srcKeys, keys, "left_semi")
-      .select(col("__file")).distinct()
-      .collect().map(r => new Path(java.net.URI.create(r.getString(0))).toUri.getPath)
-      .toSet
-    val statsCols = trackedStatsCols(spark, root, files)
-      .filter(c => schema.forall(_.fieldNames.contains(c)))
-    if (touchedUris.isEmpty) {
-      // pure insert (or empty source): no file rewritten, plain append
-      if (aligned.isEmpty) return current
-      return commit(spark, aligned, root, tag = tag, statsCols = statsCols)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val srcKeys = aligned.select(keys.map(col): _*).distinct()
+      // one scan finds the files holding matched keys; the file name must be
+      // captured BELOW the join — input_file_name() above a join returns ""
+      // whenever the planner breaks file context (shuffle join)
+      val touchedUris = snapshot.withColumn("__file", input_file_name())
+        .join(srcKeys, keys, "left_semi")
+        .select(col("__file")).distinct()
+        .collect().map(r => new Path(java.net.URI.create(r.getString(0))).toUri.getPath)
+        .toSet
+      val statsCols = trackedStatsCols(spark, root, files)
+        .filter(c => schema.forall(_.fieldNames.contains(c)))
+      if (touchedUris.isEmpty) {
+        // pure insert (or empty source): no file rewritten, plain append
+        if (aligned.isEmpty) return current
+        return commit(spark, aligned, root, tag = tag, statsCols = statsCols)
+      }
+      val (touched, untouched) = files.partition(f =>
+        touchedUris.contains(new Path(f).toUri.getPath))
+      val survivors = readWithSchema(spark, schema, touched)
+        .join(srcKeys, keys, "left_anti")
+      commitMixed(spark, survivors.unionByName(aligned), root,
+        untouched.map(relativize(root, _)), statsCols = statsCols, tag = tag)
+    } finally {
+      aligned.unpersist(blocking = false)
+      ()
     }
-    val (touched, untouched) = files.partition(f =>
-      touchedUris.contains(new Path(f).toUri.getPath))
-    val survivors = readWithSchema(spark, schema, touched)
-      .join(srcKeys, keys, "left_anti")
-    commitMixed(spark, survivors.unionByName(aligned), root,
-      untouched.map(relativize(root, _)), statsCols = statsCols, tag = tag)
   }
 
   /** Roll the table back to `toVersion` by republishing that snapshot's
@@ -471,6 +487,20 @@ object Versioned {
     val fresh = after.filterNot(beforeSet).map(rel => new Path(root, rel).toString)
     val resolved = snapshotSchema(spark, root, Some(to))
       .getOrElse(read(spark, root, Some(to)).schema)
+    // a replace commit may retype columns; reading the FROM side through
+    // the TO schema would then throw deep in the parquet reader (or worse,
+    // misread). Refuse loudly: diff within a schema-stable range instead.
+    snapshotSchema(spark, root, Some(fromV)).foreach { fromSchema =>
+      fromSchema.fields.foreach { ff =>
+        resolved.fields.find(_.name == ff.name).foreach { tf =>
+          require(tf.dataType == ff.dataType,
+            s"column ${ff.name} changed type between v$fromV " +
+              s"(${ff.dataType.simpleString}) and v$to (${tf.dataType.simpleString}); " +
+              "row-level diff across a retyping replace is not defined — " +
+              "diff up to the replace and from it separately")
+        }
+      }
+    }
     def side(paths: Seq[String]): DataFrame =
       if (paths.isEmpty)
         spark.createDataFrame(
@@ -625,7 +655,14 @@ object Versioned {
     require(vs.nonEmpty, s"no committed versions at $root")
     val files = snapshotFiles(spark, root, Some(vs.last))
     val f = fs(spark, new Path(root))
-    val sized = files.map(p => p -> f.getFileStatus(new Path(p)).getLen)
+    // one LIST per batch directory, not one RPC per file — at object-store
+    // scale the per-file round trips would cost more than the compaction
+    val lenByPath: Map[String, Long] = files.map(new Path(_))
+      .groupBy(_.getParent).keys.flatMap { dir =>
+        f.listStatus(dir).map(s => s.getPath.toUri.getPath -> s.getLen)
+      }.toMap
+    val sized = files.map(p =>
+      p -> lenByPath.getOrElse(new Path(p).toUri.getPath, 0L))
     val (small, large) = sized.partition(_._2 < smallBytes)
     if (small.size < minInputFiles) return vs.last
     val totalSmall = small.map(_._2).sum

@@ -891,6 +891,9 @@ object LlmQueries {
     import org.apache.spark.sql.expressions.Window
     val spansOf = Tables.documents(spark, sfDir)
       .withColumn("t", tokens(col("text")))
+      // zero-token docs have no spans; without the guard sequence(0, -1)
+      // would DESCEND and emit phantom empty spans (oracle: range(0,0)=[])
+      .filter(size(col("t")) > 0)
       .withColumn("span_idx",
         explode(sequence(lit(0L), ceil(size(col("t")) / lit(10.0)) - 1L)))
       .withColumn("span",

@@ -80,21 +80,35 @@ object Streams {
       }
       .start()
 
+  /** Replay tags must be scoped to the CHECKPOINT, not just the batch id:
+    * batch ids restart at 0 for a fresh checkpoint, so a bare `batch-0`
+    * tag would make the first batch of a re-checkpointed (or second
+    * concurrent) query into the same root look like a replay and silently
+    * drop it. The md5 prefix of the checkpoint path is the stable
+    * discriminator — identical across restarts FROM that checkpoint
+    * (where skipping really is correct), distinct across checkpoints. */
+  private def batchTag(checkpointDir: String, kind: String, id: Long): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    s"$kind-$d-batch-$id"
+  }
+
   /** Streaming append sink into a [[graft.io.Versioned]] table: each
     * micro-batch commits as one new snapshot version tagged with its
-    * batch id, so a batch replayed after a crash (foreachBatch is
-    * at-least-once) is detected via the last committed tag and skipped —
-    * exactly-once table state with NO data rewrite per batch (unlike the
-    * MERGE sinks, appends only write the new files and a manifest).
-    * Readers concurrently see whole snapshots, never a half-written
-    * batch. */
+    * checkpoint-scoped batch id, so a batch replayed after a crash
+    * (foreachBatch is at-least-once) is detected via the last committed
+    * tag and skipped — exactly-once table state with NO data rewrite per
+    * batch (unlike the MERGE sinks, appends only write the new files and
+    * a manifest). Readers concurrently see whole snapshots, never a
+    * half-written batch. */
   def versionedSink(events: DataFrame, root: String,
                     checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val spark = batch.sparkSession
-        val tag = s"batch-$id"
+        val tag = batchTag(checkpointDir, "append", id)
         if (!graft.io.Versioned.committedTag(spark, root).contains(tag)) {
           graft.io.Versioned.commit(spark, batch.toDF(), root, tag = Some(tag))
           ()
@@ -118,7 +132,7 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         graft.io.Versioned.mergeInto(batch.sparkSession, root, batch.toDF(), keys,
-          tag = Some(s"merge-batch-$id"))
+          tag = Some(batchTag(checkpointDir, "merge", id)))
         ()
       }
       .start()

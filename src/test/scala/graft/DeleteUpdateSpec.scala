@@ -20,12 +20,6 @@ class DeleteUpdateSpec extends SparkSpecBase {
     d.getAbsolutePath
   }
 
-  private def manifestOf(root: String, v: Long): Seq[String] = {
-    val p = java.nio.file.Paths.get(root, "_manifests", s"v$v.txt")
-    new String(java.nio.file.Files.readAllBytes(p)).split("\n").toSeq
-      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
-  }
-
   test("deleteWhere rewrites only the touched files and keeps SQL null semantics") {
     val root = tmpRoot()
     // three single-file batches banded by id; nulls land in the middle band

@@ -16,4 +16,13 @@ object TestSpark {
 
 abstract class SparkSpecBase extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
+
+  /** Data-file lines of a versioned manifest (comments stripped) — shared
+    * by the versioned-table specs so the manifest format lives in ONE
+    * place test-side. */
+  protected def manifestOf(root: String, v: Long): Seq[String] = {
+    val p = java.nio.file.Paths.get(root, "_manifests", s"v$v.txt")
+    new String(java.nio.file.Files.readAllBytes(p)).split("\n").toSeq
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+  }
 }

@@ -23,12 +23,6 @@ class VersionedMergeSpec extends SparkSpecBase {
     d.getAbsolutePath
   }
 
-  private def manifestOf(root: String, v: Long): Seq[String] = {
-    val p = java.nio.file.Paths.get(root, "_manifests", s"v$v.txt")
-    new String(java.nio.file.Files.readAllBytes(p)).split("\n").toSeq
-      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
-  }
-
   test("mergeInto replaces matched rows, inserts unmatched, carries untouched files") {
     val root = tmpRoot()
     // three single-file batches banded by id
@@ -113,10 +107,13 @@ class VersionedMergeSpec extends SparkSpecBase {
     val root = tmpRoot()
     Versioned.commit(spark,
       Seq((Some(1L), "a"), (None, "target-null")).toDF("id", "k"), root)
+    // several null-key rows are NOT duplicate keys — none can match any
+    // target row, so all insert (the dup check must ignore them)
     Versioned.mergeInto(spark, root,
-      Seq((Option.empty[Long], "src-null")).toDF("id", "k"), Seq("id"))
+      Seq((Option.empty[Long], "src-null"), (Option.empty[Long], "src-null2"))
+        .toDF("id", "k"), Seq("id"))
     val ks = Versioned.read(spark, root).select("k").as[String].collect().toSet
-    assert(ks == Set("a", "target-null", "src-null"))
+    assert(ks == Set("a", "target-null", "src-null", "src-null2"))
   }
 
   test("mergeInto keeps stats pruning alive on the rewritten batch") {
@@ -175,6 +172,40 @@ class VersionedMergeSpec extends SparkSpecBase {
     assert(d3.filter($"_change" === "insert").select("id").as[Long].collect().toSeq
       == Seq(500L))
     assert(Versioned.diffVersions(spark, root, 5L, Some(5L)).count() == 0)
+  }
+
+  test("diffVersions refuses a range crossing a retyping replace") {
+    val root = tmpRoot()
+    Versioned.commit(spark, Seq((1L, "a")).toDF("id", "k"), root)
+    Versioned.commit(spark, Seq(("one", "a")).toDF("id", "k"), root,
+      replace = true) // id: bigint -> string, legal for replace commits
+    val err = intercept[IllegalArgumentException] {
+      Versioned.diffVersions(spark, root, 1L)
+    }
+    assert(err.getMessage.contains("changed type"))
+  }
+
+  test("merge sink tags are checkpoint-scoped: a fresh checkpoint's batch 0 is not a replay") {
+    val root = tmpRoot()
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // first query, checkpoint A
+    val srcA = MemoryStream[(Long, String)]
+    val qA = Streams.versionedMergeSink(
+      srcA.toDF().toDF("id", "k"), root, Seq("id"), tmpRoot())
+    try {
+      srcA.addData((1L, "a"))
+      qA.processAllAvailable()
+    } finally qA.stop()
+    // second query, DIFFERENT checkpoint: its batch 0 must still commit
+    val srcB = MemoryStream[(Long, String)]
+    val qB = Streams.versionedMergeSink(
+      srcB.toDF().toDF("id", "k"), root, Seq("id"), tmpRoot())
+    try {
+      srcB.addData((2L, "b"))
+      qB.processAllAvailable()
+    } finally qB.stop()
+    assert(Versioned.read(spark, root).select("k").as[String].collect().toSet
+      == Set("a", "b"))
   }
 
   test("versionedMergeSink: streaming upsert, replayed batch tag is a no-op") {

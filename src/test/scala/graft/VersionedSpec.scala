@@ -100,7 +100,8 @@ class VersionedSpec extends SparkSpecBase {
       // must skip the duplicate commit
       val replay = Seq((3L, 3.0)).toDF("id", "value")
       val tag = Versioned.committedTag(spark, root)
-      assert(tag.exists(_.startsWith("batch-")))
+      // checkpoint-scoped tag: kind + checkpoint hash + batch id
+      assert(tag.exists(t => t.startsWith("append-") && t.endsWith("-batch-1")))
       if (!Versioned.committedTag(spark, root).contains(tag.get)) {
         Versioned.commit(spark, replay, root, tag = tag)
       }
@@ -165,12 +166,6 @@ class VersionedSpec extends SparkSpecBase {
     // has since been replaced (files live until vacuum)
     assert(snapshot.count() == 100)
     assert(Versioned.read(spark, root).count() == 1)
-  }
-
-  private def manifestOf(root: String, v: Long): Seq[String] = {
-    val p = java.nio.file.Paths.get(root, "_manifests", s"v$v.txt")
-    new String(java.nio.file.Files.readAllBytes(p)).split("\n").toSeq
-      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
   }
 
   test("compactSmall packs only the small files and carries large ones") {
