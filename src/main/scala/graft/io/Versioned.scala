@@ -679,6 +679,56 @@ object Versioned {
       statsCols = statsCols)
   }
 
+  /** One row per committed version — the DESCRIBE HISTORY surface:
+    * version, commit time (manifest publish mtime), optional tag, file
+    * count, total bytes, and how many files the version added over its
+    * predecessor (0 file-adds with fewer files = compaction/rewrite;
+    * for v1 every file counts as added). All metadata-only: one LIST of
+    * `_manifests`, one LIST per batch directory, no data reads. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    val vs = versions(spark, root)
+    val f = fs(spark, new Path(root))
+    val mdir = manifestDir(root)
+    val mtime: Map[Long, Long] =
+      if (vs.isEmpty) Map.empty
+      else f.listStatus(mdir).toSeq
+        .flatMap(s => versionOf(s.getPath).map(_ -> s.getModificationTime)).toMap
+    val fileLists = vs.map(v => v -> manifestFiles(spark, root, v)).toMap
+    val lenOf: Map[String, Long] = fileLists.values.flatten.toSeq.distinct
+      .map(rel => new Path(root, rel)).groupBy(_.getParent).keys
+      .filter(f.exists).flatMap { dir =>
+        f.listStatus(dir).map(s => s.getPath.toUri.getPath -> s.getLen)
+      }.toMap
+    val rows = vs.map { v =>
+      val files = fileLists(v)
+      val prev = fileLists.get(v - 1).map(_.toSet).getOrElse(Set.empty)
+      (v,
+        new java.sql.Timestamp(mtime.getOrElse(v, 0L)),
+        committedTag(spark, root, Some(v)).orNull,
+        files.size.toLong,
+        files.map(rel => lenOf.getOrElse(new Path(root, rel).toUri.getPath, 0L)).sum,
+        files.count(!prev.contains(_)).toLong)
+    }
+    import spark.implicits._
+    rows.toDF("version", "committed_at", "tag", "num_files", "total_bytes",
+      "files_added")
+  }
+
+  /** Time-based retention: drop every version whose manifest was published
+    * before `tsMillis` — except the newest such version when it is still
+    * the latest state an as-of-`tsMillis` reader would see — then GC
+    * unreferenced files. Expressed entirely through [[vacuum]]'s
+    * keep-newest-K so the two retention policies cannot diverge. */
+  def vacuumOlderThan(spark: SparkSession, root: String, tsMillis: Long): Unit = {
+    val vs = versions(spark, root)
+    if (vs.isEmpty) return
+    // newest version at or before the cutoff stays readable (it IS the
+    // table as of the cutoff); everything older goes
+    val cutoffV = versionAt(spark, root, tsMillis)
+    val keepFrom = cutoffV.getOrElse(vs.head)
+    vacuum(spark, root, keepVersions = vs.size - vs.indexOf(keepFrom))
+  }
+
   /** Drop manifests older than the newest `keepVersions`, then delete
     * data files no surviving manifest references. Never touches files
     * of retained snapshots, so time travel within the retention window

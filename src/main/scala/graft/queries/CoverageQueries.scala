@@ -217,6 +217,37 @@ object CoverageQueries {
        |SELECT node, MIN(m) AS cluster FROM r GROUP BY 1
        |""".stripMargin
 
+  /** APPLY the cluster dedup — the deliverable the cluster labels exist
+    * for: drop every non-canonical member (node != its cluster min-id),
+    * keep canonicals and never-clustered vectors, and report the surviving
+    * corpus per label. One left_anti join of the corpus against the small
+    * dropped set; the CC fixpoint is inherited from dedup_clusters. */
+  def dedupApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val dropped = dedupClusters(spark, sfDir)
+      .filter(col("node") =!= col("cluster"))
+      .select(col("node").as("vec_id"))
+    Tables.embeddings(spark, sfDir)
+      .join(dropped, Seq("vec_id"), "left_anti")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("kept"), sum(col("vec_id")).as("id_sum"))
+  }
+
+  val dedupApplyOracle: String =
+    s"""WITH RECURSIVE $embNeardupCtes,
+       |p AS (SELECT d1, d2 FROM pairs WHERE cos >= 0.3),
+       |edges AS (SELECT d1 AS a, d2 AS dst FROM p UNION ALL SELECT d2, d1 FROM p),
+       |nodes AS (SELECT DISTINCT a AS node FROM edges),
+       |r AS (SELECT node, node AS m FROM nodes
+       |      UNION
+       |      SELECT r.node, e.dst FROM r JOIN edges e ON e.a = r.m),
+       |cc AS (SELECT node, MIN(m) AS cluster FROM r GROUP BY 1),
+       |dropped AS (SELECT node FROM cc WHERE node <> cluster)
+       |SELECT label, COUNT(*) AS kept, CAST(SUM(vec_id) AS BIGINT) AS id_sum
+       |FROM embeddings
+       |WHERE vec_id NOT IN (SELECT node FROM dropped)
+       |GROUP BY 1
+       |""".stripMargin
+
   // -------------------------------------------------------------------
   // IVF-style ANN: coarse quantize to the nearest cluster representative
   // (deterministic medoid stand-in: the min-vec_id member per label),
@@ -975,6 +1006,7 @@ object CoverageQueries {
     "term_frequency" -> (termFrequency _),
     "embedding_neardup" -> (embeddingNeardup _),
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_apply" -> (dedupApply _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1007,5 +1039,6 @@ object CoverageQueries {
     "term_frequency" -> termFrequencyOracle,
     "embedding_neardup" -> embeddingNeardupOracle,
     "dedup_clusters" -> dedupClustersOracle,
+    "dedup_apply" -> dedupApplyOracle,
   )
 }

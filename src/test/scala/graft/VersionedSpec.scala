@@ -168,6 +168,45 @@ class VersionedSpec extends SparkSpecBase {
     assert(Versioned.read(spark, root).count() == 1)
   }
 
+  test("history reports one metadata-only row per version") {
+    val root = tmpRoot()
+    Versioned.commit(spark, (1L to 100L).toDF("id").coalesce(1), root,
+      tag = Some("load-1"))
+    Versioned.commit(spark, (101L to 200L).toDF("id").coalesce(1), root)
+    Versioned.compactLatest(spark, root, nFiles = 1)
+    val h = Versioned.history(spark, root).orderBy("version")
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3), r.getLong(5)))
+    assert(h.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(h(0)._2 == "load-1" && h(1)._2 == null)
+    // v1: 1 file (all added); v2: 2 files (1 added); v3 compaction: 1 file, 1 added
+    assert(h.map(x => (x._3, x._4)).toSeq == Seq((1L, 1L), (2L, 1L), (1L, 1L)))
+    val bytes = Versioned.history(spark, root).select("total_bytes")
+      .as[Long].collect()
+    assert(bytes.forall(_ > 0))
+  }
+
+  test("vacuumOlderThan keeps the newest version at-or-before the cutoff") {
+    val root = tmpRoot()
+    Versioned.commit(spark, Seq(1L).toDF("id"), root)
+    Versioned.commit(spark, Seq(2L).toDF("id"), root)
+    Versioned.commit(spark, Seq(3L).toDF("id"), root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // pin publish times: v1 at T, v2 at T+10s, v3 at T+20s
+    val t0 = 1767225600000L
+    Seq(1L, 2L, 3L).foreach { v =>
+      fs.setTimes(new org.apache.hadoop.fs.Path(root, s"_manifests/v$v.txt"),
+        t0 + (v - 1) * 10000L, -1)
+    }
+    // cutoff between v2 and v3: v2 is the as-of state, so v2 and v3 survive
+    Versioned.vacuumOlderThan(spark, root, t0 + 15000L)
+    assert(Versioned.versions(spark, root) == Seq(2L, 3L))
+    assert(Versioned.read(spark, root, asOf = Some(2L)).count() == 2)
+    // cutoff before everything: nothing is dropped
+    Versioned.vacuumOlderThan(spark, root, t0 - 99999L)
+    assert(Versioned.versions(spark, root) == Seq(2L, 3L))
+  }
+
   test("compactSmall packs only the small files and carries large ones") {
     val root = tmpRoot()
     // one "large" batch (many rows, one file) + three tiny ones
