@@ -206,7 +206,8 @@ private[graft] class VersionedReadTable(inner: ParquetTable,
     val parquet = ParquetScanBuilder(inner.sparkSession, prunedIndex, inner.schema,
       inner.dataSchema, options)
     liveRoot match {
-      case Some(root) => new VersionedScanBuilder(inner.sparkSession, root, parquet)
+      case Some(root) => new VersionedScanBuilder(inner.sparkSession, root, parquet,
+        Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
       case None => parquet
     }
   }

@@ -33,8 +33,10 @@ import org.apache.spark.sql.types.StructType
   * a missing-version error rather than silent skipped data.
   */
 private[graft] class VersionedMicroBatchStream(
-    spark: SparkSession, root: String, template: ParquetScan)
-  extends MicroBatchStream {
+    spark: SparkSession, root: String, template: ParquetScan,
+    maxVersionsPerTrigger: Option[Long] = None)
+  extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
   private case class VOffset(v: Long) extends Offset {
     override def json(): String = v.toString
@@ -45,6 +47,21 @@ private[graft] class VersionedMicroBatchStream(
   override def latestOffset(): Offset =
     VOffset(Versioned.versions(spark, root).lastOption.getOrElse(0L))
 
+  /** Admission control: cap each micro-batch at `maxVersionsPerTrigger`
+    * commits past the start offset — the lake-streaming backpressure knob
+    * (a stream started against years of history catches up in bounded
+    * batches instead of one giant first batch). Uncapped without the
+    * option. */
+  override def latestOffset(start: Offset,
+                            limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val newest = Versioned.versions(spark, root).lastOption.getOrElse(0L)
+    val s = start.asInstanceOf[VOffset].v
+    VOffset(maxVersionsPerTrigger.fold(newest)(m => math.min(newest, s + m)))
+  }
+
+  override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
   override def deserializeOffset(json: String): Offset = VOffset(json.trim.toLong)
 
   override def commit(end: Offset): Unit = () // progress lives in the checkpoint
@@ -53,6 +70,21 @@ private[graft] class VersionedMicroBatchStream(
     val from = start.asInstanceOf[VOffset].v
     val to = end.asInstanceOf[VOffset].v
     if (to <= from) return Array.empty
+    // Append-only guard: a copy-on-write rewrite (DELETE/UPDATE/MERGE,
+    // compaction, replace) between the offsets REMOVES files, and the
+    // added-file diff would then re-emit every surviving row of the
+    // rewritten files as if it were new data. Fail loudly instead of
+    // silently duplicating — the consumer must restart from a fresh
+    // snapshot (or switch to diffVersions for row-level changes).
+    if (from > 0L) {
+      val removed = Versioned.snapshotFiles(spark, root, Some(from)).toSet --
+        Versioned.snapshotFiles(spark, root, Some(to)).toSet
+      require(removed.isEmpty,
+        s"versioned stream requires append-only history, but v$from..v$to " +
+          s"removed ${removed.size} file(s) (copy-on-write rewrite, compaction, " +
+          "or replace landed mid-stream); restart from a fresh snapshot or use " +
+          "Versioned.diffVersions for row-level changes")
+    }
     val files =
       if (from == 0L) Versioned.snapshotFiles(spark, root, Some(to))
       else Versioned.changedFiles(spark, root, from, Some(to))
@@ -97,7 +129,8 @@ private[graft] class VersionedMicroBatchStream(
   * or unconvertible values prune nothing, and the join itself re-checks
   * every surviving row. */
 private[graft] class VersionedScan(spark: SparkSession, root: String,
-                                   inner: ParquetScan)
+                                   inner: ParquetScan,
+                                   maxVersionsPerTrigger: Option[Long] = None)
   extends Scan with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   // the scan batch reads plan against; replaced by a runtime filter
@@ -115,7 +148,7 @@ private[graft] class VersionedScan(spark: SparkSession, root: String,
   override def description(): String = s"graft-versioned $root ${inner.description()}"
   override def toBatch: Batch = current.toBatch
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new VersionedMicroBatchStream(spark, root, inner)
+    new VersionedMicroBatchStream(spark, root, inner, maxVersionsPerTrigger)
   override def estimateStatistics(): Statistics = inner.estimateStatistics()
   override def supportedCustomMetrics(): Array[CustomMetric] = inner.supportedCustomMetrics()
   override def reportDriverMetrics(): Array[CustomTaskMetric] = inner.reportDriverMetrics()
@@ -145,12 +178,14 @@ private[graft] class VersionedScan(spark: SparkSession, root: String,
   * (columns, Catalyst filters, aggregates) but wraps the built scan in
   * [[VersionedScan]] so `readStream.format("graft-versioned")` works. */
 private[graft] class VersionedScanBuilder(spark: SparkSession, root: String,
-                                          inner: ParquetScanBuilder)
+                                          inner: ParquetScanBuilder,
+                                          maxVersionsPerTrigger: Option[Long] = None)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownCatalystFilters
   with SupportsPushDownAggregates {
-  override def build(): Scan = new VersionedScan(spark, root, inner.build())
+  override def build(): Scan =
+    new VersionedScan(spark, root, inner.build(), maxVersionsPerTrigger)
   override def pruneColumns(requiredSchema: StructType): Unit =
     inner.pruneColumns(requiredSchema)
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] =

@@ -108,6 +108,50 @@ class VersionedStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("a mid-stream copy-on-write rewrite fails loudly instead of re-emitting rows") {
+    val root = tmpDir("graft_vstream4")
+    val ckpt = tmpDir("graft_vstream4_ckpt")
+    Versioned.commit(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "k"), root)
+    val q = tail(root, ckpt, "vtail_rw")
+    try {
+      q.processAllAvailable()
+      assert(ids("vtail_rw") == Seq(1L, 2L))
+      // a rewrite lands mid-stream: the added-file diff would replay the
+      // surviving row (2) as if it were new — the source must refuse
+      Versioned.deleteWhere(spark, root, org.apache.spark.sql.functions.col("id") === 1L)
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(err.getMessage.contains("append-only"),
+        s"unexpected error: ${err.getMessage}")
+    } finally q.stop()
+  }
+
+  test("maxVersionsPerTrigger bounds each micro-batch's version range") {
+    val root = tmpDir("graft_vstream5")
+    val ckpt = tmpDir("graft_vstream5_ckpt")
+    Versioned.commit(spark, Seq((1L, "a")).toDF("id", "k"), root)
+    Versioned.commit(spark, Seq((2L, "b")).toDF("id", "k"), root)
+    Versioned.commit(spark, Seq((3L, "c")).toDF("id", "k"), root)
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+    val q = spark.readStream.format("graft-versioned")
+      .option("maxVersionsPerTrigger", "1").load(root)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batches.add(batch.select("id")
+          .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().sorted.toSeq)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      // one commit per trigger: catch-up happens in bounded batches
+      import scala.jdk.CollectionConverters._
+      assert(batches.asScala.toSeq == Seq(Seq(1L), Seq(2L), Seq(3L)))
+    } finally q.stop()
+  }
+
   test("a pinned asOf snapshot is not streamable") {
     val root = tmpDir("graft_vstream3")
     Versioned.commit(spark, Seq((1L, "a")).toDF("id", "k"), root)
