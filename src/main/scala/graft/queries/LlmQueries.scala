@@ -1185,6 +1185,41 @@ object LlmQueries {
        |FROM documents
        |""".stripMargin
 
+  /** PII REDACTION — the rewrite half of the PII story (pii_counts only
+    * measures): emails -> <EMAIL>, then URLs -> <URL>, then 4+-digit runs
+    * -> <NUM>, in that order (emails and URLs contain digits, so they must
+    * be consumed first). The fixture text carries no PII, so each doc is
+    * seeded with deterministic doc_id-derived contact data before
+    * redaction — both engines construct the identical input, and the
+    * redaction provably rewrites every doc. Pure map-side regexp_replace:
+    * full codegen, no shuffle, linear at any corpus size. */
+  def piiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val seeded = lower(concat(col("text"),
+      lit(" contact user"), col("doc_id").cast(StringType),
+      lit("@mail.com or call "),
+      (col("doc_id") * 7919 + 10007).cast(StringType),
+      lit(" see https://ex.org/d/"), col("doc_id").cast(StringType)))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(regexp_replace(seeded,
+          lit(piiEmail), lit("<EMAIL>")),
+          lit(piiUrl), lit("<URL>")),
+          lit(piiDigits), lit("<NUM>")).as("redacted"))
+  }
+
+  val piiRedactOracle: String =
+    s"""SELECT doc_id,
+       |  regexp_replace(regexp_replace(regexp_replace(
+       |    lower(text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |          || '@mail.com or call '
+       |          || CAST(doc_id * 7919 + 10007 AS VARCHAR)
+       |          || ' see https://ex.org/d/' || CAST(doc_id AS VARCHAR)),
+       |    '$piiEmail', '<EMAIL>', 'g'),
+       |    '$piiUrl', '<URL>', 'g'),
+       |    '$piiDigits', '<NUM>', 'g') AS redacted
+       |FROM documents
+       |""".stripMargin
+
   // -------------------------------------------------------------------
   // Curation-to-packing composition — the end-of-pipeline story: quality
   // gate -> exact dedup (deterministic keeper) -> 512-token sequence
@@ -1240,6 +1275,7 @@ object LlmQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curation_pack" -> (curationPack _),
     "pii_counts" -> (piiCounts _),
+    "pii_redact" -> (piiRedact _),
     "weighted_sample" -> (weightedSample _),
     "pack_sequences" -> (packSequences _),
     "pack_sequences_sharded" -> (packSequencesSharded _),
@@ -1279,6 +1315,7 @@ object LlmQueries {
     "bigram_stats" -> bigramStatsOracle,
     "curation_pack" -> curationPackOracle,
     "pii_counts" -> piiCountsOracle,
+    "pii_redact" -> piiRedactOracle,
     "weighted_sample" -> weightedSampleOracle,
     "pack_sequences" -> packSequencesOracle,
     "pack_sequences_sharded" -> packSequencesShardedOracle,

@@ -116,6 +116,19 @@ class VersionedMergeSpec extends SparkSpecBase {
     assert(ks == Set("a", "target-null", "src-null", "src-null2"))
   }
 
+  test("mergeInto is idempotent: replaying the same source changes nothing") {
+    val root = tmpRoot()
+    Versioned.commit(spark, (1L to 50L).map(i => (i, s"v$i")).toDF("id", "k"), root)
+    val source = Seq((10L, "X"), (999L, "new")).toDF("id", "k")
+    Versioned.mergeInto(spark, root, source, Seq("id"))
+    val once = Versioned.read(spark, root)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    Versioned.mergeInto(spark, root, source, Seq("id"))
+    val twice = Versioned.read(spark, root)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(once == twice)
+  }
+
   test("mergeInto keeps stats pruning alive on the rewritten batch") {
     val root = tmpRoot()
     Versioned.commit(spark, (1L to 100L).toDF("id").coalesce(1), root,
