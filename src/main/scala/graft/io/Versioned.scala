@@ -555,6 +555,14 @@ object Versioned {
     u.stripPrefix(r).stripPrefix("/")
   }
 
+  /** Byte lengths of `paths`, fetched with ONE listStatus per containing
+    * directory (not one RPC per file — at object-store scale the per-file
+    * round trips would dominate). Keyed by URI path. */
+  private def fileLengths(f: FileSystem, paths: Seq[Path]): Map[String, Long] =
+    paths.groupBy(_.getParent).keys.filter(f.exists).flatMap { dir =>
+      f.listStatus(dir).map(s => s.getPath.toUri.getPath -> s.getLen)
+    }.toMap
+
   /** Publish a snapshot that is `carriedRel` (root-relative existing
     * files, kept by reference) plus `df` written as the new batch — the
     * commit shape copy-on-write rewrites need. Same atomic rename
@@ -655,12 +663,7 @@ object Versioned {
     require(vs.nonEmpty, s"no committed versions at $root")
     val files = snapshotFiles(spark, root, Some(vs.last))
     val f = fs(spark, new Path(root))
-    // one LIST per batch directory, not one RPC per file — at object-store
-    // scale the per-file round trips would cost more than the compaction
-    val lenByPath: Map[String, Long] = files.map(new Path(_))
-      .groupBy(_.getParent).keys.flatMap { dir =>
-        f.listStatus(dir).map(s => s.getPath.toUri.getPath -> s.getLen)
-      }.toMap
+    val lenByPath = fileLengths(f, files.map(new Path(_)))
     val sized = files.map(p =>
       p -> lenByPath.getOrElse(new Path(p).toUri.getPath, 0L))
     val (small, large) = sized.partition(_._2 < smallBytes)
@@ -682,9 +685,12 @@ object Versioned {
   /** One row per committed version — the DESCRIBE HISTORY surface:
     * version, commit time (manifest publish mtime), optional tag, file
     * count, total bytes, and how many files the version added over its
-    * predecessor (0 file-adds with fewer files = compaction/rewrite;
-    * for v1 every file counts as added). All metadata-only: one LIST of
-    * `_manifests`, one LIST per batch directory, no data reads. */
+    * predecessor (0 file-adds with fewer files = compaction/rewrite; for
+    * v1 every file counts as added; null when the predecessor manifest
+    * was vacuumed away, since the delta is then unknowable). All
+    * metadata-only: one LIST of `_manifests`, one read per manifest (tag
+    * and file list come from the same read), one LIST per batch
+    * directory, no data reads. */
   def history(spark: SparkSession, root: String): DataFrame = {
     val vs = versions(spark, root)
     val f = fs(spark, new Path(root))
@@ -693,21 +699,27 @@ object Versioned {
       if (vs.isEmpty) Map.empty
       else f.listStatus(mdir).toSeq
         .flatMap(s => versionOf(s.getPath).map(_ -> s.getModificationTime)).toMap
-    val fileLists = vs.map(v => v -> manifestFiles(spark, root, v)).toMap
-    val lenOf: Map[String, Long] = fileLists.values.flatten.toSeq.distinct
-      .map(rel => new Path(root, rel)).groupBy(_.getParent).keys
-      .filter(f.exists).flatMap { dir =>
-        f.listStatus(dir).map(s => s.getPath.toUri.getPath -> s.getLen)
-      }.toMap
+    val lines = vs.map(v => v -> manifestLines(spark, root, v)).toMap
+    val fileLists = lines.view.mapValues(_.filterNot(_.startsWith("#"))).toMap
+    val tags = lines.view.mapValues(
+      _.find(_.startsWith("#tag=")).map(_.stripPrefix("#tag="))).toMap
+    val lenOf = fileLengths(f,
+      fileLists.values.flatten.toSeq.distinct.map(rel => new Path(root, rel)))
     val rows = vs.map { v =>
       val files = fileLists(v)
-      val prev = fileLists.get(v - 1).map(_.toSet).getOrElse(Set.empty)
+      val added: Option[Long] = fileLists.get(v - 1) match {
+        case Some(prev) =>
+          val p = prev.toSet
+          Some(files.count(!p.contains(_)).toLong)
+        case None if v == 1L => Some(files.size.toLong) // true first commit
+        case None => None // predecessor vacuumed: delta unknowable
+      }
       (v,
         new java.sql.Timestamp(mtime.getOrElse(v, 0L)),
-        committedTag(spark, root, Some(v)).orNull,
+        tags(v).orNull,
         files.size.toLong,
         files.map(rel => lenOf.getOrElse(new Path(root, rel).toUri.getPath, 0L)).sum,
-        files.count(!prev.contains(_)).toLong)
+        added)
     }
     import spark.implicits._
     rows.toDF("version", "committed_at", "tag", "num_files", "total_bytes",
@@ -718,14 +730,22 @@ object Versioned {
     * before `tsMillis` — except the newest such version when it is still
     * the latest state an as-of-`tsMillis` reader would see — then GC
     * unreferenced files. Expressed entirely through [[vacuum]]'s
-    * keep-newest-K so the two retention policies cannot diverge. */
+    * keep-newest-K so the two retention policies cannot diverge. Never
+    * deletes a version published AFTER the cutoff even when manifest
+    * mtimes are non-monotonic (clock skew, copied tables): the keep-point
+    * is clamped to the first post-cutoff publish. */
   def vacuumOlderThan(spark: SparkSession, root: String, tsMillis: Long): Unit = {
     val vs = versions(spark, root)
     if (vs.isEmpty) return
     // newest version at or before the cutoff stays readable (it IS the
     // table as of the cutoff); everything older goes
     val cutoffV = versionAt(spark, root, tsMillis)
-    val keepFrom = cutoffV.getOrElse(vs.head)
+    val f = fs(spark, manifestDir(root))
+    val mtime: Map[Long, Long] = f.listStatus(manifestDir(root)).toSeq
+      .flatMap(s => versionOf(s.getPath).map(_ -> s.getModificationTime)).toMap
+    val firstAfter = vs.find(v => mtime.get(v).exists(_ > tsMillis))
+    val keepFrom = (cutoffV.toSeq ++ firstAfter.toSeq)
+      .minOption.getOrElse(vs.head)
     vacuum(spark, root, keepVersions = vs.size - vs.indexOf(keepFrom))
   }
 

@@ -207,7 +207,12 @@ private[graft] class VersionedReadTable(inner: ParquetTable,
       inner.dataSchema, options)
     liveRoot match {
       case Some(root) => new VersionedScanBuilder(inner.sparkSession, root, parquet,
-        Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
+        Option(options.get("maxVersionsPerTrigger")).map { raw =>
+          val m = raw.toLongOption.getOrElse(throw new IllegalArgumentException(
+            s"maxVersionsPerTrigger must be a positive integer, got '$raw'"))
+          require(m > 0, s"maxVersionsPerTrigger must be positive, got $m")
+          m
+        })
       case None => parquet
     }
   }

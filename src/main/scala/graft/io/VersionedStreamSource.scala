@@ -50,13 +50,19 @@ private[graft] class VersionedMicroBatchStream(
   /** Admission control: cap each micro-batch at `maxVersionsPerTrigger`
     * commits past the start offset — the lake-streaming backpressure knob
     * (a stream started against years of history catches up in bounded
-    * batches instead of one giant first batch). Uncapped without the
-    * option. */
+    * batches instead of one giant first batch). The cap advances along the
+    * COMMITTED version list, not offset arithmetic: after a vacuum the
+    * surviving versions need not start at start+1 (a fresh stream over
+    * versions [6,7] must plan v6, not a nonexistent v1). Uncapped without
+    * the option. */
   override def latestOffset(start: Offset,
                             limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
-    val newest = Versioned.versions(spark, root).lastOption.getOrElse(0L)
+    val vs = Versioned.versions(spark, root)
+    val newest = vs.lastOption.getOrElse(0L)
     val s = start.asInstanceOf[VOffset].v
-    VOffset(maxVersionsPerTrigger.fold(newest)(m => math.min(newest, s + m)))
+    VOffset(maxVersionsPerTrigger.fold(newest)(m =>
+      vs.filter(_ > s).take(math.min(m, Int.MaxValue.toLong).toInt)
+        .lastOption.getOrElse(s)))
   }
 
   override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =
@@ -75,19 +81,23 @@ private[graft] class VersionedMicroBatchStream(
     // added-file diff would then re-emit every surviving row of the
     // rewritten files as if it were new data. Fail loudly instead of
     // silently duplicating — the consumer must restart from a fresh
-    // snapshot (or switch to diffVersions for row-level changes).
-    if (from > 0L) {
-      val removed = Versioned.snapshotFiles(spark, root, Some(from)).toSet --
-        Versioned.snapshotFiles(spark, root, Some(to)).toSet
-      require(removed.isEmpty,
-        s"versioned stream requires append-only history, but v$from..v$to " +
-          s"removed ${removed.size} file(s) (copy-on-write rewrite, compaction, " +
-          "or replace landed mid-stream); restart from a fresh snapshot or use " +
-          "Versioned.diffVersions for row-level changes")
-    }
+    // snapshot (or switch to diffVersions for row-level changes). Both
+    // boundary manifests are read ONCE and the removed-set check and the
+    // added-file diff derive from the same two lists (metadata RPCs are
+    // the steady-state cost of a low-latency tail).
     val files =
       if (from == 0L) Versioned.snapshotFiles(spark, root, Some(to))
-      else Versioned.changedFiles(spark, root, from, Some(to))
+      else {
+        val fromFiles = Versioned.snapshotFiles(spark, root, Some(from)).toSet
+        val toFiles = Versioned.snapshotFiles(spark, root, Some(to))
+        val removed = fromFiles -- toFiles.toSet
+        require(removed.isEmpty,
+          s"versioned stream requires append-only history, but v$from..v$to " +
+            s"removed ${removed.size} file(s) (copy-on-write rewrite, compaction, " +
+            "or replace landed mid-stream); restart from a fresh snapshot or use " +
+            "Versioned.diffVersions for row-level changes")
+        toFiles.filterNot(fromFiles)
+      }
     if (files.isEmpty) return Array.empty
     val statuses = files.map { f =>
       val p = new Path(f)

@@ -183,6 +183,12 @@ class VersionedSpec extends SparkSpecBase {
     val bytes = Versioned.history(spark, root).select("total_bytes")
       .as[Long].collect()
     assert(bytes.forall(_ > 0))
+    // after a vacuum the oldest survivor's predecessor is gone: its
+    // files_added is unknowable and must surface as null, not a lie
+    Versioned.vacuum(spark, root, keepVersions = 2)
+    val h2 = Versioned.history(spark, root).orderBy("version")
+      .collect().map(r => (r.getLong(0), r.isNullAt(5)))
+    assert(h2.toSeq == Seq((2L, true), (3L, false)))
   }
 
   test("vacuumOlderThan keeps the newest version at-or-before the cutoff") {

@@ -150,6 +150,40 @@ class VersionedStreamSpec extends SparkSpecBase {
       import scala.jdk.CollectionConverters._
       assert(batches.asScala.toSeq == Seq(Seq(1L), Seq(2L), Seq(3L)))
     } finally q.stop()
+    // after a vacuum the surviving versions don't start at 1: the cap must
+    // advance along the committed list, not start+1 arithmetic
+    Versioned.vacuum(spark, root, keepVersions = 2)
+    assert(Versioned.versions(spark, root) == Seq(2L, 3L))
+    val batches2 = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+    val q2 = spark.readStream.format("graft-versioned")
+      .option("maxVersionsPerTrigger", "1").load(root)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batches2.add(batch.select("id")
+          .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().sorted.toSeq)
+        ()
+      }
+      .option("checkpointLocation", tmpDir("graft_vstream5_ckpt2"))
+      .start()
+    try {
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      // first batch = snapshot as of v2 (ids 1,2), second = v3's delta
+      assert(batches2.asScala.toSeq == Seq(Seq(1L, 2L), Seq(3L)))
+    } finally q2.stop()
+    // a non-positive cap is refused when the scan is built (query start)
+    val qBad = spark.readStream.format("graft-versioned")
+      .option("maxVersionsPerTrigger", "0").load(root)
+      .writeStream.format("memory").queryName("vtail_badcap")
+      .option("checkpointLocation", tmpDir("graft_vstream5_ckpt3"))
+      .start()
+    try {
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        qBad.processAllAvailable()
+      }
+      assert(err.getMessage.contains("must be positive"),
+        s"unexpected error: ${err.getMessage}")
+    } finally qBad.stop()
   }
 
   test("a pinned asOf snapshot is not streamable") {
