@@ -14,9 +14,14 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  /** Builder with graft extensions + scale-sane settings applied. */
-  def builder(appName: String = "graft"): SparkSession.Builder =
-    SparkSession.builder()
+  /** Builder with graft extensions + scale-sane settings applied.
+    * `warehouse` additionally registers the versioned-table catalog as
+    * `graft`, so `SELECT * FROM graft.ns.tbl [VERSION AS OF n]`, INSERT,
+    * DELETE, CREATE/DROP TABLE work out of the box against
+    * `<warehouse>/ns/tbl` roots. */
+  def builder(appName: String = "graft",
+              warehouse: Option[String] = None): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .appName(appName)
       .withExtensions(new GraftExtensions)
       // partial aggregation pushdown through distinct-like plans
@@ -29,15 +34,26 @@ object GraftSession {
       // into sort-based aggregation, resurrecting the sort the operator
       // exists to avoid
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
+    warehouse.fold(b)(w => b
+      .config("spark.sql.catalog.graft", classOf[graft.io.VersionedCatalog].getName)
+      .config("spark.sql.catalog.graft.warehouse", w))
+  }
 
   /** Create (or get) the session. NOTE: if a session already exists,
     * builder extensions are silently skipped by Spark — so the graft
     * functions are registered explicitly afterwards either way, making
-    * this safe to call in any order with other session users. */
-  def create(appName: String = "graft"): SparkSession = {
-    val spark = builder(appName).getOrCreate()
+    * this safe to call in any order with other session users (catalog
+    * confs are likewise set on the live session). */
+  def create(appName: String = "graft",
+             warehouse: Option[String] = None): SparkSession = {
+    val spark = builder(appName, warehouse).getOrCreate()
     GraftExtensions.register(spark)
     GraftExtensions.injectOptimizerRules(spark)
+    warehouse.foreach { w =>
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[graft.io.VersionedCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graft.warehouse", w)
+    }
     spark
   }
 }

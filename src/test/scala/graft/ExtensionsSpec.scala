@@ -106,6 +106,25 @@ class ExtensionsSpec extends SparkSpecBase {
     }
   }
 
+  test("GraftSession.create with a warehouse arms the graft catalog end-to-end") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_session_wh").toFile
+    wh.deleteOnExit()
+    val s = GraftSession.create("graft-test", warehouse = Some(wh.getAbsolutePath))
+    try {
+      s.sql("CREATE TABLE graft.ns.t (id BIGINT, k STRING)")
+      s.sql("INSERT INTO graft.ns.t VALUES (1, 'a'), (2, 'b')")
+      assert(s.sql("SELECT count(*) FROM graft.ns.t").head().getLong(0) == 2L)
+      assert(s.sql("SELECT count(*) FROM graft.ns.t VERSION AS OF 1")
+        .head().getLong(0) == 0L) // the empty CREATE commit
+      s.sql("DROP TABLE graft.ns.t")
+    } finally {
+      s.experimental.extraOptimizations = s.experimental.extraOptimizations
+        .filterNot(_ == graft.plans.RewriteKeepFirst)
+      s.conf.unset("spark.sql.catalog.graft")
+      s.conf.unset("spark.sql.catalog.graft.warehouse")
+    }
+  }
+
   test("saltedSum equals plain groupBy sum") {
     val df = (1 to 1000).map(i => (i % 3, i.toLong)).toDF("k", "v")
     val plain = df.groupBy("k").agg(sum("v").as("s"))
