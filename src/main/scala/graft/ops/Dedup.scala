@@ -227,4 +227,31 @@ object Dedup {
     val self = allNodes.except(fin.select("node")).withColumn("cluster", col("node"))
     fin.unionByName(self.select(col("node"), col("cluster")))
   }
+
+  /** All unordered pairs of DISTINCT values of `colName` within edit
+    * distance 1 — the entity-resolution primitive for fuzzy key matching
+    * (one-typo store codes, OCR'd article numbers). SymSpell-style
+    * deletion-neighborhood blocking: every value emits itself plus its
+    * single-character deletions as block keys; two strings within one
+    * substitution/insertion/deletion necessarily share a block key, so
+    * the candidate set is an equi-join on blocks — O(n·L) keys instead of
+    * the O(n^2) all-pairs comparison — and `levenshtein <= 1` verifies
+    * candidates exactly (a shared block only bounds distance by 2).
+    * Deterministic, shuffle-scalable; block sizes are bounded by the
+    * values colliding on one deletion (alphabet-sized for id-like keys). */
+  def editDistance1Pairs(df: DataFrame, colName: String): DataFrame = {
+    val names = df.select(col(colName).cast(StringType).as("s"))
+      .filter(col("s").isNotNull).distinct()
+    val deletions = transform(sequence(lit(1), length(col("s"))), i =>
+      concat(col("s").substr(lit(1), i - 1),
+        col("s").substr(i + 1, length(col("s")))))
+    val blocked = names.select(col("s"),
+      explode(array_union(array(col("s")), deletions)).as("block"))
+    val a = blocked.select(col("s").as("d1"), col("block"))
+    val b = blocked.select(col("s").as("d2"), col("block"))
+    a.join(b, "block")
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+      .filter(levenshtein(col("d1"), col("d2")) <= 1)
+  }
 }

@@ -217,6 +217,21 @@ object CoverageQueries {
        |SELECT node, MIN(m) AS cluster FROM r GROUP BY 1
        |""".stripMargin
 
+  /** Fuzzy key matching: all customer-name pairs within edit distance 1,
+    * found by SymSpell deletion-neighborhood blocking (Dedup.
+    * editDistance1Pairs — O(n·L) block keys + exact levenshtein verify)
+    * while the oracle brute-forces the O(n^2) all-pairs comparison: two
+    * different algorithms, identical pair set, which is the point. */
+  def fuzzyPairs(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Dedup.editDistance1Pairs(Tables.customer(spark, sfDir), "c_name")
+
+  val fuzzyPairsOracle: String =
+    """WITH n AS (SELECT DISTINCT c_name FROM customer WHERE c_name IS NOT NULL)
+      |SELECT a.c_name AS d1, b.c_name AS d2
+      |FROM n a JOIN n b
+      |  ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1
+      |""".stripMargin
+
   /** APPLY the cluster dedup — the deliverable the cluster labels exist
     * for: drop every non-canonical member (node != its cluster min-id),
     * keep canonicals and never-clustered vectors, and report the surviving
@@ -1007,6 +1022,7 @@ object CoverageQueries {
     "embedding_neardup" -> (embeddingNeardup _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_apply" -> (dedupApply _),
+    "fuzzy_pairs" -> (fuzzyPairs _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1040,5 +1056,6 @@ object CoverageQueries {
     "embedding_neardup" -> embeddingNeardupOracle,
     "dedup_clusters" -> dedupClustersOracle,
     "dedup_apply" -> dedupApplyOracle,
+    "fuzzy_pairs" -> fuzzyPairsOracle,
   )
 }

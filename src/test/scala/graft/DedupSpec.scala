@@ -93,4 +93,30 @@ class DedupSpec extends SparkSpecBase {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L,
       30L -> 30L, 31L -> 30L, 32L -> 30L, 33L -> 30L, 34L -> 30L, 35L -> 30L))
   }
+
+  test("editDistance1Pairs equals brute-force levenshtein over all pairs") {
+    import spark.implicits._
+    // substitutions, insertions, deletions, duplicates, unrelated strings,
+    // a null, and an empty string (its only deletion variant is itself)
+    val vals = Seq("abc", "abd", "ab", "abcd", "xyz", "abc", "a", "", null)
+    val df = vals.toDF("s")
+    val got = Dedup.editDistance1Pairs(df, "s")
+      .as[(String, String)].collect().toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val distinct = vals.filter(_ != null).distinct
+    val want = (for {
+      a <- distinct; b <- distinct if a < b && lev(a, b) <= 1
+    } yield (a, b)).toSet
+    assert(got == want)
+    assert(want.contains(("abc", "abd")) && want.contains(("ab", "abc")) &&
+      want.contains(("abc", "abcd")) && want.contains(("", "a")))
+  }
 }
