@@ -419,16 +419,42 @@ object Versioned {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val srcKeys = aligned.select(keys.map(col): _*).distinct()
+      val statsCols = trackedStatsCols(spark, root, files)
+        .filter(c => schema.forall(_.fieldNames.contains(c)))
+      // Probe pruning: with sidecar stats on a single key column, a file
+      // whose [min,max] cannot overlap the source key range cannot contain
+      // a match — so the touched-file probe scans only the overlapping
+      // files instead of the table (a today's-keys merge against a
+      // key-clustered 100 TB table probes ~today's files). Conservative:
+      // stats-less files stay, multi-column keys probe everything.
+      val probeFiles: Seq[String] =
+        if (keys.size != 1 || !statsCols.contains(keys.head)) files
+        else {
+          import org.apache.spark.sql.functions.{max => maxF, min => minF}
+          val bounds = aligned.agg(minF(col(keys.head)), maxF(col(keys.head))).head()
+          if (bounds.isNullAt(0)) Seq.empty // every source key is null: no match possible
+          else {
+            val (lo, hi) = (bounds.get(0), bounds.get(1))
+            val fh = fs(spark, new Path(root))
+            files.map(new Path(_)).groupBy(_.getParent).toSeq.flatMap {
+              case (dir, paths) =>
+                val side = FileStats.readSidecar(fh, dir)
+                paths.filter(p => FileStats.mayContain(
+                  side.get(p.getName).flatMap(_.get(keys.head)), Some(lo), Some(hi)))
+            }.map(_.toString)
+          }
+        }
       // one scan finds the files holding matched keys; the file name must be
       // captured BELOW the join — input_file_name() above a join returns ""
       // whenever the planner breaks file context (shuffle join)
-      val touchedUris = snapshot.withColumn("__file", input_file_name())
-        .join(srcKeys, keys, "left_semi")
-        .select(col("__file")).distinct()
-        .collect().map(r => new Path(java.net.URI.create(r.getString(0))).toUri.getPath)
-        .toSet
-      val statsCols = trackedStatsCols(spark, root, files)
-        .filter(c => schema.forall(_.fieldNames.contains(c)))
+      val touchedUris =
+        if (probeFiles.isEmpty) Set.empty[String]
+        else readWithSchema(spark, schema, probeFiles)
+          .withColumn("__file", input_file_name())
+          .join(srcKeys, keys, "left_semi")
+          .select(col("__file")).distinct()
+          .collect().map(r => new Path(java.net.URI.create(r.getString(0))).toUri.getPath)
+          .toSet
       if (touchedUris.isEmpty) {
         // pure insert (or empty source): no file rewritten, plain append
         if (aligned.isEmpty) return current

@@ -140,6 +140,16 @@ class VersionedMergeSpec extends SparkSpecBase {
       .as[Long].collect().sorted.toSeq == (150L to 155L))
     assert(Versioned.readPruned(spark, root, "id", Some(10L), Some(12L))
       .as[Long].collect().sorted.toSeq == (10L to 12L))
+    // out-of-range keys on a stats-tracked table: the probe prunes every
+    // file (no scan can match), so the merge is a pure append
+    val before = manifestOf(root, 3L)
+    Versioned.mergeInto(spark, root, Seq(9999L).toDF("id"), Seq("id"))
+    assert(manifestOf(root, 4L).containsSlice(before))
+    assert(Versioned.read(spark, root).count() == 201)
+    // an all-null-key source on a stats-tracked table likewise inserts
+    Versioned.mergeInto(spark, root,
+      Seq(Option.empty[Long]).toDF("id"), Seq("id"))
+    assert(Versioned.read(spark, root).count() == 202)
   }
 
   test("restore republishes an old snapshot without copying data") {
