@@ -41,18 +41,34 @@ object GraftSession {
 
   /** Create (or get) the session. NOTE: if a session already exists,
     * builder extensions are silently skipped by Spark — so the graft
-    * functions are registered explicitly afterwards either way, making
-    * this safe to call in any order with other session users (catalog
-    * confs are likewise set on the live session). */
+    * functions are registered explicitly afterwards either way. The
+    * catalog conf is also set on the live session, which works as long as
+    * the `graft` catalog has not been RESOLVED yet (Spark caches catalog
+    * instances on first use and conf changes cannot re-root them) — a
+    * re-wire to a DIFFERENT warehouse after use is refused loudly rather
+    * than silently serving tables from the old root. */
   def create(appName: String = "graft",
              warehouse: Option[String] = None): SparkSession = {
+    val key = "spark.sql.catalog.graft.warehouse"
+    // the mismatch must be checked against the LIVE session BEFORE
+    // getOrCreate, which would silently copy the builder's conf over it
+    warehouse.foreach { w =>
+      SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+        .flatMap(_.conf.getOption(key)).filter(_ != w).foreach { existing =>
+          throw new IllegalStateException(
+            s"the graft catalog is already wired to warehouse $existing; " +
+              "Spark caches catalog instances, so re-wiring to a different " +
+              s"warehouse ($w) on a live session cannot take effect — " +
+              "register a second catalog name instead")
+        }
+    }
     val spark = builder(appName, warehouse).getOrCreate()
     GraftExtensions.register(spark)
     GraftExtensions.injectOptimizerRules(spark)
     warehouse.foreach { w =>
       spark.conf.set("spark.sql.catalog.graft",
         classOf[graft.io.VersionedCatalog].getName)
-      spark.conf.set("spark.sql.catalog.graft.warehouse", w)
+      spark.conf.set(key, w)
     }
     spark
   }

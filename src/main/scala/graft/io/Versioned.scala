@@ -259,12 +259,7 @@ object Versioned {
     import org.apache.spark.sql.functions.{col, lit}
     require(lo.nonEmpty || hi.nonEmpty, "at least one bound required")
     val f = fs(spark, new Path(root))
-    val kept = snapshotFiles(spark, root, asOf).map(new Path(_))
-      .groupBy(_.getParent).toSeq.flatMap { case (batchDir, paths) =>
-        val side = FileStats.readSidecar(f, batchDir)
-        paths.filter(p => FileStats.mayContain(
-          side.get(p.getName).flatMap(_.get(column)), lo, hi))
-      }.map(_.toString)
+    val kept = prunedByStats(f, snapshotFiles(spark, root, asOf), column, lo, hi)
     def litOf(v: Any): Column = v match {
       case i: java.time.Instant => lit(java.sql.Timestamp.from(i))
       case other => lit(other)
@@ -426,23 +421,21 @@ object Versioned {
       // a match — so the touched-file probe scans only the overlapping
       // files instead of the table (a today's-keys merge against a
       // key-clustered 100 TB table probes ~today's files). Conservative:
-      // stats-less files stay, multi-column keys probe everything.
+      // stats-less files stay, multi-column keys probe everything, and
+      // floating-point keys are excluded — Spark's join equality
+      // normalizes -0.0 == 0.0 and NaN == NaN while the stats total order
+      // distinguishes them, so range pruning could miss a matched file.
+      val floatKey = keys.size == 1 &&
+        (snapshot.schema(keys.head).dataType == org.apache.spark.sql.types.DoubleType ||
+          snapshot.schema(keys.head).dataType == org.apache.spark.sql.types.FloatType)
       val probeFiles: Seq[String] =
-        if (keys.size != 1 || !statsCols.contains(keys.head)) files
+        if (keys.size != 1 || floatKey || !statsCols.contains(keys.head)) files
         else {
           import org.apache.spark.sql.functions.{max => maxF, min => minF}
           val bounds = aligned.agg(minF(col(keys.head)), maxF(col(keys.head))).head()
           if (bounds.isNullAt(0)) Seq.empty // every source key is null: no match possible
-          else {
-            val (lo, hi) = (bounds.get(0), bounds.get(1))
-            val fh = fs(spark, new Path(root))
-            files.map(new Path(_)).groupBy(_.getParent).toSeq.flatMap {
-              case (dir, paths) =>
-                val side = FileStats.readSidecar(fh, dir)
-                paths.filter(p => FileStats.mayContain(
-                  side.get(p.getName).flatMap(_.get(keys.head)), Some(lo), Some(hi)))
-            }.map(_.toString)
-          }
+          else prunedByStats(fs(spark, new Path(root)), files, keys.head,
+            Some(bounds.get(0)), Some(bounds.get(1)))
         }
       // one scan finds the files holding matched keys; the file name must be
       // captured BELOW the join — input_file_name() above a join returns ""
@@ -588,6 +581,18 @@ object Versioned {
     paths.groupBy(_.getParent).keys.filter(f.exists).flatMap { dir =>
       f.listStatus(dir).map(s => s.getPath.toUri.getPath -> s.getLen)
     }.toMap
+
+  /** The subset of `files` whose sidecar min/max may overlap `[lo, hi]` on
+    * `column` — the single file-skipping loop shared by [[readPruned]] and
+    * the MERGE probe. Conservative: files without stats are kept. */
+  private def prunedByStats(f: FileSystem, files: Seq[String], column: String,
+                            lo: Option[Any], hi: Option[Any]): Seq[String] =
+    files.map(new Path(_)).groupBy(_.getParent).toSeq.flatMap {
+      case (batchDir, paths) =>
+        val side = FileStats.readSidecar(f, batchDir)
+        paths.filter(p => FileStats.mayContain(
+          side.get(p.getName).flatMap(_.get(column)), lo, hi))
+    }.map(_.toString)
 
   /** Publish a snapshot that is `carriedRel` (root-relative existing
     * files, kept by reference) plus `df` written as the new batch — the

@@ -107,6 +107,7 @@ class ExtensionsSpec extends SparkSpecBase {
   }
 
   test("GraftSession.create with a warehouse arms the graft catalog end-to-end") {
+    spark.version // materialize the shared session so create() joins it
     val wh = java.nio.file.Files.createTempDirectory("graft_session_wh").toFile
     wh.deleteOnExit()
     val s = GraftSession.create("graft-test", warehouse = Some(wh.getAbsolutePath))
@@ -117,6 +118,12 @@ class ExtensionsSpec extends SparkSpecBase {
       assert(s.sql("SELECT count(*) FROM graft.ns.t VERSION AS OF 1")
         .head().getLong(0) == 0L) // the empty CREATE commit
       s.sql("DROP TABLE graft.ns.t")
+      // re-wiring a live session to a DIFFERENT warehouse cannot take
+      // effect (Spark caches catalog instances) and must refuse loudly
+      val err = intercept[IllegalStateException] {
+        GraftSession.create("graft-test", warehouse = Some("/other/wh"))
+      }
+      assert(err.getMessage.contains("already wired"))
     } finally {
       s.experimental.extraOptimizations = s.experimental.extraOptimizations
         .filterNot(_ == graft.plans.RewriteKeepFirst)
