@@ -188,4 +188,30 @@ class PropertySpec extends SparkSpecBase {
       assert(agg == win, s"parts=$parts")
     }
   }
+
+  test("editDistance1Pairs equals brute force on random short strings") {
+    // small alphabet + short lengths force dense distance-1 neighborhoods,
+    // the regime where a blocking bug (missed variant family) would show
+    val gen = Gen.listOfN(120, Gen.chooseNum(0, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (seedRun <- 1 to 3) {
+      val vals = gen.sample.get
+      val got = graft.ops.Dedup.editDistance1Pairs(vals.toDF("s"), "s")
+        .as[(String, String)].collect().toSet
+      val distinct = vals.distinct
+      val want = (for {
+        a <- distinct; b <- distinct if a < b && lev(a, b) <= 1
+      } yield (a, b)).toSet
+      assert(got == want, s"run $seedRun: ${got.diff(want)} / ${want.diff(got)}")
+    }
+  }
 }
