@@ -25,8 +25,8 @@ import org.apache.spark.unsafe.types.UTF8String
 private[graft] class StatsPrunedFileIndex(
     spark: SparkSession,
     files: Seq[Path],
-    sidecars: Map[String, Map[String, FileStats.ColStats]],
-    runtimeKeep: Option[Set[String]] = None)
+    sidecars: Map[(String, String), Map[String, FileStats.ColStats]],
+    runtimeKeep: Option[Set[(String, String)]] = None)
   extends InMemoryFileIndex(spark, files, Map.empty[String, String], None,
     FileStatusCache.getOrCreate(spark)) {
 
@@ -44,11 +44,12 @@ private[graft] class StatsPrunedFileIndex(
   private[io] lazy val statsColumns: Set[String] =
     sidecars.valuesIterator.flatMap(_.keysIterator).toSet
 
-  /** File names that could contain at least one value of every per-column
-    * candidate set (conservative: missing stats keep the file). */
-  private[io] def runtimeSurvivors(sets: Seq[(String, Seq[Any])]): Set[String] =
-    files.iterator.map(_.getName).filter { name =>
-      val byCol = sidecars.getOrElse(name, Map.empty)
+  /** Files (as (batchDirName, fileName) keys) that could contain at least
+    * one value of every per-column candidate set (conservative: missing
+    * stats keep the file). */
+  private[io] def runtimeSurvivors(sets: Seq[(String, Seq[Any])]): Set[(String, String)] =
+    files.iterator.map(p => (p.getParent.getName, p.getName)).filter { key =>
+      val byCol = sidecars.getOrElse(key, Map.empty)
       sets.forall { case (c, vs) =>
         vs.exists(v => FileStats.mayContain(byCol.get(c), Some(v), Some(v)))
       }
@@ -57,7 +58,7 @@ private[graft] class StatsPrunedFileIndex(
   /** A derived index with a runtime keep-set baked in. The parent index is
     * shared by every scan of the table, so runtime filters must NOT mutate
     * it — a self-join's two scans carry different runtime predicates. */
-  private[io] def withRuntimeKeep(keep: Set[String]): StatsPrunedFileIndex =
+  private[io] def withRuntimeKeep(keep: Set[(String, String)]): StatsPrunedFileIndex =
     new StatsPrunedFileIndex(spark, files, sidecars, Some(keep))
 
   override def listFiles(partitionFilters: Seq[Expression],
@@ -68,9 +69,9 @@ private[graft] class StatsPrunedFileIndex(
     else {
       val pruned = listed.map { pd =>
         pd.copy(files = pd.files.filter { f =>
-          val name = f.getPath.getName
-          val byCol = sidecars.getOrElse(name, Map.empty)
-          runtimeKeep.forall(_.contains(name)) &&
+          val key = (f.getPath.getParent.getName, f.getPath.getName)
+          val byCol = sidecars.getOrElse(key, Map.empty)
+          runtimeKeep.forall(_.contains(key)) &&
           bounds.forall { case (c, (lo, hi)) =>
             FileStats.mayContain(byCol.get(c), lo, hi)
           }

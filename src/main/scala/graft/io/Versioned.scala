@@ -70,15 +70,19 @@ object Versioned {
   private def manifestFiles(spark: SparkSession, root: String, v: Long): Seq[String] =
     manifestLines(spark, root, v).filterNot(_.startsWith("#"))
 
+  /** Tag of one ALREADY-KNOWN version — one manifest read, no directory
+    * re-list. The building block for history scans (a caller holding the
+    * version list must not pay an O(versions) LIST per version). */
+  private[graft] def tagOf(spark: SparkSession, root: String, v: Long): Option[String] =
+    manifestLines(spark, root, v)
+      .find(_.startsWith("#tag=")).map(_.stripPrefix("#tag="))
+
   /** The `tag` the given (default: newest) version was committed with,
     * if any — the idempotence key for replay-safe writers. */
   def committedTag(spark: SparkSession, root: String,
                    asOf: Option[Long] = None): Option[String] = {
     val vs = versions(spark, root)
-    asOf.orElse(vs.lastOption).filter(vs.contains).flatMap { v =>
-      manifestLines(spark, root, v)
-        .find(_.startsWith("#tag=")).map(_.stripPrefix("#tag="))
-    }
+    asOf.orElse(vs.lastOption).filter(vs.contains).flatMap(tagOf(spark, root, _))
   }
 
   /** The schema recorded in a snapshot's manifest (newest unless `asOf`);
@@ -163,15 +167,17 @@ object Versioned {
     val recorded = prevSchema
       .map(p => mergeSchemas(p, asNullable(df.schema)))
       .getOrElse(asNullable(df.schema))
-    df.write.mode(SaveMode.ErrorIfExists).parquet(batchDir.toString)
-    val newPaths = f.listStatus(batchDir).toSeq.map(_.getPath)
-      .filter(p => p.getName.endsWith(".parquet"))
-    // fail loudly on a misspelled stats column: a silent miss would
-    // permanently commit the batch without stats (sidecars are immutable)
+    // fail loudly on a misspelled stats column — BEFORE paying the data
+    // write (a silent miss would permanently commit the batch without
+    // stats, sidecars being immutable; an abort after the write wastes
+    // the whole batch)
     val missingStats = statsCols.filterNot(df.columns.contains)
     require(missingStats.isEmpty,
       s"statsCols not in the committed schema: ${missingStats.mkString(", ")} " +
         s"(have ${df.columns.mkString(", ")})")
+    df.write.mode(SaveMode.ErrorIfExists).parquet(batchDir.toString)
+    val newPaths = f.listStatus(batchDir).toSeq.map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet"))
     if (statsCols.nonEmpty) {
       FileStats.writeSidecar(f, batchDir,
         FileStats.collect(spark.sparkContext.hadoopConfiguration, newPaths, statsCols))
@@ -286,21 +292,35 @@ object Versioned {
                      dimA: String, dimB: String, nFiles: Int,
                      replace: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{col, lit, max, min}
-    val Array(aMin, aMax, bMin, bMax) =
-      df.agg(min(col(dimA).cast("double")), max(col(dimA).cast("double")),
-             min(col(dimB).cast("double")), max(col(dimB).cast("double")))
-        .collect()(0).toSeq.map(v => Option(v).map(_.asInstanceOf[Double]).getOrElse(0.0))
-        .toArray
-    def rank(c: String, mn: Double, mx: Double) =
-      if (mx <= mn) lit(0L)
-      else ((col(c).cast("double") - lit(mn)) / lit(mx - mn) * lit(65535.0)).cast("long")
-    val curve = graft.functions.GraftExpressions.zorder2(
-      rank(dimA, aMin, aMax), rank(dimB, bMin, bMax))
-    val shaped = df.withColumn("__z", curve)
-      .repartitionByRange(nFiles, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
-    commit(spark, shaped, root, replace = replace, statsCols = Seq(dimA, dimB))
+    // the input is evaluated twice (domain agg, then the write): persist it
+    // so a non-deterministic or expensive source can't produce ranks
+    // inconsistent with the rows actually written (pruning would stay
+    // correct — stats come from the written footers — but the clustering
+    // benefit would silently degrade). Only persist (and later unpersist)
+    // when the CALLER hasn't: persist returns `this`, so unconditionally
+    // unpersisting would evict a cache the caller set up for reuse.
+    val ownPin = df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val pinned = if (ownPin) df.persist() else df
+    try {
+      val Array(aMin, aMax, bMin, bMax) =
+        pinned.agg(min(col(dimA).cast("double")), max(col(dimA).cast("double")),
+               min(col(dimB).cast("double")), max(col(dimB).cast("double")))
+          .collect()(0).toSeq.map(v => Option(v).map(_.asInstanceOf[Double]).getOrElse(0.0))
+          .toArray
+      def rank(c: String, mn: Double, mx: Double) =
+        if (mx <= mn) lit(0L)
+        else ((col(c).cast("double") - lit(mn)) / lit(mx - mn) * lit(65535.0)).cast("long")
+      val curve = graft.functions.GraftExpressions.zorder2(
+        rank(dimA, aMin, aMax), rank(dimB, bMin, bMax))
+      val shaped = pinned.withColumn("__z", curve)
+        .repartitionByRange(nFiles, col("__z"))
+        .sortWithinPartitions(col("__z"))
+        .drop("__z")
+      commit(spark, shaped, root, replace = replace, statsCols = Seq(dimA, dimB))
+    } finally {
+      if (ownPin) pinned.unpersist()
+      ()
+    }
   }
 
   /** Copy-on-write row-level DELETE: one pruned scan finds the files that
@@ -442,12 +462,10 @@ object Versioned {
       // whenever the planner breaks file context (shuffle join)
       val touchedUris =
         if (probeFiles.isEmpty) Set.empty[String]
-        else readWithSchema(spark, schema, probeFiles)
+        else collectTouched(spark, readWithSchema(spark, schema, probeFiles)
           .withColumn("__file", input_file_name())
           .join(srcKeys, keys, "left_semi")
-          .select(col("__file")).distinct()
-          .collect().map(r => new Path(java.net.URI.create(r.getString(0))).toUri.getPath)
-          .toSet
+          .select(col("__file")).distinct(), "MERGE")
       if (touchedUris.isEmpty) {
         // pure insert (or empty source): no file rewritten, plain append
         if (aligned.isEmpty) return current
@@ -530,6 +548,28 @@ object Versioned {
         side(gone).exceptAll(side(fresh)).withColumn("_change", lit("delete")))
   }
 
+  /** Collect the touched-file probe's distinct file URIs to the driver,
+    * capped. The collect carries file NAMES, never row data, so it is
+    * bounded by file count — but a predicate matching most of a
+    * multi-million-file table would still build a driver set of millions
+    * of paths. Past `spark.graft.maxTouchedFiles` (default 1,000,000 —
+    * ~100 MB of paths, the same class of driver-side metadata bound Delta
+    * accepts) the operation fails LOUDLY with a rewrite-in-ranges hint
+    * instead of silently stressing the driver; the limit also bounds the
+    * fetch itself. */
+  private def collectTouched(spark: SparkSession,
+                             fileUris: DataFrame, what: String): Set[String] = {
+    val cap = spark.conf.get("spark.graft.maxTouchedFiles", "1000000").toInt
+    // cap + 1 in Long: a cap of Int.MaxValue ("unlimited") must not wrap
+    // the limit negative
+    val rows = fileUris.limit(math.min(cap.toLong + 1, Int.MaxValue.toLong).toInt).collect()
+    require(rows.length <= cap,
+      s"$what touches more than spark.graft.maxTouchedFiles=$cap files; " +
+        "narrow the predicate / source key range, run the rewrite in " +
+        "ranges (several commits over disjoint key ranges), or raise the cap")
+    rows.iterator.map(r => new Path(java.net.URI.create(r.getString(0))).toUri.getPath).toSet
+  }
+
   /** Shared copy-on-write core: find files containing predicate matches,
     * rewrite exactly those with `rewrite`, carry the rest by reference. */
   private def rewriteTouched(spark: SparkSession, root: String,
@@ -544,9 +584,8 @@ object Versioned {
     val snapshot = readWithSchema(spark, schema, files)
     // one scan finds the touched files; input_file_name is URI-shaped, the
     // manifest is root-relative — compare canonical Path forms
-    val touchedUris = snapshot.filter(predicate)
-      .select(input_file_name()).distinct()
-      .collect().map(r => new Path(java.net.URI.create(r.getString(0))).toUri.getPath).toSet
+    val touchedUris = collectTouched(spark, snapshot.filter(predicate)
+      .select(input_file_name()).distinct(), "row-level rewrite")
     if (touchedUris.isEmpty) return current
     val (touched, untouched) = files.partition(f =>
       touchedUris.contains(new Path(f).toUri.getPath))

@@ -53,13 +53,16 @@ object VersionedDataSource {
   }
 
   /** Load every batch sidecar referenced by `files` (one tiny driver read
-    * per batch dir): fileName -> col -> stats, for scan-time pruning. */
+    * per batch dir): (batchDirName, fileName) -> col -> stats, for scan-time
+    * pruning. Keying includes the batch dir so two part files with the same
+    * name in different batches can never borrow each other's min/max (a
+    * wrong borrow could prune a file that holds matching rows). */
   private[io] def sidecarsFor(spark: SparkSession,
-                              files: Seq[String]): Map[String, Map[String, FileStats.ColStats]] = {
+                              files: Seq[String]): Map[(String, String), Map[String, FileStats.ColStats]] = {
     import org.apache.hadoop.fs.Path
     files.map(new Path(_)).groupBy(_.getParent).flatMap { case (dir, _) =>
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      FileStats.readSidecar(fs, dir)
+      FileStats.readSidecar(fs, dir).map { case (name, st) => (dir.getName, name) -> st }
     }
   }
 }

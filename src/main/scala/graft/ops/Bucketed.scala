@@ -37,18 +37,31 @@ object Bucketed {
         "created in the current database")
     val sorts = if (sortCols.isEmpty) bucketCols else sortCols
     val spark = df.sparkSession
-    // the default in-memory catalog forgets tables across JVMs while the
-    // warehouse dir persists; a stale location would block saveAsTable,
-    // so clear both the (possibly unknown) table and its leftover dir,
-    // mirroring the session catalog's managed-location convention
-    // (<warehouse>/<t> for default, <warehouse>/<db>.db/<t> otherwise,
-    // lowercased as the catalog normalizes identifiers)
+    // Clearing the managed location before saveAsTable, without ever
+    // deleting a directory that isn't the table's: resolve the REAL
+    // location from the catalog while the table is still registered
+    // (against a Hive metastore or a custom LOCATION the warehouse-derived
+    // path could be an unrelated directory), and fall back to the derived
+    // conventional path only when the catalog doesn't know the table —
+    // the leftover-dir case, where the default in-memory catalog forgot
+    // the table across JVMs while its warehouse dir persisted and would
+    // block saveAsTable. Convention mirrored: <warehouse>/<t> for
+    // default, <warehouse>/<db>.db/<t> otherwise, lowercased as the
+    // catalog normalizes identifiers. DROP alone is not enough even for a
+    // KNOWN table: an external table's files survive their DROP.
+    val catalogLoc: Option[org.apache.hadoop.fs.Path] =
+      if (spark.catalog.tableExists(table))
+        Some(new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table)).location))
+      else None
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val db = spark.catalog.currentDatabase
-    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
-    val dbDir = if (db == "default") wh
-                else new org.apache.hadoop.fs.Path(wh, s"${db.toLowerCase}.db")
-    val loc = new org.apache.hadoop.fs.Path(dbDir, table.toLowerCase)
+    val loc = catalogLoc.getOrElse {
+      val db = spark.catalog.currentDatabase
+      val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+      val dbDir = if (db == "default") wh
+                  else new org.apache.hadoop.fs.Path(wh, s"${db.toLowerCase}.db")
+      new org.apache.hadoop.fs.Path(dbDir, table.toLowerCase)
+    }
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)

@@ -118,17 +118,17 @@ object Dedup {
     * algorithms — the data never leaves the cluster, only the changed-row
     * count does). Converges in O(component diameter) iterations; dedup
     * graphs are shallow (boilerplate stars), so a handful in practice.
-    * `localCheckpoint` truncates the per-iteration lineage. At extreme
-    * diameters, swap in the large-star/small-star contraction — same
-    * contract, fewer rounds. */
+    * Per-iteration lineage is truncated via [[Iterate.pin]] — reliable
+    * `checkpoint()` when the session has a checkpoint dir, else
+    * `localCheckpoint()`. At extreme diameters, swap in the
+    * large-star/small-star contraction — same contract, fewer rounds. */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 50): DataFrame = {
     // materialize the edge list once: every iteration joins against it,
     // and the upstream pair query (LSH, cosine blocking, ...) must not
     // re-execute per round
-    val sym = edges.select(col(aCol).as("a"), col(bCol).as("b"))
-      .union(edges.select(col(bCol).as("a"), col(aCol).as("b")))
-      .localCheckpoint()
+    val sym = Iterate.pin(edges.select(col(aCol).as("a"), col(bCol).as("b"))
+      .union(edges.select(col(bCol).as("a"), col(aCol).as("b"))))
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("lab", col("node"))
     var iter = 0
@@ -141,7 +141,7 @@ object Dedup {
       // checkpoint the joined frame once per round: the convergence count
       // and the next round's labels both read it, and without the
       // materialization each would re-execute the join
-      val joined = labels.join(prop, "node").localCheckpoint()
+      val joined = Iterate.pin(labels.join(prop, "node"))
       changed = joined.filter(col("newlab") =!= col("lab")).count()
       labels = joined.select(col("node"), col("newlab").as("lab"))
       iter += 1
@@ -170,14 +170,14 @@ object Dedup {
     // full node set BEFORE dropping self-loops: a node whose only edges
     // are self-loops must still appear in the output (parity with
     // connectedComponents)
-    val allNodes = edges.select(col(aCol).cast("long").as("node"))
+    val allNodes = Iterate.pin(edges.select(col(aCol).cast("long").as("node"))
       .union(edges.select(col(bCol).cast("long").as("node")))
-      .distinct().localCheckpoint()
+      .distinct())
     // canonical undirected edge set as (hi, lo) pairs, self-loops dropped
-    var e = edges.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+    var e = Iterate.pin(edges.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-      .distinct().localCheckpoint()
+      .distinct())
 
     // One star round as pure grouped aggregations + joins — nothing
     // materializes a node's adjacency list in a single task's heap (a
@@ -209,7 +209,7 @@ object Dedup {
     var iter = 0
     var stable = false
     while (!stable && iter < maxIter) {
-      val next = star(star(e, large = true), large = false).localCheckpoint()
+      val next = Iterate.pin(star(star(e, large = true), large = false))
       // convergence = the canonical edge sets are equal. Both sides are
       // distinct, so "no edge appears in exactly one side" decides it in a
       // SINGLE grouped job (vs count+count+except = three jobs per round —

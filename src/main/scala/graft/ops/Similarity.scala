@@ -112,16 +112,17 @@ object Similarity {
     * assigned centroid is non-decreasing per iteration up to quantization
     * noise). Each iteration costs one centroid aggregation (two shuffles
     * over exploded components) plus a broadcast assignment scan;
-    * `localCheckpoint` truncates the per-iteration lineage so iteration
+    * per-iteration lineage is truncated (reliable `checkpoint()` when the
+    * session has a checkpoint dir — survives executor loss mid-iteration
+    * at cluster scale — else eager `localCheckpoint`) so iteration
     * i+1 doesn't re-derive iterations 1..i. Input (vec_id, embedding,
     * label) -> same shape with refined labels. */
   def lloydIterate(emb: DataFrame, iters: Int): DataFrame = {
     var labeled = emb.select(col("vec_id"), col("embedding"), col("label"))
     for (_ <- 1 to iters) {
       val cent = quantizedCentroids(labeled.select(col("label"), col("embedding")))
-      labeled = assignClusters(labeled.select(col("vec_id"), col("embedding")), cent, 1)
-        .select(col("vec_id"), col("embedding"), col("cluster").as("label"))
-        .localCheckpoint(false)
+      labeled = Iterate.pin(assignClusters(labeled.select(col("vec_id"), col("embedding")), cent, 1)
+        .select(col("vec_id"), col("embedding"), col("cluster").as("label")))
     }
     labeled
   }

@@ -87,18 +87,44 @@ object Streams {
     * drop it. The md5 prefix of the checkpoint path is the stable
     * discriminator — identical across restarts FROM that checkpoint
     * (where skipping really is correct), distinct across checkpoints. */
-  private def batchTag(checkpointDir: String, kind: String, id: Long): String = {
+  private[graft] def batchTag(checkpointDir: String, kind: String, id: Long): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(checkpointDir.getBytes("UTF-8"))
       .take(4).map("%02x".format(_)).mkString
     s"$kind-$d-batch-$id"
   }
 
+  /** Whether batch `id` from this checkpoint already committed into `root`.
+    * Checking only the NEWEST commit's tag has a false-negative hole: if
+    * another writer (a second query into the same root, a manual commit)
+    * lands between a crash and the replay, the replayed batch's tag is no
+    * longer newest and the batch would commit twice. foreachBatch only
+    * ever replays the LAST uncommitted batch, so the decider is the
+    * newest same-checkpoint tag: scanning versions newest-to-oldest, the
+    * first tag carrying this checkpoint's discriminator is a replay iff
+    * its batch id EQUALS `id` (not >=: a wiped-and-recreated checkpoint at
+    * the same path restarts ids at 0, and >= would silently drop all the
+    * restarted batches up to the old high-water mark). The scan stops at
+    * that first match, so its cost is O(interleaved foreign commits since
+    * our last batch), not O(history) — the version list is read once and
+    * each scanned version costs one tiny manifest read (tagOf). */
+  private[graft] def alreadyCommitted(spark: org.apache.spark.sql.SparkSession, root: String,
+                               checkpointDir: String, kind: String, id: Long): Boolean = {
+    val prefix = batchTag(checkpointDir, kind, id).stripSuffix(id.toString)
+    graft.io.Versioned.versions(spark, root).reverseIterator
+      .map(v => graft.io.Versioned.tagOf(spark, root, v))
+      .collectFirst { case Some(t) if t.startsWith(prefix) =>
+        t.stripPrefix(prefix).toLongOption.contains(id)
+      }.getOrElse(false)
+  }
+
   /** Streaming append sink into a [[graft.io.Versioned]] table: each
     * micro-batch commits as one new snapshot version tagged with its
     * checkpoint-scoped batch id, so a batch replayed after a crash
-    * (foreachBatch is at-least-once) is detected via the last committed
-    * tag and skipped — exactly-once table state with NO data rewrite per
+    * (foreachBatch is at-least-once) is detected via the newest
+    * same-checkpoint tag in the history — robust to other writers
+    * interleaving commits into the root — and skipped: exactly-once
+    * table state with NO data rewrite per
     * batch (unlike the MERGE sinks, appends only write the new files and
     * a manifest). Readers concurrently see whole snapshots, never a
     * half-written batch. */
@@ -108,9 +134,9 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val spark = batch.sparkSession
-        val tag = batchTag(checkpointDir, "append", id)
-        if (!graft.io.Versioned.committedTag(spark, root).contains(tag)) {
-          graft.io.Versioned.commit(spark, batch.toDF(), root, tag = Some(tag))
+        if (!alreadyCommitted(spark, root, checkpointDir, "append", id)) {
+          graft.io.Versioned.commit(spark, batch.toDF(), root,
+            tag = Some(batchTag(checkpointDir, "append", id)))
           ()
         }
       }
@@ -122,18 +148,21 @@ object Streams {
     * carried by reference — so a mostly-today key stream against a 100 TB
     * target costs O(touched files + batch) per trigger, not O(table). The
     * batch id becomes the commit tag: a crash-replayed batch (foreachBatch
-    * only ever replays the last uncommitted one) is recognized on the
-    * newest commit and skipped, and readers of the target always see whole
-    * post-batch snapshots. The streaming twin of the reference's
+    * only ever replays the last uncommitted one) is recognized via the
+    * newest same-checkpoint tag in the history (robust to interleaved
+    * foreign commits) and skipped, and readers of the target always see
+    * whole post-batch snapshots. The streaming twin of the reference's
     * staging-table + MERGE load (common/loader.py:41-153). */
   def versionedMergeSink(events: DataFrame, root: String, keys: Seq[String],
                          checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        graft.io.Versioned.mergeInto(batch.sparkSession, root, batch.toDF(), keys,
-          tag = Some(batchTag(checkpointDir, "merge", id)))
-        ()
+        if (!alreadyCommitted(batch.sparkSession, root, checkpointDir, "merge", id)) {
+          graft.io.Versioned.mergeInto(batch.sparkSession, root, batch.toDF(), keys,
+            tag = Some(batchTag(checkpointDir, "merge", id)))
+          ()
+        }
       }
       .start()
 

@@ -94,6 +94,39 @@ class DedupSpec extends SparkSpecBase {
       30L -> 30L, 31L -> 30L, 32L -> 30L, 33L -> 30L, 34L -> 30L, 35L -> 30L))
   }
 
+  test("CC fixpoints under a reliable checkpoint dir: same labels, files recoverable") {
+    // with sc.setCheckpointDir set, pin() switches from localCheckpoint to
+    // reliable checkpoint() — an executor lost mid-fixpoint at cluster
+    // scale recovers from the checkpoint files instead of restarting the
+    // whole computation. Results must be identical either way.
+    val sc = spark.sparkContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toFile
+    dir.deleteOnExit()
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L), (20L, 20L))
+      .toDF("d1", "d2")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L)
+    sc.setCheckpointDir(dir.getAbsolutePath)
+    try {
+      val viaLabel = Dedup.connectedComponents(edges, "d1", "d2")
+        .as[(Long, Long)].collect().toMap
+      val viaStar = Dedup.connectedComponentsStar(edges, "d1", "d2")
+        .as[(Long, Long)].collect().toMap
+      assert(viaLabel == expected)
+      assert(viaStar == expected)
+      // the reliable path really ran: checkpoint data landed on disk
+      val wrote = scala.util.Using.resource(java.nio.file.Files.walk(dir.toPath))(
+        _.filter(java.nio.file.Files.isRegularFile(_)).count())
+      assert(wrote > 0, "expected reliable checkpoint files on disk")
+    } finally {
+      // private[spark] var: clear via the bytecode-public setter so later
+      // suites go back to the localCheckpoint default
+      sc.getClass.getMethod("checkpointDir_$eq", classOf[Option[String]])
+        .invoke(sc, None)
+      ()
+    }
+  }
+
   test("editDistance1Pairs equals brute-force levenshtein over all pairs") {
     import spark.implicits._
     // substitutions, insertions, deletions, duplicates, unrelated strings,

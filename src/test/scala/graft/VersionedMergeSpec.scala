@@ -255,4 +255,53 @@ class VersionedMergeSpec extends SparkSpecBase {
       assert(Versioned.read(spark, root).filter($"k" === "XX").count() == 0)
     } finally q.stop()
   }
+
+  test("replay detection survives an interleaved foreign commit") {
+    val root = tmpRoot()
+    val chk = tmpRoot()
+    // batch 0 from our checkpoint commits, then a FOREIGN writer (manual
+    // commit, different checkpoint's sink) lands on top — our tag is no
+    // longer newest, but the replay must still be recognized
+    Versioned.commit(spark, Seq((1L, "a")).toDF("id", "k"), root,
+      tag = Some(Streams.batchTag(chk, "append", 0L)))
+    Versioned.commit(spark, Seq((2L, "manual")).toDF("id", "k"), root)
+    Versioned.commit(spark, Seq((3L, "other")).toDF("id", "k"), root,
+      tag = Some(Streams.batchTag(tmpRoot(), "append", 7L)))
+    assert(Streams.alreadyCommitted(spark, root, chk, "append", 0L),
+      "replayed batch 0 must be detected behind interleaved foreign commits")
+    // the NEXT batch from our checkpoint is not a replay
+    assert(!Streams.alreadyCommitted(spark, root, chk, "append", 1L))
+    // same checkpoint, different sink kind: independent tag namespace
+    assert(!Streams.alreadyCommitted(spark, root, chk, "merge", 0L))
+    // wiped-and-recreated checkpoint at the SAME path: batch ids restart,
+    // and only the NEWEST same-checkpoint tag decides — after batch 1
+    // commits, a fresh incarnation's batch 0 must NOT look like a replay
+    // (an id-range check would silently drop every restarted batch)
+    Versioned.commit(spark, Seq((4L, "d")).toDF("id", "k"), root,
+      tag = Some(Streams.batchTag(chk, "append", 1L)))
+    assert(!Streams.alreadyCommitted(spark, root, chk, "append", 0L))
+  }
+
+  test("touched-file probe past spark.graft.maxTouchedFiles fails loudly") {
+    val root = tmpRoot()
+    // two single-file batches, both touched by the merge below
+    Versioned.commit(spark, Seq((1L, "a")).toDF("id", "k").coalesce(1), root)
+    Versioned.commit(spark, Seq((2L, "b")).toDF("id", "k").coalesce(1), root)
+    spark.conf.set("spark.graft.maxTouchedFiles", "1")
+    try {
+      val err = intercept[IllegalArgumentException] {
+        Versioned.mergeInto(spark, root,
+          Seq((1L, "A"), (2L, "B")).toDF("id", "k"), Seq("id"))
+      }
+      assert(err.getMessage.contains("maxTouchedFiles"))
+      assert(err.getMessage.contains("ranges"))
+      // the delete/update path shares the same bound
+      val err2 = intercept[IllegalArgumentException] {
+        Versioned.deleteWhere(spark, root, $"id".isNotNull)
+      }
+      assert(err2.getMessage.contains("maxTouchedFiles"))
+      // table unchanged by either refused rewrite
+      assert(Versioned.read(spark, root).count() == 2)
+    } finally spark.conf.unset("spark.graft.maxTouchedFiles")
+  }
 }
