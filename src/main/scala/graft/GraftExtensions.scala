@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.registrations.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.RewriteKeepFirst)
+    ext.injectPlannerStrategy(_ => graft.plans.VersionedRowLevelSqlStrategy)
   }
 }
 
@@ -81,13 +82,19 @@ object GraftExtensions {
       spark.sessionState.functionRegistry.registerFunction(id, i, builder)
     }
 
-  /** Add the graft optimizer rules to a LIVE session via
-    * experimental.extraOptimizations (idempotent). Split from
-    * [[register]] so callers opt in explicitly — the rules rewrite
-    * plans session-wide. */
+  /** Add the graft optimizer rules AND planner strategies to a LIVE
+    * session via experimental.extraOptimizations/extraStrategies
+    * (idempotent). Split from [[register]] so callers opt in explicitly —
+    * the rules rewrite plans session-wide. The SQL UPDATE/MERGE hook is a
+    * planner strategy, not an optimizer rule, because live-injected
+    * optimizer rules never see Command roots. */
   def injectOptimizerRules(spark: org.apache.spark.sql.SparkSession): Unit = {
     val cur = spark.experimental.extraOptimizations
     if (!cur.contains(graft.plans.RewriteKeepFirst))
       spark.experimental.extraOptimizations = cur :+ graft.plans.RewriteKeepFirst
+    val strat = spark.experimental.extraStrategies
+    if (!strat.contains(graft.plans.VersionedRowLevelSqlStrategy))
+      spark.experimental.extraStrategies =
+        strat :+ graft.plans.VersionedRowLevelSqlStrategy
   }
 }

@@ -359,12 +359,18 @@ object Versioned {
         require(missing.isEmpty,
           s"updateWhere assigns to absent column(s): ${missing.mkString(", ")}")
         val hit = coalesce(predicate, lit(false))
-        df.columns.foldLeft(df) { (acc, c) =>
+        // ONE select so every assignment and the predicate evaluate
+        // against the OLD row — SQL's simultaneous-assignment semantics.
+        // A sequential withColumn fold would let a later assignment (or
+        // the re-resolved predicate) see an earlier assignment's result:
+        // `SET x = 0, src = CAST(x AS STRING) WHERE x > 5` must read the
+        // pre-update x in all three places.
+        df.select(df.columns.map { c =>
           assignments.get(c) match {
-            case Some(v) => acc.withColumn(c, when(hit, v).otherwise(col(c)))
-            case None => acc
+            case Some(v) => when(hit, v).otherwise(col(c)).as(c)
+            case None => col(c)
           }
-        }
+        }.toSeq: _*)
       })
   }
 

@@ -163,7 +163,7 @@ class VersionedDataSource extends TableProvider with DataSourceRegister {
   * mutation path is absent from its capabilities and the analyzer
   * rejects it — history cannot be edited. */
 private[graft] class VersionedReadTable(inner: ParquetTable,
-                                        liveRoot: Option[String] = None)
+                                        val liveRoot: Option[String] = None)
   extends Table with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete {

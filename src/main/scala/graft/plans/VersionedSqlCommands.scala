@@ -1,0 +1,246 @@
+package graft.plans
+
+import graft.io.{Versioned, VersionedReadTable}
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{EliminateSubqueryAliases, UnresolvedAttribute}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, AttributeSet, Cast, EqualTo, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, LogicalPlan, MergeAction, MergeIntoTable, Project, UpdateAction, UpdateTable}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.command.{ExecutedCommandExec, LeafRunnableCommand}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.graftx.Bridge
+
+/** Plain-SQL UPDATE and MERGE for live `graft-versioned` catalog tables —
+  * the reference's central operation (the T-SQL staging-table MERGE,
+  * /root/reference/common/loader.py:69-78) as one SQL statement:
+  *
+  * {{{
+  *   UPDATE graft.ns.t SET v = v * 2 WHERE id < 10
+  *   MERGE INTO graft.ns.t USING updates s ON t.id = s.id
+  *   WHEN MATCHED THEN UPDATE SET *
+  *   WHEN NOT MATCHED THEN INSERT *
+  * }}}
+  *
+  * Spark's own row-level path for these statements (`SupportsRowLevelOperations`
+  * + ReplaceData) re-plans the command as read-all-touched-groups →
+  * recompute → full-group write, with the touched-group discovery done by a
+  * second scan under runtime filtering. The engine already has a tighter
+  * copy-on-write core — [[Versioned.updateWhere]]/[[Versioned.mergeInto]]
+  * rewrite exactly the files that contain matches, with sidecar-stats probe
+  * pruning and an atomic manifest swap — so the SQL surface is served by
+  * REWRITING the analyzed command onto that library core instead of
+  * implementing the ReplaceData machinery twice. The rewrite runs as a
+  * planner STRATEGY — strategies are consulted before Spark's own
+  * (which is where the table-does-not-support error would fire), and
+  * `spark.experimental.extraStrategies` makes it injectable into a LIVE
+  * session (optimizer hooks never see Command roots there). Spark's
+  * analyzer has already resolved every reference and expanded
+  * `SET *` / `INSERT *` by then.
+  *
+  * Conservatism mirrors the SQL DELETE path ([[graft.io.VersionedReadTable]]):
+  * a shape the library semantics cannot express — subqueries in conditions,
+  * per-action conditions (`WHEN MATCHED AND ...`), non-upsert MERGE shapes
+  * (DELETE actions, update-only, insert-only, NOT MATCHED BY SOURCE),
+  * column renames in the mapping — is refused at analysis with a message
+  * naming the unsupported piece, never approximated. Time-travel and CDC
+  * reads have no live root and are left for Spark's own
+  * table-does-not-support error.
+  */
+object VersionedRowLevelSqlStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+
+  /** The live root of a versioned-catalog relation, with its output
+    * attributes — None for non-versioned tables and pinned/CDC reads.
+    * The optimizer may have wrapped the relation in aliases or an
+    * attribute-only Project by planning time; both unwrap without
+    * changing which table is addressed. */
+  private def liveVersioned(plan: LogicalPlan): Option[(String, Seq[Attribute])] = {
+    @scala.annotation.tailrec
+    def unwrap(p: LogicalPlan): LogicalPlan = p match {
+      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) => unwrap(c)
+      case other => other
+    }
+    unwrap(EliminateSubqueryAliases(plan)) match {
+      case r: DataSourceV2Relation => r.table match {
+        case t: VersionedReadTable => t.liveRoot.map(root => (root, r.output))
+        case _ => None
+      }
+      // the optimizer's early scan pushdown has usually converted the
+      // relation to its scan form by planning time
+      case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        s.relation.table match {
+          case t: VersionedReadTable => t.liveRoot.map(root => (root, s.output))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** Peel the implicit casts the analyzer inserts around attribute
+    * references when source/target types differ. */
+  private def stripCast(e: Expression): Expression = e match {
+    case c: Cast => stripCast(c.child)
+    case other => other
+  }
+
+  private def unsupported(what: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"graft-versioned SQL row-level operations do not support $what")
+
+  /** Resolved target-side expression -> name-based Column the command
+    * re-resolves against a fresh scan of the same table. Plan-bearing
+    * expressions (subqueries) are refused: the fresh scan could not
+    * reproduce their bindings. */
+  private def toColumn(e: Expression, in: String): Column = {
+    if (e.exists(_.isInstanceOf[SubqueryExpression]))
+      unsupported(s"subqueries in $in")
+    Bridge.column(e.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    })
+  }
+
+  /** The equi-join keys of a MERGE condition: a conjunction of
+    * `target.k = source.k` equalities over SAME-named columns (modulo the
+    * casts the analyzer inserts), one side from each plan. Anything else
+    * is None — the library merge joins by column name, so a cross-named
+    * equality has no faithful translation. */
+  private def mergeKeys(cond: Expression, target: AttributeSet,
+                        source: AttributeSet): Option[Seq[String]] = {
+    cond match {
+      case And(l, r) =>
+        for (a <- mergeKeys(l, target, source); b <- mergeKeys(r, target, source))
+          yield a ++ b
+      case EqualTo(l, r) => (stripCast(l), stripCast(r)) match {
+        case (a: AttributeReference, b: AttributeReference)
+            if a.name.equalsIgnoreCase(b.name) &&
+              ((target.contains(a) && source.contains(b)) ||
+               (target.contains(b) && source.contains(a))) =>
+          Some(Seq(if (target.contains(a)) a.name else b.name))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** Verify one action is the star shape (every target column assigned its
+    * same-named source column, modulo casts) and return the per-target-
+    * column value expressions in target-attribute order. */
+  private def starAssignments(what: String, assignments: Seq[Assignment],
+                              targetAttrs: Seq[Attribute],
+                              source: AttributeSet): Seq[Expression] = {
+    val byTarget = assignments.map { a =>
+      val key = a.key match {
+        case k: AttributeReference => k
+        case other => unsupported(s"$what assignment to non-column $other")
+      }
+      stripCast(a.value) match {
+        case v: AttributeReference
+            if source.contains(v) && v.name.equalsIgnoreCase(key.name) =>
+        case other => unsupported(
+          s"$what assignment `${key.name}` = $other — only the upsert shape " +
+            "(UPDATE SET * / INSERT *, each column from its same-named " +
+            "source column) is supported")
+      }
+      key.exprId -> a.value
+    }.toMap
+    targetAttrs.map(t => byTarget.getOrElse(t.exprId,
+      unsupported(s"$what that assigns only ${byTarget.size} of " +
+        s"${targetAttrs.size} target columns")))
+  }
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+
+    case u @ UpdateTable(target, assignments, condition) if u.resolved =>
+      liveVersioned(target) match {
+        case None => Nil
+        case Some((root, _)) =>
+          val asg = assignments.map { a =>
+            val name = a.key match {
+              case k: AttributeReference => k.name
+              case other => unsupported(
+                s"UPDATE of nested or non-column target $other")
+            }
+            name -> toColumn(a.value, "UPDATE values")
+          }
+          ExecutedCommandExec(UpdateVersionedTableCommand(root, asg,
+            condition.map(toColumn(_, "the UPDATE condition")))) :: Nil
+      }
+
+    case m: MergeIntoTable if m.resolved =>
+      liveVersioned(m.targetTable) match {
+        case None => Nil
+        case Some((root, targetAttrs)) =>
+          if (m.notMatchedBySourceActions.nonEmpty)
+            unsupported("WHEN NOT MATCHED BY SOURCE")
+          if (m.withSchemaEvolution) unsupported("WITH SCHEMA EVOLUTION")
+          val sourceAttrs = m.sourceTable.outputSet
+          // distinct: a redundant repeated equality in ON is valid SQL and
+          // must not become a duplicate using-column downstream
+          val keys = mergeKeys(m.mergeCondition, AttributeSet(targetAttrs), sourceAttrs)
+            .map(_.distinct).filter(_.nonEmpty).getOrElse(unsupported(
+              "this ON condition — it must be a conjunction of " +
+                "target.k = source.k equalities over same-named columns"))
+          def onlyUnconditional(as: Seq[MergeAction], what: String): MergeAction =
+            as match {
+              case Seq(one) =>
+                if (one.condition.isDefined)
+                  unsupported(s"a condition on $what (WHEN ... AND <cond>)")
+                one
+              case _ => unsupported(
+                s"${as.size} $what clauses — exactly one unconditional " +
+                  "clause is required")
+            }
+          val values = onlyUnconditional(m.matchedActions, "WHEN MATCHED") match {
+            case ua: UpdateAction =>
+              starAssignments("WHEN MATCHED UPDATE", ua.assignments,
+                targetAttrs, sourceAttrs)
+            case other => unsupported(s"WHEN MATCHED ${other.getClass.getSimpleName}")
+          }
+          onlyUnconditional(m.notMatchedActions, "WHEN NOT MATCHED") match {
+            case ia: InsertAction =>
+              // the insert mapping must be the SAME source row the update
+              // writes — the library merge replaces/inserts whole rows
+              starAssignments("WHEN NOT MATCHED INSERT", ia.assignments,
+                targetAttrs, sourceAttrs)
+            case other => unsupported(s"WHEN NOT MATCHED ${other.getClass.getSimpleName}")
+          }
+          // capture the verified mapping as a resolved projection of the
+          // source plan: target column names/types, source values (the
+          // analyzer's own casts included)
+          val projected = Project(
+            targetAttrs.zip(values).map { case (t, v) => Alias(v, t.name)() },
+            m.sourceTable)
+          ExecutedCommandExec(MergeVersionedTableCommand(root, projected, keys)) :: Nil
+      }
+
+    case _ => Nil
+  }
+}
+
+/** `UPDATE <versioned table> SET ... WHERE ...` → the copy-on-write
+  * [[Versioned.updateWhere]] (only files containing matches are rewritten;
+  * one atomic commit). */
+case class UpdateVersionedTableCommand(root: String,
+                                       assignments: Seq[(String, Column)],
+                                       condition: Option[Column])
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    Versioned.updateWhere(spark, root,
+      condition.getOrElse(org.apache.spark.sql.functions.lit(true)),
+      assignments.toMap)
+    Seq.empty
+  }
+}
+
+/** `MERGE INTO <versioned table> USING src ON keys WHEN MATCHED UPDATE SET *
+  * WHEN NOT MATCHED INSERT *` → the copy-on-write [[Versioned.mergeInto]]
+  * (probe-pruned touched-file rewrite + append, one atomic commit).
+  * `source` is the analyzed source plan already projected to the target's
+  * columns by the rewrite rule. */
+case class MergeVersionedTableCommand(root: String, source: LogicalPlan,
+                                      keys: Seq[String])
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    Versioned.mergeInto(spark, root, Bridge.ofRows(spark, source), keys)
+    Seq.empty
+  }
+}

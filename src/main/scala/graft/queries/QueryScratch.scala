@@ -7,6 +7,11 @@ package graft.queries
   * bench iterations in one JVM. */
 private[queries] object QueryScratch {
 
+  /** Clear one table root under a STABLE parent (e.g. a catalog warehouse
+    * whose path must not change between calls in one JVM — Spark caches
+    * catalog instances on first resolution). */
+  def wipe(path: String): Unit = deleteRecursively(path)
+
   def freshRoot(prefix: String, sfDir: String): String = {
     val root = new java.io.File(
       sys.props("java.io.tmpdir"),

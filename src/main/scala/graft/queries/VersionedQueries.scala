@@ -155,6 +155,81 @@ object VersionedQueries {
       |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
       |FROM orders WHERE o_orderkey % 5 = 0 GROUP BY 1, 2""".stripMargin
 
+  /** Build the 3-commit orders table at a catalog-addressable root
+    * (<stable warehouse>/sql/<table>) and arm the live session: catalog
+    * registered under `graft_sqlq`, optimizer rules injected so SQL
+    * UPDATE/MERGE rewrite onto the copy-on-write library core. The
+    * warehouse path is ONE fixed dir — NOT keyed by sfDir — because
+    * Spark caches the catalog instance on first resolution: a per-sfDir
+    * path would pin the catalog to whichever sfDir ran first (Bench's
+    * warmup runs sf0.001 before the timed sfDir, which would silently
+    * re-time the warmup-scale table). Each call wipes and rebuilds its
+    * own TABLE root from the CURRENT sfDir, so calls stay
+    * self-consistent and version numbers deterministic across warmup +
+    * timed iterations. */
+  private def buildSqlTable(spark: SparkSession, sfDir: String,
+                            table: String): (String, String) = {
+    graft.GraftExtensions.injectOptimizerRules(spark)
+    val wh = new java.io.File(sys.props("java.io.tmpdir"), "graft_sqlwh")
+      .getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graft_sqlq",
+      classOf[graft.io.VersionedCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_sqlq.warehouse", wh)
+    val root = new java.io.File(new java.io.File(wh, "sql"), table).getAbsolutePath
+    QueryScratch.wipe(root)
+    val orders = Tables.orders(spark, sfDir)
+    (0 to 2).foreach { m =>
+      Versioned.commit(spark, orders.filter(pmod(col("o_orderkey"), lit(3)) === m), root)
+    }
+    (s"graft_sqlq.sql.$table", root)
+  }
+
+  /** Plain-SQL UPDATE on the versioned catalog table: the statement
+    * rewrites onto the copy-on-write [[Versioned.updateWhere]] (only
+    * files holding matches are rewritten, one atomic commit), and the
+    * read-back goes through the catalog too — the whole round trip is
+    * the SQL surface a warehouse user touches. */
+  def versionedSqlUpdate(spark: SparkSession, sfDir: String): DataFrame = {
+    val (ident, _) = buildSqlTable(spark, sfDir, "orders_u")
+    spark.sql(s"UPDATE $ident SET o_totalprice = o_totalprice * 2 " +
+      "WHERE pmod(o_orderkey, 7) = 0")
+    priorityAgg(spark.table(ident))
+  }
+
+  val versionedSqlUpdateOracle: String =
+    """WITH updated AS (
+      |  SELECT o_orderstatus, o_orderpriority,
+      |         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+      |              ELSE o_totalprice END AS o_totalprice
+      |  FROM orders
+      |)
+      |SELECT o_orderstatus AS status, o_orderpriority AS priority,
+      |       COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+      |FROM updated GROUP BY 1, 2""".stripMargin
+
+  /** Plain-SQL MERGE (upsert shape: UPDATE SET * / INSERT *) on the
+    * versioned catalog table — the reference's central T-SQL operation as
+    * one statement, same update/insert split as [[versionedMerge]] so the
+    * library path and the SQL path are checked against the same oracle. */
+  def versionedSqlMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val (ident, _) = buildSqlTable(spark, sfDir, "orders_m")
+    val orders = Tables.orders(spark, sfDir)
+    val updates = orders.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val inserts = orders.filter(pmod(col("o_orderkey"), lit(7)) === 1)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+    updates.unionByName(inserts).createOrReplaceTempView("graft_sql_merge_src")
+    spark.sql(
+      s"""MERGE INTO $ident t USING graft_sql_merge_src s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    priorityAgg(spark.table(ident))
+  }
+
+  val versionedSqlMergeOracle: String = versionedMergeOracle
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "versioned_snapshot" -> (versionedSnapshot _),
     "versioned_time_travel" -> (versionedTimeTravel _),
@@ -162,6 +237,8 @@ object VersionedQueries {
     "incr_agg" -> (incrAgg _),
     "versioned_merge" -> (versionedMerge _),
     "versioned_diff" -> (versionedDiff _),
+    "versioned_sql_update" -> (versionedSqlUpdate _),
+    "versioned_sql_merge" -> (versionedSqlMerge _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -171,5 +248,7 @@ object VersionedQueries {
     "incr_agg" -> incrAggOracle,
     "versioned_merge" -> versionedMergeOracle,
     "versioned_diff" -> versionedDiffOracle,
+    "versioned_sql_update" -> versionedSqlUpdateOracle,
+    "versioned_sql_merge" -> versionedSqlMergeOracle,
   )
 }

@@ -23,6 +23,15 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** DataFrame over an already-analyzed logical plan (classic
+    * Dataset.ofRows is private[sql]) — used by the SQL row-level command
+    * rewrites to execute a MERGE source plan captured at analysis. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Proper analysis-time error for a wrong argument count to a registered
     * SQL function (AnalysisException with Spark's standard error class,
     * not an IndexOutOfBoundsException from the builder). */
