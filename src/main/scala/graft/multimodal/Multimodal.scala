@@ -9,10 +9,13 @@ import org.apache.spark.sql.types._
   * resize / frame-sample run as imperative per-partition batch jobs over
   * those bytes.
   *
-  * The decode kernels themselves are STUBS — this container has no image
-  * or audio codecs — replaced by deterministic byte arithmetic. Everything
-  * Spark-side is real and tested: the schema, the binary encoding, the
-  * mapPartitions batching shape, and the partition sizing concerns.
+  * IMAGE kernels are REAL: PNG/JPEG decode, pixel-feature extraction and
+  * resize run through the JDK's `javax.imageio` (no external codec
+  * dependency). Audio/video kernels remain STUBS — the JDK ships no
+  * audio/video codecs — replaced by deterministic byte arithmetic with
+  * the real pipeline shape around them. Everything Spark-side is real and
+  * tested either way: the schema, the binary encoding, the mapPartitions
+  * batching shape, and the partition sizing concerns.
   *
   * Scale notes (100 TB of media):
   *   - payloads stay in one `binary` column; never explode bytes to rows;
@@ -24,9 +27,46 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // once per JVM — driver AND executors (the object initializes wherever
+  // a kernel closure first runs): decode in-heap, never through ImageIO's
+  // default temp-FILE cache, which would put a disk write in every decode
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed media row: opaque payload + metadata, the cross-modality
     * carrier schema. */
   case class Media(media_id: Long, bytes: Array[Byte], mime: String, meta: Map[String, String])
+
+  /** Dimension cap checked BEFORE committing to a full decode: a few-KB
+    * decompression bomb can declare a raster worth gigabytes, and the
+    * resulting OutOfMemoryError is uncatchable and takes the whole
+    * partition down. Header dims cost pennies via the ImageReader. 64M
+    * pixels ≈ 256 MB of ARGB — one payload per task stays bounded. */
+  private val MaxPixels = 64L * 1024 * 1024
+
+  /** Decode any ImageIO-supported payload, or null for anything broken:
+    * unknown format, header dims over [[MaxPixels]], or a decoder blowup.
+    * ImageIO plugins throw RuntimeExceptions (not just IOException) on
+    * corrupt-but-plausible streams, so the net is NonFatal — at 100 TB
+    * some payloads WILL be corrupt and must degrade, not kill the job. */
+  private def readImageOrNull(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) null
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val w = reader.getWidth(0).toLong
+            val h = reader.getHeight(0).toLong
+            if (w <= 0 || h <= 0 || w * h > MaxPixels) null
+            else reader.read(0)
+          } finally reader.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    } catch { case scala.util.control.NonFatal(_) => null }
 
   /** Extracted per-media features (fixed-width; cheap to shuffle). */
   case class MediaFeatures(media_id: Long, n_bytes: Long, first_byte: Int,
@@ -74,11 +114,139 @@ object Multimodal {
       .as[Media]
   }
 
-  /** STUB decode kernel: where an image/audio codec would run. The fake
-    * is deterministic byte arithmetic so the pipeline stays
-    * oracle-checkable; swap the body for a real codec call per mime type. */
+  /** Per-image pixel features from a REAL decode (fixed-width; cheap to
+    * shuffle). `mean_luma` is the average of the integer per-pixel luma
+    * `(299·R + 587·G + 114·B) / 1000` — integer weights so the value is
+    * an exact rational both here and in any SQL oracle (the float-weight
+    * form would differ in the last ulp across engines). Failed decodes
+    * surface as width = height = channels = -1, mean_luma = NaN rather
+    * than killing the job — at 100 TB some payloads WILL be corrupt. */
+  case class ImageFeatures(media_id: Long, width: Int, height: Int,
+                           channels: Int, n_pixels: Long, mean_luma: Double)
+
+  /** REAL image decode via the JDK's ImageIO (PNG, JPEG, GIF, BMP):
+    * dimensions, band count, and mean integer-luma over all pixels.
+    * Pixels are read a ROW at a time (bulk getRGB / raster samples), not
+    * per-pixel getRGB — this is the declared hot path at the design
+    * point and per-pixel access pays a bounds check + color-model
+    * conversion per call. */
+  private[multimodal] def decodeImage(m: Media): ImageFeatures = {
+    val img = readImageOrNull(m.bytes)
+    if (img == null)
+      return ImageFeatures(m.media_id, -1, -1, -1, 0L, Double.NaN)
+    val (w, h) = (img.getWidth, img.getHeight)
+    var lumaSum = 0L
+    val row = new Array[Int](w)
+    val raster = img.getRaster
+    if (raster.getNumBands == 1) {
+      // grayscale: read the STORED samples — getRGB would route them
+      // through the JDK's linear-gray -> sRGB conversion and inflate
+      // every value (a stored 128 reads back ≈ 186), disagreeing with
+      // every other decoder and any oracle over the stored bytes
+      var y = 0
+      while (y < h) {
+        raster.getSamples(0, y, w, 1, 0, row)
+        var x = 0
+        while (x < w) { lumaSum += 1000L * row(x); x += 1 }
+        y += 1
+      }
+    } else {
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
+        var x = 0
+        while (x < w) {
+          val rgb = row(x)
+          lumaSum += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+            114L * (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+    }
+    val n = w.toLong * h
+    ImageFeatures(m.media_id, w, h, raster.getNumBands, n,
+      if (n == 0) Double.NaN else lumaSum.toDouble / (1000.0 * n))
+  }
+
+  /** Per-partition batched REAL image decode over the image-mime rows:
+    * Iterator-in/Iterator-out, one decoded image in memory at a time. */
+  def extractImageFeatures(media: Dataset[Media]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.filter(col("mime").startsWith("image/"))
+      .mapPartitions(_.map(decodeImage))
+  }
+
+  /** REAL image resize: decode, scale so the longer edge is `maxDim`
+    * (never upscale), re-encode. JPEG inputs re-encode as JPEG (a
+    * photographic JPEG re-encoded as PNG would GROW — the opposite of
+    * what resize is for); everything else re-encodes as PNG, keeping the
+    * alpha channel when the source has one (compositing RGBA onto an RGB
+    * buffer would silently turn transparency into black). Non-image
+    * payloads and failed decodes pass through untouched — resize is an
+    * optimization, not a gate. Iterator-in/Iterator-out like every
+    * kernel here. */
+  def resizeImages(media: Dataset[Media], maxDim: Int): Dataset[Media] = {
+    import media.sparkSession.implicits._
+    require(maxDim > 0, s"maxDim must be positive, got $maxDim")
+    media.mapPartitions(_.map { m =>
+      if (!m.mime.startsWith("image/")) m
+      else {
+        val img = readImageOrNull(m.bytes)
+        if (img == null || math.max(img.getWidth, img.getHeight) <= maxDim) m
+        else {
+          val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
+          val (w, h) = (math.max(1, math.round(img.getWidth * scale).toInt),
+            math.max(1, math.round(img.getHeight * scale).toInt))
+          val jpeg = m.mime == "image/jpeg"
+          val keepAlpha = img.getColorModel.hasAlpha && !jpeg
+          val out = new java.awt.image.BufferedImage(w, h,
+            if (keepAlpha) java.awt.image.BufferedImage.TYPE_INT_ARGB
+            else java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g2 = out.createGraphics()
+          try {
+            g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g2.drawImage(img, 0, 0, w, h, null)
+          } finally g2.dispose()
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, if (jpeg) "jpg" else "png", baos)
+          m.copy(bytes = baos.toByteArray,
+            mime = if (jpeg) "image/jpeg" else "image/png",
+            meta = m.meta + ("resized" -> s"${w}x$h"))
+        }
+      }
+    })
+  }
+
+  /** Deterministic synthetic PNG: a `w`×`h` gray gradient whose pixel
+    * (x, y) has R = G = B = (7x + 13y + seed) mod 256. Encoded with the
+    * real PNG codec, so decoding it exercises the real kernel while every
+    * pixel value — hence [[ImageFeatures.mean_luma]] — is predictable by
+    * plain integer arithmetic (the oracle-checkability hook for
+    * [[decodeImage]]: PNG is lossless, so the round trip is exact). */
+  def synthPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((7L * x + 13L * y + seed) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Byte-arithmetic decode for modalities the JDK has no codec for
+    * (audio/video) — deterministic and oracle-checkable; the pipeline
+    * shape (schema, batching) is identical to the real image path. */
   private def decodeStub(m: Media): MediaFeatures = {
-    // real impl: mime match { case "image/jpeg" => jpegDecode(m.bytes) ... }
     var sum = 0L
     var i = 0
     while (i < m.bytes.length) { sum += m.bytes(i) & 0xff; i += 1 }

@@ -44,13 +44,50 @@ object MediaQueries {
       |FROM f WHERE frame_idx % 2 = 0
       |""".stripMargin
 
+  /** REAL image decode through the JDK PNG codec, oracle-checked: each
+    * document id seeds a deterministic gray-gradient PNG (pixel (x,y) has
+    * R=G=B=(7x+13y+id) mod 256), the payload round-trips through the real
+    * encoder+decoder (`ImageIO` — PNG is lossless, so the round trip is
+    * exact), and the kernel's pixel features (dimensions, band count,
+    * integer-luma mean) are reproduced by DuckDB with plain arithmetic
+    * over the same formula. A codec stub could NOT pass this: the bytes
+    * on the wire are real PNG streams only a real decoder can read. */
+  def imageDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (id % 16).toInt + 1
+        val h = (id % 8).toInt + 1
+        Multimodal.Media(id, Multimodal.synthPng(id, w, h), "image/png",
+          Map("synthetic" -> "true"))
+      })
+    Multimodal.extractImageFeatures(media).toDF()
+  }
+
+  val imageDecodeOracle: String =
+    """WITH px AS (
+      |  SELECT doc_id, x, y, (7 * x + 13 * y + doc_id) % 256 AS v
+      |  FROM documents, range(0, 16) tx(x), range(0, 8) ty(y)
+      |  WHERE x < (doc_id % 16) + 1 AND y < (doc_id % 8) + 1
+      |)
+      |SELECT doc_id AS media_id,
+      |       CAST((doc_id % 16) + 1 AS INTEGER) AS width,
+      |       CAST((doc_id % 8) + 1 AS INTEGER) AS height,
+      |       CAST(3 AS INTEGER) AS channels,
+      |       CAST(COUNT(*) AS BIGINT) AS n_pixels,
+      |       CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_luma
+      |FROM px GROUP BY doc_id
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_decode" -> (mediaDecode _),
     "media_frames" -> (mediaFrames _),
+    "image_decode" -> (imageDecode _),
   )
 
   val oracles: Map[String, String] = Map(
     "media_decode" -> mediaDecodeOracle,
     "media_frames" -> mediaFramesOracle,
+    "image_decode" -> imageDecodeOracle,
   )
 }

@@ -44,6 +44,118 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("decodeImage reads a real PNG: dimensions, bands, exact gradient luma") {
+    // synthPng writes through the real encoder; decoding must recover the
+    // exact gradient (PNG is lossless): pixel (x,y) = (7x+13y+seed)%256
+    val media = Seq(
+      Multimodal.Media(1L, Multimodal.synthPng(5L, 16, 8), "image/png", Map.empty),
+      Multimodal.Media(2L, Multimodal.synthPng(0L, 1, 1), "image/png", Map.empty),
+      // corrupt payload must degrade, not throw
+      Multimodal.Media(3L, Array[Byte](1, 2, 3), "image/png", Map.empty),
+      // non-image mimes are not decoded at all
+      Multimodal.Media(4L, Array[Byte](9), "audio/wav", Map.empty))
+    val feats = Multimodal.extractImageFeatures(
+      spark.createDataset(media)(org.apache.spark.sql.Encoders.product[Multimodal.Media]))
+      .collect().sortBy(_.media_id)
+    assert(feats.map(_.media_id).toSeq == Seq(1L, 2L, 3L)) // wav filtered out
+    val grad = feats(0)
+    assert((grad.width, grad.height, grad.channels, grad.n_pixels) == (16, 8, 3, 128L))
+    val expected = (for (y <- 0 until 8; x <- 0 until 16)
+      yield (7 * x + 13 * y + 5) % 256).sum.toDouble / 128.0
+    assert(grad.mean_luma == expected, s"${grad.mean_luma} != $expected")
+    assert((feats(1).width, feats(1).height, feats(1).n_pixels) == (1, 1, 1L))
+    assert(feats(1).mean_luma == 0.0) // seed 0, single black pixel
+    assert(feats(2).width == -1 && feats(2).mean_luma.isNaN)
+  }
+
+  test("decodeImage: grayscale luma is the STORED sample, corrupt magic degrades") {
+    javax.imageio.ImageIO.setUseCache(false)
+    // grayscale PNG with every pixel stored as 128: mean_luma must be 128
+    // (the getRGB path would convert linear gray -> sRGB and report ~186)
+    val gray = new java.awt.image.BufferedImage(6, 4,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val wr = gray.getRaster
+    (0 until 4).foreach(y => (0 until 6).foreach(x => wr.setSample(x, y, 0, 128)))
+    val gBytes = { val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(gray, "png", b); b.toByteArray }
+    // valid PNG magic, garbage body: plugins throw RuntimeExceptions here,
+    // which must degrade to the -1/NaN row, not kill the task
+    val corrupt = gBytes.take(16) ++ Array.fill[Byte](32)(0x5a)
+    val feats = Multimodal.extractImageFeatures(spark.createDataset(Seq(
+      Multimodal.Media(1L, gBytes, "image/png", Map.empty),
+      Multimodal.Media(2L, corrupt, "image/png", Map.empty)))(
+      org.apache.spark.sql.Encoders.product[Multimodal.Media]))
+      .collect().sortBy(_.media_id)
+    assert((feats(0).width, feats(0).height, feats(0).channels) == (6, 4, 1))
+    assert(feats(0).mean_luma == 128.0, s"stored-gray luma, got ${feats(0).mean_luma}")
+    assert(feats(1).width == -1 && feats(1).mean_luma.isNaN)
+  }
+
+  test("resizeImages keeps alpha for PNG and stays JPEG for JPEG") {
+    javax.imageio.ImageIO.setUseCache(false)
+    // RGBA source: transparency must survive the resize
+    val argb = new java.awt.image.BufferedImage(64, 32,
+      java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    (0 until 32).foreach(y => (0 until 64).foreach(x =>
+      argb.setRGB(x, y, if (x < 32) 0x00000000 else 0xffff0000.toInt)))
+    val argbBytes = { val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(argb, "png", b); b.toByteArray }
+    val jpg = new java.awt.image.BufferedImage(80, 40,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val jpgBytes = { val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(jpg, "jpg", b); b.toByteArray }
+    val out = Multimodal.resizeImages(spark.createDataset(Seq(
+      Multimodal.Media(1L, argbBytes, "image/png", Map.empty),
+      Multimodal.Media(2L, jpgBytes, "image/jpeg", Map.empty)))(
+      org.apache.spark.sql.Encoders.product[Multimodal.Media]), 32)
+      .collect().sortBy(_.media_id)
+    val backPng = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(0).bytes))
+    assert((backPng.getWidth, backPng.getHeight) == (32, 16))
+    assert(backPng.getColorModel.hasAlpha, "alpha channel must survive")
+    assert((backPng.getRGB(0, 8) >>> 24) == 0, "left half stays transparent")
+    assert(out(1).mime == "image/jpeg" && out(1).meta("resized") == "32x16")
+    val backJpg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1).bytes))
+    assert((backJpg.getWidth, backJpg.getHeight) == (32, 16))
+  }
+
+  test("decodeImage reads a real JPEG (lossy: dimensions and bands only)") {
+    // encode a JPEG with the same JDK codec, decode through the kernel
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = new java.awt.image.BufferedImage(20, 10,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 10).foreach(y => (0 until 20).foreach(x => img.setRGB(x, y, 0x808080)))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    val feats = Multimodal.extractImageFeatures(spark.createDataset(Seq(
+      Multimodal.Media(7L, baos.toByteArray, "image/jpeg", Map.empty)))(
+      org.apache.spark.sql.Encoders.product[Multimodal.Media])).collect()
+    assert(feats.length == 1)
+    assert((feats(0).width, feats(0).height, feats(0).channels) == (20, 10, 3))
+    // lossy but near-flat gray: luma within 2 of the encoded 128
+    assert(math.abs(feats(0).mean_luma - 128.0) < 2.0)
+  }
+
+  test("resizeImages scales the long edge down, re-encodes decodable PNG") {
+    val media = Seq(
+      Multimodal.Media(1L, Multimodal.synthPng(3L, 64, 16), "image/png", Map.empty),
+      Multimodal.Media(2L, Multimodal.synthPng(3L, 8, 4), "image/png", Map.empty),
+      Multimodal.Media(3L, "not an image".getBytes, "text/plain", Map.empty))
+    val resized = Multimodal.resizeImages(spark.createDataset(media)(
+      org.apache.spark.sql.Encoders.product[Multimodal.Media]), 32)
+      .collect().sortBy(_.media_id)
+    // 64x16 -> 32x8, re-encoded as a REAL png the kernel can re-decode
+    val back = Multimodal.extractImageFeatures(spark.createDataset(
+      Seq(resized(0)))(org.apache.spark.sql.Encoders.product[Multimodal.Media]))
+      .collect()(0)
+    assert((back.width, back.height) == (32, 8))
+    assert(resized(0).meta("resized") == "32x8")
+    // small image and non-image payloads pass through untouched
+    assert(resized(1).bytes.toSeq == media(1).bytes.toSeq)
+    assert(resized(2).bytes.toSeq == media(2).bytes.toSeq)
+  }
+
   test("textAsMedia carries bytes + mime + metadata") {
     val m = Multimodal.textAsMedia(docs).collect().sortBy(_.media_id)
     assert(m(0).bytes.toSeq == "abc".getBytes("UTF-8").toSeq)
