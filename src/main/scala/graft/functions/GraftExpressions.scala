@@ -111,6 +111,62 @@ object GraftExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** N-ary Morton interleave: d rank columns (long, pre-scaled to
+    * 0..2^bits − 1 by the caller) -> one curve value, bit i of rank r at
+    * position i·d + r. `bitsFor(d)` = min(16, 63 / d) keeps the curve in
+    * 63 bits (sign clear) at any arity; d = 2 reproduces [[ZOrder2Expr]]
+    * exactly. Codegen evaluates the children into a REUSED per-operator
+    * buffer (mutable state — no per-row allocation on the layout-write
+    * hot path) and calls the same [[Kernels.zorderN]] the interpreted
+    * path uses; the interpreted path allocates per call, which is fine
+    * for the cold non-codegen fallback. */
+  case class ZOrderNExpr(children: Seq[Expression]) extends Expression
+      with GraftExpectsInputTypes {
+    require(children.size >= 2 && children.size <= 8,
+      s"zorderN takes 2..8 dimensions, got ${children.size}")
+    private val bits = ZOrderNExpr.bitsFor(children.size)
+    override def graftInputTypes: Seq[DataType] = Seq.fill(children.size)(LongType)
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = children.exists(_.nullable)
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val ranks = new Array[Long](children.size)
+      var i = 0
+      while (i < children.size) {
+        val v = children(i).eval(input)
+        if (v == null) return null
+        ranks(i) = v.asInstanceOf[Long]
+        i += 1
+      }
+      Kernels.zorderN(ranks, bits)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val gens = children.map(_.genCode(ctx))
+      val arr = ctx.addMutableState("long[]", "zorderRanks",
+        v => s"$v = new long[${children.size}];")
+      val anyNull = gens.map(g => s"${g.isNull}").mkString(" || ")
+      val fills = gens.zipWithIndex
+        .map { case (g, i) => s"$arr[$i] = ${g.value};" }.mkString("\n")
+      val childCode = gens.map(_.code.toString).mkString("\n")
+      ev.copy(code = code"""
+        $childCode
+        boolean ${ev.isNull} = $anyNull;
+        long ${ev.value} = 0L;
+        if (!${ev.isNull}) {
+          $fills
+          ${ev.value} = graft.functions.Kernels.zorderN($arr, $bits);
+        }""")
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): ZOrderNExpr = copy(children = newChildren)
+  }
+
+  object ZOrderNExpr {
+    /** Bits per dimension keeping d·bits ≤ 63 (capped at the 16-bit rank
+      * scale the 2-D layout established). */
+    def bitsFor(d: Int): Int = math.min(16, 63 / d)
+  }
+
   // Column-level wrappers -----------------------------------------------
 
   private def expr(c: Column): Expression = Bridge.expression(c)
@@ -122,6 +178,7 @@ object GraftExpressions {
   def simhash32(hashes: Column): Column = Bridge.column(Simhash32Expr(expr(hashes)))
   def dotD(a: Column, b: Column): Column = Bridge.column(DotDExpr(expr(a), expr(b)))
   def zorder2(a: Column, b: Column): Column = Bridge.column(ZOrder2Expr(expr(a), expr(b)))
+  def zorderN(dims: Seq[Column]): Column = Bridge.column(ZOrderNExpr(dims.map(expr)))
   def cosineD(a: Column, b: Column): Column = Bridge.column(CosineExpr(expr(a), expr(b)))
   def kminLongs(c: Column, k: Int): Column =
     Bridge.column(KMinLongs(expr(c), k).toAggregateExpression())

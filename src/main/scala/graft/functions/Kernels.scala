@@ -115,6 +115,28 @@ object Kernels {
     out
   }
 
+  /** Morton (Z-order) interleave of d ranks at `bits` bits each: bit i of
+    * rank r lands at position i·d + r (round-robin), so sorting by the
+    * result clusters rows close in EVERY dimension. The d = 2, bits = 16
+    * case is bit-identical to [[zorder2]]. Ranks are masked to `bits`;
+    * callers scale each dimension to a monotone 0..(2^bits − 1) rank
+    * first and keep d·bits ≤ 63 (the sign bit must stay clear so the
+    * curve sorts as an unsigned value). */
+  def zorderN(ranks: Array[Long], bits: Int): Long = {
+    val d = ranks.length
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      var r = 0
+      while (r < d) {
+        out |= ((ranks(r) >> b) & 1L) << (b * d + r)
+        r += 1
+      }
+      b += 1
+    }
+    out
+  }
+
   /** Morton (Z-order) interleave of two 16-bit values: bit i of `a` lands
     * at position 2i, bit i of `b` at 2i+1, so sorting by the result
     * clusters rows that are close in BOTH dimensions — the multi-column

@@ -279,19 +279,40 @@ object Versioned {
   }
 
   /** Commit `df` laid out on the Z-order (Morton) curve of two numeric
-    * dimensions, with footer stats on both: each dimension is scaled to a
-    * monotone 16-bit rank (one tiny min/max agg), the ranks are
-    * bit-interleaved (codegen'd Kernels.zorder2), and files are
-    * range-partitioned + sorted on the curve. Unlike a single-column sort
-    * — which gives tight min/max on ITS column and useless full-range
-    * stats on every other — the curve keeps rows close in both
-    * dimensions, so [[readPruned]] skips file opens for ranges on EITHER
-    * column (ZOrderSpec measures both). The curve column itself is
-    * dropped before write; layout is invisible to readers. */
+    * dimensions — the common case of [[commitZOrderedN]]; see there.
+    * The dimensions must be DISTINCT (a duplicated dimension used to
+    * produce a degenerate single-column layout; it is now refused
+    * loudly — use a plain sorted commit for that). */
   def commitZOrdered(spark: SparkSession, df: DataFrame, root: String,
                      dimA: String, dimB: String, nFiles: Int,
-                     replace: Boolean = false): Long = {
+                     replace: Boolean = false): Long =
+    commitZOrderedN(spark, df, root, Seq(dimA, dimB), nFiles, replace)
+
+  /** Commit `df` laid out on the Z-order (Morton) curve of d numeric
+    * dimensions (2..8), with footer stats on all of them: each dimension
+    * is scaled to a monotone rank of min(16, 63/d) bits (one tiny
+    * min/max agg for all dims together), the ranks are bit-interleaved
+    * round-robin (codegen'd Kernels.zorderN; d = 2 is bit-identical to
+    * the original zorder2 layout), and files are range-partitioned +
+    * sorted on the curve. Unlike a single-column sort — which gives
+    * tight min/max on ITS column and useless full-range stats on every
+    * other — the curve keeps rows close in every dimension, so
+    * [[readPruned]] skips file opens for ranges on ANY of them
+    * (ZOrderSpec measures each). The curve column itself is dropped
+    * before write; layout is invisible to readers. Rank resolution
+    * shrinks with d (min(16, 63/d) bits: 16/16/15/12/10 for d = 2..6) —
+    * past ~4 dims the per-dimension clustering dilutes, which is
+    * inherent to space-filling curves, not this encoding. */
+  def commitZOrderedN(spark: SparkSession, df: DataFrame, root: String,
+                      dims: Seq[String], nFiles: Int,
+                      replace: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{col, lit, max, min}
+    require(dims.size >= 2 && dims.size <= 8,
+      s"z-order needs 2..8 dimensions, got ${dims.size}")
+    require(dims.distinct.size == dims.size,
+      s"z-order dimensions must be distinct, got ${dims.mkString(", ")}")
+    val maxRank = (1L << graft.functions.GraftExpressions.ZOrderNExpr
+      .bitsFor(dims.size)) - 1
     // the input is evaluated twice (domain agg, then the write): persist it
     // so a non-deterministic or expensive source can't produce ranks
     // inconsistent with the rows actually written (pruning would stay
@@ -302,21 +323,23 @@ object Versioned {
     val ownPin = df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     val pinned = if (ownPin) df.persist() else df
     try {
-      val Array(aMin, aMax, bMin, bMax) =
-        pinned.agg(min(col(dimA).cast("double")), max(col(dimA).cast("double")),
-               min(col(dimB).cast("double")), max(col(dimB).cast("double")))
-          .collect()(0).toSeq.map(v => Option(v).map(_.asInstanceOf[Double]).getOrElse(0.0))
-          .toArray
-      def rank(c: String, mn: Double, mx: Double) =
+      val aggCols = dims.flatMap(d =>
+        Seq(min(col(d).cast("double")), max(col(d).cast("double"))))
+      val bounds = pinned.agg(aggCols.head, aggCols.tail: _*)
+        .collect()(0).toSeq
+        .map(v => Option(v).map(_.asInstanceOf[Double]).getOrElse(0.0))
+      val ranks = dims.zipWithIndex.map { case (d, i) =>
+        val (mn, mx) = (bounds(2 * i), bounds(2 * i + 1))
         if (mx <= mn) lit(0L)
-        else ((col(c).cast("double") - lit(mn)) / lit(mx - mn) * lit(65535.0)).cast("long")
-      val curve = graft.functions.GraftExpressions.zorder2(
-        rank(dimA, aMin, aMax), rank(dimB, bMin, bMax))
+        else ((col(d).cast("double") - lit(mn)) / lit(mx - mn) *
+          lit(maxRank.toDouble)).cast("long")
+      }
+      val curve = graft.functions.GraftExpressions.zorderN(ranks)
       val shaped = pinned.withColumn("__z", curve)
         .repartitionByRange(nFiles, col("__z"))
         .sortWithinPartitions(col("__z"))
         .drop("__z")
-      commit(spark, shaped, root, replace = replace, statsCols = Seq(dimA, dimB))
+      commit(spark, shaped, root, replace = replace, statsCols = dims)
     } finally {
       if (ownPin) pinned.unpersist()
       ()

@@ -240,18 +240,56 @@ object Dedup {
     * Deterministic, shuffle-scalable; block sizes are bounded by the
     * values colliding on one deletion (alphabet-sized for id-like keys). */
   def editDistance1Pairs(df: DataFrame, colName: String): DataFrame = {
-    val names = df.select(col(colName).cast(StringType).as("s"))
-      .filter(col("s").isNotNull).distinct()
-    val deletions = transform(sequence(lit(1), length(col("s"))), i =>
-      concat(col("s").substr(lit(1), i - 1),
-        col("s").substr(i + 1, length(col("s")))))
-    val blocked = names.select(col("s"),
-      explode(array_union(array(col("s")), deletions)).as("block"))
+    val blocked = deletionBlocked(df, colName, "s")
     val a = blocked.select(col("s").as("d1"), col("block"))
     val b = blocked.select(col("s").as("d2"), col("block"))
     a.join(b, "block")
       .filter(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
       .filter(levenshtein(col("d1"), col("d2")) <= 1)
+  }
+
+  /** Distinct non-null values of `colName` exploded to their SymSpell
+    * deletion-neighborhood block keys (the value itself plus each
+    * single-character deletion): two strings within one edit necessarily
+    * share a block. Shared by the pair and join forms. */
+  private def deletionBlocked(df: DataFrame, colName: String,
+                              out: String): DataFrame = {
+    val vals = df.select(col(colName).cast(StringType).as(out))
+      .filter(col(out).isNotNull).distinct()
+    val deletions = transform(sequence(lit(1), length(col(out))), i =>
+      concat(col(out).substr(lit(1), i - 1),
+        col(out).substr(i + 1, length(col(out)))))
+    vals.select(col(out),
+      explode(array_union(array(col(out)), deletions)).as("block"))
+  }
+
+  /** Fuzzy lookup JOIN — the enrichment form of [[editDistance1Pairs]]:
+    * every `dirty` row gains its best `clean`-side match on `colName`
+    * within edit distance 1 as `<col>_matched` (null when nothing is
+    * that close) and the distance as `<col>_dist`. Best = smallest
+    * distance, ties broken by the smallest matched value — fully
+    * deterministic, the entity-resolution shape for joining one-typo
+    * codes against a clean dimension.
+    *
+    * Scale: candidates come from one equi-join of the two sides'
+    * deletion-neighborhood blocks (O(n·L) block keys, never the n×m
+    * all-pairs comparison), the best-match reduction is a map-side-
+    * combinable min over a struct, and the final enrichment is one join
+    * on the dirty VALUE — distinct values do the expensive work once no
+    * matter how often a value repeats. */
+  def fuzzyJoin(dirty: DataFrame, clean: DataFrame, colName: String): DataFrame = {
+    val cand = deletionBlocked(dirty, colName, "__dv")
+      .join(deletionBlocked(clean, colName, "__cv"), "block")
+      .select("__dv", "__cv").distinct()
+      .withColumn("__dist", levenshtein(col("__dv"), col("__cv")))
+      .filter(col("__dist") <= 1)
+    val best = cand.groupBy(col("__dv"))
+      .agg(min(struct(col("__dist"), col("__cv"))).as("__best"))
+      .select(col("__dv"),
+        col("__best.__cv").as(s"${colName}_matched"),
+        col("__best.__dist").cast("int").as(s"${colName}_dist"))
+    dirty.join(best, dirty.col(colName).cast(StringType) === best("__dv"), "left")
+      .drop("__dv")
   }
 }

@@ -232,6 +232,42 @@ object CoverageQueries {
       |  ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1
       |""".stripMargin
 
+  /** Fuzzy lookup JOIN (entity resolution): every customer enriched with
+    * its best edit-distance-≤1 match from the "clean dimension" (every
+    * 10th customer's name) — deletion-neighborhood blocking on both
+    * sides, best = (smallest distance, then smallest value), unmatched
+    * rows keep nulls. The oracle brute-forces all dirty × clean
+    * levenshtein pairs and picks the same deterministic best. */
+  def fuzzyJoinQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val clean = cust.filter(pmod(col("c_custkey"), lit(10)) === 0)
+      .select(col("c_name"))
+    graft.ops.Dedup.fuzzyJoin(
+        cust.select(col("c_custkey"), col("c_name")), clean, "c_name")
+      .select(col("c_custkey"), col("c_name"),
+        col("c_name_matched"), col("c_name_dist"))
+  }
+
+  val fuzzyJoinOracle: String =
+    """WITH cl AS (
+      |  SELECT DISTINCT c_name AS cv FROM customer
+      |  WHERE c_custkey % 10 = 0 AND c_name IS NOT NULL
+      |), dv AS (
+      |  SELECT DISTINCT c_name AS dv FROM customer WHERE c_name IS NOT NULL
+      |), cand AS (
+      |  SELECT dv, cv, levenshtein(dv, cv) AS dist FROM dv, cl
+      |  WHERE levenshtein(dv, cv) <= 1
+      |), best AS (
+      |  SELECT dv, cv, dist FROM (
+      |    SELECT dv, cv, dist,
+      |           row_number() OVER (PARTITION BY dv ORDER BY dist, cv) AS rn
+      |    FROM cand) WHERE rn = 1
+      |)
+      |SELECT c.c_custkey, c.c_name, b.cv AS c_name_matched,
+      |       CAST(b.dist AS INTEGER) AS c_name_dist
+      |FROM customer c LEFT JOIN best b ON c.c_name = b.dv
+      |""".stripMargin
+
   /** APPLY the cluster dedup — the deliverable the cluster labels exist
     * for: drop every non-canonical member (node != its cluster min-id),
     * keep canonicals and never-clustered vectors, and report the surviving
@@ -1023,6 +1059,7 @@ object CoverageQueries {
     "dedup_clusters" -> (dedupClusters _),
     "dedup_apply" -> (dedupApply _),
     "fuzzy_pairs" -> (fuzzyPairs _),
+    "fuzzy_join" -> (fuzzyJoinQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1057,5 +1094,6 @@ object CoverageQueries {
     "dedup_clusters" -> dedupClustersOracle,
     "dedup_apply" -> dedupApplyOracle,
     "fuzzy_pairs" -> fuzzyPairsOracle,
+    "fuzzy_join" -> fuzzyJoinOracle,
   )
 }

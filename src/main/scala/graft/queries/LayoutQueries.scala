@@ -134,13 +134,33 @@ object LayoutQueries {
     "bucketed_join" -> (bucketedJoin _),
     "pruned_scan" -> (prunedScan _),
     "zorder_scan" -> (zorderScan _),
+    "zorder_scan3" -> (zorderScan3 _),
     "dpp_join" -> (dppJoin _),
   )
+
+  /** 3-dimensional Z-order layout: lineitem clustered on the Morton curve
+    * of (l_partkey, l_suppkey, l_orderkey), then a band read on the
+    * MIDDLE dimension — the multi-predicate workload shape the N-dim
+    * generalization exists for (file-open pruning on each single
+    * dimension is asserted in ZOrderSpec; the oracle pins the rows). */
+  def zorderScan3(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.io.Versioned
+    val root = QueryScratch.freshRoot("graft_zorder3_src", sfDir)
+    Versioned.commitZOrderedN(spark, Tables.lineitem(spark, sfDir), root,
+      Seq("l_partkey", "l_suppkey", "l_orderkey"), nFiles = 8)
+    Versioned.readPruned(spark, root, "l_suppkey", Some(2L), Some(6L))
+      .groupBy(col("l_linestatus").as("status"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_extendedprice").cast(D)).cast("double").as("sum_price"))
+  }
+
+  val zorderScan3Oracle: String = zorderScanOracle
 
   def oracles: Map[String, String] = Map(
     "bucketed_join" -> bucketedJoinOracle,
     "pruned_scan" -> prunedScanOracle,
     "zorder_scan" -> zorderScanOracle,
+    "zorder_scan3" -> zorderScan3Oracle,
     "dpp_join" -> dppJoinOracle,
   )
 }

@@ -152,4 +152,40 @@ class DedupSpec extends SparkSpecBase {
     assert(want.contains(("abc", "abd")) && want.contains(("ab", "abc")) &&
       want.contains(("abc", "abcd")) && want.contains(("", "a")))
   }
+
+  test("fuzzyJoin equals brute-force best-match on random strings (property)") {
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(23)
+    (1 to 3).foreach { trial =>
+      // small alphabet forces plenty of distance-1 collisions; lengths
+      // 0..4 cover the empty-string deletion edge; a null dirty value
+      // must pass through unmatched
+      def word() = (0 until rnd.nextInt(5)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      val dirtyVals = Seq.fill(40)(word()) :+ null
+      val cleanVals = Seq.fill(12)(word())
+      val dirty = dirtyVals.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "s")
+      val clean = cleanVals.toDF("s")
+      val got = Dedup.fuzzyJoin(dirty, clean, "s")
+        .select("id", "s", "s_matched", "s_dist")
+        .as[(Long, String, String, Option[Int])].collect()
+        .map(r => (r._1, r._2, r._3, r._4)).toSet
+      val cleanDistinct = cleanVals.distinct
+      val want = dirtyVals.zipWithIndex.map { case (s, i) =>
+        val best = if (s == null) None
+          else cleanDistinct.map(c => (lev(s, c), c)).filter(_._1 <= 1).minOption
+        (i.toLong, s, best.map(_._2).orNull, best.map(_._1))
+      }.toSet
+      assert(got == want, s"trial $trial")
+    }
+  }
 }

@@ -83,4 +83,73 @@ class ZOrderSpec extends SparkSpecBase {
       assert(got == expect)
     }
   }
+
+  test("zorderN generalizes zorder2 and matches its own reference at any arity") {
+    def reference(ranks: Seq[Long], bits: Int): Long = {
+      var out = 0L
+      for (i <- 0 until bits; r <- ranks.indices)
+        out |= ((ranks(r) >> i) & 1L) << (i * ranks.length + r)
+      out
+    }
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 500) {
+      val a = rnd.nextInt(65536).toLong
+      val b = rnd.nextInt(65536).toLong
+      assert(Kernels.zorderN(Array(a, b), 16) == Kernels.zorder2(a, b))
+    }
+    for (d <- 2 to 8; _ <- 1 to 100) {
+      val bits = graft.functions.GraftExpressions.ZOrderNExpr.bitsFor(d)
+      assert(d * bits <= 63)
+      val ranks = Array.fill(d)(rnd.nextLong().abs & ((1L << bits) - 1))
+      val z = Kernels.zorderN(ranks, bits)
+      assert(z == reference(ranks.toSeq, bits), s"d=$d")
+      assert(z >= 0, "sign bit must stay clear")
+    }
+  }
+
+  test("zorderN expression: codegen path agrees with the kernel, nulls propagate") {
+    val df = (0 until 128).map(i =>
+      (i.toLong * 31, (127 - i).toLong * 17, i.toLong * 7)).toDF("a", "b", "c")
+    val bits = graft.functions.GraftExpressions.ZOrderNExpr.bitsFor(3)
+    val got = df.select(
+      graft.functions.GraftExpressions.zorderN(Seq(col("a"), col("b"), col("c"))).as("z"),
+      col("a"), col("b"), col("c")).collect()
+    got.foreach { r =>
+      assert(r.getLong(0) ==
+        Kernels.zorderN(Array(r.getLong(1), r.getLong(2), r.getLong(3)), bits))
+    }
+    val withNull = Seq((Some(1L), Option.empty[Long], Some(2L)))
+      .toDF("a", "b", "c")
+      .select(graft.functions.GraftExpressions.zorderN(
+        Seq(col("a"), col("b"), col("c"))).as("z")).collect()
+    assert(withNull(0).isNullAt(0), "a null rank must null the curve")
+  }
+
+  test("3-D z-order layout prunes file opens on EACH dimension") {
+    // 32x32x4 grid: every dimension gets a genuine value range
+    val grid = for { x <- 0 until 32; y <- 0 until 32; z <- 0 until 4 }
+      yield (x.toLong, y.toLong, z.toLong)
+    val df = grid.toDF("x", "y", "z")
+    val root = tmpRoot()
+    Versioned.commitZOrderedN(spark, df, root, Seq("x", "y", "z"), nFiles = 16)
+    assert(Versioned.read(spark, root).inputFiles.length == 16)
+
+    def opened(c: String, lo: Long, hi: Long): Int =
+      Versioned.readPruned(spark, root, c, Some(lo), Some(hi)).inputFiles.length
+
+    // a 25%-wide slice in x or y must skip file opens; z has only 4
+    // distinct values so a single-value slice still prunes
+    assert(opened("x", 0L, 7L) < 16, s"x slice opened ${opened("x", 0L, 7L)}")
+    assert(opened("y", 0L, 7L) < 16, s"y slice opened ${opened("y", 0L, 7L)}")
+    assert(opened("z", 0L, 0L) < 16, s"z slice opened ${opened("z", 0L, 0L)}")
+
+    // correctness: pruned reads return exactly the filter's rows
+    for (c <- Seq("x", "y", "z")) {
+      val got = Versioned.readPruned(spark, root, c, Some(0L), Some(3L))
+        .select("x", "y", "z").collect().toSet
+      val expect = Versioned.read(spark, root)
+        .filter(col(c).between(0L, 3L)).select("x", "y", "z").collect().toSet
+      assert(got == expect)
+    }
+  }
 }
