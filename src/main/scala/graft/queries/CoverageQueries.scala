@@ -248,6 +248,44 @@ object CoverageQueries {
         col("c_name_matched"), col("c_name_dist"))
   }
 
+  /** S2 closed for real: customers split into two xlsx WORKBOOKS (written
+    * by the JDK-only XlsxWriter, streamed via toLocalIterator — an xlsx
+    * is inherently a single driver-side unit, like the S9 single-file CSV
+    * export), read back DISTRIBUTED by XlsxReader.readDir (one workbook
+    * per executor task), typed by cast, and aggregated. The oracle runs
+    * the same aggregate over the original parquet — numbers round-trip
+    * exactly through their Java lexical form. */
+  def xlsxRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = QueryScratch.freshRoot("graft_xlsx_rt", sfDir)
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+    val header = Seq("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    // ONE pass over the table routes each row to its parity bucket; the
+    // buffers are dimension-sized by construction (this is the xlsx
+    // export shape — a workbook is a driver-side unit either way)
+    val buckets = Array.fill(2)(Vector.newBuilder[Seq[Any]])
+    val it = cust.toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      buckets((r.getLong(0) % 2).toInt) +=
+        Seq(r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3))
+    }
+    graft.io.XlsxWriter.writeFile(s"$dir/even.xlsx", header, buckets(0).result().iterator)
+    graft.io.XlsxWriter.writeFile(s"$dir/odd.xlsx", header, buckets(1).result().iterator)
+    graft.io.XlsxReader.readDir(spark, dir)
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("c_custkey").cast("long")).as("key_sum"),
+        dsum(col("c_acctbal")).as("sum_bal"))
+  }
+
+  val xlsxRoundtripOracle: String =
+    """SELECT c_mktsegment AS segment, COUNT(*) AS cnt,
+      |       CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+      |FROM customer GROUP BY 1
+      |""".stripMargin
+
   val fuzzyJoinOracle: String =
     """WITH cl AS (
       |  SELECT DISTINCT c_name AS cv FROM customer
@@ -1060,6 +1098,7 @@ object CoverageQueries {
     "dedup_apply" -> (dedupApply _),
     "fuzzy_pairs" -> (fuzzyPairs _),
     "fuzzy_join" -> (fuzzyJoinQuery _),
+    "xlsx_roundtrip" -> (xlsxRoundtrip _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1095,5 +1134,6 @@ object CoverageQueries {
     "dedup_apply" -> dedupApplyOracle,
     "fuzzy_pairs" -> fuzzyPairsOracle,
     "fuzzy_join" -> fuzzyJoinOracle,
+    "xlsx_roundtrip" -> xlsxRoundtripOracle,
   )
 }
