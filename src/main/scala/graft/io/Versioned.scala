@@ -313,37 +313,33 @@ object Versioned {
       s"z-order dimensions must be distinct, got ${dims.mkString(", ")}")
     val maxRank = (1L << graft.functions.GraftExpressions.ZOrderNExpr
       .bitsFor(dims.size)) - 1
-    // the input is evaluated twice (domain agg, then the write): persist it
-    // so a non-deterministic or expensive source can't produce ranks
-    // inconsistent with the rows actually written (pruning would stay
-    // correct — stats come from the written footers — but the clustering
-    // benefit would silently degrade). Only persist (and later unpersist)
-    // when the CALLER hasn't: persist returns `this`, so unconditionally
-    // unpersisting would evict a cache the caller set up for reuse.
-    val ownPin = df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
-    val pinned = if (ownPin) df.persist() else df
-    try {
-      val aggCols = dims.flatMap(d =>
-        Seq(min(col(d).cast("double")), max(col(d).cast("double"))))
-      val bounds = pinned.agg(aggCols.head, aggCols.tail: _*)
-        .collect()(0).toSeq
-        .map(v => Option(v).map(_.asInstanceOf[Double]).getOrElse(0.0))
-      val ranks = dims.zipWithIndex.map { case (d, i) =>
-        val (mn, mx) = (bounds(2 * i), bounds(2 * i + 1))
-        if (mx <= mn) lit(0L)
-        else ((col(d).cast("double") - lit(mn)) / lit(mx - mn) *
-          lit(maxRank.toDouble)).cast("long")
-      }
-      val curve = graft.functions.GraftExpressions.zorderN(ranks)
-      val shaped = pinned.withColumn("__z", curve)
-        .repartitionByRange(nFiles, col("__z"))
-        .sortWithinPartitions(col("__z"))
-        .drop("__z")
-      commit(spark, shaped, root, replace = replace, statsCols = dims)
-    } finally {
-      if (ownPin) pinned.unpersist()
-      ()
+    // The input is evaluated twice: a bounds agg, then the write. The agg
+    // traversal is column-pruned to the d dim columns (tiny I/O against a
+    // columnar source), so at the design point re-scanning beats
+    // materializing a full-width copy — self-persisting a 100 TB input to
+    // save a d-column scan would write the whole table to executor disk.
+    // DETERMINISM ASSUMPTION: if the source is non-deterministic, the
+    // ranks may disagree with the rows actually written — pruning stays
+    // CORRECT (stats come from the written files' footers) but clustering
+    // silently degrades; such a caller should persist the input first
+    // (an existing persist is honored by both traversals).
+    val aggCols = dims.flatMap(d =>
+      Seq(min(col(d).cast("double")), max(col(d).cast("double"))))
+    val bounds = df.agg(aggCols.head, aggCols.tail: _*)
+      .collect()(0).toSeq
+      .map(v => Option(v).map(_.asInstanceOf[Double]).getOrElse(0.0))
+    val ranks = dims.zipWithIndex.map { case (d, i) =>
+      val (mn, mx) = (bounds(2 * i), bounds(2 * i + 1))
+      if (mx <= mn) lit(0L)
+      else ((col(d).cast("double") - lit(mn)) / lit(mx - mn) *
+        lit(maxRank.toDouble)).cast("long")
     }
+    val curve = graft.functions.GraftExpressions.zorderN(ranks)
+    val shaped = df.withColumn("__z", curve)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+    commit(spark, shaped, root, replace = replace, statsCols = dims)
   }
 
   /** Copy-on-write row-level DELETE: one pruned scan finds the files that
