@@ -5,7 +5,8 @@ import java.util
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, NoSuchNamespaceException}
-import org.apache.spark.sql.connector.catalog.{Column, Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Column, Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -36,7 +37,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * root. ALTER and RENAME reject: schema evolves through append commits,
   * and a rename would silently break every reader holding the old path.
   */
-class VersionedCatalog extends TableCatalog {
+class VersionedCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -143,4 +144,31 @@ class VersionedCatalog extends TableCatalog {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     readOnly(s"RENAME TABLE $oldIdent")
+
+  /** SQL `CALL graft.system.<proc>('ns.tbl', …)` — the maintenance surface
+    * ([[VersionedProcedures]]). The table argument is catalog-relative
+    * (`'ns.tbl'`), resolved under THIS warehouse, and must already exist:
+    * maintenance on a never-committed table is always a caller error
+    * (history would silently return 0 rows otherwise), and failing here
+    * keeps the error at analysis distance from the statement. The exists()
+    * is one extra `_manifests` LIST per CALL on top of the body's own —
+    * deliberate: CALLs are human-frequency maintenance whose bodies do
+    * many LISTs anyway, unlike the per-query table path where load()
+    * folds the existence check into the snapshot read. */
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    VersionedProcedures.load(ident, tbl => {
+      val parts = tbl.split("\\.").filter(_.nonEmpty)
+      require(parts.nonEmpty, s"empty table name in CALL argument")
+      val id = Identifier.of(parts.init, parts.last)
+      val root = rootFor(id)
+      if (!exists(root)) throw new NoSuchTableException(id)
+      root
+    })
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] = {
+    val ns = namespace.map(_.toLowerCase(java.util.Locale.ROOT))
+    if (ns.isEmpty || ns.sameElements(Array("system")))
+      VersionedProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
+  }
 }

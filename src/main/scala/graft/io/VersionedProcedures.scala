@@ -1,0 +1,178 @@
+package graft.io
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+
+/** SQL `CALL` surface for the versioned table's maintenance operations —
+  * the reference's out-of-band upkeep (re-extracting, archiving, manual
+  * cleanup of staging outputs; e.g. pipelines/etl_utils.py's processed-file
+  * moves) generalized to the lake-table maintenance a warehouse operator
+  * actually runs, one statement each:
+  *
+  * {{{
+  *   CALL graft.system.history('ns.tbl')                 -- DESCRIBE HISTORY
+  *   CALL graft.system.restore('ns.tbl', 3)              -- rollback (metadata-only)
+  *   CALL graft.system.vacuum('ns.tbl', keep => 2)       -- count-based GC
+  *   CALL graft.system.vacuum_older_than('ns.tbl', TIMESTAMP'2026-01-01')
+  *   CALL graft.system.compact('ns.tbl', 8, 'k')         -- full OPTIMIZE
+  *   CALL graft.system.compact_small('ns.tbl')           -- incremental OPTIMIZE
+  *   CALL graft.system.zorder('ns.tbl', 'a,b,c', 8)      -- multi-dim layout
+  * }}}
+  *
+  * Implemented on Spark's DSv2 procedure API ([[VersionedCatalog]] is the
+  * `ProcedureCatalog`): each procedure binds rigidly (fixed IN parameters,
+  * defaults filled by the analyzer), delegates to the existing library core
+  * ([[Versioned]].history/restore/vacuum/compactLatest/compactSmall/
+  * commitZOrderedN — one atomic manifest publish each), and returns its
+  * result rows through a driver-local scan: every result here is
+  * metadata-sized (history rows, a new version number, a removed-count) —
+  * table-scale data never flows through a procedure result.
+  *
+  * Table arguments are catalog-relative (`'ns.tbl'` under THIS catalog's
+  * warehouse), so a statement can never reach outside the warehouse root.
+  */
+private[io] object VersionedProcedures {
+
+  /** One rigid procedure: fixed params, fixed result schema, a body from
+    * (session, resolved table root, coerced+default-filled args) to
+    * metadata-sized result rows. */
+  private final case class Spec(
+      name: String,
+      description: String,
+      params: Array[ProcedureParameter],
+      resultSchema: StructType,
+      body: (SparkSession, String, InternalRow) => Array[InternalRow])
+
+  private def in(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+
+  private def inDefault(name: String, dt: DataType, default: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  private def row(vs: Any*): Array[InternalRow] =
+    Array(new GenericInternalRow(vs.toArray))
+
+  private def str(input: InternalRow, i: Int, what: String): String = {
+    require(!input.isNullAt(i), s"$what must not be null")
+    input.getUTF8String(i).toString
+  }
+
+  private def csv(s: String): Seq[String] =
+    s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  private val newVersion = StructType(Seq(StructField("version", LongType, nullable = false)))
+  private val removedCount = StructType(Seq(StructField("removed_versions", IntegerType, nullable = false)))
+
+  private val specs: Map[String, Spec] = Seq(
+    Spec("history", "one row per committed version (metadata-only)",
+      Array(in("table", StringType)),
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("committed_at", TimestampType, nullable = false),
+        StructField("tag", StringType, nullable = true),
+        StructField("num_files", LongType, nullable = false),
+        StructField("total_bytes", LongType, nullable = false),
+        StructField("files_added", LongType, nullable = true))),
+      (spark, root, _) =>
+        // executeCollect returns driver-copied InternalRows in the exact
+        // result schema above (history's own column order)
+        Versioned.history(spark, root).queryExecution.executedPlan.executeCollect()),
+
+    Spec("restore", "roll the table back to an old version as a new metadata-only commit",
+      Array(in("table", StringType), in("version", LongType)),
+      newVersion,
+      (spark, root, input) => row(Versioned.restore(spark, root, input.getLong(1)))),
+
+    Spec("vacuum", "drop all but the newest `keep` versions, then GC unreferenced files",
+      Array(in("table", StringType), inDefault("keep", IntegerType, "1")),
+      removedCount,
+      (spark, root, input) => {
+        val before = Versioned.versions(spark, root).size
+        Versioned.vacuum(spark, root, keepVersions = input.getInt(1))
+        row(before - Versioned.versions(spark, root).size)
+      }),
+
+    Spec("vacuum_older_than", "drop versions published before the cutoff, then GC",
+      Array(in("table", StringType), in("cutoff", TimestampType)),
+      removedCount,
+      (spark, root, input) => {
+        val before = Versioned.versions(spark, root).size
+        // TimestampType args arrive as micros since epoch
+        Versioned.vacuumOlderThan(spark, root, input.getLong(1) / 1000L)
+        row(before - Versioned.versions(spark, root).size)
+      }),
+
+    Spec("compact", "full rewrite into n_files outputs (optionally range-sorted on sort_cols)",
+      Array(in("table", StringType), in("n_files", IntegerType),
+        inDefault("sort_cols", StringType, "''")),
+      newVersion,
+      (spark, root, input) => row(Versioned.compactLatest(
+        spark, root, input.getInt(1), csv(str(input, 2, "sort_cols"))))),
+
+    Spec("compact_small", "incremental OPTIMIZE: bin-pack only files under small_bytes",
+      Array(in("table", StringType),
+        inDefault("small_bytes", LongType, (32L * 1024 * 1024).toString),
+        inDefault("target_bytes", LongType, (128L * 1024 * 1024).toString)),
+      newVersion,
+      (spark, root, input) => row(Versioned.compactSmall(
+        spark, root, smallBytes = input.getLong(1), targetBytes = input.getLong(2)))),
+
+    Spec("zorder", "rewrite the table laid out on the Z-order curve of `dims` (csv)",
+      Array(in("table", StringType), in("dims", StringType), in("n_files", IntegerType)),
+      newVersion,
+      (spark, root, input) => {
+        val dims = csv(str(input, 1, "dims"))
+        row(Versioned.commitZOrderedN(spark, Versioned.read(spark, root), root,
+          dims, input.getInt(2), replace = true))
+      })
+  ).map(s => s.name -> s).toMap
+
+  def names: Seq[String] = specs.keys.toSeq.sorted
+
+  /** Resolve `name` (case-insensitive) to an unbound procedure whose table
+    * argument resolves through `rootFor`. */
+  def load(ident: Identifier, rootFor: String => String): UnboundProcedure = {
+    // SQL identifiers are case-insensitive session-wide: both the
+    // namespace and the procedure name fold before matching
+    val ns = ident.namespace().map(_.toLowerCase(java.util.Locale.ROOT))
+    val known = (ns.isEmpty || ns.sameElements(Array("system"))) &&
+      specs.contains(ident.name().toLowerCase(java.util.Locale.ROOT))
+    if (!known)
+      throw new IllegalArgumentException(
+        s"undefined procedure ${(ns :+ ident.name()).mkString(".")}; " +
+          s"known (namespace `system`): ${names.mkString(", ")}")
+    new Rigid(specs(ident.name().toLowerCase(java.util.Locale.ROOT)), rootFor)
+  }
+
+  private final class Rigid(spec: Spec, rootFor: String => String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = spec.name
+    override def description(): String = spec.description
+    // rigid binding: the parameter list is fixed; the analyzer has already
+    // coerced arg types and filled defaults against parameters()
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = spec.params
+    // every procedure mutates or lists mutable table state
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val root = rootFor(str(input, 0, "table"))
+      java.util.Collections.singletonList[Scan](
+        new ResultScan(spec.resultSchema, spec.body(spark, root, input))).iterator()
+    }
+  }
+
+  /** Driver-local result scan: procedure results are metadata-sized by
+    * construction (history rows / version numbers / removed counts). */
+  private final class ResultScan(schema: StructType, rs: Array[InternalRow])
+      extends LocalScan {
+    override def rows(): Array[InternalRow] = rs
+    override def readSchema(): StructType = schema
+    override def description(): String = "graft procedure result"
+  }
+}

@@ -230,6 +230,36 @@ object VersionedQueries {
 
   val versionedSqlMergeOracle: String = versionedMergeOracle
 
+  /** SQL `CALL` maintenance round trip on the catalog table: restore back
+    * to v2 (metadata-only rollback — the table re-reads as the first two
+    * commits), then compact_small bin-packs the accreted small files, and
+    * the history procedure reports the full 5-version story. The returned
+    * aggregate runs over the post-restore content (deterministic: commits
+    * 1-2 = o_orderkey % 3 IN (0,1)) with the procedure-observed version
+    * count pinned alongside — compaction must change neither rows nor
+    * history length beyond its own commit. */
+  def versionedCall(spark: SparkSession, sfDir: String): DataFrame = {
+    val (ident, _) = buildSqlTable(spark, sfDir, "orders_p")
+    val tbl = ident.stripPrefix("graft_sqlq.") // catalog-relative 'sql.orders_p'
+    spark.sql(s"CALL graft_sqlq.system.restore('$tbl', 2)")      // v4 = v2 state
+    // small_bytes pinned to MaxValue: every file counts as small, so the
+    // pack always commits v5 — the DEFAULT threshold would make the
+    // version count scale-dependent (files >= 32MB would no-op the call)
+    spark.sql(s"CALL graft_sqlq.system.compact_small('$tbl', " +
+      s"small_bytes => ${Long.MaxValue}L)")                      // v5, same rows
+    val nVersions = spark.sql(s"CALL graft_sqlq.system.history('$tbl')").count()
+    priorityAgg(spark.table(ident))
+      .withColumn("n_versions", lit(nVersions))
+  }
+
+  val versionedCallOracle: String =
+    """SELECT o_orderstatus AS status, o_orderpriority AS priority,
+      |       COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+      |       CAST(5 AS BIGINT) AS n_versions
+      |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+      |GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "versioned_snapshot" -> (versionedSnapshot _),
     "versioned_time_travel" -> (versionedTimeTravel _),
@@ -239,6 +269,7 @@ object VersionedQueries {
     "versioned_diff" -> (versionedDiff _),
     "versioned_sql_update" -> (versionedSqlUpdate _),
     "versioned_sql_merge" -> (versionedSqlMerge _),
+    "versioned_call" -> (versionedCall _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -250,5 +281,6 @@ object VersionedQueries {
     "versioned_diff" -> versionedDiffOracle,
     "versioned_sql_update" -> versionedSqlUpdateOracle,
     "versioned_sql_merge" -> versionedSqlMergeOracle,
+    "versioned_call" -> versionedCallOracle,
   )
 }

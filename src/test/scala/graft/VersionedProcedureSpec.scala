@@ -1,0 +1,130 @@
+package graft
+
+import graft.io.Versioned
+import org.apache.spark.sql.functions._
+
+/** SQL `CALL` maintenance procedures on the versioned catalog
+  * ([[graft.io.VersionedProcedures]]): history/restore/vacuum/
+  * vacuum_older_than/compact/compact_small/zorder, each delegating to the
+  * library core through one atomic manifest publish. Asserts results
+  * (procedure output rows), effects (versions, file counts, row content),
+  * named-argument + default-filling binding, and the refusal matrix
+  * (unknown procedure, missing table, bad namespace).
+  */
+class VersionedProcedureSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val wh: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_procspec_wh").toFile
+    d.deleteOnExit()
+    spark.conf.set("spark.sql.catalog.graft_proc",
+      classOf[graft.io.VersionedCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_proc.warehouse", d.getAbsolutePath)
+    d.getAbsolutePath
+  }
+
+  /** Three single-file commits (tags a,b,c) at <wh>/ns/<name>. */
+  private def build(name: String): String = {
+    val root = rootOf(name)
+    Seq("a", "b", "c").zipWithIndex.foreach { case (tag, i) =>
+      Versioned.commit(spark,
+        ((i * 100 + 1).toLong to (i * 100 + 100).toLong).map(j => (j, j * 1.0))
+          .toDF("id", "x").coalesce(1),
+        root, tag = Some(tag), statsCols = Seq("id"))
+    }
+    s"ns.$name"
+  }
+
+  private def rootOf(name: String): String =
+    new java.io.File(new java.io.File(wh, "ns"), name).getAbsolutePath
+
+  test("CALL history returns one metadata row per version") {
+    val t = build("hist")
+    val h = spark.sql(s"CALL graft_proc.system.history('$t')")
+    assert(h.columns.toSeq == Seq("version", "committed_at", "tag",
+      "num_files", "total_bytes", "files_added"))
+    val rows = h.orderBy("version")
+      .select("version", "tag", "num_files", "files_added")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(rows == Seq((1L, "a", 1L, 1L), (2L, "b", 2L, 1L), (3L, "c", 3L, 1L)))
+  }
+
+  test("CALL restore rolls back as a new version; data matches the old snapshot") {
+    val t = build("rest")
+    val out = spark.sql(s"CALL graft_proc.system.restore('$t', 2)")
+    assert(out.as[Long].collect().toSeq == Seq(4L))
+    assert(spark.table(s"graft_proc.$t").count() == 200)
+    // metadata-only: v3 stays time-travelable after the rollback
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_proc.$t VERSION AS OF 3").as[Long].head() == 300)
+  }
+
+  test("CALL vacuum with named default keeps newest only and reports removals") {
+    val t = build("vac")
+    val out = spark.sql(s"CALL graft_proc.system.vacuum('$t')")
+    assert(out.as[Int].collect().toSeq == Seq(2))
+    assert(Versioned.versions(spark, rootOf("vac")) == Seq(3L))
+    assert(spark.table(s"graft_proc.$t").count() == 300)
+  }
+
+  test("CALL vacuum_older_than a future cutoff keeps only the newest version") {
+    val t = build("vact")
+    val out = spark.sql(
+      s"CALL graft_proc.system.vacuum_older_than('$t', TIMESTAMP'2999-01-01 00:00:00')")
+    assert(out.as[Int].collect().toSeq == Seq(2))
+    assert(Versioned.versions(spark, rootOf("vact")) == Seq(3L))
+  }
+
+  test("CALL compact rewrites into n_files; rows and stats survive") {
+    val t = build("comp")
+    val out = spark.sql(
+      s"CALL graft_proc.system.compact('$t', 2, sort_cols => 'id')")
+    assert(out.as[Long].collect().toSeq == Seq(4L))
+    assert(Versioned.snapshotFiles(spark, rootOf("comp")).size == 2)
+    assert(spark.table(s"graft_proc.$t").agg(sum($"id")).as[Long].head() ==
+      (1L to 300L).sum)
+  }
+
+  test("CALL compact_small bin-packs the small tail with defaults filled") {
+    val t = build("csml")
+    val out = spark.sql(s"CALL graft_proc.system.compact_small('$t')")
+    assert(out.as[Long].collect().toSeq == Seq(4L))
+    // three tiny files pack into one target-size output
+    assert(Versioned.snapshotFiles(spark, rootOf("csml")).size == 1)
+    assert(spark.table(s"graft_proc.$t").count() == 300)
+  }
+
+  test("CALL zorder relays out the table and keeps rows identical") {
+    val t = build("zord")
+    val out = spark.sql(s"CALL graft_proc.system.zorder('$t', 'id,x', 2)")
+    assert(out.as[Long].collect().toSeq == Seq(4L))
+    assert(Versioned.snapshotFiles(spark, rootOf("zord")).size == 2)
+    assert(spark.table(s"graft_proc.$t").agg(sum($"id")).as[Long].head() ==
+      (1L to 300L).sum)
+  }
+
+  // Spark wraps loadProcedure failures in FAILED_TO_LOAD_ROUTINE; our
+  // named-piece message is the cause
+  private def chain(e: Throwable): String =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+
+  test("namespace and procedure names are case-insensitive like all SQL identifiers") {
+    val t = build("case")
+    val h = spark.sql(s"CALL graft_proc.SYSTEM.HISTORY('$t')")
+    assert(h.count() == 3)
+  }
+
+  test("unknown procedure, missing table, and bad namespace are refused") {
+    build("ref")
+    val e1 = intercept[Exception](
+      spark.sql("CALL graft_proc.system.frobnicate('ns.ref')"))
+    assert(chain(e1).contains("undefined procedure"))
+    val e2 = intercept[Exception](
+      spark.sql("CALL graft_proc.system.history('ns.nope')"))
+    assert(chain(e2).toLowerCase.contains("table"))
+    val e3 = intercept[Exception](
+      spark.sql("CALL graft_proc.other.history('ns.ref')"))
+    assert(chain(e3).contains("undefined procedure"))
+  }
+}
