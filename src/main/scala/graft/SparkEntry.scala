@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoverageQueries, EventQueries, LayoutQueries, LlmQueries, MediaQueries, RefQueries, RelationalQueries, VersionedQueries}
+import graft.queries.{CoverageQueries, EventQueries, FederationQueries, LayoutQueries, LlmQueries, MediaQueries, RefQueries, RelationalQueries, VersionedQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +22,8 @@ object SparkEntry {
     "movement_agg_first" -> (RefQueries.movementAggFirst _),
   ) ++ RelationalQueries.queries ++ LlmQueries.queries ++
     EventQueries.queries ++ MediaQueries.queries ++ CoverageQueries.queries ++
-    VersionedQueries.queries ++ LayoutQueries.queries
+    VersionedQueries.queries ++ LayoutQueries.queries ++
+    FederationQueries.queries
 
   def oracleSql: Map[String, String] = Map(
     "weekly_sales" -> RefQueries.weeklySalesOracle,
@@ -30,5 +31,6 @@ object SparkEntry {
     "movement_agg_first" -> RefQueries.movementAggFirstOracle,
   ) ++ RelationalQueries.oracles ++ LlmQueries.oracles ++
     EventQueries.oracles ++ MediaQueries.oracles ++ CoverageQueries.oracles ++
-    VersionedQueries.oracles ++ LayoutQueries.oracles
+    VersionedQueries.oracles ++ LayoutQueries.oracles ++
+    FederationQueries.oracles
 }
