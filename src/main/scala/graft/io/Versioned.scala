@@ -163,7 +163,7 @@ object Versioned {
       if (replace || prev.isEmpty) None
       else snapshotSchema(spark, root, Some(prev.last)).orElse(Some(
         spark.read.parquet(
-          carried.map(rel => new Path(root, rel).toString): _*).schema))
+          carried.map(rel => resolveEntry(root, rel).toString): _*).schema))
     val recorded = prevSchema
       .map(p => mergeSchemas(p, asNullable(df.schema)))
       .getOrElse(asNullable(df.schema))
@@ -222,7 +222,7 @@ object Versioned {
       "through the catalog)")
     val v = asOf.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not found at $root (have ${vs.mkString(",")})")
-    manifestFiles(spark, root, v).map(rel => new Path(root, rel).toString)
+    manifestFiles(spark, root, v).map(rel => resolveEntry(root, rel).toString)
   }
 
   /** Absolute paths of the data files ADDED between `fromV` (exclusive)
@@ -236,7 +236,7 @@ object Versioned {
     require(to >= fromV, s"to=$to earlier than from=$fromV")
     val before = manifestFiles(spark, root, fromV).toSet
     manifestFiles(spark, root, to).filterNot(before)
-      .map(rel => new Path(root, rel).toString)
+      .map(rel => resolveEntry(root, rel).toString)
   }
 
   /** Read the newest snapshot, or `asOf` a specific version. Reads through
@@ -501,7 +501,7 @@ object Versioned {
       val survivors = readWithSchema(spark, schema, touched)
         .join(srcKeys, keys, "left_anti")
       commitMixed(spark, survivors.unionByName(aligned), root,
-        untouched.map(relativize(root, _)), statsCols = statsCols, tag = tag)
+        untouched.map(relativize(spark, root, _)), statsCols = statsCols, tag = tag)
     } finally {
       aligned.unpersist(blocking = false)
       ()
@@ -520,6 +520,47 @@ object Versioned {
       .map(s => s"#schema=${s.json}").toSeq ++
       manifestFiles(spark, root, toVersion)
     publish(spark, root, vs.last + 1, body)
+  }
+
+  /** Shallow clone: publish `dstRoot`'s v1 referencing the SOURCE
+    * snapshot's data files by ABSOLUTE manifest entry — no data copied or
+    * rewritten, O(manifest) at any table size. The clone is a full table
+    * from then on: reads prune through the source's own sidecars (stats
+    * live next to the files), copy-on-write DELETE/UPDATE/MERGE rewrite
+    * only touched files into the CLONE's data dir and carry the rest by
+    * (absolute) reference, compaction gradually materializes it locally,
+    * and the clone's vacuum only ever deletes files under its own root —
+    * the source is never written through a clone.
+    *
+    * RETENTION CAVEAT (inherent to shallow clones): the source's vacuum
+    * does not know about clones. Vacuuming the source past the cloned
+    * snapshot deletes files the clone still references — source retention
+    * must outlive every clone, or the clone must be fully materialized
+    * (compactLatest) first. */
+  def cloneTable(spark: SparkSession, srcRoot: String, dstRoot: String,
+                 asOf: Option[Long] = None): Long = {
+    // fully qualify both roots (scheme + authority + absolutized path) so
+    // (a) distinct tables sharing a path on different filesystems are not
+    // falsely refused, and (b) a relative srcRoot cannot mint entries the
+    // clone's readers would misresolve against the CLONE root
+    require(qualify(spark, srcRoot) != qualify(spark, dstRoot),
+      s"clone target must differ from the source ($srcRoot)")
+    require(versions(spark, dstRoot).isEmpty,
+      s"clone target $dstRoot already has committed versions")
+    val srcVs = versions(spark, srcRoot)
+    require(srcVs.nonEmpty, s"no committed versions at $srcRoot")
+    val v = asOf.getOrElse(srcVs.last)
+    require(srcVs.contains(v),
+      s"version $v not found at $srcRoot (have ${srcVs.mkString(",")})")
+    // absolutize every entry against the SOURCE root as a FULL URI — a
+    // schemeless entry would resolve against the default filesystem, the
+    // wrong table for an s3a:// source read from an hdfs-default cluster.
+    // Entries already absolute (cloning a clone) pass through unchanged.
+    val entries = manifestFiles(spark, srcRoot, v)
+      .map(e => qualify(spark, resolveEntry(srcRoot, e).toString).toString)
+    val body = snapshotSchema(spark, srcRoot, Some(v))
+      .map(s => s"#schema=${s.json}").toSeq ++ entries
+    publish(spark, dstRoot, 1L, body)
   }
 
   /** Row-level diff between two versions: the snapshot's columns plus
@@ -545,8 +586,8 @@ object Versioned {
     val after = manifestFiles(spark, root, to)
     val beforeSet = before.toSet
     val afterSet = after.toSet
-    val gone = before.filterNot(afterSet).map(rel => new Path(root, rel).toString)
-    val fresh = after.filterNot(beforeSet).map(rel => new Path(root, rel).toString)
+    val gone = before.filterNot(afterSet).map(rel => resolveEntry(root, rel).toString)
+    val fresh = after.filterNot(beforeSet).map(rel => resolveEntry(root, rel).toString)
     val resolved = snapshotSchema(spark, root, Some(to))
       .getOrElse(read(spark, root, Some(to)).schema)
     // a replace commit may retype columns; reading the FROM side through
@@ -618,7 +659,7 @@ object Versioned {
     // the rewritten files must keep pruning alive
     val statsCols = trackedStatsCols(spark, root, files)
     val rewritten = rewrite(readWithSchema(spark, schema, touched))
-    commitMixed(spark, rewritten, root, untouched.map(relativize(root, _)),
+    commitMixed(spark, rewritten, root, untouched.map(relativize(spark, root, _)),
       statsCols = statsCols.filter(c => schema.forall(_.fieldNames.contains(c))))
   }
 
@@ -632,10 +673,34 @@ object Versioned {
       .toSeq.distinct.sorted
   }
 
-  private def relativize(root: String, abs: String): String = {
-    val u = new Path(abs).toUri.getPath
-    val r = new Path(root).toUri.getPath
-    u.stripPrefix(r).stripPrefix("/")
+  /** Fully qualified form of `s`: scheme + authority from its filesystem,
+    * relative paths absolutized against that filesystem's working dir. */
+  private def qualify(spark: SparkSession, s: String): Path = {
+    val p = new Path(s)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(p)
+  }
+
+  /** Resolve a manifest entry to its data file. Entries are normally
+    * root-relative (`data/<batch>/<file>`); a shallow clone
+    * ([[cloneTable]]) writes ABSOLUTE entries (full `scheme://` URIs,
+    * or a bare leading `/` from older clones) pointing into the source
+    * table's root, which every reader resolves through here. */
+  private[io] def resolveEntry(root: String, entry: String): Path = {
+    val p = new Path(entry)
+    if (p.isAbsolute || p.toUri.getScheme != null) p else new Path(root, entry)
+  }
+
+  /** Inverse of [[resolveEntry]] for carry-by-reference commits: files
+    * under `root` become relative entries; foreign files (absolute
+    * clone references) stay absolute — stripping their prefix would
+    * fabricate a dangling local path. Both sides are compared FULLY
+    * QUALIFIED so a same-path file on a different filesystem (e.g. an
+    * s3a:// clone reference under a local root's path) is never
+    * mistaken for a local one. */
+  private def relativize(spark: SparkSession, root: String, abs: String): String = {
+    val u = qualify(spark, abs).toString
+    val r = qualify(spark, root).toString
+    if (u.startsWith(r + "/")) u.stripPrefix(r + "/") else u
   }
 
   /** Byte lengths of `paths`, fetched with ONE listStatus per containing
@@ -773,7 +838,7 @@ object Versioned {
         .sortWithinPartitions(sortCols.map(col): _*)
     val statsCols = (trackedStatsCols(spark, root, files) ++ sortCols)
       .distinct.sorted.filter(c => schema.forall(_.fieldNames.contains(c)))
-    commitMixed(spark, shaped, root, large.map(p => relativize(root, p._1)),
+    commitMixed(spark, shaped, root, large.map(p => relativize(spark, root, p._1)),
       statsCols = statsCols)
   }
 
@@ -799,7 +864,7 @@ object Versioned {
     val tags = lines.view.mapValues(
       _.find(_.startsWith("#tag=")).map(_.stripPrefix("#tag="))).toMap
     val lenOf = fileLengths(f,
-      fileLists.values.flatten.toSeq.distinct.map(rel => new Path(root, rel)))
+      fileLists.values.flatten.toSeq.distinct.map(rel => resolveEntry(root, rel)))
     val rows = vs.map { v =>
       val files = fileLists(v)
       val added: Option[Long] = fileLists.get(v - 1) match {
@@ -813,7 +878,7 @@ object Versioned {
         new java.sql.Timestamp(mtime.getOrElse(v, 0L)),
         tags(v).orNull,
         files.size.toLong,
-        files.map(rel => lenOf.getOrElse(new Path(root, rel).toUri.getPath, 0L)).sum,
+        files.map(rel => lenOf.getOrElse(resolveEntry(root, rel).toUri.getPath, 0L)).sum,
         added)
     }
     import spark.implicits._

@@ -53,9 +53,18 @@ class VersionedCatalog extends TableCatalog with ProcedureCatalog {
 
   private def spark: SparkSession = SparkSession.active
 
-  private def rootFor(ident: Identifier): String =
-    (ident.namespace() :+ ident.name())
-      .foldLeft(new Path(warehouse))(new Path(_, _)).toString
+  /** Table root under THIS warehouse. Every identifier part must be a
+    * plain path segment: a part containing a separator or dot-dot would
+    * let a quoted identifier (`` `ns`.`/tmp/evil` ``) or a CALL's string
+    * table argument resolve OUTSIDE the warehouse root — with the clone
+    * procedure that would even CREATE a table at an arbitrary path. */
+  private def rootFor(ident: Identifier): String = {
+    val parts = ident.namespace() :+ ident.name()
+    parts.foreach(p => require(
+      p.nonEmpty && !p.contains("/") && !p.contains("\\") && p != "." && p != "..",
+      s"illegal identifier part '$p': table names must not traverse paths"))
+    parts.foldLeft(new Path(warehouse))(new Path(_, _)).toString
+  }
 
   private def exists(root: String): Boolean =
     Versioned.versions(spark, root).nonEmpty
@@ -146,23 +155,16 @@ class VersionedCatalog extends TableCatalog with ProcedureCatalog {
     readOnly(s"RENAME TABLE $oldIdent")
 
   /** SQL `CALL graft.system.<proc>('ns.tbl', …)` — the maintenance surface
-    * ([[VersionedProcedures]]). The table argument is catalog-relative
-    * (`'ns.tbl'`), resolved under THIS warehouse, and must already exist:
-    * maintenance on a never-committed table is always a caller error
-    * (history would silently return 0 rows otherwise), and failing here
-    * keeps the error at analysis distance from the statement. The exists()
-    * is one extra `_manifests` LIST per CALL on top of the body's own —
-    * deliberate: CALLs are human-frequency maintenance whose bodies do
-    * many LISTs anyway, unlike the per-query table path where load()
-    * folds the existence check into the snapshot read. */
+    * ([[VersionedProcedures]]). Table arguments are catalog-relative
+    * (`'ns.tbl'`), resolved under THIS warehouse — a CALL can never reach
+    * outside the warehouse root. Existence policy lives with each
+    * procedure body (maintenance requires an existing table; clone's
+    * TARGET must be fresh), so this lambda only maps names to roots. */
   override def loadProcedure(ident: Identifier): UnboundProcedure =
     VersionedProcedures.load(ident, tbl => {
       val parts = tbl.split("\\.").filter(_.nonEmpty)
       require(parts.nonEmpty, s"empty table name in CALL argument")
-      val id = Identifier.of(parts.init, parts.last)
-      val root = rootFor(id)
-      if (!exists(root)) throw new NoSuchTableException(id)
-      root
+      rootFor(Identifier.of(parts.init, parts.last))
     })
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] = {

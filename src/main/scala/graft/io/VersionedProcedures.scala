@@ -39,14 +39,28 @@ import org.apache.spark.sql.types._
 private[io] object VersionedProcedures {
 
   /** One rigid procedure: fixed params, fixed result schema, a body from
-    * (session, resolved table root, coerced+default-filled args) to
-    * metadata-sized result rows. */
+    * (session, catalog-relative-name -> root resolver, coerced+default-
+    * filled args) to metadata-sized result rows. Bodies resolve their own
+    * table argument(s) — most require an EXISTING table ([[existing]]);
+    * clone's target must be fresh, so resolution stays per-body. */
   private final case class Spec(
       name: String,
       description: String,
       params: Array[ProcedureParameter],
       resultSchema: StructType,
-      body: (SparkSession, String, InternalRow) => Array[InternalRow])
+      body: (SparkSession, String => String, InternalRow) => Array[InternalRow])
+
+  /** Resolve arg `i` as a table that must already exist — maintenance on a
+    * never-committed table is always a caller error (history would
+    * silently report an empty story otherwise). */
+  private def existing(spark: SparkSession, rootFor: String => String,
+                       input: InternalRow, i: Int): String = {
+    val name = str(input, i, "table")
+    val root = rootFor(name)
+    require(Versioned.versions(spark, root).nonEmpty,
+      s"table $name does not exist (no committed versions at $root)")
+    root
+  }
 
   private def in(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -78,20 +92,23 @@ private[io] object VersionedProcedures {
         StructField("num_files", LongType, nullable = false),
         StructField("total_bytes", LongType, nullable = false),
         StructField("files_added", LongType, nullable = true))),
-      (spark, root, _) =>
+      (spark, rootFor, input) =>
         // executeCollect returns driver-copied InternalRows in the exact
         // result schema above (history's own column order)
-        Versioned.history(spark, root).queryExecution.executedPlan.executeCollect()),
+        Versioned.history(spark, existing(spark, rootFor, input, 0))
+          .queryExecution.executedPlan.executeCollect()),
 
     Spec("restore", "roll the table back to an old version as a new metadata-only commit",
       Array(in("table", StringType), in("version", LongType)),
       newVersion,
-      (spark, root, input) => row(Versioned.restore(spark, root, input.getLong(1)))),
+      (spark, rootFor, input) => row(Versioned.restore(
+        spark, existing(spark, rootFor, input, 0), input.getLong(1)))),
 
     Spec("vacuum", "drop all but the newest `keep` versions, then GC unreferenced files",
       Array(in("table", StringType), inDefault("keep", IntegerType, "1")),
       removedCount,
-      (spark, root, input) => {
+      (spark, rootFor, input) => {
+        val root = existing(spark, rootFor, input, 0)
         val before = Versioned.versions(spark, root).size
         Versioned.vacuum(spark, root, keepVersions = input.getInt(1))
         row(before - Versioned.versions(spark, root).size)
@@ -100,7 +117,8 @@ private[io] object VersionedProcedures {
     Spec("vacuum_older_than", "drop versions published before the cutoff, then GC",
       Array(in("table", StringType), in("cutoff", TimestampType)),
       removedCount,
-      (spark, root, input) => {
+      (spark, rootFor, input) => {
+        val root = existing(spark, rootFor, input, 0)
         val before = Versioned.versions(spark, root).size
         // TimestampType args arrive as micros since epoch
         Versioned.vacuumOlderThan(spark, root, input.getLong(1) / 1000L)
@@ -111,24 +129,38 @@ private[io] object VersionedProcedures {
       Array(in("table", StringType), in("n_files", IntegerType),
         inDefault("sort_cols", StringType, "''")),
       newVersion,
-      (spark, root, input) => row(Versioned.compactLatest(
-        spark, root, input.getInt(1), csv(str(input, 2, "sort_cols"))))),
+      (spark, rootFor, input) => row(Versioned.compactLatest(
+        spark, existing(spark, rootFor, input, 0), input.getInt(1),
+        csv(str(input, 2, "sort_cols"))))),
 
     Spec("compact_small", "incremental OPTIMIZE: bin-pack only files under small_bytes",
       Array(in("table", StringType),
         inDefault("small_bytes", LongType, (32L * 1024 * 1024).toString),
         inDefault("target_bytes", LongType, (128L * 1024 * 1024).toString)),
       newVersion,
-      (spark, root, input) => row(Versioned.compactSmall(
-        spark, root, smallBytes = input.getLong(1), targetBytes = input.getLong(2)))),
+      (spark, rootFor, input) => row(Versioned.compactSmall(
+        spark, existing(spark, rootFor, input, 0),
+        smallBytes = input.getLong(1), targetBytes = input.getLong(2)))),
 
     Spec("zorder", "rewrite the table laid out on the Z-order curve of `dims` (csv)",
       Array(in("table", StringType), in("dims", StringType), in("n_files", IntegerType)),
       newVersion,
-      (spark, root, input) => {
+      (spark, rootFor, input) => {
+        val root = existing(spark, rootFor, input, 0)
         val dims = csv(str(input, 1, "dims"))
         row(Versioned.commitZOrderedN(spark, Versioned.read(spark, root), root,
           dims, input.getInt(2), replace = true))
+      }),
+
+    Spec("clone", "shallow-clone a snapshot into a fresh table (no data copied)",
+      Array(in("table", StringType), in("target", StringType),
+        inDefault("version", LongType, "CAST(NULL AS BIGINT)")),
+      newVersion,
+      (spark, rootFor, input) => {
+        val src = existing(spark, rootFor, input, 0)
+        val dst = rootFor(str(input, 1, "target"))
+        val asOf = if (input.isNullAt(2)) None else Some(input.getLong(2))
+        row(Versioned.cloneTable(spark, src, dst, asOf))
       })
   ).map(s => s.name -> s).toMap
 
@@ -161,9 +193,8 @@ private[io] object VersionedProcedures {
     override def isDeterministic: Boolean = false
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val spark = SparkSession.active
-      val root = rootFor(str(input, 0, "table"))
       java.util.Collections.singletonList[Scan](
-        new ResultScan(spec.resultSchema, spec.body(spark, root, input))).iterator()
+        new ResultScan(spec.resultSchema, spec.body(spark, rootFor, input))).iterator()
     }
   }
 

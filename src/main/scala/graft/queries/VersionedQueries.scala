@@ -260,6 +260,25 @@ object VersionedQueries {
       |FROM orders WHERE o_orderkey % 3 IN (0, 1)
       |GROUP BY 1, 2""".stripMargin
 
+  /** Shallow clone + copy-on-write independence: clone the source at v2
+    * (metadata-only — no data copied), delete every 5th order ON THE
+    * CLONE (rewrites only the touched files into the clone's own root,
+    * carries the rest by absolute reference into the source), and read
+    * the result through the DSv2 format. The oracle restates the pinned
+    * version's rows minus the delete — the source is never modified. */
+  def versionedClone(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = buildSource(spark, sfDir)
+    val dst = QueryScratch.freshRoot("graft_clone_q", sfDir)
+    Versioned.cloneTable(spark, src, dst, asOf = Some(2L))
+    Versioned.deleteWhere(spark, dst, pmod(col("o_orderkey"), lit(5)) === 0)
+    priorityAgg(spark.read.format("graft-versioned").load(dst))
+  }
+
+  val versionedCloneOracle: String =
+    s"""$oracleSelect
+       |WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 5 <> 0
+       |GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "versioned_snapshot" -> (versionedSnapshot _),
     "versioned_time_travel" -> (versionedTimeTravel _),
@@ -270,6 +289,7 @@ object VersionedQueries {
     "versioned_sql_update" -> (versionedSqlUpdate _),
     "versioned_sql_merge" -> (versionedSqlMerge _),
     "versioned_call" -> (versionedCall _),
+    "versioned_clone" -> (versionedClone _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -282,5 +302,6 @@ object VersionedQueries {
     "versioned_sql_update" -> versionedSqlUpdateOracle,
     "versioned_sql_merge" -> versionedSqlMergeOracle,
     "versioned_call" -> versionedCallOracle,
+    "versioned_clone" -> versionedCloneOracle,
   )
 }
