@@ -24,6 +24,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // keep high-cardinality graft_argmax/graft_topk aggs hash-based
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -34,6 +34,7 @@ object GraftSession {
       // into sort-based aggregation, resurrecting the sort the operator
       // exists to avoid
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     warehouse.fold(b)(w => b
       .config("spark.sql.catalog.graft", classOf[graft.io.VersionedCatalog].getName)
       .config("spark.sql.catalog.graft.warehouse", w))

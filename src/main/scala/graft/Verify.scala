@@ -14,13 +14,25 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // keep high-cardinality graft_argmax/graft_topk aggs hash-based
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // dump timestamps as NTZ: the engine writes TIMESTAMP_MICROS
+        // (isAdjustedToUTC) parquet, which pandas reads tz-aware while
+        // the DuckDB oracle renders naive wall-clock — with the session
+        // in UTC the cast is the identity on the rendered value
+        val dumped = df.select(df.schema.fields.map { f =>
+          if (f.dataType == org.apache.spark.sql.types.TimestampType)
+            org.apache.spark.sql.functions.col(f.name)
+              .cast(org.apache.spark.sql.types.TimestampNTZType).as(f.name)
+          else org.apache.spark.sql.functions.col(f.name)
+        }.toSeq: _*)
+        dumped.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

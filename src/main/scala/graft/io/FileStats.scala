@@ -35,8 +35,11 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
   */
 object FileStats {
 
-  /** One column's encoded min/max for one file. */
-  case class ColStats(tag: String, min: String, max: String)
+  /** One column's encoded min/max for one file. `nulls` is the file's
+    * null count for the column, or -1 when any row group left it
+    * unrecorded — the strict proofs ([[StatsProofs]]) need an exact zero
+    * before they may treat min/max as covering EVERY row. */
+  case class ColStats(tag: String, min: String, max: String, nulls: Long = -1L)
 
   private def enc(s: String): String =
     Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
@@ -52,6 +55,9 @@ object FileStats {
       val schema = footer.getFileMetaData.getSchema
       // merge min/max across row groups, skipping groups with no usable stat
       val perCol = scala.collection.mutable.Map[String, ColStats]()
+      // per-column null count summed over groups; -1 once any group's
+      // count is unrecorded (parquet reports -1 for "not set")
+      val nullsBy = scala.collection.mutable.Map[String, Long]()
       var unusable = Set.empty[String]
       footer.getBlocks.asScala.foreach { block =>
         block.getColumns.asScala.foreach { cc =>
@@ -63,21 +69,31 @@ object FileStats {
                 (!st.hasNonNullValue && st.getNumNulls == 0)) {
               // stats genuinely unknown for this group -> whole file unusable
               unusable += name; perCol.remove(name)
-            } else if (st.hasNonNullValue) {
-              val field = schema.getType(cc.getPath.toArray: _*).asPrimitiveType()
-              encodeStat(field.getPrimitiveTypeName.name(),
-                field.getLogicalTypeAnnotation,
-                st.genericGetMin.asInstanceOf[AnyRef],
-                st.genericGetMax.asInstanceOf[AnyRef])
-                match {
-                  case Some(cs) => perCol(name) = perCol.get(name).map(merge(_, cs)).getOrElse(cs)
-                  case None => unusable += name; perCol.remove(name)
-                }
-            } // null-only group: contributes no non-null values, nothing to merge
+            } else {
+              val n = st.getNumNulls
+              nullsBy(name) = nullsBy.get(name) match {
+                case Some(prev) if prev >= 0 && n >= 0 => prev + n
+                case Some(_) => -1L
+                case None => if (n >= 0) n else -1L
+              }
+              if (st.hasNonNullValue) {
+                val field = schema.getType(cc.getPath.toArray: _*).asPrimitiveType()
+                encodeStat(field.getPrimitiveTypeName.name(),
+                  field.getLogicalTypeAnnotation,
+                  st.genericGetMin.asInstanceOf[AnyRef],
+                  st.genericGetMax.asInstanceOf[AnyRef])
+                  match {
+                    case Some(cs) => perCol(name) = perCol.get(name).map(merge(_, cs)).getOrElse(cs)
+                    case None => unusable += name; perCol.remove(name)
+                  }
+              } // null-only group: counts its nulls, contributes no values
+            }
           }
         }
       }
-      p.getName -> perCol.toMap
+      p.getName -> perCol.map { case (c, cs) =>
+        c -> cs.copy(nulls = nullsBy.getOrElse(c, -1L))
+      }.toMap
     }.toMap
   }
 
@@ -141,12 +157,13 @@ object FileStats {
 
   def sidecarPath(batchDir: Path): Path = new Path(batchDir, SidecarName)
 
-  /** Write the batch's stats sidecar (TSV: file, col, tag, min, max). */
+  /** Write the batch's stats sidecar (TSV: file, col, tag, min, max,
+    * nulls — the last column absent in pre-null-tracking sidecars). */
   def writeSidecar(fs: FileSystem, batchDir: Path,
                    stats: Map[String, Map[String, ColStats]]): Unit = {
     val body = stats.toSeq.sortBy(_._1).flatMap { case (file, byCol) =>
       byCol.toSeq.sortBy(_._1).map { case (c, s) =>
-        s"$file\t$c\t${s.tag}\t${s.min}\t${s.max}"
+        s"$file\t$c\t${s.tag}\t${s.min}\t${s.max}\t${s.nulls}"
       }
     }.mkString("", "\n", "\n")
     val out = fs.create(sidecarPath(batchDir), true)
@@ -165,7 +182,10 @@ object FileStats {
     new String(bytes, StandardCharsets.UTF_8).split("\n")
       .map(_.trim).filter(_.nonEmpty)
       .map(_.split("\t", -1)).collect {
+        // 5-field rows are pre-null-tracking sidecars: nulls unknown (-1)
         case Array(file, c, tag, mn, mx) => (file, c, ColStats(tag, mn, mx))
+        case Array(file, c, tag, mn, mx, nulls) =>
+          (file, c, ColStats(tag, mn, mx, nulls.toLongOption.getOrElse(-1L)))
       }
       .groupBy(_._1)
       .map { case (f, rows) => f -> rows.map(r => r._2 -> r._3).toMap }
@@ -179,14 +199,19 @@ object FileStats {
     stats match {
       case None => true
       case Some(cs) =>
-        def cmp(bound: Any, stat: String): Option[Int] = coerce(cs.tag, bound).map {
-          case b: Long => java.lang.Long.compare(stat.toLong, b)
-          case b: Double => java.lang.Double.compare(stat.toDouble, b)
-          case b: Array[Byte] => cmpUtf8(Base64.getDecoder.decode(stat), b)
-        }
-        val belowLo = lo.flatMap(b => cmp(b, cs.max)).exists(_ < 0) // max < lo
-        val aboveHi = hi.flatMap(b => cmp(b, cs.min)).exists(_ > 0) // min > hi
+        val belowLo = lo.flatMap(b => cmpStat(cs, cs.max, b)).exists(_ < 0) // max < lo
+        val aboveHi = hi.flatMap(b => cmpStat(cs, cs.min, b)).exists(_ > 0) // min > hi
         !(belowLo || aboveHi)
+    }
+
+  /** Compare one encoded stat value (`cs.min` or `cs.max`) against a
+    * caller bound in the tag's domain: sign of (stat - bound); None when
+    * the bound can't be coerced into that domain. */
+  private[io] def cmpStat(cs: ColStats, stat: String, bound: Any): Option[Int] =
+    coerce(cs.tag, bound).map {
+      case b: Long => java.lang.Long.compare(stat.toLong, b)
+      case b: Double => java.lang.Double.compare(stat.toDouble, b)
+      case b: Array[Byte] => cmpUtf8(Base64.getDecoder.decode(stat), b)
     }
 
   /** Coerce a caller-supplied bound into the stat tag's comparison domain;

@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex, PartitionDirectory}
-import org.apache.spark.sql.types.{DateType, TimestampType}
+import org.apache.spark.sql.types.{DataType, DateType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** File index that applies the batch sidecars' min/max stats to the DATA
@@ -117,7 +117,13 @@ private[graft] object StatsPrunedFileIndex {
 
   /** Catalyst literal -> the bound domain FileStats.coerce understands.
     * None for types stats can't compare (disables pruning on that bound). */
-  private def literalValue(l: Literal): Option[Any] = (l.dataType, l.value) match {
+  private[io] def literalValue(l: Literal): Option[Any] =
+    internalValue(l.dataType, l.value)
+
+  /** Internal-encoding decoder shared with the strict proofs
+    * ([[StatsProofs]]) so the advisory and load-bearing paths read
+    * catalyst literals identically. */
+  private[io] def internalValue(dt: DataType, v: Any): Option[Any] = (dt, v) match {
     case (_, null) => None // col <op> NULL matches nothing; leave to the row filter
     case (DateType, days: Int) => Some(java.time.LocalDate.ofEpochDay(days.toLong))
     case (TimestampType, micros: Long) =>

@@ -342,11 +342,15 @@ object Versioned {
     commit(spark, shaped, root, replace = replace, statsCols = dims)
   }
 
-  /** Copy-on-write row-level DELETE: one pruned scan finds the files that
-    * actually CONTAIN matching rows (`input_file_name`), only those are
-    * rewritten with the matches removed, and every untouched file is
-    * carried into the new manifest by reference — at 100 TB, deleting one
-    * day's rows rewrites the files holding that day, not the table. SQL
+  /** Copy-on-write row-level DELETE, stats-proven where possible: files
+    * whose sidecar stats PROVE every row matches are dropped from the
+    * manifest without being read ([[StatsProofs]] — on a date-clustered
+    * table `day < cutoff` retention is a pure metadata commit at any
+    * size), files proven match-free are carried unprobed, and only the
+    * undecided files are scanned (`input_file_name`) and — where they
+    * contain matches — rewritten with the matches removed. At 100 TB,
+    * deleting one day's rows rewrites at most that day's boundary files,
+    * not the table. SQL
     * DELETE semantics: rows where the predicate is TRUE go; FALSE and
     * NULL stay. The publish is one atomic replace-style commit, so
     * readers see the pre-delete snapshot or the post-delete one, never a
@@ -361,7 +365,10 @@ object Versioned {
       rewrite = df => {
         import org.apache.spark.sql.functions.{coalesce, lit, not}
         df.filter(not(coalesce(predicate, lit(false))))
-      })
+      },
+      // a file whose stats PROVE every row matches needs no rewrite at
+      // all — dropping it from the manifest IS the delete (zero I/O)
+      dropAllMatch = true)
 
   /** Copy-on-write row-level UPDATE: same touched-file machinery as
     * [[deleteWhere]], but matching rows get `assignments` applied (each
@@ -637,30 +644,81 @@ object Versioned {
   }
 
   /** Shared copy-on-write core: find files containing predicate matches,
-    * rewrite exactly those with `rewrite`, carry the rest by reference. */
+    * rewrite exactly those with `rewrite`, carry the rest by reference.
+    *
+    * Sidecar stats are consulted BEFORE any scan ([[StatsProofs]], when
+    * the predicate parses into the provable fragment):
+    *  - files whose stats prove NO row matches are carried without being
+    *    probed (the probe scan reads only the undecided files);
+    *  - files whose stats prove EVERY row matches skip the probe too —
+    *    with `dropAllMatch` (DELETE: the rewrite of an all-match file is
+    *    empty by definition) they are REMOVED from the manifest with zero
+    *    I/O, making retention deletes (`day < cutoff` on a date-clustered
+    *    table) pure metadata operations at any table size; without it
+    *    (UPDATE) they are rewritten as touched.
+    * When no file needs rewriting, the new manifest is published without
+    * writing a batch at all — a metadata-only commit like [[restore]]. */
   private def rewriteTouched(spark: SparkSession, root: String,
                              predicate: org.apache.spark.sql.Column,
-                             rewrite: DataFrame => DataFrame): Long = {
+                             rewrite: DataFrame => DataFrame,
+                             dropAllMatch: Boolean = false): Long = {
     import org.apache.spark.sql.functions.input_file_name
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no committed versions at $root")
     val current = vs.last
     val schema = snapshotSchema(spark, root, Some(current))
     val files = snapshotFiles(spark, root, Some(current))
-    val snapshot = readWithSchema(spark, schema, files)
-    // one scan finds the touched files; input_file_name is URI-shaped, the
-    // manifest is root-relative — compare canonical Path forms
-    val touchedUris = collectTouched(spark, snapshot.filter(predicate)
-      .select(input_file_name()).distinct(), "row-level rewrite")
-    if (touchedUris.isEmpty) return current
-    val (touched, untouched) = files.partition(f =>
-      touchedUris.contains(new Path(f).toUri.getPath))
-    // stats columns the table already tracks (union over batch sidecars):
-    // the rewritten files must keep pruning alive
-    val statsCols = trackedStatsCols(spark, root, files)
-    val rewritten = rewrite(readWithSchema(spark, schema, touched))
-    commitMixed(spark, rewritten, root, untouched.map(relativize(spark, root, _)),
-      statsCols = statsCols.filter(c => schema.forall(_.fieldNames.contains(c))))
+    val conjuncts = StatsProofs.parseColumn(predicate)
+    val f = fs(spark, new Path(root))
+    // ONE sidecar read per batch dir, shared by both proofs and by the
+    // tracked-stats-column union below; lazy so a no-op DELETE without a
+    // provable predicate never opens a sidecar at all
+    lazy val sideByDir: Map[Path, Map[String, Map[String, FileStats.ColStats]]] =
+      files.map(new Path(_)).groupBy(_.getParent).map { case (dir, _) =>
+        dir -> FileStats.readSidecar(f, dir)
+      }
+    val statsOf: Map[String, Map[String, FileStats.ColStats]] =
+      if (conjuncts.isEmpty) Map.empty
+      else files.map { s =>
+        val p = new Path(s)
+        s -> sideByDir(p.getParent).getOrElse(p.getName, Map.empty)
+      }.toMap
+    val (allMatch, rest) = conjuncts match {
+      case Some(cs) => files.partition(p => StatsProofs.allRowsMatch(statsOf(p), cs))
+      case None => (Seq.empty[String], files)
+    }
+    val (noMatch, undecided) = conjuncts match {
+      case Some(cs) => rest.partition(p => StatsProofs.noRowMatches(statsOf(p), cs))
+      case None => (Seq.empty[String], rest)
+    }
+    // one scan over the undecided files finds the touched ones;
+    // input_file_name is URI-shaped, the manifest root-relative — compare
+    // canonical Path forms
+    val touchedUris =
+      if (undecided.isEmpty) Set.empty[String]
+      else collectTouched(spark, readWithSchema(spark, schema, undecided)
+        .filter(predicate)
+        .select(input_file_name()).distinct(), "row-level rewrite")
+    val (scanTouched, scanCarried) = undecided.partition(p =>
+      touchedUris.contains(new Path(p).toUri.getPath))
+    val touched = (if (dropAllMatch) Seq.empty else allMatch) ++ scanTouched
+    if (touched.isEmpty && (allMatch.isEmpty || !dropAllMatch)) return current
+    val carried = (noMatch ++ scanCarried).map(relativize(spark, root, _))
+    if (touched.isEmpty) {
+      // every change is a whole-file drop: publish the shrunk manifest
+      // directly, no data written or read — the retention fast path
+      publish(spark, root, current + 1,
+        schema.map(s => s"#schema=${s.json}").toSeq ++ carried)
+    } else {
+      // stats columns the table already tracks (union over the sidecars
+      // already read above): the rewritten files must keep pruning alive
+      val statsCols = sideByDir.valuesIterator
+        .flatMap(_.valuesIterator.flatMap(_.keysIterator))
+        .toSeq.distinct.sorted
+        .filter(c => schema.forall(_.fieldNames.contains(c)))
+      val rewritten = rewrite(readWithSchema(spark, schema, touched))
+      commitMixed(spark, rewritten, root, carried, statsCols = statsCols)
+    }
   }
 
   /** Union of the stats columns any batch sidecar of `files` tracks — the

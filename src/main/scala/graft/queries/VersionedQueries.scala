@@ -279,6 +279,35 @@ object VersionedQueries {
        |WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 5 <> 0
        |GROUP BY 1, 2""".stripMargin
 
+  /** Retention DELETE on a date-banded table: three commits hold disjoint
+    * o_orderdate ranges (footer stats on the date), then
+    * `DELETE WHERE o_orderdate < 1995-01-01` — the oldest band is proven
+    * all-match by its stats and dropped from the manifest with ZERO I/O,
+    * the middle band straddles the cutoff and is rewritten, the newest is
+    * proven match-free and carried unprobed (RetentionProofSpec asserts
+    * the file-level behavior; this query gates the row-level result). */
+  def versionedRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = QueryScratch.freshRoot("graft_retention_q", sfDir)
+    val orders = Tables.orders(spark, sfDir)
+    val y94 = java.sql.Timestamp.valueOf("1994-01-01 00:00:00")
+    val y96 = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val d = col("o_orderdate")
+    Versioned.commit(spark, orders.filter(d < y94), root,
+      statsCols = Seq("o_orderdate"))
+    Versioned.commit(spark, orders.filter(d >= y94 && d < y96), root,
+      statsCols = Seq("o_orderdate"))
+    Versioned.commit(spark, orders.filter(d >= y96), root,
+      statsCols = Seq("o_orderdate"))
+    Versioned.deleteWhere(spark, root,
+      d < java.sql.Timestamp.valueOf("1995-01-01 00:00:00"))
+    priorityAgg(spark.read.format("graft-versioned").load(root))
+  }
+
+  val versionedRetentionOracle: String =
+    s"""$oracleSelect
+       |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+       |GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "versioned_snapshot" -> (versionedSnapshot _),
     "versioned_time_travel" -> (versionedTimeTravel _),
@@ -290,6 +319,7 @@ object VersionedQueries {
     "versioned_sql_merge" -> (versionedSqlMerge _),
     "versioned_call" -> (versionedCall _),
     "versioned_clone" -> (versionedClone _),
+    "versioned_retention" -> (versionedRetention _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -303,5 +333,6 @@ object VersionedQueries {
     "versioned_sql_merge" -> versionedSqlMergeOracle,
     "versioned_call" -> versionedCallOracle,
     "versioned_clone" -> versionedCloneOracle,
+    "versioned_retention" -> versionedRetentionOracle,
   )
 }

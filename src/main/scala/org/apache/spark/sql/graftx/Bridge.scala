@@ -23,6 +23,60 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Minimal PUBLIC view of a predicate Column's tree, for static
+    * analysis outside the sql package. Spark 4 Columns built by the
+    * public DSL are ColumnNode trees (`$"c" <= v` is
+    * UnresolvedFunction("<=", …), not a catalyst LessThanOrEqual), and
+    * the node classes are private[sql] — this ADT re-exposes exactly the
+    * shapes a conjunctive range predicate is made of; everything else
+    * collapses to [[Pred.Opaque]] so analyzers stay conservative. */
+  sealed trait Pred
+  object Pred {
+    /** functionName + converted args ("and", "<", "isNotNull", …). */
+    final case class Fn(name: String, args: Seq[Pred]) extends Pred
+    final case class Attr(name: String) extends Pred
+    /** Literal value with its declared type when known. DSL literals are
+      * EXTERNAL JVM values (Int, java.sql.Timestamp, …); literals from a
+      * wrapped catalyst expression are INTERNAL (UTF8String, epoch-day
+      * Int, micros Long) — consumers disambiguate via `dataType`. */
+    final case class Lit(value: Any, dataType: Option[DataType]) extends Pred
+    case object Opaque extends Pred
+  }
+
+  def predTree(c: Column): Pred = fromNode(c.node)
+
+  private def fromNode(n: org.apache.spark.sql.internal.ColumnNode): Pred = n match {
+    case f: org.apache.spark.sql.internal.UnresolvedFunction
+        if !f.isDistinct && !f.isUserDefinedFunction =>
+      Pred.Fn(f.functionName, f.arguments.map(fromNode))
+    case a: org.apache.spark.sql.internal.UnresolvedAttribute =>
+      Pred.Attr(a.nameParts.mkString("."))
+    case l: org.apache.spark.sql.internal.Literal =>
+      Pred.Lit(l.value, l.dataType)
+    case e: org.apache.spark.sql.classic.ExpressionColumnNode =>
+      fromExpr(e.expression)
+    case _ => Pred.Opaque
+  }
+
+  /** Same view over a wrapped catalyst tree (expr("…") predicates). */
+  private def fromExpr(e: Expression): Pred = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    e match {
+      case ce.And(l, r) => Pred.Fn("and", Seq(fromExpr(l), fromExpr(r)))
+      case ce.IsNotNull(c) => Pred.Fn("isnotnull", Seq(fromExpr(c)))
+      case ce.LessThan(l, r) => Pred.Fn("<", Seq(fromExpr(l), fromExpr(r)))
+      case ce.LessThanOrEqual(l, r) => Pred.Fn("<=", Seq(fromExpr(l), fromExpr(r)))
+      case ce.GreaterThan(l, r) => Pred.Fn(">", Seq(fromExpr(l), fromExpr(r)))
+      case ce.GreaterThanOrEqual(l, r) => Pred.Fn(">=", Seq(fromExpr(l), fromExpr(r)))
+      case ce.EqualTo(l, r) => Pred.Fn("=", Seq(fromExpr(l), fromExpr(r)))
+      case a: ce.Attribute => Pred.Attr(a.name)
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        Pred.Attr(u.name)
+      case l: ce.Literal => Pred.Lit(l.value, Some(l.dataType))
+      case _ => Pred.Opaque
+    }
+  }
+
   /** DataFrame over an already-analyzed logical plan (classic
     * Dataset.ofRows is private[sql]) — used by the SQL row-level command
     * rewrites to execute a MERGE source plan captured at analysis. */

@@ -49,14 +49,13 @@ class FileStatsSpec extends SparkSpecBase {
   test("timestamp-column prune compares in the column's own unit") {
     val root = tmpRoot()
     // Spark's default INT96 timestamps carry no usable parquet stats; the
-    // stats-friendly layout writes INT64 micros (lake formats do the same)
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    try {
-      val jan = Seq(java.sql.Timestamp.from(java.time.Instant.parse("1997-01-15T00:00:00Z")))
-      val jul = Seq(java.sql.Timestamp.from(java.time.Instant.parse("1997-07-15T00:00:00Z")))
-      Versioned.commit(spark, jan.toDF("ts").coalesce(1), root, statsCols = Seq("ts"))
-      Versioned.commit(spark, jul.toDF("ts").coalesce(1), root, statsCols = Seq("ts"))
-    } finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    // shared TestSpark session pins TIMESTAMP_MICROS (INT64) globally for
+    // the same reason the lake formats default to it — relied on here and
+    // by RetentionProofSpec, so it must NOT be unset per-test
+    val jan = Seq(java.sql.Timestamp.from(java.time.Instant.parse("1997-01-15T00:00:00Z")))
+    val jul = Seq(java.sql.Timestamp.from(java.time.Instant.parse("1997-07-15T00:00:00Z")))
+    Versioned.commit(spark, jan.toDF("ts").coalesce(1), root, statsCols = Seq("ts"))
+    Versioned.commit(spark, jul.toDF("ts").coalesce(1), root, statsCols = Seq("ts"))
     val pruned = Versioned.readPruned(spark, root, "ts",
       Some(java.time.Instant.parse("1997-06-01T00:00:00Z")), None)
     assert(pruned.inputFiles.length == 1)
