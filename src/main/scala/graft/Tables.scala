@@ -21,14 +21,23 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame       = table(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "region")
-  /** events.parquet stamps `ts` as TIMESTAMP(NANOS), which Spark's vectorized
-    * parquet reader rejects. Read nanos as long (legacy conf) and convert to
-    * a microsecond TimestampType; the generator emits micro-precision values
-    * so the ns→µs division is exact. */
+  /** `events.ts` has shifted parquet types across testdata generations:
+    * TIMESTAMP(NANOS) (which Spark's vectorized reader rejects except as
+    * long via the legacy conf — the ns→µs division is exact, the generator
+    * emits micro-precision values) and plain timestamp[us] (which infers
+    * as TIMESTAMP_NTZ under the default inferTimestampNTZ). Normalize
+    * EVERY shape to the session-TZ TimestampType here — sessions pin UTC,
+    * so the wall-clock values are identical in all cases and downstream
+    * window/watermark code sees one stable type. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")

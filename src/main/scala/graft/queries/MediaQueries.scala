@@ -79,15 +79,54 @@ object MediaQueries {
       |FROM px GROUP BY doc_id
       |""".stripMargin
 
+  /** REAL audio decode through the JDK WAV codec, oracle-checked: each
+    * document id seeds a deterministic 16-bit PCM WAV (sample i =
+    * (2731·i + id) mod 65536 − 32768), the payload round-trips through
+    * the real encoder+parser (`javax.sound.sampled` — PCM is lossless,
+    * so the round trip is exact), and the kernel's integer amplitude
+    * stats (abs-sum, peak) plus the header fields are reproduced by
+    * DuckDB with plain arithmetic over the same formula. A codec stub
+    * could NOT pass this: the bytes on the wire are real RIFF/WAVE
+    * streams only a real parser can read. */
+  def audioDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (id % 200).toInt + 50
+        Multimodal.Media(id, Multimodal.synthWav(id, n), "audio/wav",
+          Map("synthetic" -> "true"))
+      })
+    Multimodal.extractAudioFeatures(media).toDF()
+  }
+
+  val audioDecodeOracle: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |         abs(((2731 * i + doc_id) % 65536) - 32768) AS a
+      |  FROM documents, range(0, 250) t(i)
+      |  WHERE i < (doc_id % 200) + 50
+      |)
+      |SELECT doc_id AS media_id,
+      |       CAST(8000 AS INTEGER) AS sample_rate,
+      |       CAST(1 AS INTEGER) AS channels,
+      |       CAST(16 AS INTEGER) AS bits,
+      |       CAST((doc_id % 200) + 50 AS BIGINT) AS n_frames,
+      |       CAST(SUM(a) AS BIGINT) AS abs_sum,
+      |       CAST(MAX(a) AS INTEGER) AS peak
+      |FROM s GROUP BY doc_id
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_decode" -> (mediaDecode _),
     "media_frames" -> (mediaFrames _),
     "image_decode" -> (imageDecode _),
+    "audio_decode" -> (audioDecode _),
   )
 
   val oracles: Map[String, String] = Map(
     "media_decode" -> mediaDecodeOracle,
     "media_frames" -> mediaFramesOracle,
     "image_decode" -> imageDecodeOracle,
+    "audio_decode" -> audioDecodeOracle,
   )
 }

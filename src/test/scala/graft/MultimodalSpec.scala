@@ -186,4 +186,66 @@ class MultimodalSpec extends SparkSpecBase {
     assert(frames.filter(_._1 == 2L) == Set((2L, 0, 64), (2L, 2, 64)))
     assert(frames.filter(_._1 == 0L) == Set((0L, 0, 3)))
   }
+
+  test("decodeAudio reads a real WAV: header, exact abs-sum and peak") {
+    // synthWav writes through the real AudioSystem encoder; the parser
+    // must recover the exact sawtooth: sample i = (2731*i+seed)%65536-32768
+    val media = Seq(
+      Multimodal.Media(1L, Multimodal.synthWav(5L, 100), "audio/wav", Map.empty),
+      Multimodal.Media(2L, Multimodal.synthWav(0L, 1), "audio/wav", Map.empty),
+      // corrupt payload must degrade, not throw
+      Multimodal.Media(3L, Array[Byte](1, 2, 3, 4), "audio/wav", Map.empty),
+      // non-audio mimes are not decoded at all
+      Multimodal.Media(4L, Array[Byte](9), "image/png", Map.empty))
+    val feats = Multimodal.extractAudioFeatures(
+      spark.createDataset(media)(org.apache.spark.sql.Encoders.product[Multimodal.Media]))
+      .collect().sortBy(_.media_id)
+    assert(feats.map(_.media_id).toSeq == Seq(1L, 2L, 3L)) // png filtered out
+    val saw = feats(0)
+    assert((saw.sample_rate, saw.channels, saw.bits, saw.n_frames) == (8000, 1, 16, 100L))
+    val samples = (0 until 100).map(i => ((2731L * i + 5) % 65536).toInt - 32768)
+    assert(saw.abs_sum == samples.map(s => math.abs(s).toLong).sum)
+    assert(saw.peak == samples.map(math.abs).max)
+    // seed 0, one frame: sample 0 = -32768
+    assert((feats(1).n_frames, feats(1).abs_sum, feats(1).peak) == (1L, 32768L, 32768))
+    assert(feats(2).sample_rate == -1 && feats(2).abs_sum == -1L)
+  }
+
+  test("decodeAudio: stereo interleaved and big-endian AIFF decode exactly") {
+    // stereo: L = i, R = -i, interleaved 16-bit LE — abs_sum covers both
+    // channels, frames count frame PAIRS once
+    val n = 64
+    val pcm = new Array[Byte](n * 4)
+    (0 until n).foreach { i =>
+      val l = i.toShort; val r = (-i).toShort
+      pcm(4 * i) = (l & 0xff).toByte; pcm(4 * i + 1) = ((l >> 8) & 0xff).toByte
+      pcm(4 * i + 2) = (r & 0xff).toByte; pcm(4 * i + 3) = ((r >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 2, true, false)
+    val wav = { val b = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, b); b.toByteArray }
+    // same samples as mono big-endian AIFF: the decoder must honor byte order
+    val bePcm = new Array[Byte](n * 2)
+    (0 until n).foreach { i =>
+      bePcm(2 * i) = ((i >> 8) & 0xff).toByte; bePcm(2 * i + 1) = (i & 0xff).toByte }
+    val beFmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val aiff = { val b = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(bePcm), beFmt, n.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.AIFF, b); b.toByteArray }
+    val feats = Multimodal.extractAudioFeatures(spark.createDataset(Seq(
+      Multimodal.Media(1L, wav, "audio/wav", Map.empty),
+      Multimodal.Media(2L, aiff, "audio/aiff", Map.empty)))(
+      org.apache.spark.sql.Encoders.product[Multimodal.Media]))
+      .collect().sortBy(_.media_id)
+    val absN = (0 until n).map(_.toLong).sum
+    assert((feats(0).channels, feats(0).n_frames, feats(0).abs_sum, feats(0).peak)
+      == (2, n.toLong, 2 * absN, n - 1))
+    assert((feats(1).channels, feats(1).n_frames, feats(1).abs_sum, feats(1).peak)
+      == (1, n.toLong, absN, n - 1))
+  }
 }
