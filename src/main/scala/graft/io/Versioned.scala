@@ -515,6 +515,247 @@ object Versioned {
     }
   }
 
+  /** Clause ADT for [[mergeIntoConditional]] — the general SQL MERGE
+    * shapes beyond the plain upsert. Conditions are evaluated against a
+    * frame where the target row's columns are qualified `__t` and the
+    * source row's `__s` (e.g. `col("__t.qty") < col("__s.qty")`); a NULL
+    * condition keeps SQL semantics (the clause does not fire). Clause
+    * order is SQL order: the FIRST clause whose condition holds applies. */
+  sealed trait MergeClause
+  /** WHEN MATCHED [AND cond] THEN UPDATE SET * — the target row is
+    * replaced by the source row (whole-row, like [[mergeInto]]). */
+  final case class WhenMatchedUpdateAll(condition: Option[org.apache.spark.sql.Column] = None)
+    extends MergeClause
+  /** WHEN MATCHED [AND cond] THEN DELETE. */
+  final case class WhenMatchedDelete(condition: Option[org.apache.spark.sql.Column] = None)
+    extends MergeClause
+  /** WHEN NOT MATCHED [AND cond] THEN INSERT * — cond may reference only
+    * `__s` columns (there is no target row). */
+  final case class WhenNotMatchedInsertAll(condition: Option[org.apache.spark.sql.Column] = None)
+    extends MergeClause
+  /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET assignments —
+    * cond and assignment values may reference only `__t` columns. */
+  final case class WhenNotMatchedBySourceUpdate(
+      condition: Option[org.apache.spark.sql.Column],
+      assignments: Map[String, org.apache.spark.sql.Column]) extends MergeClause
+  /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE. */
+  final case class WhenNotMatchedBySourceDelete(
+      condition: Option[org.apache.spark.sql.Column] = None) extends MergeClause
+
+  /** Generalized copy-on-write MERGE: the full SQL clause family —
+    * conditional/multiple WHEN MATCHED UPDATE-ALL/DELETE clauses, a
+    * conditional WHEN NOT MATCHED INSERT, and WHEN NOT MATCHED BY SOURCE
+    * UPDATE/DELETE — against the versioned table, with [[mergeInto]]'s
+    * scale shape kept intact: matched-clause work probes only the files
+    * that can contain a source key (sidecar range pruning + one semi-join
+    * scan), untouched files carry by reference, and one atomic manifest
+    * publish makes the whole statement a single snapshot transition.
+    *
+    * NOT MATCHED BY SOURCE is the one inherently unprunable clause family
+    * — "target rows with no source match" can live in ANY file — so its
+    * probe is one full scan filtered to rows that actually fire a clause
+    * (files where none does are still carried, not rewritten). That cost
+    * is the semantics, not the implementation: every engine with NMBS
+    * (Delta, Iceberg) scans the target for it.
+    *
+    * Semantics (SQL MERGE):
+    *  - clause order within each family is first-match-wins; a matched
+    *    pair where no matched clause fires leaves the target row unchanged
+    *    and does NOT insert the source row;
+    *  - duplicate fully-keyed source rows are rejected whenever a matched
+    *    clause exists (the "cannot update the same target row twice"
+    *    rule); null-keyed source rows never match and are insert
+    *    candidates; null-keyed target rows never match and are NMBS
+    *    candidates;
+    *  - UPDATE SET * / INSERT * replace/insert the WHOLE row from the
+    *    source's same-named columns (exact types required — cast the
+    *    source first); a DELETE-only or NMBS-only merge needs only the
+    *    key columns in the source.
+    *
+    * Returns the new version, or the current one if nothing changed. */
+  def mergeIntoConditional(spark: SparkSession, root: String, source: DataFrame,
+                           keys: Seq[String],
+                           clauses: Seq[MergeClause]): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, input_file_name, lit, when}
+    require(keys.nonEmpty, "mergeIntoConditional needs at least one key column")
+    require(clauses.nonEmpty, "mergeIntoConditional needs at least one clause")
+    val missingKeys = keys.filterNot(source.columns.contains)
+    require(missingKeys.isEmpty,
+      s"source is missing key column(s): ${missingKeys.mkString(", ")}")
+    val matched = clauses.collect {
+      case c: WhenMatchedUpdateAll => (c.condition, false)
+      case c: WhenMatchedDelete => (c.condition, true)
+    }
+    val inserts = clauses.collect { case c: WhenNotMatchedInsertAll => c.condition }
+    val nmbs = clauses.collect {
+      case c: WhenNotMatchedBySourceUpdate => (c.condition, Some(c.assignments))
+      case c: WhenNotMatchedBySourceDelete => (c.condition, None)
+    }
+    val vs = versions(spark, root)
+    require(vs.nonEmpty,
+      s"no committed versions at $root — bootstrap with commit/CREATE TABLE first")
+    val current = vs.last
+    val schema = snapshotSchema(spark, root, Some(current))
+    val files = snapshotFiles(spark, root, Some(current))
+    val snapshot =
+      if (files.isEmpty)
+        schema.map(s => spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), s))
+          .getOrElse(sys.error(s"empty table at $root has no recorded schema"))
+      else readWithSchema(spark, schema, files)
+    val cols = snapshot.columns.toSeq
+    val needsWholeRow = matched.exists(!_._2) || inserts.nonEmpty
+    if (needsWholeRow) {
+      val absent = cols.filterNot(source.columns.contains)
+      require(absent.isEmpty,
+        s"source is missing table column(s): ${absent.mkString(", ")} " +
+          "(UPDATE SET * / INSERT * replace whole rows — every column must " +
+          "be supplied)")
+      cols.foreach { c =>
+        require(source.schema(c).dataType == snapshot.schema(c).dataType,
+          s"column $c type mismatch: table ${snapshot.schema(c).dataType.simpleString} " +
+            s"vs source ${source.schema(c).dataType.simpleString}")
+      }
+    }
+    nmbs.foreach { case (_, asg) => asg.foreach { m =>
+      val bad = m.keySet.filterNot(cols.contains)
+      require(bad.isEmpty,
+        s"NOT MATCHED BY SOURCE UPDATE assigns to absent column(s): ${bad.mkString(", ")}")
+    }}
+    // pin the source: probe, matched-key set, rewrite and insert must all
+    // see ONE evaluation (same rationale as mergeInto)
+    val pinned = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (matched.nonEmpty) {
+        val fullyKeyed = keys.map(col(_).isNotNull).reduce(_ && _)
+        val dupKeys = pinned.filter(fullyKeyed).groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
+        require(dupKeys == 0,
+          s"source has multiple rows per key (${keys.mkString(", ")}): " +
+            "MERGE would update the same target row twice")
+      }
+      val srcKeys = pinned.select(keys.map(col): _*).distinct()
+      val statsCols = trackedStatsCols(spark, root, files)
+        .filter(c => schema.forall(_.fieldNames.contains(c)))
+      // ---- probe 1: files holding key-matched rows (range-pruned, one
+      // semi-join scan — identical shape to mergeInto's probe)
+      val floatKey = keys.size == 1 &&
+        (snapshot.schema(keys.head).dataType == org.apache.spark.sql.types.DoubleType ||
+          snapshot.schema(keys.head).dataType == org.apache.spark.sql.types.FloatType)
+      val probeFiles: Seq[String] =
+        if (files.isEmpty) Seq.empty
+        else if (keys.size != 1 || floatKey || !statsCols.contains(keys.head)) files
+        else {
+          import org.apache.spark.sql.functions.{max => maxF, min => minF}
+          val bounds = pinned.agg(minF(col(keys.head)), maxF(col(keys.head))).head()
+          if (bounds.isNullAt(0)) Seq.empty
+          else prunedByStats(fs(spark, new Path(root)), files, keys.head,
+            Some(bounds.get(0)), Some(bounds.get(1)))
+        }
+      val matchedTouched: Set[String] =
+        if (matched.isEmpty || probeFiles.isEmpty) Set.empty
+        else collectTouched(spark, readWithSchema(spark, schema, probeFiles)
+          .withColumn("__file", input_file_name())
+          .join(srcKeys, keys, "left_semi")
+          .select(col("__file")).distinct(), "MERGE")
+      // ---- probe 2: files holding rows that fire an NMBS clause (full
+      // scan by necessity; condition-filtered so untouched files carry)
+      val nmbsTouched: Set[String] =
+        if (nmbs.isEmpty || files.isEmpty) Set.empty
+        else {
+          val orCond = nmbs.map(_._1.map(coalesce(_, lit(false))).getOrElse(lit(true)))
+            .reduce(_ || _)
+          collectTouched(spark, readWithSchema(spark, schema, files)
+            .withColumn("__file", input_file_name())
+            .join(srcKeys, keys, "left_anti")
+            .alias("__t")
+            .filter(orCond)
+            .select(col("__file")).distinct(), "MERGE NOT MATCHED BY SOURCE")
+        }
+      val touchedUris = matchedTouched ++ nmbsTouched
+      // ---- matched-key set decides inserts: source keys with a match
+      // anywhere in the table (probeFiles is a conservative superset of
+      // every file that can contain one)
+      val matchedKeys =
+        if (inserts.isEmpty || probeFiles.isEmpty) null
+        else readWithSchema(spark, schema, probeFiles)
+          .select(keys.map(col): _*)
+          .join(srcKeys, keys, "left_semi").distinct()
+      val insertCond = inserts
+        .map(_.map(coalesce(_, lit(false))).getOrElse(lit(true)))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      val insertRows: Option[DataFrame] =
+        if (inserts.isEmpty) None
+        else {
+          val unmatchedSrc =
+            if (matchedKeys == null) pinned
+            else pinned.join(matchedKeys, keys, "left_anti")
+          Some(unmatchedSrc.alias("__s").filter(insertCond)
+            .select(cols.map(col): _*))
+        }
+      val (touched, untouched) = files.partition(f =>
+        touchedUris.contains(new Path(f).toUri.getPath))
+      // ---- rewrite the touched files: one left join against the source
+      // decides each target row's fate by first-match-wins clause order
+      val survivors: Option[DataFrame] =
+        if (touched.isEmpty) None
+        else {
+          val t = readWithSchema(spark, schema, touched).alias("__t")
+          val s = pinned.withColumn("__graft_m", lit(true)).alias("__s")
+          val joinCond = keys.map(k => col(s"__t.$k") === col(s"__s.$k")).reduce(_ && _)
+          val joined = t.join(s, joinCond, "left")
+          val isMatched = col("__s.__graft_m").isNotNull
+          // action: index into matched clauses (0-based), 1000+j for NMBS
+          // clauses, -1 = keep the target row unchanged
+          val actionBranches =
+            matched.zipWithIndex.map { case ((c, _), i) =>
+              (isMatched && c.map(coalesce(_, lit(false))).getOrElse(lit(true)), lit(i))
+            } ++ nmbs.zipWithIndex.map { case ((c, _), j) =>
+              (!isMatched && c.map(coalesce(_, lit(false))).getOrElse(lit(true)), lit(1000 + j))
+            }
+          val action = actionBranches.foldRight(lit(-1): org.apache.spark.sql.Column) {
+            case ((cond, v), acc) => when(cond, v).otherwise(acc)
+          }
+          val deleteActions: Set[Int] =
+            matched.zipWithIndex.collect { case ((_, true), i) => i }.toSet ++
+              nmbs.zipWithIndex.collect { case ((_, None), j) => 1000 + j }
+          val outCols = cols.map { c =>
+            val updateAllBranches = matched.zipWithIndex.collect {
+              case ((_, false), i) => (i, col(s"__s.$c"))
+            }
+            val nmbsBranches = nmbs.zipWithIndex.collect {
+              case ((_, Some(asg)), j) if asg.contains(c) => (1000 + j, asg(c))
+            }
+            (updateAllBranches ++ nmbsBranches)
+              .foldRight(col(s"__t.$c"): org.apache.spark.sql.Column) {
+                case ((i, v), acc) => when(col("__graft_action") === i, v).otherwise(acc)
+              }.as(c)
+          }
+          Some(joined.withColumn("__graft_action", action)
+            .filter(deleteActions.foldLeft(lit(true): org.apache.spark.sql.Column) {
+              (acc, i) => acc && col("__graft_action") =!= i
+            })
+            .select(outCols: _*))
+        }
+      val newBatch = (survivors, insertRows) match {
+        case (Some(a), Some(b)) => Some(a.unionByName(b))
+        case (Some(a), None) => Some(a)
+        case (None, Some(b)) => Some(b)
+        case (None, None) => None
+      }
+      newBatch match {
+        case None => current
+        case Some(df) =>
+          if (touched.isEmpty && df.isEmpty) current
+          else commitMixed(spark, df, root,
+            untouched.map(relativize(spark, root, _)), statsCols = statsCols)
+      }
+    } finally {
+      pinned.unpersist(blocking = false)
+      ()
+    }
+  }
+
   /** Roll the table back to `toVersion` by republishing that snapshot's
     * manifest as a NEW version: no data is copied or rewritten — restore is
     * O(manifest) at any table size — the bad versions stay time-travelable

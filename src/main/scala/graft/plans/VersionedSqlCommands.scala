@@ -4,7 +4,7 @@ import graft.io.{Versioned, VersionedReadTable}
 import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{EliminateSubqueryAliases, UnresolvedAttribute}
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, AttributeSet, Cast, EqualTo, Expression, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, LogicalPlan, MergeAction, MergeIntoTable, Project, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeAction, MergeIntoTable, Project, UpdateAction, UpdateTable}
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.command.{ExecutedCommandExec, LeafRunnableCommand}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -37,13 +37,19 @@ import org.apache.spark.sql.graftx.Bridge
   * analyzer has already resolved every reference and expanded
   * `SET *` / `INSERT *` by then.
   *
-  * Conservatism mirrors the SQL DELETE path ([[graft.io.VersionedReadTable]]):
-  * a shape the library semantics cannot express — subqueries in conditions,
-  * per-action conditions (`WHEN MATCHED AND ...`), non-upsert MERGE shapes
-  * (DELETE actions, update-only, insert-only, NOT MATCHED BY SOURCE),
-  * column renames in the mapping — is refused at analysis with a message
-  * naming the unsupported piece, never approximated. Time-travel and CDC
-  * reads have no live root and are left for Spark's own
+  * The full SQL MERGE clause family is served: the plain upsert takes the
+  * fast [[Versioned.mergeInto]] path, and everything else — per-action
+  * conditions (`WHEN MATCHED AND ...`), DELETE actions, update-only /
+  * insert-only shapes, multiple clauses per family (first-match-wins), and
+  * `WHEN NOT MATCHED BY SOURCE` UPDATE/DELETE — rewrites onto
+  * [[Versioned.mergeIntoConditional]] with conditions re-resolved against
+  * the library's `__t`/`__s` join aliases. Conservatism mirrors the SQL
+  * DELETE path ([[graft.io.VersionedReadTable]]) for what remains: a shape
+  * the library semantics cannot express — subqueries in conditions,
+  * non-star UPDATE SET * / INSERT * mappings (whole-row replacement is the
+  * contract), WITH SCHEMA EVOLUTION — is refused at analysis with a
+  * message naming the unsupported piece, never approximated. Time-travel
+  * and CDC reads have no live root and are left for Spark's own
   * table-does-not-support error.
   */
 object VersionedRowLevelSqlStrategy extends org.apache.spark.sql.execution.SparkStrategy {
@@ -169,47 +175,120 @@ object VersionedRowLevelSqlStrategy extends org.apache.spark.sql.execution.Spark
       liveVersioned(m.targetTable) match {
         case None => Nil
         case Some((root, targetAttrs)) =>
-          if (m.notMatchedBySourceActions.nonEmpty)
-            unsupported("WHEN NOT MATCHED BY SOURCE")
           if (m.withSchemaEvolution) unsupported("WITH SCHEMA EVOLUTION")
+          val targetSet = AttributeSet(targetAttrs)
           val sourceAttrs = m.sourceTable.outputSet
           // distinct: a redundant repeated equality in ON is valid SQL and
           // must not become a duplicate using-column downstream
-          val keys = mergeKeys(m.mergeCondition, AttributeSet(targetAttrs), sourceAttrs)
+          val keys = mergeKeys(m.mergeCondition, targetSet, sourceAttrs)
             .map(_.distinct).filter(_.nonEmpty).getOrElse(unsupported(
               "this ON condition — it must be a conjunction of " +
                 "target.k = source.k equalities over same-named columns"))
-          def onlyUnconditional(as: Seq[MergeAction], what: String): MergeAction =
-            as match {
-              case Seq(one) =>
-                if (one.condition.isDefined)
-                  unsupported(s"a condition on $what (WHEN ... AND <cond>)")
-                one
-              case _ => unsupported(
-                s"${as.size} $what clauses — exactly one unconditional " +
-                  "clause is required")
+          val simpleUpsert = m.notMatchedBySourceActions.isEmpty &&
+            (m.matchedActions match {
+              case Seq(u: UpdateAction) => u.condition.isEmpty
+              case _ => false
+            }) &&
+            (m.notMatchedActions match {
+              case Seq(i: InsertAction) => i.condition.isEmpty
+              case _ => false
+            })
+          if (simpleUpsert) {
+            val values = starAssignments("WHEN MATCHED UPDATE",
+              m.matchedActions.head.asInstanceOf[UpdateAction].assignments,
+              targetAttrs, sourceAttrs)
+            starAssignments("WHEN NOT MATCHED INSERT",
+              m.notMatchedActions.head.asInstanceOf[InsertAction].assignments,
+              targetAttrs, sourceAttrs)
+            // capture the verified mapping as a resolved projection of the
+            // source plan: target column names/types, source values (the
+            // analyzer's own casts included)
+            val projected = Project(
+              targetAttrs.zip(values).map { case (t, v) => Alias(v, t.name)() },
+              m.sourceTable)
+            ExecutedCommandExec(MergeVersionedTableCommand(root, projected, keys)) :: Nil
+          } else {
+            // ---- the general clause family -> mergeIntoConditional.
+            // Conditions re-resolve against a __t/__s-aliased join frame;
+            // whole-row actions must still be the star shape (the library
+            // replaces/inserts whole rows).
+            def qualified(e: Expression, in: String): Column = {
+              if (e.exists(_.isInstanceOf[SubqueryExpression]))
+                unsupported(s"subqueries in $in")
+              Bridge.column(e.transform {
+                case a: AttributeReference =>
+                  if (targetSet.contains(a)) UnresolvedAttribute(Seq("__t", a.name))
+                  else UnresolvedAttribute(Seq("__s", a.name))
+              })
             }
-          val values = onlyUnconditional(m.matchedActions, "WHEN MATCHED") match {
-            case ua: UpdateAction =>
-              starAssignments("WHEN MATCHED UPDATE", ua.assignments,
-                targetAttrs, sourceAttrs)
-            case other => unsupported(s"WHEN MATCHED ${other.getClass.getSimpleName}")
+            val insActions = m.notMatchedActions.map {
+              case ia: InsertAction => ia
+              case other => unsupported(
+                s"WHEN NOT MATCHED ${other.getClass.getSimpleName}")
+            }
+            // verify EVERY whole-row action is star-shaped; keep one value
+            // list (they are identical by star-ness: each target column
+            // from its same-named source column)
+            val starValues: Option[Seq[Expression]] =
+              (m.matchedActions.collect { case u: UpdateAction =>
+                starAssignments("WHEN MATCHED UPDATE", u.assignments,
+                  targetAttrs, sourceAttrs)
+              } ++ insActions.map(ia =>
+                starAssignments("WHEN NOT MATCHED INSERT", ia.assignments,
+                  targetAttrs, sourceAttrs))).headOption
+            val matchedClauses = m.matchedActions.map {
+              case u: UpdateAction => Versioned.WhenMatchedUpdateAll(
+                u.condition.map(qualified(_, "a WHEN MATCHED condition")))
+              case d: DeleteAction => Versioned.WhenMatchedDelete(
+                d.condition.map(qualified(_, "a WHEN MATCHED condition")))
+              case other => unsupported(s"WHEN MATCHED ${other.getClass.getSimpleName}")
+            }
+            val insertClauses = insActions.map(ia =>
+              Versioned.WhenNotMatchedInsertAll(
+                ia.condition.map(qualified(_, "a WHEN NOT MATCHED condition"))))
+            val nmbsClauses = m.notMatchedBySourceActions.map {
+              case u: UpdateAction =>
+                val asg = u.assignments.map { a =>
+                  val name = a.key match {
+                    case k: AttributeReference => k.name
+                    case other => unsupported(
+                      s"NOT MATCHED BY SOURCE assignment to non-column $other")
+                  }
+                  name -> qualified(a.value, "a NOT MATCHED BY SOURCE assignment")
+                }.toMap
+                Versioned.WhenNotMatchedBySourceUpdate(
+                  u.condition.map(qualified(_, "a NOT MATCHED BY SOURCE condition")), asg)
+              case d: DeleteAction => Versioned.WhenNotMatchedBySourceDelete(
+                d.condition.map(qualified(_, "a NOT MATCHED BY SOURCE condition")))
+              case other => unsupported(
+                s"WHEN NOT MATCHED BY SOURCE ${other.getClass.getSimpleName}")
+            }
+            // align the source plan with the table: each star-mapped source
+            // column takes the analyzer's cast and the TARGET column's
+            // exact name (conditions keep resolving — same name, casted
+            // value); everything else passes through for condition use
+            val sourcePlan = starValues match {
+              case None => m.sourceTable
+              case Some(values) =>
+                val byBase = targetAttrs.zip(values).flatMap { case (t, v) =>
+                  stripCast(v) match {
+                    case a: AttributeReference => Some(a.exprId -> (t.name, v))
+                    case _ => None
+                  }
+                }.toMap
+                Project(m.sourceTable.output.map { a =>
+                  byBase.get(a.exprId) match {
+                    case Some((tname, v))
+                        if v.isInstanceOf[Cast] || tname != a.name =>
+                      Alias(v, tname)()
+                    case _ => a
+                  }
+                }, m.sourceTable)
+            }
+            ExecutedCommandExec(MergeVersionedConditionalCommand(root,
+              sourcePlan, keys,
+              matchedClauses ++ insertClauses ++ nmbsClauses)) :: Nil
           }
-          onlyUnconditional(m.notMatchedActions, "WHEN NOT MATCHED") match {
-            case ia: InsertAction =>
-              // the insert mapping must be the SAME source row the update
-              // writes — the library merge replaces/inserts whole rows
-              starAssignments("WHEN NOT MATCHED INSERT", ia.assignments,
-                targetAttrs, sourceAttrs)
-            case other => unsupported(s"WHEN NOT MATCHED ${other.getClass.getSimpleName}")
-          }
-          // capture the verified mapping as a resolved projection of the
-          // source plan: target column names/types, source values (the
-          // analyzer's own casts included)
-          val projected = Project(
-            targetAttrs.zip(values).map { case (t, v) => Alias(v, t.name)() },
-            m.sourceTable)
-          ExecutedCommandExec(MergeVersionedTableCommand(root, projected, keys)) :: Nil
       }
 
     case _ => Nil
@@ -241,6 +320,23 @@ case class MergeVersionedTableCommand(root: String, source: LogicalPlan,
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     Versioned.mergeInto(spark, root, Bridge.ofRows(spark, source), keys)
+    Seq.empty
+  }
+}
+
+/** The general MERGE clause family (conditional matched update/delete,
+  * conditional insert, NOT MATCHED BY SOURCE) →
+  * [[Versioned.mergeIntoConditional]]. `source` keeps every source column
+  * (clause conditions may reference them) with star-mapped columns
+  * renamed/cast to the target's; clause conditions are name-based Columns
+  * over the library's `__t`/`__s` join aliases. */
+case class MergeVersionedConditionalCommand(root: String, source: LogicalPlan,
+                                            keys: Seq[String],
+                                            clauses: Seq[Versioned.MergeClause])
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    Versioned.mergeIntoConditional(spark, root, Bridge.ofRows(spark, source),
+      keys, clauses)
     Seq.empty
   }
 }

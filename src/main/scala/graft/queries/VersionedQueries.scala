@@ -308,6 +308,65 @@ object VersionedQueries {
        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
        |GROUP BY 1, 2""".stripMargin
 
+  /** The general SQL MERGE clause family end-to-end as one statement:
+    * conditional matched UPDATE, matched DELETE (first-match-wins order),
+    * conditional NOT MATCHED INSERT, and NOT MATCHED BY SOURCE UPDATE —
+    * planned by VersionedRowLevelSqlStrategy onto
+    * [[Versioned.mergeIntoConditional]] (probe-pruned touched files,
+    * atomic manifest publish). The oracle restates every clause with
+    * plain CASE/joins in DuckDB. */
+  def versionedSqlMergeCond(spark: SparkSession, sfDir: String): DataFrame = {
+    val (ident, _) = buildSqlTable(spark, sfDir, "orders_mc")
+    val orders = Tables.orders(spark, sfDir)
+    val updates = orders.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val inserts = orders.filter(pmod(col("o_orderkey"), lit(5)) === 1)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+    updates.unionByName(inserts).createOrReplaceTempView("graft_sql_mergec_src")
+    spark.sql(
+      s"""MERGE INTO $ident t USING graft_sql_mergec_src s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED AND s.o_totalprice > 200000 THEN UPDATE SET *
+         |WHEN MATCHED AND t.o_orderkey % 10 = 0 THEN DELETE
+         |WHEN NOT MATCHED AND s.o_orderkey % 2 = 1 THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 97 = 3
+         |  THEN UPDATE SET o_orderpriority = 'NMBS'""".stripMargin)
+    priorityAgg(spark.table(ident))
+  }
+
+  val versionedSqlMergeCondOracle: String =
+    """WITH a AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st, o_orderpriority AS pr,
+      |         o_totalprice * 2 AS tp
+      |  FROM orders WHERE o_orderkey % 5 = 0
+      |), tgt AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st, o_orderpriority AS pr,
+      |         o_totalprice AS tp
+      |  FROM orders
+      |), matched AS (
+      |  SELECT CASE WHEN a.tp > 200000 THEN a.st ELSE t.st END AS st,
+      |         CASE WHEN a.tp > 200000 THEN a.pr ELSE t.pr END AS pr,
+      |         CASE WHEN a.tp > 200000 THEN a.tp ELSE t.tp END AS tp,
+      |         CASE WHEN a.tp > 200000 THEN 0
+      |              WHEN t.k % 10 = 0 THEN 1 ELSE 0 END AS del
+      |  FROM tgt t JOIN a ON t.k = a.k
+      |), unmatched AS (
+      |  SELECT t.st, CASE WHEN t.k % 97 = 3 THEN 'NMBS' ELSE t.pr END AS pr,
+      |         t.tp, 0 AS del
+      |  FROM tgt t WHERE t.k % 5 <> 0
+      |), ins AS (
+      |  SELECT o_orderstatus AS st, o_orderpriority AS pr, o_totalprice AS tp,
+      |         0 AS del
+      |  FROM orders WHERE o_orderkey % 5 = 1 AND o_orderkey % 2 = 1
+      |), final AS (
+      |  SELECT st, pr, tp FROM matched WHERE del = 0
+      |  UNION ALL SELECT st, pr, tp FROM unmatched WHERE del = 0
+      |  UNION ALL SELECT st, pr, tp FROM ins WHERE del = 0
+      |)
+      |SELECT st AS status, pr AS priority, COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(tp AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+      |FROM final GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "versioned_snapshot" -> (versionedSnapshot _),
     "versioned_time_travel" -> (versionedTimeTravel _),
@@ -317,6 +376,7 @@ object VersionedQueries {
     "versioned_diff" -> (versionedDiff _),
     "versioned_sql_update" -> (versionedSqlUpdate _),
     "versioned_sql_merge" -> (versionedSqlMerge _),
+    "versioned_sql_merge_cond" -> (versionedSqlMergeCond _),
     "versioned_call" -> (versionedCall _),
     "versioned_clone" -> (versionedClone _),
     "versioned_retention" -> (versionedRetention _),
@@ -331,6 +391,7 @@ object VersionedQueries {
     "versioned_diff" -> versionedDiffOracle,
     "versioned_sql_update" -> versionedSqlUpdateOracle,
     "versioned_sql_merge" -> versionedSqlMergeOracle,
+    "versioned_sql_merge_cond" -> versionedSqlMergeCondOracle,
     "versioned_call" -> versionedCallOracle,
     "versioned_clone" -> versionedCloneOracle,
     "versioned_retention" -> versionedRetentionOracle,

@@ -107,6 +107,70 @@ class VersionedSqlSpec extends SparkSpecBase {
       .as[(Long, Double, String)].collect().toSeq == Seq((42L, -5.0, "cast")))
   }
 
+  test("SQL MERGE with conditional matched update and delete, first-match-wins") {
+    val t = banded("mrgcond")
+    spark.sql(
+      s"""MERGE INTO $t target
+         |USING (SELECT explode(sequence(150L, 160L)) AS id,
+         |               CAST(-1 AS DOUBLE) AS x, 'new' AS src) s
+         |ON target.id = s.id
+         |WHEN MATCHED AND s.id % 2 = 0 THEN UPDATE SET *
+         |WHEN MATCHED THEN DELETE""".stripMargin)
+    val now = spark.table(t)
+    assert(now.filter($"src" === "new").count() == 6)   // 150,152..160 updated
+    assert(now.filter($"id".between(150L, 160L)).count() == 6) // odds deleted
+    assert(now.count() == 295)
+  }
+
+  test("SQL MERGE update-only and delete-only shapes work without INSERT") {
+    val t = banded("mrgonly")
+    spark.sql(
+      s"""MERGE INTO $t target
+         |USING (SELECT 150L AS id, CAST(0 AS DOUBLE) AS x, 'upd' AS src) s
+         |ON target.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    assert(spark.table(t).filter($"src" === "upd").count() == 1)
+    assert(spark.table(t).count() == 300)
+    // delete-only with a key-only source
+    spark.sql(
+      s"""MERGE INTO $t target
+         |USING (SELECT explode(sequence(151L, 155L)) AS id) s
+         |ON target.id = s.id
+         |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(spark.table(t).count() == 295)
+  }
+
+  test("SQL MERGE with NOT MATCHED BY SOURCE update and delete") {
+    val t = banded("mrgnmbs")
+    val before = manifestOf(rootOf(t), 3L)
+    spark.sql(
+      s"""MERGE INTO $t target
+         |USING (SELECT explode(sequence(1L, 200L)) AS id,
+         |               CAST(0 AS DOUBLE) AS x, 'keep' AS src) s
+         |ON target.id = s.id
+         |WHEN NOT MATCHED BY SOURCE AND target.id > 250 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET src = 'orphan'""".stripMargin)
+    val after = manifestOf(rootOf(t), 4L)
+    // only band 3 contains firing rows; bands 1+2 carried by reference
+    assert(after.count(before.contains) == 2, s"manifest: $after")
+    val now = spark.table(t)
+    assert(now.count() == 250)
+    assert(now.filter($"src" === "orphan").select("id").as[Long].collect().toSet
+      == (201L to 250L).toSet)
+  }
+
+  test("SQL MERGE conditional insert admits only passing source rows") {
+    val t = banded("mrgcins")
+    spark.sql(
+      s"""MERGE INTO $t target
+         |USING (SELECT explode(sequence(1000L, 1009L)) AS id,
+         |               CAST(1 AS DOUBLE) AS x, 'new' AS src) s
+         |ON target.id = s.id
+         |WHEN NOT MATCHED AND s.id % 2 = 0 THEN INSERT *""".stripMargin)
+    assert(spark.table(t).filter($"id" >= 1000L).select("id").as[Long]
+      .collect().toSet == (1000L to 1009L).filter(_ % 2 == 0).toSet)
+  }
+
   test("unsupported SQL shapes are refused at analysis, naming the piece") {
     val t = banded("rej")
     Seq((1L, 0.0, "s")).toDF("id", "x", "src").createOrReplaceTempView("rej_src")
@@ -118,28 +182,22 @@ class VersionedSqlSpec extends SparkSpecBase {
     refuse(s"UPDATE $t SET x = 0 WHERE id IN (SELECT id FROM rej_src)",
       "subqueries")
     refuse(
-      s"""MERGE INTO $t target USING rej_src s ON target.id = s.id
-         |WHEN MATCHED THEN DELETE
-         |WHEN NOT MATCHED THEN INSERT *""".stripMargin, "DeleteAction")
-    refuse(
-      s"""MERGE INTO $t target USING rej_src s ON target.id = s.id
-         |WHEN MATCHED AND s.x > 0 THEN UPDATE SET *
-         |WHEN NOT MATCHED THEN INSERT *""".stripMargin, "WHEN MATCHED")
-    refuse(
-      s"""MERGE INTO $t target USING rej_src s ON target.id = s.id
-         |WHEN MATCHED THEN UPDATE SET *""".stripMargin, "WHEN NOT MATCHED")
-    refuse(
-      s"""MERGE INTO $t target USING rej_src s ON target.id = s.id
+      s"""MERGE INTO $t target USING rej_src s
+         |ON target.id = s.id AND s.x > 0
          |WHEN MATCHED THEN UPDATE SET *
-         |WHEN NOT MATCHED THEN INSERT *
-         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin,
-      "NOT MATCHED BY SOURCE")
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin, "ON condition")
     refuse(
       s"""MERGE INTO $t target USING (SELECT 1 AS k, 0.0 AS x, 's' AS src) s
          |ON target.id = s.k
          |WHEN MATCHED THEN UPDATE SET id = s.k, x = s.x, src = s.src
          |WHEN NOT MATCHED THEN INSERT (id, x, src) VALUES (s.k, s.x, s.src)""".stripMargin,
       "same-named")
+    // partial (non-star) matched update stays refused in the conditional
+    // path too: whole-row replacement is the library contract
+    refuse(
+      s"""MERGE INTO $t target USING rej_src s ON target.id = s.id
+         |WHEN MATCHED AND s.x > 0 THEN UPDATE SET x = s.x
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin, "assigns only")
     // nothing above may have committed
     assert(Versioned.versions(spark, rootOf(t)).last == 3L)
   }
