@@ -191,6 +191,63 @@ object FileStats {
       .map { case (f, rows) => f -> rows.map(r => r._2 -> r._3).toMap }
   }
 
+  // ---------------------------------------------------------- bloom sidecar
+
+  private val BloomSidecarName = ".blooms.tsv"
+
+  def bloomSidecarPath(batchDir: Path): Path = new Path(batchDir, BloomSidecarName)
+
+  /** Column types a bloom filter may be built/probed on. Float/double are
+    * excluded ON PURPOSE: SQL equality normalizes -0.0 == 0.0 (and the
+    * join paths normalize NaN) while the hash of the raw bits
+    * distinguishes them — a bloom probe could prune a file that SQL says
+    * matches. Same hazard class the MERGE probe refuses float keys for. */
+  def bloomSupported(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.DateType |
+         org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType => true
+    case _ => false
+  }
+
+  /** Write the batch's bloom sidecar (TSV: file, col, base64(bloom bytes) —
+    * the spark.util.sketch serialized form). */
+  def writeBloomSidecar(fs: FileSystem, batchDir: Path,
+                        blooms: Map[String, Map[String, Array[Byte]]]): Unit = {
+    val body = blooms.toSeq.sortBy(_._1).flatMap { case (file, byCol) =>
+      byCol.toSeq.sortBy(_._1).map { case (c, bytes) =>
+        s"$file\t$c\t${Base64.getEncoder.encodeToString(bytes)}"
+      }
+    }.mkString("", "\n", "\n")
+    val out = fs.create(bloomSidecarPath(batchDir), true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  /** Read a batch's bloom sidecar; empty if absent. */
+  def readBloomSidecar(fs: FileSystem, batchDir: Path): Map[String, Map[String, Array[Byte]]] = {
+    val p = bloomSidecarPath(batchDir)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val bytes = try {
+      val b = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      in.readFully(b); b
+    } finally in.close()
+    new String(bytes, StandardCharsets.UTF_8).split("\n")
+      .map(_.trim).filter(_.nonEmpty)
+      .map(_.split("\t", -1)).collect {
+        case Array(file, c, b64) => (file, c, Base64.getDecoder.decode(b64))
+      }
+      .groupBy(_._1)
+      .map { case (f, rows) => f -> rows.map(r => r._2 -> r._3).toMap }
+  }
+
+  /** Can a file with this serialized bloom contain a value with xxhash64
+    * `h`? Conservative: an unreadable bloom keeps the file. */
+  def bloomMayContain(bloom: Array[Byte], h: Long): Boolean =
+    try org.apache.spark.util.sketch.BloomFilter.readFrom(bloom).mightContainLong(h)
+    catch { case scala.util.control.NonFatal(_) => true }
+
   // ---------------------------------------------------------------- pruning
 
   /** Can a file with these stats contain a row with value in [lo, hi]?

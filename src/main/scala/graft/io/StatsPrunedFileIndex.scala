@@ -2,7 +2,7 @@ package graft.io
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, XxHash64}
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex, PartitionDirectory}
 import org.apache.spark.sql.types.{DataType, DateType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -21,12 +21,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * re-applies the full predicate to every row read, so pruning can never
   * change results). Strict bounds are relaxed to inclusive before the
   * stats check — also conservative.
+  *
+  * Equality and IN predicates additionally consult the batch BLOOM
+  * sidecars (when the commit built them): on a high-cardinality
+  * UNCLUSTERED key every file's [min,max] spans the whole domain and
+  * range stats prune nothing, but a per-file bloom answers
+  * "could this file contain id = X?" from one driver-side probe per
+  * file. The pushed literal is hashed with the SAME xxhash64 the build
+  * side aggregated, a missing/unreadable bloom keeps the file, and the
+  * bloom map is loaded lazily — a scan with no equality predicate never
+  * reads a bloom sidecar.
   */
 private[graft] class StatsPrunedFileIndex(
     spark: SparkSession,
     files: Seq[Path],
     sidecars: Map[(String, String), Map[String, FileStats.ColStats]],
-    runtimeKeep: Option[Set[(String, String)]] = None)
+    runtimeKeep: Option[Set[(String, String)]] = None,
+    blooms: () => Map[(String, String), Map[String, Array[Byte]]] = () => Map.empty)
   extends InMemoryFileIndex(spark, files, Map.empty[String, String], None,
     FileStatusCache.getOrCreate(spark)) {
 
@@ -38,6 +49,8 @@ private[graft] class StatsPrunedFileIndex(
     * this table's sidecars (-1 until one ran) — written by the scan that
     * derived its keep-set here; observability only. */
   @volatile var lastRuntimeKept: Int = -1
+
+  private lazy val bloomMap: Map[(String, String), Map[String, Array[Byte]]] = blooms()
 
   /** Columns any sidecar carries stats for — the columns runtime (join-
     * driven) filtering can prune on. */
@@ -59,13 +72,14 @@ private[graft] class StatsPrunedFileIndex(
     * shared by every scan of the table, so runtime filters must NOT mutate
     * it — a self-join's two scans carry different runtime predicates. */
   private[io] def withRuntimeKeep(keep: Set[(String, String)]): StatsPrunedFileIndex =
-    new StatsPrunedFileIndex(spark, files, sidecars, Some(keep))
+    new StatsPrunedFileIndex(spark, files, sidecars, Some(keep), blooms)
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val listed = super.listFiles(partitionFilters, dataFilters)
     val bounds = StatsPrunedFileIndex.extractBounds(dataFilters)
-    if (bounds.isEmpty && runtimeKeep.isEmpty) listed
+    val candidates = StatsPrunedFileIndex.extractEqualityHashes(dataFilters)
+    if (bounds.isEmpty && candidates.isEmpty && runtimeKeep.isEmpty) listed
     else {
       val pruned = listed.map { pd =>
         pd.copy(files = pd.files.filter { f =>
@@ -74,6 +88,14 @@ private[graft] class StatsPrunedFileIndex(
           runtimeKeep.forall(_.contains(key)) &&
           bounds.forall { case (c, (lo, hi)) =>
             FileStats.mayContain(byCol.get(c), lo, hi)
+          } && {
+            lazy val fileBlooms = bloomMap.getOrElse(key, Map.empty)
+            candidates.forall { case (c, hashes) =>
+              fileBlooms.get(c) match {
+                case None => true // no bloom for this file/column: keep
+                case Some(b) => hashes.exists(FileStats.bloomMayContain(b, _))
+              }
+            }
           }
         })
       }
@@ -113,6 +135,42 @@ private[graft] object StatsPrunedFileIndex {
       case _ => // unsupported shape: no bound, no pruning — conservative
     }
     bounds.toMap
+  }
+
+  /** Per-column xxhash64 candidate sets implied by pushed equality / IN
+    * conjuncts — the probe side of the bloom sidecar. The hash is
+    * evaluated on the pushed literal exactly as the build side hashed the
+    * column (same expression, same seed), so dtype agreement is
+    * guaranteed by Catalyst's own cast insertion. Float/double columns
+    * never get blooms built ([[FileStats.bloomSupported]]), so their
+    * equality conjuncts find no bloom and prune nothing. Null literals
+    * contribute no candidate (Catalyst folds `c = NULL` anyway). */
+  def extractEqualityHashes(filters: Seq[Expression]): Map[String, Seq[Long]] = {
+    def hashOf(l: Literal): Option[Long] =
+      if (l.value == null) None
+      else Some(new XxHash64(Seq(l)).eval(null).asInstanceOf[Long])
+    val sets = scala.collection.mutable.Map[String, Seq[Long]]()
+    def add(c: String, hs: Seq[Long]): Unit =
+      // first candidate set wins: extra equality conjuncts on the same
+      // column could only tighten, and one set is enough to prune on
+      if (!sets.contains(c) && hs.nonEmpty) sets(c) = hs
+    filters.foreach {
+      case EqualTo(a: Attribute, l: Literal) => add(a.name, hashOf(l).toSeq)
+      case EqualTo(l: Literal, a: Attribute) => add(a.name, hashOf(l).toSeq)
+      case In(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        val hs = vs.map(v => hashOf(v.asInstanceOf[Literal]))
+        // a null IN-element matches nothing; dropping it is safe
+        add(a.name, hs.flatten)
+      case InSet(a: Attribute, vs) =>
+        // InSet values are already INTERNAL (UTF8String, micros, …): wrap
+        // with the case-class constructor, not Literal.create (which
+        // would re-convert an external value)
+        add(a.name, vs.toSeq.filter(_ != null).map(v =>
+          new XxHash64(Seq(Literal(v, a.dataType))).eval(null)
+            .asInstanceOf[Long]))
+      case _ =>
+    }
+    sets.toMap
   }
 
   /** Catalyst literal -> the bound domain FileStats.coerce understands.

@@ -140,7 +140,8 @@ object Versioned {
     * rename, so a published version always has its stats. */
   def commit(spark: SparkSession, df: DataFrame, root: String,
              replace: Boolean = false, tag: Option[String] = None,
-             statsCols: Seq[String] = Nil): Long = {
+             statsCols: Seq[String] = Nil,
+             bloomCols: Seq[String] = Nil): Long = {
     val mdir = manifestDir(root)
     val f = fs(spark, mdir)
     f.mkdirs(mdir)
@@ -182,6 +183,7 @@ object Versioned {
       FileStats.writeSidecar(f, batchDir,
         FileStats.collect(spark.sparkContext.hadoopConfiguration, newPaths, statsCols))
     }
+    harvestBlooms(spark, batchDir, newPaths, df, bloomCols)
     val newFiles = newPaths.map(p => s"data/b$next/${p.getName}")
     publish(spark, root, next,
       tag.map(t => s"#tag=$t").toSeq ++ Seq(s"#schema=${recorded.json}")
@@ -508,7 +510,8 @@ object Versioned {
       val survivors = readWithSchema(spark, schema, touched)
         .join(srcKeys, keys, "left_anti")
       commitMixed(spark, survivors.unionByName(aligned), root,
-        untouched.map(relativize(spark, root, _)), statsCols = statsCols, tag = tag)
+        untouched.map(relativize(spark, root, _)), statsCols = statsCols, tag = tag,
+        bloomCols = trackedBloomCols(spark, root, files))
     } finally {
       aligned.unpersist(blocking = false)
       ()
@@ -748,7 +751,8 @@ object Versioned {
         case Some(df) =>
           if (touched.isEmpty && df.isEmpty) current
           else commitMixed(spark, df, root,
-            untouched.map(relativize(spark, root, _)), statsCols = statsCols)
+            untouched.map(relativize(spark, root, _)), statsCols = statsCols,
+            bloomCols = trackedBloomCols(spark, root, files))
       }
     } finally {
       pinned.unpersist(blocking = false)
@@ -958,7 +962,8 @@ object Versioned {
         .toSeq.distinct.sorted
         .filter(c => schema.forall(_.fieldNames.contains(c)))
       val rewritten = rewrite(readWithSchema(spark, schema, touched))
-      commitMixed(spark, rewritten, root, carried, statsCols = statsCols)
+      commitMixed(spark, rewritten, root, carried, statsCols = statsCols,
+        bloomCols = trackedBloomCols(spark, root, files))
     }
   }
 
@@ -970,6 +975,67 @@ object Versioned {
     files.map(new Path(_)).groupBy(_.getParent).keys
       .flatMap(dir => FileStats.readSidecar(f, dir).valuesIterator.flatMap(_.keysIterator))
       .toSeq.distinct.sorted
+  }
+
+  /** Union of the bloom columns any batch bloom-sidecar of `files` tracks
+    * — the set a rewrite must re-harvest so point-lookup skipping
+    * survives it. */
+  private def trackedBloomCols(spark: SparkSession, root: String,
+                               files: Seq[String]): Seq[String] = {
+    val f = fs(spark, new Path(root))
+    files.map(new Path(_)).groupBy(_.getParent).keys
+      .flatMap(dir => FileStats.readBloomSidecar(f, dir).valuesIterator.flatMap(_.keysIterator))
+      .toSeq.distinct.sorted
+  }
+
+  /** Build per-file bloom filters over `cols` for the just-written batch
+    * and persist them as the batch's bloom sidecar. Unlike the min/max
+    * sidecar (free from footers), a bloom NEEDS one pass over the data —
+    * but the pass is column-pruned to `cols` against the freshly written
+    * columnar files and runs once per commit, and it buys what min/max
+    * cannot: point-lookup file skipping on a HIGH-CARDINALITY UNCLUSTERED
+    * key, where every file's [min,max] spans the whole domain and range
+    * stats prune nothing. Sized by `spark.graft.bloom.expectedItems`
+    * (default 100k rows/file ≈ 120 KB/file/col at 1% fpp); values are
+    * hashed with xxhash64 — the same hash the probe side evaluates on the
+    * pushed literal. */
+  private def harvestBlooms(spark: SparkSession, batchDir: Path,
+                            newPaths: Seq[Path], df: DataFrame,
+                            cols: Seq[String]): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.functions.input_file_name
+    import org.apache.spark.sql.graftx.Bridge
+    if (cols.isEmpty || newPaths.isEmpty) return
+    val bad = cols.filterNot(df.columns.contains)
+    require(bad.isEmpty, s"bloomCols not in the committed schema: ${bad.mkString(", ")}")
+    val unsupported = cols.filterNot(c => FileStats.bloomSupported(df.schema(c).dataType))
+    require(unsupported.isEmpty,
+      s"bloomCols with unsupported types (float/double excluded by design): " +
+        unsupported.mkString(", "))
+    val n = spark.conf.get("spark.graft.bloom.expectedItems", "100000").toLong
+    // optimal bits for 1% fpp: -n ln(p) / ln(2)^2
+    val numBits = math.max(64L,
+      (-n * math.log(0.01) / (math.log(2) * math.log(2))).toLong)
+    val batch = spark.read.schema(org.apache.spark.sql.types.StructType(
+        df.schema.filter(f => cols.contains(f.name))))
+      .parquet(batchDir.toString)
+      .withColumn("__file", input_file_name())
+    val aggs = cols.map { c =>
+      Bridge.column(new BloomFilterAggregate(
+        new XxHash64(Seq(Bridge.expression(org.apache.spark.sql.functions.col(c)))),
+        Literal(n), Literal(numBits)).toAggregateExpression()).as(s"__bloom_$c")
+    }
+    val rows = batch.groupBy(org.apache.spark.sql.functions.col("__file"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val f = batchDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val blooms = rows.map { r =>
+      val file = new Path(java.net.URI.create(r.getString(0))).getName
+      file -> cols.zipWithIndex.flatMap { case (c, i) =>
+        Option(r.get(i + 1)).map(b => c -> b.asInstanceOf[Array[Byte]])
+      }.toMap
+    }.toMap
+    FileStats.writeBloomSidecar(f, batchDir, blooms)
   }
 
   /** Fully qualified form of `s`: scheme + authority from its filesystem,
@@ -1029,7 +1095,8 @@ object Versioned {
   private def commitMixed(spark: SparkSession, df: DataFrame, root: String,
                           carriedRel: Seq[String],
                           statsCols: Seq[String],
-                          tag: Option[String] = None): Long = {
+                          tag: Option[String] = None,
+                          bloomCols: Seq[String] = Nil): Long = {
     val mdir = manifestDir(root)
     val f = fs(spark, mdir)
     val prev = versions(spark, root)
@@ -1046,6 +1113,12 @@ object Versioned {
       FileStats.writeSidecar(f, batchDir,
         FileStats.collect(spark.sparkContext.hadoopConfiguration, newPaths, usable))
     }
+    // rewrites re-harvest only the bloom columns still present and
+    // supported — conservative (a dropped column loses its bloom, never
+    // fails the rewrite)
+    harvestBlooms(spark, batchDir, newPaths, df,
+      bloomCols.filter(c => df.columns.contains(c) &&
+        FileStats.bloomSupported(df.schema(c).dataType)))
     val newFiles = newPaths.map(p => s"data/b$next/${p.getName}")
     publish(spark, root, next,
       tag.map(t => s"#tag=$t").toSeq ++ Seq(s"#schema=${recorded.json}")

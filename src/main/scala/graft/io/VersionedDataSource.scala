@@ -65,6 +65,18 @@ object VersionedDataSource {
       FileStats.readSidecar(fs, dir).map { case (name, st) => (dir.getName, name) -> st }
     }
   }
+
+  /** Load every batch BLOOM sidecar referenced by `files`, keyed like
+    * [[sidecarsFor]]: (batchDirName, fileName) -> col -> serialized bloom.
+    * Only consulted for equality/IN predicates on bloom-tracked columns. */
+  private[io] def bloomsFor(spark: SparkSession,
+                            files: Seq[String]): Map[(String, String), Map[String, Array[Byte]]] = {
+    import org.apache.hadoop.fs.Path
+    files.map(new Path(_)).groupBy(_.getParent).flatMap { case (dir, _) =>
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      FileStats.readBloomSidecar(fs, dir).map { case (name, b) => (dir.getName, name) -> b }
+    }
+  }
 }
 
 class VersionedDataSource extends TableProvider with DataSourceRegister {
@@ -197,12 +209,14 @@ private[graft] class VersionedReadTable(inner: ParquetTable,
     ()
   }
 
-  // built once per table: the snapshot's files + their sidecar stats
+  // built once per table: the snapshot's files + their sidecar stats +
+  // (lazily read) bloom sidecars for point-lookup skipping
   private[graft] lazy val prunedIndex: StatsPrunedFileIndex = {
     val spark = inner.sparkSession
     val files = inner.paths.map(new org.apache.hadoop.fs.Path(_))
     new StatsPrunedFileIndex(spark, files,
-      VersionedDataSource.sidecarsFor(spark, inner.paths))
+      VersionedDataSource.sidecarsFor(spark, inner.paths),
+      blooms = () => VersionedDataSource.bloomsFor(spark, inner.paths))
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {

@@ -130,12 +130,38 @@ object LayoutQueries {
       |WHERE grp = 2
       |GROUP BY 1""".stripMargin
 
+  /** Bloom-sidecar point lookup: orders hash-spread across 8 files (every
+    * file's o_orderkey [min,max] spans ~the whole domain, so range stats
+    * prune NOTHING — the unclustered high-cardinality key shape), committed
+    * with bloomCols; an IN point-lookup then opens only the files whose
+    * bloom can contain a candidate (file-count asserted in BloomPruneSpec;
+    * the oracle pins the rows). */
+  def bloomScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.io.Versioned
+    val root = QueryScratch.freshRoot("graft_bloom_src", sfDir)
+    Versioned.commit(spark,
+      Tables.orders(spark, sfDir).repartition(8, col("o_orderkey")),
+      root, statsCols = Seq("o_orderkey"), bloomCols = Seq("o_orderkey"))
+    spark.read.format("graft-versioned").load(root)
+      .filter(col("o_orderkey").isin(1L, 2L, 3L, 5L, 7L))
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast(D)).cast("double").as("sum_price"))
+  }
+
+  val bloomScanOracle: String =
+    """SELECT o_orderstatus AS status, COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+      |FROM orders WHERE o_orderkey IN (1, 2, 3, 5, 7)
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bucketed_join" -> (bucketedJoin _),
     "pruned_scan" -> (prunedScan _),
     "zorder_scan" -> (zorderScan _),
     "zorder_scan3" -> (zorderScan3 _),
     "dpp_join" -> (dppJoin _),
+    "bloom_scan" -> (bloomScan _),
   )
 
   /** 3-dimensional Z-order layout: lineitem clustered on the Morton curve
@@ -162,5 +188,6 @@ object LayoutQueries {
     "zorder_scan" -> zorderScanOracle,
     "zorder_scan3" -> zorderScan3Oracle,
     "dpp_join" -> dppJoinOracle,
+    "bloom_scan" -> bloomScanOracle,
   )
 }
