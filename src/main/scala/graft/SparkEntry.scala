@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoverageQueries, EventQueries, FederationQueries, LayoutQueries, LlmQueries, MediaQueries, RefQueries, RelationalQueries, VersionedQueries}
+import graft.queries.{CoverageQueries, EventQueries, FederationQueries, LayoutQueries, LlmQueries, MediaQueries, RefQueries, RelationalQueries, TextCleanupQueries, VersionedQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,7 +23,7 @@ object SparkEntry {
   ) ++ RelationalQueries.queries ++ LlmQueries.queries ++
     EventQueries.queries ++ MediaQueries.queries ++ CoverageQueries.queries ++
     VersionedQueries.queries ++ LayoutQueries.queries ++
-    FederationQueries.queries
+    FederationQueries.queries ++ TextCleanupQueries.queries
 
   def oracleSql: Map[String, String] = Map(
     "weekly_sales" -> RefQueries.weeklySalesOracle,
@@ -32,5 +32,5 @@ object SparkEntry {
   ) ++ RelationalQueries.oracles ++ LlmQueries.oracles ++
     EventQueries.oracles ++ MediaQueries.oracles ++ CoverageQueries.oracles ++
     VersionedQueries.oracles ++ LayoutQueries.oracles ++
-    FederationQueries.oracles
+    FederationQueries.oracles ++ TextCleanupQueries.oracles
 }

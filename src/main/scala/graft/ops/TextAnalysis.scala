@@ -118,4 +118,64 @@ object TextAnalysis {
   /** Count of URL-shaped substrings. */
   def urlCount(text: Column): Column =
     size(regexp_extract_all(text, lit("https?://[^\\s]+"), lit(0)))
+
+  /** Full HTML-to-text: script/style blocks go first (their CONTENT is
+    * not prose), then every tag, then the common entities, then
+    * whitespace collapse + trim. RE2-safe — `(?is)` inline flags and
+    * non-greedy spans only, no lookaround/backrefs — so DuckDB's RE2
+    * `regexp_replace(..., 'g')` computes character-identical output.
+    * `&amp;` decodes LAST (decoding it first would double-decode
+    * `&amp;lt;` into `<`). */
+  def htmlToText(text: Column): Column = {
+    val noScript = regexp_replace(text, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&"
+    ).foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** The common UTF-8-decoded-as-Latin-1 mojibake pairs, longest first
+    * (`â€™` must not be half-eaten by a shorter rule). Literal
+    * `replace`, no regex — identical in any engine. */
+  val mojibakePairs: Seq[(String, String)] = Seq(
+    "â€™" -> "'", "â€œ" -> "\"", "â€“" -> "-",
+    "Ã©" -> "é", "Ã¨" -> "è", "Ã¤" -> "ä", "Ã¶" -> "ö", "Ã¼" -> "ü",
+    "Ã±" -> "ñ", "Ã§" -> "ç", "Â " -> " ")
+
+  /** Repair the classic double-encoding artifacts (UTF-8 bytes read back
+    * as Latin-1): a deterministic literal-replace chain. */
+  def fixMojibake(text: Column): Column =
+    mojibakePairs.foldLeft(text) { case (c, (from, to)) =>
+      replace(c, lit(from), lit(to))
+    }
+
+  /** C4/RefinedWeb-style corpus-frequency boilerplate removal: a LINE
+    * that appears (trimmed) in more than `maxDocFrac` of all documents is
+    * boilerplate ("subscribe to our newsletter", cookie banners) and is
+    * dropped from every document; surviving lines reassemble in their
+    * original order. Distributed shape: one explode, one line-key
+    * aggregate (countDistinct doc), one anti-join back, one grouped
+    * reassembly via sort_array over (idx, line) structs — no window, no
+    * driver-side text. The doc count is the only driver scalar. */
+  def removeBoilerplateLines(docs: org.apache.spark.sql.DataFrame,
+                             idCol: String, textCol: String,
+                             maxDocFrac: Double): org.apache.spark.sql.DataFrame = {
+    require(maxDocFrac > 0 && maxDocFrac < 1, s"maxDocFrac in (0,1), got $maxDocFrac")
+    val total = docs.count()
+    val lines = docs.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("idx", "line")))
+    val boiler = lines.groupBy(trim(col("line")).as("key"))
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") > lit(total * maxDocFrac))
+      .select(col("key"))
+    val kept = lines.join(boiler, trim(lines("line")) === boiler("key"), "left_anti")
+    kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_lines"),
+      array_join(transform(
+        sort_array(collect_list(struct(col("idx"), col("line")))),
+        x => x.getField("line")), "\n").as(textCol))
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextFunctions._
-import graft.ops.Dedup
+import graft.ops.{Dedup, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 class TextFunctionsSpec extends SparkSpecBase {
@@ -89,5 +89,42 @@ class TextFunctionsSpec extends SparkSpecBase {
     assert(one(Dedup.jaccard(typedLit(Array("a", "b")), typedLit(Array("a", "b")))) == 1.0)
     assert(one(Dedup.jaccard(typedLit(Array("a")), typedLit(Array("b")))) == 0.0)
     assert(one(Dedup.estJaccard(typedLit(Array(1L, 2L)), typedLit(Array(1L, 3L)), 2)) == 0.5)
+  }
+
+  test("htmlToText drops script/style content, tags, and decodes entities in order") {
+    def strip(s: String): String =
+      spark.range(1).select(TextAnalysis.htmlToText(lit(s))).head.getString(0)
+    assert(strip("<p>hello <b>world</b></p>") == "hello world")
+    // script/style CONTENT goes, including tags inside strings
+    assert(strip("a<script>var x = \"<p>no</p>\";</script>b") == "a b")
+    assert(strip("a<STYLE>p { }</STYLE>b") == "a b") // case-insensitive
+    // entity order: &amp;lt; must become the literal text "&lt;", not "<"
+    assert(strip("x &amp;lt; y") == "x &lt; y")
+    assert(strip("3 &lt; 4 &amp;&amp; 5 &gt; 2") == "3 < 4 && 5 > 2")
+    assert(strip("a&nbsp;&quot;b&quot;&#39;c&#39;") == "a \"b\"'c'")
+    // whitespace collapse + trim
+    assert(strip("  <div>\n a \t b </div> ") == "a b")
+  }
+
+  test("fixMojibake repairs the classic double-encoding pairs") {
+    def fix(s: String): String =
+      spark.range(1).select(TextAnalysis.fixMojibake(lit(s))).head.getString(0)
+    assert(fix("CafÃ© â€œquotedâ€“x") == "Café \"quoted-x")
+    assert(fix("Ã¼ber seÃ±or Ã§a") == "über señor ça")
+    assert(fix("plain ascii") == "plain ascii") // untouched
+  }
+
+  test("removeBoilerplateLines drops corpus-frequent lines, keeps order") {
+    import spark.implicits._
+    val docs = (0 until 20).map { i =>
+      (i.toLong, s"prose $i\nsubscribe now\nunique tail $i")
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.removeBoilerplateLines(docs, "doc_id", "text", 0.5)
+      .orderBy("doc_id").as[(Long, Long, String)].collect()
+    assert(out.length == 20)
+    out.foreach { case (id, n, text) =>
+      assert(n == 2)
+      assert(text == s"prose $id\nunique tail $id") // order preserved, boilerplate gone
+    }
   }
 }
