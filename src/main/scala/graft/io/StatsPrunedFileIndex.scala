@@ -59,14 +59,33 @@ private[graft] class StatsPrunedFileIndex(
 
   /** Files (as (batchDirName, fileName) keys) that could contain at least
     * one value of every per-column candidate set (conservative: missing
-    * stats keep the file). */
-  private[io] def runtimeSurvivors(sets: Seq[(String, Seq[Any])]): Set[(String, String)] =
+    * stats keep the file). Bloom sidecars are consulted too: a runtime
+    * (join-driven) candidate set over an UNCLUSTERED key — where every
+    * file's [min,max] spans the domain — still prunes to the files whose
+    * bloom can contain one of the build side's keys. A column set where
+    * ANY value fails to hash keeps every file for that column
+    * (pruning on the hashable subset alone could drop a file holding
+    * only the unhashable value). */
+  private[io] def runtimeSurvivors(sets: Seq[(String, Seq[Any])]): Set[(String, String)] = {
+    val hashSets: Map[String, Seq[Long]] = sets.flatMap { case (c, vs) =>
+      val hs = vs.map(StatsPrunedFileIndex.externalHash)
+      if (vs.nonEmpty && hs.forall(_.isDefined)) Some(c -> hs.flatten) else None
+    }.toMap
     files.iterator.map(p => (p.getParent.getName, p.getName)).filter { key =>
       val byCol = sidecars.getOrElse(key, Map.empty)
       sets.forall { case (c, vs) =>
         vs.exists(v => FileStats.mayContain(byCol.get(c), Some(v), Some(v)))
+      } && {
+        lazy val fileBlooms = bloomMap.getOrElse(key, Map.empty)
+        hashSets.forall { case (c, hs) =>
+          fileBlooms.get(c) match {
+            case None => true
+            case Some(b) => hs.exists(FileStats.bloomMayContain(b, _))
+          }
+        }
       }
     }.toSet
+  }
 
   /** A derived index with a runtime keep-set baked in. The parent index is
     * shared by every scan of the table, so runtime filters must NOT mutate
@@ -146,9 +165,18 @@ private[graft] object StatsPrunedFileIndex {
     * equality conjuncts find no bloom and prune nothing. Null literals
     * contribute no candidate (Catalyst folds `c = NULL` anyway). */
   def extractEqualityHashes(filters: Seq[Expression]): Map[String, Seq[Long]] = {
+    // integral literals hash AS LONG — mirroring the build side, so a
+    // type-widening evolution (int -> long) cannot flip old blooms into
+    // false negatives (a false-negative bloom WRONGLY PRUNES)
+    def widened(l: Literal): Literal = l.dataType match {
+      case org.apache.spark.sql.types.ByteType => Literal(l.value.asInstanceOf[Byte].toLong)
+      case org.apache.spark.sql.types.ShortType => Literal(l.value.asInstanceOf[Short].toLong)
+      case org.apache.spark.sql.types.IntegerType => Literal(l.value.asInstanceOf[Int].toLong)
+      case _ => l
+    }
     def hashOf(l: Literal): Option[Long] =
       if (l.value == null) None
-      else Some(new XxHash64(Seq(l)).eval(null).asInstanceOf[Long])
+      else Some(new XxHash64(Seq(widened(l))).eval(null).asInstanceOf[Long])
     val sets = scala.collection.mutable.Map[String, Seq[Long]]()
     def add(c: String, hs: Seq[Long]): Unit =
       // first candidate set wins: extra equality conjuncts on the same
@@ -166,11 +194,36 @@ private[graft] object StatsPrunedFileIndex {
         // with the case-class constructor, not Literal.create (which
         // would re-convert an external value)
         add(a.name, vs.toSeq.filter(_ != null).map(v =>
-          new XxHash64(Seq(Literal(v, a.dataType))).eval(null)
-            .asInstanceOf[Long]))
+          hashOf(Literal(v, a.dataType))).flatten)
       case _ =>
     }
     sets.toMap
+  }
+
+  /** xxhash64 of an EXTERNAL (sources.Filter) runtime-filter value under
+    * the bloom build-side's hashing scheme: integrals widened to long,
+    * strings/date/timestamp converted to their internal encodings. None
+    * for anything else — the caller must then keep every file. */
+  private[io] def externalHash(v: Any): Option[Long] = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val lit: Option[Literal] = v match {
+      case null => None
+      case n: java.lang.Byte => Some(Literal(n.longValue))
+      case n: java.lang.Short => Some(Literal(n.longValue))
+      case n: java.lang.Integer => Some(Literal(n.longValue))
+      case n: java.lang.Long => Some(Literal(n.longValue))
+      case s: String => Some(Literal(UTF8String.fromString(s), StringType))
+      case d: java.sql.Date => Some(Literal(d.toLocalDate.toEpochDay.toInt, DateType))
+      case d: java.time.LocalDate => Some(Literal(d.toEpochDay.toInt, DateType))
+      case t: java.sql.Timestamp =>
+        val i = t.toInstant
+        Some(Literal(i.getEpochSecond * 1000000L + i.getNano / 1000L, TimestampType))
+      case i: java.time.Instant =>
+        Some(Literal(i.getEpochSecond * 1000000L + i.getNano / 1000L, TimestampType))
+      case _ => None
+    }
+    lit.map(l => new XxHash64(Seq(l)).eval(null).asInstanceOf[Long])
   }
 
   /** Catalyst literal -> the bound domain FileStats.coerce understands.

@@ -102,24 +102,56 @@ object Versioned {
   private def asNullable(s: StructType): StructType =
     StructType(s.fields.map(_.copy(nullable = true)))
 
-  /** Additive schema evolution for append commits: existing columns keep
-    * their order and must keep their exact type (a changed type would make
-    * old and new files disagree about the same column — rejected loudly);
-    * new columns append after them (old files read them as null); a batch
-    * missing an old column is allowed (ITS rows read as null). A replace
-    * commit rewrites every file, so it may change schema freely. */
+  /** Value-preserving type widenings the parquet VECTORIZED reader can
+    * serve directly (probed on this Spark: INT32 files read as
+    * long/double, FLOAT as double, DECIMAL re-scaled) — the lattice
+    * Delta's type widening uses. byte/short/int may widen to any larger
+    * integral or to double (every value exactly representable); long may
+    * NOT widen to double (values past 2^53 would silently round); a
+    * decimal may grow precision/scale as long as both the integer digits
+    * (p-s) and the fraction digits (s) never shrink. */
+  private def widens(from: org.apache.spark.sql.types.DataType,
+                     to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+      case (ShortType, IntegerType | LongType | DoubleType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case (a: DecimalType, b: DecimalType) =>
+        b.precision - b.scale >= a.precision - a.scale && b.scale >= a.scale
+      case _ => false
+    }
+  }
+
+  /** Schema evolution for append commits: existing columns keep their
+    * order; a same-named column must keep its exact type OR move along
+    * the [[widens]] lattice — in EITHER direction batch-vs-table (an int
+    * batch appended to a long column reads widened; a long batch widens
+    * the table's int column, old files read widened) — the recorded type
+    * is the wider of the two. Anything off the lattice is rejected
+    * loudly (old and new files would disagree about the same column).
+    * New columns append after the existing ones (old files read them as
+    * null); a batch missing an old column is allowed (ITS rows read as
+    * null). A replace commit rewrites every file, so it may change
+    * schema freely. */
   private def mergeSchemas(prev: StructType, next: StructType): StructType = {
     val nextByName = next.fields.map(f => f.name -> f).toMap
     val prevNames = prev.fieldNames.toSet
-    prev.fields.foreach { pf =>
-      nextByName.get(pf.name).foreach { nf =>
-        require(nf.dataType == pf.dataType,
+    val widened = prev.fields.map { pf =>
+      nextByName.get(pf.name) match {
+        case None => pf
+        case Some(nf) if nf.dataType == pf.dataType => pf
+        case Some(nf) if widens(pf.dataType, nf.dataType) => pf.copy(dataType = nf.dataType)
+        case Some(nf) if widens(nf.dataType, pf.dataType) => pf
+        case Some(nf) => throw new IllegalArgumentException(
           s"column ${pf.name} changes type ${pf.dataType.simpleString} -> " +
-            s"${nf.dataType.simpleString}; append commits may only ADD columns " +
+            s"${nf.dataType.simpleString}, which is not a value-preserving " +
+            "widening; append commits may only ADD columns or WIDEN types " +
             "(use replace = true to rewrite the table with a new type)")
       }
     }
-    StructType(prev.fields ++ next.fields.filterNot(f => prevNames(f.name)))
+    StructType(widened ++ next.fields.filterNot(f => prevNames(f.name)))
   }
 
   private def readWithSchema(spark: SparkSession, schema: Option[StructType],
@@ -1022,8 +1054,20 @@ object Versioned {
       .parquet(batchDir.toString)
       .withColumn("__file", input_file_name())
     val aggs = cols.map { c =>
+      // integral columns hash their value AS LONG (both here and on the
+      // probe side): xxhash64(int) != xxhash64(long) for the same value,
+      // so without the normalization a type-widening evolution
+      // (int -> long) would flip every old bloom into false negatives —
+      // and a false-negative bloom WRONGLY PRUNES files that match
+      val base = org.apache.spark.sql.functions.col(c)
+      val hashed = df.schema(c).dataType match {
+        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+          base.cast(org.apache.spark.sql.types.LongType)
+        case _ => base
+      }
       Bridge.column(new BloomFilterAggregate(
-        new XxHash64(Seq(Bridge.expression(org.apache.spark.sql.functions.col(c)))),
+        new XxHash64(Seq(Bridge.expression(hashed))),
         Literal(n), Literal(numBits)).toAggregateExpression()).as(s"__bloom_$c")
     }
     val rows = batch.groupBy(org.apache.spark.sql.functions.col("__file"))

@@ -367,6 +367,50 @@ object VersionedQueries {
       |       CAST(SUM(CAST(tp AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
       |FROM final GROUP BY 1, 2""".stripMargin
 
+  /** Type-widening schema evolution end-to-end: the first commit writes
+    * o_orderkey as INT and o_totalprice as FLOAT, later appends use
+    * BIGINT/DOUBLE — the recorded schema widens, the old INT32/FLOAT
+    * files are served widened by the vectorized reader (no rewrite), and
+    * the aggregate over the mixed-physical table matches a plain UNION
+    * restatement. Int->long/float->double are exact, so the compare is
+    * bit-faithful. */
+  def schemaWiden(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = QueryScratch.freshRoot("graft_widen_src", sfDir)
+    val orders = Tables.orders(spark, sfDir)
+    val narrow = orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .select(col("o_orderkey").cast("int").as("o_orderkey"),
+        col("o_orderstatus"),
+        col("o_totalprice").cast("float").as("o_totalprice"))
+    val wide = orders.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    Versioned.commit(spark, narrow, root)
+    Versioned.commit(spark, wide, root)
+    spark.read.format("graft-versioned").load(root)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_orderkey")).as("sum_key"),
+        // min/max, not sum: a float-widened double is bit-exact per ROW
+        // in both engines, but any accumulation + decimal->double
+        // conversion exposes last-ulp rounding differences — extrema
+        // compare bit-faithfully with no accumulation at all
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+  }
+
+  val schemaWidenOracle: String =
+    """WITH u AS (
+      |  SELECT o_orderstatus, o_orderkey,
+      |         CAST(CAST(o_totalprice AS FLOAT) AS DOUBLE) AS p
+      |  FROM orders WHERE o_orderkey % 2 = 0
+      |  UNION ALL
+      |  SELECT o_orderstatus, o_orderkey, o_totalprice FROM orders
+      |  WHERE o_orderkey % 2 = 1
+      |)
+      |SELECT o_orderstatus AS status, COUNT(*) AS cnt,
+      |       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+      |       MIN(p) AS min_price, MAX(p) AS max_price
+      |FROM u GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "versioned_snapshot" -> (versionedSnapshot _),
     "versioned_time_travel" -> (versionedTimeTravel _),
@@ -377,6 +421,7 @@ object VersionedQueries {
     "versioned_sql_update" -> (versionedSqlUpdate _),
     "versioned_sql_merge" -> (versionedSqlMerge _),
     "versioned_sql_merge_cond" -> (versionedSqlMergeCond _),
+    "schema_widen" -> (schemaWiden _),
     "versioned_call" -> (versionedCall _),
     "versioned_clone" -> (versionedClone _),
     "versioned_retention" -> (versionedRetention _),
@@ -392,6 +437,7 @@ object VersionedQueries {
     "versioned_sql_update" -> versionedSqlUpdateOracle,
     "versioned_sql_merge" -> versionedSqlMergeOracle,
     "versioned_sql_merge_cond" -> versionedSqlMergeCondOracle,
+    "schema_widen" -> schemaWidenOracle,
     "versioned_call" -> versionedCallOracle,
     "versioned_clone" -> versionedCloneOracle,
     "versioned_retention" -> versionedRetentionOracle,

@@ -116,6 +116,30 @@ class BloomPruneSpec extends SparkSpecBase {
       .filter($"id" === 46L).count() == 0)
   }
 
+  test("join-driven runtime filter prunes by bloom where min/max cannot") {
+    val root = interleavedTable(bloom = true)
+    // file-backed dim: a local Seq would constant-fold the filter away and
+    // leave the runtime filter nothing to latch onto
+    val dimPath = tmpRoot()
+    Seq((41L, "hot"), (42L, "hot"), (399L, "cold"))
+      .toDF("k", "grp").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val fact = spark.read.format("graft-versioned").load(root)
+    val joined = fact.join(broadcast(dim.filter($"grp" === "hot")),
+      fact("id") === dim("k"))
+    assert(joined.select("id").as[Long].collect().sorted.toSeq == Seq(41L, 42L))
+    // every file's [min,max] contains both keys (interleaved layout), so
+    // range stats keep all 4 — the blooms cut to the 2 files that hold
+    // the build side's keys
+    val kept = joined.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table
+    }.collectFirst {
+      case t: graft.io.VersionedReadTable => t.prunedIndex.lastRuntimeKept
+    }.get
+    assert(kept == 2, s"bloom-DPP should keep 2 of 4 files, kept $kept")
+  }
+
   test("bloom probe hashes match the build side for every supported type") {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     val root = tmpRoot()
@@ -133,7 +157,8 @@ class BloomPruneSpec extends SparkSpecBase {
       new org.apache.hadoop.fs.Path(root, "data/b1")).values.head
     def h(l: Literal): Long = new XxHash64(Seq(l)).eval(null).asInstanceOf[Long]
     assert(FileStats.bloomMayContain(blooms("l"), h(Literal(1L))))
-    assert(FileStats.bloomMayContain(blooms("i"), h(Literal(7))))
+    // integral columns hash AS LONG on both sides (widening-stable)
+    assert(FileStats.bloomMayContain(blooms("i"), h(Literal(7L))))
     assert(FileStats.bloomMayContain(blooms("s"), h(Literal("alpha"))))
     assert(FileStats.bloomMayContain(blooms("d"),
       h(Literal(java.time.LocalDate.of(2024, 3, 1).toEpochDay.toInt,
