@@ -453,9 +453,20 @@ object Versioned {
     * uncommitted batch, so newest-tag is the right check). Time travel
     * still shows the pre-merge rows; stats sidecars are re-harvested on the
     * rewritten batch so file skipping survives. Returns the new version
-    * (or the current one for a replayed tag / empty source). */
+    * (or the current one for a replayed tag / empty source).
+    *
+    * `schemaEvolution = true` lets the source EVOLVE the table mid-merge
+    * the way an append commit would ([[mergeSchemas]]): extra source
+    * columns are added (matched rows get their values, carried files
+    * read them as null) and types may widen along the value-preserving
+    * lattice in either direction; a narrower source column upcasts to
+    * the table's wider type. The source must still supply every OLD
+    * table column — a matched row is replaced whole. Off by default:
+    * without the flag, a drifted source schema stays a loud error, not
+    * a silent table mutation. */
   def mergeInto(spark: SparkSession, root: String, source: DataFrame,
-                keys: Seq[String], tag: Option[String] = None): Long = {
+                keys: Seq[String], tag: Option[String] = None,
+                schemaEvolution: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit}
     require(keys.nonEmpty, "mergeInto needs at least one key column")
     val missingKeys = keys.filterNot(source.columns.contains)
@@ -475,28 +486,43 @@ object Versioned {
         "MERGE would update the same target row twice")
     if (vs.isEmpty) return commit(spark, source, root, tag = tag)
     val current = vs.last
-    val schema = snapshotSchema(spark, root, Some(current))
+    val tableSchema = snapshotSchema(spark, root, Some(current))
     val files = snapshotFiles(spark, root, Some(current))
+    // with evolution the WHOLE merge runs under the evolved schema: the
+    // probe and survivors read old files widened/null-extended, and the
+    // commit records the evolved shape
+    val schema: Option[StructType] =
+      if (!schemaEvolution) tableSchema
+      else Some(mergeSchemas(
+        tableSchema.getOrElse(readWithSchema(spark, None, files).schema),
+        asNullable(source.schema)))
     val snapshot = readWithSchema(spark, schema, files)
     val cols = snapshot.columns.toSeq
     val extra = source.columns.filterNot(cols.contains)
     require(extra.isEmpty,
       s"source has column(s) absent from the table: ${extra.mkString(", ")} " +
-        "(evolve the schema with an append commit first)")
-    val absent = cols.filterNot(source.columns.contains)
+        "(evolve the schema with an append commit first, or pass " +
+        "schemaEvolution = true)")
+    val oldCols = tableSchema.map(_.fieldNames.toSeq).getOrElse(cols)
+    val absent = oldCols.filterNot(source.columns.contains)
     require(absent.isEmpty,
       s"source is missing table column(s): ${absent.mkString(", ")} " +
         "(a matched row is replaced WHOLE — every column must be supplied)")
     cols.foreach { c =>
-      require(source.schema(c).dataType == snapshot.schema(c).dataType,
-        s"column $c type mismatch: table ${snapshot.schema(c).dataType.simpleString} " +
-          s"vs source ${source.schema(c).dataType.simpleString}")
+      if (source.columns.contains(c)) {
+        val (st, tt) = (source.schema(c).dataType, snapshot.schema(c).dataType)
+        require(st == tt || (schemaEvolution && widens(st, tt)),
+          s"column $c type mismatch: table ${tt.simpleString} " +
+            s"vs source ${st.simpleString}")
+      }
     }
     // pin the source: the probe, emptiness check, and final write must all
     // see ONE evaluation — an expensive or non-deterministic upstream
     // re-executed per job could otherwise write keys the probe never saw
     // (leaving their old target rows un-rewritten)
-    val aligned = source.select(cols.map(col): _*)
+    val aligned = source.select(cols.map(c =>
+        if (source.columns.contains(c)) col(c).cast(snapshot.schema(c).dataType).as(c)
+        else lit(null).cast(snapshot.schema(c).dataType).as(c)): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val srcKeys = aligned.select(keys.map(col): _*).distinct()

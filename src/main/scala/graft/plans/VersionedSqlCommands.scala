@@ -43,14 +43,17 @@ import org.apache.spark.sql.graftx.Bridge
   * insert-only shapes, multiple clauses per family (first-match-wins), and
   * `WHEN NOT MATCHED BY SOURCE` UPDATE/DELETE — rewrites onto
   * [[Versioned.mergeIntoConditional]] with conditions re-resolved against
-  * the library's `__t`/`__s` join aliases. Conservatism mirrors the SQL
+  * the library's `__t`/`__s` join aliases. `MERGE WITH SCHEMA EVOLUTION`
+  * works on the upsert shape: the source's extra columns evolve the table
+  * exactly as an append commit would (new columns added, types widened
+  * along the value-preserving lattice). Conservatism mirrors the SQL
   * DELETE path ([[graft.io.VersionedReadTable]]) for what remains: a shape
   * the library semantics cannot express — subqueries in conditions,
   * non-star UPDATE SET * / INSERT * mappings (whole-row replacement is the
-  * contract), WITH SCHEMA EVOLUTION — is refused at analysis with a
-  * message naming the unsupported piece, never approximated. Time-travel
-  * and CDC reads have no live root and are left for Spark's own
-  * table-does-not-support error.
+  * contract), WITH SCHEMA EVOLUTION outside the upsert shape — is refused
+  * at analysis with a message naming the unsupported piece, never
+  * approximated. Time-travel and CDC reads have no live root and are left
+  * for Spark's own table-does-not-support error.
   */
 object VersionedRowLevelSqlStrategy extends org.apache.spark.sql.execution.SparkStrategy {
 
@@ -175,7 +178,6 @@ object VersionedRowLevelSqlStrategy extends org.apache.spark.sql.execution.Spark
       liveVersioned(m.targetTable) match {
         case None => Nil
         case Some((root, targetAttrs)) =>
-          if (m.withSchemaEvolution) unsupported("WITH SCHEMA EVOLUTION")
           val targetSet = AttributeSet(targetAttrs)
           val sourceAttrs = m.sourceTable.outputSet
           // distinct: a redundant repeated equality in ON is valid SQL and
@@ -202,12 +204,25 @@ object VersionedRowLevelSqlStrategy extends org.apache.spark.sql.execution.Spark
               targetAttrs, sourceAttrs)
             // capture the verified mapping as a resolved projection of the
             // source plan: target column names/types, source values (the
-            // analyzer's own casts included)
+            // analyzer's own casts included). WITH SCHEMA EVOLUTION: the
+            // analyzer expands the star over the EXISTING target columns
+            // only and passes the flag through — the source's extra
+            // columns ride along into the library merge, which evolves
+            // the table exactly as an append commit would.
+            val consumed = AttributeSet(values.map(stripCast).collect {
+              case a: AttributeReference => a
+            })
+            val extras =
+              if (!m.withSchemaEvolution) Seq.empty
+              else m.sourceTable.output.filterNot(consumed.contains)
             val projected = Project(
-              targetAttrs.zip(values).map { case (t, v) => Alias(v, t.name)() },
+              targetAttrs.zip(values).map { case (t, v) => Alias(v, t.name)() } ++ extras,
               m.sourceTable)
-            ExecutedCommandExec(MergeVersionedTableCommand(root, projected, keys)) :: Nil
+            ExecutedCommandExec(MergeVersionedTableCommand(root, projected, keys,
+              schemaEvolution = m.withSchemaEvolution)) :: Nil
           } else {
+            if (m.withSchemaEvolution)
+              unsupported("WITH SCHEMA EVOLUTION outside the plain upsert shape")
             // ---- the general clause family -> mergeIntoConditional.
             // Conditions re-resolve against a __t/__s-aliased join frame;
             // whole-row actions must still be the star shape (the library
@@ -316,10 +331,12 @@ case class UpdateVersionedTableCommand(root: String,
   * `source` is the analyzed source plan already projected to the target's
   * columns by the rewrite rule. */
 case class MergeVersionedTableCommand(root: String, source: LogicalPlan,
-                                      keys: Seq[String])
+                                      keys: Seq[String],
+                                      schemaEvolution: Boolean = false)
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    Versioned.mergeInto(spark, root, Bridge.ofRows(spark, source), keys)
+    Versioned.mergeInto(spark, root, Bridge.ofRows(spark, source), keys,
+      schemaEvolution = schemaEvolution)
     Seq.empty
   }
 }

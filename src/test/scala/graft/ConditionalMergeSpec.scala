@@ -185,6 +185,37 @@ class ConditionalMergeSpec extends SparkSpecBase {
     assert(now == Set((1L, 15.0), (2L, 20.0), (3L, 35.0)))
   }
 
+  test("mergeInto schemaEvolution adds source columns and widens types") {
+    val root = tmpRoot()
+    Versioned.commit(spark, Seq((1, "a"), (2, "b")).toDF("id", "k")
+      .selectExpr("CAST(id AS INT) AS id", "k").coalesce(1), root)
+    // source: wider key (long) + a brand-new column
+    val source = Seq((2L, "B", 0.5), (3L, "C", 0.7)).toDF("id", "k", "score")
+    val e = intercept[IllegalArgumentException] {
+      Versioned.mergeInto(spark, root, source, Seq("id"))
+    }
+    assert(e.getMessage.contains("absent from the table"))
+    Versioned.mergeInto(spark, root, source, Seq("id"), schemaEvolution = true)
+    val now = Versioned.read(spark, root)
+    assert(now.schema("id").dataType == org.apache.spark.sql.types.LongType)
+    assert(now.schema("score").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(now.as[(Long, String, Option[Double])].collect().toSet == Set(
+      (1L, "a", None),        // untouched row: new column reads null
+      (2L, "B", Some(0.5)),   // matched row replaced whole
+      (3L, "C", Some(0.7))))  // inserted
+    // a NARROWER source against the now-long key upcasts instead of failing
+    val narrow = Seq((4, "d", 1.0)).toDF("id", "k", "score")
+      .selectExpr("CAST(id AS INT) AS id", "k", "score")
+    Versioned.mergeInto(spark, root, narrow, Seq("id"), schemaEvolution = true)
+    assert(Versioned.read(spark, root).count() == 4)
+    // off the lattice stays refused even with the flag
+    val bad = Seq((5L, 9L, 1.0)).toDF("id", "k", "score")
+    val e2 = intercept[IllegalArgumentException] {
+      Versioned.mergeInto(spark, root, bad, Seq("id"), schemaEvolution = true)
+    }
+    assert(e2.getMessage.contains("not a value-preserving widening"))
+  }
+
   test("no-op merge leaves the version unchanged") {
     val root = bandedTable()
     val v = Versioned.mergeIntoConditional(spark, root,

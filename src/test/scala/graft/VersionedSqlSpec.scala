@@ -171,6 +171,32 @@ class VersionedSqlSpec extends SparkSpecBase {
       .collect().toSet == (1000L to 1009L).filter(_ % 2 == 0).toSet)
   }
 
+  test("SQL MERGE WITH SCHEMA EVOLUTION adds source columns to the table") {
+    val t = banded("mrgevo")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $t target
+         |USING (SELECT 150L AS id, CAST(-1 AS DOUBLE) AS x, 'new' AS src,
+         |              CAST(0.9 AS DOUBLE) AS score) s
+         |ON target.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val now = spark.table(t)
+    assert(now.schema.fieldNames.contains("score"))
+    assert(now.filter($"id" === 150L).select("score").as[Double].collect().toSeq
+      == Seq(0.9))
+    assert(now.filter($"score".isNull).count() == 299) // old rows read null
+    // without the flag, SQL star expansion ignores the extra source
+    // column (it maps the TARGET's columns): no accidental evolution
+    spark.sql(
+      s"""MERGE INTO $t target
+         |USING (SELECT 1L AS id, CAST(0 AS DOUBLE) AS x, 's' AS src,
+         |              CAST(0.1 AS DOUBLE) AS score, 'x' AS extra2) s
+         |ON target.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(!spark.table(t).schema.fieldNames.contains("extra2"))
+  }
+
   test("unsupported SQL shapes are refused at analysis, naming the piece") {
     val t = banded("rej")
     Seq((1L, 0.0, "s")).toDF("id", "x", "src").createOrReplaceTempView("rej_src")
