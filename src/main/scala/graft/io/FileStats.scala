@@ -224,7 +224,11 @@ object FileStats {
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
-  /** Read a batch's bloom sidecar; empty if absent. */
+  /** Read a batch's bloom sidecar; empty if absent. Unlike the stats
+    * sidecar (written once, pre-publish), blooms can be retrofitted onto
+    * a LIVE batch dir (`Versioned.buildBlooms`), so a torn concurrent
+    * read is possible — an undecodable line is skipped (absent bloom =
+    * conservative keep), never an error. */
   def readBloomSidecar(fs: FileSystem, batchDir: Path): Map[String, Map[String, Array[Byte]]] = {
     val p = bloomSidecarPath(batchDir)
     if (!fs.exists(p)) return Map.empty
@@ -235,8 +239,13 @@ object FileStats {
     } finally in.close()
     new String(bytes, StandardCharsets.UTF_8).split("\n")
       .map(_.trim).filter(_.nonEmpty)
-      .map(_.split("\t", -1)).collect {
-        case Array(file, c, b64) => (file, c, Base64.getDecoder.decode(b64))
+      .flatMap { line =>
+        line.split("\t", -1) match {
+          case Array(file, c, b64) =>
+            try Some((file, c, Base64.getDecoder.decode(b64)))
+            catch { case scala.util.control.NonFatal(_) => None }
+          case _ => None
+        }
       }
       .groupBy(_._1)
       .map { case (f, rows) => f -> rows.map(r => r._2 -> r._3).toMap }

@@ -50,12 +50,29 @@ private[graft] class StatsPrunedFileIndex(
     * derived its keep-set here; observability only. */
   @volatile var lastRuntimeKept: Int = -1
 
-  private lazy val bloomMap: Map[(String, String), Map[String, Array[Byte]]] = blooms()
+  /** Bloom sidecars, deserialized ONCE per (file, col) at first use — a
+    * probe-per-candidate re-deserialization would copy the whole bitset
+    * (≈120 KB) thousands of times per planned query. An unreadable bloom
+    * is dropped here (absent = conservative keep). */
+  private lazy val bloomMap: Map[(String, String), Map[String, org.apache.spark.util.sketch.BloomFilter]] =
+    blooms().map { case (key, byCol) =>
+      key -> byCol.flatMap { case (c, bytes) =>
+        try Some(c -> org.apache.spark.util.sketch.BloomFilter.readFrom(bytes))
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
 
   /** Columns any sidecar carries stats for — the columns runtime (join-
     * driven) filtering can prune on. */
   private[io] lazy val statsColumns: Set[String] =
     sidecars.valuesIterator.flatMap(_.keysIterator).toSet
+
+  /** Columns runtime filtering can act on at all: min/max-tracked OR
+    * bloom-tracked (a bloom-only column still prunes point lookups;
+    * gating on statsColumns alone would never consult its blooms).
+    * Accessing this loads the bloom sidecars once per table load. */
+  private[io] lazy val runtimeColumns: Set[String] =
+    statsColumns ++ bloomMap.valuesIterator.flatMap(_.keysIterator)
 
   /** Files (as (batchDirName, fileName) keys) that could contain at least
     * one value of every per-column candidate set (conservative: missing
@@ -80,7 +97,7 @@ private[graft] class StatsPrunedFileIndex(
         hashSets.forall { case (c, hs) =>
           fileBlooms.get(c) match {
             case None => true
-            case Some(b) => hs.exists(FileStats.bloomMayContain(b, _))
+            case Some(b) => hs.exists(b.mightContainLong)
           }
         }
       }
@@ -112,7 +129,7 @@ private[graft] class StatsPrunedFileIndex(
             candidates.forall { case (c, hashes) =>
               fileBlooms.get(c) match {
                 case None => true // no bloom for this file/column: keep
-                case Some(b) => hashes.exists(FileStats.bloomMayContain(b, _))
+                case Some(b) => hashes.exists(b.mightContainLong)
               }
             }
           }
@@ -174,27 +191,38 @@ private[graft] object StatsPrunedFileIndex {
       case org.apache.spark.sql.types.IntegerType => Literal(l.value.asInstanceOf[Int].toLong)
       case _ => l
     }
-    def hashOf(l: Literal): Option[Long] =
-      if (l.value == null) None
-      else Some(new XxHash64(Seq(widened(l))).eval(null).asInstanceOf[Long])
+    def hashOf(l: Literal): Option[Long] = l.dataType match {
+      // a float/double/decimal literal can only reach a bloom-carrying
+      // column AFTER a type widening (blooms are never BUILT on those
+      // types) — the old integral-hashed bloom would be a false negative
+      // for it, and a false-negative bloom WRONGLY PRUNES; never probe
+      case org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType => None
+      case _: org.apache.spark.sql.types.DecimalType => None
+      case _ => Some(new XxHash64(Seq(widened(l))).eval(null).asInstanceOf[Long])
+    }
+    // NULL elements match nothing — droppable; a non-null element that
+    // cannot be hashed poisons the WHOLE set (pruning on the hashable
+    // subset alone could drop a file holding only the unhashable value)
+    def hashesOrPoison(ls: Seq[Literal]): Option[Seq[Long]] = {
+      val hs = ls.filter(_.value != null).map(hashOf)
+      if (hs.forall(_.isDefined)) Some(hs.flatten) else None
+    }
     val sets = scala.collection.mutable.Map[String, Seq[Long]]()
-    def add(c: String, hs: Seq[Long]): Unit =
+    def add(c: String, hs: Option[Seq[Long]]): Unit =
       // first candidate set wins: extra equality conjuncts on the same
       // column could only tighten, and one set is enough to prune on
-      if (!sets.contains(c) && hs.nonEmpty) sets(c) = hs
+      hs.foreach(h => if (!sets.contains(c) && h.nonEmpty) sets(c) = h)
     filters.foreach {
-      case EqualTo(a: Attribute, l: Literal) => add(a.name, hashOf(l).toSeq)
-      case EqualTo(l: Literal, a: Attribute) => add(a.name, hashOf(l).toSeq)
+      case EqualTo(a: Attribute, l: Literal) => add(a.name, hashesOrPoison(Seq(l)))
+      case EqualTo(l: Literal, a: Attribute) => add(a.name, hashesOrPoison(Seq(l)))
       case In(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-        val hs = vs.map(v => hashOf(v.asInstanceOf[Literal]))
-        // a null IN-element matches nothing; dropping it is safe
-        add(a.name, hs.flatten)
+        add(a.name, hashesOrPoison(vs.map(_.asInstanceOf[Literal])))
       case InSet(a: Attribute, vs) =>
         // InSet values are already INTERNAL (UTF8String, micros, …): wrap
         // with the case-class constructor, not Literal.create (which
         // would re-convert an external value)
-        add(a.name, vs.toSeq.filter(_ != null).map(v =>
-          hashOf(Literal(v, a.dataType))).flatten)
+        add(a.name, hashesOrPoison(vs.toSeq.map(v => Literal(v, a.dataType))))
       case _ =>
     }
     sets.toMap

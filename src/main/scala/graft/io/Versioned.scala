@@ -110,8 +110,8 @@ object Versioned {
     * NOT widen to double (values past 2^53 would silently round); a
     * decimal may grow precision/scale as long as both the integer digits
     * (p-s) and the fraction digits (s) never shrink. */
-  private def widens(from: org.apache.spark.sql.types.DataType,
-                     to: org.apache.spark.sql.types.DataType): Boolean = {
+  private[graft] def widens(from: org.apache.spark.sql.types.DataType,
+                            to: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
     (from, to) match {
       case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
@@ -208,6 +208,16 @@ object Versioned {
     require(missingStats.isEmpty,
       s"statsCols not in the committed schema: ${missingStats.mkString(", ")} " +
         s"(have ${df.columns.mkString(", ")})")
+    // bloomCols get the same fail-BEFORE-the-write treatment: a typo'd or
+    // float-typed bloom column must not cost a full batch write
+    val missingBlooms = bloomCols.filterNot(df.columns.contains)
+    require(missingBlooms.isEmpty,
+      s"bloomCols not in the committed schema: ${missingBlooms.mkString(", ")}")
+    val badBloomTypes = bloomCols.filter(c => df.columns.contains(c) &&
+      !FileStats.bloomSupported(df.schema(c).dataType))
+    require(badBloomTypes.isEmpty,
+      s"bloomCols with unsupported types (float/double excluded by design): " +
+        badBloomTypes.mkString(", "))
     df.write.mode(SaveMode.ErrorIfExists).parquet(batchDir.toString)
     val newPaths = f.listStatus(batchDir).toSeq.map(_.getPath)
       .filter(p => p.getName.endsWith(".parquet"))
@@ -520,9 +530,11 @@ object Versioned {
     // see ONE evaluation — an expensive or non-deterministic upstream
     // re-executed per job could otherwise write keys the probe never saw
     // (leaving their old target rows un-rewritten)
+    // every evolved column is present in the source by construction (old
+    // columns via the `absent` require, new ones BY definition come from
+    // the source); the cast is the identity off the evolution path
     val aligned = source.select(cols.map(c =>
-        if (source.columns.contains(c)) col(c).cast(snapshot.schema(c).dataType).as(c)
-        else lit(null).cast(snapshot.schema(c).dataType).as(c)): _*)
+        col(c).cast(snapshot.schema(c).dataType).as(c)): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val srcKeys = aligned.select(keys.map(col): _*).distinct()
@@ -559,9 +571,13 @@ object Versioned {
           .join(srcKeys, keys, "left_semi")
           .select(col("__file")).distinct(), "MERGE")
       if (touchedUris.isEmpty) {
-        // pure insert (or empty source): no file rewritten, plain append
+        // pure insert (or empty source): no file rewritten, plain append —
+        // which must still re-harvest tracked blooms, or merge-appended
+        // batches silently lose point-lookup pruning
         if (aligned.isEmpty) return current
-        return commit(spark, aligned, root, tag = tag, statsCols = statsCols)
+        return commit(spark, aligned, root, tag = tag, statsCols = statsCols,
+          bloomCols = trackedBloomCols(spark, root, files)
+            .filter(c => FileStats.bloomSupported(aligned.schema(c).dataType)))
       }
       val (touched, untouched) = files.partition(f =>
         touchedUris.contains(new Path(f).toUri.getPath))
@@ -762,7 +778,13 @@ object Versioned {
         if (touched.isEmpty) None
         else {
           val t = readWithSchema(spark, schema, touched).alias("__t")
-          val s = pinned.withColumn("__graft_m", lit(true)).alias("__s")
+          // with no matched clause the join only supplies the matched/
+          // unmatched indicator — join the DISTINCT key set, not the full
+          // source: duplicate source keys are legal then (no dup-key
+          // check ran) and a full-source join would fan matched target
+          // rows out into silent duplicates
+          val sBase = if (matched.isEmpty) srcKeys else pinned
+          val s = sBase.withColumn("__graft_m", lit(true)).alias("__s")
           val joinCond = keys.map(k => col(s"__t.$k") === col(s"__s.$k")).reduce(_ && _)
           val joined = t.join(s, joinCond, "left")
           val isMatched = col("__s.__graft_m").isNotNull
@@ -900,13 +922,17 @@ object Versioned {
     val fresh = after.filterNot(beforeSet).map(rel => resolveEntry(root, rel).toString)
     val resolved = snapshotSchema(spark, root, Some(to))
       .getOrElse(read(spark, root, Some(to)).schema)
-    // a replace commit may retype columns; reading the FROM side through
-    // the TO schema would then throw deep in the parquet reader (or worse,
-    // misread). Refuse loudly: diff within a schema-stable range instead.
+    // a replace commit may retype columns arbitrarily; reading the FROM
+    // side through the TO schema would then throw deep in the parquet
+    // reader (or worse, misread). A type-WIDENING change is fine — the
+    // vectorized reader serves old files widened, exactly as snapshot
+    // reads do after an evolving append — so only off-lattice changes
+    // refuse. Values compare in the TO (wider) domain, which widening
+    // preserves.
     snapshotSchema(spark, root, Some(fromV)).foreach { fromSchema =>
       fromSchema.fields.foreach { ff =>
         resolved.fields.find(_.name == ff.name).foreach { tf =>
-          require(tf.dataType == ff.dataType,
+          require(tf.dataType == ff.dataType || widens(ff.dataType, tf.dataType),
             s"column ${ff.name} changed type between v$fromV " +
               s"(${ff.dataType.simpleString}) and v$to (${tf.dataType.simpleString}); " +
               "row-level diff across a retyping replace is not defined — " +
@@ -1059,15 +1085,28 @@ object Versioned {
     * pushed literal. */
   private def harvestBlooms(spark: SparkSession, batchDir: Path,
                             newPaths: Seq[Path], df: DataFrame,
-                            cols: Seq[String]): Unit = {
+                            cols: Seq[String]): Unit =
+    harvestBloomsFor(spark, batchDir, newPaths, df.schema, cols)
+
+  /** Core bloom harvest: build per-file blooms over `cols` for exactly
+    * `paths` (read under `schema`'s types — integrals hash AS LONG, see
+    * below) and MERGE them into the batch dir's bloom sidecar (existing
+    * entries for other files/columns survive — a retrofit over the
+    * current snapshot must not erase blooms of files only older versions
+    * reference). */
+  private def harvestBloomsFor(spark: SparkSession, batchDir: Path,
+                               paths: Seq[Path],
+                               schema: StructType,
+                               cols: Seq[String]): Unit = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.functions.input_file_name
     import org.apache.spark.sql.graftx.Bridge
-    if (cols.isEmpty || newPaths.isEmpty) return
-    val bad = cols.filterNot(df.columns.contains)
+    if (cols.isEmpty || paths.isEmpty) return
+    val names = schema.fieldNames.toSet
+    val bad = cols.filterNot(names.contains)
     require(bad.isEmpty, s"bloomCols not in the committed schema: ${bad.mkString(", ")}")
-    val unsupported = cols.filterNot(c => FileStats.bloomSupported(df.schema(c).dataType))
+    val unsupported = cols.filterNot(c => FileStats.bloomSupported(schema(c).dataType))
     require(unsupported.isEmpty,
       s"bloomCols with unsupported types (float/double excluded by design): " +
         unsupported.mkString(", "))
@@ -1076,8 +1115,8 @@ object Versioned {
     val numBits = math.max(64L,
       (-n * math.log(0.01) / (math.log(2) * math.log(2))).toLong)
     val batch = spark.read.schema(org.apache.spark.sql.types.StructType(
-        df.schema.filter(f => cols.contains(f.name))))
-      .parquet(batchDir.toString)
+        schema.filter(f => cols.contains(f.name))))
+      .parquet(paths.map(_.toString): _*)
       .withColumn("__file", input_file_name())
     val aggs = cols.map { c =>
       // integral columns hash their value AS LONG (both here and on the
@@ -1086,7 +1125,7 @@ object Versioned {
       // (int -> long) would flip every old bloom into false negatives —
       // and a false-negative bloom WRONGLY PRUNES files that match
       val base = org.apache.spark.sql.functions.col(c)
-      val hashed = df.schema(c).dataType match {
+      val hashed = schema(c).dataType match {
         case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
              org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
           base.cast(org.apache.spark.sql.types.LongType)
@@ -1099,13 +1138,38 @@ object Versioned {
     val rows = batch.groupBy(org.apache.spark.sql.functions.col("__file"))
       .agg(aggs.head, aggs.tail: _*).collect()
     val f = batchDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val blooms = rows.map { r =>
+    val fresh = rows.map { r =>
       val file = new Path(java.net.URI.create(r.getString(0))).getName
       file -> cols.zipWithIndex.flatMap { case (c, i) =>
         Option(r.get(i + 1)).map(b => c -> b.asInstanceOf[Array[Byte]])
       }.toMap
     }.toMap
-    FileStats.writeBloomSidecar(f, batchDir, blooms)
+    val existing = FileStats.readBloomSidecar(f, batchDir)
+    val merged = (existing.keySet ++ fresh.keySet).map { file =>
+      file -> (existing.getOrElse(file, Map.empty) ++ fresh.getOrElse(file, Map.empty))
+    }.toMap
+    FileStats.writeBloomSidecar(f, batchDir, merged)
+  }
+
+  /** Retrofit per-file bloom filters over `cols` onto the CURRENT
+    * snapshot without rewriting any data: one column-pruned pass per
+    * batch directory over exactly the snapshot's files, merged into each
+    * dir's bloom sidecar (blooms other versions' files already have are
+    * kept). The one maintenance path that arms point-lookup pruning on a
+    * table that was committed without `bloomCols`. Returns the number of
+    * files bloomed. */
+  def buildBlooms(spark: SparkSession, root: String, cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "buildBlooms needs at least one column")
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root")
+    val schema = snapshotSchema(spark, root, Some(vs.last))
+      .getOrElse(readWithSchema(spark, None,
+        snapshotFiles(spark, root, Some(vs.last))).schema)
+    val files = snapshotFiles(spark, root, Some(vs.last)).map(new Path(_))
+    files.groupBy(_.getParent).foreach { case (dir, paths) =>
+      harvestBloomsFor(spark, dir, paths, schema, cols)
+    }
+    files.size.toLong
   }
 
   /** Fully qualified form of `s`: scheme + authority from its filesystem,

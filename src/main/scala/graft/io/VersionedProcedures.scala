@@ -152,6 +152,13 @@ private[io] object VersionedProcedures {
           dims, input.getInt(2), replace = true))
       }),
 
+    Spec("bloom", "retrofit per-file bloom sidecars over `cols` (csv) onto the current snapshot (no data rewritten)",
+      Array(in("table", StringType), in("cols", StringType)),
+      StructType(Seq(StructField("files_bloomed", LongType, nullable = false))),
+      (spark, rootFor, input) => row(Versioned.buildBlooms(
+        spark, existing(spark, rootFor, input, 0),
+        csv(str(input, 1, "cols"))))),
+
     Spec("clone", "shallow-clone a snapshot into a fresh table (no data copied)",
       Array(in("table", StringType), in("target", StringType),
         inDefault("version", LongType, "CAST(NULL AS BIGINT)")),

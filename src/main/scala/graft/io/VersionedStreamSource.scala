@@ -166,14 +166,15 @@ private[graft] class VersionedScan(spark: SparkSession, root: String,
 
   override def filterAttributes(): Array[NamedReference] =
     statsIndex.fold(Array.empty[NamedReference])(
-      _.statsColumns.toArray.sorted.map(Expressions.column))
+      _.runtimeColumns.toArray.sorted.map(Expressions.column))
 
   override def filter(filters: Array[Filter]): Unit = statsIndex.foreach { idx =>
-    // IN / = over a stats column -> candidate value set; null literals can
-    // never equi-join, so they add no candidates. Anything else: no-op.
+    // IN / = over a stats- or bloom-tracked column -> candidate value set;
+    // null literals can never equi-join, so they add no candidates.
+    // Anything else: no-op.
     val sets = filters.toSeq.collect {
-      case In(col, vs) if idx.statsColumns(col) => col -> vs.toSeq.filter(_ != null)
-      case EqualTo(col, v) if idx.statsColumns(col) && v != null => col -> Seq(v)
+      case In(col, vs) if idx.runtimeColumns(col) => col -> vs.toSeq.filter(_ != null)
+      case EqualTo(col, v) if idx.runtimeColumns(col) && v != null => col -> Seq(v)
     }.filter(_._2.nonEmpty)
     if (sets.nonEmpty) {
       val keep = idx.runtimeSurvivors(sets)

@@ -281,7 +281,11 @@ object VersionedRowLevelSqlStrategy extends org.apache.spark.sql.execution.Spark
             // align the source plan with the table: each star-mapped source
             // column takes the analyzer's cast and the TARGET column's
             // exact name (conditions keep resolving — same name, casted
-            // value); everything else passes through for condition use
+            // value); everything else passes through for condition use.
+            // The cast must be VALUE-PRESERVING (the widening lattice):
+            // clause conditions re-evaluate against the casted value, and
+            // a narrowing cast would make `WHEN MATCHED AND s.c > bignum`
+            // observe a wrapped/overflowed value instead of the source's
             val sourcePlan = starValues match {
               case None => m.sourceTable
               case Some(values) =>
@@ -295,6 +299,15 @@ object VersionedRowLevelSqlStrategy extends org.apache.spark.sql.execution.Spark
                   byBase.get(a.exprId) match {
                     case Some((tname, v))
                         if v.isInstanceOf[Cast] || tname != a.name =>
+                      v match {
+                        case c: Cast if !Versioned.widens(c.child.dataType, c.dataType) =>
+                          unsupported(
+                            s"an implicit non-widening source cast on `$tname` " +
+                              s"(${c.child.dataType.simpleString} -> " +
+                              s"${c.dataType.simpleString}) with clause " +
+                              "conditions — cast the source column explicitly")
+                        case _ =>
+                      }
                       Alias(v, tname)()
                     case _ => a
                   }

@@ -117,9 +117,12 @@ object TextCleanupQueries {
       |         || chr(10) || 'uid ' || doc_id AS text
       |  FROM documents
       |), lines AS (
+      |  -- 10000 comfortably exceeds any fixture doc's line count (the
+      |  -- engine side has no cap; a low bound here would silently
+      |  -- truncate long documents out of the oracle)
       |  SELECT doc_id, i AS idx,
       |         string_split(text, chr(10))[i] AS line
-      |  FROM built, range(1, 100) t(i)
+      |  FROM built, range(1, 10000) t(i)
       |  WHERE i <= len(string_split(text, chr(10)))
       |), boiler AS (
       |  SELECT trim(line) AS key

@@ -116,6 +116,17 @@ class BloomPruneSpec extends SparkSpecBase {
       .filter($"id" === 46L).count() == 0)
   }
 
+  test("buildBlooms retrofits pruning onto a bloom-less table") {
+    val root = interleavedTable(bloom = false)
+    assert(keptFiles(spark.read.format("graft-versioned").load(root)
+      .filter($"id" === 42L)) == 4) // nothing to prune with yet
+    val n = Versioned.buildBlooms(spark, root, Seq("id"))
+    assert(n == 4L)
+    val q = spark.read.format("graft-versioned").load(root).filter($"id" === 42L)
+    assert(q.as[(Long, String)].collect().toSeq == Seq((42L, "v42")))
+    assert(keptFiles(q) == 1, "retrofitted blooms must prune like commit-time ones")
+  }
+
   test("join-driven runtime filter prunes by bloom where min/max cannot") {
     val root = interleavedTable(bloom = true)
     // file-backed dim: a local Seq would constant-fold the filter away and

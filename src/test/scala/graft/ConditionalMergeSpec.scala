@@ -135,6 +135,25 @@ class ConditionalMergeSpec extends SparkSpecBase {
       (None, "snull")))         // null-keyed source row: inserted
   }
 
+  test("duplicate source keys without matched clauses never fan out target rows") {
+    val root = tmpRoot()
+    Versioned.commit(spark, Seq((1L, "t1"), (2L, "t2")).toDF("id", "k")
+      .coalesce(1), root)
+    // duplicate key 1 is LEGAL here (no matched clause -> no dup check);
+    // the rewrite join must use the distinct key set, or target row id=1
+    // would appear twice in the rewritten file
+    val dup = Seq((1L, "s1a"), (1L, "s1b"), (9L, "s9")).toDF("id", "k")
+    Versioned.mergeIntoConditional(spark, root, dup, Seq("id"), Seq(
+      WhenNotMatchedInsertAll(None),
+      WhenNotMatchedBySourceUpdate(None, Map("k" -> lit("orphan")))))
+    val now = Versioned.read(spark, root).as[(Long, String)].collect().toSeq
+    assert(now.count(_._1 == 1L) == 1, s"row id=1 duplicated: $now")
+    assert(now.toSet == Set(
+      (1L, "t1"),       // matched (no matched clause): unchanged, ONCE
+      (2L, "orphan"),   // unmatched target: NMBS update
+      (9L, "s9")))      // unmatched source: inserted
+  }
+
   test("duplicate source keys rejected with matched clauses, allowed insert-only") {
     val root = bandedTable()
     val dup = Seq((150L, 1.0, "d"), (150L, 2.0, "d")).toDF("id", "x", "src")

@@ -94,6 +94,22 @@ class TypeWideningSpec extends SparkSpecBase {
     assert(pruned.as[Long].collect().toSet == (10L to 20L).toSet)
   }
 
+  test("int->double widening never lets stale blooms prune (double probes skip blooms)") {
+    val root = tmpRoot()
+    // bloom built while the column was INT (hashed-as-long)
+    Versioned.commit(spark, (0 until 100).map(i => (i, s"v$i")).toDF("id", "v")
+      .coalesce(1), root, bloomCols = Seq("id"))
+    // a double batch widens the column off the integral domain
+    Versioned.commit(spark, Seq((1000.5, "w")).toDF("id", "v").coalesce(1), root)
+    val table = spark.read.format("graft-versioned").load(root)
+    assert(table.schema("id").dataType == DoubleType)
+    // the pushed literal is now a DOUBLE: the stale integral bloom would
+    // answer "no" for 42.0 — the probe must skip blooms entirely and the
+    // row must come back
+    assert(table.filter(col("id") === 42.0).count() == 1)
+    assert(table.filter(col("id").isin(42.0, 1000.5)).count() == 2)
+  }
+
   test("bloom point lookups survive int->long widening (hash normalized)") {
     val root = tmpRoot()
     Versioned.commit(spark, (0 until 400 by 4).map(i => (i, s"v$i")).toDF("id", "v")

@@ -109,6 +109,32 @@ class VersionedProcedureSpec extends SparkSpecBase {
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
 
+  test("CALL bloom retrofits point-lookup pruning onto an existing table") {
+    val t = build("bloomed") // committed WITHOUT bloomCols
+    val root = rootOf("bloomed")
+    val before = spark.read.format("graft-versioned").load(root)
+      .filter(org.apache.spark.sql.functions.col("id") === 150L)
+    assert(before.count() == 1)
+    val out = spark.sql(s"CALL graft_proc.system.bloom('$t', 'id')")
+    assert(out.columns.toSeq == Seq("files_bloomed"))
+    assert(out.as[Long].head() == 3L)
+    // a fresh load consults the new blooms; results unchanged, and the
+    // sidecars exist in every batch dir
+    val after = spark.read.format("graft-versioned").load(root)
+      .filter(org.apache.spark.sql.functions.col("id") === 150L)
+    assert(after.count() == 1)
+    (1 to 3).foreach { b =>
+      val f = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val side = graft.io.FileStats.readBloomSidecar(f,
+        new org.apache.hadoop.fs.Path(root, s"data/b$b"))
+      assert(side.nonEmpty && side.values.forall(_.contains("id")))
+    }
+    // float columns stay refused through the procedure too
+    val e = intercept[Exception](spark.sql(s"CALL graft_proc.system.bloom('$t', 'x')"))
+    assert(e.getMessage.contains("float/double"))
+  }
+
   test("namespace and procedure names are case-insensitive like all SQL identifiers") {
     val t = build("case")
     val h = spark.sql(s"CALL graft_proc.SYSTEM.HISTORY('$t')")
