@@ -157,6 +157,20 @@ object FileStats {
 
   def sidecarPath(batchDir: Path): Path = new Path(batchDir, SidecarName)
 
+  /** Write `body` to `dest` via a temp file + rename: sidecars can now be
+    * retrofitted onto LIVE batch dirs, and a rename is atomic where the
+    * filesystem supports it — a concurrent reader sees the old file, the
+    * new file, or (in the delete-rename window) none, never a torn one.
+    * All three outcomes are conservative for advisory metadata. */
+  private def writeAtomic(fs: FileSystem, dest: Path, body: String): Unit = {
+    val tmp = new Path(dest.getParent, s".${dest.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    fs.delete(dest, false)
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"could not publish sidecar $dest")
+  }
+
   /** Write the batch's stats sidecar (TSV: file, col, tag, min, max,
     * nulls — the last column absent in pre-null-tracking sidecars). */
   def writeSidecar(fs: FileSystem, batchDir: Path,
@@ -166,8 +180,7 @@ object FileStats {
         s"$file\t$c\t${s.tag}\t${s.min}\t${s.max}\t${s.nulls}"
       }
     }.mkString("", "\n", "\n")
-    val out = fs.create(sidecarPath(batchDir), true)
-    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    writeAtomic(fs, sidecarPath(batchDir), body)
   }
 
   /** Read a batch's sidecar; empty if absent (older commit or no stats). */
@@ -220,8 +233,7 @@ object FileStats {
         s"$file\t$c\t${Base64.getEncoder.encodeToString(bytes)}"
       }
     }.mkString("", "\n", "\n")
-    val out = fs.create(bloomSidecarPath(batchDir), true)
-    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    writeAtomic(fs, bloomSidecarPath(batchDir), body)
   }
 
   /** Read a batch's bloom sidecar; empty if absent. Unlike the stats

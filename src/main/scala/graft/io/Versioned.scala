@@ -85,6 +85,89 @@ object Versioned {
     asOf.orElse(vs.lastOption).filter(vs.contains).flatMap(tagOf(spark, root, _))
   }
 
+  /** Named CHECK constraints recorded in a snapshot's manifest
+    * (`#check=name:expr` lines), newest version unless `asOf`. */
+  def constraints(spark: SparkSession, root: String,
+                  asOf: Option[Long] = None): Seq[(String, String)] = {
+    val vs = versions(spark, root)
+    asOf.orElse(vs.lastOption).filter(vs.contains).toSeq.flatMap { v =>
+      manifestLines(spark, root, v).filter(_.startsWith("#check="))
+        .map(_.stripPrefix("#check=")).map { s =>
+          val i = s.indexOf(':')
+          (s.take(i), s.drop(i + 1))
+        }
+    }
+  }
+
+  private def checkLines(spark: SparkSession, root: String,
+                         prev: Option[Long]): Seq[String] =
+    prev.toSeq.flatMap(v => manifestLines(spark, root, v)
+      .filter(_.startsWith("#check=")))
+
+  /** SQL CHECK semantics: a row violates only when the expression is
+    * FALSE — NULL passes (unknown is not a violation). */
+  private def violations(df: DataFrame, expression: String): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    df.filter(not(coalesce(expr(expression).cast("boolean"), lit(true))))
+  }
+
+  /** Enforce every recorded constraint against the rows about to be
+    * written, BEFORE any data write. Batch-absent table columns evaluate
+    * as NULL (exactly what the committed rows will read back), so a
+    * constraint on a column this batch omits passes per SQL CHECK
+    * semantics rather than failing resolution. */
+  private def enforceConstraints(spark: SparkSession, root: String,
+                                 df: DataFrame, prev: Option[Long]): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val cs = constraints(spark, root, prev)
+    if (cs.isEmpty) return
+    val tableSchema = prev.flatMap(v => snapshotSchema(spark, root, Some(v)))
+    val evalDf = tableSchema match {
+      case None => df
+      case Some(s) =>
+        val missing = s.fields.filterNot(f => df.columns.contains(f.name))
+        missing.foldLeft(df)((d, f) =>
+          d.withColumn(f.name, lit(null).cast(f.dataType)))
+    }
+    cs.foreach { case (name, e) =>
+      require(violations(evalDf, e).limit(1).isEmpty,
+        s"CHECK constraint `$name` ($e) violated by rows in this commit " +
+          "— nothing was written")
+    }
+  }
+
+  /** Record a named CHECK constraint as a metadata-only commit: every
+    * FUTURE commit/merge/update batch must satisfy `expression` (SQL
+    * CHECK semantics — NULL passes) or it aborts before writing data.
+    * The current snapshot is validated first: a constraint existing rows
+    * already violate is refused. Returns the new version. */
+  def addConstraint(spark: SparkSession, root: String, name: String,
+                    expression: String): Long = {
+    require(name.nonEmpty && !name.contains(':') && !name.contains('\n'),
+      s"constraint name must be nonempty without ':' or newlines, got '$name'")
+    require(!expression.contains('\n'), "constraint expression must be one line")
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root")
+    require(!constraints(spark, root).exists(_._1 == name),
+      s"constraint `$name` already exists (drop it first)")
+    val snap = read(spark, root)
+    require(violations(snap, expression).limit(1).isEmpty,
+      s"existing rows violate CHECK `$name` ($expression) — constraint not added")
+    publish(spark, root, vs.last + 1,
+      manifestLines(spark, root, vs.last) :+ s"#check=$name:$expression")
+  }
+
+  /** Drop a named constraint as a metadata-only commit. */
+  def dropConstraint(spark: SparkSession, root: String, name: String): Long = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root")
+    require(constraints(spark, root).exists(_._1 == name),
+      s"no constraint named `$name`")
+    publish(spark, root, vs.last + 1,
+      manifestLines(spark, root, vs.last)
+        .filterNot(_.startsWith(s"#check=$name:")))
+  }
+
   /** The schema recorded in a snapshot's manifest (newest unless `asOf`);
     * None for manifests published before schema tracking. Recorded
     * all-nullable — the same shape parquet inference yields — so reading
@@ -218,6 +301,10 @@ object Versioned {
     require(badBloomTypes.isEmpty,
       s"bloomCols with unsupported types (float/double excluded by design): " +
         badBloomTypes.mkString(", "))
+    // CHECK constraints also fail BEFORE the write (they carry across
+    // replace commits too — a replace that drops a checked column makes
+    // the check vacuously NULL-pass, it does not silently drop it)
+    enforceConstraints(spark, root, df, prev.lastOption)
     df.write.mode(SaveMode.ErrorIfExists).parquet(batchDir.toString)
     val newPaths = f.listStatus(batchDir).toSeq.map(_.getPath)
       .filter(p => p.getName.endsWith(".parquet"))
@@ -229,6 +316,7 @@ object Versioned {
     val newFiles = newPaths.map(p => s"data/b$next/${p.getName}")
     publish(spark, root, next,
       tag.map(t => s"#tag=$t").toSeq ++ Seq(s"#schema=${recorded.json}")
+        ++ checkLines(spark, root, prev.lastOption)
         ++ carried ++ newFiles)
   }
 
@@ -652,10 +740,15 @@ object Versioned {
     * Returns the new version, or the current one if nothing changed. */
   def mergeIntoConditional(spark: SparkSession, root: String, source: DataFrame,
                            keys: Seq[String],
-                           clauses: Seq[MergeClause]): Long = {
+                           clauses: Seq[MergeClause],
+                           tag: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, count, input_file_name, lit, when}
     require(keys.nonEmpty, "mergeIntoConditional needs at least one key column")
     require(clauses.nonEmpty, "mergeIntoConditional needs at least one clause")
+    // replay guard for streaming sinks, same shape as mergeInto's
+    if (tag.isDefined && versions(spark, root).nonEmpty &&
+        committedTag(spark, root) == tag)
+      return versions(spark, root).last
     val missingKeys = keys.filterNot(source.columns.contains)
     require(missingKeys.isEmpty,
       s"source is missing key column(s): ${missingKeys.mkString(", ")}")
@@ -832,7 +925,7 @@ object Versioned {
           if (touched.isEmpty && df.isEmpty) current
           else commitMixed(spark, df, root,
             untouched.map(relativize(spark, root, _)), statsCols = statsCols,
-            bloomCols = trackedBloomCols(spark, root, files))
+            tag = tag, bloomCols = trackedBloomCols(spark, root, files))
       }
     } finally {
       pinned.unpersist(blocking = false)
@@ -850,6 +943,7 @@ object Versioned {
       s"version $toVersion not found at $root (have ${vs.mkString(",")})")
     val body = snapshotSchema(spark, root, Some(toVersion))
       .map(s => s"#schema=${s.json}").toSeq ++
+      checkLines(spark, root, Some(toVersion)) ++ // that snapshot's checks
       manifestFiles(spark, root, toVersion)
     publish(spark, root, vs.last + 1, body)
   }
@@ -891,7 +985,9 @@ object Versioned {
     val entries = manifestFiles(spark, srcRoot, v)
       .map(e => qualify(spark, resolveEntry(srcRoot, e).toString).toString)
     val body = snapshotSchema(spark, srcRoot, Some(v))
-      .map(s => s"#schema=${s.json}").toSeq ++ entries
+      .map(s => s"#schema=${s.json}").toSeq ++
+      checkLines(spark, srcRoot, Some(v)) ++ // the cloned snapshot's checks
+      entries
     publish(spark, dstRoot, 1L, body)
   }
 
@@ -1037,7 +1133,8 @@ object Versioned {
       // every change is a whole-file drop: publish the shrunk manifest
       // directly, no data written or read — the retention fast path
       publish(spark, root, current + 1,
-        schema.map(s => s"#schema=${s.json}").toSeq ++ carried)
+        schema.map(s => s"#schema=${s.json}").toSeq
+          ++ checkLines(spark, root, Some(current)) ++ carried)
     } else {
       // stats columns the table already tracks (union over the sidecars
       // already read above): the rewritten files must keep pruning alive
@@ -1151,6 +1248,38 @@ object Versioned {
     FileStats.writeBloomSidecar(f, batchDir, merged)
   }
 
+  /** Retrofit per-file min/max stats over `cols` onto the CURRENT
+    * snapshot — pure FOOTER reads (no data pass at all, unlike
+    * [[buildBlooms]]), merged into each batch dir's stats sidecar so
+    * entries other versions' files already have are kept. The
+    * maintenance path that arms range/file-skip pruning (and the MERGE
+    * probe, and the stats PROOFS) on a table committed without
+    * `statsCols`. Columns whose parquet type has no usable stat encoding
+    * simply record nothing — conservative, like everywhere else.
+    * Returns the number of files processed. */
+  def buildStats(spark: SparkSession, root: String, cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "buildStats needs at least one column")
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root")
+    val schema = snapshotSchema(spark, root, Some(vs.last))
+    schema.foreach { s =>
+      val bad = cols.filterNot(s.fieldNames.contains)
+      require(bad.isEmpty, s"statsCols not in the table schema: ${bad.mkString(", ")}")
+    }
+    val files = snapshotFiles(spark, root, Some(vs.last)).map(new Path(_))
+    val conf = spark.sparkContext.hadoopConfiguration
+    files.groupBy(_.getParent).foreach { case (dir, paths) =>
+      val f = dir.getFileSystem(conf)
+      val fresh = FileStats.collect(conf, paths, cols)
+      val existing = FileStats.readSidecar(f, dir)
+      val merged = (existing.keySet ++ fresh.keySet).map { file =>
+        file -> (existing.getOrElse(file, Map.empty) ++ fresh.getOrElse(file, Map.empty))
+      }.toMap
+      FileStats.writeSidecar(f, dir, merged)
+    }
+    files.size.toLong
+  }
+
   /** Retrofit per-file bloom filters over `cols` onto the CURRENT
     * snapshot without rewriting any data: one column-pruned pass per
     * batch directory over exactly the snapshot's files, merged into each
@@ -1239,6 +1368,7 @@ object Versioned {
     f.delete(batchDir, true)
     f.delete(new Path(mdir, s".v$next.txt.tmp"), false)
     val recorded = asNullable(df.schema)
+    enforceConstraints(spark, root, df, prev.lastOption)
     df.write.mode(SaveMode.ErrorIfExists).parquet(batchDir.toString)
     val newPaths = f.listStatus(batchDir).toSeq.map(_.getPath)
       .filter(_.getName.endsWith(".parquet"))
@@ -1256,6 +1386,7 @@ object Versioned {
     val newFiles = newPaths.map(p => s"data/b$next/${p.getName}")
     publish(spark, root, next,
       tag.map(t => s"#tag=$t").toSeq ++ Seq(s"#schema=${recorded.json}")
+        ++ checkLines(spark, root, prev.lastOption)
         ++ carriedRel ++ newFiles)
   }
 

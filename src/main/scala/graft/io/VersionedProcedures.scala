@@ -159,6 +159,39 @@ private[io] object VersionedProcedures {
         spark, existing(spark, rootFor, input, 0),
         csv(str(input, 1, "cols"))))),
 
+    Spec("stats", "retrofit per-file min/max stats sidecars over `cols` (csv) from parquet footers (no data read)",
+      Array(in("table", StringType), in("cols", StringType)),
+      StructType(Seq(StructField("files_processed", LongType, nullable = false))),
+      (spark, rootFor, input) => row(Versioned.buildStats(
+        spark, existing(spark, rootFor, input, 0),
+        csv(str(input, 1, "cols"))))),
+
+    Spec("add_constraint", "record a named CHECK constraint (metadata-only); future writes violating it abort before writing",
+      Array(in("table", StringType), in("name", StringType),
+        in("expression", StringType)),
+      newVersion,
+      (spark, rootFor, input) => row(Versioned.addConstraint(
+        spark, existing(spark, rootFor, input, 0),
+        str(input, 1, "name"), str(input, 2, "expression")))),
+
+    Spec("drop_constraint", "drop a named CHECK constraint (metadata-only)",
+      Array(in("table", StringType), in("name", StringType)),
+      newVersion,
+      (spark, rootFor, input) => row(Versioned.dropConstraint(
+        spark, existing(spark, rootFor, input, 0), str(input, 1, "name")))),
+
+    Spec("constraints", "list the current snapshot's CHECK constraints",
+      Array(in("table", StringType)),
+      StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("expression", StringType, nullable = false))),
+      (spark, rootFor, input) =>
+        Versioned.constraints(spark, existing(spark, rootFor, input, 0))
+          .map { case (n, e) => InternalRow(
+            org.apache.spark.unsafe.types.UTF8String.fromString(n),
+            org.apache.spark.unsafe.types.UTF8String.fromString(e)) }
+          .toArray),
+
     Spec("clone", "shallow-clone a snapshot into a fresh table (no data copied)",
       Array(in("table", StringType), in("target", StringType),
         inDefault("version", LongType, "CAST(NULL AS BIGINT)")),

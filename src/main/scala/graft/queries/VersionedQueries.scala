@@ -411,6 +411,35 @@ object VersionedQueries {
       |       MIN(p) AS min_price, MAX(p) AS max_price
       |FROM u GROUP BY 1""".stripMargin
 
+  /** Commit-time CHECK constraints end-to-end: half of orders commits,
+    * a `price_pos` constraint is recorded (metadata-only), a batch with
+    * negated prices is REJECTED atomically (no version, no data), the
+    * other half commits fine, and the final aggregate over the whole
+    * table — plus pinned flags proving the rejection happened and the
+    * constraint is live — matches a plain restatement. */
+  def versionedConstraints(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = QueryScratch.freshRoot("graft_check_src", sfDir)
+    val orders = Tables.orders(spark, sfDir)
+    Versioned.commit(spark, orders.filter(pmod(col("o_orderkey"), lit(2)) === 0), root)
+    Versioned.addConstraint(spark, root, "price_pos", "o_totalprice > 0")
+    val rejected = scala.util.Try(Versioned.commit(spark,
+      orders.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .withColumn("o_totalprice", col("o_totalprice") * -1), root)).isFailure
+    Versioned.commit(spark, orders.filter(pmod(col("o_orderkey"), lit(2)) === 1), root)
+    priorityAgg(spark.read.format("graft-versioned").load(root))
+      .withColumn("rejected", lit(rejected))
+      .withColumn("n_constraints",
+        lit(Versioned.constraints(spark, root).size))
+  }
+
+  val versionedConstraintsOracle: String =
+    """SELECT o_orderstatus AS status, o_orderpriority AS priority,
+      |       COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+      |       CAST(1 AS BOOLEAN) AS rejected,
+      |       CAST(1 AS INTEGER) AS n_constraints
+      |FROM orders GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "versioned_snapshot" -> (versionedSnapshot _),
     "versioned_time_travel" -> (versionedTimeTravel _),
@@ -422,6 +451,7 @@ object VersionedQueries {
     "versioned_sql_merge" -> (versionedSqlMerge _),
     "versioned_sql_merge_cond" -> (versionedSqlMergeCond _),
     "schema_widen" -> (schemaWiden _),
+    "versioned_constraints" -> (versionedConstraints _),
     "versioned_call" -> (versionedCall _),
     "versioned_clone" -> (versionedClone _),
     "versioned_retention" -> (versionedRetention _),
@@ -438,6 +468,7 @@ object VersionedQueries {
     "versioned_sql_merge" -> versionedSqlMergeOracle,
     "versioned_sql_merge_cond" -> versionedSqlMergeCondOracle,
     "schema_widen" -> schemaWidenOracle,
+    "versioned_constraints" -> versionedConstraintsOracle,
     "versioned_call" -> versionedCallOracle,
     "versioned_clone" -> versionedCloneOracle,
     "versioned_retention" -> versionedRetentionOracle,

@@ -166,6 +166,31 @@ object Streams {
       }
       .start()
 
+  /** Streaming twin of the GENERAL merge clause family
+    * ([[graft.io.Versioned.mergeIntoConditional]]): each micro-batch runs
+    * the given clauses against the versioned target with the same
+    * checkpoint-scoped replay tags as [[versionedMergeSink]]. The CDC
+    * apply shape lives here — e.g. a change stream carrying an `op`
+    * column upserts with `WhenMatchedDelete(Some(col("__s.op") ===
+    * "D"))` + update + insert clauses, making tombstones first-class.
+    * The same single-writer-per-root policy applies. */
+  def versionedConditionalMergeSink(events: DataFrame, root: String,
+                                    keys: Seq[String],
+                                    clauses: Seq[graft.io.Versioned.MergeClause],
+                                    checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!alreadyCommitted(batch.sparkSession, root, checkpointDir, "cmerge", id)) {
+          graft.io.Versioned.mergeIntoConditional(batch.sparkSession, root,
+            batch.toDF(), keys, clauses,
+            tag = Some(batchTag(checkpointDir, "cmerge", id)))
+          ()
+        }
+      }
+      .start()
+
   /** Continuously-maintained materialized view: tails a [[graft.io.Versioned]]
     * source with the `graft-versioned` stream (offsets are version numbers)
     * and folds each newly-committed delta into the state table via

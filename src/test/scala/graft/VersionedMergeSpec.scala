@@ -208,6 +208,32 @@ class VersionedMergeSpec extends SparkSpecBase {
     assert(err.getMessage.contains("changed type"))
   }
 
+  test("conditional merge sink applies a CDC op stream: tombstones delete, rest upserts") {
+    import graft.io.Versioned._
+    val root = tmpRoot()
+    Versioned.commit(spark,
+      Seq((1L, "a", "I"), (2L, "b", "I")).toDF("id", "v", "op"), root)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(Long, String, String)]
+    val q = Streams.versionedConditionalMergeSink(
+      src.toDF().toDF("id", "v", "op"), root, Seq("id"),
+      Seq(
+        WhenMatchedDelete(Some(col("__s.op") === "D")),
+        WhenMatchedUpdateAll(None),
+        WhenNotMatchedInsertAll(Some(col("__s.op") =!= "D"))),
+      tmpRoot())
+    try {
+      src.addData((1L, "a2", "U"), (3L, "c", "I"))
+      q.processAllAvailable()
+      // tombstone for live key 2 deletes; tombstone for absent key 9 is a no-op
+      src.addData((2L, "", "D"), (9L, "", "D"))
+      q.processAllAvailable()
+      val now = Versioned.read(spark, root)
+        .as[(Long, String, String)].collect().toSet
+      assert(now == Set((1L, "a2", "U"), (3L, "c", "I")))
+    } finally q.stop()
+  }
+
   test("merge sink tags are checkpoint-scoped: a fresh checkpoint's batch 0 is not a replay") {
     val root = tmpRoot()
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -135,6 +135,26 @@ class VersionedProcedureSpec extends SparkSpecBase {
     assert(e.getMessage.contains("float/double"))
   }
 
+  test("CALL stats retrofits footer min/max pruning onto an existing table") {
+    // build WITHOUT statsCols: nothing prunes until the retrofit
+    val root = rootOf("stated")
+    Seq(1L to 100L, 101L to 200L, 201L to 300L).foreach { r =>
+      Versioned.commit(spark, r.toDF("id").coalesce(1), root)
+    }
+    assert(Versioned.readPruned(spark, root, "id", Some(150L), Some(160L))
+      .inputFiles.length == 3) // no stats yet: every file kept
+    val out = spark.sql(s"CALL graft_proc.system.stats('ns.stated', 'id')")
+    assert(out.columns.toSeq == Seq("files_processed"))
+    assert(out.as[Long].head() == 3L)
+    val pruned = Versioned.readPruned(spark, root, "id", Some(150L), Some(160L))
+    assert(pruned.inputFiles.length == 1, "retrofitted stats must prune file opens")
+    assert(pruned.as[Long].collect().toSet == (150L to 160L).toSet)
+    // absent column refused
+    val e = intercept[Exception](
+      spark.sql(s"CALL graft_proc.system.stats('ns.stated', 'nope')"))
+    assert(e.getMessage.contains("statsCols not in"))
+  }
+
   test("namespace and procedure names are case-insensitive like all SQL identifiers") {
     val t = build("case")
     val h = spark.sql(s"CALL graft_proc.SYSTEM.HISTORY('$t')")
