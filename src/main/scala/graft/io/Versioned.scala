@@ -136,6 +136,32 @@ object Versioned {
     }
   }
 
+  /** Add nullable columns to the table schema as a METADATA-ONLY commit
+    * (no data touched): existing files read the new columns as null,
+    * exactly as an evolving append would have left them. The SQL
+    * `ALTER TABLE ... ADD COLUMNS` backing. Tags are NOT carried into
+    * the new manifest (a duplicated streaming tag could fool replay
+    * detection); checks and the file list are. */
+  def addColumns(spark: SparkSession, root: String,
+                 fields: Seq[org.apache.spark.sql.types.StructField]): Long = {
+    require(fields.nonEmpty, "addColumns needs at least one column")
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root")
+    val current = vs.last
+    val prev = snapshotSchema(spark, root, Some(current)).getOrElse(
+      readWithSchema(spark, None, snapshotFiles(spark, root, Some(current))).schema)
+    val clash = fields.map(_.name.toLowerCase)
+      .intersect(prev.fieldNames.map(_.toLowerCase).toSeq)
+    require(clash.isEmpty, s"column(s) already exist: ${clash.mkString(", ")}")
+    val dup = fields.map(_.name.toLowerCase).diff(fields.map(_.name.toLowerCase).distinct)
+    require(dup.isEmpty, s"duplicate new column name(s): ${dup.mkString(", ")}")
+    val evolved = StructType(prev.fields ++ fields.map(_.copy(nullable = true)))
+    publish(spark, root, current + 1,
+      Seq(s"#schema=${evolved.json}") ++
+        checkLines(spark, root, Some(current)) ++
+        manifestFiles(spark, root, current))
+  }
+
   /** Record a named CHECK constraint as a metadata-only commit: every
     * FUTURE commit/merge/update batch must satisfy `expression` (SQL
     * CHECK semantics — NULL passes) or it aborts before writing data.

@@ -140,8 +140,31 @@ class VersionedCatalog extends TableCatalog with ProcedureCatalog {
     load(ident, None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    readOnly(s"ALTER TABLE $ident")
+  /** ALTER TABLE: only ADD COLUMNS is expressible — a metadata-only
+    * schema commit under the additive-evolution rules (existing files
+    * read the new columns as null). NOT NULL adds are impossible for
+    * existing rows, positioned adds would reorder what append commits
+    * define as stable, and renames/drops would break readers — all
+    * refused loudly. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    if (adds.length != changes.length || adds.isEmpty)
+      readOnly(s"ALTER TABLE $ident (only ADD COLUMNS)")
+    val fields = adds.map { a =>
+      require(a.fieldNames.length == 1,
+        s"nested column adds are not supported: ${a.fieldNames.mkString(".")}")
+      require(a.isNullable,
+        s"ADD COLUMN ${a.fieldNames.head} NOT NULL is impossible: existing " +
+          "rows would read null")
+      require(a.position() == null,
+        s"positioned ADD COLUMN (${a.fieldNames.head}) is not supported: " +
+          "new columns append after the existing ones")
+      org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType,
+        nullable = true)
+    }
+    Versioned.addColumns(spark, rootFor(ident), fields)
+    loadTable(ident)
+  }
 
   /** DROP TABLE: remove the root (manifests + data). Returns false for a
     * table that never committed, per the TableCatalog contract. */

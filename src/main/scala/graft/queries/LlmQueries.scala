@@ -533,6 +533,35 @@ object LlmQueries {
       |WHERE CAST(('0x' || substring(md5(source || ':' || CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 100 < 20
       |""".stripMargin
 
+  /** Deterministic train/val/test assignment — the split every training
+    * pipeline needs pinned BEFORE any processing: 80/10/10 by the same
+    * engine-identical md5 bucket the stratified sampler uses, keyed on
+    * (source, doc_id) so membership survives any re-partitioning,
+    * re-run, or engine swap. Reported as per-(source, split) doc and
+    * char counts; the assignment itself is the `split` column. */
+  def datasetSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = hash32(concat(col("source"), lit(":"), col("doc_id").cast(StringType))) % 100
+    Tables.documents(spark, sfDir)
+      .withColumn("split",
+        when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast(LongType).as("n_chars"))
+  }
+
+  val datasetSplitOracle: String =
+    """WITH s AS (
+      |  SELECT source,
+      |         CASE WHEN h < 80 THEN 'train'
+      |              WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+      |         len(text) AS l
+      |  FROM (SELECT *,
+      |          CAST(('0x' || substring(md5(source || ':' || CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 100 AS h
+      |        FROM documents))
+      |SELECT source, split, COUNT(*) AS n_docs, CAST(SUM(l) AS BIGINT) AS n_chars
+      |FROM s GROUP BY 1, 2
+      |""".stripMargin
+
   // -------------------------------------------------------------------
   // End-to-end curation: quality gate -> exact dedup -> minhash-LSH
   // near-dup removal (greedy: drop the higher doc_id of each verified
@@ -1285,6 +1314,7 @@ object LlmQueries {
     "curation_pipeline" -> (curationPipeline _),
     "doc_chunks" -> (docChunks _),
     "stratified_sample" -> (stratifiedSample _),
+    "dataset_split" -> (datasetSplit _),
     "exact_dedup" -> (exactDedup _),
     "minhash_lsh_pairs" -> (minhashLshPairs _),
     "dedup_incremental" -> (dedupIncremental _),
@@ -1322,6 +1352,7 @@ object LlmQueries {
     "curation_pipeline" -> curationPipelineOracle,
     "doc_chunks" -> docChunksOracle,
     "stratified_sample" -> stratifiedSampleOracle,
+    "dataset_split" -> datasetSplitOracle,
     "domain_mix_sample" -> domainMixSampleOracle,
     "paragraph_dedup" -> paragraphDedupOracle,
     "exact_dedup" -> exactDedupOracle,

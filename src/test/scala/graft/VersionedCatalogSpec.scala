@@ -137,18 +137,38 @@ class VersionedCatalogSpec extends SparkSpecBase {
     spark.sql("DROP TABLE graft_test.sales.fresh")
   }
 
-  test("ALTER and RENAME stay rejected (paths are stable, schema evolves via commits)") {
+  test("ALTER TABLE ADD COLUMNS is a metadata-only schema commit") {
+    val wh = warehouse
+    val root = new java.io.File(new java.io.File(wh, "sales"), "altered").getAbsolutePath
+    Versioned.commit(spark, Seq((1L, "a")).toDF("id", "k").coalesce(1), root)
+    val before = Versioned.versions(spark, root).last
+    spark.sql("ALTER TABLE graft_test.sales.altered ADD COLUMNS (score DOUBLE, note STRING)")
+    // one metadata-only version: same files, evolved schema
+    assert(Versioned.versions(spark, root).last == before + 1)
+    val t = spark.table("graft_test.sales.altered")
+    assert(t.schema.fieldNames.toSeq == Seq("id", "k", "score", "note"))
+    assert(t.filter($"score".isNull && $"note".isNull).count() == 1) // old row reads null
+    spark.sql("INSERT INTO graft_test.sales.altered VALUES (2, 'b', 0.5, 'n')")
+    assert(spark.table("graft_test.sales.altered").count() == 2)
+  }
+
+  test("other ALTERs and RENAME stay rejected (paths stable, columns append-only)") {
     warehouse
-    val alter = intercept[Exception] {
-      spark.sql("ALTER TABLE graft_test.sales.orders ADD COLUMN z INT")
+    def refuse(sql: String, needle: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      assert(e.getMessage.toLowerCase.contains(needle.toLowerCase),
+        s"expected '$needle' in: ${e.getMessage}")
     }
-    assert(alter.getMessage.toLowerCase.contains("does not support"),
-      s"unexpected: ${alter.getMessage}")
-    val ren = intercept[Exception] {
-      spark.sql("ALTER TABLE graft_test.sales.orders RENAME TO graft_test.sales.orders2")
-    }
-    assert(ren.getMessage.toLowerCase.contains("does not support"),
-      s"unexpected: ${ren.getMessage}")
+    refuse("ALTER TABLE graft_test.sales.orders ADD COLUMN z INT NOT NULL",
+      "NOT NULL")
+    refuse("ALTER TABLE graft_test.sales.orders ADD COLUMN z INT FIRST",
+      "positioned")
+    refuse("ALTER TABLE graft_test.sales.orders DROP COLUMN k",
+      "does not support")
+    refuse("ALTER TABLE graft_test.sales.orders RENAME COLUMN k TO kk",
+      "does not support")
+    refuse("ALTER TABLE graft_test.sales.orders RENAME TO graft_test.sales.orders2",
+      "does not support")
     // table untouched
     assert(spark.sql("SELECT count(*) FROM graft_test.sales.orders")
       .as[Long].head() == 1L)
