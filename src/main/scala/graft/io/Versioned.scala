@@ -111,28 +111,40 @@ object Versioned {
     df.filter(not(coalesce(expr(expression).cast("boolean"), lit(true))))
   }
 
-  /** Enforce every recorded constraint against the rows about to be
-    * written, BEFORE any data write. Batch-absent table columns evaluate
-    * as NULL (exactly what the committed rows will read back), so a
-    * constraint on a column this batch omits passes per SQL CHECK
-    * semantics rather than failing resolution. */
-  private def enforceConstraints(spark: SparkSession, root: String,
-                                 df: DataFrame, prev: Option[Long]): Unit = {
-    import org.apache.spark.sql.functions.lit
+  /** Enforce every recorded constraint against the WRITTEN batch — a
+    * read-back of the just-written files under the RECORDED schema,
+    * validated in ONE job (all constraints as parallel any-violation
+    * flags), with the batch dir deleted before the abort so a violating
+    * commit publishes nothing and leaves no debris. Validating the
+    * written bytes (not the input plan) is load-bearing: a
+    * non-deterministic source re-executed between a pre-write check and
+    * the write could pass validation and still write violating rows —
+    * the files ARE the one evaluation. Reading under the recorded schema
+    * also gives batch-absent table columns their committed NULLs (SQL
+    * CHECK: NULL passes) and resolves case differences the way the scan
+    * will. */
+  private def enforceConstraintsOnWritten(spark: SparkSession, root: String,
+                                          batchDir: Path,
+                                          recorded: StructType,
+                                          prev: Option[Long]): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, max, not, when}
     val cs = constraints(spark, root, prev)
     if (cs.isEmpty) return
-    val tableSchema = prev.flatMap(v => snapshotSchema(spark, root, Some(v)))
-    val evalDf = tableSchema match {
-      case None => df
-      case Some(s) =>
-        val missing = s.fields.filterNot(f => df.columns.contains(f.name))
-        missing.foldLeft(df)((d, f) =>
-          d.withColumn(f.name, lit(null).cast(f.dataType)))
+    val written = spark.read.schema(recorded).parquet(batchDir.toString)
+    val flags = cs.map { case (name, e) =>
+      max(when(not(coalesce(expr(e).cast("boolean"), lit(true))), 1)
+        .otherwise(0)).as(name)
     }
-    cs.foreach { case (name, e) =>
-      require(violations(evalDf, e).limit(1).isEmpty,
-        s"CHECK constraint `$name` ($e) violated by rows in this commit " +
-          "— nothing was written")
+    val row = written.agg(flags.head, flags.tail: _*).collect()(0)
+    val violated = cs.zipWithIndex.collect {
+      case ((name, e), i) if !row.isNullAt(i) && row.getInt(i) == 1 => s"`$name` ($e)"
+    }
+    if (violated.nonEmpty) {
+      val f = batchDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.delete(batchDir, true)
+      throw new IllegalArgumentException(
+        s"CHECK constraint ${violated.mkString(", ")} violated by rows in " +
+          "this commit — the batch was discarded, nothing was published")
     }
   }
 
@@ -179,8 +191,12 @@ object Versioned {
     val snap = read(spark, root)
     require(violations(snap, expression).limit(1).isEmpty,
       s"existing rows violate CHECK `$name` ($expression) — constraint not added")
+    // #tag lines are NOT carried (same rule as addColumns/restore: a
+    // duplicated streaming tag in a metadata commit could fool replay
+    // detection and misattribute the batch in history)
     publish(spark, root, vs.last + 1,
-      manifestLines(spark, root, vs.last) :+ s"#check=$name:$expression")
+      manifestLines(spark, root, vs.last).filterNot(_.startsWith("#tag="))
+        :+ s"#check=$name:$expression")
   }
 
   /** Drop a named constraint as a metadata-only commit. */
@@ -191,7 +207,8 @@ object Versioned {
       s"no constraint named `$name`")
     publish(spark, root, vs.last + 1,
       manifestLines(spark, root, vs.last)
-        .filterNot(_.startsWith(s"#check=$name:")))
+        .filterNot(_.startsWith(s"#check=$name:"))
+        .filterNot(_.startsWith("#tag="))) // same tag rule as addConstraint
   }
 
   /** The schema recorded in a snapshot's manifest (newest unless `asOf`);
@@ -245,10 +262,14 @@ object Versioned {
     * null). A replace commit rewrites every file, so it may change
     * schema freely. */
   private def mergeSchemas(prev: StructType, next: StructType): StructType = {
-    val nextByName = next.fields.map(f => f.name -> f).toMap
-    val prevNames = prev.fieldNames.toSet
+    // match CASE-INSENSITIVELY, like Spark's default resolver: a batch
+    // column differing only in case is the SAME column (it keeps the
+    // table's recorded spelling) — a case-sensitive match would accept a
+    // dual x/X schema that breaks every later case-insensitive read
+    val nextByName = next.fields.map(f => f.name.toLowerCase -> f).toMap
+    val prevNames = prev.fieldNames.map(_.toLowerCase).toSet
     val widened = prev.fields.map { pf =>
-      nextByName.get(pf.name) match {
+      nextByName.get(pf.name.toLowerCase) match {
         case None => pf
         case Some(nf) if nf.dataType == pf.dataType => pf
         case Some(nf) if widens(pf.dataType, nf.dataType) => pf.copy(dataType = nf.dataType)
@@ -260,7 +281,7 @@ object Versioned {
             "(use replace = true to rewrite the table with a new type)")
       }
     }
-    StructType(widened ++ next.fields.filterNot(f => prevNames(f.name)))
+    StructType(widened ++ next.fields.filterNot(f => prevNames(f.name.toLowerCase)))
   }
 
   private def readWithSchema(spark: SparkSession, schema: Option[StructType],
@@ -282,7 +303,8 @@ object Versioned {
   def commit(spark: SparkSession, df: DataFrame, root: String,
              replace: Boolean = false, tag: Option[String] = None,
              statsCols: Seq[String] = Nil,
-             bloomCols: Seq[String] = Nil): Long = {
+             bloomCols: Seq[String] = Nil,
+             validateChecks: Boolean = true): Long = {
     val mdir = manifestDir(root)
     val f = fs(spark, mdir)
     f.mkdirs(mdir)
@@ -327,11 +349,17 @@ object Versioned {
     require(badBloomTypes.isEmpty,
       s"bloomCols with unsupported types (float/double excluded by design): " +
         badBloomTypes.mkString(", "))
-    // CHECK constraints also fail BEFORE the write (they carry across
-    // replace commits too — a replace that drops a checked column makes
-    // the check vacuously NULL-pass, it does not silently drop it)
-    enforceConstraints(spark, root, df, prev.lastOption)
     df.write.mode(SaveMode.ErrorIfExists).parquet(batchDir.toString)
+    // CHECK constraints validate the WRITTEN files (one evaluation — a
+    // non-deterministic source cannot slip violations past a pre-write
+    // check) and discard the batch before anything publishes. They carry
+    // across replace commits too (a replace dropping a checked column
+    // makes the check vacuously NULL-pass, it is not silently removed).
+    // validateChecks = false is reserved for pure re-layout maintenance
+    // (compaction) whose rows are already-committed and valid by
+    // induction.
+    if (validateChecks)
+      enforceConstraintsOnWritten(spark, root, batchDir, recorded, prev.lastOption)
     val newPaths = f.listStatus(batchDir).toSeq.map(_.getPath)
       .filter(p => p.getName.endsWith(".parquet"))
     if (statsCols.nonEmpty) {
@@ -771,10 +799,12 @@ object Versioned {
     import org.apache.spark.sql.functions.{coalesce, col, count, input_file_name, lit, when}
     require(keys.nonEmpty, "mergeIntoConditional needs at least one key column")
     require(clauses.nonEmpty, "mergeIntoConditional needs at least one clause")
-    // replay guard for streaming sinks, same shape as mergeInto's
-    if (tag.isDefined && versions(spark, root).nonEmpty &&
+    // replay guard for streaming sinks, same shape as mergeInto's (one
+    // manifest-dir listing serves the guard and the body below)
+    val vsGuard = versions(spark, root)
+    if (tag.isDefined && vsGuard.nonEmpty &&
         committedTag(spark, root) == tag)
-      return versions(spark, root).last
+      return vsGuard.last
     val missingKeys = keys.filterNot(source.columns.contains)
     require(missingKeys.isEmpty,
       s"source is missing key column(s): ${missingKeys.mkString(", ")}")
@@ -787,7 +817,7 @@ object Versioned {
       case c: WhenNotMatchedBySourceUpdate => (c.condition, Some(c.assignments))
       case c: WhenNotMatchedBySourceDelete => (c.condition, None)
     }
-    val vs = versions(spark, root)
+    val vs = vsGuard
     require(vs.nonEmpty,
       s"no committed versions at $root — bootstrap with commit/CREATE TABLE first")
     val current = vs.last
@@ -1287,6 +1317,7 @@ object Versioned {
     require(cols.nonEmpty, "buildStats needs at least one column")
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no committed versions at $root")
+    requireOwnedFiles(spark, root, "buildStats")
     val schema = snapshotSchema(spark, root, Some(vs.last))
     schema.foreach { s =>
       val bad = cols.filterNot(s.fieldNames.contains)
@@ -1313,10 +1344,28 @@ object Versioned {
     * kept). The one maintenance path that arms point-lookup pruning on a
     * table that was committed without `bloomCols`. Returns the number of
     * files bloomed. */
+  /** Retrofits write sidecars INSIDE the snapshot's batch directories —
+    * legal only for directories this root OWNS. A shallow clone's
+    * manifest references the SOURCE table's dirs; a retrofit through the
+    * clone would mutate a root another writer owns (racing the source's
+    * own sidecar maintenance, last-rename-wins losing entries), so it is
+    * refused with a pointer at the real owner. */
+  private def requireOwnedFiles(spark: SparkSession, root: String,
+                                what: String): Unit = {
+    val foreign = snapshotFiles(spark, root, None)
+      .map(relativize(spark, root, _))
+      .filter(e => new Path(e).isAbsolute || new Path(e).toUri.getScheme != null)
+    require(foreign.isEmpty,
+      s"$what on a shallow clone would write sidecars into the SOURCE " +
+        s"table's directories (${foreign.take(2).mkString(", ")}…) — run it " +
+        "on the source table instead")
+  }
+
   def buildBlooms(spark: SparkSession, root: String, cols: Seq[String]): Long = {
     require(cols.nonEmpty, "buildBlooms needs at least one column")
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no committed versions at $root")
+    requireOwnedFiles(spark, root, "buildBlooms")
     val schema = snapshotSchema(spark, root, Some(vs.last))
       .getOrElse(readWithSchema(spark, None,
         snapshotFiles(spark, root, Some(vs.last))).schema)
@@ -1385,7 +1434,8 @@ object Versioned {
                           carriedRel: Seq[String],
                           statsCols: Seq[String],
                           tag: Option[String] = None,
-                          bloomCols: Seq[String] = Nil): Long = {
+                          bloomCols: Seq[String] = Nil,
+                          validateChecks: Boolean = true): Long = {
     val mdir = manifestDir(root)
     val f = fs(spark, mdir)
     val prev = versions(spark, root)
@@ -1394,8 +1444,10 @@ object Versioned {
     f.delete(batchDir, true)
     f.delete(new Path(mdir, s".v$next.txt.tmp"), false)
     val recorded = asNullable(df.schema)
-    enforceConstraints(spark, root, df, prev.lastOption)
     df.write.mode(SaveMode.ErrorIfExists).parquet(batchDir.toString)
+    // same written-files CHECK validation as commit() — see there
+    if (validateChecks)
+      enforceConstraintsOnWritten(spark, root, batchDir, recorded, prev.lastOption)
     val newPaths = f.listStatus(batchDir).toSeq.map(_.getPath)
       .filter(_.getName.endsWith(".parquet"))
     val usable = statsCols.filter(df.columns.contains)
@@ -1461,8 +1513,10 @@ object Versioned {
     // stats default to the sort layout's own columns — compaction must
     // REFRESH pruning metadata, not silently destroy it (the rewritten
     // files would otherwise carry no sidecar and never prune again)
+    // pure re-layout of already-committed rows: valid by induction, so
+    // CHECK re-validation is skipped (it would re-read the whole table)
     commit(spark, shaped, root, replace = true,
-      statsCols = statsCols.getOrElse(sortCols))
+      statsCols = statsCols.getOrElse(sortCols), validateChecks = false)
   }
 
   /** Incremental compaction — the OPTIMIZE between [[compactLatest]]
@@ -1501,8 +1555,9 @@ object Versioned {
         .sortWithinPartitions(sortCols.map(col): _*)
     val statsCols = (trackedStatsCols(spark, root, files) ++ sortCols)
       .distinct.sorted.filter(c => schema.forall(_.fieldNames.contains(c)))
+    // bin-packed rows are already-committed and valid by induction
     commitMixed(spark, shaped, root, large.map(p => relativize(spark, root, p._1)),
-      statsCols = statsCols)
+      statsCols = statsCols, validateChecks = false)
   }
 
   /** One row per committed version — the DESCRIBE HISTORY surface:

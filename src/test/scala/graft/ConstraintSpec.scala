@@ -20,7 +20,7 @@ class ConstraintSpec extends SparkSpecBase {
     d.getAbsolutePath
   }
 
-  test("violating append aborts before writing; valid append passes") {
+  test("violating append aborts with nothing published and no debris") {
     val root = tmpRoot()
     Versioned.commit(spark, Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x"), root)
     val v = Versioned.addConstraint(spark, root, "x_positive", "x > 0")
@@ -30,10 +30,42 @@ class ConstraintSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("x_positive"))
     assert(Versioned.versions(spark, root) == Seq(1L, 2L))
-    // the aborted commit wrote NO batch dir (fail-before-the-write)
+    // the rejected batch is validated as WRITTEN files (one evaluation —
+    // a non-deterministic source cannot slip violations past a pre-write
+    // check) and then discarded: no batch dir survives
     assert(!new java.io.File(root, "data/b3").exists())
     Versioned.commit(spark, Seq((3L, 1.0)).toDF("id", "x"), root)
     assert(Versioned.read(spark, root).count() == 3)
+  }
+
+  test("a case-variant batch column is the SAME column: checked and folded") {
+    val root = tmpRoot()
+    Versioned.commit(spark, Seq((1L, 10.0)).toDF("id", "x"), root)
+    Versioned.addConstraint(spark, root, "x_positive", "x > 0")
+    // batch spells the column "X": same column (Spark's case-insensitive
+    // resolution), so the check must still catch the violation...
+    val e = intercept[IllegalArgumentException] {
+      Versioned.commit(spark, Seq((2L, -1.0)).toDF("id", "X"), root)
+    }
+    assert(e.getMessage.contains("x_positive"))
+    // ...and a valid case-variant batch folds into the recorded spelling
+    Versioned.commit(spark, Seq((2L, 2.0)).toDF("id", "X"), root)
+    val schema = Versioned.read(spark, root).schema
+    assert(schema.fieldNames.toSeq == Seq("id", "x"), "no dual x/X schema")
+    assert(Versioned.read(spark, root).count() == 2)
+  }
+
+  test("compaction skips CHECK re-validation (rows valid by induction)") {
+    val root = tmpRoot()
+    Versioned.commit(spark, (1L to 100L).map(i => (i, i * 1.0)).toDF("id", "x")
+      .repartition(4), root)
+    Versioned.addConstraint(spark, root, "x_positive", "x > 0")
+    // compactLatest routes commit(replace = true) — with validation it
+    // would re-scan the table; it must still succeed and stay valid
+    Versioned.compactLatest(spark, root, nFiles = 1, sortCols = Seq("id"))
+    assert(Versioned.read(spark, root).count() == 100)
+    assert(Versioned.constraints(spark, root)
+      == Seq(("x_positive", "x > 0"))) // constraint survives the rewrite
   }
 
   test("adding a constraint existing rows violate is refused") {

@@ -76,6 +76,22 @@ class VersionedCloneSpec extends SparkSpecBase {
       s"expected 2 carried source files, got: $entries")
   }
 
+  test("sidecar retrofits refuse a clone: they would write into the source's dirs") {
+    val src = buildSrc()
+    val dst = tmpRoot("graft_clone_retrofit")
+    Versioned.cloneTable(spark, src, dst)
+    val e = intercept[IllegalArgumentException] {
+      Versioned.buildStats(spark, dst, Seq("id"))
+    }
+    assert(e.getMessage.contains("source table"))
+    val e2 = intercept[IllegalArgumentException] {
+      Versioned.buildBlooms(spark, dst, Seq("id"))
+    }
+    assert(e2.getMessage.contains("source table"))
+    // the SOURCE itself retrofits fine
+    assert(Versioned.buildStats(spark, src, Seq("id")) == 3L)
+  }
+
   test("vacuum on the clone deletes only clone-local files") {
     val src = buildSrc()
     val dst = tmpRoot("graft_clone_vac")
