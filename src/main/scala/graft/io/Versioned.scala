@@ -1344,6 +1344,30 @@ object Versioned {
     * kept). The one maintenance path that arms point-lookup pruning on a
     * table that was committed without `bloomCols`. Returns the number of
     * files bloomed. */
+  /** One-row snapshot description for `CALL graft.system.detail` /
+    * dashboards: everything is metadata-sized (manifest + sidecar key
+    * reads + one LIST per batch dir for sizes — no data read). */
+  final case class TableDetail(version: Long, numFiles: Long, totalBytes: Long,
+                               numColumns: Int, statsColumns: String,
+                               bloomColumns: String, numConstraints: Int)
+
+  def describeDetail(spark: SparkSession, root: String): TableDetail = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root")
+    val current = vs.last
+    val files = snapshotFiles(spark, root, Some(current))
+    val schema = snapshotSchema(spark, root, Some(current))
+    val f = fs(spark, new Path(root))
+    val sizes = fileLengths(f, files.map(new Path(_)))
+    val bytes = files.map(s => sizes.getOrElse(new Path(s).toUri.getPath, 0L)).sum
+    val statsCols = trackedStatsCols(spark, root, files)
+    val bloomCols = trackedBloomCols(spark, root, files)
+    TableDetail(current, files.size.toLong, bytes,
+      schema.map(_.fields.length).getOrElse(-1),
+      statsCols.mkString(","), bloomCols.mkString(","),
+      constraints(spark, root).size)
+  }
+
   /** Retrofits write sidecars INSIDE the snapshot's batch directories —
     * legal only for directories this root OWNS. A shallow clone's
     * manifest references the SOURCE table's dirs; a retrofit through the

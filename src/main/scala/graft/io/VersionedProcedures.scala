@@ -180,6 +180,25 @@ private[io] object VersionedProcedures {
       (spark, rootFor, input) => row(Versioned.dropConstraint(
         spark, existing(spark, rootFor, input, 0), str(input, 1, "name")))),
 
+    Spec("detail", "one metadata row describing the current snapshot (files, bytes, schema width, sidecar coverage, constraints)",
+      Array(in("table", StringType)),
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("num_files", LongType, nullable = false),
+        StructField("total_bytes", LongType, nullable = false),
+        StructField("num_columns", IntegerType, nullable = false),
+        StructField("stats_columns", StringType, nullable = false),
+        StructField("bloom_columns", StringType, nullable = false),
+        StructField("num_constraints", IntegerType, nullable = false))),
+      (spark, rootFor, input) => {
+        val root = existing(spark, rootFor, input, 0)
+        val d = Versioned.describeDetail(spark, root)
+        row(d.version, d.numFiles, d.totalBytes, d.numColumns,
+          org.apache.spark.unsafe.types.UTF8String.fromString(d.statsColumns),
+          org.apache.spark.unsafe.types.UTF8String.fromString(d.bloomColumns),
+          d.numConstraints)
+      }),
+
     Spec("constraints", "list the current snapshot's CHECK constraints",
       Array(in("table", StringType)),
       StructType(Seq(

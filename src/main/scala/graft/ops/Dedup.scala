@@ -239,14 +239,24 @@ object Dedup {
     * candidates exactly (a shared block only bounds distance by 2).
     * Deterministic, shuffle-scalable; block sizes are bounded by the
     * values colliding on one deletion (alphabet-sized for id-like keys). */
-  def editDistance1Pairs(df: DataFrame, colName: String): DataFrame = {
-    val blocked = deletionBlocked(df, colName, "s")
+  def editDistance1Pairs(df: DataFrame, colName: String): DataFrame =
+    editDistancePairs(df, colName, 1)
+
+  /** All distinct value pairs within edit distance `maxDist` (1 or 2) —
+    * the d = 2 generalization of the SymSpell blocking: candidates come
+    * from one equi-join on <=maxDist-char-deletion keys (O(n·L) keys for
+    * d = 1, O(n·L²/2) for d = 2 — still nothing like the O(n²)
+    * comparisons), exact levenshtein verifies (shared blocks only bound
+    * the distance). */
+  def editDistancePairs(df: DataFrame, colName: String,
+                        maxDist: Int): DataFrame = {
+    val blocked = deletionBlocked(df, colName, "s", maxDist)
     val a = blocked.select(col("s").as("d1"), col("block"))
     val b = blocked.select(col("s").as("d2"), col("block"))
     a.join(b, "block")
       .filter(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
-      .filter(levenshtein(col("d1"), col("d2")) <= 1)
+      .filter(levenshtein(col("d1"), col("d2")) <= maxDist)
   }
 
   /** Distinct non-null values of `colName` exploded to their SymSpell
@@ -254,14 +264,31 @@ object Dedup {
     * single-character deletion): two strings within one edit necessarily
     * share a block. Shared by the pair and join forms. */
   private def deletionBlocked(df: DataFrame, colName: String,
-                              out: String): DataFrame = {
+                              out: String, maxDist: Int = 1): DataFrame = {
+    require(maxDist == 1 || maxDist == 2,
+      s"deletion blocking supports maxDist 1 or 2, got $maxDist")
     val vals = df.select(col(colName).cast(StringType).as(out))
       .filter(col(out).isNotNull).distinct()
-    val deletions = transform(sequence(lit(1), length(col(out))), i =>
-      concat(col(out).substr(lit(1), i - 1),
-        col(out).substr(i + 1, length(col(out)))))
-    vals.select(col(out),
-      explode(array_union(array(col(out)), deletions)).as("block"))
+    val s = col(out)
+    val deletions = transform(sequence(lit(1), length(s)), i =>
+      concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s))))
+    // SymSpell for d = 2: if lev(a,b) <= 2 then a and b share a key among
+    // their <=2-char deletions — O(L^2/2) keys per value (fine for the
+    // key/name-length strings fuzzy matching exists for; for long text
+    // block on a fingerprint instead). The length guard matters:
+    // sequence(1, 0) would generate a DESCENDING range.
+    val deletions2 =
+      if (maxDist < 2) array().cast("array<string>")
+      else when(length(s) >= 2, flatten(transform(
+        sequence(lit(1), length(s) - 1), i =>
+          transform(sequence(i + lit(1), length(s)), j =>
+            concat(s.substr(lit(1), i - 1),
+              s.substr(i + 1, j - i - 1),
+              s.substr(j + 1, length(s) - j))))))
+        .otherwise(array().cast("array<string>"))
+    vals.select(s,
+      explode(array_distinct(concat(array(s), deletions, deletions2)))
+        .as("block"))
   }
 
   /** Fuzzy lookup JOIN — the enrichment form of [[editDistance1Pairs]]:

@@ -232,6 +232,25 @@ object CoverageQueries {
       |  ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1
       |""".stripMargin
 
+  /** The d = 2 generalization (Dedup.editDistancePairs): two-deletion
+    * SymSpell blocks, exact levenshtein <= 2 verify. Run on a FIXED
+    * 1000-key slice — customer names differ only in trailing digits, so
+    * full-table d = 2 output grows quadratically with SF and would
+    * benchmark the result SIZE, not the operator (the d = 1 query keeps
+    * the full-table scale demonstration). */
+  def fuzzyPairs2(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Dedup.editDistancePairs(
+      Tables.customer(spark, sfDir).filter(col("c_custkey") <= 1000L),
+      "c_name", 2)
+
+  val fuzzyPairs2Oracle: String =
+    """WITH n AS (SELECT DISTINCT c_name FROM customer
+      |           WHERE c_custkey <= 1000 AND c_name IS NOT NULL)
+      |SELECT a.c_name AS d1, b.c_name AS d2
+      |FROM n a JOIN n b
+      |  ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 2
+      |""".stripMargin
+
   /** Fuzzy lookup JOIN (entity resolution): every customer enriched with
     * its best edit-distance-≤1 match from the "clean dimension" (every
     * 10th customer's name) — deletion-neighborhood blocking on both
@@ -1097,6 +1116,7 @@ object CoverageQueries {
     "dedup_clusters" -> (dedupClusters _),
     "dedup_apply" -> (dedupApply _),
     "fuzzy_pairs" -> (fuzzyPairs _),
+    "fuzzy_pairs2" -> (fuzzyPairs2 _),
     "fuzzy_join" -> (fuzzyJoinQuery _),
     "xlsx_roundtrip" -> (xlsxRoundtrip _),
   )
@@ -1133,6 +1153,7 @@ object CoverageQueries {
     "dedup_clusters" -> dedupClustersOracle,
     "dedup_apply" -> dedupApplyOracle,
     "fuzzy_pairs" -> fuzzyPairsOracle,
+    "fuzzy_pairs2" -> fuzzyPairs2Oracle,
     "fuzzy_join" -> fuzzyJoinOracle,
     "xlsx_roundtrip" -> xlsxRoundtripOracle,
   )

@@ -213,5 +213,18 @@ class PropertySpec extends SparkSpecBase {
       } yield (a, b)).toSet
       assert(got == want, s"run $seedRun: ${got.diff(want)} / ${want.diff(got)}")
     }
+    // the d = 2 generalization under the same property: two-char-deletion
+    // blocks must find EVERY pair the brute force finds (substitutions,
+    // transposed-adjacent = 2 substitutions, insert+delete, length gaps)
+    for (seedRun <- 1 to 3) {
+      val vals = gen.sample.get
+      val got = graft.ops.Dedup.editDistancePairs(vals.toDF("s"), "s", 2)
+        .as[(String, String)].collect().toSet
+      val distinct = vals.distinct
+      val want = (for {
+        a <- distinct; b <- distinct if a < b && lev(a, b) <= 2
+      } yield (a, b)).toSet
+      assert(got == want, s"d2 run $seedRun: missing=${want.diff(got)} extra=${got.diff(want)}")
+    }
   }
 }

@@ -109,6 +109,24 @@ class VersionedProcedureSpec extends SparkSpecBase {
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
 
+  test("CALL detail reports snapshot metadata incl. sidecar coverage and checks") {
+    val t = build("detailed") // 3 versions, statsCols = id
+    val root = rootOf("detailed")
+    Versioned.addConstraint(spark, root, "id_pos", "id > 0")
+    Versioned.buildBlooms(spark, root, Seq("id"))
+    val d = spark.sql(s"CALL graft_proc.system.detail('$t')")
+    assert(d.columns.toSeq == Seq("version", "num_files", "total_bytes",
+      "num_columns", "stats_columns", "bloom_columns", "num_constraints"))
+    val r = d.collect()(0)
+    assert(r.getLong(0) == 4L)       // 3 commits + constraint commit
+    assert(r.getLong(1) == 3L)       // three single-file batches
+    assert(r.getLong(2) > 0L)
+    assert(r.getInt(3) == 2)         // id, x
+    assert(r.getString(4) == "id")   // stats-tracked
+    assert(r.getString(5) == "id")   // bloom-tracked (retrofit)
+    assert(r.getInt(6) == 1)         // one constraint
+  }
+
   test("CALL bloom retrofits point-lookup pruning onto an existing table") {
     val t = build("bloomed") // committed WITHOUT bloomCols
     val root = rootOf("bloomed")
