@@ -90,4 +90,79 @@ class VersionedLifecycleSpec extends SparkSpecBase {
       Versioned.read(spark, root, asOf = Some(3L))
     }
   }
+
+  test("round-8 surfaces compose: constraints, widening, blooms, conditional merge, ALTER") {
+    import graft.io.Versioned._
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField}
+    val root = tmpDir("graft_life8")
+
+    // 1. INT-keyed ingest with stats, then a write-time data contract
+    Versioned.commit(spark, (1 to 100).map(i => (i, i * 1.0, "src0"))
+      .toDF("id", "x", "src").coalesce(1), root, statsCols = Seq("id"))
+    Versioned.addConstraint(spark, root, "x_pos", "x > 0")     // v2 (metadata)
+
+    // 2. a violating batch is discarded atomically
+    intercept[IllegalArgumentException] {
+      Versioned.commit(spark, Seq((101, -1.0, "bad")).toDF("id", "x", "src"), root)
+    }
+    assert(Versioned.versions(spark, root) == Seq(1L, 2L))
+
+    // 3. a LONG-keyed valid batch widens the schema mid-life; the
+    // constraint validated it through the evolved (widened) read-back
+    Versioned.commit(spark, (101L to 200L).map(i => (i, i * 1.0, "src1"))
+      .toDF("id", "x", "src").coalesce(1), root, statsCols = Seq("id"))   // v3
+    assert(Versioned.read(spark, root).schema("id").dataType == LongType)
+
+    // 4. bloom retrofit arms point lookups over the mixed-physical files
+    // (INT batch + LONG batch — the long-normalized hash makes them one)
+    assert(Versioned.buildBlooms(spark, root, Seq("id")) == 2L)
+    assert(spark.read.format("graft-versioned").load(root)
+      .filter(col("id") === 150L).count() == 1)
+
+    // 5. a CDC-shaped conditional merge: tombstone deletes, update
+    // replaces, insert appends — one atomic commit, constraint-checked
+    Versioned.mergeIntoConditional(spark, root,
+      Seq((150L, 5.0, "upd"), (50L, 99.0, "del"), (999L, 9.9, "new"))
+        .toDF("id", "x", "src"),
+      Seq("id"), Seq(
+        WhenMatchedDelete(Some(col("__s.src") === "del")),
+        WhenMatchedUpdateAll(None),
+        WhenNotMatchedInsertAll(None)))                                   // v4
+    val after = Versioned.read(spark, root)
+    assert(after.count() == 200)                       // 200 = 200 - 1 + 1
+    assert(after.filter(col("id") === 50L).count() == 0)
+    assert(after.filter(col("id") === 150L && col("src") === "upd").count() == 1)
+    assert(after.filter(col("id") === 999L).count() == 1)
+
+    // 6. a violating conditional merge aborts atomically — the UPDATE
+    // value breaks the contract, so nothing publishes
+    val vBefore = Versioned.versions(spark, root).last
+    intercept[IllegalArgumentException] {
+      Versioned.mergeIntoConditional(spark, root,
+        Seq((160L, -3.0, "bad")).toDF("id", "x", "src"), Seq("id"), Seq(
+          WhenMatchedUpdateAll(None)))
+    }
+    assert(Versioned.versions(spark, root).last == vBefore)
+    assert(Versioned.read(spark, root)
+      .filter(col("id") === 160L && col("src") === "src1").count() == 1)
+
+    // 7. ALTER ADD COLUMNS (metadata-only) then a merge WITH schema
+    // evolution fills the new column for one row
+    Versioned.addColumns(spark, root, Seq(StructField("score", DoubleType))) // v5
+    Versioned.mergeInto(spark, root,
+      Seq((150L, 5.0, "upd", 0.9)).toDF("id", "x", "src", "score"),
+      Seq("id"), schemaEvolution = true)                                  // v6
+    val scored = Versioned.read(spark, root)
+    assert(scored.filter(col("score").isNotNull).count() == 1)
+    assert(scored.filter(col("id") === 150L).select("score")
+      .as[Double].head() == 0.9)
+
+    // 8. detail sees the whole composition; time travel is intact
+    val d = Versioned.describeDetail(spark, root)
+    assert(d.numConstraints == 1 && d.numColumns == 4)
+    assert(d.statsColumns == "id" && d.bloomColumns == "id")
+    assert(Versioned.read(spark, root, asOf = Some(3L)).count() == 200)
+    assert(Versioned.read(spark, root, asOf = Some(3L))
+      .schema.fieldNames.toSeq == Seq("id", "x", "src")) // pre-ALTER shape
+  }
 }
