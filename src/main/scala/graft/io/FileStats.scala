@@ -225,14 +225,18 @@ object FileStats {
   }
 
   /** Write the batch's bloom sidecar (TSV: file, col, base64(bloom bytes) —
-    * the spark.util.sketch serialized form). */
+    * the spark.util.sketch serialized form). A `#cols=` header line lists
+    * the tracked column names so planning ([[readBloomColumns]]) learns
+    * them from one small read instead of streaming every filter's bytes. */
   def writeBloomSidecar(fs: FileSystem, batchDir: Path,
                         blooms: Map[String, Map[String, Array[Byte]]]): Unit = {
-    val body = blooms.toSeq.sortBy(_._1).flatMap { case (file, byCol) =>
+    val cols = blooms.valuesIterator.flatMap(_.keysIterator).toSeq.distinct.sorted
+    val header = s"#cols=${cols.mkString(",")}"
+    val body = (header +: blooms.toSeq.sortBy(_._1).flatMap { case (file, byCol) =>
       byCol.toSeq.sortBy(_._1).map { case (c, bytes) =>
         s"$file\t$c\t${Base64.getEncoder.encodeToString(bytes)}"
       }
-    }.mkString("", "\n", "\n")
+    }).mkString("", "\n", "\n")
     writeAtomic(fs, bloomSidecarPath(batchDir), body)
   }
 
@@ -250,7 +254,7 @@ object FileStats {
       in.readFully(b); b
     } finally in.close()
     new String(bytes, StandardCharsets.UTF_8).split("\n")
-      .map(_.trim).filter(_.nonEmpty)
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
       .flatMap { line =>
         line.split("\t", -1) match {
           case Array(file, c, b64) =>
@@ -261,6 +265,39 @@ object FileStats {
       }
       .groupBy(_._1)
       .map { case (f, rows) => f -> rows.map(r => r._2 -> r._3).toMap }
+  }
+
+  /** Bloom-tracked column NAMES of a batch, metadata-cheap: the `#cols=`
+    * header when present (one buffered line read), a field-2 streaming
+    * scan (no base64 decode, no filter deserialization) for sidecars
+    * written before the header existed. Planning calls this through
+    * `SupportsRuntimeFiltering.filterAttributes`, so it must stay cheap —
+    * the full bloom load is deferred until a probe actually runs. */
+  def readBloomColumns(fs: FileSystem, batchDir: Path): Set[String] = {
+    val p = bloomSidecarPath(batchDir)
+    if (!fs.exists(p)) return Set.empty
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(p), StandardCharsets.UTF_8))
+    try {
+      var line = in.readLine()
+      if (line != null && line.startsWith("#cols="))
+        return line.stripPrefix("#cols=").split(",").iterator
+          .map(_.trim).filter(_.nonEmpty).toSet
+      val out = scala.collection.mutable.Set[String]()
+      while (line != null) {
+        if (!line.startsWith("#")) {
+          val t1 = line.indexOf('\t')
+          val t2 = if (t1 >= 0) line.indexOf('\t', t1 + 1) else -1
+          if (t2 > t1) out += line.substring(t1 + 1, t2)
+        }
+        line = in.readLine()
+      }
+      out.toSet
+    } catch {
+      // torn concurrent retrofit read: no names = no runtime filtering
+      // offer, never an error (same policy as readBloomSidecar)
+      case scala.util.control.NonFatal(_) => Set.empty
+    } finally in.close()
   }
 
   /** Can a file with this serialized bloom contain a value with xxhash64

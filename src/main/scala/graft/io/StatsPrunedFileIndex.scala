@@ -37,7 +37,9 @@ private[graft] class StatsPrunedFileIndex(
     files: Seq[Path],
     sidecars: Map[(String, String), Map[String, FileStats.ColStats]],
     runtimeKeep: Option[Set[(String, String)]] = None,
-    blooms: () => Map[(String, String), Map[String, Array[Byte]]] = () => Map.empty)
+    blooms: () => Map[(String, String), Map[String, Array[Byte]]] = () => Map.empty,
+    bloomCols: () => Set[String] = () => Set.empty,
+    parentBlooms: Option[() => Map[(String, String), Map[String, org.apache.spark.util.sketch.BloomFilter]]] = None)
   extends InMemoryFileIndex(spark, files, Map.empty[String, String], None,
     FileStatusCache.getOrCreate(spark)) {
 
@@ -53,12 +55,17 @@ private[graft] class StatsPrunedFileIndex(
   /** Bloom sidecars, deserialized ONCE per (file, col) at first use — a
     * probe-per-candidate re-deserialization would copy the whole bitset
     * (≈120 KB) thousands of times per planned query. An unreadable bloom
-    * is dropped here (absent = conservative keep). */
+    * is dropped here (absent = conservative keep). A derived runtime-keep
+    * index shares its parent's already-deserialized map ([[withRuntimeKeep]])
+    * instead of re-reading the sidecars. */
   private lazy val bloomMap: Map[(String, String), Map[String, org.apache.spark.util.sketch.BloomFilter]] =
-    blooms().map { case (key, byCol) =>
-      key -> byCol.flatMap { case (c, bytes) =>
-        try Some(c -> org.apache.spark.util.sketch.BloomFilter.readFrom(bytes))
-        catch { case scala.util.control.NonFatal(_) => None }
+    parentBlooms match {
+      case Some(shared) => shared()
+      case None => blooms().map { case (key, byCol) =>
+        key -> byCol.flatMap { case (c, bytes) =>
+          try Some(c -> org.apache.spark.util.sketch.BloomFilter.readFrom(bytes))
+          catch { case scala.util.control.NonFatal(_) => None }
+        }
       }
     }
 
@@ -70,9 +77,14 @@ private[graft] class StatsPrunedFileIndex(
   /** Columns runtime filtering can act on at all: min/max-tracked OR
     * bloom-tracked (a bloom-only column still prunes point lookups;
     * gating on statsColumns alone would never consult its blooms).
-    * Accessing this loads the bloom sidecars once per table load. */
+    * Bloom NAMES come from the metadata-cheap sidecar-header read
+    * ([[FileStats.readBloomColumns]]), NOT from the full bloom load —
+    * `filterAttributes` calls this while planning every join-bearing
+    * query, and a range-only scan must never pay sidecar deserialization.
+    * A named column whose bloom later fails to load keeps every file
+    * (conservative, same as an absent bloom). */
   private[io] lazy val runtimeColumns: Set[String] =
-    statsColumns ++ bloomMap.valuesIterator.flatMap(_.keysIterator)
+    statsColumns ++ bloomCols()
 
   /** Files (as (batchDirName, fileName) keys) that could contain at least
     * one value of every per-column candidate set (conservative: missing
@@ -108,7 +120,8 @@ private[graft] class StatsPrunedFileIndex(
     * shared by every scan of the table, so runtime filters must NOT mutate
     * it — a self-join's two scans carry different runtime predicates. */
   private[io] def withRuntimeKeep(keep: Set[(String, String)]): StatsPrunedFileIndex =
-    new StatsPrunedFileIndex(spark, files, sidecars, Some(keep), blooms)
+    new StatsPrunedFileIndex(spark, files, sidecars, Some(keep), blooms,
+      bloomCols, Some(() => this.bloomMap))
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {

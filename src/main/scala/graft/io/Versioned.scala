@@ -128,19 +128,43 @@ object Versioned {
                                           recorded: StructType,
                                           prev: Option[Long]): Unit = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, max, not, when}
-    val cs = constraints(spark, root, prev)
+    val all = constraints(spark, root, prev)
+    if (all.isEmpty) return
+    // A constraint referencing a column ABSENT from the recorded schema is
+    // vacuously NULL-pass (the carry-across-replace rule documented at the
+    // commit() call site): the scan would read that column as NULL and SQL
+    // CHECK passes on unknown. Evaluating it anyway would fail resolution
+    // and abort a legitimate column-dropping replace. Absence is detected
+    // by parsing the expression and checking its leaf attribute roots
+    // against `recorded` case-insensitively — the same resolver rule the
+    // actual evaluation uses.
+    val recordedNames = recorded.fieldNames.map(_.toLowerCase).toSet
+    val cs = all.filter { case (_, e) =>
+      try spark.sessionState.sqlParser.parseExpression(e).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.head.toLowerCase
+      }.forall(recordedNames)
+      catch { // unparseable: keep it, so evaluation raises the real error
+        case scala.util.control.NonFatal(_) => true
+      }
+    }
     if (cs.isEmpty) return
+    val f = batchDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val written = spark.read.schema(recorded).parquet(batchDir.toString)
     val flags = cs.map { case (name, e) =>
       max(when(not(coalesce(expr(e).cast("boolean"), lit(true))), 1)
         .otherwise(0)).as(name)
     }
-    val row = written.agg(flags.head, flags.tail: _*).collect()(0)
+    // ANY validation failure discards the batch, not just a violation: an
+    // aborted commit must never leave an unpublished batch dir behind
+    // (crash-debris reclaim would get it, but only on the NEXT attempt)
+    val row =
+      try written.agg(flags.head, flags.tail: _*).collect()(0)
+      catch { case t: Throwable => f.delete(batchDir, true); throw t }
     val violated = cs.zipWithIndex.collect {
       case ((name, e), i) if !row.isNullAt(i) && row.getInt(i) == 1 => s"`$name` ($e)"
     }
     if (violated.nonEmpty) {
-      val f = batchDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       f.delete(batchDir, true)
       throw new IllegalArgumentException(
         s"CHECK constraint ${violated.mkString(", ")} violated by rows in " +
@@ -284,6 +308,21 @@ object Versioned {
     StructType(widened ++ next.fields.filterNot(f => prevNames(f.name.toLowerCase)))
   }
 
+  /** Refuse a schema whose column names differ only in case — the table
+    * matches columns case-insensitively (like Spark's default resolver),
+    * so a dual x/X schema would be unreadable. mergeSchemas folds batch
+    * columns onto EXISTING table columns, but two brand-new columns `x`
+    * and `X` in one batch (or a first/replace commit carrying both) would
+    * otherwise record exactly the schema the fold exists to prevent —
+    * the same guard addColumns applies to its new fields. */
+  private def requireNoCaseDups(s: StructType): Unit = {
+    val dups = s.fieldNames.groupBy(_.toLowerCase).valuesIterator
+      .filter(_.length > 1).map(_.mkString("/")).toSeq.sorted
+    require(dups.isEmpty,
+      s"schema has columns differing only in case: ${dups.mkString(", ")} — " +
+        "versioned tables resolve columns case-insensitively; rename one side")
+  }
+
   private def readWithSchema(spark: SparkSession, schema: Option[StructType],
                              files: Seq[String]): DataFrame = schema match {
     case Some(s) => spark.read.schema(s).parquet(files: _*)
@@ -331,6 +370,7 @@ object Versioned {
     val recorded = prevSchema
       .map(p => mergeSchemas(p, asNullable(df.schema)))
       .getOrElse(asNullable(df.schema))
+    requireNoCaseDups(recorded) // fail BEFORE the data write, like statsCols
     // fail loudly on a misspelled stats column — BEFORE paying the data
     // write (a silent miss would permanently commit the batch without
     // stats, sidecars being immutable; an abort after the write wastes
@@ -1468,6 +1508,7 @@ object Versioned {
     f.delete(batchDir, true)
     f.delete(new Path(mdir, s".v$next.txt.tmp"), false)
     val recorded = asNullable(df.schema)
+    requireNoCaseDups(recorded)
     df.write.mode(SaveMode.ErrorIfExists).parquet(batchDir.toString)
     // same written-files CHECK validation as commit() — see there
     if (validateChecks)

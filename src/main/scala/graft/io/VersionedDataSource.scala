@@ -77,6 +77,17 @@ object VersionedDataSource {
       FileStats.readBloomSidecar(fs, dir).map { case (name, b) => (dir.getName, name) -> b }
     }
   }
+
+  /** Bloom-tracked column NAMES across the snapshot's batches — the
+    * metadata-cheap planning twin of [[bloomsFor]] (header reads only,
+    * no filter bytes), backing `filterAttributes`. */
+  private[io] def bloomColsFor(spark: SparkSession, files: Seq[String]): Set[String] = {
+    import org.apache.hadoop.fs.Path
+    files.map(new Path(_)).groupBy(_.getParent).keysIterator.flatMap { dir =>
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      FileStats.readBloomColumns(fs, dir)
+    }.toSet
+  }
 }
 
 class VersionedDataSource extends TableProvider with DataSourceRegister {
@@ -216,7 +227,8 @@ private[graft] class VersionedReadTable(inner: ParquetTable,
     val files = inner.paths.map(new org.apache.hadoop.fs.Path(_))
     new StatsPrunedFileIndex(spark, files,
       VersionedDataSource.sidecarsFor(spark, inner.paths),
-      blooms = () => VersionedDataSource.bloomsFor(spark, inner.paths))
+      blooms = () => VersionedDataSource.bloomsFor(spark, inner.paths),
+      bloomCols = () => VersionedDataSource.bloomColsFor(spark, inner.paths))
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {

@@ -188,4 +188,44 @@ class ConstraintSpec extends SparkSpecBase {
     Versioned.commit(spark, Seq((2L, 3.0, "b")).toDF("id", "x", "k"), root)
     assert(Versioned.read(spark, root).count() == 2)
   }
+
+  test("replace dropping the checked column NULL-passes; the check is carried") {
+    val root = tmpRoot()
+    Versioned.commit(spark, Seq((1L, 10.0)).toDF("id", "x"), root)
+    Versioned.addConstraint(spark, root, "x_positive", "x > 0")
+    // the replace's schema has NO x: the carried check references an
+    // absent column, which is vacuously NULL-pass (SQL CHECK on unknown)
+    // — the replace must succeed, not abort on an unresolvable `x`
+    Versioned.commit(spark, Seq((7L, "a")).toDF("id", "tag"), root, replace = true)
+    assert(Versioned.read(spark, root).columns.toSeq == Seq("id", "tag"))
+    // carried, not silently dropped: bring x back and the check bites again
+    Versioned.addColumns(spark, root, Seq(org.apache.spark.sql.types.StructField(
+      "x", org.apache.spark.sql.types.DoubleType)))
+    val e = intercept[IllegalArgumentException] {
+      Versioned.commit(spark, Seq((8L, "b", -1.0)).toDF("id", "tag", "x"), root)
+    }
+    assert(e.getMessage.contains("x_positive"))
+    Versioned.commit(spark, Seq((8L, "b", 1.0)).toDF("id", "tag", "x"), root)
+    assert(Versioned.read(spark, root).count() == 2)
+  }
+
+  test("two brand-new case-variant columns in one batch are refused pre-write") {
+    val root = tmpRoot()
+    Versioned.commit(spark, Seq(Tuple1(1L)).toDF("id"), root)
+    // x and X fold onto NO existing column, so mergeSchemas' case fold
+    // can't resolve them — recording both would create exactly the dual
+    // schema the fold exists to prevent
+    val e = intercept[IllegalArgumentException] {
+      Versioned.commit(spark, Seq((2L, 1.0, 2.0)).toDF("id", "x", "X"), root)
+    }
+    assert(e.getMessage.contains("case"))
+    assert(Versioned.versions(spark, root) == Seq(1L))
+    assert(!new java.io.File(root, "data/b2").exists(), "refused BEFORE the write")
+    // the first-commit schema gets the same guard
+    val root2 = tmpRoot()
+    intercept[IllegalArgumentException] {
+      Versioned.commit(spark, Seq((1L, 1.0, 2.0)).toDF("id", "x", "X"), root2)
+    }
+    assert(Versioned.versions(spark, root2).isEmpty)
+  }
 }
