@@ -167,8 +167,8 @@ object VersionedQueries {
     * own TABLE root from the CURRENT sfDir, so calls stay
     * self-consistent and version numbers deterministic across warmup +
     * timed iterations. */
-  private def buildSqlTable(spark: SparkSession, sfDir: String,
-                            table: String): (String, String) = {
+  private[graft] def buildSqlTable(spark: SparkSession, sfDir: String,
+                                   table: String): (String, String) = {
     graft.GraftExtensions.injectOptimizerRules(spark)
     val wh = new java.io.File(sys.props("java.io.tmpdir"), "graft_sqlwh")
       .getAbsolutePath
