@@ -97,7 +97,7 @@ object XlsxReader {
   /** Right-pad a row to the schema width. A WIDER row is refused loudly
     * (silently dropping trailing cells would lose data; the reference's
     * totals/junk-row handling belongs to the cleaning layer, not here). */
-  private def pad(r: Vector[String], n: Int, what: => String): Vector[String] = {
+  private[graft] def pad(r: Vector[String], n: Int, what: => String): Vector[String] = {
     require(r.size <= n,
       s"$what has ${r.size} cells, wider than the $n-column header")
     if (r.size == n) r else r ++ Vector.fill(n - r.size)(null)

@@ -1,6 +1,6 @@
 package graft.pipelines
 
-import graft.clean.Clean
+import graft.clean.{Clean, SchemaContracts}
 import graft.io.{SapTextReader, UpsertWriter}
 import graft.ops.Relational
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -286,8 +286,12 @@ object DimLoader {
     * (etl_zmachk.py:113-117). Load -> schema-align -> PK enforcement ->
     * keyed upsert. Spreadsheets arrive as CSV with identical columns
     * (FIXTURES.md substitution). */
+  /** `widths`: the reference's declared per-column NVARCHAR(n) lengths
+    * (etl_upload_excel.py dtype maps) — enforced pre-write by [[load]]
+    * via [[Clean]]'s SchemaContracts so an over-width value fails the
+    * load exactly as the reference's SQL Server target would. */
   case class DimConfig(source: String, table: String, schema: StructType,
-                       keys: Seq[String])
+                       keys: Seq[String], widths: Map[String, Int] = Map.empty)
 
   private def nv(n: String)   = StructField(n, StringType)
   private def dec(n: String)  = StructField(n, DecimalType(18, 6))
@@ -298,43 +302,59 @@ object DimLoader {
     // etl_upload_excel.py:13-27
     DimConfig("Calendar", "dim_Calendar", StructType(Seq(
       dt("Date"), nv("Wkday"), nv("Week"), nv("Period"), intF("Month"),
-      nv("Quarter"), intF("Year"), nv("AcctWk"), nv("PromWk"))), Seq("Date")),
+      nv("Quarter"), intF("Year"), nv("AcctWk"), nv("PromWk"))), Seq("Date"),
+      Map("Wkday" -> 7, "Week" -> 5, "Period" -> 3, "Quarter" -> 2,
+        "AcctWk" -> 6, "PromWk" -> 6)),
     // etl_upload_excel.py:29-37
     DimConfig("WeekPeriod", "dim_WeekPeriod", StructType(Seq(
-      nv("AcctWk"), nv("Period"), nv("Quarter"), intF("Year"))), Seq("AcctWk")),
+      nv("AcctWk"), nv("Period"), nv("Quarter"), intF("Year"))), Seq("AcctWk"),
+      Map("AcctWk" -> 6, "Period" -> 3, "Quarter" -> 2)),
     // etl_upload_excel.py:38-50
     DimConfig("MCH_CM", "dim_MCH_CM", StructType(Seq(
       nv("MCH"), nv("MCH_Description"), nv("Class"), nv("Class_Description"),
-      nv("Dept"), nv("Dept_EN"), nv("CM"))), Seq("MCH")),
+      nv("Dept"), nv("Dept_EN"), nv("CM"))), Seq("MCH"),
+      Map("MCH" -> 8, "MCH_Description" -> 100, "Class" -> 6,
+        "Class_Description" -> 50, "Dept" -> 4, "Dept_EN" -> 25, "CM" -> 25)),
     // etl_upload_excel.py:52-61
     DimConfig("DC", "dim_DC", StructType(Seq(
-      nv("DC"), nv("Region"), nv("DC_Type"), nv("Company"))), Seq("DC")),
+      nv("DC"), nv("Region"), nv("DC_Type"), nv("Company"))), Seq("DC"),
+      Map("DC" -> 4, "Region" -> 5, "DC_Type" -> 20, "Company" -> 10)),
     // etl_upload_excel.py:63-76
     DimConfig("Site", "dim_Store", StructType(Seq(
       nv("Site"), nv("Region"), nv("Region2"), nv("Region3"), nv("State"),
-      nv("Company_Code"), nv("Store_Name"), dt("Open_Date"))), Seq("Site")),
+      nv("Company_Code"), nv("Store_Name"), dt("Open_Date"))), Seq("Site"),
+      Map("Site" -> 4, "Region" -> 5, "Region2" -> 12, "Region3" -> 12,
+        "State" -> 2, "Company_Code" -> 7, "Store_Name" -> 20)),
     // etl_upload_excel.py:78-89 — composite PK
     DimConfig("Customer", "dim_WLChannel", StructType(Seq(
       nv("Sales_Group"), nv("Sold_To"), nv("Customer_Name"), nv("Channel"),
-      nv("Sales_District"), nv("Sales_Office"))), Seq("Sales_Group", "Sold_To")),
+      nv("Sales_District"), nv("Sales_Office"))), Seq("Sales_Group", "Sold_To"),
+      Map("Sales_Group" -> 10, "Sold_To" -> 10, "Customer_Name" -> 100,
+        "Channel" -> 20, "Sales_District" -> 20, "Sales_Office" -> 10)),
     // etl_upload_excel.py:91-111 — decimal-heavy fact shape
     DimConfig("Tawa_Fcst", "fact_Forecast", StructType(Seq(
       nv("Site"), nv("Article"), dec("Tawa_Fsct"), dec("Tawa_Fsct_Inlcude_Promo"),
       dec("Tawa_On_Order"), nv("Qty_Oun"), dec("Walong_Fcst"),
       dec("Walong_Fcst_Include_promo"), dec("Lead_Time"), dec("Order_Interval"),
       dec("Safety_Stock"), dec("Fina_Order_Qty"), nv("Dept"),
-      nv("Article_NoDC"), dt("Date"))), Seq("Article_NoDC")),
+      nv("Article_NoDC"), dt("Date"))), Seq("Article_NoDC"),
+      Map("Site" -> 10, "Article" -> 20, "Qty_Oun" -> 10, "Dept" -> 50,
+        "Article_NoDC" -> 20)),
     // etl_upload_excel.py:113-126 — second feed into dim_MCH_CM
     DimConfig("MCH-Dept head", "dim_MCH_CM", StructType(Seq(
       nv("MCH"), nv("Dept_EN"), nv("Dept_CN"), nv("MCH_Section"),
-      nv("MCH_Group"), nv("Dept_Head"), nv("Current_CM"), nv("New_CM"))), Seq("MCH")),
+      nv("MCH_Group"), nv("Dept_Head"), nv("Current_CM"), nv("New_CM"))), Seq("MCH"),
+      Map("MCH" -> 8, "Dept_EN" -> 25, "Dept_CN" -> 20, "MCH_Section" -> 100,
+        "MCH_Group" -> 30, "Dept_Head" -> 25, "Current_CM" -> 25, "New_CM" -> 25)),
     // etl_upload_excel.py:128-135
     DimConfig("Division", "Map_Division", StructType(Seq(
-      intF("Division"), nv("Description"))), Seq("Division")),
-    // etl_zmachk.py:113-117 — article master dimension
+      intF("Division"), nv("Description"))), Seq("Division"),
+      Map("Description" -> 20)),
+    // etl_zmachk.py:113-128 — article master dimension
     DimConfig("Article", "dim_Article", StructType(Seq(
       nv("Article"), nv("Article_Description"), nv("MCH"),
-      dt("Valid_From_Date"), dec("Gross_Weight"))), Seq("Article")))
+      dt("Valid_From_Date"), dec("Gross_Weight"))), Seq("Article"),
+      Map("Article" -> 20, "Article_Description" -> 255, "MCH" -> 20)))
 
   def config(source: String): DimConfig = dims.find(_.source == source)
     .getOrElse(throw new IllegalArgumentException(s"no dim config for $source"))
@@ -363,6 +383,9 @@ object DimLoader {
     val raw = spark.read.option("header", "true").csv(csvPath)
     val aligned = Clean.schemaAlign(raw, cfg.schema)
     assertPrimaryKey(aligned, cfg.keys)
+    // declared NVARCHAR(n) widths enforce pre-write — the reference's SQL
+    // Server refuses over-width values at upload; the parquet sink must too
+    SchemaContracts.assertLengths(aligned, cfg.widths)
     UpsertWriter.upsert(spark, aligned, targetPath, cfg.keys)
   }
 }

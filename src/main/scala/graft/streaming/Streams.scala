@@ -45,6 +45,62 @@ object Streams {
       .option("sourceArchiveDir", if (archiveDir.nonEmpty) archiveDir else s"${dir}_archive")
       .json(dir)
 
+  /** Streaming drop-folder ingest of same-schema xlsx workbooks — the
+    * reference's daily dimension-upload folder (S2 × §2.9:
+    * pipelines/etl_upload_excel.py's per-workbook loop) as a Structured
+    * Streaming flow: Spark's binaryFile file-stream source tracks
+    * processed workbooks exactly-once in its own source log, archives
+    * consumed inputs (the S10 processed/ move), and each workbook parses
+    * on an executor (one file per task — the xlsx unit of work, same as
+    * [[graft.io.XlsxReader.readDir]]).
+    *
+    * The header must be DECLARED by the caller: a streaming source needs
+    * its schema before any file exists, so there is no first-file
+    * inference here. Every arriving workbook's header row is validated
+    * against the declaration and a mismatch fails loudly naming the file
+    * — silently mis-mapping columns on a changed upload template is the
+    * failure mode the reference's fixed dtype maps exist to prevent. */
+  def xlsxStream(spark: SparkSession, dir: String, header: Seq[String],
+                 glob: String = "*.xlsx", sheet: Option[String] = None,
+                 archiveDir: String = "",
+                 maxFilesPerTrigger: Int = 32): DataFrame = {
+    import spark.implicits._
+    require(header.nonEmpty, "declared header must be nonempty")
+    val schema = StructType(header.map(h => StructField(h, StringType)))
+    val n = header.size
+    val expect = header.toVector
+    val sheetName = sheet // serializable capture
+    // binaryFile's schema is fixed but the STREAMING source still
+    // requires it declared (no first-file inference on an empty folder)
+    val binarySchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    val files = spark.readStream.format("binaryFile")
+      .schema(binarySchema)
+      .option("pathGlobFilter", glob)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("cleanSource", "archive")
+      // must be a sibling, not inside the source glob
+      .option("sourceArchiveDir", if (archiveDir.nonEmpty) archiveDir else s"${dir}_archive")
+      .load(dir).select("path", "content")
+    val parsed = files.as[(String, Array[Byte])].flatMap { case (path, bytes) =>
+      val rows = graft.io.XlsxReader.parseSheet(bytes, sheetName)
+      val fileHeader = rows.headOption.getOrElse(
+        throw new IllegalArgumentException(s"$path: sheet has no rows"))
+      if (fileHeader != expect)
+        throw new IllegalArgumentException(
+          s"$path: header ${fileHeader.mkString("|")} does not match the " +
+            s"declared schema ${expect.mkString("|")}")
+      rows.tail.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(
+          graft.io.XlsxReader.pad(r, n, s"$path row ${i + 2}"))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+    parsed.toDF(header: _*)
+  }
+
   /** Watermarked tumbling-window counts — streaming twin of
     * EventQueries.eventWindowAgg. Late data beyond the watermark is
     * dropped; state for closed windows is purged. */

@@ -183,6 +183,67 @@ class StreamingSpec extends SparkSpecBase {
     assert(archived.exists, "consumed inputs should be moved to the archive dir")
   }
 
+  test("xlsx drop-folder stream: two workbooks picked up exactly-once, archived") {
+    val dir = java.nio.file.Files.createTempDirectory("xlsxstream").toFile.getAbsolutePath + "/in"
+    new java.io.File(dir).mkdirs()
+    val header = Seq("Site", "Article", "Qty")
+    graft.io.XlsxWriter.writeFile(new java.io.File(dir, "drop1.xlsx").getAbsolutePath,
+      header, Iterator(Seq("S01", "A1", "10"), Seq("S01", "A2", "20")))
+    graft.io.XlsxWriter.writeFile(new java.io.File(dir, "drop2.xlsx").getAbsolutePath,
+      header, Iterator(Seq("S02", "A1", "30")))
+
+    // the realistic operation: a nightly AvailableNow run over a STABLE
+    // checkpoint into a parquet sink — the source log is the exactly-once
+    // mechanism, the archive move is its (async, next-commit) cleanup
+    // side-effect. (The memory sink can't recover a checkpoint.)
+    val ckpt = java.nio.file.Files.createTempDirectory("xlsxck").toFile.getAbsolutePath
+    val outDir = java.nio.file.Files.createTempDirectory("xlsxout").toFile.getAbsolutePath + "/t"
+    def runOnce(): Unit = {
+      val q = Streams.xlsxStream(spark, dir, header)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination(60000) finally q.stop()
+    }
+    runOnce()
+    def rows(): Set[(String, String, String)] =
+      spark.read.parquet(outDir).as[(String, String, String)].collect().toSet
+    assert(rows() == Set(("S01", "A1", "10"), ("S01", "A2", "20"), ("S02", "A1", "30")),
+      "both dropped workbooks ingested, header rows excluded")
+
+    // a third drop arrives; the next scheduled run (same checkpoint) must
+    // ingest ONLY it — consumed workbooks are never re-read
+    graft.io.XlsxWriter.writeFile(new java.io.File(dir, "drop3.xlsx").getAbsolutePath,
+      header, Iterator(Seq("S03", "A9", "40")))
+    runOnce()
+    assert(rows() == Set(("S01", "A1", "10"), ("S01", "A2", "20"),
+      ("S02", "A1", "30"), ("S03", "A9", "40")),
+      "the new workbook adds exactly once; consumed ones are not re-ingested")
+    // committing batch 1 archived batch 0's inputs (the reference's
+    // processed/ move); archival is async-on-commit, so poll briefly
+    val archived = new java.io.File(dir + "_archive")
+    val deadline = System.nanoTime() + 30e9.toLong
+    while (!archived.exists && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(archived.exists,
+      "consumed workbooks moved to the archive dir (the reference's processed/)")
+
+    // a workbook whose header drifted from the declared template fails loudly
+    graft.io.XlsxWriter.writeFile(new java.io.File(dir, "bad.xlsx").getAbsolutePath,
+      Seq("Site", "SKU", "Qty"), Iterator(Seq("S04", "A1", "50")))
+    val q3 = Streams.xlsxStream(spark, dir, header)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.awaitTermination(60000)
+    }
+    q3.stop()
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ rootMessages(e.getCause))
+    assert(rootMessages(err).exists(m => m.contains("bad.xlsx") && m.contains("SKU")),
+      "header mismatch must name the offending workbook")
+  }
+
   test("streaming upsert sink: replayed batches leave exactly-once table state") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("upsink").toFile.getAbsolutePath
