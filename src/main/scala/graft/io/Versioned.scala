@@ -414,6 +414,17 @@ object Versioned {
         ++ carried ++ newFiles)
   }
 
+  /** Per-root intra-JVM publish locks: on HDFS/object stores the
+    * no-overwrite rename is itself atomic, but the local filesystem's
+    * `File.renameTo` silently REPLACES an existing target, so the
+    * exists-check + rename below is a TOCTOU window there. All of
+    * Spark's local/driver-side writers share one JVM, so serializing the
+    * check+rename per table root closes that window exactly where it
+    * exists; cross-process local-FS racing remains out of contract
+    * (deploy on a store with atomic no-overwrite rename). */
+  private val publishLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Write the manifest body to a temp file and rename it to `vN.txt` —
     * the single atomic commit point shared by every publish path. */
   private def publish(spark: SparkSession, root: String, next: Long,
@@ -421,18 +432,27 @@ object Versioned {
     val mdir = manifestDir(root)
     val f = fs(spark, mdir)
     f.mkdirs(mdir)
-    val tmp = new Path(mdir, s".v$next.txt.tmp")
+    // tmp name carries a uuid so two racing writers of the SAME version
+    // never overwrite each other's staged body before the rename decides
+    val tmp = new Path(mdir,
+      s".v$next.${java.util.UUID.randomUUID.toString.take(8)}.txt.tmp")
     val out = f.create(tmp, true)
     try out.write(lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val target = new Path(mdir, s"v$next.txt")
-    // narrow second-writer detection: on HDFS the no-overwrite rename
-    // itself refuses an existing target; local File.renameTo would
-    // silently replace, so check first (policy is single-writer — this
-    // surfaces a violation, it is not full concurrency control)
-    if (f.exists(target) || !f.rename(tmp, target))
+    // second-writer detection: on HDFS the no-overwrite rename itself
+    // refuses an existing target; the per-root JVM lock makes the local
+    // check+rename equally race-free for same-process writers (the OCC
+    // retry path catches this exception and re-derives)
+    val lock = publishLocks.computeIfAbsent(root, _ => new Object)
+    val won = lock.synchronized {
+      !f.exists(target) && f.rename(tmp, target)
+    }
+    if (!won) {
+      f.delete(tmp, false)
       throw new IllegalStateException(
         s"commit conflict: v$next already published at $root (second writer?)")
+    }
     next
   }
 
@@ -1695,7 +1715,13 @@ object Versioned {
   /** Drop manifests older than the newest `keepVersions`, then delete
     * data files no surviving manifest references. Never touches files
     * of retained snapshots, so time travel within the retention window
-    * keeps working. */
+    * keeps working.
+    *
+    * Concurrency caveat (same as Delta's VACUUM): an OCC writer's
+    * PREPARED-but-unpublished batch dir is referenced by no manifest yet,
+    * so a vacuum racing an in-flight [[commitOcc]]/[[compactSmallOcc]]
+    * could delete it (the writer then fails loud at publish-read, never
+    * silently). Schedule vacuum when no write is in flight. */
   def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1): Unit = {
     require(keepVersions >= 1, "must keep at least one version")
     val vs = versions(spark, root)
@@ -1721,5 +1747,204 @@ object Versioned {
     vs.dropRight(keepVersions).foreach { v =>
       f.delete(new Path(manifestDir(root), s"v$v.txt"), false)
     }
+  }
+
+  // ----------------------------------------------- concurrent writers (OCC)
+  //
+  // The default commit path is SINGLE-WRITER: batch dirs are named by the
+  // target version (b<next>), crash debris under that name is reclaimed
+  // eagerly, and a second writer dies loud at the manifest rename. That
+  // protocol cannot be retried (two writers would share a data dir), so
+  // deployments that race a compactor against an appender — every real
+  // streaming table eventually — get this optimistic-concurrency surface
+  // instead, the Delta/Iceberg commit loop re-expressed for full-snapshot
+  // manifests:
+  //
+  //   prepare    write the batch ONCE into a uniquely-named dir
+  //              (bu<millis>_<rand> — no collision, no reclaim hazard)
+  //   publish    derive the manifest against the CURRENT latest snapshot
+  //              and attempt the atomic rename; on losing the race,
+  //              re-derive against the winner's snapshot and try the next
+  //              version number. Data is never rewritten on retry.
+  //
+  // Conflict matrix (what re-derivation allows):
+  //   append    vs append      retry always (carried list re-read)
+  //   append    vs compact     retry (the compactor replaced carried
+  //                            files; the append's own files are new)
+  //   append    vs schema evo  retry if still additive/widening, else die
+  //   compact   vs append      retry: new files carry through untouched
+  //   compact   vs compact/    die loud if ANY compaction input file left
+  //             delete/update  the latest snapshot (rows were rewritten by
+  //                            someone else — re-compacting stale inputs
+  //                            would resurrect deleted/changed rows)
+  //   replace   vs anything    die loud (a replace that didn't see a
+  //                            concurrent commit would silently clobber
+  //                            it — same reason Delta aborts)
+  //
+  // CHECK constraints are validated against the WRITTEN batch whenever the
+  // constraint set in force differs from the last one validated, so a
+  // constraint added mid-flight by another writer still gates this commit.
+
+  private def uniqueBatchDir(root: String): Path =
+    new Path(dataDir(root),
+      s"bu${System.currentTimeMillis}_${java.util.UUID.randomUUID.toString.take(8)}")
+
+  /** Append `df` under optimistic concurrency: safe to race against other
+    * OCC appends and [[compactSmallOcc]]. Returns the published version.
+    * Fails loud (batch dir removed) on a NON-retriable conflict: an
+    * incompatible concurrent schema change, a mid-flight constraint the
+    * batch violates, or `maxAttempts` lost races. */
+  def commitOcc(spark: SparkSession, df: DataFrame, root: String,
+                tag: Option[String] = None,
+                statsCols: Seq[String] = Nil,
+                bloomCols: Seq[String] = Nil,
+                maxAttempts: Int = 10): Long = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    val mdir = manifestDir(root)
+    val f = fs(spark, mdir)
+    f.mkdirs(mdir)
+    val missingStats = statsCols.filterNot(df.columns.contains)
+    require(missingStats.isEmpty,
+      s"statsCols not in the committed schema: ${missingStats.mkString(", ")}")
+    val missingBlooms = bloomCols.filterNot(df.columns.contains)
+    require(missingBlooms.isEmpty,
+      s"bloomCols not in the committed schema: ${missingBlooms.mkString(", ")}")
+    val badBloomTypes = bloomCols.filter(c =>
+      !FileStats.bloomSupported(df.schema(c).dataType))
+    require(badBloomTypes.isEmpty,
+      s"bloomCols with unsupported types (float/double excluded by design): " +
+        badBloomTypes.mkString(", "))
+    requireNoCaseDups(asNullable(df.schema))
+    // prepare: the batch writes ONCE, to a dir no other writer can name
+    val batchDir = uniqueBatchDir(root)
+    df.write.mode(SaveMode.ErrorIfExists).parquet(batchDir.toString)
+    val newPaths = f.listStatus(batchDir).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    if (statsCols.nonEmpty)
+      FileStats.writeSidecar(f, batchDir,
+        FileStats.collect(spark.sparkContext.hadoopConfiguration, newPaths, statsCols))
+    harvestBlooms(spark, batchDir, newPaths, df, bloomCols)
+    val newFiles = newPaths.map(p => s"data/${batchDir.getName}/${p.getName}")
+    def abort(t: Throwable): Nothing = { f.delete(batchDir, true); throw t }
+    var validatedChecks: Seq[(String, String)] = null
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val prev = versions(spark, root)
+      val base = prev.lastOption
+      val next = base.getOrElse(0L) + 1
+      // re-derive against the CURRENT snapshot: carried files, schema
+      // merge (throws on a non-widening concurrent type change -> abort),
+      // and the constraint set now in force
+      val carried = base.toSeq.flatMap(v => manifestFiles(spark, root, v))
+      val prevSchema = base.flatMap(v => snapshotSchema(spark, root, Some(v)))
+        .orElse(base.map(v => spark.read.parquet(
+          carried.map(rel => resolveEntry(root, rel).toString): _*).schema))
+      val recorded =
+        try {
+          val r = prevSchema.map(p => mergeSchemas(p, asNullable(df.schema)))
+            .getOrElse(asNullable(df.schema))
+          requireNoCaseDups(r); r
+        } catch { case e: IllegalArgumentException => abort(e) }
+      val checks = constraints(spark, root, base)
+      if (checks != validatedChecks) {
+        try enforceConstraintsOnWritten(spark, root, batchDir, recorded, base)
+        catch { case t: Throwable => throw t } // batch dir already deleted there
+        validatedChecks = checks
+      }
+      try {
+        return publish(spark, root, next,
+          tag.map(t => s"#tag=$t").toSeq ++ Seq(s"#schema=${recorded.json}")
+            ++ checkLines(spark, root, base) ++ carried ++ newFiles)
+      } catch {
+        case e: IllegalStateException if e.getMessage.contains("commit conflict") =>
+          if (attempt >= maxAttempts)
+            abort(new IllegalStateException(
+              s"append lost $maxAttempts publish races at $root — giving up " +
+                "(raise maxAttempts or reduce writer contention)", e))
+          Thread.sleep(scala.util.Random.nextInt(25 * attempt).toLong)
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** [[compactSmall]] under optimistic concurrency: safe to race against
+    * OCC appends (their files carry through untouched on retry). Dies
+    * loud — compacting NOTHING, publishing NOTHING — if a concurrent
+    * writer rewrote or removed any of its input files (another
+    * compaction, DELETE, UPDATE, MERGE or replace), because re-packing
+    * stale inputs would resurrect rows the other writer changed. */
+  def compactSmallOcc(spark: SparkSession, root: String,
+                      smallBytes: Long = 32L * 1024 * 1024,
+                      targetBytes: Long = 128L * 1024 * 1024,
+                      sortCols: Seq[String] = Nil,
+                      minInputFiles: Int = 2,
+                      maxAttempts: Int = 10): Long = {
+    import org.apache.spark.sql.functions.col
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root")
+    val baseV = vs.last
+    val files = snapshotFiles(spark, root, Some(baseV))
+    val f = fs(spark, new Path(root))
+    val lenByPath = fileLengths(f, files.map(new Path(_)))
+    val sized = files.map(p =>
+      p -> lenByPath.getOrElse(new Path(p).toUri.getPath, 0L))
+    val (small, large) = sized.partition(_._2 < smallBytes)
+    if (small.size < minInputFiles) return baseV
+    val inputsRel = small.map(p => relativize(spark, root, p._1)).toSet
+    val totalSmall = small.map(_._2).sum
+    val nOut = math.max(1, math.ceil(totalSmall.toDouble / targetBytes).toInt)
+    val schema = snapshotSchema(spark, root, Some(baseV))
+    val df = readWithSchema(spark, schema, small.map(_._1))
+    val shaped =
+      if (sortCols.isEmpty) df.repartition(nOut)
+      else df.repartitionByRange(nOut, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+    val statsCols = (trackedStatsCols(spark, root, files) ++ sortCols)
+      .distinct.sorted.filter(c => schema.forall(_.fieldNames.contains(c)))
+    // prepare: rewrite the small files ONCE into a unique dir (rows are
+    // already committed — valid by induction, no CHECK re-validation)
+    val batchDir = uniqueBatchDir(root)
+    shaped.write.mode(SaveMode.ErrorIfExists).parquet(batchDir.toString)
+    val newPaths = f.listStatus(batchDir).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    if (statsCols.nonEmpty && newPaths.nonEmpty)
+      FileStats.writeSidecar(f, batchDir,
+        FileStats.collect(spark.sparkContext.hadoopConfiguration, newPaths, statsCols))
+    val outFiles = newPaths.map(p => s"data/${batchDir.getName}/${p.getName}")
+    def abort(t: Throwable): Nothing = { f.delete(batchDir, true); throw t }
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val cur = versions(spark, root).last
+      val curFiles = manifestFiles(spark, root, cur)
+      // conflict check: every compaction input must still be referenced
+      // by the latest snapshot — otherwise someone rewrote those rows
+      val gone = inputsRel.diff(curFiles.toSet)
+      if (gone.nonEmpty)
+        abort(new IllegalStateException(
+          s"compaction conflict at $root: ${gone.size} input file(s) were " +
+            s"rewritten or removed by a concurrent commit (e.g. ${gone.head}) " +
+            "— compaction aborted, nothing published; re-run it"))
+      val carried = curFiles.filterNot(inputsRel)
+      val curSchema = snapshotSchema(spark, root, Some(cur))
+      val recorded =
+        try curSchema.map(s => mergeSchemas(s, asNullable(shaped.schema)))
+          .getOrElse(asNullable(shaped.schema))
+        catch { case e: IllegalArgumentException => abort(e) }
+      try {
+        return publish(spark, root, cur + 1,
+          Seq(s"#schema=${recorded.json}") ++ checkLines(spark, root, Some(cur))
+            ++ carried ++ outFiles)
+      } catch {
+        case e: IllegalStateException if e.getMessage.contains("commit conflict") =>
+          if (attempt >= maxAttempts)
+            abort(new IllegalStateException(
+              s"compaction lost $maxAttempts publish races at $root — giving up", e))
+          Thread.sleep(scala.util.Random.nextInt(25 * attempt).toLong)
+      }
+    }
+    sys.error("unreachable")
   }
 }
