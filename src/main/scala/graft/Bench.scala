@@ -60,8 +60,11 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
+    // SPARK_GRAFT_ITERS overrides the default 3 timed runs — scale-stress
+    // runs at sf>=1 take minutes per query, where one run is signal enough
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
     val results = selected.map { case (name, fn) =>
-      name -> Seq.fill(3)(timeOnce(fn)).min
+      name -> Seq.fill(iters)(timeOnce(fn)).min
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
 

@@ -381,4 +381,117 @@ object Multimodal {
         .map { case (frame, idx) => (m.media_id, idx, frame.length, frame) }
     }.toDF("media_id", "frame_idx", "frame_len", "frame_bytes")
   }
+
+  /** VIDEO frame extraction through an EXTERNAL decoder subprocess — the
+    * one modality the JDK ships no codec for, so the decode itself is an
+    * explicit, off-by-default external dependency while the Spark-side
+    * contract stays real and tested:
+    *
+    *  - `command` is the decoder invocation, container bytes on stdin,
+    *    fixed-size raw frames on stdout. The production binding is
+    *    ffmpeg's rawvideo pipe, e.g.
+    *    `Seq("ffmpeg","-v","error","-i","pipe:0","-f","rawvideo",
+    *    "-pix_fmt","rgb24","-s","WxH","pipe:1")` with
+    *    `frameBytes = W*H*3`; tests bind a deterministic fake.
+    *  - one subprocess per ROW (a container is one decoder run — ffmpeg
+    *    cannot demux concatenated containers on one stdin), stdin fed
+    *    from a writer thread, stderr drained (a full pipe would deadlock
+    *    the decoder), stdout consumed INCREMENTALLY one frame at a time
+    *    — executor memory stays at one frame regardless of video length.
+    *  - every `everyK`-th frame is emitted; skipped frames are still
+    *    read (the pipe must drain) but not buffered.
+    *  - a payload whose decode fails (bad bytes, missing binary, decoder
+    *    exit != 0 mid-stream) degrades to a single `error` row for that
+    *    media_id — the corrupt-media policy of the image/audio kernels;
+    *    it never kills the executor.
+    *
+    * Output: (media_id, frame_idx, frame_len, frame_bytes, error). */
+  def frameExtractExternal(media: Dataset[Media], command: Seq[String],
+                           frameBytes: Int, everyK: Int = 1): DataFrame = {
+    require(command.nonEmpty, "decoder command must be nonempty")
+    require(frameBytes > 0 && everyK > 0, "frameBytes and everyK must be positive")
+    import media.sparkSession.implicits._
+    val cmd = command // serializable capture
+    media.flatMap { m =>
+      new Iterator[(Long, Int, Int, Array[Byte], String)] {
+        private var proc: Process = _
+        private var out: java.io.InputStream = _
+        private var failed: String = null
+        private var done = false
+        private var idx = -1
+        private var nextFrame: Array[Byte] = _
+        try {
+          val pb = new ProcessBuilder(cmd: _*)
+          proc = pb.start()
+          // stderr drains on its own thread: a decoder chatty on a full
+          // stderr pipe would block and deadlock the frame reads
+          val errT = new Thread(() => {
+            val buf = new Array[Byte](8192)
+            val es = proc.getErrorStream
+            try { while (es.read(buf) >= 0) () } catch { case _: Throwable => () }
+          })
+          errT.setDaemon(true); errT.start()
+          val inT = new Thread(() => {
+            val os = proc.getOutputStream
+            try { os.write(m.bytes); os.close() }
+            catch { case _: Throwable => () } // decoder died early: reader reports
+          })
+          inT.setDaemon(true); inT.start()
+          out = proc.getInputStream
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            failed = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+        }
+        private def readFrame(): Array[Byte] = {
+          val buf = new Array[Byte](frameBytes)
+          var off = 0
+          while (off < frameBytes) {
+            val n = out.read(buf, off, frameBytes - off)
+            if (n < 0) {
+              if (off == 0) return null // clean end between frames
+              throw new java.io.EOFException(
+                s"decoder emitted a truncated frame ($off of $frameBytes bytes)")
+            }
+            off += n
+          }
+          buf
+        }
+        private def advance(): Unit = {
+          nextFrame = null
+          if (failed != null || done) return
+          try {
+            var f = readFrame()
+            while (f != null && { idx += 1; idx % everyK != 0 }) f = readFrame()
+            if (f == null) {
+              done = true
+              // a nonzero exit is corruption even AFTER clean frames
+              // (ffmpeg reports a bad tail this way): flag it, keeping
+              // whatever frames already decoded
+              val code = proc.waitFor()
+              if (code != 0) failed = s"decoder exited $code"
+            } else nextFrame = f
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              failed = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+          }
+        }
+        if (failed == null) advance()
+        private var errorEmitted = false
+        def hasNext: Boolean =
+          nextFrame != null || (failed != null && !errorEmitted)
+        def next(): (Long, Int, Int, Array[Byte], String) = {
+          if (failed != null) {
+            errorEmitted = true
+            if (proc != null) proc.destroyForcibly()
+            (m.media_id, -1, 0, Array.emptyByteArray, failed)
+          } else {
+            val f = nextFrame
+            val i = idx
+            advance()
+            (m.media_id, i, f.length, f, null)
+          }
+        }
+      }
+    }.toDF("media_id", "frame_idx", "frame_len", "frame_bytes", "error")
+  }
 }

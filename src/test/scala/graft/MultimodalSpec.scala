@@ -248,4 +248,54 @@ class MultimodalSpec extends SparkSpecBase {
     assert((feats(1).channels, feats(1).n_frames, feats(1).abs_sum, feats(1).peak)
       == (1, n.toLong, absN, n - 1))
   }
+
+  private def mediaDs(ms: Multimodal.Media*) =
+    spark.createDataset(ms)(org.apache.spark.sql.Encoders.product[Multimodal.Media])
+
+  test("external frame extraction: identity decoder matches the stub slicing") {
+    // /bin/cat as the decoder = raw frames are the payload itself, so the
+    // external-subprocess path must slice exactly like frameSampleStub
+    val payloadA = Array.tabulate[Byte](120)(i => (i % 97).toByte) // 3 x 40
+    val payloadB = Array.tabulate[Byte](40)(i => (i + 7).toByte)   // 1 x 40
+    val ds = mediaDs(
+      Multimodal.Media(1L, payloadA, "video/raw", Map.empty),
+      Multimodal.Media(2L, payloadB, "video/raw", Map.empty))
+    val ext = Multimodal.frameExtractExternal(ds, Seq("/bin/cat"), frameBytes = 40)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getAs[Array[Byte]](3).toSeq, r.getString(4))).sortBy(x => (x._1, x._2))
+    assert(ext.forall(_._5 == null), s"no errors expected: ${ext.toSeq}")
+    val stub = Multimodal.frameSampleStub(ds, frameBytes = 40, everyK = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getAs[Array[Byte]](3).toSeq)).sortBy(x => (x._1, x._2))
+    assert(ext.map(x => (x._1, x._2, x._3, x._4)).toSeq == stub.toSeq)
+    // everyK keeps original indices and still drains the pipe
+    val k2 = Multimodal.frameExtractExternal(ds, Seq("/bin/cat"),
+      frameBytes = 40, everyK = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted
+    assert(k2.toSeq == Seq((1L, 0), (1L, 2), (2L, 0)))
+  }
+
+  test("external frame extraction: failures degrade to error rows, not task death") {
+    val ds = mediaDs(
+      Multimodal.Media(1L, Array.tabulate[Byte](80)(_.toByte), "video/raw", Map.empty),
+      Multimodal.Media(2L, Array.tabulate[Byte](30)(_.toByte), "video/raw", Map.empty))
+    // decoder that exits non-zero with no output: one error row per media
+    val dead = Multimodal.frameExtractExternal(ds, Seq("/bin/false"), frameBytes = 40)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(4)))
+    assert(dead.length == 2 && dead.forall { case (_, i, e) => i == -1 && e != null })
+    // nonexistent binary: same degradation, message names the failure
+    val missing = Multimodal.frameExtractExternal(ds,
+      Seq("/no/such/decoder_binary"), frameBytes = 40)
+      .collect().map(_.getString(4))
+    assert(missing.length == 2 && missing.forall(_ != null))
+    // a truncated tail is corruption, not a short frame: emitted frames
+    // survive, then an error row flags the truncation (media 2: 30 < 40)
+    val trunc = Multimodal.frameExtractExternal(ds, Seq("/bin/cat"), frameBytes = 40)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(4)))
+      .sortBy(x => (x._1, x._2))
+    assert(trunc.filter(_._1 == 1L).map(x => (x._2, x._3)).toSeq
+      == Seq((0, null), (1, null)))
+    val m2 = trunc.filter(_._1 == 2L)
+    assert(m2.length == 1 && m2.head._2 == -1 && m2.head._3.contains("truncated"))
+  }
 }
