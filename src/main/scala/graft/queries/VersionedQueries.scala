@@ -56,6 +56,40 @@ object VersionedQueries {
   val versionedSnapshotOracle: String =
     s"$oracleSelect GROUP BY 1, 2"
 
+  /** The CONCURRENT-writer twin of [[versionedSnapshot]]: three driver
+    * THREADS race [[Versioned.commitOcc]] on the disjoint
+    * `o_orderkey % 3` slices with no coordination. Version ORDER is
+    * nondeterministic (whoever wins each publish race), but the final
+    * snapshot content is the exact union of the three slices — which is
+    * precisely what the oracle checks (the driver sorts rows before
+    * hashing, so commit order cannot leak into the comparison). This
+    * keeps the OCC protocol's no-lost-updates guarantee under the same
+    * rows+schema+hash gate as every sequential query. */
+  def versionedOcc(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = QueryScratch.freshRoot("graft_occ_q", sfDir)
+    val orders = Tables.orders(spark, sfDir)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    try {
+      val futs = (0 to 2).map { m =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            start.await()
+            Versioned.commitOcc(spark,
+              orders.filter(pmod(col("o_orderkey"), lit(3)) === m), root)
+          }
+        })
+      }
+      start.countDown()
+      val published = futs.map(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+      require(published.sorted == Seq(1L, 2L, 3L),
+        s"three racing appends must publish v1..v3, got $published")
+    } finally pool.shutdownNow()
+    priorityAgg(spark.read.format("graft-versioned").load(root))
+  }
+
+  val versionedOccOracle: String = versionedSnapshotOracle
+
   /** Time travel to v2 = the first two commits (o_orderkey % 3 IN (0, 1)):
     * the snapshot a reader pinned before the third load landed. */
   def versionedTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
@@ -442,6 +476,7 @@ object VersionedQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "versioned_snapshot" -> (versionedSnapshot _),
+    "versioned_occ" -> (versionedOcc _),
     "versioned_time_travel" -> (versionedTimeTravel _),
     "versioned_changes" -> (versionedChanges _),
     "incr_agg" -> (incrAgg _),
@@ -459,6 +494,7 @@ object VersionedQueries {
 
   def oracles: Map[String, String] = Map(
     "versioned_snapshot" -> versionedSnapshotOracle,
+    "versioned_occ" -> versionedOccOracle,
     "versioned_time_travel" -> versionedTimeTravelOracle,
     "versioned_changes" -> versionedChangesOracle,
     "incr_agg" -> incrAggOracle,
