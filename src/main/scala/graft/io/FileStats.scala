@@ -97,6 +97,18 @@ object FileStats {
     }.toMap
   }
 
+  /** Footer-read the exact row count of each file (sum of row-group
+    * counts — parquet records these exactly, no data read). Backs the
+    * deletion-vector "whole file dead" check: a vector whose cardinality
+    * reaches the file's row count means the FILE can drop from the
+    * manifest instead of carrying a 100%-dead vector. */
+  def rowCounts(conf: Configuration, files: Seq[Path]): Map[String, Long] =
+    files.map { p =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      val footer = try reader.getFooter finally reader.close()
+      p.getName -> footer.getBlocks.asScala.map(_.getRowCount).sum
+    }.toMap
+
   private def encodeStat(physical: String, logical: LogicalTypeAnnotation,
                          min: AnyRef, max: AnyRef): Option[ColStats] =
     (physical, logical) match {

@@ -195,6 +195,8 @@ object Versioned {
     publish(spark, root, current + 1,
       Seq(s"#schema=${evolved.json}") ++
         checkLines(spark, root, Some(current)) ++
+        dvEntries(spark, root, Some(current)) // vectors survive metadata commits
+          .map { case (e, d) => dvLine(e, d) } ++
         manifestFiles(spark, root, current))
   }
 
@@ -408,9 +410,15 @@ object Versioned {
     }
     harvestBlooms(spark, batchDir, newPaths, df, bloomCols)
     val newFiles = newPaths.map(p => s"data/b$next/${p.getName}")
+    // deletion vectors follow their carried data files (an append must
+    // never resurrect merge-on-read-deleted rows); a replace sheds them
+    val prevDv =
+      if (replace || prev.isEmpty) Map.empty[String, String]
+      else dvEntries(spark, root, Some(prev.last))
     publish(spark, root, next,
       tag.map(t => s"#tag=$t").toSeq ++ Seq(s"#schema=${recorded.json}")
         ++ checkLines(spark, root, prev.lastOption)
+        ++ dvLinesForCarried(prevDv, carried)
         ++ carried ++ newFiles)
   }
 
@@ -488,10 +496,311 @@ object Versioned {
   /** Read the newest snapshot, or `asOf` a specific version. Reads through
     * the manifest-recorded schema, so after additive evolution old files
     * surface the added columns as null (and time travel to a pre-evolution
-    * version shows that version's schema, not today's). */
-  def read(spark: SparkSession, root: String, asOf: Option[Long] = None): DataFrame =
-    readWithSchema(spark, snapshotSchema(spark, root, asOf),
-      snapshotFiles(spark, root, asOf))
+    * version shows that version's schema, not today's). Deletion vectors
+    * ([[deleteWhereDv]]) are applied: logically-deleted rows never
+    * surface. The version is resolved ONCE so schema, file list and
+    * vectors always describe the same snapshot. */
+  def read(spark: SparkSession, root: String, asOf: Option[Long] = None): DataFrame = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root " +
+      "(bootstrap with Versioned.commit / mergeInto, or CREATE TABLE " +
+      "through the catalog)")
+    val v = asOf.getOrElse(vs.last)
+    readFilesDv(spark, root, snapshotSchema(spark, root, Some(v)),
+      snapshotFiles(spark, root, Some(v)), dvEntries(spark, root, Some(v)))
+  }
+
+  // ------------------------------------------- deletion vectors (merge-on-read)
+  //
+  // The copy-on-write DELETE (deleteWhere) rewrites every file containing a
+  // match — the right trade when deletes are clustered (retention) but a
+  // disaster for scattered point-deletes: removing 1 row from each of
+  // 10,000 files rewrites 10,000 files. deleteWhereDv instead records the
+  // dead row ORDINALS in a per-file sidecar vector ([[Dv]]) and publishes a
+  // metadata-sized commit; readers apply the vectors (one anti-join on
+  // (file, ordinal)), and the rewrite cost is deferred to
+  // dvMaterialize/compaction where it amortizes. This is Delta's deletion
+  // vectors / Iceberg's position deletes, restated for the manifest
+  // protocol. Manifest directive per affected file:
+  //
+  //   #dv=<data-file-entry>\t<vector-entry>
+  //
+  // Vectors are immutable once published (a second delete writes the UNION
+  // as a new vector); vacuum GCs unreferenced ones. Consumers that cannot
+  // apply vectors — the DSv2 scan (native parquet path) and the versioned
+  // micro-batch stream — REFUSE a vectored snapshot loudly rather than
+  // resurrect deleted rows; that is the same reader-feature gate lake
+  // formats version their protocol with.
+
+  private val DvPrefix = "#dv="
+
+  /** Data-file entry -> deletion-vector entry recorded in a snapshot's
+    * manifest (newest unless `asOf`); empty when the snapshot carries no
+    * deletion vectors. Entries are manifest-relative (or absolute for
+    * shallow clones), resolvable with the same rules as data files. */
+  def dvEntries(spark: SparkSession, root: String,
+                asOf: Option[Long] = None): Map[String, String] = {
+    val vs = versions(spark, root)
+    if (vs.isEmpty) return Map.empty
+    val v = asOf.getOrElse(vs.last)
+    if (!vs.contains(v)) return Map.empty
+    manifestLines(spark, root, v).filter(_.startsWith(DvPrefix)).map { l =>
+      val body = l.stripPrefix(DvPrefix)
+      val i = body.indexOf('\t')
+      require(i > 0, s"malformed #dv manifest line in v$v at $root")
+      body.substring(0, i) -> body.substring(i + 1)
+    }.toMap
+  }
+
+  private def dvLine(dataEntry: String, dvEntry: String): String =
+    s"$DvPrefix$dataEntry\t$dvEntry"
+
+  /** The #dv lines a commit carrying `carried` must republish: vectors
+    * follow their data file; files rewritten or dropped shed theirs. */
+  private def dvLinesForCarried(dv: Map[String, String],
+                                carried: Seq[String]): Seq[String] =
+    if (dv.isEmpty) Seq.empty
+    else carried.flatMap(rel => dv.get(rel).map(d => dvLine(rel, d)))
+
+  /** Last two path segments ("b3/part-...parquet") — the join key between
+    * a vector's target file and `_metadata.file_path` (whose URI rendering
+    * differs from Path.toString, so full-string equality would be
+    * brittle). Batch dir names are unique per table and part-file names
+    * carry UUIDs, so the suffix identifies a file within one read. */
+  private def pathSuffix(abs: String): String = {
+    val p = new Path(abs)
+    s"${p.getParent.getName}/${p.getName}"
+  }
+
+  /** (file-suffix, ordinal) pairs of every deleted row across `pairs`
+    * (suffix -> vector absolute path), plus the total cardinality (from
+    * the vectors' fixed headers — priced before any parse). Vector parsing
+    * runs on executors; only names cross the driver. */
+  private def deletedPairs(spark: SparkSession,
+                           pairs: Seq[(String, String)]): (DataFrame, Long) = {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val total = pairs.iterator.map { case (_, d) =>
+      val p = new Path(d); Dv.count(p.getFileSystem(hconf), p)
+    }.sum
+    val conf = new org.apache.spark.util.SerializableConfiguration(hconf)
+    val df = spark.createDataset(pairs)
+      .flatMap { case (sfx, dvPath) =>
+        val p = new Path(dvPath)
+        Dv.read(p.getFileSystem(conf.value), p).iterator.map(o => (sfx, o))
+      }.toDF("__graft_sfx", "__graft_ord")
+    (df, total)
+  }
+
+  /** Attach the vector join keys to a raw parquet read: the file suffix
+    * and the row's ordinal within its file (`_metadata.row_index` — the
+    * same ordinal the vectors record, by construction on both sides). */
+  private def withDvKeys(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, substring_index}
+    df.withColumn("__graft_sfx",
+        substring_index(col("_metadata.file_path"), "/", -2))
+      .withColumn("__graft_ord", col("_metadata.row_index"))
+  }
+
+  /** Read `files` (absolute paths) with any deletion vectors in `dv`
+    * applied. Files without a vector read through the untouched native
+    * path; vectored files pay one anti-join against their dead
+    * (file, ordinal) pairs — broadcast while the total cardinality stays
+    * under `spark.graft.dv.broadcastRows` (default 4M), the regime
+    * vectors exist for (past it, materialize). */
+  private def readFilesDv(spark: SparkSession, root: String,
+                          schema: Option[StructType], files: Seq[String],
+                          dv: Map[String, String]): DataFrame = {
+    if (dv.isEmpty || files.isEmpty) return readWithSchema(spark, schema, files)
+    val dvAbs: Map[String, String] = dv.map { case (e, d) =>
+      resolveEntry(root, e).toString -> resolveEntry(root, d).toString }
+    val (dead, clean) = files.partition(dvAbs.contains)
+    if (dead.isEmpty) return readWithSchema(spark, schema, files)
+    val (pairsDf, total) = deletedPairs(spark,
+      dead.map(f => (pathSuffix(f), dvAbs(f))))
+    val limit = spark.conf.get("spark.graft.dv.broadcastRows", "4000000").toLong
+    val dvSide =
+      if (total <= limit) org.apache.spark.sql.functions.broadcast(pairsDf)
+      else pairsDf
+    val kept = withDvKeys(readWithSchema(spark, schema, dead))
+      .join(dvSide, Seq("__graft_sfx", "__graft_ord"), "left_anti")
+      .drop("__graft_sfx", "__graft_ord")
+    if (clean.isEmpty) kept
+    else readWithSchema(spark, schema, clean).unionByName(kept)
+  }
+
+  /** Merge-on-read row-level DELETE: rows where `predicate` is TRUE are
+    * recorded dead in per-file deletion vectors; FALSE and NULL stay (SQL
+    * DELETE semantics, same as [[deleteWhere]]). NO data file is written
+    * or rewritten — the commit is vectors + manifest — so a point-delete
+    * scattered across 10,000 files of a 100 TB table costs 10,000 tiny
+    * sidecars, not 10,000 file rewrites. The stats fast paths still
+    * apply first: a file whose sidecar PROVES every row matches drops
+    * from the manifest with zero I/O (no vector needed), and a file
+    * proven match-free is never probed. A vector that grows to cover a
+    * file's every row drops the FILE too (footer row-count check), so
+    * fully-deleted files never linger as 100%-dead vectors.
+    *
+    * Readers: [[read]]/[[readPruned]]/copy-on-write ops apply vectors
+    * transparently; the DSv2 scan and the versioned stream REFUSE a
+    * vectored snapshot loudly (see the section comment) until
+    * [[dvMaterialize]] folds the vectors in. Time travel to pre-delete
+    * versions still shows the rows. Returns the new version, or the
+    * current one untouched if nothing matched. */
+  def deleteWhereDv(spark: SparkSession, root: String,
+                    predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{col, collect_list, sort_array}
+    import spark.implicits._
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root")
+    val current = vs.last
+    val next = current + 1
+    val schema = snapshotSchema(spark, root, Some(current))
+    val files = snapshotFiles(spark, root, Some(current))
+    val dvNow = dvEntries(spark, root, Some(current))
+    val f = fs(spark, new Path(root))
+    // same stats-proof split as the copy-on-write core: provable
+    // all-match files drop whole (their live rows all match — stats cover
+    // a superset of the live rows, so the proof carries over vectors),
+    // provable no-match files are never probed
+    val conjuncts = StatsProofs.parseColumn(predicate)
+    lazy val sideByDir: Map[Path, Map[String, Map[String, FileStats.ColStats]]] =
+      files.map(new Path(_)).groupBy(_.getParent).map { case (dir, _) =>
+        dir -> FileStats.readSidecar(f, dir)
+      }
+    val statsOf: Map[String, Map[String, FileStats.ColStats]] =
+      if (conjuncts.isEmpty) Map.empty
+      else files.map { s =>
+        val p = new Path(s)
+        s -> sideByDir(p.getParent).getOrElse(p.getName, Map.empty)
+      }.toMap
+    val (allMatch, rest) = conjuncts match {
+      case Some(cs) => files.partition(p => StatsProofs.allRowsMatch(statsOf(p), cs))
+      case None => (Seq.empty[String], files)
+    }
+    val (_, undecided) = conjuncts match {
+      case Some(cs) => rest.partition(p => StatsProofs.noRowMatches(statsOf(p), cs))
+      case None => (Seq.empty[String], rest)
+    }
+    val relBySfx: Map[String, String] = files.map { abs =>
+      pathSuffix(abs) -> relativize(spark, root, abs)
+    }.toMap
+    // find the LIVE matching rows (already-dead ordinals excluded — a
+    // vector must never double-count) and their ordinals, per file
+    val dvAbs: Map[String, String] = dvNow.map { case (e, d) =>
+      resolveEntry(root, e).toString -> resolveEntry(root, d).toString }
+    val written: Seq[(String, String, Long)] =
+      if (undecided.isEmpty) Seq.empty
+      else {
+        val base = withDvKeys(readWithSchema(spark, schema, undecided))
+        val deadPairs = undecided.collect {
+          case u if dvAbs.contains(u) => (pathSuffix(u), dvAbs(u))
+        }
+        val live =
+          if (deadPairs.isEmpty) base
+          else {
+            val (pairsDf, total) = deletedPairs(spark, deadPairs)
+            val limit = spark.conf.get("spark.graft.dv.broadcastRows", "4000000").toLong
+            val dvSide =
+              if (total <= limit) org.apache.spark.sql.functions.broadcast(pairsDf)
+              else pairsDf
+            base.join(dvSide, Seq("__graft_sfx", "__graft_ord"), "left_anti")
+          }
+        val hits = live.filter(predicate)
+          .groupBy(col("__graft_sfx"))
+          .agg(sort_array(collect_list(col("__graft_ord"))).as("__graft_ords"))
+        // vectors are written by the executors that hold each file's
+        // ordinals — the driver sees one (file, vectorName, count) row per
+        // touched file, bounded like every touched-file collect
+        val batchDir = new Path(dataDir(root), s"b$next")
+        f.delete(batchDir, true) // unpublished crash debris (single-writer rule)
+        f.mkdirs(batchDir)
+        val conf = new org.apache.spark.util.SerializableConfiguration(
+          spark.sparkContext.hadoopConfiguration)
+        val batchDirStr = batchDir.toString
+        val oldDvBySfx: Map[String, String] = deadPairs.toMap
+        val out = hits.as[(String, Seq[Long])].map { case (sfx, ords) =>
+          val fsx = new Path(batchDirStr).getFileSystem(conf.value)
+          val fresh = ords.toArray
+          val merged = oldDvBySfx.get(sfx) match {
+            case Some(old) => Dv.union(Dv.read(fsx, new Path(old)), fresh)
+            case None => fresh
+          }
+          val name = sfx.replace('/', '_') + Dv.Suffix
+          Dv.write(fsx, new Path(new Path(batchDirStr), name), merged)
+          (sfx, name, merged.length.toLong)
+        }.collect().toSeq
+        val cap = spark.conf.get("spark.graft.maxTouchedFiles", "1000000").toInt
+        if (out.length > cap) {
+          f.delete(batchDir, true)
+          throw new IllegalArgumentException(
+            s"DV delete touches ${out.length} files " +
+              s"(> spark.graft.maxTouchedFiles=$cap); narrow the predicate " +
+              "or use the copy-on-write deleteWhere in ranges")
+        }
+        if (out.isEmpty) f.delete(batchDir, true)
+        out
+      }
+    if (written.isEmpty && allMatch.isEmpty) return current
+    // a vector covering the file's EVERY row means the file itself is
+    // dead: drop it instead of publishing a 100%-dead vector (keyed by
+    // suffix, not bare file name, so the check can never read another
+    // batch's footer count)
+    val rowsBySfx: Map[String, Long] =
+      if (written.isEmpty) Map.empty
+      else {
+        val bySfx = files.map(abs => pathSuffix(abs) -> abs).toMap
+        written.map { case (sfx, _, _) =>
+          sfx -> FileStats.rowCounts(spark.sparkContext.hadoopConfiguration,
+            Seq(new Path(bySfx(sfx)))).values.head
+        }.toMap
+      }
+    val fullyDead: Set[String] = written.collect {
+      case (sfx, _, cnt) if rowsBySfx(sfx) == cnt => sfx
+    }.toSet
+    val droppedRel: Set[String] =
+      allMatch.map(relativize(spark, root, _)).toSet ++ fullyDead.map(relBySfx)
+    val newDvByRel: Map[String, String] = written.collect {
+      case (sfx, name, _) if !fullyDead.contains(sfx) =>
+        relBySfx(sfx) -> s"data/b$next/$name"
+    }.toMap
+    val keptFiles = files.map(relativize(spark, root, _)).filterNot(droppedRel)
+    val dvLines = keptFiles.flatMap { rel =>
+      newDvByRel.get(rel).orElse(dvNow.get(rel)).map(d => dvLine(rel, d))
+    }
+    publish(spark, root, next,
+      schema.map(s => s"#schema=${s.json}").toSeq
+        ++ checkLines(spark, root, Some(current))
+        ++ dvLines ++ keptFiles)
+  }
+
+  /** Fold every deletion vector into its data files: the vectored files
+    * are rewritten without their dead rows (one job over exactly those
+    * files), clean files carry by reference, and the new snapshot has no
+    * vectors — re-admitting the table to the vector-free consumers (DSv2
+    * scan, versioned stream). The compaction half of the merge-on-read
+    * bargain; schedule it when vectors accumulate (describeDetail reports
+    * their count and cardinality). Returns the new version (unchanged if
+    * there are no vectors). */
+  def dvMaterialize(spark: SparkSession, root: String): Long = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root")
+    val current = vs.last
+    val dv = dvEntries(spark, root, Some(current))
+    if (dv.isEmpty) return current
+    val schema = snapshotSchema(spark, root, Some(current))
+    val files = snapshotFiles(spark, root, Some(current))
+    val dvAbsKeys = dv.keysIterator.map(resolveEntry(root, _).toString).toSet
+    val (dead, clean) = files.partition(dvAbsKeys.contains)
+    val survivors = readFilesDv(spark, root, schema, dead, dv)
+    val statsCols = trackedStatsCols(spark, root, files)
+      .filter(c => schema.forall(_.fieldNames.contains(c)))
+    // already-committed rows minus already-validated deletes: valid by
+    // induction, same CHECK-revalidation waiver as compaction
+    commitMixed(spark, survivors, root, clean.map(relativize(spark, root, _)),
+      statsCols = statsCols, bloomCols = trackedBloomCols(spark, root, files),
+      validateChecks = false)
+  }
 
   /** Range scan with file skipping: read only the snapshot files whose
     * footer-harvested min/max (see `commit(statsCols = ...)`) can overlap
@@ -518,7 +827,8 @@ object Versioned {
     }
     val base =
       if (kept.isEmpty) read(spark, root, asOf).limit(0)
-      else readWithSchema(spark, snapshotSchema(spark, root, asOf), kept)
+      else readFilesDv(spark, root, snapshotSchema(spark, root, asOf), kept,
+        dvEntries(spark, root, asOf))
     val c = col("`" + column.replace("`", "``") + "`")
     val preds = lo.map(v => c >= litOf(v)) ++ hi.map(v => c <= litOf(v))
     base.filter(preds.reduce(_ && _))
@@ -783,7 +1093,11 @@ object Versioned {
       }
       val (touched, untouched) = files.partition(f =>
         touchedUris.contains(new Path(f).toUri.getPath))
-      val survivors = readWithSchema(spark, schema, touched)
+      // vector-applied: a key matching only a merge-on-read-deleted row is
+      // an INSERT (the probe may conservatively touch such files; their
+      // rewrite here keeps only live rows)
+      val survivors = readFilesDv(spark, root, schema, touched,
+          dvEntries(spark, root, Some(current)))
         .join(srcKeys, keys, "left_anti")
       commitMixed(spark, survivors.unionByName(aligned), root,
         untouched.map(relativize(spark, root, _)), statsCols = statsCols, tag = tag,
@@ -962,9 +1276,12 @@ object Versioned {
       // ---- matched-key set decides inserts: source keys with a match
       // anywhere in the table (probeFiles is a conservative superset of
       // every file that can contain one)
+      // vector-applied: a source key whose only table match is a
+      // merge-on-read-deleted row is UNMATCHED and must insert
       val matchedKeys =
         if (inserts.isEmpty || probeFiles.isEmpty) null
-        else readWithSchema(spark, schema, probeFiles)
+        else readFilesDv(spark, root, schema, probeFiles,
+            dvEntries(spark, root, Some(current)))
           .select(keys.map(col): _*)
           .join(srcKeys, keys, "left_semi").distinct()
       val insertCond = inserts
@@ -986,7 +1303,8 @@ object Versioned {
       val survivors: Option[DataFrame] =
         if (touched.isEmpty) None
         else {
-          val t = readWithSchema(spark, schema, touched).alias("__t")
+          val t = readFilesDv(spark, root, schema, touched,
+            dvEntries(spark, root, Some(current))).alias("__t")
           // with no matched clause the join only supplies the matched/
           // unmatched indicator — join the DISTINCT key set, not the full
           // source: duplicate source keys are legal then (no dup-key
@@ -1060,6 +1378,8 @@ object Versioned {
     val body = snapshotSchema(spark, root, Some(toVersion))
       .map(s => s"#schema=${s.json}").toSeq ++
       checkLines(spark, root, Some(toVersion)) ++ // that snapshot's checks
+      dvEntries(spark, root, Some(toVersion)) // and its deletion vectors
+        .map { case (e, d) => dvLine(e, d) } ++
       manifestFiles(spark, root, toVersion)
     publish(spark, root, vs.last + 1, body)
   }
@@ -1100,10 +1420,16 @@ object Versioned {
     // Entries already absolute (cloning a clone) pass through unchanged.
     val entries = manifestFiles(spark, srcRoot, v)
       .map(e => qualify(spark, resolveEntry(srcRoot, e).toString).toString)
+    // deletion vectors absolutize EXACTLY like their data files, so the
+    // clone's #dv keys match its (absolutized) file entries string-equal
+    val dvAbs = dvEntries(spark, srcRoot, Some(v)).map { case (e, d) =>
+      dvLine(qualify(spark, resolveEntry(srcRoot, e).toString).toString,
+        qualify(spark, resolveEntry(srcRoot, d).toString).toString)
+    }
     val body = snapshotSchema(spark, srcRoot, Some(v))
       .map(s => s"#schema=${s.json}").toSeq ++
       checkLines(spark, srcRoot, Some(v)) ++ // the cloned snapshot's checks
-      entries
+      dvAbs ++ entries
     publish(spark, dstRoot, 1L, body)
   }
 
@@ -1130,8 +1456,19 @@ object Versioned {
     val after = manifestFiles(spark, root, to)
     val beforeSet = before.toSet
     val afterSet = after.toSet
-    val gone = before.filterNot(afterSet).map(rel => resolveEntry(root, rel).toString)
-    val fresh = after.filterNot(beforeSet).map(rel => resolveEntry(root, rel).toString)
+    // a file present in BOTH manifests can still contribute when its
+    // DELETION VECTOR changed between the versions (a merge-on-read delete
+    // alters content without touching the file list): such files read on
+    // both sides, each under its own side's vectors, and the EXCEPT ALL
+    // cancels the surviving rows — surfacing exactly the newly-dead ones
+    val dvFrom = dvEntries(spark, root, Some(fromV))
+    val dvTo = dvEntries(spark, root, Some(to))
+    val dvChanged = before.filter(afterSet)
+      .filter(e => dvFrom.get(e) != dvTo.get(e))
+    val gone = (before.filterNot(afterSet) ++ dvChanged)
+      .map(rel => resolveEntry(root, rel).toString)
+    val fresh = (after.filterNot(beforeSet) ++ dvChanged)
+      .map(rel => resolveEntry(root, rel).toString)
     val resolved = snapshotSchema(spark, root, Some(to))
       .getOrElse(read(spark, root, Some(to)).schema)
     // a replace commit may retype columns arbitrarily; reading the FROM
@@ -1152,14 +1489,16 @@ object Versioned {
         }
       }
     }
-    def side(paths: Seq[String]): DataFrame =
+    def side(paths: Seq[String], dv: Map[String, String]): DataFrame =
       if (paths.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], resolved)
-      else spark.read.schema(resolved).parquet(paths: _*)
-    side(fresh).exceptAll(side(gone)).withColumn("_change", lit("insert"))
+      else readFilesDv(spark, root, Some(resolved), paths, dv)
+    val freshDf = side(fresh, dvTo)
+    val goneDf = side(gone, dvFrom)
+    freshDf.exceptAll(goneDf).withColumn("_change", lit("insert"))
       .unionByName(
-        side(gone).exceptAll(side(fresh)).withColumn("_change", lit("delete")))
+        goneDf.exceptAll(freshDf).withColumn("_change", lit("delete")))
   }
 
   /** Collect the touched-file probe's distinct file URIs to the driver,
@@ -1209,6 +1548,7 @@ object Versioned {
     val current = vs.last
     val schema = snapshotSchema(spark, root, Some(current))
     val files = snapshotFiles(spark, root, Some(current))
+    val dvNow = dvEntries(spark, root, Some(current))
     val conjuncts = StatsProofs.parseColumn(predicate)
     val f = fs(spark, new Path(root))
     // ONE sidecar read per batch dir, shared by both proofs and by the
@@ -1250,7 +1590,8 @@ object Versioned {
       // directly, no data written or read — the retention fast path
       publish(spark, root, current + 1,
         schema.map(s => s"#schema=${s.json}").toSeq
-          ++ checkLines(spark, root, Some(current)) ++ carried)
+          ++ checkLines(spark, root, Some(current))
+          ++ dvLinesForCarried(dvNow, carried) ++ carried)
     } else {
       // stats columns the table already tracks (union over the sidecars
       // already read above): the rewritten files must keep pruning alive
@@ -1258,7 +1599,9 @@ object Versioned {
         .flatMap(_.valuesIterator.flatMap(_.keysIterator))
         .toSeq.distinct.sorted
         .filter(c => schema.forall(_.fieldNames.contains(c)))
-      val rewritten = rewrite(readWithSchema(spark, schema, touched))
+      // the rewrite reads VECTOR-APPLIED rows: a copy-on-write pass over a
+      // vectored file must not resurrect its merge-on-read-deleted rows
+      val rewritten = rewrite(readFilesDv(spark, root, schema, touched, dvNow))
       commitMixed(spark, rewritten, root, carried, statsCols = statsCols,
         bloomCols = trackedBloomCols(spark, root, files))
     }
@@ -1409,7 +1752,8 @@ object Versioned {
     * reads + one LIST per batch dir for sizes — no data read). */
   final case class TableDetail(version: Long, numFiles: Long, totalBytes: Long,
                                numColumns: Int, statsColumns: String,
-                               bloomColumns: String, numConstraints: Int)
+                               bloomColumns: String, numConstraints: Int,
+                               numDeletionVectors: Long, dvDeletedRows: Long)
 
   def describeDetail(spark: SparkSession, root: String): TableDetail = {
     val vs = versions(spark, root)
@@ -1422,10 +1766,17 @@ object Versioned {
     val bytes = files.map(s => sizes.getOrElse(new Path(s).toUri.getPath, 0L)).sum
     val statsCols = trackedStatsCols(spark, root, files)
     val bloomCols = trackedBloomCols(spark, root, files)
+    // vector cardinalities come from the 12-byte headers — the signal that
+    // prices a dvMaterialize (still metadata-sized, like everything here)
+    val dv = dvEntries(spark, root, Some(current))
+    val dvRows = dv.valuesIterator.map { d =>
+      val p = resolveEntry(root, d)
+      Dv.count(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }.sum
     TableDetail(current, files.size.toLong, bytes,
       schema.map(_.fields.length).getOrElse(-1),
       statsCols.mkString(","), bloomCols.mkString(","),
-      constraints(spark, root).size)
+      constraints(spark, root).size, dv.size.toLong, dvRows)
   }
 
   /** Retrofits write sidecars INSIDE the snapshot's batch directories —
@@ -1547,9 +1898,15 @@ object Versioned {
       bloomCols.filter(c => df.columns.contains(c) &&
         FileStats.bloomSupported(df.schema(c).dataType)))
     val newFiles = newPaths.map(p => s"data/b$next/${p.getName}")
+    // carried files keep their deletion vectors; rewritten/dropped files
+    // shed theirs (their batch was read vector-applied by the caller)
+    val prevDv = prev.lastOption
+      .map(v => dvEntries(spark, root, Some(v)))
+      .getOrElse(Map.empty[String, String])
     publish(spark, root, next,
       tag.map(t => s"#tag=$t").toSeq ++ Seq(s"#schema=${recorded.json}")
         ++ checkLines(spark, root, prev.lastOption)
+        ++ dvLinesForCarried(prevDv, carriedRel)
         ++ carriedRel ++ newFiles)
   }
 
@@ -1576,7 +1933,8 @@ object Versioned {
                   toV: Option[Long] = None): DataFrame = {
     val added = changedFiles(spark, root, fromV, toV)
     if (added.isEmpty) read(spark, root, toV).limit(0)
-    else readWithSchema(spark, snapshotSchema(spark, root, toV), added)
+    else readFilesDv(spark, root, snapshotSchema(spark, root, toV), added,
+      dvEntries(spark, root, toV))
   }
 
   /** Compact the current snapshot: read it, rewrite as `nFiles`
@@ -1633,7 +1991,11 @@ object Versioned {
     val totalSmall = small.map(_._2).sum
     val nOut = math.max(1, math.ceil(totalSmall.toDouble / targetBytes).toInt)
     val schema = snapshotSchema(spark, root, Some(vs.last))
-    val df = readWithSchema(spark, schema, small.map(_._1))
+    // vector-applied: compacting a vectored small file MATERIALIZES its
+    // deletes (the rewritten rows are the live ones; commitMixed then
+    // sheds the input's #dv line while carried files keep theirs)
+    val df = readFilesDv(spark, root, schema, small.map(_._1),
+      dvEntries(spark, root, Some(vs.last)))
     val shaped =
       if (sortCols.isEmpty) df.repartition(nOut)
       else df.repartitionByRange(nOut, sortCols.map(col): _*)
@@ -1728,19 +2090,27 @@ object Versioned {
     if (vs.size <= keepVersions && vs.nonEmpty) return
     val keep = vs.takeRight(keepVersions)
     val f = fs(spark, new Path(root))
+    // liveness covers deletion vectors too: a retained snapshot's vectors
+    // are part of its correctness (GCing one would resurrect its rows)
     val live: Set[String] =
-      keep.flatMap(v => manifestFiles(spark, root, v)).toSet
-    // delete unreachable data files, then empty batch dirs, then manifests
+      keep.flatMap(v => manifestFiles(spark, root, v)).toSet ++
+        keep.flatMap(v => dvEntries(spark, root, Some(v)).valuesIterator)
+    // delete unreachable data files + vectors, then dead batch dirs (a dir
+    // survives while ANY live file — parquet or vector — remains in it),
+    // then manifests
     val ddir = dataDir(root)
     if (f.exists(ddir)) {
       f.listStatus(ddir).foreach { batch =>
         f.listStatus(batch.getPath).foreach { df0 =>
-          val rel = s"data/${batch.getPath.getName}/${df0.getPath.getName}"
-          if (df0.getPath.getName.endsWith(".parquet") && !live.contains(rel))
+          val name = df0.getPath.getName
+          val rel = s"data/${batch.getPath.getName}/$name"
+          if ((name.endsWith(".parquet") || name.endsWith(Dv.Suffix)) &&
+              !live.contains(rel))
             f.delete(df0.getPath, false)
         }
-        if (f.listStatus(batch.getPath)
-              .forall(s => !s.getPath.getName.endsWith(".parquet")))
+        if (f.listStatus(batch.getPath).forall { s =>
+              !live.contains(s"data/${batch.getPath.getName}/${s.getPath.getName}")
+            })
           f.delete(batch.getPath, true)
       }
     }
@@ -1852,10 +2222,15 @@ object Versioned {
         catch { case t: Throwable => throw t } // batch dir already deleted there
         validatedChecks = checks
       }
+      // re-derived like the carried list: vectors published by a
+      // concurrent merge-on-read delete carry through this append
+      val dvPrev = base.map(v => dvEntries(spark, root, Some(v)))
+        .getOrElse(Map.empty[String, String])
       try {
         return publish(spark, root, next,
           tag.map(t => s"#tag=$t").toSeq ++ Seq(s"#schema=${recorded.json}")
-            ++ checkLines(spark, root, base) ++ carried ++ newFiles)
+            ++ checkLines(spark, root, base)
+            ++ dvLinesForCarried(dvPrev, carried) ++ carried ++ newFiles)
       } catch {
         case e: IllegalStateException if e.getMessage.contains("commit conflict") =>
           if (attempt >= maxAttempts)
@@ -1896,7 +2271,10 @@ object Versioned {
     val totalSmall = small.map(_._2).sum
     val nOut = math.max(1, math.ceil(totalSmall.toDouble / targetBytes).toInt)
     val schema = snapshotSchema(spark, root, Some(baseV))
-    val df = readWithSchema(spark, schema, small.map(_._1))
+    // vector-applied (materializes the inputs' deletes, like compactSmall);
+    // the per-input vector state is remembered for the conflict check below
+    val baseDv = dvEntries(spark, root, Some(baseV))
+    val df = readFilesDv(spark, root, schema, small.map(_._1), baseDv)
     val shaped =
       if (sortCols.isEmpty) df.repartition(nOut)
       else df.repartitionByRange(nOut, sortCols.map(col): _*)
@@ -1927,6 +2305,17 @@ object Versioned {
           s"compaction conflict at $root: ${gone.size} input file(s) were " +
             s"rewritten or removed by a concurrent commit (e.g. ${gone.head}) " +
             "— compaction aborted, nothing published; re-run it"))
+      // a concurrent merge-on-read delete that VECTORED an input file is
+      // the same conflict in different clothes: the file list is intact
+      // but rows this compaction already packed are now dead — publishing
+      // would resurrect them. Die loud, like the rewritten-input case.
+      val curDv = dvEntries(spark, root, Some(cur))
+      val dvDrift = inputsRel.filter(r => curDv.get(r) != baseDv.get(r))
+      if (dvDrift.nonEmpty)
+        abort(new IllegalStateException(
+          s"compaction conflict at $root: deletion vectors changed on " +
+            s"${dvDrift.size} input file(s) (e.g. ${dvDrift.head}) since the " +
+            "inputs were read — compaction aborted, nothing published; re-run it"))
       val carried = curFiles.filterNot(inputsRel)
       val curSchema = snapshotSchema(spark, root, Some(cur))
       val recorded =
@@ -1936,7 +2325,7 @@ object Versioned {
       try {
         return publish(spark, root, cur + 1,
           Seq(s"#schema=${recorded.json}") ++ checkLines(spark, root, Some(cur))
-            ++ carried ++ outFiles)
+            ++ dvLinesForCarried(curDv, carried) ++ carried ++ outFiles)
       } catch {
         case e: IllegalStateException if e.getMessage.contains("commit conflict") =>
           if (attempt >= maxAttempts)

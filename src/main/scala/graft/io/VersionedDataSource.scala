@@ -49,7 +49,8 @@ object VersionedDataSource {
       spark, CaseInsensitiveStringMap.empty(), files.toList,
       Versioned.snapshotSchema(spark, root, asOf),
       classOf[ParquetFileFormat]),
-      liveRoot = if (asOf.isEmpty) Some(root) else None)
+      liveRoot = if (asOf.isEmpty) Some(root) else None,
+      dvBlocked = Versioned.dvEntries(spark, root, asOf).nonEmpty)
   }
 
   /** Load every batch sidecar referenced by `files` (one tiny driver read
@@ -161,7 +162,15 @@ class VersionedDataSource extends TableProvider with DataSourceRegister {
     val liveRoot =
       if (opts.containsKey("asOf") || opts.containsKey("changesFrom")) None
       else Option(opts.get("path"))
-    new VersionedReadTable(delegate(opts), liveRoot)
+    // reader-feature gate: the native parquet scan cannot apply deletion
+    // vectors, so a vectored snapshot must not scan through it (one tiny
+    // manifest read decides; the read version mirrors delegate()'s)
+    val dvBlocked = Option(opts.get("path")).exists { root =>
+      val v = Option(opts.get("changesTo")).map(_.toLong)
+        .orElse(Option(opts.get("asOf")).map(_.toLong))
+      Versioned.dvEntries(SparkSession.active, root, v).nonEmpty
+    }
+    new VersionedReadTable(delegate(opts), liveRoot, dvBlocked)
   }
 }
 
@@ -186,7 +195,8 @@ class VersionedDataSource extends TableProvider with DataSourceRegister {
   * mutation path is absent from its capabilities and the analyzer
   * rejects it — history cannot be edited. */
 private[graft] class VersionedReadTable(inner: ParquetTable,
-                                        val liveRoot: Option[String] = None)
+                                        val liveRoot: Option[String] = None,
+                                        dvBlocked: Boolean = false)
   extends Table with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete {
@@ -232,6 +242,19 @@ private[graft] class VersionedReadTable(inner: ParquetTable,
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // Reader-feature gate (the same protocol move as Delta's reader
+    // versions): this scan is Spark's NATIVE parquet path, which cannot
+    // apply merge-on-read deletion vectors — scanning a vectored snapshot
+    // here would silently resurrect deleted rows. Refuse loudly; the
+    // library read path (Versioned.read) applies vectors, and
+    // Versioned.dvMaterialize / CALL graft.system.dv_materialize folds
+    // them in to re-admit the table to this scan.
+    if (dvBlocked)
+      throw new UnsupportedOperationException(
+        s"${inner.name}: snapshot carries deletion vectors, which the native " +
+          "DSv2 parquet scan cannot apply — read via Versioned.read, or fold " +
+          "the vectors in with Versioned.dvMaterialize / " +
+          "CALL graft.system.dv_materialize first")
     val parquet = ParquetScanBuilder(inner.sparkSession, prunedIndex, inner.schema,
       inner.dataSchema, options)
     liveRoot match {

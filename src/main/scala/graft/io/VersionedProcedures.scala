@@ -180,7 +180,7 @@ private[io] object VersionedProcedures {
       (spark, rootFor, input) => row(Versioned.dropConstraint(
         spark, existing(spark, rootFor, input, 0), str(input, 1, "name")))),
 
-    Spec("detail", "one metadata row describing the current snapshot (files, bytes, schema width, sidecar coverage, constraints)",
+    Spec("detail", "one metadata row describing the current snapshot (files, bytes, schema width, sidecar coverage, constraints, deletion vectors)",
       Array(in("table", StringType)),
       StructType(Seq(
         StructField("version", LongType, nullable = false),
@@ -189,15 +189,30 @@ private[io] object VersionedProcedures {
         StructField("num_columns", IntegerType, nullable = false),
         StructField("stats_columns", StringType, nullable = false),
         StructField("bloom_columns", StringType, nullable = false),
-        StructField("num_constraints", IntegerType, nullable = false))),
+        StructField("num_constraints", IntegerType, nullable = false),
+        StructField("num_deletion_vectors", LongType, nullable = false),
+        StructField("dv_deleted_rows", LongType, nullable = false))),
       (spark, rootFor, input) => {
         val root = existing(spark, rootFor, input, 0)
         val d = Versioned.describeDetail(spark, root)
         row(d.version, d.numFiles, d.totalBytes, d.numColumns,
           org.apache.spark.unsafe.types.UTF8String.fromString(d.statsColumns),
           org.apache.spark.unsafe.types.UTF8String.fromString(d.bloomColumns),
-          d.numConstraints)
+          d.numConstraints, d.numDeletionVectors, d.dvDeletedRows)
       }),
+
+    Spec("dv_delete", "merge-on-read DELETE: record matching rows dead in per-file deletion vectors (no data rewritten); predicate is a SQL boolean over the table's columns",
+      Array(in("table", StringType), in("predicate", StringType)),
+      newVersion,
+      (spark, rootFor, input) => row(Versioned.deleteWhereDv(
+        spark, existing(spark, rootFor, input, 0),
+        org.apache.spark.sql.functions.expr(str(input, 1, "predicate"))))),
+
+    Spec("dv_materialize", "fold every deletion vector into its data files (rewrites exactly the vectored files), re-admitting the table to the DSv2 scan and the versioned stream",
+      Array(in("table", StringType)),
+      newVersion,
+      (spark, rootFor, input) => row(Versioned.dvMaterialize(
+        spark, existing(spark, rootFor, input, 0)))),
 
     Spec("constraints", "list the current snapshot's CHECK constraints",
       Array(in("table", StringType)),

@@ -85,6 +85,24 @@ private[graft] class VersionedMicroBatchStream(
     // boundary manifests are read ONCE and the removed-set check and the
     // added-file diff derive from the same two lists (metadata RPCs are
     // the steady-state cost of a low-latency tail).
+    // Deletion-vector guard, the merge-on-read twin of the removed-file
+    // check below: a vector landing between the offsets deletes rows the
+    // stream may already have emitted (or is about to emit from raw
+    // files the template scan cannot vector-filter). Fail loudly — the
+    // consumer materializes (Versioned.dvMaterialize) and restarts.
+    val dvTo = Versioned.dvEntries(spark, root, Some(to))
+    if (from == 0L)
+      require(dvTo.isEmpty,
+        s"versioned stream cannot start from a snapshot carrying deletion " +
+          s"vectors (v$to at $root): the micro-batch scan reads raw files " +
+          "and would resurrect deleted rows — run Versioned.dvMaterialize / " +
+          "CALL graft.system.dv_materialize first")
+    else
+      require(Versioned.dvEntries(spark, root, Some(from)) == dvTo,
+        s"versioned stream requires append-only history, but v$from..v$to " +
+          s"changed deletion vectors (merge-on-read delete landed mid-stream); " +
+          "restart from a materialized snapshot or use Versioned.diffVersions " +
+          "for row-level changes")
     val files =
       if (from == 0L) Versioned.snapshotFiles(spark, root, Some(to))
       else {

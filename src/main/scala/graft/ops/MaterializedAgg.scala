@@ -60,6 +60,14 @@ object MaterializedAgg {
         s"source history since v$c is not append-only (${removed.size} file(s) " +
           s"replaced/compacted away at $sourceRoot); folding the delta would " +
           "double-count. Rebuild the state (delete it) or refresh before compacting.")
+      // a merge-on-read delete is the same violation without a file-list
+      // change: rows the state already folded went dead, and no delta
+      // will ever re-deliver them — the state would stay silently stale
+      require(Versioned.dvEntries(spark, sourceRoot, Some(c)) ==
+          Versioned.dvEntries(spark, sourceRoot, Some(target)),
+        s"source history since v$c changed deletion vectors at $sourceRoot; " +
+          "delta folding cannot subtract vector-deleted rows. Rebuild the " +
+          "state, or materialize vectors (dvMaterialize) and rebuild.")
     }
 
     val delta = covered match {

@@ -474,7 +474,51 @@ object VersionedQueries {
       |       CAST(1 AS INTEGER) AS n_constraints
       |FROM orders GROUP BY 1, 2""".stripMargin
 
+  /** Merge-on-read DELETE: two deletion-vector deletes over the 3-commit
+    * table — scattered predicates the stats proofs cannot touch, so every
+    * file gets a vector (the second delete UNIONS into the first's) and
+    * NO data file is rewritten (the point: at 100 TB this commit is
+    * sidecars + manifest). The read goes through the library path, which
+    * applies the vectors; the oracle replays the deletes as a WHERE. */
+  def versionedDvDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = QueryScratch.freshRoot("graft_dv_q", sfDir)
+    val orders = Tables.orders(spark, sfDir)
+    (0 to 2).foreach { m =>
+      Versioned.commit(spark, orders.filter(pmod(col("o_orderkey"), lit(3)) === m),
+        root, statsCols = Seq("o_orderkey"))
+    }
+    Versioned.deleteWhereDv(spark, root, pmod(col("o_orderkey"), lit(7)) === 0)
+    Versioned.deleteWhereDv(spark, root, pmod(col("o_orderkey"), lit(7)) === 1)
+    priorityAgg(Versioned.read(spark, root))
+  }
+
+  val versionedDvDeleteOracle: String =
+    s"$oracleSelect WHERE o_orderkey % 7 NOT IN (0, 1) GROUP BY 1, 2"
+
+  /** The materialize half: vector the table, then fold the vectors into
+    * the data files (rewriting exactly the vectored files) — after which
+    * the DSv2 scan is re-admitted and must see the identical content the
+    * vectored read produced. Same oracle as [[versionedDvDelete]]: the
+    * two representations (vectors applied at read vs materialized) are
+    * indistinguishable to a reader, which is the whole contract. */
+  def versionedDvMaterialize(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = QueryScratch.freshRoot("graft_dv_mat_q", sfDir)
+    val orders = Tables.orders(spark, sfDir)
+    (0 to 2).foreach { m =>
+      Versioned.commit(spark, orders.filter(pmod(col("o_orderkey"), lit(3)) === m),
+        root, statsCols = Seq("o_orderkey"))
+    }
+    Versioned.deleteWhereDv(spark, root, pmod(col("o_orderkey"), lit(7)) === 0)
+    Versioned.deleteWhereDv(spark, root, pmod(col("o_orderkey"), lit(7)) === 1)
+    Versioned.dvMaterialize(spark, root)
+    priorityAgg(spark.read.format("graft-versioned").load(root))
+  }
+
+  val versionedDvMaterializeOracle: String = versionedDvDeleteOracle
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "versioned_dv" -> (versionedDvDelete _),
+    "versioned_dv_mat" -> (versionedDvMaterialize _),
     "versioned_snapshot" -> (versionedSnapshot _),
     "versioned_occ" -> (versionedOcc _),
     "versioned_time_travel" -> (versionedTimeTravel _),
@@ -493,6 +537,8 @@ object VersionedQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "versioned_dv" -> versionedDvDeleteOracle,
+    "versioned_dv_mat" -> versionedDvMaterializeOracle,
     "versioned_snapshot" -> versionedSnapshotOracle,
     "versioned_occ" -> versionedOccOracle,
     "versioned_time_travel" -> versionedTimeTravelOracle,

@@ -116,7 +116,8 @@ class VersionedProcedureSpec extends SparkSpecBase {
     Versioned.buildBlooms(spark, root, Seq("id"))
     val d = spark.sql(s"CALL graft_proc.system.detail('$t')")
     assert(d.columns.toSeq == Seq("version", "num_files", "total_bytes",
-      "num_columns", "stats_columns", "bloom_columns", "num_constraints"))
+      "num_columns", "stats_columns", "bloom_columns", "num_constraints",
+      "num_deletion_vectors", "dv_deleted_rows"))
     val r = d.collect()(0)
     assert(r.getLong(0) == 4L)       // 3 commits + constraint commit
     assert(r.getLong(1) == 3L)       // three single-file batches
@@ -171,6 +172,27 @@ class VersionedProcedureSpec extends SparkSpecBase {
     val e = intercept[Exception](
       spark.sql(s"CALL graft_proc.system.stats('ns.stated', 'nope')"))
     assert(e.getMessage.contains("statsCols not in"))
+  }
+
+  test("CALL dv_delete + dv_materialize run the merge-on-read delete lifecycle") {
+    val t = build("dvproc")
+    val root = rootOf("dvproc")
+    // vector the table by statement: no data file rewritten
+    val filesBefore = manifestOf(root, 3L)
+    val v = spark.sql(s"CALL graft_proc.system.dv_delete('$t', 'id % 10 = 0')")
+      .as[Long].head()
+    assert(v == 4L)
+    assert(manifestOf(root, 4L) == filesBefore)
+    assert(Versioned.read(spark, root).count() == 270)
+    // detail reports the vectors; the SQL scan is gated until materialize
+    val d = spark.sql(s"CALL graft_proc.system.detail('$t')").collect()(0)
+    assert(d.getLong(7) == 3L && d.getLong(8) == 30L)
+    val e = intercept[Exception](spark.table(s"graft_proc.$t").count())
+    assert(chain(e).contains("deletion vectors"))
+    val v2 = spark.sql(s"CALL graft_proc.system.dv_materialize('$t')")
+      .as[Long].head()
+    assert(v2 == 5L)
+    assert(spark.table(s"graft_proc.$t").count() == 270)
   }
 
   test("namespace and procedure names are case-insensitive like all SQL identifiers") {
