@@ -139,6 +139,44 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("rlabel").as("cluster"))
   }
 
+  /** SemDeDup — semantic deduplication by cluster blocking (Abbas et al.
+    * 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication" — public): embeddings are k-means-clustered
+    * ([[quantizedCentroids]]/[[lloydIterate]] + [[assignClusters]]), and
+    * near-duplicate detection runs only WITHIN each cluster — the
+    * clustering is the blocking step that makes semantic dedup tractable
+    * at corpus scale (all-pairs cosine over 100 TB of embeddings is
+    * impossible; per-cluster pairs are bounded).
+    *
+    * Keep rule (deterministic, engine-reproducible): a row is DROPPED iff
+    * some cluster-mate with a smaller `vec_id` lies within the similarity
+    * threshold (`cos >= tau`) — i.e. each near-dup group keeps its
+    * lowest-id member that has no smaller near neighbor. Returns the kept
+    * (vec_id, cluster) rows.
+    *
+    * Scale posture: the intra-cluster join is O(size²) per cluster, which
+    * is SemDeDup's own cost model — at scale you raise the CLUSTER COUNT
+    * so sizes stay bounded, you don't pay bigger quadratic blocks. A
+    * cluster above `maxClusterSize` fails loudly (add centroids /
+    * re-cluster) instead of detonating a task. */
+  def semDedupKeep(assigned: DataFrame, tau: Double,
+                   maxClusterSize: Int = 100000): DataFrame = {
+    val over = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxClusterSize).limit(1).collect()
+    require(over.isEmpty,
+      s"semDedupKeep: cluster ${over.head.get(0)} has ${over.head.getLong(1)} " +
+        s"members (> maxClusterSize=$maxClusterSize); increase the centroid " +
+        "count (smaller clusters) — do not pay quadratic blocks this large")
+    val b = assigned.select(col("vec_id").as("__bid"),
+      col("embedding").as("__bvec"), col("cluster"))
+    val dropped = assigned.join(b, Seq("cluster"))
+      .filter(col("__bid") < col("vec_id"))
+      .filter(cosineSim(col("embedding"), col("__bvec")) >= lit(tau))
+      .select(col("vec_id")).distinct()
+    assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cluster"))
+  }
+
   /** IVF probe: exact top-k of each query against the candidates in its
     * probed cluster lists. The corpus side carries ONE cluster per
     * vector, so a (query, candidate) pair meets at most once even with

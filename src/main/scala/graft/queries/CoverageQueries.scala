@@ -482,6 +482,44 @@ object CoverageQueries {
        |WHERE rank <= 3
        |""".stripMargin
 
+  /** SemDeDup over the embeddings table: k-means cluster blocking
+    * (quantized centroid step, same as ann_ivf_kmeans) + intra-cluster
+    * near-dup keep rule at cos >= 0.2 — the canonical semantic-dedup
+    * operator for training corpora, oracle-exact because every float in
+    * the pipeline (quantized centroid sums, sequential-fold cosine) is
+    * engine-identical, so even the THRESHOLD comparisons agree bitwise. */
+  def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cent = Similarity.quantizedCentroids(emb)
+    val assigned = Similarity.assignClusters(emb, cent, nprobe = 1)
+    Similarity.semDedupKeep(assigned, tau = 0.2)
+  }
+
+  val semDedupOracle: String =
+    s"""WITH comp AS (
+       |  SELECT label, i,
+       |         SUM(CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1048576) AS BIGINT)) AS s
+       |  FROM embeddings, range(0,64) t(i) GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT label AS rlabel, list(CAST(s AS DOUBLE) ORDER BY i) AS cvec
+       |  FROM comp GROUP BY 1),
+       |assigned AS (
+       |  SELECT vec_id, embedding, rlabel AS cluster FROM (
+       |    SELECT e.vec_id, e.embedding, r.rlabel,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.embedding", "r.cvec")} DESC, r.rlabel) AS rn
+       |    FROM embeddings e CROSS JOIN cent r)
+       |  WHERE rn = 1),
+       |dropped AS (
+       |  SELECT DISTINCT a.vec_id
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+       |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.2)
+       |SELECT a.vec_id, a.cluster FROM assigned a
+       |LEFT JOIN dropped d ON a.vec_id = d.vec_id
+       |WHERE d.vec_id IS NULL
+       |""".stripMargin
+
   /** IVF after TWO full Lloyd iterations (Similarity.lloydIterate) —
     * proves the iterative refinement loop is oracle-exact end to end,
     * not just spec-monotone: integer-quantized centroid sums keep every
@@ -1107,6 +1145,7 @@ object CoverageQueries {
     "update_join" -> (updateJoin _),
     "schema_align" -> (schemaAlignQuery _),
     "ann_ivf_kmeans" -> (annIvfKmeans _),
+    "semdedup" -> (semDedup _),
     "ann_ivf_lloyd2" -> (annIvfLloyd2 _),
     "ann_ivf_probe2" -> (annIvfProbe2 _),
     "range_exclusion" -> (rangeExclusion _),
@@ -1144,6 +1183,7 @@ object CoverageQueries {
     "update_join" -> updateJoinOracle,
     "schema_align" -> schemaAlignOracle,
     "ann_ivf_kmeans" -> annIvfKmeansOracle,
+    "semdedup" -> semDedupOracle,
     "ann_ivf_lloyd2" -> annIvfLloyd2Oracle,
     "ann_ivf_probe2" -> annIvfProbe2Oracle,
     "range_exclusion" -> rangeExclusionOracle,

@@ -125,4 +125,47 @@ class SimilaritySpec extends SparkSpecBase {
     assert(tiny.groupBy("qid").count().filter(col("count") > 5).count() == 0)
     assert(tiny.count() > 0)
   }
+
+  test("semDedupKeep: lowest-id-wins within threshold, cluster-blocked, cap enforced") {
+    // two clusters of hand-built vectors: in c1, ids 1/2/3 are near-dups
+    // of each other (same direction, tiny perturbations) and id 4 is
+    // orthogonal; c2's id 5 is identical in DIRECTION to id 1 but blocked
+    // into another cluster, so it must survive (blocking semantics)
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray ++
+      Array.fill(61)(0f)
+    val assigned = Seq(
+      (1L, v(1, 0, 0), "c1"),
+      (2L, v(0.999, 0.04, 0), "c1"), // cos vs 1 ≈ 0.999 -> dropped by 1
+      (3L, v(0.998, 0.06, 0), "c1"), // near both 1 and 2 -> dropped
+      (4L, v(0, 1, 0), "c1"),        // orthogonal -> kept
+      (5L, v(1, 0, 0), "c2")         // near-dup of 1 but other cluster -> kept
+    ).toDF("vec_id", "embedding", "cluster")
+    val kept = Similarity.semDedupKeep(assigned, tau = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L))
+    // deduping is idempotent: the kept set has no intra-threshold pair left
+    val keptRows = assigned.join(
+      Similarity.semDedupKeep(assigned, tau = 0.9), Seq("vec_id"), "left_semi")
+    assert(Similarity.semDedupKeep(keptRows, tau = 0.9).count() == kept.size)
+    // quadratic-block guard fails loud instead of detonating a task
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semDedupKeep(assigned, tau = 0.9, maxClusterSize = 3)
+    }
+    assert(e.getMessage.contains("maxClusterSize"))
+  }
+
+  test("semDedup keeps exactly the non-near-dup representatives on the fixture") {
+    val kept = CoverageQueries.semDedup(spark, sfDir)
+    val total = Tables.table(spark, sfDir, "embeddings").count()
+    val k = kept.count()
+    info(s"semdedup kept $k of $total")
+    assert(k > 0 && k <= total)
+    // keep rule guarantees each cluster retains at least its lowest id
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val cent = Similarity.quantizedCentroids(emb)
+    val assigned = Similarity.assignClusters(emb, cent, nprobe = 1)
+    val minPerCluster = assigned.groupBy("cluster")
+      .agg(min(col("vec_id")).as("vec_id"))
+    assert(minPerCluster.join(kept, Seq("vec_id"), "left_anti").count() == 0)
+  }
 }
