@@ -1501,6 +1501,65 @@ object Versioned {
         goneDf.exceptAll(freshDf).withColumn("_change", lit("delete")))
   }
 
+  /** Keyed change-data-feed between two versions — [[diffVersions]] with
+    * the Delta-CDF row classification: a version-from delete and a
+    * version-to insert sharing a key are an UPDATE and surface as
+    * `update_preimage` + `update_postimage`; unpaired rows stay
+    * `insert` / `delete`. The column is `_change_type`; everything else
+    * is the snapshot's columns. File-aware like the unkeyed diff (only
+    * differing files — or files whose deletion vectors changed — are
+    * read), so a one-day change feeds that day, not the table.
+    *
+    * Contract: among the CHANGED rows, `keys` must identify at most one
+    * row per side — duplicate changed keys make the pre/post pairing
+    * ambiguous and are refused loudly (pass better keys or use the
+    * unkeyed [[diffVersions]]). Rows with any NULL key component never
+    * pair (SQL join semantics): they stay plain inserts/deletes. */
+  def diffVersionsKeyed(spark: SparkSession, root: String, fromV: Long,
+                        toV: Option[Long] = None,
+                        keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    require(keys.nonEmpty, "diffVersionsKeyed needs at least one key column")
+    val d = diffVersions(spark, root, fromV, toV)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val missing = keys.filterNot(d.columns.contains)
+      require(missing.isEmpty,
+        s"key column(s) not in the table: ${missing.mkString(", ")}")
+      val fullyKeyed = keys.map(col(_).isNotNull).reduce(_ && _)
+      val dup = d.filter(fullyKeyed)
+        .groupBy((col("_change") +: keys.map(col)): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
+      require(dup == 0,
+        s"changed rows have duplicate keys (${keys.mkString(", ")}): the " +
+          "update pre/post pairing would be ambiguous — use different keys " +
+          "or the unkeyed diffVersions")
+      val ins = d.filter(col("_change") === "insert").drop("_change")
+      val del = d.filter(col("_change") === "delete").drop("_change")
+      val insKeyed = ins.filter(fullyKeyed)
+      val delKeyed = del.filter(fullyKeyed)
+      val insKeys = insKeyed.select(keys.map(col): _*)
+      val delKeys = delKeyed.select(keys.map(col): _*)
+      delKeyed.join(insKeys, keys, "left_semi")
+        .withColumn("_change_type", lit("update_preimage"))
+        .unionByName(insKeyed.join(delKeys, keys, "left_semi")
+          .withColumn("_change_type", lit("update_postimage")))
+        .unionByName(ins.filter(!fullyKeyed)
+          .unionByName(insKeyed.join(delKeys, keys, "left_anti"))
+          .withColumn("_change_type", lit("insert")))
+        .unionByName(del.filter(!fullyKeyed)
+          .unionByName(delKeyed.join(insKeys, keys, "left_anti"))
+          .withColumn("_change_type", lit("delete")))
+    } finally {
+      // the persist serves the dup-key guard (the one action taken here);
+      // the returned frame recomputes the file-bounded diff on its own
+      // action — a leaked cache entry per call would be worse than the
+      // re-read of the few differing files
+      d.unpersist(blocking = false)
+      ()
+    }
+  }
+
   /** Collect the touched-file probe's distinct file URIs to the driver,
     * capped. The collect carries file NAMES, never row data, so it is
     * bounded by file count — but a predicate matching most of a

@@ -516,7 +516,47 @@ object VersionedQueries {
 
   val versionedDvMaterializeOracle: String = versionedDvDeleteOracle
 
+  /** Keyed change-data-feed: against the v3 baseline, v4 UPDATEs every
+    * %7 key's priority, v5 DELETEs every %11 key, v6 INSERTs fresh
+    * (shifted) keys — then [[Versioned.diffVersionsKeyed]] classifies
+    * the whole window into update_preimage/update_postimage (the %7 keys
+    * that survived the delete), delete (%11 keys — including %7 ones
+    * whose update was later deleted, which must surface their ORIGINAL
+    * image), and insert (the shifted keys). The oracle replays the
+    * classification as plain WHERE algebra over the source table. */
+  def versionedCdf(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = buildSource(spark, sfDir)
+    Versioned.updateWhere(spark, root, pmod(col("o_orderkey"), lit(7)) === 0,
+      Map("o_orderpriority" -> lit("0-CDF")))
+    Versioned.deleteWhere(spark, root, pmod(col("o_orderkey"), lit(11)) === 0)
+    Versioned.commit(spark,
+      Tables.orders(spark, sfDir).filter(pmod(col("o_orderkey"), lit(13)) === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)), root)
+    Versioned.diffVersionsKeyed(spark, root, fromV = 3, keys = Seq("o_orderkey"))
+      .groupBy(col("_change_type"), col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast(D)).cast("double").as("sum_price"))
+  }
+
+  val versionedCdfOracle: String =
+    """WITH agg AS (
+      |  SELECT 'delete' AS _change_type, o_orderpriority AS priority,
+      |         o_totalprice FROM orders WHERE o_orderkey % 11 = 0
+      |  UNION ALL
+      |  SELECT 'update_preimage', o_orderpriority, o_totalprice
+      |  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0
+      |  UNION ALL
+      |  SELECT 'update_postimage', '0-CDF', o_totalprice
+      |  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0
+      |  UNION ALL
+      |  SELECT 'insert', o_orderpriority, o_totalprice
+      |  FROM orders WHERE o_orderkey % 13 = 0)
+      |SELECT _change_type, priority, COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+      |FROM agg GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "versioned_cdf" -> (versionedCdf _),
     "versioned_dv" -> (versionedDvDelete _),
     "versioned_dv_mat" -> (versionedDvMaterialize _),
     "versioned_snapshot" -> (versionedSnapshot _),
@@ -537,6 +577,7 @@ object VersionedQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "versioned_cdf" -> versionedCdfOracle,
     "versioned_dv" -> versionedDvDeleteOracle,
     "versioned_dv_mat" -> versionedDvMaterializeOracle,
     "versioned_snapshot" -> versionedSnapshotOracle,
