@@ -391,7 +391,14 @@ object Versioned {
     require(badBloomTypes.isEmpty,
       s"bloomCols with unsupported types (float/double excluded by design): " +
         badBloomTypes.mkString(", "))
-    df.write.mode(SaveMode.ErrorIfExists).parquet(batchDir.toString)
+    // the batch lands in a writer-unique STAGING dir and moves to b$next
+    // by one directory rename just before publish: two same-version
+    // racers can then never interleave part files in one dir (the loser's
+    // rename refuses the existing target and dies loud with its own data,
+    // which the winner's manifest never saw). Orphaned staging debris is
+    // referenced by nothing and vacuum's dead-dir sweep reclaims it.
+    val staging = stagingDir(root, next)
+    df.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
     // CHECK constraints validate the WRITTEN files (one evaluation — a
     // non-deterministic source cannot slip violations past a pre-write
     // check) and discard the batch before anything publishes. They carry
@@ -401,14 +408,15 @@ object Versioned {
     // (compaction) whose rows are already-committed and valid by
     // induction.
     if (validateChecks)
-      enforceConstraintsOnWritten(spark, root, batchDir, recorded, prev.lastOption)
-    val newPaths = f.listStatus(batchDir).toSeq.map(_.getPath)
+      enforceConstraintsOnWritten(spark, root, staging, recorded, prev.lastOption)
+    val newPaths = f.listStatus(staging).toSeq.map(_.getPath)
       .filter(p => p.getName.endsWith(".parquet"))
     if (statsCols.nonEmpty) {
-      FileStats.writeSidecar(f, batchDir,
+      FileStats.writeSidecar(f, staging,
         FileStats.collect(spark.sparkContext.hadoopConfiguration, newPaths, statsCols))
     }
-    harvestBlooms(spark, batchDir, newPaths, df, bloomCols)
+    harvestBlooms(spark, staging, newPaths, df, bloomCols)
+    placeBatchDir(f, staging, batchDir, next)
     val newFiles = newPaths.map(p => s"data/b$next/${p.getName}")
     // deletion vectors follow their carried data files (an append must
     // never resurrect merge-on-read-deleted rows); a replace sheds them
@@ -420,6 +428,29 @@ object Versioned {
         ++ checkLines(spark, root, prev.lastOption)
         ++ dvLinesForCarried(prevDv, carried)
         ++ carried ++ newFiles)
+  }
+
+  /** Writer-unique staging dir for a single-writer batch targeting
+    * version `next`. Unhidden on purpose: vacuum's dead-dir sweep
+    * reclaims crash-orphaned staging (nothing live ever points here). */
+  private def stagingDir(root: String, next: Long): Path =
+    new Path(dataDir(root),
+      s"bstage_${next}_${java.util.UUID.randomUUID.toString.take(8)}")
+
+  /** Move a fully-written staging dir into its published name `b<next>`
+    * — the single-writer batch "commit point" below the manifest rename.
+    * A refused rename means a same-version second writer got there
+    * first: die loud with OUR data intact in staging nowhere (deleted),
+    * never interleaved into the winner's directory. */
+  private def placeBatchDir(f: FileSystem, staging: Path, batchDir: Path,
+                            next: Long): Unit = {
+    if (!f.rename(staging, batchDir)) {
+      f.delete(staging, true)
+      throw new IllegalStateException(
+        s"commit conflict: batch dir b$next already exists (second " +
+          "same-version writer?) — nothing published; use commitOcc for " +
+          "concurrent writers")
+    }
   }
 
   /** Per-root intra-JVM publish locks: on HDFS/object stores the
@@ -649,8 +680,6 @@ object Versioned {
     * current one untouched if nothing matched. */
   def deleteWhereDv(spark: SparkSession, root: String,
                     predicate: org.apache.spark.sql.Column): Long = {
-    import org.apache.spark.sql.functions.{col, collect_list, sort_array}
-    import spark.implicits._
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no committed versions at $root")
     val current = vs.last
@@ -682,70 +711,114 @@ object Versioned {
       case Some(cs) => rest.partition(p => StatsProofs.noRowMatches(statsOf(p), cs))
       case None => (Seq.empty[String], rest)
     }
-    val relBySfx: Map[String, String] = files.map { abs =>
-      pathSuffix(abs) -> relativize(spark, root, abs)
-    }.toMap
     // find the LIVE matching rows (already-dead ordinals excluded — a
     // vector must never double-count) and their ordinals, per file
-    val dvAbs: Map[String, String] = dvNow.map { case (e, d) =>
-      resolveEntry(root, e).toString -> resolveEntry(root, d).toString }
     val written: Seq[(String, String, Long)] =
       if (undecided.isEmpty) Seq.empty
       else {
-        val base = withDvKeys(readWithSchema(spark, schema, undecided))
-        val deadPairs = undecided.collect {
-          case u if dvAbs.contains(u) => (pathSuffix(u), dvAbs(u))
-        }
-        val live =
-          if (deadPairs.isEmpty) base
-          else {
-            val (pairsDf, total) = deletedPairs(spark, deadPairs)
-            val limit = spark.conf.get("spark.graft.dv.broadcastRows", "4000000").toLong
-            val dvSide =
-              if (total <= limit) org.apache.spark.sql.functions.broadcast(pairsDf)
-              else pairsDf
-            base.join(dvSide, Seq("__graft_sfx", "__graft_ord"), "left_anti")
-          }
-        val hits = live.filter(predicate)
-          .groupBy(col("__graft_sfx"))
-          .agg(sort_array(collect_list(col("__graft_ord"))).as("__graft_ords"))
-        // vectors are written by the executors that hold each file's
-        // ordinals — the driver sees one (file, vectorName, count) row per
-        // touched file, bounded like every touched-file collect
         val batchDir = new Path(dataDir(root), s"b$next")
         f.delete(batchDir, true) // unpublished crash debris (single-writer rule)
-        f.mkdirs(batchDir)
-        val conf = new org.apache.spark.util.SerializableConfiguration(
-          spark.sparkContext.hadoopConfiguration)
-        val batchDirStr = batchDir.toString
-        val oldDvBySfx: Map[String, String] = deadPairs.toMap
-        val out = hits.as[(String, Seq[Long])].map { case (sfx, ords) =>
-          val fsx = new Path(batchDirStr).getFileSystem(conf.value)
-          val fresh = ords.toArray
-          val merged = oldDvBySfx.get(sfx) match {
-            case Some(old) => Dv.union(Dv.read(fsx, new Path(old)), fresh)
-            case None => fresh
-          }
-          val name = sfx.replace('/', '_') + Dv.Suffix
-          Dv.write(fsx, new Path(new Path(batchDirStr), name), merged)
-          (sfx, name, merged.length.toLong)
-        }.collect().toSeq
-        val cap = spark.conf.get("spark.graft.maxTouchedFiles", "1000000").toInt
-        if (out.length > cap) {
-          f.delete(batchDir, true)
-          throw new IllegalArgumentException(
-            s"DV delete touches ${out.length} files " +
-              s"(> spark.graft.maxTouchedFiles=$cap); narrow the predicate " +
-              "or use the copy-on-write deleteWhere in ranges")
-        }
-        if (out.isEmpty) f.delete(batchDir, true)
+        // vectors land in staging and move to b$next by one rename —
+        // same two-writer interleaving defense as commit()
+        val staging = stagingDir(root, next)
+        f.mkdirs(staging)
+        val doomed = liveWithKeys(spark, root, schema, undecided, dvNow)
+          .filter(predicate)
+        val out = writeVectors(spark, root, staging, doomed,
+          oldDvBySfx(root, dvNow, undecided), "DV delete")
+        if (out.isEmpty) f.delete(staging, true)
+        else placeBatchDir(f, staging, batchDir, next)
         out
       }
     if (written.isEmpty && allMatch.isEmpty) return current
-    // a vector covering the file's EVERY row means the file itself is
-    // dead: drop it instead of publishing a 100%-dead vector (keyed by
-    // suffix, not bare file name, so the check can never read another
-    // batch's footer count)
+    publishDvCommit(spark, root, next, schema, Some(current), files, dvNow,
+      written, allMatch, newFiles = Seq.empty, tag = None)
+  }
+
+  /** The existing-vector (suffix -> vector abs path) slice relevant to
+    * `files` — what [[writeVectors]] must union into fresh vectors. */
+  private def oldDvBySfx(root: String, dv: Map[String, String],
+                         files: Seq[String]): Map[String, String] = {
+    val dvAbs: Map[String, String] = dv.map { case (e, d) =>
+      resolveEntry(root, e).toString -> resolveEntry(root, d).toString }
+    files.collect { case u if dvAbs.contains(u) =>
+      pathSuffix(u) -> dvAbs(u)
+    }.toMap
+  }
+
+  /** Read `files` with existing vectors applied, KEEPING the vector join
+    * keys (`__graft_sfx`, `__graft_ord`) — the probe frame every
+    * merge-on-read writer filters to find its doomed rows. */
+  private def liveWithKeys(spark: SparkSession, root: String,
+                           schema: Option[StructType], files: Seq[String],
+                           dv: Map[String, String]): DataFrame = {
+    val base = withDvKeys(readWithSchema(spark, schema, files))
+    val deadPairs = oldDvBySfx(root, dv, files).toSeq
+    if (deadPairs.isEmpty) base
+    else {
+      val (pairsDf, total) = deletedPairs(spark, deadPairs)
+      val limit = spark.conf.get("spark.graft.dv.broadcastRows", "4000000").toLong
+      val dvSide =
+        if (total <= limit) org.apache.spark.sql.functions.broadcast(pairsDf)
+        else pairsDf
+      base.join(dvSide, Seq("__graft_sfx", "__graft_ord"), "left_anti")
+    }
+  }
+
+  /** Write one merged deletion vector per file holding a `doomed` row
+    * (frame must carry `__graft_sfx`/`__graft_ord`), into `batchDir`.
+    * Vectors are written by the executors that hold each file's ordinals
+    * — the driver sees one (suffix, vectorName, mergedCount) row per
+    * touched file, bounded like every touched-file collect. The caller
+    * owns batchDir cleanup on abort/no-op. */
+  private def writeVectors(spark: SparkSession, root: String, batchDir: Path,
+                           doomed: DataFrame, oldBySfx: Map[String, String],
+                           what: String): Seq[(String, String, Long)] = {
+    import org.apache.spark.sql.functions.{col, collect_list, sort_array}
+    import spark.implicits._
+    val hits = doomed
+      .groupBy(col("__graft_sfx"))
+      .agg(sort_array(collect_list(col("__graft_ord"))).as("__graft_ords"))
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val batchDirStr = batchDir.toString
+    val out = hits.as[(String, Seq[Long])].map { case (sfx, ords) =>
+      val fsx = new Path(batchDirStr).getFileSystem(conf.value)
+      val fresh = ords.toArray
+      val merged = oldBySfx.get(sfx) match {
+        case Some(old) => Dv.union(Dv.read(fsx, new Path(old)), fresh)
+        case None => fresh
+      }
+      val name = sfx.replace('/', '_') + Dv.Suffix
+      Dv.write(fsx, new Path(new Path(batchDirStr), name), merged)
+      (sfx, name, merged.length.toLong)
+    }.collect().toSeq
+    val cap = spark.conf.get("spark.graft.maxTouchedFiles", "1000000").toInt
+    if (out.length > cap) {
+      fs(spark, batchDir).delete(batchDir, true)
+      throw new IllegalArgumentException(
+        s"$what touches ${out.length} files " +
+          s"(> spark.graft.maxTouchedFiles=$cap); narrow the predicate / " +
+          "source key range, or use the copy-on-write form in ranges")
+    }
+    out
+  }
+
+  /** Shared publish step of the merge-on-read writers: fold the freshly
+    * written vectors (and provable whole-file drops) into the manifest,
+    * carry everything else, append `newFiles` (the update/merge writers'
+    * appended batch). A vector covering a file's EVERY row drops the
+    * FILE instead (footer row-count check, keyed by suffix so the check
+    * can never read another batch's footer). */
+  private def publishDvCommit(spark: SparkSession, root: String, next: Long,
+                              schema: Option[StructType], prev: Option[Long],
+                              files: Seq[String], dvNow: Map[String, String],
+                              written: Seq[(String, String, Long)],
+                              allMatch: Seq[String], newFiles: Seq[String],
+                              tag: Option[String]): Long = {
+    val relBySfx: Map[String, String] = files.map { abs =>
+      pathSuffix(abs) -> relativize(spark, root, abs)
+    }.toMap
     val rowsBySfx: Map[String, Long] =
       if (written.isEmpty) Map.empty
       else {
@@ -769,9 +842,257 @@ object Versioned {
       newDvByRel.get(rel).orElse(dvNow.get(rel)).map(d => dvLine(rel, d))
     }
     publish(spark, root, next,
-      schema.map(s => s"#schema=${s.json}").toSeq
-        ++ checkLines(spark, root, Some(current))
-        ++ dvLines ++ keptFiles)
+      tag.map(t => s"#tag=$t").toSeq
+        ++ schema.map(s => s"#schema=${s.json}").toSeq
+        ++ checkLines(spark, root, prev)
+        ++ dvLines ++ keptFiles ++ newFiles)
+  }
+
+  /** Merge-on-read row-level UPDATE: matching live rows are recorded dead
+    * in deletion vectors and their UPDATED copies append as a new batch —
+    * one atomic commit, NO existing file rewritten. Where the
+    * copy-on-write [[updateWhere]] rewrites every file containing a match
+    * (right when matches cluster), this touches vectors + the appended
+    * batch only — right when a predicate grazes many files (at 100 TB,
+    * updating one row in each of 10,000 files appends one small batch
+    * and 10,000 tiny vectors instead of rewriting 10,000 files; Delta's
+    * deletion-vector UPDATE path makes the same trade). Assignment
+    * semantics are [[updateWhere]]'s: simultaneous assignment against the
+    * OLD row. CHECK constraints validate the appended batch; stats/bloom
+    * sidecars are re-harvested on it so pruning survives. The
+    * DETERMINISM assumption of two traversals (vector write + batch
+    * write read the matching rows twice) holds because the source is
+    * committed parquet. Returns the new version (unchanged if nothing
+    * matched). */
+  def updateWhereDv(spark: SparkSession, root: String,
+                    predicate: org.apache.spark.sql.Column,
+                    assignments: Map[String, org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    require(assignments.nonEmpty, "updateWhereDv needs at least one assignment")
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root")
+    val current = vs.last
+    val next = current + 1
+    val schema = snapshotSchema(spark, root, Some(current))
+    val files = snapshotFiles(spark, root, Some(current))
+    val dvNow = dvEntries(spark, root, Some(current))
+    val f = fs(spark, new Path(root))
+    // an UPDATE needs the matching ROWS (to write their updated copies),
+    // so only the provable no-match files skip the probe; all-match files
+    // are probed like undecided ones — their every live row is doomed
+    val conjuncts = StatsProofs.parseColumn(predicate)
+    val probeFiles = conjuncts match {
+      case Some(cs) =>
+        val statsOf = statsByFile(spark, root, files)
+        files.filterNot(p => StatsProofs.noRowMatches(statsOf(p), cs))
+      case None => files
+    }
+    if (probeFiles.isEmpty) return current
+    val live = liveWithKeys(spark, root, schema, probeFiles, dvNow)
+    val missing = assignments.keySet.filterNot(live.columns.contains)
+    require(missing.isEmpty,
+      s"updateWhereDv assigns to absent column(s): ${missing.mkString(", ")}")
+    val doomed = live.filter(coalesce(predicate, lit(false)))
+    val batchDir = new Path(dataDir(root), s"b$next")
+    f.delete(batchDir, true)
+    // staging + rename: same two-writer interleaving defense as commit()
+    val staging = stagingDir(root, next)
+    f.mkdirs(staging)
+    val written = writeVectors(spark, root, staging, doomed,
+      oldDvBySfx(root, dvNow, probeFiles), "DV update")
+    if (written.isEmpty) { f.delete(staging, true); return current }
+    // the updated copies: same simultaneous-assignment SELECT as
+    // updateWhere (all assignments read the OLD row), data columns only
+    val dataCols = live.columns.filterNot(_.startsWith("__graft_")).toSeq
+    val updated = doomed.select(dataCols.map { c =>
+      assignments.get(c) match {
+        case Some(v) => v.as(c)
+        case None => col(c)
+      }
+    }: _*)
+    // the appended copies are read under the TABLE schema: an assignment
+    // that retypes its column would misread later — refuse (cast the
+    // value expression instead), unlike the copy-on-write path where
+    // when/otherwise coercion surfaces at analysis
+    val tableTypes = schema.getOrElse(
+      StructType(live.schema.fields.filterNot(_.name.startsWith("__graft_"))))
+    updated.schema.fields.foreach { fd =>
+      require(fd.dataType == tableTypes(fd.name).dataType,
+        s"assignment retypes column ${fd.name}: table " +
+          s"${tableTypes(fd.name).dataType.simpleString} vs " +
+          s"${fd.dataType.simpleString} — cast the assignment value")
+    }
+    appendDvBatch(spark, root, staging, updated, schema, current, files, next)
+      .fold(abortT => { f.delete(staging, true); throw abortT },
+        newFiles => {
+          placeBatchDir(f, staging, batchDir, next)
+          publishDvCommit(spark, root, next, schema, Some(current),
+            files, dvNow, written, allMatch = Seq.empty, newFiles, tag = None)
+        })
+  }
+
+  /** Merge-on-read keyed MERGE (upsert shape): matched target rows are
+    * recorded dead in deletion vectors and the WHOLE source appends as
+    * one batch — matched keys thereby replaced, unmatched keys inserted,
+    * in one atomic commit with NO existing file rewritten. The
+    * [[mergeInto]] semantics (duplicate source keys rejected, null keys
+    * never match and insert, absent table bootstraps, newest-tag replay
+    * guard) and its probe pruning (single stats-tracked key range) carry
+    * over; what changes is the write shape: a daily 1,000-row upsert
+    * into a 100 TB table appends one small batch plus tiny vectors
+    * instead of rewriting every touched file. Source columns must match
+    * the table exactly (no schema evolution on this path — evolve with
+    * an append commit or the copy-on-write merge first). */
+  def mergeIntoDv(spark: SparkSession, root: String, source: DataFrame,
+                  keys: Seq[String], tag: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    require(keys.nonEmpty, "mergeIntoDv needs at least one key column")
+    val missingKeys = keys.filterNot(source.columns.contains)
+    require(missingKeys.isEmpty,
+      s"source is missing key column(s): ${missingKeys.mkString(", ")}")
+    val vs = versions(spark, root)
+    if (tag.isDefined && vs.nonEmpty && committedTag(spark, root) == tag)
+      return vs.last
+    val keyed = keys.map(col(_).isNotNull).reduce(_ && _)
+    val dupKeys = source.filter(keyed).groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
+    require(dupKeys == 0,
+      s"source has multiple rows per key (${keys.mkString(", ")}): " +
+        "MERGE would update the same target row twice")
+    if (vs.isEmpty) return commit(spark, source, root, tag = tag)
+    val current = vs.last
+    val next = current + 1
+    val schema = snapshotSchema(spark, root, Some(current))
+    val files = snapshotFiles(spark, root, Some(current))
+    val dvNow = dvEntries(spark, root, Some(current))
+    val tableSchema: StructType =
+      schema.getOrElse(readWithSchema(spark, None, files).schema)
+    val snapshotCols = tableSchema.fieldNames.toSeq
+    val extra = source.columns.filterNot(snapshotCols.contains)
+    require(extra.isEmpty,
+      s"source has column(s) absent from the table: ${extra.mkString(", ")} " +
+        "(no schema evolution on the merge-on-read path — evolve first)")
+    val absent = snapshotCols.filterNot(source.columns.contains)
+    require(absent.isEmpty,
+      s"source is missing table column(s): ${absent.mkString(", ")} " +
+        "(a matched row is replaced WHOLE — every column must be supplied)")
+    // exact types: the appended batch is read under the TABLE schema, so
+    // a drifted source type would misread or null out — refuse, like
+    // mergeInto without evolution
+    snapshotCols.foreach { c =>
+      require(source.schema(c).dataType == tableSchema(c).dataType,
+        s"column $c type mismatch: table ${tableSchema(c).dataType.simpleString} " +
+          s"vs source ${source.schema(c).dataType.simpleString} (cast the source)")
+    }
+    val f = fs(spark, new Path(root))
+    // pin the source: the probe and the batch write must see ONE
+    // evaluation (same rationale as mergeInto)
+    val aligned = source.select(snapshotCols.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (aligned.isEmpty) return current
+      val srcKeys = aligned.select(keys.map(col): _*).distinct()
+      // probe pruning: identical shape to mergeInto's (single
+      // stats-tracked non-float key -> range-pruned probe set)
+      val statsCols = trackedStatsCols(spark, root, files)
+      val keyType = schema.map(_.apply(keys.head).dataType)
+      val floatKey = keys.size == 1 && keyType.exists(t =>
+        t == org.apache.spark.sql.types.DoubleType ||
+          t == org.apache.spark.sql.types.FloatType)
+      val probeFiles: Seq[String] =
+        if (keys.size != 1 || floatKey || !statsCols.contains(keys.head)) files
+        else {
+          import org.apache.spark.sql.functions.{max => maxF, min => minF}
+          val bounds = aligned.agg(minF(col(keys.head)), maxF(col(keys.head))).head()
+          if (bounds.isNullAt(0)) Seq.empty
+          else prunedByStats(f, files, keys.head,
+            Some(bounds.get(0)), Some(bounds.get(1)))
+        }
+      val batchDir = new Path(dataDir(root), s"b$next")
+      f.delete(batchDir, true)
+      // staging + rename: same two-writer interleaving defense as commit()
+      val staging = stagingDir(root, next)
+      f.mkdirs(staging)
+      val written =
+        if (probeFiles.isEmpty) Seq.empty[(String, String, Long)]
+        else {
+          val doomed = liveWithKeys(spark, root, schema, probeFiles, dvNow)
+            .join(srcKeys, keys, "left_semi")
+          writeVectors(spark, root, staging, doomed,
+            oldDvBySfx(root, dvNow, probeFiles), "DV merge")
+        }
+      appendDvBatch(spark, root, staging, aligned, schema, current, files, next)
+        .fold(abortT => { f.delete(staging, true); throw abortT },
+          newFiles => {
+            placeBatchDir(f, staging, batchDir, next)
+            publishDvCommit(spark, root, next, schema, Some(current),
+              files, dvNow, written, allMatch = Seq.empty, newFiles, tag)
+          })
+    } finally {
+      aligned.unpersist(blocking = false)
+      ()
+    }
+  }
+
+  /** Per-file sidecar stats of a snapshot, empty maps where absent — the
+    * shared lookup behind the stats proofs. */
+  private def statsByFile(spark: SparkSession, root: String,
+                          files: Seq[String]): Map[String, Map[String, FileStats.ColStats]] = {
+    val f = fs(spark, new Path(root))
+    val sideByDir = files.map(new Path(_)).groupBy(_.getParent).map {
+      case (dir, _) => dir -> FileStats.readSidecar(f, dir)
+    }
+    files.map { s =>
+      val p = new Path(s)
+      s -> sideByDir(p.getParent).getOrElse(p.getName, Map.empty)
+    }.toMap
+  }
+
+  /** Write the merge-on-read writers' appended batch (updated copies /
+    * merge source) as parquet files into the SAME batch dir that holds
+    * the fresh vectors, validate CHECK constraints against the written
+    * files, and re-harvest the table's tracked stats/bloom sidecars.
+    * Returns Left(cause) when validation fails (caller deletes the batch
+    * dir and rethrows — nothing published), Right(relative entries)
+    * otherwise. */
+  private def appendDvBatch(spark: SparkSession, root: String, batchDir: Path,
+                            batch: DataFrame, schema: Option[StructType],
+                            current: Long, files: Seq[String],
+                            next: Long): Either[Throwable, Seq[String]] = {
+    val f = fs(spark, batchDir)
+    // the dir already exists (vectors landed first): write the parquet
+    // files via a staging subdir + move, keeping ErrorIfExists semantics
+    // per part file without clobbering the vectors
+    val staging = new Path(batchDir, ".batch")
+    try {
+      batch.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      val parts = f.listStatus(staging).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+      parts.foreach { p =>
+        if (!f.rename(p, new Path(batchDir, p.getName)))
+          throw new java.io.IOException(
+            s"could not place ${p.getName} into ${batchDir.getName}")
+      }
+      f.delete(staging, true)
+      val newPaths = f.listStatus(batchDir).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+      val recorded = schema.getOrElse(asNullable(batch.schema))
+      enforceConstraintsOnWritten(spark, root, batchDir, recorded, Some(current))
+      val statsCols = trackedStatsCols(spark, root, files)
+        .filter(batch.columns.contains)
+      if (statsCols.nonEmpty && newPaths.nonEmpty)
+        FileStats.writeSidecar(f, batchDir,
+          FileStats.collect(spark.sparkContext.hadoopConfiguration, newPaths, statsCols))
+      harvestBlooms(spark, batchDir, newPaths, batch,
+        trackedBloomCols(spark, root, files).filter(c =>
+          batch.columns.contains(c) &&
+            FileStats.bloomSupported(batch.schema(c).dataType)))
+      // entries name the PUBLISHED dir (b<next>), not the staging dir the
+      // files currently sit in — the caller's rename makes them true
+      Right(newPaths.map(p => s"data/b$next/${p.getName}"))
+    } catch {
+      case t: Throwable => Left(t)
+    }
   }
 
   /** Fold every deletion vector into its data files: the vectored files
@@ -1939,23 +2260,26 @@ object Versioned {
     f.delete(new Path(mdir, s".v$next.txt.tmp"), false)
     val recorded = asNullable(df.schema)
     requireNoCaseDups(recorded)
-    df.write.mode(SaveMode.ErrorIfExists).parquet(batchDir.toString)
+    // staging + rename: same two-writer interleaving defense as commit()
+    val staging = stagingDir(root, next)
+    df.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
     // same written-files CHECK validation as commit() — see there
     if (validateChecks)
-      enforceConstraintsOnWritten(spark, root, batchDir, recorded, prev.lastOption)
-    val newPaths = f.listStatus(batchDir).toSeq.map(_.getPath)
+      enforceConstraintsOnWritten(spark, root, staging, recorded, prev.lastOption)
+    val newPaths = f.listStatus(staging).toSeq.map(_.getPath)
       .filter(_.getName.endsWith(".parquet"))
     val usable = statsCols.filter(df.columns.contains)
     if (usable.nonEmpty && newPaths.nonEmpty) {
-      FileStats.writeSidecar(f, batchDir,
+      FileStats.writeSidecar(f, staging,
         FileStats.collect(spark.sparkContext.hadoopConfiguration, newPaths, usable))
     }
     // rewrites re-harvest only the bloom columns still present and
     // supported — conservative (a dropped column loses its bloom, never
     // fails the rewrite)
-    harvestBlooms(spark, batchDir, newPaths, df,
+    harvestBlooms(spark, staging, newPaths, df,
       bloomCols.filter(c => df.columns.contains(c) &&
         FileStats.bloomSupported(df.schema(c).dataType)))
+    placeBatchDir(f, staging, batchDir, next)
     val newFiles = newPaths.map(p => s"data/b$next/${p.getName}")
     // carried files keep their deletion vectors; rewritten/dropped files
     // shed theirs (their batch was read vector-applied by the caller)

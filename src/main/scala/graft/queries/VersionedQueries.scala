@@ -555,8 +555,55 @@ object VersionedQueries {
       |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
       |FROM agg GROUP BY 1, 2""".stripMargin
 
+  /** Merge-on-read UPDATE: every %7 key's priority and price change via
+    * deletion vectors + one appended batch — zero existing files
+    * rewritten (the manifest after the update is the manifest before
+    * plus the appended batch plus #dv lines). Same final content as a
+    * copy-on-write update, which is what the oracle checks. */
+  def versionedDvUpdate(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = buildSource(spark, sfDir)
+    Versioned.updateWhereDv(spark, root, pmod(col("o_orderkey"), lit(7)) === 0,
+      Map("o_orderpriority" -> lit("0-MOR"),
+        "o_totalprice" -> (col("o_totalprice") * 2)))
+    priorityAgg(Versioned.read(spark, root))
+  }
+
+  val versionedDvUpdateOracle: String =
+    """WITH updated AS (
+      |  SELECT o_orderstatus, o_orderpriority, o_totalprice
+      |  FROM orders WHERE o_orderkey % 7 <> 0
+      |  UNION ALL
+      |  SELECT o_orderstatus, '0-MOR', o_totalprice * 2
+      |  FROM orders WHERE o_orderkey % 7 = 0
+      |)
+      |SELECT o_orderstatus AS status, o_orderpriority AS priority,
+      |       COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+      |FROM updated GROUP BY 1, 2""".stripMargin
+
+  /** Merge-on-read MERGE, [[versionedMerge]]'s exact workload through
+    * [[Versioned.mergeIntoDv]]: matched keys die via vectors, the whole
+    * source appends, no existing file rewritten — and the final content
+    * must be indistinguishable from the copy-on-write merge (same
+    * oracle). */
+  def versionedDvMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = buildSource(spark, sfDir)
+    val orders = Tables.orders(spark, sfDir)
+    val updates = orders.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val inserts = orders.filter(pmod(col("o_orderkey"), lit(7)) === 1)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+    Versioned.mergeIntoDv(spark, root, updates.unionByName(inserts),
+      Seq("o_orderkey"))
+    priorityAgg(Versioned.read(spark, root))
+  }
+
+  val versionedDvMergeOracle: String = versionedMergeOracle
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "versioned_cdf" -> (versionedCdf _),
+    "versioned_dv_update" -> (versionedDvUpdate _),
+    "versioned_dv_merge" -> (versionedDvMerge _),
     "versioned_dv" -> (versionedDvDelete _),
     "versioned_dv_mat" -> (versionedDvMaterialize _),
     "versioned_snapshot" -> (versionedSnapshot _),
@@ -578,6 +625,8 @@ object VersionedQueries {
 
   def oracles: Map[String, String] = Map(
     "versioned_cdf" -> versionedCdfOracle,
+    "versioned_dv_update" -> versionedDvUpdateOracle,
+    "versioned_dv_merge" -> versionedDvMergeOracle,
     "versioned_dv" -> versionedDvDeleteOracle,
     "versioned_dv_mat" -> versionedDvMaterializeOracle,
     "versioned_snapshot" -> versionedSnapshotOracle,

@@ -286,6 +286,102 @@ class VersionedDvSpec extends SparkSpecBase {
     assert(Versioned.read(spark, root).count() == 270)
   }
 
+  test("updateWhereDv: vectors + appended copies, no existing file rewritten") {
+    val root = tmpDir("graft_dv_upd")
+    build(root)
+    val before = manifestOf(root, 3L)
+    val v = Versioned.updateWhereDv(spark, root, pmod(col("id"), lit(10)) === 0,
+      Map("k" -> concat(col("k"), lit("!"))))
+    assert(v == 4L)
+    val after = manifestOf(root, 4L)
+    // every pre-update file carried by reference; only a fresh batch added
+    assert(before.forall(after.contains))
+    assert(after.size == before.size + after.count(_.startsWith("data/b4/")))
+    assert(Versioned.dvEntries(spark, root).size == 3)
+    val rows = Versioned.read(spark, root)
+    assert(rows.count() == 300) // updates, not deletes
+    assert(rows.filter(col("id") === 10L).select("k").as[String].collect().toSeq
+      == Seq("r10!"))
+    assert(rows.filter(col("k").endsWith("!")).count() == 30)
+    // a second DV update hits the APPENDED copies (their file gets a
+    // vector too) and must not resurrect or double anything
+    Versioned.updateWhereDv(spark, root, col("id") === 10L,
+      Map("k" -> lit("twice")))
+    val r2 = Versioned.read(spark, root)
+    assert(r2.count() == 300)
+    assert(r2.filter(col("id") === 10L).select("k").as[String].collect().toSeq
+      == Seq("twice"))
+    // nothing matched -> version unchanged
+    assert(Versioned.updateWhereDv(spark, root, col("id") > 9999L,
+      Map("k" -> lit("x"))) == 5L)
+    // retyping assignment refused loudly (the batch must read under the
+    // table schema)
+    val e = intercept[IllegalArgumentException] {
+      Versioned.updateWhereDv(spark, root, col("id") === 1L,
+        Map("k" -> lit(42)))
+    }
+    assert(e.getMessage.contains("retypes"))
+  }
+
+  test("mergeIntoDv: matched keys die via vectors, whole source appends") {
+    val root = tmpDir("graft_dv_mrg")
+    build(root)
+    val before = manifestOf(root, 3L)
+    val src = Seq[(java.lang.Long, String)](
+      (150L, "UPD"), (151L, "UPD"), (1000L, "NEW"), (null, "NULLKEY"))
+      .toDF("id", "k")
+    val v = Versioned.mergeIntoDv(spark, root, src, Seq("id"))
+    assert(v == 4L)
+    val after = manifestOf(root, 4L)
+    assert(before.forall(after.contains)) // zero rewrites
+    val rows = Versioned.read(spark, root)
+    assert(rows.count() == 302) // 300 - 2 replaced + 2 replacements + NEW + null-key
+    assert(rows.filter(col("id") === 150L).select("k").as[String].collect().toSeq
+      == Seq("UPD"))
+    assert(rows.filter(col("id").isNull).count() == 1) // null key inserts
+    // replay guard: same tag twice is a no-op
+    val t1 = Versioned.mergeIntoDv(spark, root,
+      Seq((42L, "tagged")).toDF("id", "k"), Seq("id"), tag = Some("batch-9"))
+    assert(Versioned.mergeIntoDv(spark, root,
+      Seq((42L, "tagged")).toDF("id", "k"), Seq("id"), tag = Some("batch-9")) == t1)
+    // duplicate source keys refused
+    val e = intercept[IllegalArgumentException] {
+      Versioned.mergeIntoDv(spark, root,
+        Seq((1L, "a"), (1L, "b")).toDF("id", "k"), Seq("id"))
+    }
+    assert(e.getMessage.contains("multiple rows per key"))
+    // type drift refused
+    val e2 = intercept[IllegalArgumentException] {
+      Versioned.mergeIntoDv(spark, root,
+        Seq((1, "a")).toDF("id", "k"), Seq("id")) // int id vs long table
+    }
+    assert(e2.getMessage.contains("type mismatch"))
+    // merging a key whose only match is vector-deleted inserts cleanly
+    Versioned.deleteWhereDv(spark, root, col("id") === 200L)
+    Versioned.mergeIntoDv(spark, root, Seq((200L, "back")).toDF("id", "k"), Seq("id"))
+    assert(Versioned.read(spark, root).filter(col("id") === 200L)
+      .select("k").as[String].collect().toSeq == Seq("back"))
+  }
+
+  test("a merge-on-read window feeds the keyed CDF as updates + inserts") {
+    val root = tmpDir("graft_dv_mrgcdf")
+    build(root)
+    Versioned.mergeIntoDv(spark, root,
+      Seq((7L, "UPD"), (2000L, "NEW")).toDF("id", "k"), Seq("id"))
+    val cdf = Versioned.diffVersionsKeyed(spark, root, fromV = 3, keys = Seq("id"))
+      .select("_change_type", "id", "k").as[(String, Long, String)]
+      .collect().toSet
+    assert(cdf == Set(
+      ("update_preimage", 7L, "r7"),
+      ("update_postimage", 7L, "UPD"),
+      ("insert", 2000L, "NEW")))
+    // and materialize folds the whole composition away
+    Versioned.dvMaterialize(spark, root)
+    assert(Versioned.dvEntries(spark, root).isEmpty)
+    assert(Versioned.read(spark, root).count() == 301)
+    assert(spark.read.format("graft-versioned").load(root).count() == 301)
+  }
+
   test("OCC compaction dies loud when a vector lands on its inputs") {
     val root = tmpDir("graft_dv_occ")
     build(root)
