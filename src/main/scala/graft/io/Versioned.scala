@@ -1839,46 +1839,37 @@ object Versioned {
   def diffVersionsKeyed(spark: SparkSession, root: String, fromV: Long,
                         toV: Option[Long] = None,
                         keys: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.{col, count, lit}
+    import org.apache.spark.sql.functions.{col, concat_ws, lit, raise_error, sum, when}
+    import org.apache.spark.sql.expressions.Window
     require(keys.nonEmpty, "diffVersionsKeyed needs at least one key column")
     val d = diffVersions(spark, root, fromV, toV)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val missing = keys.filterNot(d.columns.contains)
-      require(missing.isEmpty,
-        s"key column(s) not in the table: ${missing.mkString(", ")}")
-      val fullyKeyed = keys.map(col(_).isNotNull).reduce(_ && _)
-      val dup = d.filter(fullyKeyed)
-        .groupBy((col("_change") +: keys.map(col)): _*)
-        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
-      require(dup == 0,
-        s"changed rows have duplicate keys (${keys.mkString(", ")}): the " +
-          "update pre/post pairing would be ambiguous — use different keys " +
-          "or the unkeyed diffVersions")
-      val ins = d.filter(col("_change") === "insert").drop("_change")
-      val del = d.filter(col("_change") === "delete").drop("_change")
-      val insKeyed = ins.filter(fullyKeyed)
-      val delKeyed = del.filter(fullyKeyed)
-      val insKeys = insKeyed.select(keys.map(col): _*)
-      val delKeys = delKeyed.select(keys.map(col): _*)
-      delKeyed.join(insKeys, keys, "left_semi")
-        .withColumn("_change_type", lit("update_preimage"))
-        .unionByName(insKeyed.join(delKeys, keys, "left_semi")
-          .withColumn("_change_type", lit("update_postimage")))
-        .unionByName(ins.filter(!fullyKeyed)
-          .unionByName(insKeyed.join(delKeys, keys, "left_anti"))
-          .withColumn("_change_type", lit("insert")))
-        .unionByName(del.filter(!fullyKeyed)
-          .unionByName(delKeyed.join(insKeys, keys, "left_anti"))
-          .withColumn("_change_type", lit("delete")))
-    } finally {
-      // the persist serves the dup-key guard (the one action taken here);
-      // the returned frame recomputes the file-bounded diff on its own
-      // action — a leaked cache entry per call would be worse than the
-      // re-read of the few differing files
-      d.unpersist(blocking = false)
-      ()
-    }
+    val missing = keys.filterNot(d.columns.contains)
+    require(missing.isEmpty,
+      s"key column(s) not in the table: ${missing.mkString(", ")}")
+    // ONE pass over the diff: a window per key counts its inserts and
+    // deletes — exactly one of each = an update pair; anything else keeps
+    // its plain label. (The self-join formulation re-derived the
+    // file-bounded diff once per branch — six scans of the changed files
+    // for four labels.) Null-keyed rows share a window partition but the
+    // fullyKeyed guard routes them straight to their plain label, so the
+    // lumped counts are never consulted. The ambiguity guard rides the
+    // SAME pass: duplicate changed keys raise at evaluation (the column
+    // is the result, so the optimizer cannot prune the check away).
+    val fullyKeyed = keys.map(col(_).isNotNull).reduce(_ && _)
+    val w = Window.partitionBy(keys.map(col): _*)
+    val ni = sum(when(col("_change") === "insert", 1).otherwise(0)).over(w)
+    val nd = sum(when(col("_change") === "delete", 1).otherwise(0)).over(w)
+    val label =
+      when(fullyKeyed && (ni > 1 || nd > 1),
+        raise_error(concat_ws("", lit("changed rows have duplicate keys ("),
+          lit(keys.mkString(", ")),
+          lit("): the update pre/post pairing would be ambiguous — use " +
+            "different keys or the unkeyed diffVersions"))).cast("string"))
+      .when(fullyKeyed && ni === 1 && nd === 1,
+        when(col("_change") === "insert", lit("update_postimage"))
+          .otherwise(lit("update_preimage")))
+      .otherwise(col("_change"))
+    d.withColumn("_change_type", label).drop("_change")
   }
 
   /** Collect the touched-file probe's distinct file URIs to the driver,
