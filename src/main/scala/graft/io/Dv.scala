@@ -46,7 +46,12 @@ object Dv {
     var i = 0
     while (i < sorted.length) {
       val v = sorted(i)
-      require(v >= prev || i == 0, "ordinals must be sorted and distinct")
+      // STRICTLY increasing: a duplicated ordinal would inflate the
+      // header cardinality, and the whole-file-dead check trusts it —
+      // length == fileRows with a duplicate present would drop a file
+      // that still holds a live row
+      require(if (i == 0) v >= 0 else v > prev,
+        "ordinals must be sorted, distinct and non-negative")
       writeVarLong(out, if (i == 0) v else v - prev)
       prev = v
       i += 1

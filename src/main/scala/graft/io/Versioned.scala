@@ -123,10 +123,17 @@ object Versioned {
     * also gives batch-absent table columns their committed NULLs (SQL
     * CHECK: NULL passes) and resolves case differences the way the scan
     * will. */
+  /** `dataPaths`: when the batch dir holds NON-parquet sidecars too (the
+    * merge-on-read writers stage deletion vectors beside the batch), the
+    * validation read must name the parquet files explicitly — a
+    * directory-wide read would try to parse the vectors as parquet and
+    * abort every constraint-bearing MoR write. None = read the dir (the
+    * plain commit paths, where validation runs before any sidecar). */
   private def enforceConstraintsOnWritten(spark: SparkSession, root: String,
                                           batchDir: Path,
                                           recorded: StructType,
-                                          prev: Option[Long]): Unit = {
+                                          prev: Option[Long],
+                                          dataPaths: Option[Seq[Path]] = None): Unit = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, max, not, when}
     val all = constraints(spark, root, prev)
     if (all.isEmpty) return
@@ -150,7 +157,10 @@ object Versioned {
     }
     if (cs.isEmpty) return
     val f = batchDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val written = spark.read.schema(recorded).parquet(batchDir.toString)
+    val written = dataPaths match {
+      case Some(ps) => spark.read.schema(recorded).parquet(ps.map(_.toString): _*)
+      case None => spark.read.schema(recorded).parquet(batchDir.toString)
+    }
     val flags = cs.map { case (name, e) =>
       max(when(not(coalesce(expr(e).cast("boolean"), lit(true))), 1)
         .otherwise(0)).as(name)
@@ -430,6 +440,15 @@ object Versioned {
         ++ carried ++ newFiles)
   }
 
+  /** Compaction inputs whose deletion-vector state differs between the
+    * prepare-time and publish-time snapshots — the merge-on-read arm of
+    * [[compactSmallOcc]]'s conflict check. Both maps key by MANIFEST
+    * entry string (the same derivation on both sides, so relative vs
+    * absolute rendering can never mask a drift). */
+  private[graft] def dvDrift(inputs: Set[String], base: Map[String, String],
+                             cur: Map[String, String]): Set[String] =
+    inputs.filter(r => cur.get(r) != base.get(r))
+
   /** Writer-unique staging dir for a single-writer batch targeting
     * version `next`. Unhidden on purpose: vacuum's dead-dir sweep
     * reclaims crash-orphaned staging (nothing live ever points here). */
@@ -440,8 +459,17 @@ object Versioned {
   /** Move a fully-written staging dir into its published name `b<next>`
     * — the single-writer batch "commit point" below the manifest rename.
     * A refused rename means a same-version second writer got there
-    * first: die loud with OUR data intact in staging nowhere (deleted),
-    * never interleaved into the winner's directory. */
+    * first: die loud with OUR data deleted from staging, never
+    * interleaved into the winner's directory.
+    *
+    * RESIDUAL WINDOW (single-writer contract, documented not closed): a
+    * second same-version writer's crash-debris sweep can still delete a
+    * first writer's PLACED-but-unpublished b<next> in the instants
+    * between this rename and the manifest publish; the first writer's
+    * publish would then reference deleted files. Staging shrinks the
+    * vulnerable span from the whole batch write to that rename→publish
+    * sliver; deployments that actually race writers must use the OCC
+    * surface (unique dirs, no reclaim-by-name). */
   private def placeBatchDir(f: FileSystem, staging: Path, batchDir: Path,
                             next: Long): Unit = {
     if (!f.rename(staging, batchDir)) {
@@ -572,9 +600,14 @@ object Versioned {
   def dvEntries(spark: SparkSession, root: String,
                 asOf: Option[Long] = None): Map[String, String] = {
     val vs = versions(spark, root)
-    if (vs.isEmpty) return Map.empty
+    if (vs.isEmpty && asOf.isEmpty) return Map.empty // bootstrap: no table yet
     val v = asOf.getOrElse(vs.last)
-    if (!vs.contains(v)) return Map.empty
+    // an explicitly requested unknown version fails LOUD like
+    // snapshotFiles — silently answering "no vectors" for a vacuumed
+    // manifest would let a lagging consumer resurrect deleted rows
+    require(vs.contains(v),
+      s"version $v not found at $root (have ${vs.mkString(",")}) — " +
+        "vacuumed past a consumer's offset?")
     manifestLines(spark, root, v).filter(_.startsWith(DvPrefix)).map { l =>
       val body = l.stripPrefix(DvPrefix)
       val i = body.indexOf('\t')
@@ -693,16 +726,8 @@ object Versioned {
     // a superset of the live rows, so the proof carries over vectors),
     // provable no-match files are never probed
     val conjuncts = StatsProofs.parseColumn(predicate)
-    lazy val sideByDir: Map[Path, Map[String, Map[String, FileStats.ColStats]]] =
-      files.map(new Path(_)).groupBy(_.getParent).map { case (dir, _) =>
-        dir -> FileStats.readSidecar(f, dir)
-      }
-    val statsOf: Map[String, Map[String, FileStats.ColStats]] =
-      if (conjuncts.isEmpty) Map.empty
-      else files.map { s =>
-        val p = new Path(s)
-        s -> sideByDir(p.getParent).getOrElse(p.getName, Map.empty)
-      }.toMap
+    // lazy: a non-provable predicate never opens a sidecar
+    lazy val statsOf = statsByFile(spark, root, files)
     val (allMatch, rest) = conjuncts match {
       case Some(cs) => files.partition(p => StatsProofs.allRowsMatch(statsOf(p), cs))
       case None => (Seq.empty[String], files)
@@ -819,17 +844,26 @@ object Versioned {
     val relBySfx: Map[String, String] = files.map { abs =>
       pathSuffix(abs) -> relativize(spark, root, abs)
     }.toMap
+    // BOUNDED: the check is an optimization (a 100%-dead vector is
+    // correct, just wasteful — materialize reclaims it later), so past
+    // the cap we skip the footer reads rather than pay driver-serial
+    // opens for every touched file of a very wide delete
+    val fullCheckMax =
+      spark.conf.get("spark.graft.dv.fullFileCheckMax", "10000").toInt
     val rowsBySfx: Map[String, Long] =
-      if (written.isEmpty) Map.empty
+      if (written.isEmpty || written.size > fullCheckMax) Map.empty
       else {
+        // one batched footer pass per batch dir (names are unique within
+        // a dir, so the per-dir keying cannot collide across batches)
         val bySfx = files.map(abs => pathSuffix(abs) -> abs).toMap
-        written.map { case (sfx, _, _) =>
-          sfx -> FileStats.rowCounts(spark.sparkContext.hadoopConfiguration,
-            Seq(new Path(bySfx(sfx)))).values.head
-        }.toMap
+        written.map(w => new Path(bySfx(w._1))).groupBy(_.getParent)
+          .flatMap { case (dir, ps) =>
+            FileStats.rowCounts(spark.sparkContext.hadoopConfiguration, ps)
+              .map { case (name, n) => s"${dir.getName}/$name" -> n }
+          }
       }
     val fullyDead: Set[String] = written.collect {
-      case (sfx, _, cnt) if rowsBySfx(sfx) == cnt => sfx
+      case (sfx, _, cnt) if rowsBySfx.get(sfx).contains(cnt) => sfx
     }.toSet
     val droppedRel: Set[String] =
       allMatch.map(relativize(spark, root, _)).toSet ++ fullyDead.map(relBySfx)
@@ -1077,7 +1111,13 @@ object Versioned {
       val newPaths = f.listStatus(batchDir).toSeq.map(_.getPath)
         .filter(_.getName.endsWith(".parquet"))
       val recorded = schema.getOrElse(asNullable(batch.schema))
-      enforceConstraintsOnWritten(spark, root, batchDir, recorded, Some(current))
+      // explicit paths: the dir already holds the staged .dv sidecars,
+      // which a directory-wide parquet read would choke on. An empty
+      // write (0-row batch producing no part files) has nothing to
+      // violate.
+      if (newPaths.nonEmpty)
+        enforceConstraintsOnWritten(spark, root, batchDir, recorded, Some(current),
+          dataPaths = Some(newPaths))
       val statsCols = trackedStatsCols(spark, root, files)
         .filter(batch.columns.contains)
       if (statsCols.nonEmpty && newPaths.nonEmpty)
@@ -1141,15 +1181,21 @@ object Versioned {
     import org.apache.spark.sql.functions.{col, lit}
     require(lo.nonEmpty || hi.nonEmpty, "at least one bound required")
     val f = fs(spark, new Path(root))
-    val kept = prunedByStats(f, snapshotFiles(spark, root, asOf), column, lo, hi)
-    def litOf(v: Any): Column = v match {
+    // resolve the version ONCE (like read): a commit landing mid-call
+    // must not pair one snapshot's file list with another's schema or
+    // deletion vectors
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root")
+    val v = Some(asOf.getOrElse(vs.last))
+    val kept = prunedByStats(f, snapshotFiles(spark, root, v), column, lo, hi)
+    def litOf(x: Any): Column = x match {
       case i: java.time.Instant => lit(java.sql.Timestamp.from(i))
       case other => lit(other)
     }
     val base =
-      if (kept.isEmpty) read(spark, root, asOf).limit(0)
-      else readFilesDv(spark, root, snapshotSchema(spark, root, asOf), kept,
-        dvEntries(spark, root, asOf))
+      if (kept.isEmpty) read(spark, root, v).limit(0)
+      else readFilesDv(spark, root, snapshotSchema(spark, root, v), kept,
+        dvEntries(spark, root, v))
     val c = col("`" + column.replace("`", "``") + "`")
     val preds = lo.map(v => c >= litOf(v)) ++ hi.map(v => c <= litOf(v))
     base.filter(preds.reduce(_ && _))
@@ -2305,10 +2351,15 @@ object Versioned {
     * wholesale (its files are all new). */
   def readChanges(spark: SparkSession, root: String, fromV: Long,
                   toV: Option[Long] = None): DataFrame = {
-    val added = changedFiles(spark, root, fromV, toV)
-    if (added.isEmpty) read(spark, root, toV).limit(0)
-    else readFilesDv(spark, root, snapshotSchema(spark, root, toV), added,
-      dvEntries(spark, root, toV))
+    // resolve `to` ONCE (like read): schema, file diff and vectors must
+    // all describe the same snapshot even if a commit lands mid-call
+    val vsAll = versions(spark, root)
+    require(vsAll.nonEmpty, s"no committed versions at $root")
+    val to = Some(toV.getOrElse(vsAll.last))
+    val added = changedFiles(spark, root, fromV, to)
+    if (added.isEmpty) read(spark, root, to).limit(0)
+    else readFilesDv(spark, root, snapshotSchema(spark, root, to), added,
+      dvEntries(spark, root, to))
   }
 
   /** Compact the current snapshot: read it, rewrite as `nFiles`
@@ -2684,11 +2735,11 @@ object Versioned {
       // but rows this compaction already packed are now dead — publishing
       // would resurrect them. Die loud, like the rewritten-input case.
       val curDv = dvEntries(spark, root, Some(cur))
-      val dvDrift = inputsRel.filter(r => curDv.get(r) != baseDv.get(r))
-      if (dvDrift.nonEmpty)
+      val drifted = dvDrift(inputsRel, baseDv, curDv)
+      if (drifted.nonEmpty)
         abort(new IllegalStateException(
           s"compaction conflict at $root: deletion vectors changed on " +
-            s"${dvDrift.size} input file(s) (e.g. ${dvDrift.head}) since the " +
+            s"${drifted.size} input file(s) (e.g. ${drifted.head}) since the " +
             "inputs were read — compaction aborted, nothing published; re-run it"))
       val carried = curFiles.filterNot(inputsRel)
       val curSchema = snapshotSchema(spark, root, Some(cur))

@@ -382,6 +382,66 @@ class VersionedDvSpec extends SparkSpecBase {
     assert(spark.read.format("graft-versioned").load(root).count() == 301)
   }
 
+  test("CHECK constraints gate the merge-on-read writers' appended batch") {
+    val root = tmpDir("graft_dv_check")
+    build(root)
+    Versioned.addConstraint(spark, root, "k_nonempty", "length(k) > 0")
+    // a VALID MoR update on a constraint-bearing table must succeed (the
+    // validation read must not choke on the staged .dv sidecars)
+    Versioned.updateWhereDv(spark, root, col("id") === 5L,
+      Map("k" -> lit("ok")))
+    assert(Versioned.read(spark, root).filter(col("id") === 5L)
+      .select("k").as[String].head() == "ok")
+    // a VIOLATING update aborts before publish, nothing changes
+    val vBefore = Versioned.versions(spark, root).last
+    val e = intercept[IllegalArgumentException] {
+      Versioned.updateWhereDv(spark, root, col("id") === 6L,
+        Map("k" -> lit("")))
+    }
+    assert(e.getMessage.contains("k_nonempty"))
+    assert(Versioned.versions(spark, root).last == vBefore)
+    assert(Versioned.read(spark, root).filter(col("id") === 6L)
+      .select("k").as[String].head() == "r6")
+    // same for the MoR merge
+    val e2 = intercept[IllegalArgumentException] {
+      Versioned.mergeIntoDv(spark, root,
+        Seq((7L, "")).toDF("id", "k"), Seq("id"))
+    }
+    assert(e2.getMessage.contains("k_nonempty"))
+    Versioned.mergeIntoDv(spark, root, Seq((7L, "fine")).toDF("id", "k"), Seq("id"))
+    assert(Versioned.read(spark, root).filter(col("id") === 7L)
+      .select("k").as[String].head() == "fine")
+  }
+
+  test("dvDrift flags added, changed and removed vectors on compaction inputs") {
+    val inputs = Set("data/b1/a.parquet", "data/b1/b.parquet", "data/b2/c.parquet")
+    val base = Map("data/b1/a.parquet" -> "data/b3/a.dv")
+    // unchanged state: no drift
+    assert(Versioned.dvDrift(inputs, base, base).isEmpty)
+    // vector ADDED on an input
+    assert(Versioned.dvDrift(inputs, base,
+      base + ("data/b1/b.parquet" -> "data/b4/b.dv")) == Set("data/b1/b.parquet"))
+    // vector REPLACED (second delete unioned into a new vector)
+    assert(Versioned.dvDrift(inputs, base,
+      Map("data/b1/a.parquet" -> "data/b4/a.dv")) == Set("data/b1/a.parquet"))
+    // vector REMOVED (materialized away mid-flight)
+    assert(Versioned.dvDrift(inputs, base, Map.empty) == Set("data/b1/a.parquet"))
+    // drift on a NON-input never aborts
+    assert(Versioned.dvDrift(Set("data/b1/a.parquet"), base,
+      base + ("data/b9/z.parquet" -> "data/b9/z.dv")).isEmpty)
+  }
+
+  test("dvEntries fails loud on an explicitly requested vacuumed version") {
+    val root = tmpDir("graft_dv_vacq")
+    build(root)
+    Versioned.vacuum(spark, root, keepVersions = 1)
+    val e = intercept[IllegalArgumentException] {
+      Versioned.dvEntries(spark, root, Some(1L))
+    }
+    assert(e.getMessage.contains("not found"))
+    assert(Versioned.dvEntries(spark, root).isEmpty) // newest still answers
+  }
+
   test("OCC compaction dies loud when a vector lands on its inputs") {
     val root = tmpDir("graft_dv_occ")
     build(root)
