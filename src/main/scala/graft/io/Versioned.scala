@@ -2172,6 +2172,27 @@ object Versioned {
                                bloomColumns: String, numConstraints: Int,
                                numDeletionVectors: Long, dvDeletedRows: Long)
 
+  /** EXACT row count of a snapshot from metadata alone: parquet footers
+    * record per-file row counts and deletion-vector headers their dead
+    * cardinality, so `count(*)` needs zero data pages at any table size
+    * — one footer read per file, one 12-byte header per vector. (The
+    * subtraction is exact because a vector only ever holds ordinals of
+    * rows in its file, strictly increasing — see [[Dv.encode]].) */
+  def countRows(spark: SparkSession, root: String, asOf: Option[Long] = None): Long = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root")
+    val v = Some(asOf.getOrElse(vs.last))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val total = snapshotFiles(spark, root, v).map(new Path(_))
+      .groupBy(_.getParent).iterator
+      .map { case (_, ps) => FileStats.rowCounts(conf, ps).values.sum }.sum
+    val dead = dvEntries(spark, root, v).valuesIterator.map { d =>
+      val p = resolveEntry(root, d)
+      Dv.count(p.getFileSystem(conf), p)
+    }.sum
+    total - dead
+  }
+
   def describeDetail(spark: SparkSession, root: String): TableDetail = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no committed versions at $root")

@@ -214,6 +214,16 @@ private[io] object VersionedProcedures {
       (spark, rootFor, input) => row(Versioned.dvMaterialize(
         spark, existing(spark, rootFor, input, 0)))),
 
+    Spec("row_count", "exact snapshot row count from metadata alone (parquet footers minus deletion-vector cardinalities; no data read)",
+      Array(in("table", StringType),
+        inDefault("version", LongType, "CAST(NULL AS BIGINT)")),
+      StructType(Seq(StructField("row_count", LongType, nullable = false))),
+      (spark, rootFor, input) => {
+        val root = existing(spark, rootFor, input, 0)
+        val asOf = if (input.isNullAt(1)) None else Some(input.getLong(1))
+        row(Versioned.countRows(spark, root, asOf))
+      }),
+
     Spec("constraints", "list the current snapshot's CHECK constraints",
       Array(in("table", StringType)),
       StructType(Seq(

@@ -222,6 +222,30 @@ object Streams {
       }
       .start()
 
+  /** [[versionedMergeSink]]'s MERGE-ON-READ twin
+    * ([[graft.io.Versioned.mergeIntoDv]]): each micro-batch records its
+    * matched target rows dead in deletion vectors and appends the whole
+    * batch — NO target file is ever rewritten, so a high-frequency upsert
+    * stream (the case where per-trigger copy-on-write rewrite churn is
+    * worst: every trigger re-copies the same hot files) costs
+    * O(batch + tiny vectors) per trigger at any target size. Same
+    * checkpoint-scoped replay tags as the copy-on-write sink. Schedule
+    * [[graft.io.Versioned.dvMaterialize]] (or compaction) to fold the
+    * accreted vectors; the DSv2 scan and the versioned stream refuse the
+    * target until then — readers use Versioned.read. */
+  def versionedMergeSinkDv(events: DataFrame, root: String, keys: Seq[String],
+                           checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!alreadyCommitted(batch.sparkSession, root, checkpointDir, "dvmerge", id)) {
+          graft.io.Versioned.mergeIntoDv(batch.sparkSession, root, batch.toDF(), keys,
+            tag = Some(batchTag(checkpointDir, "dvmerge", id)))
+          ()
+        }
+      }
+      .start()
+
   /** Streaming twin of the GENERAL merge clause family
     * ([[graft.io.Versioned.mergeIntoConditional]]): each micro-batch runs
     * the given clauses against the versioned target with the same

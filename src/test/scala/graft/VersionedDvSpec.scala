@@ -431,6 +431,20 @@ class VersionedDvSpec extends SparkSpecBase {
       base + ("data/b9/z.parquet" -> "data/b9/z.dv")).isEmpty)
   }
 
+  test("countRows is exact from metadata across commits, vectors and time travel") {
+    val root = tmpDir("graft_dv_count")
+    build(root)
+    assert(Versioned.countRows(spark, root) == 300L)
+    Versioned.deleteWhereDv(spark, root, pmod(col("id"), lit(10)) === 0)
+    assert(Versioned.countRows(spark, root) == 270L)
+    assert(Versioned.countRows(spark, root, asOf = Some(3L)) == 300L)
+    Versioned.mergeIntoDv(spark, root,
+      Seq((5L, "U"), (1000L, "new")).toDF("id", "k"), Seq("id"))
+    assert(Versioned.countRows(spark, root) == 271L)
+    assert(Versioned.countRows(spark, root) ==
+      Versioned.read(spark, root).count())
+  }
+
   test("dvEntries fails loud on an explicitly requested vacuumed version") {
     val root = tmpDir("graft_dv_vacq")
     build(root)

@@ -282,6 +282,36 @@ class VersionedMergeSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("versionedMergeSinkDv: merge-on-read streaming upsert rewrites nothing") {
+    val root = tmpRoot()
+    Versioned.commit(spark,
+      (1L to 100L).map(i => (i, s"v$i")).toDF("id", "k").coalesce(1), root)
+    val v1Files = Versioned.snapshotFiles(spark, root, Some(1L)).toSet
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val q = Streams.versionedMergeSinkDv(
+      src.toDF().toDF("id", "k"), root, Seq("id"), tmpRoot())
+    try {
+      src.addData((5L, "U5"), (200L, "new"))
+      q.processAllAvailable()
+      src.addData((5L, "U5b"), (6L, "U6"))
+      q.processAllAvailable()
+      val rows = Versioned.read(spark, root).as[(Long, String)].collect().toMap
+      assert(rows.size == 101)
+      assert(rows(5L) == "U5b" && rows(6L) == "U6" && rows(200L) == "new")
+      // merge-on-read contract: every original file still referenced —
+      // the two triggers appended batches + vectors, rewrote NOTHING
+      val nowFiles = Versioned.snapshotFiles(spark, root).toSet
+      assert(v1Files.subsetOf(nowFiles))
+      assert(Versioned.dvEntries(spark, root).nonEmpty)
+      // metadata-only count agrees with the vector-applied read
+      assert(Versioned.countRows(spark, root) == 101L)
+      // materialize folds the accreted vectors and re-admits the scan
+      Versioned.dvMaterialize(spark, root)
+      assert(spark.read.format("graft-versioned").load(root).count() == 101)
+    } finally q.stop()
+  }
+
   test("replay detection survives an interleaved foreign commit") {
     val root = tmpRoot()
     val chk = tmpRoot()

@@ -193,6 +193,11 @@ class VersionedProcedureSpec extends SparkSpecBase {
       .as[Long].head()
     assert(v2 == 5L)
     assert(spark.table(s"graft_proc.$t").count() == 270)
+    // metadata-only count, current and time-travel
+    assert(spark.sql(s"CALL graft_proc.system.row_count('$t')")
+      .as[Long].head() == 270L)
+    assert(spark.sql(s"CALL graft_proc.system.row_count('$t', 3)")
+      .as[Long].head() == 300L)
   }
 
   test("namespace and procedure names are case-insensitive like all SQL identifiers") {
