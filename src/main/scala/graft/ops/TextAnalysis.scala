@@ -86,6 +86,68 @@ object TextAnalysis {
       lit(0.4) * stopwordRatio(toks) +
       lit(0.2) * (lit(1.0) - punctRatio(text))
 
+  // Gopher-style document quality rules (Rae et al. 2021, "Scaling
+  // Language Models: ... Gopher", §A1.1 — public). Each rule is a
+  // bit-reproducible flag over the lowercased-token list + raw text; the
+  // composite gate is the AND every web-scale curation pipeline applies
+  // before training. Thresholds are the paper's. -----------------------
+
+  /** The paper's stopword list for the "contains ≥2 stopwords" rule
+    * (distinct from [[stopwords]], which backs the ratio heuristic). */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** (# `#` symbols + # literal `...` runs) / words — the paper's
+    * symbol-to-word screen. `...` counts by length delta over a
+    * non-overlapping leftmost regex erase, identical under Java regex
+    * and RE2, and the /3 is exact (the delta is a multiple of 3). */
+  def gopherSymbolRatio(text: Column, toks: Column): Column =
+    safeRatio(
+      (length(text) - length(translate(text, "#", ""))).cast(DoubleType) +
+        (length(text) - length(regexp_replace(text, "\\.\\.\\.", "")))
+          .cast(DoubleType) / lit(3.0),
+      size(toks))
+
+  /** Fraction of lines starting with a bullet (-, *, •). */
+  def gopherBulletLineRatio(text: Column): Column = {
+    val lines = split(text, "\n")
+    safeRatio(size(filter(lines, l => l.rlike("^\\s*[-*•]"))), size(lines))
+  }
+
+  /** Fraction of lines ending with a literal ellipsis. */
+  def gopherEllipsisLineRatio(text: Column): Column = {
+    val lines = split(text, "\n")
+    safeRatio(size(filter(lines, l => l.rlike("\\.\\.\\.\\s*$"))), size(lines))
+  }
+
+  /** Fraction of words containing at least one (lowercased) letter. */
+  def gopherAlphaWordRatio(toks: Column): Column =
+    safeRatio(size(filter(toks, t => t.rlike("[a-z]"))), size(toks))
+
+  /** How many of the paper's 8 stopwords appear in the document. */
+  def gopherStopwordHits(toks: Column): Column =
+    gopherStopwords.map(s => when(array_contains(toks, s), 1).otherwise(0))
+      .reduce(_ + _)
+
+  /** The composite Gopher gate: word count in [50, 100k], mean word
+    * length in [3, 10], symbol-to-word < 0.1, bulleted lines < 90%,
+    * ellipsis lines < 30%, alphabetic words > 80%, ≥2 stopwords. */
+  def gopherPass(text: Column, toks: Column): Column =
+    gopherPassAt(text, toks, minWords = 50, minStopHits = 2)
+
+  /** The same gate with tunable floor thresholds — short-document
+    * corpora (chat turns, titles) screen with lower floors; the other
+    * five rules keep the paper's values. */
+  def gopherPassAt(text: Column, toks: Column,
+                   minWords: Int, minStopHits: Int): Column =
+    size(toks).between(minWords, 100000) &&
+      avgTokenLen(toks).between(3.0, 10.0) &&
+      (gopherSymbolRatio(text, toks) < 0.1) &&
+      (gopherBulletLineRatio(text) < 0.9) &&
+      (gopherEllipsisLineRatio(text) < 0.3) &&
+      (gopherAlphaWordRatio(toks) > 0.8) &&
+      (gopherStopwordHits(toks) >= minStopHits)
+
   /** Whitespace token count (split on runs of whitespace). */
   def whitespaceTokenCount(text: Column): Column =
     size(array_remove(split(text, "\\s+"), ""))

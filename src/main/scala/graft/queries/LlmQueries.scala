@@ -450,6 +450,78 @@ object LlmQueries {
        |""".stripMargin
 
   // -------------------------------------------------------------------
+  // Gopher quality gate (Rae et al. 2021, §A1.1): the rule flags + the
+  // composite pass every web-scale curation pipeline screens with.
+  // -------------------------------------------------------------------
+  def gopherQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val t = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      TextAnalysis.nTokens(t).as("n_words"),
+      TextAnalysis.avgTokenLen(t).as("mean_word_len"),
+      TextAnalysis.gopherSymbolRatio(col("text"), t).as("symbol_ratio"),
+      TextAnalysis.gopherBulletLineRatio(col("text")).as("bullet_ratio"),
+      TextAnalysis.gopherEllipsisLineRatio(col("text")).as("ellipsis_ratio"),
+      TextAnalysis.gopherAlphaWordRatio(t).as("alpha_ratio"),
+      TextAnalysis.gopherStopwordHits(t).as("stop_hits"),
+      TextAnalysis.gopherPass(col("text"), t).as("pass"),
+      // lower floors so the gate DISCRIMINATES on the short synthetic
+      // fixture (the strict column is all-false there, which would let a
+      // broken AND slip through the oracle unnoticed)
+      TextAnalysis.gopherPassAt(col("text"), t, minWords = 30, minStopHits = 1)
+        .as("pass_relaxed"))
+  }
+
+  private val meanWordLenSql =
+    "CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(t, x -> CAST(len(x) AS BIGINT))) AS DOUBLE) / len(t) END"
+  private val symbolRatioSql =
+    """CASE WHEN len(t) = 0 THEN 0.0 ELSE
+      |  (CAST(len(text) - len(translate(text, '#', '')) AS DOUBLE)
+      |   + CAST(len(text) - len(regexp_replace(text, '\.\.\.', '', 'g')) AS DOUBLE) / 3.0)
+      |  / len(t) END""".stripMargin
+  private val bulletRatioSql =
+    """CASE WHEN len(string_split(text, chr(10))) = 0 THEN 0.0 ELSE
+      |  CAST(len(list_filter(string_split(text, chr(10)), l -> regexp_matches(l, '^\s*[-*•]'))) AS DOUBLE)
+      |  / len(string_split(text, chr(10))) END""".stripMargin
+  private val ellipsisRatioSql =
+    """CASE WHEN len(string_split(text, chr(10))) = 0 THEN 0.0 ELSE
+      |  CAST(len(list_filter(string_split(text, chr(10)), l -> regexp_matches(l, '\.\.\.\s*$'))) AS DOUBLE)
+      |  / len(string_split(text, chr(10))) END""".stripMargin
+  private val alphaRatioSql =
+    "CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(t) END"
+  private val stopHitsSql = TextAnalysis.gopherStopwords
+    .map(s => s"CASE WHEN list_contains(t, '$s') THEN 1 ELSE 0 END")
+    .mkString(" + ")
+
+  val gopherQualityOracle: String =
+    s"""WITH toks AS ($tokSql)
+       |SELECT doc_id,
+       |       len(t) AS n_words,
+       |       $meanWordLenSql AS mean_word_len,
+       |       $symbolRatioSql AS symbol_ratio,
+       |       $bulletRatioSql AS bullet_ratio,
+       |       $ellipsisRatioSql AS ellipsis_ratio,
+       |       $alphaRatioSql AS alpha_ratio,
+       |       $stopHitsSql AS stop_hits,
+       |       (len(t) BETWEEN 50 AND 100000)
+       |         AND ($meanWordLenSql BETWEEN 3.0 AND 10.0)
+       |         AND ($symbolRatioSql < 0.1)
+       |         AND ($bulletRatioSql < 0.9)
+       |         AND ($ellipsisRatioSql < 0.3)
+       |         AND ($alphaRatioSql > 0.8)
+       |         AND (($stopHitsSql) >= 2) AS pass,
+       |       (len(t) BETWEEN 30 AND 100000)
+       |         AND ($meanWordLenSql BETWEEN 3.0 AND 10.0)
+       |         AND ($symbolRatioSql < 0.1)
+       |         AND ($bulletRatioSql < 0.9)
+       |         AND ($ellipsisRatioSql < 0.3)
+       |         AND ($alphaRatioSql > 0.8)
+       |         AND (($stopHitsSql) >= 1) AS pass_relaxed
+       |FROM toks
+       |""".stripMargin
+
+  // -------------------------------------------------------------------
   // Token counting rollup per source: whitespace + BPE-ish regex counts.
   // -------------------------------------------------------------------
   def tokenCounts(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1327,6 +1399,7 @@ object LlmQueries {
     "ann_multiprobe" -> (annMultiProbe _),
     "lang_id" -> (langId _),
     "text_quality" -> (textQuality _),
+    "gopher_quality" -> (gopherQuality _),
     "token_counts" -> (tokenCounts _),
     "doc_fingerprint" -> (docFingerprint _),
     "kmv_distinct" -> (kmvDistinct _),
@@ -1367,6 +1440,7 @@ object LlmQueries {
     "ann_multiprobe" -> annMultiProbeOracle,
     "lang_id" -> langIdOracle,
     "text_quality" -> textQualityOracle,
+    "gopher_quality" -> gopherQualityOracle,
     "token_counts" -> tokenCountsOracle,
     "doc_fingerprint" -> docFingerprintOracle,
     "kmv_distinct" -> kmvDistinctOracle,
