@@ -1885,33 +1885,38 @@ object Versioned {
   def diffVersionsKeyed(spark: SparkSession, root: String, fromV: Long,
                         toV: Option[Long] = None,
                         keys: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.{col, concat_ws, lit, raise_error, sum, when}
+    import org.apache.spark.sql.functions.{col, count, lit, sum, when}
     import org.apache.spark.sql.expressions.Window
     require(keys.nonEmpty, "diffVersionsKeyed needs at least one key column")
     val d = diffVersions(spark, root, fromV, toV)
     val missing = keys.filterNot(d.columns.contains)
     require(missing.isEmpty,
       s"key column(s) not in the table: ${missing.mkString(", ")}")
-    // ONE pass over the diff: a window per key counts its inserts and
-    // deletes — exactly one of each = an update pair; anything else keeps
-    // its plain label. (The self-join formulation re-derived the
-    // file-bounded diff once per branch — six scans of the changed files
-    // for four labels.) Null-keyed rows share a window partition but the
-    // fullyKeyed guard routes them straight to their plain label, so the
-    // lumped counts are never consulted. The ambiguity guard rides the
-    // SAME pass: duplicate changed keys raise at evaluation (the column
-    // is the result, so the optimizer cannot prune the check away).
     val fullyKeyed = keys.map(col(_).isNotNull).reduce(_ && _)
+    // ambiguity guard: EAGER by design. An in-plan raise_error would sit
+    // in the _change_type column, which a consumer that drops the column
+    // prunes away — silently accepting ambiguous pairings. The eager
+    // check pays one aggregation over the file-bounded diff, which is
+    // the price of the documented call-time refusal.
+    val dup = d.filter(fullyKeyed)
+      .groupBy((col("_change") +: keys.map(col)): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
+    require(dup == 0,
+      s"changed rows have duplicate keys (${keys.mkString(", ")}): the " +
+        "update pre/post pairing would be ambiguous — use different keys " +
+        "or the unkeyed diffVersions")
+    // ONE pass for the classification: a window per key counts its
+    // inserts and deletes — exactly one of each = an update pair;
+    // anything else keeps its plain label. (The self-join formulation
+    // re-derived the file-bounded diff once per branch — six scans of
+    // the changed files for four labels.) Null-keyed rows share a window
+    // partition but the fullyKeyed guard routes them straight to their
+    // plain label, so the lumped counts are never consulted.
     val w = Window.partitionBy(keys.map(col): _*)
     val ni = sum(when(col("_change") === "insert", 1).otherwise(0)).over(w)
     val nd = sum(when(col("_change") === "delete", 1).otherwise(0)).over(w)
     val label =
-      when(fullyKeyed && (ni > 1 || nd > 1),
-        raise_error(concat_ws("", lit("changed rows have duplicate keys ("),
-          lit(keys.mkString(", ")),
-          lit("): the update pre/post pairing would be ambiguous — use " +
-            "different keys or the unkeyed diffVersions"))).cast("string"))
-      .when(fullyKeyed && ni === 1 && nd === 1,
+      when(fullyKeyed && ni === 1 && nd === 1,
         when(col("_change") === "insert", lit("update_postimage"))
           .otherwise(lit("update_preimage")))
       .otherwise(col("_change"))
@@ -2186,12 +2191,18 @@ object Versioned {
     val total = snapshotFiles(spark, root, v).map(new Path(_))
       .groupBy(_.getParent).iterator
       .map { case (_, ps) => FileStats.rowCounts(conf, ps).values.sum }.sum
-    val dead = dvEntries(spark, root, v).valuesIterator.map { d =>
-      val p = resolveEntry(root, d)
-      Dv.count(p.getFileSystem(conf), p)
-    }.sum
-    total - dead
+    total - dvDeadRows(spark, root, dvEntries(spark, root, v))
   }
+
+  /** Total dead-row cardinality of a snapshot's deletion vectors — one
+    * 12-byte header read per vector, shared by [[countRows]] and
+    * [[describeDetail]] so the two metadata views can never diverge. */
+  private def dvDeadRows(spark: SparkSession, root: String,
+                         dv: Map[String, String]): Long =
+    dv.valuesIterator.map { d =>
+      val p = resolveEntry(root, d)
+      Dv.count(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }.sum
 
   def describeDetail(spark: SparkSession, root: String): TableDetail = {
     val vs = versions(spark, root)
@@ -2207,10 +2218,7 @@ object Versioned {
     // vector cardinalities come from the 12-byte headers — the signal that
     // prices a dvMaterialize (still metadata-sized, like everything here)
     val dv = dvEntries(spark, root, Some(current))
-    val dvRows = dv.valuesIterator.map { d =>
-      val p = resolveEntry(root, d)
-      Dv.count(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
-    }.sum
+    val dvRows = dvDeadRows(spark, root, dv)
     TableDetail(current, files.size.toLong, bytes,
       schema.map(_.fields.length).getOrElse(-1),
       statsCols.mkString(","), bloomCols.mkString(","),

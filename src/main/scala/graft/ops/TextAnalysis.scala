@@ -97,16 +97,20 @@ object TextAnalysis {
   val gopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
-  /** (# `#` symbols + # literal `...` runs) / words — the paper's
-    * symbol-to-word screen. `...` counts by length delta over a
-    * non-overlapping leftmost regex erase, identical under Java regex
-    * and RE2, and the /3 is exact (the delta is a multiple of 3). */
-  def gopherSymbolRatio(text: Column, toks: Column): Column =
-    safeRatio(
-      (length(text) - length(translate(text, "#", ""))).cast(DoubleType) +
-        (length(text) - length(regexp_replace(text, "\\.\\.\\.", "")))
-          .cast(DoubleType) / lit(3.0),
-      size(toks))
+  /** `#` symbols per word — one half of the paper's symbol-to-word
+    * screen (the paper thresholds EACH symbol's ratio at 0.1
+    * separately, so the two ratios stay separate columns). */
+  def gopherHashRatio(text: Column, toks: Column): Column =
+    safeRatio((length(text) - length(translate(text, "#", "")))
+      .cast(DoubleType), size(toks))
+
+  /** Literal `...` runs per word — the other half. Runs count by length
+    * delta over a non-overlapping leftmost regex erase, identical under
+    * Java regex and RE2, and the /3 is exact (the delta is a multiple
+    * of 3). */
+  def gopherEllipsisRatio(text: Column, toks: Column): Column =
+    safeRatio((length(text) - length(regexp_replace(text, "\\.\\.\\.", "")))
+      .cast(DoubleType) / lit(3.0), size(toks))
 
   /** Fraction of lines starting with a bullet (-, *, •). */
   def gopherBulletLineRatio(text: Column): Column = {
@@ -130,19 +134,21 @@ object TextAnalysis {
       .reduce(_ + _)
 
   /** The composite Gopher gate: word count in [50, 100k], mean word
-    * length in [3, 10], symbol-to-word < 0.1, bulleted lines < 90%,
+    * length in [3, 10], hash-to-word AND ellipsis-to-word each < 0.1
+    * (the paper thresholds them separately), bulleted lines < 90%,
     * ellipsis lines < 30%, alphabetic words > 80%, ≥2 stopwords. */
   def gopherPass(text: Column, toks: Column): Column =
     gopherPassAt(text, toks, minWords = 50, minStopHits = 2)
 
   /** The same gate with tunable floor thresholds — short-document
     * corpora (chat turns, titles) screen with lower floors; the other
-    * five rules keep the paper's values. */
+    * rules keep the paper's values. */
   def gopherPassAt(text: Column, toks: Column,
                    minWords: Int, minStopHits: Int): Column =
     size(toks).between(minWords, 100000) &&
       avgTokenLen(toks).between(3.0, 10.0) &&
-      (gopherSymbolRatio(text, toks) < 0.1) &&
+      (gopherHashRatio(text, toks) < 0.1) &&
+      (gopherEllipsisRatio(text, toks) < 0.1) &&
       (gopherBulletLineRatio(text) < 0.9) &&
       (gopherEllipsisLineRatio(text) < 0.3) &&
       (gopherAlphaWordRatio(toks) > 0.8) &&

@@ -460,7 +460,8 @@ object LlmQueries {
       col("doc_id"),
       TextAnalysis.nTokens(t).as("n_words"),
       TextAnalysis.avgTokenLen(t).as("mean_word_len"),
-      TextAnalysis.gopherSymbolRatio(col("text"), t).as("symbol_ratio"),
+      TextAnalysis.gopherHashRatio(col("text"), t).as("hash_ratio"),
+      TextAnalysis.gopherEllipsisRatio(col("text"), t).as("ellipsis_word_ratio"),
       TextAnalysis.gopherBulletLineRatio(col("text")).as("bullet_ratio"),
       TextAnalysis.gopherEllipsisLineRatio(col("text")).as("ellipsis_ratio"),
       TextAnalysis.gopherAlphaWordRatio(t).as("alpha_ratio"),
@@ -475,10 +476,12 @@ object LlmQueries {
 
   private val meanWordLenSql =
     "CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(t, x -> CAST(len(x) AS BIGINT))) AS DOUBLE) / len(t) END"
-  private val symbolRatioSql =
+  private val hashRatioSql =
     """CASE WHEN len(t) = 0 THEN 0.0 ELSE
-      |  (CAST(len(text) - len(translate(text, '#', '')) AS DOUBLE)
-      |   + CAST(len(text) - len(regexp_replace(text, '\.\.\.', '', 'g')) AS DOUBLE) / 3.0)
+      |  CAST(len(text) - len(translate(text, '#', '')) AS DOUBLE) / len(t) END""".stripMargin
+  private val ellipsisWordRatioSql =
+    """CASE WHEN len(t) = 0 THEN 0.0 ELSE
+      |  (CAST(len(text) - len(regexp_replace(text, '\.\.\.', '', 'g')) AS DOUBLE) / 3.0)
       |  / len(t) END""".stripMargin
   private val bulletRatioSql =
     """CASE WHEN len(string_split(text, chr(10))) = 0 THEN 0.0 ELSE
@@ -499,21 +502,24 @@ object LlmQueries {
        |SELECT doc_id,
        |       len(t) AS n_words,
        |       $meanWordLenSql AS mean_word_len,
-       |       $symbolRatioSql AS symbol_ratio,
+       |       $hashRatioSql AS hash_ratio,
+       |       $ellipsisWordRatioSql AS ellipsis_word_ratio,
        |       $bulletRatioSql AS bullet_ratio,
        |       $ellipsisRatioSql AS ellipsis_ratio,
        |       $alphaRatioSql AS alpha_ratio,
        |       $stopHitsSql AS stop_hits,
        |       (len(t) BETWEEN 50 AND 100000)
        |         AND ($meanWordLenSql BETWEEN 3.0 AND 10.0)
-       |         AND ($symbolRatioSql < 0.1)
+       |         AND ($hashRatioSql < 0.1)
+       |         AND ($ellipsisWordRatioSql < 0.1)
        |         AND ($bulletRatioSql < 0.9)
        |         AND ($ellipsisRatioSql < 0.3)
        |         AND ($alphaRatioSql > 0.8)
        |         AND (($stopHitsSql) >= 2) AS pass,
        |       (len(t) BETWEEN 30 AND 100000)
        |         AND ($meanWordLenSql BETWEEN 3.0 AND 10.0)
-       |         AND ($symbolRatioSql < 0.1)
+       |         AND ($hashRatioSql < 0.1)
+       |         AND ($ellipsisWordRatioSql < 0.1)
        |         AND ($bulletRatioSql < 0.9)
        |         AND ($ellipsisRatioSql < 0.3)
        |         AND ($alphaRatioSql > 0.8)

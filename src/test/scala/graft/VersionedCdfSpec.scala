@@ -64,16 +64,12 @@ class VersionedCdfSpec extends SparkSpecBase {
     Versioned.commit(spark,
       Seq((1L, "b"), (1L, "c")).toDF("id", "k").coalesce(1), root2,
       replace = true)
-    // the guard rides the classification pass, so it surfaces at the
-    // first ACTION (raise_error), not at call time
-    val e = intercept[Exception] {
+    // the guard is EAGER (call-time), so even a consumer that would
+    // prune the _change_type column cannot slip past it
+    val e = intercept[IllegalArgumentException] {
       Versioned.diffVersionsKeyed(spark, root2, fromV = 1, keys = Seq("id"))
-        .collect()
     }
-    def chain(t: Throwable): String =
-      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
-        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
-    assert(chain(e).contains("duplicate keys"))
+    assert(e.getMessage.contains("duplicate keys"))
   }
 
   test("a deletion-vector delete feeds the keyed CDF as plain deletes") {
