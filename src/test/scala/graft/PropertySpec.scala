@@ -227,4 +227,32 @@ class PropertySpec extends SparkSpecBase {
       assert(got == want, s"d2 run $seedRun: missing=${want.diff(got)} extra=${got.diff(want)}")
     }
   }
+
+  test("Dv codec: encode/decode round-trips and union is set union (property)") {
+    import graft.io.Dv
+    // clustered ordinal sets (runs + gaps) exercise both the 1-byte-delta
+    // and multi-byte-varint encodings; Long.MaxValue-scale values the
+    // 9-byte tail
+    val ordSet: Gen[Array[Long]] = for {
+      n <- Gen.chooseNum(0, 300)
+      base <- Gen.chooseNum(0L, 1L << 40)
+      gaps <- Gen.listOfN(n, Gen.oneOf(Gen.chooseNum(1L, 3L), Gen.chooseNum(1L, 100000L)))
+    } yield gaps.scanLeft(base)(_ + _).tail.toArray
+    (1 to 50).foreach { run =>
+      val a = ordSet.sample.getOrElse(Array.empty[Long])
+      val b = ordSet.sample.getOrElse(Array.empty[Long])
+      assert(Dv.decode(Dv.encode(a)).toSeq == a.toSeq, s"run $run round-trip")
+      val u = Dv.union(a, b)
+      assert(u.toSeq == (a.toSet ++ b.toSet).toSeq.sorted, s"run $run union")
+      assert(Dv.union(a, a).toSeq == a.toSeq, s"run $run idempotent")
+      assert(Dv.union(b, a).toSeq == u.toSeq, s"run $run commutative")
+      // header cardinality is trusted by the whole-file-dead check:
+      // it must equal the distinct ordinal count, always
+      assert(Dv.decode(Dv.encode(u)).length == (a.toSet ++ b.toSet).size)
+    }
+    // the strictness contract: duplicates and disorder refuse loudly
+    intercept[IllegalArgumentException](Dv.encode(Array(1L, 1L)))
+    intercept[IllegalArgumentException](Dv.encode(Array(2L, 1L)))
+    intercept[IllegalArgumentException](Dv.encode(Array(-1L)))
+  }
 }
