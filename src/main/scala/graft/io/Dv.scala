@@ -60,6 +60,15 @@ object Dv {
     bos.toByteArray
   }
 
+  /** Parse and VALIDATE a vector. Decode re-checks everything [[encode]]
+    * promised rather than trusting it: ordinals must come out
+    * non-negative and strictly increasing (a zero delta would be a
+    * duplicate, inflating the header cardinality the whole-file-dead
+    * check relies on; a negative first value or an overflowed
+    * accumulator is corruption), and the buffer must be fully consumed
+    * (a truncated-then-padded or trailing-garbage vector must not
+    * silently decode into a shorter/different ordinal set that the
+    * read-side anti-join would then apply). */
   def decode(bytes: Array[Byte]): Array[Long] = {
     val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
     require(in.readInt() == Magic, "not a GDV1 deletion vector")
@@ -69,10 +78,18 @@ object Dv {
     var acc = 0L
     var i = 0
     while (i < n) {
-      acc += readVarLong(in)
+      val delta = readVarLong(in)
+      require(if (i == 0) delta >= 0 else delta > 0,
+        s"corrupt deletion vector: non-increasing ordinal at index $i")
+      val next = acc + delta
+      require(next >= acc || i == 0,
+        s"corrupt deletion vector: ordinal overflow at index $i")
+      acc = next
       out(i) = acc
       i += 1
     }
+    require(in.read() == -1,
+      s"corrupt deletion vector: ${in.available() + 1} trailing bytes after $n ordinals")
     out
   }
 

@@ -49,7 +49,7 @@ object FileStats {
   def collect(conf: Configuration, files: Seq[Path],
               cols: Seq[String]): Map[String, Map[String, ColStats]] = {
     val wanted = cols.toSet
-    files.map { p =>
+    MetaPar.parMap(files) { p =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
       val footer = try reader.getFooter finally reader.close()
       val schema = footer.getFileMetaData.getSchema
@@ -103,11 +103,23 @@ object FileStats {
     * reaches the file's row count means the FILE can drop from the
     * manifest instead of carrying a 100%-dead vector. */
   def rowCounts(conf: Configuration, files: Seq[Path]): Map[String, Long] =
-    files.map { p =>
+    MetaPar.parMap(files) { p =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
       val footer = try reader.getFooter finally reader.close()
       p.getName -> footer.getBlocks.asScala.map(_.getRowCount).sum
     }.toMap
+
+  /** Total row count across `files`, footer-only. Unlike [[rowCounts]]
+    * this never keys by file NAME, so it is safe across batch
+    * directories (names are only unique within one dir) — the shape
+    * [[Versioned.countRows]] needs: one bounded-parallel footer sweep
+    * over the whole snapshot instead of a serial per-directory loop. */
+  def rowCountTotal(conf: Configuration, files: Seq[Path]): Long =
+    MetaPar.parMap(files) { p =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      val footer = try reader.getFooter finally reader.close()
+      footer.getBlocks.asScala.map(_.getRowCount).sum
+    }.sum
 
   private def encodeStat(physical: String, logical: LogicalTypeAnnotation,
                          min: AnyRef, max: AnyRef): Option[ColStats] =

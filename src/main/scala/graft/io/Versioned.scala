@@ -481,6 +481,23 @@ object Versioned {
     }
   }
 
+  /** The merge-on-read writers' pre-flight twin of [[placeBatchDir]]'s
+    * conflict check: refuse a pre-existing `b<next>` loudly instead of
+    * sweeping it as crash debris. An eager sweep here could delete a
+    * RACING writer's placed-but-unpublished batch (re-widening the
+    * residual window staging shrank to the rename→publish sliver);
+    * genuine crash debris is referenced by no manifest and
+    * [[vacuum]]'s dead-dir sweep reclaims it instead. */
+  private def requireBatchDirFree(f: FileSystem, batchDir: Path,
+                                  next: Long): Unit = {
+    if (f.exists(batchDir))
+      throw new IllegalStateException(
+        s"commit conflict: batch dir b$next already exists (second " +
+          "same-version writer?, or crash debris — run vacuum to reclaim " +
+          "dead dirs) — nothing published; use commitOcc for concurrent " +
+          "writers")
+  }
+
   /** Per-root intra-JVM publish locks: on HDFS/object stores the
     * no-overwrite rename is itself atomic, but the local filesystem's
     * `File.renameTo` silently REPLACES an existing target, so the
@@ -644,7 +661,7 @@ object Versioned {
                            pairs: Seq[(String, String)]): (DataFrame, Long) = {
     import spark.implicits._
     val hconf = spark.sparkContext.hadoopConfiguration
-    val total = pairs.iterator.map { case (_, d) =>
+    val total = MetaPar.parMap(pairs) { case (_, d) =>
       val p = new Path(d); Dv.count(p.getFileSystem(hconf), p)
     }.sum
     val conf = new org.apache.spark.util.SerializableConfiguration(hconf)
@@ -742,7 +759,7 @@ object Versioned {
       if (undecided.isEmpty) Seq.empty
       else {
         val batchDir = new Path(dataDir(root), s"b$next")
-        f.delete(batchDir, true) // unpublished crash debris (single-writer rule)
+        requireBatchDirFree(f, batchDir, next)
         // vectors land in staging and move to b$next by one rename —
         // same two-writer interleaving defense as commit()
         val staging = stagingDir(root, next)
@@ -928,7 +945,7 @@ object Versioned {
       s"updateWhereDv assigns to absent column(s): ${missing.mkString(", ")}")
     val doomed = live.filter(coalesce(predicate, lit(false)))
     val batchDir = new Path(dataDir(root), s"b$next")
-    f.delete(batchDir, true)
+    requireBatchDirFree(f, batchDir, next)
     // staging + rename: same two-writer interleaving defense as commit()
     val staging = stagingDir(root, next)
     f.mkdirs(staging)
@@ -1029,10 +1046,17 @@ object Versioned {
       // probe pruning: identical shape to mergeInto's (single
       // stats-tracked non-float key -> range-pruned probe set)
       val statsCols = trackedStatsCols(spark, root, files)
-      val keyType = schema.map(_.apply(keys.head).dataType)
-      val floatKey = keys.size == 1 && keyType.exists(t =>
-        t == org.apache.spark.sql.types.DoubleType ||
-          t == org.apache.spark.sql.types.FloatType)
+      // keyType comes from tableSchema (recorded OR inferred), never the
+      // Option-al recorded #schema alone: a pre-schema-tracking table with
+      // a float/double key and tracked stats would otherwise silently
+      // range-prune the probe, and the stats total order distinguishes
+      // -0.0/0.0 and NaN where join equality does not — a matched file
+      // could be missed, leaving duplicate keys after the merge. Mirrors
+      // the copy-on-write mergeInto's snapshot-schema-based guard.
+      val keyType = tableSchema(keys.head).dataType
+      val floatKey = keys.size == 1 &&
+        (keyType == org.apache.spark.sql.types.DoubleType ||
+          keyType == org.apache.spark.sql.types.FloatType)
       val probeFiles: Seq[String] =
         if (keys.size != 1 || floatKey || !statsCols.contains(keys.head)) files
         else {
@@ -1043,7 +1067,7 @@ object Versioned {
             Some(bounds.get(0)), Some(bounds.get(1)))
         }
       val batchDir = new Path(dataDir(root), s"b$next")
-      f.delete(batchDir, true)
+      requireBatchDirFree(f, batchDir, next)
       // staging + rename: same two-writer interleaving defense as commit()
       val staging = stagingDir(root, next)
       f.mkdirs(staging)
@@ -2188,9 +2212,11 @@ object Versioned {
     require(vs.nonEmpty, s"no committed versions at $root")
     val v = Some(asOf.getOrElse(vs.last))
     val conf = spark.sparkContext.hadoopConfiguration
-    val total = snapshotFiles(spark, root, v).map(new Path(_))
-      .groupBy(_.getParent).iterator
-      .map { case (_, ps) => FileStats.rowCounts(conf, ps).values.sum }.sum
+    // one bounded-parallel footer sweep over the whole snapshot (MetaPar)
+    // — at 10k files a serial per-dir loop would make this "metadata-only"
+    // count ~10k sequential driver RPCs
+    val total = FileStats.rowCountTotal(conf,
+      snapshotFiles(spark, root, v).map(new Path(_)))
     total - dvDeadRows(spark, root, dvEntries(spark, root, v))
   }
 
@@ -2199,7 +2225,7 @@ object Versioned {
     * [[describeDetail]] so the two metadata views can never diverge. */
   private def dvDeadRows(spark: SparkSession, root: String,
                          dv: Map[String, String]): Long =
-    dv.valuesIterator.map { d =>
+    MetaPar.parMap(dv.values.toSeq) { d =>
       val p = resolveEntry(root, d)
       Dv.count(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
     }.sum
@@ -2541,7 +2567,10 @@ object Versioned {
   def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1): Unit = {
     require(keepVersions >= 1, "must keep at least one version")
     val vs = versions(spark, root)
-    if (vs.size <= keepVersions && vs.nonEmpty) return
+    // no early return when every version is kept: the dead-dir sweep must
+    // still run — it is the designated reclaim path for crash debris
+    // (orphaned bstage_* staging dirs, un-published b<N> dirs the writers
+    // now refuse loudly instead of sweeping themselves)
     val keep = vs.takeRight(keepVersions)
     val f = fs(spark, new Path(root))
     // liveness covers deletion vectors too: a retained snapshot's vectors

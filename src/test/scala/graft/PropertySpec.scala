@@ -255,4 +255,26 @@ class PropertySpec extends SparkSpecBase {
     intercept[IllegalArgumentException](Dv.encode(Array(2L, 1L)))
     intercept[IllegalArgumentException](Dv.encode(Array(-1L)))
   }
+
+  test("Dv codec: decode re-validates what encode promised (corruption refuses)") {
+    import graft.io.Dv
+    val good = Dv.encode(Array(3L, 7L, 20L))
+    // trailing garbage after the declared cardinality: a padded/overlong
+    // vector must not silently decode into a shorter ordinal set
+    intercept[IllegalArgumentException](Dv.decode(good ++ Array[Byte](1)))
+    // truncation: fewer payload bytes than the header promises
+    intercept[Exception](Dv.decode(good.dropRight(1)))
+    // a zero delta is a duplicated ordinal — the header cardinality the
+    // whole-file-dead check trusts would disagree with the distinct count
+    val dupPayload = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.writeInt(0x47445631); out.writeLong(2L)
+      out.writeByte(5); out.writeByte(0) // ordinals 5, 5
+      out.flush(); bos.toByteArray
+    }
+    intercept[IllegalArgumentException](Dv.decode(dupPayload))
+    // bad magic and absurd cardinality still refuse
+    intercept[IllegalArgumentException](Dv.decode(Array.fill[Byte](12)(0)))
+  }
 }

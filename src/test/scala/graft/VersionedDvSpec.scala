@@ -472,4 +472,54 @@ class VersionedDvSpec extends SparkSpecBase {
     assert(Versioned.dvEntries(spark, root).isEmpty)
     assert(Versioned.read(spark, root).count() == 299)
   }
+
+  test("mergeIntoDv on a schema-less table never range-prunes a float key") {
+    // Regression: the float-key pruning guard must come from the ACTUAL
+    // table schema (inferred when no #schema line is recorded), not the
+    // Option-al recorded one. Pre-fix, a pre-schema-tracking table with a
+    // double key and tracked stats silently range-pruned the probe — and
+    // the stats total order (java.lang.Double.compare) puts -0.0 below
+    // 0.0 while Spark join equality normalizes them equal, so a file
+    // holding key 0.0 was pruned for a -0.0 source and the old row
+    // survived un-vectored: duplicate keys after the merge.
+    val root = tmpDir("graft_dv_floatkey")
+    Versioned.commit(spark,
+      Seq((0.0, "old"), (5.5, "keep")).toDF("k", "v").coalesce(1),
+      root, statsCols = Seq("k"))
+    // simulate a legacy (pre-schema-tracking) table: strip the #schema line
+    val m = java.nio.file.Paths.get(root, "_manifests", "v1.txt")
+    val stripped = new String(java.nio.file.Files.readAllBytes(m), "UTF-8")
+      .split("\n").toSeq.filterNot(_.startsWith("#schema="))
+    java.nio.file.Files.write(m, stripped.mkString("\n").getBytes("UTF-8"))
+    // the raw rewrite invalidates the local FS's checksum sidecar
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(root, "_manifests", ".v1.txt.crc"))
+    assert(Versioned.snapshotSchema(spark, root, Some(1L)).isEmpty)
+    val negZero = spark.sql("SELECT double(-0.0) AS k, 'new' AS v")
+    Versioned.mergeIntoDv(spark, root, negZero, keys = Seq("k"))
+    val rows = Versioned.read(spark, root)
+      .select("k", "v").as[(Double, String)].collect().sortBy(_._2)
+    // exactly one row for the 0.0 key, carrying the merged value
+    assert(rows.count(_._1 == 0.0) == 1, s"duplicate keys after merge: ${rows.toSeq}")
+    assert(rows.map(_._2).toSeq == Seq("keep", "new"))
+  }
+
+  test("merge-on-read writers refuse a pre-existing b<next> dir loudly") {
+    // Pre-fix they swept it as crash debris — which could delete a RACING
+    // writer's placed-but-unpublished batch. Now they die with the same
+    // conflict message as placeBatchDir; vacuum reclaims genuine debris.
+    val root = tmpDir("graft_dv_bnext")
+    build(root)
+    val debris = new java.io.File(root, "data/b4")
+    assert(debris.mkdirs())
+    val e = intercept[IllegalStateException] {
+      Versioned.deleteWhereDv(spark, root, col("id") === 5L)
+    }
+    assert(e.getMessage.contains("b4 already exists"))
+    // vacuum's dead-dir sweep reclaims it, after which the delete goes through
+    Versioned.vacuum(spark, root, keepVersions = 10)
+    assert(!debris.exists())
+    assert(Versioned.deleteWhereDv(spark, root, col("id") === 5L) == 4L)
+    assert(Versioned.read(spark, root).count() == 299)
+  }
 }
