@@ -505,12 +505,17 @@ object Versioned {
     * Spark's local/driver-side writers share one JVM, so serializing the
     * check+rename per table root closes that window exactly where it
     * exists; cross-process local-FS racing remains out of contract
-    * (deploy on a store with atomic no-overwrite rename). */
-  private val publishLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-
-  /** Write the manifest body to a temp file and rename it to `vN.txt` —
-    * the single atomic commit point shared by every publish path. */
+    * (deploy on a store with atomic no-overwrite rename).
+    *
+    * FILESYSTEM CONTRACT: the whole commit protocol assumes the
+    * manifest publish is an atomic create-if-absent. Data files,
+    * sidecars and staging dirs are write-once under unique names and
+    * need nothing from the store; ONLY this step coordinates writers.
+    * The step is pluggable — [[ManifestCommitter]], conf
+    * `spark.graft.manifestCommitter` — so S3-class stores without
+    * atomic rename supply a coordinating implementation (the Delta
+    * LogStore / Iceberg catalog-swap pattern) instead of silently
+    * corrupting under races. */
   private def publish(spark: SparkSession, root: String, next: Long,
                       lines: Seq[String]): Long = {
     val mdir = manifestDir(root)
@@ -524,14 +529,10 @@ object Versioned {
     try out.write(lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val target = new Path(mdir, s"v$next.txt")
-    // second-writer detection: on HDFS the no-overwrite rename itself
-    // refuses an existing target; the per-root JVM lock makes the local
-    // check+rename equally race-free for same-process writers (the OCC
-    // retry path catches this exception and re-derives)
-    val lock = publishLocks.computeIfAbsent(root, _ => new Object)
-    val won = lock.synchronized {
-      !f.exists(target) && f.rename(tmp, target)
-    }
+    // second-writer detection delegated to the committer (default:
+    // HDFS-style no-overwrite rename, per-root JVM lock for local FS —
+    // the OCC retry path catches this exception and re-derives)
+    val won = ManifestCommitter.resolve(spark).commit(f, tmp, target, root)
     if (!won) {
       f.delete(tmp, false)
       throw new IllegalStateException(
