@@ -474,6 +474,37 @@ object LlmQueries {
         .as("pass_relaxed"))
   }
 
+  /** The PAPER-threshold gate made non-vacuous: the fixture's prose
+    * carries only one of the 8 Gopher stopwords ("the"), so the strict
+    * `gopherPass` is all-false on raw documents and the oracle exercised
+    * it only vacuously. Here each doc is deterministically rewritten
+    * (the synthesis-from-fixture trick the HTML/mojibake/media queries
+    * use) into one of three regimes keyed on doc_id:
+    *   - `%3 == 0`: a stopword-rich sentence appended — these pass the
+    *     stopword rule and the paper gate then discriminates on the
+    *     50-word floor (base docs run 10..99 words);
+    *   - `%3 == 1`: same sentence plus '#' spam — stopwords fine, but
+    *     the hash-to-word ratio rule (>= 0.1) kills every one;
+    *   - `%3 == 2`: untouched — still fails on < 2 stopword hits.
+    * The strict gate is thus true for some rows and false for others
+    * across three different rule arms, all hash-matched by the oracle. */
+  def gopherQualityPaper(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val stopTail = " and that is to be of note with the others"
+    val dirty =
+      when(pmod(col("doc_id"), lit(3)) === 0, concat(col("text"), lit(stopTail)))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          concat(col("text"), lit(stopTail), lit(" ########## ##########")))
+        .otherwise(col("text"))
+    val t = tokens(dirty)
+    docs.select(
+      col("doc_id"),
+      TextAnalysis.nTokens(t).as("n_words"),
+      TextAnalysis.gopherHashRatio(dirty, t).as("hash_ratio"),
+      TextAnalysis.gopherStopwordHits(t).as("stop_hits"),
+      TextAnalysis.gopherPass(dirty, t).as("pass"))
+  }
+
   private val meanWordLenSql =
     "CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(t, x -> CAST(len(x) AS BIGINT))) AS DOUBLE) / len(t) END"
   private val hashRatioSql =
@@ -524,6 +555,35 @@ object LlmQueries {
        |         AND ($ellipsisRatioSql < 0.3)
        |         AND ($alphaRatioSql > 0.8)
        |         AND (($stopHitsSql) >= 1) AS pass_relaxed
+       |FROM toks
+       |""".stripMargin
+
+  val gopherQualityPaperOracle: String =
+    s"""WITH built AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 3 = 0
+       |                THEN text || ' and that is to be of note with the others'
+       |              WHEN doc_id % 3 = 1
+       |                THEN text || ' and that is to be of note with the others' || ' ########## ##########'
+       |              ELSE text END AS text
+       |  FROM documents
+       |), toks AS (
+       |  SELECT doc_id, text,
+       |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+       |  FROM built
+       |)
+       |SELECT doc_id,
+       |       len(t) AS n_words,
+       |       $hashRatioSql AS hash_ratio,
+       |       $stopHitsSql AS stop_hits,
+       |       (len(t) BETWEEN 50 AND 100000)
+       |         AND ($meanWordLenSql BETWEEN 3.0 AND 10.0)
+       |         AND ($hashRatioSql < 0.1)
+       |         AND ($ellipsisWordRatioSql < 0.1)
+       |         AND ($bulletRatioSql < 0.9)
+       |         AND ($ellipsisRatioSql < 0.3)
+       |         AND ($alphaRatioSql > 0.8)
+       |         AND (($stopHitsSql) >= 2) AS pass
        |FROM toks
        |""".stripMargin
 
@@ -1406,6 +1466,7 @@ object LlmQueries {
     "lang_id" -> (langId _),
     "text_quality" -> (textQuality _),
     "gopher_quality" -> (gopherQuality _),
+    "gopher_quality_paper" -> (gopherQualityPaper _),
     "token_counts" -> (tokenCounts _),
     "doc_fingerprint" -> (docFingerprint _),
     "kmv_distinct" -> (kmvDistinct _),
@@ -1447,6 +1508,7 @@ object LlmQueries {
     "lang_id" -> langIdOracle,
     "text_quality" -> textQualityOracle,
     "gopher_quality" -> gopherQualityOracle,
+    "gopher_quality_paper" -> gopherQualityPaperOracle,
     "token_counts" -> tokenCountsOracle,
     "doc_fingerprint" -> docFingerprintOracle,
     "kmv_distinct" -> kmvDistinctOracle,
