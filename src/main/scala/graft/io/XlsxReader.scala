@@ -37,11 +37,14 @@ object XlsxReader {
 
   /** Read ONE workbook file into string cells: first row = header,
     * remaining rows = data, columns named by the header (empty header
-    * cells become _c<i>). `sheet` selects by name; default first sheet. */
+    * cells become _c<i>). `sheet` selects by name, `sheetIndex` by
+    * 0-based workbook-order position (at most one of the two); default
+    * first sheet. */
   def read(spark: SparkSession, path: String,
-           sheet: Option[String] = None): DataFrame = {
+           sheet: Option[String] = None,
+           sheetIndex: Option[Int] = None): DataFrame = {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
-    val rows = parseSheet(bytes, sheet)
+    val rows = parseSheet(bytes, sheet, sheetIndex)
     require(rows.nonEmpty, s"$path: sheet has no rows")
     val schema = headerSchema(rows.head)
     val data = rows.tail.zipWithIndex.map { case (r, i) =>
@@ -59,7 +62,8 @@ object XlsxReader {
     * it). The source glob + modifiedAfter pruning and non-driver file
     * listing come from Spark's binaryFile source. */
   def readDir(spark: SparkSession, dir: String, glob: String = "*.xlsx",
-              sheet: Option[String] = None): DataFrame = {
+              sheet: Option[String] = None,
+              sheetIndex: Option[Int] = None): DataFrame = {
     import spark.implicits._
     val files = spark.read.format("binaryFile").option("pathGlobFilter", glob)
       .load(dir).select("path", "content")
@@ -68,14 +72,15 @@ object XlsxReader {
     // empty directory fails naming the dir, not with an empty-iterator
     val firstRows = files.orderBy("path").limit(1).collect()
     require(firstRows.nonEmpty, s"$dir: no workbooks match glob '$glob'")
-    val header = parseSheet(firstRows(0).getAs[Array[Byte]]("content"), sheet)
+    val header = parseSheet(firstRows(0).getAs[Array[Byte]]("content"), sheet, sheetIndex)
       .headOption.getOrElse(throw new IllegalArgumentException(
         s"${firstRows(0).getAs[String]("path")}: sheet has no rows"))
     val schema = headerSchema(header)
     val n = schema.size
     val sheetName = sheet // serializable capture
+    val sheetIdx = sheetIndex
     val parsed = files.as[(String, Array[Byte])].flatMap { case (path, bytes) =>
-      val rows = parseSheet(bytes, sheetName)
+      val rows = parseSheet(bytes, sheetName, sheetIdx)
       val fileHeader = rows.headOption.getOrElse(
         throw new IllegalArgumentException(s"$path: sheet has no rows"))
       if (fileHeader != header)
@@ -106,23 +111,33 @@ object XlsxReader {
   // ---------------------------------------------------------------- parse
 
   /** All rows of the chosen sheet as string cells (null for absent
-    * cells inside a row; trailing absent cells omitted). */
+    * cells inside a row; trailing absent cells omitted). Select by name
+    * OR by 0-based workbook-order index, never both. */
   private[graft] def parseSheet(bytes: Array[Byte],
-                             sheet: Option[String]): Vector[Vector[String]] = {
+                             sheet: Option[String],
+                             sheetIndex: Option[Int] = None): Vector[Vector[String]] = {
+    require(sheet.isEmpty || sheetIndex.isEmpty,
+      "select a sheet by name OR by index, not both")
     val parts = zipEntries(bytes)
     def part(name: String): Option[Array[Byte]] = parts.get(name)
     val shared = part("xl/sharedStrings.xml").map(parseSharedStrings)
       .getOrElse(Vector.empty)
-    val sheetPath = sheet match {
-      case None =>
+    val sheetPath = (sheet, sheetIndex) match {
+      case (None, None) =>
         // first sheet in WORKBOOK order (not zip order): resolve via rels
         val (names, rels) = workbookSheets(parts)
         names.headOption.map(n => rels(n)).getOrElse("xl/worksheets/sheet1.xml")
-      case Some(name) =>
+      case (Some(name), _) =>
         val (names, rels) = workbookSheets(parts)
         require(names.contains(name),
           s"sheet '$name' not found (have ${names.mkString(", ")})")
         rels(name)
+      case (None, Some(idx)) =>
+        val (names, rels) = workbookSheets(parts)
+        require(idx >= 0 && idx < names.size,
+          s"sheet index $idx out of range (workbook has ${names.size} " +
+            s"sheet(s): ${names.mkString(", ")})")
+        rels(names(idx))
     }
     val sheetBytes = part(sheetPath).getOrElse(throw new IllegalArgumentException(
       s"workbook part $sheetPath missing"))

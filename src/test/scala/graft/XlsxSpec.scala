@@ -93,6 +93,25 @@ class XlsxSpec extends SparkSpecBase {
     val err = intercept[IllegalArgumentException](
       XlsxReader.parseSheet(wb, Some("nope")))
     assert(err.getMessage.contains("not found"))
+    // selection by 0-based WORKBOOK-order index: 0 = "Main" (which lives
+    // in sheet2.xml — part numbering is not authoritative), 1 = "Other"
+    assert(XlsxReader.parseSheet(wb, None, Some(0)) == rows)
+    assert(XlsxReader.parseSheet(wb, None, Some(1)) == other)
+    val oob = intercept[IllegalArgumentException](
+      XlsxReader.parseSheet(wb, None, Some(2)))
+    assert(oob.getMessage.contains("out of range"))
+    intercept[IllegalArgumentException](
+      XlsxReader.parseSheet(wb, Some("Other"), Some(1))) // name XOR index
+    // the full file-level read of sheet 2, by name and by index
+    val f = java.io.File.createTempFile("graft_2sheet", ".xlsx")
+    f.deleteOnExit()
+    java.nio.file.Files.write(f.toPath, wb)
+    val byName = XlsxReader.read(spark, f.getAbsolutePath, sheet = Some("Other"))
+    assert(byName.columns.toSeq == Seq("otherHdr"))
+    assert(byName.collect().map(_.getString(0)).toSeq == Seq("9"))
+    val byIdx = XlsxReader.read(spark, f.getAbsolutePath, sheetIndex = Some(1))
+    assert(byIdx.columns.toSeq == Seq("otherHdr"))
+    assert(byIdx.collect().map(_.getString(0)).toSeq == Seq("9"))
   }
 
   test("readDir parses workbooks on executors against one schema") {
