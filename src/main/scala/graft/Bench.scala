@@ -55,16 +55,25 @@ object Bench {
     // GC/JIT noise — and this host shows transient contention spikes that
     // inflate one-shot numbers several-fold — so the min is the
     // steady-state throughput the scale contract compares.
-    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // SPARK_GRAFT_DEBUG=1 surfaces swallowed per-query failures on stderr
+    // — a failed query otherwise records its (tiny) time-to-throw, which
+    // reads as a great number and poisons scale comparisons silently
+    val debug = sys.env.get("SPARK_GRAFT_DEBUG").contains("1")
+    def timeOnce(name: String,
+                 fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case t: Throwable =>
+          if (debug) System.err.println(s"[bench] $name failed: $t")
+          -1L
+      }
       (System.nanoTime() - t0) / 1e9
     }
     // SPARK_GRAFT_ITERS overrides the default 3 timed runs — scale-stress
     // runs at sf>=1 take minutes per query, where one run is signal enough
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
     val results = selected.map { case (name, fn) =>
-      name -> Seq.fill(iters)(timeOnce(fn)).min
+      name -> Seq.fill(iters)(timeOnce(name, fn)).min
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
 

@@ -2564,9 +2564,16 @@ object Versioned {
     * PREPARED-but-unpublished batch dir is referenced by no manifest yet,
     * so a vacuum racing an in-flight [[commitOcc]]/[[compactSmallOcc]]
     * could delete it (the writer then fails loud at publish-read, never
-    * silently). Schedule vacuum when no write is in flight. */
-  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1): Unit = {
+    * silently). `graceMillis` is the guard for that race — files and
+    * dirs modified within the window are NOT reclaimed, so a vacuum
+    * scheduled alongside live writers set to anything comfortably above
+    * the longest batch-write time (Delta's equivalent default is 7 days)
+    * can never eat an in-flight batch. The default 0 keeps the
+    * maintenance-window semantics: everything unreferenced goes now. */
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1,
+             graceMillis: Long = 0L): Unit = {
     require(keepVersions >= 1, "must keep at least one version")
+    require(graceMillis >= 0L, s"graceMillis must be >= 0, got $graceMillis")
     val vs = versions(spark, root)
     // no early return when every version is kept: the dead-dir sweep must
     // still run — it is the designated reclaim path for crash debris
@@ -2574,14 +2581,18 @@ object Versioned {
     // now refuse loudly instead of sweeping themselves)
     val keep = vs.takeRight(keepVersions)
     val f = fs(spark, new Path(root))
+    val cut = System.currentTimeMillis() - graceMillis
+    def oldEnough(s: org.apache.hadoop.fs.FileStatus): Boolean =
+      s.getModificationTime <= cut
     // liveness covers deletion vectors too: a retained snapshot's vectors
     // are part of its correctness (GCing one would resurrect its rows)
     val live: Set[String] =
       keep.flatMap(v => manifestFiles(spark, root, v)).toSet ++
         keep.flatMap(v => dvEntries(spark, root, Some(v)).valuesIterator)
     // delete unreachable data files + vectors, then dead batch dirs (a dir
-    // survives while ANY live file — parquet or vector — remains in it),
-    // then manifests
+    // survives while ANY live file — parquet or vector — remains in it,
+    // or while anything in it is younger than the grace window), then
+    // manifests
     val ddir = dataDir(root)
     if (f.exists(ddir)) {
       f.listStatus(ddir).foreach { batch =>
@@ -2589,11 +2600,13 @@ object Versioned {
           val name = df0.getPath.getName
           val rel = s"data/${batch.getPath.getName}/$name"
           if ((name.endsWith(".parquet") || name.endsWith(Dv.Suffix)) &&
-              !live.contains(rel))
+              !live.contains(rel) && oldEnough(df0))
             f.delete(df0.getPath, false)
         }
-        if (f.listStatus(batch.getPath).forall { s =>
-              !live.contains(s"data/${batch.getPath.getName}/${s.getPath.getName}")
+        val entries = f.listStatus(batch.getPath)
+        if (oldEnough(batch) && entries.forall { s =>
+              !live.contains(s"data/${batch.getPath.getName}/${s.getPath.getName}") &&
+                oldEnough(s)
             })
           f.delete(batch.getPath, true)
       }

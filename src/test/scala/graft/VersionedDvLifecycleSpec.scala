@@ -123,4 +123,22 @@ class VersionedDvLifecycleSpec extends SparkSpecBase {
       Versioned.read(spark, root, asOf = Some(4L)).count()
     }
   }
+
+  test("vacuum's grace window protects an in-flight writer's fresh batch") {
+    val root = tmpDir("graft_dvlife_grace")
+    Versioned.commit(spark, Seq((1L, "a")).toDF("id", "k"), root)
+    // simulate an OCC writer mid-prepare: a freshly-written, not-yet-
+    // published unique batch dir (referenced by no manifest)
+    val inflight = new java.io.File(root, "data/bu1700000000000_abcd1234")
+    assert(inflight.mkdirs())
+    java.nio.file.Files.write(
+      new java.io.File(inflight, "part-0.parquet").toPath, Array[Byte](1))
+    // grace window covers it: vacuum must NOT reclaim the fresh batch
+    Versioned.vacuum(spark, root, keepVersions = 100, graceMillis = 3600000L)
+    assert(inflight.exists(), "a batch younger than the grace window survived")
+    // maintenance-window semantics (grace 0): reclaimed
+    Versioned.vacuum(spark, root, keepVersions = 100)
+    assert(!inflight.exists())
+    assert(Versioned.read(spark, root).count() == 1)
+  }
 }
