@@ -1160,15 +1160,27 @@ object Versioned {
     }
   }
 
-  /** Fold every deletion vector into its data files: the vectored files
-    * are rewritten without their dead rows (one job over exactly those
-    * files), clean files carry by reference, and the new snapshot has no
-    * vectors — re-admitting the table to the vector-free consumers (DSv2
-    * scan, versioned stream). The compaction half of the merge-on-read
-    * bargain; schedule it when vectors accumulate (describeDetail reports
-    * their count and cardinality). Returns the new version (unchanged if
-    * there are no vectors). */
-  def dvMaterialize(spark: SparkSession, root: String): Long = {
+  /** Fold deletion vectors into their data files: the selected vectored
+    * files are rewritten without their dead rows (one job over exactly
+    * those files), everything else carries by reference. The compaction
+    * half of the merge-on-read bargain; schedule it when vectors
+    * accumulate (describeDetail reports their count and cardinality).
+    *
+    * `minDeadRatio` is the 100 TB maintenance knob: only files whose
+    * dead-row fraction (vector cardinality / footer row count — priced
+    * from headers, zero data pages) reaches the threshold are rewritten;
+    * lighter files KEEP their vectors. Rewriting a 1 GB file to drop 3
+    * rows costs 1 GB of write amplification for nothing — the Delta/
+    * Iceberg guidance is the same (rewrite at ~5–30% dead). The default
+    * 0.0 rewrites every vectored file, producing a vector-free snapshot
+    * that re-admits the table to the vector-free consumers (DSv2 scan,
+    * versioned stream); with a higher threshold those consumers keep
+    * refusing until a final full materialize. Returns the new version
+    * (unchanged if there are no vectors, or none reach the threshold). */
+  def dvMaterialize(spark: SparkSession, root: String,
+                    minDeadRatio: Double = 0.0): Long = {
+    require(minDeadRatio >= 0.0 && minDeadRatio <= 1.0,
+      s"minDeadRatio must be in [0, 1], got $minDeadRatio")
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no committed versions at $root")
     val current = vs.last
@@ -1176,14 +1188,31 @@ object Versioned {
     if (dv.isEmpty) return current
     val schema = snapshotSchema(spark, root, Some(current))
     val files = snapshotFiles(spark, root, Some(current))
-    val dvAbsKeys = dv.keysIterator.map(resolveEntry(root, _).toString).toSet
-    val (dead, clean) = files.partition(dvAbsKeys.contains)
-    val survivors = readFilesDv(spark, root, schema, dead, dv)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dvAbs: Map[String, String] = dv.map { case (e, d) =>
+      resolveEntry(root, e).toString -> resolveEntry(root, d).toString }
+    val (dead, clean) = files.partition(dvAbs.contains)
+    // price each vectored file from metadata alone (vector header +
+    // parquet footer, bounded-parallel) and split at the threshold
+    val rewrite =
+      if (minDeadRatio == 0.0) dead // all vectored files, no pricing I/O
+      else MetaPar.parMap(dead) { u =>
+        val p = new Path(u)
+        val vecP = new Path(dvAbs(u))
+        val deadRows = Dv.count(vecP.getFileSystem(conf), vecP)
+        val total = FileStats.rowCounts(conf, Seq(p)).values.sum
+        u -> (deadRows.toDouble / math.max(total, 1L))
+      }.collect { case (u, ratio) if ratio >= minDeadRatio => u }
+    if (rewrite.isEmpty) return current
+    val carry = clean ++ dead.filterNot(rewrite.contains)
+    val survivors = readFilesDv(spark, root, schema, rewrite, dv)
     val statsCols = trackedStatsCols(spark, root, files)
       .filter(c => schema.forall(_.fieldNames.contains(c)))
     // already-committed rows minus already-validated deletes: valid by
-    // induction, same CHECK-revalidation waiver as compaction
-    commitMixed(spark, survivors, root, clean.map(relativize(spark, root, _)),
+    // induction, same CHECK-revalidation waiver as compaction.
+    // commitMixed keeps carried files' vectors and sheds the rewritten
+    // files' ones (dvLinesForCarried walks the CARRIED list only).
+    commitMixed(spark, survivors, root, carry.map(relativize(spark, root, _)),
       statsCols = statsCols, bloomCols = trackedBloomCols(spark, root, files),
       validateChecks = false)
   }

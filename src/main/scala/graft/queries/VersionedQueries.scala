@@ -516,6 +516,33 @@ object VersionedQueries {
 
   val versionedDvMaterializeOracle: String = versionedDvDeleteOracle
 
+  /** Selective (thresholded) materialization: a ~1% scatter-delete lands
+    * light vectors on every band, a second delete kills half of band 1 —
+    * then `dvMaterialize(minDeadRatio = 0.25)` rewrites ONLY the
+    * heavy-dead band, the light vectors survive and keep applying at
+    * read. The oracle can't see the write amplification (the spec
+    * asserts that); what it proves is the partial pass loses and
+    * resurrects nothing — partial-materialized and vectored reads are
+    * indistinguishable. */
+  def versionedDvMaterializePartial(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = QueryScratch.freshRoot("graft_dv_matp_q", sfDir)
+    val orders = Tables.orders(spark, sfDir)
+    (0 to 2).foreach { m =>
+      Versioned.commit(spark, orders.filter(pmod(col("o_orderkey"), lit(3)) === m),
+        root, statsCols = Seq("o_orderkey"))
+    }
+    Versioned.deleteWhereDv(spark, root, pmod(col("o_orderkey"), lit(97)) === 0)
+    Versioned.deleteWhereDv(spark, root,
+      pmod(col("o_orderkey"), lit(3)) === 1 && pmod(col("o_orderkey"), lit(2)) === 0)
+    Versioned.dvMaterialize(spark, root, minDeadRatio = 0.25)
+    priorityAgg(Versioned.read(spark, root))
+  }
+
+  val versionedDvMaterializePartialOracle: String =
+    s"""$oracleSelect WHERE o_orderkey % 97 <> 0
+       |AND NOT (o_orderkey % 3 = 1 AND o_orderkey % 2 = 0)
+       |GROUP BY 1, 2""".stripMargin
+
   /** Keyed change-data-feed: against the v3 baseline, v4 UPDATEs every
     * %7 key's priority, v5 DELETEs every %11 key, v6 INSERTs fresh
     * (shifted) keys — then [[Versioned.diffVersionsKeyed]] classifies
@@ -606,6 +633,7 @@ object VersionedQueries {
     "versioned_dv_merge" -> (versionedDvMerge _),
     "versioned_dv" -> (versionedDvDelete _),
     "versioned_dv_mat" -> (versionedDvMaterialize _),
+    "versioned_dv_mat_partial" -> (versionedDvMaterializePartial _),
     "versioned_snapshot" -> (versionedSnapshot _),
     "versioned_occ" -> (versionedOcc _),
     "versioned_time_travel" -> (versionedTimeTravel _),
@@ -629,6 +657,7 @@ object VersionedQueries {
     "versioned_dv_merge" -> versionedDvMergeOracle,
     "versioned_dv" -> versionedDvDeleteOracle,
     "versioned_dv_mat" -> versionedDvMaterializeOracle,
+    "versioned_dv_mat_partial" -> versionedDvMaterializePartialOracle,
     "versioned_snapshot" -> versionedSnapshotOracle,
     "versioned_occ" -> versionedOccOracle,
     "versioned_time_travel" -> versionedTimeTravelOracle,

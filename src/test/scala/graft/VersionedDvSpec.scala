@@ -200,6 +200,38 @@ class VersionedDvSpec extends SparkSpecBase {
     assert(spark.read.format("graft-versioned").load(root).count() == 289)
   }
 
+  test("dvMaterialize(minDeadRatio) rewrites only heavily-dead files") {
+    val root = tmpDir("graft_dv_mat_sel")
+    build(root)
+    // file 1 (ids 1..100): 1 dead row (1%); file 2 (101..200): 50 dead (50%)
+    Versioned.deleteWhereDv(spark, root, col("id") === 7L)
+    Versioned.deleteWhereDv(spark, root, col("id").between(101L, 150L))
+    assert(Versioned.dvEntries(spark, root).size == 2)
+    val before = manifestOf(root, 5L)
+    // threshold between the two ratios: only the 50%-dead file rewrites
+    val v = Versioned.dvMaterialize(spark, root, minDeadRatio = 0.3)
+    assert(v == 6L)
+    val after = manifestOf(root, 6L)
+    assert(before.intersect(after).size == 2,
+      "the 1%-dead file and the clean file must carry by reference")
+    val dvAfter = Versioned.dvEntries(spark, root)
+    assert(dvAfter.size == 1, "the light vector must survive the partial pass")
+    assert(Versioned.read(spark, root).count() == 249)
+    assert(Versioned.countRows(spark, root) == 249L)
+    assert(!Versioned.read(spark, root).select("id").as[Long].collect()
+      .exists(i => i == 7L || (i >= 101L && i <= 150L)))
+    // below-threshold-only vectors -> no-op (nothing crosses 0.3)
+    assert(Versioned.dvMaterialize(spark, root, minDeadRatio = 0.3) == 6L)
+    // the DSv2 scan still refuses while any vector remains
+    intercept[UnsupportedOperationException] {
+      spark.read.format("graft-versioned").load(root).count()
+    }
+    // the final full pass clears the rest and re-admits the scan
+    assert(Versioned.dvMaterialize(spark, root) == 7L)
+    assert(Versioned.dvEntries(spark, root).isEmpty)
+    assert(spark.read.format("graft-versioned").load(root).count() == 249)
+  }
+
   test("compaction materializes vectors (full and incremental)") {
     val root = tmpDir("graft_dv_compact")
     build(root)
