@@ -208,11 +208,13 @@ private[io] object VersionedProcedures {
         spark, existing(spark, rootFor, input, 0),
         org.apache.spark.sql.functions.expr(str(input, 1, "predicate"))))),
 
-    Spec("dv_materialize", "fold every deletion vector into its data files (rewrites exactly the vectored files), re-admitting the table to the DSv2 scan and the versioned stream",
-      Array(in("table", StringType)),
+    Spec("dv_materialize", "fold deletion vectors into their data files; optional min_dead_ratio rewrites only files whose dead-row fraction reaches it (lighter files keep their vectors) — the default 0.0 folds everything, re-admitting the table to the DSv2 scan and the versioned stream",
+      Array(in("table", StringType),
+        inDefault("min_dead_ratio", DoubleType, "CAST(0.0 AS DOUBLE)")),
       newVersion,
       (spark, rootFor, input) => row(Versioned.dvMaterialize(
-        spark, existing(spark, rootFor, input, 0)))),
+        spark, existing(spark, rootFor, input, 0),
+        minDeadRatio = if (input.isNullAt(1)) 0.0 else input.getDouble(1)))),
 
     Spec("row_count", "exact snapshot row count from metadata alone (parquet footers minus deletion-vector cardinalities; no data read)",
       Array(in("table", StringType),

@@ -189,9 +189,16 @@ class VersionedProcedureSpec extends SparkSpecBase {
     assert(d.getLong(7) == 3L && d.getLong(8) == 30L)
     val e = intercept[Exception](spark.table(s"graft_proc.$t").count())
     assert(chain(e).contains("deletion vectors"))
-    val v2 = spark.sql(s"CALL graft_proc.system.dv_materialize('$t')")
+    // thresholded pass first: every band is exactly 10% dead, so a 0.5
+    // threshold rewrites nothing (same version back, vectors intact)
+    assert(spark.sql(s"CALL graft_proc.system.dv_materialize('$t', 0.5)")
+      .as[Long].head() == 4L)
+    assert(Versioned.dvEntries(spark, root).size == 3)
+    // a threshold at/below the dead fraction folds them all
+    val v2 = spark.sql(s"CALL graft_proc.system.dv_materialize('$t', 0.05)")
       .as[Long].head()
     assert(v2 == 5L)
+    assert(Versioned.dvEntries(spark, root).isEmpty)
     assert(spark.table(s"graft_proc.$t").count() == 270)
     // metadata-only count, current and time-travel
     assert(spark.sql(s"CALL graft_proc.system.row_count('$t')")
