@@ -1,0 +1,163 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Structured Streaming CHANGE FEED over a [[Versioned]] table — the
+  * Delta "readChangeFeed" analogue, and the row-level complement of the
+  * append-only `graft-versioned` stream:
+  *
+  * {{{
+  * spark.readStream.format("graft-versioned-cdf")
+  *   .option("keys", "id")            // optional: classify updates
+  *   .option("startingVersion", "3")  // optional: default = newest at first start
+  *   .load(root)
+  * }}}
+  *
+  * Offsets ARE version numbers. Each micro-batch is the row-level diff
+  * between two committed versions ([[Versioned.diffVersions]], or
+  * [[Versioned.diffVersionsKeyed]] when `keys` is set), so — unlike the
+  * append-only stream, which REFUSES copy-on-write rewrites and
+  * mid-stream deletion vectors — this source survives DELETE/UPDATE/
+  * MERGE, merge-on-read vectors, and compaction: rewritten-but-unchanged
+  * rows cancel in the diff and never re-emit. Schema = the table's
+  * columns plus `_change` ('insert'|'delete'), or `_change_type`
+  * ('insert'|'delete'|'update_preimage'|'update_postimage') when keyed.
+  *
+  * Semantics and contracts, stated plainly:
+  *   - A batch spanning several versions emits the NET change across the
+  *     window (two-snapshot diff): a row inserted then deleted inside
+  *     one window never surfaces. Delta's per-commit CDF replays
+  *     intermediate states; the net form is what incremental
+  *     MERGE-downstream consumers actually apply, and it is bounded by
+  *     table size, not history length.
+  *   - The first batch starts at `startingVersion` (must be a committed
+  *     version) or, by default, the newest version at FIRST start —
+  *     tail-only, like Delta's default. The base version is persisted in
+  *     the stream's checkpoint metadata dir, so a restarted stream
+  *     resumes from its committed offset, never from a recomputed base.
+  *   - Retention: `vacuum` must keep every version a lagging consumer
+  *     still needs — a GC'd `from` version fails the batch loudly
+  *     (version-not-found), never silently skips.
+  *   - `keys` inherits [[Versioned.diffVersionsKeyed]]'s contract:
+  *     duplicate changed keys in one window refuse loudly.
+  */
+class VersionedCdfProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-versioned-cdf"
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-versioned-cdf requires a table root: .load(root)"))
+
+  private def keysOf(parameters: Map[String, String]): Seq[String] =
+    parameters.get("keys").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty, "graft-versioned-cdf derives its schema from the table")
+    (shortName(), VersionedCdfSource.changeSchema(
+      sqlContext.sparkSession, rootOf(parameters), keysOf(parameters)))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source =
+    new VersionedCdfSource(sqlContext.sparkSession, rootOf(parameters),
+      keysOf(parameters),
+      parameters.get("startingVersion").map(_.trim.toLong), metadataPath)
+}
+
+private[graft] object VersionedCdfSource {
+
+  /** Table columns (recorded schema, footer-inferred fallback) plus the
+    * change column the diff emits. */
+  def changeSchema(spark: SparkSession, root: String,
+                   keys: Seq[String]): StructType = {
+    val vs = Versioned.versions(spark, root)
+    require(vs.nonEmpty,
+      s"no committed versions at $root — create the table before tailing its changes")
+    val base = Versioned.snapshotSchema(spark, root, Some(vs.last))
+      .getOrElse(Versioned.read(spark, root).schema)
+    val changeCol =
+      if (keys.nonEmpty) StructField("_change_type", StringType, nullable = false)
+      else StructField("_change", StringType, nullable = false)
+    StructType(base.fields :+ changeCol)
+  }
+}
+
+private[graft] class VersionedCdfSource(
+    spark: SparkSession, root: String, keys: Seq[String],
+    startingVersion: Option[Long], metadataPath: String) extends Source {
+
+  private case class CdfOffset(v: Long) extends OffsetV1 {
+    override def json(): String = v.toString
+  }
+
+  private def vOf(o: OffsetV1): Long = o.json().trim.toLong
+
+  /** The version the FIRST batch diffs from — resolved once per stream
+    * lifetime and pinned in the checkpoint metadata dir: a restart after
+    * further commits must resume from its committed offset, not from a
+    * freshly recomputed "newest at start" (which would silently swallow
+    * the window the stream was down for). */
+  private val base: Long = {
+    val p = new Path(metadataPath, "graft-cdf-base")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) {
+      val in = f.open(p)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
+    } else {
+      val vs = Versioned.versions(spark, root)
+      require(vs.nonEmpty, s"no committed versions at $root")
+      val b = startingVersion match {
+        case Some(v) =>
+          require(vs.contains(v),
+            s"startingVersion $v not found at $root (have ${vs.mkString(",")})")
+          v
+        case None => vs.last
+      }
+      f.mkdirs(p.getParent)
+      val out = f.create(p, false) // no overwrite: two racing starts agree
+      try out.write(s"$b\n".getBytes("UTF-8")) finally out.close()
+      b
+    }
+  }
+
+  override val schema: StructType =
+    VersionedCdfSource.changeSchema(spark, root, keys)
+
+  override def getOffset: Option[OffsetV1] = {
+    val newest = Versioned.versions(spark, root).lastOption.getOrElse(0L)
+    if (newest <= base) None else Some(CdfOffset(newest))
+  }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val from = start.map(vOf).getOrElse(base)
+    val to = vOf(end)
+    val diff =
+      if (to <= from)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else if (keys.nonEmpty)
+        Versioned.diffVersionsKeyed(spark, root, from, Some(to), keys)
+      else Versioned.diffVersions(spark, root, from, Some(to))
+    // pin column order to the declared schema; a mid-stream additive
+    // evolution surfaces as a missing-column analysis error here (die
+    // loud, restart the stream against the new schema), never as
+    // silently misaligned rows
+    val aligned = diff.select(schema.fieldNames.map(n => col(n)).toSeq: _*)
+    org.apache.spark.sql.graftx.Bridge.streamingBatch(
+      spark, schema, aligned.queryExecution.toRdd)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"VersionedCdfSource[$root, keys=$keys]"
+}

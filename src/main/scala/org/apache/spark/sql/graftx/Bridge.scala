@@ -86,6 +86,23 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Streaming-marked DataFrame over already-computed rows. The V1
+    * streaming Source contract asserts getBatch's result carries
+    * isStreaming=true (MicroBatchExecution grafts the plan under the
+    * streaming query), and the blessed constructors (LogicalRDD,
+    * Dataset.ofRows) are private[sql] — same escape hatch FileStreamSource
+    * uses internally. */
+  def streamingBatch(spark: org.apache.spark.sql.SparkSession,
+                     schema: org.apache.spark.sql.types.StructType,
+                     rows: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow])
+      : org.apache.spark.sql.DataFrame = {
+    val session = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema)
+    org.apache.spark.sql.classic.Dataset.ofRows(session,
+      org.apache.spark.sql.execution.LogicalRDD(attrs, rows,
+        isStreaming = true)(session))
+  }
+
   /** Proper analysis-time error for a wrong argument count to a registered
     * SQL function (AnalysisException with Spark's standard error class,
     * not an IndexOutOfBoundsException from the builder). */
