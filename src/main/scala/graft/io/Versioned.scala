@@ -202,7 +202,7 @@ object Versioned {
     val dup = fields.map(_.name.toLowerCase).diff(fields.map(_.name.toLowerCase).distinct)
     require(dup.isEmpty, s"duplicate new column name(s): ${dup.mkString(", ")}")
     val evolved = StructType(prev.fields ++ fields.map(_.copy(nullable = true)))
-    publish(spark, root, current + 1,
+    publish(spark, root, current + 1, op = "add_columns",
       Seq(s"#schema=${evolved.json}") ++
         checkLines(spark, root, Some(current)) ++
         dvEntries(spark, root, Some(current)) // vectors survive metadata commits
@@ -230,7 +230,7 @@ object Versioned {
     // #tag lines are NOT carried (same rule as addColumns/restore: a
     // duplicated streaming tag in a metadata commit could fool replay
     // detection and misattribute the batch in history)
-    publish(spark, root, vs.last + 1,
+    publish(spark, root, vs.last + 1, op = "add_constraint",
       manifestLines(spark, root, vs.last).filterNot(_.startsWith("#tag="))
         :+ s"#check=$name:$expression")
   }
@@ -241,7 +241,7 @@ object Versioned {
     require(vs.nonEmpty, s"no committed versions at $root")
     require(constraints(spark, root).exists(_._1 == name),
       s"no constraint named `$name`")
-    publish(spark, root, vs.last + 1,
+    publish(spark, root, vs.last + 1, op = "drop_constraint",
       manifestLines(spark, root, vs.last)
         .filterNot(_.startsWith(s"#check=$name:"))
         .filterNot(_.startsWith("#tag="))) // same tag rule as addConstraint
@@ -433,7 +433,7 @@ object Versioned {
     val prevDv =
       if (replace || prev.isEmpty) Map.empty[String, String]
       else dvEntries(spark, root, Some(prev.last))
-    publish(spark, root, next,
+    publish(spark, root, next, op = if (replace) "replace" else "append",
       tag.map(t => s"#tag=$t").toSeq ++ Seq(s"#schema=${recorded.json}")
         ++ checkLines(spark, root, prev.lastOption)
         ++ dvLinesForCarried(prevDv, carried)
@@ -517,7 +517,7 @@ object Versioned {
     * LogStore / Iceberg catalog-swap pattern) instead of silently
     * corrupting under races. */
   private def publish(spark: SparkSession, root: String, next: Long,
-                      lines: Seq[String]): Long = {
+                      op: String, lines: Seq[String]): Long = {
     val mdir = manifestDir(root)
     val f = fs(spark, mdir)
     f.mkdirs(mdir)
@@ -526,7 +526,14 @@ object Versioned {
     val tmp = new Path(mdir,
       s".v$next.${java.util.UUID.randomUUID.toString.take(8)}.txt.tmp")
     val out = f.create(tmp, true)
-    try out.write(lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    // #op labels the commit for DESCRIBE HISTORY (append/replace/merge/
+    // dv_delete/compact/restore/…) — every publisher names itself here,
+    // so the label can never drift from the path that produced the
+    // commit. Pre-labeling manifests read as null operation.
+    // strip any carried-forward #op (metadata commits copy manifest lines
+    // verbatim) so exactly one label — this commit's own — survives
+    val body = s"#op=$op" +: lines.filterNot(_.startsWith("#op="))
+    try out.write(body.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val target = new Path(mdir, s"v$next.txt")
     // second-writer detection delegated to the committer (default:
@@ -775,7 +782,7 @@ object Versioned {
       }
     if (written.isEmpty && allMatch.isEmpty) return current
     publishDvCommit(spark, root, next, schema, Some(current), files, dvNow,
-      written, allMatch, newFiles = Seq.empty, tag = None)
+      written, allMatch, newFiles = Seq.empty, tag = None, op = "dv_delete")
   }
 
   /** The existing-vector (suffix -> vector abs path) slice relevant to
@@ -858,7 +865,7 @@ object Versioned {
                               files: Seq[String], dvNow: Map[String, String],
                               written: Seq[(String, String, Long)],
                               allMatch: Seq[String], newFiles: Seq[String],
-                              tag: Option[String]): Long = {
+                              tag: Option[String], op: String): Long = {
     val relBySfx: Map[String, String] = files.map { abs =>
       pathSuffix(abs) -> relativize(spark, root, abs)
     }.toMap
@@ -893,7 +900,7 @@ object Versioned {
     val dvLines = keptFiles.flatMap { rel =>
       newDvByRel.get(rel).orElse(dvNow.get(rel)).map(d => dvLine(rel, d))
     }
-    publish(spark, root, next,
+    publish(spark, root, next, op,
       tag.map(t => s"#tag=$t").toSeq
         ++ schema.map(s => s"#schema=${s.json}").toSeq
         ++ checkLines(spark, root, prev)
@@ -979,7 +986,8 @@ object Versioned {
         newFiles => {
           placeBatchDir(f, staging, batchDir, next)
           publishDvCommit(spark, root, next, schema, Some(current),
-            files, dvNow, written, allMatch = Seq.empty, newFiles, tag = None)
+            files, dvNow, written, allMatch = Seq.empty, newFiles, tag = None,
+            op = "dv_update")
         })
   }
 
@@ -1085,7 +1093,8 @@ object Versioned {
           newFiles => {
             placeBatchDir(f, staging, batchDir, next)
             publishDvCommit(spark, root, next, schema, Some(current),
-              files, dvNow, written, allMatch = Seq.empty, newFiles, tag)
+              files, dvNow, written, allMatch = Seq.empty, newFiles, tag,
+              op = "dv_merge")
           })
     } finally {
       aligned.unpersist(blocking = false)
@@ -1214,7 +1223,7 @@ object Versioned {
     // files' ones (dvLinesForCarried walks the CARRIED list only).
     commitMixed(spark, survivors, root, carry.map(relativize(spark, root, _)),
       statsCols = statsCols, bloomCols = trackedBloomCols(spark, root, files),
-      validateChecks = false)
+      validateChecks = false, op = "dv_materialize")
   }
 
   /** Range scan with file skipping: read only the snapshot files whose
@@ -1345,7 +1354,7 @@ object Versioned {
       },
       // a file whose stats PROVE every row matches needs no rewrite at
       // all — dropping it from the manifest IS the delete (zero I/O)
-      dropAllMatch = true)
+      dropAllMatch = true, op = "delete")
 
   /** Copy-on-write row-level UPDATE: same touched-file machinery as
     * [[deleteWhere]], but matching rows get `assignments` applied (each
@@ -1374,7 +1383,7 @@ object Versioned {
             case None => col(c)
           }
         }.toSeq: _*)
-      })
+      }, op = "update")
   }
 
   /** Copy-on-write keyed MERGE — the reference's staging-table + MERGE
@@ -1522,7 +1531,7 @@ object Versioned {
         .join(srcKeys, keys, "left_anti")
       commitMixed(spark, survivors.unionByName(aligned), root,
         untouched.map(relativize(spark, root, _)), statsCols = statsCols, tag = tag,
-        bloomCols = trackedBloomCols(spark, root, files))
+        bloomCols = trackedBloomCols(spark, root, files), op = "merge")
     } finally {
       aligned.unpersist(blocking = false)
       ()
@@ -1780,7 +1789,8 @@ object Versioned {
           if (touched.isEmpty && df.isEmpty) current
           else commitMixed(spark, df, root,
             untouched.map(relativize(spark, root, _)), statsCols = statsCols,
-            tag = tag, bloomCols = trackedBloomCols(spark, root, files))
+            tag = tag, bloomCols = trackedBloomCols(spark, root, files),
+            op = "merge")
       }
     } finally {
       pinned.unpersist(blocking = false)
@@ -1802,7 +1812,7 @@ object Versioned {
       dvEntries(spark, root, Some(toVersion)) // and its deletion vectors
         .map { case (e, d) => dvLine(e, d) } ++
       manifestFiles(spark, root, toVersion)
-    publish(spark, root, vs.last + 1, body)
+    publish(spark, root, vs.last + 1, op = "restore", body)
   }
 
   /** Shallow clone: publish `dstRoot`'s v1 referencing the SOURCE
@@ -1851,7 +1861,7 @@ object Versioned {
       .map(s => s"#schema=${s.json}").toSeq ++
       checkLines(spark, srcRoot, Some(v)) ++ // the cloned snapshot's checks
       dvAbs ++ entries
-    publish(spark, dstRoot, 1L, body)
+    publish(spark, dstRoot, 1L, op = "clone", body)
   }
 
   /** Row-level diff between two versions: the snapshot's columns plus
@@ -2017,7 +2027,8 @@ object Versioned {
   private def rewriteTouched(spark: SparkSession, root: String,
                              predicate: org.apache.spark.sql.Column,
                              rewrite: DataFrame => DataFrame,
-                             dropAllMatch: Boolean = false): Long = {
+                             dropAllMatch: Boolean = false,
+                             op: String = "rewrite"): Long = {
     import org.apache.spark.sql.functions.input_file_name
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no committed versions at $root")
@@ -2064,7 +2075,7 @@ object Versioned {
     if (touched.isEmpty) {
       // every change is a whole-file drop: publish the shrunk manifest
       // directly, no data written or read — the retention fast path
-      publish(spark, root, current + 1,
+      publish(spark, root, current + 1, op,
         schema.map(s => s"#schema=${s.json}").toSeq
           ++ checkLines(spark, root, Some(current))
           ++ dvLinesForCarried(dvNow, carried) ++ carried)
@@ -2079,7 +2090,7 @@ object Versioned {
       // vectored file must not resurrect its merge-on-read-deleted rows
       val rewritten = rewrite(readFilesDv(spark, root, schema, touched, dvNow))
       commitMixed(spark, rewritten, root, carried, statsCols = statsCols,
-        bloomCols = trackedBloomCols(spark, root, files))
+        bloomCols = trackedBloomCols(spark, root, files), op = op)
     }
   }
 
@@ -2372,7 +2383,8 @@ object Versioned {
                           statsCols: Seq[String],
                           tag: Option[String] = None,
                           bloomCols: Seq[String] = Nil,
-                          validateChecks: Boolean = true): Long = {
+                          validateChecks: Boolean = true,
+                          op: String = "rewrite"): Long = {
     val mdir = manifestDir(root)
     val f = fs(spark, mdir)
     val prev = versions(spark, root)
@@ -2408,7 +2420,7 @@ object Versioned {
     val prevDv = prev.lastOption
       .map(v => dvEntries(spark, root, Some(v)))
       .getOrElse(Map.empty[String, String])
-    publish(spark, root, next,
+    publish(spark, root, next, op,
       tag.map(t => s"#tag=$t").toSeq ++ Seq(s"#schema=${recorded.json}")
         ++ checkLines(spark, root, prev.lastOption)
         ++ dvLinesForCarried(prevDv, carriedRel)
@@ -2514,7 +2526,7 @@ object Versioned {
       .distinct.sorted.filter(c => schema.forall(_.fieldNames.contains(c)))
     // bin-packed rows are already-committed and valid by induction
     commitMixed(spark, shaped, root, large.map(p => relativize(spark, root, p._1)),
-      statsCols = statsCols, validateChecks = false)
+      statsCols = statsCols, validateChecks = false, op = "compact")
   }
 
   /** One row per committed version — the DESCRIBE HISTORY surface:
@@ -2538,6 +2550,10 @@ object Versioned {
     val fileLists = lines.view.mapValues(_.filterNot(_.startsWith("#"))).toMap
     val tags = lines.view.mapValues(
       _.find(_.startsWith("#tag=")).map(_.stripPrefix("#tag="))).toMap
+    // commit operation label (#op=, written by every publish path since
+    // round 10); null for manifests published before labeling existed
+    val ops = lines.view.mapValues(
+      _.find(_.startsWith("#op=")).map(_.stripPrefix("#op="))).toMap
     val lenOf = fileLengths(f,
       fileLists.values.flatten.toSeq.distinct.map(rel => resolveEntry(root, rel)))
     val rows = vs.map { v =>
@@ -2554,11 +2570,12 @@ object Versioned {
         tags(v).orNull,
         files.size.toLong,
         files.map(rel => lenOf.getOrElse(resolveEntry(root, rel).toUri.getPath, 0L)).sum,
-        added)
+        added,
+        ops(v).orNull)
     }
     import spark.implicits._
     rows.toDF("version", "committed_at", "tag", "num_files", "total_bytes",
-      "files_added")
+      "files_added", "operation")
   }
 
   /** Time-based retention: drop every version whose manifest was published
@@ -2753,7 +2770,7 @@ object Versioned {
       val dvPrev = base.map(v => dvEntries(spark, root, Some(v)))
         .getOrElse(Map.empty[String, String])
       try {
-        return publish(spark, root, next,
+        return publish(spark, root, next, op = "append_occ",
           tag.map(t => s"#tag=$t").toSeq ++ Seq(s"#schema=${recorded.json}")
             ++ checkLines(spark, root, base)
             ++ dvLinesForCarried(dvPrev, carried) ++ carried ++ newFiles)
@@ -2849,7 +2866,7 @@ object Versioned {
           .getOrElse(asNullable(shaped.schema))
         catch { case e: IllegalArgumentException => abort(e) }
       try {
-        return publish(spark, root, cur + 1,
+        return publish(spark, root, cur + 1, op = "compact_occ",
           Seq(s"#schema=${recorded.json}") ++ checkLines(spark, root, Some(cur))
             ++ dvLinesForCarried(curDv, carried) ++ carried ++ outFiles)
       } catch {

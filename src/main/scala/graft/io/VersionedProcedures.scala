@@ -91,7 +91,8 @@ private[io] object VersionedProcedures {
         StructField("tag", StringType, nullable = true),
         StructField("num_files", LongType, nullable = false),
         StructField("total_bytes", LongType, nullable = false),
-        StructField("files_added", LongType, nullable = true))),
+        StructField("files_added", LongType, nullable = true),
+        StructField("operation", StringType, nullable = true))),
       (spark, rootFor, input) =>
         // executeCollect returns driver-copied InternalRows in the exact
         // result schema above (history's own column order)

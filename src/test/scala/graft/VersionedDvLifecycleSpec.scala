@@ -124,6 +124,27 @@ class VersionedDvLifecycleSpec extends SparkSpecBase {
     }
   }
 
+  test("history labels every commit with its operation") {
+    val root = tmpDir("graft_dvlife_ops")
+    Versioned.commit(spark, (1L to 50L).map(i => (i, s"r$i")).toDF("id", "k"), root)
+    Versioned.deleteWhereDv(spark, root, col("id") === 5L)
+    Versioned.mergeInto(spark, root,
+      Seq((7L, "UPD"), (999L, "new")).toDF("id", "k"), Seq("id"))
+    Versioned.compactSmall(spark, root)
+    Versioned.restore(spark, root, 2L)
+    Versioned.addColumns(spark, root,
+      Seq(org.apache.spark.sql.types.StructField("extra",
+        org.apache.spark.sql.types.StringType)))
+    Versioned.commitOcc(spark,
+      Seq((100L, "x", "e")).toDF("id", "k", "extra"), root)
+    val ops = Versioned.history(spark, root).orderBy("version")
+      .select("operation").as[String].collect().toSeq
+    assert(ops == Seq("append", "dv_delete", "merge", "compact", "restore",
+      "add_columns", "append_occ"), s"got $ops")
+    // the SQL procedure surfaces the same column
+    // (covered structurally by VersionedProcedureSpec's history test)
+  }
+
   test("vacuum's grace window protects an in-flight writer's fresh batch") {
     val root = tmpDir("graft_dvlife_grace")
     Versioned.commit(spark, Seq((1L, "a")).toDF("id", "k"), root)

@@ -42,11 +42,12 @@ class VersionedProcedureSpec extends SparkSpecBase {
     val t = build("hist")
     val h = spark.sql(s"CALL graft_proc.system.history('$t')")
     assert(h.columns.toSeq == Seq("version", "committed_at", "tag",
-      "num_files", "total_bytes", "files_added"))
+      "num_files", "total_bytes", "files_added", "operation"))
     val rows = h.orderBy("version")
-      .select("version", "tag", "num_files", "files_added")
-      .as[(Long, String, Long, Long)].collect().toSeq
-    assert(rows == Seq((1L, "a", 1L, 1L), (2L, "b", 2L, 1L), (3L, "c", 3L, 1L)))
+      .select("version", "tag", "num_files", "files_added", "operation")
+      .as[(Long, String, Long, Long, String)].collect().toSeq
+    assert(rows == Seq((1L, "a", 1L, 1L, "append"), (2L, "b", 2L, 1L, "append"),
+      (3L, "c", 3L, 1L, "append")))
   }
 
   test("CALL restore rolls back as a new version; data matches the old snapshot") {
