@@ -98,14 +98,33 @@ class VersionedDataSource extends TableProvider with DataSourceRegister {
   // Schema always comes from the snapshot's own parquet footers.
   override def supportsExternalMetadata(): Boolean = false
 
+  /** The pinned version, from `asOf` (version number) or `timestampAsOf`
+    * (epoch millis, or a `yyyy-MM-dd HH:mm:ss[.f...]` local timestamp —
+    * resolved to the newest version published at or before it, the same
+    * rule SQL `TIMESTAMP AS OF` uses through the catalog). */
+  private def resolvedAsOf(spark: SparkSession, root: String,
+                           options: CaseInsensitiveStringMap): Option[Long] = {
+    val asOf = Option(options.get("asOf")).map(_.toLong)
+    val tsOf = Option(options.get("timestampAsOf")).map { s =>
+      val millis = scala.util.Try(s.trim.toLong)
+        .getOrElse(java.sql.Timestamp.valueOf(s.trim).getTime)
+      Versioned.versionAt(spark, root, millis).getOrElse(
+        throw new IllegalArgumentException(
+          s"no version of $root committed at or before $s"))
+    }
+    require(asOf.isEmpty || tsOf.isEmpty,
+      "asOf and timestampAsOf are mutually exclusive")
+    asOf.orElse(tsOf)
+  }
+
   private def resolveFiles(spark: SparkSession,
                            options: CaseInsensitiveStringMap): (String, Seq[String]) = {
     val root = Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
       "graft-versioned requires a table root: .load(root)"))
-    val asOf = Option(options.get("asOf")).map(_.toLong)
+    val asOf = resolvedAsOf(spark, root, options)
     val changesFrom = Option(options.get("changesFrom")).map(_.toLong)
     require(asOf.isEmpty || changesFrom.isEmpty,
-      "asOf and changesFrom are mutually exclusive")
+      "asOf/timestampAsOf and changesFrom are mutually exclusive")
     val files = changesFrom match {
       case Some(from) =>
         val to = Option(options.get("changesTo")).map(_.toLong)
@@ -123,7 +142,7 @@ class VersionedDataSource extends TableProvider with DataSourceRegister {
   @volatile private var cached: Option[(Map[String, String], ParquetTable)] = None
 
   private def optKey(options: CaseInsensitiveStringMap): Map[String, String] =
-    Seq("path", "asOf", "changesFrom", "changesTo")
+    Seq("path", "asOf", "timestampAsOf", "changesFrom", "changesTo")
       .flatMap(k => Option(options.get(k)).map(k -> _)).toMap
 
   private def delegate(options: CaseInsensitiveStringMap): ParquetTable = {
@@ -137,7 +156,7 @@ class VersionedDataSource extends TableProvider with DataSourceRegister {
       // needs a schema even without a recorded one: borrow it from the
       // snapshot the diff was computed against (zero files = zero rows).
       val schemaVersion = Option(options.get("changesTo")).map(_.toLong)
-        .orElse(Option(options.get("asOf")).map(_.toLong))
+        .orElse(resolvedAsOf(spark, root, options))
       val userSchema = Versioned.snapshotSchema(spark, root, schemaVersion)
         .orElse {
           if (files.nonEmpty) None
@@ -160,14 +179,15 @@ class VersionedDataSource extends TableProvider with DataSourceRegister {
     // asOf pins a snapshot and changesFrom is a bounded diff — neither can
     // tail future commits, so only a plain load advertises streaming.
     val liveRoot =
-      if (opts.containsKey("asOf") || opts.containsKey("changesFrom")) None
+      if (opts.containsKey("asOf") || opts.containsKey("timestampAsOf") ||
+          opts.containsKey("changesFrom")) None
       else Option(opts.get("path"))
     // reader-feature gate: the native parquet scan cannot apply deletion
     // vectors, so a vectored snapshot must not scan through it (one tiny
     // manifest read decides; the read version mirrors delegate()'s)
     val dvBlocked = Option(opts.get("path")).exists { root =>
       val v = Option(opts.get("changesTo")).map(_.toLong)
-        .orElse(Option(opts.get("asOf")).map(_.toLong))
+        .orElse(resolvedAsOf(SparkSession.active, root, opts))
       Versioned.dvEntries(SparkSession.active, root, v).nonEmpty
     }
     new VersionedReadTable(delegate(opts), liveRoot, dvBlocked)

@@ -48,6 +48,39 @@ class VersionedFormatSpec extends SparkSpecBase {
       .select("id").as[Long].collect().toSet == Set(3L))
   }
 
+  test("timestampAsOf resolves to the newest version at or before the time") {
+    val root = tmpRoot()
+    Versioned.commit(spark, Seq((1L, "a", 10.0)).toDF("id", "k", "x"), root)
+    Thread.sleep(20)
+    val between = System.currentTimeMillis()
+    Thread.sleep(20)
+    Versioned.commit(spark, Seq((2L, "b", 20.0)).toDF("id", "k", "x"), root)
+    // epoch-millis form: pins v1
+    assert(spark.read.format("graft-versioned")
+      .option("timestampAsOf", between.toString).load(root)
+      .select("id").as[Long].collect().toSet == Set(1L))
+    // timestamp-string form: "now" sees both
+    val now = new java.sql.Timestamp(System.currentTimeMillis() + 1000).toString
+    assert(spark.read.format("graft-versioned")
+      .option("timestampAsOf", now).load(root).count() == 2)
+    // before the first commit: loud refusal, not an empty frame
+    val e = intercept[Exception] {
+      spark.read.format("graft-versioned").option("timestampAsOf", "100").load(root)
+        .count()
+    }
+    assert(chainMsg(e).contains("no version"))
+    // mutually exclusive with asOf
+    val e2 = intercept[Exception] {
+      spark.read.format("graft-versioned").option("asOf", "1")
+        .option("timestampAsOf", between.toString).load(root).count()
+    }
+    assert(chainMsg(e2).contains("mutually exclusive"))
+  }
+
+  private def chainMsg(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+
   test("empty change-set reads as zero rows with the snapshot schema") {
     val root = threeCommits()
     val empty = spark.read.format("graft-versioned")
