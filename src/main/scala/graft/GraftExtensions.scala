@@ -87,8 +87,8 @@ object GraftExtensions {
     case _ => Bridge.nonFoldableArg(fn, what)
   }
 
-  /** SQL table-valued functions over the versioned lake — the Delta
-    * `table_changes` / DESCRIBE HISTORY shapes for pure-SQL consumers:
+  /** SQL table-valued functions over the versioned lake for pure-SQL
+    * consumers:
     *
     * {{{
     * SELECT * FROM graft_table_changes('/path/to/table', 3)       -- to newest
@@ -96,11 +96,17 @@ object GraftExtensions {
     * SELECT * FROM graft_history('/path/to/table')
     * }}}
     *
+    * `from_version` is EXCLUSIVE: the result is the row-level diff
+    * BETWEEN snapshot `from` and snapshot `to` (this library's
+    * [[graft.io.Versioned.diffVersions]] convention everywhere — the
+    * changes `from` itself introduced are in `(from-1, from]`). Note
+    * Delta's `table_changes(t, v)` is INCLUSIVE of version v's own
+    * changes; a Delta consumer migrating a call passes `v - 1` here.
+    *
     * Builders run at analysis time: arguments must be literals (the
     * plan IS the diff of two concrete versions), and the returned plan
-    * is the same file-aware diff [[graft.io.Versioned.diffVersions]] /
-    * [[graft.io.Versioned.history]] build — only differing files read,
-    * metadata-only history. */
+    * is the same file-aware diff / metadata-only history the Scala API
+    * builds — only differing files read. */
   val tableRegistrations: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
     (FunctionIdentifier("graft_table_changes"), info("graft_table_changes"),

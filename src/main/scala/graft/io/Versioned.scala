@@ -364,7 +364,15 @@ object Versioned {
     val batchDir = new Path(dataDir(root), s"b$next")
     // reclaim debris from a writer that crashed before its rename commit
     // point: no committed manifest can reference b$next (v$next was never
-    // published), so deleting it is safe under the single-writer policy
+    // published), so deleting it is safe under the single-writer policy.
+    // RESIDUAL WINDOW (single-writer contract, stated not closed — see
+    // placeBatchDir): this eager sweep could delete a RACING writer's
+    // placed-but-unpublished b$next in the rename->publish sliver. The
+    // merge-on-read writers refuse instead (requireBatchDirFree); this
+    // path keeps the sweep because the restart-after-crash workflow
+    // (VersionedSpec "a crash before the manifest rename is invisible")
+    // depends on it. Racing same-version writers is out of contract
+    // here — use the OCC surface.
     f.delete(batchDir, true)
     f.delete(new Path(mdir, s".v$next.txt.tmp"), false)
     // validate + record the snapshot schema BEFORE writing any data:
@@ -1209,11 +1217,12 @@ object Versioned {
         val p = new Path(u)
         val vecP = new Path(dvAbs(u))
         val deadRows = Dv.count(vecP.getFileSystem(conf), vecP)
-        val total = FileStats.rowCounts(conf, Seq(p)).values.sum
+        val total = FileStats.rowCountTotal(conf, Seq(p))
         u -> (deadRows.toDouble / math.max(total, 1L))
       }.collect { case (u, ratio) if ratio >= minDeadRatio => u }
     if (rewrite.isEmpty) return current
-    val carry = clean ++ dead.filterNot(rewrite.contains)
+    val rewriteSet = rewrite.toSet // |dead| x |rewrite| contains would be O(n^2)
+    val carry = clean ++ dead.filterNot(rewriteSet)
     val survivors = readFilesDv(spark, root, schema, rewrite, dv)
     val statsCols = trackedStatsCols(spark, root, files)
       .filter(c => schema.forall(_.fieldNames.contains(c)))

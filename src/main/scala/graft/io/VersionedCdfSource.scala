@@ -110,10 +110,12 @@ private[graft] class VersionedCdfSource(
   private val base: Long = {
     val p = new Path(metadataPath, "graft-cdf-base")
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (f.exists(p)) {
+    def readBase(): Long = {
       val in = f.open(p)
       try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
-    } else {
+    }
+    if (f.exists(p)) readBase()
+    else {
       val vs = Versioned.versions(spark, root)
       require(vs.nonEmpty, s"no committed versions at $root")
       val b = startingVersion match {
@@ -124,9 +126,19 @@ private[graft] class VersionedCdfSource(
         case None => vs.last
       }
       f.mkdirs(p.getParent)
-      val out = f.create(p, false) // no overwrite: two racing starts agree
+      // atomic pin: write a uuid temp then rename-without-overwrite. A
+      // crash mid-write can only orphan a temp (never a truncated pin
+      // that would poison every later restart), and of two racing first
+      // starts the rename loser falls back to READING the winner's pin
+      // so both agree on one base.
+      val tmp = new Path(metadataPath,
+        s".graft-cdf-base.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+      val out = f.create(tmp, true)
       try out.write(s"$b\n".getBytes("UTF-8")) finally out.close()
-      b
+      if (f.exists(p) || !f.rename(tmp, p)) {
+        f.delete(tmp, false)
+        readBase()
+      } else b
     }
   }
 
@@ -141,11 +153,13 @@ private[graft] class VersionedCdfSource(
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val from = start.map(vOf).getOrElse(base)
     val to = vOf(end)
+    // the defensive empty case must ALSO be streaming-marked — the V1
+    // contract getBatch satisfies applies to every returned frame
+    if (to <= from)
+      return org.apache.spark.sql.graftx.Bridge.streamingBatch(spark, schema,
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow])
     val diff =
-      if (to <= from)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else if (keys.nonEmpty)
+      if (keys.nonEmpty)
         Versioned.diffVersionsKeyed(spark, root, from, Some(to), keys)
       else Versioned.diffVersions(spark, root, from, Some(to))
     // pin column order to the declared schema; a mid-stream additive

@@ -98,19 +98,30 @@ class VersionedDataSource extends TableProvider with DataSourceRegister {
   // Schema always comes from the snapshot's own parquet footers.
   override def supportsExternalMetadata(): Boolean = false
 
-  /** The pinned version, from `asOf` (version number) or `timestampAsOf`
-    * (epoch millis, or a `yyyy-MM-dd HH:mm:ss[.f...]` local timestamp —
-    * resolved to the newest version published at or before it, the same
-    * rule SQL `TIMESTAMP AS OF` uses through the catalog). */
+  /** `timestampAsOf` (epoch millis, or a `yyyy-MM-dd HH:mm:ss[.f...]`
+    * local timestamp) resolved to the newest version published at or
+    * before it — the same rule SQL `TIMESTAMP AS OF` uses through the
+    * catalog. Resolved ONCE per distinct option map and cached: the
+    * resolution consults the live manifest list, so re-resolving in each
+    * of inferSchema/getTable/delegate could pair one version's file list
+    * with ANOTHER version's deletion-vector gate if a commit landed in
+    * between — the exact race the delegate cache exists to prevent. */
+  @volatile private var tsCache: Option[((String, String), Long)] = None
+
   private def resolvedAsOf(spark: SparkSession, root: String,
                            options: CaseInsensitiveStringMap): Option[Long] = {
     val asOf = Option(options.get("asOf")).map(_.toLong)
     val tsOf = Option(options.get("timestampAsOf")).map { s =>
-      val millis = scala.util.Try(s.trim.toLong)
-        .getOrElse(java.sql.Timestamp.valueOf(s.trim).getTime)
-      Versioned.versionAt(spark, root, millis).getOrElse(
-        throw new IllegalArgumentException(
-          s"no version of $root committed at or before $s"))
+      val key = (root, s)
+      tsCache.filter(_._1 == key).map(_._2).getOrElse {
+        val millis = scala.util.Try(s.trim.toLong)
+          .getOrElse(java.sql.Timestamp.valueOf(s.trim).getTime)
+        val v = Versioned.versionAt(spark, root, millis).getOrElse(
+          throw new IllegalArgumentException(
+            s"no version of $root committed at or before $s"))
+        tsCache = Some(key -> v)
+        v
+      }
     }
     require(asOf.isEmpty || tsOf.isEmpty,
       "asOf and timestampAsOf are mutually exclusive")

@@ -160,11 +160,10 @@ class ExtensionsSpec extends SparkSpecBase {
     val hist = s.sql(s"SELECT version, operation FROM graft_history('$p') ORDER BY version")
       .as[(Long, String)].collect().toSeq
     assert(hist == Seq((1L, "append"), (2L, "append"), (3L, "delete")), s"got $hist")
-    // non-literal args refuse with the standard error class
+    // non-literal args refuse with the standard error class, exactly
     val e = intercept[org.apache.spark.sql.AnalysisException](
       s.sql(s"SELECT * FROM graft_table_changes('$p', 1 + CAST(rand() AS INT))").collect())
-    assert(e.getCondition.startsWith("NON_FOLDABLE_ARGUMENT") ||
-      e.getCondition.startsWith("WRONG_NUM_ARGS") || e.getCondition != null)
+    assert(e.getCondition.startsWith("NON_FOLDABLE_ARGUMENT"), e.getCondition)
   }
 
   test("saltedJoin equals plain join") {
