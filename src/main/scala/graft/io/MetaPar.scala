@@ -15,7 +15,7 @@ package graft.io
   * Order-preserving; exceptions propagate (first failure wins, pool torn
   * down). Short inputs run inline — no pool churn for the 1-file case.
   */
-private[io] object MetaPar {
+private[graft] object MetaPar {
 
   /** Map `f` over `items` on a bounded pool, preserving order. */
   def parMap[A, B](items: Seq[A], parallelism: Int = 24)(f: A => B): Seq[B] = {

@@ -256,6 +256,26 @@ class PropertySpec extends SparkSpecBase {
     intercept[IllegalArgumentException](Dv.encode(Array(-1L)))
   }
 
+  test("MetaPar.parMap preserves order, unwraps failures, and runs in parallel") {
+    import graft.io.MetaPar
+    // order: results line up with inputs whatever the completion order
+    val xs = (1 to 500).toVector
+    assert(MetaPar.parMap(xs)(_ * 2) == xs.map(_ * 2))
+    assert(MetaPar.parMap(Seq.empty[Int])(_ * 2).isEmpty)
+    assert(MetaPar.parMap(Seq(7))(_ + 1) == Seq(8)) // inline short-circuit
+    // the ORIGINAL exception surfaces, not an ExecutionException wrapper
+    val boom = intercept[IllegalArgumentException] {
+      MetaPar.parMap(1 to 50)(i =>
+        if (i == 33) throw new IllegalArgumentException("i=33") else i)
+    }
+    assert(boom.getMessage == "i=33")
+    // genuinely parallel: 24 tasks each sleeping 100ms finish far faster
+    // than the 2.4s serial floor (generous 1.5s bound absorbs host noise)
+    val t0 = System.nanoTime()
+    MetaPar.parMap(1 to 24)(_ => Thread.sleep(100))
+    assert((System.nanoTime() - t0) / 1e9 < 1.5, "expected parallel execution")
+  }
+
   test("Dv codec: decode re-validates what encode promised (corruption refuses)") {
     import graft.io.Dv
     val good = Dv.encode(Array(3L, 7L, 20L))
