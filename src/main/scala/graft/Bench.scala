@@ -55,25 +55,32 @@ object Bench {
     // GC/JIT noise — and this host shows transient contention spikes that
     // inflate one-shot numbers several-fold — so the min is the
     // steady-state throughput the scale contract compares.
-    // SPARK_GRAFT_DEBUG=1 surfaces swallowed per-query failures on stderr
-    // — a failed query otherwise records its (tiny) time-to-throw, which
-    // reads as a great number and poisons scale comparisons silently
+    // A failed run contributes NO timing: its (tiny) time-to-throw would
+    // otherwise win the min and read as the suite's fastest query,
+    // silently passing the scale contract on a query that no longer runs.
+    // Failures always print (message); SPARK_GRAFT_DEBUG=1 adds the class.
     val debug = sys.env.get("SPARK_GRAFT_DEBUG").contains("1")
     def timeOnce(name: String,
-                 fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+                 fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      try {
+        fn(spark, sfDir).count()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch {
         case t: Throwable =>
-          if (debug) System.err.println(s"[bench] $name failed: $t")
-          -1L
+          System.err.println(
+            s"[bench] $name failed: ${if (debug) t.toString else t.getMessage}")
+          None
       }
-      (System.nanoTime() - t0) / 1e9
     }
     // SPARK_GRAFT_ITERS overrides the default 3 timed runs — scale-stress
     // runs at sf>=1 take minutes per query, where one run is signal enough
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
+    // a query whose every run failed records -1.0: an impossible timing
+    // (negative), valid JSON, and loud in any downstream comparison
     val results = selected.map { case (name, fn) =>
-      name -> Seq.fill(iters)(timeOnce(name, fn)).min
+      val ok = Seq.fill(iters)(timeOnce(name, fn)).flatten
+      name -> (if (ok.nonEmpty) ok.min else -1.0)
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
 

@@ -112,7 +112,7 @@ object GraftExtensions {
     (FunctionIdentifier("graft_table_changes"), info("graft_table_changes"),
       args => {
         if (args.length < 2 || args.length > 3)
-          Bridge.wrongNumArgs("graft_table_changes", 2, args.length)
+          Bridge.wrongNumArgs("graft_table_changes", Seq(2, 3), args.length)
         val spark = org.apache.spark.sql.SparkSession.active
         val root = strArg(args.head, "graft_table_changes", "table")
         val from = longArg(args(1), "graft_table_changes", "from_version")

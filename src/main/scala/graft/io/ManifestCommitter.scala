@@ -47,13 +47,25 @@ object ManifestCommitter {
 
   def resolve(spark: SparkSession): ManifestCommitter = {
     val cls = spark.conf.get(ConfKey, classOf[RenameManifestCommitter].getName)
-    // context classloader first: user committers live in the application
-    // (or REPL/test) loader, which this library's own loader can't see
-    val loader = Option(Thread.currentThread().getContextClassLoader)
-      .getOrElse(getClass.getClassLoader)
-    cache.computeIfAbsent(cls, c =>
-      loader.loadClass(c).getDeclaredConstructor().newInstance()
-        .asInstanceOf[ManifestCommitter])
+    // the default never goes through a classloader at all: an isolated
+    // context loader (Hive session loaders, child-first containers) must
+    // not be able to break every publish on the path that needs no
+    // user code
+    if (cls == classOf[RenameManifestCommitter].getName)
+      return cache.computeIfAbsent(cls, _ => new RenameManifestCommitter)
+    // custom committers: context classloader first (user code lives in
+    // the application/REPL loader this library's own loader can't see),
+    // falling back to our own loader if the context one can't find it
+    cache.computeIfAbsent(cls, c => {
+      val ctx = Option(Thread.currentThread().getContextClassLoader)
+      val loaded =
+        try ctx.getOrElse(getClass.getClassLoader).loadClass(c)
+        catch {
+          case _: ClassNotFoundException if ctx.isDefined =>
+            getClass.getClassLoader.loadClass(c)
+        }
+      loaded.getDeclaredConstructor().newInstance().asInstanceOf[ManifestCommitter]
+    })
   }
 }
 

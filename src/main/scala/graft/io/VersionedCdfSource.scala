@@ -146,7 +146,15 @@ private[graft] class VersionedCdfSource(
     VersionedCdfSource.changeSchema(spark, root, keys)
 
   override def getOffset: Option[OffsetV1] = {
-    val newest = Versioned.versions(spark, root).lastOption.getOrElse(0L)
+    val vs = Versioned.versions(spark, root)
+    // a table that HAD versions (base was pinned from them) and now
+    // lists none was dropped or unmounted — fail loud, matching the
+    // retention contract (a GC'd version throws; a GC'd table must not
+    // stall the stream silently reporting healthy-no-data forever)
+    require(vs.nonEmpty,
+      s"versioned table at $root has no committed versions any more " +
+        "(dropped or unmounted?) — the change feed cannot continue")
+    val newest = vs.last
     if (newest <= base) None else Some(CdfOffset(newest))
   }
 
@@ -165,8 +173,10 @@ private[graft] class VersionedCdfSource(
     // pin column order to the declared schema; a mid-stream additive
     // evolution surfaces as a missing-column analysis error here (die
     // loud, restart the stream against the new schema), never as
-    // silently misaligned rows
-    val aligned = diff.select(schema.fieldNames.map(n => col(n)).toSeq: _*)
+    // silently misaligned rows. Backtick-quote: a raw col("a.b") would
+    // misparse a dotted column name as nested-field access.
+    val aligned = diff.select(schema.fieldNames
+      .map(n => col("`" + n.replace("`", "``") + "`")).toSeq: _*)
     org.apache.spark.sql.graftx.Bridge.streamingBatch(
       spark, schema, aligned.queryExecution.toRdd)
   }

@@ -114,8 +114,17 @@ class VersionedDataSource extends TableProvider with DataSourceRegister {
     val tsOf = Option(options.get("timestampAsOf")).map { s =>
       val key = (root, s)
       tsCache.filter(_._1 == key).map(_._2).getOrElse {
-        val millis = scala.util.Try(s.trim.toLong)
-          .getOrElse(java.sql.Timestamp.valueOf(s.trim).getTime)
+        // the timestamp-string form is wall-clock in the SPARK SESSION
+        // timezone — the same resolution SQL TIMESTAMP AS OF gets through
+        // the catalog. java.sql.Timestamp.valueOf would use the JVM
+        // default TZ, silently resolving a different snapshot than the
+        // identical SQL literal whenever the two zones differ.
+        val millis = scala.util.Try(s.trim.toLong).getOrElse {
+          val zone = java.time.ZoneId.of(
+            spark.conf.get("spark.sql.session.timeZone"))
+          java.time.LocalDateTime.parse(s.trim.replace(' ', 'T'))
+            .atZone(zone).toInstant.toEpochMilli
+        }
         val v = Versioned.versionAt(spark, root, millis).getOrElse(
           throw new IllegalArgumentException(
             s"no version of $root committed at or before $s"))

@@ -107,8 +107,13 @@ object Bridge {
     * SQL function (AnalysisException with Spark's standard error class,
     * not an IndexOutOfBoundsException from the builder). */
   def wrongNumArgs(name: String, expected: Int, actual: Int): Nothing =
+    wrongNumArgs(name, Seq(expected), actual)
+
+  /** Variadic form for functions with several legal arities (the error
+    * message then states the true contract, e.g. "2 or 3"). */
+  def wrongNumArgs(name: String, expected: Seq[Int], actual: Int): Nothing =
     throw org.apache.spark.sql.errors.QueryCompilationErrors
-      .wrongNumArgsError(name, Seq(expected), actual)
+      .wrongNumArgsError(name, expected, actual)
 
   /** Analysis-time error for a parameter that must be a foldable int
     * literal (band counts, k, shingle width) but isn't. */
