@@ -120,6 +120,23 @@ object GraftExtensions {
         graft.io.Versioned.diffVersions(spark, root, from, to)
           .queryExecution.logical
       }),
+    (FunctionIdentifier("graft_table_changes_keyed"), info("graft_table_changes_keyed"),
+      args => {
+        // keyed form: classify the window into insert/delete/
+        // update_preimage/update_postimage by the comma-separated key
+        // list — diffVersionsKeyed's contract (duplicate changed keys
+        // refuse loudly) carries over
+        if (args.length != 4)
+          Bridge.wrongNumArgs("graft_table_changes_keyed", 4, args.length)
+        val spark = org.apache.spark.sql.SparkSession.active
+        val root = strArg(args.head, "graft_table_changes_keyed", "table")
+        val from = longArg(args(1), "graft_table_changes_keyed", "from_version")
+        val to = longArg(args(2), "graft_table_changes_keyed", "to_version")
+        val keys = strArg(args(3), "graft_table_changes_keyed", "keys")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        graft.io.Versioned.diffVersionsKeyed(spark, root, from, Some(to), keys)
+          .queryExecution.logical
+      }),
     (FunctionIdentifier("graft_history"), info("graft_history"),
       args => {
         if (args.length != 1) Bridge.wrongNumArgs("graft_history", 1, args.length)

@@ -106,13 +106,15 @@ class VersionedDataSource extends TableProvider with DataSourceRegister {
     * of inferSchema/getTable/delegate could pair one version's file list
     * with ANOTHER version's deletion-vector gate if a commit landed in
     * between — the exact race the delegate cache exists to prevent. */
-  @volatile private var tsCache: Option[((String, String), Long)] = None
+  @volatile private var tsCache: Option[((String, String, String), Long)] = None
 
   private def resolvedAsOf(spark: SparkSession, root: String,
                            options: CaseInsensitiveStringMap): Option[Long] = {
     val asOf = Option(options.get("asOf")).map(_.toLong)
     val tsOf = Option(options.get("timestampAsOf")).map { s =>
-      val key = (root, s)
+      // the session timezone participates in the cache key: the same
+      // literal names a DIFFERENT instant after a mid-session TZ change
+      val key = (root, s, spark.conf.get("spark.sql.session.timeZone"))
       tsCache.filter(_._1 == key).map(_._2).getOrElse {
         // the timestamp-string form is wall-clock in the SPARK SESSION
         // timezone — the same resolution SQL TIMESTAMP AS OF gets through

@@ -160,6 +160,11 @@ class ExtensionsSpec extends SparkSpecBase {
     val hist = s.sql(s"SELECT version, operation FROM graft_history('$p') ORDER BY version")
       .as[(Long, String)].collect().toSeq
     assert(hist == Seq((1L, "append"), (2L, "append"), (3L, "delete")), s"got $hist")
+    // keyed form classifies the window by key
+    val keyed = s.sql(
+      s"SELECT id, _change_type FROM graft_table_changes_keyed('$p', 1, 3, 'id')")
+      .as[(Long, String)].collect().toSet
+    assert(keyed == Set((3L, "insert"), (1L, "delete")), s"got $keyed")
     // non-literal args refuse with the standard error class, exactly
     val e = intercept[org.apache.spark.sql.AnalysisException](
       s.sql(s"SELECT * FROM graft_table_changes('$p', 1 + CAST(rand() AS INT))").collect())

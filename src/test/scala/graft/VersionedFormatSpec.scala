@@ -75,6 +75,22 @@ class VersionedFormatSpec extends SparkSpecBase {
         .option("timestampAsOf", between.toString).load(root).count()
     }
     assert(chainMsg(e2).contains("mutually exclusive"))
+    // the string form is wall-clock in the SESSION timezone (SQL
+    // TIMESTAMP AS OF parity): the same "now in UTC" literal read under
+    // UTC+14 names an instant 14h earlier — before the first commit
+    val nowUtc = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
+      .plusSeconds(2).toString.replace('T', ' ')
+    assert(spark.read.format("graft-versioned")
+      .option("timestampAsOf", nowUtc).load(root).count() == 2)
+    spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")
+    try {
+      val e3 = intercept[Exception] {
+        spark.read.format("graft-versioned")
+          .option("timestampAsOf", nowUtc).load(root).count()
+      }
+      assert(chainMsg(e3).contains("no version"),
+        "UTC+14 reading of a now-UTC literal must predate every commit")
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
   private def chainMsg(t: Throwable): String =
