@@ -104,6 +104,97 @@ object Versioned {
     prev.toSeq.flatMap(v => manifestLines(spark, root, v)
       .filter(_.startsWith("#check=")))
 
+  /** Carried column tombstones (`#dropped=` lines) — see [[dropColumns]]:
+    * a dropped name must never be re-added while files physically holding
+    * its old values are still referenced, or the "new" column would
+    * silently resurrect them instead of reading null. */
+  private def droppedLines(spark: SparkSession, root: String,
+                           prev: Option[Long]): Seq[String] =
+    prev.toSeq.flatMap(v => manifestLines(spark, root, v)
+      .filter(_.startsWith("#dropped=")))
+
+  /** Lower-cased tombstoned column names of a snapshot (newest unless
+    * `asOf`). */
+  def droppedColumns(spark: SparkSession, root: String,
+                     asOf: Option[Long] = None): Set[String] = {
+    val vs = versions(spark, root)
+    asOf.orElse(vs.lastOption).filter(vs.contains).toSeq.flatMap { v =>
+      manifestLines(spark, root, v).filter(_.startsWith("#dropped="))
+        .map(_.stripPrefix("#dropped=").toLowerCase)
+    }.toSet
+  }
+
+  /** Refuse a batch that writes to a tombstoned column name — appending
+    * data under a dropped name would let a later careless re-add pair new
+    * and OLD values under one column. Enforced on every append-shaped
+    * commit; replace commits shed tombstones instead (their manifest
+    * stops referencing the files that held the old values). */
+  private def requireNotDropped(spark: SparkSession, root: String,
+                                prev: Option[Long], cols: Seq[String]): Unit = {
+    if (prev.isEmpty) return
+    val dropped = prev.toSeq.flatMap(v => manifestLines(spark, root, v)
+      .filter(_.startsWith("#dropped=")).map(_.stripPrefix("#dropped="))).toSet
+    if (dropped.isEmpty) return
+    val hit = cols.filter(c => dropped.contains(c.toLowerCase))
+    require(hit.isEmpty,
+      s"column(s) ${hit.mkString(", ")} were previously DROPPED from this " +
+        "table and old files still hold their values — re-introducing the " +
+        "name would resurrect them. Use a different name, or rewrite the " +
+        "table (replace commit / compactLatest) to shed the tombstone.")
+  }
+
+  /** Drop columns as a METADATA-ONLY commit: the recorded schema loses
+    * the columns (readers project old files through it, so the data
+    * never surfaces again), no file is rewritten, and a `#dropped=`
+    * tombstone per name is carried by every later commit so the name
+    * cannot be re-added while files physically holding old values are
+    * still referenced (the silent-resurrection hazard column-mapping
+    * formats solve with field ids; tombstones are the conservative
+    * no-rewrite answer). A replace commit or full rewrite sheds
+    * tombstones. Columns referenced by a CHECK constraint refuse (drop
+    * the constraint first). */
+  def dropColumns(spark: SparkSession, root: String,
+                  cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "dropColumns needs at least one column")
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root")
+    val current = vs.last
+    val prev = snapshotSchema(spark, root, Some(current)).getOrElse(
+      readWithSchema(spark, None, snapshotFiles(spark, root, Some(current))).schema)
+    val byLower = prev.fields.map(f => f.name.toLowerCase -> f.name).toMap
+    val missing = cols.filterNot(c => byLower.contains(c.toLowerCase))
+    require(missing.isEmpty,
+      s"column(s) not in the table schema: ${missing.mkString(", ")} " +
+        s"(have ${prev.fieldNames.mkString(", ")})")
+    val doomedLower = cols.map(_.toLowerCase).toSet
+    require(doomedLower.size < prev.fields.length,
+      "cannot drop every column of the table")
+    // conservative: refuse when any CHECK expression mentions a doomed
+    // name as an identifier (a dangling constraint would NULL-pass
+    // forever — silently vacuous is the pattern this project refuses)
+    constraints(spark, root).foreach { case (name, expression) =>
+      cols.foreach { c =>
+        val used = java.util.regex.Pattern
+          .compile("(?i)(^|[^A-Za-z0-9_`])" + java.util.regex.Pattern.quote(c) +
+            "($|[^A-Za-z0-9_`])")
+          .matcher(expression).find()
+        require(!used,
+          s"column $c is referenced by CHECK constraint `$name` " +
+            s"($expression) — drop the constraint first")
+      }
+    }
+    val remaining = StructType(prev.fields.filterNot(f =>
+      doomedLower.contains(f.name.toLowerCase)))
+    publish(spark, root, current + 1, op = "drop_columns",
+      Seq(s"#schema=${remaining.json}") ++
+        checkLines(spark, root, Some(current)) ++
+        droppedLines(spark, root, Some(current)) ++
+        cols.map(c => s"#dropped=${c.toLowerCase}") ++
+        dvEntries(spark, root, Some(current))
+          .map { case (e, d) => dvLine(e, d) } ++
+        manifestFiles(spark, root, current))
+  }
+
   /** SQL CHECK semantics: a row violates only when the expression is
     * FALSE — NULL passes (unknown is not a violation). */
   private def violations(df: DataFrame, expression: String): DataFrame = {
@@ -201,10 +292,15 @@ object Versioned {
     require(clash.isEmpty, s"column(s) already exist: ${clash.mkString(", ")}")
     val dup = fields.map(_.name.toLowerCase).diff(fields.map(_.name.toLowerCase).distinct)
     require(dup.isEmpty, s"duplicate new column name(s): ${dup.mkString(", ")}")
+    // a tombstoned name must not come back: old files still referenced by
+    // this manifest physically hold its previous values, and the "new"
+    // column would read them instead of null (see dropColumns)
+    requireNotDropped(spark, root, Some(current), fields.map(_.name))
     val evolved = StructType(prev.fields ++ fields.map(_.copy(nullable = true)))
     publish(spark, root, current + 1, op = "add_columns",
       Seq(s"#schema=${evolved.json}") ++
         checkLines(spark, root, Some(current)) ++
+        droppedLines(spark, root, Some(current)) ++
         dvEntries(spark, root, Some(current)) // vectors survive metadata commits
           .map { case (e, d) => dvLine(e, d) } ++
         manifestFiles(spark, root, current))
@@ -391,6 +487,9 @@ object Versioned {
       .map(p => mergeSchemas(p, asNullable(df.schema)))
       .getOrElse(asNullable(df.schema))
     requireNoCaseDups(recorded) // fail BEFORE the data write, like statsCols
+    // an append must not evolve a tombstoned column name back into the
+    // schema (dropColumns resurrection hazard); replace sheds tombstones
+    if (!replace) requireNotDropped(spark, root, prev.lastOption, df.columns.toSeq)
     // fail loudly on a misspelled stats column — BEFORE paying the data
     // write (a silent miss would permanently commit the batch without
     // stats, sidecars being immutable; an abort after the write wastes
@@ -444,6 +543,9 @@ object Versioned {
     publish(spark, root, next, op = if (replace) "replace" else "append",
       tag.map(t => s"#tag=$t").toSeq ++ Seq(s"#schema=${recorded.json}")
         ++ checkLines(spark, root, prev.lastOption)
+        // tombstones carry on appends; a replace sheds them (its manifest
+        // stops referencing the files that held the dropped values)
+        ++ (if (replace) Seq.empty else droppedLines(spark, root, prev.lastOption))
         ++ dvLinesForCarried(prevDv, carried)
         ++ carried ++ newFiles)
   }
@@ -912,6 +1014,7 @@ object Versioned {
       tag.map(t => s"#tag=$t").toSeq
         ++ schema.map(s => s"#schema=${s.json}").toSeq
         ++ checkLines(spark, root, prev)
+        ++ droppedLines(spark, root, prev)
         ++ dvLines ++ keptFiles ++ newFiles)
   }
 
@@ -1818,6 +1921,7 @@ object Versioned {
     val body = snapshotSchema(spark, root, Some(toVersion))
       .map(s => s"#schema=${s.json}").toSeq ++
       checkLines(spark, root, Some(toVersion)) ++ // that snapshot's checks
+      droppedLines(spark, root, Some(toVersion)) ++ // and its tombstones
       dvEntries(spark, root, Some(toVersion)) // and its deletion vectors
         .map { case (e, d) => dvLine(e, d) } ++
       manifestFiles(spark, root, toVersion)
@@ -1869,6 +1973,7 @@ object Versioned {
     val body = snapshotSchema(spark, srcRoot, Some(v))
       .map(s => s"#schema=${s.json}").toSeq ++
       checkLines(spark, srcRoot, Some(v)) ++ // the cloned snapshot's checks
+      droppedLines(spark, srcRoot, Some(v)) ++ // and its tombstones
       dvAbs ++ entries
     publish(spark, dstRoot, 1L, op = "clone", body)
   }
@@ -2087,6 +2192,7 @@ object Versioned {
       publish(spark, root, current + 1, op,
         schema.map(s => s"#schema=${s.json}").toSeq
           ++ checkLines(spark, root, Some(current))
+          ++ droppedLines(spark, root, Some(current))
           ++ dvLinesForCarried(dvNow, carried) ++ carried)
     } else {
       // stats columns the table already tracks (union over the sidecars
@@ -2403,6 +2509,10 @@ object Versioned {
     f.delete(new Path(mdir, s".v$next.txt.tmp"), false)
     val recorded = asNullable(df.schema)
     requireNoCaseDups(recorded)
+    // same resurrection guard as commit(): a rewrite/merge batch must not
+    // reintroduce a tombstoned column name (mergeInto evolution passes
+    // NEW source columns through here)
+    requireNotDropped(spark, root, prev.lastOption, df.columns.toSeq)
     // staging + rename: same two-writer interleaving defense as commit()
     val staging = stagingDir(root, next)
     df.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
@@ -2432,6 +2542,7 @@ object Versioned {
     publish(spark, root, next, op,
       tag.map(t => s"#tag=$t").toSeq ++ Seq(s"#schema=${recorded.json}")
         ++ checkLines(spark, root, prev.lastOption)
+        ++ droppedLines(spark, root, prev.lastOption)
         ++ dvLinesForCarried(prevDv, carriedRel)
         ++ carriedRel ++ newFiles)
   }
@@ -2766,7 +2877,11 @@ object Versioned {
         try {
           val r = prevSchema.map(p => mergeSchemas(p, asNullable(df.schema)))
             .getOrElse(asNullable(df.schema))
-          requireNoCaseDups(r); r
+          requireNoCaseDups(r)
+          // resurrection guard, re-derived per attempt like the schema:
+          // a dropColumns landing mid-flight must still gate this append
+          requireNotDropped(spark, root, base, df.columns.toSeq)
+          r
         } catch { case e: IllegalArgumentException => abort(e) }
       val checks = constraints(spark, root, base)
       if (checks != validatedChecks) {
@@ -2782,6 +2897,7 @@ object Versioned {
         return publish(spark, root, next, op = "append_occ",
           tag.map(t => s"#tag=$t").toSeq ++ Seq(s"#schema=${recorded.json}")
             ++ checkLines(spark, root, base)
+            ++ droppedLines(spark, root, base)
             ++ dvLinesForCarried(dvPrev, carried) ++ carried ++ newFiles)
       } catch {
         case e: IllegalStateException if e.getMessage.contains("commit conflict") =>
@@ -2877,6 +2993,7 @@ object Versioned {
       try {
         return publish(spark, root, cur + 1, op = "compact_occ",
           Seq(s"#schema=${recorded.json}") ++ checkLines(spark, root, Some(cur))
+            ++ droppedLines(spark, root, Some(cur))
             ++ dvLinesForCarried(curDv, carried) ++ carried ++ outFiles)
       } catch {
         case e: IllegalStateException if e.getMessage.contains("commit conflict") =>

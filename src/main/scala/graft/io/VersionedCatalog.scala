@@ -148,8 +148,20 @@ class VersionedCatalog extends TableCatalog with ProcedureCatalog {
     * refused loudly. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val adds = changes.collect { case a: TableChange.AddColumn => a }
+    val drops = changes.collect { case d: TableChange.DeleteColumn => d }
+    // DROP COLUMN: metadata-only via Versioned.dropColumns (tombstoned —
+    // the name cannot come back while old files hold its values)
+    if (drops.nonEmpty && drops.length == changes.length) {
+      val names = drops.map { d =>
+        require(d.fieldNames.length == 1,
+          s"nested column drops are not supported: ${d.fieldNames.mkString(".")}")
+        d.fieldNames.head
+      }
+      Versioned.dropColumns(spark, rootFor(ident), names.toSeq)
+      return loadTable(ident)
+    }
     if (adds.length != changes.length || adds.isEmpty)
-      readOnly(s"ALTER TABLE $ident (only ADD COLUMNS)")
+      readOnly(s"ALTER TABLE $ident (only ADD COLUMNS / DROP COLUMNS)")
     val fields = adds.map { a =>
       require(a.fieldNames.length == 1,
         s"nested column adds are not supported: ${a.fieldNames.mkString(".")}")

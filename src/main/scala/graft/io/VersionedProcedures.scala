@@ -202,6 +202,13 @@ private[io] object VersionedProcedures {
           d.numConstraints, d.numDeletionVectors, d.dvDeletedRows)
       }),
 
+    Spec("drop_columns", "drop columns as a metadata-only commit (tombstoned: the names cannot be re-added while old files still hold their values); comma-separated list",
+      Array(in("table", StringType), in("columns", StringType)),
+      newVersion,
+      (spark, rootFor, input) => row(Versioned.dropColumns(
+        spark, existing(spark, rootFor, input, 0),
+        str(input, 1, "columns").split(",").map(_.trim).filter(_.nonEmpty).toSeq))),
+
     Spec("dv_delete", "merge-on-read DELETE: record matching rows dead in per-file deletion vectors (no data rewritten); predicate is a SQL boolean over the table's columns",
       Array(in("table", StringType), in("predicate", StringType)),
       newVersion,

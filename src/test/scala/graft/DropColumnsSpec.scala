@@ -1,0 +1,130 @@
+package graft
+
+import graft.io.Versioned
+import org.apache.spark.sql.functions._
+
+/** Metadata-only DROP COLUMN with tombstones: the dropped data never
+  * surfaces again, nothing is rewritten, the name cannot be re-added
+  * while old files still hold values (the silent-resurrection hazard
+  * column-mapping formats solve with field ids), and a replace commit
+  * sheds the tombstone because its manifest stops referencing those
+  * files. */
+class DropColumnsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmpRoot(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_dropcol").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  test("drop is metadata-only; data never surfaces; tombstone blocks re-add") {
+    val root = tmpRoot()
+    Versioned.commit(spark,
+      Seq((1L, "a", 9.5), (2L, "b", 8.5)).toDF("id", "k", "secret").coalesce(1),
+      root, statsCols = Seq("id"))
+    val filesBefore = manifestOf(root, 1L)
+    assert(Versioned.dropColumns(spark, root, Seq("secret")) == 2L)
+    // no file rewritten; the column is gone from every read surface
+    assert(manifestOf(root, 2L) == filesBefore)
+    assert(Versioned.read(spark, root).columns.toSeq == Seq("id", "k"))
+    assert(spark.read.format("graft-versioned").load(root)
+      .columns.toSeq == Seq("id", "k"))
+    // time travel to the pre-drop version still shows it
+    assert(Versioned.read(spark, root, asOf = Some(1L)).columns.contains("secret"))
+    // later appends carry the tombstone; the schema stays narrow
+    Versioned.commit(spark, Seq((3L, "c")).toDF("id", "k"), root)
+    assert(Versioned.read(spark, root).columns.toSeq == Seq("id", "k"))
+    assert(Versioned.droppedColumns(spark, root) == Set("secret"))
+    // re-adding the name refuses (old values would resurrect, not null)
+    val e1 = intercept[IllegalArgumentException] {
+      Versioned.addColumns(spark, root, Seq(
+        org.apache.spark.sql.types.StructField("secret",
+          org.apache.spark.sql.types.StringType)))
+    }
+    assert(e1.getMessage.contains("resurrect"))
+    // an append smuggling the name through schema evolution refuses too
+    val e2 = intercept[IllegalArgumentException] {
+      Versioned.commit(spark, Seq((4L, "d", "boo")).toDF("id", "k", "secret"), root)
+    }
+    assert(e2.getMessage.contains("resurrect"))
+    // OCC append: same gate
+    val e3 = intercept[IllegalArgumentException] {
+      Versioned.commitOcc(spark, Seq((4L, "d", "boo")).toDF("id", "k", "secret"), root)
+    }
+    assert(e3.getMessage.contains("resurrect"))
+    // merge WITH schema evolution: same gate through commitMixed
+    val e4 = intercept[IllegalArgumentException] {
+      Versioned.mergeInto(spark, root,
+        Seq((1L, "a2", "boo")).toDF("id", "k", "secret"), Seq("id"),
+        schemaEvolution = true)
+    }
+    assert(e4.getMessage.contains("resurrect"))
+    // a REPLACE stops referencing the old files: tombstone sheds, the
+    // name is usable again with fresh data
+    Versioned.commit(spark, Seq((9L, "z", "fresh")).toDF("id", "k", "secret"),
+      root, replace = true)
+    assert(Versioned.droppedColumns(spark, root).isEmpty)
+    assert(Versioned.read(spark, root).select("secret").as[String].collect()
+      .toSeq == Seq("fresh"))
+  }
+
+  test("drop refuses unknown columns, full-schema drops, and checked columns") {
+    val root = tmpRoot()
+    Versioned.commit(spark, Seq((1L, 5.0)).toDF("id", "x"), root)
+    intercept[IllegalArgumentException](
+      Versioned.dropColumns(spark, root, Seq("nope")))
+    intercept[IllegalArgumentException](
+      Versioned.dropColumns(spark, root, Seq("id", "x")))
+    Versioned.addConstraint(spark, root, "x_pos", "x > 0")
+    val e = intercept[IllegalArgumentException](
+      Versioned.dropColumns(spark, root, Seq("x")))
+    assert(e.getMessage.contains("x_pos"))
+    Versioned.dropConstraint(spark, root, "x_pos")
+    assert(Versioned.dropColumns(spark, root, Seq("x")) > 0)
+    assert(Versioned.read(spark, root).columns.toSeq == Seq("id"))
+  }
+
+  test("tombstones survive restore/clone/compaction; history labels the drop") {
+    val root = tmpRoot()
+    Versioned.commit(spark, Seq((1L, "s1", "k1")).toDF("id", "sec", "k"), root)
+    Versioned.dropColumns(spark, root, Seq("sec"))
+    Versioned.commit(spark, Seq((2L, "k2")).toDF("id", "k"), root)
+    // incremental compaction carries old files -> tombstone must survive
+    Versioned.compactSmall(spark, root)
+    assert(Versioned.droppedColumns(spark, root) == Set("sec"))
+    // clone inherits the clone point's tombstones
+    val dst = tmpRoot() + "_clone"
+    Versioned.cloneTable(spark, root, dst)
+    assert(Versioned.droppedColumns(spark, dst) == Set("sec"))
+    // restore to the PRE-drop snapshot restores the column and ITS
+    // (empty) tombstone set — the files legitimately carry the data there
+    Versioned.restore(spark, root, 1L)
+    assert(Versioned.droppedColumns(spark, root).isEmpty)
+    assert(Versioned.read(spark, root).columns.contains("sec"))
+    val ops = Versioned.history(spark, root).orderBy("version")
+      .select("operation").as[String].collect().toSeq
+    assert(ops == Seq("append", "drop_columns", "append", "compact", "restore"),
+      s"got $ops")
+  }
+
+  test("SQL surfaces: ALTER TABLE DROP COLUMN and CALL drop_columns") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_dropcol_wh").toFile
+    wh.deleteOnExit()
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.graft_dc", "graft.io.VersionedCatalog")
+    s.conf.set("spark.sql.catalog.graft_dc.warehouse", wh.getAbsolutePath)
+    s.sql("CREATE TABLE graft_dc.ns.t (id BIGINT, k STRING, sec STRING)")
+    s.sql("INSERT INTO graft_dc.ns.t VALUES (1, 'a', 'x')")
+    s.sql("ALTER TABLE graft_dc.ns.t DROP COLUMN sec")
+    assert(s.table("graft_dc.ns.t").columns.toSeq == Seq("id", "k"))
+    val e = intercept[Exception](
+      s.sql("ALTER TABLE graft_dc.ns.t ADD COLUMNS (sec STRING)"))
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" ")
+      .contains("resurrect"))
+    // the procedure form on a second column
+    s.sql("CALL graft_dc.system.drop_columns('ns.t', 'k')")
+    assert(s.table("graft_dc.ns.t").columns.toSeq == Seq("id"))
+  }
+}

@@ -163,8 +163,9 @@ class VersionedCatalogSpec extends SparkSpecBase {
       "NOT NULL")
     refuse("ALTER TABLE graft_test.sales.orders ADD COLUMN z INT FIRST",
       "positioned")
-    refuse("ALTER TABLE graft_test.sales.orders DROP COLUMN k",
-      "does not support")
+    // DROP COLUMN is supported since round 10 (tombstoned metadata-only
+    // commit — positive coverage in DropColumnsSpec); RENAME remains
+    // refused (it would need column-mapping by field id)
     refuse("ALTER TABLE graft_test.sales.orders RENAME COLUMN k TO kk",
       "does not support")
     refuse("ALTER TABLE graft_test.sales.orders RENAME TO graft_test.sales.orders2",
