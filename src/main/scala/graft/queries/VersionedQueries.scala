@@ -627,6 +627,28 @@ object VersionedQueries {
 
   val versionedDvMergeOracle: String = versionedMergeOracle
 
+  /** Metadata-only DROP COLUMN mid-history: two bands commit with
+    * `o_custkey`, the column is dropped (no file rewritten), a third
+    * band appends WITHOUT it, and the final read aggregates the
+    * narrower schema over all three bands — old files project through
+    * the recorded schema, so the dropped values never surface and the
+    * post-drop append needs no knowledge of the column ever existing. */
+  def versionedDropColumn(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = QueryScratch.freshRoot("graft_dropcol_q", sfDir)
+    val orders = Tables.orders(spark, sfDir)
+    (0 to 1).foreach { m =>
+      Versioned.commit(spark, orders.filter(pmod(col("o_orderkey"), lit(3)) === m),
+        root, statsCols = Seq("o_orderkey"))
+    }
+    Versioned.dropColumns(spark, root, Seq("o_custkey"))
+    Versioned.commit(spark,
+      orders.filter(pmod(col("o_orderkey"), lit(3)) === 2).drop("o_custkey"), root)
+    priorityAgg(Versioned.read(spark, root))
+  }
+
+  val versionedDropColumnOracle: String =
+    s"$oracleSelect GROUP BY 1, 2"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "versioned_cdf" -> (versionedCdf _),
     "versioned_dv_update" -> (versionedDvUpdate _),
@@ -634,6 +656,7 @@ object VersionedQueries {
     "versioned_dv" -> (versionedDvDelete _),
     "versioned_dv_mat" -> (versionedDvMaterialize _),
     "versioned_dv_mat_partial" -> (versionedDvMaterializePartial _),
+    "versioned_drop_column" -> (versionedDropColumn _),
     "versioned_snapshot" -> (versionedSnapshot _),
     "versioned_occ" -> (versionedOcc _),
     "versioned_time_travel" -> (versionedTimeTravel _),
@@ -658,6 +681,7 @@ object VersionedQueries {
     "versioned_dv" -> versionedDvDeleteOracle,
     "versioned_dv_mat" -> versionedDvMaterializeOracle,
     "versioned_dv_mat_partial" -> versionedDvMaterializePartialOracle,
+    "versioned_drop_column" -> versionedDropColumnOracle,
     "versioned_snapshot" -> versionedSnapshotOracle,
     "versioned_occ" -> versionedOccOracle,
     "versioned_time_travel" -> versionedTimeTravelOracle,
