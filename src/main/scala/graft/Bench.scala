@@ -82,7 +82,10 @@ object Bench {
       val ok = Seq.fill(iters)(timeOnce(name, fn)).flatten
       name -> (if (ok.nonEmpty) ok.min else -1.0)
     }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val failed = results.count(_._2 < 0)
+    // total sums SUCCESSFUL timings only — folding the -1.0 sentinel in
+    // would make a run with a broken query read FASTER than a healthy one
+    val total = results.values.filter(_ >= 0).sum
 
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3g", Double.box(v))
@@ -93,11 +96,16 @@ object Bench {
         s""","subset":true,"n_selected":${selected.size},"n_total":${SparkEntry.queries.size}"""
       else ""
       val omitTag = if (omitted > 0) s""","omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$subsetTag$omitTag,"n":${results.size},"sf":"$sfDir"}"""
+      val failTag = if (failed > 0) s""","failed":$failed""" else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$subsetTag$omitTag$failTag,"n":${results.size},"sf":"$sfDir"}"""
     }
     // Full detail always lands in a file; the printed line must fit the
     // driver's tail buffer, so drop fastest entries if needed.
-    val bySlowest = results.toSeq.sortBy(-_._2)
+    // failed entries (-1.0) sort FIRST: when the line overflows the
+    // driver's buffer the fastest entries are dropped, and a failure
+    // must never be what gets truncated away
+    val bySlowest = results.toSeq.sortBy(t =>
+      if (t._2 < 0) Double.NegativeInfinity else -t._2)
     val full = line(bySlowest, 0)
     val fw = new java.io.PrintWriter("BENCH_DETAIL.json")
     try fw.println(full) finally fw.close()

@@ -134,6 +134,9 @@ object GraftExtensions {
         val to = longArg(args(2), "graft_table_changes_keyed", "to_version")
         val keys = strArg(args(3), "graft_table_changes_keyed", "keys")
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        if (keys.isEmpty)
+          Bridge.invalidParamValue("graft_table_changes_keyed", "keys",
+            "must name at least one column (got an empty list)")
         graft.io.Versioned.diffVersionsKeyed(spark, root, from, Some(to), keys)
           .queryExecution.logical
       }),

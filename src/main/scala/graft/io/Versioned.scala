@@ -55,16 +55,35 @@ object Versioned {
     else f.listStatus(dir).toSeq.flatMap(s => versionOf(s.getPath)).sorted
   }
 
+  // Published manifests are immutable, but a root can be dropped and
+  // recreated under the same path (same vN.txt name, new content) — so
+  // the memo keys on (path, mtime, length), turning the several reads a
+  // single commit makes of the SAME v<prev>.txt (checkLines,
+  // droppedLines, dvEntries, manifestFiles — one open+readFully each)
+  // into one stat + one read. Version-not-found stays loud: every
+  // explicit-asOf surface checks versions() membership BEFORE reading,
+  // never relying on the open failing.
+  private val manifestMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Seq[String]]()
+
   private def manifestLines(spark: SparkSession, root: String, v: Long): Seq[String] = {
     val p = new Path(manifestDir(root), s"v$v.txt")
     val f = fs(spark, p)
+    val st = f.getFileStatus(p)
+    val key = (p.toString, st.getModificationTime, st.getLen)
+    val hit = manifestMemo.get(key)
+    if (hit != null) return hit
     val in = f.open(p)
-    try {
-      val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
-      in.readFully(bytes)
-      new String(bytes, StandardCharsets.UTF_8).split("\n").toSeq
-        .map(_.trim).filter(_.nonEmpty)
-    } finally in.close()
+    val lines =
+      try {
+        val bytes = new Array[Byte](st.getLen.toInt)
+        in.readFully(bytes)
+        new String(bytes, StandardCharsets.UTF_8).split("\n").toSeq
+          .map(_.trim).filter(_.nonEmpty)
+      } finally in.close()
+    if (manifestMemo.size > 1024) manifestMemo.clear() // bounded, not LRU
+    manifestMemo.put(key, lines)
+    lines
   }
 
   private def manifestFiles(spark: SparkSession, root: String, v: Long): Seq[String] =
@@ -119,7 +138,7 @@ object Versioned {
                      asOf: Option[Long] = None): Set[String] = {
     val vs = versions(spark, root)
     asOf.orElse(vs.lastOption).filter(vs.contains).toSeq.flatMap { v =>
-      manifestLines(spark, root, v).filter(_.startsWith("#dropped="))
+      droppedLines(spark, root, Some(v))
         .map(_.stripPrefix("#dropped=").toLowerCase)
     }.toSet
   }
@@ -132,8 +151,8 @@ object Versioned {
   private def requireNotDropped(spark: SparkSession, root: String,
                                 prev: Option[Long], cols: Seq[String]): Unit = {
     if (prev.isEmpty) return
-    val dropped = prev.toSeq.flatMap(v => manifestLines(spark, root, v)
-      .filter(_.startsWith("#dropped=")).map(_.stripPrefix("#dropped="))).toSet
+    val dropped = droppedLines(spark, root, prev)
+      .map(_.stripPrefix("#dropped=")).toSet
     if (dropped.isEmpty) return
     val hit = cols.filter(c => dropped.contains(c.toLowerCase))
     require(hit.isEmpty,
@@ -174,9 +193,12 @@ object Versioned {
     // forever — silently vacuous is the pattern this project refuses)
     constraints(spark, root).foreach { case (name, expression) =>
       cols.foreach { c =>
+        // backtick counts as a boundary on purpose: `x` > 0 must match
+        // column x (quoting is how special-cased names are referenced);
+        // a longer identifier like x2 or `ax` still does not match
         val used = java.util.regex.Pattern
-          .compile("(?i)(^|[^A-Za-z0-9_`])" + java.util.regex.Pattern.quote(c) +
-            "($|[^A-Za-z0-9_`])")
+          .compile("(?i)(^|[^A-Za-z0-9_])" + java.util.regex.Pattern.quote(c) +
+            "($|[^A-Za-z0-9_])")
           .matcher(expression).find()
         require(!used,
           s"column $c is referenced by CHECK constraint `$name` " +

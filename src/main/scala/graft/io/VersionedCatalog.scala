@@ -140,13 +140,18 @@ class VersionedCatalog extends TableCatalog with ProcedureCatalog {
     load(ident, None)
   }
 
-  /** ALTER TABLE: only ADD COLUMNS is expressible — a metadata-only
-    * schema commit under the additive-evolution rules (existing files
-    * read the new columns as null). NOT NULL adds are impossible for
+  /** ALTER TABLE: ADD COLUMNS (metadata-only schema commit under the
+    * additive-evolution rules — existing files read the new columns as
+    * null) and DROP COLUMNS (metadata-only, tombstoned — see
+    * [[Versioned.dropColumns]]). NOT NULL adds are impossible for
     * existing rows, positioned adds would reorder what append commits
-    * define as stable, and renames/drops would break readers — all
-    * refused loudly. */
+    * define as stable, and RENAME would need column-mapping by field id
+    * — those stay refused loudly. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    // IF EXISTS on a missing column leaves zero changes (the analyzer
+    // filters it out, Spark still calls alterTable) — SQL semantics
+    // require a silent no-op, not a refusal
+    if (changes.isEmpty) return loadTable(ident)
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     val drops = changes.collect { case d: TableChange.DeleteColumn => d }
     // DROP COLUMN: metadata-only via Versioned.dropColumns (tombstoned —
@@ -157,7 +162,19 @@ class VersionedCatalog extends TableCatalog with ProcedureCatalog {
           s"nested column drops are not supported: ${d.fieldNames.mkString(".")}")
         d.fieldNames.head
       }
-      Versioned.dropColumns(spark, rootFor(ident), names.toSeq)
+      // honor per-change IF EXISTS for the names the analyzer passed
+      // through (e.g. a concurrent drop raced this statement)
+      val current = Versioned.snapshotSchema(spark, rootFor(ident), None)
+        .map(_.fieldNames.map(_.toLowerCase).toSet)
+      val (present, absent) = names.partition(n =>
+        current.forall(_.contains(n.toLowerCase)))
+      val hardMisses = drops.zip(names).collect {
+        case (d, n) if absent.contains(n) && !d.ifExists() => n
+      }
+      require(hardMisses.isEmpty,
+        s"column(s) not in the table schema: ${hardMisses.mkString(", ")}")
+      if (present.nonEmpty)
+        Versioned.dropColumns(spark, rootFor(ident), present.toSeq)
       return loadTable(ident)
     }
     if (adds.length != changes.length || adds.isEmpty)

@@ -124,7 +124,11 @@ class VersionedDataSource extends TableProvider with DataSourceRegister {
         val millis = scala.util.Try(s.trim.toLong).getOrElse {
           val zone = java.time.ZoneId.of(
             spark.conf.get("spark.sql.session.timeZone"))
-          java.time.LocalDateTime.parse(s.trim.replace(' ', 'T'))
+          // lenient local fields via Timestamp.valueOf (accepts
+          // non-padded "2026-8-14 9:05:00" like the JDBC literal it is);
+          // toLocalDateTime round-trips the FIELDS exactly, so the JVM
+          // default TZ cancels out and only the session zone converts
+          java.sql.Timestamp.valueOf(s.trim).toLocalDateTime
             .atZone(zone).toInstant.toEpochMilli
         }
         val v = Versioned.versionAt(spark, root, millis).getOrElse(

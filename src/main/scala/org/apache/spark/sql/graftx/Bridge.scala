@@ -115,6 +115,17 @@ object Bridge {
     throw org.apache.spark.sql.errors.QueryCompilationErrors
       .wrongNumArgsError(name, expected, actual)
 
+  /** Analysis-time error for a parameter whose literal VALUE is invalid
+    * (empty key list, malformed csv) — Spark's standard
+    * INVALID_PARAMETER_VALUE class, like the arity/foldability errors. */
+  def invalidParamValue(name: String, param: String, why: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "INVALID_PARAMETER_VALUE.PATTERN",
+      messageParameters = Map(
+        "parameter" -> ("`" + param + "`"),
+        "functionName" -> ("`" + name + "`"),
+        "value" -> why))
+
   /** Analysis-time error for a parameter that must be a foldable int
     * literal (band counts, k, shingle width) but isn't. */
   def nonFoldableArg(name: String, param: String): Nothing =

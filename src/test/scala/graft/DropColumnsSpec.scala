@@ -81,6 +81,13 @@ class DropColumnsSpec extends SparkSpecBase {
       Versioned.dropColumns(spark, root, Seq("x")))
     assert(e.getMessage.contains("x_pos"))
     Versioned.dropConstraint(spark, root, "x_pos")
+    // backtick-quoted references count too (`x` is how special-cased
+    // names are written in CHECK expressions)
+    Versioned.addConstraint(spark, root, "x_bt", "`x` > 0")
+    val eBt = intercept[IllegalArgumentException](
+      Versioned.dropColumns(spark, root, Seq("x")))
+    assert(eBt.getMessage.contains("x_bt"))
+    Versioned.dropConstraint(spark, root, "x_bt")
     assert(Versioned.dropColumns(spark, root, Seq("x")) > 0)
     assert(Versioned.read(spark, root).columns.toSeq == Seq("id"))
   }
@@ -126,5 +133,11 @@ class DropColumnsSpec extends SparkSpecBase {
     // the procedure form on a second column
     s.sql("CALL graft_dc.system.drop_columns('ns.t', 'k')")
     assert(s.table("graft_dc.ns.t").columns.toSeq == Seq("id"))
+    // IF EXISTS on a missing column is a silent no-op, not a refusal
+    s.sql("ALTER TABLE graft_dc.ns.t DROP COLUMN IF EXISTS nope")
+    assert(s.table("graft_dc.ns.t").columns.toSeq == Seq("id"))
+    // without IF EXISTS the analyzer itself refuses the unknown name
+    intercept[Exception](
+      s.sql("ALTER TABLE graft_dc.ns.t DROP COLUMN nope"))
   }
 }

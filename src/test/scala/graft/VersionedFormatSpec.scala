@@ -63,6 +63,13 @@ class VersionedFormatSpec extends SparkSpecBase {
     val now = new java.sql.Timestamp(System.currentTimeMillis() + 1000).toString
     assert(spark.read.format("graft-versioned")
       .option("timestampAsOf", now).load(root).count() == 2)
+    // lenient JDBC-literal fields (non-padded month/hour) parse too
+    val lenient = {
+      val t = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC).plusSeconds(2)
+      s"${t.getYear}-${t.getMonthValue}-${t.getDayOfMonth} ${t.getHour}:${t.getMinute}:${t.getSecond}"
+    }
+    assert(spark.read.format("graft-versioned")
+      .option("timestampAsOf", lenient).load(root).count() == 2)
     // before the first commit: loud refusal, not an empty frame
     val e = intercept[Exception] {
       spark.read.format("graft-versioned").option("timestampAsOf", "100").load(root)
