@@ -2760,6 +2760,21 @@ object Versioned {
     * maintenance-window semantics: everything unreferenced goes now. */
   def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1,
              graceMillis: Long = 0L): Unit = {
+    vacuumImpl(spark, root, keepVersions, graceMillis, dryRun = false)
+    ()
+  }
+
+  /** What [[vacuum]] WOULD reclaim, without deleting anything — the
+    * Delta `VACUUM ... DRY RUN` shape: absolute paths of the
+    * unreferenced data files/vectors, the dead batch/staging dirs, and
+    * the expiring manifests, under the same keep/grace rules. Run it
+    * before a retention change to see the blast radius. */
+  def vacuumDryRun(spark: SparkSession, root: String, keepVersions: Int = 1,
+                   graceMillis: Long = 0L): Seq[String] =
+    vacuumImpl(spark, root, keepVersions, graceMillis, dryRun = true)
+
+  private def vacuumImpl(spark: SparkSession, root: String, keepVersions: Int,
+                         graceMillis: Long, dryRun: Boolean): Seq[String] = {
     require(keepVersions >= 1, "must keep at least one version")
     require(graceMillis >= 0L, s"graceMillis must be >= 0, got $graceMillis")
     val vs = versions(spark, root)
@@ -2772,6 +2787,10 @@ object Versioned {
     val cut = System.currentTimeMillis() - graceMillis
     def oldEnough(s: org.apache.hadoop.fs.FileStatus): Boolean =
       s.getModificationTime <= cut
+    val planned = Seq.newBuilder[String]
+    def reclaim(p: Path, recursive: Boolean): Unit =
+      if (dryRun) planned += p.toString
+      else { f.delete(p, recursive); () }
     // liveness covers deletion vectors too: a retained snapshot's vectors
     // are part of its correctness (GCing one would resurrect its rows)
     val live: Set[String] =
@@ -2789,19 +2808,23 @@ object Versioned {
           val rel = s"data/${batch.getPath.getName}/$name"
           if ((name.endsWith(".parquet") || name.endsWith(Dv.Suffix)) &&
               !live.contains(rel) && oldEnough(df0))
-            f.delete(df0.getPath, false)
+            reclaim(df0.getPath, recursive = false)
         }
+        // dry-run must judge the dir on its CURRENT contents (nothing was
+        // deleted above): a dir is dead when every entry is non-live and
+        // old enough — the same predicate the real sweep re-lists for
         val entries = f.listStatus(batch.getPath)
         if (oldEnough(batch) && entries.forall { s =>
               !live.contains(s"data/${batch.getPath.getName}/${s.getPath.getName}") &&
                 oldEnough(s)
             })
-          f.delete(batch.getPath, true)
+          reclaim(batch.getPath, recursive = true)
       }
     }
     vs.dropRight(keepVersions).foreach { v =>
-      f.delete(new Path(manifestDir(root), s"v$v.txt"), false)
+      reclaim(new Path(manifestDir(root), s"v$v.txt"), recursive = false)
     }
+    planned.result()
   }
 
   // ----------------------------------------------- concurrent writers (OCC)

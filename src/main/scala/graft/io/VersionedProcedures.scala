@@ -115,6 +115,16 @@ private[io] object VersionedProcedures {
         row(before - Versioned.versions(spark, root).size)
       }),
 
+    Spec("vacuum_dry_run", "list what vacuum WOULD reclaim (unreferenced files/vectors, dead dirs, expiring manifests) without deleting anything",
+      Array(in("table", StringType), inDefault("keep", IntegerType, "1")),
+      StructType(Seq(StructField("path", StringType, nullable = false))),
+      (spark, rootFor, input) =>
+        Versioned.vacuumDryRun(spark, existing(spark, rootFor, input, 0),
+          keepVersions = input.getInt(1))
+          .map(p => InternalRow(
+            org.apache.spark.unsafe.types.UTF8String.fromString(p)))
+          .toArray),
+
     Spec("vacuum_older_than", "drop versions published before the cutoff, then GC",
       Array(in("table", StringType), in("cutoff", TimestampType)),
       removedCount,

@@ -145,6 +145,34 @@ class VersionedDvLifecycleSpec extends SparkSpecBase {
     // (covered structurally by VersionedProcedureSpec's history test)
   }
 
+  test("vacuumDryRun lists exactly what vacuum then reclaims, deleting nothing") {
+    val root = tmpDir("graft_dvlife_dry")
+    Versioned.commit(spark, Seq((1L, "a")).toDF("id", "k").coalesce(1), root)
+    Versioned.commit(spark, Seq((2L, "b")).toDF("id", "k").coalesce(1), root)
+    Versioned.commit(spark, Seq((9L, "z")).toDF("id", "k").coalesce(1),
+      root, replace = true)
+    val debris = new java.io.File(root, "data/bstage_9_dead")
+    assert(debris.mkdirs())
+    java.nio.file.Files.write(
+      new java.io.File(debris, "part-0.parquet").toPath, Array[Byte](1))
+    val planned = Versioned.vacuumDryRun(spark, root, keepVersions = 1)
+    // nothing deleted by the dry run
+    assert(Versioned.versions(spark, root) == Seq(1L, 2L, 3L))
+    assert(debris.exists())
+    assert(Versioned.read(spark, root, asOf = Some(1L)).count() == 1)
+    // the plan names the v1/v2 data, the debris, and the expiring manifests
+    assert(planned.exists(_.contains("bstage_9_dead")))
+    assert(planned.exists(_.endsWith("v1.txt")) && planned.exists(_.endsWith("v2.txt")))
+    // the real vacuum reclaims everything the plan named (files inside
+    // dirs the plan reclaims as a unit are covered by the dir entry)
+    Versioned.vacuum(spark, root, keepVersions = 1)
+    planned.foreach { p =>
+      assert(!new java.io.File(new java.net.URI(
+        if (p.startsWith("file:")) p else s"file:$p")).exists(), s"survived: $p")
+    }
+    assert(Versioned.read(spark, root).count() == 1)
+  }
+
   test("vacuum's grace window protects an in-flight writer's fresh batch") {
     val root = tmpDir("graft_dvlife_grace")
     Versioned.commit(spark, Seq((1L, "a")).toDF("id", "k"), root)
