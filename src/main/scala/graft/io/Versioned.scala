@@ -66,6 +66,20 @@ object Versioned {
   private val manifestMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Seq[String]]()
 
+  // The (path, mtime, length) key is only collision-free once the file's
+  // mtime tick is safely in the past: stores round mtime coarsely (S3A's
+  // HTTP Last-Modified is 1-second; some local filesystems too), so a
+  // root dropped and recreated within the SAME tick could produce a
+  // same-length v<N>.txt with an identical key and the memo would serve
+  // the old root's manifest. A recreated file always carries a
+  // fresh≈now mtime, so refusing to MEMOIZE anything whose mtime is
+  // within this margin of now closes the hole: every cached entry's
+  // mtime tick predates the caching instant by more than any plausible
+  // granularity, and no later file at that path can land in that tick.
+  // Fresh manifests (the read-own-commit window) just re-read a tiny
+  // file a few times — correctness over a micro-optimization.
+  private[graft] val memoSettleMillis = 5000L
+
   private def manifestLines(spark: SparkSession, root: String, v: Long): Seq[String] = {
     val p = new Path(manifestDir(root), s"v$v.txt")
     val f = fs(spark, p)
@@ -81,8 +95,13 @@ object Versioned {
         new String(bytes, StandardCharsets.UTF_8).split("\n").toSeq
           .map(_.trim).filter(_.nonEmpty)
       } finally in.close()
-    if (manifestMemo.size > 1024) manifestMemo.clear() // bounded, not LRU
-    manifestMemo.put(key, lines)
+    // settled files only; a future mtime (clock skew) is also unsettled
+    val settled =
+      st.getModificationTime < System.currentTimeMillis() - memoSettleMillis
+    if (settled) {
+      if (manifestMemo.size > 1024) manifestMemo.clear() // bounded, not LRU
+      manifestMemo.put(key, lines)
+    }
     lines
   }
 
@@ -101,15 +120,25 @@ object Versioned {
   def committedTag(spark: SparkSession, root: String,
                    asOf: Option[Long] = None): Option[String] = {
     val vs = versions(spark, root)
-    asOf.orElse(vs.lastOption).filter(vs.contains).flatMap(tagOf(spark, root, _))
+    requireKnownAsOf(vs, asOf, root)
+    asOf.orElse(vs.lastOption).flatMap(tagOf(spark, root, _))
   }
+
+  // explicit-asOf surfaces stay loud on an unknown version (matching
+  // snapshotFiles/diffVersions) — a silent empty answer for a typo'd or
+  // GC'd version is indistinguishable from "no tags/constraints/drops"
+  private def requireKnownAsOf(vs: Seq[Long], asOf: Option[Long],
+                               root: String): Unit =
+    asOf.foreach(v => require(vs.contains(v),
+      s"version $v not found at $root (have ${vs.mkString(", ")})"))
 
   /** Named CHECK constraints recorded in a snapshot's manifest
     * (`#check=name:expr` lines), newest version unless `asOf`. */
   def constraints(spark: SparkSession, root: String,
                   asOf: Option[Long] = None): Seq[(String, String)] = {
     val vs = versions(spark, root)
-    asOf.orElse(vs.lastOption).filter(vs.contains).toSeq.flatMap { v =>
+    requireKnownAsOf(vs, asOf, root)
+    asOf.orElse(vs.lastOption).toSeq.flatMap { v =>
       manifestLines(spark, root, v).filter(_.startsWith("#check="))
         .map(_.stripPrefix("#check=")).map { s =>
           val i = s.indexOf(':')
@@ -137,7 +166,8 @@ object Versioned {
   def droppedColumns(spark: SparkSession, root: String,
                      asOf: Option[Long] = None): Set[String] = {
     val vs = versions(spark, root)
-    asOf.orElse(vs.lastOption).filter(vs.contains).toSeq.flatMap { v =>
+    requireKnownAsOf(vs, asOf, root)
+    asOf.orElse(vs.lastOption).toSeq.flatMap { v =>
       droppedLines(spark, root, Some(v))
         .map(_.stripPrefix("#dropped=").toLowerCase)
     }.toSet
@@ -159,7 +189,9 @@ object Versioned {
       s"column(s) ${hit.mkString(", ")} were previously DROPPED from this " +
         "table and old files still hold their values — re-introducing the " +
         "name would resurrect them. Use a different name, or rewrite the " +
-        "table (replace commit / compactLatest) to shed the tombstone.")
+        "table with a replace commit to shed the tombstone (compaction " +
+        "carries tombstones forward on purpose — it keeps snapshot " +
+        "semantics, not a fresh table).")
   }
 
   /** Drop columns as a METADATA-ONLY commit: the recorded schema loses
@@ -2803,6 +2835,13 @@ object Versioned {
     val ddir = dataDir(root)
     if (f.exists(ddir)) {
       f.listStatus(ddir).foreach { batch =>
+        // dir-age gate evaluated BEFORE this run's own file deletes: on
+        // filesystems where removing an entry bumps the parent dir's
+        // mtime, a post-sweep stat would push a just-emptied dead dir
+        // back inside the grace window and defer its reclaim a full
+        // vacuum cycle — the pre-sweep mtime is the one the grace
+        // contract (protect IN-FLIGHT writers) actually means
+        val dirOldPreSweep = oldEnough(batch)
         f.listStatus(batch.getPath).foreach { df0 =>
           val name = df0.getPath.getName
           val rel = s"data/${batch.getPath.getName}/$name"
@@ -2814,7 +2853,7 @@ object Versioned {
         // deleted above): a dir is dead when every entry is non-live and
         // old enough — the same predicate the real sweep re-lists for
         val entries = f.listStatus(batch.getPath)
-        if (oldEnough(batch) && entries.forall { s =>
+        if (dirOldPreSweep && entries.forall { s =>
               !live.contains(s"data/${batch.getPath.getName}/${s.getPath.getName}") &&
                 oldEnough(s)
             })

@@ -170,11 +170,22 @@ private[graft] class VersionedCdfSource(
       if (keys.nonEmpty)
         Versioned.diffVersionsKeyed(spark, root, from, Some(to), keys)
       else Versioned.diffVersions(spark, root, from, Some(to))
-    // pin column order to the declared schema; a mid-stream additive
-    // evolution surfaces as a missing-column analysis error here (die
-    // loud, restart the stream against the new schema), never as
-    // silently misaligned rows. Backtick-quote: a raw col("a.b") would
-    // misparse a dotted column name as nested-field access.
+    // pin column order to the declared schema, and fail loud on ANY
+    // shape drift. A REMOVED column would die on its own as a
+    // missing-column analysis error, but an ADDED one would not — a
+    // select of the pinned names from a wider diff succeeds, silently
+    // dropping the new column from every change row until a restart.
+    // Both directions must stop the stream (restart re-pins the schema),
+    // so compare the column sets explicitly before aligning.
+    val declared = schema.fieldNames.map(_.toLowerCase).toSet
+    val got = diff.columns.map(_.toLowerCase).toSet
+    require(got == declared,
+      s"versioned table at $root changed shape mid-stream " +
+        s"(added: ${(got -- declared).mkString(", ")}; " +
+        s"removed: ${(declared -- got).mkString(", ")}) — " +
+        "restart the stream to pick up the evolved schema")
+    // Backtick-quote: a raw col("a.b") would misparse a dotted column
+    // name as nested-field access.
     val aligned = diff.select(schema.fieldNames
       .map(n => col("`" + n.replace("`", "``") + "`")).toSeq: _*)
     org.apache.spark.sql.graftx.Bridge.streamingBatch(

@@ -153,6 +153,34 @@ class VersionedCdfStreamSpec extends SparkSpecBase {
     } finally q2.stop()
   }
 
+  test("a column ADDED mid-stream stops the stream loudly, never silently drops") {
+    // a removed column dies on its own (missing-column analysis error);
+    // an added one would survive a naive select of the pinned names — the
+    // source must detect the widened diff and refuse until a restart
+    val root = tmpDir("graft_cdfs_evo")
+    build(root)
+    val ckpt = tmpDir("graft_cdfs_evo_ckpt")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = tail(root, ckpt, None, buf)
+    try {
+      q.processAllAvailable()
+      Versioned.commit(spark,
+        Seq((900L, "w", 1.5)).toDF("id", "k", "extra"), root)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(chain(e).contains("changed shape mid-stream"), chain(e))
+      assert(chain(e).contains("extra"), chain(e))
+    } finally q.stop()
+    // a RESTART picks up the evolved schema and delivers the missed window
+    val buf2 = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q2 = tail(root, ckpt, None, buf2)
+    try {
+      q2.processAllAvailable()
+      assert(buf2.toSet == Set((900L, "insert")), s"got ${buf2.toSet}")
+    } finally q2.stop()
+  }
+
   private def chain(t: Throwable): String =
     Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
       .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")

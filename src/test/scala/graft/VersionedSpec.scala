@@ -237,4 +237,63 @@ class VersionedSpec extends SparkSpecBase {
     // too few small files -> no-op
     assert(Versioned.compactSmall(spark, root, smallBytes = 100000L) == 5L)
   }
+
+  test("manifest memo never serves stale content after a same-tick recreate") {
+    // coarse-mtime hazard: a manifest replaced in place with same-length
+    // content inside one mtime tick must NOT be served from the memo —
+    // the memo refuses to cache files whose mtime is within the settle
+    // window of now, and a freshly (re)created file is always fresh
+    val root = tmpRoot()
+    Versioned.commit(spark, Seq(1L).toDF("id"), root, tag = Some("aa"))
+    assert(Versioned.committedTag(spark, root).contains("aa"))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(root, "_manifests/v1.txt")
+    val st = fs.getFileStatus(p)
+    val nio = new java.io.File(root, "_manifests/v1.txt").toPath
+    val rewritten = new String(java.nio.file.Files.readAllBytes(nio), "UTF-8")
+      .replace("#tag=aa", "#tag=bb")
+    // write through the Hadoop fs so the checksum sidecar follows
+    val out = fs.create(p, true)
+    try out.write(rewritten.getBytes("UTF-8")) finally out.close()
+    // pin (mtime, length) to EXACTLY the old key — a worst-case tick
+    fs.setTimes(p, st.getModificationTime, -1)
+    assert(fs.getFileStatus(p).getLen == st.getLen, "test needs equal length")
+    assert(Versioned.committedTag(spark, root).contains("bb"),
+      "memo served the pre-recreate manifest")
+  }
+
+  test("explicit asOf of an unknown version stays loud on metadata surfaces") {
+    val root = tmpRoot()
+    Versioned.commit(spark, Seq(1L).toDF("id"), root, tag = Some("t1"))
+    assert(Versioned.committedTag(spark, root, asOf = Some(1L)).contains("t1"))
+    assert(Versioned.constraints(spark, root, asOf = Some(1L)).isEmpty)
+    assert(Versioned.droppedColumns(spark, root, asOf = Some(1L)).isEmpty)
+    Seq(
+      () => Versioned.committedTag(spark, root, asOf = Some(7L)),
+      () => Versioned.constraints(spark, root, asOf = Some(7L)),
+      () => Versioned.droppedColumns(spark, root, asOf = Some(7L))
+    ).foreach { probe =>
+      val e = intercept[IllegalArgumentException](probe())
+      assert(e.getMessage.contains("not found"), e.getMessage)
+    }
+  }
+
+  test("vacuum with a grace window reclaims a dead dir in the SAME pass") {
+    // the dir-age gate must use the PRE-sweep dir mtime: this run's own
+    // file deletes bump the dir's mtime, and a post-sweep stat would
+    // defer the empty dir's reclaim a full vacuum cycle
+    val root = tmpRoot()
+    Versioned.commit(spark, Seq(1L).toDF("id"), root)
+    Versioned.commit(spark, Seq(9L).toDF("id"), root, replace = true)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val b1 = new org.apache.hadoop.fs.Path(root, "data/b1")
+    val old = System.currentTimeMillis() - 60000L
+    fs.listStatus(b1).foreach(s => fs.setTimes(s.getPath, old, -1))
+    fs.setTimes(b1, old, -1)
+    Versioned.vacuum(spark, root, keepVersions = 1, graceMillis = 30000L)
+    assert(!fs.exists(b1), "dead dir survived its own sweep pass")
+    assert(Versioned.read(spark, root).count() == 1)
+  }
 }
