@@ -1,0 +1,255 @@
+package graft.io
+
+import java.sql.{DriverManager, SQLException}
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** [[ManifestCommitter]] implementations for stores WITHOUT atomic
+  * no-overwrite rename (raw S3-class object stores) — the committers
+  * the default [[RenameManifestCommitter]]'s contract tells such
+  * deployments to plug in via `spark.graft.manifestCommitter`.
+  *
+  * Two shapes, mirroring the public prior art (Delta Lake's LogStore
+  * family; Iceberg's catalog swap):
+  *
+  *  - [[ConditionalPutManifestCommitter]] — for stores whose object
+  *    create IS an atomic conditional PUT (S3 `If-None-Match: *`
+  *    conditional writes, GCS `ifGenerationMatch=0`, ABFS
+  *    create-no-overwrite): skip rename entirely and write the manifest
+  *    straight to its final name, letting the store's precondition
+  *    reject the loser.
+  *  - [[JdbcClaimManifestCommitter]] — for stores with NO atomic
+  *    primitive at all (legacy S3): coordinate through an external
+  *    system's conditional insert, Delta's S3DynamoDBLogStore pattern
+  *    re-expressed over any JDBC database (a DB row with the target
+  *    path as primary key is the linearization point; the duplicate-key
+  *    error is the precondition failure). Includes the same crashed-
+  *    writer recovery the DynamoDB LogStore performs: an expired
+  *    incomplete claim is finished from its recorded temp file (the
+  *    dead writer's commit still wins) or, if nothing usable remains,
+  *    the claim is stolen.
+  */
+final class ConditionalPutManifestCommitter extends ManifestCommitter {
+
+  /** Publish by writing tmp's bytes to `target` through
+    * `fs.create(target, overwrite = false)`.
+    *
+    * CONTRACT: only correct on stores where object creation is
+    * all-or-nothing AND the no-overwrite precondition is enforced
+    * server-side at completion time (the object materializes complete
+    * on close, or not at all). On progressive-visibility filesystems
+    * (HDFS, local) readers could observe a half-written manifest and a
+    * crashed writer would leave a truncated target that blocks the
+    * version forever — keep the default rename committer there. */
+  override def commit(fs: FileSystem, tmp: Path, target: Path,
+                      tableRoot: String): Boolean = {
+    // fast-path: don't pay a write just to be rejected
+    if (fs.exists(target)) return false
+    val in = fs.open(tmp)
+    val bytes =
+      try {
+        val len = fs.getFileStatus(tmp).getLen.toInt
+        val b = new Array[Byte](len)
+        in.readFully(b)
+        b
+      } finally in.close()
+    val created =
+      try {
+        // on conditional-PUT stores the precondition is checked when the
+        // object completes (close); surface EITHER failure point as a
+        // lost race, never as an error — losing is a normal outcome
+        val out = fs.create(target, false)
+        try out.write(bytes) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    if (created) fs.delete(tmp, false) // consumed; loser's tmp is the caller's
+    created
+  }
+}
+
+/** External-coordination committer: the right to publish `target` is a
+  * conditional INSERT into a claims table keyed by the target path.
+  *
+  * Protocol per commit (all driver-side — manifest publishes never run
+  * on executors):
+  *   1. INSERT (target, tmp, writer, ts, complete=0). Success = this
+  *      writer owns the publish: copy tmp → target by ANY means (no
+  *      atomicity needed — ownership serializes writers; readers of an
+  *      object store see the object only when complete), then mark the
+  *      claim complete.
+  *   2. Duplicate key = someone holds/held the claim:
+  *      - complete → lost, return false.
+  *      - incomplete and younger than the TTL → a live writer is
+  *        mid-publish; lost, return false (the OCC loop re-derives).
+  *      - incomplete and EXPIRED → crashed writer. Recovery: if its
+  *        recorded tmp still exists, finish ITS publish (copy, mark
+  *        complete — the dead writer's commit wins, exactly Delta's
+  *        fixDeltaLog semantics) and return false; if neither its tmp
+  *        nor the target exists, conditionally delete the corpse row
+  *        and retry the insert.
+  *
+  * The TTL (`spark.graft.committerClaimTtlMillis`, default 15 min) must
+  * comfortably exceed the longest real manifest publish — the same
+  * liveness assumption the DynamoDB LogStore documents. Claim rows of
+  * completed commits are retained until [[Versioned.vacuum]]-style
+  * maintenance clears them (they are tiny and double as a commit audit
+  * log); recovery never needs them again once `target` exists.
+  *
+  * Conf (read from the active session at commit time):
+  *  - `spark.graft.committerJdbcUrl` (required): JDBC URL of the
+  *    coordination database, e.g. the embedded-Derby
+  *    `jdbc:derby:memory:claims;create=true` in tests, a shared
+  *    PostgreSQL in a real deployment.
+  *  - `spark.graft.committerClaimTtlMillis` (optional).
+  */
+final class JdbcClaimManifestCommitter extends ManifestCommitter {
+
+  private val writerId = java.util.UUID.randomUUID.toString
+  @volatile private var ensured: Set[String] = Set.empty
+
+  private def conf(key: String): Option[String] =
+    Option(SparkSession.active.conf.get(key, null))
+
+  private def url: String = conf(JdbcClaimManifestCommitter.UrlKey).getOrElse(
+    throw new IllegalStateException(
+      s"${JdbcClaimManifestCommitter.UrlKey} must name the coordination " +
+        "database for JdbcClaimManifestCommitter"))
+
+  private def ttlMillis: Long =
+    conf(JdbcClaimManifestCommitter.TtlKey).map(_.toLong).getOrElse(15L * 60 * 1000)
+
+  private def ensureTable(u: String): Unit = {
+    if (ensured.contains(u)) return
+    val conn = DriverManager.getConnection(u)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(
+        "CREATE TABLE graft_commit_claims (" +
+          "claim_target VARCHAR(1024) PRIMARY KEY, " +
+          "claim_tmp VARCHAR(1024), " +
+          "claim_writer VARCHAR(64), " +
+          "claim_ts BIGINT, " +
+          "claim_complete SMALLINT)")
+      catch {
+        case e: SQLException =>
+          // already-exists is the normal case after the first commit;
+          // verify by probing rather than matching per-DB SQLStates
+          val probe = conn.createStatement()
+          try probe.executeQuery(
+            "SELECT claim_target FROM graft_commit_claims WHERE 1=0")
+          catch { case _: SQLException => throw e }
+      }
+    } finally conn.close()
+    synchronized { ensured = ensured + u }
+  }
+
+  private def copy(fs: FileSystem, from: Path, to: Path): Unit = {
+    val in = fs.open(from)
+    val bytes =
+      try {
+        val b = new Array[Byte](fs.getFileStatus(from).getLen.toInt)
+        in.readFully(b)
+        b
+      } finally in.close()
+    // overwrite=true: claim ownership is the mutex; the only possible
+    // existing content is an identical copy from a racing recoverer
+    val out = fs.create(to, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  override def commit(fs: FileSystem, tmp: Path, target: Path,
+                      tableRoot: String): Boolean = {
+    val u = url
+    ensureTable(u)
+    var attempt = 0
+    while (attempt < 3) {
+      attempt += 1
+      attemptOnce(fs, tmp, target, u) match {
+        case Some(outcome) => return outcome
+        case None => Thread.sleep(10) // claim churn: take another swing
+      }
+    }
+    false // repeated claim churn: report a loss, the OCC loop re-derives
+  }
+
+  /** One pass of the claim protocol. Some(won) is a decision; None means
+    * the observed claim disappeared or was a corpse we cleared — retry. */
+  private def attemptOnce(fs: FileSystem, tmp: Path, target: Path,
+                          u: String): Option[Boolean] = {
+    val key = target.toString
+    val conn = DriverManager.getConnection(u)
+    try {
+      val won =
+        try {
+          val ins = conn.prepareStatement(
+            "INSERT INTO graft_commit_claims VALUES (?, ?, ?, ?, 0)")
+          ins.setString(1, key); ins.setString(2, tmp.toString)
+          ins.setString(3, writerId); ins.setLong(4, System.currentTimeMillis())
+          ins.executeUpdate()
+          true
+        } catch {
+          // 23505 = unique violation (SQL standard, Derby/Postgres alike)
+          case e: SQLException if e.getSQLState == "23505" => false
+        }
+      if (won) {
+        if (fs.exists(target)) {
+          // a lost claims table (rebuilt DB) over an existing commit:
+          // record completion, report the loss — never clobber
+          markComplete(conn, key)
+          return Some(false)
+        }
+        copy(fs, tmp, target)
+        markComplete(conn, key)
+        fs.delete(tmp, false)
+        return Some(true)
+      }
+      // claim exists — inspect it
+      val sel = conn.prepareStatement(
+        "SELECT claim_tmp, claim_ts, claim_complete FROM graft_commit_claims " +
+          "WHERE claim_target = ?")
+      sel.setString(1, key)
+      val rs = sel.executeQuery()
+      if (!rs.next()) return None // vanished since the insert: retry
+      val (theirTmp, theirTs, complete) =
+        (rs.getString(1), rs.getLong(2), rs.getInt(3) == 1)
+      if (complete) return Some(false)
+      if (System.currentTimeMillis() - theirTs < ttlMillis) return Some(false)
+      // expired incomplete claim: crashed writer. Finish its publish if
+      // its staged manifest survives (its commit wins), else clear the
+      // corpse and retry the insert.
+      val theirTmpPath = new Path(theirTmp)
+      if (fs.exists(target)) { markComplete(conn, key); return Some(false) }
+      if (fs.exists(theirTmpPath)) {
+        copy(fs, theirTmpPath, target)
+        markComplete(conn, key)
+        fs.delete(theirTmpPath, false)
+        return Some(false)
+      }
+      // conditional delete — only the exact corpse we inspected, never
+      // a newer claim that slipped in since the SELECT
+      val del = conn.prepareStatement(
+        "DELETE FROM graft_commit_claims WHERE claim_target = ? " +
+          "AND claim_ts = ? AND claim_complete = 0")
+      del.setString(1, key); del.setLong(2, theirTs)
+      del.executeUpdate()
+      None
+    } finally conn.close()
+  }
+
+  private def markComplete(conn: java.sql.Connection, key: String): Unit = {
+    val up = conn.prepareStatement(
+      "UPDATE graft_commit_claims SET claim_complete = 1 WHERE claim_target = ?")
+    up.setString(1, key)
+    up.executeUpdate()
+    ()
+  }
+}
+
+object JdbcClaimManifestCommitter {
+  val UrlKey = "spark.graft.committerJdbcUrl"
+  val TtlKey = "spark.graft.committerClaimTtlMillis"
+}
