@@ -189,21 +189,26 @@ object Versioned {
       s"column(s) ${hit.mkString(", ")} were previously DROPPED from this " +
         "table and old files still hold their values — re-introducing the " +
         "name would resurrect them. Use a different name, or rewrite the " +
-        "table with a replace commit to shed the tombstone (compaction " +
-        "carries tombstones forward on purpose — it keeps snapshot " +
-        "semantics, not a fresh table).")
+        "table with a replace commit (compactLatest qualifies — it " +
+        "publishes a full-rewrite replace; incremental compactSmall does " +
+        "NOT, it carries old files and their tombstones).")
   }
 
   /** Drop columns as a METADATA-ONLY commit: the recorded schema loses
     * the columns (readers project old files through it, so the data
-    * never surfaces again), no file is rewritten, and a `#dropped=`
-    * tombstone per name is carried by every later commit so the name
-    * cannot be re-added while files physically holding old values are
-    * still referenced (the silent-resurrection hazard column-mapping
-    * formats solve with field ids; tombstones are the conservative
-    * no-rewrite answer). A replace commit or full rewrite sheds
-    * tombstones. Columns referenced by a CHECK constraint refuse (drop
-    * the constraint first). */
+    * never surfaces again) and no file is rewritten.
+    *
+    * Re-add safety depends on the table's era. MAPPED tables (field-id
+    * column mapping, the default for tables created since the feature)
+    * need no bookkeeping at all: a later column re-using the dropped
+    * NAME gets a fresh field id, old files answer only to the retired
+    * id, and the id high-water mark (`#colmaxid=`) guarantees retired
+    * ids are never reassigned — resurrection is structurally impossible
+    * and re-adding the name is allowed. LEGACY tables match by name, so
+    * a `#dropped=` tombstone per name is carried by every later commit
+    * and re-adding the name refuses until a replace commit rewrites the
+    * files. Columns referenced by a CHECK constraint refuse either way
+    * (drop the constraint first). */
   def dropColumns(spark: SparkSession, root: String,
                   cols: Seq[String]): Long = {
     require(cols.nonEmpty, "dropColumns needs at least one column")
@@ -211,7 +216,8 @@ object Versioned {
     require(vs.nonEmpty, s"no committed versions at $root")
     val current = vs.last
     val prev = snapshotSchema(spark, root, Some(current)).getOrElse(
-      readWithSchema(spark, None, snapshotFiles(spark, root, Some(current))).schema)
+      ColumnIds.stripIds(
+        readWithSchema(spark, None, snapshotFiles(spark, root, Some(current))).schema))
     val byLower = prev.fields.map(f => f.name.toLowerCase -> f.name).toMap
     val missing = cols.filterNot(c => byLower.contains(c.toLowerCase))
     require(missing.isEmpty,
@@ -239,11 +245,86 @@ object Versioned {
     }
     val remaining = StructType(prev.fields.filterNot(f =>
       doomedLower.contains(f.name.toLowerCase)))
+    // mapped tables shed tombstones entirely: the retired field id is the
+    // (stronger) guard — see the scaladoc
+    val tombstones =
+      if (ColumnIds.hasIds(prev)) Seq.empty
+      else cols.map(c => s"#dropped=${c.toLowerCase}")
     publish(spark, root, current + 1, op = "drop_columns",
       Seq(s"#schema=${remaining.json}") ++
         checkLines(spark, root, Some(current)) ++
         droppedLines(spark, root, Some(current)) ++
-        cols.map(c => s"#dropped=${c.toLowerCase}") ++
+        tombstones ++
+        dvEntries(spark, root, Some(current))
+          .map { case (e, d) => dvLine(e, d) } ++
+        manifestFiles(spark, root, current))
+  }
+
+  /** RENAME COLUMN as a METADATA-ONLY commit — the operation the
+    * reference performs more than any other (its pipelines open with
+    * 20-plus-column rename maps, e.g.
+    * `/root/reference/pipelines/etl_zrssale.py:73-101`) made safe at
+    * lake scale by field-id column mapping: only the LOGICAL name in the
+    * recorded schema changes; the column's field id — what the parquet
+    * readers actually match files by — stays, so every file written
+    * before the rename serves the renamed column untouched, and files
+    * written after it carry the new name with the same id. Time travel
+    * to a pre-rename version sees the old name (each version reads
+    * through its own recorded schema).
+    *
+    * Refuses on: legacy tables (files carry no ids — one replace commit,
+    * e.g. [[compactLatest]], upgrades them), a target name already in
+    * use or tombstoned, or a CHECK constraint referencing the old name
+    * (its expression text would silently go vacuous — drop it first).
+    *
+    * Sidecar stats/blooms keyed under the old name stop matching the
+    * renamed column for files written before the rename: pruning for
+    * them degrades to conservative keep-the-file, never a wrong skip;
+    * files written (or compacted) afterwards re-harvest under the new
+    * name. */
+  def renameColumn(spark: SparkSession, root: String,
+                   oldName: String, newName: String): Long = {
+    require(oldName.nonEmpty && newName.nonEmpty, "empty column name")
+    require(!oldName.equalsIgnoreCase(newName),
+      s"rename to the same name: $oldName")
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root")
+    val current = vs.last
+    val schema = snapshotSchema(spark, root, Some(current)).getOrElse(
+      throw new IllegalArgumentException(
+        s"table at $root has no recorded schema (pre-schema-tracking) — " +
+          "rewrite it once (replace commit, e.g. compactLatest) first"))
+    require(ColumnIds.hasIds(schema),
+      s"table at $root predates field-id column mapping: its files match " +
+        "columns by NAME, so a metadata-only rename would read the renamed " +
+        "column as null from every existing file — rewrite the table once " +
+        "(replace commit, e.g. compactLatest) to stamp field ids, then rename")
+    require(schema.fieldNames.exists(_.equalsIgnoreCase(oldName)),
+      s"no column $oldName at $root (have ${schema.fieldNames.mkString(", ")})")
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
+      s"column $newName already exists at $root")
+    val tombstoned = droppedColumns(spark, root)
+    require(!tombstoned.contains(newName.toLowerCase),
+      s"column name $newName is tombstoned by a previous DROP on this " +
+        "table — choose another name")
+    // a CHECK referencing the old name would keep evaluating the stale
+    // identifier text — same conservative refusal as dropColumns
+    constraints(spark, root).foreach { case (name, expression) =>
+      val used = java.util.regex.Pattern
+        .compile("(?i)(^|[^A-Za-z0-9_])" +
+          java.util.regex.Pattern.quote(oldName) + "($|[^A-Za-z0-9_])")
+        .matcher(expression).find()
+      require(!used,
+        s"column $oldName is referenced by CHECK constraint `$name` " +
+          s"($expression) — drop the constraint first")
+    }
+    val renamed = StructType(schema.fields.map(f =>
+      if (f.name.equalsIgnoreCase(oldName)) f.copy(name = newName) else f))
+    requireNoCaseDups(renamed)
+    publish(spark, root, current + 1, op = "rename_column",
+      Seq(s"#schema=${renamed.json}") ++
+        checkLines(spark, root, Some(current)) ++
+        droppedLines(spark, root, Some(current)) ++
         dvEntries(spark, root, Some(current))
           .map { case (e, d) => dvLine(e, d) } ++
         manifestFiles(spark, root, current))
@@ -340,7 +421,8 @@ object Versioned {
     require(vs.nonEmpty, s"no committed versions at $root")
     val current = vs.last
     val prev = snapshotSchema(spark, root, Some(current)).getOrElse(
-      readWithSchema(spark, None, snapshotFiles(spark, root, Some(current))).schema)
+      ColumnIds.stripIds(
+        readWithSchema(spark, None, snapshotFiles(spark, root, Some(current))).schema))
     val clash = fields.map(_.name.toLowerCase)
       .intersect(prev.fieldNames.map(_.toLowerCase).toSeq)
     require(clash.isEmpty, s"column(s) already exist: ${clash.mkString(", ")}")
@@ -350,7 +432,13 @@ object Versioned {
     // this manifest physically hold its previous values, and the "new"
     // column would read them instead of null (see dropColumns)
     requireNotDropped(spark, root, Some(current), fields.map(_.name))
-    val evolved = StructType(prev.fields ++ fields.map(_.copy(nullable = true)))
+    val evolved0 = StructType(prev.fields ++
+      fields.map(f => ColumnIds.stripIds(StructType(Seq(f))).head.copy(nullable = true)))
+    // mapped tables: new columns get fresh ids past the high-water mark
+    val evolved =
+      if (ColumnIds.hasIds(prev))
+        ColumnIds.completeIds(evolved0, colMaxIdOf(spark, root, current))
+      else evolved0
     publish(spark, root, current + 1, op = "add_columns",
       Seq(s"#schema=${evolved.json}") ++
         checkLines(spark, root, Some(current)) ++
@@ -413,6 +501,19 @@ object Versioned {
 
   private def asNullable(s: StructType): StructType =
     StructType(s.fields.map(_.copy(nullable = true)))
+
+  /** The table's field-id high-water mark as of version `v` — the
+    * `#colmaxid=` line the publish chokepoint maintains (falls back to
+    * the ids visible in the version's schema for manifests written
+    * before the line existed). Fresh ids are always assigned PAST this
+    * mark, so an id retired by DROP is never reused. */
+  private[graft] def colMaxIdOf(spark: SparkSession, root: String, v: Long): Long =
+    manifestLines(spark, root, v).find(_.startsWith("#colmaxid="))
+      .flatMap(_.stripPrefix("#colmaxid=").toLongOption)
+      .orElse(manifestLines(spark, root, v).find(_.startsWith("#schema="))
+        .map(s => ColumnIds.maxId(DataType.fromJson(s.stripPrefix("#schema="))
+          .asInstanceOf[StructType])))
+      .getOrElse(0L)
 
   /** Value-preserving type widenings the parquet VECTORIZED reader can
     * serve directly (probed on this Spark: INT32 files read as
@@ -487,7 +588,11 @@ object Versioned {
 
   private def readWithSchema(spark: SparkSession, schema: Option[StructType],
                              files: Seq[String]): DataFrame = schema match {
-    case Some(s) => spark.read.schema(s).parquet(files: _*)
+    case Some(s) =>
+      // a mapped (id-carrying) schema matches file columns BY ID, so
+      // files written before a rename serve the renamed column correctly
+      if (ColumnIds.hasIds(s)) ColumnIds.ensureConfs(spark)
+      spark.read.schema(s).parquet(files: _*)
     case None => spark.read.parquet(files: _*)
   }
 
@@ -535,11 +640,26 @@ object Versioned {
     val prevSchema: Option[StructType] =
       if (replace || prev.isEmpty) None
       else snapshotSchema(spark, root, Some(prev.last)).orElse(Some(
-        spark.read.parquet(
-          carried.map(rel => resolveEntry(root, rel).toString): _*).schema))
-    val recorded = prevSchema
-      .map(p => mergeSchemas(p, asNullable(df.schema)))
-      .getOrElse(asNullable(df.schema))
+        // footer-inferred = legacy table: strip any ids inference may
+        // surface (its files were not uniformly stamped by this module)
+        ColumnIds.stripIds(spark.read.parquet(
+          carried.map(rel => resolveEntry(root, rel).toString): _*).schema)))
+    // incoming batch ids are never trusted (see ColumnIds.stripIds);
+    // carried fields keep theirs through mergeSchemas
+    val batchSchema = ColumnIds.stripIds(asNullable(df.schema))
+    val merged = prevSchema
+      .map(p => mergeSchemas(p, batchSchema))
+      .getOrElse(batchSchema)
+    // field ids: a CREATE/REPLACE assigns them fresh (conf-gated, default
+    // on); an append to a mapped table ids its new columns past the
+    // high-water mark; an append to a legacy table stays legacy (the
+    // upgrade path is one replace commit, which rewrites every file)
+    val recorded =
+      if (replace || prev.isEmpty) {
+        if (ColumnIds.enabled(spark)) ColumnIds.completeIds(merged, 0L) else merged
+      } else if (prevSchema.exists(ColumnIds.hasIds))
+        ColumnIds.completeIds(merged, colMaxIdOf(spark, root, prev.last))
+      else merged
     requireNoCaseDups(recorded) // fail BEFORE the data write, like statsCols
     // an append must not evolve a tombstoned column name back into the
     // schema (dropColumns resurrection hazard); replace sheds tombstones
@@ -569,7 +689,10 @@ object Versioned {
     // which the winner's manifest never saw). Orphaned staging debris is
     // referenced by nothing and vacuum's dead-dir sweep reclaims it.
     val staging = stagingDir(root, next)
-    df.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
+    // stamp the recorded field ids into the written footers (no-op for
+    // legacy tables) — the files must carry them for id-matched reads
+    ColumnIds.stamp(df, recorded)
+      .write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
     // CHECK constraints validate the WRITTEN files (one evaluation — a
     // non-deterministic source cannot slip violations past a pre-write
     // check) and discard the batch before anything publishes. They carry
@@ -695,8 +818,23 @@ object Versioned {
     // so the label can never drift from the path that produced the
     // commit. Pre-labeling manifests read as null operation.
     // strip any carried-forward #op (metadata commits copy manifest lines
-    // verbatim) so exactly one label — this commit's own — survives
-    val body = s"#op=$op" +: lines.filterNot(_.startsWith("#op="))
+    // verbatim) so exactly one label — this commit's own — survives.
+    // #colmaxid is recomputed HERE, at the one place every manifest passes
+    // through: the monotone high-water mark of every field id the table
+    // has ever assigned. It must never decrease — a DROP removes the id
+    // from the schema while carried files still physically hold its
+    // values, and reusing it for a later column would resurrect them
+    // through the id-matched read.
+    val prevMaxId =
+      if (next <= 1) 0L
+      else scala.util.Try(colMaxIdOf(spark, root, next - 1)).getOrElse(0L)
+    val schemaMaxId = lines.find(_.startsWith("#schema="))
+      .map(s => ColumnIds.maxId(DataType.fromJson(s.stripPrefix("#schema="))
+        .asInstanceOf[StructType])).getOrElse(0L)
+    val maxId = math.max(prevMaxId, schemaMaxId)
+    val idLine = if (maxId > 0) Seq(s"#colmaxid=$maxId") else Seq.empty
+    val body = s"#op=$op" +: (idLine ++
+      lines.filterNot(l => l.startsWith("#op=") || l.startsWith("#colmaxid=")))
     try out.write(body.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val target = new Path(mdir, s"v$next.txt")
@@ -1298,7 +1436,11 @@ object Versioned {
     // per part file without clobbering the vectors
     val staging = new Path(batchDir, ".batch")
     try {
-      batch.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      // merge-on-read batches join a snapshot whose other files carry
+      // ids — stamp from the snapshot schema so the new files agree
+      val stamped = schema.filter(ColumnIds.hasIds)
+        .map(s => ColumnIds.stamp(batch, s)).getOrElse(batch)
+      stamped.write.mode(SaveMode.Overwrite).parquet(staging.toString)
       val parts = f.listStatus(staging).toSeq.map(_.getPath)
         .filter(_.getName.endsWith(".parquet"))
       parts.foreach { p =>
@@ -1612,8 +1754,10 @@ object Versioned {
     val schema: Option[StructType] =
       if (!schemaEvolution) tableSchema
       else Some(mergeSchemas(
-        tableSchema.getOrElse(readWithSchema(spark, None, files).schema),
-        asNullable(source.schema)))
+        tableSchema.getOrElse(
+          ColumnIds.stripIds(readWithSchema(spark, None, files).schema)),
+        // never trust ids riding in on the source frame's lineage
+        ColumnIds.stripIds(asNullable(source.schema))))
     val snapshot = readWithSchema(spark, schema, files)
     val cols = snapshot.columns.toSeq
     val extra = source.columns.filterNot(cols.contains)
@@ -2561,7 +2705,18 @@ object Versioned {
     val batchDir = new Path(dataDir(root), s"b$next")
     f.delete(batchDir, true)
     f.delete(new Path(mdir, s".v$next.txt.tmp"), false)
-    val recorded = asNullable(df.schema)
+    // rewrites record the BATCH's own schema: on a mapped table each
+    // column takes its id from the same-named previous field (rewritten
+    // rows stay the same column), new names (merge evolution) get fresh
+    // ids past the high-water mark
+    val prevRecorded = prev.lastOption
+      .flatMap(v => snapshotSchema(spark, root, Some(v)))
+    val recorded = prevRecorded match {
+      case Some(p) if ColumnIds.hasIds(p) =>
+        ColumnIds.inheritIds(p, ColumnIds.stripIds(asNullable(df.schema)),
+          colMaxIdOf(spark, root, prev.last))
+      case _ => ColumnIds.stripIds(asNullable(df.schema))
+    }
     requireNoCaseDups(recorded)
     // same resurrection guard as commit(): a rewrite/merge batch must not
     // reintroduce a tombstoned column name (mergeInto evolution passes
@@ -2569,7 +2724,8 @@ object Versioned {
     requireNotDropped(spark, root, prev.lastOption, df.columns.toSeq)
     // staging + rename: same two-writer interleaving defense as commit()
     val staging = stagingDir(root, next)
-    df.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
+    ColumnIds.stamp(df, recorded)
+      .write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
     // same written-files CHECK validation as commit() — see there
     if (validateChecks)
       enforceConstraintsOnWritten(spark, root, staging, recorded, prev.lastOption)
@@ -2932,9 +3088,32 @@ object Versioned {
       s"bloomCols with unsupported types (float/double excluded by design): " +
         badBloomTypes.mkString(", "))
     requireNoCaseDups(asNullable(df.schema))
+    // field-id stamping at PREPARE time, against the snapshot visible
+    // now: batch columns matching existing table columns take their
+    // current ids (a concurrent RENAME keeps ids, so the already-written
+    // footers stay correct across retries); genuinely new columns take
+    // tentative ids past the current high-water mark. The publish loop
+    // verifies the re-derived recorded schema agrees with these footers
+    // and aborts on drift — data is never rewritten on retry, so a batch
+    // whose embedded ids no longer match cannot be published.
+    val vs0 = versions(spark, root)
+    val prepSchema = vs0.lastOption
+      .flatMap(v => snapshotSchema(spark, root, Some(v)))
+    val stampSchema: Option[StructType] = prepSchema match {
+      case Some(p) if ColumnIds.hasIds(p) =>
+        Some(ColumnIds.inheritIds(p, ColumnIds.stripIds(asNullable(df.schema)),
+          colMaxIdOf(spark, root, vs0.last)))
+      case None if vs0.isEmpty && ColumnIds.enabled(spark) =>
+        Some(ColumnIds.completeIds(ColumnIds.stripIds(asNullable(df.schema)), 0L))
+      case _ => None
+    }
+    val stampedIds: Map[String, Long] = stampSchema
+      .map(_.fields.flatMap(f => ColumnIds.idOf(f).map(f.name.toLowerCase -> _)).toMap)
+      .getOrElse(Map.empty)
     // prepare: the batch writes ONCE, to a dir no other writer can name
     val batchDir = uniqueBatchDir(root)
-    df.write.mode(SaveMode.ErrorIfExists).parquet(batchDir.toString)
+    stampSchema.map(s => ColumnIds.stamp(df, s)).getOrElse(df)
+      .write.mode(SaveMode.ErrorIfExists).parquet(batchDir.toString)
     val newPaths = f.listStatus(batchDir).toSeq.map(_.getPath)
       .filter(_.getName.endsWith(".parquet"))
     if (statsCols.nonEmpty)
@@ -2955,16 +3134,40 @@ object Versioned {
       // and the constraint set now in force
       val carried = base.toSeq.flatMap(v => manifestFiles(spark, root, v))
       val prevSchema = base.flatMap(v => snapshotSchema(spark, root, Some(v)))
-        .orElse(base.map(v => spark.read.parquet(
-          carried.map(rel => resolveEntry(root, rel).toString): _*).schema))
+        .orElse(base.map(v => ColumnIds.stripIds(spark.read.parquet(
+          carried.map(rel => resolveEntry(root, rel).toString): _*).schema)))
       val recorded =
         try {
-          val r = prevSchema.map(p => mergeSchemas(p, asNullable(df.schema)))
-            .getOrElse(asNullable(df.schema))
+          val batchSchema = ColumnIds.stripIds(asNullable(df.schema))
+          val r0 = prevSchema.map(p => mergeSchemas(p, batchSchema))
+            .getOrElse(batchSchema)
+          val r =
+            if (prevSchema.exists(ColumnIds.hasIds))
+              ColumnIds.completeIds(r0, colMaxIdOf(spark, root, base.get))
+            else if (base.isEmpty && ColumnIds.enabled(spark))
+              ColumnIds.completeIds(r0, 0L)
+            else r0
           requireNoCaseDups(r)
           // resurrection guard, re-derived per attempt like the schema:
           // a dropColumns landing mid-flight must still gate this append
           requireNotDropped(spark, root, base, df.columns.toSeq)
+          // field-id/footer consistency: the batch's files were stamped
+          // at prepare time; every batch column's recorded id must still
+          // be the stamped one, else publishing would pair a schema with
+          // footers that answer to different ids (concurrent evolution,
+          // rename, or a mapping upgrade landed mid-flight) — abort, the
+          // caller re-runs and re-stamps
+          val recIds = r.fields
+            .flatMap(f => ColumnIds.idOf(f).map(f.name.toLowerCase -> _)).toMap
+          df.columns.foreach { c =>
+            val want = recIds.get(c.toLowerCase)
+            val have = stampedIds.get(c.toLowerCase)
+            require(want == have,
+              s"concurrent schema change at $root: column $c is stamped " +
+                s"field id ${have.getOrElse("<none>")} in the written batch " +
+                s"but the current snapshot requires ${want.getOrElse("<none>")} " +
+                "— append aborted (nothing published); re-run it")
+          }
           r
         } catch { case e: IllegalArgumentException => abort(e) }
       val checks = constraints(spark, root, base)
@@ -3034,9 +3237,16 @@ object Versioned {
     val statsCols = (trackedStatsCols(spark, root, files) ++ sortCols)
       .distinct.sorted.filter(c => schema.forall(_.fieldNames.contains(c)))
     // prepare: rewrite the small files ONCE into a unique dir (rows are
-    // already committed — valid by induction, no CHECK re-validation)
+    // already committed — valid by induction, no CHECK re-validation).
+    // Mapped tables: re-stamp the inputs' field ids (same columns, same
+    // ids — compaction never changes the schema)
+    val occStampIds: Map[String, Long] = schema.filter(ColumnIds.hasIds)
+      .map(_.fields.flatMap(f => ColumnIds.idOf(f).map(f.name.toLowerCase -> _)).toMap)
+      .getOrElse(Map.empty)
     val batchDir = uniqueBatchDir(root)
-    shaped.write.mode(SaveMode.ErrorIfExists).parquet(batchDir.toString)
+    schema.filter(ColumnIds.hasIds).map(s => ColumnIds.stamp(shaped, s))
+      .getOrElse(shaped)
+      .write.mode(SaveMode.ErrorIfExists).parquet(batchDir.toString)
     val newPaths = f.listStatus(batchDir).toSeq.map(_.getPath)
       .filter(_.getName.endsWith(".parquet"))
     if (statsCols.nonEmpty && newPaths.nonEmpty)
@@ -3071,9 +3281,30 @@ object Versioned {
       val carried = curFiles.filterNot(inputsRel)
       val curSchema = snapshotSchema(spark, root, Some(cur))
       val recorded =
-        try curSchema.map(s => mergeSchemas(s, asNullable(shaped.schema)))
-          .getOrElse(asNullable(shaped.schema))
-        catch { case e: IllegalArgumentException => abort(e) }
+        try {
+          val batchSchema = ColumnIds.stripIds(asNullable(shaped.schema))
+          val r0 = curSchema.map(s => mergeSchemas(s, batchSchema))
+            .getOrElse(batchSchema)
+          val r =
+            if (curSchema.exists(ColumnIds.hasIds))
+              ColumnIds.completeIds(r0, colMaxIdOf(spark, root, cur))
+            else r0
+          // same footer/id drift guard as commitOcc: the packed files
+          // were stamped against the BASE snapshot — a concurrent rename
+          // or mapping change makes them unpublishable, not re-writable
+          val recIds = r.fields
+            .flatMap(f => ColumnIds.idOf(f).map(f.name.toLowerCase -> _)).toMap
+          shaped.columns.foreach { c =>
+            val want = recIds.get(c.toLowerCase)
+            val have = occStampIds.get(c.toLowerCase)
+            require(want == have,
+              s"compaction conflict at $root: column $c is stamped field id " +
+                s"${have.getOrElse("<none>")} in the packed files but the " +
+                s"current snapshot requires ${want.getOrElse("<none>")} " +
+                "(concurrent schema change) — compaction aborted; re-run it")
+          }
+          r
+        } catch { case e: IllegalArgumentException => abort(e) }
       try {
         return publish(spark, root, cur + 1, op = "compact_occ",
           Seq(s"#schema=${recorded.json}") ++ checkLines(spark, root, Some(cur))

@@ -142,16 +142,30 @@ class VersionedCatalog extends TableCatalog with ProcedureCatalog {
 
   /** ALTER TABLE: ADD COLUMNS (metadata-only schema commit under the
     * additive-evolution rules — existing files read the new columns as
-    * null) and DROP COLUMNS (metadata-only, tombstoned — see
-    * [[Versioned.dropColumns]]). NOT NULL adds are impossible for
-    * existing rows, positioned adds would reorder what append commits
-    * define as stable, and RENAME would need column-mapping by field id
+    * null), DROP COLUMNS (metadata-only — id-guarded on mapped tables,
+    * tombstoned on legacy ones, see [[Versioned.dropColumns]]), and
+    * RENAME COLUMN (metadata-only via field-id column mapping — see
+    * [[Versioned.renameColumn]]; legacy tables refuse with the upgrade
+    * path). NOT NULL adds are impossible for existing rows and
+    * positioned adds would reorder what append commits define as stable
     * — those stay refused loudly. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     // IF EXISTS on a missing column leaves zero changes (the analyzer
     // filters it out, Spark still calls alterTable) — SQL semantics
     // require a silent no-op, not a refusal
     if (changes.isEmpty) return loadTable(ident)
+    val renames = changes.collect { case r: TableChange.RenameColumn => r }
+    if (renames.nonEmpty) {
+      require(renames.length == changes.length,
+        "RENAME COLUMN cannot be combined with other ALTER TABLE changes " +
+          "in one statement")
+      renames.foreach { r =>
+        require(r.fieldNames.length == 1,
+          s"nested column renames are not supported: ${r.fieldNames.mkString(".")}")
+        Versioned.renameColumn(spark, rootFor(ident), r.fieldNames.head, r.newName)
+      }
+      return loadTable(ident)
+    }
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     val drops = changes.collect { case d: TableChange.DeleteColumn => d }
     // DROP COLUMN: metadata-only via Versioned.dropColumns (tombstoned —
@@ -178,7 +192,8 @@ class VersionedCatalog extends TableCatalog with ProcedureCatalog {
       return loadTable(ident)
     }
     if (adds.length != changes.length || adds.isEmpty)
-      readOnly(s"ALTER TABLE $ident (only ADD COLUMNS / DROP COLUMNS)")
+      readOnly(s"ALTER TABLE $ident (only ADD COLUMNS / DROP COLUMNS / " +
+        "RENAME COLUMN)")
     val fields = adds.map { a =>
       require(a.fieldNames.length == 1,
         s"nested column adds are not supported: ${a.fieldNames.mkString(".")}")

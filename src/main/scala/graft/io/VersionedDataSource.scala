@@ -42,12 +42,16 @@ object VersionedDataSource {
   private[io] def snapshotTable(spark: SparkSession, root: String,
                                 asOf: Option[Long]): Table = {
     val files = Versioned.snapshotFiles(spark, root, asOf)
+    val schema = Versioned.snapshotSchema(spark, root, asOf)
+    // mapped tables: the NATIVE parquet scan must match file columns by
+    // field id (a renamed column lives under its old name in old files)
+    schema.filter(ColumnIds.hasIds).foreach(_ => ColumnIds.ensureConfs(spark))
     // Only a live (non-time-travel) load is streamable: a pinned snapshot
     // has no future versions to tail.
     new VersionedReadTable(ParquetTable(
       s"graft-versioned `$root`" + asOf.map(v => s" @v$v").getOrElse(""),
       spark, CaseInsensitiveStringMap.empty(), files.toList,
-      Versioned.snapshotSchema(spark, root, asOf),
+      schema,
       classOf[ParquetFileFormat]),
       liveRoot = if (asOf.isEmpty) Some(root) else None,
       dvBlocked = Versioned.dvEntries(spark, root, asOf).nonEmpty)
@@ -189,6 +193,8 @@ class VersionedDataSource extends TableProvider with DataSourceRegister {
           else Some(spark.read.parquet(
             Versioned.snapshotFiles(spark, root, schemaVersion): _*).schema)
         }
+      // mapped tables read through Spark's parquet field-id matching
+      userSchema.filter(ColumnIds.hasIds).foreach(_ => ColumnIds.ensureConfs(spark))
       val t = ParquetTable(s"graft-versioned `$root`", spark, options, files.toList,
         userSchema, classOf[ParquetFileFormat])
       cached = Some(key -> t)

@@ -649,6 +649,45 @@ object VersionedQueries {
   val versionedDropColumnOracle: String =
     s"$oracleSelect GROUP BY 1, 2"
 
+  /** Metadata-only RENAME COLUMN via field-id mapping: two bands commit
+    * under `o_totalprice`, the column is renamed to `price` (no file
+    * rewritten — the field id stays and readers match files by id), a
+    * third band appends under the NEW name, and the result unions two
+    * legs: the full snapshot aggregated through the renamed column (old
+    * files served by id) and the PRE-rename snapshot aggregated through
+    * the old name (per-version schemas across the rename). */
+  def versionedRename(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = QueryScratch.freshRoot("graft_rename_q", sfDir)
+    val orders = Tables.orders(spark, sfDir)
+    (0 to 1).foreach { m =>
+      Versioned.commit(spark, orders.filter(pmod(col("o_orderkey"), lit(3)) === m),
+        root, statsCols = Seq("o_orderkey"))
+    }
+    Versioned.renameColumn(spark, root, "o_totalprice", "price")
+    Versioned.commit(spark,
+      orders.filter(pmod(col("o_orderkey"), lit(3)) === 2)
+        .withColumnRenamed("o_totalprice", "price"), root)
+    def agg(df: DataFrame, priceCol: String, leg: String): DataFrame =
+      df.groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col(priceCol).cast(D)).cast("double").as("sum_price"))
+        .withColumn("leg", lit(leg))
+    agg(Versioned.read(spark, root), "price", "renamed_all")
+      .unionByName(agg(Versioned.read(spark, root, asOf = Some(2L)),
+        "o_totalprice", "pre_rename"))
+  }
+
+  val versionedRenameOracle: String =
+    """SELECT o_orderstatus AS status, COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+      |       'renamed_all' AS leg
+      |FROM orders GROUP BY 1
+      |UNION ALL
+      |SELECT o_orderstatus AS status, COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+      |       'pre_rename' AS leg
+      |FROM orders WHERE o_orderkey % 3 < 2 GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "versioned_cdf" -> (versionedCdf _),
     "versioned_dv_update" -> (versionedDvUpdate _),
@@ -657,6 +696,7 @@ object VersionedQueries {
     "versioned_dv_mat" -> (versionedDvMaterialize _),
     "versioned_dv_mat_partial" -> (versionedDvMaterializePartial _),
     "versioned_drop_column" -> (versionedDropColumn _),
+    "versioned_rename" -> (versionedRename _),
     "versioned_snapshot" -> (versionedSnapshot _),
     "versioned_occ" -> (versionedOcc _),
     "versioned_time_travel" -> (versionedTimeTravel _),
@@ -682,6 +722,7 @@ object VersionedQueries {
     "versioned_dv_mat" -> versionedDvMaterializeOracle,
     "versioned_dv_mat_partial" -> versionedDvMaterializePartialOracle,
     "versioned_drop_column" -> versionedDropColumnOracle,
+    "versioned_rename" -> versionedRenameOracle,
     "versioned_snapshot" -> versionedSnapshotOracle,
     "versioned_occ" -> versionedOccOracle,
     "versioned_time_travel" -> versionedTimeTravelOracle,

@@ -1,0 +1,143 @@
+package graft
+
+import graft.io.Versioned
+import org.apache.spark.sql.functions._
+
+/** RENAME COLUMN via field-id column mapping: metadata-only rename, old
+  * files served by id under the new name, per-version schemas across the
+  * rename, drop/re-add without tombstones on mapped tables, and the
+  * legacy-table refusal + upgrade path. */
+class RenameColumnSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmpRoot(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_rename").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  test("metadata-only rename serves pre-rename files by field id") {
+    val root = tmpRoot()
+    Versioned.commit(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root)
+    Versioned.commit(spark, Seq((3L, "c")).toDF("id", "v"), root)
+    val v3 = Versioned.renameColumn(spark, root, "v", "label")
+    assert(v3 == 3L)
+    // no data file was rewritten by the rename
+    assert(Versioned.read(spark, root, asOf = Some(2L)).inputFiles.sorted.toSeq ==
+      Versioned.read(spark, root).inputFiles.sorted.toSeq)
+    // the new name serves values from files written under the OLD name
+    val out = Versioned.read(spark, root).select("id", "label")
+      .as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // post-rename append under the new name lands in the same column
+    Versioned.commit(spark, Seq((4L, "d")).toDF("id", "label"), root)
+    assert(Versioned.read(spark, root).select("label").as[String]
+      .collect().toSet == Set("a", "b", "c", "d"))
+    // time travel ACROSS the rename: v2 still reads the old name
+    val old = Versioned.read(spark, root, asOf = Some(2L))
+    assert(old.columns.toSeq == Seq("id", "v"))
+    assert(old.select("v").as[String].collect().toSet == Set("a", "b", "c"))
+    // the DSv2 format path (native vectorized scan) agrees
+    val dsv2 = spark.read.format("graft-versioned").load(root)
+    assert(dsv2.columns.toSeq == Seq("id", "label"))
+    assert(dsv2.select("label").as[String].collect().toSet ==
+      Set("a", "b", "c", "d"))
+    assert(spark.read.format("graft-versioned").option("asOf", 2).load(root)
+      .columns.toSeq == Seq("id", "v"))
+  }
+
+  test("rename refuses collisions, unknown columns, and checked columns") {
+    val root = tmpRoot()
+    Versioned.commit(spark, Seq((1L, "a", 5.0)).toDF("id", "v", "w"), root)
+    assert(intercept[IllegalArgumentException](
+      Versioned.renameColumn(spark, root, "v", "W")).getMessage.contains("already exists"))
+    assert(intercept[IllegalArgumentException](
+      Versioned.renameColumn(spark, root, "nope", "x")).getMessage.contains("no column"))
+    Versioned.addConstraint(spark, root, "w_pos", "w > 0")
+    assert(intercept[IllegalArgumentException](
+      Versioned.renameColumn(spark, root, "w", "weight")).getMessage.contains("w_pos"))
+    // unchecked column still renames fine under the constraint
+    Versioned.renameColumn(spark, root, "v", "label")
+    assert(Versioned.read(spark, root).columns.toSeq == Seq("id", "label", "w"))
+  }
+
+  test("mapped tables: drop then re-add the same name reads null, never old values") {
+    val root = tmpRoot()
+    Versioned.commit(spark, Seq((1L, "secret")).toDF("id", "v"), root)
+    Versioned.dropColumns(spark, root, Seq("v"))
+    // no tombstone refusal on a mapped table: the fresh field id IS the guard
+    Versioned.commit(spark, Seq((2L, "new")).toDF("id", "v"), root)
+    val rows = Versioned.read(spark, root).select("id", "v")
+      .as[(Long, Option[String])].collect().toSet
+    assert(rows == Set((1L, None), (2L, Some("new"))),
+      s"old value resurfaced: $rows")
+    // and the pre-drop version still time-travels to the old value
+    assert(Versioned.read(spark, root, asOf = Some(1L)).select("v")
+      .as[String].collect().toSeq == Seq("secret"))
+  }
+
+  test("rename then rename back round-trips by id") {
+    val root = tmpRoot()
+    Versioned.commit(spark, Seq((1L, 10.0)).toDF("id", "x"), root)
+    Versioned.renameColumn(spark, root, "x", "y")
+    Versioned.commit(spark, Seq((2L, 20.0)).toDF("id", "y"), root)
+    Versioned.renameColumn(spark, root, "y", "x")
+    assert(Versioned.read(spark, root).select("x").as[Double]
+      .collect().toSet == Set(10.0, 20.0))
+  }
+
+  test("legacy tables refuse rename; one compactLatest upgrades them") {
+    val root = tmpRoot()
+    spark.conf.set("spark.graft.columnMapping", "false")
+    try {
+      Versioned.commit(spark, Seq((1L, "a")).toDF("id", "v"), root)
+    } finally spark.conf.unset("spark.graft.columnMapping")
+    val e = intercept[IllegalArgumentException](
+      Versioned.renameColumn(spark, root, "v", "label"))
+    assert(e.getMessage.contains("field-id column mapping"), e.getMessage)
+    // the message's own remedy must work: replace-rewrite, then rename
+    Versioned.compactLatest(spark, root, nFiles = 1)
+    Versioned.renameColumn(spark, root, "v", "label")
+    assert(Versioned.read(spark, root).select("label").as[String]
+      .collect().toSeq == Seq("a"))
+  }
+
+  test("SQL surface: ALTER TABLE RENAME COLUMN through the catalog") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_rename_wh").toFile
+    wh.deleteOnExit()
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.graft_rn", "graft.io.VersionedCatalog")
+    s.conf.set("spark.sql.catalog.graft_rn.warehouse", wh.getAbsolutePath)
+    s.sql("CREATE TABLE graft_rn.ns.t (id BIGINT, v STRING)")
+    s.sql("INSERT INTO graft_rn.ns.t VALUES (1, 'a'), (2, 'b')")
+    s.sql("ALTER TABLE graft_rn.ns.t RENAME COLUMN v TO label")
+    assert(s.table("graft_rn.ns.t").columns.toSeq == Seq("id", "label"))
+    s.sql("INSERT INTO graft_rn.ns.t VALUES (3, 'c')")
+    assert(s.sql("SELECT label FROM graft_rn.ns.t ORDER BY id")
+      .collect().map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    // filters on the renamed column reach rows in pre-rename files
+    assert(s.sql("SELECT id FROM graft_rn.ns.t WHERE label = 'a'")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // unknown column refuses at analysis
+    intercept[Exception](
+      s.sql("ALTER TABLE graft_rn.ns.t RENAME COLUMN nope TO x"))
+  }
+
+  test("rename survives merge, update, and compaction") {
+    val root = tmpRoot()
+    Versioned.commit(spark, (1L to 10L).map(i => (i, i * 1.0)).toDF("id", "x"), root)
+    Versioned.renameColumn(spark, root, "x", "price")
+    // copy-on-write merge keyed on id, under the NEW name
+    Versioned.mergeInto(spark, root,
+      Seq((5L, 99.0), (11L, 11.0)).toDF("id", "price"), Seq("id"))
+    // update through the renamed column
+    Versioned.updateWhere(spark, root, col("id") === 1L,
+      Map("price" -> lit(42.0)))
+    // compact and re-read: rewritten files carry the new name + same id
+    Versioned.compactLatest(spark, root, nFiles = 1, sortCols = Seq("id"))
+    val out = Versioned.read(spark, root).select("id", "price")
+      .as[(Long, Double)].collect().toMap
+    assert(out.size == 11)
+    assert(out(5L) == 99.0 && out(1L) == 42.0 && out(11L) == 11.0 && out(2L) == 2.0)
+  }
+}

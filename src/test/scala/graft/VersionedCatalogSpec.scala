@@ -152,7 +152,7 @@ class VersionedCatalogSpec extends SparkSpecBase {
     assert(spark.table("graft_test.sales.altered").count() == 2)
   }
 
-  test("other ALTERs and RENAME stay rejected (paths stable, columns append-only)") {
+  test("unsupported ALTERs stay rejected; RENAME COLUMN round-trips") {
     warehouse
     def refuse(sql: String, needle: String): Unit = {
       val e = intercept[Exception](spark.sql(sql))
@@ -163,11 +163,13 @@ class VersionedCatalogSpec extends SparkSpecBase {
       "NOT NULL")
     refuse("ALTER TABLE graft_test.sales.orders ADD COLUMN z INT FIRST",
       "positioned")
-    // DROP COLUMN is supported since round 10 (tombstoned metadata-only
-    // commit — positive coverage in DropColumnsSpec); RENAME remains
-    // refused (it would need column-mapping by field id)
-    refuse("ALTER TABLE graft_test.sales.orders RENAME COLUMN k TO kk",
-      "does not support")
+    // DROP COLUMN (round 10) and RENAME COLUMN (round 11, field-id
+    // column mapping) are supported — positive coverage in
+    // DropColumnsSpec / RenameColumnSpec; here just prove the catalog
+    // routes RENAME COLUMN and the data survives the round trip
+    spark.sql("ALTER TABLE graft_test.sales.orders RENAME COLUMN k TO kk")
+    assert(spark.table("graft_test.sales.orders").columns.contains("kk"))
+    spark.sql("ALTER TABLE graft_test.sales.orders RENAME COLUMN kk TO k")
     refuse("ALTER TABLE graft_test.sales.orders RENAME TO graft_test.sales.orders2",
       "does not support")
     // table untouched
