@@ -100,6 +100,18 @@ object GraftExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  case class CosineFDExpr(left: Expression, right: Expression) extends BinaryExpression with GraftExpectsInputTypes {
+    override def graftInputTypes: Seq[DataType] = Seq(ArrayType(FloatType), ArrayType(DoubleType))
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.cosineFD(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.cosineFD($a, $b)")
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineFDExpr =
+      copy(left = newLeft, right = newRight)
+  }
+
   case class ZOrder2Expr(left: Expression, right: Expression) extends BinaryExpression with GraftExpectsInputTypes {
     override def graftInputTypes: Seq[DataType] = Seq(LongType, LongType)
     override def dataType: DataType = LongType
@@ -180,6 +192,7 @@ object GraftExpressions {
   def zorder2(a: Column, b: Column): Column = Bridge.column(ZOrder2Expr(expr(a), expr(b)))
   def zorderN(dims: Seq[Column]): Column = Bridge.column(ZOrderNExpr(dims.map(expr)))
   def cosineD(a: Column, b: Column): Column = Bridge.column(CosineExpr(expr(a), expr(b)))
+  def cosineFD(a: Column, b: Column): Column = Bridge.column(CosineFDExpr(expr(a), expr(b)))
   def kminLongs(c: Column, k: Int): Column =
     Bridge.column(KMinLongs(expr(c), k).toAggregateExpression())
   def topKBy(score: Column, id: Column, k: Int): Column =

@@ -196,4 +196,29 @@ object Kernels {
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** [[cosineD]] for a FLOAT vector against a DOUBLE vector — the
+    * centroid-assignment shape (float embeddings vs quantized-sum double
+    * centroids), previously served by the interpreted aggregate/zip_with
+    * fold whose per-row lambda cost dominates k-means assignment as the
+    * centroid count grows. Same sequential left-fold accumulation per
+    * index, so bit-identical to cosine(dotDComposed(a,b),
+    * dotDComposed(a,a), dotDComposed(b,b)) and to the oracle's
+    * list_reduce composition (KernelSpec proves the equivalence). */
+  def cosineFD(a: ArrayData, b: ArrayData): Double = {
+    val m = a.numElements()
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < m) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
 }

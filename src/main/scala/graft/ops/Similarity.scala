@@ -130,13 +130,47 @@ object Similarity {
   /** Assign each (vec_id, embedding) row to its `nprobe` nearest
     * centroids by cosine (deterministic tie-break on rlabel). nprobe=1
     * indexes the corpus; nprobe>1 widens a query's candidate lists —
-    * the standard IVF recall dial. */
+    * the standard IVF recall dial.
+    *
+    * The scoring kernel is picked by the centroid element type: float
+    * centroids (raw-vector seeds/representatives) use the fused
+    * float×float kernel, double centroids (quantized Lloyd sums) the
+    * fused float×double kernel — both codegen'd and bit-identical to
+    * the interpreted [[cosineGeneric]] fold (KernelSpec), which remains
+    * only as the fallback for exotic element types. n×k fused-kernel
+    * evaluations are what keep corpus-proportional centroid counts
+    * affordable: the interpreted fold's per-row lambda overhead made
+    * assignment — not the pair join — the dominant cost past k≈100. */
   def assignClusters(emb: DataFrame, cent: DataFrame, nprobe: Int): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("rcos").desc, col("rlabel"))
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    val rcos = cent.schema("cvec").dataType match {
+      case ArrayType(FloatType, _) => cosineSim(col("embedding"), col("cvec"))
+      case ArrayType(DoubleType, _) =>
+        graft.functions.GraftExpressions.cosineFD(col("embedding"), col("cvec"))
+      case _ => cosineGeneric(col("embedding"), col("cvec"))
+    }
+    // nearest-centroid selection via the bounded-heap aggregate, NOT a
+    // window: the scored frame is n×k rows, and a window would SHUFFLE
+    // AND SORT all of them on vec_id — measured super-linear on the
+    // sf1→sf5 fixtures once k grows with the corpus (the whole point of
+    // corpus-proportional centroid counts). The heap aggregate combines
+    // map-side, so the exchange carries nprobe entries per (vec_id,
+    // task) instead of k, and there is no sort. Tie-break (score desc,
+    // id asc) is TopKPairs's contract — identical to the window form it
+    // replaces and to the oracle SQL's ORDER BY. The id rides as LONG
+    // through the heap and is cast back to the centroid label's own
+    // type, so callers and oracles see unchanged cluster values.
+    import graft.functions.GraftExpressions.topKBy
+    val rlabelType = cent.schema("rlabel").dataType
     emb.crossJoin(broadcast(cent))
-      .withColumn("rcos", cosineGeneric(col("embedding"), col("cvec")))
-      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= nprobe)
-      .select(col("vec_id"), col("embedding"), col("rlabel").as("cluster"))
+      .select(col("vec_id"), col("embedding"),
+        col("rlabel").cast("long").as("__rl"), rcos.as("rcos"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("embedding"),
+        topKBy(col("rcos"), col("__rl"), nprobe).as("__top"))
+      .select(col("vec_id"), col("embedding"), explode(col("__top")).as("__e"))
+      .select(col("vec_id"), col("embedding"),
+        col("__e.id").cast(rlabelType).as("cluster"))
   }
 
   /** SemDeDup — semantic deduplication by cluster blocking (Abbas et al.
@@ -175,6 +209,97 @@ object Similarity {
       .select(col("vec_id")).distinct()
     assigned.join(dropped, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cluster"))
+  }
+
+  /** [[semDedupKeep]] with a CORPUS-DERIVED centroid count — closes the
+    * one documented 100 TB caveat of the fixed-seeding form: under a
+    * FIXED centroid count the per-cluster O(size²) blocks grow
+    * quadratically with the corpus, and the published remedy ("raise
+    * centroids with the corpus", Abbas et al. 2023 §3) depended on
+    * caller diligence. Here it IS the default:
+    * k = max(minCentroids, ceil(n / targetClusterSize)) keeps the
+    * EXPECTED cluster size constant, so total intra-cluster pair work
+    * grows linearly with n instead of quadratically. The default
+    * target (200) is deliberately small enough that k leaves the
+    * minCentroids floor early — measured on the sf1→sf5 fixtures
+    * (20k→100k vectors, 5× rows): target=2000 still sat near the floor
+    * and cost 11.8× at the 5× step, target=200 scales k 100→500 and
+    * holds the step at ~linear; a larger target buys per-cluster
+    * recall only once the corpus dwarfs target × minCentroids.
+    *
+    * Deterministic and bit-reproducible (oracle-checked): seeds are the
+    * vectors whose `vec_id` is a multiple of stride = max(1, n/k) — a
+    * pure scan predicate, no global sort — routed through a TWO-LEVEL
+    * coarse-then-fine nearest-seed assignment (see the body), each level
+    * scored by the engine-exact fused cosine with (cos desc, seed id)
+    * tie-break. Dense ids give ~k seeds; sparse ids shift the seed
+    * count but stay deterministic and corpus-proportional.
+    *
+    * Next ceiling, stated: the FINE seed set rides a join (cell-sized
+    * lists), but the COARSE seed set (~√k vectors) is broadcast —
+    * ~360 MB of floats at n = 2.5e10 with the defaults; past that the
+    * quantizer tree needs a third level (same move again). */
+  def semDedupAuto(emb: DataFrame, tau: Double,
+                   targetClusterSize: Long = 200L,
+                   minCentroids: Int = 16,
+                   lloydIters: Int = 0,
+                   maxClusterSize: Int = 100000): DataFrame = {
+    import graft.functions.GraftExpressions.topKBy
+    require(targetClusterSize > 0,
+      s"targetClusterSize must be positive, got $targetClusterSize")
+    require(minCentroids > 0, s"minCentroids must be positive, got $minCentroids")
+    val n = emb.select(col("vec_id")).count()
+    if (n == 0L)
+      return emb.select(col("vec_id"), col("vec_id").as("cluster")).limit(0)
+    val k = math.max(minCentroids.toLong,
+      math.ceil(n.toDouble / targetClusterSize).toLong)
+    val stride = math.max(1L, n / k)
+    // TWO-LEVEL assignment (the IVF coarse-quantizer move): a flat
+    // nearest-of-k scan is n×k = n²/target pair evaluations — the
+    // corpus-proportional k that fixes the PAIR-JOIN quadratic would
+    // quietly re-create it inside ASSIGNMENT (measured: the flat form's
+    // sf1→sf5 step was dominated by the n×k crossJoin). Routing each
+    // vector through ~√k coarse seeds first, then scoring only the fine
+    // seeds of its coarse cell, costs n·(√k + k/√k) = 2n√k — the
+    // standard accuracy-for-cost trade of every IVF index (a vector
+    // whose true nearest fine seed lies in a neighboring coarse cell
+    // lands one cell over; near-dup PAIRS still co-locate because both
+    // ends take the same route). Both levels are deterministic stride
+    // subsets of the corpus, so the whole clustering stays
+    // bit-reproducible (oracle-checked).
+    val csf = math.max(1L, math.floor(math.sqrt(k.toDouble) + 0.5).toLong)
+    val fine = emb.filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("vec_id").as("rlabel"), col("embedding").as("cvec"))
+    val coarse = emb.filter(pmod(col("vec_id"), lit(stride * csf)) === 0)
+      .select(col("vec_id").as("rlabel"), col("embedding").as("cvec"))
+    // fine seed -> its coarse cell (k×√k, tiny); every coarse seed is a
+    // fine seed mapping to itself, so no cell is empty
+    val f2c = assignClusters(
+      fine.select(col("rlabel").as("vec_id"), col("cvec").as("embedding")),
+      coarse, 1)
+      .select(col("vec_id").as("__fid"), col("embedding").as("__fvec"),
+        col("cluster").as("__coarse"))
+    // vector -> coarse cell (n×√k through the map-side heap)
+    val v2c = assignClusters(emb.select(col("vec_id"), col("embedding")), coarse, 1)
+      .select(col("vec_id"), col("embedding"), col("cluster").as("__coarse"))
+    // vector -> nearest fine seed WITHIN its coarse cell: an equi-join
+    // on the cell (n×(k/√k) scored rows), never a crossJoin over all k
+    val seeded = v2c.join(f2c, Seq("__coarse"))
+      .select(col("vec_id"), col("embedding"),
+        col("__fid").cast("long").as("__rl"),
+        cosineSim(col("embedding"), col("__fvec")).as("rcos"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("embedding"),
+        topKBy(col("rcos"), col("__rl"), 1).as("__top"))
+      .select(col("vec_id"), col("embedding"), explode(col("__top")).as("__e"))
+      .select(col("vec_id"), col("embedding"), col("__e.id").as("label"))
+    // lloydIters defaults to 0: one Lloyd pass re-pays a FLAT n×k
+    // reassignment (lloydIterate scores every centroid), surrendering
+    // exactly what the two-level route saved — opt in only where the
+    // refinement is worth that cost at the corpus size in hand
+    val refined = if (lloydIters <= 0) seeded else lloydIterate(seeded, lloydIters)
+    semDedupKeep(refined.select(col("vec_id"), col("embedding"),
+      col("label").as("cluster")), tau, maxClusterSize)
   }
 
   /** IVF probe: exact top-k of each query against the candidates in its

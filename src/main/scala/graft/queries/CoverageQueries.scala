@@ -520,6 +520,65 @@ object CoverageQueries {
        |WHERE d.vec_id IS NULL
        |""".stripMargin
 
+  /** SemDeDup under the AUTO-SCALING centroid default
+    * (Similarity.semDedupAuto): k = max(16, ceil(n/200)) corpus-derived
+    * fine seeds from deterministic stride selection, routed through the
+    * TWO-LEVEL coarse(√k)-then-fine assignment, then the intra-cluster
+    * keep rule — the form whose assignment AND pair work both stay
+    * near-linear as the corpus grows, oracle-exact end to end including
+    * the seed/stride arithmetic and both assignment tie-breaks. */
+  def semDedupAuto(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    Similarity.semDedupAuto(emb, tau = 0.2)
+  }
+
+  val semDedupAutoOracle: String =
+    s"""WITH p AS (
+       |  SELECT n, stride, stride * GREATEST(1,
+       |           CAST(floor(sqrt(k) + 0.5) AS BIGINT)) AS cstride
+       |  FROM (
+       |    SELECT n, k,
+       |           GREATEST(1, CAST(floor(n * 1.0 / k) AS BIGINT)) AS stride
+       |    FROM (SELECT n, GREATEST(16, CAST(ceil(n / 200.0) AS BIGINT)) AS k
+       |          FROM (SELECT COUNT(*) AS n FROM embeddings)))),
+       |fine AS (
+       |  SELECT vec_id AS rlabel, embedding AS cvec FROM embeddings, p
+       |  WHERE vec_id % p.stride = 0),
+       |coarse AS (
+       |  SELECT vec_id AS rlabel, embedding AS cvec FROM embeddings, p
+       |  WHERE vec_id % p.cstride = 0),
+       |f2c AS (
+       |  SELECT rlabel AS fid, cvec AS fvec, crl AS cell FROM (
+       |    SELECT f.rlabel, f.cvec, c.rlabel AS crl,
+       |           row_number() OVER (PARTITION BY f.rlabel
+       |             ORDER BY ${cosSql("f.cvec", "c.cvec")} DESC, c.rlabel) AS rn
+       |    FROM fine f CROSS JOIN coarse c)
+       |  WHERE rn = 1),
+       |v2c AS (
+       |  SELECT vec_id, embedding, crl AS cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.rlabel AS crl,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.rlabel) AS rn
+       |    FROM embeddings e CROSS JOIN coarse c)
+       |  WHERE rn = 1),
+       |assigned AS (
+       |  SELECT vec_id, embedding, fid AS cluster FROM (
+       |    SELECT v.vec_id, v.embedding, f.fid,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY ${cosSql("v.embedding", "f.fvec")} DESC, f.fid) AS rn
+       |    FROM v2c v JOIN f2c f ON v.cell = f.cell)
+       |  WHERE rn = 1),
+       |dropped AS (
+       |  SELECT DISTINCT a.vec_id
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+       |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.2)
+       |SELECT a.vec_id, a.cluster FROM assigned a
+       |LEFT JOIN dropped d ON a.vec_id = d.vec_id
+       |WHERE d.vec_id IS NULL
+       |""".stripMargin
+
   /** IVF after TWO full Lloyd iterations (Similarity.lloydIterate) —
     * proves the iterative refinement loop is oracle-exact end to end,
     * not just spec-monotone: integer-quantized centroid sums keep every
@@ -1146,6 +1205,7 @@ object CoverageQueries {
     "schema_align" -> (schemaAlignQuery _),
     "ann_ivf_kmeans" -> (annIvfKmeans _),
     "semdedup" -> (semDedup _),
+    "semdedup_auto" -> (semDedupAuto _),
     "ann_ivf_lloyd2" -> (annIvfLloyd2 _),
     "ann_ivf_probe2" -> (annIvfProbe2 _),
     "range_exclusion" -> (rangeExclusion _),
@@ -1184,6 +1244,7 @@ object CoverageQueries {
     "schema_align" -> schemaAlignOracle,
     "ann_ivf_kmeans" -> annIvfKmeansOracle,
     "semdedup" -> semDedupOracle,
+    "semdedup_auto" -> semDedupAutoOracle,
     "ann_ivf_lloyd2" -> annIvfLloyd2Oracle,
     "ann_ivf_probe2" -> annIvfProbe2Oracle,
     "range_exclusion" -> rangeExclusionOracle,

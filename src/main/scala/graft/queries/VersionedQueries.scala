@@ -677,6 +677,49 @@ object VersionedQueries {
         "o_totalprice", "pre_rename"))
   }
 
+  /** The SQL TVF surface end-to-end under the driver gate: the same
+    * 3-commit table, read back ENTIRELY through `spark.sql` over the
+    * registered table functions — `graft_table_changes(root, 1, 3)` (the
+    * unkeyed append window: bands 1-2 as inserts) and, after an UPDATE
+    * commit, `graft_table_changes_keyed(root, 3, 4, 'o_orderkey')` (the
+    * keyed classification: update_preimage/update_postimage pairs).
+    * Pins the literal-argument analysis-time builder path
+    * (GraftExtensions.tableRegistrations) that was previously
+    * spec-covered only. */
+  def versionedChangesSql(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    val root = buildSource(spark, sfDir)
+    Versioned.updateWhere(spark, root, pmod(col("o_orderkey"), lit(7)) === 0,
+      Map("o_totalprice" -> (col("o_totalprice") * 2)))
+    val window = spark.sql(
+      s"SELECT * FROM graft_table_changes('$root', 1, 3)")
+      .filter(col("_change") === "insert")
+      .groupBy(col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast(D)).cast("double").as("sum_price"))
+    val keyed = spark.sql(
+      s"SELECT * FROM graft_table_changes_keyed('$root', 3, 4, 'o_orderkey')")
+      .groupBy(lit("UPD").as("status"), col("_change_type").as("priority"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast(D)).cast("double").as("sum_price"))
+    window.unionByName(keyed)
+  }
+
+  val versionedChangesSqlOracle: String =
+    """SELECT o_orderstatus AS status, o_orderpriority AS priority,
+      |       COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+      |FROM orders WHERE o_orderkey % 3 <> 0 GROUP BY 1, 2
+      |UNION ALL
+      |SELECT 'UPD' AS status, 'update_preimage' AS priority, COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+      |FROM orders WHERE o_orderkey % 7 = 0
+      |UNION ALL
+      |SELECT 'UPD' AS status, 'update_postimage' AS priority, COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(o_totalprice * 2 AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+      |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin
+
   val versionedRenameOracle: String =
     """SELECT o_orderstatus AS status, COUNT(*) AS cnt,
       |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
@@ -697,6 +740,7 @@ object VersionedQueries {
     "versioned_dv_mat_partial" -> (versionedDvMaterializePartial _),
     "versioned_drop_column" -> (versionedDropColumn _),
     "versioned_rename" -> (versionedRename _),
+    "versioned_changes_sql" -> (versionedChangesSql _),
     "versioned_snapshot" -> (versionedSnapshot _),
     "versioned_occ" -> (versionedOcc _),
     "versioned_time_travel" -> (versionedTimeTravel _),
@@ -723,6 +767,7 @@ object VersionedQueries {
     "versioned_dv_mat_partial" -> versionedDvMaterializePartialOracle,
     "versioned_drop_column" -> versionedDropColumnOracle,
     "versioned_rename" -> versionedRenameOracle,
+    "versioned_changes_sql" -> versionedChangesSqlOracle,
     "versioned_snapshot" -> versionedSnapshotOracle,
     "versioned_occ" -> versionedOccOracle,
     "versioned_time_travel" -> versionedTimeTravelOracle,

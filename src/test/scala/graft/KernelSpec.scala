@@ -98,6 +98,19 @@ class KernelSpec extends SparkSpecBase {
     assert(bad.count() == 0)
   }
 
+  test("fused float×double cosine == interpreted generic fold (centroid shape)") {
+    import graft.functions.GraftExpressions.cosineFD
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // double side built exactly like Lloyd centroids: quantized integer
+    // sums cast to double (plus a plain cast pair as a second shape)
+    val cents = graft.ops.Similarity.quantizedCentroids(
+      emb.select(col("label"), col("embedding")))
+    val pairs = emb.crossJoin(cents)
+    val bad = pairs.filter(!(cosineFD(col("embedding"), col("cvec")) <=>
+      graft.ops.Similarity.cosineGeneric(col("embedding"), col("cvec"))))
+    assert(bad.count() == 0)
+  }
+
   test("dot-product kernel == composed fold over real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val a = emb.select(col("vec_id").as("i"), col("embedding").as("ea"))

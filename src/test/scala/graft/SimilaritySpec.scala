@@ -168,4 +168,29 @@ class SimilaritySpec extends SparkSpecBase {
       .agg(min(col("vec_id")).as("vec_id"))
     assert(minPerCluster.join(kept, Seq("vec_id"), "left_anti").count() == 0)
   }
+
+  test("semDedupAuto: corpus-derived centroids, deterministic and partition-invariant") {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    // the auto default must derive k from the corpus: with
+    // targetClusterSize covering the whole corpus the floor (16) rules,
+    // and the mean cluster size stays ~n/k
+    val kept = Similarity.semDedupAuto(emb, tau = 0.2)
+    val clusters = kept.select("cluster").distinct().count()
+    assert(clusters > 1, "seeding collapsed to one cluster")
+    assert(clusters <= math.max(16L, n / 200L + 1) * 2,
+      s"cluster count $clusters not corpus-proportional for n=$n")
+    // determinism: same input, same result, run-to-run
+    val again = Similarity.semDedupAuto(emb, tau = 0.2)
+    assert(kept.collect().toSet == again.collect().toSet)
+    // partition-invariance: a reshuffled input must not move the answer
+    // (seed choice is a scan predicate, centroids are quantized integer
+    // sums — nothing order-dependent anywhere)
+    val reparted = Similarity.semDedupAuto(emb.repartition(7), tau = 0.2)
+    assert(reparted.collect().toSet == kept.collect().toSet)
+    // a SMALLER target cluster size means MORE centroids
+    val fine = Similarity.semDedupAuto(emb, tau = 0.2, targetClusterSize = 20L)
+    assert(fine.select("cluster").distinct().count() > clusters)
+  }
 }
