@@ -825,13 +825,23 @@ object Versioned {
     // from the schema while carried files still physically hold its
     // values, and reusing it for a later column would resurrect them
     // through the id-matched read.
-    val prevMaxId =
-      if (next <= 1) 0L
-      else scala.util.Try(colMaxIdOf(spark, root, next - 1)).getOrElse(0L)
+    // every publish site targets exactly head+1 (or 1 into an empty
+    // clone target), so the previous manifest always exists; a failure
+    // reading it must be LOUD — silently falling back to a lower mark
+    // would let a retired id be reassigned later (the resurrection this
+    // line exists to prevent). Incoming #colmaxid lines participate in
+    // the max (not just get stripped): restore republishes an old
+    // manifest's line, and clone carries its SOURCE's high-water so ids
+    // retired by the source's drops stay retired in the clone, whose
+    // carried files still physically hold their values.
+    val prevMaxId = if (next <= 1) 0L else colMaxIdOf(spark, root, next - 1)
     val schemaMaxId = lines.find(_.startsWith("#schema="))
       .map(s => ColumnIds.maxId(DataType.fromJson(s.stripPrefix("#schema="))
         .asInstanceOf[StructType])).getOrElse(0L)
-    val maxId = math.max(prevMaxId, schemaMaxId)
+    val incomingMaxId = lines.filter(_.startsWith("#colmaxid="))
+      .flatMap(_.stripPrefix("#colmaxid=").toLongOption)
+      .maxOption.getOrElse(0L)
+    val maxId = math.max(math.max(prevMaxId, schemaMaxId), incomingMaxId)
     val idLine = if (maxId > 0) Seq(s"#colmaxid=$maxId") else Seq.empty
     val body = s"#op=$op" +: (idLine ++
       lines.filterNot(l => l.startsWith("#op=") || l.startsWith("#colmaxid=")))
@@ -1451,7 +1461,12 @@ object Versioned {
       f.delete(staging, true)
       val newPaths = f.listStatus(batchDir).toSeq.map(_.getPath)
         .filter(_.getName.endsWith(".parquet"))
-      val recorded = schema.getOrElse(asNullable(batch.schema))
+      // strip any ids riding in on the batch frame's lineage: on a
+      // legacy (no-recorded-schema) table the staged files carry no
+      // ids, and an id-bearing recorded schema would make the CHECK
+      // read refuse them
+      val recorded = schema.getOrElse(
+        ColumnIds.stripIds(asNullable(batch.schema)))
       // explicit paths: the dir already holds the staged .dv sidecars,
       // which a directory-wide parquet read would choke on. An empty
       // write (0-row batch producing no part files) has nothing to
@@ -2168,8 +2183,14 @@ object Versioned {
       dvLine(qualify(spark, resolveEntry(srcRoot, e).toString).toString,
         qualify(spark, resolveEntry(srcRoot, d).toString).toString)
     }
+    // the SOURCE's field-id high-water mark rides along (publish takes
+    // the max of incoming lines): the clone's carried files physically
+    // hold values under every id the source ever retired via DROP, so
+    // the clone must never reassign them either
+    val srcMaxId = colMaxIdOf(spark, srcRoot, v)
     val body = snapshotSchema(spark, srcRoot, Some(v))
       .map(s => s"#schema=${s.json}").toSeq ++
+      (if (srcMaxId > 0) Seq(s"#colmaxid=$srcMaxId") else Seq.empty) ++
       checkLines(spark, srcRoot, Some(v)) ++ // the cloned snapshot's checks
       droppedLines(spark, srcRoot, Some(v)) ++ // and its tombstones
       dvAbs ++ entries

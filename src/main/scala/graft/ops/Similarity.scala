@@ -249,8 +249,9 @@ object Similarity {
       s"targetClusterSize must be positive, got $targetClusterSize")
     require(minCentroids > 0, s"minCentroids must be positive, got $minCentroids")
     val n = emb.select(col("vec_id")).count()
-    if (n == 0L)
-      return emb.select(col("vec_id"), col("vec_id").as("cluster")).limit(0)
+    if (n == 0L) // cluster is LONG on the assignment path; match it here
+      return emb.select(col("vec_id"),
+        col("vec_id").cast("long").as("cluster")).limit(0)
     val k = math.max(minCentroids.toLong,
       math.ceil(n.toDouble / targetClusterSize).toLong)
     val stride = math.max(1L, n / k)

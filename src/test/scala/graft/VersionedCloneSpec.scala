@@ -157,6 +157,25 @@ class VersionedCloneSpec extends SparkSpecBase {
     assert(!new java.io.File("/tmp/graft_evil").exists())
   }
 
+  test("a clone never reassigns field ids the SOURCE retired by DROP") {
+    import spark.implicits._
+    // mapped source: drop retires the column's field id; the clone
+    // carries the source's files, which still hold values under that id
+    // — its #colmaxid must carry the SOURCE's high-water so a re-added
+    // name on the CLONE gets a fresh id and reads null, never 'secret'
+    val src = tmpRoot("graft_clone_ids_src")
+    Versioned.commit(spark, Seq((1L, "k1", "secret")).toDF("id", "k", "sec"), src)
+    Versioned.dropColumns(spark, src, Seq("sec"))
+    val dst = tmpRoot("graft_clone_ids_dst")
+    Versioned.cloneTable(spark, src, dst)
+    Versioned.addColumns(spark, dst, Seq(
+      org.apache.spark.sql.types.StructField("sec",
+        org.apache.spark.sql.types.StringType)))
+    val got = Versioned.read(spark, dst).select("id", "sec")
+      .as[(Long, Option[String])].collect().toSeq
+    assert(got == Seq((1L, None)), s"retired id reassigned on the clone: $got")
+  }
+
   test("a relative source root clones to the same files as its absolute form") {
     val src = buildSrc()
     val rel = new java.io.File(System.getProperty("user.dir")).toPath
