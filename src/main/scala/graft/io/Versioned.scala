@@ -318,6 +318,31 @@ object Versioned {
         s"column $oldName is referenced by CHECK constraint `$name` " +
           s"($expression) — drop the constraint first")
     }
+    // stats/bloom sidecars key by COLUMN NAME at write time. If any
+    // retained batch still carries sidecar entries under the TARGET
+    // name (a column that once lived there), pruned reads after the
+    // rename would consult the DEAD column's min/max/bloom for the
+    // renamed column's real values — a wrong FILE SKIP, i.e. silently
+    // missing rows. (Drop-then-re-add is immune: old files serve the
+    // re-added column as null, so any skip is vacuously safe. Only
+    // rename moves live values under a previously-used name.) Refuse
+    // conservatively; rewriting (compactLatest) re-harvests sidecars
+    // under current names and clears the collision.
+    val hfs = fs(spark, new Path(root))
+    val dirs = snapshotFiles(spark, root, Some(current))
+      .map(new Path(_).getParent).distinct
+    val collisions = MetaPar.parMap(dirs) { dir =>
+      val keys = FileStats.readSidecar(hfs, dir).valuesIterator
+        .flatMap(_.keysIterator).toSet ++ FileStats.readBloomColumns(hfs, dir)
+      if (keys.exists(_.equalsIgnoreCase(newName))) Some(dir.getName) else None
+    }.flatten
+    require(collisions.isEmpty,
+      s"cannot rename $oldName to $newName: batch(es) " +
+        s"${collisions.take(3).mkString(", ")} still carry stats/bloom " +
+        s"sidecars for a FORMER column named $newName, and pruned reads " +
+        "would consult them for the renamed column's values (wrong file " +
+        "skips). Pick another name, or rewrite the table first " +
+        "(compactLatest re-harvests sidecars under current names).")
     val renamed = StructType(schema.fields.map(f =>
       if (f.name.equalsIgnoreCase(oldName)) f.copy(name = newName) else f))
     requireNoCaseDups(renamed)

@@ -102,6 +102,27 @@ class RenameColumnSpec extends SparkSpecBase {
       .collect().toSeq == Seq("a"))
   }
 
+  test("rename refuses a target name old sidecars still carry stats for") {
+    val root = tmpRoot()
+    // 'sec' gets per-file min/max stats, then is dropped — the sidecar
+    // entries under 'sec' survive in the retained batch
+    Versioned.commit(spark,
+      Seq((1L, 10.0, 5.0), (2L, 20.0, 7.0)).toDF("id", "x", "sec").coalesce(1),
+      root, statsCols = Seq("sec", "x"))
+    Versioned.dropColumns(spark, root, Seq("sec"))
+    // renaming x onto 'sec' would route pruned reads of the renamed
+    // column through the DEAD column's stats — wrong file skips; refuse
+    val e = intercept[IllegalArgumentException](
+      Versioned.renameColumn(spark, root, "x", "sec"))
+    assert(e.getMessage.contains("sidecars"), e.getMessage)
+    // the refusal's remedy works: full rewrite re-harvests under current
+    // names, then the rename goes through and pruning stays exact
+    Versioned.compactLatest(spark, root, nFiles = 1, sortCols = Seq("x"))
+    Versioned.renameColumn(spark, root, "x", "sec")
+    assert(Versioned.readPruned(spark, root, "sec", Some(15.0), None)
+      .select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("SQL surface: ALTER TABLE RENAME COLUMN through the catalog") {
     val wh = java.nio.file.Files.createTempDirectory("graft_rename_wh").toFile
     wh.deleteOnExit()
