@@ -212,12 +212,20 @@ private[io] object VersionedProcedures {
           d.numConstraints, d.numDeletionVectors, d.dvDeletedRows)
       }),
 
-    Spec("drop_columns", "drop columns as a metadata-only commit (tombstoned: the names cannot be re-added while old files still hold their values); comma-separated list",
+    Spec("drop_columns", "drop columns as a metadata-only commit (id-guarded on mapped tables, tombstoned on legacy ones); comma-separated list",
       Array(in("table", StringType), in("columns", StringType)),
       newVersion,
       (spark, rootFor, input) => row(Versioned.dropColumns(
         spark, existing(spark, rootFor, input, 0),
         str(input, 1, "columns").split(",").map(_.trim).filter(_.nonEmpty).toSeq))),
+
+    Spec("rename_column", "rename a column as a metadata-only commit via field-id column mapping (old files serve the renamed column by id; legacy tables refuse with the upgrade path)",
+      Array(in("table", StringType), in("old_name", StringType),
+        in("new_name", StringType)),
+      newVersion,
+      (spark, rootFor, input) => row(Versioned.renameColumn(
+        spark, existing(spark, rootFor, input, 0),
+        str(input, 1, "old_name"), str(input, 2, "new_name")))),
 
     Spec("dv_delete", "merge-on-read DELETE: record matching rows dead in per-file deletion vectors (no data rewritten); predicate is a SQL boolean over the table's columns",
       Array(in("table", StringType), in("predicate", StringType)),

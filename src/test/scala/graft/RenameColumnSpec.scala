@@ -142,6 +142,11 @@ class RenameColumnSpec extends SparkSpecBase {
     // unknown column refuses at analysis
     intercept[Exception](
       s.sql("ALTER TABLE graft_rn.ns.t RENAME COLUMN nope TO x"))
+    // the CALL procedure form round-trips too
+    s.sql("CALL graft_rn.system.rename_column('ns.t', 'label', 'v2')")
+    assert(s.table("graft_rn.ns.t").columns.toSeq == Seq("id", "v2"))
+    assert(s.sql("SELECT v2 FROM graft_rn.ns.t WHERE id = 1")
+      .collect().head.getString(0) == "a")
   }
 
   test("rename survives merge, update, and compaction") {
