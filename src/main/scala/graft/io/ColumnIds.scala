@@ -53,6 +53,12 @@ private[graft] object ColumnIds {
   def maxId(s: StructType): Long =
     s.fields.flatMap(idOf).maxOption.getOrElse(0L)
 
+  /** Lower-cased name -> field id, for the fields that carry one — THE
+    * id-matching projection (stamping, inheritance, and the OCC
+    * footer-consistency checks all resolve through this one shape). */
+  def idsByName(s: StructType): Map[String, Long] =
+    s.fields.flatMap(f => idOf(f).map(f.name.toLowerCase -> _)).toMap
+
   private def withId(f: StructField, id: Long): StructField =
     f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
       .putLong(IdKey, id).build())
@@ -88,7 +94,7 @@ private[graft] object ColumnIds {
     * (case-insensitive) field of the previous recorded schema; genuinely
     * new names get fresh ids past `base`. */
   def inheritIds(prev: StructType, next: StructType, base: Long): StructType = {
-    val byLower = prev.fields.flatMap(f => idOf(f).map(f.name.toLowerCase -> _)).toMap
+    val byLower = idsByName(prev)
     completeIds(StructType(next.fields.map { f =>
       byLower.get(f.name.toLowerCase) match {
         case Some(id) => withId(f, id)
@@ -105,10 +111,10 @@ private[graft] object ColumnIds {
   def stamp(df: DataFrame, recorded: StructType): DataFrame = {
     if (!hasIds(recorded)) return df
     ensureConfs(df.sparkSession)
-    val byLower = recorded.fields.map(f => f.name.toLowerCase -> f).toMap
+    val ids = idsByName(recorded)
     df.select(df.columns.toSeq.map { c =>
       val quoted = col("`" + c.replace("`", "``") + "`")
-      byLower.get(c.toLowerCase).flatMap(idOf) match {
+      ids.get(c.toLowerCase) match {
         case Some(id) => quoted.as(c,
           new MetadataBuilder().putLong(IdKey, id).build(): Metadata)
         case None => quoted

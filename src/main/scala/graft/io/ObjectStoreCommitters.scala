@@ -65,6 +65,15 @@ final class ConditionalPutManifestCommitter extends ManifestCommitter {
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
         case _: java.nio.file.FileAlreadyExistsException => false
+        // connectors surface a LOST conditional PUT in their own clothes
+        // (S3A RemoteFileChangedException, GCS a plain IOException for a
+        // failed generation-match) — none of which this module can name
+        // without those jars. The store-agnostic discriminator: if the
+        // write failed AND the target now exists, somebody else's commit
+        // won — a normal loss. A failure with NO target is a real error
+        // and stays loud.
+        case e: java.io.IOException =>
+          if (fs.exists(target)) false else throw e
       }
     if (created) fs.delete(tmp, false) // consumed; loser's tmp is the caller's
     created
@@ -224,7 +233,15 @@ final class JdbcClaimManifestCommitter extends ManifestCommitter {
       val theirTmpPath = new Path(theirTmp)
       if (fs.exists(target)) { markComplete(conn, key); return Some(false) }
       if (fs.exists(theirTmpPath)) {
-        copy(fs, theirTmpPath, target)
+        // a CONCURRENT recoverer may finish and delete theirTmp between
+        // our exists-check and the copy — that is a healthy commit, not
+        // an error: retry the protocol, which will observe the completed
+        // claim (or the published target) and report a normal loss
+        try {
+          copy(fs, theirTmpPath, target)
+        } catch {
+          case _: java.io.FileNotFoundException => return None
+        }
         markComplete(conn, key)
         fs.delete(theirTmpPath, false)
         return Some(false)

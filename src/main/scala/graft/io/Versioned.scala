@@ -161,6 +161,46 @@ object Versioned {
     prev.toSeq.flatMap(v => manifestLines(spark, root, v)
       .filter(_.startsWith("#dropped=")))
 
+  /** `#statsdead=` lines: lower-cased column NAMES whose sidecar
+    * stats/bloom entries are identity-unstable and must never power a
+    * load-bearing proof. Sidecars key by the column's NAME AT WRITE
+    * TIME; on a mapped table a DROP (re-add gets a fresh id, old files
+    * read null) or a RENAME (the vacated name can be re-used) detaches
+    * the name from the identity the sidecar described. Advisory pruning
+    * stays safe either way (the re-attached column reads NULL from old
+    * files, and null matches no range/equality — a skip is vacuously
+    * correct), but [[StatsProofs.allRowsMatch]]'s nulls==0 claim would
+    * be a LIE: a stats-proven whole-file DELETE would silently destroy
+    * rows whose actual predicate value is null. These lines are carried
+    * by every commit exactly like `#dropped=` tombstones, consulted by
+    * [[statsByFile]] (the proofs' lookup), and shed by a replace/full
+    * rewrite, which re-harvests every sidecar under current names.
+    * Legacy tables never need them: their tombstones refuse the re-use
+    * outright. */
+  private def statsDeadLines(spark: SparkSession, root: String,
+                             prev: Option[Long]): Seq[String] =
+    prev.toSeq.flatMap(v => manifestLines(spark, root, v)
+      .filter(_.startsWith("#statsdead=")))
+
+  /** The tombstone + stats-dead guard lines every append-shaped commit
+    * carries forward — ONE helper so a new publish path cannot carry
+    * one and forget the other. */
+  private def carriedGuardLines(spark: SparkSession, root: String,
+                                prev: Option[Long]): Seq[String] =
+    droppedLines(spark, root, prev) ++ statsDeadLines(spark, root, prev)
+
+  /** Lower-cased identity-unstable stats names of a snapshot (newest
+    * unless `asOf`) — see [[statsDeadLines]]. */
+  def statsDeadColumns(spark: SparkSession, root: String,
+                       asOf: Option[Long] = None): Set[String] = {
+    val vs = versions(spark, root)
+    requireKnownAsOf(vs, asOf, root)
+    asOf.orElse(vs.lastOption).toSeq.flatMap { v =>
+      statsDeadLines(spark, root, Some(v))
+        .map(_.stripPrefix("#statsdead=").toLowerCase)
+    }.toSet
+  }
+
   /** Lower-cased tombstoned column names of a snapshot (newest unless
     * `asOf`). */
   def droppedColumns(spark: SparkSession, root: String,
@@ -246,15 +286,21 @@ object Versioned {
     val remaining = StructType(prev.fields.filterNot(f =>
       doomedLower.contains(f.name.toLowerCase)))
     // mapped tables shed tombstones entirely: the retired field id is the
-    // (stronger) guard — see the scaladoc
+    // (stronger) guard — see the scaladoc. What they DO need is the
+    // stats-dead marker: the dropped NAME may return with a fresh id,
+    // and the old sidecar entries under it must never power a proof
+    // (see statsDeadLines).
     val tombstones =
       if (ColumnIds.hasIds(prev)) Seq.empty
       else cols.map(c => s"#dropped=${c.toLowerCase}")
+    val statsDead =
+      if (ColumnIds.hasIds(prev)) cols.map(c => s"#statsdead=${c.toLowerCase}")
+      else Seq.empty
     publish(spark, root, current + 1, op = "drop_columns",
       Seq(s"#schema=${remaining.json}") ++
         checkLines(spark, root, Some(current)) ++
-        droppedLines(spark, root, Some(current)) ++
-        tombstones ++
+        carriedGuardLines(spark, root, Some(current)) ++
+        tombstones ++ statsDead ++
         dvEntries(spark, root, Some(current))
           .map { case (e, d) => dvLine(e, d) } ++
         manifestFiles(spark, root, current))
@@ -328,12 +374,16 @@ object Versioned {
     // rename moves live values under a previously-used name.) Refuse
     // conservatively; rewriting (compactLatest) re-harvests sidecars
     // under current names and clears the collision.
-    val hfs = fs(spark, new Path(root))
     val dirs = snapshotFiles(spark, root, Some(current))
       .map(new Path(_).getParent).distinct
+    val hconf = spark.sparkContext.hadoopConfiguration
     val collisions = MetaPar.parMap(dirs) { dir =>
-      val keys = FileStats.readSidecar(hfs, dir).valuesIterator
-        .flatMap(_.keysIterator).toSet ++ FileStats.readBloomColumns(hfs, dir)
+      // per-dir filesystem: a shallow clone's entries may live on a
+      // DIFFERENT filesystem than the clone root (the buildStats
+      // pattern) — the root's FS would refuse them with "Wrong FS"
+      val dfs = dir.getFileSystem(hconf)
+      val keys = FileStats.readSidecar(dfs, dir).valuesIterator
+        .flatMap(_.keysIterator).toSet ++ FileStats.readBloomColumns(dfs, dir)
       if (keys.exists(_.equalsIgnoreCase(newName))) Some(dir.getName) else None
     }.flatten
     require(collisions.isEmpty,
@@ -348,8 +398,12 @@ object Versioned {
     requireNoCaseDups(renamed)
     publish(spark, root, current + 1, op = "rename_column",
       Seq(s"#schema=${renamed.json}") ++
+        // the VACATED name can be re-used later; sidecar entries under
+        // it describe the renamed column's live values and must never
+        // power a proof for a future occupant (see statsDeadLines)
+        Seq(s"#statsdead=${oldName.toLowerCase}") ++
         checkLines(spark, root, Some(current)) ++
-        droppedLines(spark, root, Some(current)) ++
+        carriedGuardLines(spark, root, Some(current)) ++
         dvEntries(spark, root, Some(current))
           .map { case (e, d) => dvLine(e, d) } ++
         manifestFiles(spark, root, current))
@@ -467,7 +521,7 @@ object Versioned {
     publish(spark, root, current + 1, op = "add_columns",
       Seq(s"#schema=${evolved.json}") ++
         checkLines(spark, root, Some(current)) ++
-        droppedLines(spark, root, Some(current)) ++
+        carriedGuardLines(spark, root, Some(current)) ++
         dvEntries(spark, root, Some(current)) // vectors survive metadata commits
           .map { case (e, d) => dvLine(e, d) } ++
         manifestFiles(spark, root, current))
@@ -745,9 +799,11 @@ object Versioned {
     publish(spark, root, next, op = if (replace) "replace" else "append",
       tag.map(t => s"#tag=$t").toSeq ++ Seq(s"#schema=${recorded.json}")
         ++ checkLines(spark, root, prev.lastOption)
-        // tombstones carry on appends; a replace sheds them (its manifest
-        // stops referencing the files that held the dropped values)
-        ++ (if (replace) Seq.empty else droppedLines(spark, root, prev.lastOption))
+        // tombstones + stats-dead markers carry on appends; a replace
+        // sheds both (its manifest stops referencing the files that held
+        // the dropped values, and rewrites re-harvest every sidecar)
+        ++ (if (replace) Seq.empty
+            else carriedGuardLines(spark, root, prev.lastOption))
         ++ dvLinesForCarried(prevDv, carried)
         ++ carried ++ newFiles)
   }
@@ -1241,7 +1297,7 @@ object Versioned {
       tag.map(t => s"#tag=$t").toSeq
         ++ schema.map(s => s"#schema=${s.json}").toSeq
         ++ checkLines(spark, root, prev)
-        ++ droppedLines(spark, root, prev)
+        ++ carriedGuardLines(spark, root, prev)
         ++ dvLines ++ keptFiles ++ newFiles)
   }
 
@@ -1441,9 +1497,15 @@ object Versioned {
   }
 
   /** Per-file sidecar stats of a snapshot, empty maps where absent — the
-    * shared lookup behind the stats proofs. */
+    * shared lookup behind the stats proofs. Entries under an
+    * identity-unstable name (see [[statsDeadLines]]: a mapped DROP's or
+    * RENAME's vacated name) are filtered OUT here, so the load-bearing
+    * proofs ([[StatsProofs.allRowsMatch]]'s whole-file DELETE drop above
+    * all) degrade to scanning those files instead of trusting min/max/
+    * nulls that describe a column the name no longer denotes. */
   private def statsByFile(spark: SparkSession, root: String,
                           files: Seq[String]): Map[String, Map[String, FileStats.ColStats]] = {
+    val dead = statsDeadColumns(spark, root)
     val f = fs(spark, new Path(root))
     val sideByDir = files.map(new Path(_)).groupBy(_.getParent).map {
       case (dir, _) => dir -> FileStats.readSidecar(f, dir)
@@ -1451,6 +1513,7 @@ object Versioned {
     files.map { s =>
       val p = new Path(s)
       s -> sideByDir(p.getParent).getOrElse(p.getName, Map.empty)
+        .filter { case (c, _) => !dead.contains(c.toLowerCase) }
     }.toMap
   }
 
@@ -2159,7 +2222,10 @@ object Versioned {
     val body = snapshotSchema(spark, root, Some(toVersion))
       .map(s => s"#schema=${s.json}").toSeq ++
       checkLines(spark, root, Some(toVersion)) ++ // that snapshot's checks
-      droppedLines(spark, root, Some(toVersion)) ++ // and its tombstones
+      // ... its tombstones AND its stats-dead set: the restored
+      // snapshot's file list predates anything that made names unstable
+      // afterwards, so version v's own guard lines are exactly right
+      carriedGuardLines(spark, root, Some(toVersion)) ++
       dvEntries(spark, root, Some(toVersion)) // and its deletion vectors
         .map { case (e, d) => dvLine(e, d) } ++
       manifestFiles(spark, root, toVersion)
@@ -2217,7 +2283,7 @@ object Versioned {
       .map(s => s"#schema=${s.json}").toSeq ++
       (if (srcMaxId > 0) Seq(s"#colmaxid=$srcMaxId") else Seq.empty) ++
       checkLines(spark, srcRoot, Some(v)) ++ // the cloned snapshot's checks
-      droppedLines(spark, srcRoot, Some(v)) ++ // and its tombstones
+      carriedGuardLines(spark, srcRoot, Some(v)) ++ // tombstones + stats-dead
       dvAbs ++ entries
     publish(spark, dstRoot, 1L, op = "clone", body)
   }
@@ -2436,7 +2502,7 @@ object Versioned {
       publish(spark, root, current + 1, op,
         schema.map(s => s"#schema=${s.json}").toSeq
           ++ checkLines(spark, root, Some(current))
-          ++ droppedLines(spark, root, Some(current))
+          ++ carriedGuardLines(spark, root, Some(current))
           ++ dvLinesForCarried(dvNow, carried) ++ carried)
     } else {
       // stats columns the table already tracks (union over the sidecars
@@ -2798,7 +2864,7 @@ object Versioned {
     publish(spark, root, next, op,
       tag.map(t => s"#tag=$t").toSeq ++ Seq(s"#schema=${recorded.json}")
         ++ checkLines(spark, root, prev.lastOption)
-        ++ droppedLines(spark, root, prev.lastOption)
+        ++ carriedGuardLines(spark, root, prev.lastOption)
         ++ dvLinesForCarried(prevDv, carriedRel)
         ++ carriedRel ++ newFiles)
   }
@@ -3154,8 +3220,7 @@ object Versioned {
       case _ => None
     }
     val stampedIds: Map[String, Long] = stampSchema
-      .map(_.fields.flatMap(f => ColumnIds.idOf(f).map(f.name.toLowerCase -> _)).toMap)
-      .getOrElse(Map.empty)
+      .map(ColumnIds.idsByName).getOrElse(Map.empty)
     // prepare: the batch writes ONCE, to a dir no other writer can name
     val batchDir = uniqueBatchDir(root)
     stampSchema.map(s => ColumnIds.stamp(df, s)).getOrElse(df)
@@ -3203,8 +3268,7 @@ object Versioned {
           // footers that answer to different ids (concurrent evolution,
           // rename, or a mapping upgrade landed mid-flight) — abort, the
           // caller re-runs and re-stamps
-          val recIds = r.fields
-            .flatMap(f => ColumnIds.idOf(f).map(f.name.toLowerCase -> _)).toMap
+          val recIds = ColumnIds.idsByName(r)
           df.columns.foreach { c =>
             val want = recIds.get(c.toLowerCase)
             val have = stampedIds.get(c.toLowerCase)
@@ -3230,7 +3294,7 @@ object Versioned {
         return publish(spark, root, next, op = "append_occ",
           tag.map(t => s"#tag=$t").toSeq ++ Seq(s"#schema=${recorded.json}")
             ++ checkLines(spark, root, base)
-            ++ droppedLines(spark, root, base)
+            ++ carriedGuardLines(spark, root, base)
             ++ dvLinesForCarried(dvPrev, carried) ++ carried ++ newFiles)
       } catch {
         case e: IllegalStateException if e.getMessage.contains("commit conflict") =>
@@ -3287,8 +3351,7 @@ object Versioned {
     // Mapped tables: re-stamp the inputs' field ids (same columns, same
     // ids — compaction never changes the schema)
     val occStampIds: Map[String, Long] = schema.filter(ColumnIds.hasIds)
-      .map(_.fields.flatMap(f => ColumnIds.idOf(f).map(f.name.toLowerCase -> _)).toMap)
-      .getOrElse(Map.empty)
+      .map(ColumnIds.idsByName).getOrElse(Map.empty)
     val batchDir = uniqueBatchDir(root)
     schema.filter(ColumnIds.hasIds).map(s => ColumnIds.stamp(shaped, s))
       .getOrElse(shaped)
@@ -3338,8 +3401,7 @@ object Versioned {
           // same footer/id drift guard as commitOcc: the packed files
           // were stamped against the BASE snapshot — a concurrent rename
           // or mapping change makes them unpublishable, not re-writable
-          val recIds = r.fields
-            .flatMap(f => ColumnIds.idOf(f).map(f.name.toLowerCase -> _)).toMap
+          val recIds = ColumnIds.idsByName(r)
           shaped.columns.foreach { c =>
             val want = recIds.get(c.toLowerCase)
             val have = occStampIds.get(c.toLowerCase)
@@ -3354,7 +3416,7 @@ object Versioned {
       try {
         return publish(spark, root, cur + 1, op = "compact_occ",
           Seq(s"#schema=${recorded.json}") ++ checkLines(spark, root, Some(cur))
-            ++ droppedLines(spark, root, Some(cur))
+            ++ carriedGuardLines(spark, root, Some(cur))
             ++ dvLinesForCarried(curDv, carried) ++ carried ++ outFiles)
       } catch {
         case e: IllegalStateException if e.getMessage.contains("commit conflict") =>

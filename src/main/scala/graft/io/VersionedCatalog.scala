@@ -156,14 +156,17 @@ class VersionedCatalog extends TableCatalog with ProcedureCatalog {
     if (changes.isEmpty) return loadTable(ident)
     val renames = changes.collect { case r: TableChange.RenameColumn => r }
     if (renames.nonEmpty) {
-      require(renames.length == changes.length,
-        "RENAME COLUMN cannot be combined with other ALTER TABLE changes " +
-          "in one statement")
-      renames.foreach { r =>
-        require(r.fieldNames.length == 1,
-          s"nested column renames are not supported: ${r.fieldNames.mkString(".")}")
-        Versioned.renameColumn(spark, rootFor(ident), r.fieldNames.head, r.newName)
-      }
+      // ONE rename per statement: each rename is its own commit, so a
+      // multi-rename list failing midway would leave the statement
+      // half-applied with no rollback — refuse the shape instead (the
+      // SQL grammar only produces one RenameColumn per ALTER anyway)
+      require(renames.length == changes.length && renames.length == 1,
+        "RENAME COLUMN supports exactly one column per ALTER TABLE " +
+          "statement and cannot be combined with other changes")
+      val r = renames.head
+      require(r.fieldNames.length == 1,
+        s"nested column renames are not supported: ${r.fieldNames.mkString(".")}")
+      Versioned.renameColumn(spark, rootFor(ident), r.fieldNames.head, r.newName)
       return loadTable(ident)
     }
     val adds = changes.collect { case a: TableChange.AddColumn => a }

@@ -142,13 +142,21 @@ object Similarity {
     * affordable: the interpreted fold's per-row lambda overhead made
     * assignment — not the pair join — the dominant cost past k≈100. */
   def assignClusters(emb: DataFrame, cent: DataFrame, nprobe: Int): DataFrame = {
-    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
-    val rcos = cent.schema("cvec").dataType match {
-      case ArrayType(FloatType, _) => cosineSim(col("embedding"), col("cvec"))
-      case ArrayType(DoubleType, _) =>
+    import org.apache.spark.sql.types.{ArrayType, ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType}
+    // fused kernels where the shapes allow; the interpreted generic fold
+    // keeps serving every other numeric width the old form accepted
+    val rcos0 = (emb.schema("embedding").dataType, cent.schema("cvec").dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        cosineSim(col("embedding"), col("cvec"))
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
         graft.functions.GraftExpressions.cosineFD(col("embedding"), col("cvec"))
       case _ => cosineGeneric(col("embedding"), col("cvec"))
     }
+    // the window form ranked null scores LAST (desc NULLS LAST) but still
+    // assigned the vector; the heap SKIPS null scores, which would make
+    // such vectors vanish from the output — substitute -Inf (below every
+    // real cosine, ties broken by label like before) so behavior matches
+    val rcos = coalesce(rcos0, lit(Double.NegativeInfinity))
     // nearest-centroid selection via the bounded-heap aggregate, NOT a
     // window: the scored frame is n×k rows, and a window would SHUFFLE
     // AND SORT all of them on vec_id — measured super-linear on the
@@ -162,9 +170,20 @@ object Similarity {
     // type, so callers and oracles see unchanged cluster values.
     import graft.functions.GraftExpressions.topKBy
     val rlabelType = cent.schema("rlabel").dataType
+    // the heap rides LONG or STRING ids natively; a lossy silent cast
+    // (e.g. a string label nulling out) would drop rows — refuse other
+    // label types loudly instead
+    val heapId = rlabelType match {
+      case StringType => col("rlabel")
+      case ByteType | ShortType | IntegerType | LongType =>
+        col("rlabel").cast("long")
+      case t => throw new IllegalArgumentException(
+        s"assignClusters: centroid label type ${t.simpleString} is not " +
+          "supported (integral or string)")
+    }
     emb.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("embedding"),
-        col("rlabel").cast("long").as("__rl"), rcos.as("rcos"))
+        heapId.as("__rl"), rcos.as("rcos"))
       .groupBy(col("vec_id"))
       .agg(first(col("embedding")).as("embedding"),
         topKBy(col("rcos"), col("__rl"), nprobe).as("__top"))
@@ -269,9 +288,20 @@ object Similarity {
     // subsets of the corpus, so the whole clustering stays
     // bit-reproducible (oracle-checked).
     val csf = math.max(1L, math.floor(math.sqrt(k.toDouble) + 0.5).toLong)
-    val fine = emb.filter(pmod(col("vec_id"), lit(stride)) === 0)
+    // seed residues anchor on the MINIMUM vec_id, not on zero: a corpus
+    // whose ids share no multiple of the stride (all-odd ids, offset
+    // ranges) would otherwise produce ZERO seeds and an empty keep set —
+    // the whole corpus silently "deduplicated" away. The min id itself
+    // is always a seed, and because stride divides cstride the coarse
+    // residue is congruent to the fine one, so every coarse seed stays a
+    // fine seed (the no-empty-cell property).
+    val minId = emb.agg(min(col("vec_id").cast("long"))).head().getLong(0)
+    val rf = ((minId % stride) + stride) % stride
+    val cstride = stride * csf
+    val rc = ((minId % cstride) + cstride) % cstride
+    val fine = emb.filter(pmod(col("vec_id").cast("long"), lit(stride)) === rf)
       .select(col("vec_id").as("rlabel"), col("embedding").as("cvec"))
-    val coarse = emb.filter(pmod(col("vec_id"), lit(stride * csf)) === 0)
+    val coarse = emb.filter(pmod(col("vec_id").cast("long"), lit(cstride)) === rc)
       .select(col("vec_id").as("rlabel"), col("embedding").as("cvec"))
     // fine seed -> its coarse cell (k×√k, tiny); every coarse seed is a
     // fine seed mapping to itself, so no cell is empty

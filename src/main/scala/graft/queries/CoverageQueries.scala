@@ -535,19 +535,21 @@ object CoverageQueries {
 
   val semDedupAutoOracle: String =
     s"""WITH p AS (
-       |  SELECT n, stride, stride * GREATEST(1,
-       |           CAST(floor(sqrt(k) + 0.5) AS BIGINT)) AS cstride
+       |  SELECT n, stride, cstride, m % stride AS rf, m % cstride AS rc
        |  FROM (
-       |    SELECT n, k,
-       |           GREATEST(1, CAST(floor(n * 1.0 / k) AS BIGINT)) AS stride
-       |    FROM (SELECT n, GREATEST(16, CAST(ceil(n / 200.0) AS BIGINT)) AS k
-       |          FROM (SELECT COUNT(*) AS n FROM embeddings)))),
+       |    SELECT n, m, stride, stride * GREATEST(1,
+       |             CAST(floor(sqrt(k) + 0.5) AS BIGINT)) AS cstride
+       |    FROM (
+       |      SELECT n, m, k,
+       |             GREATEST(1, CAST(floor(n * 1.0 / k) AS BIGINT)) AS stride
+       |      FROM (SELECT n, m, GREATEST(16, CAST(ceil(n / 200.0) AS BIGINT)) AS k
+       |            FROM (SELECT COUNT(*) AS n, MIN(vec_id) AS m FROM embeddings))))),
        |fine AS (
        |  SELECT vec_id AS rlabel, embedding AS cvec FROM embeddings, p
-       |  WHERE vec_id % p.stride = 0),
+       |  WHERE vec_id % p.stride = p.rf),
        |coarse AS (
        |  SELECT vec_id AS rlabel, embedding AS cvec FROM embeddings, p
-       |  WHERE vec_id % p.cstride = 0),
+       |  WHERE vec_id % p.cstride = p.rc),
        |f2c AS (
        |  SELECT rlabel AS fid, cvec AS fvec, crl AS cell FROM (
        |    SELECT f.rlabel, f.cvec, c.rlabel AS crl,

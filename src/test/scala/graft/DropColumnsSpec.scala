@@ -68,6 +68,28 @@ class DropColumnsSpec extends SparkSpecBase {
         (4L, Some("boo")), (5L, Some("occ")), (6L, Some("mrg"))))
   }
 
+  test("mapped: stale sidecar stats never power a whole-file delete after re-add") {
+    // the severe arm of the identity-unstable-name hazard: the sidecar
+    // still says (nulls=0, min 5, max 7) for 'a', but after drop +
+    // re-add the column reads NULL from the old file — a stats-proven
+    // all-match DELETE would destroy rows SQL says must survive
+    val root = tmpRoot()
+    Versioned.commit(spark,
+      Seq((1L, 5.0), (2L, 7.0)).toDF("id", "a").coalesce(1),
+      root, statsCols = Seq("a", "id"))
+    Versioned.dropColumns(spark, root, Seq("a"))
+    assert(Versioned.statsDeadColumns(spark, root) == Set("a"))
+    Versioned.addColumns(spark, root, Seq(
+      org.apache.spark.sql.types.StructField("a",
+        org.apache.spark.sql.types.DoubleType)))
+    Versioned.deleteWhere(spark, root, col("a") >= 0.0)
+    assert(Versioned.read(spark, root).count() == 2,
+      "stats-proven delete destroyed rows whose actual value is null")
+    // a full rewrite re-harvests sidecars and sheds the marker
+    Versioned.compactLatest(spark, root, nFiles = 1)
+    assert(Versioned.statsDeadColumns(spark, root).isEmpty)
+  }
+
   test("legacy: tombstone blocks re-add until a replace sheds it") {
     val root = tmpRoot()
     legacy {

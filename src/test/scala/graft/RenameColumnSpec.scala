@@ -123,6 +123,26 @@ class RenameColumnSpec extends SparkSpecBase {
       .select("id").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("a vacated name's stale stats never power a delete against its new occupant") {
+    // rename x->y vacates 'x'; its sidecar entries describe y's live
+    // values. A new column re-using 'x' reads null from old files, so a
+    // DELETE over x must not let the stale proof drop those files.
+    val root = tmpRoot()
+    Versioned.commit(spark,
+      Seq((1L, 5.0), (2L, 7.0)).toDF("id", "x").coalesce(1),
+      root, statsCols = Seq("x"))
+    Versioned.renameColumn(spark, root, "x", "y")
+    assert(Versioned.statsDeadColumns(spark, root) == Set("x"))
+    Versioned.addColumns(spark, root, Seq(
+      org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.DoubleType)))
+    Versioned.deleteWhere(spark, root, col("x") >= 0.0)
+    val rows = Versioned.read(spark, root).select("id", "y")
+      .as[(Long, Double)].collect().toSet
+    assert(rows == Set((1L, 5.0), (2L, 7.0)),
+      "stale stats under the vacated name powered a wrong whole-file delete")
+  }
+
   test("SQL surface: ALTER TABLE RENAME COLUMN through the catalog") {
     val wh = java.nio.file.Files.createTempDirectory("graft_rename_wh").toFile
     wh.deleteOnExit()

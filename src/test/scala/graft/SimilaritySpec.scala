@@ -193,4 +193,35 @@ class SimilaritySpec extends SparkSpecBase {
     val fine = Similarity.semDedupAuto(emb, tau = 0.2, targetClusterSize = 20L)
     assert(fine.select("cluster").distinct().count() > clusters)
   }
+
+  test("semDedupAuto survives id spaces with no stride multiples") {
+    // all-odd ids share no multiple of an even stride; seeds anchor on
+    // the MIN id's residue, so the corpus must never silently vanish
+    val emb = Tables.table(spark, sfDir, "embeddings")
+      .select((col("vec_id") * 2 + 1).as("vec_id"), col("embedding"))
+    val n = emb.count()
+    val kept = Similarity.semDedupAuto(emb, tau = 0.2)
+    assert(kept.count() > 0, "sparse id space produced zero seeds — corpus dropped")
+    assert(kept.count() <= n)
+    // determinism holds on the shifted id space too
+    assert(kept.collect().toSet ==
+      Similarity.semDedupAuto(emb, tau = 0.2).collect().toSet)
+  }
+
+  test("assignClusters keeps string labels and null-embedding vectors") {
+    import spark.implicits._
+    val cent = Seq(("c1", Seq(1.0f, 0.0f)), ("c2", Seq(0.0f, 1.0f)))
+      .toDF("rlabel", "cvec")
+    val emb = Seq(
+      (1L, Option(Seq(0.9f, 0.1f))),
+      (2L, Option(Seq(0.1f, 0.9f))),
+      (3L, None: Option[Seq[Float]]) // null embedding: score null everywhere
+    ).toDF("vec_id", "embedding")
+    val assigned = Similarity.assignClusters(emb, cent, 1)
+      .select("vec_id", "cluster").as[(Long, String)].collect().toMap
+    // string labels ride the heap natively (no lossy cast), and the
+    // null-scored vector is still assigned (lowest label, like the
+    // window form's NULLS LAST), never silently dropped
+    assert(assigned == Map(1L -> "c1", 2L -> "c2", 3L -> "c1"), s"got $assigned")
+  }
 }
