@@ -164,10 +164,24 @@ final class JdbcClaimManifestCommitter extends ManifestCommitter {
         in.readFully(b)
         b
       } finally in.close()
-    // overwrite=true: claim ownership is the mutex; the only possible
-    // existing content is an identical copy from a racing recoverer
-    val out = fs.create(to, true)
+    // publish via unique-temp + rename, NEVER a direct create on the
+    // final name: the claim row serializes WRITERS, but a concurrent
+    // READER lists manifests freely, and on a progressive-visibility
+    // filesystem (POSIX, HDFS) a direct write would let it read a
+    // half-written manifest (observed: a racing OCC writer inferring an
+    // empty schema from a mid-copy manifest). The rename is atomic on
+    // POSIX/HDFS; on S3-class stores it is a server-side PUT-copy whose
+    // target materializes complete-or-not — correct either way.
+    val tmp = new Path(to.getParent,
+      s".claimpub-${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
+    if (!fs.rename(tmp, to)) {
+      // a racing recoverer published first — same bytes, healthy state
+      fs.delete(tmp, false)
+      if (!fs.exists(to))
+        throw new java.io.IOException(s"could not publish $to")
+    }
   }
 
   override def commit(fs: FileSystem, tmp: Path, target: Path,

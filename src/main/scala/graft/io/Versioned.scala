@@ -2665,7 +2665,9 @@ object Versioned {
   final case class TableDetail(version: Long, numFiles: Long, totalBytes: Long,
                                numColumns: Int, statsColumns: String,
                                bloomColumns: String, numConstraints: Int,
-                               numDeletionVectors: Long, dvDeletedRows: Long)
+                               numDeletionVectors: Long, dvDeletedRows: Long,
+                               columnMapping: Boolean, maxFieldId: Long,
+                               droppedNames: String, statsDeadNames: String)
 
   /** EXACT row count of a snapshot from metadata alone: parquet footers
     * record per-file row counts and deletion-vector headers their dead
@@ -2714,7 +2716,15 @@ object Versioned {
     TableDetail(current, files.size.toLong, bytes,
       schema.map(_.fields.length).getOrElse(-1),
       statsCols.mkString(","), bloomCols.mkString(","),
-      constraints(spark, root).size, dv.size.toLong, dvRows)
+      constraints(spark, root).size, dv.size.toLong, dvRows,
+      // column-mapping state: the guards an operator needs to SEE —
+      // whether renames are available (mapped), the id high-water mark,
+      // legacy tombstones blocking re-adds, and names whose sidecar
+      // stats are identity-dead until a rewrite
+      columnMapping = schema.exists(ColumnIds.hasIds),
+      maxFieldId = colMaxIdOf(spark, root, current),
+      droppedNames = droppedColumns(spark, root).toSeq.sorted.mkString(","),
+      statsDeadNames = statsDeadColumns(spark, root).toSeq.sorted.mkString(","))
   }
 
   /** Retrofits write sidecars INSIDE the snapshot's batch directories —

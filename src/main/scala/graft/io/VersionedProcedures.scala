@@ -191,7 +191,7 @@ private[io] object VersionedProcedures {
       (spark, rootFor, input) => row(Versioned.dropConstraint(
         spark, existing(spark, rootFor, input, 0), str(input, 1, "name")))),
 
-    Spec("detail", "one metadata row describing the current snapshot (files, bytes, schema width, sidecar coverage, constraints, deletion vectors)",
+    Spec("detail", "one metadata row describing the current snapshot (files, bytes, schema width, sidecar coverage, constraints, deletion vectors, column-mapping state)",
       Array(in("table", StringType)),
       StructType(Seq(
         StructField("version", LongType, nullable = false),
@@ -202,14 +202,22 @@ private[io] object VersionedProcedures {
         StructField("bloom_columns", StringType, nullable = false),
         StructField("num_constraints", IntegerType, nullable = false),
         StructField("num_deletion_vectors", LongType, nullable = false),
-        StructField("dv_deleted_rows", LongType, nullable = false))),
+        StructField("dv_deleted_rows", LongType, nullable = false),
+        StructField("column_mapping", org.apache.spark.sql.types.BooleanType,
+          nullable = false),
+        StructField("max_field_id", LongType, nullable = false),
+        StructField("dropped_names", StringType, nullable = false),
+        StructField("stats_dead_names", StringType, nullable = false))),
       (spark, rootFor, input) => {
         val root = existing(spark, rootFor, input, 0)
         val d = Versioned.describeDetail(spark, root)
         row(d.version, d.numFiles, d.totalBytes, d.numColumns,
           org.apache.spark.unsafe.types.UTF8String.fromString(d.statsColumns),
           org.apache.spark.unsafe.types.UTF8String.fromString(d.bloomColumns),
-          d.numConstraints, d.numDeletionVectors, d.dvDeletedRows)
+          d.numConstraints, d.numDeletionVectors, d.dvDeletedRows,
+          d.columnMapping, d.maxFieldId,
+          org.apache.spark.unsafe.types.UTF8String.fromString(d.droppedNames),
+          org.apache.spark.unsafe.types.UTF8String.fromString(d.statsDeadNames))
       }),
 
     Spec("drop_columns", "drop columns as a metadata-only commit (id-guarded on mapped tables, tombstoned on legacy ones); comma-separated list",

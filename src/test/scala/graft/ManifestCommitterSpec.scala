@@ -114,7 +114,11 @@ class ManifestCommitterSpec extends SparkSpecBase {
   test("jdbc claim committer: two racing writers serialize — one wins, no corruption") {
     val root = tmpDir("graft_mc_jdbc_race")
     withJdbcCommitter("graft_claims_race") {
-      val c = new graft.io.JdbcClaimManifestCommitter
+      // TWO committer instances (distinct writer ids, no shared JVM
+      // state beyond the database) — the cross-process shape, as close
+      // as one test JVM can get
+      val cA = new graft.io.JdbcClaimManifestCommitter
+      val cB = new graft.io.JdbcClaimManifestCommitter
       val fs = hfs(root)
       val target = new org.apache.hadoop.fs.Path(root, "v1.txt")
       // many rounds of a genuine two-thread race through the NON-atomic
@@ -126,11 +130,12 @@ class ManifestCommitterSpec extends SparkSpecBase {
         val tb = stage(root, s".b$round.tmp", s"body-B-$round\n")
         val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
         val gate = new java.util.concurrent.CountDownLatch(1)
-        def racer(tmp: org.apache.hadoop.fs.Path) =
+        def racer(c: graft.io.JdbcClaimManifestCommitter,
+                  tmp: org.apache.hadoop.fs.Path) =
           pool.submit(new java.util.concurrent.Callable[Boolean] {
             def call(): Boolean = { gate.await(); c.commit(fs, tmp, t, root) }
           })
-        val (fa, fb) = (racer(ta), racer(tb))
+        val (fa, fb) = (racer(cA, ta), racer(cB, tb))
         gate.countDown()
         val (wa, wb) = (fa.get(), fb.get())
         pool.shutdown()
@@ -139,7 +144,7 @@ class ManifestCommitterSpec extends SparkSpecBase {
         val expected = if (wa) s"body-A-$round\n" else s"body-B-$round\n"
         assert(got == expected, s"round $round: target holds $got")
       }
-      assert(!c.commit(fs, stage(root, ".late.tmp", "late\n"), target, root),
+      assert(!cA.commit(fs, stage(root, ".late.tmp", "late\n"), target, root),
         "a completed claim must refuse forever")
     }
   }

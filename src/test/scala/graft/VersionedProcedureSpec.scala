@@ -118,7 +118,8 @@ class VersionedProcedureSpec extends SparkSpecBase {
     val d = spark.sql(s"CALL graft_proc.system.detail('$t')")
     assert(d.columns.toSeq == Seq("version", "num_files", "total_bytes",
       "num_columns", "stats_columns", "bloom_columns", "num_constraints",
-      "num_deletion_vectors", "dv_deleted_rows"))
+      "num_deletion_vectors", "dv_deleted_rows", "column_mapping",
+      "max_field_id", "dropped_names", "stats_dead_names"))
     val r = d.collect()(0)
     assert(r.getLong(0) == 4L)       // 3 commits + constraint commit
     assert(r.getLong(1) == 3L)       // three single-file batches
@@ -127,6 +128,16 @@ class VersionedProcedureSpec extends SparkSpecBase {
     assert(r.getString(4) == "id")   // stats-tracked
     assert(r.getString(5) == "id")   // bloom-tracked (retrofit)
     assert(r.getInt(6) == 1)         // one constraint
+    assert(r.getBoolean(9))          // catalog tables are mapped
+    assert(r.getLong(10) == 2L)      // ids 1..2 (id, x)
+    assert(r.getString(11) == "" && r.getString(12) == "")
+    // a drop on the mapped table surfaces in the guard columns
+    Versioned.dropConstraint(spark, root, "id_pos")
+    Versioned.dropColumns(spark, root, Seq("x"))
+    val r2 = spark.sql(s"CALL graft_proc.system.detail('$t')").collect()(0)
+    assert(r2.getString(11) == "")     // mapped: no tombstones
+    assert(r2.getString(12) == "x")    // but the name's stats are dead
+    assert(r2.getLong(10) == 2L)       // high-water keeps the retired id
   }
 
   test("CALL bloom retrofits point-lookup pruning onto an existing table") {
