@@ -3141,6 +3141,19 @@ object Versioned {
     vs.dropRight(keepVersions).foreach { v =>
       reclaim(new Path(manifestDir(root), s"v$v.txt"), recursive = false)
     }
+    // crash debris in the manifest dir: publish stages `.v<N>.<uuid>.txt
+    // .tmp` bodies and the jdbc committer `.claimpub-*.tmp` copies; a
+    // writer dying before its rename orphans them and nothing else ever
+    // names them again. Same grace rule as data files — a LIVE writer's
+    // seconds-old staging must survive a concurrent vacuum.
+    val mdir = manifestDir(root)
+    if (f.exists(mdir)) {
+      f.listStatus(mdir).foreach { s =>
+        val n = s.getPath.getName
+        if (n.startsWith(".") && n.endsWith(".tmp") && oldEnough(s))
+          reclaim(s.getPath, recursive = false)
+      }
+    }
     planned.result()
   }
 

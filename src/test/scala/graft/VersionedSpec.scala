@@ -279,6 +279,35 @@ class VersionedSpec extends SparkSpecBase {
     }
   }
 
+  test("vacuum reclaims orphaned manifest-dir staging debris, grace-respecting") {
+    val root = tmpRoot()
+    Versioned.commit(spark, Seq(1L).toDF("id"), root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a writer that died before its rename: a stale publish body and a
+    // committer copy temp, plus a FRESH one a live writer just staged
+    def stageTmp(name: String, old: Boolean): org.apache.hadoop.fs.Path = {
+      val p = new org.apache.hadoop.fs.Path(root, s"_manifests/$name")
+      val out = fs.create(p, true)
+      try out.write("junk\n".getBytes("UTF-8")) finally out.close()
+      if (old) fs.setTimes(p, System.currentTimeMillis() - 60000L, -1)
+      p
+    }
+    val dead1 = stageTmp(".v9.deadbeef.txt.tmp", old = true)
+    val dead2 = stageTmp(".claimpub-deadbeef.tmp", old = true)
+    val fresh = stageTmp(".v9.fresh123.txt.tmp", old = false)
+    // dry run names exactly the old debris; the real sweep removes it
+    // and spares the in-flight writer's fresh staging
+    val planned = Versioned.vacuumDryRun(spark, root, keepVersions = 1,
+      graceMillis = 30000L)
+    assert(planned.exists(_.endsWith(".v9.deadbeef.txt.tmp")))
+    assert(!planned.exists(_.endsWith(".v9.fresh123.txt.tmp")))
+    Versioned.vacuum(spark, root, keepVersions = 1, graceMillis = 30000L)
+    assert(!fs.exists(dead1) && !fs.exists(dead2))
+    assert(fs.exists(fresh), "a live writer's staging must survive grace")
+    assert(Versioned.read(spark, root).count() == 1)
+  }
+
   test("vacuum with a grace window reclaims a dead dir in the SAME pass") {
     // the dir-age gate must use the PRE-sweep dir mtime: this run's own
     // file deletes bump the dir's mtime, and a post-sweep stat would
