@@ -48,6 +48,35 @@ class VersionedStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("a mid-stream RENAME keeps emitting correct values under the pinned names") {
+    // the scan schema is pinned at stream start (old logical names +
+    // field ids); post-rename files carry the NEW name but the SAME id,
+    // so id matching serves them under the pinned name — values stay
+    // correct, the stream just keeps the old column name until a
+    // restart re-pins (the Delta-like schema-change posture). A rename
+    // adds no files, so the append-only guard is untouched.
+    val root = tmpDir("graft_vstream_rn")
+    val ckpt = tmpDir("graft_vstream_rn_ckpt")
+    Versioned.commit(spark, Seq((1L, "a")).toDF("id", "k"), root)
+    val q = tail(root, ckpt, "vtail_rn")
+    try {
+      q.processAllAvailable()
+      Versioned.renameColumn(spark, root, "k", "label")
+      Versioned.commit(spark, Seq((2L, "b")).toDF("id", "label"), root)
+      q.processAllAvailable()
+      assert(spark.table("vtail_rn").columns.toSeq == Seq("id", "k"))
+      assert(spark.table("vtail_rn").select("id", "k")
+        .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")),
+        "post-rename file served wrong values under the pinned schema")
+    } finally q.stop()
+    // a fresh stream sees the evolved name
+    val q2 = tail(root, tmpDir("graft_vstream_rn_ckpt2"), "vtail_rn2")
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("vtail_rn2").columns.toSeq == Seq("id", "label"))
+    } finally q2.stop()
+  }
+
   test("restart resumes from the checkpointed version") {
     // memory sink forbids checkpoint recovery, so collect via foreachBatch
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
