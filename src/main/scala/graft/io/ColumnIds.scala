@@ -105,18 +105,25 @@ private[graft] object ColumnIds {
 
   /** Rewrite `df` so its output schema carries the recorded schema's
     * field-id metadata (matched by name, case-insensitive) — the step
-    * that makes the parquet writer stamp ids into the footers. Replaces
-    * any metadata the frame's own lineage attached (see [[stripIds]]).
-    * No-op for legacy (id-less) recorded schemas. */
+    * that makes the parquet writer stamp ids into the footers. The id is
+    * MERGED into each column's existing metadata (comments and other
+    * keys the frame carries survive into the written footers); only the
+    * id key itself is overwritten, so a lineage-smuggled id can never
+    * beat the recorded one (see [[stripIds]]). No-op for legacy
+    * (id-less) recorded schemas. */
   def stamp(df: DataFrame, recorded: StructType): DataFrame = {
     if (!hasIds(recorded)) return df
     ensureConfs(df.sparkSession)
     val ids = idsByName(recorded)
+    val fieldMeta: Map[String, Metadata] =
+      df.schema.fields.map(f => f.name -> f.metadata).toMap
     df.select(df.columns.toSeq.map { c =>
       val quoted = col("`" + c.replace("`", "``") + "`")
       ids.get(c.toLowerCase) match {
         case Some(id) => quoted.as(c,
-          new MetadataBuilder().putLong(IdKey, id).build(): Metadata)
+          new MetadataBuilder()
+            .withMetadata(fieldMeta.getOrElse(c, Metadata.empty))
+            .putLong(IdKey, id).build(): Metadata)
         case None => quoted
       }
     }: _*)
@@ -125,10 +132,21 @@ private[graft] object ColumnIds {
   /** Enable Spark's field-id read/write matching on the session. Write
     * stamping defaults on upstream but is pinned here; read matching
     * defaults OFF and must be on before any mapped-table scan is planned.
-    * Schemas without ids keep plain name matching under these confs, so
-    * flipping them session-wide changes nothing for other reads; a
-    * mapped (id-carrying) schema over an id-less file stays a LOUD error
-    * (ignoreMissing left at its strict default). */
+    *
+    * Deliberately SESSION-WIDE, not scoped to graft reads: the conf is
+    * consulted by the parquet reader at EXECUTION time, and mapped reads
+    * are lazy DataFrames the caller may collect long after this call —
+    * a set/restore window around planning cannot cover them, and
+    * upstream exposes no per-relation option for field-id matching (a
+    * cloned `newSession` would scope it but changes the frame's session
+    * identity, a worse surprise). The exposure is narrow and one-sided:
+    * schemas without ids keep plain name matching under these confs, so
+    * nothing changes for ordinary reads; the only behavior shift is a
+    * user-supplied read schema that ALREADY carries `parquet.field.id`
+    * metadata (e.g. captured from an Iceberg dataset), which switches
+    * from name- to id-matching — the semantics such a schema asks for.
+    * A mapped (id-carrying) schema over an id-less file stays a LOUD
+    * error (ignoreMissing left at its strict default). */
   def ensureConfs(spark: SparkSession): Unit = {
     if (spark.conf.get("spark.sql.parquet.fieldId.read.enabled", "false") != "true")
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")

@@ -103,10 +103,20 @@ final class ConditionalPutManifestCommitter extends ManifestCommitter {
   *
   * The TTL (`spark.graft.committerClaimTtlMillis`, default 15 min) must
   * comfortably exceed the longest real manifest publish — the same
-  * liveness assumption the DynamoDB LogStore documents. Claim rows of
-  * completed commits are retained until [[Versioned.vacuum]]-style
-  * maintenance clears them (they are tiny and double as a commit audit
-  * log); recovery never needs them again once `target` exists.
+  * liveness assumption the DynamoDB LogStore documents. The expiry check
+  * compares THIS writer's wall clock against the claimant's recorded
+  * timestamp, so cross-writer clock skew eats into the effective TTL: a
+  * recoverer whose clock runs S ahead of the claimant's steals a live
+  * claim S early — provision the TTL with headroom above the
+  * deployment's worst skew. A claim stamped in the future (claimant's
+  * clock ahead) is never treated as expired, only as live; and even a
+  * skew-early steal cannot double-ack a version — the winner re-reads
+  * its claim row before acknowledging (see [[commit]]) and reports a
+  * loss if the claim changed hands mid-publish. Claim rows of completed
+  * commits are retained as a commit audit log until
+  * [[JdbcClaimManifestCommitter.vacuumClaims]] clears the ones older
+  * than its retention window; recovery never needs them again once
+  * `target` exists.
   *
   * Conf (read from the active session at commit time):
   *  - `spark.graft.committerJdbcUrl` (required): JDBC URL of the
@@ -119,6 +129,12 @@ final class JdbcClaimManifestCommitter extends ManifestCommitter {
 
   private val writerId = java.util.UUID.randomUUID.toString
   @volatile private var ensured: Set[String] = Set.empty
+
+  /** Test seam: runs after this writer's claim INSERT succeeds and
+    * before it publishes — the window an out-of-contract TTL stall
+    * opens (ManifestCommitterSpec uses it to simulate a recoverer
+    * stealing the claim mid-publish). Production no-op. */
+  private[graft] var claimWonHook: Path => Unit = _ => ()
 
   private def conf(key: String): Option[String] =
     Option(SparkSession.active.conf.get(key, null))
@@ -225,7 +241,18 @@ final class JdbcClaimManifestCommitter extends ManifestCommitter {
           markComplete(conn, key)
           return Some(false)
         }
+        claimWonHook(target)
         copy(fs, tmp, target)
+        // Out-of-contract stall audit: if this writer stalled past the
+        // claim TTL mid-publish, a recoverer may have reclaimed its tmp
+        // (vacuum), stolen the claim, and published a DIFFERENT manifest
+        // — copy() above then found the thief's bytes already at target
+        // and returned quietly. Acknowledging a win here would double-ack
+        // the version and silently drop this writer's manifest. Only ack
+        // while the claim row still names this writer; otherwise the
+        // thief's commit is the real one and this is a normal loss (the
+        // OCC loop re-derives and re-commits this writer's changes).
+        if (!claimHeldByUs(conn, key)) return Some(false)
         markComplete(conn, key)
         fs.delete(tmp, false)
         return Some(true)
@@ -240,6 +267,9 @@ final class JdbcClaimManifestCommitter extends ManifestCommitter {
       val (theirTmp, theirTs, complete) =
         (rs.getString(1), rs.getLong(2), rs.getInt(3) == 1)
       if (complete) return Some(false)
+      // age < TTL covers a FUTURE-stamped claim too (negative age): a
+      // claimant whose clock runs ahead is treated as live, never stolen
+      // — skew delays recovery, it cannot trigger it from this side
       if (System.currentTimeMillis() - theirTs < ttlMillis) return Some(false)
       // expired incomplete claim: crashed writer. Finish its publish if
       // its staged manifest survives (its commit wins), else clear the
@@ -271,6 +301,14 @@ final class JdbcClaimManifestCommitter extends ManifestCommitter {
     } finally conn.close()
   }
 
+  private def claimHeldByUs(conn: java.sql.Connection, key: String): Boolean = {
+    val sel = conn.prepareStatement(
+      "SELECT claim_writer FROM graft_commit_claims WHERE claim_target = ?")
+    sel.setString(1, key)
+    val rs = sel.executeQuery()
+    rs.next() && rs.getString(1) == writerId
+  }
+
   private def markComplete(conn: java.sql.Connection, key: String): Unit = {
     val up = conn.prepareStatement(
       "UPDATE graft_commit_claims SET claim_complete = 1 WHERE claim_target = ?")
@@ -283,4 +321,44 @@ final class JdbcClaimManifestCommitter extends ManifestCommitter {
 object JdbcClaimManifestCommitter {
   val UrlKey = "spark.graft.committerJdbcUrl"
   val TtlKey = "spark.graft.committerClaimTtlMillis"
+
+  /** GC the claims table: delete COMPLETED claim rows older than
+    * `retentionMillis`. A long-lived table is millions of commits — the
+    * rows are tiny, but the table does not stay small on its own; this
+    * is the maintenance path the class doc defers to (also exposed as
+    * `CALL graft.system.vacuum_claims`). Returns the rows deleted.
+    *
+    * Safety invariants (spec-pinned in ManifestCommitterSpec):
+    *  - INCOMPLETE claims are NEVER deleted regardless of age — an
+    *    expired incomplete row is the crash record that drives
+    *    finish-the-dead-writer's-commit recovery; only the committer's
+    *    own conditional corpse-delete may clear one.
+    *  - Completed rows younger than the retention window survive — they
+    *    are the commit audit log; size the window to the audit need.
+    *    Recovery is correct after any GC: once `target` exists, the
+    *    protocol's `fs.exists(target)` check decides without the row. */
+  def vacuumClaims(jdbcUrl: String, retentionMillis: Long): Int = {
+    require(retentionMillis >= 0L,
+      s"retentionMillis must be >= 0, got $retentionMillis")
+    val conn = DriverManager.getConnection(jdbcUrl)
+    try {
+      // no claims table yet = nothing to GC (probe, don't pattern-match
+      // per-DB SQLStates — same discipline as ensureTable)
+      val existed =
+        try {
+          val probe = conn.createStatement()
+          probe.executeQuery(
+            "SELECT claim_target FROM graft_commit_claims WHERE 1=0")
+          true
+        } catch { case _: SQLException => false }
+      if (!existed) 0
+      else {
+        val del = conn.prepareStatement(
+          "DELETE FROM graft_commit_claims " +
+            "WHERE claim_complete = 1 AND claim_ts < ?")
+        del.setLong(1, System.currentTimeMillis() - retentionMillis)
+        del.executeUpdate()
+      }
+    } finally conn.close()
+  }
 }

@@ -1932,7 +1932,8 @@ object Versioned {
         if (aligned.isEmpty) return current
         return commit(spark, aligned, root, tag = tag, statsCols = statsCols,
           bloomCols = trackedBloomCols(spark, root, files)
-            .filter(c => FileStats.bloomSupported(aligned.schema(c).dataType)))
+            .filter(c => aligned.columns.contains(c) &&
+              FileStats.bloomSupported(aligned.schema(c).dataType)))
       }
       val (touched, untouched) = files.partition(f =>
         touchedUris.contains(new Path(f).toUri.getPath))
@@ -3148,9 +3149,25 @@ object Versioned {
     // seconds-old staging must survive a concurrent vacuum.
     val mdir = manifestDir(root)
     if (f.exists(mdir)) {
+      // When the JDBC claim committer is active, a crashed writer's
+      // RECORDED tmp is the recovery payload: reclaiming it before the
+      // claim TTL expires downgrades recovery from finish-the-dead-
+      // writer's-commit (the documented fixDeltaLog semantics) to a claim
+      // steal — and a default vacuum (graceMillis = 0) racing a LIVE
+      // publish would eat a just-staged body. The .tmp age gate therefore
+      // honors max(graceMillis, claimTtl) whenever that committer is
+      // configured; other committers keep the plain grace rule.
+      val tmpCut = {
+        val cls = spark.conf.get(ManifestCommitter.ConfKey, "")
+        if (cls == classOf[JdbcClaimManifestCommitter].getName) {
+          val ttl = Option(spark.conf.get(JdbcClaimManifestCommitter.TtlKey, null))
+            .map(_.toLong).getOrElse(15L * 60 * 1000)
+          math.min(cut, System.currentTimeMillis() - ttl)
+        } else cut
+      }
       f.listStatus(mdir).foreach { s =>
         val n = s.getPath.getName
-        if (n.startsWith(".") && n.endsWith(".tmp") && oldEnough(s))
+        if (n.startsWith(".") && n.endsWith(".tmp") && s.getModificationTime <= tmpCut)
           reclaim(s.getPath, recursive = false)
       }
     }

@@ -198,6 +198,188 @@ class ManifestCommitterSpec extends SparkSpecBase {
     }
   }
 
+  test("a future-stamped claim is live, never stolen (clock skew)") {
+    // TTL 0 = everything past-stamped is expired — but a claimant whose
+    // clock runs AHEAD must still be treated as live: skew may delay
+    // recovery, it must never trigger it
+    val root = tmpDir("graft_mc_jdbc_skew")
+    val url = "jdbc:derby:memory:graft_claims_skew;create=true"
+    withJdbcCommitter("graft_claims_skew") {
+      spark.conf.set(graft.io.JdbcClaimManifestCommitter.TtlKey, "0")
+      val c = new graft.io.JdbcClaimManifestCommitter
+      val fs = hfs(root)
+      val target = new org.apache.hadoop.fs.Path(root, "v1.txt")
+      val futureTs = System.currentTimeMillis() + 60L * 60 * 1000
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        try st.executeUpdate(
+          "CREATE TABLE graft_commit_claims (claim_target VARCHAR(1024) PRIMARY KEY, " +
+            "claim_tmp VARCHAR(1024), claim_writer VARCHAR(64), claim_ts BIGINT, " +
+            "claim_complete SMALLINT)")
+        catch { case _: java.sql.SQLException => () }
+        val ins = conn.prepareStatement(
+          "INSERT INTO graft_commit_claims VALUES (?, ?, ?, ?, 0)")
+        ins.setString(1, target.toString)
+        ins.setString(2, new org.apache.hadoop.fs.Path(root, ".ahead.tmp").toString)
+        ins.setString(3, "skewed-writer"); ins.setLong(4, futureTs)
+        ins.executeUpdate()
+      } finally conn.close()
+      val mine = stage(root, ".mine.tmp", "my-manifest\n")
+      assert(!c.commit(fs, mine, target, root),
+        "a future-stamped incomplete claim must read as LIVE, a normal loss")
+      assert(!fs.exists(target), "no recovery may run against a live claim")
+      val conn2 = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = conn2.createStatement().executeQuery(
+          s"SELECT claim_writer, claim_complete FROM graft_commit_claims " +
+            s"WHERE claim_target = '${target.toString}'")
+        assert(rs.next())
+        assert(rs.getString(1) == "skewed-writer" && rs.getInt(2) == 0,
+          "the skewed claim row must survive untouched")
+      } finally conn2.close()
+    }
+  }
+
+  test("a claim stolen mid-publish is reported as a loss, never double-acked") {
+    // The out-of-contract stall: writer A claims, stalls past the TTL,
+    // its tmp is vacuumed, a recoverer steals the claim and publishes a
+    // DIFFERENT manifest. When A resumes, its copy finds the thief's
+    // bytes at target — A must report a LOSS (the pre-fix behavior
+    // acked a win, silently dropping A's acknowledged manifest).
+    val root = tmpDir("graft_mc_jdbc_steal")
+    val url = "jdbc:derby:memory:graft_claims_steal;create=true"
+    withJdbcCommitter("graft_claims_steal") {
+      val cA = new graft.io.JdbcClaimManifestCommitter
+      val fs = hfs(root)
+      val target = new org.apache.hadoop.fs.Path(root, "v1.txt")
+      val stolen = new java.util.concurrent.atomic.AtomicBoolean(false)
+      cA.claimWonHook = { t =>
+        if (stolen.compareAndSet(false, true)) {
+          // the thief: replace A's claim row with its own COMPLETED one
+          // and publish its manifest — exactly what a recoverer that
+          // stole the expired claim leaves behind
+          val conn = java.sql.DriverManager.getConnection(url)
+          try {
+            conn.createStatement().executeUpdate(
+              s"DELETE FROM graft_commit_claims WHERE claim_target = '${t.toString}'")
+            val ins = conn.prepareStatement(
+              "INSERT INTO graft_commit_claims VALUES (?, ?, ?, ?, 1)")
+            ins.setString(1, t.toString)
+            ins.setString(2, new org.apache.hadoop.fs.Path(root, ".thief.tmp").toString)
+            ins.setString(3, "thief-writer")
+            ins.setLong(4, System.currentTimeMillis())
+            ins.executeUpdate()
+          } finally conn.close()
+          val out = fs.create(t, true)
+          try out.write("thief-manifest\n".getBytes("UTF-8")) finally out.close()
+        }
+      }
+      val mine = stage(root, ".mine.tmp", "my-manifest\n")
+      assert(!cA.commit(fs, mine, target, root),
+        "a writer whose claim changed hands mid-publish must report a loss")
+      assert(readAll(root, target) == "thief-manifest\n",
+        "the thief's acknowledged manifest must survive")
+    }
+  }
+
+  test("vacuumClaims: completed rows past retention go, everything else survives") {
+    val url = "jdbc:derby:memory:graft_claims_gc;create=true"
+    val root = tmpDir("graft_mc_jdbc_gc")
+    withJdbcCommitter("graft_claims_gc") {
+      val c = new graft.io.JdbcClaimManifestCommitter
+      val fs = hfs(root)
+      // a real completed commit (old), then hand-planted rows for the
+      // survival cases: a YOUNG completed row and an OLD incomplete one
+      val target = new org.apache.hadoop.fs.Path(root, "v1.txt")
+      assert(c.commit(fs, stage(root, ".one.tmp", "one\n"), target, root))
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        // age the real commit's row past any retention we test with
+        st.executeUpdate(
+          s"UPDATE graft_commit_claims SET claim_ts = 1 " +
+            s"WHERE claim_target = '${target.toString}'")
+        val ins = conn.prepareStatement(
+          "INSERT INTO graft_commit_claims VALUES (?, ?, ?, ?, ?)")
+        def plant(t: String, ts: Long, complete: Int): Unit = {
+          ins.setString(1, t); ins.setString(2, s"$t.tmp")
+          ins.setString(3, "w"); ins.setLong(4, ts); ins.setInt(5, complete)
+          ins.executeUpdate(); ()
+        }
+        plant("young-complete", System.currentTimeMillis(), 1)
+        plant("old-incomplete", 1L, 0)
+      } finally conn.close()
+      val deleted = graft.io.JdbcClaimManifestCommitter
+        .vacuumClaims(url, retentionMillis = 60L * 1000)
+      assert(deleted == 1, s"exactly the old completed row goes, got $deleted")
+      val conn2 = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = conn2.createStatement().executeQuery(
+          "SELECT claim_target FROM graft_commit_claims ORDER BY claim_target")
+        val left = Iterator.continually(rs)
+          .takeWhile(_.next()).map(_.getString(1)).toList
+        assert(left == List("old-incomplete", "young-complete"),
+          s"survivors must be the incomplete + young rows, got $left")
+      } finally conn2.close()
+      // recovery stays correct after GC: with the completed row gone, a
+      // late writer re-claims the target fresh — and must still LOSE to
+      // the existing manifest, never clobber it
+      assert(!c.commit(fs, stage(root, ".late.tmp", "late\n"), target, root),
+        "post-GC re-claim of a published target must lose")
+      assert(readAll(root, target) == "one\n")
+      // GC on a database with no claims table is a quiet no-op
+      assert(graft.io.JdbcClaimManifestCommitter.vacuumClaims(
+        "jdbc:derby:memory:graft_claims_gc_absent;create=true", 0L) == 0)
+    }
+  }
+
+  test("vacuum honors the claim TTL for manifest-dir staging debris") {
+    // ADVICE r11: a default vacuum (graceMillis = 0) must not reclaim a
+    // .tmp younger than the claim TTL while the jdbc committer is
+    // configured — a crashed writer's recorded tmp IS the recovery
+    // payload until its claim expires
+    val root = tmpDir("graft_mc_vac_ttl")
+    Versioned.commit(spark, Seq((1L, "a")).toDF("id", "v"), root)
+    val fs = hfs(root)
+    val mdir = new org.apache.hadoop.fs.Path(root, "_manifests")
+    val debris = new org.apache.hadoop.fs.Path(mdir, ".claimpub-test.tmp")
+    val out = fs.create(debris, true)
+    try out.write("staged\n".getBytes("UTF-8")) finally out.close()
+    withJdbcCommitter("graft_claims_vac") {
+      spark.conf.set(graft.io.JdbcClaimManifestCommitter.TtlKey,
+        (60L * 60 * 1000).toString)
+      Versioned.vacuum(spark, root)
+      assert(fs.exists(debris),
+        "a within-TTL tmp must survive a default vacuum under the jdbc committer")
+    }
+    // committer unset: the plain grace rule applies and the debris goes
+    Versioned.vacuum(spark, root)
+    assert(!fs.exists(debris),
+      "without the jdbc committer the default grace reclaims the debris")
+  }
+
+  test("three racing OCC writers publish a correct table under the conditional-put committer") {
+    // the same end-to-end leg the jdbc committer has: every manifest
+    // publish routed through the conditional-PUT protocol (local-FS
+    // create-no-overwrite stands in for the store's precondition); the
+    // final snapshot must equal the sequential snapshot exactly
+    spark.conf.set(ManifestCommitter.ConfKey,
+      classOf[graft.io.ConditionalPutManifestCommitter].getName)
+    try {
+      val sf = "/root/testdata/sf0.001"
+      val viaCput = graft.queries.VersionedQueries
+        .queries("versioned_occ")(spark, sf)
+        .orderBy("status", "priority").collect().toSeq
+      assert(viaCput.nonEmpty)
+      val plain = graft.queries.VersionedQueries
+        .queries("versioned_snapshot")(spark, sf)
+        .orderBy("status", "priority").collect().toSeq
+      assert(viaCput == plain,
+        "OCC under the conditional-put committer must produce the sequential snapshot")
+    } finally spark.conf.unset(ManifestCommitter.ConfKey)
+  }
+
   test("three racing OCC writers publish a correct table under the jdbc committer") {
     // the versioned_occ oracle query end-to-end with every manifest
     // publish routed through the external-coordination committer: final

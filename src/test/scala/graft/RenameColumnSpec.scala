@@ -46,6 +46,24 @@ class RenameColumnSpec extends SparkSpecBase {
       .columns.toSeq == Seq("id", "v"))
   }
 
+  test("pure-insert merge works after renaming a bloom-tracked column") {
+    // ADVICE r11 (medium): mergeInto's pure-insert path looked each
+    // sidecar-tracked bloom name up in the SOURCE schema without a
+    // containment guard — after renaming the bloom column the retired
+    // name is absent and every no-match merge threw until a compact.
+    // The renamed-away bloom conservatively just loses its bloom.
+    val root = tmpRoot()
+    Versioned.commit(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root,
+      bloomCols = Seq("v"))
+    Versioned.renameColumn(spark, root, "v", "label")
+    // key 3 matches nothing: the merge is a plain append (pure insert)
+    Versioned.mergeInto(spark, root,
+      Seq((3L, "c")).toDF("id", "label"), Seq("id"))
+    assert(Versioned.read(spark, root).select("id", "label")
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("rename refuses collisions, unknown columns, and checked columns") {
     val root = tmpRoot()
     Versioned.commit(spark, Seq((1L, "a", 5.0)).toDF("id", "v", "w"), root)
