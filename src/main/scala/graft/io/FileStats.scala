@@ -47,12 +47,45 @@ object FileStats {
   /** Footer-read the min/max of `cols` for each file. Returns
     * fileName -> (col -> stats); columns without usable stats are absent. */
   def collect(conf: Configuration, files: Seq[Path],
-              cols: Seq[String]): Map[String, Map[String, ColStats]] = {
-    val wanted = cols.toSet
+              cols: Seq[String]): Map[String, Map[String, ColStats]] =
+    collectWith(conf, files, _ => cols.map(c => c -> c).toMap)
+
+  /** [[collect]] resolved by FIELD ID: `wanted` maps each OUTPUT (current)
+    * column name to its stable field id, and each file's footer resolves
+    * the id to that file's own physical column name — so stats for a
+    * RENAMED column land under its current name even from files written
+    * under the old one (the sidecar re-harvest [[Versioned.reharvestStats]]
+    * runs on). Fallback per file: a field the footer carries NO id for
+    * matches by exact name (legacy files in a partially-upgraded dir);
+    * a wanted id absent from a file simply records nothing there
+    * (conservative, like every stats gap). */
+  def collectById(conf: Configuration, files: Seq[Path],
+                  wanted: Map[String, Long]): Map[String, Map[String, ColStats]] =
+    collectWith(conf, files, { schema =>
+      val fields = schema.getFields.asScala
+      val physById: Map[Long, String] = fields.flatMap { f =>
+        Option(f.getId).map(id => id.intValue().toLong -> f.getName)
+      }.toMap
+      wanted.flatMap { case (out, id) =>
+        physById.get(id) match {
+          case Some(phys) => Some(phys -> out)
+          case None => fields.find(f => f.getName == out && f.getId == null)
+            .map(_ => out -> out)
+        }
+      }
+    })
+
+  /** Core footer sweep: `mappingFor` derives, per file schema, the map of
+    * PHYSICAL column name -> OUTPUT sidecar name to harvest. */
+  private def collectWith(conf: Configuration, files: Seq[Path],
+                          mappingFor: org.apache.parquet.schema.MessageType => Map[String, String])
+      : Map[String, Map[String, ColStats]] = {
     MetaPar.parMap(files) { p =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
       val footer = try reader.getFooter finally reader.close()
       val schema = footer.getFileMetaData.getSchema
+      val mapping = mappingFor(schema)
+      val wanted = mapping.keySet
       // merge min/max across row groups, skipping groups with no usable stat
       val perCol = scala.collection.mutable.Map[String, ColStats]()
       // per-column null count summed over groups; -1 once any group's
@@ -91,8 +124,9 @@ object FileStats {
           }
         }
       }
+      // keys are PHYSICAL names through the loop; translate on the way out
       p.getName -> perCol.map { case (c, cs) =>
-        c -> cs.copy(nulls = nullsBy.getOrElse(c, -1L))
+        mapping(c) -> cs.copy(nulls = nullsBy.getOrElse(c, -1L))
       }.toMap
     }.toMap
   }

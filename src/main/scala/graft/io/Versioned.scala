@@ -2472,10 +2472,23 @@ object Versioned {
       }
     val statsOf: Map[String, Map[String, FileStats.ColStats]] =
       if (conjuncts.isEmpty) Map.empty
-      else files.map { s =>
-        val p = new Path(s)
-        s -> sideByDir(p.getParent).getOrElse(p.getName, Map.empty)
-      }.toMap
+      else {
+        // the PROOFS' lookup excludes identity-unstable names (see
+        // statsDeadLines) — the same filter statsByFile applies for the
+        // merge-on-read paths. Without it a re-added column's stale
+        // nulls==0 + min/max under the vacated name would "prove" a
+        // wrong whole-file drop here: the copy-on-write twin of the
+        // hazard the r11 guard closed for the DV paths (that round's
+        // spec used a DoubleType column, which never proves, so this
+        // path's exposure survived it — RenameColumnSpec now pins the
+        // LONG case).
+        val dead = statsDeadColumns(spark, root)
+        files.map { s =>
+          val p = new Path(s)
+          s -> sideByDir(p.getParent).getOrElse(p.getName, Map.empty)
+            .filter { case (c, _) => !dead.contains(c.toLowerCase) }
+        }.toMap
+      }
     val (allMatch, rest) = conjuncts match {
       case Some(cs) => files.partition(p => StatsProofs.allRowsMatch(statsOf(p), cs))
       case None => (Seq.empty[String], files)
@@ -2758,6 +2771,155 @@ object Versioned {
       harvestBloomsFor(spark, dir, paths, schema, cols)
     }
     files.size.toLong
+  }
+
+  /** What [[reharvestStats]] did (or, dry-run, would do). `version` is
+    * the shed commit, -1 when nothing was committed (dry run / no
+    * `#statsdead` guards to shed). */
+  final case class ReharvestReport(version: Long, shedNames: Seq[String],
+                                   restattedCols: Seq[String],
+                                   rebloomedCols: Seq[String],
+                                   cleanedDirs: Long, filesRestatted: Long)
+
+  /** Shed the table's `#statsdead=` guards WITHOUT a data rewrite — the
+    * rename-then-maintain lifecycle step (renames are the reference's
+    * most common operation: reference/pipelines/etl_zrssale.py:73-101
+    * renames 24 columns per load), priced at SCAN cost instead of the
+    * full-table WRITE cost of the previous remedy (compactLatest).
+    *
+    * After a mapped RENAME or DROP+re-add, sidecar stats/bloom entries
+    * keyed by the vacated NAME are identity-unstable and quarantined by
+    * `#statsdead=` lines ([[statsDeadLines]]), which degrades the
+    * stats-proven DELETE / metadata row-count / pruning paths to
+    * scanning. This procedure restores them in three moves, none of
+    * which touches a data file:
+    *
+    *  1. STRIP every stats/bloom sidecar entry under a dead name from
+    *     the current snapshot's batch dirs (other entries survive).
+    *  2. RE-HARVEST, keyed by CURRENT names, what the dead names used
+    *     to cover: min/max/null stats via [[FileStats.collectById]] —
+    *     each file's footer resolves the current column's FIELD ID to
+    *     that file's own physical column, so pre-rename files land
+    *     under the post-rename name (footer reads only); bloom columns
+    *     get one column-pruned id-matched data pass per batch dir
+    *     ([[harvestBloomsFor]] merge semantics).
+    *  3. PUBLISH a metadata-only commit carrying the same schema, file
+    *     list, vectors, checks and tombstones — minus the `#statsdead=`
+    *     lines.
+    *
+    * Safety of the shed: step 1 removes every entry the guards
+    * quarantined, and step 2 writes only entries whose identity is
+    * id-proven against the current schema, so no name-keyed lookup can
+    * reach a stale value afterwards. Time travel / restore to versions
+    * BEFORE the shed stays sound on its own: each restored manifest
+    * carries its own guard lines (see [[restore]]), and pre-rename
+    * versions read the stripped names as absent — degraded pruning,
+    * never a wrong skip. DROPPED names (retired ids) translate to no
+    * current column: their entries are stripped and nothing is
+    * re-harvested — a later re-add starts clean.
+    *
+    * `dryRun` reports the plan (names to shed, columns to re-harvest,
+    * dirs to clean) without writing anything. No-op (version -1) when
+    * the table carries no `#statsdead` guards. */
+  def reharvestStats(spark: SparkSession, root: String,
+                     dryRun: Boolean = false): ReharvestReport = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root")
+    requireOwnedFiles(spark, root, "reharvestStats")
+    val dead = statsDeadColumns(spark, root).toSeq.sorted // lower-cased
+    if (dead.isEmpty)
+      return ReharvestReport(-1L, Seq.empty, Seq.empty, Seq.empty, 0L, 0L)
+    val current = vs.last
+    val schema = snapshotSchema(spark, root, Some(current)).getOrElse(
+      throw new IllegalStateException(
+        s"table at $root carries #statsdead guards but no recorded schema"))
+    val curById: Map[Long, String] =
+      schema.fields.flatMap(f => ColumnIds.idOf(f).map(_ -> f.name)).toMap
+    // every column identity (field id) that EVER lived under a dead name
+    // and still lives in the current schema — those are the columns whose
+    // sidecar coverage the dead name's quarantine took away. A retired
+    // (dropped) id maps to nothing.
+    def occupantsNow(d: String): Seq[String] =
+      vs.reverse.iterator
+        .flatMap(v => snapshotSchema(spark, root, Some(v)).iterator)
+        .flatMap(_.fields.find(_.name.equalsIgnoreCase(d)))
+        .flatMap(f => ColumnIds.idOf(f))
+        .flatMap(curById.get)
+        .distinct.toSeq
+    val deadSet = dead.toSet
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val curByDir: Map[Path, Seq[Path]] =
+      snapshotFiles(spark, root, Some(current)).map(new Path(_)).groupBy(_.getParent)
+    // which dead names actually have sidecar entries, per kind — only
+    // those buy a re-harvest; a dead name never tracked sheds for free
+    val presence = MetaPar.parMap(curByDir.keys.toSeq) { dir =>
+      val dfs = dir.getFileSystem(hconf)
+      (dir,
+        FileStats.readSidecar(dfs, dir).valuesIterator.flatMap(_.keysIterator).toSet,
+        FileStats.readBloomColumns(dfs, dir))
+    }
+    val deadStatNames = dead.filter(d =>
+      presence.exists(_._2.exists(_.toLowerCase == d)))
+    val deadBloomNames = dead.filter(d =>
+      presence.exists(_._3.exists(_.toLowerCase == d)))
+    val statTargets = deadStatNames.flatMap(occupantsNow).distinct.sorted
+    val bloomTargets = deadBloomNames.flatMap(occupantsNow).distinct.sorted
+      .filter(c => FileStats.bloomSupported(schema(c).dataType))
+    val wantedIds: Map[String, Long] = statTargets.flatMap(c =>
+      ColumnIds.idOf(schema(c)).map(c -> _)).toMap
+    var cleaned = 0L
+    var restatted = 0L
+    presence.foreach { case (dir, statNames, bloomNames) =>
+      val dfs = dir.getFileSystem(hconf)
+      val hasDeadStats = statNames.exists(n => deadSet.contains(n.toLowerCase))
+      val hasDeadBlooms = bloomNames.exists(n => deadSet.contains(n.toLowerCase))
+      val here = curByDir.getOrElse(dir, Seq.empty)
+      if (dryRun) {
+        if (hasDeadStats || hasDeadBlooms) cleaned += 1
+        if (wantedIds.nonEmpty) restatted += here.size
+      } else {
+        val fresh =
+          if (wantedIds.nonEmpty && here.nonEmpty)
+            FileStats.collectById(hconf, here, wantedIds)
+          else Map.empty[String, Map[String, FileStats.ColStats]]
+        restatted += fresh.size
+        if (hasDeadStats || fresh.exists(_._2.nonEmpty)) {
+          val side = FileStats.readSidecar(dfs, dir)
+          val stripped = side.map { case (f, byCol) =>
+            f -> byCol.filter { case (c, _) => !deadSet.contains(c.toLowerCase) }
+          }
+          val merged = (stripped.keySet ++ fresh.keySet).map { f =>
+            f -> (stripped.getOrElse(f, Map.empty) ++ fresh.getOrElse(f, Map.empty))
+          }.toMap.filter(_._2.nonEmpty)
+          FileStats.writeSidecar(dfs, dir, merged)
+        }
+        if (hasDeadBlooms) {
+          val bside = FileStats.readBloomSidecar(dfs, dir)
+          FileStats.writeBloomSidecar(dfs, dir, bside.map { case (f, byCol) =>
+            f -> byCol.filter { case (c, _) => !deadSet.contains(c.toLowerCase) }
+          }.filter(_._2.nonEmpty))
+        }
+        if (hasDeadStats || hasDeadBlooms) cleaned += 1
+      }
+    }
+    // bloom re-harvest is the one non-metadata cost: a column-pruned
+    // id-matched pass over the snapshot's files, per batch dir (the same
+    // price buildBlooms quotes) — still no write to any data file
+    if (!dryRun && bloomTargets.nonEmpty) {
+      ColumnIds.ensureConfs(spark)
+      curByDir.foreach { case (dir, paths) =>
+        harvestBloomsFor(spark, dir, paths, schema, bloomTargets)
+      }
+    }
+    val newV =
+      if (dryRun) -1L
+      else publish(spark, root, current + 1, op = "reharvest_stats",
+        Seq(s"#schema=${schema.json}") ++
+          checkLines(spark, root, Some(current)) ++
+          droppedLines(spark, root, Some(current)) ++ // legacy tombstones carry
+          dvEntries(spark, root, Some(current)).map { case (e, d) => dvLine(e, d) } ++
+          manifestFiles(spark, root, current))
+    ReharvestReport(newV, dead, statTargets, bloomTargets, cleaned, restatted)
   }
 
   /** Fully qualified form of `s`: scheme + authority from its filesystem,

@@ -177,6 +177,41 @@ private[io] object VersionedProcedures {
         spark, existing(spark, rootFor, input, 0),
         csv(str(input, 1, "cols"))))),
 
+    Spec("reharvest_stats", "shed the table's #statsdead guards without rewriting data: strip sidecar entries under dead names, re-harvest stats/blooms keyed by CURRENT names (field-id resolved, so pre-rename files count), publish a metadata-only commit; dry_run => true reports the plan only",
+      Array(in("table", StringType),
+        inDefault("dry_run", org.apache.spark.sql.types.BooleanType, "false")),
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("shed_names", StringType, nullable = false),
+        StructField("restatted_columns", StringType, nullable = false),
+        StructField("rebloomed_columns", StringType, nullable = false),
+        StructField("cleaned_dirs", LongType, nullable = false),
+        StructField("files_restatted", LongType, nullable = false))),
+      (spark, rootFor, input) => {
+        val r = Versioned.reharvestStats(
+          spark, existing(spark, rootFor, input, 0),
+          dryRun = !input.isNullAt(1) && input.getBoolean(1))
+        row(r.version,
+          org.apache.spark.unsafe.types.UTF8String.fromString(r.shedNames.mkString(",")),
+          org.apache.spark.unsafe.types.UTF8String.fromString(r.restattedCols.mkString(",")),
+          org.apache.spark.unsafe.types.UTF8String.fromString(r.rebloomedCols.mkString(",")),
+          r.cleanedDirs, r.filesRestatted)
+      }),
+
+    Spec("vacuum_claims", "GC the jdbc manifest committer's claims table: delete COMPLETED claim rows older than retention_hours (incomplete claims and younger rows always survive); jdbc_url defaults to spark.graft.committerJdbcUrl",
+      Array(inDefault("retention_hours", LongType, "168"),
+        inDefault("jdbc_url", StringType, "CAST(NULL AS STRING)")),
+      StructType(Seq(StructField("claims_deleted", IntegerType, nullable = false))),
+      (spark, rootFor, input) => {
+        val url =
+          if (!input.isNullAt(1)) str(input, 1, "jdbc_url")
+          else Option(spark.conf.get(JdbcClaimManifestCommitter.UrlKey, null))
+            .getOrElse(throw new IllegalArgumentException(
+              s"no jdbc_url given and ${JdbcClaimManifestCommitter.UrlKey} is unset"))
+        row(JdbcClaimManifestCommitter.vacuumClaims(
+          url, input.getLong(0) * 60L * 60 * 1000))
+      }),
+
     Spec("add_constraint", "record a named CHECK constraint (metadata-only); future writes violating it abort before writing",
       Array(in("table", StringType), in("name", StringType),
         in("expression", StringType)),

@@ -267,7 +267,11 @@ object Similarity {
     require(targetClusterSize > 0,
       s"targetClusterSize must be positive, got $targetClusterSize")
     require(minCentroids > 0, s"minCentroids must be positive, got $minCentroids")
-    val n = emb.select(col("vec_id")).count()
+    // ONE planning pass for both scalar facts the seeding needs (count
+    // and min id): each is a full-corpus action, and paying two scans
+    // before any clustering work is one too many at 100 TB
+    val plan0 = emb.agg(count(lit(1)), min(col("vec_id").cast("long"))).head()
+    val n = plan0.getLong(0)
     if (n == 0L) // cluster is LONG on the assignment path; match it here
       return emb.select(col("vec_id"),
         col("vec_id").cast("long").as("cluster")).limit(0)
@@ -295,7 +299,7 @@ object Similarity {
     // is always a seed, and because stride divides cstride the coarse
     // residue is congruent to the fine one, so every coarse seed stays a
     // fine seed (the no-empty-cell property).
-    val minId = emb.agg(min(col("vec_id").cast("long"))).head().getLong(0)
+    val minId = plan0.getLong(1)
     val rf = ((minId % stride) + stride) % stride
     val cstride = stride * csf
     val rc = ((minId % cstride) + cstride) % cstride

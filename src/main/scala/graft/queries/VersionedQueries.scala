@@ -731,7 +731,53 @@ object VersionedQueries {
       |       'pre_rename' AS leg
       |FROM orders WHERE o_orderkey % 3 < 2 GROUP BY 1""".stripMargin
 
+  /** The rename-then-maintain lifecycle under the driver gate: a
+    * key-banded table (stats on the key) is RENAMED — which quarantines
+    * every sidecar entry under the old name (`#statsdead`) — then
+    * `reharvestStats` sheds the guards WITHOUT rewriting data (footer
+    * reads resolve the renamed column by field id), and a retention
+    * DELETE on the renamed key must run fully stats-proven again: the
+    * old band drops metadata-only. `files_added_by_delete` pins that
+    * last fact in the compared result — a scan-path delete would write
+    * a rewrite batch and break the oracle's constant 0. */
+  def versionedReharvest(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = QueryScratch.freshRoot("graft_reharvest_q", sfDir)
+    val orders = Tables.orders(spark, sfDir)
+    val maxKey = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+    val (cut1, cut2) = (maxKey / 3, 2 * maxKey / 3)
+    val k = col("o_orderkey")
+    Versioned.commit(spark, orders.filter(k <= cut1).coalesce(1),
+      root, statsCols = Seq("o_orderkey"))
+    Versioned.commit(spark, orders.filter(k > cut1 && k <= cut2).coalesce(1),
+      root, statsCols = Seq("o_orderkey"))
+    Versioned.commit(spark, orders.filter(k > cut2).coalesce(1),
+      root, statsCols = Seq("o_orderkey"))
+    Versioned.renameColumn(spark, root, "o_orderkey", "okey")
+    val r = Versioned.reharvestStats(spark, root)
+    require(r.shedNames == Seq("o_orderkey") && r.restattedCols == Seq("okey"),
+      s"reharvest plan drifted: $r")
+    Versioned.deleteWhere(spark, root, col("okey") <= cut1)
+    val addedRow = Versioned.history(spark, root)
+      .orderBy(col("version").desc).select("files_added").head()
+    val added = if (addedRow.isNullAt(0)) -1L else addedRow.getLong(0)
+    Versioned.read(spark, root)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast(D)).cast("double").as("sum_price"))
+      .withColumn("files_added_by_delete", lit(added))
+  }
+
+  val versionedReharvestOracle: String =
+    """SELECT o_orderstatus AS status, COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+      |       CAST(0 AS BIGINT) AS files_added_by_delete
+      |FROM orders
+      |WHERE o_orderkey > (SELECT CAST(FLOOR(MAX(o_orderkey)/3.0) AS BIGINT)
+      |                    FROM orders)
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "versioned_reharvest" -> (versionedReharvest _),
     "versioned_cdf" -> (versionedCdf _),
     "versioned_dv_update" -> (versionedDvUpdate _),
     "versioned_dv_merge" -> (versionedDvMerge _),
@@ -759,6 +805,7 @@ object VersionedQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "versioned_reharvest" -> versionedReharvestOracle,
     "versioned_cdf" -> versionedCdfOracle,
     "versioned_dv_update" -> versionedDvUpdateOracle,
     "versioned_dv_merge" -> versionedDvMergeOracle,

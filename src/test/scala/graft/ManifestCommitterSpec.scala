@@ -360,24 +360,56 @@ class ManifestCommitterSpec extends SparkSpecBase {
   }
 
   test("three racing OCC writers publish a correct table under the conditional-put committer") {
-    // the same end-to-end leg the jdbc committer has: every manifest
-    // publish routed through the conditional-PUT protocol (local-FS
-    // create-no-overwrite stands in for the store's precondition); the
-    // final snapshot must equal the sequential snapshot exactly
+    // The jdbc committer's end-to-end treatment, for the conditional-PUT
+    // plug-in — run against a filesystem that FAITHFULLY models a
+    // conditional-PUT store. Plain local-FS create-no-overwrite is NOT
+    // that model: its files are visible EMPTY while being written
+    // (progressive visibility), and a racing OCC reader really did
+    // observe a zero-byte manifest mid-create when this leg first ran on
+    // it (UNABLE_TO_INFER_SCHEMA from an empty file list) — exactly the
+    // hazard the committer's own contract names when it says to keep the
+    // rename committer on such filesystems. [[ConditionalPutTestFs]]
+    // gives no-overwrite creates S3-conditional-PUT semantics instead:
+    // bytes buffer off-disk, the object materializes complete at close
+    // or not at all, and the precondition is checked at close.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.cput.impl", classOf[ConditionalPutTestFs].getName)
     spark.conf.set(ManifestCommitter.ConfKey,
       classOf[graft.io.ConditionalPutManifestCommitter].getName)
     try {
-      val sf = "/root/testdata/sf0.001"
-      val viaCput = graft.queries.VersionedQueries
-        .queries("versioned_occ")(spark, sf)
-        .orderBy("status", "priority").collect().toSeq
-      assert(viaCput.nonEmpty)
-      val plain = graft.queries.VersionedQueries
-        .queries("versioned_snapshot")(spark, sf)
-        .orderBy("status", "priority").collect().toSeq
-      assert(viaCput == plain,
-        "OCC under the conditional-put committer must produce the sequential snapshot")
-    } finally spark.conf.unset(ManifestCommitter.ConfKey)
+      (1 to 2).foreach { round =>
+        val root = "cput:" + tmpDir(s"graft_mc_cput_occ$round") + "/t"
+        val orders = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+        val gate = new java.util.concurrent.CountDownLatch(1)
+        try {
+          val futs = (0 to 2).map { m =>
+            pool.submit(new java.util.concurrent.Callable[Long] {
+              def call(): Long = {
+                gate.await()
+                Versioned.commitOcc(spark,
+                  orders.filter(org.apache.spark.sql.functions.pmod(
+                    org.apache.spark.sql.functions.col("o_orderkey"),
+                    org.apache.spark.sql.functions.lit(3)) === m), root)
+              }
+            })
+          }
+          gate.countDown()
+          val published = futs.map { fu =>
+            try fu.get(300, java.util.concurrent.TimeUnit.SECONDS)
+            catch { case e: java.util.concurrent.ExecutionException =>
+              e.getCause.printStackTrace(); throw e }
+          }
+          assert(published.sorted == Seq(1L, 2L, 3L),
+            s"round $round: three racing appends must publish v1..v3, got $published")
+        } finally pool.shutdownNow()
+        assert(Versioned.read(spark, root).count() == orders.count(),
+          s"round $round: the union of the three racing appends must survive")
+      }
+    } finally {
+      spark.conf.unset(ManifestCommitter.ConfKey)
+      hconf.unset("fs.cput.impl")
+    }
   }
 
   test("three racing OCC writers publish a correct table under the jdbc committer") {
@@ -397,6 +429,74 @@ class ManifestCommitterSpec extends SparkSpecBase {
         "OCC under the jdbc committer must produce the sequential snapshot")
     }
   }
+}
+
+/** Local filesystem with S3-CONDITIONAL-PUT create semantics, for
+  * end-to-end tests of [[graft.io.ConditionalPutManifestCommitter]]:
+  * a no-overwrite create buffers its bytes off-disk and the object
+  * materializes COMPLETE at close() — after an atomic if-absent check —
+  * or not at all. That is the visibility model S3's `If-None-Match: *`
+  * / GCS `ifGenerationMatch=0` actually provide, and the one plain
+  * local-FS create lacks (its files list EMPTY while being written,
+  * which lets a racing manifest reader see a torn snapshot — observed
+  * live before this shim existed). Overwriting creates (parquet task
+  * files, staged tmps) pass straight through. Scheme: `cput:`. */
+class ConditionalPutTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  import org.apache.hadoop.fs.{FSDataOutputStream, Path => HPath}
+
+  override def getScheme: String = "cput"
+  override def getUri: java.net.URI = java.net.URI.create("cput:///")
+
+  // BOTH public create overloads must funnel here: RawLocalFileSystem
+  // overrides the (Path, boolean, ...) one directly, so intercepting
+  // only the FsPermission form leaves FileSystem.create(path, false) —
+  // the exact call the committer makes — on plain local semantics (the
+  // shim's first draft did, and the races leaked straight through:
+  // torn manifest reads and a lost writer's files).
+  private def atomicCreate(f: HPath): FSDataOutputStream = {
+    val self = this
+    val buf = new java.io.ByteArrayOutputStream()
+    new FSDataOutputStream(new java.io.OutputStream {
+      override def write(b: Int): Unit = buf.write(b)
+      override def write(b: Array[Byte], off: Int, len: Int): Unit =
+        buf.write(b, off, len)
+      override def close(): Unit = ConditionalPutTestFs.lock.synchronized {
+        // precondition evaluated at completion, atomically vs other
+        // closers (single JVM == single store endpoint in this model)
+        if (self.exists(f))
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+            s"$f: precondition failed (object exists)")
+        val tmp = new HPath(f.getParent,
+          s".cputstage-${java.util.UUID.randomUUID.toString.take(8)}")
+        val out = self.create(tmp, true)
+        try out.write(buf.toByteArray) finally out.close()
+        if (!self.rename(tmp, f)) {
+          self.delete(tmp, false)
+          throw new java.io.IOException(s"could not materialize $f")
+        }
+      }
+    }, null)
+  }
+
+  override def create(f: HPath, overwrite: Boolean, bufferSize: Int,
+                      replication: Short, blockSize: Long,
+                      progress: org.apache.hadoop.util.Progressable): FSDataOutputStream =
+    if (overwrite) super.create(f, true, bufferSize, replication, blockSize, progress)
+    else atomicCreate(f)
+
+  override def create(f: HPath,
+                      permission: org.apache.hadoop.fs.permission.FsPermission,
+                      overwrite: Boolean, bufferSize: Int, replication: Short,
+                      blockSize: Long,
+                      progress: org.apache.hadoop.util.Progressable): FSDataOutputStream =
+    if (overwrite)
+      super.create(f, permission, true, bufferSize, replication,
+        blockSize, progress)
+    else atomicCreate(f)
+}
+
+object ConditionalPutTestFs {
+  val lock = new Object
 }
 
 /** Test double: delegates to the default rename protocol but records

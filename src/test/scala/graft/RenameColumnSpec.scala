@@ -161,6 +161,36 @@ class RenameColumnSpec extends SparkSpecBase {
       "stale stats under the vacated name powered a wrong whole-file delete")
   }
 
+  test("stale LONG stats under a vacated name never power a copy-on-write delete") {
+    // The r11 guard plugged statsByFile (the merge-on-read proofs'
+    // lookup) but the COPY-ON-WRITE rewriteTouched built its own
+    // unfiltered stats map — and the r11 spec's DoubleType column made
+    // its CoW leg vacuous (double stats never prove anything). With a
+    // LONG column the stale proof is reachable: nulls=0 and min/max of
+    // the RENAMED-AWAY values would "prove" all-match for a re-added
+    // column that actually reads null from every old file, and the
+    // whole-file drop silently destroys the rows.
+    val root = tmpRoot()
+    Versioned.commit(spark,
+      Seq((1L, 5L), (2L, 7L)).toDF("id", "x").coalesce(1),
+      root, statsCols = Seq("x"))
+    Versioned.renameColumn(spark, root, "x", "y")
+    Versioned.addColumns(spark, root, Seq(
+      org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.LongType)))
+    Versioned.deleteWhere(spark, root, col("x") >= 0L)
+    val rows = Versioned.read(spark, root).select("id", "y")
+      .as[(Long, Long)].collect().toSet
+    assert(rows == Set((1L, 5L), (2L, 7L)),
+      "stale LONG stats under the vacated name powered a wrong CoW whole-file delete")
+    // and updateWhere (same machinery, proof skips probing) stays sound
+    Versioned.updateWhere(spark, root, col("x") >= 0L,
+      Map("y" -> org.apache.spark.sql.functions.lit(0L)))
+    assert(Versioned.read(spark, root).select("y").as[Long]
+      .collect().toSet == Set(5L, 7L),
+      "null-reading re-added column must update nothing")
+  }
+
   test("SQL surface: ALTER TABLE RENAME COLUMN through the catalog") {
     val wh = java.nio.file.Files.createTempDirectory("graft_rename_wh").toFile
     wh.deleteOnExit()

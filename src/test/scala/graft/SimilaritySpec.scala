@@ -194,6 +194,46 @@ class SimilaritySpec extends SparkSpecBase {
     assert(fine.select("cluster").distinct().count() > clusters)
   }
 
+  test("semDedupAuto pays exactly one corpus action for planning") {
+    // r11 ADVICE: the auto form ran count() and then agg(min) — two
+    // full-corpus scans for two scalar facts before any clustering
+    // work. Pinned here: building the plan costs exactly TWO eager
+    // actions total — ONE fused agg(count, min) planning pass plus
+    // semDedupKeep's maxClusterSize loud-guard collect — and nothing
+    // else touches the driver until the caller acts on the result.
+    val emb = Tables.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = {
+        actions.incrementAndGet(); ()
+      }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val kept =
+      try {
+        val k = Similarity.semDedupAuto(emb, tau = 0.2)
+        // listener events post async on the bus: poll until quiescent
+        val deadline = System.currentTimeMillis() + 15000
+        var last = -1
+        while (System.currentTimeMillis() < deadline && actions.get() != last) {
+          last = actions.get()
+          Thread.sleep(300)
+        }
+        assert(actions.get() == 2,
+          s"semDedupAuto ran ${actions.get()} eager actions while planning; " +
+            "budget is 2 (one fused count+min pass, one cluster-size guard)")
+        k
+      } finally spark.listenerManager.unregister(listener)
+    // the fold must not have changed the answer
+    assert(kept.count() > 0)
+  }
+
   test("semDedupAuto survives id spaces with no stride multiples") {
     // all-odd ids share no multiple of an even stride; seeds anchor on
     // the MIN id's residue, so the corpus must never silently vanish
