@@ -50,8 +50,21 @@ private[graft] object ColumnIds {
   def idOf(f: StructField): Option[Long] =
     if (f.metadata.contains(IdKey)) Some(f.metadata.getLong(IdKey)) else None
 
-  def maxId(s: StructType): Long =
-    s.fields.flatMap(idOf).maxOption.getOrElse(0L)
+  /** Highest field id anywhere in the schema — NESTED struct fields
+    * included (at any depth, under arrays and maps too), so the
+    * `#colmaxid=` high-water mark covers every id the table has ever
+    * assigned and a retired nested id can never be reassigned. */
+  def maxId(s: StructType): Long = {
+    def ofType(dt: org.apache.spark.sql.types.DataType): Long = dt match {
+      case st: StructType => maxId(st)
+      case org.apache.spark.sql.types.ArrayType(e, _) => ofType(e)
+      case org.apache.spark.sql.types.MapType(k, v, _) =>
+        math.max(ofType(k), ofType(v))
+      case _ => 0L
+    }
+    s.fields.map(f => math.max(idOf(f).getOrElse(0L), ofType(f.dataType)))
+      .maxOption.getOrElse(0L)
+  }
 
   /** Lower-cased name -> field id, for the fields that carry one — THE
     * id-matching projection (stamping, inheritance, and the OCC
@@ -68,39 +81,96 @@ private[graft] object ColumnIds {
     else f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
       .remove(IdKey).build())
 
-  /** Drop any field-id metadata — applied to every INCOMING batch schema
-    * and every footer-INFERRED schema before it participates in schema
-    * derivation: a user frame built from a mapped read carries the read's
-    * ids on whatever columns survived its transformations, and trusting
-    * them would let a renamed/derived column smuggle a wrong id into the
-    * recorded schema. Only ids this module assigned are authoritative. */
-  def stripIds(s: StructType): StructType = StructType(s.fields.map(withoutId))
+  /** Drop any field-id metadata, RECURSIVELY (nested struct fields at
+    * any depth, under arrays and maps too) — applied to every INCOMING
+    * batch schema and every footer-INFERRED schema before it
+    * participates in schema derivation: a user frame built from a
+    * mapped read carries the read's ids on whatever columns survived
+    * its transformations, and trusting them would let a renamed/derived
+    * column smuggle a wrong id into the recorded schema. Only ids this
+    * module assigned are authoritative. */
+  def stripIds(s: StructType): StructType =
+    StructType(s.fields.map(f =>
+      withoutId(f).copy(dataType = stripIdsIn(f.dataType))))
 
-  /** Assign fresh sequential ids (from `base + 1`) to every field that
-    * does not already carry one. Carried fields keep theirs — the caller
-    * passes a schema whose id-bearing fields came from the previous
-    * recorded schema, and `base` is the table's id high-water mark, so a
-    * fresh id can never collide with any id ever used by the table. */
+  private def stripIdsIn(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case st: StructType => stripIds(st)
+    case org.apache.spark.sql.types.ArrayType(e, n) =>
+      org.apache.spark.sql.types.ArrayType(stripIdsIn(e), n)
+    case org.apache.spark.sql.types.MapType(k, v, n) =>
+      org.apache.spark.sql.types.MapType(stripIdsIn(k), stripIdsIn(v), n)
+    case o => o
+  }
+
+  /** Assign fresh sequential ids (from `base + 1`) to every top-level
+    * field that does not already carry one — and, for exactly those
+    * FRESH fields, to their nested struct fields at every depth (every
+    * file that will ever store a brand-new column carries its nested
+    * ids from the first write, so nested renames inside it stay
+    * possible). A field that ALREADY carries its id is left completely
+    * untouched, nested state included: its existing files may predate
+    * nested mapping, and retro-assigning nested ids would make the
+    * id-matched reader serve those files' nested fields as NULL (the
+    * reader id-matches per level once the requested group carries ids —
+    * measured upstream behavior, not a guess). An old table upgrades
+    * its nested mapping the same way a legacy table upgrades at all:
+    * one full-rewrite replace commit, which re-assigns every id. */
   def completeIds(s: StructType, base: Long): StructType = {
     var next = math.max(base, maxId(s))
+    def fillType(dt: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.types.DataType = dt match {
+      case st: StructType => StructType(st.fields.map(fill))
+      case org.apache.spark.sql.types.ArrayType(e, n) =>
+        org.apache.spark.sql.types.ArrayType(fillType(e), n)
+      case org.apache.spark.sql.types.MapType(k, v, n) =>
+        org.apache.spark.sql.types.MapType(fillType(k), fillType(v), n)
+      case o => o
+    }
+    def fill(f: StructField): StructField = {
+      val nested = f.copy(dataType = fillType(f.dataType))
+      if (nested.metadata.contains(IdKey)) nested
+      else { next += 1; withId(nested, next) }
+    }
     StructType(s.fields.map { f =>
-      if (f.metadata.contains(IdKey)) f
-      else { next += 1; withId(f, next) }
+      if (f.metadata.contains(IdKey)) f // frozen: see scaladoc
+      else fill(f)
     })
   }
 
   /** For rewrite commits that record the BATCH's own schema (not a merge
     * with the previous one): each field takes the id of the same-named
-    * (case-insensitive) field of the previous recorded schema; genuinely
-    * new names get fresh ids past `base`. */
+    * (case-insensitive) field of the previous recorded schema — nested
+    * struct fields inherit RECURSIVELY along matching names wherever
+    * the type shapes align (a compaction must not silently shed the
+    * nested mapping it rewrites under); genuinely new names get fresh
+    * ids past `base`. */
   def inheritIds(prev: StructType, next: StructType, base: Long): StructType = {
-    val byLower = idsByName(prev)
-    completeIds(StructType(next.fields.map { f =>
-      byLower.get(f.name.toLowerCase) match {
-        case Some(id) => withId(f, id)
-        case None => withoutId(f)
-      }
-    }), base)
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType}
+    def inheritType(p: DataType, n: DataType): DataType = (p, n) match {
+      case (ps: StructType, ns: StructType) => inheritStruct(ps, ns)
+      case (ArrayType(pe, _), ArrayType(ne, nn)) =>
+        ArrayType(inheritType(pe, ne), nn)
+      case (MapType(pk, pv, _), MapType(nk, nv, nn)) =>
+        MapType(inheritType(pk, nk), inheritType(pv, nv), nn)
+      case _ => stripIdsIn(n) // shape changed: nothing to inherit below
+    }
+    def inheritStruct(p: StructType, n: StructType): StructType = {
+      val byLower = p.fields.map(f => f.name.toLowerCase -> f).toMap
+      StructType(n.fields.map { nf =>
+        byLower.get(nf.name.toLowerCase) match {
+          case Some(pf) =>
+            val typed = nf.copy(dataType = inheritType(pf.dataType, nf.dataType))
+            idOf(pf) match {
+              case Some(id) => withId(typed, id)
+              case None => withoutId(typed)
+            }
+          case None =>
+            withoutId(nf.copy(dataType = stripIdsIn(nf.dataType)))
+        }
+      })
+    }
+    completeIds(inheritStruct(prev, next), base)
   }
 
   /** Rewrite `df` so its output schema carries the recorded schema's
@@ -115,19 +185,62 @@ private[graft] object ColumnIds {
     if (!hasIds(recorded)) return df
     ensureConfs(df.sparkSession)
     val ids = idsByName(recorded)
+    val recByLower: Map[String, StructField] =
+      recorded.fields.map(f => f.name.toLowerCase -> f).toMap
     val fieldMeta: Map[String, Metadata] =
       df.schema.fields.map(f => f.name -> f.metadata).toMap
     df.select(df.columns.toSeq.map { c =>
       val quoted = col("`" + c.replace("`", "``") + "`")
       ids.get(c.toLowerCase) match {
-        case Some(id) => quoted.as(c,
-          new MetadataBuilder()
-            .withMetadata(fieldMeta.getOrElse(c, Metadata.empty))
-            .putLong(IdKey, id).build(): Metadata)
+        case Some(id) =>
+          // NESTED ids ride the column's DataType itself (StructFields
+          // inside it carry the metadata), so a recorded type holding
+          // them is imposed via cast — the cast node's output type IS
+          // the recorded instance, nested metadata included, and the
+          // parquet writer stamps every level from it. Identity on the
+          // data when shapes already agree; plain columns skip it.
+          val rec = recByLower(c.toLowerCase)
+          val typed =
+            if (hasNestedIds(rec.dataType)) quoted.cast(rec.dataType) else quoted
+          typed.as(c,
+            new MetadataBuilder()
+              .withMetadata(fieldMeta.getOrElse(c, Metadata.empty))
+              .putLong(IdKey, id).build(): Metadata)
         case None => quoted
       }
     }: _*)
   }
+
+  /** Structural type equality ignoring StructField METADATA at every
+    * level — the shape test schema evolution needs: a recorded struct
+    * whose nested fields carry ids is the SAME shape as the incoming
+    * (stripped) batch struct; only genuine shape/nullability changes
+    * may refuse. */
+  private[io] def sameShape(a: org.apache.spark.sql.types.DataType,
+                            b: org.apache.spark.sql.types.DataType): Boolean =
+    clearMeta(a) == clearMeta(b)
+
+  private def clearMeta(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      f.copy(metadata = Metadata.empty, dataType = clearMeta(f.dataType))))
+    case org.apache.spark.sql.types.ArrayType(e, n) =>
+      org.apache.spark.sql.types.ArrayType(clearMeta(e), n)
+    case org.apache.spark.sql.types.MapType(k, v, n) =>
+      org.apache.spark.sql.types.MapType(clearMeta(k), clearMeta(v), n)
+    case o => o
+  }
+
+  /** Does this type transitively contain a struct field carrying an id? */
+  private def hasNestedIds(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case st: StructType =>
+        st.fields.exists(f => f.metadata.contains(IdKey) || hasNestedIds(f.dataType))
+      case org.apache.spark.sql.types.ArrayType(e, _) => hasNestedIds(e)
+      case org.apache.spark.sql.types.MapType(k, v, _) =>
+        hasNestedIds(k) || hasNestedIds(v)
+      case _ => false
+    }
 
   /** Enable Spark's field-id read/write matching on the session. Write
     * stamping defaults on upstream but is pinned here; read matching

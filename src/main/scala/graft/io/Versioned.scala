@@ -252,6 +252,11 @@ object Versioned {
   def dropColumns(spark: SparkSession, root: String,
                   cols: Seq[String]): Long = {
     require(cols.nonEmpty, "dropColumns needs at least one column")
+    val nested = cols.filter(_.contains('.'))
+    require(nested.isEmpty,
+      s"nested-field drop (${nested.mkString(", ")}) is not supported: " +
+        "dropColumns is metadata-only for TOP-LEVEL columns; rewrite the " +
+        "table with the evolved struct shape (replace commit) instead")
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no committed versions at $root")
     val current = vs.last
@@ -331,6 +336,15 @@ object Versioned {
   def renameColumn(spark: SparkSession, root: String,
                    oldName: String, newName: String): Long = {
     require(oldName.nonEmpty && newName.nonEmpty, "empty column name")
+    // explicit, not just "no column s.inner": renaming INSIDE a struct
+    // is out of scope for the metadata-only path (the engine's sidecar
+    // stats, tombstones, and stats-dead guards all key by TOP-LEVEL
+    // name) — the remedy is a rewrite of the column via a replace
+    // commit with the evolved struct shape
+    require(!oldName.contains('.') && !newName.contains('.'),
+      s"nested-field rename ($oldName -> $newName) is not supported: " +
+        "renameColumn is metadata-only for TOP-LEVEL columns; rewrite " +
+        "the table with the evolved struct shape (replace commit) instead")
     require(!oldName.equalsIgnoreCase(newName),
       s"rename to the same name: $oldName")
     val vs = versions(spark, root)
@@ -637,7 +651,9 @@ object Versioned {
     val widened = prev.fields.map { pf =>
       nextByName.get(pf.name.toLowerCase) match {
         case None => pf
-        case Some(nf) if nf.dataType == pf.dataType => pf
+        // shape compare ignores field-id metadata riding the recorded
+        // type's NESTED fields (the batch side arrives stripped)
+        case Some(nf) if ColumnIds.sameShape(nf.dataType, pf.dataType) => pf
         case Some(nf) if widens(pf.dataType, nf.dataType) => pf.copy(dataType = nf.dataType)
         case Some(nf) if widens(nf.dataType, pf.dataType) => pf
         case Some(nf) => throw new IllegalArgumentException(

@@ -74,6 +74,20 @@ class VersionedCdfProvider extends StreamSourceProvider with DataSourceRegister 
       parameters.get("startingVersion").map(_.trim.toLong), metadataPath)
 }
 
+/** The typed evolution stop: a mid-stream schema change CANNOT be
+  * adopted inside a running query (Structured Streaming pins every
+  * source's schema at analysis for the lifetime of the run), so the
+  * source stops LOUDLY — with this exception type, so an orchestrator
+  * can auto-restart on exactly this condition (the Delta-style retry
+  * loop) instead of pattern-matching message text. The NEXT start
+  * adopts the evolved schema automatically: the source re-derives it
+  * from the table and records the adoption in the checkpoint's
+  * schema-tracking asset; the committed offset is unchanged, so the
+  * missed window replays under the new shape — no rows lost, none
+  * duplicated (VersionedCdfStreamSpec pins the exactly-once boundary). */
+class SchemaEvolvedException(message: String)
+  extends IllegalStateException(message)
+
 private[graft] object VersionedCdfSource {
 
   /** Table columns (recorded schema, footer-inferred fallback) plus the
@@ -145,6 +159,34 @@ private[graft] class VersionedCdfSource(
   override val schema: StructType =
     VersionedCdfSource.changeSchema(spark, root, keys)
 
+  // Schema-tracking checkpoint asset (Delta's schemaTrackingLocation
+  // analogue, kept inside the stream's own metadata dir): records the
+  // schema THIS generation of the query declared. On a start after an
+  // evolution stop the re-derived schema differs from the recorded one
+  // — that IS the adoption, made durable here so the checkpoint carries
+  // an auditable record of which shape each generation ran under (and a
+  // restart against an UNCHANGED table is verifiably a no-op).
+  locally {
+    val p = new Path(metadataPath, "graft-cdf-schema")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val current = schema.json
+    val prior =
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+      }
+    if (!prior.contains(current)) {
+      f.mkdirs(p.getParent)
+      val tmp = new Path(metadataPath,
+        s".graft-cdf-schema.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+      val out = f.create(tmp, true)
+      try out.write(current.getBytes("UTF-8")) finally out.close()
+      f.delete(p, false)
+      if (!f.rename(tmp, p)) { f.delete(tmp, false); () }
+    }
+  }
+
   override def getOffset: Option[OffsetV1] = {
     val vs = Versioned.versions(spark, root)
     // a table that HAD versions (base was pinned from them) and now
@@ -179,11 +221,15 @@ private[graft] class VersionedCdfSource(
     // so compare the column sets explicitly before aligning.
     val declared = schema.fieldNames.map(_.toLowerCase).toSet
     val got = diff.columns.map(_.toLowerCase).toSet
-    require(got == declared,
-      s"versioned table at $root changed shape mid-stream " +
-        s"(added: ${(got -- declared).mkString(", ")}; " +
-        s"removed: ${(declared -- got).mkString(", ")}) — " +
-        "restart the stream to pick up the evolved schema")
+    if (got != declared)
+      throw new SchemaEvolvedException(
+        s"versioned table at $root changed shape mid-stream " +
+          s"(added: ${(got -- declared).mkString(", ")}; " +
+          s"removed: ${(declared -- got).mkString(", ")}) — a running " +
+          "query cannot change schema; the NEXT start adopts the evolved " +
+          "shape automatically (schema-tracking asset in the checkpoint) " +
+          "and replays this window from the committed offset. Restart, or " +
+          "auto-restart on this exception type (SchemaEvolvedException).")
     // Backtick-quote: a raw col("a.b") would misparse a dotted column
     // name as nested-field access.
     val aligned = diff.select(schema.fieldNames

@@ -217,6 +217,125 @@ class RenameColumnSpec extends SparkSpecBase {
       .collect().head.getString(0) == "a")
   }
 
+  test("nested fields are mapped: ids at every level, rename beside array and struct") {
+    import org.apache.spark.sql.types._
+    val root = tmpRoot()
+    val inner = StructType(Seq(
+      StructField("u", LongType), StructField("w", StringType)))
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("s", inner),
+      StructField("emb", ArrayType(FloatType))))
+    def rows(ids: Seq[Long]) = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          ids.map(i => org.apache.spark.sql.Row(
+            i, org.apache.spark.sql.Row(i * 10, s"w$i"),
+            Seq(i.toFloat, (i * 2).toFloat)))).asJava), schema)
+    Versioned.commit(spark, rows(Seq(1L, 2L)), root)
+    // ids at EVERY struct level of the recorded schema, covered by the
+    // high-water mark (id, s, s.u, s.w, emb = 5 distinct ids)
+    val rec = Versioned.snapshotSchema(spark, root, Some(1L)).get
+    val sType = rec("s").dataType.asInstanceOf[StructType]
+    assert(graft.io.ColumnIds.idOf(rec("s")).isDefined)
+    assert(sType.fields.forall(f => graft.io.ColumnIds.idOf(f).isDefined),
+      "nested struct fields must carry field ids")
+    assert(graft.io.ColumnIds.maxId(rec) == 5L)
+    // and the WRITTEN FOOTERS carry the nested ids too (not just the
+    // recorded schema): parquet-level check on a data file
+    val file = Versioned.snapshotFiles(spark, root).head
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file),
+        spark.sparkContext.hadoopConfiguration))
+    val msg = try footer.getFooter.getFileMetaData.getSchema finally footer.close()
+    val sGroup = msg.getType(Seq("s"): _*).asGroupType()
+    assert(sGroup.getId != null && sGroup.getType("u").getId != null &&
+      sGroup.getType("w").getId != null,
+      s"footer must stamp nested ids, got $msg")
+    // top-level rename of the STRUCT column itself: old files serve the
+    // whole subtree by id under the new name
+    Versioned.commit(spark, rows(Seq(3L)), root)
+    Versioned.renameColumn(spark, root, "s", "payload")
+    val out = Versioned.read(spark, root)
+      .select(col("id"), col("payload.u"), col("payload.w"), col("emb"))
+      .as[(Long, Long, String, Seq[Float])].collect().toSet
+    assert(out == Set(
+      (1L, 10L, "w1", Seq(1f, 2f)), (2L, 20L, "w2", Seq(2f, 4f)),
+      (3L, 30L, "w3", Seq(3f, 6f))))
+    // drop the struct column; a re-added same-name struct reads null
+    // from old files (fresh top-level id gates the whole subtree), and
+    // its fresh ids sit PAST every retired nested id
+    Versioned.dropColumns(spark, root, Seq("payload"))
+    Versioned.commit(spark,
+      rows(Seq(4L)).withColumnRenamed("s", "payload"), root)
+    val re = Versioned.read(spark, root)
+      .select(col("id"), col("payload"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(re(1L).isEmpty && re(2L).isEmpty && re(3L).isEmpty &&
+      re(4L).isDefined, s"old struct values resurfaced: $re")
+    val rec2 = Versioned.snapshotSchema(spark, root, None).get
+    val reIds = graft.io.ColumnIds.idOf(rec2("payload")).get +:
+      rec2("payload").dataType.asInstanceOf[StructType].fields
+        .flatMap(graft.io.ColumnIds.idOf).toSeq
+    assert(reIds.forall(_ > 5L),
+      s"re-added struct must take fresh ids past the high-water mark, got $reIds")
+  }
+
+  test("nested-field evolution refuses loudly, never silently") {
+    import org.apache.spark.sql.types._
+    val root = tmpRoot()
+    val inner = StructType(Seq(StructField("u", LongType)))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", inner)))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          Seq(org.apache.spark.sql.Row(1L, org.apache.spark.sql.Row(5L)))).asJava),
+      schema)
+    Versioned.commit(spark, df, root)
+    // rename/drop INSIDE a struct: explicit refusal, not "no column"
+    assert(intercept[IllegalArgumentException](
+      Versioned.renameColumn(spark, root, "s.u", "s.v"))
+      .getMessage.contains("nested-field rename"))
+    assert(intercept[IllegalArgumentException](
+      Versioned.dropColumns(spark, root, Seq("s.u")))
+      .getMessage.contains("nested-field drop"))
+    // an append whose struct SHAPE evolved (extra inner field) refuses
+    // at schema merge — nested shapes never drift silently
+    val evolvedInner = StructType(Seq(
+      StructField("u", LongType), StructField("v", LongType)))
+    val evolved = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          Seq(org.apache.spark.sql.Row(2L, org.apache.spark.sql.Row(6L, 7L)))).asJava),
+      StructType(Seq(StructField("id", LongType), StructField("s", evolvedInner))))
+    assert(intercept[IllegalArgumentException](
+      Versioned.commit(spark, evolved, root))
+      .getMessage.contains("widening"))
+    // the migration freeze, unit-level: an OLD-era mapped field (top id,
+    // no nested ids) must never gain nested ids on an append-shaped
+    // derivation — old files would serve its nested fields as NULL
+    // under an id-matched read
+    val oldEra = StructType(Seq(
+      StructField("id", LongType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 1L).build()),
+      StructField("s", inner, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 2L).build())))
+    val completed = graft.io.ColumnIds.completeIds(oldEra, 2L)
+    assert(completed("s").dataType.asInstanceOf[StructType]
+      .fields.forall(f => graft.io.ColumnIds.idOf(f).isEmpty),
+      "completeIds must freeze nested state under an id-bearing field")
+    // ...while a genuinely NEW struct column maps fully
+    val withNew = StructType(oldEra.fields :+
+      StructField("t", inner, nullable = true))
+    val completed2 = graft.io.ColumnIds.completeIds(withNew, 2L)
+    assert(graft.io.ColumnIds.idOf(completed2("t")).exists(_ > 2L))
+    assert(completed2("t").dataType.asInstanceOf[StructType]
+      .fields.forall(f => graft.io.ColumnIds.idOf(f).exists(_ > 2L)),
+      "a fresh struct column maps at every level")
+  }
+
   test("rename survives merge, update, and compaction") {
     val root = tmpRoot()
     Versioned.commit(spark, (1L to 10L).map(i => (i, i * 1.0)).toDF("id", "x"), root)

@@ -2,7 +2,7 @@ package graft
 
 import graft.io.Versioned
 import org.apache.spark.sql.Row
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StringType, StructField, StructType}
 
 /** Model-based property test for the schema-evolution surface of mapped
   * (field-id) tables: a seeded random walk of
@@ -29,12 +29,28 @@ class SchemaEvolutionPropertySpec extends SparkSpecBase {
 
   private val pool = Vector("a", "b", "c", "d", "e")
 
+  // every table in the walk also carries an embedding column
+  // (array<float>) and a nested struct — the multimodal/LLM-table
+  // shapes — with values DERIVED from the id, so each evolution step
+  // (rename/drop/re-add/compact/restore on the flat columns, id
+  // inheritance through every rewrite) is checked to leave the nested
+  // columns bit-exact too
+  private val fixedCols = Vector("emb", "s")
+  private def embOf(id: Long): Seq[Float] = Seq(id.toFloat, (id * 2).toFloat)
+  private def structOf(id: Long): Row = Row(id * 10, s"w$id")
+
   private def toDF(rows: Map[Long, Map[String, Option[String]]],
                    cols: Vector[String]) = {
-    val st = StructType(StructField("id", LongType, nullable = false) +:
+    val st = StructType(
+      Seq(StructField("id", LongType, nullable = false),
+        StructField("emb", ArrayType(FloatType), nullable = true),
+        StructField("s", StructType(Seq(
+          StructField("u", LongType, nullable = true),
+          StructField("w", StringType, nullable = true))), nullable = true)) ++
       cols.map(c => StructField(c, StringType, nullable = true)))
     val data = rows.toSeq.sortBy(_._1).map { case (id, vals) =>
-      Row.fromSeq(id +: cols.map(c => vals.getOrElse(c, None).orNull))
+      Row.fromSeq(Seq(id, embOf(id), structOf(id)) ++
+        cols.map(c => vals.getOrElse(c, None).orNull))
     }
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters
@@ -44,10 +60,14 @@ class SchemaEvolutionPropertySpec extends SparkSpecBase {
   private def snapshotOf(root: String, asOf: Option[Long]): (Seq[String], Map[Long, Vector[Option[String]]]) = {
     val df = Versioned.read(spark, root, asOf)
     val cols = df.columns.toSeq
-    val dataCols = cols.filterNot(_ == "id")
+    val dataCols = cols.filterNot(c => c == "id" || fixedCols.contains(c))
     val rows = df.collect().map { r =>
-      r.getLong(r.fieldIndex("id")) ->
-        dataCols.map(c => Option(r.getAs[String](c))).toVector
+      val id = r.getLong(r.fieldIndex("id"))
+      assert(r.getSeq[Float](r.fieldIndex("emb")).toSeq == embOf(id),
+        s"embedding drifted for id $id")
+      assert(r.getAs[Row]("s") == structOf(id),
+        s"nested struct drifted for id $id")
+      id -> dataCols.map(c => Option(r.getAs[String](c))).toVector
     }.toMap
     (cols, rows)
   }
@@ -116,7 +136,7 @@ class SchemaEvolutionPropertySpec extends SparkSpecBase {
       val head = Versioned.versions(spark, root).last
       hist += head -> m
       val (cols, got) = snapshotOf(root, None)
-      assert(cols == "id" +: m.schema,
+      assert(cols == Seq("id") ++ fixedCols ++ m.schema,
         s"seed $seed step $step: columns $cols vs ${m.schema}")
       assert(got == expect(m), s"seed $seed step $step: rows diverge from the model")
     }
@@ -125,7 +145,7 @@ class SchemaEvolutionPropertySpec extends SparkSpecBase {
     hist.foreach { case (v, mv) =>
       if (live(v)) {
         val (cols, got) = snapshotOf(root, Some(v))
-        assert(cols == "id" +: mv.schema,
+        assert(cols == Seq("id") ++ fixedCols ++ mv.schema,
           s"seed $seed asOf $v: columns $cols vs ${mv.schema}")
         assert(got == expect(mv), s"seed $seed asOf $v: rows diverge from the model")
       }

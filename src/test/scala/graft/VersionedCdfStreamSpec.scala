@@ -181,6 +181,62 @@ class VersionedCdfStreamSpec extends SparkSpecBase {
     } finally q2.stop()
   }
 
+  test("auto-adopt opt-in: typed evolution stop, restart loop adopts exactly-once") {
+    // The Delta-style shape: a running query CANNOT change schema (the
+    // V1 contract pins it at analysis), so evolution stops LOUDLY with
+    // a TYPED exception — an orchestrator auto-restarts on exactly that
+    // type, and the next start adopts the evolved schema from the
+    // schema-tracking checkpoint asset with the committed offset
+    // untouched. This leg drives that loop through TWO evolution
+    // boundaries and asserts exactly-once delivery across both.
+    val root = tmpDir("graft_cdfs_auto")
+    build(root)
+    val ckpt = tmpDir("graft_cdfs_auto_ckpt")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    def evolvedStop(t: Throwable): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .exists(_.isInstanceOf[graft.io.SchemaEvolvedException])
+    // one query GENERATION: drain, run the mid-stream action, drain
+    // again; either it survives (no evolution) or it stops with exactly
+    // the typed exception — the signal the auto-restart loop keys on
+    def generation(expectEvolvedStop: Boolean)(mid: => Unit): Unit = {
+      val q = tail(root, ckpt, None, buf)
+      try {
+        q.processAllAvailable()
+        mid
+        q.processAllAvailable()
+        assert(!expectEvolvedStop, "expected a typed evolution stop")
+      } catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+          assert(evolvedStop(e),
+            s"only SchemaEvolvedException may restart the loop: ${chain(e)}")
+          assert(expectEvolvedStop, s"unexpected evolution stop: ${chain(e)}")
+      } finally q.stop()
+    }
+    // boundary 1: ADD lands while generation 1 runs -> typed stop;
+    // generation 2 auto-adopts `extra`, replays the missed window, and
+    // then hits boundary 2 (a second ADD) -> typed stop again;
+    // generation 3 adopts `flag` and drains clean
+    generation(expectEvolvedStop = true) {
+      Versioned.commit(spark,
+        Seq((900L, "w", 1.5)).toDF("id", "k", "extra"), root)
+    }
+    generation(expectEvolvedStop = true) {
+      Versioned.commit(spark,
+        Seq((901L, "x", 2.5, true)).toDF("id", "k", "extra", "flag"), root)
+    }
+    generation(expectEvolvedStop = false)(())
+    assert(buf.toSet == Set((900L, "insert"), (901L, "insert")),
+      s"exactly-once across both boundaries, got ${buf.toSet}")
+    assert(buf.size == 2, s"duplicate delivery: $buf")
+    // the schema-tracking asset records the ADOPTED (newest) shape
+    val asset = java.nio.file.Paths.get(ckpt, "sources", "0", "graft-cdf-schema")
+    assert(java.nio.file.Files.exists(asset), "schema-tracking asset missing")
+    val recorded = new String(java.nio.file.Files.readAllBytes(asset), "UTF-8")
+    assert(recorded.contains("flag") && recorded.contains("extra"),
+      s"asset must record the adopted schema, got $recorded")
+  }
+
   private def chain(t: Throwable): String =
     Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
       .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
