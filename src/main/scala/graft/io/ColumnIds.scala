@@ -266,4 +266,23 @@ private[graft] object ColumnIds {
     if (spark.conf.get("spark.sql.parquet.fieldId.write.enabled", "true") != "true")
       spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
   }
+
+  /** Read-side conf for a SPECIFIC mapped schema. When it carries
+    * NESTED ids, nested schema pruning must also come off: Spark's
+    * pruning rule rebuilds the requested struct for a partial
+    * projection in a way that breaks field-id matching for a RENAMED
+    * struct column — `select("payload.u")` over files written under
+    * the old name reads SILENT NULLS while the full-struct read serves
+    * the values (verified against Spark 4.1.2; pruning off restores
+    * the pruned projection). Correctness over the optimization, scoped:
+    * flat mapped tables — the reference's shape and the common case —
+    * never pay this, and top-level column pruning (ReadSchema) is
+    * unaffected either way. */
+  def ensureReadConfs(spark: SparkSession, schema: StructType): Unit = {
+    ensureConfs(spark)
+    if (schema.fields.exists(f => hasNestedIds(f.dataType)) &&
+        spark.conf.get("spark.sql.optimizer.nestedSchemaPruning.enabled",
+          "true") != "false")
+      spark.conf.set("spark.sql.optimizer.nestedSchemaPruning.enabled", "false")
+  }
 }

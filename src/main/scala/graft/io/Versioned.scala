@@ -252,11 +252,6 @@ object Versioned {
   def dropColumns(spark: SparkSession, root: String,
                   cols: Seq[String]): Long = {
     require(cols.nonEmpty, "dropColumns needs at least one column")
-    val nested = cols.filter(_.contains('.'))
-    require(nested.isEmpty,
-      s"nested-field drop (${nested.mkString(", ")}) is not supported: " +
-        "dropColumns is metadata-only for TOP-LEVEL columns; rewrite the " +
-        "table with the evolved struct shape (replace commit) instead")
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no committed versions at $root")
     val current = vs.last
@@ -265,6 +260,15 @@ object Versioned {
         readWithSchema(spark, None, snapshotFiles(spark, root, Some(current))).schema))
     val byLower = prev.fields.map(f => f.name.toLowerCase -> f.name).toMap
     val missing = cols.filterNot(c => byLower.contains(c.toLowerCase))
+    // a missing DOTTED name is almost always an attempted nested-field
+    // drop — name that explicitly. A dotted name that IS a top-level
+    // column (dotted literals are a supported shape) drops normally.
+    val nestedShaped = missing.filter(_.contains('.'))
+    require(nestedShaped.isEmpty,
+      s"nested-field drop (${nestedShaped.mkString(", ")}) is not " +
+        "supported: dropColumns is metadata-only for TOP-LEVEL columns; " +
+        "rewrite the table with the evolved struct shape (replace commit) " +
+        "instead")
     require(missing.isEmpty,
       s"column(s) not in the table schema: ${missing.mkString(", ")} " +
         s"(have ${prev.fieldNames.mkString(", ")})")
@@ -336,15 +340,6 @@ object Versioned {
   def renameColumn(spark: SparkSession, root: String,
                    oldName: String, newName: String): Long = {
     require(oldName.nonEmpty && newName.nonEmpty, "empty column name")
-    // explicit, not just "no column s.inner": renaming INSIDE a struct
-    // is out of scope for the metadata-only path (the engine's sidecar
-    // stats, tombstones, and stats-dead guards all key by TOP-LEVEL
-    // name) — the remedy is a rewrite of the column via a replace
-    // commit with the evolved struct shape
-    require(!oldName.contains('.') && !newName.contains('.'),
-      s"nested-field rename ($oldName -> $newName) is not supported: " +
-        "renameColumn is metadata-only for TOP-LEVEL columns; rewrite " +
-        "the table with the evolved struct shape (replace commit) instead")
     require(!oldName.equalsIgnoreCase(newName),
       s"rename to the same name: $oldName")
     val vs = versions(spark, root)
@@ -359,6 +354,17 @@ object Versioned {
         "columns by NAME, so a metadata-only rename would read the renamed " +
         "column as null from every existing file — rewrite the table once " +
         "(replace commit, e.g. compactLatest) to stamp field ids, then rename")
+    // a missing DOTTED old name is almost always an attempted
+    // nested-field rename — name that explicitly (renaming INSIDE a
+    // struct is out of scope for the metadata-only path: sidecar stats,
+    // tombstones, and stats-dead guards all key by TOP-LEVEL name; the
+    // remedy is a replace commit with the evolved struct shape). A
+    // dotted name that IS a top-level column renames normally.
+    require(schema.fieldNames.exists(_.equalsIgnoreCase(oldName)) ||
+        !oldName.contains('.'),
+      s"nested-field rename ($oldName -> $newName) is not supported: " +
+        "renameColumn is metadata-only for TOP-LEVEL columns; rewrite " +
+        "the table with the evolved struct shape (replace commit) instead")
     require(schema.fieldNames.exists(_.equalsIgnoreCase(oldName)),
       s"no column $oldName at $root (have ${schema.fieldNames.mkString(", ")})")
     require(!schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
@@ -686,7 +692,10 @@ object Versioned {
     case Some(s) =>
       // a mapped (id-carrying) schema matches file columns BY ID, so
       // files written before a rename serve the renamed column correctly
-      if (ColumnIds.hasIds(s)) ColumnIds.ensureConfs(spark)
+      // (ensureReadConfs also turns nested pruning off when NESTED ids
+      // ride the schema — pruned projections would null a renamed
+      // struct's fields otherwise)
+      if (ColumnIds.hasIds(s)) ColumnIds.ensureReadConfs(spark, s)
       spark.read.schema(s).parquet(files: _*)
     case None => spark.read.parquet(files: _*)
   }
@@ -1520,12 +1529,20 @@ object Versioned {
     * all) degrade to scanning those files instead of trusting min/max/
     * nulls that describe a column the name no longer denotes. */
   private def statsByFile(spark: SparkSession, root: String,
-                          files: Seq[String]): Map[String, Map[String, FileStats.ColStats]] = {
+                          files: Seq[String],
+                          preloaded: Option[Map[Path, Map[String, Map[String, FileStats.ColStats]]]] = None)
+      : Map[String, Map[String, FileStats.ColStats]] = {
     val dead = statsDeadColumns(spark, root)
     val f = fs(spark, new Path(root))
-    val sideByDir = files.map(new Path(_)).groupBy(_.getParent).map {
-      case (dir, _) => dir -> FileStats.readSidecar(f, dir)
-    }
+    // `preloaded` lets a caller that already paid the per-dir sidecar
+    // reads (rewriteTouched shares them with its tracked-column union)
+    // reuse them — there must be exactly ONE implementation of
+    // "sidecar stats minus the dead names": a second inline copy of
+    // this filter is how the r11 guard missed the copy-on-write path
+    val sideByDir = preloaded.getOrElse(
+      files.map(new Path(_)).groupBy(_.getParent).map {
+        case (dir, _) => dir -> FileStats.readSidecar(f, dir)
+      })
     files.map { s =>
       val p = new Path(s)
       s -> sideByDir(p.getParent).getOrElse(p.getName, Map.empty)
@@ -2486,25 +2503,17 @@ object Versioned {
       files.map(new Path(_)).groupBy(_.getParent).map { case (dir, _) =>
         dir -> FileStats.readSidecar(f, dir)
       }
+    // the PROOFS' lookup is statsByFile — THE one implementation of
+    // "sidecar stats minus the identity-unstable names". An earlier
+    // inline copy here skipped the dead-name filter: a re-added
+    // column's stale nulls==0 + min/max under the vacated name could
+    // "prove" a wrong whole-file drop — the copy-on-write twin of the
+    // hazard the r11 guard closed for the DV paths (that round's spec
+    // used a DoubleType column, which never proves, so this path's
+    // exposure survived it; RenameColumnSpec pins the LONG case).
     val statsOf: Map[String, Map[String, FileStats.ColStats]] =
       if (conjuncts.isEmpty) Map.empty
-      else {
-        // the PROOFS' lookup excludes identity-unstable names (see
-        // statsDeadLines) — the same filter statsByFile applies for the
-        // merge-on-read paths. Without it a re-added column's stale
-        // nulls==0 + min/max under the vacated name would "prove" a
-        // wrong whole-file drop here: the copy-on-write twin of the
-        // hazard the r11 guard closed for the DV paths (that round's
-        // spec used a DoubleType column, which never proves, so this
-        // path's exposure survived it — RenameColumnSpec now pins the
-        // LONG case).
-        val dead = statsDeadColumns(spark, root)
-        files.map { s =>
-          val p = new Path(s)
-          s -> sideByDir(p.getParent).getOrElse(p.getName, Map.empty)
-            .filter { case (c, _) => !dead.contains(c.toLowerCase) }
-        }.toMap
-      }
+      else statsByFile(spark, root, files, Some(sideByDir))
     val (allMatch, rest) = conjuncts match {
       case Some(cs) => files.partition(p => StatsProofs.allRowsMatch(statsOf(p), cs))
       case None => (Seq.empty[String], files)
@@ -2854,10 +2863,13 @@ object Versioned {
     // every column identity (field id) that EVER lived under a dead name
     // and still lives in the current schema — those are the columns whose
     // sidecar coverage the dead name's quarantine took away. A retired
-    // (dropped) id maps to nothing.
+    // (dropped) id maps to nothing. The schema history is materialized
+    // ONCE (newest first): per-name walks over it are pure in-memory
+    // scans, not O(deadNames × versions) manifest reads.
+    val schemaHistory: Seq[StructType] =
+      vs.reverse.flatMap(v => snapshotSchema(spark, root, Some(v)))
     def occupantsNow(d: String): Seq[String] =
-      vs.reverse.iterator
-        .flatMap(v => snapshotSchema(spark, root, Some(v)).iterator)
+      schemaHistory.iterator
         .flatMap(_.fields.find(_.name.equalsIgnoreCase(d)))
         .flatMap(f => ColumnIds.idOf(f))
         .flatMap(curById.get)
@@ -2885,6 +2897,7 @@ object Versioned {
       ColumnIds.idOf(schema(c)).map(c -> _)).toMap
     var cleaned = 0L
     var restatted = 0L
+    val bloomDirs = scala.collection.mutable.Buffer.empty[Path]
     presence.foreach { case (dir, statNames, bloomNames) =>
       val dfs = dir.getFileSystem(hconf)
       val hasDeadStats = statNames.exists(n => deadSet.contains(n.toLowerCase))
@@ -2892,10 +2905,15 @@ object Versioned {
       val here = curByDir.getOrElse(dir, Seq.empty)
       if (dryRun) {
         if (hasDeadStats || hasDeadBlooms) cleaned += 1
-        if (wantedIds.nonEmpty) restatted += here.size
+        if (wantedIds.nonEmpty && hasDeadStats) restatted += here.size
       } else {
+        // footer re-reads are confined to QUARANTINE-AFFECTED dirs: a
+        // dir without dead-name entries already keys its stats by
+        // current names (written post-rename) — sweeping every footer
+        // of a 100 TB table for one renamed column would betray the
+        // scan-cost pricing this procedure exists for
         val fresh =
-          if (wantedIds.nonEmpty && here.nonEmpty)
+          if (wantedIds.nonEmpty && hasDeadStats && here.nonEmpty)
             FileStats.collectById(hconf, here, wantedIds)
           else Map.empty[String, Map[String, FileStats.ColStats]]
         restatted += fresh.size
@@ -2914,17 +2932,20 @@ object Versioned {
           FileStats.writeBloomSidecar(dfs, dir, bside.map { case (f, byCol) =>
             f -> byCol.filter { case (c, _) => !deadSet.contains(c.toLowerCase) }
           }.filter(_._2.nonEmpty))
+          bloomDirs += dir
         }
         if (hasDeadStats || hasDeadBlooms) cleaned += 1
       }
     }
     // bloom re-harvest is the one non-metadata cost: a column-pruned
-    // id-matched pass over the snapshot's files, per batch dir (the same
-    // price buildBlooms quotes) — still no write to any data file
+    // id-matched pass over the QUARANTINE-AFFECTED dirs' current files
+    // (dirs written post-rename already bloom under current names) —
+    // still no write to any data file
     if (!dryRun && bloomTargets.nonEmpty) {
       ColumnIds.ensureConfs(spark)
-      curByDir.foreach { case (dir, paths) =>
-        harvestBloomsFor(spark, dir, paths, schema, bloomTargets)
+      bloomDirs.foreach { dir =>
+        curByDir.get(dir).filter(_.nonEmpty).foreach(paths =>
+          harvestBloomsFor(spark, dir, paths, schema, bloomTargets))
       }
     }
     val newV =

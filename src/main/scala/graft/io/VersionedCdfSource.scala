@@ -221,6 +221,26 @@ private[graft] class VersionedCdfSource(
     // so compare the column sets explicitly before aligning.
     val declared = schema.fieldNames.map(_.toLowerCase).toSet
     val got = diff.columns.map(_.toLowerCase).toSet
+    // TYPE drift is evolution too: a widening append (int -> long) or a
+    // replace changing a column's type keeps the NAME set identical, but
+    // serving the widened batch under the pinned narrower schema would
+    // hand downstream operators attributes of the wrong type — detect it
+    // and stop with the same typed signal the restart loop keys on
+    // (shape compare ignores the field-id metadata the recorded side
+    // carries)
+    val declaredT = schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+    val drifted = diff.schema.fields.filter(f =>
+      declaredT.get(f.name.toLowerCase).exists(d =>
+        !ColumnIds.sameShape(d, f.dataType)))
+    if (drifted.nonEmpty)
+      throw new SchemaEvolvedException(
+        s"versioned table at $root changed column TYPE(s) mid-stream (" +
+          drifted.map(f => s"${f.name}: " +
+            s"${declaredT(f.name.toLowerCase).simpleString} -> " +
+            s"${f.dataType.simpleString}").mkString(", ") +
+          ") — a running query cannot change schema; the NEXT start " +
+          "adopts the evolved shape automatically and replays this " +
+          "window from the committed offset.")
     if (got != declared)
       throw new SchemaEvolvedException(
         s"versioned table at $root changed shape mid-stream " +

@@ -45,7 +45,8 @@ object VersionedDataSource {
     val schema = Versioned.snapshotSchema(spark, root, asOf)
     // mapped tables: the NATIVE parquet scan must match file columns by
     // field id (a renamed column lives under its old name in old files)
-    schema.filter(ColumnIds.hasIds).foreach(_ => ColumnIds.ensureConfs(spark))
+    schema.filter(ColumnIds.hasIds).foreach(s =>
+      ColumnIds.ensureReadConfs(spark, s))
     // Only a live (non-time-travel) load is streamable: a pinned snapshot
     // has no future versions to tail.
     new VersionedReadTable(ParquetTable(
@@ -194,7 +195,8 @@ class VersionedDataSource extends TableProvider with DataSourceRegister {
             Versioned.snapshotFiles(spark, root, schemaVersion): _*).schema)
         }
       // mapped tables read through Spark's parquet field-id matching
-      userSchema.filter(ColumnIds.hasIds).foreach(_ => ColumnIds.ensureConfs(spark))
+      userSchema.filter(ColumnIds.hasIds).foreach(s =>
+        ColumnIds.ensureReadConfs(spark, s))
       val t = ParquetTable(s"graft-versioned `$root`", spark, options, files.toList,
         userSchema, classOf[ParquetFileFormat])
       cached = Some(key -> t)

@@ -263,6 +263,15 @@ class RenameColumnSpec extends SparkSpecBase {
     assert(out == Set(
       (1L, 10L, "w1", Seq(1f, 2f)), (2L, 20L, "w2", Seq(2f, 4f)),
       (3L, 30L, "w3", Seq(3f, 6f))))
+    // the PRUNED single-field projection must serve the same values:
+    // selecting ONE field of the renamed struct triggers nested schema
+    // pruning, which breaks field-id matching upstream (silent nulls) —
+    // the mapped read disables it (ensureReadConfs)
+    assert(Versioned.read(spark, root).select(col("payload.u"))
+      .as[Long].collect().toSet == Set(10L, 20L, 30L))
+    assert(spark.read.format("graft-versioned").load(root)
+      .select(col("payload.u")).as[Long].collect().toSet == Set(10L, 20L, 30L),
+      "the DSv2 scan's pruned projection must agree")
     // drop the struct column; a re-added same-name struct reads null
     // from old files (fresh top-level id gates the whole subtree), and
     // its fresh ids sit PAST every retired nested id
@@ -334,6 +343,71 @@ class RenameColumnSpec extends SparkSpecBase {
     assert(completed2("t").dataType.asInstanceOf[StructType]
       .fields.forall(f => graft.io.ColumnIds.idOf(f).exists(_ > 2L)),
       "a fresh struct column maps at every level")
+  }
+
+  test("dotted TOP-LEVEL names rename and drop normally; missing dotted names read as nested attempts") {
+    // dotted literals are a supported column shape (the CDF source
+    // backtick-quotes for exactly this reason) — the nested-refusal
+    // guard must only fire for dotted names that are NOT schema members
+    val root = tmpRoot()
+    Versioned.commit(spark,
+      Seq((1L, 9.99, "a")).toDF("id", "price.usd", "v"), root)
+    Versioned.renameColumn(spark, root, "price.usd", "usd")
+    assert(Versioned.read(spark, root).select("usd").as[Double]
+      .collect().toSeq == Seq(9.99))
+    Versioned.renameColumn(spark, root, "usd", "price.eur")
+    Versioned.dropColumns(spark, root, Seq("price.eur"))
+    assert(Versioned.read(spark, root).columns.toSeq == Seq("id", "v"))
+    // a dotted name that is NOT a column reads as a nested attempt
+    assert(intercept[IllegalArgumentException](
+      Versioned.renameColumn(spark, root, "v.inner", "x"))
+      .getMessage.contains("nested-field rename"))
+    assert(intercept[IllegalArgumentException](
+      Versioned.dropColumns(spark, root, Seq("v.inner")))
+      .getMessage.contains("nested-field drop"))
+    // and a plain missing name keeps the plain message
+    assert(intercept[IllegalArgumentException](
+      Versioned.renameColumn(spark, root, "nope", "x"))
+      .getMessage.contains("no column"))
+  }
+
+  test("one compactLatest upgrades a legacy table to FULL nested mapping") {
+    import org.apache.spark.sql.types._
+    val root = tmpRoot()
+    val inner = StructType(Seq(
+      StructField("u", LongType), StructField("w", StringType)))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", inner),
+      StructField("emb", ArrayType(FloatType))))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          Seq(org.apache.spark.sql.Row(1L, org.apache.spark.sql.Row(5L, "x"),
+            Seq(1f, 2f)))).asJava), schema)
+    spark.conf.set("spark.graft.columnMapping", "false")
+    try Versioned.commit(spark, df, root)
+    finally spark.conf.unset("spark.graft.columnMapping")
+    assert(!graft.io.ColumnIds.hasIds(
+      Versioned.snapshotSchema(spark, root, None).get))
+    // the documented upgrade: one full-rewrite replace assigns EVERY id
+    // fresh — nested levels included (replace ignores the previous
+    // schema, so the completeIds freeze for existing columns does not
+    // apply; the rewritten files all carry the new ids)
+    Versioned.compactLatest(spark, root, nFiles = 1)
+    val rec = Versioned.snapshotSchema(spark, root, None).get
+    assert(graft.io.ColumnIds.idOf(rec("s")).isDefined)
+    assert(rec("s").dataType.asInstanceOf[StructType].fields
+      .forall(f => graft.io.ColumnIds.idOf(f).isDefined),
+      "upgrade must map nested fields too")
+    assert(graft.io.ColumnIds.maxId(rec) == 5L)
+    // and the upgraded table renames like any mapped table — including
+    // the PRUNED single-field projection, which Spark's nested schema
+    // pruning would silently null for a renamed struct (ensureReadConfs
+    // turns pruning off for nested-id schemas; this assert caught the
+    // hazard live)
+    Versioned.renameColumn(spark, root, "s", "payload")
+    assert(Versioned.read(spark, root).select("payload.u").as[Long]
+      .collect().toSeq == Seq(5L))
   }
 
   test("rename survives merge, update, and compaction") {

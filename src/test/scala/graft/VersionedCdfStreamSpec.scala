@@ -237,6 +237,47 @@ class VersionedCdfStreamSpec extends SparkSpecBase {
       s"asset must record the adopted schema, got $recorded")
   }
 
+  test("type widening mid-stream is evolution too: typed stop, restart adopts") {
+    // name sets stay identical across a widening append (int -> long),
+    // so the column-set compare alone would serve the widened batch
+    // under the pinned narrower schema — wrong-typed attributes
+    // downstream. The type compare must raise the SAME typed signal the
+    // auto-restart loop keys on.
+    val root = tmpDir("graft_cdfs_widen")
+    Versioned.commit(spark, Seq((1L, 10)).toDF("id", "v"), root)
+    val ckpt = tmpDir("graft_cdfs_widen_ckpt")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    def tailWide() = spark.readStream.format("graft-versioned-cdf")
+      .load(root)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.select(col("id"), col("v").cast("long"), col("_change"))
+          .as[(Long, Long, String)].collect()
+        buf.synchronized { buf ++= rows }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    val q = tailWide()
+    try {
+      q.processAllAvailable()
+      Versioned.commit(spark, Seq((2L, 20L)).toDF("id", "v"), root) // widens v
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .exists(_.isInstanceOf[graft.io.SchemaEvolvedException]),
+        s"widening must stop with the typed signal: ${chain(e)}")
+      assert(chain(e).contains("TYPE"), chain(e))
+    } finally q.stop()
+    val q2 = tailWide()
+    try {
+      q2.processAllAvailable()
+      assert(buf.toSet == Set((2L, 20L, "insert")), s"got ${buf.toSet}")
+      assert(buf.size == 1, s"duplicate delivery: $buf")
+    } finally q2.stop()
+  }
+
   private def chain(t: Throwable): String =
     Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
       .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
