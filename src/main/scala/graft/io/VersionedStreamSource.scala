@@ -42,6 +42,16 @@ private[graft] class VersionedMicroBatchStream(
     override def json(): String = v.toString
   }
 
+  // The table's recorded schema as of THIS RUN's start — what the
+  // consumer's pinned scan was planned against. The evolution guard in
+  // planInputPartitions compares batch-end schemas against THIS (not
+  // from-vs-to: the restart that adopts an evolution legitimately spans
+  // the version that evolved, and must pass). One manifest read per
+  // stream start.
+  private val pinnedSchema: Option[StructType] =
+    Versioned.versions(spark, root).lastOption
+      .flatMap(v => Versioned.snapshotSchema(spark, root, Some(v)))
+
   override def initialOffset(): Offset = VOffset(0L)
 
   override def latestOffset(): Offset =
@@ -103,6 +113,48 @@ private[graft] class VersionedMicroBatchStream(
           s"changed deletion vectors (merge-on-read delete landed mid-stream); " +
           "restart from a materialized snapshot or use Versioned.diffVersions " +
           "for row-level changes")
+    // Schema-evolution guard, the append-only sibling of the CDF
+    // source's typed stop. The micro-batch reads RAW FILES under the
+    // scan pinned at stream start, so:
+    //  - an ADDED column's values in the new files would be SILENTLY
+    //    dropped from every emitted row until a restart (the rows are
+    //    never re-emitted — permanent loss for the consumer), and
+    //  - a WIDENED column would surface as a raw vectorized-reader
+    //    type error, loud but untyped.
+    // Both stop with SchemaEvolvedException — the signal auto-restart
+    // loops key on; the NEXT start re-pins the evolved schema. A pure
+    // RENAME keeps field ids and types and passes (the spec-pinned
+    // posture: metadata-only renames keep the tail flowing under the
+    // pinned names); a metadata-only DROP also passes (the subscribed
+    // columns' data still flows from the unchanged files).
+    (pinnedSchema, Versioned.snapshotSchema(spark, root, Some(to))) match {
+        case (Some(a), Some(b)) =>
+          val mapped = ColumnIds.hasIds(a) && ColumnIds.hasIds(b)
+          def keyOf(f: org.apache.spark.sql.types.StructField): String =
+            if (mapped) ColumnIds.idOf(f).map(_.toString)
+              .getOrElse(f.name.toLowerCase)
+            else f.name.toLowerCase
+          val aByKey = a.fields.map(f => keyOf(f) -> f).toMap
+          val added = b.fields.filterNot(f => aByKey.contains(keyOf(f)))
+          if (added.nonEmpty)
+            throw new SchemaEvolvedException(
+              s"versioned table at $root gained column(s) " +
+                s"${added.map(_.name).mkString(", ")} mid-stream " +
+                s"(v$from..v$to): the pinned scan would silently drop " +
+                "their values from every emitted row — restart to adopt " +
+                "the evolved schema (auto-restart on this exception type).")
+          val widened = b.fields.flatMap(f => aByKey.get(keyOf(f))
+            .filterNot(pf => ColumnIds.sameShape(pf.dataType, f.dataType))
+            .map(pf => s"${f.name}: ${pf.dataType.simpleString} -> " +
+              s"${f.dataType.simpleString}"))
+          if (widened.nonEmpty)
+            throw new SchemaEvolvedException(
+              s"versioned table at $root changed column TYPE(s) " +
+                s"mid-stream (${widened.mkString(", ")}, v$from..v$to) — " +
+                "restart to adopt the evolved schema (auto-restart on " +
+                "this exception type).")
+        case _ => () // legacy pre-schema-tracking: no recorded shapes
+    }
     val files =
       if (from == 0L) Versioned.snapshotFiles(spark, root, Some(to))
       else {

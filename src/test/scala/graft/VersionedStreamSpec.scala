@@ -77,6 +77,64 @@ class VersionedStreamSpec extends SparkSpecBase {
     } finally q2.stop()
   }
 
+  test("a mid-stream ADD or type widening stops the append-only stream with the typed signal") {
+    // new files carry the added column's VALUES; the pinned scan would
+    // silently drop them from every emitted row — permanent loss, the
+    // rows are never re-emitted. Same typed stop as the CDF source, so
+    // one auto-restart loop covers both stream shapes; a restart
+    // re-pins and delivers the missed window under the evolved schema.
+    val root = tmpDir("graft_vstream_evo")
+    val ckpt = tmpDir("graft_vstream_evo_ckpt")
+    Versioned.commit(spark, Seq((1L, "a")).toDF("id", "k"), root)
+    def evolvedStop(e: Throwable): Boolean =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .exists(_.isInstanceOf[graft.io.SchemaEvolvedException])
+    // foreachBatch sink: the memory sink cannot recover from a
+    // checkpoint, which the restart leg needs
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Double])]
+    def tailEvo() = spark.readStream.format("graft-versioned").load(root)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val cols = batch.columns.toSet
+        val rows = batch.collect().map(r => r.getLong(r.fieldIndex("id")) ->
+          (if (cols("extra")) Option(r.get(r.fieldIndex("extra")))
+            .map(_.asInstanceOf[Double]) else None))
+        buf.synchronized { buf ++= rows }
+        ()
+      }
+      .option("checkpointLocation", ckpt).start()
+    val q = tailEvo()
+    try {
+      q.processAllAvailable()
+      Versioned.commit(spark, Seq((2L, "b", 1.5)).toDF("id", "k", "extra"), root)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(evolvedStop(e), s"ADD must stop with the typed signal: $e")
+    } finally q.stop()
+    // restart adopts and delivers the missed window WITH the new column
+    val q2 = tailEvo()
+    try {
+      q2.processAllAvailable()
+      assert(buf.toSet == Set((1L, None), (2L, Some(1.5))),
+        s"the missed window must arrive under the evolved schema: ${buf.toSet}")
+    } finally q2.stop()
+    // widening mid-stream: same typed stop instead of a raw reader error
+    val root2 = tmpDir("graft_vstream_widen")
+    Versioned.commit(spark, Seq((1L, 10)).toDF("id", "v"), root2)
+    val q3 = spark.readStream.format("graft-versioned").load(root2)
+      .writeStream.format("memory").queryName("vtail_widen")
+      .option("checkpointLocation", tmpDir("graft_vstream_widen_ckpt")).start()
+    try {
+      q3.processAllAvailable()
+      Versioned.commit(spark, Seq((2L, 20L)).toDF("id", "v"), root2)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q3.processAllAvailable()
+      }
+      assert(evolvedStop(e), s"widening must stop with the typed signal: $e")
+    } finally q3.stop()
+  }
+
   test("restart resumes from the checkpointed version") {
     // memory sink forbids checkpoint recovery, so collect via foreachBatch
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
