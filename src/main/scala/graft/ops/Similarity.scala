@@ -248,25 +248,44 @@ object Similarity {
     *
     * Deterministic and bit-reproducible (oracle-checked): seeds are the
     * vectors whose `vec_id` is a multiple of stride = max(1, n/k) — a
-    * pure scan predicate, no global sort — routed through a TWO-LEVEL
-    * coarse-then-fine nearest-seed assignment (see the body), each level
-    * scored by the engine-exact fused cosine with (cos desc, seed id)
+    * pure scan predicate, no global sort — routed through a coarse-to-
+    * fine nearest-seed quantizer TREE (see the body), each level scored
+    * by the engine-exact fused cosine with (cos desc, seed id)
     * tie-break. Dense ids give ~k seeds; sparse ids shift the seed
     * count but stay deterministic and corpus-proportional.
     *
-    * Next ceiling, stated: the FINE seed set rides a join (cell-sized
-    * lists), but the COARSE seed set (~√k vectors) is broadcast —
-    * ~360 MB of floats at n = 2.5e10 with the defaults; past that the
-    * quantizer tree needs a third level (same move again). */
+    * The tree is TWO levels (√k broadcast top) until the top seed set
+    * would exceed `maxBroadcastSeeds`, then THREE (k^(1/3) top, k^(2/3)
+    * mid routed by equi-join) — the r11-stated broadcast ceiling
+    * (√k ≈ 360 MB of floats at n = 2.5e10) closed by the same move that
+    * built level two. Only the TOP level is ever broadcast.
+    *
+    * Measured on the sf fixtures (BenchSemDedup, target=20, local[32]):
+    * the deeper tree costs a constant factor while per-job overheads
+    * dominate (k=1000: 2.14 vs 2.76 s) and WINS outright once pair
+    * evaluations do (k=5000: 16.0 vs 7.7 s — 3n·k^(1/3) vs 2n·√k pair
+    * evals cross at k ≈ 729, with real crossover a few k past that);
+    * its own scale curve is sublinear at both fixture steps (1.63 →
+    * 2.76 → 7.72 s across 10× then 5× rows). The default still gates
+    * on the broadcast BUDGET, not the analytic crossover — at budget-
+    * triggering corpus sizes the deeper tree is strictly better on both
+    * axes, while below it the two-level form keeps the smaller constant;
+    * deployments past the local crossover can lower `maxBroadcastSeeds`.
+    * Remaining stated ceiling: the depth is fixed at 3, so the top set
+    * reaches `maxBroadcastSeeds` again near n ≈ target·maxTop³
+    * (≈ 5.6e19 rows at the defaults — far past any real corpus; the
+    * remedy, if it ever matters, is the same move a fourth time). */
   def semDedupAuto(emb: DataFrame, tau: Double,
                    targetClusterSize: Long = 200L,
                    minCentroids: Int = 16,
                    lloydIters: Int = 0,
-                   maxClusterSize: Int = 100000): DataFrame = {
-    import graft.functions.GraftExpressions.topKBy
+                   maxClusterSize: Int = 100000,
+                   maxBroadcastSeeds: Long = 1L << 16): DataFrame = {
     require(targetClusterSize > 0,
       s"targetClusterSize must be positive, got $targetClusterSize")
     require(minCentroids > 0, s"minCentroids must be positive, got $minCentroids")
+    require(maxBroadcastSeeds > 0,
+      s"maxBroadcastSeeds must be positive, got $maxBroadcastSeeds")
     // ONE planning pass for both scalar facts the seeding needs (count
     // and min id): each is a full-corpus action, and paying two scans
     // before any clustering work is one too many at 100 TB
@@ -291,43 +310,64 @@ object Similarity {
     // ends take the same route). Both levels are deterministic stride
     // subsets of the corpus, so the whole clustering stays
     // bit-reproducible (oracle-checked).
-    val csf = math.max(1L, math.floor(math.sqrt(k.toDouble) + 0.5).toLong)
     // seed residues anchor on the MINIMUM vec_id, not on zero: a corpus
     // whose ids share no multiple of the stride (all-odd ids, offset
     // ranges) would otherwise produce ZERO seeds and an empty keep set —
     // the whole corpus silently "deduplicated" away. The min id itself
-    // is always a seed, and because stride divides cstride the coarse
-    // residue is congruent to the fine one, so every coarse seed stays a
-    // fine seed (the no-empty-cell property).
+    // is always a seed, and because each finer stride divides the next
+    // coarser one the residues are congruent level to level, so every
+    // coarser seed stays a finer seed (the no-empty-cell property).
     val minId = plan0.getLong(1)
-    val rf = ((minId % stride) + stride) % stride
-    val cstride = stride * csf
-    val rc = ((minId % cstride) + cstride) % cstride
-    val fine = emb.filter(pmod(col("vec_id").cast("long"), lit(stride)) === rf)
-      .select(col("vec_id").as("rlabel"), col("embedding").as("cvec"))
-    val coarse = emb.filter(pmod(col("vec_id").cast("long"), lit(cstride)) === rc)
-      .select(col("vec_id").as("rlabel"), col("embedding").as("cvec"))
-    // fine seed -> its coarse cell (k×√k, tiny); every coarse seed is a
-    // fine seed mapping to itself, so no cell is empty
-    val f2c = assignClusters(
-      fine.select(col("rlabel").as("vec_id"), col("cvec").as("embedding")),
-      coarse, 1)
-      .select(col("vec_id").as("__fid"), col("embedding").as("__fvec"),
-        col("cluster").as("__coarse"))
-    // vector -> coarse cell (n×√k through the map-side heap)
-    val v2c = assignClusters(emb.select(col("vec_id"), col("embedding")), coarse, 1)
-      .select(col("vec_id"), col("embedding"), col("cluster").as("__coarse"))
-    // vector -> nearest fine seed WITHIN its coarse cell: an equi-join
-    // on the cell (n×(k/√k) scored rows), never a crossJoin over all k
-    val seeded = v2c.join(f2c, Seq("__coarse"))
-      .select(col("vec_id"), col("embedding"),
-        col("__fid").cast("long").as("__rl"),
-        cosineSim(col("embedding"), col("__fvec")).as("rcos"))
-      .groupBy(col("vec_id"))
-      .agg(first(col("embedding")).as("embedding"),
-        topKBy(col("rcos"), col("__rl"), 1).as("__top"))
-      .select(col("vec_id"), col("embedding"), explode(col("__top")).as("__e"))
-      .select(col("vec_id"), col("embedding"), col("__e.id").as("label"))
+    def seedsAt(s: Long): DataFrame = {
+      val r = ((minId % s) + s) % s
+      emb.filter(pmod(col("vec_id").cast("long"), lit(s)) === r)
+        .select(col("vec_id"), col("embedding"))
+    }
+    def asCent(df: DataFrame): DataFrame =
+      df.select(col("vec_id").as("rlabel"), col("embedding").as("cvec"))
+    val csf = math.max(1L, math.floor(math.sqrt(k.toDouble) + 0.5).toLong)
+    val fine = seedsAt(stride)
+    val seeded =
+      if (csf <= maxBroadcastSeeds) {
+        // TWO levels: √k coarse seeds broadcast, fine seeds routed by
+        // equi-join. Fine seed -> its coarse cell (k×√k, tiny); vector
+        // -> coarse cell (n×√k through the map-side heap); vector ->
+        // nearest fine seed WITHIN its cell (n×(k/√k) scored rows,
+        // never a crossJoin over all k): 2n√k total.
+        val coarse = asCent(seedsAt(stride * csf))
+        val f2c = assignClusters(fine, coarse, 1)
+          .select(col("vec_id").as("__sid"), col("embedding").as("__svec"),
+            col("cluster").as("__cell"))
+        val v2c = assignClusters(emb.select(col("vec_id"), col("embedding")), coarse, 1)
+          .select(col("vec_id"), col("embedding"), col("cluster").as("__cell"))
+        nearestWithin(v2c, f2c)
+      } else {
+        // THREE levels — the √k top set outgrew the broadcast budget:
+        // k^(1/3) top seeds broadcast, k^(2/3) mid seeds and k fine
+        // seeds each routed by equi-join on the cell above. Assignment
+        // cost n·(k^(1/3) + k^(1/3) + k^(1/3)) = 3n·k^(1/3); the only
+        // broadcast is the top set. Routing is the same at every hop
+        // (engine-exact cosine, (cos desc, id asc) tie-break), and all
+        // three seed sets are stride subsets with the congruent-residue
+        // property, so determinism and partition-invariance carry.
+        val f3 = math.max(2L, math.floor(math.cbrt(k.toDouble) + 0.5).toLong)
+        val mid = seedsAt(stride * f3)
+        val top = asCent(seedsAt(stride * f3 * f3))
+        val m2t = assignClusters(mid, top, 1)
+          .select(col("vec_id").as("__sid"), col("embedding").as("__svec"),
+            col("cluster").as("__cell"))
+        // fine seeds ride the SAME top->mid route the corpus takes
+        val f2t = assignClusters(fine, top, 1)
+          .select(col("vec_id"), col("embedding"), col("cluster").as("__cell"))
+        val f2m = nearestWithin(f2t, m2t)
+          .select(col("vec_id").as("__sid"), col("embedding").as("__svec"),
+            col("label").as("__cell"))
+        val v2t = assignClusters(emb.select(col("vec_id"), col("embedding")), top, 1)
+          .select(col("vec_id"), col("embedding"), col("cluster").as("__cell"))
+        val v2m = nearestWithin(v2t, m2t)
+          .select(col("vec_id"), col("embedding"), col("label").as("__cell"))
+        nearestWithin(v2m, f2m)
+      }
     // lloydIters defaults to 0: one Lloyd pass re-pays a FLAT n×k
     // reassignment (lloydIterate scores every centroid), surrendering
     // exactly what the two-level route saved — opt in only where the
@@ -335,6 +375,27 @@ object Similarity {
     val refined = if (lloydIters <= 0) seeded else lloydIterate(seeded, lloydIters)
     semDedupKeep(refined.select(col("vec_id"), col("embedding"),
       col("label").as("cluster")), tau, maxClusterSize)
+  }
+
+  /** One quantizer-tree hop: each (vec_id, embedding, __cell) row meets
+    * the seeds of ITS cell by equi-join (never a crossJoin) and takes
+    * the nearest by the engine-exact fused cosine with the standard
+    * (cos desc, seed id asc) tie-break through the map-side bounded
+    * heap. Null-scored vectors substitute -Inf like [[assignClusters]]
+    * — assigned to the cell's lowest seed, never silently dropped.
+    * Output: (vec_id, embedding, label = nearest seed id). */
+  private def nearestWithin(v: DataFrame, seeds: DataFrame): DataFrame = {
+    import graft.functions.GraftExpressions.topKBy
+    v.join(seeds, Seq("__cell"))
+      .select(col("vec_id"), col("embedding"),
+        col("__sid").cast("long").as("__rl"),
+        coalesce(cosineSim(col("embedding"), col("__svec")),
+          lit(Double.NegativeInfinity)).as("rcos"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("embedding"),
+        topKBy(col("rcos"), col("__rl"), 1).as("__top"))
+      .select(col("vec_id"), col("embedding"), explode(col("__top")).as("__e"))
+      .select(col("vec_id"), col("embedding"), col("__e.id").as("label"))
   }
 
   /** IVF probe: exact top-k of each query against the candidates in its

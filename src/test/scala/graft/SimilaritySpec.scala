@@ -234,6 +234,32 @@ class SimilaritySpec extends SparkSpecBase {
     assert(kept.count() > 0)
   }
 
+  test("semDedupAuto third quantizer level: forced activation, deterministic, loses nothing") {
+    // force level 3 with a tiny broadcast budget: targetClusterSize=20
+    // gives k = n/20 (csf = √k well above maxBroadcastSeeds = 2), so
+    // the k^(1/3) top + k^(2/3) mid route runs — the same branch that
+    // activates at 100 TB when √k outgrows the broadcast budget
+    val emb = Tables.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    def run(e: org.apache.spark.sql.DataFrame) =
+      Similarity.semDedupAuto(e, tau = 0.2, targetClusterSize = 20L,
+        maxBroadcastSeeds = 2L)
+    val kept3 = run(emb)
+    val got = kept3.collect().toSet
+    assert(got.nonEmpty && got.size <= n)
+    // determinism: same input, same result, run to run
+    assert(run(emb).collect().toSet == got)
+    // partition invariance: stride seeds + quantized routing only
+    assert(run(emb.repartition(7)).collect().toSet == got)
+    // corpus-proportional clustering survived the deeper tree
+    assert(kept3.select("cluster").distinct().count() > 1)
+    // sparse id spaces survive level 3 (congruent residues at 3 strides)
+    val odd = emb.select((col("vec_id") * 2 + 1).as("vec_id"), col("embedding"))
+    assert(run(odd).count() > 0,
+      "sparse id space produced zero seeds at some level — corpus dropped")
+  }
+
   test("semDedupAuto survives id spaces with no stride multiples") {
     // all-odd ids share no multiple of an even stride; seeds anchor on
     // the MIN id's residue, so the corpus must never silently vanish
