@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -318,5 +319,144 @@ object Dedup {
         col("__best.__dist").cast("int").as(s"${colName}_dist"))
     dirty.join(best, dirty.col(colName).cast(StringType) === best("__dv"), "left")
       .drop("__dv")
+  }
+
+  // -------------------------------------------------------------------
+  // Exact duplicate-SUBSTRING dedup (Lee et al. 2022, "Deduplicating
+  // Training Data Makes Language Models Better", arXiv:2107.06499 — the
+  // EXACTSUBSTR operator). The paper removes every repeated span of >= 50
+  // tokens, keeping one occurrence; its tool builds a single in-memory
+  // suffix array, which has no distributed analogue. The Spark-first
+  // re-expression slides a w-token window over each document and treats a
+  // window as DUPLICATED when the same w tokens occur anywhere else in
+  // the corpus (another document, another position of the same document —
+  // self-repeats count, as in the paper). Every occurrence except the
+  // FIRST in (doc_id, pos) order is removable; removable windows merge
+  // into maximal spans and the spans are cut from the text, so each
+  // repeated substring survives exactly once corpus-wide.
+  //
+  // 100 TB design: window extraction is one map-side projection (tokens +
+  // sliding join — codegen'd higher-order functions); occurrences shuffle
+  // ONCE keyed on the 128-bit md5 of the window text — (hash, doc, pos)
+  // rides the exchange, never the window text itself, so the shuffle is
+  // ~24 bytes/window regardless of w. First-occurrence ranking is one
+  // window-rank per hash key; span merge re-shuffles only the removable
+  // minority on doc_id. Matching on a 128-bit hash rather than the text
+  // is the standard trade (collision odds ~n²/2^129 — at 10^12 windows,
+  // ~10^-15); stride-sampling window starts is the documented dial if
+  // even the hashed shuffle is too large at full corpus scale.
+  // -------------------------------------------------------------------
+
+  /** (doc_id, pos, __gh): every w-token window occurrence, keyed by the
+    * 128-bit hash of its token sequence. Pure map-side projection. */
+  private def windowOccurrences(docs: DataFrame, textCol: Column,
+                                idCol: Column, w: Int): DataFrame =
+    docs.select(idCol.as("doc_id"), tokens(textCol).as("__t"))
+      .select(col("doc_id"),
+        posexplode(shingles(col("__t"), w)).as(Seq("pos", "__gram")))
+      .select(col("doc_id"), col("pos"), md5(col("__gram")).as("__gh"))
+
+  /** Removable duplicate-window occurrences: (doc_id, pos) of every
+    * w-token window whose exact token sequence occurs earlier in
+    * (doc_id, pos) order somewhere in the corpus. */
+  def duplicateWindows(docs: DataFrame, textCol: Column, idCol: Column,
+                       w: Int): DataFrame = {
+    val firstSeen = Window.partitionBy(col("__gh"))
+      .orderBy(col("doc_id"), col("pos"))
+    windowOccurrences(docs, textCol, idCol, w)
+      .withColumn("__rn", row_number().over(firstSeen))
+      .filter(col("__rn") > 1)
+      .select("doc_id", "pos")
+  }
+
+  /** Incremental form — the production shape: the CORPUS is the
+    * already-published training shards (never modified), the BATCH is
+    * the new arrivals. A batch window is removable when its token
+    * sequence occurs anywhere in the corpus, or earlier (in (doc_id,
+    * pos) order) within the batch itself. Corpus-side occurrences
+    * reduce to one distinct-hash row each BEFORE the rank shuffle (a
+    * map-side-combinable aggregate — at 100 TB this distinct hash set
+    * is what you persist as the dedup index and append to per batch),
+    * and ride the same first-occurrence window as rank-first pseudo
+    * rows, so the whole decision is still one shuffle on the window
+    * hash. */
+  def duplicateWindowsAgainst(batch: DataFrame, corpus: DataFrame,
+                              textCol: Column, idCol: Column,
+                              w: Int): DataFrame = {
+    val bo = windowOccurrences(batch, textCol, idCol, w)
+      .withColumn("__c", lit(false))
+    val co = windowOccurrences(corpus, textCol, idCol, w)
+      .groupBy(col("__gh"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("pos")).as("pos"))
+      .select(col("doc_id"), col("pos"), col("__gh"), lit(true).as("__c"))
+    val firstSeen = Window.partitionBy(col("__gh"))
+      .orderBy(col("__c").desc, col("doc_id"), col("pos"))
+    bo.unionByName(co)
+      .withColumn("__rn", row_number().over(firstSeen))
+      .filter(col("__rn") > 1 && !col("__c"))
+      .select("doc_id", "pos")
+  }
+
+  /** Merge removable w-token window positions into maximal disjoint
+    * spans per document: two windows chain when they overlap or touch
+    * (next.pos <= prev.pos + w - 1). Returns (doc_id, span_start,
+    * span_end, n_windows) with token-index bounds inclusive. */
+  def mergeWindowSpans(removable: DataFrame, w: Int): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    removable
+      .withColumn("__brk",
+        when(col("pos") >
+          coalesce(lag(col("pos"), 1).over(byDoc), lit(-w - 1)) + (w - 1), 1)
+          .otherwise(0))
+      .withColumn("__island",
+        sum(col("__brk")).over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("__island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (w - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "span_start", "span_end", "n_windows")
+  }
+
+  /** Apply form: cut every removable span from each document and rebuild
+    * the surviving text (tokens outside all spans, space-joined — token-
+    * normalized output, same as the corpus the windows were computed
+    * over). Returns (doc_id, clean_text, total_tokens, removed_tokens).
+    * The span list per document is small (merged, disjoint), so coverage
+    * is a codegen'd per-token `exists` over the doc's own span array —
+    * no token-level shuffle. */
+  def removeDuplicateSpans(docs: DataFrame, textCol: Column, idCol: Column,
+                           w: Int): DataFrame =
+    applySpans(docs, textCol, idCol,
+      mergeWindowSpans(duplicateWindows(docs, textCol, idCol, w), w))
+
+  /** Incremental apply: cut corpus-or-batch-duplicated spans from the
+    * BATCH documents only ([[duplicateWindowsAgainst]] semantics); the
+    * corpus is never rewritten. */
+  def removeDuplicateSpansAgainst(batch: DataFrame, corpus: DataFrame,
+                                  textCol: Column, idCol: Column,
+                                  w: Int): DataFrame =
+    applySpans(batch, textCol, idCol,
+      mergeWindowSpans(
+        duplicateWindowsAgainst(batch, corpus, textCol, idCol, w), w))
+
+  private def applySpans(docs: DataFrame, textCol: Column, idCol: Column,
+                         spans: DataFrame): DataFrame = {
+    val byDoc = spans.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    docs.select(idCol.as("doc_id"), tokens(textCol).as("__t"))
+      .join(byDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__spans"),
+          array().cast("array<struct<span_start:int,span_end:int>>")).as("__sp"),
+        col("__t"))
+      .select(col("doc_id"),
+        array_join(filter(col("__t"), (_, i) =>
+          !exists(col("__sp"), sp =>
+            i >= sp.getField("span_start") && i <= sp.getField("span_end"))), " ")
+          .as("clean_text"),
+        size(col("__t")).cast("long").as("total_tokens"),
+        aggregate(col("__sp"), lit(0L),
+          (acc, sp) => acc + (sp.getField("span_end") - sp.getField("span_start") + 1))
+          .as("removed_tokens"))
   }
 }

@@ -467,4 +467,136 @@ object Similarity {
       .select(col("qid"), col("nid"), cosineSim(col("qvec"), col("nvec")).as("cos"))
     topkPerQuery(scored, k)
   }
+
+  // -------------------------------------------------------------------
+  // Product quantization (Jégou, Douze, Schmid 2011, "Product
+  // Quantization for Nearest Neighbor Search", IEEE TPAMI — public): the
+  // memory side of the IVF scale path. Each vector splits into m
+  // subvectors of dsub components; a per-subspace codebook quantizes each
+  // subvector to one codeword, so the stored representation shrinks from
+  // dim floats to m small codes (dim=64 floats = 256 B -> m=8 bytes at
+  // k<=256 codewords: 32x). Queries stay RAW and score candidates by
+  // cosine against the codeword RECONSTRUCTION — asymmetric distance
+  // computation (ADC). The reconstruction cosine used here is exactly
+  // LUT-ADC arithmetic: its numerator is the sum of m per-subspace
+  // query×codeword dots (the classic m table lookups) and its
+  // denominator factors into |q| times a per-code-combination constant.
+  //
+  // Determinism (the oracle contract): codebooks are subspace SLICES of
+  // the quantized k-means centroids ([[quantizedCentroids]] — integer
+  // component sums, order-independent, engine-identical); encoding takes
+  // the argmax-dot codeword per subspace with ties to the smallest
+  // label; every dot is the sequential left fold. Encoding cost is
+  // n·k·m subspace dots — same O(n·k) assignment shape as IVF itself —
+  // all map-side under a broadcast codebook, reduced by the bounded-heap
+  // aggregate (no n·k·m sort).
+  // -------------------------------------------------------------------
+
+  /** PQ codebook: the quantized centroid SUMS divided by each label's
+    * member count — mean-scale codewords. The division is one exact
+    * IEEE double op per component (sum and count are both
+    * engine-identical integers), so determinism carries; the mean scale
+    * is what makes concatenated codewords a faithful reconstruction
+    * (a sum-scale codeword would let large clusters dominate the
+    * full-vector cosine). */
+  def pqCodebook(emb: DataFrame): DataFrame = {
+    val counts = emb.groupBy(col("label"))
+      .agg(count(lit(1)).as("__cnt"))
+      .select(col("label").as("rlabel"), col("__cnt"))
+    quantizedCentroids(emb).join(broadcast(counts), "rlabel")
+      .select(col("rlabel"),
+        transform(col("cvec"), x => x / col("__cnt")).as("cvec"))
+  }
+
+  /** One per-subspace Lloyd refinement of a PQ codebook — PQ's actual
+    * training step (Jégou et al. §III: k-means per subspace, not one
+    * k-means over full vectors). Each subvector is assigned to its
+    * nearest current codeword ([[pqEncode]]), then every codeword moves
+    * to the quantized MEAN of its assigned subvectors (integer component
+    * sums / exact count — engine-identical, same discipline as
+    * [[quantizedCentroids]]). A codeword that attracts no subvectors in
+    * some subspace keeps its previous components there, so the codebook
+    * never shrinks and ids stay stable. */
+  def pqRefineBook(emb: DataFrame, book: DataFrame, m: Int, dsub: Int): DataFrame = {
+    val Q = 1048576L
+    val codes = pqEncode(emb, book, m, dsub)
+    val refined = emb.select(col("vec_id"), col("embedding"))
+      .join(codes, "vec_id")
+      .select(col("sub"), col("code"),
+        posexplode(slice(col("embedding"), col("sub") * dsub + 1, lit(dsub)))
+          .as(Seq("j", "v")))
+      .groupBy(col("code"), col("sub"), col("j"))
+      .agg(sum(floor(col("v").cast("double") * Q).cast("long")).as("__s"),
+        count(lit(1)).as("__c"))
+      .groupBy(col("code"))
+      .agg(map_from_entries(collect_list(struct(
+        (col("sub") * dsub + col("j")).as("i"),
+        (col("__s").cast("double") / col("__c")).as("v")))).as("__mv"))
+    book.join(broadcast(refined), book("rlabel") === refined("code"), "left")
+      .select(col("rlabel"),
+        transform(sequence(lit(0), lit(m * dsub - 1)), i =>
+          coalesce(element_at(col("__mv"), i),
+            element_at(col("cvec"), i + 1))).as("cvec"))
+  }
+
+  /** Encode each vector as m codebook labels: (vec_id, sub, code) with
+    * sub in [0, m). `cent` is the [[pqCodebook]] frame; the subspace
+    * codebook for sub s is cvec[s*dsub ..< (s+1)*dsub]. Selection is by
+    * subspace COSINE (not raw dot — dot would bias toward large-norm
+    * codewords), argmax with ties to the smallest label. */
+  def pqEncode(emb: DataFrame, cent: DataFrame, m: Int, dsub: Int): DataFrame = {
+    import graft.functions.GraftExpressions.topKBy
+    import graft.functions.TextFunctions.{cosine, dotDComposed}
+    val rlabelType = cent.schema("rlabel").dataType
+    val off = col("sub") * dsub + 1
+    val sa = slice(col("embedding"), off, lit(dsub))
+    val sb = slice(col("cvec"), off, lit(dsub))
+    val score = coalesce(
+      cosine(dotDComposed(sa, sb), dotDComposed(sa, sa), dotDComposed(sb, sb)),
+      lit(Double.NegativeInfinity))
+    emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        col("rlabel").cast("long").as("__rl"), col("embedding"), col("cvec"))
+      .select(col("vec_id"), col("sub"), col("__rl"), score.as("__cos"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(topKBy(col("__cos"), col("__rl"), 1).as("__top"))
+      .select(col("vec_id"), col("sub"),
+        element_at(col("__top"), 1).getField("id").cast(rlabelType).as("code"))
+  }
+
+  /** Reconstruct the quantized vector from its codes: (vec_id, xhat)
+    * where xhat is the concatenation of the m chosen codewords. */
+  def pqReconstruct(codes: DataFrame, cent: DataFrame, dsub: Int): DataFrame =
+    codes.join(broadcast(cent), codes("code") === cent("rlabel"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("cvec"), col("sub") * dsub + 1, lit(dsub)).as("__piece"))
+      .groupBy(col("vec_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("sub"), col("__piece")))),
+        x => x.getField("__piece"))).as("xhat"))
+
+  /** IVF-PQ top-k: queries probe their IVF cluster (both sides from
+    * [[assignClusters]]) but candidates are scored against their PQ
+    * reconstruction instead of the raw corpus vector — the index that
+    * fits in memory at 100 TB. `book` is the [[pqCodebook]] frame.
+    * Returns (qid, nid, cluster, cos_pq, rank). */
+  def ivfPqTopK(corpusAssigned: DataFrame, queryAssigned: DataFrame,
+                book: DataFrame, m: Int, dsub: Int, k: Int): DataFrame = {
+    val codes = pqEncode(
+      corpusAssigned.select(col("vec_id"), col("embedding")), book, m, dsub)
+    val compressed = corpusAssigned.select(col("vec_id").as("nid"), col("cluster"))
+      .join(pqReconstruct(codes, book, dsub)
+        .select(col("vec_id").as("nid"), col("xhat")), Seq("nid"))
+    val q = queryAssigned.select(col("vec_id").as("qid"),
+      col("embedding").as("qvec"), col("cluster"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_pq").desc, col("nid"))
+    compressed.join(broadcast(q), Seq("cluster"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos_pq",
+        graft.functions.GraftExpressions.cosineFD(col("qvec"), col("xhat")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("qid", "nid", "cluster", "cos_pq", "rank")
+  }
 }

@@ -455,6 +455,93 @@ object CoverageQueries {
     Similarity.ivfTopK(corpus, queries, k = 3)
   }
 
+  // -------------------------------------------------------------------
+  // IVF-PQ: same IVF routing as ann_ivf_kmeans, but candidates are
+  // scored against their PRODUCT-QUANTIZED reconstruction (Jégou et al.
+  // 2011) — m=16 subspaces of 4 components, mean-scale codebooks seeded
+  // from the label centroids and refined by ONE per-subspace Lloyd step
+  // (PQ's actual training: k-means per subspace), argmax-subspace-cosine
+  // encoding with smallest-label ties, ADC scoring as cosine(raw query,
+  // reconstruction). See ops/Similarity.scala for the memory story
+  // (dim floats -> m codes).
+  // -------------------------------------------------------------------
+  def annIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cent = Similarity.quantizedCentroids(emb)
+    val corpus = Similarity.assignClusters(emb, cent, nprobe = 1)
+    val queries = corpus.filter(col("vec_id") < 30)
+    val book = Similarity.pqRefineBook(emb,
+      Similarity.pqCodebook(emb), m = 16, dsub = 4)
+    Similarity.ivfPqTopK(corpus, queries, book, m = 16, dsub = 4, k = 3)
+  }
+
+  val annIvfPqOracle: String = {
+    def subdot(e: String, c: String) =
+      s"""list_reduce(list_transform(range(0,4),
+         |  j -> CAST($e[sub*4+j+1] AS DOUBLE) * CAST($c[sub*4+j+1] AS DOUBLE)),
+         |  (acc, x) -> acc + x)""".stripMargin
+    def subcos(e: String, c: String) =
+      s"""(${subdot(e, c)}) / (sqrt(${subdot(e, e)}) * sqrt(${subdot(c, c)}))"""
+    def encode(book: String) =
+      s"""SELECT vec_id, sub, rlabel AS code FROM (
+         |    SELECT e.vec_id, s.sub, c.rlabel,
+         |           row_number() OVER (PARTITION BY e.vec_id, s.sub
+         |             ORDER BY ${subcos("e.embedding", "c.bvec")} DESC, c.rlabel) AS rn
+         |    FROM embeddings e, range(0,16) s(sub), $book c)
+         |  WHERE rn = 1""".stripMargin
+    s"""WITH comp AS (
+       |  SELECT label, i,
+       |         SUM(CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1048576) AS BIGINT)) AS s,
+       |         COUNT(*) AS c
+       |  FROM embeddings, range(0,64) t(i) GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT label AS rlabel, list(CAST(s AS DOUBLE) ORDER BY i) AS cvec
+       |  FROM comp GROUP BY 1),
+       |book0 AS (
+       |  SELECT label AS rlabel, list(CAST(s AS DOUBLE) / c ORDER BY i) AS bvec
+       |  FROM comp GROUP BY 1),
+       |assigned AS (
+       |  SELECT vec_id, embedding, rlabel AS cluster FROM (
+       |    SELECT e.vec_id, e.embedding, r.rlabel,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.embedding", "r.cvec")} DESC, r.rlabel) AS rn
+       |    FROM embeddings e CROSS JOIN cent r)
+       |  WHERE rn = 1),
+       |codes0 AS (
+       |  ${encode("book0")}),
+       |rcomp AS (
+       |  SELECT k.code, k.sub, j,
+       |         SUM(CAST(floor(CAST(e.embedding[k.sub*4+j+1] AS DOUBLE) * 1048576) AS BIGINT)) AS s,
+       |         COUNT(*) AS c
+       |  FROM codes0 k JOIN embeddings e ON e.vec_id = k.vec_id, range(0,4) u(j)
+       |  GROUP BY 1, 2, 3),
+       |book AS (
+       |  SELECT b.rlabel,
+       |         list(coalesce(CAST(r.s AS DOUBLE) / r.c, b.bvec[g.i+1]) ORDER BY g.i) AS bvec
+       |  FROM book0 b CROSS JOIN range(0,64) g(i)
+       |  LEFT JOIN rcomp r ON r.code = b.rlabel AND r.sub = g.i // 4 AND r.j = g.i % 4
+       |  GROUP BY b.rlabel),
+       |codes AS (
+       |  ${encode("book")}),
+       |xhat AS (
+       |  SELECT k.vec_id,
+       |         flatten(list(c.bvec[k.sub*4+1:k.sub*4+4] ORDER BY k.sub)) AS xv
+       |  FROM codes k JOIN book c ON k.code = c.rlabel GROUP BY k.vec_id),
+       |scored AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS nid, q.cluster,
+       |         ${cosSql("q.embedding", "x.xv")} AS cos_pq
+       |  FROM assigned q
+       |  JOIN assigned c ON q.cluster = c.cluster
+       |    AND q.vec_id < 30 AND q.vec_id <> c.vec_id
+       |  JOIN xhat x ON x.vec_id = c.vec_id)
+       |SELECT qid, nid, cluster, cos_pq, rank FROM (
+       |  SELECT qid, nid, cluster, cos_pq,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos_pq DESC, nid) AS rank
+       |  FROM scored)
+       |WHERE rank <= 3
+       |""".stripMargin
+  }
+
   val annIvfKmeansOracle: String =
     s"""WITH comp AS (
        |  SELECT label, i,
@@ -1210,6 +1297,7 @@ object CoverageQueries {
     "semdedup_auto" -> (semDedupAuto _),
     "ann_ivf_lloyd2" -> (annIvfLloyd2 _),
     "ann_ivf_probe2" -> (annIvfProbe2 _),
+    "ann_ivf_pq" -> (annIvfPq _),
     "range_exclusion" -> (rangeExclusion _),
     "sales_rollup" -> (salesRollup _),
     "term_frequency" -> (termFrequency _),
@@ -1249,6 +1337,7 @@ object CoverageQueries {
     "semdedup_auto" -> semDedupAutoOracle,
     "ann_ivf_lloyd2" -> annIvfLloyd2Oracle,
     "ann_ivf_probe2" -> annIvfProbe2Oracle,
+    "ann_ivf_pq" -> annIvfPqOracle,
     "range_exclusion" -> rangeExclusionOracle,
     "sales_rollup" -> salesRollupOracle,
     "term_frequency" -> termFrequencyOracle,

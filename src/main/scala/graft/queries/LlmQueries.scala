@@ -1438,6 +1438,116 @@ object LlmQueries {
        |FROM c GROUP BY 1, 2
        |""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Exact duplicate-substring dedup (Lee et al. 2022 EXACTSUBSTR — see
+  // ops/Dedup.scala for the operator and its 100 TB shuffle story). Two
+  // query forms: the detection form reports the merged removable spans
+  // per document; the apply form cuts them and rebuilds the text. w = 8
+  // tokens here (the paper uses 50; the synthetic docs repeat shorter
+  // sentences, and the operator is w-parameterized).
+  // -------------------------------------------------------------------
+  def substringDupSpans(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.mergeWindowSpans(
+      Dedup.duplicateWindows(Tables.documents(spark, sfDir),
+        col("text"), col("doc_id"), w = 8), w = 8)
+
+  def substringDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.removeDuplicateSpans(Tables.documents(spark, sfDir),
+      col("text"), col("doc_id"), w = 8)
+
+  /** Incremental substring dedup: new batch (doc_id % 10 = 7, the
+    * dedup_incremental convention) scrubbed against the published
+    * corpus — corpus text contributes first occurrences but is never
+    * rewritten. */
+  def substringDedupIncr(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    Dedup.removeDuplicateSpansAgainst(
+      docs.filter(col("doc_id") % 10 === 7),
+      docs.filter(col("doc_id") % 10 =!= 7),
+      col("text"), col("doc_id"), w = 8)
+  }
+
+  /** Shared oracle fragments: window-hash occurrences (md5 of the
+    * window text — the engine's exact shuffle key), the lag/running-sum
+    * span merge over a `rem(doc_id, pos)` CTE, and the span-cut apply
+    * tail over a filtered document set. */
+  private val substringOccSql: String =
+    s"""toks AS ($tokSql),
+       |occ AS (
+       |  SELECT doc_id, i AS pos, md5(array_to_string(t[i+1:i+8], ' ')) AS gh
+       |  FROM toks, LATERAL (SELECT UNNEST(range(0, greatest(len(t)-7, 0))) AS i))""".stripMargin
+
+  private val substringMergeSql: String =
+    s"""isl AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN pos > coalesce(lag(pos) OVER w, -9) + 7 THEN 1 ELSE 0 END AS brk
+       |  FROM rem WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |spans AS (
+       |  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
+       |         COUNT(*) AS n_windows
+       |  FROM (SELECT doc_id, pos,
+       |               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |                              ROWS UNBOUNDED PRECEDING) AS island
+       |        FROM isl)
+       |  GROUP BY doc_id, island)""".stripMargin
+
+  /** Span-cut apply tail; expects a `btoks` CTE naming the documents to
+    * rebuild (the full corpus, or just the batch in the incremental
+    * form). */
+  private val substringApplySql: String =
+    s"""cov AS (
+       |  SELECT doc_id, UNNEST(range(span_start, span_end + 1)) AS p FROM spans),
+       |pos_tok AS (
+       |  SELECT doc_id, UNNEST(t) AS tok, UNNEST(range(0, len(t))) AS p FROM btoks),
+       |kept AS (
+       |  SELECT pt.doc_id, string_agg(pt.tok, ' ' ORDER BY pt.p) AS ct,
+       |         COUNT(*) AS kept_n
+       |  FROM pos_tok pt LEFT JOIN cov c ON pt.doc_id = c.doc_id AND pt.p = c.p
+       |  WHERE c.p IS NULL GROUP BY pt.doc_id)
+       |SELECT t.doc_id, coalesce(k.ct, '') AS clean_text,
+       |       CAST(len(t.t) AS BIGINT) AS total_tokens,
+       |       CAST(len(t.t) - coalesce(k.kept_n, 0) AS BIGINT) AS removed_tokens
+       |FROM btoks t LEFT JOIN kept k ON t.doc_id = k.doc_id""".stripMargin
+
+  private val substringSpansCte: String =
+    s"""$substringOccSql,
+       |rem AS (
+       |  SELECT doc_id, pos FROM (
+       |    SELECT doc_id, pos,
+       |           row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+       |    FROM occ)
+       |  WHERE rn > 1),
+       |$substringMergeSql""".stripMargin
+
+  val substringDupSpansOracle: String =
+    s"""WITH $substringSpansCte
+       |SELECT doc_id, CAST(span_start AS INT) AS span_start,
+       |       CAST(span_end AS INT) AS span_end, n_windows
+       |FROM spans
+       |""".stripMargin
+
+  val substringDedupOracle: String =
+    s"""WITH $substringSpansCte,
+       |btoks AS (SELECT * FROM toks),
+       |$substringApplySql
+       |""".stripMargin
+
+  val substringDedupIncrOracle: String =
+    s"""WITH $substringOccSql,
+       |bocc AS (SELECT * FROM occ WHERE doc_id % 10 = 7),
+       |cset AS (SELECT DISTINCT gh FROM occ WHERE doc_id % 10 <> 7),
+       |rem AS (
+       |  SELECT r.doc_id, r.pos
+       |  FROM (SELECT doc_id, pos, gh,
+       |               row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+       |        FROM bocc) r
+       |  LEFT JOIN cset c ON r.gh = c.gh
+       |  WHERE c.gh IS NOT NULL OR r.rn > 1),
+       |$substringMergeSql,
+       |btoks AS (SELECT * FROM toks WHERE doc_id % 10 = 7),
+       |$substringApplySql
+       |""".stripMargin
+
   /** Registration for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curation_pack" -> (curationPack _),
@@ -1477,6 +1587,9 @@ object LlmQueries {
     "token_budget_sample" -> (tokenBudgetSample _),
     "domain_mix_sample" -> (domainMixSample _),
     "paragraph_dedup" -> (paragraphDedup _),
+    "substring_dup_spans" -> (substringDupSpans _),
+    "substring_dedup" -> (substringDedup _),
+    "substring_dedup_incr" -> (substringDedupIncr _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1495,6 +1608,9 @@ object LlmQueries {
     "dataset_split" -> datasetSplitOracle,
     "domain_mix_sample" -> domainMixSampleOracle,
     "paragraph_dedup" -> paragraphDedupOracle,
+    "substring_dup_spans" -> substringDupSpansOracle,
+    "substring_dedup" -> substringDedupOracle,
+    "substring_dedup_incr" -> substringDedupIncrOracle,
     "exact_dedup" -> exactDedupOracle,
     "minhash_lsh_pairs" -> minhashLshPairsOracle,
     "dedup_incremental" -> dedupIncrementalOracle,

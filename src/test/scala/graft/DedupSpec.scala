@@ -188,4 +188,85 @@ class DedupSpec extends SparkSpecBase {
       assert(got == want, s"trial $trial")
     }
   }
+
+  // ----- exact duplicate-substring dedup (Lee et al. EXACTSUBSTR) -----
+
+  test("duplicateWindows keeps the first (doc,pos) occurrence, flags the rest") {
+    val docs = Seq(
+      (1L, "a b c d e"),        // windows(3): "a b c" "b c d" "c d e"
+      (2L, "x a b c d y"))      // shares "a b c"@1 and "b c d"@2
+      .toDF("doc_id", "text")
+    val rem = Dedup.duplicateWindows(docs, col("text"), col("doc_id"), w = 3)
+      .as[(Long, Int)].collect().toSet
+    // doc 1 holds every first occurrence; only doc 2's repeats flag
+    assert(rem == Set((2L, 1), (2L, 2)))
+  }
+
+  test("mergeWindowSpans chains overlapping windows, splits distant ones") {
+    val rem = Seq((1L, 0), (1L, 2), (1L, 10)).toDF("doc_id", "pos")
+    val spans = Dedup.mergeWindowSpans(rem, w = 3)
+      .as[(Long, Int, Int, Long)].collect().toSet
+    // pos 2 <= 0 + (w-1) chains; pos 10 > 2 + (w-1) breaks
+    assert(spans == Set((1L, 0, 4, 2L), (1L, 10, 12, 1L)))
+  }
+
+  test("removeDuplicateSpans cuts repeated spans, untouched docs survive whole") {
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "x a b c d y"))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, col("text"), col("doc_id"), w = 3)
+      .as[(Long, String, Long, Long)].collect()
+      .map { case (d, c, t, r) => d -> ((c, t, r)) }.toMap
+    assert(out(1L) == (("a b c d e", 5L, 0L)))
+    // doc 2's span [1..4] is cut: "x" and "y" survive
+    assert(out(2L) == (("x y", 6L, 4L)))
+  }
+
+  test("within-document repeats collapse to one surviving occurrence") {
+    // the paper's self-repeat case: a 3-token phrase repeated three
+    // times keeps exactly its first occurrence
+    val docs = Seq((1L, "p q r p q r p q r")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, col("text"), col("doc_id"), w = 3)
+      .as[(Long, String, Long, Long)].collect().head
+    assert(out == ((1L, "p q r", 9L, 6L)))
+  }
+
+  test("duplicateWindowsAgainst: corpus wins regardless of id, batch dedups internally") {
+    val corpus = Seq((9L, "a b c d")).toDF("doc_id", "text")
+    val batch = Seq(
+      (2L, "a b c z"), // "a b c" lives in corpus doc 9 -> removable despite 2 < 9
+      (3L, "q r s t"), // first occurrences -> kept
+      (4L, "q r s t")  // repeats batch doc 3 -> removable
+    ).toDF("doc_id", "text")
+    val rem = Dedup.duplicateWindowsAgainst(batch, corpus,
+      col("text"), col("doc_id"), w = 3).as[(Long, Int)].collect().toSet
+    assert(rem == Set((2L, 0), (4L, 0), (4L, 1)))
+    // an empty corpus degrades exactly to the self form
+    val self = Dedup.duplicateWindows(batch, col("text"), col("doc_id"), 3)
+      .as[(Long, Int)].collect().toSet
+    val against = Dedup.duplicateWindowsAgainst(batch, corpus.limit(0),
+      col("text"), col("doc_id"), 3).as[(Long, Int)].collect().toSet
+    assert(against == self)
+  }
+
+  test("removeDuplicateSpansAgainst rewrites the batch only, corpus untouched") {
+    val corpus = Seq((9L, "a b c d")).toDF("doc_id", "text")
+    val batch = Seq((2L, "x a b c y")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpansAgainst(batch, corpus,
+      col("text"), col("doc_id"), w = 3)
+      .as[(Long, String, Long, Long)].collect()
+    // only batch ids come back; the corpus-shared "a b c" span is cut
+    assert(out.toSeq == Seq((2L, "x y", 5L, 3L)))
+  }
+
+  test("substring dedup is partition-invariant on the real fixture") {
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val a = Dedup.removeDuplicateSpans(docs, col("text"), col("doc_id"), w = 8)
+      .collect().toSet
+    val b = Dedup.removeDuplicateSpans(docs.repartition(7), col("text"),
+      col("doc_id"), w = 8).collect().toSet
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
 }
