@@ -47,7 +47,8 @@ object Bench {
     if (warmupDir.isDirectory) {
       val wd = warmupDir.getAbsolutePath
       selected.foreach { case (_, fn) =>
-        try fn(spark, wd).count() catch { case _: Throwable => () }
+        try fn(spark, wd).queryExecution.toRdd.count()
+        catch { case _: Throwable => () }
       }
     }
 
@@ -64,7 +65,13 @@ object Bench {
                  fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
+        // toRdd.count(), not Dataset.count(): a dataset count lets the
+        // optimizer prune every output column and even eliminate
+        // provably-count-preserving joins, so a query whose cost lives in
+        // its final projection (substring_dedup's span-cut rebuild) would
+        // bench as a bare id scan. toRdd executes the query's own
+        // physical plan and builds every output row in full.
+        fn(spark, sfDir).queryExecution.toRdd.count()
         Some((System.nanoTime() - t0) / 1e9)
       } catch {
         case t: Throwable =>
