@@ -260,6 +260,88 @@ class DedupSpec extends SparkSpecBase {
     assert(out.toSeq == Seq((2L, "x y", 5L, 3L)))
   }
 
+  test("substring dedup matches a sequential reference model on random corpora") {
+    // Model-based check of the full EXACTSUBSTR semantics: a
+    // straightforward sequential implementation of the paper's rule
+    // (every w-window occurrence except the first in (doc_id, pos)
+    // order is removable; covered tokens are cut) compared EXACTLY to
+    // the distributed operator on random small-alphabet corpora —
+    // small alphabets force heavy window collisions, the regime where
+    // rank/tie/span-merge bugs would live.
+    def toks(s: String): Vector[String] =
+      s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toVector
+    def model(docs: Seq[(Long, String)], w: Int): Map[Long, (String, Long, Long)] = {
+      val occ = for {
+        (id, text) <- docs
+        t = toks(text)
+        pos <- 0 to t.length - w
+      } yield (t.slice(pos, pos + w).mkString(" "), id, pos)
+      val removable = occ.groupBy(_._1).valuesIterator
+        .flatMap(_.sortBy(o => (o._2, o._3)).drop(1)).map(o => (o._2, o._3)).toSet
+      docs.map { case (id, text) =>
+        val t = toks(text)
+        val covered = (0 to t.length - w)
+          .filter(p => removable((id, p)))
+          .flatMap(p => p until p + w).toSet
+        val clean = t.indices.filterNot(covered).map(t)
+        id -> ((clean.mkString(" "), t.length.toLong, covered.size.toLong))
+      }.toMap
+    }
+    val rnd = new scala.util.Random(20260815L)
+    val alphabet = Vector("a", "b", "c", "d", "e")
+    for (trial <- 1 to 8) {
+      val docs = (1L to 6L).map { id =>
+        id -> Seq.fill(rnd.nextInt(16))(alphabet(rnd.nextInt(alphabet.size))).mkString(" ")
+      }
+      val got = Dedup.removeDuplicateSpans(docs.toDF("doc_id", "text"),
+        col("text"), col("doc_id"), w = 3)
+        .as[(Long, String, Long, Long)].collect()
+        .map { case (d, c, t, r) => d -> ((c, t, r)) }.toMap
+      assert(got == model(docs, 3), s"trial $trial, docs=$docs")
+    }
+  }
+
+  test("incremental substring dedup matches the model on random batch/corpus splits") {
+    def toks(s: String): Vector[String] =
+      s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toVector
+    def model(batch: Seq[(Long, String)], corpus: Seq[(Long, String)],
+              w: Int): Map[Long, (String, Long, Long)] = {
+      val corpusKeys = (for {
+        (_, text) <- corpus; t = toks(text); pos <- 0 to t.length - w
+      } yield t.slice(pos, pos + w).mkString(" ")).toSet
+      val occ = for {
+        (id, text) <- batch; t = toks(text); pos <- 0 to t.length - w
+      } yield (t.slice(pos, pos + w).mkString(" "), id, pos)
+      val removable = occ.groupBy(_._1).valuesIterator.flatMap { os =>
+        val sorted = os.sortBy(o => (o._2, o._3))
+        if (corpusKeys(sorted.head._1)) sorted else sorted.drop(1)
+      }.map(o => (o._2, o._3)).toSet
+      batch.map { case (id, text) =>
+        val t = toks(text)
+        val covered = (0 to t.length - w)
+          .filter(p => removable((id, p)))
+          .flatMap(p => p until p + w).toSet
+        val clean = t.indices.filterNot(covered).map(t)
+        id -> ((clean.mkString(" "), t.length.toLong, covered.size.toLong))
+      }.toMap
+    }
+    val rnd = new scala.util.Random(8151202L)
+    val alphabet = Vector("a", "b", "c", "d")
+    for (trial <- 1 to 8) {
+      def gen(ids: Seq[Long]) = ids.map { id =>
+        id -> Seq.fill(rnd.nextInt(14))(alphabet(rnd.nextInt(alphabet.size))).mkString(" ")
+      }
+      val batch = gen(1L to 4L)
+      val corpus = gen(101L to 104L)
+      val got = Dedup.removeDuplicateSpansAgainst(
+        batch.toDF("doc_id", "text"), corpus.toDF("doc_id", "text"),
+        col("text"), col("doc_id"), w = 3)
+        .as[(Long, String, Long, Long)].collect()
+        .map { case (d, c, t, r) => d -> ((c, t, r)) }.toMap
+      assert(got == model(batch, corpus, 3), s"trial $trial, batch=$batch corpus=$corpus")
+    }
+  }
+
   test("substring dedup is partition-invariant on the real fixture") {
     val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
     val a = Dedup.removeDuplicateSpans(docs, col("text"), col("doc_id"), w = 8)
