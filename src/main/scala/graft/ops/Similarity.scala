@@ -581,7 +581,10 @@ object Similarity {
     * [[assignClusters]]) but candidates are scored against their PQ
     * reconstruction instead of the raw corpus vector — the index that
     * fits in memory at 100 TB. `book` is the [[pqCodebook]] frame.
-    * Returns (qid, nid, cluster, cos_pq, rank). */
+    * Returns (qid, nid, cluster, cos_pq, rank). Corpus side must be the
+    * nprobe=1 assignment (one home cluster per stored vector — standard
+    * IVF indexing); multiprobe belongs on the QUERY side, where a
+    * multi-assigned query just probes more cells. */
   def ivfPqTopK(corpusAssigned: DataFrame, queryAssigned: DataFrame,
                 book: DataFrame, m: Int, dsub: Int, k: Int): DataFrame = {
     val codes = pqEncode(
