@@ -382,13 +382,40 @@ object Dedup {
     * hash. */
   def duplicateWindowsAgainst(batch: DataFrame, corpus: DataFrame,
                               textCol: Column, idCol: Column,
-                              w: Int): DataFrame = {
+                              w: Int): DataFrame =
+    duplicateWindowsAgainstIndex(batch,
+      substringIndex(corpus, textCol, idCol, w), textCol, idCol, w)
+
+  /** The persistable substring-dedup index: one `gh` row per distinct
+    * w-token window in the corpus (the 128-bit md5 the operator
+    * shuffles on). This is the artifact a production pipeline writes
+    * once per published corpus and APPENDS per accepted batch —
+    * `oldIndex.union(substringIndex(newBatchClean, ...)).distinct()` —
+    * so each arriving batch is scrubbed against all history without
+    * ever re-reading the corpus text. Size: 16 B/distinct window +
+    * parquet overhead, independent of w and of document length. */
+  def substringIndex(corpus: DataFrame, textCol: Column, idCol: Column,
+                     w: Int): DataFrame =
+    windowOccurrences(corpus, textCol, idCol, w)
+      .select(col("__gh").as("gh")).distinct()
+
+  /** [[duplicateWindowsAgainst]] with a prebuilt [[substringIndex]]
+    * frame (a `gh` column) standing in for the corpus — the steady-state
+    * production form. Index rows ride the first-occurrence window as
+    * rank-first pseudo-occurrences, so the decision is still one
+    * shuffle on the window hash. */
+  def duplicateWindowsAgainstIndex(batch: DataFrame, index: DataFrame,
+                                   textCol: Column, idCol: Column,
+                                   w: Int): DataFrame = {
     val bo = windowOccurrences(batch, textCol, idCol, w)
       .withColumn("__c", lit(false))
-    val co = windowOccurrences(corpus, textCol, idCol, w)
-      .groupBy(col("__gh"))
-      .agg(min(col("doc_id")).as("doc_id"), min(col("pos")).as("pos"))
-      .select(col("doc_id"), col("pos"), col("__gh"), lit(true).as("__c"))
+    // typed null placeholders: the pseudo row always ranks first via
+    // __c desc (it is unique per hash), so its (doc_id, pos) never
+    // participates in an ordering decision
+    val co = index.select(
+      lit(null).cast(bo.schema("doc_id").dataType).as("doc_id"),
+      lit(null).cast(bo.schema("pos").dataType).as("pos"),
+      col("gh").as("__gh"), lit(true).as("__c"))
     val firstSeen = Window.partitionBy(col("__gh"))
       .orderBy(col("__c").desc, col("doc_id"), col("pos"))
     bo.unionByName(co)
@@ -438,6 +465,15 @@ object Dedup {
     applySpans(batch, textCol, idCol,
       mergeWindowSpans(
         duplicateWindowsAgainst(batch, corpus, textCol, idCol, w), w))
+
+  /** [[removeDuplicateSpansAgainst]] with a prebuilt [[substringIndex]]
+    * in place of the corpus text. */
+  def removeDuplicateSpansAgainstIndex(batch: DataFrame, index: DataFrame,
+                                       textCol: Column, idCol: Column,
+                                       w: Int): DataFrame =
+    applySpans(batch, textCol, idCol,
+      mergeWindowSpans(
+        duplicateWindowsAgainstIndex(batch, index, textCol, idCol, w), w))
 
   private def applySpans(docs: DataFrame, textCol: Column, idCol: Column,
                          spans: DataFrame): DataFrame = {

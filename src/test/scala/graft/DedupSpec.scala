@@ -342,6 +342,44 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("substring index form: persisted index replays the corpus exactly") {
+    val corpus = Seq((9L, "a b c d"), (8L, "m n o p q")).toDF("doc_id", "text")
+    val batch = Seq((2L, "x a b c y"), (3L, "n o p z"), (4L, "n o p z"))
+      .toDF("doc_id", "text")
+    val direct = Dedup.removeDuplicateSpansAgainst(batch, corpus,
+      col("text"), col("doc_id"), w = 3).collect().toSet
+    // build the index, round-trip it through parquet (the production
+    // shape: written once, read per batch), and replay
+    val dir = java.nio.file.Files.createTempDirectory("subidx").toString
+    Dedup.substringIndex(corpus, col("text"), col("doc_id"), w = 3)
+      .write.mode("overwrite").parquet(dir)
+    val viaIndex = Dedup.removeDuplicateSpansAgainstIndex(batch,
+      spark.read.parquet(dir), col("text"), col("doc_id"), w = 3)
+      .collect().toSet
+    assert(viaIndex == direct)
+    assert(direct.nonEmpty)
+  }
+
+  test("substring index appends: union(distinct) equals re-indexing the grown corpus") {
+    val c1 = Seq((9L, "a b c d")).toDF("doc_id", "text")
+    val c2 = Seq((8L, "b c d e f")).toDF("doc_id", "text")
+    val appended = Dedup.substringIndex(c1, col("text"), col("doc_id"), 3)
+      .union(Dedup.substringIndex(c2, col("text"), col("doc_id"), 3))
+      .distinct()
+    val whole = Dedup.substringIndex(c1.unionByName(c2),
+      col("text"), col("doc_id"), 3)
+    assert(appended.as[String].collect().toSet ==
+      whole.as[String].collect().toSet)
+    // and a batch scrubbed against the appended index matches one
+    // scrubbed against the full corpus text
+    val batch = Seq((2L, "c d e q r")).toDF("doc_id", "text")
+    val viaAppended = Dedup.removeDuplicateSpansAgainstIndex(batch, appended,
+      col("text"), col("doc_id"), w = 3).collect().toSet
+    val viaText = Dedup.removeDuplicateSpansAgainst(batch,
+      c1.unionByName(c2), col("text"), col("doc_id"), w = 3).collect().toSet
+    assert(viaAppended == viaText)
+  }
+
   test("substring dedup is partition-invariant on the real fixture") {
     val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
     val a = Dedup.removeDuplicateSpans(docs, col("text"), col("doc_id"), w = 8)
