@@ -475,6 +475,35 @@ object Dedup {
       mergeWindowSpans(
         duplicateWindowsAgainstIndex(batch, index, textCol, idCol, w), w))
 
+  /** Span-level decontamination: every w-token window of `batch` whose
+    * token sequence appears in `index` (a [[substringIndex]] of the
+    * held-out eval/benchmark set) — NO first-occurrence exemption and
+    * no within-batch rank, unlike the dedup forms: contaminated text
+    * must not survive anywhere, not even once. Returns (doc_id, pos).
+    * The eval index is tiny by nature (eval sets are thousands of
+    * docs, the corpus is billions), so it broadcasts and the check is
+    * one map-side semi join over the corpus scan — no corpus shuffle
+    * at all, which is what makes span scrubbing affordable at 100 TB
+    * where the dedup forms must shuffle. */
+  def contaminatedWindows(batch: DataFrame, index: DataFrame,
+                          textCol: Column, idCol: Column,
+                          w: Int): DataFrame =
+    windowOccurrences(batch, textCol, idCol, w)
+      .join(broadcast(index.select(col("gh").as("__gh"))),
+        Seq("__gh"), "leftsemi")
+      .select("doc_id", "pos")
+
+  /** Cut every eval-overlapping span from the batch documents — the
+    * span-level train/eval scrub (the doc-level detection twin lives in
+    * the `decontaminate` query): keeps the rest of each document
+    * instead of dropping contaminated documents whole. */
+  def removeContaminatedSpans(batch: DataFrame, index: DataFrame,
+                              textCol: Column, idCol: Column,
+                              w: Int): DataFrame =
+    applySpans(batch, textCol, idCol,
+      mergeWindowSpans(
+        contaminatedWindows(batch, index, textCol, idCol, w), w))
+
   private def applySpans(docs: DataFrame, textCol: Column, idCol: Column,
                          spans: DataFrame): DataFrame = {
     val byDoc = spans.groupBy(col("doc_id"))

@@ -1467,6 +1467,22 @@ object LlmQueries {
       col("text"), col("doc_id"), w = 8)
   }
 
+  /** Span-level decontamination: cut every 8-token window of the
+    * training split (doc_id % 10 <> 0) that appears anywhere in the
+    * eval split (doc_id % 10 = 0, same convention as the doc-level
+    * `decontaminate` detection query) — no first-occurrence exemption;
+    * contaminated text must not survive anywhere. The eval side rides
+    * a broadcast [[graft.ops.Dedup.substringIndex]], so the training
+    * corpus never shuffles. */
+  def decontaminateSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    Dedup.removeContaminatedSpans(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      Dedup.substringIndex(docs.filter(col("doc_id") % 10 === 0),
+        col("text"), col("doc_id"), w = 8),
+      col("text"), col("doc_id"), w = 8)
+  }
+
   /** Shared oracle fragments: window-hash occurrences (md5 of the
     * window text — the engine's exact shuffle key), the lag/running-sum
     * span merge over a `rem(doc_id, pos)` CTE, and the span-cut apply
@@ -1548,6 +1564,18 @@ object LlmQueries {
        |$substringApplySql
        |""".stripMargin
 
+  val decontaminateSpansOracle: String =
+    s"""WITH $substringOccSql,
+       |eset AS (SELECT DISTINCT gh FROM occ WHERE doc_id % 10 = 0),
+       |rem AS (
+       |  SELECT o.doc_id, o.pos
+       |  FROM occ o JOIN eset e ON o.gh = e.gh
+       |  WHERE o.doc_id % 10 <> 0),
+       |$substringMergeSql,
+       |btoks AS (SELECT * FROM toks WHERE doc_id % 10 <> 0),
+       |$substringApplySql
+       |""".stripMargin
+
   /** Registration for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curation_pack" -> (curationPack _),
@@ -1590,6 +1618,7 @@ object LlmQueries {
     "substring_dup_spans" -> (substringDupSpans _),
     "substring_dedup" -> (substringDedup _),
     "substring_dedup_incr" -> (substringDedupIncr _),
+    "decontaminate_spans" -> (decontaminateSpans _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1611,6 +1640,7 @@ object LlmQueries {
     "substring_dup_spans" -> substringDupSpansOracle,
     "substring_dedup" -> substringDedupOracle,
     "substring_dedup_incr" -> substringDedupIncrOracle,
+    "decontaminate_spans" -> decontaminateSpansOracle,
     "exact_dedup" -> exactDedupOracle,
     "minhash_lsh_pairs" -> minhashLshPairsOracle,
     "dedup_incremental" -> dedupIncrementalOracle,

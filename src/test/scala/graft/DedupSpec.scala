@@ -380,6 +380,56 @@ class DedupSpec extends SparkSpecBase {
     assert(viaAppended == viaText)
   }
 
+  test("removeContaminatedSpans cuts every eval overlap, no first-occurrence exemption") {
+    val eval_ = Seq((100L, "a b c")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "a b c x a b c"), // BOTH occurrences cut — dedup would keep the first
+      (2L, "p q r s"))       // untouched
+      .toDF("doc_id", "text")
+    val idx = Dedup.substringIndex(eval_, col("text"), col("doc_id"), w = 3)
+    val out = Dedup.removeContaminatedSpans(train, idx,
+      col("text"), col("doc_id"), w = 3)
+      .as[(Long, String, Long, Long)].collect()
+      .map { case (d, c, t, r) => d -> ((c, t, r)) }.toMap
+    assert(out(1L) == (("x", 7L, 6L)))
+    assert(out(2L) == (("p q r s", 4L, 0L)))
+  }
+
+  test("span decontamination matches a sequential model on random corpora") {
+    def toks(s: String): Vector[String] =
+      s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toVector
+    def model(train: Seq[(Long, String)], eval_ : Seq[(Long, String)],
+              w: Int): Map[Long, (String, Long, Long)] = {
+      val eset = (for {
+        (_, text) <- eval_; t = toks(text); pos <- 0 to t.length - w
+      } yield t.slice(pos, pos + w).mkString(" ")).toSet
+      train.map { case (id, text) =>
+        val t = toks(text)
+        val covered = (0 to t.length - w)
+          .filter(p => eset(t.slice(p, p + w).mkString(" ")))
+          .flatMap(p => p until p + w).toSet
+        val clean = t.indices.filterNot(covered).map(t)
+        id -> ((clean.mkString(" "), t.length.toLong, covered.size.toLong))
+      }.toMap
+    }
+    val rnd = new scala.util.Random(31412L)
+    val alphabet = Vector("a", "b", "c", "d")
+    for (trial <- 1 to 6) {
+      def gen(ids: Seq[Long]) = ids.map { id =>
+        id -> Seq.fill(rnd.nextInt(14))(alphabet(rnd.nextInt(alphabet.size))).mkString(" ")
+      }
+      val train = gen(1L to 4L)
+      val eval_ = gen(101L to 102L)
+      val idx = Dedup.substringIndex(eval_.toDF("doc_id", "text"),
+        col("text"), col("doc_id"), w = 3)
+      val got = Dedup.removeContaminatedSpans(train.toDF("doc_id", "text"),
+        idx, col("text"), col("doc_id"), w = 3)
+        .as[(Long, String, Long, Long)].collect()
+        .map { case (d, c, t, r) => d -> ((c, t, r)) }.toMap
+      assert(got == model(train, eval_, 3), s"trial $trial, train=$train eval=$eval_")
+    }
+  }
+
   test("substring dedup is partition-invariant on the real fixture") {
     val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
     val a = Dedup.removeDuplicateSpans(docs, col("text"), col("doc_id"), w = 8)
