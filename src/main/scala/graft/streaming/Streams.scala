@@ -271,6 +271,73 @@ object Streams {
       }
       .start()
 
+  /** Exactly-once streaming substring dedup into a versioned table PAIR —
+    * the production loop the batch index forms
+    * ([[graft.ops.Dedup.substringIndex]]) exist for: each micro-batch of
+    * (id, text) documents is scrubbed against the INDEX table (the
+    * distinct window hashes of everything published so far), its cleaned
+    * text appended to the CLEAN table, and the clean text's own windows
+    * appended to the index — so no w-token span any earlier batch
+    * published can ever be re-published, across triggers, restarts and
+    * crashes. Per trigger the corpus is never re-read: the batch joins a
+    * hash index whose size is the corpus's distinct windows, not its
+    * text.
+    *
+    * Crash protocol: the CLEAN commit lands first, then the INDEX commit,
+    * each guarded by its own checkpoint-scoped replay tag. The scrub is
+    * deterministic against the index SNAPSHOT read at batch start, which
+    * never includes this batch's own windows on a replay (the index
+    * commit is the LAST thing to land), so a replayed batch recomputes
+    * byte-identical clean text — whichever of the two commits already
+    * landed skips, the other completes. Single writer per root pair, as
+    * for every versioned sink. */
+  def versionedSubstringDedupSink(docs: DataFrame, textCol: String,
+                                  idCol: String, w: Int,
+                                  cleanRoot: String, indexRoot: String,
+                                  checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        val index =
+          if (graft.io.Versioned.versions(spark, indexRoot).isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("gh",
+                  org.apache.spark.sql.types.StringType))))
+          else graft.io.Versioned.read(spark, indexRoot)
+        val cleaned = graft.ops.Dedup.removeDuplicateSpansAgainstIndex(
+          batch.toDF(), index,
+          org.apache.spark.sql.functions.col(textCol),
+          org.apache.spark.sql.functions.col(idCol), w)
+          // one deterministic computation feeds BOTH commits; without the
+          // pin the two actions would recompute the scrub independently
+          .localCheckpoint()
+        if (!alreadyCommitted(spark, cleanRoot, checkpointDir, "subclean", id)) {
+          graft.io.Versioned.commit(spark, cleaned, cleanRoot,
+            tag = Some(batchTag(checkpointDir, "subclean", id)))
+          ()
+        }
+        if (!alreadyCommitted(spark, indexRoot, checkpointDir, "subindex", id)) {
+          // anti join: a window formed ACROSS a cut junction in the
+          // rebuilt text can coincide with an already-indexed hash;
+          // duplicate index rows are correctness-neutral (they just add
+          // pseudo-occurrences that all rank first) but would accrete
+          // forever, so only genuinely new hashes append
+          graft.io.Versioned.commit(spark,
+            graft.ops.Dedup.substringIndex(cleaned,
+              org.apache.spark.sql.functions.col("clean_text"),
+              org.apache.spark.sql.functions.col("doc_id"), w)
+              .join(index, Seq("gh"), "leftanti"),
+            indexRoot,
+            tag = Some(batchTag(checkpointDir, "subindex", id)))
+          ()
+        }
+      }
+      .start()
+
   /** Continuously-maintained materialized view: tails a [[graft.io.Versioned]]
     * source with the `graft-versioned` stream (offsets are version numbers)
     * and folds each newly-committed delta into the state table via

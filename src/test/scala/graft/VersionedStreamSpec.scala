@@ -285,4 +285,56 @@ class VersionedStreamSpec extends SparkSpecBase {
     assert(err.getMessage.toLowerCase.contains("does not support"),
       s"unexpected error: ${err.getMessage}")
   }
+
+  test("versionedSubstringDedupSink: cross-batch scrub, clean index, later query continues") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    val cleanRoot = tmpDir("graft_subclean")
+    val idxRoot = tmpDir("graft_subidx")
+
+    def cleanMap(): Map[Long, (String, Long, Long)] =
+      Versioned.read(spark, cleanRoot)
+        .select("doc_id", "clean_text", "total_tokens", "removed_tokens")
+        .as[(Long, String, Long, Long)].collect()
+        .map { case (d, c, t, r) => d -> ((c, t, r)) }.toMap
+
+    val src = MemoryStream[(Long, String)]
+    val q = graft.streaming.Streams.versionedSubstringDedupSink(
+      src.toDF().toDF("doc_id", "text"), "text", "doc_id", w = 3,
+      cleanRoot, idxRoot, tmpDir("graft_subckpt1"))
+    try {
+      // batch 0: within-batch dedup — doc 2 repeats doc 1's "a b c d"
+      src.addData((1L, "a b c d e"), (2L, "x a b c d y"))
+      q.processAllAvailable()
+      assert(cleanMap() == Map(
+        1L -> (("a b c d e", 5L, 0L)), 2L -> (("x y", 6L, 4L))))
+      // batch 1: doc 3 repeats BATCH-0 text via the index (the corpus is
+      // never re-read); doc 4 is new
+      src.addData((3L, "q c d e r"), (4L, "m n o p"))
+      q.processAllAvailable()
+      assert(cleanMap()(3L) == (("q r", 5L, 3L)))
+      assert(cleanMap()(4L) == (("m n o p", 4L, 0L)))
+    } finally q.stop()
+
+    // the index holds exactly the published text's distinct windows, no
+    // duplicate hash rows across batch appends
+    val idx = Versioned.read(spark, idxRoot).select("gh").as[String].collect()
+    assert(idx.length == 5 && idx.distinct.length == 5,
+      s"expected the 3 windows of 'a b c d e' + 2 of 'm n o p', got ${idx.length}")
+
+    // a later deployment (fresh checkpoint, same roots) keeps scrubbing
+    // against everything published before it
+    val src2 = MemoryStream[(Long, String)]
+    val q2 = graft.streaming.Streams.versionedSubstringDedupSink(
+      src2.toDF().toDF("doc_id", "text"), "text", "doc_id", w = 3,
+      cleanRoot, idxRoot, tmpDir("graft_subckpt2"))
+    try {
+      src2.addData((5L, "z m n o p w"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(cleanMap()(5L) == (("z w", 6L, 4L)))
+    // earlier rows intact — appends, never rewrites
+    assert(cleanMap()(1L) == (("a b c d e", 5L, 0L)))
+  }
 }
