@@ -586,11 +586,26 @@ object Similarity {
     * IVF indexing); multiprobe belongs on the QUERY side, where a
     * multi-assigned query just probes more cells. */
   def ivfPqTopK(corpusAssigned: DataFrame, queryAssigned: DataFrame,
-                book: DataFrame, m: Int, dsub: Int, k: Int): DataFrame = {
-    val codes = pqEncode(
-      corpusAssigned.select(col("vec_id"), col("embedding")), book, m, dsub)
-    val compressed = corpusAssigned.select(col("vec_id").as("nid"), col("cluster"))
-      .join(pqReconstruct(codes, book, dsub)
+                book: DataFrame, m: Int, dsub: Int, k: Int): DataFrame =
+    ivfPqTopKIndexed(
+      corpusAssigned.select(col("vec_id"), col("cluster")).join(
+        pqEncode(corpusAssigned.select(col("vec_id"), col("embedding")),
+          book, m, dsub), Seq("vec_id")),
+      queryAssigned, book, dsub, k)
+
+  /** [[ivfPqTopK]] against a PREBUILT codes frame (vec_id, cluster, sub,
+    * code) — the persisted-index search path: raw corpus embeddings are
+    * never touched, only the m-byte codes plus the broadcast codebook.
+    * This is what makes the index maintainable incrementally (new
+    * vectors encode map-side against the frozen book and append — see
+    * `Streams.versionedAnnIndexSink`) and searchable at 100 TB where
+    * the raw vectors don't fit anywhere. */
+  def ivfPqTopKIndexed(codes: DataFrame, queryAssigned: DataFrame,
+                       book: DataFrame, dsub: Int, k: Int): DataFrame = {
+    val compressed = codes.select(col("vec_id").as("nid"), col("cluster"))
+      .distinct()
+      .join(pqReconstruct(
+        codes.select(col("vec_id"), col("sub"), col("code")), book, dsub)
         .select(col("vec_id").as("nid"), col("xhat")), Seq("nid"))
     val q = queryAssigned.select(col("vec_id").as("qid"),
       col("embedding").as("qvec"), col("cluster"))

@@ -338,6 +338,43 @@ object Streams {
       }
       .start()
 
+  /** Exactly-once streaming ANN-index maintenance: each micro-batch of
+    * (vec_id, embedding) rows is assigned to its IVF cell and PQ-encoded
+    * against a FROZEN centroid/codebook pair (how production ANN indexes
+    * absorb new vectors — FAISS `add` against a trained index), and the
+    * resulting (vec_id, cluster, sub, code) rows append to a versioned
+    * codes table under the usual checkpoint-scoped replay tag. Both the
+    * assignment and the encode are map-side under broadcast
+    * centroids/codebook — a batch never shuffles, and the raw embedding
+    * is never stored: the table grows by m small codes per vector.
+    * Search reads the table with
+    * [[graft.ops.Similarity.ivfPqTopKIndexed]]. Re-train the book and
+    * rebuild when drift warrants; the sink maintains, it doesn't train. */
+  def versionedAnnIndexSink(embs: DataFrame, cent: DataFrame, book: DataFrame,
+                            m: Int, dsub: Int, codesRoot: String,
+                            checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    embs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        if (!alreadyCommitted(spark, codesRoot, checkpointDir, "anncodes", id)) {
+          val b = batch.toDF()
+          val assigned = graft.ops.Similarity.assignClusters(b, cent, nprobe = 1)
+          val codes = graft.ops.Similarity.pqEncode(
+            b.select(col("vec_id"), col("embedding")), book, m, dsub)
+          graft.io.Versioned.commit(spark,
+            assigned.select(col("vec_id"), col("cluster"))
+              .join(codes, Seq("vec_id")),
+            codesRoot,
+            tag = Some(batchTag(checkpointDir, "anncodes", id)))
+          ()
+        }
+      }
+      .start()
+  }
+
   /** Continuously-maintained materialized view: tails a [[graft.io.Versioned]]
     * source with the `graft-versioned` stream (offsets are version numbers)
     * and folds each newly-committed delta into the state table via

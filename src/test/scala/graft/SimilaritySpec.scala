@@ -358,4 +358,49 @@ class SimilaritySpec extends SparkSpecBase {
       m = 16, dsub = 4, k = 3).collect().toSet
     assert(again == pq.collect().toSet)
   }
+
+  test("streamed ANN index equals the batch encode; indexed search equals ivfPqTopK") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val cent = Similarity.quantizedCentroids(emb)
+    val book = Similarity.pqCodebook(emb)
+    val codesRoot = java.nio.file.Files.createTempDirectory("anncodes").toString
+
+    // stream the corpus in two arrival waves (odd ids, then even):
+    // assignment and encode are per-row map-side against the frozen
+    // book, so arrival order must not change a single code
+    val rows = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val src = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.Streams.versionedAnnIndexSink(
+      src.toDF().toDF("vec_id", "embedding"), cent, book,
+      m = 8, dsub = 8, codesRoot,
+      java.nio.file.Files.createTempDirectory("annckpt").toString)
+    try {
+      src.addData(rows.filter(_._1 % 2 == 1).toSeq)
+      q.processAllAvailable()
+      src.addData(rows.filter(_._1 % 2 == 0).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = graft.io.Versioned.read(spark, codesRoot)
+    val batchCodes = Similarity.assignClusters(emb, cent, 1)
+      .select(col("vec_id"), col("cluster"))
+      .join(Similarity.pqEncode(emb.select(col("vec_id"), col("embedding")),
+        book, m = 8, dsub = 8), Seq("vec_id"))
+    assert(streamed.select("vec_id", "cluster", "sub", "code")
+      .as[(Long, Int, Int, Int)].collect().toSet ==
+      batchCodes.select("vec_id", "cluster", "sub", "code")
+        .as[(Long, Int, Int, Int)].collect().toSet)
+
+    // searching the persisted index returns exactly the from-raw result
+    val corpus = Similarity.assignClusters(emb, cent, 1)
+    val queries = corpus.filter(col("vec_id") < 20)
+    val fromIndex = Similarity.ivfPqTopKIndexed(streamed, queries, book,
+      dsub = 8, k = 3).collect().toSet
+    val fromRaw = Similarity.ivfPqTopK(corpus, queries, book,
+      m = 8, dsub = 8, k = 3).collect().toSet
+    assert(fromIndex == fromRaw && fromRaw.nonEmpty)
+  }
 }
