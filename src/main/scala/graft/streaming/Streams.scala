@@ -349,7 +349,9 @@ object Streams {
     * is never stored: the table grows by m small codes per vector.
     * Search reads the table with
     * [[graft.ops.Similarity.ivfPqTopKIndexed]]. Re-train the book and
-    * rebuild when drift warrants; the sink maintains, it doesn't train. */
+    * rebuild when drift warrants; the sink maintains, it doesn't train.
+    * Already-indexed ids arriving again are dropped (first write wins —
+    * see the anti join below); ids must be unique WITHIN a batch. */
   def versionedAnnIndexSink(embs: DataFrame, cent: DataFrame, book: DataFrame,
                             m: Int, dsub: Int, codesRoot: String,
                             checkpointDir: String)
@@ -360,7 +362,19 @@ object Streams {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val spark = batch.sparkSession
         if (!alreadyCommitted(spark, codesRoot, checkpointDir, "anncodes", id)) {
-          val b = batch.toDF()
+          // anti join vs already-indexed ids: a source that re-delivers a
+          // vector (not a batch replay — a true duplicate send) would
+          // otherwise append duplicate (vec_id, sub) rows, and
+          // pqReconstruct's per-vector collect would silently assemble a
+          // double-length reconstruction. First-write-wins matches the
+          // frozen-book contract: the same embedding encodes to the same
+          // codes anyway, and a CHANGED embedding under an old id is a
+          // rebuild event, not an append.
+          val b0 = batch.toDF()
+          val b =
+            if (graft.io.Versioned.versions(spark, codesRoot).isEmpty) b0
+            else b0.join(graft.io.Versioned.read(spark, codesRoot)
+              .select(col("vec_id")).distinct(), Seq("vec_id"), "leftanti")
           val assigned = graft.ops.Similarity.assignClusters(b, cent, nprobe = 1)
           val codes = graft.ops.Similarity.pqEncode(
             b.select(col("vec_id"), col("embedding")), book, m, dsub)

@@ -382,9 +382,18 @@ class SimilaritySpec extends SparkSpecBase {
       q.processAllAvailable()
       src.addData(rows.filter(_._1 % 2 == 0).toSeq)
       q.processAllAvailable()
+      // a source re-delivering already-indexed vectors (NOT a batch
+      // replay: a genuinely new batch with old ids) must not append
+      // duplicate codes — first write wins
+      src.addData(rows.take(5).toSeq)
+      q.processAllAvailable()
     } finally q.stop()
 
     val streamed = graft.io.Versioned.read(spark, codesRoot)
+    // exact row count, not just set equality: a duplicate (vec_id, sub)
+    // row from the re-delivered wave would vanish in a set compare but
+    // double pqReconstruct's assembled vector
+    assert(streamed.count() == rows.length.toLong * 8)
     val batchCodes = Similarity.assignClusters(emb, cent, 1)
       .select(col("vec_id"), col("cluster"))
       .join(Similarity.pqEncode(emb.select(col("vec_id"), col("embedding")),
