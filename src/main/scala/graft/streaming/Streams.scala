@@ -290,7 +290,11 @@ object Streams {
     * commit is the LAST thing to land), so a replayed batch recomputes
     * byte-identical clean text — whichever of the two commits already
     * landed skips, the other completes. Single writer per root pair, as
-    * for every versioned sink. */
+    * for every versioned sink. A source RE-DELIVERING an old document id
+    * in a new batch is scrubbed like any text — nearly all of it is cut,
+    * since its published windows are indexed — but still appends a
+    * (mostly-empty) row under the duplicate id; exact-dedup by id
+    * upstream if your source can re-deliver. */
   def versionedSubstringDedupSink(docs: DataFrame, textCol: String,
                                   idCol: String, w: Int,
                                   cleanRoot: String, indexRoot: String,

@@ -412,4 +412,41 @@ class SimilaritySpec extends SparkSpecBase {
       m = 8, dsub = 8, k = 3).collect().toSet
     assert(fromIndex == fromRaw && fromRaw.nonEmpty)
   }
+
+  test("AnnIndex lifecycle: train, rebuild, search over persisted tables only") {
+    import graft.ops.AnnIndex
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val modelRoot = java.nio.file.Files.createTempDirectory("annmodel").toString
+    val codesRoot = java.nio.file.Files.createTempDirectory("anncodes2").toString
+
+    AnnIndex.train(spark, emb, m = 8, dsub = 8, modelRoot)
+    val (cent, book, m, dsub) = AnnIndex.model(spark, modelRoot)
+    assert(m == 8 && dsub == 8)
+    // the persisted model IS the in-memory training output
+    assert(cent.collect().toSet ==
+      Similarity.quantizedCentroids(emb).collect().toSet)
+    assert(book.collect().toSet ==
+      Similarity.pqRefineBook(emb, Similarity.pqCodebook(emb), 8, 8)
+        .collect().toSet)
+
+    AnnIndex.rebuild(spark, emb, modelRoot, codesRoot)
+    val got = AnnIndex.search(spark,
+      emb.filter(col("vec_id") < 20), modelRoot, codesRoot, k = 3)
+      .collect().toSet
+    val corpus = Similarity.assignClusters(emb,
+      Similarity.quantizedCentroids(emb), 1)
+    val want = Similarity.ivfPqTopK(corpus, corpus.filter(col("vec_id") < 20),
+      Similarity.pqRefineBook(emb, Similarity.pqCodebook(emb), 8, 8),
+      m = 8, dsub = 8, k = 3).collect().toSet
+    assert(got == want && want.nonEmpty)
+
+    // retrain under new geometry is ONE atomic replace: the re-read model
+    // reports the new m/dsub and search still works after a rebuild
+    AnnIndex.train(spark, emb, m = 16, dsub = 4, modelRoot)
+    val (_, _, m2, dsub2) = AnnIndex.model(spark, modelRoot)
+    assert(m2 == 16 && dsub2 == 4)
+    AnnIndex.rebuild(spark, emb, modelRoot, codesRoot)
+    assert(AnnIndex.search(spark, emb.filter(col("vec_id") < 20),
+      modelRoot, codesRoot, k = 3).count() > 0)
+  }
 }
