@@ -475,6 +475,24 @@ object CoverageQueries {
     Similarity.ivfPqTopK(corpus, queries, book, m = 16, dsub = 4, k = 3)
   }
 
+  /** The PERSISTED-index path under the same oracle as [[annIvfPq]]:
+    * train the model into a versioned table (atomic cent/book/meta
+    * commit), rebuild the codes table from the corpus under it, then
+    * search raw queries against ONLY the persisted pair
+    * (`ops/AnnIndex.scala`). Same m=16/dsub=4 geometry and query set as
+    * `ann_ivf_pq`, so the DuckDB oracle is shared verbatim — the
+    * lifecycle plumbing must be hash-invisible. */
+  def annIndexLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.AnnIndex
+    val emb = Tables.embeddings(spark, sfDir)
+    val modelRoot = QueryScratch.freshRoot("graft_annmodel_q", sfDir)
+    val codesRoot = QueryScratch.freshRoot("graft_anncodes_q", sfDir)
+    AnnIndex.train(spark, emb, m = 16, dsub = 4, modelRoot)
+    AnnIndex.rebuild(spark, emb, modelRoot, codesRoot)
+    AnnIndex.search(spark, emb.filter(col("vec_id") < 30),
+      modelRoot, codesRoot, k = 3)
+  }
+
   val annIvfPqOracle: String = {
     def subdot(e: String, c: String) =
       s"""list_reduce(list_transform(range(0,4),
@@ -1298,6 +1316,7 @@ object CoverageQueries {
     "ann_ivf_lloyd2" -> (annIvfLloyd2 _),
     "ann_ivf_probe2" -> (annIvfProbe2 _),
     "ann_ivf_pq" -> (annIvfPq _),
+    "ann_index_lifecycle" -> (annIndexLifecycle _),
     "range_exclusion" -> (rangeExclusion _),
     "sales_rollup" -> (salesRollup _),
     "term_frequency" -> (termFrequency _),
@@ -1338,6 +1357,7 @@ object CoverageQueries {
     "ann_ivf_lloyd2" -> annIvfLloyd2Oracle,
     "ann_ivf_probe2" -> annIvfProbe2Oracle,
     "ann_ivf_pq" -> annIvfPqOracle,
+    "ann_index_lifecycle" -> annIvfPqOracle,
     "range_exclusion" -> rangeExclusionOracle,
     "sales_rollup" -> salesRollupOracle,
     "term_frequency" -> termFrequencyOracle,
