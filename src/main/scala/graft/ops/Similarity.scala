@@ -602,13 +602,26 @@ object Similarity {
     * the raw vectors don't fit anywhere. */
   def ivfPqTopKIndexed(codes: DataFrame, queryAssigned: DataFrame,
                        book: DataFrame, dsub: Int, k: Int): DataFrame = {
-    val compressed = codes.select(col("vec_id").as("nid"), col("cluster"))
-      .distinct()
-      .join(pqReconstruct(
-        codes.select(col("vec_id"), col("sub"), col("code")), book, dsub)
-        .select(col("vec_id").as("nid"), col("xhat")), Seq("nid"))
     val q = queryAssigned.select(col("vec_id").as("qid"),
       col("embedding").as("qvec"), col("cluster"))
+    // Candidate pruning BEFORE reconstruction: IVF's whole point is that
+    // a search touches only the probed cells' inverted lists, but Catalyst
+    // cannot push the cluster-membership filter through the nid join into
+    // the reconstruct aggregation on its own (that would need runtime
+    // filter injection through an Aggregate). So prune structurally: a
+    // broadcast LEFT SEMI join of the codes table against the distinct
+    // probed clusters (≤ |queries|·nprobe values — always broadcastable)
+    // keeps all-or-none of a vector's m (sub, code) rows (its cluster is
+    // constant across them), so reconstruction is exact for survivors and
+    // never runs for vectors the final cluster equi-join would discard.
+    // Result-invisible by construction; work is O(probed cells), not O(n).
+    val probed = q.select(col("cluster")).distinct()
+    val cand = codes.join(broadcast(probed), Seq("cluster"), "left_semi")
+    val compressed = cand.select(col("vec_id").as("nid"), col("cluster"))
+      .distinct()
+      .join(pqReconstruct(
+        cand.select(col("vec_id"), col("sub"), col("code")), book, dsub)
+        .select(col("vec_id").as("nid"), col("xhat")), Seq("nid"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos_pq").desc, col("nid"))
     compressed.join(broadcast(q), Seq("cluster"))
       .filter(col("qid") =!= col("nid"))

@@ -493,7 +493,46 @@ object CoverageQueries {
       modelRoot, codesRoot, k = 3)
   }
 
-  val annIvfPqOracle: String = {
+  /** Persisted-path search with the IVF recall dial turned to nprobe=2:
+    * the same lifecycle as [[annIndexLifecycle]] but each query probes
+    * its TWO nearest cells — the PQ-scored mirror of `ann_ivf_probe2`,
+    * checked against [[annIvfPqProbe2Oracle]] (the shared oracle with
+    * the query side at rn <= 2). */
+  def annLifecycleProbe2(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.AnnIndex
+    val emb = Tables.embeddings(spark, sfDir)
+    val modelRoot = QueryScratch.freshRoot("graft_annmodel_p2", sfDir)
+    val codesRoot = QueryScratch.freshRoot("graft_anncodes_p2", sfDir)
+    AnnIndex.train(spark, emb, m = 16, dsub = 4, modelRoot)
+    AnnIndex.rebuild(spark, emb, modelRoot, codesRoot)
+    AnnIndex.search(spark, emb.filter(col("vec_id") < 30),
+      modelRoot, codesRoot, k = 3, nprobe = 2)
+  }
+
+  /** Drift measurement on a fresh model: train on the corpus, then ask
+    * [[graft.ops.AnnIndex.driftStats]] how far TODAY's corpus sits from
+    * the training-time reconstruction-quality baseline. Trained and
+    * measured on the same table, so drift_q must be exactly 0 at every
+    * probe — the engine's persisted baseline and its recomputed current
+    * quantiles must both match DuckDB's independent computation. */
+  def annDriftStatsQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.AnnIndex
+    val emb = Tables.embeddings(spark, sfDir)
+    val modelRoot = QueryScratch.freshRoot("graft_annmodel_dr", sfDir)
+    AnnIndex.train(spark, emb, m = 16, dsub = 4, modelRoot)
+    AnnIndex.driftStats(spark, emb, modelRoot)
+  }
+
+  /** The IVF-PQ oracle parameterized by the QUERY side's probe count:
+    * corpus vectors keep one home cell (rn = 1), queries probe their
+    * `qprobe` nearest cells — at qprobe = 1 this is exactly the original
+    * `ann_ivf_pq` oracle; at 2 it mirrors `ann_ivf_probe2`'s recall dial
+    * on the PQ-scored path. */
+  /** Shared oracle CTE chain for the m=16/dsub=4 PQ pipeline — centroid
+    * sums, seed + one-Lloyd-step refined codebook, final codes, and the
+    * per-vector reconstruction `xhat` — used by the search oracles
+    * ([[annIvfPqOracleAt]]) and the drift oracle ([[annDriftOracle]]). */
+  private val pqBookCtes: String = {
     def subdot(e: String, c: String) =
       s"""list_reduce(list_transform(range(0,4),
          |  j -> CAST($e[sub*4+j+1] AS DOUBLE) * CAST($c[sub*4+j+1] AS DOUBLE)),
@@ -507,7 +546,7 @@ object CoverageQueries {
          |             ORDER BY ${subcos("e.embedding", "c.bvec")} DESC, c.rlabel) AS rn
          |    FROM embeddings e, range(0,16) s(sub), $book c)
          |  WHERE rn = 1""".stripMargin
-    s"""WITH comp AS (
+    s"""comp AS (
        |  SELECT label, i,
        |         SUM(CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1048576) AS BIGINT)) AS s,
        |         COUNT(*) AS c
@@ -518,13 +557,6 @@ object CoverageQueries {
        |book0 AS (
        |  SELECT label AS rlabel, list(CAST(s AS DOUBLE) / c ORDER BY i) AS bvec
        |  FROM comp GROUP BY 1),
-       |assigned AS (
-       |  SELECT vec_id, embedding, rlabel AS cluster FROM (
-       |    SELECT e.vec_id, e.embedding, r.rlabel,
-       |           row_number() OVER (PARTITION BY e.vec_id
-       |             ORDER BY ${cosSql("e.embedding", "r.cvec")} DESC, r.rlabel) AS rn
-       |    FROM embeddings e CROSS JOIN cent r)
-       |  WHERE rn = 1),
        |codes0 AS (
        |  ${encode("book0")}),
        |rcomp AS (
@@ -544,13 +576,27 @@ object CoverageQueries {
        |xhat AS (
        |  SELECT k.vec_id,
        |         flatten(list(c.bvec[k.sub*4+1:k.sub*4+4] ORDER BY k.sub)) AS xv
-       |  FROM codes k JOIN book c ON k.code = c.rlabel GROUP BY k.vec_id),
+       |  FROM codes k JOIN book c ON k.code = c.rlabel GROUP BY k.vec_id)""".stripMargin
+  }
+
+  private def annIvfPqOracleAt(qprobe: Int): String = {
+    s"""WITH $pqBookCtes,
+       |ranked AS (
+       |  SELECT e.vec_id, e.embedding, r.rlabel,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${cosSql("e.embedding", "r.cvec")} DESC, r.rlabel) AS rn
+       |  FROM embeddings e CROSS JOIN cent r),
+       |assigned AS (
+       |  SELECT vec_id, embedding, rlabel AS cluster FROM ranked WHERE rn = 1),
+       |qassigned AS (
+       |  SELECT vec_id, embedding, rlabel AS cluster FROM ranked
+       |  WHERE rn <= $qprobe AND vec_id < 30),
        |scored AS (
        |  SELECT q.vec_id AS qid, c.vec_id AS nid, q.cluster,
        |         ${cosSql("q.embedding", "x.xv")} AS cos_pq
-       |  FROM assigned q
+       |  FROM qassigned q
        |  JOIN assigned c ON q.cluster = c.cluster
-       |    AND q.vec_id < 30 AND q.vec_id <> c.vec_id
+       |    AND q.vec_id <> c.vec_id
        |  JOIN xhat x ON x.vec_id = c.vec_id)
        |SELECT qid, nid, cluster, cos_pq, rank FROM (
        |  SELECT qid, nid, cluster, cos_pq,
@@ -559,6 +605,31 @@ object CoverageQueries {
        |WHERE rank <= 3
        |""".stripMargin
   }
+
+  val annIvfPqOracle: String = annIvfPqOracleAt(1)
+  val annIvfPqProbe2Oracle: String = annIvfPqOracleAt(2)
+
+  /** Oracle for [[annDriftStatsQuery]]: the model is trained on the same
+    * corpus driftStats is later pointed at, so every probe must measure
+    * current == baseline and drift_q = 0 — the position quantiles of the
+    * quantized reconstruction cosine (value at ascending position
+    * ceil(p·n/100), an exact order statistic) computed independently by
+    * DuckDB over the shared PQ pipeline. */
+  val annDriftOracle: String =
+    s"""WITH $pqBookCtes,
+       |qcs AS (
+       |  SELECT CAST(floor((${cosSql("e.embedding", "x.xv")}) * 1048576) AS BIGINT) AS qcos
+       |  FROM embeddings e JOIN xhat x ON x.vec_id = e.vec_id),
+       |hist AS (SELECT qcos, count(*) AS c FROM qcs WHERE qcos IS NOT NULL GROUP BY 1),
+       |cum AS (SELECT qcos, sum(c) OVER (ORDER BY qcos) AS cum, sum(c) OVER () AS n FROM hist),
+       |q AS (SELECT p.pct, min(h.qcos) AS qv
+       |      FROM cum h, (VALUES (50),(90),(99)) p(pct)
+       |      WHERE h.cum >= (p.pct * h.n + 99) // 100
+       |      GROUP BY 1)
+       |SELECT CAST(pct AS INTEGER) AS pct, qv AS baseline_q, qv AS current_q,
+       |       CAST(0 AS BIGINT) AS drift_q
+       |FROM q
+       |""".stripMargin
 
   val annIvfKmeansOracle: String =
     s"""WITH comp AS (
@@ -1317,6 +1388,8 @@ object CoverageQueries {
     "ann_ivf_probe2" -> (annIvfProbe2 _),
     "ann_ivf_pq" -> (annIvfPq _),
     "ann_index_lifecycle" -> (annIndexLifecycle _),
+    "ann_lifecycle_probe2" -> (annLifecycleProbe2 _),
+    "ann_drift_stats" -> (annDriftStatsQuery _),
     "range_exclusion" -> (rangeExclusion _),
     "sales_rollup" -> (salesRollup _),
     "term_frequency" -> (termFrequency _),
@@ -1358,6 +1431,8 @@ object CoverageQueries {
     "ann_ivf_probe2" -> annIvfProbe2Oracle,
     "ann_ivf_pq" -> annIvfPqOracle,
     "ann_index_lifecycle" -> annIvfPqOracle,
+    "ann_lifecycle_probe2" -> annIvfPqProbe2Oracle,
+    "ann_drift_stats" -> annDriftOracle,
     "range_exclusion" -> rangeExclusionOracle,
     "sales_rollup" -> salesRollupOracle,
     "term_frequency" -> termFrequencyOracle,

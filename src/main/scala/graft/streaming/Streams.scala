@@ -353,32 +353,56 @@ object Streams {
     * is never stored: the table grows by m small codes per vector.
     * Search reads the table with
     * [[graft.ops.Similarity.ivfPqTopKIndexed]]. Re-train the book and
-    * rebuild when drift warrants; the sink maintains, it doesn't train.
+    * rebuild when [[graft.ops.AnnIndex.driftStats]] says the frozen book
+    * no longer represents the corpus ([[graft.ops.AnnIndex.needsRebuild]]
+    * is the mechanical trigger); the sink maintains, it doesn't train.
     * Already-indexed ids arriving again are dropped (first write wins —
-    * see the anti join below); ids must be unique WITHIN a batch. */
+    * see the guard below), and the guard's cost is BOUNDED: each commit
+    * harvests a per-file bloom sidecar over `vec_id`, and the membership
+    * probe pushes the batch's ids into the `graft-versioned` scan, so a
+    * re-delivery check opens only the files whose bloom might hold one of
+    * this batch's ids — per-trigger work scales with the batch, not with
+    * the index (a full-index `distinct()` would be the sink's dominant
+    * cost at a billion vectors). Within a batch, exact duplicate rows
+    * (same vec_id AND same embedding) collapse silently; the same vec_id
+    * with DIFFERING embeddings is rejected loudly — "first write wins"
+    * has no deterministic "first" inside one unordered batch, and a
+    * changed embedding under an old id is a rebuild event, not an
+    * append. */
   def versionedAnnIndexSink(embs: DataFrame, cent: DataFrame, book: DataFrame,
                             m: Int, dsub: Int, codesRoot: String,
                             checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit}
     embs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val spark = batch.sparkSession
         if (!alreadyCommitted(spark, codesRoot, checkpointDir, "anncodes", id)) {
-          // anti join vs already-indexed ids: a source that re-delivers a
-          // vector (not a batch replay — a true duplicate send) would
-          // otherwise append duplicate (vec_id, sub) rows, and
+          // exact duplicate rows collapse; conflicting rows under one id
+          // would otherwise append duplicate (vec_id, sub) code rows and
           // pqReconstruct's per-vector collect would silently assemble a
-          // double-length reconstruction. First-write-wins matches the
-          // frozen-book contract: the same embedding encodes to the same
-          // codes anyway, and a CHANGED embedding under an old id is a
-          // rebuild event, not an append.
-          val b0 = batch.toDF()
+          // double-length reconstruction — refuse before writing anything
+          val b0 = batch.toDF().distinct()
+          val dup = b0.agg(count(lit(1)), countDistinct(col("vec_id"))).head()
+          require(dup.getLong(0) == dup.getLong(1),
+            s"versionedAnnIndexSink: batch $id carries the same vec_id " +
+              "with differing embeddings — ambiguous under first-write-wins; " +
+              "a changed embedding under an existing id is a rebuild event")
+          // re-delivery guard (a true duplicate send, not a batch replay):
+          // probe the persisted index for THIS batch's ids only. The ids
+          // are trigger-bounded, so collecting them is a per-batch scalar
+          // guard read; the IN pushes into the scan and the per-file
+          // vec_id blooms skip every file that cannot hold any of them.
           val b =
             if (graft.io.Versioned.versions(spark, codesRoot).isEmpty) b0
-            else b0.join(graft.io.Versioned.read(spark, codesRoot)
-              .select(col("vec_id")).distinct(), Seq("vec_id"), "leftanti")
+            else {
+              val ids = b0.select(col("vec_id")).collect().map(_.get(0))
+              val seen = spark.read.format("graft-versioned").load(codesRoot)
+                .filter(col("vec_id").isin(ids.toIndexedSeq: _*))
+                .select(col("vec_id")).distinct()
+              b0.join(seen, Seq("vec_id"), "leftanti")
+            }
           val assigned = graft.ops.Similarity.assignClusters(b, cent, nprobe = 1)
           val codes = graft.ops.Similarity.pqEncode(
             b.select(col("vec_id"), col("embedding")), book, m, dsub)
@@ -386,7 +410,10 @@ object Streams {
             assigned.select(col("vec_id"), col("cluster"))
               .join(codes, Seq("vec_id")),
             codesRoot,
-            tag = Some(batchTag(checkpointDir, "anncodes", id)))
+            tag = Some(batchTag(checkpointDir, "anncodes", id)),
+            statsCols = Seq("vec_id"),
+            bloomCols = Seq("vec_id").filter(c => graft.io.FileStats
+              .bloomSupported(batch.schema(c).dataType)))
           ()
         }
       }

@@ -411,6 +411,26 @@ class SimilaritySpec extends SparkSpecBase {
     val fromRaw = Similarity.ivfPqTopK(corpus, queries, book,
       m = 8, dsub = 8, k = 3).collect().toSet
     assert(fromIndex == fromRaw && fromRaw.nonEmpty)
+
+    // the re-delivery guard is BOUNDED: each commit harvested a vec_id
+    // bloom sidecar, so the guard-shaped probe for the even-id wave's ids
+    // must skip the odd-id wave's files — per-trigger work tracks the
+    // batch's file overlap, not the index size
+    import scala.jdk.CollectionConverters._
+    val evenIds = rows.filter(_._1 % 2 == 0).map(_._1).toIndexedSeq
+    val g = spark.read.format("graft-versioned").load(codesRoot)
+      .filter(col("vec_id").isin(evenIds: _*)).select("vec_id").distinct()
+    assert(g.count() == evenIds.size)
+    val kept = g.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table
+    }.collectFirst {
+      case t: graft.io.VersionedReadTable => t.prunedIndex.lastKeptFiles
+    }.getOrElse(fail("no VersionedReadTable in the guard plan"))
+    val total = java.nio.file.Files.walk(java.nio.file.Paths.get(codesRoot))
+      .iterator().asScala.count(_.toString.endsWith(".parquet"))
+    assert(kept < total,
+      s"guard probe kept $kept of $total files — blooms pruned nothing")
   }
 
   test("AnnIndex lifecycle: train, rebuild, search over persisted tables only") {
@@ -448,5 +468,137 @@ class SimilaritySpec extends SparkSpecBase {
     AnnIndex.rebuild(spark, emb, modelRoot, codesRoot)
     assert(AnnIndex.search(spark, emb.filter(col("vec_id") < 20),
       modelRoot, codesRoot, k = 3).count() > 0)
+  }
+
+  test("ivfPqTopKIndexed prunes reconstruction to the probed cells") {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val cent = Similarity.quantizedCentroids(emb)
+    val book = Similarity.pqCodebook(emb)
+    val codes = Similarity.assignClusters(emb, cent, 1)
+      .select(col("vec_id"), col("cluster"))
+      .join(Similarity.pqEncode(emb.select(col("vec_id"), col("embedding")),
+        book, m = 8, dsub = 8), Seq("vec_id"))
+    // a handful of queries probing a strict subset of cells — the fixture
+    // must leave something TO prune, or the assertions prove nothing
+    val queries = Similarity.assignClusters(
+      emb.filter(col("vec_id") < 3), cent, 1)
+    val probed = queries.select("cluster").distinct().count()
+    val cells = codes.select("cluster").distinct().count()
+    assert(probed < cells, "fixture: queries must not probe every cell")
+    val df = Similarity.ivfPqTopKIndexed(codes, queries, book, dsub = 8, k = 3)
+    // structural: the reconstruct aggregate's INPUT carries the LeftSemi
+    // cluster prune — Catalyst cannot inject this itself, so its presence
+    // in the optimized plan is exactly the candidate-pruned search shape
+    val reconAggs = df.queryExecution.optimizedPlan.collect {
+      case a: Aggregate if a.aggregateExpressions.exists(_.name == "xhat") => a
+    }
+    assert(reconAggs.nonEmpty, "no reconstruct aggregate in the plan")
+    assert(reconAggs.forall(a =>
+      a.collect { case j: Join if j.joinType == LeftSemi => j }.nonEmpty),
+      "reconstruction input is not semi-pruned to the probed clusters")
+    // result-invisible: identical to the from-raw scoring path
+    val corpus = Similarity.assignClusters(emb, cent, 1)
+    val want = Similarity.ivfPqTopK(corpus,
+      corpus.filter(col("vec_id") < 3), book, m = 8, dsub = 8, k = 3)
+      .collect().toSet
+    assert(df.collect().toSet == want && want.nonEmpty)
+  }
+
+  test("persisted search with nprobe=2 equals the in-memory multiprobe path") {
+    import graft.ops.AnnIndex
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val modelRoot = java.nio.file.Files.createTempDirectory("annmodel_p2").toString
+    val codesRoot = java.nio.file.Files.createTempDirectory("anncodes_p2").toString
+    AnnIndex.train(spark, emb, m = 8, dsub = 8, modelRoot)
+    AnnIndex.rebuild(spark, emb, modelRoot, codesRoot)
+    val got = AnnIndex.search(spark, emb.filter(col("vec_id") < 20),
+      modelRoot, codesRoot, k = 3, nprobe = 2).collect().toSet
+    val cent = Similarity.quantizedCentroids(emb)
+    val corpus = Similarity.assignClusters(emb, cent, 1)
+    val queries = Similarity.assignClusters(
+      emb.filter(col("vec_id") < 20), cent, 2)
+    val book = Similarity.pqRefineBook(emb, Similarity.pqCodebook(emb), 8, 8)
+    val want = Similarity.ivfPqTopK(corpus, queries, book,
+      m = 8, dsub = 8, k = 3).collect().toSet
+    assert(got == want && want.nonEmpty)
+    // the recall dial widens the candidate pool: nprobe=2 returns at least
+    // as many (qid, nid) pairs as nprobe=1 on the same persisted pair
+    val got1 = AnnIndex.search(spark, emb.filter(col("vec_id") < 20),
+      modelRoot, codesRoot, k = 3, nprobe = 1).count()
+    assert(got.size >= got1)
+  }
+
+  test("driftStats: zero on the training corpus, positive after drift") {
+    import graft.ops.AnnIndex
+    // clustered corpus in the positive orthant: one strong block of four
+    // components per label plus a small deterministic ripple, so every
+    // trained codeword points "positive" and negating the corpus later is
+    // guaranteed to reconstruct WORSE (cos flips sign against a positive
+    // codebook) — a drift the metric must catch
+    val dim = 16
+    def vec(i: Int): Seq[Float] = (0 until dim).map { j =>
+      val base = if (j / 4 == i % 4) 1.0f else 0.1f
+      base + 0.01f * ((i * 31 + j * 7) % 5)
+    }
+    val emb = (0 until 200).map(i => (i.toLong, (i % 4).toLong, vec(i)))
+      .toDF("vec_id", "label", "embedding")
+    val modelRoot = java.nio.file.Files.createTempDirectory("annmodel_dr").toString
+    AnnIndex.train(spark, emb, m = 4, dsub = 4, modelRoot)
+    // same corpus => same codes => same order statistics: drift EXACTLY 0
+    val fresh = AnnIndex.driftStats(spark, emb, modelRoot)
+    assert(fresh.select("drift_q").as[Long].collect().toSeq == Seq(0L, 0L, 0L))
+    assert(!AnnIndex.needsRebuild(spark, emb, modelRoot))
+    val drifted = emb.select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => -x).as("embedding"))
+    val stats = AnnIndex.driftStats(spark, drifted, modelRoot)
+      .select("pct", "drift_q").as[(Int, Long)].collect().toMap
+    assert(stats.keySet == Set(50, 90, 99))
+    assert(stats.values.forall(_ > 10486L),
+      s"negated corpus must drift past 0.01 cosine at every probe: $stats")
+    assert(AnnIndex.needsRebuild(spark, drifted, modelRoot))
+  }
+
+  test("ANN sink: exact in-batch duplicates collapse, conflicts are rejected") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val cent = Similarity.quantizedCentroids(emb)
+    val book = Similarity.pqCodebook(emb)
+    val rows = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+
+    // exact duplicate rows inside one batch collapse silently
+    val okRoot = java.nio.file.Files.createTempDirectory("anncodes_dup").toString
+    val src = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.Streams.versionedAnnIndexSink(
+      src.toDF().toDF("vec_id", "embedding"), cent, book,
+      m = 8, dsub = 8, okRoot,
+      java.nio.file.Files.createTempDirectory("annckpt_dup").toString)
+    try {
+      src.addData(Seq(rows(0), rows(0), rows(1)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(graft.io.Versioned.read(spark, okRoot).count() == 2L * 8)
+
+    // the same vec_id with DIFFERING embeddings in one batch fails loudly
+    val badRoot = java.nio.file.Files.createTempDirectory("anncodes_bad").toString
+    val src2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = graft.streaming.Streams.versionedAnnIndexSink(
+      src2.toDF().toDF("vec_id", "embedding"), cent, book,
+      m = 8, dsub = 8, badRoot,
+      java.nio.file.Files.createTempDirectory("annckpt_bad").toString)
+    try {
+      src2.addData(Seq((rows(0)._1, rows(0)._2), (rows(0)._1, rows(1)._2)))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+        .take(8).exists(t => Option(t.getMessage)
+          .exists(_.contains("differing embeddings"))))
+    } finally q2.stop()
+    // and nothing was committed for the poisoned batch
+    assert(graft.io.Versioned.versions(spark, badRoot).isEmpty)
   }
 }
