@@ -274,10 +274,21 @@ private[graft] object ColumnIds {
     * struct column — `select("payload.u")` over files written under
     * the old name reads SILENT NULLS while the full-struct read serves
     * the values (verified against Spark 4.1.2; pruning off restores
-    * the pruned projection). Correctness over the optimization, scoped:
-    * flat mapped tables — the reference's shape and the common case —
-    * never pay this, and top-level column pruning (ReadSchema) is
-    * unaffected either way. */
+    * the pruned projection). Correctness over the optimization.
+    *
+    * The disable is a ONE-WAY SESSION LATCH, stated plainly: once any
+    * nested-id table is read, nested pruning stays off for the rest of
+    * the session — later reads of flat tables and of non-graft nested
+    * data also plan without it. Deliberate, for the same laziness
+    * reason as [[ensureConfs]]: the nested-mapped frame is lazy and the
+    * pruning rule consults the conf when the OPTIMIZER runs, which is
+    * at first action — restoring the conf on a later flat read would
+    * re-poison any still-unevaluated nested frame the caller holds
+    * (back to silent nulls). The cost is an optimization, never
+    * correctness: un-pruned nested reads return identical rows and
+    * top-level column pruning (ReadSchema) still applies; sessions that
+    * never read a nested-id table never pay it. Pinned by
+    * RenameColumnSpec's latch test. */
   def ensureReadConfs(spark: SparkSession, schema: StructType): Unit = {
     ensureConfs(spark)
     if (schema.fields.exists(f => hasNestedIds(f.dataType)) &&

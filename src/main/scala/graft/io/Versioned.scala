@@ -2905,7 +2905,14 @@ object Versioned {
       val here = curByDir.getOrElse(dir, Seq.empty)
       if (dryRun) {
         if (hasDeadStats || hasDeadBlooms) cleaned += 1
-        if (wantedIds.nonEmpty && hasDeadStats) restatted += here.size
+        // same accounting as the real run: probe the footers and count
+        // only files that actually resolve a wanted field id. The probe
+        // is the identical metadata-only read the real run pays on the
+        // same quarantine-affected dirs, so the plan can never
+        // over-report dirs whose files carry no matching id (pre-rename
+        // files of a column added later, foreign-id files, ...).
+        if (wantedIds.nonEmpty && hasDeadStats && here.nonEmpty)
+          restatted += FileStats.collectById(hconf, here, wantedIds).size
       } else {
         // footer re-reads are confined to QUARANTINE-AFFECTED dirs: a
         // dir without dead-name entries already keys its stats by

@@ -182,8 +182,21 @@ private[graft] class VersionedCdfSource(
         s".graft-cdf-schema.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
       val out = f.create(tmp, true)
       try out.write(current.getBytes("UTF-8")) finally out.close()
-      f.delete(p, false)
-      if (!f.rename(tmp, p)) { f.delete(tmp, false); () }
+      // publish: try the direct rename first (atomic where the FS renames
+      // over an existing target); only after it fails fall back to
+      // delete-then-rename, so the no-record window exists only on
+      // filesystems that refuse overwriting renames — and a publish that
+      // STILL fails surfaces instead of silently leaving the checkpoint
+      // without its audit asset
+      val renamed = f.rename(tmp, p) ||
+        { f.delete(p, false); f.rename(tmp, p) }
+      if (!renamed) {
+        f.delete(tmp, false)
+        throw new java.io.IOException(
+          s"graft-versioned-cdf: could not publish the schema-tracking " +
+            s"asset at $p — the checkpoint would carry no record of the " +
+            "schema this generation adopted")
+      }
     }
   }
 

@@ -294,7 +294,21 @@ object Streams {
     * in a new batch is scrubbed like any text — nearly all of it is cut,
     * since its published windows are indexed — but still appends a
     * (mostly-empty) row under the duplicate id; exact-dedup by id
-    * upstream if your source can re-deliver. */
+    * upstream if your source can re-deliver.
+    *
+    * Maintenance (the 100 TB steady state): both tables accrete one
+    * small commit per trigger forever, so their FILE counts — not their
+    * row counts — are what needs a bound. [[graft.io.Versioned.compactSmall]]
+    * applies to both as-is (the index is a plain one-column versioned
+    * table; the clean table a plain document table): run it on each root
+    * while the sink is STOPPED (single writer per root), and the next
+    * deployment scrubs against the compacted snapshot unchanged —
+    * compaction is a pure re-layout, the distinct `gh` set and the clean
+    * rows are untouched, and replay tags live in the checkpoint, not in
+    * file layout. The pair stays a unit only in the retention sense:
+    * never `vacuum` the index root past a version a not-yet-restarted
+    * deployment's scrub may still read. Pinned by VersionedStreamSpec's
+    * compaction test. */
   def versionedSubstringDedupSink(docs: DataFrame, textCol: String,
                                   idCol: String, w: Int,
                                   cleanRoot: String, indexRoot: String,

@@ -427,4 +427,40 @@ class RenameColumnSpec extends SparkSpecBase {
     assert(out.size == 11)
     assert(out(5L) == 99.0 && out(1L) == 42.0 && out(11L) == 11.0 && out(2L) == 2.0)
   }
+
+  test("nested-id read latches nested pruning off session-wide; later reads stay correct") {
+    import org.apache.spark.sql.types._
+    // ensureReadConfs's documented one-way latch: reading a nested-id
+    // table turns spark.sql.optimizer.nestedSchemaPruning.enabled off for
+    // the REST of the session (restoring it on a later flat read would
+    // re-poison any still-lazy nested frame — see the scaladoc). This
+    // test pins the residual blast radius: purely an optimization loss,
+    // never a value change, for every read shape that follows the latch.
+    val root = tmpRoot()
+    Versioned.commit(spark, Seq((1L, (10L, "w1")), (2L, (20L, "w2")))
+      .toDF("id", "s").select(col("id"),
+        col("s").cast(StructType(Seq(StructField("u", LongType),
+          StructField("w", StringType)))).as("s")), root)
+    Versioned.renameColumn(spark, root, "s", "payload") // nested ids now live
+    assert(Versioned.read(spark, root).select("payload.u").as[Long]
+      .collect().toSet == Set(10L, 20L))
+    assert(spark.conf.get("spark.sql.optimizer.nestedSchemaPruning.enabled")
+      == "false", "the nested-id read must have latched pruning off")
+
+    // a FLAT mapped table read after the latch: values unchanged
+    val flat = tmpRoot()
+    Versioned.commit(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), flat)
+    Versioned.renameColumn(spark, flat, "v", "label")
+    assert(Versioned.read(spark, flat).select("id", "label")
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+
+    // a NON-graft nested parquet read after the latch: same rows as a
+    // pruned projection would serve — the latch costs the prune, not data
+    val plainDir = java.nio.file.Files.createTempDirectory("graft_plain").toString
+    Seq((1L, 5L, "x"), (2L, 6L, "y")).toDF("id", "u", "w")
+      .select(col("id"), struct(col("u"), col("w")).as("s"))
+      .write.mode("overwrite").parquet(plainDir)
+    assert(spark.read.parquet(plainDir).select(col("id"), col("s.u"))
+      .as[(Long, Long)].collect().toSet == Set((1L, 5L), (2L, 6L)))
+  }
 }

@@ -337,4 +337,65 @@ class VersionedStreamSpec extends SparkSpecBase {
     // earlier rows intact — appends, never rewrites
     assert(cleanMap()(1L) == (("a b c d e", 5L, 0L)))
   }
+
+  test("substring dedup pair: compaction bounds file counts, scrub unchanged") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    val cleanRoot = tmpDir("graft_subclean_c")
+    val idxRoot = tmpDir("graft_subidx_c")
+
+    // three sink batches -> a multi-commit pair (the accretion pattern)
+    val src = MemoryStream[(Long, String)]
+    val q = graft.streaming.Streams.versionedSubstringDedupSink(
+      src.toDF().toDF("doc_id", "text"), "text", "doc_id", w = 3,
+      cleanRoot, idxRoot, tmpDir("graft_subckpt_c1"))
+    try {
+      src.addData((1L, "a b c d e")); q.processAllAvailable()
+      src.addData((2L, "f g h i j")); q.processAllAvailable()
+      src.addData((3L, "k l m n o")); q.processAllAvailable()
+    } finally q.stop()
+
+    val ghBefore = Versioned.read(spark, idxRoot)
+      .select("gh").as[String].collect().toSet
+    val cleanBefore = Versioned.read(spark, cleanRoot)
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toSet
+    val idxFilesBefore = Versioned.read(spark, idxRoot).inputFiles.length
+    assert(idxFilesBefore >= 3, "fixture must accrete multiple index files")
+    // the scrub a future batch would compute, against the PRE-compaction pair
+    val probe = Seq((9L, "p c d e q"), (10L, "r s t u")).toDF("doc_id", "text")
+    val scrubBefore = graft.ops.Dedup.removeDuplicateSpansAgainstIndex(
+      probe, Versioned.read(spark, idxRoot), col("text"), col("doc_id"), w = 3)
+      .collect().toSet
+
+    // compact BOTH roots while the sink is stopped (single writer)
+    Versioned.compactSmall(spark, idxRoot)
+    Versioned.compactSmall(spark, cleanRoot)
+    assert(Versioned.read(spark, idxRoot).inputFiles.length < idxFilesBefore,
+      "compaction must reduce the index file count")
+    // pure re-layout: the distinct window set and the clean rows are intact
+    assert(Versioned.read(spark, idxRoot)
+      .select("gh").as[String].collect().toSet == ghBefore)
+    assert(Versioned.read(spark, cleanRoot)
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toSet
+      == cleanBefore)
+    // scrubbing against the compacted index is byte-identical
+    assert(graft.ops.Dedup.removeDuplicateSpansAgainstIndex(
+      probe, Versioned.read(spark, idxRoot), col("text"), col("doc_id"), w = 3)
+      .collect().toSet == scrubBefore)
+
+    // and the NEXT deployment keeps the exactly-once loop over the
+    // compacted pair: old windows still cut, new ones still indexed
+    val src2 = MemoryStream[(Long, String)]
+    val q2 = graft.streaming.Streams.versionedSubstringDedupSink(
+      src2.toDF().toDF("doc_id", "text"), "text", "doc_id", w = 3,
+      cleanRoot, idxRoot, tmpDir("graft_subckpt_c2"))
+    try {
+      src2.addData((11L, "z f g h i w"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val after = Versioned.read(spark, cleanRoot)
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    assert(after(11L) == "z w", s"post-compaction scrub broke: ${after(11L)}")
+  }
 }
