@@ -72,8 +72,12 @@ object AnnIndex {
   /** Train the frozen model from the current corpus and persist it as
     * one atomic replace commit — centroids, refined codebook, geometry,
     * and the training-time reconstruction-cosine quantiles that
-    * [[driftStats]] later compares against. Returns the committed model
-    * version. */
+    * [[driftStats]] later compares against. The baseline costs one extra
+    * encode pass under the FINAL book (linear, map-side — the same n·k·m
+    * shape as the refinement step itself); it is paid once per (re)train,
+    * which is exactly when the distribution snapshot must be taken — a
+    * baseline measured under any other book would compare apples to
+    * oranges forever after. Returns the committed model version. */
   def train(spark: SparkSession, emb: DataFrame, m: Int, dsub: Int,
             modelRoot: String): Long = {
     val cent = Similarity.quantizedCentroids(emb)

@@ -239,8 +239,8 @@ object LlmQueries {
   // Blocked pairwise 2-gram Jaccard (the quadratic-verify primitive,
   // bounded by residue blocking; at scale the block would be an LSH
   // bucket, as in minhash_lsh_pairs). The block COUNT is corpus-derived
-  // — ceil(n/64) blocks keep expected within-block membership at ~64
-  // docs, so total pairs stay ~n·32 (LINEAR in the corpus) instead of
+  // — ceil(n/50) blocks keep expected within-block membership at ~50
+  // docs, so total pairs stay ~n·25 (LINEAR in the corpus) instead of
   // the n²/B trap a fixed block count walks into at scale. The count
   // rides in as a broadcast one-row aggregate, never a driver collect.
   // -------------------------------------------------------------------
@@ -250,7 +250,7 @@ object LlmQueries {
     val sets = docs.select(col("doc_id"),
         array_distinct(shingles(tokens(col("text")), 2)).as("sd"))
       .crossJoin(broadcast(n))
-      .withColumn("block", col("doc_id") % ceil(col("__n") / lit(64.0)))
+      .withColumn("block", col("doc_id") % ceil(col("__n") / lit(50.0)))
     val a = sets.select(col("doc_id").as("d1"), col("sd").as("sd1"), col("block"))
     val b = sets.select(col("doc_id").as("d2"), col("sd").as("sd2"), col("block"))
     a.join(b, Seq("block")).filter(col("d1") < col("d2"))
@@ -261,7 +261,7 @@ object LlmQueries {
     s"""WITH toks AS ($tokSql),
        |sh AS (${shingleSql(2)}),
        |sets AS (SELECT doc_id, list_distinct(s) AS sd,
-       |         doc_id % CAST(ceil((SELECT count(*) FROM documents) / 64.0) AS BIGINT) AS block FROM sh)
+       |         doc_id % CAST(ceil((SELECT count(*) FROM documents) / 50.0) AS BIGINT) AS block FROM sh)
        |SELECT a.doc_id AS d1, b.doc_id AS d2,
        |       CAST(len(list_filter(a.sd, e -> list_contains(b.sd, e))) AS DOUBLE)
        |         / (len(a.sd) + len(b.sd) - len(list_filter(a.sd, e -> list_contains(b.sd, e))))
