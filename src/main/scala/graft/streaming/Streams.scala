@@ -434,6 +434,41 @@ object Streams {
       .start()
   }
 
+  /** Streaming drift monitor — the decision half of the ANN maintenance
+    * loop ([[versionedAnnIndexSink]] maintains, this watches, `AnnIndex
+    * .rebuild` fixes): each micro-batch of (vec_id, embedding) arrivals
+    * is measured with [[graft.ops.AnnIndex.driftStats]] against the
+    * persisted model's training-time baseline and the three quantile
+    * rows append — stamped with the batch id — to a versioned monitor
+    * table, giving a replay-safe time series of arrival reconstruction
+    * quality. Work per trigger is O(batch) (encode + reconstruct of the
+    * batch under the broadcast frozen book, never a corpus read) — at
+    * 100 TB this is how retraining gets DECIDED without the full-corpus
+    * scan `driftStats(corpus)` would cost, at the price of per-batch
+    * sampling noise: a single small batch's quantiles are noisy, so
+    * alert on a run of bad batches (the time series is the point), not
+    * on one. Exactly-once under the usual checkpoint-scoped replay
+    * tag. */
+  def versionedAnnDriftMonitorSink(embs: DataFrame, modelRoot: String,
+                                   monitorRoot: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.lit
+    embs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        if (!alreadyCommitted(spark, monitorRoot, checkpointDir, "anndrift", id)) {
+          graft.io.Versioned.commit(spark,
+            graft.ops.AnnIndex.driftStats(spark, batch.toDF(), modelRoot)
+              .withColumn("batch_id", lit(id)),
+            monitorRoot,
+            tag = Some(batchTag(checkpointDir, "anndrift", id)))
+          ()
+        }
+      }
+      .start()
+  }
+
   /** Continuously-maintained materialized view: tails a [[graft.io.Versioned]]
     * source with the `graft-versioned` stream (offsets are version numbers)
     * and folds each newly-committed delta into the state table via

@@ -560,6 +560,46 @@ class SimilaritySpec extends SparkSpecBase {
     assert(AnnIndex.needsRebuild(spark, drifted, modelRoot))
   }
 
+  test("drift monitor sink: per-batch time series, exactly-once, flags the drifted batch") {
+    import graft.ops.AnnIndex
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dim = 16
+    def vec(i: Int): Seq[Float] = (0 until dim).map { j =>
+      val base = if (j / 4 == i % 4) 1.0f else 0.1f
+      base + 0.01f * ((i * 31 + j * 7) % 5)
+    }
+    val rows = (0 until 200).map(i => (i.toLong, (i % 4).toLong, vec(i)))
+    val emb = rows.toDF("vec_id", "label", "embedding")
+    val modelRoot = java.nio.file.Files.createTempDirectory("annmodel_mon").toString
+    val monRoot = java.nio.file.Files.createTempDirectory("annmon").toString
+    AnnIndex.train(spark, emb, m = 4, dsub = 4, modelRoot)
+
+    val src = MemoryStream[(Long, Long, Seq[Float])]
+    val q = graft.streaming.Streams.versionedAnnDriftMonitorSink(
+      src.toDF().toDF("vec_id", "label", "embedding"), modelRoot, monRoot,
+      java.nio.file.Files.createTempDirectory("annmonckpt").toString)
+    try {
+      // batch 0 = the training corpus itself: drift exactly 0
+      src.addData(rows)
+      q.processAllAvailable()
+      // batch 1 = negated arrivals: reconstruction collapses, drift > 0
+      src.addData(rows.map { case (i, l, v) => (i + 1000L, l, v.map(-_)) })
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val mon = graft.io.Versioned.read(spark, monRoot)
+      .select("batch_id", "pct", "drift_q")
+      .as[(Long, Int, Long)].collect()
+    assert(mon.length == 6, s"two batches x three probes, got ${mon.length}")
+    assert(mon.filter(_._1 == 0L).forall(_._3 == 0L),
+      "the training-distribution batch must measure zero drift")
+    assert(mon.filter(_._1 == 1L).forall(_._3 > 10486L),
+      s"the negated batch must drift past 0.01 cosine at every probe: ${mon.toSeq}")
+    // the time series is versioned: one commit per batch, replay-tagged
+    assert(graft.io.Versioned.versions(spark, monRoot) == Seq(1L, 2L))
+  }
+
   test("ANN sink: exact in-batch duplicates collapse, conflicts are rejected") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
