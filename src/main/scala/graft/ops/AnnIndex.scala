@@ -39,15 +39,22 @@ object AnnIndex {
     * under the broadcast book; the reconstruct groupBy and the vec_id
     * join are the only exchanges, both on the narrow id). */
   private def reconCosQ(emb: DataFrame, book: DataFrame,
-                        m: Int, dsub: Int): DataFrame = {
-    val codes = Similarity.pqEncode(
-      emb.select(col("vec_id"), col("embedding")), book, m, dsub)
-    Similarity.pqReconstruct(codes, book, dsub)
+                        m: Int, dsub: Int): DataFrame =
+    reconCosQFromCodes(emb,
+      Similarity.pqEncode(emb.select(col("vec_id"), col("embedding")),
+        book, m, dsub), book, dsub)
+
+  /** [[reconCosQ]] with the encode already done — the shared-pass form
+    * [[trainAndRebuild]] uses so the codes computed for the index also
+    * price the baseline. */
+  private def reconCosQFromCodes(emb: DataFrame, codes: DataFrame,
+                                 book: DataFrame, dsub: Int): DataFrame =
+    Similarity.pqReconstruct(
+      codes.select(col("vec_id"), col("sub"), col("code")), book, dsub)
       .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .select(floor(graft.functions.GraftExpressions.cosineFD(
         col("embedding"), col("xhat")) * lit(1048576d))
         .cast("long").as("qcos"))
-  }
 
   /** Deterministic position quantiles of the quantized cosine column:
     * the value at ascending position ceil(p·n/100) — an exact order
@@ -80,9 +87,15 @@ object AnnIndex {
     * oranges forever after. Returns the committed model version. */
   def train(spark: SparkSession, emb: DataFrame, m: Int, dsub: Int,
             modelRoot: String): Long = {
-    val cent = Similarity.quantizedCentroids(emb)
+    // pin the trained artifacts (k rows each): the codebook's refinement
+    // step contains a full corpus encode, and both the model's book rows
+    // and the drift baseline consume it — without the pin each branch
+    // would recompute that encode
+    val centDf = Similarity.quantizedCentroids(emb).localCheckpoint()
+    val cent = centDf
       .select(lit("cent").as("part"), col("rlabel"), col("cvec").as("vec"))
     val bookDf = Similarity.pqRefineBook(emb, Similarity.pqCodebook(emb), m, dsub)
+      .localCheckpoint()
     val book = bookDf
       .select(lit("book").as("part"), col("rlabel"), col("cvec").as("vec"))
     val rlabelType = cent.schema("rlabel").dataType
@@ -96,6 +109,55 @@ object AnnIndex {
     Versioned.commit(spark,
       cent.unionByName(book).unionByName(meta).unionByName(drift),
       modelRoot, replace = true, tag = Some(s"ann-train-m$m-dsub$dsub"))
+  }
+
+  /** [[train]] + [[rebuild]] fused into ONE encode pass — the common
+    * "(re)train and re-index now" flow. Separately, train encodes the
+    * corpus for the drift baseline and rebuild encodes it again for the
+    * codes table; here the SAME codes frame (pinned with a local
+    * checkpoint so the two consumers cannot recompute it) feeds both,
+    * saving a full n·k·m pass. The pin trades executor block storage —
+    * m small ints per vector, the index's own size — for that pass;
+    * at train-scale corpora that is the cheap side. Commit order is
+    * model first, then codes: a crash between the two leaves the same
+    * new-model/stale-codes state a crash between separate train and
+    * rebuild calls leaves, remedied the same way (re-run; both commits
+    * are replace commits). Returns (modelVersion, codesVersion);
+    * byte-identical tables to calling train then rebuild. */
+  def trainAndRebuild(spark: SparkSession, emb: DataFrame, m: Int, dsub: Int,
+                      modelRoot: String, codesRoot: String): (Long, Long) = {
+    // pin the k-row trained artifacts for the same reason as in [[train]]
+    // — every consumer branch would otherwise re-pay the refinement's
+    // embedded corpus encode
+    val centDf = Similarity.quantizedCentroids(emb).localCheckpoint()
+    val bookDf = Similarity.pqRefineBook(emb, Similarity.pqCodebook(emb), m, dsub)
+      .localCheckpoint()
+    val codes = Similarity.assignClusters(emb, centDf, nprobe = 1)
+      .select(col("vec_id"), col("cluster"))
+      .join(Similarity.pqEncode(emb.select(col("vec_id"), col("embedding")),
+        bookDf, m, dsub), Seq("vec_id"))
+      .localCheckpoint()
+    val cent = centDf
+      .select(lit("cent").as("part"), col("rlabel"), col("cvec").as("vec"))
+    val book = bookDf
+      .select(lit("book").as("part"), col("rlabel"), col("cvec").as("vec"))
+    val rlabelType = cent.schema("rlabel").dataType
+    val meta = spark.range(1).select(lit("meta").as("part"),
+      lit(m).cast(rlabelType).as("rlabel"),
+      array(lit(dsub.toDouble)).as("vec"))
+    val drift = positionQuantiles(reconCosQFromCodes(emb, codes, bookDf, dsub))
+      .select(lit("drift").as("part"),
+        col("pct").cast(rlabelType).as("rlabel"),
+        array(col("q").cast("double")).as("vec"))
+    val mv = Versioned.commit(spark,
+      cent.unionByName(book).unionByName(meta).unionByName(drift),
+      modelRoot, replace = true, tag = Some(s"ann-train-m$m-dsub$dsub"))
+    val cv = Versioned.commit(spark, codes, codesRoot, replace = true,
+      tag = Some("ann-rebuild"),
+      statsCols = Seq("vec_id"),
+      bloomCols = Seq("vec_id").filter(c => graft.io.FileStats
+        .bloomSupported(emb.schema(c).dataType)))
+    (mv, cv)
   }
 
   /** Read the persisted model: (centroids, codebook, m, dsub). */

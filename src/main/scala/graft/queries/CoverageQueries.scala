@@ -487,8 +487,7 @@ object CoverageQueries {
     val emb = Tables.embeddings(spark, sfDir)
     val modelRoot = QueryScratch.freshRoot("graft_annmodel_q", sfDir)
     val codesRoot = QueryScratch.freshRoot("graft_anncodes_q", sfDir)
-    AnnIndex.train(spark, emb, m = 16, dsub = 4, modelRoot)
-    AnnIndex.rebuild(spark, emb, modelRoot, codesRoot)
+    AnnIndex.trainAndRebuild(spark, emb, m = 16, dsub = 4, modelRoot, codesRoot)
     AnnIndex.search(spark, emb.filter(col("vec_id") < 30),
       modelRoot, codesRoot, k = 3)
   }
@@ -503,8 +502,7 @@ object CoverageQueries {
     val emb = Tables.embeddings(spark, sfDir)
     val modelRoot = QueryScratch.freshRoot("graft_annmodel_p2", sfDir)
     val codesRoot = QueryScratch.freshRoot("graft_anncodes_p2", sfDir)
-    AnnIndex.train(spark, emb, m = 16, dsub = 4, modelRoot)
-    AnnIndex.rebuild(spark, emb, modelRoot, codesRoot)
+    AnnIndex.trainAndRebuild(spark, emb, m = 16, dsub = 4, modelRoot, codesRoot)
     AnnIndex.search(spark, emb.filter(col("vec_id") < 30),
       modelRoot, codesRoot, k = 3, nprobe = 2)
   }

@@ -506,6 +506,27 @@ class SimilaritySpec extends SparkSpecBase {
     assert(df.collect().toSet == want && want.nonEmpty)
   }
 
+  test("trainAndRebuild's one-encode-pass tables equal separate train + rebuild") {
+    import graft.ops.AnnIndex
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val (m1, c1) = (tmp("annm_sep"), tmp("annc_sep"))
+    AnnIndex.train(spark, emb, m = 8, dsub = 8, m1)
+    AnnIndex.rebuild(spark, emb, m1, c1)
+    val (m2, c2) = (tmp("annm_fus"), tmp("annc_fus"))
+    AnnIndex.trainAndRebuild(spark, emb, m = 8, dsub = 8, m2, c2)
+    // the whole model — centroids, book, geometry AND the drift
+    // baseline — and the codes table are byte-identical: the fused
+    // path saves a pass, it must not move a single value
+    assert(graft.io.Versioned.read(spark, m2).collect().toSet ==
+      graft.io.Versioned.read(spark, m1).collect().toSet)
+    assert(graft.io.Versioned.read(spark, c2).collect().toSet ==
+      graft.io.Versioned.read(spark, c1).collect().toSet)
+    // and the fused pair measures zero drift on its training corpus
+    assert(AnnIndex.driftStats(spark, emb, m2)
+      .select("drift_q").as[Long].collect().toSeq == Seq(0L, 0L, 0L))
+  }
+
   test("persisted search with nprobe=2 equals the in-memory multiprobe path") {
     import graft.ops.AnnIndex
     val emb = Tables.table(spark, sfDir, "embeddings")
