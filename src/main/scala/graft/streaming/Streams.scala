@@ -398,8 +398,13 @@ object Streams {
           // pqReconstruct's per-vector collect would silently assemble a
           // double-length reconstruction — refuse before writing anything
           val b0 = batch.toDF().distinct()
-          val dup = b0.agg(count(lit(1)), countDistinct(col("vec_id"))).head()
-          require(dup.getLong(0) == dup.getLong(1),
+          val dup = b0.agg(count(lit(1)), countDistinct(col("vec_id")),
+            count(col("vec_id"))).head()
+          require(dup.getLong(0) == dup.getLong(2),
+            s"versionedAnnIndexSink: batch $id carries null vec_ids — " +
+              "an unaddressable vector can never be searched, guarded or " +
+              "rebuilt; assign ids upstream")
+          require(dup.getLong(2) == dup.getLong(1),
             s"versionedAnnIndexSink: batch $id carries the same vec_id " +
               "with differing embeddings — ambiguous under first-write-wins; " +
               "a changed embedding under an existing id is a rebuild event")

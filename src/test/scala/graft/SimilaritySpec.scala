@@ -661,5 +661,24 @@ class SimilaritySpec extends SparkSpecBase {
     } finally q2.stop()
     // and nothing was committed for the poisoned batch
     assert(graft.io.Versioned.versions(spark, badRoot).isEmpty)
+
+    // a null vec_id is its own loud error, not a misleading duplicate one
+    val nullRoot = java.nio.file.Files.createTempDirectory("anncodes_null").toString
+    val src3 = MemoryStream[(java.lang.Long, Seq[Float])]
+    val q3 = graft.streaming.Streams.versionedAnnIndexSink(
+      src3.toDF().toDF("vec_id", "embedding"), cent, book,
+      m = 8, dsub = 8, nullRoot,
+      java.nio.file.Files.createTempDirectory("annckpt_null").toString)
+    try {
+      src3.addData(Seq((null: java.lang.Long, rows(0)._2),
+        (java.lang.Long.valueOf(rows(1)._1), rows(1)._2)))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q3.processAllAvailable()
+      }
+      assert(Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+        .take(8).exists(t => Option(t.getMessage)
+          .exists(_.contains("null vec_ids"))))
+    } finally q3.stop()
+    assert(graft.io.Versioned.versions(spark, nullRoot).isEmpty)
   }
 }
