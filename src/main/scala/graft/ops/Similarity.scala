@@ -82,6 +82,62 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** Binary (1-bit/dim) sign fingerprint as an array of 32-bit words in
+    * LONGs: word w's bit i is set iff component w·32+i+1 > 0. Words stay
+    * in [0, 2^32) so every arithmetic step is exact and oracle-safe (a
+    * single 64-bit word would set the sign bit for ~half of all vectors,
+    * which DuckDB's integer tower cannot round-trip through list_sum). */
+  def signWords(emb: Column, dim: Int): Column =
+    array((0 until (dim + 31) / 32).map { w =>
+      (0 until math.min(32, dim - w * 32)).map { i =>
+        when(element_at(emb, w * 32 + i + 1) > 0f, lit(1L << i))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+
+  /** Hamming distance between two [[signWords]] fingerprints. */
+  def wordHamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Binary-quantization search with exact re-rank — the RAM-prefilter
+    * pattern of production vector stores: stage 1 shortlists each
+    * query's `shortlist` nearest corpus vectors by HAMMING distance over
+    * the 1-bit/dim [[signWords]] fingerprints (dim/8 bytes per vector —
+    * the whole billion-vector filter fits where raw floats cannot; the
+    * raw corpus vectors are never touched and the bounded-heap keeps
+    * `shortlist` ids per (query, task), so the single exchange carries
+    * fingerprint-scale data only); stage 2 re-ranks ONLY the shortlist
+    * with exact cosine against the raw vectors (shortlist ids broadcast
+    * back to the corpus scan). Ties: hamming asc then nid asc at the
+    * shortlist boundary; cos desc then nid asc at the final rank — both
+    * deterministic, both matched by the oracle. Returns (qid, nid, cos,
+    * rank), rank ≤ k. */
+  def binaryTopK(queries: DataFrame, corpus: DataFrame, dim: Int,
+                 k: Int, shortlist: Int): DataFrame = {
+    import graft.functions.GraftExpressions.topKBy
+    val qf = queries.select(col("qid"), signWords(col("qvec"), dim).as("__qf"))
+    val short = corpus
+      .select(col("nid"), signWords(col("nvec"), dim).as("__cf"))
+      .crossJoin(broadcast(qf))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (-wordHamming(col("__qf"), col("__cf"))).cast("double").as("__s"))
+      .groupBy(col("qid"))
+      .agg(topKBy(col("__s"), col("nid"), shortlist).as("__top"))
+      .select(col("qid"), explode(col("__top")).as("__e"))
+      .select(col("qid"), col("__e.id").as("nid"))
+    corpus.join(broadcast(short), Seq("nid"))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col("nid"),
+        cosineSim(col("qvec"), col("nvec")).as("cos"))
+      .groupBy(col("qid"))
+      .agg(topKBy(col("cos"), col("nid"), k).as("__rk"))
+      .select(col("qid"), posexplode(col("__rk")))
+      .select(col("qid"), col("col.id").as("nid"), col("col.score").as("cos"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** IVF centroid table from seed labels — one Lloyd step with integer-
     * quantized component sums (floor(v * 2^20)): exact, order-independent
     * and engine-identical, and since cosine is scale-invariant the

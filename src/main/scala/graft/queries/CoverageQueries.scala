@@ -607,6 +607,52 @@ object CoverageQueries {
   val annIvfPqOracle: String = annIvfPqOracleAt(1)
   val annIvfPqProbe2Oracle: String = annIvfPqOracleAt(2)
 
+  /** Binary-quantization ANN with exact re-rank
+    * ([[Similarity.binaryTopK]]): 1-bit/dim sign fingerprints shortlist
+    * each query's 50 nearest by Hamming distance, then ONLY the
+    * shortlist is re-ranked by exact cosine — the RAM-prefilter pattern
+    * (8 B/vector where raw floats are 256 B). Deterministic end to end:
+    * sign bits, integer Hamming, nid tie-breaks, and the sequential-fold
+    * cosine are all engine-identical. */
+  def annBinaryRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    Similarity.binaryTopK(
+      emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      emb.select(col("vec_id").as("nid"), col("embedding").as("nvec")),
+      dim = 64, k = 5, shortlist = 50)
+  }
+
+  val annBinaryRerankOracle: String =
+    s"""WITH fp AS (
+       |  SELECT vec_id, embedding,
+       |         list_transform(range(0,2), w ->
+       |           CAST(list_sum(list_transform(range(0,32), i ->
+       |             CASE WHEN CAST(embedding[w*32+i+1] AS DOUBLE) > 0
+       |                  THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END))
+       |             AS BIGINT)) AS f
+       |  FROM embeddings),
+       |short AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY list_sum(list_transform(range(0,2), w ->
+       |               bit_count(xor(q.f[w+1], c.f[w+1])))), c.vec_id) AS rn
+       |    FROM fp q JOIN fp c ON q.vec_id < 20 AND q.vec_id <> c.vec_id)
+       |  WHERE rn <= 50),
+       |scored AS (
+       |  SELECT s.qid, s.nid, ${cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM short s
+       |  JOIN embeddings q ON q.vec_id = s.qid
+       |  JOIN embeddings c ON c.vec_id = s.nid)
+       |SELECT qid, nid, cos, rank FROM (
+       |  SELECT qid, nid, cos,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid)
+       |           AS INTEGER) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5
+       |""".stripMargin
+
   /** Oracle for [[annDriftStatsQuery]]: the model is trained on the same
     * corpus driftStats is later pointed at, so every probe must measure
     * current == baseline and drift_q = 0 — the position quantiles of the
@@ -1388,6 +1434,7 @@ object CoverageQueries {
     "ann_index_lifecycle" -> (annIndexLifecycle _),
     "ann_lifecycle_probe2" -> (annLifecycleProbe2 _),
     "ann_drift_stats" -> (annDriftStatsQuery _),
+    "ann_binary_rerank" -> (annBinaryRerank _),
     "range_exclusion" -> (rangeExclusion _),
     "sales_rollup" -> (salesRollup _),
     "term_frequency" -> (termFrequency _),
@@ -1431,6 +1478,7 @@ object CoverageQueries {
     "ann_index_lifecycle" -> annIvfPqOracle,
     "ann_lifecycle_probe2" -> annIvfPqProbe2Oracle,
     "ann_drift_stats" -> annDriftOracle,
+    "ann_binary_rerank" -> annBinaryRerankOracle,
     "range_exclusion" -> rangeExclusionOracle,
     "sales_rollup" -> salesRollupOracle,
     "term_frequency" -> termFrequencyOracle,
