@@ -183,7 +183,32 @@ object GraftExpressions {
 
   private def expr(c: Column): Expression = Bridge.expression(c)
 
+  case class SignWordsExpr(child: Expression, dim: Int) extends UnaryExpression with GraftExpectsInputTypes {
+    override def graftInputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.signWords(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], dim)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.signWords($c, $dim)")
+    override protected def withNewChildInternal(newChild: Expression): SignWordsExpr =
+      copy(child = newChild)
+  }
+
+  case class WordHammingExpr(left: Expression, right: Expression) extends BinaryExpression with GraftExpectsInputTypes {
+    override def graftInputTypes: Seq[DataType] = Seq(ArrayType(LongType), ArrayType(LongType))
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.wordHamming(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.wordHamming($a, $b)")
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): WordHammingExpr =
+      copy(left = newLeft, right = newRight)
+  }
+
   def md5Prefix32(c: Column): Column = Bridge.column(Md5Prefix32(expr(c)))
+  def signWordsK(emb: Column, dim: Int): Column = Bridge.column(SignWordsExpr(expr(emb), dim))
+  def wordHammingK(a: Column, b: Column): Column = Bridge.column(WordHammingExpr(expr(a), expr(b)))
   def shingles(tokens: Column, n: Int): Column = Bridge.column(ShinglesExpr(expr(tokens), n))
   def shingleHashes(tokens: Column, n: Int): Column = Bridge.column(ShingleHashesExpr(expr(tokens), n))
   def minhashSig(hashes: Column, k: Int): Column = Bridge.column(MinhashSigExpr(expr(hashes), k))

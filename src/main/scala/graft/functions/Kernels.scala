@@ -221,4 +221,42 @@ object Kernels {
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** Binary (1-bit/dim) sign fingerprint: word w's bit i is set iff
+    * component w·32+i is non-null and > 0. One primitive pass — the
+    * equivalent 64-CaseWhen column composition measured ~40 µs/row
+    * (interpreted-scale), poisoning every stage it appeared in. Words
+    * stay in [0, 2^32), matching Similarity.signWords' contract. */
+  def signWords(emb: ArrayData, dim: Int): ArrayData = {
+    val m = emb.numElements()
+    val words = (dim + 31) / 32
+    val out = new Array[Any](words)
+    var w = 0
+    while (w < words) {
+      var word = 0L
+      val lim = math.min(32, dim - w * 32)
+      var i = 0
+      while (i < lim) {
+        val idx = w * 32 + i
+        if (idx < m && !emb.isNullAt(idx) && emb.getFloat(idx) > 0f)
+          word |= (1L << i)
+        i += 1
+      }
+      out(w) = word
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Hamming distance between two [[signWords]] fingerprints. */
+  def wordHamming(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var w = 0
+    while (w < n) {
+      s += java.lang.Long.bitCount(a.getLong(w) ^ b.getLong(w))
+      w += 1
+    }
+    s
+  }
 }

@@ -86,8 +86,18 @@ object Similarity {
     * LONGs: word w's bit i is set iff component w·32+i+1 > 0. Words stay
     * in [0, 2^32) so every arithmetic step is exact and oracle-safe (a
     * single 64-bit word would set the sign bit for ~half of all vectors,
-    * which DuckDB's integer tower cannot round-trip through list_sum). */
+    * which DuckDB's integer tower cannot round-trip through list_sum).
+    * Fused codegen kernel; [[signWordsComposed]] is the built-in-function
+    * reference it must match bit for bit (KernelSpec). The composition is
+    * NOT the production form: its per-dim CaseWhen tree evaluates at
+    * interpreted speed (~40 µs/row measured) and poisons every stage
+    * that embeds it. */
   def signWords(emb: Column, dim: Int): Column =
+    graft.functions.GraftExpressions.signWordsK(emb, dim)
+
+  /** Reference composition for [[signWords]] — KernelSpec equivalence
+    * twin, mirroring the oracle SQL shape. */
+  def signWordsComposed(emb: Column, dim: Int): Column =
     array((0 until (dim + 31) / 32).map { w =>
       (0 until math.min(32, dim - w * 32)).map { i =>
         when(element_at(emb, w * 32 + i + 1) > 0f, lit(1L << i))
@@ -95,10 +105,20 @@ object Similarity {
       }.reduce(_ + _)
     }: _*)
 
-  /** Hamming distance between two [[signWords]] fingerprints. */
+  /** Hamming distance between two [[signWords]] fingerprints — fused
+    * kernel (one primitive xor/popcount pass); runs once per candidate
+    * pair in the shortlist stage, exactly the hot path that must stay
+    * inside whole-stage codegen. [[wordHammingComposed]] is the
+    * reference. */
   def wordHamming(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.GraftExpressions.wordHammingK(a, b)
+
+  /** Reference composition for [[wordHamming]] (KernelSpec twin). */
+  def wordHammingComposed(a: Column, b: Column, dim: Int): Column =
+    (0 until (dim + 31) / 32).map { w =>
+      bit_count(element_at(a, w + 1).bitwiseXOR(element_at(b, w + 1)))
+        .cast("long")
+    }.reduce(_ + _)
 
   /** Binary-quantization search with exact re-rank — the RAM-prefilter
     * pattern of production vector stores: stage 1 shortlists each

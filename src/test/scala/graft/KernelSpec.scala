@@ -120,4 +120,25 @@ class KernelSpec extends SparkSpecBase {
       !(dotD(col("ea"), col("eb")) <=> dotDComposed(col("ea"), col("eb"))))
     assert(bad.count() == 0)
   }
+
+  test("signWords/wordHamming kernels == composed CaseWhen/bit_count forms") {
+    import graft.ops.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val badFp = emb.filter(!(Similarity.signWords(col("embedding"), 64) <=>
+      Similarity.signWordsComposed(col("embedding"), 64)))
+    assert(badFp.count() == 0)
+    // a non-multiple-of-32 dim exercises the partial last word
+    val badFp33 = emb.filter(!(Similarity.signWords(col("embedding"), 33) <=>
+      Similarity.signWordsComposed(col("embedding"), 33)))
+    assert(badFp33.count() == 0)
+    val fp = emb.select(col("vec_id"),
+      Similarity.signWords(col("embedding"), 64).as("f"))
+    val pairs = fp.select(col("vec_id").as("i"), col("f").as("fa"))
+      .join(fp.select(col("vec_id").as("j"), col("f").as("fb")),
+        col("i") % 7 === col("j") % 7)
+    val badH = pairs.filter(
+      !(Similarity.wordHamming(col("fa"), col("fb")) <=>
+        Similarity.wordHammingComposed(col("fa"), col("fb"), 64)))
+    assert(badH.count() == 0)
+  }
 }
