@@ -231,6 +231,43 @@ object AnnIndex {
         .bloomSupported(emb.schema(c).dataType)))
   }
 
+  /** Persist the binary (1-bit/dim) sign-fingerprint index for
+    * [[binarySearch]]: one (vec_id, fp) row per corpus vector, dim/8
+    * bytes of fingerprint each — the RAM-prefilter table that stands in
+    * for 4-byte-per-dim raw floats in the shortlist stage. vec_id
+    * stats + blooms harvest like the codes table, so point-lookup joins
+    * into the index prune files. One replace commit; rebuild by calling
+    * again (fingerprints have no trained state, so unlike IVF-PQ there
+    * is no drift story — a fingerprint is a pure function of its
+    * vector). Returns the committed version. */
+  def buildBinaryIndex(spark: SparkSession, emb: DataFrame, dim: Int,
+                       fpRoot: String): Long =
+    Versioned.commit(spark,
+      emb.select(col("vec_id"),
+        Similarity.signWords(col("embedding"), dim).as("fp")),
+      fpRoot, replace = true, tag = Some(s"binary-fp-dim$dim"),
+      statsCols = Seq("vec_id"),
+      bloomCols = Seq("vec_id").filter(c => graft.io.FileStats
+        .bloomSupported(emb.schema(c).dataType)))
+
+  /** Search the persisted fingerprint index: Hamming-shortlist against
+    * the index table, exact cosine re-rank against `corpus`'s raw
+    * vectors (only the shortlist's rows are fetched). `dim` must be the
+    * index's build dim — checked loudly against the stored word count
+    * before any work runs. */
+  def binarySearch(spark: SparkSession, queries: DataFrame, fpRoot: String,
+                   corpus: DataFrame, dim: Int, k: Int,
+                   shortlist: Int): DataFrame = {
+    val fp = Versioned.read(spark, fpRoot)
+    val words = fp.select(size(col("fp"))).head().getInt(0)
+    require(words == (dim + 31) / 32,
+      s"binarySearch: dim=$dim expects ${(dim + 31) / 32} fingerprint " +
+        s"words, but the index at $fpRoot stores $words — search with the " +
+        "dim the index was built with")
+    Similarity.binaryTopKIndexed(fp.select(col("vec_id").as("nid"), col("fp")),
+      queries, corpus, dim, k, shortlist)
+  }
+
   /** End-to-end search over the PERSISTED pair: raw query vectors in,
     * (qid, nid, cluster, cos_pq, rank) out — queries are IVF-assigned
     * against the model's centroids, candidates come from the codes

@@ -134,11 +134,24 @@ object Similarity {
     * deterministic, both matched by the oracle. Returns (qid, nid, cos,
     * rank), rank ≤ k. */
   def binaryTopK(queries: DataFrame, corpus: DataFrame, dim: Int,
-                 k: Int, shortlist: Int): DataFrame = {
+                 k: Int, shortlist: Int): DataFrame =
+    binaryTopKIndexed(
+      corpus.select(col("nid"), signWords(col("nvec"), dim).as("fp")),
+      queries, corpus, dim, k, shortlist)
+
+  /** [[binaryTopK]] against a PREBUILT fingerprint frame (nid, fp) — the
+    * persisted-index search path: stage 1 reads dim/8 bytes per corpus
+    * vector from the index table and never touches raw embeddings;
+    * stage 2 fetches only the shortlist's raw vectors for the exact
+    * re-rank (at scale, a bloom/stats-pruned point-lookup join into the
+    * corpus table — the shortlist ids broadcast). The index is what
+    * [[graft.ops.AnnIndex.buildBinaryIndex]] persists. */
+  def binaryTopKIndexed(fp: DataFrame, queries: DataFrame, corpus: DataFrame,
+                        dim: Int, k: Int, shortlist: Int): DataFrame = {
     import graft.functions.GraftExpressions.topKBy
     val qf = queries.select(col("qid"), signWords(col("qvec"), dim).as("__qf"))
-    val short = corpus
-      .select(col("nid"), signWords(col("nvec"), dim).as("__cf"))
+    val short = fp
+      .select(col("nid"), col("fp").as("__cf"))
       .crossJoin(broadcast(qf))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),

@@ -623,6 +623,23 @@ object CoverageQueries {
       dim = 64, k = 5, shortlist = 50)
   }
 
+  /** The PERSISTED-index form of [[annBinaryRerank]] under the SAME
+    * oracle verbatim: build the fingerprint table into a versioned root,
+    * then search it — the persistence must be hash-invisible, exactly
+    * like `ann_index_lifecycle` vs `ann_ivf_pq`. */
+  def annBinaryLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.AnnIndex
+    val emb = Tables.embeddings(spark, sfDir)
+    val fpRoot = QueryScratch.freshRoot("graft_annfp_q", sfDir)
+    AnnIndex.buildBinaryIndex(spark, emb, dim = 64, fpRoot)
+    AnnIndex.binarySearch(spark,
+      emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      fpRoot,
+      emb.select(col("vec_id").as("nid"), col("embedding").as("nvec")),
+      dim = 64, k = 5, shortlist = 50)
+  }
+
   val annBinaryRerankOracle: String =
     s"""WITH fp AS (
        |  SELECT vec_id, embedding,
@@ -1435,6 +1452,7 @@ object CoverageQueries {
     "ann_lifecycle_probe2" -> (annLifecycleProbe2 _),
     "ann_drift_stats" -> (annDriftStatsQuery _),
     "ann_binary_rerank" -> (annBinaryRerank _),
+    "ann_binary_lifecycle" -> (annBinaryLifecycle _),
     "range_exclusion" -> (rangeExclusion _),
     "sales_rollup" -> (salesRollup _),
     "term_frequency" -> (termFrequency _),
@@ -1479,6 +1497,7 @@ object CoverageQueries {
     "ann_lifecycle_probe2" -> annIvfPqProbe2Oracle,
     "ann_drift_stats" -> annDriftOracle,
     "ann_binary_rerank" -> annBinaryRerankOracle,
+    "ann_binary_lifecycle" -> annBinaryRerankOracle,
     "range_exclusion" -> rangeExclusionOracle,
     "sales_rollup" -> salesRollupOracle,
     "term_frequency" -> termFrequencyOracle,

@@ -533,6 +533,31 @@ class SimilaritySpec extends SparkSpecBase {
     assert(r > 10.0 * 3.0 / n, s"recall $r not above chance")
   }
 
+  test("persisted binary index: search equals in-memory, dim mismatch refused") {
+    import graft.ops.AnnIndex
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val fpRoot = java.nio.file.Files.createTempDirectory("annfp").toString
+    AnnIndex.buildBinaryIndex(spark, emb, dim = 64, fpRoot)
+    // 8 B of fingerprint per vector, one row each
+    val fp = graft.io.Versioned.read(spark, fpRoot)
+    assert(fp.count() == emb.count())
+    assert(fp.select(size(col("fp"))).distinct().as[Int].collect().toSeq == Seq(2))
+    val queries = emb.filter(col("vec_id") < 30)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+    val got = AnnIndex.binarySearch(spark, queries, fpRoot, corpus,
+      dim = 64, k = 3, shortlist = 50).collect().toSet
+    val want = Similarity.binaryTopK(queries, corpus, dim = 64, k = 3,
+      shortlist = 50).collect().toSet
+    assert(got == want && want.nonEmpty)
+    // searching with the wrong dim is a loud error, not silent garbage
+    val ex = intercept[IllegalArgumentException] {
+      AnnIndex.binarySearch(spark, queries, fpRoot, corpus,
+        dim = 128, k = 3, shortlist = 50)
+    }
+    assert(ex.getMessage.contains("fingerprint"))
+  }
+
   test("trainAndRebuild's one-encode-pass tables equal separate train + rebuild") {
     import graft.ops.AnnIndex
     val emb = Tables.table(spark, sfDir, "embeddings")
