@@ -248,9 +248,17 @@ object Kernels {
     new GenericArrayData(out)
   }
 
-  /** Hamming distance between two [[signWords]] fingerprints. */
+  /** Hamming distance between two [[signWords]] fingerprints. STRICT on
+    * word count: comparing fingerprints of different widths (an index
+    * built at one dim probed with queries fingerprinted at another)
+    * would silently ignore the extra words and return a plausible but
+    * wrong shortlist — refuse instead. */
   def wordHamming(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"wordHamming: fingerprint word counts differ ($n vs " +
+          s"${b.numElements()}) — the two sides were built at different dims")
     var s = 0L
     var w = 0
     while (w < n) {

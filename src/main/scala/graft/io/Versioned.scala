@@ -2906,13 +2906,13 @@ object Versioned {
       if (dryRun) {
         if (hasDeadStats || hasDeadBlooms) cleaned += 1
         // same accounting as the real run: probe the footers and count
-        // only files that actually resolve a wanted field id. The probe
-        // is the identical metadata-only read the real run pays on the
-        // same quarantine-affected dirs, so the plan can never
-        // over-report dirs whose files carry no matching id (pre-rename
-        // files of a column added later, foreign-id files, ...).
+        // only files that actually RESOLVE a wanted field id — collectById
+        // emits an entry for every probed file (empty stats map when no id
+        // matched), so the filter on non-empty maps is what excludes
+        // pre-rename files of a column added later, foreign-id files, ...
         if (wantedIds.nonEmpty && hasDeadStats && here.nonEmpty)
-          restatted += FileStats.collectById(hconf, here, wantedIds).size
+          restatted += FileStats.collectById(hconf, here, wantedIds)
+            .count(_._2.nonEmpty)
       } else {
         // footer re-reads are confined to QUARANTINE-AFFECTED dirs: a
         // dir without dead-name entries already keys its stats by
@@ -2923,7 +2923,9 @@ object Versioned {
           if (wantedIds.nonEmpty && hasDeadStats && here.nonEmpty)
             FileStats.collectById(hconf, here, wantedIds)
           else Map.empty[String, Map[String, FileStats.ColStats]]
-        restatted += fresh.size
+        // resolved-only, like the dry run: collectById emits an entry per
+        // probed file even when nothing matched
+        restatted += fresh.count(_._2.nonEmpty)
         if (hasDeadStats || fresh.exists(_._2.nonEmpty)) {
           val side = FileStats.readSidecar(dfs, dir)
           val stripped = side.map { case (f, byCol) =>

@@ -67,7 +67,13 @@ object AnnIndex {
   private def positionQuantiles(qcos: DataFrame): DataFrame = {
     val spark = qcos.sparkSession
     import spark.implicits._
-    val hist = qcos.groupBy(col("qcos")).agg(count(lit(1)).as("__c"))
+    // nulls out (degenerate vectors: zero norm, null embedding) — they
+    // carry no reconstruction-quality signal, and the oracle's histogram
+    // excludes them identically (WHERE qcos IS NOT NULL); without the
+    // filter a null group would sort FIRST in Spark and shift every
+    // cumulative position
+    val hist = qcos.filter(col("qcos").isNotNull)
+      .groupBy(col("qcos")).agg(count(lit(1)).as("__c"))
       .withColumn("__cum", sum(col("__c")).over(Window.orderBy(col("qcos"))))
       .withColumn("__n", sum(col("__c")).over(Window.partitionBy(lit(1))))
     hist.crossJoin(broadcast(driftPcts.toDF("pct")))
@@ -185,9 +191,20 @@ object AnnIndex {
     * represents the corpus, [[train]] + [[rebuild]]. */
   def driftStats(spark: SparkSession, emb: DataFrame,
                  modelRoot: String): DataFrame = {
-    val (_, book, m, dsub) = model(spark, modelRoot)
-    val baseline = Versioned.read(spark, modelRoot)
-      .filter(col("part") === "drift")
+    // ONE snapshot read serves the book, the geometry AND the baseline:
+    // a second Versioned.read could land after a concurrent retrain's
+    // replace commit and pair the old book's current_q with the new
+    // book's baseline_q — exactly the mixed-version read the
+    // single-table model design exists to forbid (the monitor sink
+    // calls this per trigger while a retrain may be running).
+    val t = Versioned.read(spark, modelRoot)
+    val metaRow = t.filter(col("part") === "meta")
+      .select(col("rlabel").cast("int"), element_at(col("vec"), 1).cast("int"))
+      .head()
+    val (m, dsub) = (metaRow.getInt(0), metaRow.getInt(1))
+    val book = t.filter(col("part") === "book")
+      .select(col("rlabel"), col("vec").as("cvec"))
+    val baseline = t.filter(col("part") === "drift")
       .select(col("rlabel").cast("int").as("pct"),
         element_at(col("vec"), 1).cast("long").as("baseline_q"))
     val current = positionQuantiles(reconCosQ(emb, book, m, dsub))
@@ -203,9 +220,16 @@ object AnnIndex {
     * One small scalar read off [[driftStats]] — a guard, not a data
     * path. */
   def needsRebuild(spark: SparkSession, emb: DataFrame, modelRoot: String,
-                   pct: Int = 90, tolQ: Long = 10486L): Boolean =
+                   pct: Int = 90, tolQ: Long = 10486L): Boolean = {
+    // fail BEFORE the corpus-scale encode: the baseline only carries the
+    // driftPcts probes, so any other pct would die as an opaque
+    // empty-head after paying the whole measurement
+    require(driftPcts.contains(pct),
+      s"needsRebuild: pct=$pct is not a persisted probe " +
+        s"(baselines exist at ${driftPcts.mkString("/")})")
     driftStats(spark, emb, modelRoot).filter(col("pct") === pct)
       .select(col("drift_q") > tolQ).head().getBoolean(0)
+  }
 
   /** Re-encode the whole corpus under the CURRENT persisted model and
     * replace the codes table in one commit — the drift remedy
@@ -259,7 +283,11 @@ object AnnIndex {
                    corpus: DataFrame, dim: Int, k: Int,
                    shortlist: Int): DataFrame = {
     val fp = Versioned.read(spark, fpRoot)
-    val words = fp.select(size(col("fp"))).head().getInt(0)
+    val words = fp.select(size(col("fp"))).limit(1).collect().headOption
+      .map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        s"binarySearch: the fingerprint index at $fpRoot is empty — " +
+          "build it from a non-empty corpus first"))
     require(words == (dim + 31) / 32,
       s"binarySearch: dim=$dim expects ${(dim + 31) / 32} fingerprint " +
         s"words, but the index at $fpRoot stores $words — search with the " +

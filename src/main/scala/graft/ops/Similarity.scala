@@ -145,7 +145,12 @@ object Similarity {
     * stage 2 fetches only the shortlist's raw vectors for the exact
     * re-rank (at scale, a bloom/stats-pruned point-lookup join into the
     * corpus table — the shortlist ids broadcast). The index is what
-    * [[graft.ops.AnnIndex.buildBinaryIndex]] persists. */
+    * [[graft.ops.AnnIndex.buildBinaryIndex]] persists. An fp frame whose
+    * word count does not match `dim` fails loudly at evaluation (the
+    * hamming kernel refuses width-mismatched fingerprints — a silent
+    * truncation would return a plausible but wrong shortlist);
+    * `AnnIndex.binarySearch` additionally checks it up front with the
+    * index root named in the error. */
   def binaryTopKIndexed(fp: DataFrame, queries: DataFrame, corpus: DataFrame,
                         dim: Int, k: Int, shortlist: Int): DataFrame = {
     import graft.functions.GraftExpressions.topKBy

@@ -396,8 +396,10 @@ object Streams {
           // exact duplicate rows collapse; conflicting rows under one id
           // would otherwise append duplicate (vec_id, sub) code rows and
           // pqReconstruct's per-vector collect would silently assemble a
-          // double-length reconstruction — refuse before writing anything
-          val b0 = batch.toDF().distinct()
+          // double-length reconstruction — refuse before writing anything.
+          // Pinned: three consumers below (dup guard, id collect, encode)
+          // would otherwise each re-shuffle the distinct
+          val b0 = batch.toDF().distinct().localCheckpoint()
           val dup = b0.agg(count(lit(1)), countDistinct(col("vec_id")),
             count(col("vec_id"))).head()
           require(dup.getLong(0) == dup.getLong(2),
@@ -409,17 +411,26 @@ object Streams {
               "with differing embeddings — ambiguous under first-write-wins; " +
               "a changed embedding under an existing id is a rebuild event")
           // re-delivery guard (a true duplicate send, not a batch replay):
-          // probe the persisted index for THIS batch's ids only. The ids
-          // are trigger-bounded, so collecting them is a per-batch scalar
-          // guard read; the IN pushes into the scan and the per-file
-          // vec_id blooms skip every file that cannot hold any of them.
+          // probe the persisted index for THIS batch's ids only — the IN
+          // pushes into the scan and the per-file vec_id blooms skip
+          // every file that cannot hold any of them. The driver-side id
+          // collect is CAPPED: past ~100k ids the plan-size and driver-
+          // memory cost of the literal list outgrows what the file prune
+          // saves, so a jumbo trigger falls back to the distributed
+          // full-index anti join (the pre-bloom shape) instead of
+          // cliffing the driver.
           val b =
             if (graft.io.Versioned.versions(spark, codesRoot).isEmpty) b0
             else {
-              val ids = b0.select(col("vec_id")).collect().map(_.get(0))
-              val seen = spark.read.format("graft-versioned").load(codesRoot)
-                .filter(col("vec_id").isin(ids.toIndexedSeq: _*))
-                .select(col("vec_id")).distinct()
+              val idRows = b0.select(col("vec_id")).limit(100001).collect()
+              val seen =
+                if (idRows.length <= 100000)
+                  spark.read.format("graft-versioned").load(codesRoot)
+                    .filter(col("vec_id").isin(
+                      idRows.map(_.get(0)).toIndexedSeq: _*))
+                    .select(col("vec_id")).distinct()
+                else spark.read.format("graft-versioned").load(codesRoot)
+                  .select(col("vec_id")).distinct()
               b0.join(seen, Seq("vec_id"), "leftanti")
             }
           val assigned = graft.ops.Similarity.assignClusters(b, cent, nprobe = 1)
