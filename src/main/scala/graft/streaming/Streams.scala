@@ -387,27 +387,67 @@ object Streams {
                             m: Int, dsub: Int, codesRoot: String,
                             checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    guardedVectorIndexSink(embs, codesRoot, checkpointDir, "anncodes") { b =>
+      graft.ops.Similarity.assignClusters(b, cent, nprobe = 1)
+        .select(col("vec_id"), col("cluster"))
+        .join(graft.ops.Similarity.pqEncode(
+          b.select(col("vec_id"), col("embedding")), book, m, dsub),
+          Seq("vec_id"))
+    }
+  }
+
+  /** Streaming maintenance for the BINARY fingerprint index
+    * ([[graft.ops.AnnIndex.buildBinaryIndex]]'s table): each micro-batch
+    * of (vec_id, embedding) arrivals is sign-fingerprinted map-side (one
+    * codegen'd kernel pass, dim/8 bytes out per vector) and appended
+    * under the same duplicate/null/re-delivery guards as the PQ codes
+    * sink — the fingerprint is a pure function of its vector, so there
+    * is no frozen model and no drift story here; first write wins for
+    * the same reason (a re-sent identical vector fingerprints
+    * identically, a CHANGED vector under an old id is a rebuild event).
+    * Search the table with [[graft.ops.AnnIndex.binarySearch]]. */
+  def versionedBinaryIndexSink(embs: DataFrame, dim: Int, fpRoot: String,
+                               checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    guardedVectorIndexSink(embs, fpRoot, checkpointDir, "annfp") { b =>
+      b.select(col("vec_id"),
+        graft.ops.Similarity.signWords(col("embedding"), dim).as("fp"))
+    }
+  }
+
+  /** Shared exactly-once loop of the vector-index maintenance sinks:
+    * per-trigger duplicate/null guards, the bloom-bounded re-delivery
+    * anti join, and the replay-tagged commit; `encode` maps the clean
+    * batch (vec_id, embedding) to the rows appended to the index table.
+    * Kept private — the public sinks define WHAT an index row is, this
+    * defines what exactly-once index maintenance means. */
+  private def guardedVectorIndexSink(embs: DataFrame, root: String,
+                                     checkpointDir: String, kind: String)
+                                    (encode: DataFrame => DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.functions.{col, count, countDistinct, lit}
     embs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val spark = batch.sparkSession
-        if (!alreadyCommitted(spark, codesRoot, checkpointDir, "anncodes", id)) {
+        if (!alreadyCommitted(spark, root, checkpointDir, kind, id)) {
           // exact duplicate rows collapse; conflicting rows under one id
-          // would otherwise append duplicate (vec_id, sub) code rows and
+          // would otherwise append duplicate index rows (for PQ codes,
           // pqReconstruct's per-vector collect would silently assemble a
-          // double-length reconstruction — refuse before writing anything.
-          // Pinned: three consumers below (dup guard, id collect, encode)
-          // would otherwise each re-shuffle the distinct
+          // double-length reconstruction) — refuse before writing
+          // anything. Pinned: three consumers below (dup guard, id
+          // collect, encode) would otherwise each re-shuffle the distinct
           val b0 = batch.toDF().distinct().localCheckpoint()
           val dup = b0.agg(count(lit(1)), countDistinct(col("vec_id")),
             count(col("vec_id"))).head()
           require(dup.getLong(0) == dup.getLong(2),
-            s"versionedAnnIndexSink: batch $id carries null vec_ids — " +
+            s"vector index sink ($kind): batch $id carries null vec_ids — " +
               "an unaddressable vector can never be searched, guarded or " +
               "rebuilt; assign ids upstream")
           require(dup.getLong(2) == dup.getLong(1),
-            s"versionedAnnIndexSink: batch $id carries the same vec_id " +
+            s"vector index sink ($kind): batch $id carries the same vec_id " +
               "with differing embeddings — ambiguous under first-write-wins; " +
               "a changed embedding under an existing id is a rebuild event")
           // re-delivery guard (a true duplicate send, not a batch replay):
@@ -420,27 +460,21 @@ object Streams {
           // full-index anti join (the pre-bloom shape) instead of
           // cliffing the driver.
           val b =
-            if (graft.io.Versioned.versions(spark, codesRoot).isEmpty) b0
+            if (graft.io.Versioned.versions(spark, root).isEmpty) b0
             else {
               val idRows = b0.select(col("vec_id")).limit(100001).collect()
               val seen =
                 if (idRows.length <= 100000)
-                  spark.read.format("graft-versioned").load(codesRoot)
+                  spark.read.format("graft-versioned").load(root)
                     .filter(col("vec_id").isin(
                       idRows.map(_.get(0)).toIndexedSeq: _*))
                     .select(col("vec_id")).distinct()
-                else spark.read.format("graft-versioned").load(codesRoot)
+                else spark.read.format("graft-versioned").load(root)
                   .select(col("vec_id")).distinct()
               b0.join(seen, Seq("vec_id"), "leftanti")
             }
-          val assigned = graft.ops.Similarity.assignClusters(b, cent, nprobe = 1)
-          val codes = graft.ops.Similarity.pqEncode(
-            b.select(col("vec_id"), col("embedding")), book, m, dsub)
-          graft.io.Versioned.commit(spark,
-            assigned.select(col("vec_id"), col("cluster"))
-              .join(codes, Seq("vec_id")),
-            codesRoot,
-            tag = Some(batchTag(checkpointDir, "anncodes", id)),
+          graft.io.Versioned.commit(spark, encode(b), root,
+            tag = Some(batchTag(checkpointDir, kind, id)),
             statsCols = Seq("vec_id"),
             bloomCols = Seq("vec_id").filter(c => graft.io.FileStats
               .bloomSupported(batch.schema(c).dataType)))

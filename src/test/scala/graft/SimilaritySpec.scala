@@ -533,6 +533,45 @@ class SimilaritySpec extends SparkSpecBase {
     assert(r > 10.0 * 3.0 / n, s"recall $r not above chance")
   }
 
+  test("streamed binary index equals the batch build; re-delivery dropped") {
+    import graft.ops.AnnIndex
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val rows = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val fpRoot = java.nio.file.Files.createTempDirectory("annfp_stream").toString
+    val src = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.Streams.versionedBinaryIndexSink(
+      src.toDF().toDF("vec_id", "embedding"), dim = 64, fpRoot,
+      java.nio.file.Files.createTempDirectory("annfpckpt").toString)
+    try {
+      src.addData(rows.filter(_._1 % 2 == 1).toSeq)
+      q.processAllAvailable()
+      src.addData(rows.filter(_._1 % 2 == 0).toSeq)
+      q.processAllAvailable()
+      // re-delivered old ids in a genuinely new batch: first write wins
+      src.addData(rows.take(5).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = graft.io.Versioned.read(spark, fpRoot)
+    assert(streamed.count() == rows.length.toLong, "exact one row per vector")
+    // the streamed table IS the batch build, fingerprint for fingerprint
+    val batchRoot = java.nio.file.Files.createTempDirectory("annfp_batch").toString
+    AnnIndex.buildBinaryIndex(spark, emb, dim = 64, batchRoot)
+    assert(streamed.select("vec_id", "fp").as[(Long, Seq[Long])].collect().toSet
+      == graft.io.Versioned.read(spark, batchRoot)
+        .select("vec_id", "fp").as[(Long, Seq[Long])].collect().toSet)
+    // and searching the streamed index equals the in-memory path
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+    assert(AnnIndex.binarySearch(spark, queries, fpRoot, corpus,
+      dim = 64, k = 3, shortlist = 50).collect().toSet ==
+      Similarity.binaryTopK(queries, corpus, dim = 64, k = 3, shortlist = 50)
+        .collect().toSet)
+  }
+
   test("persisted binary index: search equals in-memory, dim mismatch refused") {
     import graft.ops.AnnIndex
     val emb = Tables.table(spark, sfDir, "embeddings")
