@@ -22,7 +22,10 @@ object Prof {
         // constructing it RUNS the iterative CC to a checkpoint, so its
         // "plan" is just a LogicalRDD scan and the audit would pay the
         // full workload.)
-        "kmv_distinct_agg", "bigram_stats", "curation_pack")
+        "kmv_distinct_agg", "bigram_stats", "curation_pack",
+        // round-13 ANN family: the pruned persisted search and the
+        // binary shortlist/re-rank shapes
+        "ann_ivf_pq", "ann_binary_rerank", "ann_drift_stats")
     names.foreach { n =>
       println(s"\n================ $n ================")
       SparkEntry.queries(n)(spark, d).explain("formatted")
