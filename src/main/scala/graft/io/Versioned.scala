@@ -3131,18 +3131,25 @@ object Versioned {
                     sortCols: Seq[String] = Nil,
                     statsCols: Option[Seq[String]] = None): Long = {
     import org.apache.spark.sql.functions.col
+    val curFiles = snapshotFiles(spark, root, None)
     val df = read(spark, root)
     val shaped =
       if (sortCols.isEmpty) df.repartition(nFiles)
       else df.repartitionByRange(nFiles, sortCols.map(col): _*)
         .sortWithinPartitions(sortCols.map(col): _*)
-    // stats default to the sort layout's own columns — compaction must
-    // REFRESH pruning metadata, not silently destroy it (the rewritten
-    // files would otherwise carry no sidecar and never prune again)
-    // pure re-layout of already-committed rows: valid by induction, so
+    // stats default to the sort layout's own columns, and tracked BLOOM
+    // sidecars re-harvest too — compaction must REFRESH pruning
+    // metadata, not silently destroy it (the rewritten files would
+    // otherwise carry no sidecar and never prune again; a dropped bloom
+    // is the quiet version: point lookups degrade to keep-every-file).
+    // Pure re-layout of already-committed rows: valid by induction, so
     // CHECK re-validation is skipped (it would re-read the whole table)
     commit(spark, shaped, root, replace = true,
-      statsCols = statsCols.getOrElse(sortCols), validateChecks = false)
+      statsCols = statsCols.getOrElse(sortCols),
+      bloomCols = trackedBloomCols(spark, root, curFiles).filter(c =>
+        shaped.columns.contains(c) &&
+          FileStats.bloomSupported(shaped.schema(c).dataType)),
+      validateChecks = false)
   }
 
   /** Incremental compaction — the OPTIMIZE between [[compactLatest]]
@@ -3185,9 +3192,16 @@ object Versioned {
         .sortWithinPartitions(sortCols.map(col): _*)
     val statsCols = (trackedStatsCols(spark, root, files) ++ sortCols)
       .distinct.sorted.filter(c => schema.forall(_.fieldNames.contains(c)))
-    // bin-packed rows are already-committed and valid by induction
+    // bin-packed rows are already-committed and valid by induction;
+    // tracked blooms re-harvest for the packed files (carried files keep
+    // their sidecars) — else compaction would quietly strip point-lookup
+    // pruning from exactly the high-churn tables that need compaction
     commitMixed(spark, shaped, root, large.map(p => relativize(spark, root, p._1)),
-      statsCols = statsCols, validateChecks = false, op = "compact")
+      statsCols = statsCols,
+      bloomCols = trackedBloomCols(spark, root, files).filter(c =>
+        schema.exists(s => s.fieldNames.contains(c) &&
+          FileStats.bloomSupported(s(c).dataType))),
+      validateChecks = false, op = "compact")
   }
 
   /** One row per committed version — the DESCRIBE HISTORY surface:
@@ -3609,6 +3623,15 @@ object Versioned {
     if (statsCols.nonEmpty && newPaths.nonEmpty)
       FileStats.writeSidecar(f, batchDir,
         FileStats.collect(spark.sparkContext.hadoopConfiguration, newPaths, statsCols))
+    // tracked blooms re-harvest for the packed files, like compactSmall —
+    // the sidecar lands in the unique batch dir BEFORE any publish
+    // attempt, so an aborted compaction leaves no stray sidecar behind
+    val occBloomCols = trackedBloomCols(spark, root, files).filter(c =>
+      schema.exists(s => s.fieldNames.contains(c) &&
+        FileStats.bloomSupported(s(c).dataType)))
+    if (occBloomCols.nonEmpty && newPaths.nonEmpty)
+      harvestBloomsFor(spark, batchDir, newPaths,
+        schema.getOrElse(asNullable(shaped.schema)), occBloomCols)
     val outFiles = newPaths.map(p => s"data/${batchDir.getName}/${p.getName}")
     def abort(t: Throwable): Nothing = { f.delete(batchDir, true); throw t }
     var attempt = 0

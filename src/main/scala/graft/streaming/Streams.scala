@@ -422,7 +422,14 @@ object Streams {
     * anti join, and the replay-tagged commit; `encode` maps the clean
     * batch (vec_id, embedding) to the rows appended to the index table.
     * Kept private — the public sinks define WHAT an index row is, this
-    * defines what exactly-once index maintenance means. */
+    * defines what exactly-once index maintenance means.
+    *
+    * Maintenance: like the substring pair, the index accretes one small
+    * commit per trigger forever — [[graft.io.Versioned.compactSmall]]
+    * on the root (sink STOPPED, single writer) bounds the file count;
+    * compaction re-harvests the vec_id stats/bloom sidecars, so the
+    * re-delivery guard keeps pruning and search results are unchanged
+    * (SimilaritySpec pins both). */
   private def guardedVectorIndexSink(embs: DataFrame, root: String,
                                      checkpointDir: String, kind: String)
                                     (encode: DataFrame => DataFrame)

@@ -179,4 +179,37 @@ class BloomPruneSpec extends SparkSpecBase {
       FileStats.bloomMayContain(blooms("l"), h(Literal(v))))
     assert(misses <= 5, s"fpp far above spec: $misses/100")
   }
+
+  test("compaction re-harvests tracked blooms; point lookups keep pruning") {
+    // full rewrite WITHOUT sort columns: the rewritten files carry no
+    // min/max stats at all, so only a re-harvested bloom can prune the
+    // point lookup — a compaction that dropped blooms would quietly
+    // degrade exactly the high-churn tables that need compacting
+    val root = interleavedTable(bloom = true)
+    Versioned.compactLatest(spark, root, nFiles = 4)
+    val q = spark.read.format("graft-versioned").load(root)
+      .filter($"id" === 42L)
+    assert(q.as[(Long, String)].collect().toSeq == Seq((42L, "v42")))
+    assert(keptFiles(q) == 1,
+      "blooms must survive compactLatest and prune to the one holder")
+    // incremental bin-pack: the packed outputs carry blooms too
+    val root2 = interleavedTable(bloom = true)
+    Versioned.compactSmall(spark, root2, targetBytes = 2048)
+    val q2 = spark.read.format("graft-versioned").load(root2)
+      .filter($"id" === 42L)
+    assert(q2.as[(Long, String)].collect().toSeq == Seq((42L, "v42")))
+    val total = Versioned.read(spark, root2).inputFiles.length
+    assert(total >= 2, s"fixture must bin-pack into 2+ files, got $total")
+    assert(keptFiles(q2) < total,
+      s"packed-file blooms must prune: kept ${keptFiles(q2)} of $total")
+    // OCC form: same guarantee under the optimistic protocol
+    val root3 = interleavedTable(bloom = true)
+    Versioned.compactSmallOcc(spark, root3, targetBytes = 2048)
+    val q3 = spark.read.format("graft-versioned").load(root3)
+      .filter($"id" === 42L)
+    assert(q3.as[(Long, String)].collect().toSeq == Seq((42L, "v42")))
+    val total3 = Versioned.read(spark, root3).inputFiles.length
+    assert(total3 >= 2 && keptFiles(q3) < total3,
+      s"OCC-packed blooms must prune: kept ${keptFiles(q3)} of $total3")
+  }
 }
