@@ -427,9 +427,9 @@ object Streams {
     * Maintenance: like the substring pair, the index accretes one small
     * commit per trigger forever — [[graft.io.Versioned.compactSmall]]
     * on the root (sink STOPPED, single writer) bounds the file count;
-    * compaction re-harvests the vec_id stats/bloom sidecars, so the
-    * re-delivery guard keeps pruning and search results are unchanged
-    * (SimilaritySpec pins both). */
+    * compaction re-harvests the vec_id stats AND bloom sidecars
+    * (BloomPruneSpec's compaction test pins it), so the re-delivery
+    * guard keeps pruning and search results are unchanged. */
   private def guardedVectorIndexSink(embs: DataFrame, root: String,
                                      checkpointDir: String, kind: String)
                                     (encode: DataFrame => DataFrame)
