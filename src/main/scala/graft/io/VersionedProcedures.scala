@@ -212,6 +212,30 @@ private[io] object VersionedProcedures {
           url, input.getLong(0) * 60L * 60 * 1000))
       }),
 
+    Spec("ann_drift", "measure a corpus table's reconstruction-quality drift against a persisted ANN model's training-time baseline (graft.ops.AnnIndex.driftStats): one row per quantile probe, drift_q > 0 means today's vectors reconstruct worse than at train time (~10486 per 0.01 cosine)",
+      Array(in("corpus_table", StringType), in("model_table", StringType)),
+      StructType(Seq(
+        StructField("pct", IntegerType, nullable = false),
+        StructField("baseline_q", LongType, nullable = false),
+        StructField("current_q", LongType, nullable = false),
+        StructField("drift_q", LongType, nullable = false))),
+      (spark, rootFor, input) =>
+        graft.ops.AnnIndex.driftStats(spark,
+          Versioned.read(spark, existing(spark, rootFor, input, 0)),
+          existing(spark, rootFor, input, 1))
+          .orderBy("pct")
+          .queryExecution.executedPlan.executeCollect()),
+
+    Spec("ann_rebuild", "re-encode a corpus table under the persisted ANN model and REPLACE the codes table in one commit (graft.ops.AnnIndex.rebuild) — the drift remedy; stop the maintenance sink first (single writer per root)",
+      Array(in("corpus_table", StringType), in("model_table", StringType),
+        in("codes_table", StringType)),
+      newVersion,
+      (spark, rootFor, input) => row(graft.ops.AnnIndex.rebuild(spark,
+        Versioned.read(spark, existing(spark, rootFor, input, 0)),
+        existing(spark, rootFor, input, 1),
+        // the codes table may not exist yet: the first rebuild bootstraps it
+        rootFor(str(input, 2, "codes_table"))))),
+
     Spec("add_constraint", "record a named CHECK constraint (metadata-only); future writes violating it abort before writing",
       Array(in("table", StringType), in("name", StringType),
         in("expression", StringType)),

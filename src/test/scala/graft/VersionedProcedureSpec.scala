@@ -237,4 +237,38 @@ class VersionedProcedureSpec extends SparkSpecBase {
       spark.sql("CALL graft_proc.other.history('ns.ref')"))
     assert(chain(e3).contains("undefined procedure"))
   }
+
+  test("CALL ann_drift and ann_rebuild run the ANN maintenance loop over catalog tables") {
+    import graft.ops.AnnIndex
+    // a versioned corpus table in this catalog's warehouse
+    val dim = 16
+    def vec(i: Int): Seq[Float] = (0 until dim).map { j =>
+      val base = if (j / 4 == i % 4) 1.0f else 0.1f
+      base + 0.01f * ((i * 31 + j * 7) % 5)
+    }
+    val emb = (0 until 200).map(i => (i.toLong, (i % 4).toLong, vec(i)))
+      .toDF("vec_id", "label", "embedding")
+    Versioned.commit(spark, emb, rootOf("anncorpus"))
+    AnnIndex.train(spark, emb, m = 4, dsub = 4, rootOf("annmodel"))
+
+    // fresh corpus: drift exactly 0 at every probe, through SQL
+    val drift = spark.sql(
+      "CALL graft_proc.system.ann_drift('ns.anncorpus', 'ns.annmodel')")
+    assert(drift.columns.toSeq ==
+      Seq("pct", "baseline_q", "current_q", "drift_q"))
+    assert(drift.select("pct", "drift_q").as[(Int, Long)].collect().toSet ==
+      Set((50, 0L), (90, 0L), (99, 0L)))
+
+    // rebuild bootstraps the codes table and reports its version
+    val v = spark.sql("CALL graft_proc.system.ann_rebuild(" +
+      "'ns.anncorpus', 'ns.annmodel', 'ns.anncodes')")
+    assert(v.as[Long].collect().toSeq == Seq(1L))
+    // the persisted pair searches end to end
+    assert(AnnIndex.search(spark, emb.filter(col("vec_id") < 5),
+      rootOf("annmodel"), rootOf("anncodes"), k = 3).count() > 0)
+    // a missing model table refuses like every procedure
+    val e = intercept[Exception](spark.sql(
+      "CALL graft_proc.system.ann_drift('ns.anncorpus', 'ns.nomodel')"))
+    assert(chain(e).toLowerCase.contains("table"))
+  }
 }
