@@ -24,8 +24,13 @@ object Prof {
         // full workload.)
         "kmv_distinct_agg", "bigram_stats", "curation_pack",
         // round-13 ANN family: the pruned persisted search and the
-        // binary shortlist/re-rank shapes
-        "ann_ivf_pq", "ann_binary_rerank", "ann_drift_stats")
+        // binary shortlist/re-rank shapes. (ann_drift_stats deliberately
+        // excluded for the same reason as dedup_clusters: constructing
+        // it RUNS a full AnnIndex.train — a corpus-scale encode plus a
+        // model-table commit — and the printed plan would cover only the
+        // driftStats tail, so the audit would pay the workload to
+        // explain a fraction of it.)
+        "ann_ivf_pq", "ann_binary_rerank")
     names.foreach { n =>
       println(s"\n================ $n ================")
       SparkEntry.queries(n)(spark, d).explain("formatted")

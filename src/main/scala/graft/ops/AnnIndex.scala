@@ -14,16 +14,31 @@ import org.apache.spark.sql.functions._
   * when it has, and SEARCH the persisted pair end to end with the
   * standard IVF recall dial (`nprobe`).
   *
-  * The model is ONE versioned table holding four row kinds under a
+  * The model is ONE versioned table holding five row kinds under a
   * `part` discriminator — `cent` (IVF centroids), `book` (PQ codebook),
   * `meta` (the m/dsub geometry the book was trained with), `drift` (the
-  * training-time reconstruction-cosine quantiles) — so train and
+  * training-time reconstruction-cosine quantiles), `occ` (the
+  * training-time per-cell occupancy counts) — so train and
   * retrain are a single atomic replace commit: readers can never observe
   * a new-centroids/old-book mix, the geometry can never drift from the
-  * book it describes, and the drift baseline always belongs to exactly
-  * the book it was measured under (rebuild and search read m/dsub FROM
-  * the model, never from caller arguments). Old models stay readable by
-  * version for audit/rollback, like every versioned table.
+  * book it describes, and the drift/occupancy baselines always belong to
+  * exactly the book it was measured under (rebuild and search read m/dsub
+  * FROM the model, never from caller arguments). Old models stay readable
+  * by version for audit/rollback, like every versioned table.
+  *
+  * The rebuild contract has TWO triggers, because an index can rot two
+  * independent ways while the maintenance sink appends under FROZEN
+  * centroids:
+  *   - QUALITY: today's vectors reconstruct worse than the training
+  *     distribution ([[driftStats]] vs the `drift` baseline) — the book
+  *     no longer spans the corpus.
+  *   - BALANCE: arrivals pile into few cells ([[cellStats]] vs the `occ`
+  *     baseline) — probed-cell search degrades toward O(n) on the hot
+  *     cell even while reconstruction quality stays fine (a shifted
+  *     distribution can still land inside the book's span).
+  * [[needsRebuild]]'s combined form checks BALANCE first (a codes-table
+  * aggregation, no corpus encode) and only pays the quality encode when
+  * the cheap trigger stays quiet.
   */
 object AnnIndex {
 
@@ -82,15 +97,49 @@ object AnnIndex {
       .groupBy(col("pct")).agg(min(col("qcos")).as("q"))
   }
 
+  /** [[positionQuantiles]] per `batch_id` group — the windows partition
+    * by batch, so each frame is bounded by that batch's ≤ 2^21+1
+    * distinct quantized values exactly as the global form's is. Returns
+    * (batch_id, pct, q). */
+  private def positionQuantilesBy(qcos: DataFrame): DataFrame = {
+    val spark = qcos.sparkSession
+    import spark.implicits._
+    val hist = qcos.filter(col("qcos").isNotNull)
+      .groupBy(col("batch_id"), col("qcos")).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(
+        Window.partitionBy(col("batch_id")).orderBy(col("qcos"))))
+      .withColumn("__n", sum(col("__c")).over(
+        Window.partitionBy(col("batch_id"))))
+    hist.crossJoin(broadcast(driftPcts.toDF("pct")))
+      .filter(col("__cum") >=
+        floor((col("pct") * col("__n") + lit(99)) / lit(100)))
+      .groupBy(col("batch_id"), col("pct")).agg(min(col("qcos")).as("q"))
+  }
+
+  /** The `occ` baseline rows: per-cell member counts of `assigned`
+    * ((…, cluster) rows, one per corpus vector) in the model-table shape.
+    * Counts ride as exact doubles (integers ≤ 2^53 — a corpus past that
+    * has bigger problems than this baseline). */
+  private def occRows(assigned: DataFrame, rlabelType: org.apache.spark.sql.types.DataType): DataFrame =
+    assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .select(lit("occ").as("part"), col("cluster").cast(rlabelType).as("rlabel"),
+        array(col("__n")).as("vec"))
+
   /** Train the frozen model from the current corpus and persist it as
     * one atomic replace commit — centroids, refined codebook, geometry,
-    * and the training-time reconstruction-cosine quantiles that
-    * [[driftStats]] later compares against. The baseline costs one extra
-    * encode pass under the FINAL book (linear, map-side — the same n·k·m
-    * shape as the refinement step itself); it is paid once per (re)train,
-    * which is exactly when the distribution snapshot must be taken — a
-    * baseline measured under any other book would compare apples to
-    * oranges forever after. Returns the committed model version. */
+    * the training-time reconstruction-cosine quantiles that
+    * [[driftStats]] later compares against, and the training-time
+    * per-cell occupancy counts that [[cellStats]] compares against. The
+    * quality baseline costs one extra encode pass under the FINAL book
+    * (linear, map-side — the same n·k·m shape as the refinement step
+    * itself) and the occupancy baseline one assignment pass (n·k,
+    * map-side under the broadcast centroids); both are paid once per
+    * (re)train, which is exactly when the distribution snapshot must be
+    * taken — a baseline measured under any other book/centroids would
+    * compare apples to oranges forever after. ([[trainAndRebuild]] gets
+    * the occupancy for free from the codes frame it builds anyway.)
+    * Returns the committed model version. */
   def train(spark: SparkSession, emb: DataFrame, m: Int, dsub: Int,
             modelRoot: String): Long = {
     // pin the trained artifacts (k rows each): the codebook's refinement
@@ -112,8 +161,13 @@ object AnnIndex {
       .select(lit("drift").as("part"),
         col("pct").cast(rlabelType).as("rlabel"),
         array(col("q").cast("double")).as("vec"))
+    val occ = occRows(
+      Similarity.assignClusters(emb.select(col("vec_id"), col("embedding")),
+        centDf, nprobe = 1),
+      rlabelType)
     Versioned.commit(spark,
-      cent.unionByName(book).unionByName(meta).unionByName(drift),
+      cent.unionByName(book).unionByName(meta).unionByName(drift)
+        .unionByName(occ),
       modelRoot, replace = true, tag = Some(s"ann-train-m$m-dsub$dsub"))
   }
 
@@ -155,8 +209,14 @@ object AnnIndex {
       .select(lit("drift").as("part"),
         col("pct").cast(rlabelType).as("rlabel"),
         array(col("q").cast("double")).as("vec"))
+    // occupancy baseline from the SAME pinned codes frame (one row per
+    // vector at sub=0) — no extra assignment pass, byte-identical to the
+    // counts [[train]] derives from its own assignment
+    val occ = occRows(codes.filter(col("sub") === 0).select(col("cluster")),
+      rlabelType)
     val mv = Versioned.commit(spark,
-      cent.unionByName(book).unionByName(meta).unionByName(drift),
+      cent.unionByName(book).unionByName(meta).unionByName(drift)
+        .unionByName(occ),
       modelRoot, replace = true, tag = Some(s"ann-train-m$m-dsub$dsub"))
     val cv = Versioned.commit(spark, codes, codesRoot, replace = true,
       tag = Some("ann-rebuild"),
@@ -191,6 +251,7 @@ object AnnIndex {
     * represents the corpus, [[train]] + [[rebuild]]. */
   def driftStats(spark: SparkSession, emb: DataFrame,
                  modelRoot: String): DataFrame = {
+    import spark.implicits._
     // ONE snapshot read serves the book, the geometry AND the baseline:
     // a second Versioned.read could land after a concurrent retrain's
     // replace commit and pair the old book's current_q with the new
@@ -204,14 +265,133 @@ object AnnIndex {
     val (m, dsub) = (metaRow.getInt(0), metaRow.getInt(1))
     val book = t.filter(col("part") === "book")
       .select(col("rlabel"), col("vec").as("cvec"))
-    val baseline = t.filter(col("part") === "drift")
-      .select(col("rlabel").cast("int").as("pct"),
-        element_at(col("vec"), 1).cast("long").as("baseline_q"))
+    // baseline rows collect up front (≤ |driftPcts| rows — a guard read,
+    // not a data path): a model committed without a drift baseline (a
+    // hand-built or pre-baseline table) must fail HERE, loudly and
+    // BEFORE the corpus-scale encode below is paid — without this probe
+    // the join would just produce an empty frame and needsRebuild would
+    // die post-encode on an opaque empty-head
+    val baselineRows = t.filter(col("part") === "drift")
+      .select(col("rlabel").cast("int"), element_at(col("vec"), 1).cast("long"))
+      .collect()
+    if (baselineRows.isEmpty) throw new IllegalStateException(
+      s"driftStats: the model at $modelRoot has no drift baseline " +
+        "(no part='drift' rows) — retrain with AnnIndex.train to " +
+        "establish one before measuring drift against it")
+    val baseline = baselineRows.map(r => (r.getInt(0), r.getLong(1))).toSeq
+      .toDF("pct", "baseline_q")
     val current = positionQuantiles(reconCosQ(emb, book, m, dsub))
       .select(col("pct"), col("q").as("current_q"))
     baseline.join(broadcast(current), Seq("pct"))
       .select(col("pct"), col("baseline_q"), col("current_q"),
         (col("baseline_q") - col("current_q")).as("drift_q"))
+  }
+
+  /** [[driftStats]] over a deterministic `sampleFraction` hash-mod
+    * sample of the corpus — the periodic corpus-level health check at
+    * scales where the exact form's full encode (O(n·k·m), the most
+    * expensive query in the bench) is too much to pay per check.
+    * Membership is `hash32(vec_id) % 10000 < round(f·10000)` — the same
+    * md5-derived discipline as the stratified samplers: reproducible
+    * across runs, engines and cluster sizes, and a FIXED subset, so two
+    * checks against the same corpus differ only by what the corpus
+    * changed, never by sampling churn. Noise bound: a quantile of an
+    * s-row sample sits within O(√(p(1−p)/s)) of the true RANK — e.g.
+    * ±0.3 percentile points around p90 at s = 10⁴ — so read sampled
+    * drift against a tolerance, not as exact; on the training corpus
+    * the spec pins full-vs-sampled agreement at the fixture scale. The
+    * exact form remains the arbiter ([[needsRebuild]] uses it); the
+    * streaming monitor sink covers ARRIVALS at O(batch) — this covers
+    * the standing corpus at O(f·n). */
+  def driftStats(spark: SparkSession, emb: DataFrame, modelRoot: String,
+                 sampleFraction: Double): DataFrame = {
+    val cut = math.round(sampleFraction * 10000).toInt
+    require(cut > 0 && cut <= 10000,
+      s"driftStats: sampleFraction=$sampleFraction must round into " +
+        "(0, 1] at 1/10000 granularity")
+    driftStats(spark,
+      emb.filter(graft.functions.TextFunctions.hash32(
+        col("vec_id").cast("string")) % 10000 < cut),
+      modelRoot)
+  }
+
+  /** [[driftStats]] per batch in ONE pass: `emb` carries a `batch_id`
+    * column (any grouping — arrival wave, time bucket, backfill shard)
+    * and every batch's quantiles come out of a single corpus encode with
+    * the quantile windows partitioned by batch, instead of one
+    * driftStats call (and one full model read + encode job) per batch.
+    * Returns (batch_id, pct, baseline_q, current_q, drift_q) — the same
+    * shape the streaming monitor sink accretes, so [[driftAlerts]] reads
+    * either. This is the BACKFILL form of the monitor: the sink measures
+    * arrivals forward in time; this recomputes the whole series from a
+    * corpus that kept its batch lineage. */
+  def driftSeries(spark: SparkSession, emb: DataFrame,
+                  modelRoot: String): DataFrame = {
+    import spark.implicits._
+    require(emb.columns.contains("batch_id"),
+      "driftSeries: the corpus frame must carry a batch_id column " +
+        "(the per-batch grouping the series is computed over)")
+    val t = Versioned.read(spark, modelRoot)
+    val metaRow = t.filter(col("part") === "meta")
+      .select(col("rlabel").cast("int"), element_at(col("vec"), 1).cast("int"))
+      .head()
+    val (m, dsub) = (metaRow.getInt(0), metaRow.getInt(1))
+    val book = t.filter(col("part") === "book")
+      .select(col("rlabel"), col("vec").as("cvec"))
+    val baselineRows = t.filter(col("part") === "drift")
+      .select(col("rlabel").cast("int"), element_at(col("vec"), 1).cast("long"))
+      .collect()
+    if (baselineRows.isEmpty) throw new IllegalStateException(
+      s"driftSeries: the model at $modelRoot has no drift baseline " +
+        "(no part='drift' rows) — retrain with AnnIndex.train to " +
+        "establish one before measuring drift against it")
+    val baseline = baselineRows.map(r => (r.getInt(0), r.getLong(1))).toSeq
+      .toDF("pct", "baseline_q")
+    val qcos = Similarity.pqReconstruct(
+      Similarity.pqEncode(emb.select(col("vec_id"), col("embedding")),
+        book, m, dsub), book, dsub)
+      .join(emb.select(col("vec_id"), col("embedding"), col("batch_id")),
+        Seq("vec_id"))
+      .select(col("batch_id"),
+        floor(graft.functions.GraftExpressions.cosineFD(
+          col("embedding"), col("xhat")) * lit(1048576d))
+          .cast("long").as("qcos"))
+    positionQuantilesBy(qcos)
+      .select(col("batch_id"), col("pct"), col("q").as("current_q"))
+      .join(broadcast(baseline), Seq("pct"))
+      .select(col("batch_id"), col("pct"), col("baseline_q"), col("current_q"),
+        (col("baseline_q") - col("current_q")).as("drift_q"))
+  }
+
+  /** Runs of consecutive drift breaches in a monitor series — the
+    * mechanical form of the monitor sink's alerting contract ("a single
+    * small batch's quantiles are noisy, so alert on a RUN of bad
+    * batches, not one"). `series` is any (batch_id, pct, …, drift_q)
+    * frame — the sink's accreted monitor table or a [[driftSeries]]
+    * result. A batch BREACHES when its `pct`-probe drift_q exceeds
+    * `tolQ`; maximal runs of breaches consecutive in batch_id ORDER
+    * (positional adjacency in the series, so sparse or gappy batch ids
+    * work) come back as (run_start, run_end, run_len, alert) with
+    * alert = run_len ≥ minRun. Scale posture: the whole computation runs
+    * over the monitor TIME SERIES — one row per batch per probe, O(#
+    * batches) however big each batch was — so the partition-less
+    * ordering windows are bounded by the series length by construction;
+    * do not point this at a per-vector frame. */
+  def driftAlerts(series: DataFrame, pct: Int, tolQ: Long,
+                  minRun: Int): DataFrame = {
+    require(minRun > 0, s"driftAlerts: minRun=$minRun must be positive")
+    // gaps-and-islands: global position minus position-among-breaches is
+    // constant exactly along a run of consecutive breaches
+    val pos = series.filter(col("pct") === pct)
+      .withColumn("__rn", row_number().over(Window.orderBy(col("batch_id"))))
+      .filter(col("drift_q") > tolQ)
+      .withColumn("__rb", row_number().over(Window.orderBy(col("batch_id"))))
+    pos.groupBy((col("__rn") - col("__rb")).as("__island"))
+      .agg(min(col("batch_id")).as("run_start"),
+        max(col("batch_id")).as("run_end"),
+        count(lit(1)).cast("int").as("run_len"))
+      .select(col("run_start"), col("run_end"), col("run_len"),
+        (col("run_len") >= minRun).as("alert"))
   }
 
   /** The mechanical rebuild decision: true when reconstruction quality
@@ -229,6 +409,65 @@ object AnnIndex {
         s"(baselines exist at ${driftPcts.mkString("/")})")
     driftStats(spark, emb, modelRoot).filter(col("pct") === pct)
       .select(col("drift_q") > tolQ).head().getBoolean(0)
+  }
+
+  /** Per-cell occupancy of the CURRENT codes table against the model's
+    * training-time baseline: (cluster, baseline_cnt, current_cnt,
+    * baseline_share, current_share) — the BALANCE half of the rebuild
+    * contract. The maintenance sink appends under frozen centroids, so
+    * a drifted arrival distribution piles new vectors into few cells;
+    * a hot cell degrades probed-cell search toward O(n) on that cell
+    * even while [[driftStats]]'s quality probes stay quiet (a shifted
+    * distribution can still reconstruct fine inside the book's span).
+    * Cost: one codes-table aggregation (the sub=0 row per vector — a
+    * pushed scan filter — grouped by cluster), NO corpus encode; the
+    * shares divide by totals over the k-row cell frame, so the
+    * partition-less windows are bounded by the centroid count however
+    * large the index. A cell empty on one side reports count 0 there
+    * (full outer join), so both "a trained cell went cold" and "a cell
+    * appeared" are visible. */
+  def cellStats(spark: SparkSession, codesRoot: String,
+                modelRoot: String): DataFrame = {
+    val t = Versioned.read(spark, modelRoot)
+    val occ = t.filter(col("part") === "occ")
+      .select(col("rlabel").as("cluster"),
+        element_at(col("vec"), 1).cast("long").as("baseline_cnt"))
+    // same fail-before-the-work probe as driftStats' baseline guard: a
+    // model with no occupancy rows (pre-baseline or hand-built) must say
+    // so, not silently report every trained cell as baseline 0
+    if (occ.limit(1).collect().isEmpty) throw new IllegalStateException(
+      s"cellStats: the model at $modelRoot has no occupancy baseline " +
+        "(no part='occ' rows) — retrain with AnnIndex.train to " +
+        "establish one before measuring cell balance against it")
+    val cur = Versioned.read(spark, codesRoot).filter(col("sub") === 0)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("current_cnt"))
+    val wAll = Window.partitionBy(lit(1))
+    occ.join(cur, Seq("cluster"), "full_outer")
+      .na.fill(0L, Seq("baseline_cnt", "current_cnt"))
+      .select(col("cluster"), col("baseline_cnt"), col("current_cnt"),
+        (col("baseline_cnt") / sum(col("baseline_cnt")).over(wAll))
+          .as("baseline_share"),
+        (col("current_cnt") / sum(col("current_cnt")).over(wAll))
+          .as("current_share"))
+  }
+
+  /** [[needsRebuild]] with BOTH triggers of the rebuild contract: true
+    * when the index is skewed (some cell holds more than `tolShare` of
+    * the CURRENT codes table — [[cellStats]]) OR reconstruction quality
+    * at the `pct` probe has degraded past `tolQ` ([[driftStats]]). The
+    * skew check runs FIRST — it is a codes-table aggregation, no corpus
+    * encode — so a hot-cell index short-circuits before paying the
+    * quality measurement's O(n·k·m). No defaults (Scala permits them on
+    * only one overload): the canonical dials are pct=90, tolQ=10486
+    * (≈0.01 cosine) and a tolShare a few multiples of the trained
+    * baseline's max share (a balanced k-cell index sits near 1/k). */
+  def needsRebuild(spark: SparkSession, emb: DataFrame, modelRoot: String,
+                   codesRoot: String, pct: Int, tolQ: Long,
+                   tolShare: Double): Boolean = {
+    val maxShareRow = cellStats(spark, codesRoot, modelRoot)
+      .agg(max(col("current_share"))).head()
+    val skewed = !maxShareRow.isNullAt(0) && maxShareRow.getDouble(0) > tolShare
+    skewed || needsRebuild(spark, emb, modelRoot, pct, tolQ)
   }
 
   /** Re-encode the whole corpus under the CURRENT persisted model and
@@ -274,15 +513,43 @@ object AnnIndex {
       bloomCols = Seq("vec_id").filter(c => graft.io.FileStats
         .bloomSupported(emb.schema(c).dataType)))
 
-  /** Search the persisted fingerprint index: Hamming-shortlist against
-    * the index table, exact cosine re-rank against `corpus`'s raw
-    * vectors (only the shortlist's rows are fetched). `dim` must be the
-    * index's build dim — checked loudly against the stored word count
-    * before any work runs. */
-  def binarySearch(spark: SparkSession, queries: DataFrame, fpRoot: String,
-                   corpus: DataFrame, dim: Int, k: Int,
-                   shortlist: Int): DataFrame = {
-    val fp = Versioned.read(spark, fpRoot)
+  /** [[buildBinaryIndex]] with a COARSE-CELL column: each fingerprint
+    * row also carries its vector's IVF home cell under `cent` (the same
+    * nprobe=1 assignment the codes table stores), rows are clustered by
+    * cell on write and per-file `cluster` min/max stats harvest — so the
+    * pruned [[binarySearch]] overload can skip every file holding no
+    * probed cell. The exhaustive flat form stays the DEFAULT (the
+    * documented RAM-prefilter design — linear, map-side, dim/8 bytes per
+    * vector); this is the opt-in for 10⁹+-vector tables where even the
+    * fingerprint scan per query batch is worth pruning. The cell column
+    * costs one n·k assignment pass at build and nothing at search
+    * recall when nprobe covers every cell. */
+  def buildBinaryIndex(spark: SparkSession, emb: DataFrame, dim: Int,
+                       fpRoot: String, cent: DataFrame): Long =
+    Versioned.commit(spark,
+      Similarity.assignClusters(emb.select(col("vec_id"), col("embedding")),
+        cent, nprobe = 1)
+        .select(col("vec_id"), col("cluster"),
+          Similarity.signWords(col("embedding"), dim).as("fp"))
+        .repartition(col("cluster")),
+      fpRoot, replace = true, tag = Some(s"binary-fp-dim$dim-celled"),
+      statsCols = Seq("vec_id", "cluster"),
+      bloomCols = Seq("vec_id").filter(c => graft.io.FileStats
+        .bloomSupported(emb.schema(c).dataType)))
+
+  /** [[buildBinaryIndex]] celled against the PERSISTED model's centroids
+    * — the production form: the cells are exactly the codes table's, so
+    * one trained model serves both indexes and one query-side assignment
+    * could probe either. */
+  def buildBinaryIndex(spark: SparkSession, emb: DataFrame, dim: Int,
+                       fpRoot: String, modelRoot: String): Long = {
+    val (cent, _, _, _) = model(spark, modelRoot)
+    buildBinaryIndex(spark, emb, dim, fpRoot, cent)
+  }
+
+  /** Loud width check shared by the binarySearch forms: `dim` must be
+    * the index's build dim. */
+  private def checkFpWidth(fp: DataFrame, fpRoot: String, dim: Int): Unit = {
     val words = fp.select(size(col("fp"))).limit(1).collect().headOption
       .map(_.getInt(0))
       .getOrElse(throw new IllegalArgumentException(
@@ -292,8 +559,62 @@ object AnnIndex {
       s"binarySearch: dim=$dim expects ${(dim + 31) / 32} fingerprint " +
         s"words, but the index at $fpRoot stores $words — search with the " +
         "dim the index was built with")
+  }
+
+  /** Search the persisted fingerprint index: Hamming-shortlist against
+    * the index table, exact cosine re-rank against `corpus`'s raw
+    * vectors (only the shortlist's rows are fetched). `dim` must be the
+    * index's build dim — checked loudly against the stored word count
+    * before any work runs. */
+  def binarySearch(spark: SparkSession, queries: DataFrame, fpRoot: String,
+                   corpus: DataFrame, dim: Int, k: Int,
+                   shortlist: Int): DataFrame = {
+    val fp = Versioned.read(spark, fpRoot)
+    checkFpWidth(fp, fpRoot, dim)
     Similarity.binaryTopKIndexed(fp.select(col("vec_id").as("nid"), col("fp")),
       queries, corpus, dim, k, shortlist)
+  }
+
+  /** Cell-PRUNED fingerprint search: queries are IVF-assigned to their
+    * `nprobe` nearest cells under `cent`, and the Hamming stage scans
+    * ONLY fingerprints homed in a probed cell — the probed-cell set is
+    * collected driver-side (bounded by |queries|·nprobe; queries are the
+    * broadcast-small side by contract) and pushed into the versioned
+    * scan as an IN filter, so the per-file `cluster` stats the celled
+    * build harvested skip whole files. The shortlist therefore comes
+    * from the probed cells, like IVF-PQ's candidate lists: at
+    * nprobe = every cell the result equals the exhaustive form exactly
+    * (spec-pinned — each corpus vector has ONE home cell, so a (query,
+    * candidate) pair meets at most once under any nprobe); at small
+    * nprobe recall trades against scanning k/nprobe-fold fewer
+    * fingerprints. Requires an index built by the celled
+    * [[buildBinaryIndex]] — a flat index refuses loudly. */
+  def binarySearch(spark: SparkSession, queries: DataFrame, fpRoot: String,
+                   corpus: DataFrame, dim: Int, k: Int, shortlist: Int,
+                   cent: DataFrame, nprobe: Int): DataFrame = {
+    val fp = Versioned.read(spark, fpRoot)
+    require(fp.columns.contains("cluster"),
+      s"binarySearch(nprobe): the fingerprint index at $fpRoot carries " +
+        "no cluster column — build it with the celled buildBinaryIndex " +
+        "(cent/modelRoot form) to enable cell pruning")
+    checkFpWidth(fp, fpRoot, dim)
+    val qa = Similarity.assignClusters(
+      queries.select(col("qid").as("vec_id"), col("qvec").as("embedding")),
+      cent, nprobe)
+    val probed = qa.select(col("cluster")).distinct().collect().map(_.get(0))
+    Similarity.binaryTopKIndexedPruned(
+      fp.filter(col("cluster").isin(probed.toIndexedSeq: _*))
+        .select(col("vec_id").as("nid"), col("cluster"), col("fp")),
+      qa, corpus, dim, k, shortlist)
+  }
+
+  /** The pruned [[binarySearch]] against the PERSISTED model's centroids
+    * — pair of the celled modelRoot build. */
+  def binarySearch(spark: SparkSession, queries: DataFrame, fpRoot: String,
+                   corpus: DataFrame, dim: Int, k: Int, shortlist: Int,
+                   modelRoot: String, nprobe: Int): DataFrame = {
+    val (cent, _, _, _) = model(spark, modelRoot)
+    binarySearch(spark, queries, fpRoot, corpus, dim, k, shortlist, cent, nprobe)
   }
 
   /** End-to-end search over the PERSISTED pair: raw query vectors in,

@@ -176,6 +176,51 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** [[binaryTopKIndexed]] with the Hamming stage restricted to each
+    * query's PROBED CELLS: `fp` is a CELLED fingerprint frame (nid,
+    * cluster, fp — one home cell per corpus vector) and `queryAssigned`
+    * an [[assignClusters]] result (vec_id, embedding, cluster — one row
+    * per probed cell), so the candidate meeting is a cluster EQUI-JOIN
+    * instead of the exhaustive crossJoin: a query scores only the
+    * fingerprints homed where it probes, and a (query, candidate) pair
+    * meets at most once under any nprobe (the corpus side keeps one home
+    * cell — the same invariant as [[ivfTopK]]). With every cell probed
+    * the candidate set, the shortlist tie-breaks ((hamming, nid) asc)
+    * and the final (cos desc, nid) re-rank are all identical to the
+    * exhaustive form, so results coincide exactly; with fewer, recall
+    * trades against scanning proportionally fewer fingerprints.
+    * `AnnIndex.binarySearch(nprobe)` layers file-level pruning on top by
+    * filtering the celled index table before handing it here. */
+  def binaryTopKIndexedPruned(fp: DataFrame, queryAssigned: DataFrame,
+                              corpus: DataFrame, dim: Int, k: Int,
+                              shortlist: Int): DataFrame = {
+    import graft.functions.GraftExpressions.topKBy
+    val qf = queryAssigned.select(col("vec_id").as("qid"), col("cluster"),
+      signWords(col("embedding"), dim).as("__qf"))
+    val short = fp
+      .select(col("nid"), col("cluster"), col("fp").as("__cf"))
+      .join(broadcast(qf), Seq("cluster"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (-wordHamming(col("__qf"), col("__cf"))).cast("double").as("__s"))
+      .groupBy(col("qid"))
+      .agg(topKBy(col("__s"), col("nid"), shortlist).as("__top"))
+      .select(col("qid"), explode(col("__top")).as("__e"))
+      .select(col("qid"), col("__e.id").as("nid"))
+    val queries = queryAssigned
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .dropDuplicates(Seq("qid"))
+    corpus.join(broadcast(short), Seq("nid"))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col("nid"),
+        cosineSim(col("qvec"), col("nvec")).as("cos"))
+      .groupBy(col("qid"))
+      .agg(topKBy(col("cos"), col("nid"), k).as("__rk"))
+      .select(col("qid"), posexplode(col("__rk")))
+      .select(col("qid"), col("col.id").as("nid"), col("col.score").as("cos"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** IVF centroid table from seed labels — one Lloyd step with integer-
     * quantized component sums (floor(v * 2^20)): exact, order-independent
     * and engine-identical, and since cosine is scale-invariant the

@@ -692,6 +692,225 @@ object CoverageQueries {
        |FROM q
        |""".stripMargin
 
+  /** Cell-occupancy health of the persisted pair
+    * ([[graft.ops.AnnIndex.cellStats]]): trainAndRebuild persists the
+    * training-time per-cell counts inside the atomic model commit, and
+    * cellStats compares the CURRENT codes table against them — the
+    * BALANCE half of the rebuild contract (the maintenance sink appends
+    * under frozen centroids, so a drifted arrival distribution piles
+    * vectors into few cells and degrades probed-cell search toward O(n)
+    * on the hot cell while reconstruction-quality drift stays quiet).
+    * Here the codes table IS the training corpus, so baseline == current
+    * at every cell and both must equal DuckDB's independent assignment
+    * count; the shares are exact-IEEE divisions of those counts. */
+  def annCellStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.AnnIndex
+    val emb = Tables.embeddings(spark, sfDir)
+    val modelRoot = QueryScratch.freshRoot("graft_annmodel_cell", sfDir)
+    val codesRoot = QueryScratch.freshRoot("graft_anncodes_cell", sfDir)
+    AnnIndex.trainAndRebuild(spark, emb, m = 16, dsub = 4, modelRoot, codesRoot)
+    AnnIndex.cellStats(spark, codesRoot, modelRoot)
+  }
+
+  val annCellStatsOracle: String =
+    s"""WITH comp AS (
+       |  SELECT label, i,
+       |         SUM(CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1048576) AS BIGINT)) AS s
+       |  FROM embeddings, range(0,64) t(i) GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT label AS rlabel, list(CAST(s AS DOUBLE) ORDER BY i) AS cvec
+       |  FROM comp GROUP BY 1),
+       |assigned AS (
+       |  SELECT vec_id, rlabel AS cluster FROM (
+       |    SELECT e.vec_id, r.rlabel,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.embedding", "r.cvec")} DESC, r.rlabel) AS rn
+       |    FROM embeddings e CROSS JOIN cent r)
+       |  WHERE rn = 1),
+       |cnt AS (SELECT cluster, count(*) AS c FROM assigned GROUP BY 1)
+       |SELECT CAST(cluster AS INTEGER) AS cluster,
+       |       c AS baseline_cnt, c AS current_cnt,
+       |       CAST(c AS DOUBLE) / CAST(SUM(c) OVER () AS DOUBLE) AS baseline_share,
+       |       CAST(c AS DOUBLE) / CAST(SUM(c) OVER () AS DOUBLE) AS current_share
+       |FROM cnt
+       |""".stripMargin
+
+  /** Sampled drift measurement ([[graft.ops.AnnIndex.driftStats]] with
+    * `sampleFraction`): current quantiles come from the deterministic
+    * 25% hash-mod sample (md5 discipline — a FIXED subset, reproducible
+    * across engines), the baseline from the full training corpus, so
+    * drift_q here is exactly the sampling noise of the estimator at this
+    * corpus size — the oracle recomputes both sides independently and
+    * must agree bit for bit. This is the periodic corpus-level health
+    * check for scales where the exact form's full encode is too much to
+    * pay per check. */
+  def annDriftSampled(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.AnnIndex
+    val emb = Tables.embeddings(spark, sfDir)
+    val modelRoot = QueryScratch.freshRoot("graft_annmodel_smp", sfDir)
+    AnnIndex.train(spark, emb, m = 16, dsub = 4, modelRoot)
+    AnnIndex.driftStats(spark, emb, modelRoot, sampleFraction = 0.25)
+  }
+
+  val annDriftSampledOracle: String =
+    s"""WITH $pqBookCtes,
+       |qcs AS (
+       |  SELECT e.vec_id,
+       |         CAST(floor((${cosSql("e.embedding", "x.xv")}) * 1048576) AS BIGINT) AS qcos
+       |  FROM embeddings e JOIN xhat x ON x.vec_id = e.vec_id),
+       |histb AS (SELECT qcos, count(*) AS c FROM qcs WHERE qcos IS NOT NULL GROUP BY 1),
+       |cumb AS (SELECT qcos, sum(c) OVER (ORDER BY qcos) AS cum, sum(c) OVER () AS n FROM histb),
+       |qb AS (SELECT p.pct, min(h.qcos) AS bq
+       |       FROM cumb h, (VALUES (50),(90),(99)) p(pct)
+       |       WHERE h.cum >= (p.pct * h.n + 99) // 100
+       |       GROUP BY 1),
+       |hists AS (SELECT qcos, count(*) AS c FROM qcs
+       |          WHERE qcos IS NOT NULL
+       |            AND CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)),1,8)) AS BIGINT) % 10000 < 2500
+       |          GROUP BY 1),
+       |cums AS (SELECT qcos, sum(c) OVER (ORDER BY qcos) AS cum, sum(c) OVER () AS n FROM hists),
+       |qs AS (SELECT p.pct, min(h.qcos) AS cq
+       |       FROM cums h, (VALUES (50),(90),(99)) p(pct)
+       |       WHERE h.cum >= (p.pct * h.n + 99) // 100
+       |       GROUP BY 1)
+       |SELECT CAST(b.pct AS INTEGER) AS pct, b.bq AS baseline_q, s.cq AS current_q,
+       |       b.bq - s.cq AS drift_q
+       |FROM qb b JOIN qs s ON b.pct = s.pct
+       |""".stripMargin
+
+  /** Cell-PRUNED binary-fingerprint search
+    * ([[graft.ops.AnnIndex.binarySearch]] with `nprobe`): the celled
+    * index build carries each fingerprint's IVF home cell, queries probe
+    * their 2 nearest cells, and the Hamming shortlist scans ONLY
+    * fingerprints homed where the query probes — the probed-cell IN
+    * filter pushes into the versioned scan and the per-file cluster
+    * stats skip whole files, the binary-index mirror of the codes-table
+    * candidate pruning. Exhaustive scanning remains the default
+    * (`ann_binary_rerank` / `ann_binary_lifecycle`); this is the opt-in
+    * for fingerprint tables too large to scan per query batch. */
+  def annBinaryPruned(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.AnnIndex
+    val emb = Tables.embeddings(spark, sfDir)
+    val cent = graft.ops.Similarity.quantizedCentroids(emb)
+    val fpRoot = QueryScratch.freshRoot("graft_annfp_cell", sfDir)
+    AnnIndex.buildBinaryIndex(spark, emb, dim = 64, fpRoot, cent)
+    AnnIndex.binarySearch(spark,
+      emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      fpRoot,
+      emb.select(col("vec_id").as("nid"), col("embedding").as("nvec")),
+      dim = 64, k = 5, shortlist = 50, cent, nprobe = 2)
+  }
+
+  val annBinaryPrunedOracle: String =
+    s"""WITH comp AS (
+       |  SELECT label, i,
+       |         SUM(CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1048576) AS BIGINT)) AS s
+       |  FROM embeddings, range(0,64) t(i) GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT label AS rlabel, list(CAST(s AS DOUBLE) ORDER BY i) AS cvec
+       |  FROM comp GROUP BY 1),
+       |ranked AS (
+       |  SELECT e.vec_id, r.rlabel,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${cosSql("e.embedding", "r.cvec")} DESC, r.rlabel) AS rn
+       |  FROM embeddings e CROSS JOIN cent r),
+       |assigned AS (SELECT vec_id, rlabel AS cluster FROM ranked WHERE rn = 1),
+       |qprobe AS (SELECT vec_id, rlabel AS cluster FROM ranked
+       |           WHERE rn <= 2 AND vec_id < 20),
+       |fp AS (
+       |  SELECT vec_id,
+       |         list_transform(range(0,2), w ->
+       |           CAST(list_sum(list_transform(range(0,32), i ->
+       |             CASE WHEN CAST(embedding[w*32+i+1] AS DOUBLE) > 0
+       |                  THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END))
+       |             AS BIGINT)) AS f
+       |  FROM embeddings),
+       |short AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qp.vec_id AS qid, a.vec_id AS nid,
+       |           row_number() OVER (PARTITION BY qp.vec_id
+       |             ORDER BY list_sum(list_transform(range(0,2), w ->
+       |               bit_count(xor(q.f[w+1], c.f[w+1])))), a.vec_id) AS rn
+       |    FROM qprobe qp
+       |    JOIN assigned a ON a.cluster = qp.cluster AND a.vec_id <> qp.vec_id
+       |    JOIN fp q ON q.vec_id = qp.vec_id
+       |    JOIN fp c ON c.vec_id = a.vec_id)
+       |  WHERE rn <= 50),
+       |scored AS (
+       |  SELECT s.qid, s.nid, ${cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM short s
+       |  JOIN embeddings q ON q.vec_id = s.qid
+       |  JOIN embeddings c ON c.vec_id = s.nid)
+       |SELECT qid, nid, cos, rank FROM (
+       |  SELECT qid, nid, cos,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid)
+       |           AS INTEGER) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5
+       |""".stripMargin
+
+  /** Alert-on-runs over a drift time series
+    * ([[graft.ops.AnnIndex.driftSeries]] + [[graft.ops.AnnIndex
+    * .driftAlerts]]): the corpus is sharded into 8 deterministic batches
+    * (vec_id mod 8), every batch's reconstruction-cosine quantiles come
+    * out of ONE encode pass measured against the model's training-time
+    * baseline, and the alert helper reduces the p90 series to maximal
+    * runs of consecutive breaches (drift_q > 0 — i.e. the batch
+    * reconstructs worse than the training distribution at p90) with
+    * alert = run ≥ 2. This is the monitor sink's "alert on a run of bad
+    * batches, not one" contract in mechanical, oracle-checkable form —
+    * per-batch quantiles of random shards scatter around the corpus
+    * baseline, so breaches and runs here are pure (deterministic)
+    * sampling noise, exactly what the run-length rule exists to absorb. */
+  def annDriftAlerts(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.AnnIndex
+    val emb = Tables.embeddings(spark, sfDir)
+    val modelRoot = QueryScratch.freshRoot("graft_annmodel_alrt", sfDir)
+    AnnIndex.train(spark, emb, m = 16, dsub = 4, modelRoot)
+    AnnIndex.driftAlerts(
+      AnnIndex.driftSeries(spark,
+        emb.withColumn("batch_id", pmod(col("vec_id"), lit(8)).cast("long")),
+        modelRoot),
+      pct = 90, tolQ = 0L, minRun = 2)
+  }
+
+  val annDriftAlertsOracle: String =
+    s"""WITH $pqBookCtes,
+       |qcs AS (
+       |  SELECT e.vec_id % 8 AS batch_id,
+       |         CAST(floor((${cosSql("e.embedding", "x.xv")}) * 1048576) AS BIGINT) AS qcos
+       |  FROM embeddings e JOIN xhat x ON x.vec_id = e.vec_id),
+       |histb AS (SELECT qcos, count(*) AS c FROM qcs WHERE qcos IS NOT NULL GROUP BY 1),
+       |cumb AS (SELECT qcos, sum(c) OVER (ORDER BY qcos) AS cum, sum(c) OVER () AS n FROM histb),
+       |qb AS (SELECT p.pct, min(h.qcos) AS bq
+       |       FROM cumb h, (VALUES (50),(90),(99)) p(pct)
+       |       WHERE h.cum >= (p.pct * h.n + 99) // 100
+       |       GROUP BY 1),
+       |hist AS (SELECT batch_id, qcos, count(*) AS c FROM qcs
+       |         WHERE qcos IS NOT NULL GROUP BY 1, 2),
+       |cum AS (SELECT batch_id, qcos,
+       |               sum(c) OVER (PARTITION BY batch_id ORDER BY qcos) AS cum,
+       |               sum(c) OVER (PARTITION BY batch_id) AS n
+       |        FROM hist),
+       |cq AS (SELECT h.batch_id, p.pct, min(h.qcos) AS cqv
+       |       FROM cum h, (VALUES (50),(90),(99)) p(pct)
+       |       WHERE h.cum >= (p.pct * h.n + 99) // 100
+       |       GROUP BY 1, 2),
+       |ser AS (SELECT c.batch_id, b.bq - c.cqv AS drift_q
+       |        FROM cq c JOIN qb b ON b.pct = c.pct WHERE c.pct = 90),
+       |breach AS (
+       |  SELECT batch_id, rn, row_number() OVER (ORDER BY batch_id) AS rb FROM (
+       |    SELECT batch_id, drift_q,
+       |           row_number() OVER (ORDER BY batch_id) AS rn
+       |    FROM ser)
+       |  WHERE drift_q > 0)
+       |SELECT min(batch_id) AS run_start, max(batch_id) AS run_end,
+       |       CAST(count(*) AS INTEGER) AS run_len,
+       |       count(*) >= 2 AS alert
+       |FROM breach GROUP BY rn - rb
+       |""".stripMargin
+
   val annIvfKmeansOracle: String =
     s"""WITH comp AS (
        |  SELECT label, i,
@@ -1451,8 +1670,12 @@ object CoverageQueries {
     "ann_index_lifecycle" -> (annIndexLifecycle _),
     "ann_lifecycle_probe2" -> (annLifecycleProbe2 _),
     "ann_drift_stats" -> (annDriftStatsQuery _),
+    "ann_drift_sampled" -> (annDriftSampled _),
+    "ann_drift_alerts" -> (annDriftAlerts _),
+    "ann_cell_stats" -> (annCellStats _),
     "ann_binary_rerank" -> (annBinaryRerank _),
     "ann_binary_lifecycle" -> (annBinaryLifecycle _),
+    "ann_binary_pruned" -> (annBinaryPruned _),
     "range_exclusion" -> (rangeExclusion _),
     "sales_rollup" -> (salesRollup _),
     "term_frequency" -> (termFrequency _),
@@ -1496,8 +1719,12 @@ object CoverageQueries {
     "ann_index_lifecycle" -> annIvfPqOracle,
     "ann_lifecycle_probe2" -> annIvfPqProbe2Oracle,
     "ann_drift_stats" -> annDriftOracle,
+    "ann_drift_sampled" -> annDriftSampledOracle,
+    "ann_drift_alerts" -> annDriftAlertsOracle,
+    "ann_cell_stats" -> annCellStatsOracle,
     "ann_binary_rerank" -> annBinaryRerankOracle,
     "ann_binary_lifecycle" -> annBinaryRerankOracle,
+    "ann_binary_pruned" -> annBinaryPrunedOracle,
     "range_exclusion" -> rangeExclusionOracle,
     "sales_rollup" -> salesRollupOracle,
     "term_frequency" -> termFrequencyOracle,

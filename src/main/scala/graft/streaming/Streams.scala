@@ -366,10 +366,17 @@ object Streams {
     * centroids/codebook — a batch never shuffles, and the raw embedding
     * is never stored: the table grows by m small codes per vector.
     * Search reads the table with
-    * [[graft.ops.Similarity.ivfPqTopKIndexed]]. Re-train the book and
-    * rebuild when [[graft.ops.AnnIndex.driftStats]] says the frozen book
-    * no longer represents the corpus ([[graft.ops.AnnIndex.needsRebuild]]
-    * is the mechanical trigger); the sink maintains, it doesn't train.
+    * [[graft.ops.Similarity.ivfPqTopKIndexed]]. Appending under frozen
+    * centroids erodes the index TWO ways, and the rebuild contract has a
+    * mechanical trigger for each: re-train and rebuild when
+    * [[graft.ops.AnnIndex.driftStats]] says the frozen book no longer
+    * reconstructs the corpus (QUALITY), or when
+    * [[graft.ops.AnnIndex.cellStats]] says arrivals have piled into few
+    * cells past tolerance (BALANCE — a hot cell degrades probed-cell
+    * search toward O(n) even while reconstruction stays fine; the
+    * skew check is codes-table-only, no corpus encode). The combined
+    * [[graft.ops.AnnIndex.needsRebuild]] overload checks both, balance
+    * first; the sink maintains, it doesn't train.
     * Already-indexed ids arriving again are dropped (first write wins —
     * see the guard below), and the guard's cost is BOUNDED: each commit
     * harvests a per-file bloom sidecar over `vec_id`, and the membership
@@ -504,8 +511,15 @@ object Streams {
     * scan `driftStats(corpus)` would cost, at the price of per-batch
     * sampling noise: a single small batch's quantiles are noisy, so
     * alert on a run of bad batches (the time series is the point), not
-    * on one. Exactly-once under the usual checkpoint-scoped replay
-    * tag. */
+    * on one — `AnnIndex.driftAlerts` over this table is that contract's
+    * mechanical form (K consecutive breaches at a chosen probe). For a
+    * periodic check of the STANDING corpus (this sink only sees
+    * arrivals), use the sampled `AnnIndex.driftStats(…, sampleFraction)`
+    * at O(f·n) rather than the exact full-corpus form; and remember
+    * drift quality is only half the rebuild contract — `AnnIndex
+    * .cellStats` watches the cell-balance half, which THIS sink slowly
+    * erodes by appending under frozen centroids. Exactly-once under the
+    * usual checkpoint-scoped replay tag. */
   def versionedAnnDriftMonitorSink(embs: DataFrame, modelRoot: String,
                                    monitorRoot: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
