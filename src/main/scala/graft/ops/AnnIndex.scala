@@ -523,19 +523,29 @@ object AnnIndex {
     * vector); this is the opt-in for 10⁹+-vector tables where even the
     * fingerprint scan per query batch is worth pruning. The cell column
     * costs one n·k assignment pass at build and nothing at search
-    * recall when nprobe covers every cell. */
+    * recall when nprobe covers every cell. Rows RANGE-partition by cell
+    * on write (disjoint cluster ranges per file, unlike a hash
+    * repartition's interleaved values), so each file's harvested
+    * cluster min/max is tight and a probed-cell IN filter skips every
+    * file outside its range; the partition count is EXPLICIT (one file
+    * per cell, capped at 4096) because an implicit range shuffle is
+    * fair game for AQE coalescing, which would merge the small range
+    * partitions back into few wide-range files and undo the pruning
+    * the layout exists for. */
   def buildBinaryIndex(spark: SparkSession, emb: DataFrame, dim: Int,
-                       fpRoot: String, cent: DataFrame): Long =
+                       fpRoot: String, cent: DataFrame): Long = {
+    val files = math.min(cent.count(), 4096L).toInt.max(1)
     Versioned.commit(spark,
       Similarity.assignClusters(emb.select(col("vec_id"), col("embedding")),
         cent, nprobe = 1)
         .select(col("vec_id"), col("cluster"),
           Similarity.signWords(col("embedding"), dim).as("fp"))
-        .repartition(col("cluster")),
+        .repartitionByRange(files, col("cluster")),
       fpRoot, replace = true, tag = Some(s"binary-fp-dim$dim-celled"),
       statsCols = Seq("vec_id", "cluster"),
       bloomCols = Seq("vec_id").filter(c => graft.io.FileStats
         .bloomSupported(emb.schema(c).dataType)))
+  }
 
   /** [[buildBinaryIndex]] celled against the PERSISTED model's centroids
     * — the production form: the cells are exactly the codes table's, so

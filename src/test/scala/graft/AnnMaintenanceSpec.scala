@@ -1,0 +1,255 @@
+package graft
+
+import graft.ops.{AnnIndex, Similarity}
+import org.apache.spark.sql.functions._
+
+/** The round-14 ANN maintenance surface: the BALANCE half of the rebuild
+  * contract (occupancy baseline, cellStats, the skew trigger), the
+  * sampled drift check, the per-batch drift series + alert-on-runs
+  * helper, and the cell-pruned binary fingerprint search. The oracle
+  * gate proves each query computes what it claims; these specs prove the
+  * CONTRACTS — a concentrated arrival wave must flip the skew trigger
+  * while quality stays quiet, a pre-baseline model must fail loudly
+  * before paying an encode, pruned search must equal exhaustive when
+  * every cell is probed.
+  */
+class AnnMaintenanceSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** The clustered fixture of the driftStats specs: four strong blocks,
+    * so every trained codeword is meaningful and assignment is by real
+    * geometry, not noise. */
+  private def blockVec(i: Int, dim: Int = 16): Seq[Float] =
+    (0 until dim).map { j =>
+      val base = if (j / 4 == i % 4) 1.0f else 0.1f
+      base + 0.01f * ((i * 31 + j * 7) % 5)
+    }
+
+  /** Ripple-free block vector: 50 exact copies per label, so every
+    * codeword reconstructs its members EXACTLY (cos = 1 for all) and
+    * quality drift is 0 by construction however the mixture shifts —
+    * the cleanest demonstration that the quality probe CANNOT see a
+    * pile-up, which is exactly why the balance trigger exists. */
+  private def pureBlockVec(i: Int, dim: Int = 16): Seq[Float] =
+    (0 until dim).map(j => if (j / 4 == i % 4) 1.0f else 0.1f)
+
+  test("occupancy baseline: cellStats is exact on the training corpus; " +
+    "a concentrated arrival wave flips the skew trigger while drift_q stays quiet") {
+    val rows = (0 until 200).map(i => (i.toLong, (i % 4).toLong, pureBlockVec(i)))
+    val emb = rows.toDF("vec_id", "label", "embedding")
+    val modelRoot = java.nio.file.Files.createTempDirectory("annm_occ").toString
+    val codesRoot = java.nio.file.Files.createTempDirectory("annc_occ").toString
+    AnnIndex.trainAndRebuild(spark, emb, m = 4, dsub = 4, modelRoot, codesRoot)
+
+    // training corpus == codes table: baseline and current agree cell by
+    // cell, shares sum to 1, and the four blocks land ~50 vectors each
+    val fresh = AnnIndex.cellStats(spark, codesRoot, modelRoot)
+      .select("cluster", "baseline_cnt", "current_cnt", "current_share")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(fresh.length == 4)
+    assert(fresh.forall(r => r._2 == r._3), s"baseline != current: ${fresh.toSeq}")
+    assert(fresh.map(_._2).sum == 200L)
+    assert(math.abs(fresh.map(_._4).sum - 1.0) < 1e-12)
+    assert(!AnnIndex.needsRebuild(spark, emb, modelRoot, codesRoot,
+      pct = 90, tolQ = 10486L, tolShare = 0.4))
+
+    // a wave of NEW vectors all shaped like block 0 arrives through the
+    // maintenance sink (frozen centroids — exactly how skew accrues in
+    // production); training-distribution duplicates, so reconstruction
+    // QUALITY stays exactly flat while cell 0 triples
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val (cent, book, m, dsub) = AnnIndex.model(spark, modelRoot)
+    val wave = (0 until 100).map(i => (10000L + i, pureBlockVec(0)))
+    val src = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.Streams.versionedAnnIndexSink(
+      src.toDF().toDF("vec_id", "embedding"), cent, book, m, dsub, codesRoot,
+      java.nio.file.Files.createTempDirectory("annckpt_occ").toString)
+    try { src.addData(wave); q.processAllAvailable() } finally q.stop()
+
+    val after = AnnIndex.cellStats(spark, codesRoot, modelRoot)
+      .select("cluster", "baseline_cnt", "current_cnt", "current_share")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(after.map(_._3).sum == 300L)
+    val hot = after.maxBy(_._4)
+    assert(hot._3 == hot._2 + 100,
+      s"the whole wave must land in one cell: ${after.toSeq}")
+    assert(hot._4 > 0.45 && hot._4 < 0.55, s"hot share: ${hot._4}")
+
+    // the QUALITY trigger alone stays EXACTLY quiet (the wave is
+    // training-distribution duplicates: cos(v, reconstruction) = 1 for
+    // every vector before and after, so every quantile is unmoved) ...
+    val corpusNow = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(wave.toDF("vec_id", "embedding"))
+    assert(AnnIndex.driftStats(spark, corpusNow, modelRoot)
+      .select("drift_q").as[Long].collect().toSeq == Seq(0L, 0L, 0L))
+    assert(!AnnIndex.needsRebuild(spark, corpusNow, modelRoot))
+    // ... but the combined contract flips on BALANCE
+    assert(AnnIndex.needsRebuild(spark, corpusNow, modelRoot, codesRoot,
+      pct = 90, tolQ = 10486L, tolShare = 0.4))
+    // and stays quiet when the skew tolerance admits the new shape
+    assert(!AnnIndex.needsRebuild(spark, corpusNow, modelRoot, codesRoot,
+      pct = 90, tolQ = 10486L, tolShare = 0.6))
+  }
+
+  test("a model without baselines fails loudly BEFORE any corpus-scale work") {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val modelRoot = java.nio.file.Files.createTempDirectory("annm_nobl").toString
+    val codesRoot = java.nio.file.Files.createTempDirectory("annc_nobl").toString
+    AnnIndex.trainAndRebuild(spark, emb, m = 8, dsub = 8, modelRoot, codesRoot)
+    // hand-strip the baselines — the shape of a pre-baseline or
+    // hand-built model table
+    val stripped = java.nio.file.Files.createTempDirectory("annm_strip").toString
+    graft.io.Versioned.commit(spark,
+      graft.io.Versioned.read(spark, modelRoot)
+        .filter(!col("part").isin("drift", "occ")),
+      stripped, replace = true)
+    val e1 = intercept[IllegalStateException] {
+      AnnIndex.driftStats(spark, emb, stripped)
+    }
+    assert(e1.getMessage.contains("no drift baseline"))
+    val e2 = intercept[IllegalStateException] {
+      AnnIndex.driftSeries(spark,
+        emb.withColumn("batch_id", lit(0L)), stripped)
+    }
+    assert(e2.getMessage.contains("no drift baseline"))
+    val e3 = intercept[IllegalStateException] {
+      AnnIndex.cellStats(spark, codesRoot, stripped)
+    }
+    assert(e3.getMessage.contains("no occupancy baseline"))
+  }
+
+  test("sampled driftStats: a 100% sample is exact; a half sample sits within " +
+    "the rebuild tolerance on the training corpus") {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val modelRoot = java.nio.file.Files.createTempDirectory("annm_smp").toString
+    AnnIndex.train(spark, emb, m = 8, dsub = 8, modelRoot)
+    // f = 1.0 keeps every row: bit-identical to the exact form (drift 0)
+    assert(AnnIndex.driftStats(spark, emb, modelRoot, 1.0)
+      .select("drift_q").as[Long].collect().toSeq == Seq(0L, 0L, 0L))
+    // f = 0.5 on a 500-row fixture (≈250-row sample): the estimator's
+    // rank noise is O(√(p(1−p)/s)) — ≈±3 percentile points at p50,
+    // ≈±0.6 at p99 — so the mid quantiles must sit inside the
+    // 0.01-cosine rebuild tolerance while the p99 TAIL of a 250-row
+    // sample is allowed 3× (measured −15334 here; at any real corpus
+    // size the sample is orders of magnitude larger and the noise
+    // proportionally tighter — the scaladoc states the bound)
+    val half = AnnIndex.driftStats(spark, emb, modelRoot, 0.5)
+      .select("pct", "drift_q").as[(Int, Long)].collect().toMap
+    assert(half.keySet == Set(50, 90, 99))
+    assert(math.abs(half(50)) < 10486L && math.abs(half(90)) < 10486L,
+      s"half-sample mid-quantile noise must stay under the rebuild tolerance: $half")
+    assert(math.abs(half(99)) < 3 * 10486L,
+      s"half-sample p99 noise must stay within 3x the rebuild tolerance: $half")
+    // determinism: the hash-mod sample is a FIXED subset — two calls agree
+    assert(AnnIndex.driftStats(spark, emb, modelRoot, 0.5)
+      .select("pct", "drift_q").as[(Int, Long)].collect().toMap == half)
+    intercept[IllegalArgumentException] {
+      AnnIndex.driftStats(spark, emb, modelRoot, 0.0)
+    }
+  }
+
+  test("driftSeries equals per-batch driftStats; driftAlerts finds exactly the runs") {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val modelRoot = java.nio.file.Files.createTempDirectory("annm_ser").toString
+    AnnIndex.train(spark, emb, m = 8, dsub = 8, modelRoot)
+    val batched = emb.withColumn("batch_id",
+      pmod(col("vec_id"), lit(3)).cast("long"))
+    val series = AnnIndex.driftSeries(spark, batched, modelRoot)
+      .select("batch_id", "pct", "baseline_q", "current_q", "drift_q")
+      .as[(Long, Int, Long, Long, Long)].collect().toSet
+    val oneByOne = (0L until 3L).flatMap { b =>
+      AnnIndex.driftStats(spark, batched.filter(col("batch_id") === b), modelRoot)
+        .select("pct", "baseline_q", "current_q", "drift_q")
+        .as[(Int, Long, Long, Long)].collect()
+        .map(r => (b, r._1, r._2, r._3, r._4))
+    }.toSet
+    assert(series == oneByOne && series.size == 9)
+
+    // alert semantics on a hand-built series: breaches at positions
+    // 0,1 | 3,4,5 | 8 (batch ids deliberately gappy — adjacency is
+    // positional, not arithmetic); only the length-3 run alerts at
+    // minRun = 3, and rows of other pcts never leak in
+    val s = Seq(
+      (10L, 90, 5L), (20L, 90, 7L), (30L, 90, 0L), (40L, 90, 9L),
+      (50L, 90, 1L), (60L, 90, 2L), (70L, 90, -3L), (80L, 90, 0L),
+      (90L, 90, 4L),
+      (10L, 50, 99L), (30L, 50, 99L)) // other probe: must be ignored
+      .toDF("batch_id", "pct", "drift_q")
+    val runs = AnnIndex.driftAlerts(s, pct = 90, tolQ = 0L, minRun = 3)
+      .select("run_start", "run_end", "run_len", "alert")
+      .as[(Long, Long, Int, Boolean)].collect().toSet
+    assert(runs == Set((10L, 20L, 2, false), (40L, 60L, 3, true),
+      (90L, 90L, 1, false)), s"got $runs")
+  }
+
+  test("cell-pruned binary search equals exhaustive when every cell is probed; " +
+    "the probed-cell filter prunes index files") {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+    val cent = Similarity.quantizedCentroids(emb)
+    val cells = cent.count().toInt
+
+    val flatRoot = java.nio.file.Files.createTempDirectory("annfp_flat").toString
+    val cellRoot = java.nio.file.Files.createTempDirectory("annfp_cell").toString
+    AnnIndex.buildBinaryIndex(spark, emb, dim = 64, flatRoot)
+    AnnIndex.buildBinaryIndex(spark, emb, dim = 64, cellRoot, cent)
+
+    val exhaustive = AnnIndex.binarySearch(spark, queries, flatRoot, corpus,
+      dim = 64, k = 5, shortlist = 50).collect().toSet
+    // nprobe = every cell: identical result, not just equal recall
+    val prunedAll = AnnIndex.binarySearch(spark, queries, cellRoot, corpus,
+      dim = 64, k = 5, shortlist = 50, cent, nprobe = cells).collect().toSet
+    assert(prunedAll == exhaustive && exhaustive.nonEmpty)
+
+    // nprobe = 1 still returns k-bounded per-query results with decent
+    // recall against the exhaustive set (the recall/cost dial, not a
+    // different contract)
+    val pruned1 = AnnIndex.binarySearch(spark, queries, cellRoot, corpus,
+      dim = 64, k = 5, shortlist = 50, cent, nprobe = 1)
+      .select("qid", "nid").as[(Long, Long)].collect()
+    assert(pruned1.nonEmpty)
+    assert(pruned1.groupBy(_._1).values.forall(_.length <= 5))
+
+    // the IN filter the pruned search pushes must skip files: the celled
+    // build range-partitions by cluster, so a one-cell probe's min/max
+    // check keeps a strict subset of the index files
+    import scala.jdk.CollectionConverters._
+    val oneCell = cent.select(col("rlabel").cast("int")).as[Int].collect().min
+    val probe = spark.read.format("graft-versioned").load(cellRoot)
+      .filter(col("cluster").isin(oneCell))
+    probe.queryExecution.toRdd.count()
+    val kept = probe.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table
+    }.collectFirst {
+      case t: graft.io.VersionedReadTable => t.prunedIndex.lastKeptFiles
+    }.getOrElse(fail("no VersionedReadTable in the probe plan"))
+    val total = java.nio.file.Files.walk(java.nio.file.Paths.get(cellRoot))
+      .iterator().asScala.count(_.toString.endsWith(".parquet"))
+    assert(kept < total,
+      s"one-cell probe kept $kept of $total files — cluster stats pruned nothing")
+
+    // a flat index refuses the pruned form loudly
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.binarySearch(spark, queries, flatRoot, corpus,
+        dim = 64, k = 5, shortlist = 50, cent, nprobe = 1)
+    }
+    assert(e.getMessage.contains("no cluster column"))
+
+    // the modelRoot wrappers ride the same cells: build+search via a
+    // trained model equals the cent path at full probe width
+    val modelRoot = java.nio.file.Files.createTempDirectory("annm_fp").toString
+    AnnIndex.train(spark, emb, m = 8, dsub = 8, modelRoot)
+    val cellRoot2 = java.nio.file.Files.createTempDirectory("annfp_cell2").toString
+    AnnIndex.buildBinaryIndex(spark, emb, dim = 64, cellRoot2, modelRoot)
+    val viaModel = AnnIndex.binarySearch(spark, queries, cellRoot2, corpus,
+      dim = 64, k = 5, shortlist = 50, modelRoot, nprobe = cells)
+      .collect().toSet
+    assert(viaModel == exhaustive)
+  }
+}
