@@ -43,12 +43,34 @@ object Bench {
       case None    => SparkEntry.queries
     }
 
+    // Release every pinned RDD block after a run: the lifecycle-heavy
+    // queries localCheckpoint their trained artifacts/codes frames and
+    // nothing unpersists them — in a 150-query single-session bench the
+    // pins accrete until the ContextCleaner happens to GC them, raising
+    // memory pressure NONDETERMINISTICALLY for whichever queries run
+    // before that (the root cause of the r13 ann_ivf_pq 4.4-vs-8.8 s
+    // local[4] bimodality). Safe here because every query (re)builds its
+    // own pins inside its own timed run (QueryScratch roots are wiped
+    // per call); blocking so the release itself never overlaps a timed
+    // window.
+    def releasePins(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    val gcBeans = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans
+    def gcMillis(): Long = {
+      var t = 0L
+      gcBeans.forEach(b => t += math.max(0L, b.getCollectionTime))
+      t
+    }
+
     val warmupDir = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
     if (warmupDir.isDirectory) {
       val wd = warmupDir.getAbsolutePath
       selected.foreach { case (_, fn) =>
         try fn(spark, wd).queryExecution.toRdd.count()
         catch { case _: Throwable => () }
+        releasePins()
       }
     }
 
@@ -84,9 +106,19 @@ object Bench {
     // runs at sf>=1 take minutes per query, where one run is signal enough
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
     // a query whose every run failed records -1.0: an impossible timing
-    // (negative), valid JSON, and loud in any downstream comparison
+    // (negative), valid JSON, and loud in any downstream comparison.
+    // Per-query GC time (delta across the query's runs) lands in
+    // BENCH_GC.json — the diagnostic that pins whether a slow outlier
+    // paid collection time or compute.
+    val gcPerQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = selected.map { case (name, fn) =>
-      val ok = Seq.fill(iters)(timeOnce(name, fn)).flatten
+      val gc0 = gcMillis()
+      val ok = Seq.fill(iters) {
+        val t = timeOnce(name, fn)
+        releasePins()
+        t
+      }.flatten
+      gcPerQuery(name) = (gcMillis() - gc0) / 1e3
       name -> (if (ok.nonEmpty) ok.min else -1.0)
     }
     val failed = results.count(_._2 < 0)
@@ -116,6 +148,11 @@ object Bench {
     val full = line(bySlowest, 0)
     val fw = new java.io.PrintWriter("BENCH_DETAIL.json")
     try fw.println(full) finally fw.close()
+    val gw = new java.io.PrintWriter("BENCH_GC.json")
+    try gw.println(gcPerQuery.map { case (k, v) =>
+      "\"" + k + "\":" + fmt(v)
+    }.mkString("{\"gc_sec_per_query\":{", ",", "}}"))
+    finally gw.close()
     val budget = 1800
     var out = full
     if (full.length > budget) {

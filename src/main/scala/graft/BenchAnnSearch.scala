@@ -1,25 +1,35 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, pmod}
 
 /** Search-only measurement for the candidate-pruned IVF-PQ persisted
   * path ([[graft.ops.Similarity.ivfPqTopKIndexed]]): the model and codes
   * tables are built ONCE (untimed — that is the index build, priced by
-  * the ann_index_lifecycle bench), then `AnnIndex.search` is timed for a
-  * NARROW query set (few probed cells) against a WIDE one (every cell),
-  * at each scale fixture. The pruning claim is that search work tracks
-  * the PROBED CELLS' code volume, not the corpus: the narrow search must
-  * cost a fraction of the wide one on the same corpus (the fixtures
-  * carry 10 IVF cells, so 1 probed cell ≈ 10% of the codes), and both
-  * must stay linear across fixtures. Env: SPARK_GRAFT_SF_DIR,
-  * SPARK_GRAFT_CPUS, SPARK_GRAFT_ITERS. */
+  * the ann_index_lifecycle bench), then `AnnIndex.search` is timed for
+  * the SAME query at increasing `nprobe` — 1 cell, ~cells/8, every cell
+  * — so the three timings differ ONLY in how many cells' code volume
+  * the pruned search touches. The pruning claim is that search work
+  * tracks the PROBED CELLS' volume, not the corpus: wide/narrow must
+  * approach the cell ratio as reconstruct work dominates fixed per-job
+  * overhead (the r13 10-cell fixture could not show this — 1 probed
+  * cell was already 10% of the codes, a fraction of fixed overhead; a
+  * ≥100-cell fixture makes the narrow probe touch <1% of the codes).
+  *
+  * SPARK_GRAFT_ANN_CELLS=k (default 128) overrides the fixture's label
+  * column with vec_id mod k, giving a k-cell IVF layout on the same
+  * vectors; 0 keeps the fixture's own labels (10 cells on the scale
+  * fixtures). Per-cell occupancy of the built index is printed via
+  * `AnnIndex.cellStats` so a skewed layout can't silently fake the
+  * ratio. Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_ITERS,
+  * SPARK_GRAFT_ANN_CELLS. */
 object BenchAnnSearch {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/scaledata/sf1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    val cells = sys.env.getOrElse("SPARK_GRAFT_ANN_CELLS", "128").toInt
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
@@ -27,25 +37,36 @@ object BenchAnnSearch {
     spark.sparkContext.setLogLevel("WARN")
     import graft.ops.AnnIndex
 
-    val emb = Tables.table(spark, sfDir, "embeddings")
+    val emb0 = Tables.table(spark, sfDir, "embeddings")
+    val emb = if (cells > 0)
+      emb0.withColumn("label", pmod(col("vec_id"), lit(cells)).cast("int"))
+    else emb0
     val modelRoot = java.nio.file.Files.createTempDirectory("annbench_model").toString
     val codesRoot = java.nio.file.Files.createTempDirectory("annbench_codes").toString
-    AnnIndex.train(spark, emb, m = 16, dsub = 4, modelRoot)
-    AnnIndex.rebuild(spark, emb, modelRoot, codesRoot)
+    AnnIndex.trainAndRebuild(spark, emb, m = 16, dsub = 4, modelRoot, codesRoot)
     val n = emb.count()
+    val occ = AnnIndex.cellStats(spark, codesRoot, modelRoot)
+      .select("current_cnt").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect()
+    println(f"[ann-search] layout: ${occ.length} cells, occupancy " +
+      f"min=${occ.min} max=${occ.max} (n=$n, sf=$sfDir)")
 
-    def time(label: String, queries: org.apache.spark.sql.DataFrame): Unit = {
+    val q1 = emb.filter(col("vec_id") === 0L)
+    def time(label: String, nprobe: Int): Double = {
       val runs = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
-        AnnIndex.search(spark, queries, modelRoot, codesRoot, k = 3)
+        AnnIndex.search(spark, q1, modelRoot, codesRoot, k = 3, nprobe = nprobe)
           .queryExecution.toRdd.count()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"[ann-search] $label%-10s min=${runs.min}%.3f s n=$n sf=$sfDir")
+      println(f"[ann-search] $label%-8s nprobe=$nprobe%-4d min=${runs.min}%.3f s")
+      runs.min
     }
-    // one query -> one probed cell; the 30-query set covers ~every cell
-    time("narrow", emb.filter(col("vec_id") === 0L))
-    time("wide", emb.filter(col("vec_id") < 30))
+    val k = occ.length
+    val narrow = time("narrow", 1)
+    time("mid", math.max(1, k / 8))
+    val wide = time("wide", k)
+    println(f"[ann-search] wide/narrow = ${wide / narrow}%.2f (cells=$k, n=$n, sf=$sfDir)")
     spark.stop()
   }
 }
