@@ -37,13 +37,20 @@ object BenchAnnSearch {
     spark.sparkContext.setLogLevel("WARN")
     import graft.ops.AnnIndex
 
+    // the cell override rides the DECOUPLED coarse-quantizer dial
+    // (train's cellLabelCol): k cells for the IVF layout while the PQ
+    // codebook keeps the fixture's 10 labels — the FAISS-style geometry
+    // where nlist scales with the corpus but the n·k·m encode cost
+    // tracks the (fixed) codebook size, which is what makes a
+    // million-vector fixture buildable at all
     val emb0 = Tables.table(spark, sfDir, "embeddings")
     val emb = if (cells > 0)
-      emb0.withColumn("label", pmod(col("vec_id"), lit(cells)).cast("int"))
-    else emb0
+      emb0.withColumn("cell", pmod(col("vec_id"), lit(cells)).cast("int"))
+    else emb0.withColumn("cell", col("label"))
     val modelRoot = java.nio.file.Files.createTempDirectory("annbench_model").toString
     val codesRoot = java.nio.file.Files.createTempDirectory("annbench_codes").toString
-    AnnIndex.trainAndRebuild(spark, emb, m = 16, dsub = 4, modelRoot, codesRoot)
+    AnnIndex.trainAndRebuild(spark, emb, m = 16, dsub = 4, modelRoot, codesRoot,
+      cellLabelCol = "cell")
     val n = emb.count()
     val occ = AnnIndex.cellStats(spark, codesRoot, modelRoot)
       .select("current_cnt").as[Long](org.apache.spark.sql.Encoders.scalaLong)

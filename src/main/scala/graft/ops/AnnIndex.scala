@@ -139,14 +139,25 @@ object AnnIndex {
     * taken — a baseline measured under any other book/centroids would
     * compare apples to oranges forever after. ([[trainAndRebuild]] gets
     * the occupancy for free from the codes frame it builds anyway.)
+    *
+    * `cellLabelCol` decouples the COARSE quantizer from the codebook —
+    * the standard IVF-PQ geometry (FAISS's nlist is independent of the
+    * per-subspace codebook size): IVF centroids seed from
+    * `cellLabelCol`'s groups while the PQ codebook keeps seeding from
+    * `label`, so the cell count can track the corpus (it bounds probed-
+    * cell search work) without inflating the n·k·m encode that the
+    * codebook's k drives. The default keeps both on `label` — the
+    * coupled geometry every existing model was trained with.
     * Returns the committed model version. */
   def train(spark: SparkSession, emb: DataFrame, m: Int, dsub: Int,
-            modelRoot: String): Long = {
+            modelRoot: String, cellLabelCol: String = "label"): Long = {
     // pin the trained artifacts (k rows each): the codebook's refinement
     // step contains a full corpus encode, and both the model's book rows
     // and the drift baseline consume it — without the pin each branch
     // would recompute that encode
-    val centDf = Similarity.quantizedCentroids(emb).localCheckpoint()
+    val centDf = Similarity.quantizedCentroids(
+      emb.select(col(cellLabelCol).as("label"), col("embedding")))
+      .localCheckpoint()
     val cent = centDf
       .select(lit("cent").as("part"), col("rlabel"), col("cvec").as("vec"))
     val bookDf = Similarity.pqRefineBook(emb, Similarity.pqCodebook(emb), m, dsub)
@@ -183,13 +194,18 @@ object AnnIndex {
     * new-model/stale-codes state a crash between separate train and
     * rebuild calls leaves, remedied the same way (re-run; both commits
     * are replace commits). Returns (modelVersion, codesVersion);
-    * byte-identical tables to calling train then rebuild. */
+    * byte-identical tables to calling train then rebuild.
+    * `cellLabelCol` decouples the coarse quantizer exactly as in
+    * [[train]]. */
   def trainAndRebuild(spark: SparkSession, emb: DataFrame, m: Int, dsub: Int,
-                      modelRoot: String, codesRoot: String): (Long, Long) = {
+                      modelRoot: String, codesRoot: String,
+                      cellLabelCol: String = "label"): (Long, Long) = {
     // pin the k-row trained artifacts for the same reason as in [[train]]
     // — every consumer branch would otherwise re-pay the refinement's
     // embedded corpus encode
-    val centDf = Similarity.quantizedCentroids(emb).localCheckpoint()
+    val centDf = Similarity.quantizedCentroids(
+      emb.select(col(cellLabelCol).as("label"), col("embedding")))
+      .localCheckpoint()
     val bookDf = Similarity.pqRefineBook(emb, Similarity.pqCodebook(emb), m, dsub)
       .localCheckpoint()
     val codes = Similarity.assignClusters(emb, centDf, nprobe = 1)

@@ -185,6 +185,37 @@ class AnnMaintenanceSpec extends SparkSpecBase {
       (90L, 90L, 1, false)), s"got $runs")
   }
 
+  test("decoupled coarse quantizer: cells from cellLabelCol, codebook from label") {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+      .withColumn("cell", pmod(col("vec_id"), lit(7)).cast("int"))
+    val modelRoot = java.nio.file.Files.createTempDirectory("annm_dec").toString
+    val codesRoot = java.nio.file.Files.createTempDirectory("annc_dec").toString
+    AnnIndex.trainAndRebuild(spark, emb, m = 8, dsub = 8, modelRoot, codesRoot,
+      cellLabelCol = "cell")
+    // the FAISS-style geometry: 7 IVF cells, 10-codeword book — the
+    // cell count no longer drags the n·k·m encode with it
+    val (cent, book, m, dsub) = AnnIndex.model(spark, modelRoot)
+    assert(m == 8 && dsub == 8)
+    assert(cent.count() == 7L && book.count() == 10L)
+    // persisted search equals the in-memory path composed from the same
+    // decoupled frames
+    val got = AnnIndex.search(spark, emb.filter(col("vec_id") < 20),
+      modelRoot, codesRoot, k = 3).collect().toSet
+    val cent2 = Similarity.quantizedCentroids(
+      emb.select(col("cell").as("label"), col("embedding")))
+    val corpus = Similarity.assignClusters(
+      emb.select(col("vec_id"), col("embedding")), cent2, 1)
+    val book2 = Similarity.pqRefineBook(emb, Similarity.pqCodebook(emb), 8, 8)
+    val want = Similarity.ivfPqTopK(corpus, corpus.filter(col("vec_id") < 20),
+      book2, m = 8, dsub = 8, k = 3).collect().toSet
+    assert(got == want && got.nonEmpty)
+    // both baselines ride the decoupled geometry: occupancy covers the
+    // 7 CELLS, and quality drift is exact zero on the training corpus
+    assert(AnnIndex.cellStats(spark, codesRoot, modelRoot).count() == 7L)
+    assert(AnnIndex.driftStats(spark, emb, modelRoot)
+      .select("drift_q").as[Long].collect().toSeq == Seq(0L, 0L, 0L))
+  }
+
   test("cell-pruned binary search equals exhaustive when every cell is probed; " +
     "the probed-cell filter prunes index files") {
     val emb = Tables.table(spark, sfDir, "embeddings")
