@@ -236,6 +236,25 @@ private[io] object VersionedProcedures {
         // the codes table may not exist yet: the first rebuild bootstraps it
         rootFor(str(input, 2, "codes_table"))))),
 
+    Spec("ann_cells", "measure a persisted ANN codes table's per-cell occupancy against the model's training-time baseline (graft.ops.AnnIndex.cellStats) — the BALANCE half of the rebuild contract, codes-table-only (no corpus encode): a cell whose current_share has grown past tolerance degrades probed-cell search toward O(n) on that cell even while ann_drift stays quiet",
+      Array(in("codes_table", StringType), in("model_table", StringType)),
+      StructType(Seq(
+        StructField("cluster", StringType, nullable = true),
+        StructField("baseline_cnt", LongType, nullable = false),
+        StructField("current_cnt", LongType, nullable = false),
+        StructField("baseline_share", org.apache.spark.sql.types.DoubleType, nullable = true),
+        StructField("current_share", org.apache.spark.sql.types.DoubleType, nullable = true))),
+      (spark, rootFor, input) =>
+        graft.ops.AnnIndex.cellStats(spark,
+          existing(spark, rootFor, input, 0),
+          existing(spark, rootFor, input, 1))
+          // the model's cell label type varies by corpus (integral or
+          // string); the procedure's fixed schema rides it as string
+          .withColumn("cluster",
+            org.apache.spark.sql.functions.col("cluster").cast(StringType))
+          .orderBy("cluster")
+          .queryExecution.executedPlan.executeCollect()),
+
     Spec("add_constraint", "record a named CHECK constraint (metadata-only); future writes violating it abort before writing",
       Array(in("table", StringType), in("name", StringType),
         in("expression", StringType)),

@@ -235,8 +235,17 @@ private[graft] class VersionedScan(spark: SparkSession, root: String,
   override def columnarSupportMode(): Scan.ColumnarSupportMode = inner.columnarSupportMode()
 
   override def filterAttributes(): Array[NamedReference] =
-    statsIndex.fold(Array.empty[NamedReference])(
-      _.runtimeColumns.toArray.sorted.map(Expressions.column))
+    statsIndex.fold(Array.empty[NamedReference]) { idx =>
+      // only columns the scan actually OUTPUTS: Spark binds these
+      // references against the PRUNED read schema, so naming a
+      // stats-tracked column that the projection dropped fails the
+      // whole query at analysis ("unable to resolve <col> given
+      // [<projected cols>]") — surfaced the moment a table harvested
+      // stats for a column some reader never selects (the codes
+      // table's cluster stats vs the sink's vec_id-only guard probe)
+      val out = inner.readSchema().fieldNames.toSet
+      idx.runtimeColumns.filter(out).toArray.sorted.map(Expressions.column)
+    }
 
   override def filter(filters: Array[Filter]): Unit = statsIndex.foreach { idx =>
     // IN / = over a stats- or bloom-tracked column -> candidate value set;

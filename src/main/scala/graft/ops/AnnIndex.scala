@@ -234,13 +234,33 @@ object AnnIndex {
       cent.unionByName(book).unionByName(meta).unionByName(drift)
         .unionByName(occ),
       modelRoot, replace = true, tag = Some(s"ann-train-m$m-dsub$dsub"))
-    val cv = Versioned.commit(spark, codes, codesRoot, replace = true,
-      tag = Some("ann-rebuild"),
-      statsCols = Seq("vec_id"),
-      bloomCols = Seq("vec_id").filter(c => graft.io.FileStats
-        .bloomSupported(emb.schema(c).dataType)))
+    val cv = commitCodes(spark, codes, codesRoot, emb,
+      math.min(centDf.count(), 4096L).toInt.max(1))
     (mv, cv)
   }
+
+  /** The codes-table commit both rebuild paths share: rows
+    * RANGE-partition by cell (one file per cell, capped at 4096 —
+    * explicit, so AQE cannot coalesce the layout away) and per-file
+    * `cluster` min/max stats harvest alongside the vec_id stats/blooms,
+    * so [[search]]'s probed-cell IN filter skips every file holding no
+    * probed cell — without this the inverted-list read is O(n) in FILES
+    * SCANNED even though the semi join prunes the rows, and the scan
+    * itself becomes the floor of every narrow search. The tradeoff is
+    * stated: cluster-sorted files scatter any given id range across
+    * files, so the maintenance sink's bloom-guard probes prune less
+    * after a rebuild than against the sink's own arrival-ordered files
+    * (the guard stays correct — blooms are per-file regardless of
+    * order). */
+  private def commitCodes(spark: SparkSession, codes: DataFrame,
+                          codesRoot: String, emb: DataFrame,
+                          files: Int): Long =
+    Versioned.commit(spark,
+      codes.repartitionByRange(files, col("cluster")),
+      codesRoot, replace = true, tag = Some("ann-rebuild"),
+      statsCols = Seq("vec_id", "cluster"),
+      bloomCols = Seq("vec_id").filter(c => graft.io.FileStats
+        .bloomSupported(emb.schema(c).dataType)))
 
   /** Read the persisted model: (centroids, codebook, m, dsub). */
   def model(spark: SparkSession, modelRoot: String)
@@ -498,16 +518,14 @@ object AnnIndex {
     val (cent, book, m, dsub) = model(spark, modelRoot)
     // harvest the same vec_id stats/bloom sidecars the maintenance sink
     // writes, so its bounded re-delivery guard keeps pruning after a
-    // rebuild replaces every file
-    Versioned.commit(spark,
+    // rebuild replaces every file; the cell-range layout + cluster
+    // stats come from [[commitCodes]]
+    commitCodes(spark,
       Similarity.assignClusters(emb, cent, nprobe = 1)
         .select(col("vec_id"), col("cluster"))
         .join(Similarity.pqEncode(emb.select(col("vec_id"), col("embedding")),
           book, m, dsub), Seq("vec_id")),
-      codesRoot, replace = true, tag = Some("ann-rebuild"),
-      statsCols = Seq("vec_id"),
-      bloomCols = Seq("vec_id").filter(c => graft.io.FileStats
-        .bloomSupported(emb.schema(c).dataType)))
+      codesRoot, emb, math.min(cent.count(), 4096L).toInt.max(1))
   }
 
   /** Persist the binary (1-bit/dim) sign-fingerprint index for
@@ -655,7 +673,25 @@ object AnnIndex {
   def search(spark: SparkSession, queries: DataFrame, modelRoot: String,
              codesRoot: String, k: Int, nprobe: Int = 1): DataFrame = {
     val (cent, book, _, dsub) = model(spark, modelRoot)
-    Similarity.ivfPqTopKIndexed(Versioned.read(spark, codesRoot),
-      Similarity.assignClusters(queries, cent, nprobe = nprobe), book, dsub, k)
+    val qa = Similarity.assignClusters(queries, cent, nprobe = nprobe)
+    // FILE-level pruning on top of ivfPqTopKIndexed's row-level semi
+    // join: the probed cells collect driver-side (bounded by
+    // |queries|·nprobe — queries are the broadcast-small side by
+    // contract; a guard caps the literal list like the sink's id
+    // collect) and push into the versioned scan as an IN filter, which
+    // the per-file cluster stats [[commitCodes]] harvested turn into
+    // skipped files. Without this the semi join prunes ROWS but the
+    // inverted-list read still scans every file, and that scan is the
+    // floor of every narrow search at corpus scale. Result-invisible:
+    // the filter keeps exactly the rows the semi join keeps.
+    val codes = Versioned.read(spark, codesRoot)
+    val probedRows = qa.select(col("cluster")).distinct()
+      .limit(10001).collect()
+    val pruned =
+      if (probedRows.length <= 10000)
+        codes.filter(col("cluster").isin(
+          probedRows.map(_.get(0)).toIndexedSeq: _*))
+      else codes // jumbo probe sets fall back to the semi join alone
+    Similarity.ivfPqTopKIndexed(pruned, qa, book, dsub, k)
   }
 }

@@ -487,9 +487,16 @@ object Streams {
                   .select(col("vec_id")).distinct()
               b0.join(seen, Seq("vec_id"), "leftanti")
             }
-          graft.io.Versioned.commit(spark, encode(b), root,
+          // harvest cluster min/max too when the index rows carry a cell
+          // (the PQ codes sink): an appended batch file's cluster range
+          // lets the search-side probed-cell IN filter skip it when the
+          // batch's arrivals happen to cluster — free (footer-only), and
+          // the rebuild path's cell-range layout makes it tight
+          val out = encode(b)
+          graft.io.Versioned.commit(spark, out, root,
             tag = Some(batchTag(checkpointDir, kind, id)),
-            statsCols = Seq("vec_id"),
+            statsCols = Seq("vec_id") ++
+              (if (out.columns.contains("cluster")) Seq("cluster") else Nil),
             bloomCols = Seq("vec_id").filter(c => graft.io.FileStats
               .bloomSupported(batch.schema(c).dataType)))
           ()

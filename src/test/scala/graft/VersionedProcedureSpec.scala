@@ -266,6 +266,21 @@ class VersionedProcedureSpec extends SparkSpecBase {
     // the persisted pair searches end to end
     assert(AnnIndex.search(spark, emb.filter(col("vec_id") < 5),
       rootOf("annmodel"), rootOf("anncodes"), k = 3).count() > 0)
+
+    // the BALANCE half through SQL: the freshly rebuilt codes table IS
+    // the training corpus, so baseline == current cell by cell and the
+    // shares sum to 1
+    val cells = spark.sql(
+      "CALL graft_proc.system.ann_cells('ns.anncodes', 'ns.annmodel')")
+    assert(cells.columns.toSeq == Seq("cluster", "baseline_cnt",
+      "current_cnt", "baseline_share", "current_share"))
+    val cellRows = cells
+      .select("baseline_cnt", "current_cnt", "current_share")
+      .as[(Long, Long, Double)].collect()
+    assert(cellRows.length == 4)
+    assert(cellRows.forall(r => r._1 == r._2))
+    assert(math.abs(cellRows.map(_._3).sum - 1.0) < 1e-12)
+
     // a missing model table refuses like every procedure
     val e = intercept[Exception](spark.sql(
       "CALL graft_proc.system.ann_drift('ns.anncorpus', 'ns.nomodel')"))
