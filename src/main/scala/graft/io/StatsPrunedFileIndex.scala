@@ -128,7 +128,9 @@ private[graft] class StatsPrunedFileIndex(
     val listed = super.listFiles(partitionFilters, dataFilters)
     val bounds = StatsPrunedFileIndex.extractBounds(dataFilters)
     val candidates = StatsPrunedFileIndex.extractEqualityHashes(dataFilters)
-    if (bounds.isEmpty && candidates.isEmpty && runtimeKeep.isEmpty) listed
+    val inSets = StatsPrunedFileIndex.extractInSets(dataFilters)
+    if (bounds.isEmpty && candidates.isEmpty && inSets.isEmpty &&
+      runtimeKeep.isEmpty) listed
     else {
       val pruned = listed.map { pd =>
         pd.copy(files = pd.files.filter { f =>
@@ -137,6 +139,9 @@ private[graft] class StatsPrunedFileIndex(
           runtimeKeep.forall(_.contains(key)) &&
           bounds.forall { case (c, (lo, hi)) =>
             FileStats.mayContain(byCol.get(c), lo, hi)
+          } &&
+          inSets.forall { case (c, vs) =>
+            vs.exists(v => FileStats.mayContain(byCol.get(c), Some(v), Some(v)))
           } && {
             lazy val fileBlooms = bloomMap.getOrElse(key, Map.empty)
             candidates.forall { case (c, hashes) =>
@@ -236,6 +241,39 @@ private[graft] object StatsPrunedFileIndex {
         // with the case-class constructor, not Literal.create (which
         // would re-convert an external value)
         add(a.name, hashesOrPoison(vs.toSeq.map(v => Literal(v, a.dataType))))
+      case _ =>
+    }
+    sets.toMap
+  }
+
+  /** Per-column candidate VALUE sets implied by pushed IN / InSet
+    * conjuncts, in the bound domain FileStats.coerce understands — the
+    * min/max twin of [[extractEqualityHashes]]: a file survives iff SOME
+    * candidate lies inside its [min,max], the same per-value check
+    * [[runtimeSurvivors]] already applies to join-driven candidate sets.
+    * Without this the STATIC path pruned IN conjuncts only through
+    * blooms, so an IN over a stats-tracked-but-unbloomed column — e.g.
+    * the ANN codes table's cell-range layout probed at nprobe ≥ 2 —
+    * skipped nothing (nprobe = 1 worked by accident: Catalyst folds a
+    * one-element IN to EqualTo, which [[extractBounds]] handles). A set
+    * holding any value stats cannot compare poisons that column's set
+    * (pruning on the comparable subset alone could drop a file holding
+    * only the incomparable value); null elements match nothing and are
+    * dropped. */
+  def extractInSets(filters: Seq[Expression]): Map[String, Seq[Any]] = {
+    val sets = scala.collection.mutable.Map[String, Seq[Any]]()
+    def addAll(c: String, ls: Seq[Literal]): Unit = if (!sets.contains(c)) {
+      val nonNull = ls.filter(_.value != null)
+      val vs = nonNull.map(literalValue)
+      if (nonNull.nonEmpty && vs.forall(_.isDefined)) sets(c) = vs.flatten
+    }
+    filters.foreach {
+      case In(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        addAll(a.name, vs.map(_.asInstanceOf[Literal]))
+      case InSet(a: Attribute, vs) =>
+        // InSet values are INTERNAL (UTF8String, micros, …): wrap with
+        // the case-class constructor so literalValue decodes them
+        addAll(a.name, vs.toSeq.map(v => Literal(v, a.dataType)))
       case _ =>
     }
     sets.toMap

@@ -636,7 +636,9 @@ object AnnIndex {
   def binarySearch(spark: SparkSession, queries: DataFrame, fpRoot: String,
                    corpus: DataFrame, dim: Int, k: Int, shortlist: Int,
                    cent: DataFrame, nprobe: Int): DataFrame = {
-    val fp = Versioned.read(spark, fpRoot)
+    // DSv2 scan for the same reason as [[search]]: only it consults the
+    // cluster stats sidecars, so the probed-cell IN below skips files
+    val fp = spark.read.format("graft-versioned").load(fpRoot)
     require(fp.columns.contains("cluster"),
       s"binarySearch(nprobe): the fingerprint index at $fpRoot carries " +
         "no cluster column — build it with the celled buildBinaryIndex " +
@@ -683,8 +685,13 @@ object AnnIndex {
     // skipped files. Without this the semi join prunes ROWS but the
     // inverted-list read still scans every file, and that scan is the
     // floor of every narrow search at corpus scale. Result-invisible:
-    // the filter keeps exactly the rows the semi join keeps.
-    val codes = Versioned.read(spark, codesRoot)
+    // the filter keeps exactly the rows the semi join keeps. The scan
+    // must be the `graft-versioned` DSv2 path — only it consults the
+    // stats sidecars; Versioned.read is a plain parquet read of the
+    // manifest's files. (The DSv2 scan refuses DV-carrying snapshots;
+    // the codes table is replace/append-only by contract, so that can
+    // only trip a user who hand-deleted from the index — loudly.)
+    val codes = spark.read.format("graft-versioned").load(codesRoot)
     val probedRows = qa.select(col("cluster")).distinct()
       .limit(10001).collect()
     val pruned =

@@ -214,6 +214,23 @@ class AnnMaintenanceSpec extends SparkSpecBase {
     assert(AnnIndex.cellStats(spark, codesRoot, modelRoot).count() == 7L)
     assert(AnnIndex.driftStats(spark, emb, modelRoot)
       .select("drift_q").as[Long].collect().toSeq == Seq(0L, 0L, 0L))
+
+    // the codes table's cell-range layout + cluster stats make a
+    // two-cell probe (the nprobe=2 search's pushed IN) skip files
+    import scala.jdk.CollectionConverters._
+    val probe = spark.read.format("graft-versioned").load(codesRoot)
+      .filter(col("cluster").isin(0, 1))
+    probe.queryExecution.toRdd.count()
+    val kept = probe.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table
+    }.collectFirst {
+      case t: graft.io.VersionedReadTable => t.prunedIndex.lastKeptFiles
+    }.getOrElse(fail("no VersionedReadTable in the probe plan"))
+    val total = java.nio.file.Files.walk(java.nio.file.Paths.get(codesRoot))
+      .iterator().asScala.count(_.toString.endsWith(".parquet"))
+    assert(kept < total,
+      s"two-cell codes probe kept $kept of $total files — no pruning")
   }
 
   test("cell-pruned binary search equals exhaustive when every cell is probed; " +
@@ -247,12 +264,16 @@ class AnnMaintenanceSpec extends SparkSpecBase {
     assert(pruned1.groupBy(_._1).values.forall(_.length <= 5))
 
     // the IN filter the pruned search pushes must skip files: the celled
-    // build range-partitions by cluster, so a one-cell probe's min/max
-    // check keeps a strict subset of the index files
+    // build range-partitions by cluster, so a TWO-cell probe's per-value
+    // min/max check keeps a strict subset of the index files. Two values,
+    // deliberately: a one-element isin folds to EqualTo and would pass
+    // through the bounds path — multi-value IN is the shape the static
+    // prune was missing (extractInSets), and the shape every nprobe ≥ 2
+    // search pushes.
     import scala.jdk.CollectionConverters._
-    val oneCell = cent.select(col("rlabel").cast("int")).as[Int].collect().min
+    val cellIds = cent.select(col("rlabel").cast("int")).as[Int].collect().sorted
     val probe = spark.read.format("graft-versioned").load(cellRoot)
-      .filter(col("cluster").isin(oneCell))
+      .filter(col("cluster").isin(cellIds(0), cellIds(1)))
     probe.queryExecution.toRdd.count()
     val kept = probe.queryExecution.analyzed.collect {
       case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
@@ -263,7 +284,7 @@ class AnnMaintenanceSpec extends SparkSpecBase {
     val total = java.nio.file.Files.walk(java.nio.file.Paths.get(cellRoot))
       .iterator().asScala.count(_.toString.endsWith(".parquet"))
     assert(kept < total,
-      s"one-cell probe kept $kept of $total files — cluster stats pruned nothing")
+      s"two-cell probe kept $kept of $total files — cluster stats pruned nothing")
 
     // a flat index refuses the pruned form loudly
     val e = intercept[IllegalArgumentException] {
