@@ -47,10 +47,19 @@ object BenchAnnSearch {
     val emb = if (cells > 0)
       emb0.withColumn("cell", pmod(col("vec_id"), lit(cells)).cast("int"))
     else emb0.withColumn("cell", col("label"))
-    val modelRoot = java.nio.file.Files.createTempDirectory("annbench_model").toString
-    val codesRoot = java.nio.file.Files.createTempDirectory("annbench_codes").toString
-    AnnIndex.trainAndRebuild(spark, emb, m = 16, dsub = 4, modelRoot, codesRoot,
-      cellLabelCol = "cell")
+    // SPARK_GRAFT_ANN_MODEL/_CODES reuse an already-built pair (the
+    // build is ~25 min at 10⁶ vectors and identical across runs —
+    // deterministic training); absent, build fresh
+    val (modelRoot, codesRoot) =
+      (sys.env.get("SPARK_GRAFT_ANN_MODEL"), sys.env.get("SPARK_GRAFT_ANN_CODES")) match {
+        case (Some(m), Some(c)) => (m, c)
+        case _ =>
+          val m = java.nio.file.Files.createTempDirectory("annbench_model").toString
+          val c = java.nio.file.Files.createTempDirectory("annbench_codes").toString
+          AnnIndex.trainAndRebuild(spark, emb, m = 16, dsub = 4, m, c,
+            cellLabelCol = "cell")
+          (m, c)
+      }
     val n = emb.count()
     val occ = AnnIndex.cellStats(spark, codesRoot, modelRoot)
       .select("current_cnt").as[Long](org.apache.spark.sql.Encoders.scalaLong)
@@ -58,7 +67,13 @@ object BenchAnnSearch {
     println(f"[ann-search] layout: ${occ.length} cells, occupancy " +
       f"min=${occ.min} max=${occ.max} (n=$n, sf=$sfDir)")
 
-    val q1 = emb.filter(col("vec_id") === 0L)
+    // queries arrive as a SMALL frame in production — pre-collect the
+    // probe vector so the timings measure the search, not re-scans of
+    // the corpus file backing a `filter(vec_id = 0)` query shape
+    val q1Sel = emb.filter(col("vec_id") === 0L)
+      .select(col("vec_id"), col("embedding"))
+    val q1 = spark.createDataFrame(
+      java.util.Arrays.asList(q1Sel.collect(): _*), q1Sel.schema)
     def time(label: String, nprobe: Int): Double = {
       val runs = (1 to iters).map { _ =>
         val t0 = System.nanoTime()

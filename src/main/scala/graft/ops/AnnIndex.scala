@@ -647,11 +647,18 @@ object AnnIndex {
     val qa = Similarity.assignClusters(
       queries.select(col("qid").as("vec_id"), col("qvec").as("embedding")),
       cent, nprobe)
-    val probed = qa.select(col("cluster")).distinct().collect().map(_.get(0))
+    // materialize the assigned query set once, as in [[search]]: the
+    // probed-cell list and the plan's broadcast query side must not
+    // each re-run whatever scan backs `queries`
+    val qaRows = qa.collect()
+    val qaLocal = spark.createDataFrame(
+      java.util.Arrays.asList(qaRows: _*), qa.schema)
+    val ci = qa.schema.fieldIndex("cluster")
+    val probed = qaRows.map(_.get(ci)).distinct.toIndexedSeq
     Similarity.binaryTopKIndexedPruned(
-      fp.filter(col("cluster").isin(probed.toIndexedSeq: _*))
+      fp.filter(col("cluster").isin(probed: _*))
         .select(col("vec_id").as("nid"), col("cluster"), col("fp")),
-      qa, corpus, dim, k, shortlist)
+      qaLocal, corpus, dim, k, shortlist)
   }
 
   /** The pruned [[binarySearch]] against the PERSISTED model's centroids
@@ -676,29 +683,37 @@ object AnnIndex {
              codesRoot: String, k: Int, nprobe: Int = 1): DataFrame = {
     val (cent, book, _, dsub) = model(spark, modelRoot)
     val qa = Similarity.assignClusters(queries, cent, nprobe = nprobe)
+    // The assigned query set is MATERIALIZED once (bounded: queries are
+    // the broadcast-small side by contract; a cap guards the collect
+    // like the sink's id collect) and serves three consumers that would
+    // otherwise each re-evaluate it — and with it whatever corpus-sized
+    // scan backs `queries`: the probed-cell list, the broadcast query
+    // side of the candidate join, and the semi-join prune. Measured on
+    // the 1M-vector fixture, the re-evaluations were the narrow
+    // search's floor, not the codes read.
+    //
     // FILE-level pruning on top of ivfPqTopKIndexed's row-level semi
-    // join: the probed cells collect driver-side (bounded by
-    // |queries|·nprobe — queries are the broadcast-small side by
-    // contract; a guard caps the literal list like the sink's id
-    // collect) and push into the versioned scan as an IN filter, which
-    // the per-file cluster stats [[commitCodes]] harvested turn into
-    // skipped files. Without this the semi join prunes ROWS but the
-    // inverted-list read still scans every file, and that scan is the
-    // floor of every narrow search at corpus scale. Result-invisible:
-    // the filter keeps exactly the rows the semi join keeps. The scan
-    // must be the `graft-versioned` DSv2 path — only it consults the
-    // stats sidecars; Versioned.read is a plain parquet read of the
-    // manifest's files. (The DSv2 scan refuses DV-carrying snapshots;
-    // the codes table is replace/append-only by contract, so that can
-    // only trip a user who hand-deleted from the index — loudly.)
+    // join: the probed cells push into the versioned scan as an IN
+    // filter, which the per-file cluster stats [[commitCodes]]
+    // harvested turn into skipped files. Without this the semi join
+    // prunes ROWS but the inverted-list read still scans every file.
+    // Result-invisible: the filter keeps exactly the rows the semi
+    // join keeps. The scan must be the `graft-versioned` DSv2 path —
+    // only it consults the stats sidecars; Versioned.read is a plain
+    // parquet read of the manifest's files. (The DSv2 scan refuses
+    // DV-carrying snapshots; the codes table is replace/append-only by
+    // contract, so that can only trip a user who hand-deleted from the
+    // index — loudly.)
     val codes = spark.read.format("graft-versioned").load(codesRoot)
-    val probedRows = qa.select(col("cluster")).distinct()
-      .limit(10001).collect()
-    val pruned =
-      if (probedRows.length <= 10000)
-        codes.filter(col("cluster").isin(
-          probedRows.map(_.get(0)).toIndexedSeq: _*))
-      else codes // jumbo probe sets fall back to the semi join alone
-    Similarity.ivfPqTopKIndexed(pruned, qa, book, dsub, k)
+    val qaRows = qa.limit(10001).collect()
+    if (qaRows.length <= 10000) {
+      val qaLocal = spark.createDataFrame(
+        java.util.Arrays.asList(qaRows: _*), qa.schema)
+      val ci = qa.schema.fieldIndex("cluster")
+      val probed = qaRows.map(_.get(ci)).distinct.toIndexedSeq
+      Similarity.ivfPqTopKIndexed(
+        codes.filter(col("cluster").isin(probed: _*)), qaLocal, book, dsub, k)
+    } else // jumbo query sets keep the single-pass plan, semi join alone
+      Similarity.ivfPqTopKIndexed(codes, qa, book, dsub, k)
   }
 }
