@@ -496,7 +496,14 @@ object AnnIndex {
     * quality measurement's O(n·k·m). No defaults (Scala permits them on
     * only one overload): the canonical dials are pct=90, tolQ=10486
     * (≈0.01 cosine) and a tolShare a few multiples of the trained
-    * baseline's max share (a balanced k-cell index sits near 1/k). */
+    * baseline's max share (a balanced k-cell index sits near 1/k).
+    * Snapshot semantics: each trigger reads its own single snapshot
+    * (internally consistent — the torn-read hazard is within a metric,
+    * not across them); a retrain landing BETWEEN the two checks can
+    * only make the stale half report against the pre-retrain model,
+    * i.e. recommend a rebuild that just happened — a wasted rebuild at
+    * worst, never a missed one, because the check against the
+    * surviving model is itself consistent. */
   def needsRebuild(spark: SparkSession, emb: DataFrame, modelRoot: String,
                    codesRoot: String, pct: Int, tolQ: Long,
                    tolShare: Double): Boolean = {
@@ -649,8 +656,15 @@ object AnnIndex {
       cent, nprobe)
     // materialize the assigned query set once, as in [[search]]: the
     // probed-cell list and the plan's broadcast query side must not
-    // each re-run whatever scan backs `queries`
-    val qaRows = qa.collect()
+    // each re-run whatever scan backs `queries`. Unlike search there is
+    // no semi-join fallback shape here (the query side is ALWAYS
+    // broadcast in the shortlist join), so a query set past the cap is
+    // out of contract either way — refuse loudly instead of cliffing
+    // the driver
+    val qaRows = qa.limit(100001).collect()
+    require(qaRows.length <= 100000,
+      "binarySearch(nprobe): more than 100k (query, probed-cell) rows — " +
+        "queries are the broadcast-small side by contract; batch them")
     val qaLocal = spark.createDataFrame(
       java.util.Arrays.asList(qaRows: _*), qa.schema)
     val ci = qa.schema.fieldIndex("cluster")

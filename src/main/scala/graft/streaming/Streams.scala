@@ -493,6 +493,23 @@ object Streams {
           // batch's arrivals happen to cluster — free (footer-only), and
           // the rebuild path's cell-range layout makes it tight
           val out = encode(b)
+          // a maintenance sink must append the EXACT index row shape:
+          // schema evolution would otherwise quietly null-fill the
+          // mismatch — e.g. the flat fingerprint sink appending
+          // cluster-less rows to a CELLED index, whose pruned search
+          // would then silently MISS every streamed vector (null
+          // cluster never matches a probed cell). Refuse loudly.
+          if (graft.io.Versioned.versions(spark, root).nonEmpty) {
+            val have = spark.read.format("graft-versioned").load(root)
+              .columns.toSet
+            val write = out.columns.toSet
+            require(have == write,
+              s"vector index sink ($kind): batch $id writes columns " +
+                s"${write.toSeq.sorted.mkString(",")} but the index at $root " +
+                s"has ${have.toSeq.sorted.mkString(",")} — a maintenance " +
+                "sink must append the exact index row shape (a celled " +
+                "index has no flat maintenance path; rebuild it instead)")
+          }
           graft.io.Versioned.commit(spark, out, root,
             tag = Some(batchTag(checkpointDir, kind, id)),
             statsCols = Seq("vec_id") ++

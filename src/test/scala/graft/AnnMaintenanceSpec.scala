@@ -293,6 +293,29 @@ class AnnMaintenanceSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("no cluster column"))
 
+    // the flat maintenance sink must REFUSE a celled index: schema
+    // evolution would null-fill cluster for streamed vectors and the
+    // pruned search would silently miss every one of them
+    {
+      implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val src = MemoryStream[(Long, Seq[Float])]
+      val q = graft.streaming.Streams.versionedBinaryIndexSink(
+        src.toDF().toDF("vec_id", "embedding"), dim = 64, cellRoot,
+        java.nio.file.Files.createTempDirectory("fpckpt_celled").toString)
+      try {
+        src.addData(Seq((999999L, Seq.fill(64)(0.5f))))
+        val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+        }
+        assert(Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+          .take(8).exists(t => Option(t.getMessage)
+            .exists(_.contains("exact index row shape"))))
+      } finally q.stop()
+      // and nothing was appended past the build commit
+      assert(graft.io.Versioned.versions(spark, cellRoot) == Seq(1L))
+    }
+
     // the modelRoot wrappers ride the same cells: build+search via a
     // trained model equals the cent path at full probe width
     val modelRoot = java.nio.file.Files.createTempDirectory("annm_fp").toString
