@@ -255,6 +255,30 @@ private[io] object VersionedProcedures {
           .orderBy("cluster")
           .queryExecution.executedPlan.executeCollect()),
 
+    Spec("ann_alerts", "reduce a drift-monitor table (versionedAnnDriftMonitorSink's accreted series, or any (batch_id, pct, drift_q) table) to maximal runs of consecutive drift breaches at the `pct` probe (graft.ops.AnnIndex.driftAlerts): a batch breaches when drift_q > tol_q, alert = run_len >= min_run — the operational endpoint of the monitor loop ('alert on a RUN of bad batches, not one'), one statement",
+      Array(in("monitor_table", StringType), inDefault("pct", IntegerType, "90"),
+        inDefault("tol_q", LongType, "10486"), inDefault("min_run", IntegerType, "3")),
+      StructType(Seq(
+        StructField("run_start", LongType, nullable = true),
+        StructField("run_end", LongType, nullable = true),
+        StructField("run_len", IntegerType, nullable = false),
+        StructField("alert", org.apache.spark.sql.types.BooleanType, nullable = false))),
+      (spark, rootFor, input) =>
+        graft.ops.AnnIndex.driftAlerts(
+          Versioned.read(spark, existing(spark, rootFor, input, 0)),
+          pct = input.getInt(1), tolQ = input.getLong(2),
+          minRun = input.getInt(3))
+          // batch ids are LONG in the monitor sink's own series; a
+          // hand-built series with another integral batch_id rides the
+          // same cast
+          .select(
+            org.apache.spark.sql.functions.col("run_start").cast(LongType),
+            org.apache.spark.sql.functions.col("run_end").cast(LongType),
+            org.apache.spark.sql.functions.col("run_len"),
+            org.apache.spark.sql.functions.col("alert"))
+          .orderBy("run_start")
+          .queryExecution.executedPlan.executeCollect()),
+
     Spec("add_constraint", "record a named CHECK constraint (metadata-only); future writes violating it abort before writing",
       Array(in("table", StringType), in("name", StringType),
         in("expression", StringType)),

@@ -196,7 +196,26 @@ object AnnIndex {
     * are replace commits). Returns (modelVersion, codesVersion);
     * byte-identical tables to calling train then rebuild.
     * `cellLabelCol` decouples the coarse quantizer exactly as in
-    * [[train]]. */
+    * [[train]].
+    *
+    * SCALE-THE-CELLS recipe (the production answer to BOTH rebuild
+    * triggers as the index GROWS, not just drifts): probed-cell search
+    * work is O(n / nlist) per probe, so a corpus that has outgrown its
+    * cell count pays fatter cells on every narrow search — visible as
+    * [[cellStats]]' current counts rising uniformly above baseline (all
+    * cells hot = the corpus grew; few cells hot = the distribution
+    * skewed). The remedy is a retrain AT MORE CELLS: derive a finer
+    * `cellLabelCol` (the FAISS sizing heuristic is nlist ≈ √n — e.g.
+    * re-bucket ids, or k-means at larger k via [[Similarity
+    * .lloydIterate]]) and call this again; the decoupled coarse
+    * quantizer means the n·k·m ENCODE cost tracks the unchanged PQ
+    * codebook, so doubling the cells roughly doubles only the k-row cell
+    * frames and the n·nlist assignment, never the encode. Searches need
+    * no code change — nprobe means "cells", so a fixed nprobe scans half
+    * the volume at 2× cells (recall at equal scanned volume: double
+    * nprobe with the cells; at nprobe = every cell the results are
+    * layout-INVARIANT, the spec-pinned equivalence `AnnCellScaleupSpec`
+    * uses to prove a 2×-cell retrain searches identically). */
   def trainAndRebuild(spark: SparkSession, emb: DataFrame, m: Int, dsub: Int,
                       modelRoot: String, codesRoot: String,
                       cellLabelCol: String = "label"): (Long, Long) = {
@@ -684,6 +703,105 @@ object AnnIndex {
     binarySearch(spark, queries, fpRoot, corpus, dim, k, shortlist, cent, nprobe)
   }
 
+  /** [[binarySearch]] whose RE-RANK stage fetches raw vectors from a
+    * VERSIONED corpus table instead of an ad-hoc frame — the
+    * corpus-at-scale form: the plain-DataFrame overloads re-rank via
+    * `corpus.join(broadcast(short))`, which prunes ROWS but still reads
+    * every corpus file (the exact row-vs-file distinction the codes
+    * table's probed-cell pruning closed in r14). Here the shortlist —
+    * bounded by |queries|·shortlist, queries being the broadcast-small
+    * side by contract — collects driver-side and its vec_ids push into
+    * the `graft-versioned` DSv2 scan as an IN, so the per-file vec_id
+    * blooms/stats the corpus commit harvested skip every file holding
+    * none of the shortlist (the same point-lookup prune as the
+    * maintenance sink's re-delivery probe). The corpus table must carry
+    * (vec_id, embedding); results are byte-identical to the DataFrame
+    * form over the same snapshot (the IN keeps a superset of the rows
+    * the broadcast join keeps). A shortlist past 100k rows refuses
+    * loudly rather than cliffing the driver — at that scale, batch the
+    * queries. The ad-hoc DataFrame overloads remain for corpora that are
+    * not versioned tables. */
+  def binarySearch(spark: SparkSession, queries: DataFrame, fpRoot: String,
+                   corpusRoot: String, dim: Int, k: Int,
+                   shortlist: Int): DataFrame = {
+    val fp = Versioned.read(spark, fpRoot)
+    checkFpWidth(fp, fpRoot, dim)
+    prunedRerank(spark,
+      Similarity.binaryShortlist(
+        fp.select(col("vec_id").as("nid"), col("fp")), queries, dim, shortlist),
+      queries.select(col("qid"), col("qvec")), corpusRoot, k)
+  }
+
+  /** Cell-pruned Hamming stage AND bloom-pruned re-rank fetch — both
+    * scan stages skip files: the fingerprint read keeps only probed-cell
+    * files (celled index), the corpus read only files whose vec_id
+    * blooms may hold a shortlisted id. Requires the celled
+    * [[buildBinaryIndex]]; same contracts as the two forms it fuses. */
+  def binarySearch(spark: SparkSession, queries: DataFrame, fpRoot: String,
+                   corpusRoot: String, dim: Int, k: Int, shortlist: Int,
+                   cent: DataFrame, nprobe: Int): DataFrame = {
+    val fp = spark.read.format("graft-versioned").load(fpRoot)
+    require(fp.columns.contains("cluster"),
+      s"binarySearch(nprobe): the fingerprint index at $fpRoot carries " +
+        "no cluster column — build it with the celled buildBinaryIndex " +
+        "(cent/modelRoot form) to enable cell pruning")
+    checkFpWidth(fp, fpRoot, dim)
+    val qa = Similarity.assignClusters(
+      queries.select(col("qid").as("vec_id"), col("qvec").as("embedding")),
+      cent, nprobe)
+    val qaRows = qa.limit(100001).collect()
+    require(qaRows.length <= 100000,
+      "binarySearch(nprobe): more than 100k (query, probed-cell) rows — " +
+        "queries are the broadcast-small side by contract; batch them")
+    val qaLocal = spark.createDataFrame(
+      java.util.Arrays.asList(qaRows: _*), qa.schema)
+    val ci = qa.schema.fieldIndex("cluster")
+    val probed = qaRows.map(_.get(ci)).distinct.toIndexedSeq
+    val short = Similarity.binaryShortlistPruned(
+      fp.filter(col("cluster").isin(probed: _*))
+        .select(col("vec_id").as("nid"), col("cluster"), col("fp")),
+      qaLocal, dim, shortlist)
+    prunedRerank(spark, short,
+      qaLocal.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        .dropDuplicates(Seq("qid")),
+      corpusRoot, k)
+  }
+
+  /** The fully-pruned [[binarySearch]] against the PERSISTED model's
+    * centroids. */
+  def binarySearch(spark: SparkSession, queries: DataFrame, fpRoot: String,
+                   corpusRoot: String, dim: Int, k: Int, shortlist: Int,
+                   modelRoot: String, nprobe: Int): DataFrame = {
+    val (cent, _, _, _) = model(spark, modelRoot)
+    binarySearch(spark, queries, fpRoot, corpusRoot, dim, k, shortlist,
+      cent, nprobe)
+  }
+
+  /** The shared pruned re-rank: collect the bounded (qid, nid) shortlist,
+    * push its distinct vec_ids into the versioned corpus scan as an IN
+    * (bloom/stats file skipping), re-rank the fetched rows exactly as
+    * [[Similarity.binaryRerank]] does for an ad-hoc corpus. */
+  private def prunedRerank(spark: SparkSession, short: DataFrame,
+                           queries: DataFrame, corpusRoot: String,
+                           k: Int): DataFrame = {
+    val rows = short.limit(100001).collect()
+    require(rows.length <= 100000,
+      "binarySearch: shortlist exceeds 100k (query, candidate) rows — " +
+        "the pruned re-rank fetch collects the shortlist driver-side; " +
+        "batch the queries (or lower `shortlist`)")
+    val shortLocal = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), short.schema)
+    val ni = short.schema.fieldIndex("nid")
+    val ids = rows.map(_.get(ni)).distinct.toIndexedSeq
+    val corpus = spark.read.format("graft-versioned").load(corpusRoot)
+    require(Seq("vec_id", "embedding").forall(corpus.columns.contains),
+      s"binarySearch: the corpus table at $corpusRoot must carry " +
+        s"(vec_id, embedding); has ${corpus.columns.mkString(",")}")
+    Similarity.binaryRerank(shortLocal, queries,
+      corpus.filter(col("vec_id").isin(ids: _*))
+        .select(col("vec_id").as("nid"), col("embedding").as("nvec")), k)
+  }
+
   /** End-to-end search over the PERSISTED pair: raw query vectors in,
     * (qid, nid, cluster, cos_pq, rank) out — queries are IVF-assigned
     * against the model's centroids, candidates come from the codes
@@ -727,7 +845,240 @@ object AnnIndex {
       val probed = qaRows.map(_.get(ci)).distinct.toIndexedSeq
       Similarity.ivfPqTopKIndexed(
         codes.filter(col("cluster").isin(probed: _*)), qaLocal, book, dsub, k)
-    } else // jumbo query sets keep the single-pass plan, semi join alone
-      Similarity.ivfPqTopKIndexed(codes, qa, book, dsub, k)
+    } else {
+      // Jumbo query sets (> 10k (query, probed-cell) rows) keep FILE
+      // pruning too: the probed-CELL set is bounded by nlist (≤ 4096 by
+      // the rebuild layout) however many queries there are, so a
+      // distributed distinct-clusters collect stays driver-safe at any
+      // query volume and the IN keeps pushing into the scan. The
+      // assignment is PINNED first — three consumers (the distinct
+      // below, ivfPqTopKIndexed's broadcast query side and its semi-join
+      // build) would otherwise each re-run the n·k assignment and
+      // whatever corpus-sized scan backs `queries` (the over-cap
+      // double-evaluation the r14 advice flagged; the cap probe above
+      // still costs one evaluation — the price of not paying a
+      // distributed pin on the common small path).
+      val qaPinned = qa.localCheckpoint()
+      val probed = qaPinned.select(col("cluster")).distinct().collect()
+        .map(_.get(0)).toIndexedSeq
+      Similarity.ivfPqTopKIndexed(
+        codes.filter(col("cluster").isin(probed: _*)), qaPinned, book, dsub, k)
+    }
+  }
+
+  /** Prepare a REUSABLE search handle over the persisted (model, codes)
+    * pair — the many-searches form of [[search]]. [[search]] re-reads the
+    * model table and re-plans the same multi-join shape on EVERY call;
+    * measured on the 10⁶-vector bench fixture that fixed cost
+    * (~1.4–1.9 s: model read, query-assignment job, Catalyst planning,
+    * stage scheduling) dominates a narrow probe. The handle pays the
+    * model read ONCE — centroids and codebook are k-row frames, collected
+    * to the driver here and re-broadcast from local relations per call
+    * (LocalTableScan broadcasts never launch a job) — resolves the codes
+    * scan (file listing + stats/bloom sidecar load, a lazy per-table
+    * index) once, and runs query assignment DRIVER-SIDE against the
+    * in-memory centroids: queries are the broadcast-small side by
+    * contract, so |q|·k kernel-exact cosines on the driver replace a
+    * whole Spark job. Per-call work is therefore exactly the pruned
+    * candidate join over the probed cells.
+    *
+    * Snapshot semantics: the handle serves the snapshot CURRENT AT
+    * PREPARE TIME of both tables (the model rows collect here; the codes
+    * scan resolves its file list at load) — a consistent pair by
+    * construction, immune to a concurrent retrain publishing between
+    * calls. Appends from a running maintenance sink after prepare are
+    * NOT visible; re-prepare to pick them up (cheap — the model read and
+    * listing, no training).
+    *
+    * Result contract: [[PreparedAnnSearch.search]] returns byte-identical
+    * rows to [[search]] on the same arguments (spec-pinned) — the
+    * driver-side assignment replicates the fused cosine kernel's
+    * sequential fold and the bounded heap's (score desc, id asc)
+    * tie-break exactly. */
+  def prepare(spark: SparkSession, modelRoot: String,
+              codesRoot: String): PreparedAnnSearch = {
+    // ONE snapshot read serves centroids, book, geometry — the same
+    // mixed-version guard as driftStats
+    val t = Versioned.read(spark, modelRoot)
+    val rows = t.filter(col("part").isin("cent", "book", "meta"))
+      .select(col("part"), col("rlabel"), col("vec")).collect()
+    val metaRow = rows.find(_.getString(0) == "meta").getOrElse(
+      throw new IllegalStateException(
+        s"prepare: the model at $modelRoot has no part='meta' row — " +
+          "train with AnnIndex.train/trainAndRebuild first"))
+    val rlabelType = t.schema("rlabel").dataType
+    val m = metaRow.get(1) match {
+      case n: Number => n.intValue()
+      case s: String => s.toInt
+      case other => throw new IllegalStateException(
+        s"prepare: unreadable meta rlabel $other")
+    }
+    val dsub = metaRow.getSeq[Double](2).head.toInt
+    val cent = rows.filter(_.getString(0) == "cent")
+    require(cent.nonEmpty,
+      s"prepare: the model at $modelRoot has no part='cent' rows")
+    val bookRows = rows.filter(_.getString(0) == "book")
+    require(bookRows.nonEmpty,
+      s"prepare: the model at $modelRoot has no part='book' rows")
+    val centLabels = cent.map(_.get(1)).toIndexedSeq
+    val centVecs = cent.map(_.getSeq[Double](2).toArray).toIndexedSeq
+    // book as a LOCAL k-row frame in the (rlabel, cvec) shape
+    // ivfPqTopKIndexed broadcasts — values identical to model()'s
+    // distributed frame, so results cannot differ
+    val bookSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("rlabel", rlabelType),
+      org.apache.spark.sql.types.StructField("cvec",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    val bookLocal = spark.createDataFrame(
+      java.util.Arrays.asList(bookRows.map(r =>
+        org.apache.spark.sql.Row(r.get(1), r.getSeq[Double](2))): _*),
+      bookSchema)
+    val codes = spark.read.format("graft-versioned").load(codesRoot)
+    require(Seq("vec_id", "cluster", "sub", "code")
+      .forall(codes.columns.contains),
+      s"prepare: the codes table at $codesRoot is not an IVF-PQ codes " +
+        s"table (needs vec_id, cluster, sub, code; has " +
+        s"${codes.columns.mkString(",")})")
+    new PreparedAnnSearch(spark, centLabels, centVecs, rlabelType,
+      bookLocal, dsub, codes)
+  }
+}
+
+/** The reusable search handle [[AnnIndex.prepare]] returns: model
+  * materialized once (driver-held centroids, local-relation codebook),
+  * codes scan resolved once, per-call cost = driver-side query
+  * assignment + the probed-cell candidate join. See [[AnnIndex.prepare]]
+  * for the snapshot and equality contracts. */
+final class PreparedAnnSearch private[ops] (
+    spark: SparkSession,
+    centLabels: IndexedSeq[Any],
+    centVecs: IndexedSeq[Array[Double]],
+    rlabelType: org.apache.spark.sql.types.DataType,
+    bookLocal: DataFrame,
+    dsub: Int,
+    codes: DataFrame) {
+  import org.apache.spark.sql.types.{ArrayType, ByteType, FloatType, IntegerType, LongType, ShortType, StringType}
+
+  /** Tie-break ids in the bounded heap's own comparison domain: integral
+    * labels compare as longs, string labels in UTF8 binary order —
+    * exactly [[Similarity.assignClusters]]'s heapId contract. */
+  private val centIdsLong: Array[Long] = rlabelType match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      centLabels.map(_.asInstanceOf[Number].longValue()).toArray
+    case StringType => null
+    case t => throw new IllegalArgumentException(
+      s"prepare: centroid label type ${t.simpleString} is not supported " +
+        "(integral or string)")
+  }
+  private val centIdsUtf8: Array[org.apache.spark.unsafe.types.UTF8String] =
+    if (centIdsLong != null) null
+    else centLabels.map(l => org.apache.spark.unsafe.types.UTF8String
+      .fromString(l.asInstanceOf[String])).toArray
+
+  /** idLess(a, b): does centroid a's label order before b's in the heap's
+    * ascending-id tie-break? */
+  private def idLess(a: Int, b: Int): Boolean =
+    if (centIdsLong != null) centIdsLong(a) < centIdsLong(b)
+    else centIdsUtf8(a).compareTo(centIdsUtf8(b)) < 0
+
+  /** [[AnnIndex.search]] against the prepared pair: byte-identical rows,
+    * no model read, no assignment job, no fallback shape — a query batch
+    * past the 10k (query, probed-cell)-row cap refuses loudly (use
+    * [[AnnIndex.search]], whose distributed fallback handles jumbo sets).
+    * Duplicate query ids collapse to their first-collected embedding,
+    * mirroring assignClusters' `first` — unique qids are the contract. */
+  def search(queries: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe=$nprobe must be >= 1")
+    require(queries.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }, "prepared search: queries.embedding must be array<float> " +
+      s"(got ${queries.schema("embedding").dataType.simpleString})")
+    val qIn = queries.select(col("vec_id"), col("embedding"))
+    val cap = 10000 / nprobe
+    val qRows = qIn.limit(cap + 1).collect()
+    require(qRows.length <= cap,
+      s"prepared search: more than $cap queries at nprobe=$nprobe " +
+        "(> 10k (query, probed-cell) rows) — batch the queries or use " +
+        "AnnIndex.search, whose distributed fallback handles jumbo sets")
+    // duplicate qids collapse like assignClusters' groupBy(vec_id)
+    val seen = new java.util.LinkedHashMap[Any, org.apache.spark.sql.Row]()
+    qRows.foreach(r => seen.putIfAbsent(r.get(0), r))
+    val uq = seen.values().toArray(new Array[org.apache.spark.sql.Row](0))
+    val kCent = centVecs.length
+    val np = math.min(nprobe, kCent)
+    // driver-side assignment: per query, the kernel-exact cosine against
+    // every centroid (same sequential fold as Kernels.cosineFD — float
+    // widened per element against the double centroid), null embeddings
+    // scored -Inf like assignClusters' coalesce, NaN ordering via
+    // Double.compare like the heap, ties to the ascending label.
+    // Parallel across queries (independent rows) via the JDK stream pool.
+    val assigned = new Array[Array[Int]](uq.length)
+    java.util.stream.IntStream.range(0, uq.length).parallel().forEach { qi =>
+      val row = uq(qi)
+      val emb: Array[Float] =
+        if (row.isNullAt(1)) null
+        else {
+          val s = row.getSeq[Any](1)
+          val a = new Array[Float](s.length)
+          var i = 0
+          s.foreach { v =>
+            a(i) = if (v == null) 0f else v.asInstanceOf[Float]; i += 1
+          }
+          a
+        }
+      val scores = new Array[Double](kCent)
+      var c = 0
+      while (c < kCent) {
+        scores(c) =
+          if (emb == null) Double.NegativeInfinity
+          else {
+            val cv = centVecs(c)
+            val n = emb.length
+            var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+            while (i < n) {
+              val x = emb(i).toDouble
+              val y = cv(i)
+              dot += x * y; na += x * x; nb += y * y
+              i += 1
+            }
+            dot / (math.sqrt(na) * math.sqrt(nb))
+          }
+        c += 1
+      }
+      val order = Array.range(0, kCent)
+      // (score desc via Double.compare — NaN above all, like the heap's
+      // WorstFirst — then id asc)
+      val boxed = order.map(Integer.valueOf)
+      java.util.Arrays.sort(boxed, new java.util.Comparator[Integer] {
+        override def compare(a: Integer, b: Integer): Int = {
+          val cN = java.lang.Double.compare(scores(b), scores(a))
+          if (cN != 0) cN
+          else if (idLess(a, b)) -1 else if (idLess(b, a)) 1 else 0
+        }
+      })
+      assigned(qi) = boxed.take(np).map(_.intValue())
+    }
+    val qaSchema = org.apache.spark.sql.types.StructType(
+      qIn.schema.fields :+
+        org.apache.spark.sql.types.StructField("cluster", rlabelType))
+    val qaRows = new java.util.ArrayList[org.apache.spark.sql.Row](
+      uq.length * np)
+    var qi = 0
+    while (qi < uq.length) {
+      val row = uq(qi)
+      assigned(qi).foreach { c =>
+        qaRows.add(org.apache.spark.sql.Row(row.get(0), row.get(1),
+          centLabels(c)))
+      }
+      qi += 1
+    }
+    val qaLocal = spark.createDataFrame(qaRows, qaSchema)
+    val probed = qaRows.toArray(new Array[org.apache.spark.sql.Row](0))
+      .map(_.get(2)).distinct.toIndexedSeq
+    Similarity.ivfPqTopKIndexed(
+      codes.filter(col("cluster").isin(probed: _*)), qaLocal, bookLocal,
+      dsub, k)
   }
 }

@@ -152,10 +152,21 @@ object Similarity {
     * `AnnIndex.binarySearch` additionally checks it up front with the
     * index root named in the error. */
   def binaryTopKIndexed(fp: DataFrame, queries: DataFrame, corpus: DataFrame,
-                        dim: Int, k: Int, shortlist: Int): DataFrame = {
+                        dim: Int, k: Int, shortlist: Int): DataFrame =
+    binaryRerank(binaryShortlist(fp, queries, dim, shortlist), queries, corpus, k)
+
+  /** Stage 1 of [[binaryTopKIndexed]] alone — the Hamming shortlist as a
+    * (qid, nid) frame, `shortlist` candidates per query in (hamming asc,
+    * nid asc) order at the boundary. Exposed so callers that can prune
+    * the re-rank FETCH (e.g. `AnnIndex.binarySearch` against a versioned
+    * corpus root, whose per-file vec_id blooms skip files for a pushed
+    * shortlist-id IN) can collect this bounded frame and build the fetch
+    * themselves; [[binaryRerank]] is the matching stage 2. */
+  def binaryShortlist(fp: DataFrame, queries: DataFrame, dim: Int,
+                      shortlist: Int): DataFrame = {
     import graft.functions.GraftExpressions.topKBy
     val qf = queries.select(col("qid"), signWords(col("qvec"), dim).as("__qf"))
-    val short = fp
+    fp
       .select(col("nid"), col("fp").as("__cf"))
       .crossJoin(broadcast(qf))
       .filter(col("qid") =!= col("nid"))
@@ -165,6 +176,16 @@ object Similarity {
       .agg(topKBy(col("__s"), col("nid"), shortlist).as("__top"))
       .select(col("qid"), explode(col("__top")).as("__e"))
       .select(col("qid"), col("__e.id").as("nid"))
+  }
+
+  /** Stage 2 of the binary rankers: exact-cosine re-rank of a (qid, nid)
+    * shortlist against `corpus`'s raw vectors — only the shortlist's rows
+    * are kept (the shortlist broadcasts into the corpus join), ties
+    * (cos desc, nid asc), rank ≤ k. Shared verbatim by the exhaustive and
+    * the cell-pruned forms, so their re-rank semantics cannot drift. */
+  def binaryRerank(short: DataFrame, queries: DataFrame, corpus: DataFrame,
+                   k: Int): DataFrame = {
+    import graft.functions.GraftExpressions.topKBy
     corpus.join(broadcast(short), Seq("nid"))
       .join(broadcast(queries), Seq("qid"))
       .select(col("qid"), col("nid"),
@@ -190,14 +211,38 @@ object Similarity {
     * exhaustive form, so results coincide exactly; with fewer, recall
     * trades against scanning proportionally fewer fingerprints.
     * `AnnIndex.binarySearch(nprobe)` layers file-level pruning on top by
-    * filtering the celled index table before handing it here. */
+    * filtering the celled index table before handing it here.
+    *
+    * Contract (both this and the exhaustive form): query ids are UNIQUE.
+    * `queryAssigned` is expected to come from [[assignClusters]], which
+    * already collapses a duplicated qid to ONE embedding (`first`) —
+    * exactly as the exhaustive form's caller contract ("each row of
+    * queries") makes duplicate qids out of contract there. A hand-built
+    * frame carrying the same qid with DIFFERING embeddings is therefore
+    * out of contract for both entry points: this form would score the
+    * per-cell fingerprints of every copy but re-rank against one
+    * arbitrary embedding, the exhaustive form would produce colliding
+    * rank sequences under one qid — neither is a meaningful top-k. */
   def binaryTopKIndexedPruned(fp: DataFrame, queryAssigned: DataFrame,
                               corpus: DataFrame, dim: Int, k: Int,
                               shortlist: Int): DataFrame = {
+    val short = binaryShortlistPruned(fp, queryAssigned, dim, shortlist)
+    val queries = queryAssigned
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .dropDuplicates(Seq("qid"))
+    binaryRerank(short, queries, corpus, k)
+  }
+
+  /** Stage 1 of [[binaryTopKIndexedPruned]] alone — the cell-restricted
+    * Hamming shortlist as a (qid, nid) frame: the candidate meeting is a
+    * cluster equi-join of the CELLED fingerprint frame against the
+    * query's probed-cell rows, everything else as [[binaryShortlist]]. */
+  def binaryShortlistPruned(fp: DataFrame, queryAssigned: DataFrame,
+                            dim: Int, shortlist: Int): DataFrame = {
     import graft.functions.GraftExpressions.topKBy
     val qf = queryAssigned.select(col("vec_id").as("qid"), col("cluster"),
       signWords(col("embedding"), dim).as("__qf"))
-    val short = fp
+    fp
       .select(col("nid"), col("cluster"), col("fp").as("__cf"))
       .join(broadcast(qf), Seq("cluster"))
       .filter(col("qid") =!= col("nid"))
@@ -207,18 +252,6 @@ object Similarity {
       .agg(topKBy(col("__s"), col("nid"), shortlist).as("__top"))
       .select(col("qid"), explode(col("__top")).as("__e"))
       .select(col("qid"), col("__e.id").as("nid"))
-    val queries = queryAssigned
-      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      .dropDuplicates(Seq("qid"))
-    corpus.join(broadcast(short), Seq("nid"))
-      .join(broadcast(queries), Seq("qid"))
-      .select(col("qid"), col("nid"),
-        cosineSim(col("qvec"), col("nvec")).as("cos"))
-      .groupBy(col("qid"))
-      .agg(topKBy(col("cos"), col("nid"), k).as("__rk"))
-      .select(col("qid"), posexplode(col("__rk")))
-      .select(col("qid"), col("col.id").as("nid"), col("col.score").as("cos"),
-        (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** IVF centroid table from seed labels — one Lloyd step with integer-
@@ -756,11 +789,21 @@ object Similarity {
     // Result-invisible by construction; work is O(probed cells), not O(n).
     val probed = q.select(col("cluster")).distinct()
     val cand = codes.join(broadcast(probed), Seq("cluster"), "left_semi")
-    val compressed = cand.select(col("vec_id").as("nid"), col("cluster"))
-      .distinct()
-      .join(pqReconstruct(
-        cand.select(col("vec_id"), col("sub"), col("code")), book, dsub)
-        .select(col("vec_id").as("nid"), col("xhat")), Seq("nid"))
+    // FUSED reconstruct: the home cell rides INSIDE the reconstruction
+    // groupBy (a vector's cluster is constant across its m code rows, so
+    // grouping by (nid, cluster) groups exactly by nid) — one exchange on
+    // the candidate codes, where the previous shape paid a distinct
+    // exchange + the pqReconstruct exchange + a shuffle join to glue the
+    // cell back on. Same rows out; per-call stage count drops by one —
+    // part of the fixed per-search floor the prepared handle attacks.
+    val compressed = cand
+      .join(broadcast(book), cand("code") === book("rlabel"))
+      .select(col("vec_id").as("nid"), col("cluster"), col("sub"),
+        slice(col("cvec"), col("sub") * dsub + 1, lit(dsub)).as("__piece"))
+      .groupBy(col("nid"), col("cluster"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("sub"), col("__piece")))),
+        x => x.getField("__piece"))).as("xhat"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos_pq").desc, col("nid"))
     compressed.join(broadcast(q), Seq("cluster"))
       .filter(col("qid") =!= col("nid"))

@@ -850,6 +850,101 @@ object CoverageQueries {
        |WHERE rank <= 5
        |""".stripMargin
 
+  /** PREPARED-handle search ([[graft.ops.AnnIndex.prepare]]): the same
+    * persisted lifecycle as `ann_lifecycle_probe2`, but the search runs
+    * through the reusable handle — model collected ONCE to the driver,
+    * query assignment computed driver-side against the in-memory
+    * centroids (kernel-exact cosine, heap-exact tie-breaks), per-call
+    * work only the probed-cell candidate join. Shares
+    * [[annIvfPqProbe2Oracle]] verbatim with the direct nprobe=2 search:
+    * the handle must be hash-invisible — same rows, same schema, same
+    * bits — or the fixed-cost optimization isn't an optimization. */
+  def annPrepared(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.AnnIndex
+    val emb = Tables.embeddings(spark, sfDir)
+    val modelRoot = QueryScratch.freshRoot("graft_annmodel_ph", sfDir)
+    val codesRoot = QueryScratch.freshRoot("graft_anncodes_ph", sfDir)
+    AnnIndex.trainAndRebuild(spark, emb, m = 16, dsub = 4, modelRoot, codesRoot)
+    AnnIndex.prepare(spark, modelRoot, codesRoot)
+      .search(emb.filter(col("vec_id") < 30), k = 3, nprobe = 2)
+  }
+
+  /** Bloom-pruned re-rank FETCH ([[graft.ops.AnnIndex.binarySearch]]
+    * against a versioned corpus root): the Hamming shortlist's vec_ids
+    * push into the corpus scan as an IN, so the per-file vec_id blooms
+    * the corpus commit harvested skip every file holding none of them —
+    * the re-rank stage's mirror of the codes table's probed-cell file
+    * pruning (rows were already pruned by the broadcast shortlist join;
+    * FILES are what an exhaustive fetch still paid). Shares
+    * [[annBinaryRerankOracle]] verbatim with the ad-hoc-corpus form: the
+    * pruned fetch must be hash-invisible. */
+  def annBinaryFetch(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.AnnIndex
+    val emb = Tables.embeddings(spark, sfDir)
+    val fpRoot = QueryScratch.freshRoot("graft_annfp_f", sfDir)
+    val corpusRoot = QueryScratch.freshRoot("graft_anncorp_f", sfDir)
+    AnnIndex.buildBinaryIndex(spark, emb, dim = 64, fpRoot)
+    graft.io.Versioned.commit(spark,
+      emb.select(col("vec_id"), col("embedding")), corpusRoot,
+      replace = true, statsCols = Seq("vec_id"), bloomCols = Seq("vec_id"))
+    AnnIndex.binarySearch(spark,
+      emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      fpRoot, corpusRoot, dim = 64, k = 5, shortlist = 50)
+  }
+
+  /** The SCALE-THE-CELLS recipe in oracle-checkable form
+    * ([[graft.ops.AnnIndex.trainAndRebuild]]'s scaladoc): retrain the
+    * same corpus at 2× the cells (20 via `cellLabelCol` = vec_id mod 20
+    * vs the fixture's 10 labels — the move a growing index makes when
+    * [[graft.ops.AnnIndex.cellStats]] shows uniformly fat cells) while
+    * the PQ codebook keeps its 10 seed labels (the decoupled geometry:
+    * the n·k·m encode cost doesn't move), then search at nprobe = every
+    * cell — where results are layout-INVARIANT (each candidate still
+    * meets each query exactly once, in its home cell), so the oracle
+    * pins both that the 2×-cell index searches correctly AND that only
+    * the `cluster` column (the home-cell layout) changed shape. */
+  def annCellScaleup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.AnnIndex
+    val emb = Tables.embeddings(spark, sfDir)
+      .withColumn("cell", pmod(col("vec_id"), lit(20)).cast("int"))
+    val modelRoot = QueryScratch.freshRoot("graft_annmodel_c2x", sfDir)
+    val codesRoot = QueryScratch.freshRoot("graft_anncodes_c2x", sfDir)
+    AnnIndex.trainAndRebuild(spark, emb, m = 16, dsub = 4,
+      modelRoot, codesRoot, cellLabelCol = "cell")
+    AnnIndex.search(spark, emb.filter(col("vec_id") < 30),
+      modelRoot, codesRoot, k = 3, nprobe = 20)
+  }
+
+  val annCellScaleupOracle: String =
+    s"""WITH $pqBookCtes,
+       |comp2 AS (
+       |  SELECT CAST(vec_id % 20 AS INTEGER) AS label2, i,
+       |         SUM(CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1048576) AS BIGINT)) AS s
+       |  FROM embeddings, range(0,64) t(i) GROUP BY 1, 2),
+       |cent2 AS (
+       |  SELECT label2 AS rlabel, list(CAST(s AS DOUBLE) ORDER BY i) AS cvec
+       |  FROM comp2 GROUP BY 1),
+       |assigned AS (
+       |  SELECT vec_id, rlabel AS cluster FROM (
+       |    SELECT e.vec_id, r.rlabel,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.embedding", "r.cvec")} DESC, r.rlabel) AS rn
+       |    FROM embeddings e CROSS JOIN cent2 r)
+       |  WHERE rn = 1),
+       |scored AS (
+       |  SELECT q.vec_id AS qid, a.vec_id AS nid, a.cluster,
+       |         ${cosSql("q.embedding", "x.xv")} AS cos_pq
+       |  FROM embeddings q
+       |  JOIN assigned a ON q.vec_id < 30 AND a.vec_id <> q.vec_id
+       |  JOIN xhat x ON x.vec_id = a.vec_id)
+       |SELECT qid, nid, cluster, cos_pq, rank FROM (
+       |  SELECT qid, nid, cluster, cos_pq,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos_pq DESC, nid) AS rank
+       |  FROM scored)
+       |WHERE rank <= 3
+       |""".stripMargin
+
   /** Alert-on-runs over a drift time series
     * ([[graft.ops.AnnIndex.driftSeries]] + [[graft.ops.AnnIndex
     * .driftAlerts]]): the corpus is sharded into 8 deterministic batches
@@ -1676,6 +1771,9 @@ object CoverageQueries {
     "ann_binary_rerank" -> (annBinaryRerank _),
     "ann_binary_lifecycle" -> (annBinaryLifecycle _),
     "ann_binary_pruned" -> (annBinaryPruned _),
+    "ann_binary_fetch" -> (annBinaryFetch _),
+    "ann_prepared" -> (annPrepared _),
+    "ann_cell_scaleup" -> (annCellScaleup _),
     "range_exclusion" -> (rangeExclusion _),
     "sales_rollup" -> (salesRollup _),
     "term_frequency" -> (termFrequency _),
@@ -1725,6 +1823,9 @@ object CoverageQueries {
     "ann_binary_rerank" -> annBinaryRerankOracle,
     "ann_binary_lifecycle" -> annBinaryRerankOracle,
     "ann_binary_pruned" -> annBinaryPrunedOracle,
+    "ann_binary_fetch" -> annBinaryRerankOracle, // pruned fetch must be hash-invisible
+    "ann_prepared" -> annIvfPqProbe2Oracle, // handle must be hash-invisible
+    "ann_cell_scaleup" -> annCellScaleupOracle,
     "range_exclusion" -> rangeExclusionOracle,
     "sales_rollup" -> salesRollupOracle,
     "term_frequency" -> termFrequencyOracle,

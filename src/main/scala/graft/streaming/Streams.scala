@@ -500,15 +500,27 @@ object Streams {
           // would then silently MISS every streamed vector (null
           // cluster never matches a probed cell). Refuse loudly.
           if (graft.io.Versioned.versions(spark, root).nonEmpty) {
-            val have = spark.read.format("graft-versioned").load(root)
-              .columns.toSet
-            val write = out.columns.toSet
+            // name -> dataType maps, not name sets: a batch with matching
+            // names but different types (or a duplicated name) would pass
+            // a set comparison and surface only at read time
+            def shape(cols: Array[org.apache.spark.sql.types.StructField])
+                : Map[String, org.apache.spark.sql.types.DataType] = {
+              val m = cols.map(f => f.name -> f.dataType).toMap
+              require(m.size == cols.length,
+                s"vector index sink ($kind): batch $id carries duplicate " +
+                  s"column names (${cols.map(_.name).mkString(",")})")
+              m
+            }
+            val have = shape(spark.read.format("graft-versioned").load(root)
+              .schema.fields)
+            val write = shape(out.schema.fields)
             require(have == write,
               s"vector index sink ($kind): batch $id writes columns " +
-                s"${write.toSeq.sorted.mkString(",")} but the index at $root " +
-                s"has ${have.toSeq.sorted.mkString(",")} — a maintenance " +
-                "sink must append the exact index row shape (a celled " +
-                "index has no flat maintenance path; rebuild it instead)")
+                s"${write.toSeq.sortBy(_._1).map(c => s"${c._1}:${c._2.simpleString}").mkString(",")} " +
+                s"but the index at $root has " +
+                s"${have.toSeq.sortBy(_._1).map(c => s"${c._1}:${c._2.simpleString}").mkString(",")} — " +
+                "a maintenance sink must append the exact index row shape " +
+                "(a celled index has no flat maintenance path; rebuild it instead)")
           }
           graft.io.Versioned.commit(spark, out, root,
             tag = Some(batchTag(checkpointDir, kind, id)),
@@ -536,7 +548,9 @@ object Streams {
     * sampling noise: a single small batch's quantiles are noisy, so
     * alert on a run of bad batches (the time series is the point), not
     * on one — `AnnIndex.driftAlerts` over this table is that contract's
-    * mechanical form (K consecutive breaches at a chosen probe). For a
+    * mechanical form (K consecutive breaches at a chosen probe), and
+    * `CALL graft.system.ann_alerts('monitor_tbl', pct, tol_q, min_run)`
+    * its one-statement SQL surface. For a
     * periodic check of the STANDING corpus (this sink only sees
     * arrivals), use the sampled `AnnIndex.driftStats(…, sampleFraction)`
     * at O(f·n) rather than the exact full-corpus form; and remember
