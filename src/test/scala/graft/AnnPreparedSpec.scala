@@ -1,0 +1,236 @@
+package graft
+
+import graft.ops.{AnnIndex, Similarity}
+import org.apache.spark.sql.functions._
+
+/** The round-15 search-path surface: the prepared handle
+  * ([[graft.ops.AnnIndex.prepare]]) must be HASH-INVISIBLE against the
+  * direct [[graft.ops.AnnIndex.search]] — including the driver-side
+  * assignment's tie-breaks and degenerate-vector ordering, which are the
+  * exact places a re-implementation silently diverges — the jumbo-query
+  * fallback must keep FILE pruning (the r14 verdict gap: past the 10k cap
+  * the probed-cell IN was dropped entirely), and the binary re-rank's
+  * versioned-corpus fetch must skip files while returning the
+  * byte-identical result of the ad-hoc-corpus form.
+  */
+class AnnPreparedSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** lastKeptFiles of the (single) versioned DSv2 scan in `df`'s plan —
+    * read AFTER an action so the scan has planned. */
+  private def keptFilesOf(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table
+    }.collectFirst {
+      case t: graft.io.VersionedReadTable => t.prunedIndex.lastKeptFiles
+    }.getOrElse(fail("no VersionedReadTable in the plan"))
+
+  private def parquetFilesUnder(root: String): Int = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      .iterator().asScala.count(_.toString.endsWith(".parquet"))
+  }
+
+  test("prepared handle equals direct search at every probe width, " +
+    "including degenerate queries") {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val modelRoot = tmp("annm_prep")
+    val codesRoot = tmp("annc_prep")
+    AnnIndex.trainAndRebuild(spark, emb, m = 16, dsub = 4, modelRoot, codesRoot)
+    val cells = AnnIndex.model(spark, modelRoot)._1.count().toInt
+
+    // queries: 20 real vectors PLUS a zero vector (cosine = NaN against
+    // every centroid — Double.compare ranks NaN above all, and both
+    // paths must agree) and a NULL embedding (scored -Inf everywhere,
+    // assigned to the lowest cell ids)
+    val degenerate = Seq(
+      (900001L, Seq.fill(64)(0f)),
+      (900002L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(degenerate)
+
+    val handle = AnnIndex.prepare(spark, modelRoot, codesRoot)
+    for (np <- Seq(1, 2, cells)) {
+      val direct = AnnIndex.search(spark, queries, modelRoot, codesRoot,
+        k = 3, nprobe = np).collect().toSet
+      val prepared = handle.search(queries, k = 3, nprobe = np).collect().toSet
+      assert(prepared == direct && direct.nonEmpty, s"diverged at nprobe=$np")
+    }
+
+    // the handle's codes read prunes FILES for a narrow probe exactly
+    // like direct search (the codes table is cell-range-partitioned)
+    val narrow = handle.search(emb.filter(col("vec_id") < 3), k = 3, nprobe = 1)
+    narrow.queryExecution.toRdd.count()
+    val kept = keptFilesOf(narrow)
+    val total = parquetFilesUnder(codesRoot)
+    assert(kept < total,
+      s"narrow prepared search kept $kept of $total codes files — no pruning")
+
+    // a query batch past the (query, probed-cell)-row cap refuses loudly
+    // with the distributed alternative named
+    val jumbo = spark.range(10001).select(col("id").as("vec_id"))
+      .crossJoin(broadcast(emb.filter(col("vec_id") === 0L).select(col("embedding"))))
+    val e = intercept[IllegalArgumentException] {
+      handle.search(jumbo, k = 3, nprobe = 1)
+    }
+    assert(e.getMessage.contains("AnnIndex.search"))
+  }
+
+  test("prepared handle replicates exact assignment tie-breaks on string cells") {
+    // two string cells with IDENTICAL member vectors: their quantized
+    // centroids are equal component for component, so EVERY query ties
+    // "a" vs "b" exactly and assignment is decided purely by the id
+    // tie-break (UTF8 binary asc) — the place a driver-side
+    // re-implementation would silently diverge from the heap
+    // labels are NUMERIC STRINGS: the model table unions cell labels and
+    // PQ-book labels into one rlabel column, so the two label columns
+    // must share a type (and pqEncode's heap rides book labels as longs)
+    def vec(i: Int): Seq[Float] =
+      (0 until 16).map(j => 0.5f + 0.01f * ((i * 13 + j * 7) % 11))
+    val rows =
+      (0 until 40).map(i => (i.toLong, (i % 4).toString, "a", vec(i))) ++
+      (0 until 40).map(i => (100L + i, (i % 4).toString, "b", vec(i))) ++
+      (0 until 40).map(i => (200L + i, (i % 4).toString, "c", vec(i + 7)))
+    val emb = rows.toDF("vec_id", "label", "cell", "embedding")
+    val modelRoot = tmp("annm_ties")
+    val codesRoot = tmp("annc_ties")
+    AnnIndex.trainAndRebuild(spark, emb, m = 4, dsub = 4, modelRoot, codesRoot,
+      cellLabelCol = "cell")
+    val handle = AnnIndex.prepare(spark, modelRoot, codesRoot)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+    for (np <- Seq(1, 2, 3)) {
+      val direct = AnnIndex.search(spark, queries, modelRoot, codesRoot,
+        k = 3, nprobe = np).collect().toSet
+      val prepared = handle.search(queries, k = 3, nprobe = np).collect().toSet
+      assert(prepared == direct && direct.nonEmpty,
+        s"string-cell tie-break diverged at nprobe=$np")
+      // the tie really exists and really resolves to "a": every row of
+      // a 1-probe search over the tied fixture meets in cell "a" or "c",
+      // never "b"
+      if (np == 1)
+        assert(direct.forall(r => r.getAs[String]("cluster") != "b"))
+    }
+  }
+
+  test("jumbo query sets (past the 10k cap) keep probed-cell file pruning " +
+    "and return exactly the small-path rows") {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val modelRoot = tmp("annm_jmb")
+    val codesRoot = tmp("annc_jmb")
+    AnnIndex.trainAndRebuild(spark, emb, m = 16, dsub = 4, modelRoot, codesRoot)
+
+    // 10001 distinct qids sharing ONE vector (ids offset far above the
+    // corpus so the self-exclusion filter bites for none of them): one
+    // probed cell, but 10001 assigned rows — the fallback arm
+    val one = emb.filter(col("vec_id") === 0L).select(col("embedding"))
+    val jumbo = spark.range(10001)
+      .select((col("id") + 100000L).as("vec_id"))
+      .crossJoin(broadcast(one))
+    val res = AnnIndex.search(spark, jumbo, modelRoot, codesRoot, k = 3)
+    val rows = res.collect()
+    assert(rows.length == 3 * 10001, s"got ${rows.length} rows")
+
+    // every qid's answer equals the single-query direct search's
+    val single = AnnIndex.search(spark,
+      spark.range(1).select(lit(100000L).as("vec_id"))
+        .crossJoin(broadcast(one)),
+      modelRoot, codesRoot, k = 3)
+      .select("nid", "cluster", "cos_pq", "rank").collect().toSet
+    val byQid = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQid.size == 10001)
+    byQid.foreach { case (qid, rs) =>
+      val got = rs.map(r => org.apache.spark.sql.Row(
+        r.getAs[Any]("nid"), r.getAs[Any]("cluster"),
+        r.getAs[Any]("cos_pq"), r.getAs[Any]("rank"))).toSet
+      assert(got == single, s"qid $qid diverged from the small path")
+    }
+
+    // the r14 gap: the fallback used to drop the IN pushdown — the codes
+    // scan must keep only the probed cell's files
+    val kept = keptFilesOf(res)
+    val total = parquetFilesUnder(codesRoot)
+    assert(kept < total,
+      s"jumbo fallback kept $kept of $total codes files — file pruning lost")
+  }
+
+  test("binary re-rank fetch against a versioned corpus prunes files and " +
+    "equals the ad-hoc corpus form exactly") {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val corpusDf = emb.select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+    val fpRoot = tmp("annfp_fetch")
+    val corpusRoot = tmp("anncorp_fetch")
+    AnnIndex.buildBinaryIndex(spark, emb, dim = 64, fpRoot)
+    // corpus committed in 8 id-ranged files with vec_id stats + blooms —
+    // the layout whose per-file sidecars the pushed shortlist IN prunes
+    graft.io.Versioned.commit(spark,
+      emb.select(col("vec_id"), col("embedding"))
+        .repartitionByRange(8, col("vec_id")),
+      corpusRoot, statsCols = Seq("vec_id"), bloomCols = Seq("vec_id"))
+    assert(parquetFilesUnder(corpusRoot) == 8)
+
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val direct = AnnIndex.binarySearch(spark, queries, fpRoot, corpusDf,
+      dim = 64, k = 5, shortlist = 50).collect().toSet
+    val fetched = AnnIndex.binarySearch(spark, queries, fpRoot, corpusRoot,
+      dim = 64, k = 5, shortlist = 50)
+    assert(fetched.collect().toSet == direct && direct.nonEmpty)
+
+    // a 1-query/5-candidate shortlist touches a handful of ids: the
+    // corpus scan must open fewer than the 8 committed files (row
+    // pruning is not file pruning — the r14 lens, applied to the re-rank)
+    val narrow = AnnIndex.binarySearch(spark,
+      queries.filter(col("qid") === 0L), fpRoot, corpusRoot,
+      dim = 64, k = 3, shortlist = 5)
+    narrow.queryExecution.toRdd.count()
+    val kept = keptFilesOf(narrow)
+    assert(kept < 8,
+      s"narrow re-rank fetch kept $kept of 8 corpus files — no pruning")
+
+    // the fully-pruned form (celled Hamming stage + bloom-pruned fetch)
+    // equals the celled ad-hoc form at full probe width
+    val cent = Similarity.quantizedCentroids(emb)
+    val cells = cent.count().toInt
+    val cellRoot = tmp("annfp_fetch_cell")
+    AnnIndex.buildBinaryIndex(spark, emb, dim = 64, cellRoot, cent)
+    val celledDirect = AnnIndex.binarySearch(spark, queries, cellRoot, corpusDf,
+      dim = 64, k = 5, shortlist = 50, cent, nprobe = cells).collect().toSet
+    val celledFetched = AnnIndex.binarySearch(spark, queries, cellRoot, corpusRoot,
+      dim = 64, k = 5, shortlist = 50, cent, nprobe = cells).collect().toSet
+    assert(celledFetched == celledDirect && celledDirect == direct)
+  }
+
+  test("maintenance sink refuses a batch whose column TYPES differ from the index") {
+    // same column NAMES as the binary index (vec_id, fp) but vec_id is
+    // INT — the shape the r14 name-set guard could not see; appending it
+    // would surface only at read time
+    val intIndexRoot = tmp("annfp_int")
+    graft.io.Versioned.commit(spark,
+      Seq((1, Seq(0L, 0L))).toDF("vec_id", "fp"), intIndexRoot)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val src = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.Streams.versionedBinaryIndexSink(
+      src.toDF().toDF("vec_id", "embedding"), dim = 64, intIndexRoot,
+      tmp("fpckpt_dtype"))
+    try {
+      src.addData(Seq((7L, Seq.fill(64)(0.5f))))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+        .take(8).exists(t => Option(t.getMessage)
+          .exists(_.contains("exact index row shape"))))
+    } finally q.stop()
+    // nothing appended past the seed commit
+    assert(graft.io.Versioned.versions(spark, intIndexRoot) == Seq(1L))
+  }
+}

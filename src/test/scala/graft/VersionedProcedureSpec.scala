@@ -286,4 +286,35 @@ class VersionedProcedureSpec extends SparkSpecBase {
       "CALL graft_proc.system.ann_drift('ns.anncorpus', 'ns.nomodel')"))
     assert(chain(e).toLowerCase.contains("table"))
   }
+
+  test("CALL ann_alerts reduces a monitor table to breach runs — the SQL twin " +
+    "of AnnIndex.driftAlerts") {
+    // the monitor sink's accreted shape, hand-built: breaches at
+    // positions 0,1 | 3,4,5 | 8 at the p90 probe (gappy batch ids —
+    // adjacency is positional), plus p50 rows that must never leak in
+    val series = Seq(
+      (10L, 90, 5L), (20L, 90, 7L), (30L, 90, 0L), (40L, 90, 9L),
+      (50L, 90, 1L), (60L, 90, 2L), (70L, 90, -3L), (80L, 90, 0L),
+      (90L, 90, 4L),
+      (10L, 50, 99L), (30L, 50, 99L))
+      .toDF("batch_id", "pct", "drift_q")
+    Versioned.commit(spark, series, rootOf("annmonitor"))
+
+    val runs = spark.sql(
+      "CALL graft_proc.system.ann_alerts('ns.annmonitor', 90, 0, 3)")
+    assert(runs.columns.toSeq == Seq("run_start", "run_end", "run_len", "alert"))
+    assert(runs.select("run_start", "run_end", "run_len", "alert")
+      .as[(Long, Long, Int, Boolean)].collect().toSet ==
+      Set((10L, 20L, 2, false), (40L, 60L, 3, true), (90L, 90L, 1, false)))
+
+    // defaults bind (pct=90, tol_q=10486, min_run=3): every drift here
+    // sits under the canonical tolerance, so no breaches and no runs
+    assert(spark.sql(
+      "CALL graft_proc.system.ann_alerts('ns.annmonitor')").count() == 0)
+
+    // a missing monitor table refuses like every procedure
+    val e = intercept[Exception](spark.sql(
+      "CALL graft_proc.system.ann_alerts('ns.nomonitor')"))
+    assert(chain(e).toLowerCase.contains("table"))
+  }
 }
