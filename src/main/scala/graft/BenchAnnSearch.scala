@@ -89,6 +89,31 @@ object BenchAnnSearch {
     time("mid", math.max(1, k / 8))
     val wide = time("wide", k)
     println(f"[ann-search] wide/narrow = ${wide / narrow}%.2f (cells=$k, n=$n, sf=$sfDir)")
+
+    // the PREPARED handle: model read + codes-scan resolution paid once
+    // (timed separately), then the same probe dial — per-call cost is
+    // assignment (driver-side) + the pruned candidate join only. The
+    // wide/narrow ratio here is the honest form of the pruning claim:
+    // fixed cost is off the per-call path, so the ratio approaches the
+    // probed-volume ratio.
+    val tp0 = System.nanoTime()
+    val handle = AnnIndex.prepare(spark, modelRoot, codesRoot)
+    println(f"[ann-search] prepare (one-time) = ${(System.nanoTime() - tp0) / 1e9}%.3f s")
+    def timeH(label: String, nprobe: Int): Double = {
+      val runs = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        handle.search(q1, k = 3, nprobe = nprobe)
+          .queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[ann-search] handle:$label%-8s nprobe=$nprobe%-4d min=${runs.min}%.3f s")
+      runs.min
+    }
+    val hNarrow = timeH("narrow", 1)
+    timeH("mid", math.max(1, k / 8))
+    val hWide = timeH("wide", k)
+    println(f"[ann-search] handle wide/narrow = ${hWide / hNarrow}%.2f " +
+      f"(cells=$k, n=$n, sf=$sfDir)")
     spark.stop()
   }
 }
