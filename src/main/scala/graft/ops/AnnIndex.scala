@@ -857,8 +857,11 @@ object AnnIndex {
       // whatever corpus-sized scan backs `queries` (the over-cap
       // double-evaluation the r14 advice flagged; the cap probe above
       // still costs one evaluation — the price of not paying a
-      // distributed pin on the common small path).
-      val qaPinned = qa.localCheckpoint()
+      // distributed pin on the common small path). Pinned via the house
+      // helper: reliable checkpoint when a dir is configured (executor
+      // loss mid-search recovers; blocks don't accrete in executor
+      // storage), localCheckpoint otherwise.
+      val qaPinned = Iterate.pin(qa)
       val probed = qaPinned.select(col("cluster")).distinct().collect()
         .map(_.get(0)).toIndexedSeq
       Similarity.ivfPqTopKIndexed(
@@ -900,8 +903,17 @@ object AnnIndex {
     // ONE snapshot read serves centroids, book, geometry — the same
     // mixed-version guard as driftStats
     val t = Versioned.read(spark, modelRoot)
+    // driver-held frames: bounded by the model's own k-row contract, but
+    // a degenerate cellLabelCol could mint millions of cells — cap the
+    // collect loudly instead of cliffing the driver (the same guard
+    // discipline as every other driver-side collect in this file)
     val rows = t.filter(col("part").isin("cent", "book", "meta"))
-      .select(col("part"), col("rlabel"), col("vec")).collect()
+      .select(col("part"), col("rlabel"), col("vec"))
+      .limit(65537).collect()
+    require(rows.length <= 65536,
+      s"prepare: the model at $modelRoot carries more than 65536 " +
+        "cent/book rows — a cell count this large is past the prepared " +
+        "handle's driver-side design point; use AnnIndex.search")
     val metaRow = rows.find(_.getString(0) == "meta").getOrElse(
       throw new IllegalStateException(
         s"prepare: the model at $modelRoot has no part='meta' row — " +

@@ -502,10 +502,28 @@ object Streams {
           if (graft.io.Versioned.versions(spark, root).nonEmpty) {
             // name -> dataType maps, not name sets: a batch with matching
             // names but different types (or a duplicated name) would pass
-            // a set comparison and surface only at read time
+            // a set comparison and surface only at read time. Types
+            // compare MODULO NULLABILITY (recursively): parquet reads
+            // arrays back with nullable elements while the fingerprint
+            // kernel declares them non-null — same data, different
+            // DataType equality — and actual null hazards (null vec_ids,
+            // null embeddings) are refused by the explicit guards above,
+            // not by schema flags.
+            def nn(dt: org.apache.spark.sql.types.DataType)
+                : org.apache.spark.sql.types.DataType = dt match {
+              case a: org.apache.spark.sql.types.ArrayType =>
+                a.copy(elementType = nn(a.elementType), containsNull = true)
+              case m: org.apache.spark.sql.types.MapType =>
+                m.copy(keyType = nn(m.keyType), valueType = nn(m.valueType),
+                  valueContainsNull = true)
+              case s: org.apache.spark.sql.types.StructType =>
+                org.apache.spark.sql.types.StructType(s.fields.map(f =>
+                  f.copy(dataType = nn(f.dataType), nullable = true)))
+              case other => other
+            }
             def shape(cols: Array[org.apache.spark.sql.types.StructField])
                 : Map[String, org.apache.spark.sql.types.DataType] = {
-              val m = cols.map(f => f.name -> f.dataType).toMap
+              val m = cols.map(f => f.name -> nn(f.dataType)).toMap
               require(m.size == cols.length,
                 s"vector index sink ($kind): batch $id carries duplicate " +
                   s"column names (${cols.map(_.name).mkString(",")})")
