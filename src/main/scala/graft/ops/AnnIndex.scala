@@ -1008,18 +1008,22 @@ final class PreparedAnnSearch private[ops] (
     }, "prepared search: queries.embedding must be array<float> " +
       s"(got ${queries.schema("embedding").dataType.simpleString})")
     val qIn = queries.select(col("vec_id"), col("embedding"))
-    val cap = 10000 / nprobe
+    val kCent = centVecs.length
+    // the effective probe width is bounded by the cell count, so the
+    // query cap divides by min(nprobe, cells) — a wide nprobe on a small
+    // index must not shrink the admissible batch below what the 10k
+    // (query, probed-cell)-row bound actually permits
+    val np = math.min(nprobe, kCent)
+    val cap = 10000 / np
     val qRows = qIn.limit(cap + 1).collect()
     require(qRows.length <= cap,
-      s"prepared search: more than $cap queries at nprobe=$nprobe " +
+      s"prepared search: more than $cap queries at nprobe=$np " +
         "(> 10k (query, probed-cell) rows) — batch the queries or use " +
         "AnnIndex.search, whose distributed fallback handles jumbo sets")
     // duplicate qids collapse like assignClusters' groupBy(vec_id)
     val seen = new java.util.LinkedHashMap[Any, org.apache.spark.sql.Row]()
     qRows.foreach(r => seen.putIfAbsent(r.get(0), r))
     val uq = seen.values().toArray(new Array[org.apache.spark.sql.Row](0))
-    val kCent = centVecs.length
-    val np = math.min(nprobe, kCent)
     // driver-side assignment: per query, the kernel-exact cosine against
     // every centroid (same sequential fold as Kernels.cosineFD — float
     // widened per element against the double centroid), null embeddings
