@@ -784,6 +784,19 @@ object AnnIndex {
   private def prunedRerank(spark: SparkSession, short: DataFrame,
                            queries: DataFrame, corpusRoot: String,
                            k: Int): DataFrame = {
+    val corpus = spark.read.format("graft-versioned").load(corpusRoot)
+    require(Seq("vec_id", "embedding").forall(corpus.columns.contains),
+      s"binarySearch: the corpus table at $corpusRoot must carry " +
+        s"(vec_id, embedding); has ${corpus.columns.mkString(",")}")
+    prunedRerankOn(spark, short, queries, corpus, k)
+  }
+
+  /** [[prunedRerank]] over a PRE-LOADED versioned corpus frame — the
+    * prepared-handle form, where the DSv2 scan resolves once at prepare
+    * time instead of per call. */
+  private[ops] def prunedRerankOn(spark: SparkSession, short: DataFrame,
+                                  queries: DataFrame, corpus: DataFrame,
+                                  k: Int): DataFrame = {
     val rows = short.limit(100001).collect()
     require(rows.length <= 100000,
       "binarySearch: shortlist exceeds 100k (query, candidate) rows — " +
@@ -793,10 +806,6 @@ object AnnIndex {
       java.util.Arrays.asList(rows: _*), short.schema)
     val ni = short.schema.fieldIndex("nid")
     val ids = rows.map(_.get(ni)).distinct.toIndexedSeq
-    val corpus = spark.read.format("graft-versioned").load(corpusRoot)
-    require(Seq("vec_id", "embedding").forall(corpus.columns.contains),
-      s"binarySearch: the corpus table at $corpusRoot must carry " +
-        s"(vec_id, embedding); has ${corpus.columns.mkString(",")}")
     Similarity.binaryRerank(shortLocal, queries,
       corpus.filter(col("vec_id").isin(ids: _*))
         .select(col("vec_id").as("nid"), col("embedding").as("nvec")), k)
@@ -919,12 +928,6 @@ object AnnIndex {
         s"prepare: the model at $modelRoot has no part='meta' row — " +
           "train with AnnIndex.train/trainAndRebuild first"))
     val rlabelType = t.schema("rlabel").dataType
-    val m = metaRow.get(1) match {
-      case n: Number => n.intValue()
-      case s: String => s.toInt
-      case other => throw new IllegalStateException(
-        s"prepare: unreadable meta rlabel $other")
-    }
     val dsub = metaRow.getSeq[Double](2).head.toInt
     val cent = rows.filter(_.getString(0) == "cent")
     require(cent.nonEmpty,
@@ -932,8 +935,9 @@ object AnnIndex {
     val bookRows = rows.filter(_.getString(0) == "book")
     require(bookRows.nonEmpty,
       s"prepare: the model at $modelRoot has no part='book' rows")
-    val centLabels = cent.map(_.get(1)).toIndexedSeq
-    val centVecs = cent.map(_.getSeq[Double](2).toArray).toIndexedSeq
+    val assignLocal = new DriverAssign(spark,
+      cent.map(_.get(1)).toIndexedSeq,
+      cent.map(_.getSeq[Double](2).toArray).toIndexedSeq, rlabelType)
     // book as a LOCAL k-row frame in the (rlabel, cvec) shape
     // ivfPqTopKIndexed broadcasts — values identical to model()'s
     // distributed frame, so results cannot differ
@@ -952,29 +956,89 @@ object AnnIndex {
       s"prepare: the codes table at $codesRoot is not an IVF-PQ codes " +
         s"table (needs vec_id, cluster, sub, code; has " +
         s"${codes.columns.mkString(",")})")
-    new PreparedAnnSearch(spark, centLabels, centVecs, rlabelType,
-      bookLocal, dsub, codes)
+    new PreparedAnnSearch(assignLocal, bookLocal, dsub, codes)
+  }
+
+  /** The centroid rows of a persisted model as a [[DriverAssign]] —
+    * shared by the binary handle (which needs no book/geometry). Same
+    * cap and guards as [[prepare]]. */
+  private def driverAssignOf(spark: SparkSession,
+                             modelRoot: String): DriverAssign = {
+    val t = Versioned.read(spark, modelRoot)
+    val cent = t.filter(col("part") === "cent")
+      .select(col("rlabel"), col("vec")).limit(65537).collect()
+    require(cent.length <= 65536,
+      s"prepareBinary: the model at $modelRoot carries more than 65536 " +
+        "centroid rows — past the prepared handle's driver-side design " +
+        "point; use the direct binarySearch")
+    require(cent.nonEmpty,
+      s"prepareBinary: the model at $modelRoot has no part='cent' rows — " +
+        "train with AnnIndex.train/trainAndRebuild first")
+    new DriverAssign(spark, cent.map(_.get(0)).toIndexedSeq,
+      cent.map(_.getSeq[Double](1).toArray).toIndexedSeq,
+      t.schema("rlabel").dataType)
+  }
+
+  /** Prepare a reusable handle over the persisted binary-fingerprint
+    * index and its versioned corpus — the binary-index twin of
+    * [[prepare]], with the same rationale: the direct [[binarySearch]]
+    * pays a model read, a fingerprint-width probe JOB, a query-assignment
+    * job and fresh scan resolution (file listing + sidecar load) on
+    * EVERY call. The handle pays them once; per-call work is the
+    * (possibly cell-pruned) Hamming shortlist plus the bloom-pruned
+    * re-rank fetch. Snapshot semantics as [[prepare]]: both scans
+    * resolve their file lists here — re-prepare to see appends.
+    * This overload prepares the EXHAUSTIVE form (works on flat or
+    * celled indexes — a celled table's extra cluster column is simply
+    * unused); the modelRoot overload adds the cell-pruned dial. */
+  def prepareBinary(spark: SparkSession, fpRoot: String, corpusRoot: String,
+                    dim: Int): PreparedBinarySearch =
+    prepareBinaryImpl(spark, fpRoot, corpusRoot, dim, None)
+
+  /** [[prepareBinary]] with the persisted model's centroids collected
+    * driver-side — enables `search(…, nprobe)` cell pruning against a
+    * CELLED index (refused loudly at prepare if the index is flat). */
+  def prepareBinary(spark: SparkSession, fpRoot: String, corpusRoot: String,
+                    dim: Int, modelRoot: String): PreparedBinarySearch =
+    prepareBinaryImpl(spark, fpRoot, corpusRoot, dim,
+      Some(driverAssignOf(spark, modelRoot)))
+
+  private def prepareBinaryImpl(spark: SparkSession, fpRoot: String,
+                                corpusRoot: String, dim: Int,
+                                assign: Option[DriverAssign])
+      : PreparedBinarySearch = {
+    val fp = spark.read.format("graft-versioned").load(fpRoot)
+    checkFpWidth(fp, fpRoot, dim)
+    require(assign.isEmpty || fp.columns.contains("cluster"),
+      s"prepareBinary: the fingerprint index at $fpRoot carries no " +
+        "cluster column — build it with the celled buildBinaryIndex " +
+        "(cent/modelRoot form) to enable cell pruning")
+    val corpus = spark.read.format("graft-versioned").load(corpusRoot)
+    require(Seq("vec_id", "embedding").forall(corpus.columns.contains),
+      s"prepareBinary: the corpus table at $corpusRoot must carry " +
+        s"(vec_id, embedding); has ${corpus.columns.mkString(",")}")
+    new PreparedBinarySearch(spark, fp, corpus, dim, assign)
   }
 }
 
-/** The reusable search handle [[AnnIndex.prepare]] returns: model
-  * materialized once (driver-held centroids, local-relation codebook),
-  * codes scan resolved once, per-call cost = driver-side query
-  * assignment + the probed-cell candidate join. See [[AnnIndex.prepare]]
-  * for the snapshot and equality contracts. */
-final class PreparedAnnSearch private[ops] (
+/** Driver-side replica of [[Similarity.assignClusters]] over a collected
+  * centroid table — the machinery the prepared handles share. Scoring is
+  * the kernel-exact fused float×double cosine (same sequential left
+  * fold as `Kernels.cosineFD`; null embeddings score -Inf like the
+  * coalesce, NaN orders above all via Double.compare like the heap) and
+  * selection keeps the min(nprobe, cells) best by (score desc, id asc —
+  * longs for integral labels, UTF8 binary order for strings), exactly
+  * TopKPairs' contract. Parallel across queries on the JDK stream pool;
+  * |q|·cells kernel evaluations on the driver replace a Spark job. */
+private[ops] final class DriverAssign(
     spark: SparkSession,
     centLabels: IndexedSeq[Any],
     centVecs: IndexedSeq[Array[Double]],
-    rlabelType: org.apache.spark.sql.types.DataType,
-    bookLocal: DataFrame,
-    dsub: Int,
-    codes: DataFrame) {
-  import org.apache.spark.sql.types.{ArrayType, ByteType, FloatType, IntegerType, LongType, ShortType, StringType}
+    val rlabelType: org.apache.spark.sql.types.DataType) {
+  import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
 
-  /** Tie-break ids in the bounded heap's own comparison domain: integral
-    * labels compare as longs, string labels in UTF8 binary order —
-    * exactly [[Similarity.assignClusters]]'s heapId contract. */
+  val cells: Int = centVecs.length
+
   private val centIdsLong: Array[Long] = rlabelType match {
     case ByteType | ShortType | IntegerType | LongType =>
       centLabels.map(_.asInstanceOf[Number].longValue()).toArray
@@ -994,42 +1058,34 @@ final class PreparedAnnSearch private[ops] (
     if (centIdsLong != null) centIdsLong(a) < centIdsLong(b)
     else centIdsUtf8(a).compareTo(centIdsUtf8(b)) < 0
 
-  /** [[AnnIndex.search]] against the prepared pair: byte-identical rows,
-    * no model read, no assignment job, no fallback shape — a query batch
-    * past the 10k (query, probed-cell)-row cap refuses loudly (use
-    * [[AnnIndex.search]], whose distributed fallback handles jumbo sets).
-    * Duplicate query ids collapse to their first-collected embedding,
-    * mirroring assignClusters' `first` — unique qids are the contract. */
-  def search(queries: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
+  /** Collect, dedup (first occurrence wins, mirroring assignClusters'
+    * `first`) and assign `queries` — a (vec_id, embedding) projection —
+    * to their min(nprobe, cells) nearest cells. `rowBudget` caps the
+    * output (query, probed-cell) rows with a loud refusal naming
+    * `alternative`. Returns the local assigned frame (vec_id, embedding,
+    * cluster) — schema-compatible with assignClusters' output — plus the
+    * distinct probed-cell values for IN pushdown. */
+  def assign(queries: DataFrame, nprobe: Int, rowBudget: Int,
+             alternative: String): (DataFrame, IndexedSeq[Any]) = {
     require(nprobe >= 1, s"nprobe=$nprobe must be >= 1")
     require(queries.schema("embedding").dataType match {
-      case ArrayType(FloatType, _) => true
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
       case _ => false
     }, "prepared search: queries.embedding must be array<float> " +
       s"(got ${queries.schema("embedding").dataType.simpleString})")
     val qIn = queries.select(col("vec_id"), col("embedding"))
-    val kCent = centVecs.length
-    // the effective probe width is bounded by the cell count, so the
-    // query cap divides by min(nprobe, cells) — a wide nprobe on a small
-    // index must not shrink the admissible batch below what the 10k
-    // (query, probed-cell)-row bound actually permits
-    val np = math.min(nprobe, kCent)
-    val cap = 10000 / np
+    val np = math.min(nprobe, cells)
+    val cap = rowBudget / np
     val qRows = qIn.limit(cap + 1).collect()
     require(qRows.length <= cap,
       s"prepared search: more than $cap queries at nprobe=$np " +
-        "(> 10k (query, probed-cell) rows) — batch the queries or use " +
-        "AnnIndex.search, whose distributed fallback handles jumbo sets")
-    // duplicate qids collapse like assignClusters' groupBy(vec_id)
+        s"(> $rowBudget (query, probed-cell) rows) — batch the queries " +
+        s"or use $alternative")
     val seen = new java.util.LinkedHashMap[Any, org.apache.spark.sql.Row]()
     qRows.foreach(r => seen.putIfAbsent(r.get(0), r))
     val uq = seen.values().toArray(new Array[org.apache.spark.sql.Row](0))
-    // driver-side assignment: per query, the kernel-exact cosine against
-    // every centroid (same sequential fold as Kernels.cosineFD — float
-    // widened per element against the double centroid), null embeddings
-    // scored -Inf like assignClusters' coalesce, NaN ordering via
-    // Double.compare like the heap, ties to the ascending label.
-    // Parallel across queries (independent rows) via the JDK stream pool.
+    val kCent = cells
     val assigned = new Array[Array[Int]](uq.length)
     java.util.stream.IntStream.range(0, uq.length).parallel().forEach { qi =>
       val row = uq(qi)
@@ -1063,10 +1119,7 @@ final class PreparedAnnSearch private[ops] (
           }
         c += 1
       }
-      val order = Array.range(0, kCent)
-      // (score desc via Double.compare — NaN above all, like the heap's
-      // WorstFirst — then id asc)
-      val boxed = order.map(Integer.valueOf)
+      val boxed = Array.range(0, kCent).map(Integer.valueOf)
       java.util.Arrays.sort(boxed, new java.util.Comparator[Integer] {
         override def compare(a: Integer, b: Integer): Int = {
           val cN = java.lang.Double.compare(scores(b), scores(a))
@@ -1093,8 +1146,80 @@ final class PreparedAnnSearch private[ops] (
     val qaLocal = spark.createDataFrame(qaRows, qaSchema)
     val probed = qaRows.toArray(new Array[org.apache.spark.sql.Row](0))
       .map(_.get(2)).distinct.toIndexedSeq
+    (qaLocal, probed)
+  }
+}
+
+/** The reusable search handle [[AnnIndex.prepare]] returns: model
+  * materialized once (driver-held centroids, local-relation codebook),
+  * codes scan resolved once, per-call cost = driver-side query
+  * assignment + the probed-cell candidate join. See [[AnnIndex.prepare]]
+  * for the snapshot and equality contracts. */
+final class PreparedAnnSearch private[ops] (
+    assignLocal: DriverAssign,
+    bookLocal: DataFrame,
+    dsub: Int,
+    codes: DataFrame) {
+
+  /** [[AnnIndex.search]] against the prepared pair: byte-identical rows,
+    * no model read, no assignment job, no fallback shape — a query batch
+    * past the 10k (query, probed-cell)-row cap refuses loudly (use
+    * [[AnnIndex.search]], whose distributed fallback handles jumbo sets).
+    * Duplicate query ids collapse to their first-collected embedding,
+    * mirroring assignClusters' `first` — unique qids are the contract. */
+  def search(queries: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
+    val (qaLocal, probed) = assignLocal.assign(queries, nprobe,
+      rowBudget = 10000, alternative =
+        "AnnIndex.search, whose distributed fallback handles jumbo sets")
     Similarity.ivfPqTopKIndexed(
       codes.filter(col("cluster").isin(probed: _*)), qaLocal, bookLocal,
       dsub, k)
+  }
+}
+
+/** The reusable binary-search handle [[AnnIndex.prepareBinary]] returns:
+  * fingerprint-index and corpus scans resolved once, width checked once,
+  * centroids (celled form) driver-held. Per-call cost: the Hamming
+  * shortlist over the (cell-pruned) index plus the bloom-pruned re-rank
+  * fetch. Same contracts as the direct forms it mirrors: unique qids,
+  * shortlist collect capped at 100k. */
+final class PreparedBinarySearch private[ops] (
+    spark: SparkSession,
+    fp: DataFrame,
+    corpus: DataFrame,
+    dim: Int,
+    assignLocal: Option[DriverAssign]) {
+
+  /** Exhaustive Hamming shortlist + pruned re-rank fetch — byte-identical
+    * to `AnnIndex.binarySearch(spark, queries, fpRoot, corpusRoot, dim,
+    * k, shortlist)` over the same snapshots. Queries carry (qid, qvec). */
+  def search(queries: DataFrame, k: Int, shortlist: Int): DataFrame =
+    AnnIndex.prunedRerankOn(spark,
+      Similarity.binaryShortlist(
+        fp.select(col("vec_id").as("nid"), col("fp")), queries, dim, shortlist),
+      queries.select(col("qid"), col("qvec")), corpus, k)
+
+  /** Cell-pruned Hamming stage + pruned re-rank fetch — byte-identical to
+    * the direct celled `binarySearch(…, corpusRoot, …, cent/modelRoot,
+    * nprobe)`. Requires a handle prepared WITH a modelRoot (refused
+    * loudly otherwise — the flat handle has no cells to probe). */
+  def search(queries: DataFrame, k: Int, shortlist: Int,
+             nprobe: Int): DataFrame = {
+    val da = assignLocal.getOrElse(throw new IllegalArgumentException(
+      "prepared binarySearch(nprobe): this handle was prepared without a " +
+        "modelRoot — cell pruning needs the model's centroids; use " +
+        "AnnIndex.prepareBinary(spark, fpRoot, corpusRoot, dim, modelRoot)"))
+    val (qaLocal, probed) = da.assign(
+      queries.select(col("qid").as("vec_id"), col("qvec").as("embedding")),
+      nprobe, rowBudget = 100000,
+      alternative = "the direct AnnIndex.binarySearch")
+    val short = Similarity.binaryShortlistPruned(
+      fp.filter(col("cluster").isin(probed: _*))
+        .select(col("vec_id").as("nid"), col("cluster"), col("fp")),
+      qaLocal, dim, shortlist)
+    AnnIndex.prunedRerankOn(spark, short,
+      qaLocal.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        .dropDuplicates(Seq("qid")),
+      corpus, k)
   }
 }

@@ -893,6 +893,31 @@ object CoverageQueries {
       fpRoot, corpusRoot, dim = 64, k = 5, shortlist = 50)
   }
 
+  /** PREPARED binary handle ([[graft.ops.AnnIndex.prepareBinary]]):
+    * the binary-index twin of `ann_prepared` — fingerprint/corpus scans
+    * resolved and width checked ONCE, centroids driver-held, per-call
+    * work only the cell-pruned Hamming shortlist + the bloom-pruned
+    * re-rank fetch. The model is trained from the fixture's labels, so
+    * its centroids equal `ann_binary_pruned`'s ad-hoc quantized
+    * centroids and the oracle is shared VERBATIM — the handle must be
+    * hash-invisible against the direct celled search. */
+  def annBinaryPrepared(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.AnnIndex
+    val emb = Tables.embeddings(spark, sfDir)
+    val modelRoot = QueryScratch.freshRoot("graft_annmodel_bp", sfDir)
+    val fpRoot = QueryScratch.freshRoot("graft_annfp_bp", sfDir)
+    val corpusRoot = QueryScratch.freshRoot("graft_anncorp_bp", sfDir)
+    AnnIndex.train(spark, emb, m = 16, dsub = 4, modelRoot)
+    AnnIndex.buildBinaryIndex(spark, emb, dim = 64, fpRoot, modelRoot)
+    graft.io.Versioned.commit(spark,
+      emb.select(col("vec_id"), col("embedding")), corpusRoot,
+      replace = true, statsCols = Seq("vec_id"), bloomCols = Seq("vec_id"))
+    AnnIndex.prepareBinary(spark, fpRoot, corpusRoot, dim = 64, modelRoot)
+      .search(emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        k = 5, shortlist = 50, nprobe = 2)
+  }
+
   /** The SCALE-THE-CELLS recipe in oracle-checkable form
     * ([[graft.ops.AnnIndex.trainAndRebuild]]'s scaladoc): retrain the
     * same corpus at 2× the cells (20 via `cellLabelCol` = vec_id mod 20
@@ -1772,6 +1797,7 @@ object CoverageQueries {
     "ann_binary_lifecycle" -> (annBinaryLifecycle _),
     "ann_binary_pruned" -> (annBinaryPruned _),
     "ann_binary_fetch" -> (annBinaryFetch _),
+    "ann_binary_prepared" -> (annBinaryPrepared _),
     "ann_prepared" -> (annPrepared _),
     "ann_cell_scaleup" -> (annCellScaleup _),
     "range_exclusion" -> (rangeExclusion _),
@@ -1824,6 +1850,7 @@ object CoverageQueries {
     "ann_binary_lifecycle" -> annBinaryRerankOracle,
     "ann_binary_pruned" -> annBinaryPrunedOracle,
     "ann_binary_fetch" -> annBinaryRerankOracle, // pruned fetch must be hash-invisible
+    "ann_binary_prepared" -> annBinaryPrunedOracle, // handle must be hash-invisible
     "ann_prepared" -> annIvfPqProbe2Oracle, // handle must be hash-invisible
     "ann_cell_scaleup" -> annCellScaleupOracle,
     "range_exclusion" -> rangeExclusionOracle,

@@ -208,6 +208,66 @@ class AnnPreparedSpec extends SparkSpecBase {
     assert(celledFetched == celledDirect && celledDirect == direct)
   }
 
+  test("prepared binary handle equals the direct forms exactly; flat handle " +
+    "refuses the pruned dial; flat index refuses a celled prepare") {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val modelRoot = tmp("annm_pbin")
+    val flatRoot = tmp("annfp_pbin_flat")
+    val cellRoot = tmp("annfp_pbin_cell")
+    val corpusRoot = tmp("anncorp_pbin")
+    AnnIndex.train(spark, emb, m = 16, dsub = 4, modelRoot)
+    AnnIndex.buildBinaryIndex(spark, emb, dim = 64, flatRoot)
+    AnnIndex.buildBinaryIndex(spark, emb, dim = 64, cellRoot, modelRoot)
+    graft.io.Versioned.commit(spark,
+      emb.select(col("vec_id"), col("embedding"))
+        .repartitionByRange(8, col("vec_id")),
+      corpusRoot, statsCols = Seq("vec_id"), bloomCols = Seq("vec_id"))
+    val cells = AnnIndex.model(spark, modelRoot)._1.count().toInt
+
+    // exhaustive: handle == direct corpusRoot form (and works over the
+    // CELLED index too — the extra cluster column is simply unused)
+    val directEx = AnnIndex.binarySearch(spark, queries, flatRoot, corpusRoot,
+      dim = 64, k = 5, shortlist = 50).collect().toSet
+    val hFlat = AnnIndex.prepareBinary(spark, flatRoot, corpusRoot, dim = 64)
+    assert(hFlat.search(queries, k = 5, shortlist = 50).collect().toSet
+      == directEx && directEx.nonEmpty)
+    val hCellNoModel = AnnIndex.prepareBinary(spark, cellRoot, corpusRoot, dim = 64)
+    assert(hCellNoModel.search(queries, k = 5, shortlist = 50).collect().toSet
+      == directEx)
+
+    // pruned: handle == direct celled corpusRoot form at 1 / 2 / all cells
+    val hCell = AnnIndex.prepareBinary(spark, cellRoot, corpusRoot, dim = 64,
+      modelRoot)
+    for (np <- Seq(1, 2, cells)) {
+      val direct = AnnIndex.binarySearch(spark, queries, cellRoot, corpusRoot,
+        dim = 64, k = 5, shortlist = 50, modelRoot, nprobe = np)
+        .collect().toSet
+      assert(hCell.search(queries, k = 5, shortlist = 50, nprobe = np)
+        .collect().toSet == direct && direct.nonEmpty,
+        s"binary handle diverged at nprobe=$np")
+    }
+    // at full probe the pruned handle equals the exhaustive result
+    assert(hCell.search(queries, k = 5, shortlist = 50, nprobe = cells)
+      .collect().toSet == directEx)
+
+    // refusal matrix: flat handle has no pruned dial; a celled prepare
+    // over a flat index refuses at prepare time; wrong dim refuses
+    val e1 = intercept[IllegalArgumentException] {
+      hFlat.search(queries, k = 5, shortlist = 50, nprobe = 1)
+    }
+    assert(e1.getMessage.contains("prepared without a modelRoot"))
+    val e2 = intercept[IllegalArgumentException] {
+      AnnIndex.prepareBinary(spark, flatRoot, corpusRoot, dim = 64, modelRoot)
+    }
+    assert(e2.getMessage.contains("no cluster column"))
+    val e3 = intercept[IllegalArgumentException] {
+      AnnIndex.prepareBinary(spark, cellRoot, corpusRoot, dim = 32)
+    }
+    assert(e3.getMessage.contains("fingerprint"))
+  }
+
   test("maintenance sink refuses a batch whose column TYPES differ from the index") {
     // same column NAMES as the binary index (vec_id, fp) but vec_id is
     // INT — the shape the r14 name-set guard could not see; appending it
