@@ -224,6 +224,13 @@ object GraftExpressions {
     Bridge.column(TopKPairs(expr(score), expr(id), k).toAggregateExpression())
   def argMaxRow(ord: Column, payload: Column): Column =
     Bridge.column(ArgMaxRow(expr(ord), expr(payload), reverse = false).toAggregateExpression())
+  /** Mixed-direction bounded-heap top-k: keep, best-first, the k
+    * `payload` rows ranked first by `ORDER BY ordStruct.f1 [dir1], …`
+    * (ascending(i) per field, window-default null placement). */
+  def topKRowsSorted(ord: Column, payload: Column, k: Int,
+                     ascending: Seq[Boolean]): Column =
+    Bridge.column(TopKRowsSorted(expr(ord), expr(payload), k, ascending)
+      .toAggregateExpression())
   def argMinRow(ord: Column, payload: Column): Column =
     Bridge.column(ArgMaxRow(expr(ord), expr(payload), reverse = true).toAggregateExpression())
 }

@@ -575,16 +575,25 @@ object Similarity {
     * vector, so a (query, candidate) pair meets at most once even with
     * nprobe > 1 — no dedup needed. */
   def ivfTopK(corpusAssigned: DataFrame, queryAssigned: DataFrame, k: Int): DataFrame = {
+    import graft.functions.GraftExpressions.topKRowsSorted
     val q = queryAssigned.select(col("vec_id").as("qid"),
       col("embedding").as("qvec"), col("cluster"))
     val c = corpusAssigned.select(col("vec_id").as("nid"),
       col("embedding").as("nvec"), col("cluster"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    // mixed-direction bounded heap instead of a window — same rewrite
+    // (and the same row-identical contract) as [[ivfPqTopKIndexed]]
     c.join(broadcast(q), Seq("cluster"))
       .filter(col("qid") =!= col("nid"))
-      .withColumn("cos", cosineSim(col("qvec"), col("nvec")))
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("qid", "nid", "cluster", "cos", "rank")
+      .select(col("qid"), col("nid"), col("cluster"),
+        cosineSim(col("qvec"), col("nvec")).as("cos"))
+      .groupBy(col("qid"))
+      .agg(topKRowsSorted(struct(col("cos"), col("nid")),
+        struct(col("nid"), col("cluster"), col("cos")), k,
+        ascending = Seq(false, true)).as("__rk"))
+      .select(col("qid"), posexplode(col("__rk")))
+      .select(col("qid"), col("col.nid").as("nid"),
+        col("col.cluster").as("cluster"), col("col.cos").as("cos"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** Multi-probe sign-LSH top-k — the recall/fan-out dial the plain
@@ -804,12 +813,27 @@ object Similarity {
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("sub"), col("__piece")))),
         x => x.getField("__piece"))).as("xhat"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos_pq").desc, col("nid"))
+    // final rank via the MIXED-direction bounded heap, not a window: the
+    // (cos_pq DESC, nid ASC) ordering made this the one ranker
+    // RewriteKeepFirst/TopKPairs couldn't serve, so every search paid an
+    // exchange + sort of ALL scored candidate pairs (probed volume ×
+    // queries). The heap combines map-side — k rows per (query, task) on
+    // the wire, no sort — and the ordering is total (nid unique per
+    // query), so rows are identical to the window form's (oracle-pinned
+    // across the whole ivf-pq family).
+    import graft.functions.GraftExpressions.topKRowsSorted
     compressed.join(broadcast(q), Seq("cluster"))
       .filter(col("qid") =!= col("nid"))
-      .withColumn("cos_pq",
-        graft.functions.GraftExpressions.cosineFD(col("qvec"), col("xhat")))
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("qid", "nid", "cluster", "cos_pq", "rank")
+      .select(col("qid"), col("nid"), col("cluster"),
+        graft.functions.GraftExpressions.cosineFD(col("qvec"), col("xhat"))
+          .as("cos_pq"))
+      .groupBy(col("qid"))
+      .agg(topKRowsSorted(struct(col("cos_pq"), col("nid")),
+        struct(col("nid"), col("cluster"), col("cos_pq")), k,
+        ascending = Seq(false, true)).as("__rk"))
+      .select(col("qid"), posexplode(col("__rk")))
+      .select(col("qid"), col("col.nid").as("nid"),
+        col("col.cluster").as("cluster"), col("col.cos_pq").as("cos_pq"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 }

@@ -106,4 +106,72 @@ class TopKSpec extends SparkSpecBase {
     }
     assert(err.getMessage.contains("DOUBLE") || err.getMessage.contains("graft_topk"))
   }
+
+  // ----- graft_topk_rows_sorted: the MIXED-direction heap the similarity
+  // rankers use (score DESC, id ASC carrying extra payload columns) -----
+
+  import graft.functions.GraftExpressions.topKRowsSorted
+
+  private def sortedAgg(df: DataFrame, k: Int): DataFrame =
+    df.groupBy(col("g"))
+      .agg(topKRowsSorted(struct(col("s"), col("id")),
+        struct(col("id"), col("s"), col("extra")), k,
+        ascending = Seq(false, true)).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), col("col.id").as("id"), col("col.s").as("s"),
+        col("col.extra").as("extra"),
+        (col("pos") + 1).cast("int").as("rank"))
+
+  private def sortedWindow(df: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("g")).orderBy(col("s").desc, col("id"))
+    df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("g", "id", "s", "extra", "rank")
+  }
+
+  test("topKRowsSorted == window on mixed (desc, asc) order with ties, " +
+    "payload columns carried") {
+    val df = longData.withColumn("extra", (col("id") * 31).cast("string"))
+    for (k <- Seq(1, 3, 5, 300)) { // 300 > every group size: keep-all case
+      val a = sortedAgg(df, k).collect().toSet
+      val w = sortedWindow(df, k).collect().toSet
+      assert(a == w && a.nonEmpty, s"diverged at k=$k")
+    }
+  }
+
+  test("topKRowsSorted: NaN ranks above all reals on a desc field; " +
+    "null scores sort last — both exactly as the window") {
+    val rows = Seq(
+      (0L, 1L, Some(Double.NaN), "nan"),
+      (0L, 2L, Some(0.9), "real-hi"),
+      (0L, 3L, Some(0.1), "real-lo"),
+      (0L, 4L, Some(Double.NaN), "nan2"),
+      (0L, 5L, Option.empty[Double], "null-s"),
+      (1L, 6L, Option.empty[Double], "only-null"))
+      .toDF("g", "id", "s", "extra")
+    val a = sortedAgg(rows, 3).collect().toSet
+    val w = sortedWindow(rows, 3).collect().toSet
+    assert(a == w)
+    // NaNs first (id asc between them), then reals desc, nulls last
+    val g0 = sortedAgg(rows, 3).filter(col("g") === 0)
+      .orderBy("rank").select("id").as[Long].collect().toSeq
+    assert(g0 == Seq(1L, 4L, 2L))
+  }
+
+  test("topKRowsSorted merges across many partitions like the window " +
+    "(the map-side partial path)") {
+    val df = longData.withColumn("extra", lit("x")).repartition(16)
+    assert(sortedAgg(df, 4).collect().toSet ==
+      sortedWindow(longData.withColumn("extra", lit("x")), 4).collect().toSet)
+  }
+
+  test("topKRowsSorted refuses direction/field mismatch and non-struct ord") {
+    val df = longData.withColumn("extra", lit("x"))
+    val e = intercept[Exception] {
+      df.groupBy(col("g"))
+        .agg(topKRowsSorted(struct(col("s"), col("id")), struct(col("id")), 3,
+          ascending = Seq(false)).as("t")).collect()
+    }
+    assert(e.getMessage.contains("directions") ||
+      e.getMessage.toLowerCase.contains("mismatch"))
+  }
 }
