@@ -46,7 +46,11 @@ case class TopKRows(ord: Expression, payload: Expression, k: Int, reverse: Boole
   override def withNewInputAggBufferOffset(o: Int): TopKRows =
     copy(inputAggBufferOffset = o)
 
-  override def dataType: DataType = ArrayType(payload.dataType, containsNull = false)
+  // containsNull tracks the payload's nullability (a nullable payload CAN
+  // emit null elements — same reasoning as TopKRowsSorted; the rewrite
+  // rule's CreateStruct payloads are never null, so its plans keep
+  // containsNull = false)
+  override def dataType: DataType = ArrayType(payload.dataType, containsNull = payload.nullable)
   override def nullable: Boolean = false
   override def prettyName: String = if (reverse) "graft_bottomk_rows" else "graft_topk_rows"
 

@@ -65,7 +65,11 @@ case class TopKRowsSorted(ord: Expression, payload: Expression, k: Int,
   override def withNewInputAggBufferOffset(o: Int): TopKRowsSorted =
     copy(inputAggBufferOffset = o)
 
-  override def dataType: DataType = ArrayType(payload.dataType, containsNull = false)
+  // containsNull tracks the payload's own nullability: a nullable
+  // payload expression CAN buffer and emit null elements, and declaring
+  // them away would let downstream null-check elision read garbage (the
+  // in-repo rankers pass struct(...), which is never null)
+  override def dataType: DataType = ArrayType(payload.dataType, containsNull = payload.nullable)
   override def nullable: Boolean = false
   override def prettyName: String = "graft_topk_rows_sorted"
 

@@ -918,8 +918,10 @@ object AnnIndex {
     // discipline as every other driver-side collect in this file)
     val rows = t.filter(col("part").isin("cent", "book", "meta"))
       .select(col("part"), col("rlabel"), col("vec"))
-      .limit(65537).collect()
-    require(rows.length <= 65536,
+      .limit(65538).collect()
+    // the cap prices cent+book rows; the single mandatory meta row rides
+    // along in the same snapshot read and must not count against it
+    require(rows.count(_.getString(0) != "meta") <= 65536,
       s"prepare: the model at $modelRoot carries more than 65536 " +
         "cent/book rows — a cell count this large is past the prepared " +
         "handle's driver-side design point; use AnnIndex.search")
@@ -1077,9 +1079,17 @@ private[ops] final class DriverAssign(
     val qIn = queries.select(col("vec_id"), col("embedding"))
     val np = math.min(nprobe, cells)
     val cap = rowBudget / np
-    val qRows = qIn.limit(cap + 1).collect()
+    // the cap applies to DEDUPED queries — the budget the direct path
+    // prices after assignClusters' groupBy — so a duplicate-heavy batch
+    // the direct path serves must not be refused here. The common path
+    // stays job-free: collect raw, dedup driver-side; only a raw batch
+    // past the cap pays one distributed dedup before the final verdict.
+    val qRows0 = qIn.limit(cap + 1).collect()
+    val qRows =
+      if (qRows0.length <= cap) qRows0
+      else qIn.dropDuplicates(Seq("vec_id")).limit(cap + 1).collect()
     require(qRows.length <= cap,
-      s"prepared search: more than $cap queries at nprobe=$np " +
+      s"prepared search: more than $cap distinct queries at nprobe=$np " +
         s"(> $rowBudget (query, probed-cell) rows) — batch the queries " +
         s"or use $alternative")
     val seen = new java.util.LinkedHashMap[Any, org.apache.spark.sql.Row]()
@@ -1119,15 +1129,30 @@ private[ops] final class DriverAssign(
           }
         c += 1
       }
-      val boxed = Array.range(0, kCent).map(Integer.valueOf)
-      java.util.Arrays.sort(boxed, new java.util.Comparator[Integer] {
-        override def compare(a: Integer, b: Integer): Int = {
-          val cN = java.lang.Double.compare(scores(b), scores(a))
-          if (cN != 0) cN
-          else if (idLess(a, b)) -1 else if (idLess(b, a)) 1 else 0
+      // bounded top-np SELECTION, not a full sort (the same posture as
+      // every ranker in this engine): one linear pass keeping the np
+      // best indices in order — O(cells·np) primitive comparisons, no
+      // boxing; the prior full comparator sort of all cells per query
+      // was the handle's own scaladoc cost claim violated
+      def before(a: Int, b: Int): Boolean = {
+        val cN = java.lang.Double.compare(scores(b), scores(a))
+        if (cN != 0) cN < 0 else idLess(a, b)
+      }
+      val best = new Array[Int](np)
+      var size = 0
+      var cc = 0
+      while (cc < kCent) {
+        if (size < np || before(cc, best(size - 1))) {
+          var pos = if (size < np) size else np - 1
+          while (pos > 0 && before(cc, best(pos - 1))) {
+            best(pos) = best(pos - 1); pos -= 1
+          }
+          best(pos) = cc
+          if (size < np) size += 1
         }
-      })
-      assigned(qi) = boxed.take(np).map(_.intValue())
+        cc += 1
+      }
+      assigned(qi) = best
     }
     val qaSchema = org.apache.spark.sql.types.StructType(
       qIn.schema.fields :+

@@ -81,6 +81,18 @@ class AnnPreparedSpec extends SparkSpecBase {
       handle.search(jumbo, k = 3, nprobe = 1)
     }
     assert(e.getMessage.contains("AnnIndex.search"))
+
+    // ... but the cap prices DISTINCT queries (what the direct path's
+    // assignClusters groupBy prices): a duplicate-heavy raw batch over
+    // the cap with few unique qids is served, not refused — equal to
+    // the direct path on the same frame
+    val dupHeavy = spark.range(10001)
+      .select((col("id") % 50L).as("vec_id"))
+      .crossJoin(broadcast(emb.filter(col("vec_id") === 0L).select(col("embedding"))))
+    val viaHandle = handle.search(dupHeavy, k = 3, nprobe = 1).collect().toSet
+    val viaDirect = AnnIndex.search(spark, dupHeavy, modelRoot, codesRoot,
+      k = 3, nprobe = 1).collect().toSet
+    assert(viaHandle == viaDirect && viaHandle.nonEmpty)
   }
 
   test("prepared handle replicates exact assignment tie-breaks on string cells") {
