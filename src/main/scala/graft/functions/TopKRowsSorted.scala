@@ -1,12 +1,8 @@
 package graft.functions
 
-import java.nio.ByteBuffer
-
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{CreateNamedStruct, Expression, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
+import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.types._
 
 /** [[TopKRows]] with a PER-FIELD direction vector — the top-k-per-group
@@ -29,12 +25,12 @@ import org.apache.spark.sql.types._
   * Like row_number, duplicate ord values are distinct contenders; pass a
   * total order (e.g. a unique id as the last field) for determinism.
   * Double fields order NaN above every real value, exactly as the window
-  * sort does. */
+  * sort does. Buffering/merge/serde live in [[BoundedTopKRows]]. */
 case class TopKRowsSorted(ord: Expression, payload: Expression, k: Int,
                           ascending: Seq[Boolean],
                           mutableAggBufferOffset: Int = 0,
                           inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.PriorityQueue[UnsafeRow]] {
+  extends BoundedTopKRows {
 
   require(k > 0, s"k must be positive, got $k")
 
@@ -65,12 +61,6 @@ case class TopKRowsSorted(ord: Expression, payload: Expression, k: Int,
   override def withNewInputAggBufferOffset(o: Int): TopKRowsSorted =
     copy(inputAggBufferOffset = o)
 
-  // containsNull tracks the payload's own nullability: a nullable
-  // payload expression CAN buffer and emit null elements, and declaring
-  // them away would let downstream null-check elision read garbage (the
-  // in-repo rankers pass struct(...), which is never null)
-  override def dataType: DataType = ArrayType(payload.dataType, containsNull = payload.nullable)
-  override def nullable: Boolean = false
   override def prettyName: String = "graft_topk_rows_sorted"
 
   // the pair row is (ord field 0, …, ord field n-1, payload): flattening
@@ -82,7 +72,8 @@ case class TopKRowsSorted(ord: Expression, payload: Expression, k: Int,
     case other => ordFields.indices.map(i =>
       org.apache.spark.sql.catalyst.expressions.GetStructField(other, i))
   }
-  @transient private lazy val pairProj: UnsafeProjection =
+  override protected def pairArity: Int = ascending.length + 1
+  @transient override protected lazy val pairProj: UnsafeProjection =
     UnsafeProjection.create(flatOrd :+ payload)
   @transient private lazy val orderings: Array[Ordering[Any]] =
     ordFields.map(f => TypeUtils.getInterpretedOrdering(f.dataType)).toArray
@@ -91,8 +82,9 @@ case class TopKRowsSorted(ord: Expression, payload: Expression, k: Int,
     ordFields.map(_.dataType).toArray
 
   /** <0 iff pair-row a sorts BEFORE pair-row b under the mixed ORDER BY
-    * (per-field direction, window-default null placement). */
-  private def orderCompare(a: UnsafeRow, b: UnsafeRow): Int = {
+    * (per-field direction, window-default null placement). Direction is
+    * carried by argument order, not negation. */
+  override protected def orderCompare(a: UnsafeRow, b: UnsafeRow): Int = {
     var i = 0
     while (i < ascArr.length) {
       val an = a.isNullAt(i)
@@ -106,92 +98,11 @@ case class TopKRowsSorted(ord: Expression, payload: Expression, k: Int,
         } else { // desc, nulls last
           if (an) 1
           else if (bn) -1
-          else -orderings(i).compare(a.get(i, ordTypes(i)), b.get(i, ordTypes(i)))
+          else orderings(i).compare(b.get(i, ordTypes(i)), a.get(i, ordTypes(i)))
         }
       if (c != 0) return c
       i += 1
     }
     0
-  }
-
-  // worst-first heap: head sorts LAST under the ORDER BY (the eviction
-  // victim), so the comparator is the reversed order
-  private def worstFirst: java.util.Comparator[UnsafeRow] =
-    new java.util.Comparator[UnsafeRow] with Serializable {
-      override def compare(a: UnsafeRow, b: UnsafeRow): Int = -orderCompare(a, b)
-    }
-
-  override def createAggregationBuffer(): java.util.PriorityQueue[UnsafeRow] =
-    new java.util.PriorityQueue[UnsafeRow](k, worstFirst)
-
-  private def add(buf: java.util.PriorityQueue[UnsafeRow], pair: UnsafeRow,
-                  copied: Boolean): Unit =
-    if (buf.size < k) { buf.add(if (copied) pair else pair.copy()); () }
-    else if (orderCompare(pair, buf.peek()) < 0) {
-      buf.poll()
-      buf.add(if (copied) pair else pair.copy())
-      ()
-    }
-
-  override def update(buf: java.util.PriorityQueue[UnsafeRow],
-                      input: InternalRow): java.util.PriorityQueue[UnsafeRow] = {
-    add(buf, pairProj(input), copied = false)
-    buf
-  }
-
-  override def merge(b1: java.util.PriorityQueue[UnsafeRow],
-                     b2: java.util.PriorityQueue[UnsafeRow]): java.util.PriorityQueue[UnsafeRow] = {
-    val it = b2.iterator()
-    while (it.hasNext) add(b1, it.next(), copied = true)
-    b1
-  }
-
-  override def eval(buf: java.util.PriorityQueue[UnsafeRow]): Any = {
-    val n = buf.size
-    val arr = new Array[UnsafeRow](n)
-    var i = 0
-    val it = buf.iterator()
-    while (it.hasNext) { arr(i) = it.next(); i += 1 }
-    // heap drain order is arbitrary beyond the head — sort best-first
-    java.util.Arrays.sort(arr, new java.util.Comparator[UnsafeRow] {
-      override def compare(a: UnsafeRow, b: UnsafeRow): Int = orderCompare(a, b)
-    })
-    val p = ascArr.length
-    val out = new Array[Any](n)
-    i = 0
-    while (i < n) { out(i) = arr(i).get(p, payload.dataType); i += 1 }
-    new GenericArrayData(out)
-  }
-
-  override def serialize(buf: java.util.PriorityQueue[UnsafeRow]): Array[Byte] = {
-    var bytes = 4
-    val it0 = buf.iterator()
-    while (it0.hasNext) bytes += 4 + it0.next().getSizeInBytes
-    val bb = ByteBuffer.allocate(bytes)
-    bb.putInt(buf.size)
-    val it = buf.iterator()
-    while (it.hasNext) {
-      val r = it.next()
-      bb.putInt(r.getSizeInBytes)
-      bb.put(r.getBytes)
-    }
-    bb.array()
-  }
-
-  override def deserialize(bytes: Array[Byte]): java.util.PriorityQueue[UnsafeRow] = {
-    val bb = ByteBuffer.wrap(bytes)
-    val n = bb.getInt
-    val buf = createAggregationBuffer()
-    var i = 0
-    while (i < n) {
-      val len = bb.getInt
-      val b = new Array[Byte](len)
-      bb.get(b)
-      val r = new UnsafeRow(ascArr.length + 1)
-      r.pointTo(b, len)
-      buf.add(r)
-      i += 1
-    }
-    buf
   }
 }

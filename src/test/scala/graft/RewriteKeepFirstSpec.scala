@@ -131,6 +131,32 @@ class RewriteKeepFirstSpec extends SparkSpecBase {
     }
   }
 
+  test("null ordering values place exactly as the window defaults " +
+    "(asc nulls first, desc nulls last) in both rewritten directions") {
+    // ids 0/7/14/... get a NULL ord — every group holds nulls and reals
+    val nullish = data.withColumn("o",
+      when(col("id") % 7 === 0, lit(null).cast("long")).otherwise(col("o")))
+    val wAsc = Window.partitionBy(col("k")).orderBy(col("o"), col("id"))
+    val wDesc = Window.partitionBy(col("k")).orderBy(col("o").desc, col("id").desc)
+    def topAsc(n: Int) =
+      nullish.withColumn("rn", row_number().over(wAsc)).filter(col("rn") <= n)
+    def topDesc(n: Int) =
+      nullish.withColumn("rn", row_number().over(wDesc)).filter(col("rn") <= n)
+    val expAsc = topAsc(3).collect().toSet
+    val expDesc = topDesc(3).collect().toSet
+    // sanity on the fixture itself: asc ranks nulls first, desc reals first
+    assert(expAsc.exists(r => r.isNullAt(2) && r.getInt(4) == 1))
+    assert(expDesc.exists(r => !r.isNullAt(2) && r.getInt(4) == 1))
+    withRule {
+      val a = topAsc(3)
+      val d = topDesc(3)
+      assert(!planOf(a).contains("Window"), planOf(a))
+      assert(!planOf(d).contains("Window"), planOf(d))
+      assert(a.collect().toSet == expAsc)
+      assert(d.collect().toSet == expDesc)
+    }
+  }
+
   test("bails out: k > 100, mixed directions, global, NULLS override, rank()") {
     withRule {
       val w = Window.partitionBy(col("k")).orderBy(col("o"), col("id"))
