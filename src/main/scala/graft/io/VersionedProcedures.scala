@@ -236,6 +236,12 @@ private[io] object VersionedProcedures {
         // the codes table may not exist yet: the first rebuild bootstraps it
         rootFor(str(input, 2, "codes_table"))))),
 
+    Spec("ann_recell", "restore a celled ANN index table's one-file-per-cell range layout after maintenance appends eroded it (graft.ops.AnnIndex.recell) — LAYOUT-ONLY: no re-encode, no model read, results bit-identical, only the probed-cell file-skip ratio changes; the cheap remedy when pruned search reads too many files while ann_drift/ann_cells stay quiet. Stop the maintenance sink first (single writer per root)",
+      Array(in("codes_table", StringType)),
+      newVersion,
+      (spark, rootFor, input) => row(graft.ops.AnnIndex.recell(spark,
+        existing(spark, rootFor, input, 0)))),
+
     Spec("ann_cells", "measure a persisted ANN codes table's per-cell occupancy against the model's training-time baseline (graft.ops.AnnIndex.cellStats) — the BALANCE half of the rebuild contract, codes-table-only (no corpus encode): a cell whose current_share has grown past tolerance degrades probed-cell search toward O(n) on that cell even while ann_drift stays quiet",
       Array(in("codes_table", StringType), in("model_table", StringType)),
       StructType(Seq(

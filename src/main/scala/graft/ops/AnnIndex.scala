@@ -554,6 +554,46 @@ object AnnIndex {
       codesRoot, emb, math.min(cent.count(), 4096L).toInt.max(1))
   }
 
+  /** LAYOUT-ONLY index maintenance — restore the one-file-per-cell
+    * range layout (and the per-file `cluster` min/max tightness) that
+    * streaming maintenance erodes, WITHOUT re-encoding anything:
+    * [[graft.streaming.Streams.versionedAnnIndexSink]] appends each
+    * micro-batch as its own file spanning whatever cells the batch
+    * touched, so after many triggers the table accretes wide-cluster-
+    * range files the probed-cell IN can never skip — pruned [[search]]
+    * degrades toward reading every maintenance file even while its
+    * row-level semi join still prunes. [[rebuild]] fixes the layout as
+    * a side effect but pays the full n·k·m corpus re-encode for codes
+    * that ALREADY EXIST in the table; this is the cheap remedy when
+    * only the LAYOUT eroded: one shuffle of the code rows (re-ranged
+    * one file per cell, capped 4096, stats + tracked-bloom sidecars
+    * re-harvested by [[graft.io.Versioned.compactLatest]]), the model
+    * never read or touched, results bit-identical by construction —
+    * only the file-skip ratio changes. The remedy ladder: `recell`
+    * when search reads too many files but [[driftStats]]/[[cellStats]]
+    * are quiet; [[rebuild]] when the INDEX eroded (drift or balance
+    * tripped); retrain when the book itself is stale. Works on any
+    * celled index table (the PQ codes table; the celled
+    * [[buildBinaryIndex]] table); a flat table refuses loudly — it has
+    * no cell layout to restore. Stop the maintenance sink first
+    * (single writer per root). Returns the new committed version;
+    * older versions stay readable until vacuum, like any compaction. */
+  def recell(spark: SparkSession, codesRoot: String): Long = {
+    val codes = Versioned.read(spark, codesRoot)
+    require(codes.columns.contains("cluster"),
+      s"recell: the index at $codesRoot carries no cluster column — " +
+        "only a celled index has a cell layout to restore (build with " +
+        "trainAndRebuild/rebuild or the celled buildBinaryIndex)")
+    // one file per distinct cell, same cap as the build paths; the
+    // distinct is a narrow agg whose result is bounded by nlist
+    val cells = codes.select(col("cluster")).distinct().count()
+    require(cells > 0, s"recell: the index at $codesRoot holds no rows")
+    Versioned.compactLatest(spark, codesRoot,
+      math.min(cells, 4096L).toInt,
+      sortCols = Seq("cluster"),
+      statsCols = Some(Seq("vec_id", "cluster")))
+  }
+
   /** Persist the binary (1-bit/dim) sign-fingerprint index for
     * [[binarySearch]]: one (vec_id, fp) row per corpus vector, dim/8
     * bytes of fingerprint each — the RAM-prefilter table that stands in

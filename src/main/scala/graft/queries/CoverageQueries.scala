@@ -869,6 +869,38 @@ object CoverageQueries {
       .search(emb.filter(col("vec_id") < 30), k = 3, nprobe = 2)
   }
 
+  /** Layout-only RECELL maintenance ([[graft.ops.AnnIndex.recell]]):
+    * train the model on the FULL corpus, build the celled codes table
+    * from only the even-id half, append the odd-id half in the
+    * maintenance sink's exact row shape (frozen-model assignment +
+    * encode — byte-identical rows to what a rebuild would write, landing
+    * as wide-cluster-range files the probed-cell IN cannot skip), then
+    * `recell` and search. The recelled table must hold exactly the
+    * full-corpus codes in a restored one-file-per-cell layout, so the
+    * nprobe=2 search shares [[annIvfPqProbe2Oracle]] VERBATIM — recell
+    * must be hash-invisible or it isn't layout-only. */
+  def annRecell(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.AnnIndex
+    val emb = Tables.embeddings(spark, sfDir)
+    val modelRoot = QueryScratch.freshRoot("graft_annmodel_rc", sfDir)
+    val codesRoot = QueryScratch.freshRoot("graft_anncodes_rc", sfDir)
+    AnnIndex.train(spark, emb, m = 16, dsub = 4, modelRoot)
+    AnnIndex.rebuild(spark, emb.filter(col("vec_id") % 2 === 0),
+      modelRoot, codesRoot)
+    val late = emb.filter(col("vec_id") % 2 =!= 0)
+    val (cent, book, m, dsub) = AnnIndex.model(spark, modelRoot)
+    graft.io.Versioned.commit(spark,
+      Similarity.assignClusters(late, cent, nprobe = 1)
+        .select(col("vec_id"), col("cluster"))
+        .join(Similarity.pqEncode(late.select(col("vec_id"), col("embedding")),
+          book, m, dsub), Seq("vec_id")),
+      codesRoot, statsCols = Seq("vec_id", "cluster"),
+      bloomCols = Seq("vec_id"))
+    AnnIndex.recell(spark, codesRoot)
+    AnnIndex.search(spark, emb.filter(col("vec_id") < 30),
+      modelRoot, codesRoot, k = 3, nprobe = 2)
+  }
+
   /** Bloom-pruned re-rank FETCH ([[graft.ops.AnnIndex.binarySearch]]
     * against a versioned corpus root): the Hamming shortlist's vec_ids
     * push into the corpus scan as an IN, so the per-file vec_id blooms
@@ -1799,6 +1831,7 @@ object CoverageQueries {
     "ann_binary_fetch" -> (annBinaryFetch _),
     "ann_binary_prepared" -> (annBinaryPrepared _),
     "ann_prepared" -> (annPrepared _),
+    "ann_recell" -> (annRecell _),
     "ann_cell_scaleup" -> (annCellScaleup _),
     "range_exclusion" -> (rangeExclusion _),
     "sales_rollup" -> (salesRollup _),
@@ -1852,6 +1885,7 @@ object CoverageQueries {
     "ann_binary_fetch" -> annBinaryRerankOracle, // pruned fetch must be hash-invisible
     "ann_binary_prepared" -> annBinaryPrunedOracle, // handle must be hash-invisible
     "ann_prepared" -> annIvfPqProbe2Oracle, // handle must be hash-invisible
+    "ann_recell" -> annIvfPqProbe2Oracle, // recell must be hash-invisible
     "ann_cell_scaleup" -> annCellScaleupOracle,
     "range_exclusion" -> rangeExclusionOracle,
     "sales_rollup" -> salesRollupOracle,

@@ -376,7 +376,13 @@ object Streams {
     * search toward O(n) even while reconstruction stays fine; the
     * skew check is codes-table-only, no corpus encode). The combined
     * [[graft.ops.AnnIndex.needsRebuild]] overload checks both, balance
-    * first; the sink maintains, it doesn't train.
+    * first; the sink maintains, it doesn't train. The sink also erodes
+    * the codes table's LAYOUT independently of the index's quality:
+    * each trigger appends one file spanning whatever cells its batch
+    * touched, so probed-cell search skips fewer and fewer files as
+    * batches accrete even while both rebuild triggers stay quiet — the
+    * cheap remedy is [[graft.ops.AnnIndex.recell]] (layout-only
+    * re-range, no re-encode, results bit-identical), NOT a rebuild.
     * Already-indexed ids arriving again are dropped (first write wins —
     * see the guard below), and the guard's cost is BOUNDED: each commit
     * harvests a per-file bloom sidecar over `vec_id`, and the membership

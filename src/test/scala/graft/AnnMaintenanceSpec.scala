@@ -327,4 +327,80 @@ class AnnMaintenanceSpec extends SparkSpecBase {
       .collect().toSet
     assert(viaModel == exhaustive)
   }
+
+  test("recell restores one-file-per-cell layout and file pruning after " +
+    "maintenance appends — layout-only: results identical, model untouched") {
+    val rows = (0 until 200).map(i => (i.toLong, (i % 4).toLong, pureBlockVec(i)))
+    val emb = rows.toDF("vec_id", "label", "embedding")
+    val modelRoot = java.nio.file.Files.createTempDirectory("annm_rc").toString
+    val codesRoot = java.nio.file.Files.createTempDirectory("annc_rc").toString
+    AnnIndex.trainAndRebuild(spark, emb, m = 4, dsub = 4, modelRoot, codesRoot)
+
+    // THREE maintenance triggers, each spanning ALL four blocks: every
+    // appended file's cluster min/max covers every cell, so the
+    // probed-cell IN can skip none of them — the layout erosion recell
+    // exists for, accreting without either rebuild trigger moving
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val (cent, book, m, dsub) = AnnIndex.model(spark, modelRoot)
+    val src = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.Streams.versionedAnnIndexSink(
+      src.toDF().toDF("vec_id", "embedding"), cent, book, m, dsub, codesRoot,
+      java.nio.file.Files.createTempDirectory("annckpt_rc").toString)
+    try {
+      for (b <- 0 until 3) {
+        src.addData((0 until 40).map(i => (10000L + b * 100 + i, pureBlockVec(i))))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // kept files of a cluster-IN probe over the CURRENT snapshot — the
+    // all-cells probe counts every live file (each file holds some cell)
+    def keptFor(cells: Seq[Int]): Int = {
+      val probe = spark.read.format("graft-versioned").load(codesRoot)
+        .filter(col("cluster").isin(cells: _*))
+      probe.queryExecution.toRdd.count()
+      probe.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          r.table
+      }.collectFirst {
+        case t: graft.io.VersionedReadTable => t.prunedIndex.lastKeptFiles
+      }.getOrElse(fail("no VersionedReadTable in the probe plan"))
+    }
+    val totalBefore = keptFor(Seq(0, 1, 2, 3))
+    val keptBefore = keptFor(Seq(0, 1))
+    // degradation witnessed: the two-cell probe keeps the 3+ appended
+    // wide-range files on top of the probed cells' own build files
+    assert(keptBefore > 2, s"expected eroded layout, kept $keptBefore")
+
+    val queries = emb.filter(col("vec_id") < 20)
+    val before = AnnIndex.search(spark, queries, modelRoot, codesRoot,
+      k = 3, nprobe = 2).collect().toSet
+    val modelV = graft.io.Versioned.versions(spark, modelRoot).last
+
+    val newV = AnnIndex.recell(spark, codesRoot)
+    assert(newV == graft.io.Versioned.versions(spark, codesRoot).last)
+    // layout-only: the model was never touched, the results are identical
+    assert(graft.io.Versioned.versions(spark, modelRoot).last == modelV)
+    val after = AnnIndex.search(spark, queries, modelRoot, codesRoot,
+      k = 3, nprobe = 2).collect().toSet
+    assert(after == before && after.nonEmpty)
+
+    // layout restored: bounded files (≤ one per cell — the range
+    // partitioner may merge adjacent cells, never split one), and a
+    // two-cell probe keeps at most its two cells' files again
+    val totalAfter = keptFor(Seq(0, 1, 2, 3))
+    val keptAfter = keptFor(Seq(0, 1))
+    assert(totalAfter <= 4, s"recell left $totalAfter files for 4 cells")
+    assert(keptAfter <= 2, s"two-cell probe kept $keptAfter files post-recell")
+    assert(keptAfter < keptBefore)
+
+    // a flat (cluster-less) index has no cell layout to restore
+    val flatRoot = java.nio.file.Files.createTempDirectory("annfp_rc").toString
+    AnnIndex.buildBinaryIndex(spark, emb, dim = 16, flatRoot)
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.recell(spark, flatRoot)
+    }
+    assert(e.getMessage.contains("no cluster column"))
+  }
 }

@@ -281,6 +281,23 @@ class VersionedProcedureSpec extends SparkSpecBase {
     assert(cellRows.forall(r => r._1 == r._2))
     assert(math.abs(cellRows.map(_._3).sum - 1.0) < 1e-12)
 
+    // layout-only recell through SQL: a new codes version, identical
+    // search results, model untouched
+    val preSearch = AnnIndex.search(spark, emb.filter(col("vec_id") < 5),
+      rootOf("annmodel"), rootOf("anncodes"), k = 3).collect().toSet
+    val modelV = Versioned.versions(spark, rootOf("annmodel")).last
+    val rc = spark.sql("CALL graft_proc.system.ann_recell('ns.anncodes')")
+    assert(rc.as[Long].collect().toSeq == Seq(2L))
+    assert(Versioned.versions(spark, rootOf("annmodel")).last == modelV)
+    assert(AnnIndex.search(spark, emb.filter(col("vec_id") < 5),
+      rootOf("annmodel"), rootOf("anncodes"), k = 3).collect().toSet
+      == preSearch)
+
+    // a cluster-less table has no cell layout to restore
+    val flat = intercept[Exception](spark.sql(
+      "CALL graft_proc.system.ann_recell('ns.anncorpus')"))
+    assert(chain(flat).contains("no cluster column"))
+
     // a missing model table refuses like every procedure
     val e = intercept[Exception](spark.sql(
       "CALL graft_proc.system.ann_drift('ns.anncorpus', 'ns.nomodel')"))
