@@ -242,6 +242,28 @@ private[io] object VersionedProcedures {
       (spark, rootFor, input) => row(graft.ops.AnnIndex.recell(spark,
         existing(spark, rootFor, input, 0)))),
 
+    Spec("ann_recall", "measured recall@k of the persisted pruned ANN search against the exact brute-force cosine ground truth (graft.ops.AnnIndex.recallAt): one row per query (qid, hits, recall), hits = |index top-k INTERSECT exact top-k| — the number that makes the nprobe dial tunable; at nprobe = every cell the residual below 1.0 is pure PQ quantization loss. queries_table and corpus_table are (vec_id, embedding) tables; the ground-truth side scans the corpus once under broadcast queries, so point queries_table at a SAMPLE at scale",
+      Array(in("queries_table", StringType), in("model_table", StringType),
+        in("codes_table", StringType), in("corpus_table", StringType),
+        inDefault("k", IntegerType, "10"), inDefault("nprobe", IntegerType, "1")),
+      StructType(Seq(
+        StructField("qid", StringType, nullable = true),
+        StructField("hits", LongType, nullable = false),
+        StructField("recall", org.apache.spark.sql.types.DoubleType, nullable = false))),
+      (spark, rootFor, input) =>
+        graft.ops.AnnIndex.recallAt(spark,
+          Versioned.read(spark, existing(spark, rootFor, input, 0)),
+          existing(spark, rootFor, input, 1),
+          existing(spark, rootFor, input, 2),
+          Versioned.read(spark, existing(spark, rootFor, input, 3)),
+          k = input.getInt(4), nprobe = input.getInt(5))
+          // vec_id types vary by corpus (integral or string); the fixed
+          // CALL schema rides qid as string, like ann_cells' cluster
+          .withColumn("qid",
+            org.apache.spark.sql.functions.col("qid").cast(StringType))
+          .orderBy("qid")
+          .queryExecution.executedPlan.executeCollect()),
+
     Spec("ann_cells", "measure a persisted ANN codes table's per-cell occupancy against the model's training-time baseline (graft.ops.AnnIndex.cellStats) — the BALANCE half of the rebuild contract, codes-table-only (no corpus encode): a cell whose current_share has grown past tolerance degrades probed-cell search toward O(n) on that cell even while ann_drift stays quiet",
       Array(in("codes_table", StringType), in("model_table", StringType)),
       StructType(Seq(

@@ -918,6 +918,51 @@ object AnnIndex {
     }
   }
 
+  /** Measured recall@k of the persisted pruned index against the EXACT
+    * cosine ground truth — the operator that closes the nprobe tuning
+    * loop: [[search]]'s `nprobe` dial trades scanned volume for recall,
+    * and without a measured recall the trade is folklore. One row per
+    * query: (qid, hits, recall) where hits = |index top-k ∩ exact
+    * top-k| and recall = hits / k (the recall@k convention keeps the
+    * denominator at k even when the corpus holds fewer neighbors).
+    * Both sides rank (cos desc, id asc) with the same engine kernels,
+    * so score ties cannot skew the intersection; self-pairs are
+    * excluded on both sides. What it measures is the index's WHOLE
+    * loss — cell loss (the probed cells missed a true neighbor's home
+    * cell) plus quantization loss (PQ reconstruction re-ordered the
+    * ranking) — so at nprobe = every cell the residual below 1.0 is
+    * pure quantization, a useful m/dsub sizing probe.
+    *
+    * The ground-truth side is the deliberate cost: one full corpus
+    * scan under broadcast queries (the exact brute-force baseline,
+    * bounded-heap aggregated — no window, no sort, single exchange).
+    * At 100 TB run it over a SAMPLE of queries — recall is a
+    * population statistic and the sample mean converges at O(1/√q) —
+    * against the same corpus snapshot the index was built from.
+    * `queries` in [[search]]'s (vec_id, embedding) shape; `corpus` the
+    * raw-vector (vec_id, embedding) table. */
+  def recallAt(spark: SparkSession, queries: DataFrame, modelRoot: String,
+               codesRoot: String, corpus: DataFrame, k: Int,
+               nprobe: Int): DataFrame = {
+    val approx = search(spark, queries, modelRoot, codesRoot, k, nprobe)
+      .select(col("qid"), col("nid"))
+    val truth = Similarity.bruteForceTopKAgg(
+      queries.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      corpus.select(col("vec_id").as("nid"), col("embedding").as("nvec")), k)
+      .select(col("qid"), col("nid"))
+    // both sides are k rows per query; a query whose index results miss
+    // every true neighbor has NO row after the inner join, so the hit
+    // counts re-join the full query-id frame (zero-hit queries must
+    // report recall 0.0, not vanish)
+    val hits = approx.join(truth, Seq("qid", "nid"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+    queries.select(col("vec_id").as("qid")).distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)) / k.toDouble).as("recall"))
+  }
+
   /** Prepare a REUSABLE search handle over the persisted (model, codes)
     * pair — the many-searches form of [[search]]. [[search]] re-reads the
     * model table and re-plans the same multi-join shape on EVERY call;

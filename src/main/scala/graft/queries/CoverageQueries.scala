@@ -901,6 +901,70 @@ object CoverageQueries {
       modelRoot, codesRoot, k = 3, nprobe = 2)
   }
 
+  /** Measured recall@k ([[graft.ops.AnnIndex.recallAt]]): the nprobe=2
+    * persisted search's top-3 intersected per query with the EXACT
+    * brute-force cosine top-3 over the same corpus — (qid, hits,
+    * recall) rows, the number that makes the IVF recall dial tunable
+    * instead of folklore. The oracle recomputes BOTH sides
+    * independently (the full PQ chain at rn <= 2 and the exact-cosine
+    * window) and intersects in SQL; hit counts are genuinely partial
+    * on this corpus, so the join, the zero-coalesce and the /k are all
+    * load-bearing. */
+  def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.AnnIndex
+    val emb = Tables.embeddings(spark, sfDir)
+    val modelRoot = QueryScratch.freshRoot("graft_annmodel_rec", sfDir)
+    val codesRoot = QueryScratch.freshRoot("graft_anncodes_rec", sfDir)
+    AnnIndex.trainAndRebuild(spark, emb, m = 16, dsub = 4, modelRoot, codesRoot)
+    AnnIndex.recallAt(spark, emb.filter(col("vec_id") < 30),
+      modelRoot, codesRoot, emb, k = 3, nprobe = 2)
+  }
+
+  val annRecallOracle: String =
+    s"""WITH $pqBookCtes,
+       |ranked AS (
+       |  SELECT e.vec_id, e.embedding, r.rlabel,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${cosSql("e.embedding", "r.cvec")} DESC, r.rlabel) AS rn
+       |  FROM embeddings e CROSS JOIN cent r),
+       |assigned AS (
+       |  SELECT vec_id, embedding, rlabel AS cluster FROM ranked WHERE rn = 1),
+       |qassigned AS (
+       |  SELECT vec_id, embedding, rlabel AS cluster FROM ranked
+       |  WHERE rn <= 2 AND vec_id < 30),
+       |scored AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |         ${cosSql("q.embedding", "x.xv")} AS cos_pq
+       |  FROM qassigned q
+       |  JOIN assigned c ON q.cluster = c.cluster AND q.vec_id <> c.vec_id
+       |  JOIN xhat x ON x.vec_id = c.vec_id),
+       |approx AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY cos_pq DESC, nid) AS rank
+       |    FROM scored)
+       |  WHERE rank <= 3),
+       |tpairs AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |         ${cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM embeddings q JOIN embeddings c
+       |    ON q.vec_id < 30 AND q.vec_id <> c.vec_id),
+       |truth AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |    FROM tpairs)
+       |  WHERE rank <= 3),
+       |hits AS (
+       |  SELECT a.qid, COUNT(*) AS hits
+       |  FROM approx a JOIN truth t ON a.qid = t.qid AND a.nid = t.nid
+       |  GROUP BY 1)
+       |SELECT q.qid, coalesce(h.hits, 0) AS hits,
+       |       coalesce(h.hits, 0) / 3.0 AS recall
+       |FROM (SELECT DISTINCT vec_id AS qid FROM embeddings WHERE vec_id < 30) q
+       |LEFT JOIN hits h ON h.qid = q.qid
+       |""".stripMargin
+
   /** Bloom-pruned re-rank FETCH ([[graft.ops.AnnIndex.binarySearch]]
     * against a versioned corpus root): the Hamming shortlist's vec_ids
     * push into the corpus scan as an IN, so the per-file vec_id blooms
@@ -1832,6 +1896,7 @@ object CoverageQueries {
     "ann_binary_prepared" -> (annBinaryPrepared _),
     "ann_prepared" -> (annPrepared _),
     "ann_recell" -> (annRecell _),
+    "ann_recall" -> (annRecall _),
     "ann_cell_scaleup" -> (annCellScaleup _),
     "range_exclusion" -> (rangeExclusion _),
     "sales_rollup" -> (salesRollup _),
@@ -1886,6 +1951,7 @@ object CoverageQueries {
     "ann_binary_prepared" -> annBinaryPrunedOracle, // handle must be hash-invisible
     "ann_prepared" -> annIvfPqProbe2Oracle, // handle must be hash-invisible
     "ann_recell" -> annIvfPqProbe2Oracle, // recell must be hash-invisible
+    "ann_recall" -> annRecallOracle,
     "ann_cell_scaleup" -> annCellScaleupOracle,
     "range_exclusion" -> rangeExclusionOracle,
     "sales_rollup" -> salesRollupOracle,

@@ -403,4 +403,37 @@ class AnnMaintenanceSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("no cluster column"))
   }
+
+  test("recallAt measures the index's loss against exact ground truth: " +
+    "1.0 where the index holds the true neighbors, 0.0 where it cannot, " +
+    "and zero-hit queries report instead of vanishing") {
+    // two pure blocks of 50 IDENTICAL vectors each: the exact-cosine
+    // truth for any member is its 3 lowest-id same-block peers (cos = 1
+    // beats every cross-block pair), and PQ reconstruction is EXACT on
+    // a pure block — so recall is fully determined, no geometry luck
+    val all = (0 until 100)
+      .map(i => (i.toLong, (i / 50).toLong, pureBlockVec(i / 50)))
+      .toDF("vec_id", "label", "embedding")
+    val blockB = all.filter(col("vec_id") >= 50)
+    val modelRoot = java.nio.file.Files.createTempDirectory("annm_rec").toString
+    val codesRoot = java.nio.file.Files.createTempDirectory("annc_rec").toString
+    // index holds ONLY block B: a block-A query's true neighbors are
+    // simply not in the index — its recall must be exactly 0, reported
+    // through the left-join path (no hits row exists for it)
+    AnnIndex.trainAndRebuild(spark, blockB, m = 4, dsub = 4,
+      modelRoot, codesRoot)
+
+    val queries = all.filter(col("vec_id").isin(0L, 1L, 2L, 50L, 51L, 52L))
+    val got = AnnIndex.recallAt(spark, queries, modelRoot, codesRoot,
+      all, k = 3, nprobe = 1)
+      .select("qid", "hits", "recall").as[(Long, Long, Double)]
+      .collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(0L, 1L, 2L, 50L, 51L, 52L),
+      s"every query must report: ${got.toSeq}")
+    // block A: true neighbors absent from the index -> 0 hits, 0.0
+    assert(got.take(3).forall(r => r._2 == 0L && r._3 == 0.0), got.toSeq)
+    // block B: exact reconstruction + id tie-breaks -> the index's top-3
+    // IS the truth's top-3 -> 3 hits, 1.0
+    assert(got.drop(3).forall(r => r._2 == 3L && r._3 == 1.0), got.toSeq)
+  }
 }

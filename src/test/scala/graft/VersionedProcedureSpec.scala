@@ -298,6 +298,17 @@ class VersionedProcedureSpec extends SparkSpecBase {
       "CALL graft_proc.system.ann_recell('ns.anncorpus')"))
     assert(chain(flat).contains("no cluster column"))
 
+    // measured recall@3 through SQL at nprobe = every cell: one row per
+    // query (qid rides as string), hits bounded by k, recall = hits/k;
+    // on this near-pure-block corpus the index finds true neighbors
+    val rec = spark.sql("CALL graft_proc.system.ann_recall(" +
+      "'ns.anncorpus', 'ns.annmodel', 'ns.anncodes', 'ns.anncorpus', 3, 4)")
+    assert(rec.columns.toSeq == Seq("qid", "hits", "recall"))
+    val rr = rec.as[(String, Long, Double)].collect()
+    assert(rr.length == 200)
+    assert(rr.forall(r => r._2 >= 0L && r._2 <= 3L && r._3 == r._2 / 3.0))
+    assert(rr.map(_._2).sum > 0, "full-probe recall found no true neighbor")
+
     // a missing model table refuses like every procedure
     val e = intercept[Exception](spark.sql(
       "CALL graft_proc.system.ann_drift('ns.anncorpus', 'ns.nomodel')"))
