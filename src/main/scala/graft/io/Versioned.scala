@@ -3120,6 +3120,31 @@ object Versioned {
       dvEntries(spark, root, to))
   }
 
+  /** Per-file containment counts over the CURRENT snapshot's stats
+    * sidecars — METADATA-ONLY (no data file is opened): for each live
+    * data file, how many of `values` its harvested `column` [min,max]
+    * may contain. Missing or unreadable stats count EVERY value for
+    * that file — the same conservative rule the pruned scan applies, so
+    * these counts are exactly the files a single-value probe on each of
+    * `values` would keep. Returns (batchDir/fileName, mayContainCount)
+    * per live file. This is the observability primitive behind layout-
+    * health checks (e.g. [[graft.ops.AnnIndex.layoutStats]]): pruning
+    * effectiveness is a property of per-file ranges, which only the
+    * sidecars know. */
+  def fileStatsCoverage(spark: SparkSession, root: String, column: String,
+                        values: Seq[Any]): Seq[(String, Int)] = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root")
+    val files = snapshotFiles(spark, root, Some(vs.last))
+    val stats = statsByFile(spark, root, files)
+    files.map { s =>
+      val p = new Path(s)
+      val st = stats.getOrElse(s, Map.empty).get(column)
+      (s"${p.getParent.getName}/${p.getName}",
+        values.count(v => FileStats.mayContain(st, Some(v), Some(v))))
+    }
+  }
+
   /** Compact the current snapshot: read it, rewrite as `nFiles`
     * (optionally range-sorted on `sortCols` so parquet min/max stats
     * prune on them), and publish as a REPLACE commit. Unlike in-place

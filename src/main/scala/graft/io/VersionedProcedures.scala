@@ -242,6 +242,18 @@ private[io] object VersionedProcedures {
       (spark, rootFor, input) => row(graft.ops.AnnIndex.recell(spark,
         existing(spark, rootFor, input, 0)))),
 
+    Spec("ann_layout", "layout health of a celled ANN index table (graft.ops.AnnIndex.layoutStats) — the decision half of ann_recell, metadata-only (stats sidecars): one row per live data file, cells_covered = how many live cells its cluster [min,max] may contain, cells = nlist. Kept-files-per-probe = SUM(cells_covered)/ANY_VALUE(cells): exactly 1.0 at the rebuilt/recelled one-file-per-cell layout, rising ~1 per accreted all-cells maintenance file; graft.ops.AnnIndex.needsRecell(tolKept) is the mechanical trigger",
+      Array(in("codes_table", StringType)),
+      StructType(Seq(
+        StructField("file", StringType, nullable = true),
+        StructField("cells_covered", IntegerType, nullable = false),
+        StructField("cells", IntegerType, nullable = false))),
+      (spark, rootFor, input) =>
+        graft.ops.AnnIndex.layoutStats(spark,
+          existing(spark, rootFor, input, 0))
+          .orderBy("file")
+          .queryExecution.executedPlan.executeCollect()),
+
     Spec("ann_recall", "measured recall@k of the persisted pruned ANN search against the exact brute-force cosine ground truth (graft.ops.AnnIndex.recallAt): one row per query (qid, hits, recall), hits = |index top-k INTERSECT exact top-k| — the number that makes the nprobe dial tunable; at nprobe = every cell the residual below 1.0 is pure PQ quantization loss. queries_table and corpus_table are (vec_id, embedding) tables; the ground-truth side scans the corpus once under broadcast queries, so point queries_table at a SAMPLE at scale",
       Array(in("queries_table", StringType), in("model_table", StringType),
         in("codes_table", StringType), in("corpus_table", StringType),

@@ -594,6 +594,63 @@ object AnnIndex {
       statsCols = Some(Seq("vec_id", "cluster")))
   }
 
+  /** The live cell values of a celled index (bounded: the build paths
+    * cap the layout at 4096 cells; far more distinct clusters means the
+    * table wasn't built by them — refuse before collecting unbounded). */
+  private def liveCells(spark: SparkSession, codesRoot: String): IndexedSeq[Any] = {
+    val codes = Versioned.read(spark, codesRoot)
+    require(codes.columns.contains("cluster"),
+      s"the index at $codesRoot carries no cluster column — only a " +
+        "celled index has a cell layout to measure (build with " +
+        "trainAndRebuild/rebuild or the celled buildBinaryIndex)")
+    val cells = codes.select(col("cluster")).distinct()
+      .limit(4097).collect().map(_.get(0)).toIndexedSeq
+    require(cells.nonEmpty, s"the index at $codesRoot holds no rows")
+    require(cells.length <= 4096,
+      s"the index at $codesRoot holds more than 4096 distinct clusters — " +
+        "not a layout this module built; rebuild it first")
+    cells
+  }
+
+  /** LAYOUT health of a celled index — the DECISION half of [[recell]],
+    * mirroring how [[driftStats]] decides [[rebuild]]'s quality half
+    * and [[cellStats]] its balance half: one row per live data file,
+    * (file, cells_covered) = how many live cells that file's harvested
+    * `cluster` [min,max] may contain, read from the stats SIDECARS
+    * (metadata-only; the single data touch is the bounded distinct-cells
+    * scan). The operational number is kept-files-per-probe =
+    * sum(cells_covered) / nlist — what an average single-cell probe
+    * reads: exactly 1.0 under the rebuilt/recelled one-file-per-cell
+    * layout (every cell lives in exactly one file, however the range
+    * boundaries fell), rising by ~1 for every accreted all-cells
+    * maintenance file. Files without harvested cluster stats count
+    * every cell — conservatively, exactly as the pruned scan keeps
+    * them. */
+  def layoutStats(spark: SparkSession, codesRoot: String): DataFrame = {
+    val cells = liveCells(spark, codesRoot)
+    val cov = Versioned.fileStatsCoverage(spark, codesRoot, "cluster", cells)
+    import spark.implicits._
+    // nlist rides as a constant column so kept-files-per-probe is one
+    // aggregation away: SUM(cells_covered) / ANY_VALUE(cells)
+    cov.toDF("file", "cells_covered").withColumn("cells", lit(cells.length))
+  }
+
+  /** The mechanical [[recell]] trigger: true when the average
+    * single-cell probe keeps more than `tolKept` files —
+    * sum(cells_covered) / nlist over [[layoutStats]]' rows, 1.0 at the
+    * ideal layout. The default 2.0 fires once accreted maintenance
+    * files cost an average probe about one extra file read per cell —
+    * i.e. well before the scan floor doubles. Layout is the THIRD
+    * erosion axis next to quality ([[needsRebuild]]'s drift half) and
+    * balance (its skew half); its remedy is the cheap one, so check it
+    * first in a maintenance loop. */
+  def needsRecell(spark: SparkSession, codesRoot: String,
+                  tolKept: Double = 2.0): Boolean = {
+    val cells = liveCells(spark, codesRoot)
+    val cov = Versioned.fileStatsCoverage(spark, codesRoot, "cluster", cells)
+    cov.map(_._2.toLong).sum.toDouble / cells.length > tolKept
+  }
+
   /** Persist the binary (1-bit/dim) sign-fingerprint index for
     * [[binarySearch]]: one (vec_id, fp) row per corpus vector, dim/8
     * bytes of fingerprint each — the RAM-prefilter table that stands in

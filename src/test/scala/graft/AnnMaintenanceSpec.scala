@@ -372,6 +372,15 @@ class AnnMaintenanceSpec extends SparkSpecBase {
     // degradation witnessed: the two-cell probe keeps the 3+ appended
     // wide-range files on top of the probed cells' own build files
     assert(keptBefore > 2, s"expected eroded layout, kept $keptBefore")
+    // ... and the metadata-only trigger reads the same erosion from the
+    // sidecars alone: each of the 3 batches contributed files covering
+    // all 4 cells between them, so kept-files-per-probe ≥ 4 > tol 2.0
+    assert(AnnIndex.needsRecell(spark, codesRoot))
+    val lsBefore = AnnIndex.layoutStats(spark, codesRoot)
+      .as[(String, Int, Int)].collect()
+    assert(lsBefore.forall(_._3 == 4))
+    assert(lsBefore.map(_._2).sum >= 16,
+      s"expected ≥16 total cell coverage, got ${lsBefore.toSeq}")
 
     val queries = emb.filter(col("vec_id") < 20)
     val before = AnnIndex.search(spark, queries, modelRoot, codesRoot,
@@ -394,6 +403,14 @@ class AnnMaintenanceSpec extends SparkSpecBase {
     assert(totalAfter <= 4, s"recell left $totalAfter files for 4 cells")
     assert(keptAfter <= 2, s"two-cell probe kept $keptAfter files post-recell")
     assert(keptAfter < keptBefore)
+    // trigger quiet again: each cell lives in exactly ONE file however
+    // the range boundaries fell, so total coverage == nlist exactly and
+    // kept-files-per-probe == 1.0
+    val lsAfter = AnnIndex.layoutStats(spark, codesRoot)
+      .as[(String, Int, Int)].collect()
+    assert(lsAfter.map(_._2).sum == 4, lsAfter.toSeq)
+    assert(lsAfter.length == totalAfter)
+    assert(!AnnIndex.needsRecell(spark, codesRoot))
 
     // a flat (cluster-less) index has no cell layout to restore
     val flatRoot = java.nio.file.Files.createTempDirectory("annfp_rc").toString

@@ -298,6 +298,14 @@ class VersionedProcedureSpec extends SparkSpecBase {
       "CALL graft_proc.system.ann_recell('ns.anncorpus')"))
     assert(chain(flat).contains("no cluster column"))
 
+    // layout health through SQL: freshly recelled, every cell lives in
+    // exactly one file, so total coverage == nlist (kept-per-probe 1.0)
+    val lay = spark.sql("CALL graft_proc.system.ann_layout('ns.anncodes')")
+    assert(lay.columns.toSeq == Seq("file", "cells_covered", "cells"))
+    val lr = lay.as[(String, Int, Int)].collect()
+    assert(lr.forall(_._3 == 4))
+    assert(lr.map(_._2).sum == 4, lr.toSeq)
+
     // measured recall@3 through SQL at nprobe = every cell: one row per
     // query (qid rides as string), hits bounded by k, recall = hits/k;
     // on this near-pure-block corpus the index finds true neighbors
