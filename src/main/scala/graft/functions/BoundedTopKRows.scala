@@ -47,10 +47,12 @@ abstract class BoundedTopKRows
   override def nullable: Boolean = false
 
   // worst-first heap: head sorts LAST under the ORDER BY (the eviction
-  // victim), so the comparator is the reversed order
+  // victim), so the comparator is the reversed order — reversed by
+  // swapping arguments, not negating (compare() is not contracted to
+  // survive -x at Int.MinValue)
   private def worstFirst: java.util.Comparator[UnsafeRow] =
     new java.util.Comparator[UnsafeRow] with Serializable {
-      override def compare(a: UnsafeRow, b: UnsafeRow): Int = -orderCompare(a, b)
+      override def compare(a: UnsafeRow, b: UnsafeRow): Int = orderCompare(b, a)
     }
 
   override def createAggregationBuffer(): java.util.PriorityQueue[UnsafeRow] =

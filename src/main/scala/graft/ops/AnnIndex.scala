@@ -997,7 +997,10 @@ object AnnIndex {
     * population statistic and the sample mean converges at O(1/√q) —
     * against the same corpus snapshot the index was built from.
     * `queries` in [[search]]'s (vec_id, embedding) shape; `corpus` the
-    * raw-vector (vec_id, embedding) table. */
+    * raw-vector (vec_id, embedding) table. Duplicate query vec_ids are
+    * OUT OF CONTRACT (as for every query-side entry point here): the
+    * per-qid hit count would sum across the duplicates' result rows and
+    * read as recall > 1. */
   def recallAt(spark: SparkSession, queries: DataFrame, modelRoot: String,
                codesRoot: String, corpus: DataFrame, k: Int,
                nprobe: Int): DataFrame = {
