@@ -569,10 +569,12 @@ object AnnIndex {
     * one file per cell, capped 4096, stats + tracked-bloom sidecars
     * re-harvested by [[graft.io.Versioned.compactLatest]]), the model
     * never read or touched, results bit-identical by construction —
-    * only the file-skip ratio changes. The remedy ladder: `recell`
-    * when search reads too many files but [[driftStats]]/[[cellStats]]
-    * are quiet; [[rebuild]] when the INDEX eroded (drift or balance
-    * tripped); retrain when the book itself is stale. Works on any
+    * only the file-skip ratio changes. The remedy ladder:
+    * [[recellSmall]] when only the accreted maintenance tail eroded
+    * (cost tracks the damage, not the table); `recell` when the whole
+    * layout should be restored; [[rebuild]] when the INDEX eroded
+    * (drift or balance tripped); retrain when the book itself is
+    * stale. Works on any
     * celled index table (the PQ codes table; the celled
     * [[buildBinaryIndex]] table); a flat table refuses loudly — it has
     * no cell layout to restore. Stop the maintenance sink first
@@ -592,6 +594,35 @@ object AnnIndex {
       math.min(cells, 4096L).toInt,
       sortCols = Seq("cluster"),
       statsCols = Some(Seq("vec_id", "cluster")))
+  }
+
+  /** Incremental [[recell]] — the repair whose cost tracks the DAMAGE,
+    * not the table: delegates to [[Versioned.compactSmall]] with the
+    * cell sort, so only the accreted small maintenance-batch files
+    * rewrite (into cell-RANGED outputs — equal cluster values land in
+    * one partition, so each live cell appears in exactly one repaired
+    * file) while every already-large file — the build's one-per-cell
+    * layout at production sizes — carries by REFERENCE, untouched on
+    * disk. After it an average probe keeps its build file plus at most
+    * one repaired-tail file per probed cell (kept-files-per-probe ≈ 2,
+    * down from 1 + batches); run the full [[recell]] when
+    * [[layoutStats]] still reads high afterwards. No-op below
+    * `minInputFiles` small files, exactly like compactSmall.
+    * Layout-only like recell: no re-encode, no model read, results
+    * bit-identical. SQL twin: the generic
+    * `CALL graft.system.compact_small(codes_table, small_mb, target_mb,
+    * 'cluster')`. */
+  def recellSmall(spark: SparkSession, codesRoot: String,
+                  smallBytes: Long = 32L * 1024 * 1024,
+                  targetBytes: Long = 128L * 1024 * 1024,
+                  minInputFiles: Int = 2): Long = {
+    val codes = Versioned.read(spark, codesRoot)
+    require(codes.columns.contains("cluster"),
+      s"recellSmall: the index at $codesRoot carries no cluster column — " +
+        "only a celled index has a cell layout to repair (build with " +
+        "trainAndRebuild/rebuild or the celled buildBinaryIndex)")
+    Versioned.compactSmall(spark, codesRoot, smallBytes, targetBytes,
+      sortCols = Seq("cluster"), minInputFiles = minInputFiles)
   }
 
   /** The live cell values of a celled index (bounded: the build paths

@@ -380,9 +380,12 @@ object Streams {
     * the codes table's LAYOUT independently of the index's quality:
     * each trigger appends one file spanning whatever cells its batch
     * touched, so probed-cell search skips fewer and fewer files as
-    * batches accrete even while both rebuild triggers stay quiet — the
-    * cheap remedy is [[graft.ops.AnnIndex.recell]] (layout-only
-    * re-range, no re-encode, results bit-identical), NOT a rebuild.
+    * batches accrete even while both rebuild triggers stay quiet —
+    * [[graft.ops.AnnIndex.needsRecell]] is the mechanical trigger and
+    * the cheap remedy is [[graft.ops.AnnIndex.recellSmall]] (repairs
+    * only the accreted tail) or [[graft.ops.AnnIndex.recell]] (full
+    * re-range) — layout-only, no re-encode, results bit-identical,
+    * NOT a rebuild.
     * Already-indexed ids arriving again are dropped (first write wins —
     * see the guard below), and the guard's cost is BOUNDED: each commit
     * harvests a per-file bloom sidecar over `vec_id`, and the membership

@@ -421,6 +421,70 @@ class AnnMaintenanceSpec extends SparkSpecBase {
     assert(e.getMessage.contains("no cluster column"))
   }
 
+  test("recellSmall repairs only the accreted tail: build files carry by " +
+    "reference, batch files pack cell-ranged, results identical") {
+    // big enough that the build's per-cell files dwarf a maintenance
+    // batch — the size separation recellSmall's small-file cut rides on
+    val rows = (0 until 24000).map(i => (i.toLong, (i % 4).toLong, pureBlockVec(i)))
+    val emb = rows.toDF("vec_id", "label", "embedding")
+    val modelRoot = java.nio.file.Files.createTempDirectory("annm_rs").toString
+    val codesRoot = java.nio.file.Files.createTempDirectory("annc_rs").toString
+    AnnIndex.trainAndRebuild(spark, emb, m = 4, dsub = 4, modelRoot, codesRoot)
+
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val (cent, book, m, dsub) = AnnIndex.model(spark, modelRoot)
+    val src = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.Streams.versionedAnnIndexSink(
+      src.toDF().toDF("vec_id", "embedding"), cent, book, m, dsub, codesRoot,
+      java.nio.file.Files.createTempDirectory("annckpt_rs").toString)
+    try {
+      for (b <- 0 until 3) {
+        src.addData((0 until 40).map(i => (100000L + b * 100 + i, pureBlockVec(i))))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    def size(p: String): Long =
+      java.nio.file.Files.size(java.nio.file.Paths.get(p.stripPrefix("file:")))
+    val before = graft.io.Versioned.snapshotFiles(spark, codesRoot)
+    val sized = before.map(p => p -> size(p))
+    // the build files hold ~24k code rows each (≤ 4 of them — the range
+    // partitioner may merge adjacent cells, never split one), a batch
+    // file ~160 rows — assert the separation the cut relies on, then
+    // cut between them
+    val (big, small) = sized.partition(_._2 > sized.map(_._2).max / 8)
+    assert(big.size >= 2 && big.size <= 4 && small.size >= 3,
+      s"unexpected size profile: ${sized.map(_._2).sorted.mkString(",")}")
+    assert(small.map(_._2).max < big.map(_._2).min)
+    val cut = (small.map(_._2).max + big.map(_._2).min) / 2
+
+    val queries = emb.filter(col("vec_id") < 20)
+    val resBefore = AnnIndex.search(spark, queries, modelRoot, codesRoot,
+      k = 3, nprobe = 2).collect().toSet
+    val modelV = graft.io.Versioned.versions(spark, modelRoot).last
+
+    AnnIndex.recellSmall(spark, codesRoot, smallBytes = cut)
+
+    val after = graft.io.Versioned.snapshotFiles(spark, codesRoot).toSet
+    // the build files carried by REFERENCE — identical paths, untouched;
+    // every batch file left the snapshot, packed into cell-ranged output
+    assert(big.map(_._1).forall(after.contains), "build files were rewritten")
+    assert(small.map(_._1).forall(p => !after.contains(p)),
+      "a batch file survived the repair")
+    // repaired tail is range-partitioned: each cell in exactly one
+    // packed file, so total coverage == build 4 + tail 4 == 8 and the
+    // 2.0-kept-per-probe trigger goes quiet (2.0 is not > 2.0)
+    val ls = AnnIndex.layoutStats(spark, codesRoot)
+      .as[(String, Int, Int)].collect()
+    assert(ls.map(_._2).sum == 8, ls.toSeq)
+    assert(!AnnIndex.needsRecell(spark, codesRoot))
+    // layout-only: identical results, model untouched
+    assert(AnnIndex.search(spark, queries, modelRoot, codesRoot,
+      k = 3, nprobe = 2).collect().toSet == resBefore && resBefore.nonEmpty)
+    assert(graft.io.Versioned.versions(spark, modelRoot).last == modelV)
+  }
+
   test("recallAt measures the index's loss against exact ground truth: " +
     "1.0 where the index holds the true neighbors, 0.0 where it cannot, " +
     "and zero-hit queries report instead of vanishing") {
