@@ -1041,14 +1041,43 @@ object AnnIndex {
       queries.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
       corpus.select(col("vec_id").as("nid"), col("embedding").as("nvec")), k)
       .select(col("qid"), col("nid"))
-    // both sides are k rows per query; a query whose index results miss
-    // every true neighbor has NO row after the inner join, so the hit
-    // counts re-join the full query-id frame (zero-hit queries must
-    // report recall 0.0, not vanish)
+    recallReport(queries.select(col("vec_id").as("qid")).distinct(),
+      approx, truth, k)
+  }
+
+  /** [[recallAt]] for the BINARY fingerprint index: the
+    * Hamming-shortlist + exact-re-rank search's top-k intersected per
+    * query with the exact brute-force cosine top-k. The loss measured
+    * here is SHORTLIST loss alone — the re-rank stage scores exact
+    * cosine, so a true neighbor is missed only when the 1-bit Hamming
+    * prefilter dropped it from the shortlist; recall vs `shortlist` is
+    * therefore the sizing dial this number tunes (at shortlist ≥
+    * corpus−1 recall is exactly 1.0 — spec-pinned). Same shapes and
+    * contracts as the flat [[binarySearch]] it measures: queries
+    * (qid, qvec), corpus (nid, nvec), unique qids. */
+  def binaryRecallAt(spark: SparkSession, queries: DataFrame, fpRoot: String,
+                     corpus: DataFrame, dim: Int, k: Int,
+                     shortlist: Int): DataFrame = {
+    val approx = binarySearch(spark, queries, fpRoot, corpus, dim, k,
+      shortlist).select(col("qid"), col("nid"))
+    val truth = Similarity.bruteForceTopKAgg(
+      queries.select(col("qid"), col("qvec")),
+      corpus.select(col("nid"), col("nvec")), k)
+      .select(col("qid"), col("nid"))
+    recallReport(queries.select(col("qid")).distinct(), approx, truth, k)
+  }
+
+  /** The recall-report stage [[recallAt]] and [[binaryRecallAt]] share:
+    * per-query |approx ∩ truth| re-joined onto the full query-id frame —
+    * both sides are k rows per query; a query whose index results miss
+    * every true neighbor has NO row after the inner join, so the left
+    * join makes zero-hit queries report recall 0.0 instead of
+    * vanishing. */
+  private def recallReport(qids: DataFrame, approx: DataFrame,
+                           truth: DataFrame, k: Int): DataFrame = {
     val hits = approx.join(truth, Seq("qid", "nid"))
       .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
-    queries.select(col("vec_id").as("qid")).distinct()
-      .join(hits, Seq("qid"), "left")
+    qids.join(hits, Seq("qid"), "left")
       .select(col("qid"),
         coalesce(col("hits"), lit(0L)).as("hits"),
         (coalesce(col("hits"), lit(0L)) / k.toDouble).as("recall"))

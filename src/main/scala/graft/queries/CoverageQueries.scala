@@ -989,6 +989,76 @@ object CoverageQueries {
       fpRoot, corpusRoot, dim = 64, k = 5, shortlist = 50)
   }
 
+  /** Measured recall@k for the BINARY index
+    * ([[graft.ops.AnnIndex.binaryRecallAt]]): the Hamming-shortlist +
+    * exact-re-rank search's top-5 intersected per query with the exact
+    * brute-force cosine top-5 — pure SHORTLIST loss (the re-rank is
+    * exact), the number that sizes the `shortlist` dial. The oracle
+    * recomputes both sides independently (sign-fingerprint Hamming
+    * shortlist chain + exact-cosine window) and intersects in SQL; at
+    * shortlist=50 over this corpus the hit counts are genuinely
+    * partial. */
+  def annBinaryRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.AnnIndex
+    val emb = Tables.embeddings(spark, sfDir)
+    val fpRoot = QueryScratch.freshRoot("graft_annfp_rcl", sfDir)
+    AnnIndex.buildBinaryIndex(spark, emb, dim = 64, fpRoot)
+    AnnIndex.binaryRecallAt(spark,
+      emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      fpRoot, emb.select(col("vec_id").as("nid"), col("embedding").as("nvec")),
+      dim = 64, k = 5, shortlist = 50)
+  }
+
+  val annBinaryRecallOracle: String =
+    s"""WITH fp AS (
+       |  SELECT vec_id, embedding,
+       |         list_transform(range(0,2), w ->
+       |           CAST(list_sum(list_transform(range(0,32), i ->
+       |             CASE WHEN CAST(embedding[w*32+i+1] AS DOUBLE) > 0
+       |                  THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END))
+       |             AS BIGINT)) AS f
+       |  FROM embeddings),
+       |short AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY list_sum(list_transform(range(0,2), w ->
+       |               bit_count(xor(q.f[w+1], c.f[w+1])))), c.vec_id) AS rn
+       |    FROM fp q JOIN fp c ON q.vec_id < 20 AND q.vec_id <> c.vec_id)
+       |  WHERE rn <= 50),
+       |scored AS (
+       |  SELECT s.qid, s.nid, ${cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM short s
+       |  JOIN embeddings q ON q.vec_id = s.qid
+       |  JOIN embeddings c ON c.vec_id = s.nid),
+       |approx AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |    FROM scored)
+       |  WHERE rank <= 5),
+       |tpairs AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |         ${cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM embeddings q JOIN embeddings c
+       |    ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+       |truth AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |    FROM tpairs)
+       |  WHERE rank <= 5),
+       |hits AS (
+       |  SELECT a.qid, COUNT(*) AS hits
+       |  FROM approx a JOIN truth t ON a.qid = t.qid AND a.nid = t.nid
+       |  GROUP BY 1)
+       |SELECT q.qid, coalesce(h.hits, 0) AS hits,
+       |       coalesce(h.hits, 0) / 5.0 AS recall
+       |FROM (SELECT DISTINCT vec_id AS qid FROM embeddings WHERE vec_id < 20) q
+       |LEFT JOIN hits h ON h.qid = q.qid
+       |""".stripMargin
+
   /** PREPARED binary handle ([[graft.ops.AnnIndex.prepareBinary]]):
     * the binary-index twin of `ann_prepared` — fingerprint/corpus scans
     * resolved and width checked ONCE, centroids driver-held, per-call
@@ -1897,6 +1967,7 @@ object CoverageQueries {
     "ann_prepared" -> (annPrepared _),
     "ann_recell" -> (annRecell _),
     "ann_recall" -> (annRecall _),
+    "ann_binary_recall" -> (annBinaryRecall _),
     "ann_cell_scaleup" -> (annCellScaleup _),
     "range_exclusion" -> (rangeExclusion _),
     "sales_rollup" -> (salesRollup _),
@@ -1952,6 +2023,7 @@ object CoverageQueries {
     "ann_prepared" -> annIvfPqProbe2Oracle, // handle must be hash-invisible
     "ann_recell" -> annIvfPqProbe2Oracle, // recell must be hash-invisible
     "ann_recall" -> annRecallOracle,
+    "ann_binary_recall" -> annBinaryRecallOracle,
     "ann_cell_scaleup" -> annCellScaleupOracle,
     "range_exclusion" -> rangeExclusionOracle,
     "sales_rollup" -> salesRollupOracle,

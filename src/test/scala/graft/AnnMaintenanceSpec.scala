@@ -517,4 +517,29 @@ class AnnMaintenanceSpec extends SparkSpecBase {
     // IS the truth's top-3 -> 3 hits, 1.0
     assert(got.drop(3).forall(r => r._2 == 3L && r._3 == 1.0), got.toSeq)
   }
+
+  test("binaryRecallAt: a full shortlist scores exactly 1.0 per query " +
+    "(the re-rank is exact cosine, so only the Hamming prefilter loses); " +
+    "a tiny shortlist reports bounded partial recall for every query") {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val n = emb.count().toInt
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+    val fpRoot = java.nio.file.Files.createTempDirectory("annfp_rcl").toString
+    AnnIndex.buildBinaryIndex(spark, emb, dim = 64, fpRoot)
+
+    val full = AnnIndex.binaryRecallAt(spark, queries, fpRoot, corpus,
+      dim = 64, k = 5, shortlist = n - 1)
+      .select("qid", "hits", "recall").as[(Long, Long, Double)].collect()
+    assert(full.length == 10)
+    assert(full.forall(r => r._2 == 5L && r._3 == 1.0), full.toSeq)
+
+    val tiny = AnnIndex.binaryRecallAt(spark, queries, fpRoot, corpus,
+      dim = 64, k = 5, shortlist = 6)
+      .select("qid", "hits", "recall").as[(Long, Long, Double)].collect()
+    assert(tiny.length == 10)
+    assert(tiny.forall(r => r._2 >= 0L && r._2 <= 5L && r._3 == r._2 / 5.0),
+      tiny.toSeq)
+  }
 }
