@@ -581,17 +581,13 @@ object AnnIndex {
     * (single writer per root). Returns the new committed version;
     * older versions stay readable until vacuum, like any compaction. */
   def recell(spark: SparkSession, codesRoot: String): Long = {
-    val codes = Versioned.read(spark, codesRoot)
-    require(codes.columns.contains("cluster"),
-      s"recell: the index at $codesRoot carries no cluster column — " +
-        "only a celled index has a cell layout to restore (build with " +
-        "trainAndRebuild/rebuild or the celled buildBinaryIndex)")
-    // one file per distinct cell, same cap as the build paths; the
-    // distinct is a narrow agg whose result is bounded by nlist
-    val cells = codes.select(col("cluster")).distinct().count()
-    require(cells > 0, s"recell: the index at $codesRoot holds no rows")
+    // shared with the trigger/measure surfaces, so the remedy refuses
+    // exactly what they refuse (a >4096-distinct-cluster table cannot
+    // have a one-file-per-cell layout under the 4096-file build cap —
+    // the whole recell measure is ill-defined there; rebuild instead)
+    val cells = liveCells(spark, codesRoot).length
     Versioned.compactLatest(spark, codesRoot,
-      math.min(cells, 4096L).toInt,
+      math.min(cells, 4096),
       sortCols = Seq("cluster"),
       statsCols = Some(Seq("vec_id", "cluster")))
   }
@@ -632,7 +628,7 @@ object AnnIndex {
     val codes = Versioned.read(spark, codesRoot)
     require(codes.columns.contains("cluster"),
       s"the index at $codesRoot carries no cluster column — only a " +
-        "celled index has a cell layout to measure (build with " +
+        "celled index has a cell layout (build with " +
         "trainAndRebuild/rebuild or the celled buildBinaryIndex)")
     val cells = codes.select(col("cluster")).distinct()
       .limit(4097).collect().map(_.get(0)).toIndexedSeq
@@ -657,9 +653,16 @@ object AnnIndex {
     * maintenance file. Files without harvested cluster stats count
     * every cell — conservatively, exactly as the pruned scan keeps
     * them. */
-  def layoutStats(spark: SparkSession, codesRoot: String): DataFrame = {
+  /** One implementation of the coverage rule, shared by the measure and
+    * the trigger: (live cells, per-file mayContain counts). */
+  private def cellCoverage(spark: SparkSession, codesRoot: String)
+      : (IndexedSeq[Any], Seq[(String, Int)]) = {
     val cells = liveCells(spark, codesRoot)
-    val cov = Versioned.fileStatsCoverage(spark, codesRoot, "cluster", cells)
+    (cells, Versioned.fileStatsCoverage(spark, codesRoot, "cluster", cells))
+  }
+
+  def layoutStats(spark: SparkSession, codesRoot: String): DataFrame = {
+    val (cells, cov) = cellCoverage(spark, codesRoot)
     import spark.implicits._
     // nlist rides as a constant column so kept-files-per-probe is one
     // aggregation away: SUM(cells_covered) / ANY_VALUE(cells)
@@ -677,8 +680,7 @@ object AnnIndex {
     * first in a maintenance loop. */
   def needsRecell(spark: SparkSession, codesRoot: String,
                   tolKept: Double = 2.0): Boolean = {
-    val cells = liveCells(spark, codesRoot)
-    val cov = Versioned.fileStatsCoverage(spark, codesRoot, "cluster", cells)
+    val (cells, cov) = cellCoverage(spark, codesRoot)
     cov.map(_._2.toLong).sum.toDouble / cells.length > tolKept
   }
 
@@ -1035,13 +1037,18 @@ object AnnIndex {
   def recallAt(spark: SparkSession, queries: DataFrame, modelRoot: String,
                codesRoot: String, corpus: DataFrame, k: Int,
                nprobe: Int): DataFrame = {
-    val approx = search(spark, queries, modelRoot, codesRoot, k, nprobe)
+    // pin once: the approx search, the truth side's broadcast and the
+    // report's qid frame would otherwise each re-run whatever scan
+    // backs `queries` — the exact re-evaluation search's own
+    // materialization note measured as the narrow search's floor
+    val q = Iterate.pin(queries)
+    val approx = search(spark, q, modelRoot, codesRoot, k, nprobe)
       .select(col("qid"), col("nid"))
     val truth = Similarity.bruteForceTopKAgg(
-      queries.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      q.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
       corpus.select(col("vec_id").as("nid"), col("embedding").as("nvec")), k)
       .select(col("qid"), col("nid"))
-    recallReport(queries.select(col("vec_id").as("qid")).distinct(),
+    recallReport(q.select(col("vec_id").as("qid")).distinct(),
       approx, truth, k)
   }
 
@@ -1058,13 +1065,15 @@ object AnnIndex {
   def binaryRecallAt(spark: SparkSession, queries: DataFrame, fpRoot: String,
                      corpus: DataFrame, dim: Int, k: Int,
                      shortlist: Int): DataFrame = {
-    val approx = binarySearch(spark, queries, fpRoot, corpus, dim, k,
+    // pinned for the same three-consumer reason as [[recallAt]]
+    val q = Iterate.pin(queries)
+    val approx = binarySearch(spark, q, fpRoot, corpus, dim, k,
       shortlist).select(col("qid"), col("nid"))
     val truth = Similarity.bruteForceTopKAgg(
-      queries.select(col("qid"), col("qvec")),
+      q.select(col("qid"), col("qvec")),
       corpus.select(col("nid"), col("nvec")), k)
       .select(col("qid"), col("nid"))
-    recallReport(queries.select(col("qid")).distinct(), approx, truth, k)
+    recallReport(q.select(col("qid")).distinct(), approx, truth, k)
   }
 
   /** The recall-report stage [[recallAt]] and [[binaryRecallAt]] share:
