@@ -28,9 +28,15 @@ object BenchAnnSearch {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
     val cells = sys.env.getOrElse("SPARK_GRAFT_ANN_CELLS", "128").toInt
+    // serving-tier experiment knobs (defaults = the engine's own): a
+    // latency-sensitive many-small-searches deployment may trade AQE's
+    // per-stage re-planning and wide tiny shuffles for raw latency
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
+      .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .getOrCreate()
@@ -114,6 +120,73 @@ object BenchAnnSearch {
     val hWide = timeH("wide", k)
     println(f"[ann-search] handle wide/narrow = ${hWide / hNarrow}%.2f " +
       f"(cells=$k, n=$n, sf=$sfDir)")
+
+    // ---- per-call floor decomposition at nprobe = 1 -------------------
+    // where the residual per-call time goes, averaged over `reps` calls
+    // AFTER one warm call: build = driver assignment + keep-set + frame
+    // construction; plan = Catalyst analysis/optimization/physical
+    // planning (the keep-set path carries no changing literals, so
+    // whole-stage codegen is cache-hit here and compile cost shows only
+    // in the warm call); exec = codegen lookup + scheduling + run.
+    {
+      handle.search(q1, k = 3, nprobe = 1).queryExecution.toRdd.count()
+      // task/job accounting under exec: if wall-clock far exceeds
+      // sum(task time)/cores, the residual is scheduling + AQE stage
+      // materialization latency, not plan work
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val tasks = new java.util.concurrent.atomic.AtomicInteger
+      val taskMs = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          tasks.incrementAndGet(); taskMs.addAndGet(t.taskInfo.duration); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val reps = 10
+      var tBuild = 0.0; var tPlan = 0.0; var tExec = 0.0
+      (1 to reps).foreach { _ =>
+        val t0 = System.nanoTime()
+        val df = handle.search(q1, k = 3, nprobe = 1)
+        val t1 = System.nanoTime()
+        df.queryExecution.executedPlan
+        val t2 = System.nanoTime()
+        df.queryExecution.toRdd.count()
+        val t3 = System.nanoTime()
+        tBuild += (t1 - t0) / 1e9; tPlan += (t2 - t1) / 1e9
+        tExec += (t3 - t2) / 1e9
+      }
+      spark.sparkContext.removeSparkListener(listener)
+      println(f"[ann-search] handle floor ($reps calls, nprobe=1): " +
+        f"build=${tBuild / reps}%.3f plan=${tPlan / reps}%.3f " +
+        f"exec=${tExec / reps}%.3f s/call; per call: " +
+        f"${jobs.get / reps.toDouble}%.1f jobs, " +
+        f"${tasks.get / reps.toDouble}%.1f tasks, " +
+        f"${taskMs.get / reps.toDouble}%.0f ms summed task time " +
+        f"(aqe=$aqe, shuffle=$shuffleParts)")
+    }
+
+    // ---- many DIFFERENT queries, narrow probe -------------------------
+    // each call probes its own cell (different keep-sets per call), the
+    // production shape the handle exists for: per-call cost must stay at
+    // the single-query floor, not regress toward the direct path's
+    {
+      val qSel = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("embedding"))
+      val qRows = qSel.collect()
+      val singles = qRows.map(r => spark.createDataFrame(
+        java.util.Arrays.asList(r), qSel.schema))
+      singles.take(2).foreach(q =>
+        handle.search(q, k = 3, nprobe = 1).queryExecution.toRdd.count())
+      val t0 = System.nanoTime()
+      singles.foreach(q =>
+        handle.search(q, k = 3, nprobe = 1).queryExecution.toRdd.count())
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[ann-search] handle ${singles.length} distinct narrow " +
+        f"searches: total=$dt%.2f s, ${dt / singles.length}%.3f s/call")
+    }
     spark.stop()
   }
 }

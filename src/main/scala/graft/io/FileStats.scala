@@ -377,6 +377,39 @@ object FileStats {
         !(belowLo || aboveHi)
     }
 
+  /** [[mayContain]] specialized to POINT containment of many values
+    * against ONE file's stats: the [min,max] strings decode once (parse,
+    * base64) per file instead of per (file, value) pair — the batch
+    * primitive behind coverage counts ([[Versioned.fileStatsCoverage]])
+    * and the prepared handle's per-call keep-set. Verdicts are identical
+    * to `mayContain(stats, Some(v), Some(v))` by construction: absent
+    * stats or an uncoercible value keep (true), and the comparisons
+    * mirror cmpStat's per domain (Double.compare on doubles, UTF8 byte
+    * order on strings). */
+  def containsProbe(stats: Option[ColStats]): Any => Boolean = stats match {
+    case None => _ => true
+    case Some(cs) =>
+      // decoded at most once per file (lazy: a probe whose every value
+      // fails coercion never parses; a malformed stat string throws on
+      // first use, exactly where mayContain's per-value parse would)
+      lazy val minL = cs.min.toLong
+      lazy val maxL = cs.max.toLong
+      lazy val minD = cs.min.toDouble
+      lazy val maxD = cs.max.toDouble
+      lazy val minB = Base64.getDecoder.decode(cs.min)
+      lazy val maxB = Base64.getDecoder.decode(cs.max)
+      v => coerce(cs.tag, v) match {
+        case None => true
+        case Some(b: Long) => minL <= b && b <= maxL
+        case Some(b: Double) =>
+          !(java.lang.Double.compare(maxD, b) < 0 ||
+            java.lang.Double.compare(minD, b) > 0)
+        case Some(b: Array[Byte]) =>
+          !(cmpUtf8(maxB, b) < 0 || cmpUtf8(minB, b) > 0)
+        case Some(_) => true
+      }
+  }
+
   /** Compare one encoded stat value (`cs.min` or `cs.max`) against a
     * caller bound in the tag's domain: sign of (stat - bound); None when
     * the bound can't be coerced into that domain. */

@@ -39,9 +39,26 @@ private[graft] class StatsPrunedFileIndex(
     runtimeKeep: Option[Set[(String, String)]] = None,
     blooms: () => Map[(String, String), Map[String, Array[Byte]]] = () => Map.empty,
     bloomCols: () => Set[String] = () => Set.empty,
-    parentBlooms: Option[() => Map[(String, String), Map[String, org.apache.spark.util.sketch.BloomFilter]]] = None)
+    parentBlooms: Option[() => Map[(String, String), Map[String, org.apache.spark.util.sketch.BloomFilter]]] = None,
+    // the status-cache CLIENT this index lists through. getOrCreate
+    // returns an ISOLATED client per call (Spark's per-FileIndex cache
+    // keyspace), so a derived keep-set index constructed per prepared-
+    // search call MUST inherit its parent's client: with it, the
+    // InMemoryFileIndex constructor's listing is |files| cache hits;
+    // without it, every call re-lists — a driver listing JOB per search
+    // once the snapshot holds > the parallel-discovery threshold (32)
+    // files, which measured as ~0.6 s/call of pure regression at the
+    // 10⁶ bench fixture's 127 files.
+    statusCache: FileStatusCache = null)
   extends InMemoryFileIndex(spark, files, Map.empty[String, String], None,
-    FileStatusCache.getOrCreate(spark)) {
+    if (statusCache != null) statusCache else FileStatusCache.getOrCreate(spark)) {
+
+  /** The cache client the SUPER constructor listed through — resolvable
+    * here only when the caller passed one explicitly (a null fell back
+    * to a fresh client inside the super call); derived indexes then
+    * share it. [[VersionedReadTable.prunedIndex]] always passes one, so
+    * every per-call derivation under a versioned table is hit-only. */
+  private val sharedStatusCache: FileStatusCache = statusCache
 
   /** Files kept by the last stats-filtered listing (observability hook;
     * -1 until a filtered listing ran). */
@@ -119,9 +136,32 @@ private[graft] class StatsPrunedFileIndex(
   /** A derived index with a runtime keep-set baked in. The parent index is
     * shared by every scan of the table, so runtime filters must NOT mutate
     * it — a self-join's two scans carry different runtime predicates. */
-  private[io] def withRuntimeKeep(keep: Set[(String, String)]): StatsPrunedFileIndex =
+  private[graft] def withRuntimeKeep(keep: Set[(String, String)]): StatsPrunedFileIndex =
     new StatsPrunedFileIndex(spark, files, sidecars, Some(keep), blooms,
-      bloomCols, Some(() => this.bloomMap))
+      bloomCols, Some(() => this.bloomMap), sharedStatusCache)
+
+  /** Per-file point-containment probes for `column`, each file's [min,max]
+    * decoded ONCE at build ([[FileStats.containsProbe]]) — the prepared
+    * search handle's keep-set primitive: the returned function maps a
+    * probed-value set to the (batchDirName, fileName) keys an IN over
+    * `column` would keep, as a driver-side O(files · |values|) pass over
+    * pre-decoded bounds instead of a per-call Catalyst IN literal (whose
+    * changing values force a literal re-plan AND a codegen recompile on
+    * every call). Conservative exactly like [[listFiles]]' static path:
+    * a file without stats for `column` (or a value stats cannot coerce)
+    * is kept. Row-level membership is NOT enforced here — callers must
+    * re-check rows (the ANN rankers' cluster equi/semi joins do). */
+  private[graft] def keepProbe(column: String): Seq[Any] => Set[(String, String)] = {
+    val probes: IndexedSeq[((String, String), Any => Boolean)] =
+      files.toIndexedSeq.map { p =>
+        val key = (p.getParent.getName, p.getName)
+        key -> FileStats.containsProbe(
+          sidecars.getOrElse(key, Map.empty).get(column))
+      }
+    values => probes.collect {
+      case (key, probe) if values.exists(probe) => key
+    }.toSet
+  }
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {

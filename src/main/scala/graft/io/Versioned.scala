@@ -3139,9 +3139,12 @@ object Versioned {
     val stats = statsByFile(spark, root, files)
     files.map { s =>
       val p = new Path(s)
-      val st = stats.getOrElse(s, Map.empty).get(column)
-      (s"${p.getParent.getName}/${p.getName}",
-        values.count(v => FileStats.mayContain(st, Some(v), Some(v))))
+      // decode each file's [min,max] ONCE (FileStats.containsProbe),
+      // then count — up to |values| (≤ 4096 cells) point checks per
+      // file would otherwise each re-parse the stat strings
+      val probe = FileStats.containsProbe(
+        stats.getOrElse(s, Map.empty).get(column))
+      (s"${p.getParent.getName}/${p.getName}", values.count(probe))
     }
   }
 

@@ -250,7 +250,8 @@ class VersionedDataSource extends TableProvider with DataSourceRegister {
   * rejects it — history cannot be edited. */
 private[graft] class VersionedReadTable(inner: ParquetTable,
                                         val liveRoot: Option[String] = None,
-                                        dvBlocked: Boolean = false)
+                                        dvBlocked: Boolean = false,
+                                        indexOverride: Option[StatsPrunedFileIndex] = None)
   extends Table with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete {
@@ -286,14 +287,32 @@ private[graft] class VersionedReadTable(inner: ParquetTable,
 
   // built once per table: the snapshot's files + their sidecar stats +
   // (lazily read) bloom sidecars for point-lookup skipping
-  private[graft] lazy val prunedIndex: StatsPrunedFileIndex = {
+  private[graft] lazy val prunedIndex: StatsPrunedFileIndex = indexOverride.getOrElse {
     val spark = inner.sparkSession
     val files = inner.paths.map(new org.apache.hadoop.fs.Path(_))
     new StatsPrunedFileIndex(spark, files,
       VersionedDataSource.sidecarsFor(spark, inner.paths),
       blooms = () => VersionedDataSource.bloomsFor(spark, inner.paths),
-      bloomCols = () => VersionedDataSource.bloomColsFor(spark, inner.paths))
+      bloomCols = () => VersionedDataSource.bloomColsFor(spark, inner.paths),
+      // an explicit cache client, so per-call keep-set derivations
+      // (withKeep) re-list through hits instead of a job per search
+      statusCache = org.apache.spark.sql.execution.datasources
+        .FileStatusCache.getOrCreate(spark))
   }
+
+  /** A derived read-only view of the same snapshot whose scans keep ONLY
+    * `keep`'s files — the prepared handle's per-call pruning surface: the
+    * keep-set is computed driver-side against pre-decoded sidecar bounds
+    * (no IN literal in the plan, so per-call plans differ only in leaf
+    * DATA and the generated code stays cache-stable), and the derived
+    * index shares this table's sidecar maps and deserialized blooms
+    * (nothing re-reads). Callers own row-level correctness: the keep-set
+    * prunes FILE OPENS only (conservative — every file that might hold a
+    * matching row survives), so a row-exact predicate or equi-join on
+    * the pruned column must remain in the plan. */
+  private[graft] def withKeep(keep: Set[(String, String)]): VersionedReadTable =
+    new VersionedReadTable(inner, liveRoot, dvBlocked,
+      Some(prunedIndex.withRuntimeKeep(keep)))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // Reader-feature gate (the same protocol move as Delta's reader

@@ -435,11 +435,21 @@ object AnnIndex {
   def driftAlerts(series: DataFrame, pct: Int, tolQ: Long,
                   minRun: Int): DataFrame = {
     require(minRun > 0, s"driftAlerts: minRun=$minRun must be positive")
-    // gaps-and-islands: global position minus position-among-breaches is
-    // constant exactly along a run of consecutive breaches
-    val pos = series.filter(col("pct") === pct)
+    breachRuns(series.filter(col("pct") === pct), col("drift_q") > tolQ,
+      minRun)
+  }
+
+  /** Maximal runs of consecutive breaches in a monitor series — the
+    * gaps-and-islands core [[driftAlerts]] and [[layoutAlerts]] share:
+    * global position minus position-among-breaches is constant exactly
+    * along a run of batches consecutive in batch_id ORDER (positional
+    * adjacency, so sparse or gappy batch ids work). Series-sized
+    * windows only, like both callers. */
+  private def breachRuns(series: DataFrame, breach: org.apache.spark.sql.Column,
+                         minRun: Int): DataFrame = {
+    val pos = series
       .withColumn("__rn", row_number().over(Window.orderBy(col("batch_id"))))
-      .filter(col("drift_q") > tolQ)
+      .filter(breach)
       .withColumn("__rb", row_number().over(Window.orderBy(col("batch_id"))))
     pos.groupBy((col("__rn") - col("__rb")).as("__island"))
       .agg(min(col("batch_id")).as("run_start"),
@@ -447,6 +457,33 @@ object AnnIndex {
         count(lit(1)).cast("int").as("run_len"))
       .select(col("run_start"), col("run_end"), col("run_len"),
         (col("run_len") >= minRun).as("alert"))
+  }
+
+  /** One scalar layout-health row off [[layoutStats]] — the point the
+    * layout monitor sink accretes per trigger: (files, cells,
+    * kept_per_probe), kept_per_probe = sum(cells_covered)/nlist (what an
+    * average single-cell probe reads; 1.0 at the one-file-per-cell
+    * layout). Cost is [[layoutStats]]' own: sidecar reads plus the
+    * bounded distinct-cells scan. */
+  def layoutPoint(spark: SparkSession, codesRoot: String): DataFrame =
+    layoutStats(spark, codesRoot)
+      .agg(count(lit(1)).as("files"),
+        sum(col("cells_covered")).as("__covered"),
+        first(col("cells")).as("__cells"))
+      .select(col("files"), col("__cells").cast("long").as("cells"),
+        (col("__covered").cast("double") / col("__cells")).as("kept_per_probe"))
+
+  /** Runs of consecutive LAYOUT breaches in a layout-monitor series —
+    * the third erosion axis's run rule, completing its loop symmetry
+    * with drift ([[driftAlerts]]): `series` is any (batch_id, …,
+    * kept_per_probe) frame (the layout monitor sink's accreted table);
+    * a batch breaches when kept_per_probe > `tolKept` — the same
+    * threshold [[needsRecell]] fires on — and maximal batch_id-order
+    * runs come back as (run_start, run_end, run_len, alert). */
+  def layoutAlerts(series: DataFrame, tolKept: Double,
+                   minRun: Int): DataFrame = {
+    require(minRun > 0, s"layoutAlerts: minRun=$minRun must be positive")
+    breachRuns(series, col("kept_per_probe") > tolKept, minRun)
   }
 
   /** The mechanical rebuild decision: true when reconstruction quality
@@ -585,11 +622,35 @@ object AnnIndex {
     // exactly what they refuse (a >4096-distinct-cluster table cannot
     // have a one-file-per-cell layout under the 4096-file build cap —
     // the whole recell measure is ill-defined there; rebuild instead)
-    val cells = liveCells(spark, codesRoot).length
+    recellAs(spark, codesRoot, liveCells(spark, codesRoot).length)
+  }
+
+  /** [[recell]] with the live-cell count already in hand — the shared
+    * remedy core, so [[recellIfNeeded]] pays the bounded distinct-cells
+    * scan once per maintenance-loop iteration instead of once in the
+    * trigger and again in the remedy. */
+  private def recellAs(spark: SparkSession, codesRoot: String,
+                       cells: Int): Long =
     Versioned.compactLatest(spark, codesRoot,
       math.min(cells, 4096),
       sortCols = Seq("cluster"),
       statsCols = Some(Seq("vec_id", "cluster")))
+
+  /** Check-and-repair in ONE pass: [[needsRecell]]'s trigger and — when
+    * it fires — [[recell]]'s remedy off a single [[cellCoverage]]
+    * derivation. A maintenance loop calling `needsRecell` then `recell`
+    * runs the live-cell distinct scan twice (each entry point derives
+    * the live cell set independently); this entry runs it once. Returns
+    * the new committed version when the layout was repaired, None when
+    * the layout is healthy (≤ `tolKept` kept files per average probe).
+    * Refuses exactly what the separate surfaces refuse (flat table,
+    * > 4096 distinct clusters), via the same [[liveCells]] guard. */
+  def recellIfNeeded(spark: SparkSession, codesRoot: String,
+                     tolKept: Double = 2.0): Option[Long] = {
+    val (cells, cov) = cellCoverage(spark, codesRoot)
+    if (cov.map(_._2.toLong).sum.toDouble / cells.length > tolKept)
+      Some(recellAs(spark, codesRoot, cells.length))
+    else None
   }
 
   /** Incremental [[recell]] — the repair whose cost tracks the DAMAGE,
@@ -1052,6 +1113,32 @@ object AnnIndex {
       approx, truth, k)
   }
 
+  /** [[recallAt]] over a deterministic `sampleFraction` hash-mod sample
+    * of the QUERIES — the built-in form of its own scaladoc's "at 100 TB
+    * run it over a SAMPLE": recall is a population statistic whose
+    * sample mean converges at O(1/√q), so the ground-truth corpus scan
+    * (the deliberate cost) runs under q·f queries instead of q.
+    * Membership is `hash32(vec_id) % 10000 < round(f·10000)` — the same
+    * md5-derived discipline as [[driftStats]]'s sampled form and the
+    * stratified samplers: reproducible across runs, engines and cluster
+    * sizes, and a FIXED subset, so two measurements against the same
+    * pair differ only by what the index/corpus changed, never by
+    * sampling churn. Rows are EXACTLY the full form's rows for the
+    * sampled qids (spec-pinned) — sampling selects queries, it never
+    * perturbs a selected query's measurement. */
+  def recallAt(spark: SparkSession, queries: DataFrame, modelRoot: String,
+               codesRoot: String, corpus: DataFrame, k: Int, nprobe: Int,
+               sampleFraction: Double): DataFrame = {
+    val cut = math.round(sampleFraction * 10000).toInt
+    require(cut > 0 && cut <= 10000,
+      s"recallAt: sampleFraction=$sampleFraction must round into (0, 1] " +
+        "at 1/10000 granularity")
+    recallAt(spark,
+      queries.filter(graft.functions.TextFunctions.hash32(
+        col("vec_id").cast("string")) % 10000 < cut),
+      modelRoot, codesRoot, corpus, k, nprobe)
+  }
+
   /** [[recallAt]] for the BINARY fingerprint index: the
     * Hamming-shortlist + exact-re-rank search's top-k intersected per
     * query with the exact brute-force cosine top-k. The loss measured
@@ -1172,7 +1259,32 @@ object AnnIndex {
       s"prepare: the codes table at $codesRoot is not an IVF-PQ codes " +
         s"table (needs vec_id, cluster, sub, code; has " +
         s"${codes.columns.mkString(",")})")
-    new PreparedAnnSearch(assignLocal, bookLocal, dsub, codes)
+    val (codesRel, codesTable) = versionedRelOf(codes, "prepare", codesRoot)
+    new PreparedAnnSearch(spark, assignLocal, bookLocal, dsub, codesRel,
+      codesTable, codesTable.prunedIndex.keepProbe("cluster"))
+  }
+
+  /** The versioned DSv2 relation + table behind a freshly-loaded
+    * `graft-versioned` frame — the handles' pruning surface: per call
+    * they re-root the SAME resolved relation over a derived keep-set
+    * table ([[graft.io.VersionedReadTable.withKeep]]) instead of
+    * filtering with a probed-cell IN literal, so the per-call plan
+    * carries no changing literals (leaf DATA only — generated code
+    * stays cache-stable) and file pruning costs O(files · nprobe)
+    * driver-side compares against bounds decoded once at prepare. */
+  private def versionedRelOf(df: DataFrame, who: String, root: String)
+      : (org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation,
+         graft.io.VersionedReadTable) = {
+    val rel = df.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => r
+    }.getOrElse(throw new IllegalStateException(
+      s"$who: the table at $root did not load as a DSv2 relation"))
+    rel.table match {
+      case t: graft.io.VersionedReadTable => (rel, t)
+      case t => throw new IllegalStateException(
+        s"$who: the table at $root is not a graft-versioned table " +
+          s"(got ${t.getClass.getName})")
+    }
   }
 
   /** The centroid rows of a persisted model as a [[DriverAssign]] —
@@ -1233,7 +1345,14 @@ object AnnIndex {
     require(Seq("vec_id", "embedding").forall(corpus.columns.contains),
       s"prepareBinary: the corpus table at $corpusRoot must carry " +
         s"(vec_id, embedding); has ${corpus.columns.mkString(",")}")
-    new PreparedBinarySearch(spark, fp, corpus, dim, assign)
+    // the celled dial prunes fingerprint files via the same runtime
+    // keep-set machinery as PreparedAnnSearch (no per-call IN literal);
+    // bounds decode once here
+    val fpKeep = assign.map { _ =>
+      val (rel, table) = versionedRelOf(fp, "prepareBinary", fpRoot)
+      (rel, table, table.prunedIndex.keepProbe("cluster"))
+    }
+    new PreparedBinarySearch(spark, fp, corpus, dim, assign, fpKeep)
   }
 }
 
@@ -1395,25 +1514,75 @@ private[ops] final class DriverAssign(
   * assignment + the probed-cell candidate join. See [[AnnIndex.prepare]]
   * for the snapshot and equality contracts. */
 final class PreparedAnnSearch private[ops] (
+    spark: SparkSession,
     assignLocal: DriverAssign,
     bookLocal: DataFrame,
     dsub: Int,
-    codes: DataFrame) {
+    codesRel: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation,
+    codesTable: graft.io.VersionedReadTable,
+    keepFor: Seq[Any] => Set[(String, String)]) {
 
   /** [[AnnIndex.search]] against the prepared pair: byte-identical rows,
     * no model read, no assignment job, no fallback shape — a query batch
     * past the 10k (query, probed-cell)-row cap refuses loudly (use
     * [[AnnIndex.search]], whose distributed fallback handles jumbo sets).
     * Duplicate query ids collapse to their first-collected embedding,
-    * mirroring assignClusters' `first` — unique qids are the contract. */
+    * mirroring assignClusters' `first` — unique qids are the contract.
+    *
+    * File pruning rides a RUNTIME keep-set, not an IN literal: the
+    * probed cells resolve to surviving files driver-side (bounds decoded
+    * once at prepare) and bake into a derived scan of the SAME resolved
+    * snapshot, so per-call plans differ only in leaf data — whole-stage
+    * codegen compiles once and is cache-hit on every later call, where
+    * the literal form re-planned AND re-compiled per probed set. Row
+    * exactness is untouched: [[Similarity.ivfPqTopKIndexed]]'s cluster
+    * semi/equi joins keep exactly the probed cells' rows, so kept files
+    * holding other cells contribute nothing (result-invisible — the
+    * handle-equals-direct spec pins it). */
   def search(queries: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
     val (qaLocal, probed) = assignLocal.assign(queries, nprobe,
       rowBudget = 10000, alternative =
         "AnnIndex.search, whose distributed fallback handles jumbo sets")
-    Similarity.ivfPqTopKIndexed(
-      codes.filter(col("cluster").isin(probed: _*)), qaLocal, bookLocal,
-      dsub, k)
+    val pruned = org.apache.spark.sql.graftx.Bridge.ofRows(spark,
+      codesRel.copy(table = codesTable.withKeep(keepFor(probed))))
+    Similarity.ivfPqTopKIndexed(pruned, qaLocal, bookLocal, dsub, k)
   }
+}
+
+/** Session-scoped registry behind the SQL prepared-search surface
+  * (`CALL graft.system.ann_prepare` / `ann_search_prepared`): a
+  * [[PreparedAnnSearch]] cannot ride through a CALL's result rows, so
+  * the prepare CALL caches it here keyed by (session, model root, codes
+  * root) together with the VERSION PAIR it serves, and the search CALL
+  * consumes it — refusing when the pair has advanced (the handle serves
+  * the snapshot current at prepare; version-pinned staleness is the SQL
+  * twin of the Scala handle's re-prepare contract). Sessions are WEAK
+  * keys: an abandoned session releases its handles (driver-held
+  * centroids/codebook) without any explicit teardown. */
+private[graft] object AnnPreparedRegistry {
+  private val bySession = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[(String, String),
+      (PreparedAnnSearch, Long, Long)]]()
+
+  private def mapFor(spark: SparkSession) = bySession.synchronized {
+    var m = bySession.get(spark)
+    if (m == null) {
+      m = scala.collection.concurrent.TrieMap.empty[(String, String),
+        (PreparedAnnSearch, Long, Long)]
+      bySession.put(spark, m)
+    }
+    m
+  }
+
+  def put(spark: SparkSession, modelRoot: String, codesRoot: String,
+          handle: PreparedAnnSearch, modelV: Long, codesV: Long): Unit = {
+    mapFor(spark).put((modelRoot, codesRoot), (handle, modelV, codesV))
+    ()
+  }
+
+  def get(spark: SparkSession, modelRoot: String, codesRoot: String)
+      : Option[(PreparedAnnSearch, Long, Long)] =
+    mapFor(spark).get((modelRoot, codesRoot))
 }
 
 /** The reusable binary-search handle [[AnnIndex.prepareBinary]] returns:
@@ -1427,7 +1596,10 @@ final class PreparedBinarySearch private[ops] (
     fp: DataFrame,
     corpus: DataFrame,
     dim: Int,
-    assignLocal: Option[DriverAssign]) {
+    assignLocal: Option[DriverAssign],
+    fpKeep: Option[(org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation,
+                    graft.io.VersionedReadTable,
+                    Seq[Any] => Set[(String, String)])]) {
 
   /** Exhaustive Hamming shortlist + pruned re-rank fetch — byte-identical
     * to `AnnIndex.binarySearch(spark, queries, fpRoot, corpusRoot, dim,
@@ -1452,9 +1624,16 @@ final class PreparedBinarySearch private[ops] (
       queries.select(col("qid").as("vec_id"), col("qvec").as("embedding")),
       nprobe, rowBudget = 100000,
       alternative = "the direct AnnIndex.binarySearch")
+    // file pruning via the runtime keep-set (bounds decoded at prepare),
+    // not a per-call IN literal — row exactness comes from
+    // binaryShortlistPruned's cluster equi-join, exactly as the PQ
+    // handle's semi join carries it
+    val (rel, table, keepFor) = fpKeep.getOrElse(throw new IllegalStateException(
+      "prepared binarySearch(nprobe): celled handle missing its keep probe"))
+    val prunedFp = org.apache.spark.sql.graftx.Bridge.ofRows(spark,
+      rel.copy(table = table.withKeep(keepFor(probed))))
     val short = Similarity.binaryShortlistPruned(
-      fp.filter(col("cluster").isin(probed: _*))
-        .select(col("vec_id").as("nid"), col("cluster"), col("fp")),
+      prunedFp.select(col("vec_id").as("nid"), col("cluster"), col("fp")),
       qaLocal, dim, shortlist)
     AnnIndex.prunedRerankOn(spark, short,
       qaLocal.select(col("vec_id").as("qid"), col("embedding").as("qvec"))

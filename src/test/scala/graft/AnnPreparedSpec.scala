@@ -95,6 +95,51 @@ class AnnPreparedSpec extends SparkSpecBase {
     assert(viaHandle == viaDirect && viaHandle.nonEmpty)
   }
 
+  test("prepared search plans carry no probed-cell literal and are " +
+    "structurally identical across probed sets (runtime keep-set pruning)") {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val modelRoot = tmp("annm_stab")
+    val codesRoot = tmp("annc_stab")
+    AnnIndex.trainAndRebuild(spark, emb, m = 16, dsub = 4, modelRoot, codesRoot)
+    val handle = AnnIndex.prepare(spark, modelRoot, codesRoot)
+
+    // two single-vector queries assigned to DIFFERENT home cells (found
+    // by probing, so the test can't rot if the layout changes)
+    def oneQuery(id: Long) = emb.filter(col("vec_id") === id)
+      .select(col("vec_id"), col("embedding"))
+    val cellOf = (id: Long) =>
+      handle.search(oneQuery(id), k = 1, nprobe = 1)
+        .select("cluster").collect().head.get(0)
+    val c0 = cellOf(0L)
+    val otherId = (1L to 40L).find(cellOf(_) != c0).getOrElse(
+      fail("no query landing in a different cell among vec_id 1..40"))
+
+    val a = handle.search(oneQuery(0L), k = 3, nprobe = 1)
+    val b = handle.search(oneQuery(otherId), k = 3, nprobe = 1)
+    // literal-free: the probed set never appears as an IN/INSET in the
+    // optimized plan (the r15 floor was Catalyst re-planning + codegen
+    // recompilation forced by exactly that changing literal)
+    val planA = a.queryExecution.optimizedPlan.canonicalized.toString
+    val planB = b.queryExecution.optimizedPlan.canonicalized.toString
+    assert(!planA.contains("INSET") && !planA.contains(" IN ("),
+      s"probed-cell literal survives in the prepared plan:\n$planA")
+    // structurally identical across probed sets: plans differ only in
+    // leaf DATA (local relations) and the keep-set held by the table
+    // object — the property that makes generated code cache-stable
+    assert(planA == planB,
+      s"prepared plans diverged across probed sets:\n$planA\nvs\n$planB")
+
+    // ... while pruning still differs per probed set: each narrow call
+    // keeps only its own cell's files
+    a.queryExecution.toRdd.count()
+    val keptA = keptFilesOf(a)
+    val total = parquetFilesUnder(codesRoot)
+    assert(keptA < total, s"narrow search kept $keptA of $total files")
+    // and the two probes return their own (correct) rows — equality to
+    // the direct path at every width is pinned by the first test
+    assert(a.collect().toSet != b.collect().toSet)
+  }
+
   test("prepared handle replicates exact assignment tie-breaks on string cells") {
     // two string cells with IDENTICAL member vectors: their quantized
     // centroids are equal component for component, so EVERY query ties

@@ -168,4 +168,33 @@ class FileStatsSpec extends SparkSpecBase {
     val pruned = Versioned.readPruned(spark, root, "id", Some(15L), None)
     assert(pruned.count() == 6)
   }
+
+  test("containsProbe (decode-once point containment) matches mayContain " +
+    "verdict for verdict across every tag domain") {
+    import graft.io.FileStats
+    val b64 = (s: String) =>
+      java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+    val cases: Seq[(FileStats.ColStats, Seq[Any])] = Seq(
+      // inside / boundary / outside / wrong-domain / null per tag
+      FileStats.ColStats("long", "10", "20") ->
+        Seq(5L, 10L, 15.toShort, 20, 21L, "x", null),
+      FileStats.ColStats("double", "1.5", "2.5") ->
+        Seq(1.0, 1.5f, 2.0, 2.5, 3.0, 2L, "x", null),
+      FileStats.ColStats("string", b64("bb"), b64("dd")) ->
+        Seq("a", "bb", "cc", "dd", "ee", 7, null),
+      FileStats.ColStats("date", "100", "200") ->
+        Seq(java.time.LocalDate.ofEpochDay(50),
+          java.time.LocalDate.ofEpochDay(150),
+          java.time.LocalDate.ofEpochDay(250), 150L, null),
+      FileStats.ColStats("ts-micros", "1000000", "2000000") ->
+        Seq(java.time.Instant.ofEpochSecond(0),
+          java.time.Instant.ofEpochSecond(1),
+          java.time.Instant.ofEpochSecond(3), "x", null))
+    for ((cs, vs) <- cases; st <- Seq(Some(cs), None)) {
+      val probe = FileStats.containsProbe(st)
+      for (v <- vs)
+        assert(probe(v) == FileStats.mayContain(st, Some(v), Some(v)),
+          s"diverged on stats=$st value=$v")
+    }
+  }
 }
