@@ -242,7 +242,7 @@ private[io] object VersionedProcedures {
       (spark, rootFor, input) => row(graft.ops.AnnIndex.recell(spark,
         existing(spark, rootFor, input, 0)))),
 
-    Spec("ann_layout", "layout health of a celled ANN index table (graft.ops.AnnIndex.layoutStats) — the decision half of ann_recell, metadata-only (stats sidecars): one row per live data file, cells_covered = how many live cells its cluster [min,max] may contain, cells = nlist. Kept-files-per-probe = SUM(cells_covered)/ANY_VALUE(cells): exactly 1.0 at the rebuilt/recelled one-file-per-cell layout, rising ~1 per accreted all-cells maintenance file; graft.ops.AnnIndex.needsRecell(tolKept) is the mechanical trigger",
+    Spec("ann_layout", "layout health of a celled ANN index table (graft.ops.AnnIndex.layoutStats) — the decision half of ann_recell, metadata-only apart from one bounded distinct-cells scan (coverage itself reads only the stats sidecars): one row per live data file, cells_covered = how many live cells its cluster [min,max] may contain, cells = nlist. Kept-files-per-probe = SUM(cells_covered)/ANY_VALUE(cells): exactly 1.0 at the rebuilt/recelled one-file-per-cell layout, rising ~1 per accreted all-cells maintenance file; graft.ops.AnnIndex.needsRecell(tolKept) is the mechanical trigger",
       Array(in("codes_table", StringType)),
       StructType(Seq(
         StructField("file", StringType, nullable = true),
@@ -269,12 +269,80 @@ private[io] object VersionedProcedures {
           existing(spark, rootFor, input, 2),
           Versioned.read(spark, existing(spark, rootFor, input, 3)),
           k = input.getInt(4), nprobe = input.getInt(5))
-          // vec_id types vary by corpus (integral or string); the fixed
-          // CALL schema rides qid as string, like ann_cells' cluster
+          // order on the ORIGINAL qid (numeric ids come back numerically
+          // ordered, not '10'-before-'2' lexicographic), THEN cast: the
+          // fixed CALL schema rides qid as string, like ann_cells'
+          // cluster, because vec_id types vary by corpus
+          .orderBy("qid")
           .withColumn("qid",
             org.apache.spark.sql.functions.col("qid").cast(StringType))
-          .orderBy("qid")
           .queryExecution.executedPlan.executeCollect()),
+
+    Spec("ann_prepare", "prepare and CACHE a reusable ANN search handle over the persisted (model, codes) pair in THIS SESSION (graft.ops.AnnIndex.prepare): the model collects once, the codes scan resolves once, and ann_search_prepared then serves searches at per-call cost = driver-side assignment + the pruned candidate join. The handle is version-pinned to the snapshot pair current NOW (returned as the result row); after either table advances, ann_search_prepared refuses and this CALL re-prepares cheaply (a model read and listing — no training). Handles are session-scoped and released with the session",
+      Array(in("model_table", StringType), in("codes_table", StringType)),
+      StructType(Seq(
+        StructField("model_version", LongType, nullable = false),
+        StructField("codes_version", LongType, nullable = false))),
+      (spark, rootFor, input) => {
+        val modelRoot = existing(spark, rootFor, input, 0)
+        val codesRoot = existing(spark, rootFor, input, 1)
+        // versions read BEFORE prepare: a commit racing in between makes
+        // the recorded pair OLDER than what the handle serves, so the
+        // search CALL's staleness check refuses and forces a re-prepare
+        // — the conservative direction (recording after could pin a
+        // version the handle does NOT serve)
+        val mv = Versioned.versions(spark, modelRoot).last
+        val cv = Versioned.versions(spark, codesRoot).last
+        val handle = graft.ops.AnnIndex.prepare(spark, modelRoot, codesRoot)
+        graft.ops.AnnPreparedRegistry.put(spark, modelRoot, codesRoot,
+          handle, mv, cv)
+        row(mv, cv)
+      }),
+
+    Spec("ann_search_prepared", "search a (vec_id, embedding) query table through the session handle ann_prepare cached for this (model, codes) pair (graft.ops.PreparedAnnSearch.search) — the SQL surface of the prepared path, so a SQL-only user stops re-paying the per-call model read, assignment job and scan resolution. Refuses without a prior ann_prepare IN THIS SESSION, and refuses a STALE handle (either table advanced past the prepared version pair) naming both pairs and the remedy; same query-batch cap as the Scala handle (batch past 10k (query, probed-cell) rows: use graft.ops.AnnIndex.search)",
+      Array(in("queries_table", StringType), in("model_table", StringType),
+        in("codes_table", StringType), inDefault("k", IntegerType, "10"),
+        inDefault("nprobe", IntegerType, "1")),
+      StructType(Seq(
+        StructField("qid", StringType, nullable = true),
+        StructField("nid", StringType, nullable = true),
+        StructField("cluster", StringType, nullable = true),
+        StructField("cos_pq", org.apache.spark.sql.types.DoubleType, nullable = true),
+        StructField("rank", IntegerType, nullable = false))),
+      (spark, rootFor, input) => {
+        val queriesRoot = existing(spark, rootFor, input, 0)
+        val modelName = str(input, 1, "model_table")
+        val codesName = str(input, 2, "codes_table")
+        val modelRoot = existing(spark, rootFor, input, 1)
+        val codesRoot = existing(spark, rootFor, input, 2)
+        val (handle, mv, cv) = graft.ops.AnnPreparedRegistry
+          .get(spark, modelRoot, codesRoot).getOrElse(
+            throw new IllegalStateException(
+              s"no prepared handle for ($modelName, $codesName) in this " +
+                "session — CALL graft.system.ann_prepare" +
+                s"('$modelName', '$codesName') first"))
+        val curM = Versioned.versions(spark, modelRoot).last
+        val curC = Versioned.versions(spark, codesRoot).last
+        if (curM != mv || curC != cv) throw new IllegalStateException(
+          s"prepared handle for ($modelName, $codesName) is STALE: " +
+            s"prepared at (model v$mv, codes v$cv), current is " +
+            s"(v$curM, v$curC) — CALL graft.system.ann_prepare" +
+            s"('$modelName', '$codesName') again to adopt the new " +
+            "snapshot (cheap: no training)")
+        val sc = StringType
+        handle.search(Versioned.read(spark, queriesRoot),
+          k = input.getInt(3), nprobe = input.getInt(4))
+          // order on the ORIGINAL types, then cast to the fixed schema
+          // (numeric ids come back numerically ordered, like ann_recall)
+          .orderBy("qid", "rank")
+          .select(
+            org.apache.spark.sql.functions.col("qid").cast(sc),
+            org.apache.spark.sql.functions.col("nid").cast(sc),
+            org.apache.spark.sql.functions.col("cluster").cast(sc),
+            org.apache.spark.sql.functions.col("cos_pq"),
+            org.apache.spark.sql.functions.col("rank"))
+          .queryExecution.executedPlan.executeCollect()
+      }),
 
     Spec("ann_cells", "measure a persisted ANN codes table's per-cell occupancy against the model's training-time baseline (graft.ops.AnnIndex.cellStats) — the BALANCE half of the rebuild contract, codes-table-only (no corpus encode): a cell whose current_share has grown past tolerance degrades probed-cell search toward O(n) on that cell even while ann_drift stays quiet",
       Array(in("codes_table", StringType), in("model_table", StringType)),
@@ -311,6 +379,28 @@ private[io] object VersionedProcedures {
           // batch ids are LONG in the monitor sink's own series; a
           // hand-built series with another integral batch_id rides the
           // same cast
+          .select(
+            org.apache.spark.sql.functions.col("run_start").cast(LongType),
+            org.apache.spark.sql.functions.col("run_end").cast(LongType),
+            org.apache.spark.sql.functions.col("run_len"),
+            org.apache.spark.sql.functions.col("alert"))
+          .orderBy("run_start")
+          .queryExecution.executedPlan.executeCollect()),
+
+    Spec("ann_layout_alerts", "reduce a layout-monitor table (versionedAnnLayoutMonitorSink's accreted series, or any (batch_id, kept_per_probe) table) to maximal runs of consecutive LAYOUT breaches (graft.ops.AnnIndex.layoutAlerts): a batch breaches when kept_per_probe > tol_kept (the same threshold ann_recell's trigger fires on), alert = run_len >= min_run — the third erosion axis's run rule, closing its loop symmetry with ann_alerts ('recell on a RUN of eroded measurements, not one')",
+      Array(in("monitor_table", StringType),
+        inDefault("tol_kept", org.apache.spark.sql.types.DoubleType, "2.0"),
+        inDefault("min_run", IntegerType, "3")),
+      StructType(Seq(
+        StructField("run_start", LongType, nullable = true),
+        StructField("run_end", LongType, nullable = true),
+        StructField("run_len", IntegerType, nullable = false),
+        StructField("alert", org.apache.spark.sql.types.BooleanType, nullable = false))),
+      (spark, rootFor, input) =>
+        graft.ops.AnnIndex.layoutAlerts(
+          Versioned.read(spark, existing(spark, rootFor, input, 0)),
+          tolKept = input.getDouble(1), minRun = input.getInt(2))
+          // same integral-batch_id cast discipline as ann_alerts
           .select(
             org.apache.spark.sql.functions.col("run_start").cast(LongType),
             org.apache.spark.sql.functions.col("run_end").cast(LongType),

@@ -920,7 +920,12 @@ object CoverageQueries {
       modelRoot, codesRoot, emb, k = 3, nprobe = 2)
   }
 
-  val annRecallOracle: String =
+  /** The recall oracle parameterized over the query-id predicate — ONE
+    * independent DuckDB re-derivation (full PQ chain, exact-cosine
+    * ground truth, SQL intersection) serving the full form
+    * (`vec_id < 30`) and the sampled form (the same ids through the md5
+    * hash-mod subset rule recomputed in SQL). */
+  private def annRecallOracleWhere(qidPred: String): String =
     s"""WITH $pqBookCtes,
        |ranked AS (
        |  SELECT e.vec_id, e.embedding, r.rlabel,
@@ -931,7 +936,7 @@ object CoverageQueries {
        |  SELECT vec_id, embedding, rlabel AS cluster FROM ranked WHERE rn = 1),
        |qassigned AS (
        |  SELECT vec_id, embedding, rlabel AS cluster FROM ranked
-       |  WHERE rn <= 2 AND vec_id < 30),
+       |  WHERE rn <= 2 AND $qidPred),
        |scored AS (
        |  SELECT q.vec_id AS qid, c.vec_id AS nid,
        |         ${cosSql("q.embedding", "x.xv")} AS cos_pq
@@ -947,8 +952,8 @@ object CoverageQueries {
        |tpairs AS (
        |  SELECT q.vec_id AS qid, c.vec_id AS nid,
        |         ${cosSql("q.embedding", "c.embedding")} AS cos
-       |  FROM embeddings q JOIN embeddings c
-       |    ON q.vec_id < 30 AND q.vec_id <> c.vec_id),
+       |  FROM (SELECT vec_id, embedding FROM embeddings WHERE $qidPred) q
+       |  JOIN embeddings c ON q.vec_id <> c.vec_id),
        |truth AS (
        |  SELECT qid, nid FROM (
        |    SELECT qid, nid,
@@ -961,9 +966,34 @@ object CoverageQueries {
        |  GROUP BY 1)
        |SELECT q.qid, coalesce(h.hits, 0) AS hits,
        |       coalesce(h.hits, 0) / 3.0 AS recall
-       |FROM (SELECT DISTINCT vec_id AS qid FROM embeddings WHERE vec_id < 30) q
+       |FROM (SELECT DISTINCT vec_id AS qid FROM embeddings WHERE $qidPred) q
        |LEFT JOIN hits h ON h.qid = q.qid
        |""".stripMargin
+
+  val annRecallOracle: String = annRecallOracleWhere("vec_id < 30")
+
+  /** [[annRecall]]'s SAMPLED form ([[graft.ops.AnnIndex.recallAt]] with
+    * `sampleFraction = 0.25`): the same measurement over the
+    * deterministic 25% md5 hash-mod subset of the queries — the built-in
+    * sampling the 100 TB posture calls for (the ground truth costs a
+    * corpus scan per query batch; recall converges at O(1/√q)). The
+    * oracle recomputes the subset RULE in SQL (the same
+    * '0x'||md5-prefix cast the sampled-drift oracle pins) and then both
+    * sides independently; rows are exactly the full form's rows for the
+    * sampled qids, which the spec pins as sampled ⊆ full per-qid
+    * equality. */
+  def annRecallSampled(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.AnnIndex
+    val emb = Tables.embeddings(spark, sfDir)
+    val modelRoot = QueryScratch.freshRoot("graft_annmodel_recs", sfDir)
+    val codesRoot = QueryScratch.freshRoot("graft_anncodes_recs", sfDir)
+    AnnIndex.trainAndRebuild(spark, emb, m = 16, dsub = 4, modelRoot, codesRoot)
+    AnnIndex.recallAt(spark, emb.filter(col("vec_id") < 30),
+      modelRoot, codesRoot, emb, k = 3, nprobe = 2, sampleFraction = 0.25)
+  }
+
+  val annRecallSampledOracle: String = annRecallOracleWhere(
+    "vec_id < 30 AND CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)),1,8)) AS BIGINT) % 10000 < 2500")
 
   /** Bloom-pruned re-rank FETCH ([[graft.ops.AnnIndex.binarySearch]]
     * against a versioned corpus root): the Hamming shortlist's vec_ids
@@ -1196,6 +1226,41 @@ object CoverageQueries {
        |       count(*) >= 2 AS alert
        |FROM breach GROUP BY rn - rb
        |""".stripMargin
+
+  /** The LAYOUT run rule ([[graft.ops.AnnIndex.layoutAlerts]]) over a
+    * deterministic kept-per-probe series — the third erosion axis's
+    * alerts, sharing [[annDriftAlerts]]' gaps-and-islands shape with the
+    * breach condition on kept_per_probe > tol_kept (the recell
+    * trigger's own threshold). The series derives from the lineitem
+    * line numbers (batch ids 1..7, kept = batch_id%4 + 1), giving two
+    * interior breach runs the oracle recomputes positionally; the REAL
+    * sink-accreted series is pinned by the streaming spec (a sidecar
+    * measurement DuckDB cannot see). */
+  def annLayoutAlerts(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.AnnIndex
+    val series = Tables.lineitem(spark, sfDir)
+      .select(col("l_linenumber").cast("long").as("batch_id")).distinct()
+      .withColumn("kept_per_probe",
+        (pmod(col("batch_id"), lit(4L)) + lit(1L)).cast("double"))
+    AnnIndex.layoutAlerts(series, tolKept = 2.0, minRun = 2)
+  }
+
+  val annLayoutAlertsOracle: String =
+    """WITH ser AS (
+      |  SELECT DISTINCT CAST(l_linenumber AS BIGINT) AS batch_id,
+      |         CAST((l_linenumber % 4) + 1 AS DOUBLE) AS kept
+      |  FROM lineitem),
+      |breach AS (
+      |  SELECT batch_id, rn, row_number() OVER (ORDER BY batch_id) AS rb FROM (
+      |    SELECT batch_id, kept,
+      |           row_number() OVER (ORDER BY batch_id) AS rn
+      |    FROM ser)
+      |  WHERE kept > 2.0)
+      |SELECT min(batch_id) AS run_start, max(batch_id) AS run_end,
+      |       CAST(count(*) AS INTEGER) AS run_len,
+      |       count(*) >= 2 AS alert
+      |FROM breach GROUP BY rn - rb
+      |""".stripMargin
 
   val annIvfKmeansOracle: String =
     s"""WITH comp AS (
@@ -1846,15 +1911,24 @@ object CoverageQueries {
 
   // -------------------------------------------------------------------
   // Moment-based statistics with EXACT accumulation: Pearson correlation
-  // per group from decimal sums (n, Σx, Σy, Σxy, Σx², Σy²), with the
-  // only floating-point ops being the final double divisions. The
-  // built-in corr() accumulates doubles in partition order and is not
-  // reproducible across partitionings — these are bit-identical on any
-  // cluster layout AND to the DuckDB oracle. One partial+final hash agg.
+  // per group from INTEGER sums (n, Σx, Σy, Σxy, Σx², Σy²) — x = the
+  // integral quantity, y = the discount in CENTS (both exact by the
+  // data's own shape; correlation is affine-invariant, so the ×100
+  // changes nothing). The built-in corr() accumulates doubles in
+  // partition order and is not reproducible across partitionings; the
+  // previous DECIMAL form was order-free too but hit the engines'
+  // decimal→double CAST disagreement in the last ULP once sums outgrow
+  // 2^53 (the r15 sf0.1 probe's one residual). Int64 sums keep every
+  // combined term (n·Σx² peaks ~1e14 at sf0.1, ~1e16 at sf1) inside
+  // int64 to ~sf300, and int64→double conversion is the HARDWARE
+  // correctly-rounded one in every engine — so the only FP ops are IEEE
+  // divisions/sqrts of identical doubles: bit-identical on any cluster
+  // layout, at any gate scale, and to the DuckDB oracle. One
+  // partial+final hash agg, as before.
   // -------------------------------------------------------------------
   def corrStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val x = col("l_quantity").cast(D)
-    val y = col("l_discount").cast(D)
+    val x = round(col("l_quantity")).cast(LongType)
+    val y = round(col("l_discount") * 100).cast(LongType)
     Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag").as("flag"))
       .agg(count(lit(1)).as("n"),
@@ -1870,11 +1944,11 @@ object CoverageQueries {
   val corrStatsOracle: String =
     """WITH m AS (
       |  SELECT l_returnflag AS flag, COUNT(*) AS n,
-      |         SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sx,
-      |         SUM(CAST(l_discount AS DECIMAL(18,6))) AS sy,
-      |         SUM(CAST(l_quantity AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6))) AS sxy,
-      |         SUM(CAST(l_quantity AS DECIMAL(18,6)) * CAST(l_quantity AS DECIMAL(18,6))) AS sxx,
-      |         SUM(CAST(l_discount AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6))) AS syy
+      |         CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sx,
+      |         CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sy,
+      |         CAST(SUM(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sxy,
+      |         CAST(SUM(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sxx,
+      |         CAST(SUM(CAST(round(l_discount * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS syy
       |  FROM lineitem GROUP BY 1)
       |SELECT flag, n,
       |       CAST(n * sxy - sx * sy AS DOUBLE)
@@ -1958,6 +2032,7 @@ object CoverageQueries {
     "ann_drift_stats" -> (annDriftStatsQuery _),
     "ann_drift_sampled" -> (annDriftSampled _),
     "ann_drift_alerts" -> (annDriftAlerts _),
+    "ann_layout_alerts" -> (annLayoutAlerts _),
     "ann_cell_stats" -> (annCellStats _),
     "ann_binary_rerank" -> (annBinaryRerank _),
     "ann_binary_lifecycle" -> (annBinaryLifecycle _),
@@ -1967,6 +2042,7 @@ object CoverageQueries {
     "ann_prepared" -> (annPrepared _),
     "ann_recell" -> (annRecell _),
     "ann_recall" -> (annRecall _),
+    "ann_recall_sampled" -> (annRecallSampled _),
     "ann_binary_recall" -> (annBinaryRecall _),
     "ann_cell_scaleup" -> (annCellScaleup _),
     "range_exclusion" -> (rangeExclusion _),
@@ -2014,6 +2090,7 @@ object CoverageQueries {
     "ann_drift_stats" -> annDriftOracle,
     "ann_drift_sampled" -> annDriftSampledOracle,
     "ann_drift_alerts" -> annDriftAlertsOracle,
+    "ann_layout_alerts" -> annLayoutAlertsOracle,
     "ann_cell_stats" -> annCellStatsOracle,
     "ann_binary_rerank" -> annBinaryRerankOracle,
     "ann_binary_lifecycle" -> annBinaryRerankOracle,
@@ -2023,6 +2100,7 @@ object CoverageQueries {
     "ann_prepared" -> annIvfPqProbe2Oracle, // handle must be hash-invisible
     "ann_recell" -> annIvfPqProbe2Oracle, // recell must be hash-invisible
     "ann_recall" -> annRecallOracle,
+    "ann_recall_sampled" -> annRecallSampledOracle,
     "ann_binary_recall" -> annBinaryRecallOracle,
     "ann_cell_scaleup" -> annCellScaleupOracle,
     "range_exclusion" -> rangeExclusionOracle,

@@ -605,6 +605,41 @@ object Streams {
       .start()
   }
 
+  /** Layout-health monitor sink — the LAYOUT twin of
+    * [[versionedAnnDriftMonitorSink]], completing the third erosion
+    * axis's loop symmetry: drift has measure + accreted series + run
+    * rule; layout now accretes one (files, cells, kept_per_probe,
+    * batch_id) row per trigger into a versioned monitor table
+    * (exactly-once via the same committed-batch tags), and
+    * [[graft.ops.AnnIndex.layoutAlerts]] / `CALL
+    * graft.system.ann_layout_alerts` reduce the series to breach runs —
+    * "recell on a RUN of eroded measurements, not one". The micro-batch
+    * content is only a TRIGGER (point it at the same stream the index
+    * maintenance sink consumes, so layout is measured after each append
+    * wave); the measurement itself reads the CODES table's stats
+    * sidecars — metadata-only apart from the bounded distinct-cells
+    * scan, so per-trigger cost tracks the file count, never the corpus.
+    * Single-writer-per-monitor-root, like every sink here. */
+  def versionedAnnLayoutMonitorSink(trigger: DataFrame, codesRoot: String,
+                                    monitorRoot: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.lit
+    trigger.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        if (!alreadyCommitted(spark, monitorRoot, checkpointDir, "annlayout", id)) {
+          graft.io.Versioned.commit(spark,
+            graft.ops.AnnIndex.layoutPoint(spark, codesRoot)
+              .withColumn("batch_id", lit(id)),
+            monitorRoot,
+            tag = Some(batchTag(checkpointDir, "annlayout", id)))
+          ()
+        }
+      }
+      .start()
+  }
+
   /** Continuously-maintained materialized view: tails a [[graft.io.Versioned]]
     * source with the `graft-versioned` stream (offsets are version numbers)
     * and folds each newly-committed delta into the state table via

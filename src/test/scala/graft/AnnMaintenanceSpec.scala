@@ -387,7 +387,11 @@ class AnnMaintenanceSpec extends SparkSpecBase {
       k = 3, nprobe = 2).collect().toSet
     val modelV = graft.io.Versioned.versions(spark, modelRoot).last
 
-    val newV = AnnIndex.recell(spark, codesRoot)
+    // the combined check-and-repair entry: one cellCoverage derivation
+    // drives both the trigger and the remedy (a needsRecell-then-recell
+    // loop would run the bounded distinct-cells scan twice)
+    val newV = AnnIndex.recellIfNeeded(spark, codesRoot).getOrElse(
+      fail("recellIfNeeded saw an eroded layout but did not repair"))
     assert(newV == graft.io.Versioned.versions(spark, codesRoot).last)
     // layout-only: the model was never touched, the results are identical
     assert(graft.io.Versioned.versions(spark, modelRoot).last == modelV)
@@ -411,6 +415,10 @@ class AnnMaintenanceSpec extends SparkSpecBase {
     assert(lsAfter.map(_._2).sum == 4, lsAfter.toSeq)
     assert(lsAfter.length == totalAfter)
     assert(!AnnIndex.needsRecell(spark, codesRoot))
+    // ... and the combined entry is a no-op on the healthy layout: no
+    // repair, no new commit
+    assert(AnnIndex.recellIfNeeded(spark, codesRoot).isEmpty)
+    assert(graft.io.Versioned.versions(spark, codesRoot).last == newV)
 
     // a flat (cluster-less) index has no cell layout to restore
     val flatRoot = java.nio.file.Files.createTempDirectory("annfp_rc").toString
@@ -419,6 +427,73 @@ class AnnMaintenanceSpec extends SparkSpecBase {
       AnnIndex.recell(spark, flatRoot)
     }
     assert(e.getMessage.contains("no cluster column"))
+  }
+
+  test("layout monitor sink accretes (files, cells, kept_per_probe) per " +
+    "trigger and layoutAlerts reduces the series to breach runs — the " +
+    "third erosion axis's full loop through the REAL sinks") {
+    val rows = (0 until 200).map(i => (i.toLong, (i % 4).toLong, pureBlockVec(i)))
+    val emb = rows.toDF("vec_id", "label", "embedding")
+    val modelRoot = java.nio.file.Files.createTempDirectory("annm_lm").toString
+    val codesRoot = java.nio.file.Files.createTempDirectory("annc_lm").toString
+    val monRoot = java.nio.file.Files.createTempDirectory("annmon_lm").toString
+    AnnIndex.trainAndRebuild(spark, emb, m = 4, dsub = 4, modelRoot, codesRoot)
+
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val (cent, book, m, dsub) = AnnIndex.model(spark, modelRoot)
+    val src = MemoryStream[(Long, Seq[Float])]
+    // the layout sink rides its OWN tick stream (its batch content is
+    // only a trigger), ticked after each index append completes — two
+    // sinks tailing ONE stream would race the measurement against the
+    // append inside a wave
+    val tick = MemoryStream[Long]
+    val indexQ = graft.streaming.Streams.versionedAnnIndexSink(
+      src.toDF().toDF("vec_id", "embedding"), cent, book, m, dsub, codesRoot,
+      java.nio.file.Files.createTempDirectory("annckpt_lmi").toString)
+    val layoutQ = graft.streaming.Streams.versionedAnnLayoutMonitorSink(
+      tick.toDF(), codesRoot, monRoot,
+      java.nio.file.Files.createTempDirectory("annckpt_lmm").toString)
+    try {
+      for (b <- 0 until 3) {
+        src.addData((0 until 40).map(i => (10000L + b * 100 + i, pureBlockVec(i))))
+        indexQ.processAllAvailable()
+        tick.addData(b.toLong)
+        layoutQ.processAllAvailable()
+      }
+    } finally { indexQ.stop(); layoutQ.stop() }
+
+    val series = graft.io.Versioned.read(spark, monRoot)
+      .select("batch_id", "files", "cells", "kept_per_probe")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(series.map(_._1).toSeq == Seq(0L, 1L, 2L), series.toSeq)
+    // every wave spans all 4 cells, so each appended wave's files add
+    // full-coverage rows: kept-per-probe strictly rises wave over wave,
+    // starting ≥ 2.0 (the ideal 1.0 plus at least one full-coverage
+    // file), while nlist stays 4 and the file count accretes
+    assert(series.forall(_._3 == 4L), series.toSeq)
+    assert(series.map(_._4).toSeq == series.map(_._4).sorted.toSeq &&
+      series.sliding(2).forall(w => w(0)._4 < w(1)._4), series.toSeq)
+    assert(series.head._4 >= 2.0, series.toSeq)
+    assert(series.sliding(2).forall(w => w(0)._2 < w(1)._2), series.toSeq)
+    // the trigger agrees with the sink's measurement: the same number
+    // needsRecell reads is the last accreted point
+    assert(AnnIndex.needsRecell(spark, codesRoot,
+      tolKept = series.last._4 - 0.01))
+    assert(!AnnIndex.needsRecell(spark, codesRoot,
+      tolKept = series.last._4 + 0.01))
+
+    // the run rule over the REAL series: with tol at the first wave's
+    // value, waves 1..2 breach consecutively -> one alerting run
+    val runs = AnnIndex.layoutAlerts(
+      graft.io.Versioned.read(spark, monRoot), tolKept = series.head._4,
+      minRun = 2)
+      .select("run_start", "run_end", "run_len", "alert")
+      .as[(Long, Long, Int, Boolean)].collect().toSeq
+    assert(runs == Seq((1L, 2L, 2, true)), runs)
+    // (exactly-once replay of a committed trigger is the shared
+    // alreadyCommitted/batchTag discipline, spec-pinned on the drift
+    // monitor sink; this sink rides the same helpers verbatim)
   }
 
   test("recellSmall repairs only the accreted tail: build files carry by " +
@@ -516,6 +591,47 @@ class AnnMaintenanceSpec extends SparkSpecBase {
     // block B: exact reconstruction + id tie-breaks -> the index's top-3
     // IS the truth's top-3 -> 3 hits, 1.0
     assert(got.drop(3).forall(r => r._2 == 3L && r._3 == 1.0), got.toSeq)
+  }
+
+  test("recallAt(sampleFraction) measures a deterministic hash-mod query " +
+    "subset: sampled rows equal the full form's rows for the sampled qids") {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 40)
+      .select(col("vec_id"), col("embedding"))
+    val modelRoot = java.nio.file.Files.createTempDirectory("annm_recs").toString
+    val codesRoot = java.nio.file.Files.createTempDirectory("annc_recs").toString
+    AnnIndex.trainAndRebuild(spark, emb, m = 16, dsub = 4, modelRoot, codesRoot)
+
+    val full = AnnIndex.recallAt(spark, queries, modelRoot, codesRoot,
+      emb, k = 3, nprobe = 2)
+      .select("qid", "hits", "recall").as[(Long, Long, Double)]
+      .collect().toSet
+    val sampled = AnnIndex.recallAt(spark, queries, modelRoot, codesRoot,
+      emb, k = 3, nprobe = 2, sampleFraction = 0.25)
+      .select("qid", "hits", "recall").as[(Long, Long, Double)]
+      .collect().toSet
+
+    // a real strict subset (sampling selected SOME queries, not all/none)
+    assert(sampled.nonEmpty && sampled.size < full.size,
+      s"expected a strict nonempty subset; sampled=${sampled.size} " +
+        s"full=${full.size}")
+    // sampling selects queries, never perturbs a selected query's row:
+    // every sampled row IS the full form's row for that qid
+    assert(sampled.subsetOf(full),
+      s"sampled rows diverged from full rows: ${sampled -- full}")
+    // deterministic: the same call yields the same subset (fixed md5
+    // membership, no sampling churn)
+    val again = AnnIndex.recallAt(spark, queries, modelRoot, codesRoot,
+      emb, k = 3, nprobe = 2, sampleFraction = 0.25)
+      .select("qid", "hits", "recall").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(again == sampled)
+    // out-of-range fractions refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.recallAt(spark, queries, modelRoot, codesRoot, emb,
+        k = 3, nprobe = 2, sampleFraction = 0.0)
+    }
+    assert(e.getMessage.contains("sampleFraction"))
   }
 
   test("binaryRecallAt: a full shortlist scores exactly 1.0 per query " +

@@ -353,4 +353,93 @@ class VersionedProcedureSpec extends SparkSpecBase {
       "CALL graft_proc.system.ann_alerts('ns.nomonitor')"))
     assert(chain(e).toLowerCase.contains("table"))
   }
+
+  test("CALL ann_layout_alerts reduces a layout-monitor table to breach " +
+    "runs — the third erosion axis's SQL run rule") {
+    // the layout monitor sink's accreted shape, hand-built: kept rises
+    // past tol in two interior runs (gappy batch ids — adjacency stays
+    // positional, like ann_alerts)
+    val series = Seq(
+      (10L, 1.0), (20L, 2.5), (30L, 3.0), (40L, 1.5),
+      (50L, 4.0), (60L, 4.5), (70L, 2.0))
+      .toDF("batch_id", "kept_per_probe")
+    Versioned.commit(spark, series, rootOf("annlayoutmon"))
+
+    val runs = spark.sql(
+      "CALL graft_proc.system.ann_layout_alerts('ns.annlayoutmon', 2.0, 2)")
+    assert(runs.columns.toSeq == Seq("run_start", "run_end", "run_len", "alert"))
+    assert(runs.as[(Long, Long, Int, Boolean)].collect().toSet ==
+      Set((20L, 30L, 2, true), (50L, 60L, 2, true)))
+
+    // defaults bind (tol_kept=2.0, min_run=3): same breaches, no run
+    // long enough to alert
+    val dflt = spark.sql(
+      "CALL graft_proc.system.ann_layout_alerts('ns.annlayoutmon')")
+    assert(dflt.as[(Long, Long, Int, Boolean)].collect().forall(!_._4))
+  }
+
+  test("CALL ann_prepare caches a session handle ann_search_prepared " +
+    "consumes; stale version pairs refuse with the remedy named") {
+    import graft.ops.AnnIndex
+    val dim = 16
+    def vec(i: Int): Seq[Float] = (0 until dim).map { j =>
+      val base = if (j / 4 == i % 4) 1.0f else 0.1f
+      base + 0.01f * ((i * 31 + j * 7) % 5)
+    }
+    val emb = (0 until 200).map(i => (i.toLong, (i % 4).toLong, vec(i)))
+      .toDF("vec_id", "label", "embedding")
+    Versioned.commit(spark, emb, rootOf("annp_corpus"))
+    AnnIndex.trainAndRebuild(spark, emb, m = 4, dsub = 4,
+      rootOf("annp_model"), rootOf("annp_codes"))
+    Versioned.commit(spark,
+      emb.filter(col("vec_id") < 5).select(col("vec_id"), col("embedding")),
+      rootOf("annp_q"))
+
+    // search before prepare refuses, naming the missing step
+    val e0 = intercept[Exception](spark.sql(
+      "CALL graft_proc.system.ann_search_prepared(" +
+        "'ns.annp_q', 'ns.annp_model', 'ns.annp_codes', 3, 2)"))
+    assert(chain(e0).contains("ann_prepare"))
+
+    // prepare returns the version pair it pinned
+    val prep = spark.sql("CALL graft_proc.system.ann_prepare(" +
+      "'ns.annp_model', 'ns.annp_codes')")
+    assert(prep.columns.toSeq == Seq("model_version", "codes_version"))
+    assert(prep.as[(Long, Long)].collect().toSeq == Seq((1L, 1L)))
+
+    // the SQL search equals the direct Scala search row for row (modulo
+    // the fixed string schema), numerically ordered by qid
+    val got = spark.sql("CALL graft_proc.system.ann_search_prepared(" +
+      "'ns.annp_q', 'ns.annp_model', 'ns.annp_codes', 3, 2)")
+    assert(got.columns.toSeq == Seq("qid", "nid", "cluster", "cos_pq", "rank"))
+    val gotRows = got.as[(String, String, String, Double, Int)].collect()
+    val direct = AnnIndex.search(spark,
+      emb.filter(col("vec_id") < 5).select(col("vec_id"), col("embedding")),
+      rootOf("annp_model"), rootOf("annp_codes"), k = 3, nprobe = 2)
+      .select(col("qid").cast("string"), col("nid").cast("string"),
+        col("cluster").cast("string"), col("cos_pq"), col("rank"))
+      .as[(String, String, String, Double, Int)].collect()
+    assert(gotRows.toSet == direct.toSet && direct.nonEmpty)
+    assert(gotRows.map(_._1.toLong).toSeq ==
+      gotRows.map(_._1.toLong).sorted.toSeq)
+
+    // a codes commit staled the handle: refusal names both pairs and
+    // the remedy
+    spark.sql("CALL graft_proc.system.ann_recell('ns.annp_codes')")
+    val e1 = intercept[Exception](spark.sql(
+      "CALL graft_proc.system.ann_search_prepared(" +
+        "'ns.annp_q', 'ns.annp_model', 'ns.annp_codes', 3, 2)"))
+    assert(chain(e1).contains("STALE") && chain(e1).contains("v2") &&
+      chain(e1).contains("ann_prepare"))
+
+    // re-prepare adopts the new snapshot; results identical (recell is
+    // layout-only)
+    assert(spark.sql("CALL graft_proc.system.ann_prepare(" +
+      "'ns.annp_model', 'ns.annp_codes')")
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 2L)))
+    val again = spark.sql("CALL graft_proc.system.ann_search_prepared(" +
+      "'ns.annp_q', 'ns.annp_model', 'ns.annp_codes', 3, 2)")
+      .as[(String, String, String, Double, Int)].collect()
+    assert(again.toSet == gotRows.toSet)
+  }
 }
