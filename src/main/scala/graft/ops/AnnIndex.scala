@@ -648,7 +648,7 @@ object AnnIndex {
   def recellIfNeeded(spark: SparkSession, codesRoot: String,
                      tolKept: Double = 2.0): Option[Long] = {
     val (cells, cov) = cellCoverage(spark, codesRoot)
-    if (cov.map(_._2.toLong).sum.toDouble / cells.length > tolKept)
+    if (erodedBeyond(cells, cov, tolKept))
       Some(recellAs(spark, codesRoot, cells.length))
     else None
   }
@@ -742,8 +742,15 @@ object AnnIndex {
   def needsRecell(spark: SparkSession, codesRoot: String,
                   tolKept: Double = 2.0): Boolean = {
     val (cells, cov) = cellCoverage(spark, codesRoot)
-    cov.map(_._2.toLong).sum.toDouble / cells.length > tolKept
+    erodedBeyond(cells, cov, tolKept)
   }
+
+  /** ONE definition of the layout-breach rule (kept-files-per-probe >
+    * tol), shared by the trigger and the combined check-and-repair so
+    * they can never drift apart. */
+  private def erodedBeyond(cells: IndexedSeq[Any], cov: Seq[(String, Int)],
+                           tolKept: Double): Boolean =
+    cov.map(_._2.toLong).sum.toDouble / cells.length > tolKept
 
   /** Persist the binary (1-bit/dim) sign-fingerprint index for
     * [[binarySearch]]: one (vec_id, fp) row per corpus vector, dim/8
