@@ -344,6 +344,17 @@ private[io] object VersionedProcedures {
           .queryExecution.executedPlan.executeCollect()
       }),
 
+    Spec("ann_prepare_release", "drop THIS SESSION's cached prepared-search handle for the (model, codes) pair — the explicit end of the ann_prepare lifecycle (handles are strongly held until re-prepared or released; there is no GC-driven teardown). Returns how many handles were dropped (0 or 1); releasing a pair that was never prepared is a no-op, not an error",
+      Array(in("model_table", StringType), in("codes_table", StringType)),
+      StructType(Seq(
+        StructField("released", IntegerType, nullable = false))),
+      (spark, rootFor, input) => {
+        val dropped = graft.ops.AnnPreparedRegistry.release(spark,
+          existing(spark, rootFor, input, 0),
+          existing(spark, rootFor, input, 1))
+        row(if (dropped) 1 else 0)
+      }),
+
     Spec("ann_cells", "measure a persisted ANN codes table's per-cell occupancy against the model's training-time baseline (graft.ops.AnnIndex.cellStats) — the BALANCE half of the rebuild contract, codes-table-only (no corpus encode): a cell whose current_share has grown past tolerance degrades probed-cell search toward O(n) on that cell even while ann_drift stays quiet",
       Array(in("codes_table", StringType), in("model_table", StringType)),
       StructType(Seq(

@@ -1545,7 +1545,21 @@ final class PreparedAnnSearch private[ops] (
     * exactness is untouched: [[Similarity.ivfPqTopKIndexed]]'s cluster
     * semi/equi joins keep exactly the probed cells' rows, so kept files
     * holding other cells contribute nothing (result-invisible — the
-    * handle-equals-direct spec pins it). */
+    * handle-equals-direct spec pins it).
+    *
+    * The trade vs the literal form, stated: a pushed IN also let parquet
+    * skip ROW GROUPS inside a multi-cell file, which the keep-set (file
+    * granularity) cannot — so on an ERODED layout, where accreted
+    * maintenance files span every cell and file pruning keeps them for
+    * any probe, the handle reads those files whole and discards at the
+    * join. That regime is exactly what the layout loop exists to bound:
+    * [[AnnIndex.needsRecell]]/the monitor sink detect it, [[AnnIndex.recell]]/
+    * [[AnnIndex.recellSmall]] repair it (repaired tails are cell-RANGED, so
+    * they prune at file granularity again), and under the recelled
+    * one-file-per-cell contract file skipping IS row skipping. A
+    * heavily-eroded table served without repair wants the direct
+    * [[AnnIndex.search]], which re-plans per call and keeps the
+    * row-group literal. */
   def search(queries: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
     val (qaLocal, probed) = assignLocal.assign(queries, nprobe,
       rowBudget = 10000, alternative =
@@ -1559,37 +1573,42 @@ final class PreparedAnnSearch private[ops] (
 /** Session-scoped registry behind the SQL prepared-search surface
   * (`CALL graft.system.ann_prepare` / `ann_search_prepared`): a
   * [[PreparedAnnSearch]] cannot ride through a CALL's result rows, so
-  * the prepare CALL caches it here keyed by (session, model root, codes
-  * root) together with the VERSION PAIR it serves, and the search CALL
-  * consumes it — refusing when the pair has advanced (the handle serves
-  * the snapshot current at prepare; version-pinned staleness is the SQL
-  * twin of the Scala handle's re-prepare contract). Sessions are WEAK
-  * keys: an abandoned session releases its handles (driver-held
-  * centroids/codebook) without any explicit teardown. */
+  * the prepare CALL caches it here keyed by (session UUID, model root,
+  * codes root) together with the VERSION PAIR it serves, and the search
+  * CALL consumes it — refusing when the pair has advanced (the handle
+  * serves the snapshot current at prepare; version-pinned staleness is
+  * the SQL twin of the Scala handle's re-prepare contract).
+  *
+  * Lifetime is EXPLICIT, not GC-driven: a handle transitively pins its
+  * SparkSession (the resolved scan's delegate holds it), so weak-key
+  * maps cannot reclaim entries — the value would strongly reference its
+  * own key, the documented WeakHashMap trap. Entries therefore live
+  * until (a) re-prepared for the same pair (the replace drops the old
+  * handle) or (b) `CALL graft.system.ann_prepare_release` / [[release]]
+  * drops them. Size the cost accordingly: one entry holds the model's
+  * centroid vectors (≤ 65536 rows by prepare's own cap, typically the
+  * cell count) plus the local codebook frame — kilobytes to a few MB. */
 private[graft] object AnnPreparedRegistry {
-  private val bySession = new java.util.WeakHashMap[SparkSession,
-    scala.collection.concurrent.TrieMap[(String, String),
-      (PreparedAnnSearch, Long, Long)]]()
+  private def uuidOf(spark: SparkSession): String =
+    org.apache.spark.sql.graftx.Bridge.sessionUUID(spark)
 
-  private def mapFor(spark: SparkSession) = bySession.synchronized {
-    var m = bySession.get(spark)
-    if (m == null) {
-      m = scala.collection.concurrent.TrieMap.empty[(String, String),
-        (PreparedAnnSearch, Long, Long)]
-      bySession.put(spark, m)
-    }
-    m
-  }
+  private val entries = scala.collection.concurrent.TrieMap
+    .empty[(String, String, String), (PreparedAnnSearch, Long, Long)]
 
   def put(spark: SparkSession, modelRoot: String, codesRoot: String,
           handle: PreparedAnnSearch, modelV: Long, codesV: Long): Unit = {
-    mapFor(spark).put((modelRoot, codesRoot), (handle, modelV, codesV))
+    entries.put((uuidOf(spark), modelRoot, codesRoot), (handle, modelV, codesV))
     ()
   }
 
   def get(spark: SparkSession, modelRoot: String, codesRoot: String)
       : Option[(PreparedAnnSearch, Long, Long)] =
-    mapFor(spark).get((modelRoot, codesRoot))
+    entries.get((uuidOf(spark), modelRoot, codesRoot))
+
+  /** Drop this session's handle for the pair; true when one existed. */
+  def release(spark: SparkSession, modelRoot: String,
+              codesRoot: String): Boolean =
+    entries.remove((uuidOf(spark), modelRoot, codesRoot)).isDefined
 }
 
 /** The reusable binary-search handle [[AnnIndex.prepareBinary]] returns:

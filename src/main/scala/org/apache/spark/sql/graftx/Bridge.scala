@@ -77,6 +77,12 @@ object Bridge {
     }
   }
 
+  /** The session's stable UUID (private[sql] on the classic session) —
+    * the session-scoped key for driver-held registries that must not
+    * hold the session strongly through a map key. */
+  def sessionUUID(spark: org.apache.spark.sql.SparkSession): String =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
+
   /** DataFrame over an already-analyzed logical plan (classic
     * Dataset.ofRows is private[sql]) — used by the SQL row-level command
     * rewrites to execute a MERGE source plan captured at analysis. */

@@ -441,5 +441,16 @@ class VersionedProcedureSpec extends SparkSpecBase {
       "'ns.annp_q', 'ns.annp_model', 'ns.annp_codes', 3, 2)")
       .as[(String, String, String, Double, Int)].collect()
     assert(again.toSet == gotRows.toSet)
+
+    // explicit lifecycle end: release drops the handle (1), a second
+    // release is a no-op (0), and the searched pair then refuses again
+    assert(spark.sql("CALL graft_proc.system.ann_prepare_release(" +
+      "'ns.annp_model', 'ns.annp_codes')").as[Int].collect().toSeq == Seq(1))
+    assert(spark.sql("CALL graft_proc.system.ann_prepare_release(" +
+      "'ns.annp_model', 'ns.annp_codes')").as[Int].collect().toSeq == Seq(0))
+    val e2 = intercept[Exception](spark.sql(
+      "CALL graft_proc.system.ann_search_prepared(" +
+        "'ns.annp_q', 'ns.annp_model', 'ns.annp_codes', 3, 2)"))
+    assert(chain(e2).contains("ann_prepare"))
   }
 }
