@@ -120,7 +120,9 @@ private[graft] class StatsPrunedFileIndex(
     files.iterator.map(p => (p.getParent.getName, p.getName)).filter { key =>
       val byCol = sidecars.getOrElse(key, Map.empty)
       sets.forall { case (c, vs) =>
-        vs.exists(v => FileStats.mayContain(byCol.get(c), Some(v), Some(v)))
+        // decode this file's [min,max] once, then probe the whole
+        // candidate set — a join-driven set can carry thousands of keys
+        vs.exists(FileStats.containsProbe(byCol.get(c)))
       } && {
         lazy val fileBlooms = bloomMap.getOrElse(key, Map.empty)
         hashSets.forall { case (c, hs) =>
@@ -181,7 +183,10 @@ private[graft] class StatsPrunedFileIndex(
             FileStats.mayContain(byCol.get(c), lo, hi)
           } &&
           inSets.forall { case (c, vs) =>
-            vs.exists(v => FileStats.mayContain(byCol.get(c), Some(v), Some(v)))
+            // decode once per (file, column): a pushed IN can carry a
+            // 100k-id re-rank shortlist, and the per-value mayContain
+            // re-parsed the stat strings per (file, value) pair
+            vs.exists(FileStats.containsProbe(byCol.get(c)))
           } && {
             lazy val fileBlooms = bloomMap.getOrElse(key, Map.empty)
             candidates.forall { case (c, hashes) =>
