@@ -1519,7 +1519,12 @@ private[ops] final class DriverAssign(
   * materialized once (driver-held centroids, local-relation codebook),
   * codes scan resolved once, per-call cost = driver-side query
   * assignment + the probed-cell candidate join. See [[AnnIndex.prepare]]
-  * for the snapshot and equality contracts. */
+  * for the snapshot and equality contracts. THREAD-SAFE for concurrent
+  * searches (the serving shape): all per-call state — assignment
+  * arrays, keep-set, derived keep table, plan — is call-local; the
+  * shared pieces (centroids, codebook frame, resolved relation, decoded
+  * bounds) are read-only after prepare. Spec-pinned by the concurrent
+  * spec. */
 final class PreparedAnnSearch private[ops] (
     spark: SparkSession,
     assignLocal: DriverAssign,

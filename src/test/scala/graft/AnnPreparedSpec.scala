@@ -140,6 +140,38 @@ class AnnPreparedSpec extends SparkSpecBase {
     assert(a.collect().toSet != b.collect().toSet)
   }
 
+  test("prepared handle serves CONCURRENT searches: stateless per call, " +
+    "each caller gets exactly the direct path's rows") {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val modelRoot = tmp("annm_conc")
+    val codesRoot = tmp("annc_conc")
+    AnnIndex.trainAndRebuild(spark, emb, m = 16, dsub = 4, modelRoot, codesRoot)
+    val handle = AnnIndex.prepare(spark, modelRoot, codesRoot)
+
+    // 8 distinct single-vector queries, searched concurrently through
+    // ONE handle (the serving shape): per-call state is all local —
+    // assignment arrays, keep-set, derived table — so calls must not
+    // interfere; each result must equal its own direct search
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val ids = (0L until 8L).toSeq
+    def oneQuery(id: Long) = emb.filter(col("vec_id") === id)
+      .select(col("vec_id"), col("embedding"))
+    val direct = ids.map(id => id ->
+      AnnIndex.search(spark, oneQuery(id), modelRoot, codesRoot,
+        k = 3, nprobe = 2).collect().toSet).toMap
+    val concurrent = Await.result(
+      Future.sequence(ids.map(id => Future {
+        id -> handle.search(oneQuery(id), k = 3, nprobe = 2).collect().toSet
+      })), 5.minutes).toMap
+    ids.foreach { id =>
+      assert(concurrent(id) == direct(id) && direct(id).nonEmpty,
+        s"concurrent handle search diverged for qid $id")
+    }
+  }
+
   test("prepared handle replicates exact assignment tie-breaks on string cells") {
     // two string cells with IDENTICAL member vectors: their quantized
     // centroids are equal component for component, so EVERY query ties
