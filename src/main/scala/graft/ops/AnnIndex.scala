@@ -722,6 +722,14 @@ object AnnIndex {
     (cells, Versioned.fileStatsCoverage(spark, codesRoot, "cluster", cells))
   }
 
+  /** Metric caveat: kept-files-per-probe counts file OPENS, not read
+    * VOLUME — a table small enough to pack into one file reads 1.0
+    * ("perfect") while every probe scans the whole table. The blind
+    * spot is confined to tables at or below one compaction target
+    * (where pruning is moot anyway) and to compactions run WITHOUT the
+    * cluster sort (use recell/recellSmall, which range by cell); when
+    * in doubt read this frame's per-file rows next to file sizes
+    * (`CALL graft.system.detail`). */
   def layoutStats(spark: SparkSession, codesRoot: String): DataFrame = {
     val (cells, cov) = cellCoverage(spark, codesRoot)
     import spark.implicits._
