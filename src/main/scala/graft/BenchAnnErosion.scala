@@ -9,7 +9,9 @@ import org.apache.spark.sql.functions.col
   * 10⁶ codes table, append `waves` maintenance batches whose single
   * files span every cell (the sink's erosion shape), measure the narrow
   * probe through the direct search and a freshly-prepared handle at
-  * each stage (pristine → eroded → recellSmall-repaired), with
+  * each stage (pristine → eroded → recell-repaired; the FULL recell:
+  * recellSmall's small-file cut would pack this fixture's ~350 KB
+  * build files into one file — the layoutStats blind-spot trap), with
   * kept-files-per-probe from layoutStats alongside. The hypothesis the
   * measurement tests: at realistic maintenance-batch sizes an appended
   * file is ONE parquet row group (and unsorted big appends have
@@ -41,17 +43,14 @@ object BenchAnnErosion {
     spark.sparkContext.setLogLevel("WARN")
     import graft.ops.{AnnIndex, Similarity}
 
-    // clone the pristine codes table (files + manifests) — the saved
-    // fixture pair must survive for later rounds
+    // zero-copy clone of the pristine codes table (the engine's own
+    // clone primitive: manifest entries reference the source files in
+    // place, appends/recell land under the clone root, the source is
+    // never written) — the saved fixture pair must survive for later
+    // rounds, and an O(manifest) clone beats a byte copy of 10⁶ rows
     val codesRoot = java.nio.file.Files.createTempDirectory("anncodes_erosion").toString
-    val src = java.nio.file.Paths.get(pristine)
-    java.nio.file.Files.walk(src).forEach { p =>
-      val dst = java.nio.file.Paths.get(codesRoot).resolve(src.relativize(p))
-      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(dst)
-      else java.nio.file.Files.copy(p, dst,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      ()
-    }
+    new java.io.File(codesRoot).delete() // cloneTable wants a fresh root
+    graft.io.Versioned.cloneTable(spark, pristine, codesRoot)
 
     val emb = Tables.table(spark, sfDir, "embeddings")
     val q1Sel = emb.filter(col("vec_id") === 0L)

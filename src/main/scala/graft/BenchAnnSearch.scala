@@ -158,9 +158,10 @@ object BenchAnnSearch {
         tBuild += (t1 - t0) / 1e9; tPlan += (t2 - t1) / 1e9
         tExec += (t3 - t2) / 1e9
       }
-      // listener delivery is async — drain before reading the counters,
-      // or the last rep's task events undercount the summed task time
-      Thread.sleep(1000)
+      // listener delivery is async — drain DETERMINISTICALLY before
+      // reading the counters (a fixed sleep can still undercount on a
+      // loaded driver; waitUntilEmpty cannot)
+      org.apache.spark.sql.graftx.Bridge.drainListeners(spark, 30000)
       spark.sparkContext.removeSparkListener(listener)
       println(f"[ann-search] handle floor ($reps calls, nprobe=1): " +
         f"build=${tBuild / reps}%.3f plan=${tPlan / reps}%.3f " +

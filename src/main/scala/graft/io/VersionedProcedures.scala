@@ -278,7 +278,7 @@ private[io] object VersionedProcedures {
             org.apache.spark.sql.functions.col("qid").cast(StringType))
           .queryExecution.executedPlan.executeCollect()),
 
-    Spec("ann_prepare", "prepare and CACHE a reusable ANN search handle over the persisted (model, codes) pair in THIS SESSION (graft.ops.AnnIndex.prepare): the model collects once, the codes scan resolves once, and ann_search_prepared then serves searches at per-call cost = driver-side assignment + the pruned candidate join. The handle is version-pinned to the snapshot pair current NOW (returned as the result row); after either table advances, ann_search_prepared refuses and this CALL re-prepares cheaply (a model read and listing — no training). Handles are session-scoped and released with the session",
+    Spec("ann_prepare", "prepare and CACHE a reusable ANN search handle over the persisted (model, codes) pair in THIS SESSION (graft.ops.AnnIndex.prepare): the model collects once, the codes scan resolves once, and ann_search_prepared then serves searches at per-call cost = driver-side assignment + the pruned candidate join. The handle is version-pinned to the snapshot pair current NOW (returned as the result row); after either table advances, ann_search_prepared refuses and this CALL re-prepares cheaply (a model read and listing — no training). Lifecycle is EXPLICIT: a handle is held until re-prepared (replaced), released (ann_prepare_release), or evicted as the oldest entry when the JVM-wide cache exceeds its cap — there is NO GC-driven teardown, so release handles you are done with",
       Array(in("model_table", StringType), in("codes_table", StringType)),
       StructType(Seq(
         StructField("model_version", LongType, nullable = false),
@@ -344,14 +344,17 @@ private[io] object VersionedProcedures {
           .queryExecution.executedPlan.executeCollect()
       }),
 
-    Spec("ann_prepare_release", "drop THIS SESSION's cached prepared-search handle for the (model, codes) pair — the explicit end of the ann_prepare lifecycle (handles are strongly held until re-prepared or released; there is no GC-driven teardown). Returns how many handles were dropped (0 or 1); releasing a pair that was never prepared is a no-op, not an error",
+    Spec("ann_prepare_release", "drop THIS SESSION's cached prepared-search handle for the (model, codes) pair — the explicit end of the ann_prepare lifecycle (handles are strongly held until re-prepared, released, or cap-evicted; there is no GC-driven teardown). Returns how many handles were dropped (0 or 1); releasing a pair that was never prepared is a no-op, not an error — and the tables need not EXIST anymore (a handle must stay releasable after its table was dropped, or the drop would pin the handle forever)",
       Array(in("model_table", StringType), in("codes_table", StringType)),
       StructType(Seq(
         StructField("released", IntegerType, nullable = false))),
       (spark, rootFor, input) => {
+        // resolve names to roots WITHOUT the existence check: removal
+        // from the registry is always safe, and requiring a live table
+        // would make a dropped table's handle permanently unreleasable
         val dropped = graft.ops.AnnPreparedRegistry.release(spark,
-          existing(spark, rootFor, input, 0),
-          existing(spark, rootFor, input, 1))
+          rootFor(str(input, 0, "model_table")),
+          rootFor(str(input, 1, "codes_table")))
         row(if (dropped) 1 else 0)
       }),
 

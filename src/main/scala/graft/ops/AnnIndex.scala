@@ -1593,35 +1593,71 @@ final class PreparedAnnSearch private[ops] (
   * the SQL twin of the Scala handle's re-prepare contract).
   *
   * Lifetime is EXPLICIT, not GC-driven: a handle transitively pins its
-  * SparkSession (the resolved scan's delegate holds it), so weak-key
-  * maps cannot reclaim entries — the value would strongly reference its
-  * own key, the documented WeakHashMap trap. Entries therefore live
-  * until (a) re-prepared for the same pair (the replace drops the old
-  * handle) or (b) `CALL graft.system.ann_prepare_release` / [[release]]
-  * drops them. Size the cost accordingly: one entry holds the model's
-  * centroid vectors (≤ 65536 rows by prepare's own cap, typically the
-  * cell count) plus the local codebook frame — kilobytes to a few MB. */
+  * SparkSession (the resolved scan's delegate holds it — session state,
+  * caches and listeners included, so the REAL retained set per stale
+  * entry is the whole session, not just the frames), and weak-key maps
+  * cannot reclaim entries whose value strongly references its own key —
+  * the documented WeakHashMap trap. Entries therefore live until
+  * (a) re-prepared for the same pair (the replace drops the old handle),
+  * (b) `CALL graft.system.ann_prepare_release` / [[release]] drops them,
+  * (c) [[releaseSession]] sweeps a session being retired, or (d) the
+  * JVM-wide insertion-order cap (256) evicts the oldest entry — the
+  * backstop that bounds a create-session-per-tenant service that never
+  * releases: an evicted pair's next search refuses with the re-prepare
+  * remedy (loud, cheap), instead of the registry pinning dead sessions
+  * forever. Per-entry frames: centroids (≤ 65536 rows by prepare's own
+  * cap, typically the cell count) + the local codebook. */
 private[graft] object AnnPreparedRegistry {
   private def uuidOf(spark: SparkSession): String =
     org.apache.spark.sql.graftx.Bridge.sessionUUID(spark)
 
-  private val entries = scala.collection.concurrent.TrieMap
-    .empty[(String, String, String), (PreparedAnnSearch, Long, Long)]
+  private val MaxEntries = 256
+
+  // insertion-ordered so the cap evicts the OLDEST prepare first; all
+  // access synchronized (handles are prepared rarely — contention-free)
+  private val entries = new java.util.LinkedHashMap[(String, String, String),
+      (PreparedAnnSearch, Long, Long)](64, 0.75f, false) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(String, String, String),
+                               (PreparedAnnSearch, Long, Long)]): Boolean =
+      size() > MaxEntries
+  }
 
   def put(spark: SparkSession, modelRoot: String, codesRoot: String,
-          handle: PreparedAnnSearch, modelV: Long, codesV: Long): Unit = {
-    entries.put((uuidOf(spark), modelRoot, codesRoot), (handle, modelV, codesV))
-    ()
-  }
+          handle: PreparedAnnSearch, modelV: Long, codesV: Long): Unit =
+    entries.synchronized {
+      entries.put((uuidOf(spark), modelRoot, codesRoot),
+        (handle, modelV, codesV))
+      ()
+    }
 
   def get(spark: SparkSession, modelRoot: String, codesRoot: String)
       : Option[(PreparedAnnSearch, Long, Long)] =
-    entries.get((uuidOf(spark), modelRoot, codesRoot))
+    entries.synchronized {
+      Option(entries.get((uuidOf(spark), modelRoot, codesRoot)))
+    }
 
-  /** Drop this session's handle for the pair; true when one existed. */
+  /** Drop this session's handle for the pair; true when one existed.
+    * Never requires the TABLES to still exist — removal is always safe,
+    * and a dropped table's handle must stay releasable. */
   def release(spark: SparkSession, modelRoot: String,
               codesRoot: String): Boolean =
-    entries.remove((uuidOf(spark), modelRoot, codesRoot)).isDefined
+    entries.synchronized {
+      entries.remove((uuidOf(spark), modelRoot, codesRoot)) != null
+    }
+
+  /** Drop EVERY handle this session prepared — the sweep to call when
+    * retiring a session in a session-per-tenant service. Returns how
+    * many were dropped. */
+  def releaseSession(spark: SparkSession): Int = entries.synchronized {
+    val uuid = uuidOf(spark)
+    val it = entries.keySet().iterator()
+    var n = 0
+    while (it.hasNext) {
+      if (it.next()._1 == uuid) { it.remove(); n += 1 }
+    }
+    n
+  }
 }
 
 /** The reusable binary-search handle [[AnnIndex.prepareBinary]] returns:

@@ -83,6 +83,14 @@ object Bridge {
   def sessionUUID(spark: org.apache.spark.sql.SparkSession): String =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
 
+  /** Block until the async listener bus has delivered every queued
+    * event (private[spark]) — the deterministic drain a bench needs
+    * before reading listener-accumulated counters; a fixed sleep can
+    * still undercount on a loaded driver. */
+  def drainListeners(spark: org.apache.spark.sql.SparkSession,
+                     timeoutMillis: Long): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMillis)
+
   /** DataFrame over an already-analyzed logical plan (classic
     * Dataset.ofRows is private[sql]) — used by the SQL row-level command
     * rewrites to execute a MERGE source plan captured at analysis. */

@@ -452,5 +452,12 @@ class VersionedProcedureSpec extends SparkSpecBase {
       "CALL graft_proc.system.ann_search_prepared(" +
         "'ns.annp_q', 'ns.annp_model', 'ns.annp_codes', 3, 2)"))
     assert(chain(e2).contains("ann_prepare"))
+
+    // the Scala-side session sweep drops whatever this session still
+    // holds (the retire-a-session path); idempotent
+    spark.sql("CALL graft_proc.system.ann_prepare(" +
+      "'ns.annp_model', 'ns.annp_codes')")
+    assert(graft.ops.AnnPreparedRegistry.releaseSession(spark) >= 1)
+    assert(graft.ops.AnnPreparedRegistry.releaseSession(spark) == 0)
   }
 }
