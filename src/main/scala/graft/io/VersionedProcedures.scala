@@ -358,6 +358,21 @@ private[io] object VersionedProcedures {
         row(if (dropped) 1 else 0)
       }),
 
+    Spec("ann_prepared_list", "list THIS SESSION's cached prepared-search handles (graft.ops.AnnPreparedRegistry.listFor) — the observability half of the explicit ann_prepare lifecycle, so a session-per-tenant service can see its cache (and what a cap eviction or table advance would invalidate) before deciding what to release. One row per handle: the (model, codes) pair as the catalog-resolved ROOT paths the registry keys on, plus the version pair the handle serves. Reading the list does NOT refresh LRU recency — observing the cache never changes who the cap evicts next",
+      Array.empty[ProcedureParameter],
+      StructType(Seq(
+        StructField("model_root", StringType, nullable = false),
+        StructField("codes_root", StringType, nullable = false),
+        StructField("model_version", LongType, nullable = false),
+        StructField("codes_version", LongType, nullable = false))),
+      (spark, _, _) =>
+        graft.ops.AnnPreparedRegistry.listFor(spark).map {
+          case (m, c, mv, cv) => new GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(m),
+            org.apache.spark.unsafe.types.UTF8String.fromString(c),
+            mv, cv)): InternalRow
+        }.toArray),
+
     Spec("ann_cells", "measure a persisted ANN codes table's per-cell occupancy against the model's training-time baseline (graft.ops.AnnIndex.cellStats) — the BALANCE half of the rebuild contract, codes-table-only (no corpus encode): a cell whose current_share has grown past tolerance degrades probed-cell search toward O(n) on that cell even while ann_drift stays quiet",
       Array(in("codes_table", StringType), in("model_table", StringType)),
       StructType(Seq(

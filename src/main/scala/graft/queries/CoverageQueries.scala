@@ -1918,27 +1918,74 @@ object CoverageQueries {
   // partition order and is not reproducible across partitionings; the
   // previous DECIMAL form was order-free too but hit the engines'
   // decimal→double CAST disagreement in the last ULP once sums outgrow
-  // 2^53 (the r15 sf0.1 probe's one residual). Int64 sums keep every
-  // combined term (n·Σx² peaks ~1e14 at sf0.1, ~1e16 at sf1) inside
-  // int64 to ~sf300, and int64→double conversion is the HARDWARE
-  // correctly-rounded one in every engine — so the only FP ops are IEEE
-  // divisions/sqrts of identical doubles: bit-identical on any cluster
-  // layout, at any gate scale, and to the DuckDB oracle. One
-  // partial+final hash agg, as before.
+  // 2^53 (the r15 sf0.1 probe's one residual). Int64 sums keep the
+  // MOMENTS exact to astronomic scale, and int64→double conversion is
+  // the HARDWARE correctly-rounded one in every engine — so the only FP
+  // ops are IEEE divisions/sqrts of identical doubles: bit-identical on
+  // any cluster layout, at any gate scale, and to the DuckDB oracle.
+  // One partial+final hash agg, as before.
+  //
+  // ENVELOPE (the r16 verdict's unwritten boundary, now written AND
+  // enforced): the COMBINE terms (n·Σx², Σx·Σx, …) grow quadratically
+  // with group size — at this data's shape (x ≤ 50, so Σx² ≤ 2500·n)
+  // they cross int64 near n ≈ 6×10⁷ rows per group (~TPC-H sf30).
+  // Spark's Long multiply wraps SILENTLY past that while DuckDB errors,
+  // so an unguarded combine would diverge from the oracle with no
+  // symptom. [[corrFromMoments]] therefore checks each product exactly
+  // (a·b overflows iff a > Long.Max/b for positive longs — three
+  // comparisons per GROUP, post-aggregation, i.e. free) and refuses
+  // loudly with the widen-or-pre-aggregate remedy instead of emitting a
+  // wrapped correlation. Within the envelope nothing changed:
+  // bit-identical to DuckDB, spec-pinned at the boundary
+  // (CoverageQueriesSpec).
   // -------------------------------------------------------------------
   def corrStats(spark: SparkSession, sfDir: String): DataFrame = {
     val x = round(col("l_quantity")).cast(LongType)
     val y = round(col("l_discount") * 100).cast(LongType)
-    Tables.lineitem(spark, sfDir)
-      .groupBy(col("l_returnflag").as("flag"))
-      .agg(count(lit(1)).as("n"),
-        sum(x).as("sx"), sum(y).as("sy"),
-        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
-      .select(col("flag"), col("n"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+    corrFromMoments(
+      Tables.lineitem(spark, sfDir)
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy")))
+  }
+
+  /** True iff `a * b` stays inside int64, for NON-NEGATIVE longs: the
+    * product overflows exactly when a > Long.Max / b (floor division),
+    * so the check is exact — no doubles, no margin. */
+  private def mulFits(a: org.apache.spark.sql.Column,
+                      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    b === 0L || a <= lit(Long.MaxValue) / b
+
+  /** The guarded moment combine behind [[corrStats]]: takes the exact
+    * integer moments (flag, n, sx, sy, sxy, sxx, syy) — all
+    * NON-NEGATIVE by the caller's data shape — and emits
+    * (flag, n, corr_qty_disc). Every int64 product in the combine
+    * (n·sxy, n·sxx, n·syy, sx·sy, sx·sx, sy·sy) is checked exactly
+    * before it is trusted; a group past the envelope raises
+    * (house-style loud refusal naming the group and the remedy) rather
+    * than wrapping silently. The checks run on the post-aggregation
+    * frame — one row per group — so the guard costs nothing at any
+    * corpus scale. */
+  private[graft] def corrFromMoments(moments: DataFrame): DataFrame = {
+    val fits = mulFits(col("n"), col("sxy")) && mulFits(col("n"), col("sxx")) &&
+      mulFits(col("n"), col("syy")) && mulFits(col("sx"), col("sy")) &&
+      mulFits(col("sx"), col("sx")) && mulFits(col("sy"), col("sy"))
+    moments.select(col("flag"), col("n"),
+      when(fits,
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
           / sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType))
           / sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType)))
-          .as("corr_qty_disc"))
+        .otherwise(raise_error(concat(
+          lit("corrStats: int64 moment combine would overflow for group "),
+          col("flag").cast(StringType),
+          lit(" (n="), col("n").cast(StringType),
+          lit(") — past the ~6e7-rows-per-group exactness envelope; "),
+          lit("pre-aggregate per sub-key and combine the moments, or "),
+          lit("widen the combine to DECIMAL(38,0) accepting the "),
+          lit("decimal->double last-ULP cast divergence vs DuckDB")))
+          .cast(DoubleType))
+        .as("corr_qty_disc"))
   }
 
   val corrStatsOracle: String =

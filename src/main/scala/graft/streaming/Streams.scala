@@ -614,9 +614,15 @@ object Streams {
     * [[graft.ops.AnnIndex.layoutAlerts]] / `CALL
     * graft.system.ann_layout_alerts` reduce the series to breach runs —
     * "recell on a RUN of eroded measurements, not one". The micro-batch
-    * content is only a TRIGGER (point it at the same stream the index
-    * maintenance sink consumes, so layout is measured after each append
-    * wave); the measurement itself reads the CODES table's stats
+    * content is only a TRIGGER — but do NOT tail the same stream the
+    * index maintenance sink consumes: two independent streaming queries
+    * on one source have no cross-query ordering guarantee, so batch N's
+    * measurement can run BEFORE the index sink's batch-N append lands,
+    * skewing the accreted series by a wave. Drive this sink from its
+    * own tick stream, ticked after each append wave completes (the
+    * pattern the spec pins); if you must share the source, read the
+    * series as "at or one wave behind"; the measurement itself reads
+    * the CODES table's stats
     * sidecars — metadata-only apart from the bounded distinct-cells
     * scan, so per-trigger cost tracks the file count, never the corpus.
     * Single-writer-per-monitor-root, like every sink here. */

@@ -460,4 +460,80 @@ class VersionedProcedureSpec extends SparkSpecBase {
     assert(graft.ops.AnnPreparedRegistry.releaseSession(spark) >= 1)
     assert(graft.ops.AnnPreparedRegistry.releaseSession(spark) == 0)
   }
+
+  test("CALL ann_prepared_list shows this session's cache without touching " +
+    "recency; the registry cap evicts by LRU so a hot handle survives") {
+    import graft.ops.{AnnIndex, AnnPreparedRegistry}
+    val dim = 16
+    def vec(i: Int): Seq[Float] = (0 until dim).map { j =>
+      val base = if (j / 4 == i % 4) 1.0f else 0.1f
+      base + 0.01f * ((i * 31 + j * 7) % 5)
+    }
+    val emb = (0 until 120).map(i => (i.toLong, (i % 4).toLong, vec(i)))
+      .toDF("vec_id", "label", "embedding")
+    AnnIndex.trainAndRebuild(spark, emb, m = 4, dsub = 4,
+      rootOf("annpl_model"), rootOf("annpl_codes"))
+
+    AnnPreparedRegistry.releaseSession(spark) // isolate from earlier tests
+    assert(spark.sql("CALL graft_proc.system.ann_prepared_list()")
+      .collect().isEmpty)
+
+    spark.sql(
+      "CALL graft_proc.system.ann_prepare('ns.annpl_model', 'ns.annpl_codes')")
+    val listed = spark.sql("CALL graft_proc.system.ann_prepared_list()")
+    assert(listed.columns.toSeq ==
+      Seq("model_root", "codes_root", "model_version", "codes_version"))
+    // the registry keys on catalog-resolved roots and the version pair
+    // the handle serves — exactly what the listing returns
+    assert(listed.as[(String, String, Long, Long)].collect().toSeq ==
+      Seq((rootOf("annpl_model"), rootOf("annpl_codes"), 1L, 1L)))
+
+    // --- LRU semantics at the 256-entry cap, on the REAL registry.
+    // Synthetic pairs reuse the same handle object (never dereferenced;
+    // eviction is what's under test). First flush: 256 inserts of OURS
+    // evict any other session's idle entries from the JVM-wide cap,
+    // then the sweep leaves the registry EMPTY — a known baseline.
+    val (handle, mv, cv) = AnnPreparedRegistry
+      .get(spark, rootOf("annpl_model"), rootOf("annpl_codes")).get
+    def fill(): Unit = (0 until 255).foreach { i =>
+      AnnPreparedRegistry.put(spark, s"/syn/m$i", s"/syn/c$i", handle, mv, cv)
+    }
+    (0 until 256).foreach { i =>
+      AnnPreparedRegistry.put(spark, s"/flush/m$i", s"/flush/c$i",
+        handle, mv, cv)
+    }
+    AnnPreparedRegistry.releaseSession(spark)
+
+    // hot handle survives the cap: real inserted FIRST (the eviction
+    // victim under the old insertion-order cap), 255 synthetics fill to
+    // 256, a get refreshes the real pair (every served search does),
+    // and the overflow victim is the never-reused synthetic #0
+    AnnPreparedRegistry.put(spark, rootOf("annpl_model"), rootOf("annpl_codes"),
+      handle, mv, cv)
+    fill()
+    assert(AnnPreparedRegistry.listFor(spark).size == 256)
+    assert(AnnPreparedRegistry
+      .get(spark, rootOf("annpl_model"), rootOf("annpl_codes")).isDefined)
+    AnnPreparedRegistry.put(spark, "/syn/m255", "/syn/c255", handle, mv, cv)
+    assert(AnnPreparedRegistry
+      .get(spark, rootOf("annpl_model"), rootOf("annpl_codes")).isDefined)
+    assert(AnnPreparedRegistry.get(spark, "/syn/m0", "/syn/c0").isEmpty)
+    assert(AnnPreparedRegistry.get(spark, "/syn/m1", "/syn/c1").isDefined)
+
+    // listing is NOT an access: rebuild the same shape but list instead
+    // of get — the real pair stays least-recently-used through the CALL
+    // and the overflow still evicts it
+    AnnPreparedRegistry.releaseSession(spark)
+    AnnPreparedRegistry.put(spark, rootOf("annpl_model"), rootOf("annpl_codes"),
+      handle, mv, cv)
+    fill()
+    assert(spark.sql("CALL graft_proc.system.ann_prepared_list()")
+      .collect().length == 256) // the real pair is LRU, and LISTED
+    AnnPreparedRegistry.put(spark, "/syn/m255", "/syn/c255", handle, mv, cv)
+    assert(AnnPreparedRegistry
+      .get(spark, rootOf("annpl_model"), rootOf("annpl_codes")).isEmpty,
+      "listing refreshed recency — the observability CALL perturbed eviction")
+
+    assert(AnnPreparedRegistry.releaseSession(spark) == 256)
+  }
 }
