@@ -60,8 +60,13 @@ object BenchAnnErosion {
 
     def measure(stage: String): Unit = {
       val kept = AnnIndex.layoutPoint(spark, codesRoot)
-        .select("files", "kept_per_probe")
+        .select("files", "kept_per_probe", "kept_bytes_per_probe",
+          "total_bytes", "cells")
         .collect().head
+      // volume amplification vs the ideal layout's total/nlist bytes
+      // per probe — the r17 companion that reads the truth where the
+      // open count reads a "perfect" 1.0 on a packed table
+      val volAmp = kept.getDouble(2) * kept.getLong(4) / kept.getLong(3)
       val handle = AnnIndex.prepare(spark, modelRoot, codesRoot)
       def t(f: => Unit): Double =
         (1 to iters).map { _ =>
@@ -80,7 +85,7 @@ object BenchAnnErosion {
       val prepped = t(handle.search(q1, k = 3, nprobe = 1)
         .queryExecution.toRdd.count())
       println(f"[ann-erosion] $stage%-9s files=${kept.getLong(0)}%-4d " +
-        f"kept/probe=${kept.getDouble(1)}%5.2f " +
+        f"kept/probe=${kept.getDouble(1)}%5.2f volAmp=$volAmp%5.2f " +
         f"direct=$direct%.3f s handle=$prepped%.3f s")
     }
 
@@ -108,7 +113,8 @@ object BenchAnnErosion {
     // sit under any realistic small-file cut, so recellSmall would pack
     // the whole table into one file — a layout whose kept-files-per-probe
     // reads a "perfect" 1.0 while every probe reads the entire table
-    // (the metric counts file OPENS, not volume; see layoutStats' note)
+    // (since r17 the volAmp column above reads the truth there, and the
+    // trigger/alerts fire on it — this bench prints both)
     AnnIndex.recell(spark, codesRoot)
     measure("repaired")
     spark.stop()

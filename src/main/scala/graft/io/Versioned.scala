@@ -3123,20 +3123,25 @@ object Versioned {
   /** Per-file containment counts over the CURRENT snapshot's stats
     * sidecars — METADATA-ONLY (no data file is opened): for each live
     * data file, how many of `values` its harvested `column` [min,max]
-    * may contain. Missing or unreadable stats count EVERY value for
-    * that file — the same conservative rule the pruned scan applies, so
-    * these counts are exactly the files a single-value probe on each of
-    * `values` would keep. Returns (batchDir/fileName, mayContainCount)
-    * per live file. This is the observability primitive behind layout-
-    * health checks (e.g. [[graft.ops.AnnIndex.layoutStats]]): pruning
-    * effectiveness is a property of per-file ranges, which only the
-    * sidecars know. */
+    * may contain, and the file's byte length (one listStatus per batch
+    * dir, not one RPC per file). Missing or unreadable stats count
+    * EVERY value for that file — the same conservative rule the pruned
+    * scan applies, so these counts are exactly the files a single-value
+    * probe on each of `values` would keep. Returns (batchDir/fileName,
+    * mayContainCount, bytes) per live file. This is the observability
+    * primitive behind layout-health checks (e.g.
+    * [[graft.ops.AnnIndex.layoutStats]]): pruning effectiveness is a
+    * property of per-file ranges, which only the sidecars know — and
+    * OPEN counts alone have a volume blind spot (a table packed into
+    * one all-cells file keeps 1 file per probe while every probe reads
+    * everything), which is why the byte lengths ride along. */
   def fileStatsCoverage(spark: SparkSession, root: String, column: String,
-                        values: Seq[Any]): Seq[(String, Int)] = {
+                        values: Seq[Any]): Seq[(String, Int, Long)] = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no committed versions at $root")
     val files = snapshotFiles(spark, root, Some(vs.last))
     val stats = statsByFile(spark, root, files)
+    val lens = fileLengths(fs(spark, new Path(root)), files.map(new Path(_)))
     files.map { s =>
       val p = new Path(s)
       // decode each file's [min,max] ONCE (FileStats.containsProbe),
@@ -3144,7 +3149,8 @@ object Versioned {
       // file would otherwise each re-parse the stat strings
       val probe = FileStats.containsProbe(
         stats.getOrElse(s, Map.empty).get(column))
-      (s"${p.getParent.getName}/${p.getName}", values.count(probe))
+      (s"${p.getParent.getName}/${p.getName}", values.count(probe),
+        lens.getOrElse(p.toUri.getPath, 0L))
     }
   }
 

@@ -242,12 +242,13 @@ private[io] object VersionedProcedures {
       (spark, rootFor, input) => row(graft.ops.AnnIndex.recell(spark,
         existing(spark, rootFor, input, 0)))),
 
-    Spec("ann_layout", "layout health of a celled ANN index table (graft.ops.AnnIndex.layoutStats) — the decision half of ann_recell, metadata-only apart from one bounded distinct-cells scan (coverage itself reads only the stats sidecars): one row per live data file, cells_covered = how many live cells its cluster [min,max] may contain, cells = nlist. Kept-files-per-probe = SUM(cells_covered)/ANY_VALUE(cells): exactly 1.0 at the rebuilt/recelled one-file-per-cell layout, rising ~1 per accreted all-cells maintenance file; graft.ops.AnnIndex.needsRecell(tolKept) is the mechanical trigger",
+    Spec("ann_layout", "layout health of a celled ANN index table (graft.ops.AnnIndex.layoutStats) — the decision half of ann_recell, metadata-only apart from one bounded distinct-cells scan (coverage itself reads only the stats sidecars): one row per live data file, cells_covered = how many live cells its cluster [min,max] may contain, cells = nlist, bytes = the file's length. Kept-files-per-probe = SUM(cells_covered)/ANY_VALUE(cells): exactly 1.0 at the rebuilt/recelled one-file-per-cell layout, rising ~1 per accreted all-cells maintenance file. Kept-BYTES-per-probe = SUM(cells_covered*bytes)/ANY_VALUE(cells) closes the open-count blind spot (a one-packed-file table keeps 1.0 files per probe while every probe reads everything); graft.ops.AnnIndex.needsRecell(tolKept) triggers on either leg",
       Array(in("codes_table", StringType)),
       StructType(Seq(
         StructField("file", StringType, nullable = true),
         StructField("cells_covered", IntegerType, nullable = false),
-        StructField("cells", IntegerType, nullable = false))),
+        StructField("cells", IntegerType, nullable = false),
+        StructField("bytes", LongType, nullable = false))),
       (spark, rootFor, input) =>
         graft.ops.AnnIndex.layoutStats(spark,
           existing(spark, rootFor, input, 0))
@@ -416,7 +417,7 @@ private[io] object VersionedProcedures {
           .orderBy("run_start")
           .queryExecution.executedPlan.executeCollect()),
 
-    Spec("ann_layout_alerts", "reduce a layout-monitor table (versionedAnnLayoutMonitorSink's accreted series, or any (batch_id, kept_per_probe) table) to maximal runs of consecutive LAYOUT breaches (graft.ops.AnnIndex.layoutAlerts): a batch breaches when kept_per_probe > tol_kept (the same threshold ann_recell's trigger fires on), alert = run_len >= min_run — the third erosion axis's run rule, closing its loop symmetry with ann_alerts ('recell on a RUN of eroded measurements, not one')",
+    Spec("ann_layout_alerts", "reduce a layout-monitor table (versionedAnnLayoutMonitorSink's accreted series, or any (batch_id, kept_per_probe) table) to maximal runs of consecutive LAYOUT breaches (graft.ops.AnnIndex.layoutAlerts): a batch breaches when kept_per_probe > tol_kept (the same threshold ann_recell's trigger fires on) OR — when the series carries the sink's volume columns (kept_bytes_per_probe, cells, total_bytes) — when read-volume amplification kept_bytes_per_probe/(total_bytes/cells) > tol_kept, the leg that catches a table packed into one all-cells file (open count reads a 'perfect' 1.0 while every probe reads everything); alert = run_len >= min_run — the third erosion axis's run rule, closing its loop symmetry with ann_alerts ('recell on a RUN of eroded measurements, not one')",
       Array(in("monitor_table", StringType),
         inDefault("tol_kept", org.apache.spark.sql.types.DoubleType, "2.0"),
         inDefault("min_run", IntegerType, "3")),

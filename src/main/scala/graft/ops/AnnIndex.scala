@@ -461,29 +461,62 @@ object AnnIndex {
 
   /** One scalar layout-health row off [[layoutStats]] — the point the
     * layout monitor sink accretes per trigger: (files, cells,
-    * kept_per_probe), kept_per_probe = sum(cells_covered)/nlist (what an
-    * average single-cell probe reads; 1.0 at the one-file-per-cell
-    * layout). Cost is [[layoutStats]]' own: sidecar reads plus the
-    * bounded distinct-cells scan. */
+    * kept_per_probe, kept_bytes_per_probe, total_bytes).
+    * kept_per_probe = sum(cells_covered)/nlist — how many files an
+    * average single-cell probe OPENS (1.0 at the one-file-per-cell
+    * layout); kept_bytes_per_probe = sum(cells_covered·bytes)/nlist —
+    * how many bytes it READS. Each catches what the other misses: open
+    * counts are blind to a table packed into one all-cells file (reads
+    * "perfect" 1.0 while every probe scans everything — the r16 bench
+    * trap), volume is blind to many tiny accreted files (open cost,
+    * listing pressure). total_bytes rides along so a breach rule can
+    * normalize volume against the IDEAL layout's total/nlist bytes per
+    * probe — the normalized form is what [[layoutAlerts]] and
+    * [[erodedBeyond]] compare against the same tolKept. Cost is
+    * [[layoutStats]]' own: sidecar reads plus the bounded
+    * distinct-cells scan. */
   def layoutPoint(spark: SparkSession, codesRoot: String): DataFrame =
     layoutStats(spark, codesRoot)
       .agg(count(lit(1)).as("files"),
         sum(col("cells_covered")).as("__covered"),
-        first(col("cells")).as("__cells"))
+        first(col("cells")).as("__cells"),
+        sum(col("cells_covered").cast("long") * col("bytes")).as("__keptb"),
+        sum(col("bytes")).as("total_bytes"))
       .select(col("files"), col("__cells").cast("long").as("cells"),
-        (col("__covered").cast("double") / col("__cells")).as("kept_per_probe"))
+        (col("__covered").cast("double") / col("__cells")).as("kept_per_probe"),
+        (col("__keptb").cast("double") / col("__cells"))
+          .as("kept_bytes_per_probe"),
+        col("total_bytes"))
 
   /** Runs of consecutive LAYOUT breaches in a layout-monitor series —
     * the third erosion axis's run rule, completing its loop symmetry
     * with drift ([[driftAlerts]]): `series` is any (batch_id, …,
     * kept_per_probe) frame (the layout monitor sink's accreted table);
-    * a batch breaches when kept_per_probe > `tolKept` — the same
-    * threshold [[needsRecell]] fires on — and maximal batch_id-order
-    * runs come back as (run_start, run_end, run_len, alert). */
+    * maximal batch_id-order runs come back as (run_start, run_end,
+    * run_len, alert). A batch breaches when kept_per_probe > `tolKept`
+    * — the same threshold [[needsRecell]] fires on — OR, when the
+    * series carries the volume columns the sink accretes
+    * (kept_bytes_per_probe, cells, total_bytes), when the READ VOLUME
+    * amplification kept_bytes_per_probe / (total_bytes/cells) exceeds
+    * the same `tolKept` (1.0 at the ideal one-file-per-cell layout,
+    * nlist at a one-packed-file table). The volume leg is what catches
+    * the pathology open counts are blind to: a table packed into ONE
+    * all-cells file keeps 1.0 files per probe ("perfect") while every
+    * probe reads everything. Series without the volume columns
+    * (pre-upgrade monitor tables, hand-built frames) alert on the
+    * file-count rule alone, as before. */
   def layoutAlerts(series: DataFrame, tolKept: Double,
                    minRun: Int): DataFrame = {
     require(minRun > 0, s"layoutAlerts: minRun=$minRun must be positive")
-    breachRuns(series, col("kept_per_probe") > tolKept, minRun)
+    val hasVolume = Seq("kept_bytes_per_probe", "cells", "total_bytes")
+      .forall(series.columns.contains)
+    val breach =
+      if (hasVolume)
+        col("kept_per_probe") > tolKept ||
+          col("kept_bytes_per_probe") * col("cells") >
+            lit(tolKept) * col("total_bytes")
+      else col("kept_per_probe") > tolKept
+    breachRuns(series, breach, minRun)
   }
 
   /** The mechanical rebuild decision: true when reconstruction quality
@@ -715,50 +748,86 @@ object AnnIndex {
     * every cell — conservatively, exactly as the pruned scan keeps
     * them. */
   /** One implementation of the coverage rule, shared by the measure and
-    * the trigger: (live cells, per-file mayContain counts). */
+    * the trigger: (live cells, per-file (path, mayContain count,
+    * bytes)). */
   private def cellCoverage(spark: SparkSession, codesRoot: String)
-      : (IndexedSeq[Any], Seq[(String, Int)]) = {
+      : (IndexedSeq[Any], Seq[(String, Int, Long)]) = {
     val cells = liveCells(spark, codesRoot)
     (cells, Versioned.fileStatsCoverage(spark, codesRoot, "cluster", cells))
   }
 
-  /** Metric caveat: kept-files-per-probe counts file OPENS, not read
-    * VOLUME — a table small enough to pack into one file reads 1.0
-    * ("perfect") while every probe scans the whole table. The blind
-    * spot is confined to tables at or below one compaction target
-    * (where pruning is moot anyway) and to compactions run WITHOUT the
-    * cluster sort (use recell/recellSmall, which range by cell); when
-    * in doubt read this frame's per-file rows next to file sizes
-    * (`CALL graft.system.detail`). */
+  /** Two metrics, because each has the other's blind spot:
+    * kept-files-per-probe counts file OPENS — a table packed into ONE
+    * all-cells file reads a "perfect" 1.0 while every probe scans the
+    * whole table (the r16 bench hit exactly this after a recellSmall
+    * that packed everything). The per-file `bytes` column closes that
+    * with DATA: [[layoutPoint]] derives kept_bytes_per_probe from it,
+    * and the breach rule ([[erodedBeyond]], [[layoutAlerts]]) fires
+    * when EITHER the open count or the read volume (normalized by the
+    * ideal layout's total/nlist per probe) exceeds tolerance. */
   def layoutStats(spark: SparkSession, codesRoot: String): DataFrame = {
     val (cells, cov) = cellCoverage(spark, codesRoot)
     import spark.implicits._
     // nlist rides as a constant column so kept-files-per-probe is one
     // aggregation away: SUM(cells_covered) / ANY_VALUE(cells)
-    cov.toDF("file", "cells_covered").withColumn("cells", lit(cells.length))
+    cov.toDF("file", "cells_covered", "bytes")
+      .select(col("file"), col("cells_covered"),
+        lit(cells.length).as("cells"), col("bytes"))
   }
 
   /** The mechanical [[recell]] trigger: true when the average
-    * single-cell probe keeps more than `tolKept` files —
-    * sum(cells_covered) / nlist over [[layoutStats]]' rows, 1.0 at the
-    * ideal layout. The default 2.0 fires once accreted maintenance
-    * files cost an average probe about one extra file read per cell —
-    * i.e. well before the scan floor doubles. Layout is the THIRD
-    * erosion axis next to quality ([[needsRebuild]]'s drift half) and
-    * balance (its skew half); its remedy is the cheap one, so check it
-    * first in a maintenance loop. */
+    * single-cell probe keeps more than `tolKept` files
+    * (sum(cells_covered)/nlist) OR reads more than `tolKept`× the ideal
+    * layout's bytes (the volume leg — see [[erodedBeyond]]); both are
+    * 1.0 at the one-file-per-cell layout. The default 2.0 fires once
+    * accreted maintenance files cost an average probe about one extra
+    * file read per cell — i.e. well before the scan floor doubles —
+    * and, on the volume leg, once a compaction that ignored the cell
+    * sort makes an average probe read twice the ideal bytes (the
+    * one-packed-file regime reads nlist×, so it trips immediately).
+    * Layout is the THIRD erosion axis next to quality
+    * ([[needsRebuild]]'s drift half) and balance (its skew half); its
+    * remedy is the cheap one, so check it first in a maintenance
+    * loop. */
   def needsRecell(spark: SparkSession, codesRoot: String,
                   tolKept: Double = 2.0): Boolean = {
     val (cells, cov) = cellCoverage(spark, codesRoot)
     erodedBeyond(cells, cov, tolKept)
   }
 
-  /** ONE definition of the layout-breach rule (kept-files-per-probe >
-    * tol), shared by the trigger and the combined check-and-repair so
-    * they can never drift apart. */
-  private def erodedBeyond(cells: IndexedSeq[Any], cov: Seq[(String, Int)],
-                           tolKept: Double): Boolean =
-    cov.map(_._2.toLong).sum.toDouble / cells.length > tolKept
+  /** ONE definition of the layout-breach rule, shared by the trigger
+    * ([[needsRecell]]), the combined check-and-repair
+    * ([[recellIfNeeded]]) and — via the same layoutPoint columns — the
+    * run rule ([[layoutAlerts]]), so they can never drift apart. Two
+    * legs, either fires: kept-files-per-probe > tol (open-count
+    * erosion: accreted all-cells maintenance files), or read-volume
+    * amplification kept-bytes-per-probe / (total/nlist) > tol (the
+    * packed-file pathology open counts read as a "perfect" 1.0). Both
+    * are 1.0 at the ideal one-file-per-cell layout and both are
+    * repaired by the same remedy ([[recell]]'s cell-ranged rewrite), so
+    * one tolerance governs both. Convergence of the repair loop on the
+    * volume leg: a recelled layout has each cell in exactly ONE file,
+    * but the range partitioner may merge adjacent cells into one file
+    * (never split one), and a merged file is read by each of its
+    * cells' probes — so the post-repair amp is 1.0 only at the exact
+    * one-file-per-cell landing and bounded by the bytes-weighted merge
+    * factor otherwise (≤ 2.0 for pairwise merges — at or under the
+    * default tolerance, so the trigger goes quiet). A ≥3-cell merge of
+    * hot cells could leave the amp above tol; a re-fired recell
+    * RESAMPLES range boundaries, so repeated repairs do not reproduce
+    * the same pathological landing. */
+  private def erodedBeyond(cells: IndexedSeq[Any],
+                           cov: Seq[(String, Int, Long)],
+                           tolKept: Double): Boolean = {
+    val keptFiles = cov.map(_._2.toLong).sum.toDouble / cells.length
+    val total = cov.map(_._3).sum
+    // volume leg skipped when lengths are unknown (total 0): a missing
+    // listing must not read as an infinitely-amplified layout
+    val volAmp =
+      if (total <= 0L) 1.0
+      else cov.map(f => f._2.toDouble * f._3).sum / total
+    keptFiles > tolKept || volAmp > tolKept
+  }
 
   /** Persist the binary (1-bit/dim) sign-fingerprint index for
     * [[binarySearch]]: one (vec_id, fp) row per corpus vector, dim/8

@@ -1262,6 +1262,50 @@ object CoverageQueries {
       |FROM breach GROUP BY rn - rb
       |""".stripMargin
 
+  /** The VOLUME-aware layout run rule (r17: [[graft.ops.AnnIndex
+    * .layoutAlerts]]' second leg) over a deterministic series carrying
+    * the monitor sink's full row shape — kept_per_probe (file opens)
+    * AND kept_bytes_per_probe/cells/total_bytes (read volume). The
+    * series derives from the lineitem line numbers so DuckDB can
+    * recompute BOTH breach legs and the OR between them positionally:
+    * batch 5 breaches only by open count, batches 3/6/7 only by
+    * volume amplification (keptB·cells > tol·total — the
+    * one-packed-file pathology's signature, where opens read a
+    * "perfect" 1.0), batch 2 by both. The REAL sink-accreted packed
+    * regime is pinned by the streaming spec (file sizes DuckDB cannot
+    * see); this query pins the reduction RULE itself. */
+  def annLayoutVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.AnnIndex
+    val series = Tables.lineitem(spark, sfDir)
+      .select(col("l_linenumber").cast("long").as("batch_id")).distinct()
+      .withColumn("kept_per_probe",
+        (pmod(col("batch_id"), lit(3L)) + lit(1L)).cast("double"))
+      .withColumn("kept_bytes_per_probe",
+        ((pmod(col("batch_id"), lit(4L)) + lit(1L)) * lit(100L))
+          .cast("double"))
+      .withColumn("cells", lit(8L))
+      .withColumn("total_bytes", lit(800L))
+    AnnIndex.layoutAlerts(series, tolKept = 2.0, minRun = 2)
+  }
+
+  val annLayoutVolumeOracle: String =
+    """WITH ser AS (
+      |  SELECT DISTINCT CAST(l_linenumber AS BIGINT) AS batch_id,
+      |         CAST((l_linenumber % 3) + 1 AS DOUBLE) AS kept,
+      |         CAST(((l_linenumber % 4) + 1) * 100 AS DOUBLE) AS keptb
+      |  FROM lineitem),
+      |breach AS (
+      |  SELECT batch_id, rn, row_number() OVER (ORDER BY batch_id) AS rb FROM (
+      |    SELECT batch_id, kept, keptb,
+      |           row_number() OVER (ORDER BY batch_id) AS rn
+      |    FROM ser)
+      |  WHERE kept > 2.0 OR keptb * 8 > 2.0 * 800)
+      |SELECT min(batch_id) AS run_start, max(batch_id) AS run_end,
+      |       CAST(count(*) AS INTEGER) AS run_len,
+      |       count(*) >= 2 AS alert
+      |FROM breach GROUP BY rn - rb
+      |""".stripMargin
+
   val annIvfKmeansOracle: String =
     s"""WITH comp AS (
        |  SELECT label, i,
@@ -2080,6 +2124,7 @@ object CoverageQueries {
     "ann_drift_sampled" -> (annDriftSampled _),
     "ann_drift_alerts" -> (annDriftAlerts _),
     "ann_layout_alerts" -> (annLayoutAlerts _),
+    "ann_layout_volume" -> (annLayoutVolume _),
     "ann_cell_stats" -> (annCellStats _),
     "ann_binary_rerank" -> (annBinaryRerank _),
     "ann_binary_lifecycle" -> (annBinaryLifecycle _),
@@ -2138,6 +2183,7 @@ object CoverageQueries {
     "ann_drift_sampled" -> annDriftSampledOracle,
     "ann_drift_alerts" -> annDriftAlertsOracle,
     "ann_layout_alerts" -> annLayoutAlertsOracle,
+    "ann_layout_volume" -> annLayoutVolumeOracle,
     "ann_cell_stats" -> annCellStatsOracle,
     "ann_binary_rerank" -> annBinaryRerankOracle,
     "ann_binary_lifecycle" -> annBinaryRerankOracle,

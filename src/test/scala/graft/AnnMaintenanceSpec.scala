@@ -377,10 +377,12 @@ class AnnMaintenanceSpec extends SparkSpecBase {
     // all 4 cells between them, so kept-files-per-probe ≥ 4 > tol 2.0
     assert(AnnIndex.needsRecell(spark, codesRoot))
     val lsBefore = AnnIndex.layoutStats(spark, codesRoot)
-      .as[(String, Int, Int)].collect()
+      .as[(String, Int, Int, Long)].collect()
     assert(lsBefore.forall(_._3 == 4))
     assert(lsBefore.map(_._2).sum >= 16,
       s"expected ≥16 total cell coverage, got ${lsBefore.toSeq}")
+    // every live file's byte length rides along (the volume leg's input)
+    assert(lsBefore.forall(_._4 > 0L), lsBefore.toSeq)
 
     val queries = emb.filter(col("vec_id") < 20)
     val before = AnnIndex.search(spark, queries, modelRoot, codesRoot,
@@ -411,7 +413,7 @@ class AnnMaintenanceSpec extends SparkSpecBase {
     // the range boundaries fell, so total coverage == nlist exactly and
     // kept-files-per-probe == 1.0
     val lsAfter = AnnIndex.layoutStats(spark, codesRoot)
-      .as[(String, Int, Int)].collect()
+      .as[(String, Int, Int, Long)].collect()
     assert(lsAfter.map(_._2).sum == 4, lsAfter.toSeq)
     assert(lsAfter.length == totalAfter)
     assert(!AnnIndex.needsRecell(spark, codesRoot))
@@ -429,9 +431,10 @@ class AnnMaintenanceSpec extends SparkSpecBase {
     assert(e.getMessage.contains("no cluster column"))
   }
 
-  test("layout monitor sink accretes (files, cells, kept_per_probe) per " +
-    "trigger and layoutAlerts reduces the series to breach runs — the " +
-    "third erosion axis's full loop through the REAL sinks") {
+  test("layout monitor sink accretes (files, cells, kept_per_probe, " +
+    "kept_bytes_per_probe, total_bytes) per trigger and layoutAlerts " +
+    "reduces the series to breach runs — incl. the one-packed-file " +
+    "pathology the volume leg exists for — through the REAL sinks") {
     val rows = (0 until 200).map(i => (i.toLong, (i % 4).toLong, pureBlockVec(i)))
     val emb = rows.toDF("vec_id", "label", "embedding")
     val modelRoot = java.nio.file.Files.createTempDirectory("annm_lm").toString
@@ -454,19 +457,42 @@ class AnnMaintenanceSpec extends SparkSpecBase {
     val layoutQ = graft.streaming.Streams.versionedAnnLayoutMonitorSink(
       tick.toDF(), codesRoot, monRoot,
       java.nio.file.Files.createTempDirectory("annckpt_lmm").toString)
-    try {
+    val lastKept = try {
       for (b <- 0 until 3) {
         src.addData((0 until 40).map(i => (10000L + b * 100 + i, pureBlockVec(i))))
         indexQ.processAllAvailable()
         tick.addData(b.toLong)
         layoutQ.processAllAvailable()
       }
+      // the trigger agrees with the sink's measurement at this point:
+      // the same number needsRecell reads is the last accreted point
+      val lk = AnnIndex.layoutPoint(spark, codesRoot)
+        .select("kept_per_probe").as[Double].head()
+      assert(AnnIndex.needsRecell(spark, codesRoot, tolKept = lk - 0.01))
+      assert(!AnnIndex.needsRecell(spark, codesRoot, tolKept = lk + 0.01))
+      // the ONE-PACKED-FILE pathology, measured by the SAME running
+      // sink as batch 3 (see the volume assertions below): a compaction
+      // WITHOUT the cell sort packs the whole table into one all-cells
+      // file — the r16 bench's blind-spot trap
+      graft.io.Versioned.compactLatest(spark, codesRoot, nFiles = 1)
+      tick.addData(3L)
+      layoutQ.processAllAvailable()
+      lk
     } finally { indexQ.stop(); layoutQ.stop() }
 
-    val series = graft.io.Versioned.read(spark, monRoot)
+    val accreted = graft.io.Versioned.read(spark, monRoot)
+    val series = accreted.filter(col("batch_id") <= 2L)
       .select("batch_id", "files", "cells", "kept_per_probe")
       .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
     assert(series.map(_._1).toSeq == Seq(0L, 1L, 2L), series.toSeq)
+    // the volume companion accretes alongside: kept bytes per probe and
+    // the snapshot total, both strictly rising as all-cells waves land
+    val vol = accreted.filter(col("batch_id") <= 2L)
+      .select("batch_id", "kept_bytes_per_probe", "total_bytes")
+      .as[(Long, Double, Long)].collect().sortBy(_._1)
+    assert(vol.forall(v => v._2 > 0.0 && v._3 > 0L), vol.toSeq)
+    assert(vol.sliding(2).forall(w => w(0)._2 < w(1)._2), vol.toSeq)
+    assert(vol.sliding(2).forall(w => w(0)._3 < w(1)._3), vol.toSeq)
     // every wave spans all 4 cells, so each appended wave's files add
     // full-coverage rows: kept-per-probe strictly rises wave over wave,
     // starting ≥ 2.0 (the ideal 1.0 plus at least one full-coverage
@@ -476,17 +502,15 @@ class AnnMaintenanceSpec extends SparkSpecBase {
       series.sliding(2).forall(w => w(0)._4 < w(1)._4), series.toSeq)
     assert(series.head._4 >= 2.0, series.toSeq)
     assert(series.sliding(2).forall(w => w(0)._2 < w(1)._2), series.toSeq)
-    // the trigger agrees with the sink's measurement: the same number
-    // needsRecell reads is the last accreted point
-    assert(AnnIndex.needsRecell(spark, codesRoot,
-      tolKept = series.last._4 - 0.01))
-    assert(!AnnIndex.needsRecell(spark, codesRoot,
-      tolKept = series.last._4 + 0.01))
+    // the trigger-agreement number read mid-stream IS the last accreted
+    // pre-repack point
+    assert(series.last._4 == lastKept, s"${series.toSeq} vs $lastKept")
 
-    // the run rule over the REAL series: with tol at the first wave's
-    // value, waves 1..2 breach consecutively -> one alerting run
+    // the run rule over the REAL pre-repack series: with tol at the
+    // first wave's value, waves 1..2 breach consecutively -> one
+    // alerting run
     val runs = AnnIndex.layoutAlerts(
-      graft.io.Versioned.read(spark, monRoot), tolKept = series.head._4,
+      accreted.filter(col("batch_id") <= 2L), tolKept = series.head._4,
       minRun = 2)
       .select("run_start", "run_end", "run_len", "alert")
       .as[(Long, Long, Int, Boolean)].collect().toSeq
@@ -494,6 +518,46 @@ class AnnMaintenanceSpec extends SparkSpecBase {
     // (exactly-once replay of a committed trigger is the shared
     // alreadyCommitted/batchTag discipline, spec-pinned on the drift
     // monitor sink; this sink rides the same helpers verbatim)
+
+    // --- the packed regime's accreted point: the open count reads a
+    // "perfect" 1.0 while every probe reads everything — the volume
+    // companion must breach while kept_per_probe stays green
+    val packed = accreted
+      .filter(col("batch_id") === 3L)
+      .select("files", "cells", "kept_per_probe", "kept_bytes_per_probe",
+        "total_bytes")
+      .as[(Long, Long, Double, Double, Long)].collect().toSeq
+    assert(packed.length == 1, packed)
+    val (pf, pc, pKept, pKeptB, pTotal) = packed.head
+    assert(pf == 1L && pc == 4L, packed)
+    assert(pKept == 1.0, s"open-count metric should read 'perfect' here: $pKept")
+    // ...and the volume metric reads the truth: every probe reads the
+    // whole table, amplification == nlist
+    assert(pKeptB == pTotal.toDouble, packed)
+    assert(pKeptB * pc > 2.0 * pTotal, packed)
+    // the run rule breaches on the volume leg even though the file leg
+    // is green: waves 1..2 (file leg) and the packed batch 3 (volume
+    // leg) form ONE maximal run
+    val runs2 = AnnIndex.layoutAlerts(
+      graft.io.Versioned.read(spark, monRoot), tolKept = 2.0, minRun = 2)
+      .select("run_start", "run_end", "run_len", "alert")
+      .as[(Long, Long, Int, Boolean)].collect().toSeq
+    assert(runs2 == Seq((1L, 3L, 3, true)), runs2)
+    // the trigger fires on the same leg, and the standard remedy (the
+    // cell-ranged rewrite) restores both metrics: opens to exactly 1.0;
+    // volume to ≥1.0 but back under tolerance and far from the packed
+    // regime's nlist (the range partitioner may merge adjacent cells
+    // into one file — never split one — and a merged file is read by
+    // each of its cells' probes, so the healed amp can sit above 1.0)
+    assert(AnnIndex.needsRecell(spark, codesRoot))
+    assert(AnnIndex.recellIfNeeded(spark, codesRoot).isDefined)
+    val healed = AnnIndex.layoutPoint(spark, codesRoot)
+      .select("cells", "kept_per_probe", "kept_bytes_per_probe", "total_bytes")
+      .as[(Long, Double, Double, Long)].collect().head
+    assert(healed._2 == 1.0, healed)
+    val healedAmp = healed._3 * healed._1 / healed._4
+    assert(healedAmp >= 1.0 && healedAmp < pc, healed.toString)
+    assert(!AnnIndex.needsRecell(spark, codesRoot))
   }
 
   test("recellSmall repairs only the accreted tail: build files carry by " +
@@ -551,7 +615,7 @@ class AnnMaintenanceSpec extends SparkSpecBase {
     // packed file, so total coverage == build 4 + tail 4 == 8 and the
     // 2.0-kept-per-probe trigger goes quiet (2.0 is not > 2.0)
     val ls = AnnIndex.layoutStats(spark, codesRoot)
-      .as[(String, Int, Int)].collect()
+      .as[(String, Int, Int, Long)].collect()
     assert(ls.map(_._2).sum == 8, ls.toSeq)
     assert(!AnnIndex.needsRecell(spark, codesRoot))
     // layout-only: identical results, model untouched

@@ -301,10 +301,11 @@ class VersionedProcedureSpec extends SparkSpecBase {
     // layout health through SQL: freshly recelled, every cell lives in
     // exactly one file, so total coverage == nlist (kept-per-probe 1.0)
     val lay = spark.sql("CALL graft_proc.system.ann_layout('ns.anncodes')")
-    assert(lay.columns.toSeq == Seq("file", "cells_covered", "cells"))
-    val lr = lay.as[(String, Int, Int)].collect()
+    assert(lay.columns.toSeq == Seq("file", "cells_covered", "cells", "bytes"))
+    val lr = lay.as[(String, Int, Int, Long)].collect()
     assert(lr.forall(_._3 == 4))
     assert(lr.map(_._2).sum == 4, lr.toSeq)
+    assert(lr.forall(_._4 > 0L), lr.toSeq)
 
     // measured recall@3 through SQL at nprobe = every cell: one row per
     // query (qid rides as string), hits bounded by k, recall = hits/k;
