@@ -172,6 +172,54 @@ object BenchAnnSearch {
         f"(aqe=$aqe, shuffle=$shuffleParts)")
     }
 
+    // ---- the DRIVER-LOCAL serve dial (r17) ----------------------------
+    // narrow probes whose kept files total ≤ the cap run the candidate
+    // join driver-side in ONE job (row-identical, spec-pinned); probes
+    // past the cap fall back to the distributed join above. The timing
+    // wraps search() itself: the local path materializes eagerly inside
+    // it, the fallback lazily — executeCollect afterwards prices both
+    // as a serving consumer would.
+    {
+      val cap = sys.env.getOrElse("SPARK_GRAFT_LOCAL_CAP",
+        (64L * 1024 * 1024).toString).toLong
+      def timeL(label: String, nprobe: Int): Double = {
+        val runs = (1 to iters).map { _ =>
+          val t0 = System.nanoTime()
+          val df = handle.search(q1, k = 3, nprobe = nprobe,
+            localBytesCap = cap)
+          df.queryExecution.executedPlan.executeCollect()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[ann-search] local:$label%-8s nprobe=$nprobe%-4d " +
+          f"min=${runs.min}%.3f s")
+        runs.min
+      }
+      timeL("narrow", 1) // warm (codegen for the collect plan)
+      val lNarrow = timeL("narrow", 1)
+      timeL("mid", math.max(1, k / 8))
+      timeL("wide", k) // kept bytes past the cap: the distributed path
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val reps = 10
+      val t0 = System.nanoTime()
+      (1 to reps).foreach { _ =>
+        handle.search(q1, k = 3, nprobe = 1, localBytesCap = cap)
+          .queryExecution.executedPlan.executeCollect()
+        ()
+      }
+      val perCall = (System.nanoTime() - t0) / 1e9 / reps
+      org.apache.spark.sql.graftx.Bridge.drainListeners(spark, 30000)
+      spark.sparkContext.removeSparkListener(listener)
+      println(f"[ann-search] local floor ($reps calls, nprobe=1): " +
+        f"$perCall%.3f s/call, ${jobs.get / reps.toDouble}%.1f jobs/call " +
+        f"(cap=${cap / 1024 / 1024} MB, narrow min=$lNarrow%.3f)")
+    }
+
     // ---- many DIFFERENT queries, narrow probe -------------------------
     // each call probes its own cell (different keep-sets per call), the
     // production shape the handle exists for: per-call cost must stay at
@@ -190,6 +238,20 @@ object BenchAnnSearch {
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[ann-search] handle ${singles.length} distinct narrow " +
         f"searches: total=$dt%.2f s, ${dt / singles.length}%.3f s/call")
+      // the same distinct-cell serve through the local dial: per-call
+      // cost must hold at the one-job floor across changing keep-sets
+      val cap = sys.env.getOrElse("SPARK_GRAFT_LOCAL_CAP",
+        (64L * 1024 * 1024).toString).toLong
+      singles.take(2).foreach(q =>
+        handle.search(q, k = 3, nprobe = 1, localBytesCap = cap)
+          .queryExecution.executedPlan.executeCollect())
+      val t1 = System.nanoTime()
+      singles.foreach(q =>
+        handle.search(q, k = 3, nprobe = 1, localBytesCap = cap)
+          .queryExecution.executedPlan.executeCollect())
+      val dt1 = (System.nanoTime() - t1) / 1e9
+      println(f"[ann-search] local ${singles.length} distinct narrow " +
+        f"searches: total=$dt1%.2f s, ${dt1 / singles.length}%.3f s/call")
     }
     spark.stop()
   }

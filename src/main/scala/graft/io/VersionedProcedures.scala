@@ -300,10 +300,11 @@ private[io] object VersionedProcedures {
         row(mv, cv)
       }),
 
-    Spec("ann_search_prepared", "search a (vec_id, embedding) query table through the session handle ann_prepare cached for this (model, codes) pair (graft.ops.PreparedAnnSearch.search) — the SQL surface of the prepared path, so a SQL-only user stops re-paying the per-call model read, assignment job and scan resolution. Refuses without a prior ann_prepare IN THIS SESSION, and refuses a STALE handle (either table advanced past the prepared version pair) naming both pairs and the remedy; same query-batch cap as the Scala handle (batch past 10k (query, probed-cell) rows: use graft.ops.AnnIndex.search)",
+    Spec("ann_search_prepared", "search a (vec_id, embedding) query table through the session handle ann_prepare cached for this (model, codes) pair (graft.ops.PreparedAnnSearch.search) — the SQL surface of the prepared path, so a SQL-only user stops re-paying the per-call model read, assignment job and scan resolution. Refuses without a prior ann_prepare IN THIS SESSION, and refuses a STALE handle (either table advanced past the prepared version pair) naming both pairs and the remedy; same query-batch cap as the Scala handle (batch past 10k (query, probed-cell) rows: use graft.ops.AnnIndex.search). local_bytes_cap > 0 enables the driver-local serve dial: when the probe's kept files total at most that many bytes, the candidate join runs driver-side in ONE job (row-identical by construction and by spec; narrow single-query serving drops under the local-mode multi-stage floor)",
       Array(in("queries_table", StringType), in("model_table", StringType),
         in("codes_table", StringType), inDefault("k", IntegerType, "10"),
-        inDefault("nprobe", IntegerType, "1")),
+        inDefault("nprobe", IntegerType, "1"),
+        inDefault("local_bytes_cap", LongType, "0")),
       StructType(Seq(
         StructField("qid", StringType, nullable = true),
         StructField("nid", StringType, nullable = true),
@@ -332,7 +333,8 @@ private[io] object VersionedProcedures {
             "snapshot (cheap: no training)")
         val sc = StringType
         handle.search(Versioned.read(spark, queriesRoot),
-          k = input.getInt(3), nprobe = input.getInt(4))
+          k = input.getInt(3), nprobe = input.getInt(4),
+          localBytesCap = input.getLong(5))
           // order on the ORIGINAL types, then cast to the fixed schema
           // (numeric ids come back numerically ordered, like ann_recall)
           .orderBy("qid", "rank")

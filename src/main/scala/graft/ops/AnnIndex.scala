@@ -1344,8 +1344,20 @@ object AnnIndex {
         s"table (needs vec_id, cluster, sub, code; has " +
         s"${codes.columns.mkString(",")})")
     val (codesRel, codesTable) = versionedRelOf(codes, "prepare", codesRoot)
+    // the local-serve dial's driver-held inputs: the codebook as a map
+    // (keys normalized so an int code column still hits a long-labeled
+    // book, like the distributed join's implicit cast), and the
+    // snapshot's file lengths (hit-only against the shared status
+    // cache — the listing already happened when the scan resolved)
+    val bookDriver: Map[Any, Array[Double]] = bookRows.map(r =>
+      PreparedAnnSearch.normId(r.get(1)) -> r.getSeq[Double](2).toArray).toMap
+    val fileBytes: Map[(String, String), Long] =
+      codesTable.prunedIndex.allFiles().map { f =>
+        (f.getPath.getParent.getName, f.getPath.getName) -> f.getLen
+      }.toMap
     new PreparedAnnSearch(spark, assignLocal, bookLocal, dsub, codesRel,
-      codesTable, codesTable.prunedIndex.keepProbe("cluster"))
+      codesTable, codesTable.prunedIndex.keepProbe("cluster"), bookDriver,
+      fileBytes)
   }
 
   /** The versioned DSv2 relation + table behind a freshly-loaded
@@ -1609,7 +1621,12 @@ final class PreparedAnnSearch private[ops] (
     dsub: Int,
     codesRel: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation,
     codesTable: graft.io.VersionedReadTable,
-    keepFor: Seq[Any] => Set[(String, String)]) {
+    keepFor: Seq[Any] => Set[(String, String)],
+    // the driver-local serve dial's inputs, both resolved at prepare:
+    // code label -> centroid-residual codebook row, and each snapshot
+    // file's byte length (for the kept-volume eligibility gate)
+    bookDriver: Map[Any, Array[Double]],
+    fileBytes: Map[(String, String), Long]) {
 
   /** [[AnnIndex.search]] against the prepared pair: byte-identical rows,
     * no model read, no assignment job, no fallback shape — a query batch
@@ -1642,13 +1659,180 @@ final class PreparedAnnSearch private[ops] (
     * heavily-eroded table served without repair wants the direct
     * [[AnnIndex.search]], which re-plans per call and keeps the
     * row-group literal. */
-  def search(queries: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
+  def search(queries: DataFrame, k: Int, nprobe: Int = 1,
+             localBytesCap: Long = 0L): DataFrame = {
     val (qaLocal, probed) = assignLocal.assign(queries, nprobe,
       rowBudget = 10000, alternative =
         "AnnIndex.search, whose distributed fallback handles jumbo sets")
-    val pruned = org.apache.spark.sql.graftx.Bridge.ofRows(spark,
-      codesRel.copy(table = codesTable.withKeep(keepFor(probed))))
-    Similarity.ivfPqTopKIndexed(pruned, qaLocal, bookLocal, dsub, k)
+    val keep = keepFor(probed)
+    val local =
+      if (localBytesCap > 0L && keptBytes(keep) <= localBytesCap)
+        localServe(qaLocal, keep, k)
+      else None
+    local.getOrElse {
+      val pruned = org.apache.spark.sql.graftx.Bridge.ofRows(spark,
+        codesRel.copy(table = codesTable.withKeep(keep)))
+      Similarity.ivfPqTopKIndexed(pruned, qaLocal, bookLocal, dsub, k)
+    }
+  }
+
+  /** Kept volume of a probe's keep-set, from the snapshot listing
+    * resolved at prepare. A kept file missing from the listing (cannot
+    * happen for a manifest-live file; defensive) prices as huge, so it
+    * disqualifies the local dial instead of under-counting. */
+  private def keptBytes(keep: Set[(String, String)]): Long =
+    keep.iterator.map(fileBytes.getOrElse(_, Long.MaxValue / 4096)).sum
+
+  /** The DRIVER-LOCAL serve path behind the `localBytesCap` dial — the
+    * r16 verdict's "missing #4" posture decision, taken as the measured
+    * path rather than a waiver. Rationale: at the narrow-serving floor
+    * the distributed candidate join is 4–6 stage-serialized near-empty
+    * jobs whose cost is local-mode SCHEDULING, not work (r16 task
+    * accounting); when the kept volume is tiny the candidates fit on
+    * the driver, where the centroids and codebook already live. This
+    * path runs ONE job — collecting the kept files' code rows through
+    * the SAME literal-free keep-set scan the distributed path plans
+    * (same pruning, same DV refusals, stable cached codegen) — then
+    * reconstructs, scores and ranks driver-side with loops that
+    * replicate the distributed kernels' arithmetic EXACTLY:
+    * `Kernels.cosineFD`'s sequential float×double left fold,
+    * `topKRowsSorted`'s (cos_pq DESC, nid ASC) total order via
+    * Double.compare (NaN above all) with UTF8 binary order on string
+    * ids, the candidate semi join's cluster membership, the book inner
+    * join's drop-unknown-codes, and the qid≠nid filter — so rows are
+    * byte-identical to the distributed form (dial-equality
+    * spec-pinned at every probe width). Bounds: eligibility is gated
+    * on kept BYTES ≤ the dial (the collect reads at most that), and
+    * the query side is already capped by the handle's 10k row budget.
+    * Returns None — fall back to the distributed join — for a batch
+    * with a NULL query embedding (those ride the distributed kernel's
+    * null semantics, not a replica of them). */
+  private def localServe(qaLocal: DataFrame, keep: Set[(String, String)],
+                         k: Int): Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val qa = qaLocal.collect() // LocalRelation: driver-side, no job
+    if (qa.exists(_.isNullAt(1))) return None
+    val prunedDf = org.apache.spark.sql.graftx.Bridge.ofRows(spark,
+      codesRel.copy(table = codesTable.withKeep(keep)))
+      .select(col("vec_id"), col("cluster"), col("sub"), col("code"))
+    val nidType = prunedDf.schema("vec_id").dataType
+    val clType = prunedDf.schema("cluster").dataType
+    val qidType = qaLocal.schema("vec_id").dataType
+    val candRows = prunedDf.collect() // the ONE job; ≤ localBytesCap bytes
+
+    // ---- reconstruct per candidate, replicating the distributed shape:
+    // semi join on probed clusters, inner join codes->book (unknown
+    // codes drop), pieces concatenated in sub order
+    val probedSet = qa.map(_.get(2)).toSet
+    val acc = new java.util.HashMap[Any,
+      (Any, scala.collection.mutable.ArrayBuffer[(Int, Any)])]()
+    candRows.foreach { r =>
+      val cl = r.get(1)
+      if (probedSet.contains(cl)) {
+        val nid = r.get(0)
+        var e = acc.get(nid)
+        if (e == null) {
+          e = (cl, scala.collection.mutable.ArrayBuffer.empty[(Int, Any)])
+          acc.put(nid, e)
+        }
+        e._2 += ((r.getAs[Number](2).intValue(), r.get(3)))
+      }
+    }
+    val byCluster = new java.util.HashMap[Any,
+      scala.collection.mutable.ArrayBuffer[(Any, Array[Double])]]()
+    acc.forEach { (nid, e) =>
+      // the distributed shape's slice(cvec, sub*dsub+1, dsub): each book
+      // row is FULL-dim and subquantizer `sub` owns elements
+      // [sub*dsub, sub*dsub+dsub) — out-of-range truncates like slice
+      val pieces = e._2.sortBy(_._1).iterator.flatMap { p =>
+        bookDriver.get(PreparedAnnSearch.normId(p._2)) match {
+          case Some(cv) => cv.iterator.slice(p._1 * dsub, p._1 * dsub + dsub)
+          case None => Iterator.empty
+        }
+      }.toArray
+      var lst = byCluster.get(e._1)
+      if (lst == null) {
+        lst = scala.collection.mutable.ArrayBuffer.empty[(Any, Array[Double])]
+        byCluster.put(e._1, lst)
+      }
+      lst += ((nid, pieces))
+    }
+
+    // ---- score and rank per query, kernel- and order-exact
+    def cosFD(q: Array[Float], x: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = q.length
+      while (i < n) {
+        val a = q(i).toDouble; val b = x(i)
+        dot += a * b; na += a * a; nb += b * b; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def idCmp(t: DataType, a: Any, b: Any): Int = t match {
+      case StringType => UTF8String.fromString(a.asInstanceOf[String])
+        .compareTo(UTF8String.fromString(b.asInstanceOf[String]))
+      case _ => java.lang.Long.compare(a.asInstanceOf[Number].longValue(),
+        b.asInstanceOf[Number].longValue())
+    }
+    // qaLocal rows are (vec_id, embedding, cluster) per probe; group a
+    // query's probes (dedup already happened in assign)
+    val qProbes = new java.util.LinkedHashMap[Any,
+      (Array[Float], scala.collection.mutable.ArrayBuffer[Any])]()
+    qa.foreach { r =>
+      val qid = r.get(0)
+      var e = qProbes.get(qid)
+      if (e == null) {
+        val s = r.getSeq[Any](1)
+        val emb = new Array[Float](s.length)
+        var i = 0
+        s.foreach { v =>
+          emb(i) = if (v == null) 0f else v.asInstanceOf[Float]; i += 1
+        }
+        e = (emb, scala.collection.mutable.ArrayBuffer.empty[Any])
+        qProbes.put(qid, e)
+      }
+      e._2 += r.get(2)
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    qProbes.forEach { (qid, e) =>
+      val (emb, clusters) = e
+      val scored = scala.collection.mutable.ArrayBuffer
+        .empty[(Any, Any, Double)] // (nid, cluster, cos)
+      clusters.foreach { cl =>
+        val lst = byCluster.get(cl)
+        if (lst != null) lst.foreach { case (nid, xhat) =>
+          if (!(qid == nid)) scored += ((nid, cl, cosFD(emb, xhat)))
+        }
+      }
+      val ranked = scored.sortWith { (a, b) =>
+        val c = java.lang.Double.compare(b._3, a._3)
+        if (c != 0) c < 0 else idCmp(nidType, a._1, b._1) < 0
+      }.take(k)
+      var rk = 1
+      ranked.foreach { case (nid, cl, cos) =>
+        out.add(org.apache.spark.sql.Row(qid, nid, cl, cos, rk)); rk += 1
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("qid", qidType), StructField("nid", nidType),
+      StructField("cluster", clType),
+      StructField("cos_pq", DoubleType),
+      StructField("rank", IntegerType, nullable = false)))
+    Some(spark.createDataFrame(out, schema))
+  }
+}
+
+object PreparedAnnSearch {
+  /** Normalize an id/label for the local dial's driver-side map keys:
+    * integral types widen to Long (mirroring the distributed
+    * codes→book join's implicit numeric cast, so an int `code` column
+    * still hits a long-labeled book); everything else rides as-is. */
+  private[ops] def normId(v: Any): Any = v match {
+    case n: java.lang.Byte => java.lang.Long.valueOf(n.longValue())
+    case n: java.lang.Short => java.lang.Long.valueOf(n.longValue())
+    case n: java.lang.Integer => java.lang.Long.valueOf(n.longValue())
+    case other => other
   }
 }
 

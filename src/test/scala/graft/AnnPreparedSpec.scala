@@ -95,6 +95,68 @@ class AnnPreparedSpec extends SparkSpecBase {
     assert(viaHandle == viaDirect && viaHandle.nonEmpty)
   }
 
+  /** True when `df` resolved as a driver-local relation (the local
+    * serve dial's output) rather than a scan-bearing plan. */
+  private def isDriverLocal(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => r
+    }.isEmpty
+
+  test("driver-local serve dial: row-identical to the distributed handle " +
+    "and the direct search at every probe width; falls back past the " +
+    "kept-bytes gate and on null query embeddings") {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val modelRoot = tmp("annm_locl")
+    val codesRoot = tmp("annc_locl")
+    AnnIndex.trainAndRebuild(spark, emb, m = 16, dsub = 4, modelRoot, codesRoot)
+    val cells = AnnIndex.model(spark, modelRoot)._1.count().toInt
+    // real vectors plus the NaN-scoring zero vector (Double.compare
+    // ranks NaN above all in BOTH the heap and the local sort) — no
+    // null embeddings in the local-eligible batch
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(Seq((900001L, Seq.fill(64)(0f)))
+        .toDF("vec_id", "embedding"))
+    val handle = AnnIndex.prepare(spark, modelRoot, codesRoot)
+
+    for (np <- Seq(1, 2, cells)) {
+      val dist = handle.search(queries, k = 3, nprobe = np)
+      val local = handle.search(queries, k = 3, nprobe = np,
+        localBytesCap = Long.MaxValue / 8)
+      assert(isDriverLocal(local),
+        s"dial did not take the local path at nprobe=$np")
+      assert(!isDriverLocal(dist))
+      val d = dist.collect().toSet
+      assert(local.collect().toSet == d && d.nonEmpty,
+        s"local dial diverged from the distributed handle at nprobe=$np")
+      val direct = AnnIndex.search(spark, queries, modelRoot, codesRoot,
+        k = 3, nprobe = np).collect().toSet
+      assert(d == direct, s"handle diverged from direct at nprobe=$np")
+      // same column names and types (the hash-identity contract's
+      // schema half)
+      assert(local.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        dist.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    }
+
+    // a 1-byte cap can never admit a kept file: the dial falls back to
+    // the distributed join, rows identical
+    val fb = handle.search(queries, k = 3, nprobe = 1, localBytesCap = 1L)
+    assert(!isDriverLocal(fb))
+    assert(fb.collect().toSet ==
+      handle.search(queries, k = 3, nprobe = 1).collect().toSet)
+
+    // a batch with a NULL embedding rides the distributed kernel's null
+    // semantics: the dial declines (falls back), rows identical
+    val withNull = queries.unionByName(
+      Seq((900002L, null.asInstanceOf[Seq[Float]]))
+        .toDF("vec_id", "embedding"))
+    val fbNull = handle.search(withNull, k = 3, nprobe = 2,
+      localBytesCap = Long.MaxValue / 8)
+    assert(!isDriverLocal(fbNull))
+    assert(fbNull.collect().toSet ==
+      handle.search(withNull, k = 3, nprobe = 2).collect().toSet)
+  }
+
   test("prepared search plans carry no probed-cell literal and are " +
     "structurally identical across probed sets (runtime keep-set pruning)") {
     val emb = Tables.table(spark, sfDir, "embeddings")
@@ -201,6 +263,11 @@ class AnnPreparedSpec extends SparkSpecBase {
       val prepared = handle.search(queries, k = 3, nprobe = np).collect().toSet
       assert(prepared == direct && direct.nonEmpty,
         s"string-cell tie-break diverged at nprobe=$np")
+      // the driver-local dial replicates the UTF8-binary id orderings
+      // (string nids AND string cells) exactly too
+      val local = handle.search(queries, k = 3, nprobe = np,
+        localBytesCap = Long.MaxValue / 8).collect().toSet
+      assert(local == direct, s"local dial diverged on string cells at nprobe=$np")
       // the tie really exists and really resolves to "a": every row of
       // a 1-probe search over the tied fixture meets in cell "a" or "c",
       // never "b"

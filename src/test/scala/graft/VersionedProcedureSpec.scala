@@ -424,6 +424,13 @@ class VersionedProcedureSpec extends SparkSpecBase {
     assert(gotRows.map(_._1.toLong).toSeq ==
       gotRows.map(_._1.toLong).sorted.toSeq)
 
+    // the driver-local serve dial through SQL (local_bytes_cap): rows
+    // identical to the distributed form
+    val viaLocal = spark.sql("CALL graft_proc.system.ann_search_prepared(" +
+      s"'ns.annp_q', 'ns.annp_model', 'ns.annp_codes', 3, 2, ${Long.MaxValue / 8}L)")
+      .as[(String, String, String, Double, Int)].collect()
+    assert(viaLocal.toSet == gotRows.toSet)
+
     // a codes commit staled the handle: refusal names both pairs and
     // the remedy
     spark.sql("CALL graft_proc.system.ann_recell('ns.annp_codes')")
