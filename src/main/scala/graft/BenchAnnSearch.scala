@@ -179,9 +179,10 @@ object BenchAnnSearch {
     // wraps search() itself: the local path materializes eagerly inside
     // it, the fallback lazily — executeCollect afterwards prices both
     // as a serving consumer would.
-    {
-      val cap = sys.env.getOrElse("SPARK_GRAFT_LOCAL_CAP",
-        (64L * 1024 * 1024).toString).toLong
+    val localCap = sys.env.getOrElse("SPARK_GRAFT_LOCAL_CAP",
+      (64L * 1024 * 1024).toString).toLong
+    locally {
+      val cap = localCap
       def timeL(label: String, nprobe: Int): Double = {
         val runs = (1 to iters).map { _ =>
           val t0 = System.nanoTime()
@@ -240,8 +241,7 @@ object BenchAnnSearch {
         f"searches: total=$dt%.2f s, ${dt / singles.length}%.3f s/call")
       // the same distinct-cell serve through the local dial: per-call
       // cost must hold at the one-job floor across changing keep-sets
-      val cap = sys.env.getOrElse("SPARK_GRAFT_LOCAL_CAP",
-        (64L * 1024 * 1024).toString).toLong
+      val cap = localCap
       singles.take(2).foreach(q =>
         handle.search(q, k = 3, nprobe = 1, localBytesCap = cap)
           .queryExecution.executedPlan.executeCollect())

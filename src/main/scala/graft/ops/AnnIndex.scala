@@ -1666,7 +1666,7 @@ final class PreparedAnnSearch private[ops] (
         "AnnIndex.search, whose distributed fallback handles jumbo sets")
     val keep = keepFor(probed)
     val local =
-      if (localBytesCap > 0L && keptBytes(keep) <= localBytesCap)
+      if (localBytesCap > 0L && keptBytes(keep).exists(_ <= localBytesCap))
         localServe(qaLocal, keep, k)
       else None
     local.getOrElse {
@@ -1677,11 +1677,14 @@ final class PreparedAnnSearch private[ops] (
   }
 
   /** Kept volume of a probe's keep-set, from the snapshot listing
-    * resolved at prepare. A kept file missing from the listing (cannot
-    * happen for a manifest-live file; defensive) prices as huge, so it
-    * disqualifies the local dial instead of under-counting. */
-  private def keptBytes(keep: Set[(String, String)]): Long =
-    keep.iterator.map(fileBytes.getOrElse(_, Long.MaxValue / 4096)).sum
+    * resolved at prepare. None — which disqualifies the local dial —
+    * when any kept file is missing from the listing (cannot happen for
+    * a manifest-live file; defensive): an unpriced file must never
+    * under-count its way under the cap. */
+  private def keptBytes(keep: Set[(String, String)]): Option[Long] =
+    keep.foldLeft(Option(0L)) { (acc, k) =>
+      for { a <- acc; b <- fileBytes.get(k) } yield a + b
+    }
 
   /** The DRIVER-LOCAL serve path behind the `localBytesCap` dial — the
     * r16 verdict's "missing #4" posture decision, taken as the measured
@@ -1693,125 +1696,165 @@ final class PreparedAnnSearch private[ops] (
     * path runs ONE job — collecting the kept files' code rows through
     * the SAME literal-free keep-set scan the distributed path plans
     * (same pruning, same DV refusals, stable cached codegen) — then
-    * reconstructs, scores and ranks driver-side with loops that
-    * replicate the distributed kernels' arithmetic EXACTLY:
-    * `Kernels.cosineFD`'s sequential float×double left fold,
-    * `topKRowsSorted`'s (cos_pq DESC, nid ASC) total order via
-    * Double.compare (NaN above all) with UTF8 binary order on string
-    * ids, the candidate semi join's cluster membership, the book inner
-    * join's drop-unknown-codes, and the qid≠nid filter — so rows are
-    * byte-identical to the distributed form (dial-equality
-    * spec-pinned at every probe width). Bounds: eligibility is gated
-    * on kept BYTES ≤ the dial (the collect reads at most that), and
-    * the query side is already capped by the handle's 10k row budget.
-    * Returns None — fall back to the distributed join — for a batch
-    * with a NULL query embedding (those ride the distributed kernel's
-    * null semantics, not a replica of them). */
+    * reconstructs, scores and ranks driver-side, row-identical to the
+    * distributed form (dial-equality spec-pinned at every probe width):
+    * scoring calls the SAME `Kernels.cosineFD` the distributed plan
+    * codegens (over driver-wrapped arrays — shared kernel, not a
+    * replica), ranking replicates `topKRowsSorted`'s (cos_pq DESC,
+    * nid ASC) total order via Double.compare (NaN above all) with UTF8
+    * binary order on string ids, candidate membership replicates the
+    * probed-cluster semi join and the (nid, cluster) reconstruction
+    * grouping with the distributed joins' numeric widening
+    * ([[PreparedAnnSearch.normId]]), and null ids drop exactly like
+    * the SQL `=!=`/equi-join null semantics (a null-qid query yields
+    * zero rows; null-nid/cluster candidates drop). Bounds: eligibility
+    * is gated on kept BYTES ≤ the dial (the collect reads at most
+    * that), and the query side is already capped by the handle's 10k
+    * row budget. DECLINES — returns None, falling back to the
+    * distributed join — rather than diverge or crash on: a batch with
+    * a NULL query embedding (those ride the distributed kernel's null
+    * semantics, not a replica of them), a candidate whose
+    * reconstruction is not full-dim (unknown code / missing sub — a
+    * codes table not encoded with THIS book), or a query vector longer
+    * than the book's dimension. */
   private def localServe(qaLocal: DataFrame, keep: Set[(String, String)],
                          k: Int): Option[DataFrame] = {
     import org.apache.spark.sql.types._
     import org.apache.spark.unsafe.types.UTF8String
+    import graft.ops.PreparedAnnSearch.normId
     val qa = qaLocal.collect() // LocalRelation: driver-side, no job
     if (qa.exists(_.isNullAt(1))) return None
+    val fullDim = bookDriver.valuesIterator.map(_.length).toSet match {
+      case one if one.size == 1 => one.head
+      case _ => return None // mixed-width book rows: malformed model
+    }
     val prunedDf = org.apache.spark.sql.graftx.Bridge.ofRows(spark,
       codesRel.copy(table = codesTable.withKeep(keep)))
       .select(col("vec_id"), col("cluster"), col("sub"), col("code"))
     val nidType = prunedDf.schema("vec_id").dataType
     val clType = prunedDf.schema("cluster").dataType
     val qidType = qaLocal.schema("vec_id").dataType
-    val candRows = prunedDf.collect() // the ONE job; ≤ localBytesCap bytes
+    val candRows = prunedDf.collect() // the ONE job; <= localBytesCap bytes
 
     // ---- reconstruct per candidate, replicating the distributed shape:
-    // semi join on probed clusters, inner join codes->book (unknown
-    // codes drop), pieces concatenated in sub order
-    val probedSet = qa.map(_.get(2)).toSet
-    val acc = new java.util.HashMap[Any,
-      (Any, scala.collection.mutable.ArrayBuffer[(Int, Any)])]()
-    candRows.foreach { r =>
-      val cl = r.get(1)
-      if (probedSet.contains(cl)) {
-        val nid = r.get(0)
-        var e = acc.get(nid)
-        if (e == null) {
-          e = (cl, scala.collection.mutable.ArrayBuffer.empty[(Int, Any)])
-          acc.put(nid, e)
+    // semi join on probed clusters (numeric-widened keys, like the
+    // implicit cast), inner join codes->book, grouping by (nid, cluster),
+    // pieces sliced from the FULL-dim book row and concatenated in sub
+    // order; null nid/cluster rows drop like the joins drop them
+    val probedSet = qa.map(r => normId(r.get(2))).toSet
+    val acc = new java.util.HashMap[(Any, Any),
+      (Any, Any, scala.collection.mutable.ArrayBuffer[(Int, Any)])]()
+    var ci = 0
+    while (ci < candRows.length) {
+      val r = candRows(ci)
+      if (!r.isNullAt(0) && !r.isNullAt(1)) {
+        val cl = r.get(1)
+        if (probedSet.contains(normId(cl))) {
+          if (r.isNullAt(2) || r.isNullAt(3)) return None // malformed codes
+          val nid = r.get(0)
+          val key = (normId(nid), normId(cl))
+          var e = acc.get(key)
+          if (e == null) {
+            e = (nid, cl, scala.collection.mutable.ArrayBuffer.empty[(Int, Any)])
+            acc.put(key, e)
+          }
+          e._3 += ((r.getAs[Number](2).intValue(), r.get(3)))
         }
-        e._2 += ((r.getAs[Number](2).intValue(), r.get(3)))
       }
+      ci += 1
     }
+    // cluster(normalized) -> [(nidOrig, nidNorm, clOrig, xhat)]
     val byCluster = new java.util.HashMap[Any,
-      scala.collection.mutable.ArrayBuffer[(Any, Array[Double])]]()
-    acc.forEach { (nid, e) =>
+      scala.collection.mutable.ArrayBuffer[
+        (Any, Any, Any, org.apache.spark.sql.catalyst.util.ArrayData)]]()
+    val accIt = acc.entrySet().iterator()
+    while (accIt.hasNext) {
+      val en = accIt.next()
+      val (nidOrig, clOrig, pairs) = en.getValue
       // the distributed shape's slice(cvec, sub*dsub+1, dsub): each book
       // row is FULL-dim and subquantizer `sub` owns elements
-      // [sub*dsub, sub*dsub+dsub) — out-of-range truncates like slice
-      val pieces = e._2.sortBy(_._1).iterator.flatMap { p =>
-        bookDriver.get(PreparedAnnSearch.normId(p._2)) match {
+      // [sub*dsub, sub*dsub+dsub)
+      val xhat = pairs.sortBy(_._1).iterator.flatMap { p =>
+        bookDriver.get(normId(p._2)) match {
           case Some(cv) => cv.iterator.slice(p._1 * dsub, p._1 * dsub + dsub)
           case None => Iterator.empty
         }
       }.toArray
-      var lst = byCluster.get(e._1)
+      // a short reconstruction means the codes were not encoded with
+      // THIS book — behavior there is undefined territory the
+      // distributed path wanders with garbage reads; decline instead
+      if (xhat.length != fullDim) return None
+      val clKey = en.getKey._2
+      var lst = byCluster.get(clKey)
       if (lst == null) {
-        lst = scala.collection.mutable.ArrayBuffer.empty[(Any, Array[Double])]
-        byCluster.put(e._1, lst)
+        lst = scala.collection.mutable.ArrayBuffer
+          .empty[(Any, Any, Any, org.apache.spark.sql.catalyst.util.ArrayData)]
+        byCluster.put(clKey, lst)
       }
-      lst += ((nid, pieces))
+      lst += ((nidOrig, en.getKey._1, clOrig,
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(xhat)))
     }
 
-    // ---- score and rank per query, kernel- and order-exact
-    def cosFD(q: Array[Float], x: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      val n = q.length
-      while (i < n) {
-        val a = q(i).toDouble; val b = x(i)
-        dot += a * b; na += a * a; nb += b * b; i += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
-    def idCmp(t: DataType, a: Any, b: Any): Int = t match {
+    // ---- score and rank per query: the SAME kernel the distributed
+    // plan codegens, the same total order as topKRowsSorted
+    def idCmp(a: Any, b: Any): Int = nidType match {
       case StringType => UTF8String.fromString(a.asInstanceOf[String])
         .compareTo(UTF8String.fromString(b.asInstanceOf[String]))
       case _ => java.lang.Long.compare(a.asInstanceOf[Number].longValue(),
         b.asInstanceOf[Number].longValue())
     }
     // qaLocal rows are (vec_id, embedding, cluster) per probe; group a
-    // query's probes (dedup already happened in assign)
+    // query's probes (dedup already happened in assign); null-qid
+    // queries yield zero rows, exactly like the qid =!= nid null filter
     val qProbes = new java.util.LinkedHashMap[Any,
-      (Array[Float], scala.collection.mutable.ArrayBuffer[Any])]()
+      (Any, org.apache.spark.sql.catalyst.util.ArrayData,
+       scala.collection.mutable.ArrayBuffer[Any])]()
+    var tooWide = false
     qa.foreach { r =>
-      val qid = r.get(0)
-      var e = qProbes.get(qid)
-      if (e == null) {
-        val s = r.getSeq[Any](1)
-        val emb = new Array[Float](s.length)
-        var i = 0
-        s.foreach { v =>
-          emb(i) = if (v == null) 0f else v.asInstanceOf[Float]; i += 1
+      if (!r.isNullAt(0)) {
+        val qidN = normId(r.get(0))
+        var e = qProbes.get(qidN)
+        if (e == null) {
+          val s = r.getSeq[Any](1)
+          if (s.length > fullDim) tooWide = true
+          val emb = new Array[Float](s.length)
+          var i = 0
+          s.foreach { v =>
+            emb(i) = if (v == null) 0f else v.asInstanceOf[Float]; i += 1
+          }
+          e = (r.get(0),
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(emb),
+            scala.collection.mutable.ArrayBuffer.empty[Any])
+          qProbes.put(qidN, e)
         }
-        e = (emb, scala.collection.mutable.ArrayBuffer.empty[Any])
-        qProbes.put(qid, e)
+        e._3 += normId(r.get(2))
       }
-      e._2 += r.get(2)
     }
+    if (tooWide) return None // distributed kernel would read past xhat
     val out = new java.util.ArrayList[org.apache.spark.sql.Row]()
-    qProbes.forEach { (qid, e) =>
-      val (emb, clusters) = e
+    val qIt = qProbes.entrySet().iterator()
+    while (qIt.hasNext) {
+      val qe = qIt.next()
+      val qidN = qe.getKey
+      val (qidOrig, qArr, clusters) = qe.getValue
       val scored = scala.collection.mutable.ArrayBuffer
-        .empty[(Any, Any, Double)] // (nid, cluster, cos)
+        .empty[(Any, Any, Any, Double)] // (nidOrig, nidNorm, clOrig, cos)
       clusters.foreach { cl =>
         val lst = byCluster.get(cl)
-        if (lst != null) lst.foreach { case (nid, xhat) =>
-          if (!(qid == nid)) scored += ((nid, cl, cosFD(emb, xhat)))
+        if (lst != null) lst.foreach { case (nidOrig, nidN, clOrig, xArr) =>
+          if (qidN != nidN)
+            scored += ((nidOrig, nidN, clOrig,
+              graft.functions.Kernels.cosineFD(qArr, xArr)))
         }
       }
       val ranked = scored.sortWith { (a, b) =>
-        val c = java.lang.Double.compare(b._3, a._3)
-        if (c != 0) c < 0 else idCmp(nidType, a._1, b._1) < 0
+        val c = java.lang.Double.compare(b._4, a._4)
+        if (c != 0) c < 0 else idCmp(a._1, b._1) < 0
       }.take(k)
       var rk = 1
-      ranked.foreach { case (nid, cl, cos) =>
-        out.add(org.apache.spark.sql.Row(qid, nid, cl, cos, rk)); rk += 1
+      ranked.foreach { case (nidOrig, _, clOrig, cos) =>
+        out.add(org.apache.spark.sql.Row(qidOrig, nidOrig, clOrig, cos, rk))
+        rk += 1
       }
     }
     val schema = StructType(Seq(

@@ -1994,12 +1994,16 @@ object CoverageQueries {
           sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy")))
   }
 
-  /** True iff `a * b` stays inside int64, for NON-NEGATIVE longs: the
-    * product overflows exactly when a > Long.Max / b (floor division),
-    * so the check is exact — no doubles, no margin. */
+  /** True iff `a * b` stays inside int64 — EXACT via ANSI try_multiply
+    * (Math.multiplyExact under the hood: null iff the product wraps).
+    * NOT a floor-division comparison: Spark's `/` on longs is DOUBLE
+    * division, whose rounding opens a ~ulp-wide false-accept band at
+    * every divisor (e.g. a=2^62, b=2 reads as fitting because
+    * Long.MaxValue rounds up to 2^63) — the silent wrap this guard
+    * exists to prevent. */
   private def mulFits(a: org.apache.spark.sql.Column,
                       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    b === 0L || a <= lit(Long.MaxValue) / b
+    try_multiply(a, b).isNotNull
 
   /** The guarded moment combine behind [[corrStats]]: takes the exact
     * integer moments (flag, n, sx, sy, sxy, sxx, syy) — all

@@ -44,6 +44,21 @@ class MomentGuardSpec extends SparkSpecBase {
     assert(chain.contains("n=100"), chain)
   }
 
+  test("the guard is exact integer arithmetic, not double division: the " +
+    "rounding false-accept shape (n=2, sxx=2^62) refuses") {
+    // a floor-division guard computed with Spark's `/` (DOUBLE division)
+    // would accept this: Long.MaxValue rounds up to 2^63, 2^63/2 = 2^62,
+    // and 2^62 <= 2^62 — while 2*2^62 wraps to Long.MinValue. The
+    // try_multiply guard must refuse.
+    val bad = moments(2, 1, 1, 1, 1L << 62, 1)
+    val e = intercept[Exception] {
+      CoverageQueries.corrFromMoments(bad).collect()
+    }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.toString).mkString("\n")
+    assert(chain.contains("moment combine would overflow"), chain)
+  }
+
   test("the exactness check is per-PRODUCT, not a magnitude heuristic: " +
     "the boundary is one unit wide") {
     // floor(sqrt(Long.Max)) = 3037000499: its square is the largest
