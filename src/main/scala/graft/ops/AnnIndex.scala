@@ -679,9 +679,10 @@ object AnnIndex {
     * Refuses exactly what the separate surfaces refuse (flat table,
     * > 4096 distinct clusters), via the same [[liveCells]] guard. */
   def recellIfNeeded(spark: SparkSession, codesRoot: String,
-                     tolKept: Double = 2.0): Option[Long] = {
+                     tolKept: Double = 2.0,
+                     minCellBytes: Long = 1L << 20): Option[Long] = {
     val (cells, cov) = cellCoverage(spark, codesRoot)
-    if (erodedBeyond(cells, cov, tolKept))
+    if (erodedBeyond(cells, cov, tolKept, minCellBytes))
       Some(recellAs(spark, codesRoot, cells.length))
     else None
   }
@@ -784,47 +785,70 @@ object AnnIndex {
     * file read per cell — i.e. well before the scan floor doubles —
     * and, on the volume leg, once a compaction that ignored the cell
     * sort makes an average probe read twice the ideal bytes (the
-    * one-packed-file regime reads nlist×, so it trips immediately).
+    * one-packed-file regime reads nlist×, so it trips immediately —
+    * provided the table is past the `minCellBytes` oscillation gate;
+    * see [[layoutAlerts]] for the ungated human-facing rule and
+    * [[erodedBeyond]]'s scaladoc for why the automatic trigger must
+    * not fight compactSmall on small tables).
     * Layout is the THIRD erosion axis next to quality
     * ([[needsRebuild]]'s drift half) and balance (its skew half); its
     * remedy is the cheap one, so check it first in a maintenance
     * loop. */
   def needsRecell(spark: SparkSession, codesRoot: String,
-                  tolKept: Double = 2.0): Boolean = {
+                  tolKept: Double = 2.0,
+                  minCellBytes: Long = 1L << 20): Boolean = {
     val (cells, cov) = cellCoverage(spark, codesRoot)
-    erodedBeyond(cells, cov, tolKept)
+    erodedBeyond(cells, cov, tolKept, minCellBytes)
   }
 
   /** ONE definition of the layout-breach rule, shared by the trigger
-    * ([[needsRecell]]), the combined check-and-repair
-    * ([[recellIfNeeded]]) and — via the same layoutPoint columns — the
-    * run rule ([[layoutAlerts]]), so they can never drift apart. Two
-    * legs, either fires: kept-files-per-probe > tol (open-count
-    * erosion: accreted all-cells maintenance files), or read-volume
+    * ([[needsRecell]]) and the combined check-and-repair
+    * ([[recellIfNeeded]]), so they can never drift apart. Two legs,
+    * either fires: kept-files-per-probe > tol (open-count erosion:
+    * accreted all-cells maintenance files), or read-volume
     * amplification kept-bytes-per-probe / (total/nlist) > tol (the
     * packed-file pathology open counts read as a "perfect" 1.0). Both
     * are 1.0 at the ideal one-file-per-cell layout and both are
     * repaired by the same remedy ([[recell]]'s cell-ranged rewrite), so
-    * one tolerance governs both. Convergence of the repair loop on the
-    * volume leg: a recelled layout has each cell in exactly ONE file,
-    * but the range partitioner may merge adjacent cells into one file
-    * (never split one), and a merged file is read by each of its
-    * cells' probes — so the post-repair amp is 1.0 only at the exact
-    * one-file-per-cell landing and bounded by the bytes-weighted merge
-    * factor otherwise (≤ 2.0 for pairwise merges — at or under the
-    * default tolerance, so the trigger goes quiet). A ≥3-cell merge of
-    * hot cells could leave the amp above tol; a re-fired recell
-    * RESAMPLES range boundaries, so repeated repairs do not reproduce
-    * the same pathological landing. */
+    * one tolerance governs both.
+    *
+    * ALERT LOUDLY, ACT CONSERVATIVELY: unlike [[layoutAlerts]] (human-
+    * facing — reports the volume breach at any size), the AUTOMATIC
+    * trigger's volume leg is additionally gated on the ideal per-cell
+    * volume total/nlist ≥ `minCellBytes` (default 1 MB). Below it a
+    * one-file layout is the DELIBERATE product of small-file
+    * compaction ([[recellSmall]]/compactSmall pack sub-32MB files by
+    * design), splitting it would mint nlist tiny files that the next
+    * compactSmall re-packs — an infinite rewrite oscillation between
+    * the two policies — and the absolute over-read is capped at
+    * nlist·minCellBytes per probe anyway. At production scale the gate
+    * is invisible (a 100 TB / 4096-cell table has ~24 GB ideal per
+    * cell); it exists exactly for the tables where "pruning is moot
+    * anyway". The cheap remedy ordering stands: run [[recellSmall]]
+    * for accreted TAILS before this trigger's full rewrite.
+    *
+    * Convergence of the repair loop on the volume leg: a recelled
+    * layout has each cell in exactly ONE file, but the range
+    * partitioner may merge adjacent cells into one file (never split
+    * one), and a merged file is read by each of its cells' probes — so
+    * the post-repair amp is 1.0 only at the exact one-file-per-cell
+    * landing and bounded by the bytes-weighted merge factor otherwise
+    * (≤ 2.0 for pairwise merges — at or under the default tolerance,
+    * so the trigger goes quiet). A ≥3-cell merge of hot cells could
+    * leave the amp above tol; a re-fired recell RESAMPLES range
+    * boundaries, so repeated repairs do not reproduce the same
+    * pathological landing. */
   private def erodedBeyond(cells: IndexedSeq[Any],
                            cov: Seq[(String, Int, Long)],
-                           tolKept: Double): Boolean = {
+                           tolKept: Double,
+                           minCellBytes: Long): Boolean = {
     val keptFiles = cov.map(_._2.toLong).sum.toDouble / cells.length
     val total = cov.map(_._3).sum
-    // volume leg skipped when lengths are unknown (total 0): a missing
-    // listing must not read as an infinitely-amplified layout
+    // volume leg skipped when lengths are unknown (total 0 — a missing
+    // listing must not read as infinitely amplified) or when the table
+    // is below the oscillation gate (see scaladoc)
     val volAmp =
-      if (total <= 0L) 1.0
+      if (total <= 0L || total < minCellBytes * cells.length.toLong) 1.0
       else cov.map(f => f._2.toDouble * f._3).sum / total
     keptFiles > tolKept || volAmp > tolKept
   }
@@ -1715,8 +1739,11 @@ final class PreparedAnnSearch private[ops] (
     * a NULL query embedding (those ride the distributed kernel's null
     * semantics, not a replica of them), a candidate whose
     * reconstruction is not full-dim (unknown code / missing sub — a
-    * codes table not encoded with THIS book), or a query vector longer
-    * than the book's dimension. */
+    * codes table not encoded with THIS book), a query vector longer
+    * than the book's dimension, non-integral non-string id types, and
+    * id/cluster comparisons across KINDS (string vs numeric — Spark's
+    * coercion there is not replicated). Declines that depend only on
+    * schema or the query batch are checked BEFORE the collect job. */
   private def localServe(qaLocal: DataFrame, keep: Set[(String, String)],
                          k: Int): Option[DataFrame] = {
     import org.apache.spark.sql.types._
@@ -1734,6 +1761,26 @@ final class PreparedAnnSearch private[ops] (
     val nidType = prunedDf.schema("vec_id").dataType
     val clType = prunedDf.schema("cluster").dataType
     val qidType = qaLocal.schema("vec_id").dataType
+    val qClType = qaLocal.schema("cluster").dataType
+    // decline — BEFORE paying the collect job — every shape whose
+    // distributed semantics this replica does not model: id/cluster
+    // comparisons across KINDS (Spark's string<->numeric coercion in
+    // `=!=`/equi-joins casts, sometimes to null — not replicated),
+    // non-integral non-string id types (the heap's tie-break on a
+    // double or binary nid is not idCmp's longValue collapse), and
+    // query vectors longer than the book dimension (the distributed
+    // kernel reads past xhat — undefined territory)
+    def kind(t: DataType): Int = t match {
+      case ByteType | ShortType | IntegerType | LongType => 0
+      case StringType => 1
+      case _ => -1
+    }
+    if (kind(nidType) < 0 || kind(qidType) < 0 ||
+      kind(nidType) != kind(qidType)) return None
+    if (kind(clType) < 0 || kind(qClType) < 0 ||
+      kind(clType) != kind(qClType)) return None
+    val fullDimOk = qa.forall(_.getSeq[Any](1).length <= fullDim)
+    if (!fullDimOk) return None
     val candRows = prunedDf.collect() // the ONE job; <= localBytesCap bytes
 
     // ---- reconstruct per candidate, replicating the distributed shape:
@@ -1809,14 +1856,12 @@ final class PreparedAnnSearch private[ops] (
     val qProbes = new java.util.LinkedHashMap[Any,
       (Any, org.apache.spark.sql.catalyst.util.ArrayData,
        scala.collection.mutable.ArrayBuffer[Any])]()
-    var tooWide = false
     qa.foreach { r =>
       if (!r.isNullAt(0)) {
         val qidN = normId(r.get(0))
         var e = qProbes.get(qidN)
         if (e == null) {
           val s = r.getSeq[Any](1)
-          if (s.length > fullDim) tooWide = true
           val emb = new Array[Float](s.length)
           var i = 0
           s.foreach { v =>
@@ -1830,7 +1875,6 @@ final class PreparedAnnSearch private[ops] (
         e._3 += normId(r.get(2))
       }
     }
-    if (tooWide) return None // distributed kernel would read past xhat
     val out = new java.util.ArrayList[org.apache.spark.sql.Row]()
     val qIt = qProbes.entrySet().iterator()
     while (qIt.hasNext) {

@@ -2019,8 +2019,15 @@ object CoverageQueries {
     val fits = mulFits(col("n"), col("sxy")) && mulFits(col("n"), col("sxx")) &&
       mulFits(col("n"), col("syy")) && mulFits(col("sx"), col("sy")) &&
       mulFits(col("sx"), col("sx")) && mulFits(col("sy"), col("sy"))
+    // try_multiply is null BOTH on overflow and on a null operand; a
+    // NULL moment (all-null group under sum()) must emit the null
+    // correlation the unguarded expression would, not a misattributed
+    // overflow refusal — so null inputs short-circuit first
+    val anyNull = col("n").isNull || col("sx").isNull || col("sy").isNull ||
+      col("sxy").isNull || col("sxx").isNull || col("syy").isNull
     moments.select(col("flag"), col("n"),
-      when(fits,
+      when(anyNull, lit(null).cast(DoubleType))
+      .when(fits,
         (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
           / sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType))
           / sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType)))

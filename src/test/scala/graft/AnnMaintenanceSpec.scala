@@ -543,14 +543,23 @@ class AnnMaintenanceSpec extends SparkSpecBase {
       .select("run_start", "run_end", "run_len", "alert")
       .as[(Long, Long, Int, Boolean)].collect().toSeq
     assert(runs2 == Seq((1L, 3L, 3, true)), runs2)
-    // the trigger fires on the same leg, and the standard remedy (the
-    // cell-ranged rewrite) restores both metrics: opens to exactly 1.0;
-    // volume to ≥1.0 but back under tolerance and far from the packed
-    // regime's nlist (the range partitioner may merge adjacent cells
-    // into one file — never split one — and a merged file is read by
-    // each of its cells' probes, so the healed amp can sit above 1.0)
-    assert(AnnIndex.needsRecell(spark, codesRoot))
-    assert(AnnIndex.recellIfNeeded(spark, codesRoot).isDefined)
+    // ALERT LOUDLY, ACT CONSERVATIVELY: on a table this small the
+    // packed one-file layout is what compactSmall deliberately
+    // produces, so the AUTOMATIC trigger's volume leg is gated by
+    // minCellBytes and the default trigger stays quiet — splitting
+    // would mint per-cell tiny files the next compactSmall re-packs,
+    // an infinite rewrite oscillation
+    assert(!AnnIndex.needsRecell(spark, codesRoot))
+    // with the gate lifted the trigger fires on the volume leg, and
+    // the standard remedy (the cell-ranged rewrite) restores both
+    // metrics: opens to exactly 1.0; volume to ≥1.0 but back under
+    // tolerance and far from the packed regime's nlist (the range
+    // partitioner may merge adjacent cells into one file — never split
+    // one — and a merged file is read by each of its cells' probes, so
+    // the healed amp can sit above 1.0)
+    assert(AnnIndex.needsRecell(spark, codesRoot, minCellBytes = 0L))
+    assert(AnnIndex.recellIfNeeded(spark, codesRoot, minCellBytes = 0L)
+      .isDefined)
     val healed = AnnIndex.layoutPoint(spark, codesRoot)
       .select("cells", "kept_per_probe", "kept_bytes_per_probe", "total_bytes")
       .as[(Long, Double, Double, Long)].collect().head

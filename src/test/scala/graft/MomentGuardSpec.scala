@@ -44,6 +44,15 @@ class MomentGuardSpec extends SparkSpecBase {
     assert(chain.contains("n=100"), chain)
   }
 
+  test("a NULL moment emits the null correlation the unguarded expression " +
+    "would, not a misattributed overflow refusal") {
+    import org.apache.spark.sql.functions.lit
+    val withNull = moments(3, 6, 13, 31, 14, 69)
+      .withColumn("sxy", lit(null).cast("long"))
+    val out = CoverageQueries.corrFromMoments(withNull).collect()
+    assert(out.length == 1 && out(0).isNullAt(2), out.toSeq)
+  }
+
   test("the guard is exact integer arithmetic, not double division: the " +
     "rounding false-accept shape (n=2, sxx=2^62) refuses") {
     // a floor-division guard computed with Spark's `/` (DOUBLE division)
