@@ -1777,8 +1777,12 @@ final class PreparedAnnSearch private[ops] (
     }
     if (kind(nidType) < 0 || kind(qidType) < 0 ||
       kind(nidType) != kind(qidType)) return None
-    if (kind(clType) < 0 || kind(qClType) < 0 ||
-      kind(clType) != kind(qClType)) return None
+    // cluster types must match EXACTLY, not just in kind: a USING join
+    // over mixed integral widths widens the output column type, which
+    // this local schema (codes-side type) would not replicate. Equal in
+    // every engine-built pair (codes clusters are written from the
+    // model's own labels); decline hand-built mixes.
+    if (clType != qClType || kind(clType) < 0) return None
     val fullDimOk = qa.forall(_.getSeq[Any](1).length <= fullDim)
     if (!fullDimOk) return None
     val candRows = prunedDf.collect() // the ONE job; <= localBytesCap bytes
