@@ -84,9 +84,27 @@ object BenchAnnErosion {
         k = 3, nprobe = 1).queryExecution.toRdd.count())
       val prepped = t(handle.search(q1, k = 3, nprobe = 1)
         .queryExecution.toRdd.count())
+      // the r17 local dial at a fixed right-sized cap: eligible on the
+      // pristine/repaired layouts (tiny kept volume), DECLINES on the
+      // eroded one (the accreted all-cells waves blow the kept bytes)
+      // — the dial composes with the layout loop, whose remedy restores
+      // eligibility. Timed via executeCollect (the local path
+      // materializes eagerly inside search()).
+      val cap = sys.env.getOrElse("SPARK_GRAFT_LOCAL_CAP",
+        (2L * 1024 * 1024).toString).toLong
+      val localDf = handle.search(q1, k = 3, nprobe = 1, localBytesCap = cap)
+      val tookLocal = localDf.queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => r
+      }.isEmpty
+      val local = t {
+        handle.search(q1, k = 3, nprobe = 1, localBytesCap = cap)
+          .queryExecution.executedPlan.executeCollect()
+        ()
+      }
       println(f"[ann-erosion] $stage%-9s files=${kept.getLong(0)}%-4d " +
         f"kept/probe=${kept.getDouble(1)}%5.2f volAmp=$volAmp%5.2f " +
-        f"direct=$direct%.3f s handle=$prepped%.3f s")
+        f"direct=$direct%.3f s handle=$prepped%.3f s " +
+        f"local=$local%.3f s (${if (tookLocal) "local" else "fell back"})")
     }
 
     measure("pristine")

@@ -157,6 +157,79 @@ class AnnPreparedSpec extends SparkSpecBase {
       handle.search(withNull, k = 3, nprobe = 2).collect().toSet)
   }
 
+  test("local dial composes with the layout loop: exact on an eroded " +
+    "layout, declines under a kept-bytes cap the erosion blew, and a " +
+    "recell + re-prepare restores eligibility") {
+    def vec(i: Int): Seq[Float] = (0 until 16).map { j =>
+      (if (j / 4 == i % 4) 1.0f else 0.1f) + 0.01f * ((i * 31 + j * 7) % 5)
+    }
+    val emb = (0 until 200).map(i => (i.toLong, (i % 4).toLong, vec(i)))
+      .toDF("vec_id", "label", "embedding")
+    val modelRoot = tmp("annm_lcer")
+    val codesRoot = tmp("annc_lcer")
+    AnnIndex.trainAndRebuild(spark, emb, m = 4, dsub = 4, modelRoot, codesRoot)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding"))
+
+    // erode: three all-cells waves, freshly encoded (the maintenance
+    // sink's accretion shape), each bigger than a build cell file
+    val (cent, book, m, dsub) = AnnIndex.model(spark, modelRoot)
+    (0 until 3).foreach { w =>
+      val late = emb.select((col("vec_id") + 10000L + w * 1000L).as("vec_id"),
+        col("embedding"))
+      graft.io.Versioned.commit(spark,
+        graft.ops.Similarity.assignClusters(late, cent, nprobe = 1)
+          .select(col("vec_id"), col("cluster"))
+          .join(graft.ops.Similarity.pqEncode(late, book, m, dsub),
+            Seq("vec_id"))
+          .coalesce(1),
+        codesRoot, statsCols = Seq("vec_id", "cluster"))
+      ()
+    }
+
+    // a handle prepared OVER the eroded snapshot: the dial stays exact
+    // (kept files holding other cells contribute nothing, same as the
+    // distributed join) when the cap admits the eroded kept volume
+    val eroded = AnnIndex.prepare(spark, modelRoot, codesRoot)
+    val direct = AnnIndex.search(spark, queries, modelRoot, codesRoot,
+      k = 3, nprobe = 2).collect().toSet
+    val localBig = eroded.search(queries, k = 3, nprobe = 2,
+      localBytesCap = Long.MaxValue / 8)
+    assert(isDriverLocal(localBig))
+    assert(localBig.collect().toSet == direct && direct.nonEmpty)
+
+    // under a cap sized to one wave file, the eroded probe (build files
+    // + every wave) declines into the distributed join — rows equal
+    val waveBytes = graft.io.Versioned.snapshotFiles(spark, codesRoot)
+      .map(p => java.nio.file.Files.size(
+        java.nio.file.Paths.get(p.stripPrefix("file:")))).min
+    val fb = eroded.search(queries, k = 3, nprobe = 2,
+      localBytesCap = waveBytes)
+    assert(!isDriverLocal(fb))
+    assert(fb.collect().toSet == direct)
+
+    // the layout loop's remedy restores dial eligibility: recell (the
+    // volume-aware trigger fires with the small-table gate lifted),
+    // re-prepare, and a cap derived from the repaired layout serves
+    // locally again with identical rows
+    assert(AnnIndex.recellIfNeeded(spark, codesRoot, minCellBytes = 0L)
+      .isDefined)
+    val repaired = AnnIndex.prepare(spark, modelRoot, codesRoot)
+    // the keep-set is the BATCH's union of probed cells (5 queries x 2
+    // probes can touch every cell), so size the cap to the repaired
+    // snapshot's total — after the repair that total is back to the
+    // order of the build (the waves' rows re-packed cell-ranged),
+    // where the eroded snapshot blew past the same order
+    val repairedCap = AnnIndex.layoutStats(spark, codesRoot)
+      .select("bytes").as[Long].collect().sum + 1
+    val localRep = repaired.search(queries, k = 3, nprobe = 2,
+      localBytesCap = repairedCap)
+    assert(isDriverLocal(localRep))
+    assert(localRep.collect().toSet ==
+      AnnIndex.search(spark, queries, modelRoot, codesRoot,
+        k = 3, nprobe = 2).collect().toSet)
+  }
+
   test("prepared search plans carry no probed-cell literal and are " +
     "structurally identical across probed sets (runtime keep-set pruning)") {
     val emb = Tables.table(spark, sfDir, "embeddings")
