@@ -255,6 +255,19 @@ private[io] object VersionedProcedures {
           .orderBy("file")
           .queryExecution.executedPlan.executeCollect()),
 
+    Spec("ann_layout_point", "the ONE scalar layout-health row of a celled ANN index table (graft.ops.AnnIndex.layoutPoint) — exactly what the layout monitor sink accretes per trigger, readable on demand: (files, cells, kept_per_probe, kept_bytes_per_probe, total_bytes). kept_per_probe counts the files an average single-cell probe OPENS (1.0 at the one-file-per-cell layout); kept_bytes_per_probe the bytes it READS — each is blind where the other sees (a one-packed-file table opens a 'perfect' 1.0 while reading everything; many tiny accreted files open high while reading little). Volume amplification vs the ideal layout = kept_bytes_per_probe*cells/total_bytes; ann_layout gives the per-file decomposition and ann_layout_alerts the run rule over an accreted series",
+      Array(in("codes_table", StringType)),
+      StructType(Seq(
+        StructField("files", LongType, nullable = false),
+        StructField("cells", LongType, nullable = false),
+        StructField("kept_per_probe", org.apache.spark.sql.types.DoubleType, nullable = true),
+        StructField("kept_bytes_per_probe", org.apache.spark.sql.types.DoubleType, nullable = true),
+        StructField("total_bytes", LongType, nullable = true))),
+      (spark, rootFor, input) =>
+        graft.ops.AnnIndex.layoutPoint(spark,
+          existing(spark, rootFor, input, 0))
+          .queryExecution.executedPlan.executeCollect()),
+
     Spec("ann_recall", "measured recall@k of the persisted pruned ANN search against the exact brute-force cosine ground truth (graft.ops.AnnIndex.recallAt): one row per query (qid, hits, recall), hits = |index top-k INTERSECT exact top-k| — the number that makes the nprobe dial tunable; at nprobe = every cell the residual below 1.0 is pure PQ quantization loss. queries_table and corpus_table are (vec_id, embedding) tables; the ground-truth side scans the corpus once under broadcast queries, so point queries_table at a SAMPLE at scale",
       Array(in("queries_table", StringType), in("model_table", StringType),
         in("codes_table", StringType), in("corpus_table", StringType),

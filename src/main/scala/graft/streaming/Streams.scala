@@ -609,7 +609,9 @@ object Streams {
     * [[versionedAnnDriftMonitorSink]], completing the third erosion
     * axis's loop symmetry: drift has measure + accreted series + run
     * rule; layout now accretes one (files, cells, kept_per_probe,
-    * batch_id) row per trigger into a versioned monitor table
+    * kept_bytes_per_probe, total_bytes, batch_id) row per trigger —
+    * file OPENS and read VOLUME, each blind where the other sees
+    * ([[graft.ops.AnnIndex.layoutPoint]]) — into a versioned monitor table
     * (exactly-once via the same committed-batch tags), and
     * [[graft.ops.AnnIndex.layoutAlerts]] / `CALL
     * graft.system.ann_layout_alerts` reduce the series to breach runs —

@@ -307,6 +307,20 @@ class VersionedProcedureSpec extends SparkSpecBase {
     assert(lr.map(_._2).sum == 4, lr.toSeq)
     assert(lr.forall(_._4 > 0L), lr.toSeq)
 
+    // the scalar point on demand — exactly the row the monitor sink
+    // accretes; freshly recelled, every file is read only by its own
+    // cells' probes, so kept_bytes_per_probe * cells == total_bytes
+    val pt = spark.sql(
+      "CALL graft_proc.system.ann_layout_point('ns.anncodes')")
+    assert(pt.columns.toSeq == Seq("files", "cells", "kept_per_probe",
+      "kept_bytes_per_probe", "total_bytes"))
+    val pr = pt.as[(Long, Long, Double, Double, Long)].collect()
+    assert(pr.length == 1)
+    val (ptF, ptC, ptK, ptKb, ptTot) = pr.head
+    assert(ptF == lr.length.toLong && ptC == 4L && ptK == 1.0, pr.toSeq)
+    assert(ptTot == lr.map(_._4).sum, pr.toSeq)
+    assert(ptKb * ptC == ptTot.toDouble, pr.toSeq)
+
     // measured recall@3 through SQL at nprobe = every cell: one row per
     // query (qid rides as string), hits bounded by k, recall = hits/k;
     // on this near-pure-block corpus the index finds true neighbors
