@@ -3134,9 +3134,16 @@ object Versioned {
     * property of per-file ranges, which only the sidecars know — and
     * OPEN counts alone have a volume blind spot (a table packed into
     * one all-cells file keeps 1 file per probe while every probe reads
-    * everything), which is why the byte lengths ride along. */
+    * everything), which is why the byte lengths ride along. A live file
+    * MISSING from its directory listing (cannot happen for a
+    * manifest-live file; defensive) reports its length as None — never
+    * 0: folding 0 into a volume sum would silently UNDER-count read
+    * amplification toward not-alerting, the exact inversion of the
+    * missing-stats count-every-value rule above. Consumers must treat
+    * None as "volume unknown" (skip the volume leg, surface null), the
+    * same posture the serve dial's eligibility gate takes. */
   def fileStatsCoverage(spark: SparkSession, root: String, column: String,
-                        values: Seq[Any]): Seq[(String, Int, Long)] = {
+                        values: Seq[Any]): Seq[(String, Int, Option[Long])] = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no committed versions at $root")
     val files = snapshotFiles(spark, root, Some(vs.last))
@@ -3150,7 +3157,7 @@ object Versioned {
       val probe = FileStats.containsProbe(
         stats.getOrElse(s, Map.empty).get(column))
       (s"${p.getParent.getName}/${p.getName}", values.count(probe),
-        lens.getOrElse(p.toUri.getPath, 0L))
+        lens.get(p.toUri.getPath))
     }
   }
 

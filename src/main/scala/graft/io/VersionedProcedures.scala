@@ -248,7 +248,9 @@ private[io] object VersionedProcedures {
         StructField("file", StringType, nullable = true),
         StructField("cells_covered", IntegerType, nullable = false),
         StructField("cells", IntegerType, nullable = false),
-        StructField("bytes", LongType, nullable = false))),
+        // null = unpriced (live file missing from its directory
+        // listing — defensive): volume reads "unknown", never "smaller"
+        StructField("bytes", LongType, nullable = true))),
       (spark, rootFor, input) =>
         graft.ops.AnnIndex.layoutStats(spark,
           existing(spark, rootFor, input, 0))
@@ -259,7 +261,11 @@ private[io] object VersionedProcedures {
       Array(in("codes_table", StringType)),
       StructType(Seq(
         StructField("files", LongType, nullable = false),
-        StructField("cells", LongType, nullable = false),
+        // cells/total_bytes nullable like the kept_* columns: the agg
+        // over a degenerate empty per-file frame yields nulls, and any
+        // unpriced file nulls BOTH volume columns (degradation must be
+        // visible, never a smaller number)
+        StructField("cells", LongType, nullable = true),
         StructField("kept_per_probe", org.apache.spark.sql.types.DoubleType, nullable = true),
         StructField("kept_bytes_per_probe", org.apache.spark.sql.types.DoubleType, nullable = true),
         StructField("total_bytes", LongType, nullable = true))),
@@ -313,7 +319,7 @@ private[io] object VersionedProcedures {
         row(mv, cv)
       }),
 
-    Spec("ann_search_prepared", "search a (vec_id, embedding) query table through the session handle ann_prepare cached for this (model, codes) pair (graft.ops.PreparedAnnSearch.search) — the SQL surface of the prepared path, so a SQL-only user stops re-paying the per-call model read, assignment job and scan resolution. Refuses without a prior ann_prepare IN THIS SESSION, and refuses a STALE handle (either table advanced past the prepared version pair) naming both pairs and the remedy; same query-batch cap as the Scala handle (batch past 10k (query, probed-cell) rows: use graft.ops.AnnIndex.search). local_bytes_cap > 0 enables the driver-local serve dial: when the probe's kept files total at most that many bytes, the candidate join runs driver-side in ONE job (row-identical by construction and by spec; narrow single-query serving drops under the local-mode multi-stage floor)",
+    Spec("ann_search_prepared", "search a (vec_id, embedding) query table through the session handle ann_prepare cached for this (model, codes) pair (graft.ops.PreparedAnnSearch.search) — the SQL surface of the prepared path, so a SQL-only user stops re-paying the per-call model read, assignment job and scan resolution. Refuses without a prior ann_prepare IN THIS SESSION, and refuses a STALE handle (either table advanced past the prepared version pair) naming both pairs and the remedy; same query-batch cap as the Scala handle (batch past 10k (query, probed-cell) rows: use graft.ops.AnnIndex.search). local_bytes_cap > 0 enables the driver-local serve dial: when the probe's kept files total at most that many bytes, the candidate join runs driver-side in ONE job (row-identical by construction and by spec; narrow single-query serving drops under the local-mode multi-stage floor). local_bytes_cap = -1 is AUTO: the cap prices itself from the snapshot listing resolved at ann_prepare (ideal per-probe bytes = total/nlist x nprobe with a safety multiple, clamped to the dial's measured win region), so narrow probes on a healthy layout serve locally, eroded or wide probes decline into the distributed join, and re-preparing after a recell re-sizes the cap — no hand-tuned constant",
       Array(in("queries_table", StringType), in("model_table", StringType),
         in("codes_table", StringType), inDefault("k", IntegerType, "10"),
         inDefault("nprobe", IntegerType, "1"),

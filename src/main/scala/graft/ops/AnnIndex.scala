@@ -474,19 +474,36 @@ object AnnIndex {
     * probe — the normalized form is what [[layoutAlerts]] and
     * [[erodedBeyond]] compare against the same tolKept. Cost is
     * [[layoutStats]]' own: sidecar reads plus the bounded
-    * distinct-cells scan. */
+    * distinct-cells scan.
+    *
+    * Degradation is NULL, never a smaller number: if ANY live file's
+    * byte length is unpriced (missing from its directory listing —
+    * defensive; see [[graft.io.Versioned.fileStatsCoverage]]), BOTH
+    * volume columns come back null — Spark's null-skipping `sum` would
+    * otherwise under-count kept bytes AND total bytes toward
+    * not-alerting, the inversion of the missing-stats
+    * count-every-value rule the open-count leg follows. The per-file
+    * product runs in the DOUBLE domain (the quotient is a double
+    * anyway), so a multi-PB × 4096-cell snapshot cannot wrap int64. */
   def layoutPoint(spark: SparkSession, codesRoot: String): DataFrame =
-    layoutStats(spark, codesRoot)
+    layoutPointOf(layoutStats(spark, codesRoot))
+
+  /** The scalar-point aggregation over a [[layoutStats]]-shaped frame —
+    * the seam the degradation spec drives alongside [[layoutStatsOf]]. */
+  private[graft] def layoutPointOf(stats: DataFrame): DataFrame =
+    stats
       .agg(count(lit(1)).as("files"),
         sum(col("cells_covered")).as("__covered"),
         first(col("cells")).as("__cells"),
-        sum(col("cells_covered").cast("long") * col("bytes")).as("__keptb"),
-        sum(col("bytes")).as("total_bytes"))
+        sum(col("cells_covered").cast("double") * col("bytes").cast("double"))
+          .as("__keptb"),
+        sum(col("bytes")).as("__total"),
+        max(col("bytes").isNull).as("__unpriced"))
       .select(col("files"), col("__cells").cast("long").as("cells"),
         (col("__covered").cast("double") / col("__cells")).as("kept_per_probe"),
-        (col("__keptb").cast("double") / col("__cells"))
+        when(!col("__unpriced"), col("__keptb") / col("__cells"))
           .as("kept_bytes_per_probe"),
-        col("total_bytes"))
+        when(!col("__unpriced"), col("__total")).as("total_bytes"))
 
   /** Runs of consecutive LAYOUT breaches in a layout-monitor series —
     * the third erosion axis's run rule, completing its loop symmetry
@@ -504,7 +521,14 @@ object AnnIndex {
     * all-cells file keeps 1.0 files per probe ("perfect") while every
     * probe reads everything. Series without the volume columns
     * (pre-upgrade monitor tables, hand-built frames) alert on the
-    * file-count rule alone, as before. */
+    * file-count rule alone, as before. A series ROW whose volume
+    * columns are null (a batch measured while some live file was
+    * unpriced — [[layoutPoint]]'s degradation signal) contributes only
+    * its file-count leg to the breach predicate: SQL three-valued
+    * logic makes `kept > tol OR null` true when the open count
+    * breaches and null (filtered out, no breach) otherwise — the same
+    * skip-the-volume-leg posture [[erodedBeyond]] takes, with the
+    * degradation itself visible as the nulls in the accreted table. */
   def layoutAlerts(series: DataFrame, tolKept: Double,
                    minRun: Int): DataFrame = {
     require(minRun > 0, s"layoutAlerts: minRun=$minRun must be positive")
@@ -752,7 +776,7 @@ object AnnIndex {
     * the trigger: (live cells, per-file (path, mayContain count,
     * bytes)). */
   private def cellCoverage(spark: SparkSession, codesRoot: String)
-      : (IndexedSeq[Any], Seq[(String, Int, Long)]) = {
+      : (IndexedSeq[Any], Seq[(String, Int, Option[Long])]) = {
     val cells = liveCells(spark, codesRoot)
     (cells, Versioned.fileStatsCoverage(spark, codesRoot, "cluster", cells))
   }
@@ -768,12 +792,24 @@ object AnnIndex {
     * ideal layout's total/nlist per probe) exceeds tolerance. */
   def layoutStats(spark: SparkSession, codesRoot: String): DataFrame = {
     val (cells, cov) = cellCoverage(spark, codesRoot)
+    layoutStatsOf(spark, cells.length, cov)
+  }
+
+  /** [[layoutStats]] over an already-derived coverage — the seam the
+    * degradation spec drives with a synthetic unpriced file (the real
+    * filesystem cannot produce one without also breaking the bounded
+    * distinct-cells scan that precedes coverage). */
+  private[graft] def layoutStatsOf(spark: SparkSession, nlist: Int,
+      cov: Seq[(String, Int, Option[Long])]): DataFrame = {
     import spark.implicits._
     // nlist rides as a constant column so kept-files-per-probe is one
-    // aggregation away: SUM(cells_covered) / ANY_VALUE(cells)
+    // aggregation away: SUM(cells_covered) / ANY_VALUE(cells). An
+    // unpriced file (missing from its directory listing — defensive)
+    // carries bytes NULL, never 0: the volume metrics must read
+    // "unknown", not "smaller".
     cov.toDF("file", "cells_covered", "bytes")
       .select(col("file"), col("cells_covered"),
-        lit(cells.length).as("cells"), col("bytes"))
+        lit(nlist).as("cells"), col("bytes"))
   }
 
   /** The mechanical [[recell]] trigger: true when the average
@@ -838,18 +874,30 @@ object AnnIndex {
     * leave the amp above tol; a re-fired recell RESAMPLES range
     * boundaries, so repeated repairs do not reproduce the same
     * pathological landing. */
-  private def erodedBeyond(cells: IndexedSeq[Any],
-                           cov: Seq[(String, Int, Long)],
-                           tolKept: Double,
-                           minCellBytes: Long): Boolean = {
+  private[graft] def erodedBeyond(cells: IndexedSeq[Any],
+                                  cov: Seq[(String, Int, Option[Long])],
+                                  tolKept: Double,
+                                  minCellBytes: Long): Boolean = {
     val keptFiles = cov.map(_._2.toLong).sum.toDouble / cells.length
-    val total = cov.map(_._3).sum
-    // volume leg skipped when lengths are unknown (total 0 — a missing
-    // listing must not read as infinitely amplified) or when the table
-    // is below the oscillation gate (see scaladoc)
+    // the volume leg is skipped — as a WHOLE, never partially summed —
+    // when ANY live file's length is unpriced (a missing listing must
+    // not read as infinitely amplified, and a partial sum would
+    // under-count amplification toward not-alerting; the degradation is
+    // visible as nulls in layoutStats/layoutPoint and the monitor
+    // series), when the snapshot is empty, or when the table is below
+    // the oscillation gate (see scaladoc). The gate product is exact:
+    // an absurd user-supplied minCellBytes that overflows int64 means
+    // the TRUE gate exceeds any real total, so the gate engages — it
+    // must never wrap into a value that re-arms (or mis-fires) the
+    // automatic trigger.
+    val anyUnpriced = cov.exists(_._3.isEmpty)
+    val total = cov.flatMap(_._3).sum
+    val gateBytes =
+      try math.multiplyExact(minCellBytes, cells.length.toLong)
+      catch { case _: ArithmeticException => Long.MaxValue }
     val volAmp =
-      if (total <= 0L || total < minCellBytes * cells.length.toLong) 1.0
-      else cov.map(f => f._2.toDouble * f._3).sum / total
+      if (anyUnpriced || total <= 0L || total < gateBytes) 1.0
+      else cov.map(f => f._2.toDouble * f._3.get).sum / total
     keptFiles > tolKept || volAmp > tolKept
   }
 
@@ -1682,15 +1730,43 @@ final class PreparedAnnSearch private[ops] (
     * one-file-per-cell contract file skipping IS row skipping. A
     * heavily-eroded table served without repair wants the direct
     * [[AnnIndex.search]], which re-plans per call and keeps the
-    * row-group literal. */
+    * row-group literal.
+    *
+    * `localBytesCap` — the driver-local serve dial: 0 (default) off;
+    * a positive cap admits the one-job local path when the probe's
+    * kept files total at most that many bytes (see [[localServe]]);
+    * [[PreparedAnnSearch.LocalBytesAuto]] (-1) prices the cap from the
+    * snapshot listing this handle resolved at prepare — ideal
+    * bytes-per-probe = total/nlist × nprobe with a safety multiple,
+    * clamped to the dial's measured win region (see
+    * [[PreparedAnnSearch.autoCapBytes]]) — so the serving path needs
+    * no hand-tuned constant and a re-prepare after recell re-sizes it.
+    * Other negatives refuse loudly (ambiguous). LAZINESS CAVEAT: when
+    * the dial is ELIGIBLE the search materializes EAGERLY — the collect
+    * job and the driver-side scoring run inside this call and a
+    * LocalRelation-backed frame returns — whereas the distributed path
+    * returns a lazy plan; a serving caller that constructs frames now
+    * and executes later pays the local path's cost HERE, at call
+    * time. */
   def search(queries: DataFrame, k: Int, nprobe: Int = 1,
              localBytesCap: Long = 0L): DataFrame = {
+    require(localBytesCap >= 0L ||
+      localBytesCap == PreparedAnnSearch.LocalBytesAuto,
+      s"localBytesCap=$localBytesCap: 0 disables the driver-local dial, " +
+        "a positive cap bounds the one-job collect in bytes, and " +
+        s"${PreparedAnnSearch.LocalBytesAuto} (LocalBytesAuto) prices the " +
+        "cap from the snapshot listing resolved at prepare — any other " +
+        "negative is ambiguous, refused")
     val (qaLocal, probed) = assignLocal.assign(queries, nprobe,
       rowBudget = 10000, alternative =
         "AnnIndex.search, whose distributed fallback handles jumbo sets")
+    val cap =
+      if (localBytesCap == PreparedAnnSearch.LocalBytesAuto)
+        autoLocalBytesCap(nprobe)
+      else localBytesCap
     val keep = keepFor(probed)
     val local =
-      if (localBytesCap > 0L && keptBytes(keep).exists(_ <= localBytesCap))
+      if (cap > 0L && keptBytes(keep).exists(_ <= cap))
         localServe(qaLocal, keep, k)
       else None
     local.getOrElse {
@@ -1699,6 +1775,22 @@ final class PreparedAnnSearch private[ops] (
       Similarity.ivfPqTopKIndexed(pruned, qaLocal, bookLocal, dsub, k)
     }
   }
+
+  /** The byte cap [[PreparedAnnSearch.LocalBytesAuto]] resolves to on
+    * THIS handle at probe width `nprobe` — priced from the snapshot
+    * listing resolved at prepare (total bytes, cell count), so a
+    * re-prepare after recell re-sizes it with the repaired layout. Pure
+    * and cheap (two multiplies and a clamp per call); exposed so a
+    * serving deployment can SEE the cap the auto dial would apply
+    * before opting in. */
+  def autoLocalBytesCap(nprobe: Int): Long =
+    PreparedAnnSearch.autoCapBytes(totalSnapshotBytes, assignLocal.cells,
+      nprobe)
+
+  // the auto dial's prepare-time pricing input: the snapshot's total
+  // live bytes (every manifest-live file is in the listing, so this is
+  // exact — an empty table prices 0 and the floor keeps it eligible)
+  private val totalSnapshotBytes: Long = fileBytes.valuesIterator.sum
 
   /** Kept volume of a probe's keep-set, from the snapshot listing
     * resolved at prepare. None — which disqualifies the local dial —
@@ -1915,6 +2007,53 @@ final class PreparedAnnSearch private[ops] (
 }
 
 object PreparedAnnSearch {
+  /** Sentinel for `localBytesCap`: AUTO — price the dial's cap from the
+    * snapshot listing the handle resolved at prepare instead of a
+    * hand-tuned constant. SQL twin: `ann_search_prepared(...,
+    * local_bytes_cap => -1)`. See [[autoCapBytes]] for the formula. */
+  val LocalBytesAuto: Long = -1L
+
+  // the AUTO formula's dials, all derived from the r17 measurement
+  // (BENCH_ANN_SEARCH_r17.md, 10⁶-vector fixture): the safety multiple
+  // absorbs the recelled layout's benign file merges (the range
+  // partitioner may pack adjacent cells into one file — pairwise
+  // merges double a probe's kept bytes, never more without re-firing
+  // the layout trigger); the floor keeps deliberately-packed SMALL
+  // tables (the compactSmall regime, where the whole table is a couple
+  // MB) eligible — any collect that small is trivially cheap and the
+  // one-job path wins regardless of layout shape; the ceiling encodes
+  // that the dial's crossover is ABSOLUTE driver-side work, not
+  // probe-relative: a ~7 MB collect already lost 2× to the distributed
+  // join on the bench fixture while ~1 MB won 2×, so scaling the cap
+  // with nprobe WITHOUT a ceiling would admit exactly the mid/wide
+  // probes the dial loses.
+  private[ops] val AutoSafety = 4L
+  private[ops] val AutoFloorBytes: Long = 2L * 1024 * 1024
+  private[ops] val AutoCeilBytes: Long = 4L * 1024 * 1024
+
+  /** The cap [[LocalBytesAuto]] resolves to: the ideal per-probe kept
+    * volume of the one-file-per-cell layout — ceil(totalBytes/cells) ×
+    * min(nprobe, cells) — times [[AutoSafety]], clamped to
+    * [[[AutoFloorBytes]], [[AutoCeilBytes]]]. Double-domain arithmetic
+    * (wrap-proof at any snapshot size; the result is ≤ the ceiling
+    * anyway). On a healthy layout a narrow probe's kept bytes sit near
+    * the ideal and qualify; an eroded layout's blown kept volume (the
+    * accreted all-cells files) exceeds the cap and the dial DECLINES
+    * into the distributed join — which is exactly the layout loop's
+    * erode → decline → recell → re-qualify composition, now with no
+    * magic number in the serving path. */
+  def autoCapBytes(totalBytes: Long, cells: Int, nprobe: Int): Long = {
+    require(cells > 0, s"autoCapBytes: cells=$cells must be positive")
+    require(nprobe >= 1, s"autoCapBytes: nprobe=$nprobe must be >= 1")
+    require(totalBytes >= 0L,
+      s"autoCapBytes: totalBytes=$totalBytes must be non-negative")
+    val ideal = math.ceil(totalBytes.toDouble / cells) *
+      math.min(nprobe, cells)
+    val raw = AutoSafety.toDouble * ideal
+    math.max(AutoFloorBytes.toDouble,
+      math.min(AutoCeilBytes.toDouble, raw)).toLong
+  }
+
   /** Normalize an id/label for the local dial's driver-side map keys:
     * integral types widen to Long (mirroring the distributed
     * codes→book join's implicit numeric cast, so an int `code` column

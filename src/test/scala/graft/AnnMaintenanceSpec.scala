@@ -731,4 +731,97 @@ class AnnMaintenanceSpec extends SparkSpecBase {
     assert(tiny.forall(r => r._2 >= 0L && r._2 <= 5L && r._3 == r._2 / 5.0),
       tiny.toSeq)
   }
+
+  test("volume-metric degradation: an unpriced live file reads None from " +
+    "fileStatsCoverage, NULLs both volume columns of the layout point, " +
+    "and disables ONLY the volume leg of the breach rule — never a " +
+    "silent under-count") {
+    // --- production of the None at the filesystem seam: a manifest-live
+    // data file deleted behind the manifest vanishes from its directory
+    // listing; coverage still counts it conservatively (its sidecar
+    // stats are intact) but its length must read None — folding 0 into
+    // the volume sums would under-count amplification toward
+    // not-alerting, the inversion of the count-every-value rule
+    val root = java.nio.file.Files.createTempDirectory("annvol_unl").toString
+    val df = (0 until 100).map(i => (i.toLong, (i % 4).toLong))
+      .toDF("vec_id", "cluster")
+    graft.io.Versioned.commit(spark,
+      df.repartitionByRange(4, col("cluster")), root,
+      statsCols = Seq("cluster"))
+    val cellVals: Seq[Any] = Seq(0L, 1L, 2L, 3L)
+    val before = graft.io.Versioned.fileStatsCoverage(
+      spark, root, "cluster", cellVals)
+    assert(before.nonEmpty && before.forall(_._3.nonEmpty), before)
+    import scala.jdk.CollectionConverters._
+    val victim = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      .iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") &&
+        !p.toString.contains("_manifests")).toSeq.head
+    java.nio.file.Files.delete(victim)
+    val after = graft.io.Versioned.fileStatsCoverage(
+      spark, root, "cluster", cellVals)
+    assert(after.length == before.length) // still manifest-live
+    assert(after.count(_._3.isEmpty) == 1, after.toString)
+    // the unlisted file still COUNTS toward the open-count coverage
+    assert(after.map(_._2).sum == before.map(_._2).sum)
+
+    // --- propagation through the REAL aggregation (synthetic coverage;
+    // the filesystem cannot stage an unpriced file without also breaking
+    // the bounded distinct-cells scan that precedes coverage): one None
+    // nulls BOTH volume columns while the open-count metric stays exact
+    val covUnpriced = Seq(
+      ("b1/f1", 1, Option(100L)),
+      ("b1/f2", 4, Option.empty[Long]),
+      ("b2/f3", 1, Option(200L)))
+    val stats = AnnIndex.layoutStatsOf(spark, 4, covUnpriced)
+    val bytesByFile = stats.select("file", "bytes")
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(bytesByFile("b1/f2").isEmpty && bytesByFile("b1/f1").contains(100L))
+    val pt = AnnIndex.layoutPointOf(stats).collect().head
+    assert(pt.getAs[Long]("files") == 3L)
+    assert(pt.getAs[Double]("kept_per_probe") == 1.5)
+    assert(pt.isNullAt(pt.fieldIndex("kept_bytes_per_probe")), pt.toString)
+    assert(pt.isNullAt(pt.fieldIndex("total_bytes")), pt.toString)
+    // fully-priced control: the same shape with the length known reads
+    // non-null volume (the degradation is the None, not the shape)
+    val covPriced = covUnpriced.map { case (f, c, b) =>
+      (f, c, b.orElse(Option(400L))) }
+    val ptOk = AnnIndex.layoutPointOf(
+      AnnIndex.layoutStatsOf(spark, 4, covPriced)).collect().head
+    assert(!ptOk.isNullAt(ptOk.fieldIndex("kept_bytes_per_probe")))
+    assert(ptOk.getAs[Long]("total_bytes") == 700L)
+
+    // --- the breach rule: a packed-file coverage that WOULD breach on
+    // the volume leg stops breaching when its length is unpriced (the
+    // leg is skipped as a WHOLE — no partial sums)...
+    val cells = cellVals.toIndexedSeq
+    val packed = Seq(("b/f", 4, Option(4096L))) // volAmp = 4 > tol 2
+    assert(AnnIndex.erodedBeyond(cells, packed, tolKept = 2.0,
+      minCellBytes = 0L))
+    assert(!AnnIndex.erodedBeyond(cells,
+      Seq(("b/f", 4, Option.empty[Long])), tolKept = 2.0, minCellBytes = 0L))
+    // ...while the OPEN-COUNT leg still fires on an unpriced eroded
+    // layout — degradation never blinds the rule entirely
+    val erodedUnpriced = (1 to 12).map(i => (s"b/f$i", 4, Option.empty[Long]))
+    assert(AnnIndex.erodedBeyond(cells, erodedUnpriced, tolKept = 2.0,
+      minCellBytes = 0L))
+  }
+
+  test("the oscillation gate's product is exact: an absurd minCellBytes " +
+    "engages the gate instead of wrapping int64 and re-arming the " +
+    "volume leg") {
+    val cells: IndexedSeq[Any] = IndexedSeq(0L, 1L, 2L, 3L)
+    // a 1 TB table packed into one all-cells file: volAmp = nlist = 4
+    val packed = Seq(("b/f", 4, Option(1L << 40)))
+    assert(AnnIndex.erodedBeyond(cells, packed, tolKept = 2.0,
+      minCellBytes = 1L))
+    // a gate larger than the table disables the volume leg (deliberate)
+    assert(!AnnIndex.erodedBeyond(cells, packed, tolKept = 2.0,
+      minCellBytes = 1L << 60))
+    // 4 × (Long.MaxValue/2) wraps to -4 in int64: pre-guard, total < -4
+    // read false and the leg RE-ARMED against the caller's explicit
+    // gate; with multiplyExact the true (astronomical) gate engages
+    assert(!AnnIndex.erodedBeyond(cells, packed, tolKept = 2.0,
+      minCellBytes = Long.MaxValue / 2))
+  }
 }

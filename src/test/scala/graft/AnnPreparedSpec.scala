@@ -230,6 +230,125 @@ class AnnPreparedSpec extends SparkSpecBase {
         k = 3, nprobe = 2).collect().toSet)
   }
 
+  test("autoCapBytes prices the dial's measured win region: floor for " +
+    "packed-small tables, safety-scaled ideal in band, ceiling against " +
+    "the probes the dial loses") {
+    import graft.ops.PreparedAnnSearch.autoCapBytes
+    val MB = 1024L * 1024
+    // floor: tiny snapshots (the compactSmall regime) price the floor —
+    // any collect that small is trivially cheap, eligibility survives
+    // the deliberate one-file packing
+    assert(autoCapBytes(100L * 1024, 128, 1) == 2 * MB)
+    assert(autoCapBytes(0L, 4, 1) == 2 * MB)
+    // in band: safety × ceil(total/cells) × nprobe
+    assert(autoCapBytes(96L * MB, 128, 1) == 3 * MB)
+    // ceiling: the crossover is ABSOLUTE driver-side work — a wide
+    // probe or a 100 TB snapshot must never talk the dial into a
+    // driver-sized collect
+    assert(autoCapBytes(96L * MB, 128, 16) == 4 * MB)
+    assert(autoCapBytes(100L * 1024 * 1024 * MB, 4096, 1) == 4 * MB)
+    // nprobe clamps at the cell count (probing every cell twice is not
+    // a thing)
+    assert(autoCapBytes(96L * MB, 128, 1000) ==
+      autoCapBytes(96L * MB, 128, 128))
+    // refusals: degenerate geometry is a caller bug, not a 2 MB cap
+    intercept[IllegalArgumentException](autoCapBytes(1L, 0, 1))
+    intercept[IllegalArgumentException](autoCapBytes(1L, 4, 0))
+    intercept[IllegalArgumentException](autoCapBytes(-1L, 4, 1))
+  }
+
+  test("AUTO serve dial end-to-end with NO explicit cap: serves locally " +
+    "on the pristine layout, declines on the eroded one, re-qualifies " +
+    "after recell + re-prepare; other negatives refuse loudly") {
+    import graft.ops.PreparedAnnSearch
+    // high-entropy deterministic vectors so the codes parquet cannot
+    // compress away: the eroded kept volume must genuinely blow past
+    // the auto cap's floor
+    def bigVecs(nRows: Long, offset: Long) =
+      spark.range(nRows).select(
+        (col("id") + offset).as("vec_id"),
+        pmod(col("id"), lit(16L)).as("label"),
+        expr("transform(sequence(0, 63), j -> " +
+          "cast(1.0 + pmod(id * 2654435761 + j * 40503, 997) / 249.0 " +
+          "as float))").as("embedding"))
+    val emb = bigVecs(2000L, 0L)
+    val modelRoot = tmp("annm_auto")
+    val codesRoot = tmp("annc_auto")
+    AnnIndex.trainAndRebuild(spark, emb, m = 16, dsub = 4,
+      modelRoot, codesRoot)
+    val queries = emb.filter(col("vec_id") === 0L)
+      .select(col("vec_id"), col("embedding"))
+
+    def totalBytes: Long = graft.io.Versioned.snapshotFiles(spark, codesRoot)
+      .map(p => java.nio.file.Files.size(
+        java.nio.file.Paths.get(p.stripPrefix("file:")))).sum
+
+    // pristine: AUTO prices the floor (tiny build) and serves locally
+    val pristine = AnnIndex.prepare(spark, modelRoot, codesRoot)
+    assert(pristine.autoLocalBytesCap(1) ==
+      PreparedAnnSearch.autoCapBytes(totalBytes, 16, 1))
+    val direct0 = AnnIndex.search(spark, queries, modelRoot, codesRoot,
+      k = 3, nprobe = 1).collect().toSet
+    val auto0 = pristine.search(queries, k = 3, nprobe = 1,
+      localBytesCap = PreparedAnnSearch.LocalBytesAuto)
+    assert(isDriverLocal(auto0), "AUTO did not serve the pristine layout locally")
+    assert(auto0.collect().toSet == direct0 && direct0.nonEmpty)
+
+    // ambiguous negatives refuse loudly BEFORE any work
+    val eNeg = intercept[IllegalArgumentException] {
+      pristine.search(queries, k = 3, nprobe = 1, localBytesCap = -2L)
+    }
+    assert(eNeg.getMessage.contains("LocalBytesAuto"))
+
+    // erode: all-cells maintenance waves until the snapshot dwarfs the
+    // auto cap (adaptive — parquet compression varies; the loop bound
+    // keeps the spec finite and the explicit assert below keeps its
+    // failure mode honest)
+    val (cent, book, m, dsub) = AnnIndex.model(spark, modelRoot)
+    var w = 0
+    while (w < 12 && totalBytes < 9L * 1024 * 1024) {
+      val late = bigVecs(50000L, 1000000L + w * 100000L)
+        .select(col("vec_id"), col("embedding"))
+      graft.io.Versioned.commit(spark,
+        graft.ops.Similarity.assignClusters(late, cent, nprobe = 1)
+          .select(col("vec_id"), col("cluster"))
+          .join(graft.ops.Similarity.pqEncode(late, book, m, dsub),
+            Seq("vec_id"))
+          .coalesce(1),
+        codesRoot, statsCols = Seq("vec_id", "cluster"))
+      w += 1
+    }
+    val eroded = AnnIndex.prepare(spark, modelRoot, codesRoot)
+    val erodedCap = eroded.autoLocalBytesCap(1)
+    assert(totalBytes > 2 * erodedCap,
+      s"fixture too small to blow the auto cap: total=$totalBytes cap=$erodedCap")
+    val directE = AnnIndex.search(spark, queries, modelRoot, codesRoot,
+      k = 3, nprobe = 1).collect().toSet
+    val autoE = eroded.search(queries, k = 3, nprobe = 1,
+      localBytesCap = PreparedAnnSearch.LocalBytesAuto)
+    assert(!isDriverLocal(autoE),
+      "AUTO took a local collect of an eroded kept volume")
+    assert(autoE.collect().toSet == directE && directE.nonEmpty)
+
+    // repair: recell re-packs cell-ranged; a RE-PREPARE re-prices the
+    // cap from the repaired listing and the dial re-qualifies — the
+    // layout loop's composition with zero hand-tuned constants
+    assert(AnnIndex.recellIfNeeded(spark, codesRoot, minCellBytes = 0L)
+      .isDefined)
+    val repaired = AnnIndex.prepare(spark, modelRoot, codesRoot)
+    val directR = AnnIndex.search(spark, queries, modelRoot, codesRoot,
+      k = 3, nprobe = 1).collect().toSet
+    val autoR = repaired.search(queries, k = 3, nprobe = 1,
+      localBytesCap = PreparedAnnSearch.LocalBytesAuto)
+    assert(isDriverLocal(autoR),
+      "AUTO did not re-qualify after recell + re-prepare")
+    assert(autoR.collect().toSet == directR && directR.nonEmpty)
+    // the STALE handle keeps its prepare-time pricing (snapshot
+    // semantics): the eroded handle still declines even though the
+    // table on disk is healed
+    assert(eroded.autoLocalBytesCap(1) == erodedCap)
+  }
+
   test("prepared search plans carry no probed-cell literal and are " +
     "structurally identical across probed sets (runtime keep-set pruning)") {
     val emb = Tables.table(spark, sfDir, "embeddings")

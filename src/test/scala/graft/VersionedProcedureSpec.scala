@@ -445,6 +445,20 @@ class VersionedProcedureSpec extends SparkSpecBase {
       .as[(String, String, String, Double, Int)].collect()
     assert(viaLocal.toSet == gotRows.toSet)
 
+    // AUTO (-1) prices the cap from the prepare-time listing — on this
+    // tiny table the floor admits the local path; rows identical
+    val viaAuto = spark.sql("CALL graft_proc.system.ann_search_prepared(" +
+      "'ns.annp_q', 'ns.annp_model', 'ns.annp_codes', 3, 2, -1L)")
+      .as[(String, String, String, Double, Int)].collect()
+    assert(viaAuto.toSet == gotRows.toSet)
+
+    // other negatives refuse loudly (ambiguous): the Scala refusal
+    // surfaces through the CALL
+    val eAmb = intercept[Exception](spark.sql(
+      "CALL graft_proc.system.ann_search_prepared(" +
+        "'ns.annp_q', 'ns.annp_model', 'ns.annp_codes', 3, 2, -2L)"))
+    assert(chain(eAmb).contains("LocalBytesAuto"))
+
     // a codes commit staled the handle: refusal names both pairs and
     // the remedy
     spark.sql("CALL graft_proc.system.ann_recell('ns.annp_codes')")
