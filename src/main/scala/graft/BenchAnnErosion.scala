@@ -101,10 +101,27 @@ object BenchAnnErosion {
           .queryExecution.executedPlan.executeCollect()
         ()
       }
+      // the r18 AUTO dial: the cap re-prices itself from THIS stage's
+      // prepare-time listing (the handle above is freshly prepared per
+      // stage), so erode→decline→recell→re-qualify needs no constant
+      import graft.ops.PreparedAnnSearch
+      val autoDf = handle.search(q1, k = 3, nprobe = 1,
+        localBytesCap = PreparedAnnSearch.LocalBytesAuto)
+      val autoLocal = autoDf.queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => r
+      }.isEmpty
+      val auto = t {
+        handle.search(q1, k = 3, nprobe = 1,
+          localBytesCap = PreparedAnnSearch.LocalBytesAuto)
+          .queryExecution.executedPlan.executeCollect()
+        ()
+      }
       println(f"[ann-erosion] $stage%-9s files=${kept.getLong(0)}%-4d " +
         f"kept/probe=${kept.getDouble(1)}%5.2f volAmp=$volAmp%5.2f " +
         f"direct=$direct%.3f s handle=$prepped%.3f s " +
-        f"local=$local%.3f s (${if (tookLocal) "local" else "fell back"})")
+        f"local=$local%.3f s (${if (tookLocal) "local" else "fell back"}) " +
+        f"auto=$auto%.3f s (cap=${handle.autoLocalBytesCap / 1024.0 / 1024}%.2f MB, " +
+        f"${if (autoLocal) "local" else "fell back"})")
     }
 
     measure("pristine")

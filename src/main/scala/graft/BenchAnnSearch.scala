@@ -253,6 +253,92 @@ object BenchAnnSearch {
       println(f"[ann-search] local ${singles.length} distinct narrow " +
         f"searches: total=$dt1%.2f s, ${dt1 / singles.length}%.3f s/call")
     }
+
+    // ---- the AUTO dial (r18): localBytesCap = -1 ----------------------
+    // the cap prices itself from the snapshot listing resolved at
+    // prepare (safety × ideal per-probe bytes, clamped to the measured
+    // win region) — narrow must match the right-sized explicit cap,
+    // mid/wide must decline into the distributed join, and there is no
+    // hand-tuned constant left in the serving path
+    locally {
+      import graft.ops.PreparedAnnSearch
+      println(f"[ann-search] auto cap (width-independent): " +
+        f"${handle.autoLocalBytesCap / 1024.0 / 1024}%.2f MB; kept: " +
+        f"narrow=${handle.probedKeptBytes(q1, 1).getOrElse(-1L) / 1024.0 / 1024}%.2f MB, " +
+        f"mid=${handle.probedKeptBytes(q1, math.max(1, k / 8)).getOrElse(-1L) / 1024.0 / 1024}%.2f MB, " +
+        f"wide=${handle.probedKeptBytes(q1, k).getOrElse(-1L) / 1024.0 / 1024}%.2f MB")
+      def timeA(label: String, nprobe: Int): Double = {
+        val runs = (1 to iters).map { _ =>
+          val t0 = System.nanoTime()
+          val df = handle.search(q1, k = 3, nprobe = nprobe,
+            localBytesCap = PreparedAnnSearch.LocalBytesAuto)
+          df.queryExecution.executedPlan.executeCollect()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[ann-search] auto:$label%-8s nprobe=$nprobe%-4d " +
+          f"min=${runs.min}%.3f s")
+        runs.min
+      }
+      timeA("narrow", 1) // warm
+      timeA("narrow", 1)
+      timeA("mid", math.max(1, k / 8))
+      timeA("wide", k)
+      val reps = 10
+      val t0 = System.nanoTime()
+      (1 to reps).foreach { _ =>
+        handle.search(q1, k = 3, nprobe = 1,
+          localBytesCap = PreparedAnnSearch.LocalBytesAuto)
+          .queryExecution.executedPlan.executeCollect()
+        ()
+      }
+      println(f"[ann-search] auto floor ($reps calls, nprobe=1): " +
+        f"${(System.nanoTime() - t0) / 1e9 / reps}%.3f s/call")
+    }
+
+    // ---- concurrent serving throughput (r18) --------------------------
+    // N driver threads share ONE handle, each serving its own rotation
+    // of distinct narrow queries — the datum behind "the one-job floor's
+    // scheduling residual amortizes across concurrent batches": if the
+    // residual were a serialized lock, calls/s would plateau at 1 thread;
+    // if it is schedulable work, calls/s rises with threads until the
+    // scheduler or the cores saturate
+    locally {
+      import graft.ops.PreparedAnnSearch
+      val qSel = emb.filter(col("vec_id") < 32)
+        .select(col("vec_id"), col("embedding"))
+      val qRows = qSel.collect()
+      val singles = qRows.map(r => spark.createDataFrame(
+        java.util.Arrays.asList(r), qSel.schema))
+      def burst(threads: Int, callsPerThread: Int, cap: Long): Double = {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+        try {
+          // warm every query's keep-set + codegen once, outside the clock
+          singles.foreach(q => handle.search(q, k = 3, nprobe = 1,
+            localBytesCap = cap).queryExecution.executedPlan.executeCollect())
+          val t0 = System.nanoTime()
+          val futs = (0 until threads).map { t =>
+            pool.submit(new java.util.concurrent.Callable[Unit] {
+              def call(): Unit = (0 until callsPerThread).foreach { i =>
+                handle.search(singles((t + i * threads) % singles.length),
+                  k = 3, nprobe = 1, localBytesCap = cap)
+                  .queryExecution.executedPlan.executeCollect()
+                ()
+              }
+            })
+          }
+          futs.foreach(_.get())
+          threads * callsPerThread / ((System.nanoTime() - t0) / 1e9)
+        } finally pool.shutdown()
+      }
+      val callsPer = sys.env.getOrElse("SPARK_GRAFT_CONC_CALLS", "20").toInt
+      Seq(1, 2, 4, 8).foreach { n =>
+        val loc = burst(n, callsPer, PreparedAnnSearch.LocalBytesAuto)
+        val dist = burst(n, callsPer, 0L)
+        println(f"[ann-search] concurrent n=$n%-2d ($callsPer calls/thread): " +
+          f"local(auto)=$loc%.1f calls/s (${1.0 / loc * n}%.3f s/call), " +
+          f"distributed=$dist%.1f calls/s (${1.0 / dist * n}%.3f s/call)")
+      }
+    }
     spark.stop()
   }
 }

@@ -319,7 +319,7 @@ private[io] object VersionedProcedures {
         row(mv, cv)
       }),
 
-    Spec("ann_search_prepared", "search a (vec_id, embedding) query table through the session handle ann_prepare cached for this (model, codes) pair (graft.ops.PreparedAnnSearch.search) — the SQL surface of the prepared path, so a SQL-only user stops re-paying the per-call model read, assignment job and scan resolution. Refuses without a prior ann_prepare IN THIS SESSION, and refuses a STALE handle (either table advanced past the prepared version pair) naming both pairs and the remedy; same query-batch cap as the Scala handle (batch past 10k (query, probed-cell) rows: use graft.ops.AnnIndex.search). local_bytes_cap > 0 enables the driver-local serve dial: when the probe's kept files total at most that many bytes, the candidate join runs driver-side in ONE job (row-identical by construction and by spec; narrow single-query serving drops under the local-mode multi-stage floor). local_bytes_cap = -1 is AUTO: the cap prices itself from the snapshot listing resolved at ann_prepare (ideal per-probe bytes = total/nlist x nprobe with a safety multiple, clamped to the dial's measured win region), so narrow probes on a healthy layout serve locally, eroded or wide probes decline into the distributed join, and re-preparing after a recell re-sizes the cap — no hand-tuned constant",
+    Spec("ann_search_prepared", "search a (vec_id, embedding) query table through the session handle ann_prepare cached for this (model, codes) pair (graft.ops.PreparedAnnSearch.search) — the SQL surface of the prepared path, so a SQL-only user stops re-paying the per-call model read, assignment job and scan resolution. Refuses without a prior ann_prepare IN THIS SESSION, and refuses a STALE handle (either table advanced past the prepared version pair) naming both pairs and the remedy; same query-batch cap as the Scala handle (batch past 10k (query, probed-cell) rows: use graft.ops.AnnIndex.search). local_bytes_cap > 0 enables the driver-local serve dial: when the probe's kept files total at most that many bytes, the candidate join runs driver-side in ONE job (row-identical by construction and by spec; narrow single-query serving drops under the local-mode multi-stage floor). local_bytes_cap = -1 is AUTO: the cap prices itself from the snapshot listing resolved at ann_prepare (ideal single-cell-probe bytes = total/nlist with a safety multiple, clamped to the dial's MEASURED win region — deliberately independent of nprobe, because the crossover is absolute driver-side work), so narrow probes on a healthy layout serve locally, eroded or mid/wide probes decline into the distributed join because their kept volume exceeds the cap, and re-preparing after a recell re-sizes it — no hand-tuned constant",
       Array(in("queries_table", StringType), in("model_table", StringType),
         in("codes_table", StringType), inDefault("k", IntegerType, "10"),
         inDefault("nprobe", IntegerType, "1"),

@@ -1736,11 +1736,13 @@ final class PreparedAnnSearch private[ops] (
     * a positive cap admits the one-job local path when the probe's
     * kept files total at most that many bytes (see [[localServe]]);
     * [[PreparedAnnSearch.LocalBytesAuto]] (-1) prices the cap from the
-    * snapshot listing this handle resolved at prepare — ideal
-    * bytes-per-probe = total/nlist × nprobe with a safety multiple,
-    * clamped to the dial's measured win region (see
-    * [[PreparedAnnSearch.autoCapBytes]]) — so the serving path needs
-    * no hand-tuned constant and a re-prepare after recell re-sizes it.
+    * snapshot listing this handle resolved at prepare — the ideal
+    * single-cell-probe bytes total/nlist with a safety multiple,
+    * clamped to the dial's MEASURED win region and deliberately
+    * independent of nprobe (see [[PreparedAnnSearch.autoCapBytes]]) —
+    * so the serving path needs no hand-tuned constant and a re-prepare
+    * after recell re-sizes it; wide probes decline because their kept
+    * volume exceeds the single-probe-sized cap.
     * Other negatives refuse loudly (ambiguous). LAZINESS CAVEAT: when
     * the dial is ELIGIBLE the search materializes EAGERLY — the collect
     * job and the driver-side scoring run inside this call and a
@@ -1762,7 +1764,7 @@ final class PreparedAnnSearch private[ops] (
         "AnnIndex.search, whose distributed fallback handles jumbo sets")
     val cap =
       if (localBytesCap == PreparedAnnSearch.LocalBytesAuto)
-        autoLocalBytesCap(nprobe)
+        autoLocalBytesCap
       else localBytesCap
     val keep = keepFor(probed)
     val local =
@@ -1777,15 +1779,14 @@ final class PreparedAnnSearch private[ops] (
   }
 
   /** The byte cap [[PreparedAnnSearch.LocalBytesAuto]] resolves to on
-    * THIS handle at probe width `nprobe` — priced from the snapshot
-    * listing resolved at prepare (total bytes, cell count), so a
-    * re-prepare after recell re-sizes it with the repaired layout. Pure
-    * and cheap (two multiplies and a clamp per call); exposed so a
-    * serving deployment can SEE the cap the auto dial would apply
-    * before opting in. */
-  def autoLocalBytesCap(nprobe: Int): Long =
-    PreparedAnnSearch.autoCapBytes(totalSnapshotBytes, assignLocal.cells,
-      nprobe)
+    * THIS handle — priced from the snapshot listing resolved at prepare
+    * (total bytes, cell count), so a re-prepare after recell re-sizes
+    * it with the repaired layout; probe-width-independent (the dial's
+    * crossover is absolute — see [[PreparedAnnSearch.autoCapBytes]]).
+    * Exposed so a serving deployment can SEE the cap the auto dial
+    * would apply before opting in. */
+  def autoLocalBytesCap: Long =
+    PreparedAnnSearch.autoCapBytes(totalSnapshotBytes, assignLocal.cells)
 
   // the auto dial's prepare-time pricing input: the snapshot's total
   // live bytes (every manifest-live file is in the listing, so this is
@@ -1797,6 +1798,18 @@ final class PreparedAnnSearch private[ops] (
     * when any kept file is missing from the listing (cannot happen for
     * a manifest-live file; defensive): an unpriced file must never
     * under-count its way under the cap. */
+  /** The kept bytes a query batch's probe would resolve to — the exact
+    * number the dial's eligibility compares against the cap, exposed so
+    * a serving deployment (and the bench) can SEE which side of the cap
+    * a probe lands on instead of inferring it from timings. Runs the
+    * driver-side assignment (no job). */
+  def probedKeptBytes(queries: DataFrame, nprobe: Int = 1): Option[Long] = {
+    val (_, probed) = assignLocal.assign(queries, nprobe,
+      rowBudget = 10000, alternative =
+        "AnnIndex.search, whose distributed fallback handles jumbo sets")
+    keptBytes(keepFor(probed))
+  }
+
   private def keptBytes(keep: Set[(String, String)]): Option[Long] =
     keep.foldLeft(Option(0L)) { (acc, k) =>
       for { a <- acc; b <- fileBytes.get(k) } yield a + b
@@ -2013,43 +2026,46 @@ object PreparedAnnSearch {
     * local_bytes_cap => -1)`. See [[autoCapBytes]] for the formula. */
   val LocalBytesAuto: Long = -1L
 
-  // the AUTO formula's dials, all derived from the r17 measurement
-  // (BENCH_ANN_SEARCH_r17.md, 10⁶-vector fixture): the safety multiple
-  // absorbs the recelled layout's benign file merges (the range
-  // partitioner may pack adjacent cells into one file — pairwise
-  // merges double a probe's kept bytes, never more without re-firing
-  // the layout trigger); the floor keeps deliberately-packed SMALL
-  // tables (the compactSmall regime, where the whole table is a couple
-  // MB) eligible — any collect that small is trivially cheap and the
-  // one-job path wins regardless of layout shape; the ceiling encodes
-  // that the dial's crossover is ABSOLUTE driver-side work, not
-  // probe-relative: a ~7 MB collect already lost 2× to the distributed
-  // join on the bench fixture while ~1 MB won 2×, so scaling the cap
-  // with nprobe WITHOUT a ceiling would admit exactly the mid/wide
-  // probes the dial loses.
+  // the AUTO formula's dials, all from measurement (BENCH_ANN_SEARCH
+  // r17/r18, 10⁶-vector fixture): the safety multiple absorbs the
+  // recelled layout's benign file merges (the range partitioner may
+  // pack adjacent cells into one file — pairwise merges double a
+  // probe's kept bytes, never more without re-firing the layout
+  // trigger); the floor keeps small layouts eligible down to
+  // sub-half-MB collects, which win regardless of layout shape
+  // (measured: 0.17–0.35 MB collects at 0.2–0.3 s vs 0.4–0.7 s
+  // distributed); the ceiling is the measured CROSSOVER — a ~3 MB
+  // collect (2M code rows to one driver) already LOSES 2.2× to the
+  // distributed join (r18 probe: 1.38 s vs 0.62 s at kept=2.94 MB),
+  // while everything ≤ the r17 "right-sized 2 MB" recommendation wins.
+  // Deliberately NO nprobe term: the crossover is ABSOLUTE driver-side
+  // work (collect row materialization), not probe-relative — the first
+  // cut scaled the cap with nprobe and admitted exactly the mid-width
+  // probes the dial loses (measured before being fixed); wide probes
+  // decline naturally because their kept bytes exceed the
+  // single-probe-sized cap.
   private[ops] val AutoSafety = 4L
-  private[ops] val AutoFloorBytes: Long = 2L * 1024 * 1024
-  private[ops] val AutoCeilBytes: Long = 4L * 1024 * 1024
+  private[ops] val AutoFloorBytes: Long = 512L * 1024
+  private[ops] val AutoCeilBytes: Long = 2L * 1024 * 1024
 
-  /** The cap [[LocalBytesAuto]] resolves to: the ideal per-probe kept
-    * volume of the one-file-per-cell layout — ceil(totalBytes/cells) ×
-    * min(nprobe, cells) — times [[AutoSafety]], clamped to
-    * [[[AutoFloorBytes]], [[AutoCeilBytes]]]. Double-domain arithmetic
-    * (wrap-proof at any snapshot size; the result is ≤ the ceiling
-    * anyway). On a healthy layout a narrow probe's kept bytes sit near
-    * the ideal and qualify; an eroded layout's blown kept volume (the
-    * accreted all-cells files) exceeds the cap and the dial DECLINES
-    * into the distributed join — which is exactly the layout loop's
-    * erode → decline → recell → re-qualify composition, now with no
-    * magic number in the serving path. */
-  def autoCapBytes(totalBytes: Long, cells: Int, nprobe: Int): Long = {
+  /** The cap [[LocalBytesAuto]] resolves to: the ideal SINGLE-CELL-probe
+    * kept volume of the one-file-per-cell layout — ceil(totalBytes /
+    * cells) — times [[AutoSafety]], clamped to [[[AutoFloorBytes]],
+    * [[AutoCeilBytes]]] (the measured win region; see the dial notes
+    * above for why the cap is probe-width-INDEPENDENT). Double-domain
+    * arithmetic (wrap-proof at any snapshot size; the result is ≤ the
+    * ceiling anyway). On a healthy layout a narrow probe's kept bytes
+    * sit near the ideal and qualify; an eroded layout's blown kept
+    * volume (accreted all-cells files) and any mid/wide probe's
+    * multi-cell volume exceed the cap and the dial DECLINES into the
+    * distributed join — the layout loop's erode → decline → recell →
+    * re-qualify composition, with no magic number in the serving
+    * path. */
+  def autoCapBytes(totalBytes: Long, cells: Int): Long = {
     require(cells > 0, s"autoCapBytes: cells=$cells must be positive")
-    require(nprobe >= 1, s"autoCapBytes: nprobe=$nprobe must be >= 1")
     require(totalBytes >= 0L,
       s"autoCapBytes: totalBytes=$totalBytes must be non-negative")
-    val ideal = math.ceil(totalBytes.toDouble / cells) *
-      math.min(nprobe, cells)
-    val raw = AutoSafety.toDouble * ideal
+    val raw = AutoSafety.toDouble * math.ceil(totalBytes.toDouble / cells)
     math.max(AutoFloorBytes.toDouble,
       math.min(AutoCeilBytes.toDouble, raw)).toLong
   }

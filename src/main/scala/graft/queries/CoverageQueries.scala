@@ -869,6 +869,29 @@ object CoverageQueries {
       .search(emb.filter(col("vec_id") < 30), k = 3, nprobe = 2)
   }
 
+  /** The prepared handle's AUTO serve dial
+    * ([[graft.ops.PreparedAnnSearch.LocalBytesAuto]]): the same
+    * lifecycle as `ann_prepared`, searched with `localBytesCap = -1` —
+    * the cap prices itself from the snapshot listing resolved at
+    * prepare (safety × ideal per-probe bytes, clamped to the dial's
+    * measured win region), and on this corpus the floor admits the
+    * ONE-job driver-local path. Shares [[annIvfPqProbe2Oracle]]
+    * verbatim: the local path's reconstruction, the shared cosine
+    * kernel and the replicated (cos DESC, nid ASC) ranking must be
+    * hash-invisible against DuckDB's independent re-derivation — the
+    * strongest row-identity pin the dial has, because the oracle never
+    * saw Spark's plan at all. */
+  def annPreparedAuto(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.AnnIndex
+    val emb = Tables.embeddings(spark, sfDir)
+    val modelRoot = QueryScratch.freshRoot("graft_annmodel_pa", sfDir)
+    val codesRoot = QueryScratch.freshRoot("graft_anncodes_pa", sfDir)
+    AnnIndex.trainAndRebuild(spark, emb, m = 16, dsub = 4, modelRoot, codesRoot)
+    AnnIndex.prepare(spark, modelRoot, codesRoot)
+      .search(emb.filter(col("vec_id") < 30), k = 3, nprobe = 2,
+        localBytesCap = graft.ops.PreparedAnnSearch.LocalBytesAuto)
+  }
+
   /** Layout-only RECELL maintenance ([[graft.ops.AnnIndex.recell]]):
     * train the model on the FULL corpus, build the celled codes table
     * from only the even-id half, append the odd-id half in the
@@ -2143,6 +2166,7 @@ object CoverageQueries {
     "ann_binary_fetch" -> (annBinaryFetch _),
     "ann_binary_prepared" -> (annBinaryPrepared _),
     "ann_prepared" -> (annPrepared _),
+    "ann_prepared_auto" -> (annPreparedAuto _),
     "ann_recell" -> (annRecell _),
     "ann_recall" -> (annRecall _),
     "ann_recall_sampled" -> (annRecallSampled _),
@@ -2202,6 +2226,7 @@ object CoverageQueries {
     "ann_binary_fetch" -> annBinaryRerankOracle, // pruned fetch must be hash-invisible
     "ann_binary_prepared" -> annBinaryPrunedOracle, // handle must be hash-invisible
     "ann_prepared" -> annIvfPqProbe2Oracle, // handle must be hash-invisible
+    "ann_prepared_auto" -> annIvfPqProbe2Oracle, // AUTO local path likewise
     "ann_recell" -> annIvfPqProbe2Oracle, // recell must be hash-invisible
     "ann_recall" -> annRecallOracle,
     "ann_recall_sampled" -> annRecallSampledOracle,

@@ -234,27 +234,26 @@ class AnnPreparedSpec extends SparkSpecBase {
     "packed-small tables, safety-scaled ideal in band, ceiling against " +
     "the probes the dial loses") {
     import graft.ops.PreparedAnnSearch.autoCapBytes
-    val MB = 1024L * 1024
-    // floor: tiny snapshots (the compactSmall regime) price the floor —
-    // any collect that small is trivially cheap, eligibility survives
-    // the deliberate one-file packing
-    assert(autoCapBytes(100L * 1024, 128, 1) == 2 * MB)
-    assert(autoCapBytes(0L, 4, 1) == 2 * MB)
-    // in band: safety × ceil(total/cells) × nprobe
-    assert(autoCapBytes(96L * MB, 128, 1) == 3 * MB)
-    // ceiling: the crossover is ABSOLUTE driver-side work — a wide
-    // probe or a 100 TB snapshot must never talk the dial into a
-    // driver-sized collect
-    assert(autoCapBytes(96L * MB, 128, 16) == 4 * MB)
-    assert(autoCapBytes(100L * 1024 * 1024 * MB, 4096, 1) == 4 * MB)
-    // nprobe clamps at the cell count (probing every cell twice is not
-    // a thing)
-    assert(autoCapBytes(96L * MB, 128, 1000) ==
-      autoCapBytes(96L * MB, 128, 128))
-    // refusals: degenerate geometry is a caller bug, not a 2 MB cap
-    intercept[IllegalArgumentException](autoCapBytes(1L, 0, 1))
-    intercept[IllegalArgumentException](autoCapBytes(1L, 4, 0))
-    intercept[IllegalArgumentException](autoCapBytes(-1L, 4, 1))
+    val KB = 1024L
+    val MB = 1024L * KB
+    // floor: tiny snapshots price the floor — sub-half-MB collects win
+    // regardless of layout shape (measured)
+    assert(autoCapBytes(100L * KB, 128) == 512 * KB)
+    assert(autoCapBytes(0L, 4) == 512 * KB)
+    // in band: safety × ceil(total/cells) — the single-cell-probe ideal
+    assert(autoCapBytes(24L * MB, 128) == 768 * KB)
+    // ceiling: the measured crossover — a ~3 MB collect LOSES 2× to the
+    // distributed join (r18 probe), so neither a big-cell layout nor a
+    // 100 TB snapshot may talk the dial into a driver-sized collect
+    assert(autoCapBytes(96L * MB, 128) == 2 * MB)
+    assert(autoCapBytes(100L * MB * MB, 4096) == 2 * MB)
+    // deliberately NO nprobe term: the first cut scaled the cap with
+    // probe width and admitted exactly the mid probes the dial loses
+    // (kept=2.94 MB served locally at 1.38 s vs 0.62 s distributed) —
+    // the signature no longer even accepts one
+    // refusals: degenerate geometry is a caller bug, not a floor cap
+    intercept[IllegalArgumentException](autoCapBytes(1L, 0))
+    intercept[IllegalArgumentException](autoCapBytes(-1L, 4))
   }
 
   test("AUTO serve dial end-to-end with NO explicit cap: serves locally " +
@@ -285,8 +284,8 @@ class AnnPreparedSpec extends SparkSpecBase {
 
     // pristine: AUTO prices the floor (tiny build) and serves locally
     val pristine = AnnIndex.prepare(spark, modelRoot, codesRoot)
-    assert(pristine.autoLocalBytesCap(1) ==
-      PreparedAnnSearch.autoCapBytes(totalBytes, 16, 1))
+    assert(pristine.autoLocalBytesCap ==
+      PreparedAnnSearch.autoCapBytes(totalBytes, 16))
     val direct0 = AnnIndex.search(spark, queries, modelRoot, codesRoot,
       k = 3, nprobe = 1).collect().toSet
     val auto0 = pristine.search(queries, k = 3, nprobe = 1,
@@ -319,7 +318,7 @@ class AnnPreparedSpec extends SparkSpecBase {
       w += 1
     }
     val eroded = AnnIndex.prepare(spark, modelRoot, codesRoot)
-    val erodedCap = eroded.autoLocalBytesCap(1)
+    val erodedCap = eroded.autoLocalBytesCap
     assert(totalBytes > 2 * erodedCap,
       s"fixture too small to blow the auto cap: total=$totalBytes cap=$erodedCap")
     val directE = AnnIndex.search(spark, queries, modelRoot, codesRoot,
@@ -346,7 +345,7 @@ class AnnPreparedSpec extends SparkSpecBase {
     // the STALE handle keeps its prepare-time pricing (snapshot
     // semantics): the eroded handle still declines even though the
     // table on disk is healed
-    assert(eroded.autoLocalBytesCap(1) == erodedCap)
+    assert(eroded.autoLocalBytesCap == erodedCap)
   }
 
   test("prepared search plans carry no probed-cell literal and are " +
