@@ -331,7 +331,9 @@ object BenchAnnSearch {
         } finally pool.shutdown()
       }
       val callsPer = sys.env.getOrElse("SPARK_GRAFT_CONC_CALLS", "20").toInt
-      Seq(1, 2, 4, 8).foreach { n =>
+      val threadList = sys.env.getOrElse("SPARK_GRAFT_CONC_THREADS", "1,2,4,8")
+        .split(",").map(_.trim.toInt).toSeq
+      threadList.foreach { n =>
         val loc = burst(n, callsPer, PreparedAnnSearch.LocalBytesAuto)
         val dist = burst(n, callsPer, 0L)
         println(f"[ann-search] concurrent n=$n%-2d ($callsPer calls/thread): " +

@@ -366,6 +366,40 @@ private[io] object VersionedProcedures {
           .queryExecution.executedPlan.executeCollect()
       }),
 
+    Spec("ann_serve_probe", "price a probe WITHOUT running it, through the session handle ann_prepare cached for this (model, codes) pair: one row (auto_cap_bytes, kept_bytes, serves_local) — the cap the AUTO dial (ann_search_prepared local_bytes_cap = -1) resolves to on this handle (priced from the snapshot listing at prepare; width-independent), the EXACT kept volume this query batch's probe would read at `nprobe` (graft.ops.PreparedAnnSearch.probedKeptBytes — driver-side assignment only, NO job; null when any kept file is unpriced, which also disqualifies the dial), and whether AUTO would take the one-job driver-local path. The observability half of the serving dial: a deployment sees which side of the crossover a probe lands on before opting in, instead of inferring it from timings. Same handle-presence and version-staleness refusals as ann_search_prepared (a stale handle's pricing would describe a snapshot no longer served)",
+      Array(in("queries_table", StringType), in("model_table", StringType),
+        in("codes_table", StringType), inDefault("nprobe", IntegerType, "1")),
+      StructType(Seq(
+        StructField("auto_cap_bytes", LongType, nullable = false),
+        StructField("kept_bytes", LongType, nullable = true),
+        StructField("serves_local", BooleanType, nullable = false))),
+      (spark, rootFor, input) => {
+        val queriesRoot = existing(spark, rootFor, input, 0)
+        val modelName = str(input, 1, "model_table")
+        val codesName = str(input, 2, "codes_table")
+        val modelRoot = existing(spark, rootFor, input, 1)
+        val codesRoot = existing(spark, rootFor, input, 2)
+        val (handle, mv, cv) = graft.ops.AnnPreparedRegistry
+          .get(spark, modelRoot, codesRoot).getOrElse(
+            throw new IllegalStateException(
+              s"no prepared handle for ($modelName, $codesName) in this " +
+                "session — CALL graft.system.ann_prepare" +
+                s"('$modelName', '$codesName') first"))
+        val curM = Versioned.versions(spark, modelRoot).last
+        val curC = Versioned.versions(spark, codesRoot).last
+        if (curM != mv || curC != cv) throw new IllegalStateException(
+          s"prepared handle for ($modelName, $codesName) is STALE: " +
+            s"prepared at (model v$mv, codes v$cv), current is " +
+            s"(v$curM, v$curC) — CALL graft.system.ann_prepare" +
+            s"('$modelName', '$codesName') again to adopt the new " +
+            "snapshot (cheap: no training)")
+        val cap = handle.autoLocalBytesCap
+        val kept = handle.probedKeptBytes(
+          Versioned.read(spark, queriesRoot), input.getInt(3))
+        row(cap, kept.map(Long.box).orNull,
+          kept.exists(_ <= cap): java.lang.Boolean)
+      }),
+
     Spec("ann_prepare_release", "drop THIS SESSION's cached prepared-search handle for the (model, codes) pair — the explicit end of the ann_prepare lifecycle (handles are strongly held until re-prepared, released, or cap-evicted; there is no GC-driven teardown). Returns how many handles were dropped (0 or 1); releasing a pair that was never prepared is a no-op, not an error — and the tables need not EXIST anymore (a handle must stay releasable after its table was dropped, or the drop would pin the handle forever)",
       Array(in("model_table", StringType), in("codes_table", StringType)),
       StructType(Seq(

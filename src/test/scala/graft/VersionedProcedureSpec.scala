@@ -459,6 +459,20 @@ class VersionedProcedureSpec extends SparkSpecBase {
         "'ns.annp_q', 'ns.annp_model', 'ns.annp_codes', 3, 2, -2L)"))
     assert(chain(eAmb).contains("LocalBytesAuto"))
 
+    // ann_serve_probe prices the probe without running it: the auto cap
+    // (floor on this tiny snapshot), the exact kept bytes (non-null,
+    // positive, at most the snapshot total), and the AUTO verdict —
+    // which on this table is the local path the -1 search above took
+    val probe = spark.sql("CALL graft_proc.system.ann_serve_probe(" +
+      "'ns.annp_q', 'ns.annp_model', 'ns.annp_codes', 2)")
+    assert(probe.columns.toSeq ==
+      Seq("auto_cap_bytes", "kept_bytes", "serves_local"))
+    val (capB, keptB, servesLocal) =
+      probe.as[(Long, Option[Long], Boolean)].collect().head
+    assert(capB == 512L * 1024) // tiny snapshot -> the floor
+    assert(keptB.exists(b => b > 0L && b <= capB))
+    assert(servesLocal)
+
     // a codes commit staled the handle: refusal names both pairs and
     // the remedy
     spark.sql("CALL graft_proc.system.ann_recell('ns.annp_codes')")
@@ -467,6 +481,12 @@ class VersionedProcedureSpec extends SparkSpecBase {
         "'ns.annp_q', 'ns.annp_model', 'ns.annp_codes', 3, 2)"))
     assert(chain(e1).contains("STALE") && chain(e1).contains("v2") &&
       chain(e1).contains("ann_prepare"))
+    // the probe refuses the same staleness: a stale handle's pricing
+    // would describe a snapshot no longer served
+    val e1p = intercept[Exception](spark.sql(
+      "CALL graft_proc.system.ann_serve_probe(" +
+        "'ns.annp_q', 'ns.annp_model', 'ns.annp_codes')"))
+    assert(chain(e1p).contains("STALE"))
 
     // re-prepare adopts the new snapshot; results identical (recell is
     // layout-only)
