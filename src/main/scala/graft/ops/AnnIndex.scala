@@ -1786,12 +1786,17 @@ final class PreparedAnnSearch private[ops] (
     * Exposed so a serving deployment can SEE the cap the auto dial
     * would apply before opting in. */
   def autoLocalBytesCap: Long =
-    PreparedAnnSearch.autoCapBytes(totalSnapshotBytes, assignLocal.cells)
+    PreparedAnnSearch.autoCapBytes(totalSnapshotBytes, assignLocal.cells,
+      autoBand._1, autoBand._2)
 
-  // the auto dial's prepare-time pricing input: the snapshot's total
+  // the auto dial's prepare-time pricing inputs: the snapshot's total
   // live bytes (every manifest-live file is in the listing, so this is
   // exact — an empty table prices 0 and the floor keeps it eligible)
+  // and the clamp band resolved from the session's conf AT PREPARE
+  // (measured defaults unless a deployment overrode them — a live conf
+  // change applies from the next prepare, like every snapshot input)
   private val totalSnapshotBytes: Long = fileBytes.valuesIterator.sum
+  private val autoBand: (Long, Long) = PreparedAnnSearch.autoBandFor(spark)
 
   /** Kept volume of a probe's keep-set, from the snapshot listing
     * resolved at prepare. None — which disqualifies the local dial —
@@ -2048,6 +2053,39 @@ object PreparedAnnSearch {
   private[ops] val AutoFloorBytes: Long = 512L * 1024
   private[ops] val AutoCeilBytes: Long = 2L * 1024 * 1024
 
+  // the band is a HARDWARE crossover (collect+score throughput vs
+  // distributed scheduling overhead), measured on the bench box — a
+  // deployment on different hardware re-measures ONCE (BenchAnnSearch /
+  // BenchAnnAutoProbe print both sides of the trade) and sets it
+  // session-wide; still zero per-table tuning
+  val AutoFloorKey = "spark.graft.ann.autoFloorBytes"
+  val AutoCeilKey = "spark.graft.ann.autoCeilBytes"
+
+  /** The [floor, ceil] clamp band [[autoCapBytes]] uses for `spark` —
+    * the measured defaults unless overridden via [[AutoFloorKey]]/
+    * [[AutoCeilKey]]; malformed or inverted overrides refuse loudly
+    * naming the key (a typo must not silently re-size the serving
+    * path). Read at PREPARE (the handle resolves everything at prepare;
+    * a live conf change applies from the next prepare, like every other
+    * snapshot input). */
+  private[ops] def autoBandFor(spark: org.apache.spark.sql.SparkSession)
+      : (Long, Long) = {
+    def read(key: String, dflt: Long): Long =
+      spark.conf.getOption(key).map { s =>
+        try java.lang.Long.parseLong(s.trim)
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$key='$s' is not a long byte count")
+        }
+      }.getOrElse(dflt)
+    val floor = read(AutoFloorKey, AutoFloorBytes)
+    val ceil = read(AutoCeilKey, AutoCeilBytes)
+    require(floor > 0L && ceil >= floor,
+      s"auto serve-dial band must satisfy 0 < floor <= ceil; got " +
+        s"$AutoFloorKey=$floor, $AutoCeilKey=$ceil")
+    (floor, ceil)
+  }
+
   /** The cap [[LocalBytesAuto]] resolves to: the ideal SINGLE-CELL-probe
     * kept volume of the one-file-per-cell layout — ceil(totalBytes /
     * cells) — times [[AutoSafety]], clamped to [[[AutoFloorBytes]],
@@ -2061,13 +2099,24 @@ object PreparedAnnSearch {
     * distributed join — the layout loop's erode → decline → recell →
     * re-qualify composition, with no magic number in the serving
     * path. */
-  def autoCapBytes(totalBytes: Long, cells: Int): Long = {
+  def autoCapBytes(totalBytes: Long, cells: Int): Long =
+    autoCapBytes(totalBytes, cells, AutoFloorBytes, AutoCeilBytes)
+
+  /** [[autoCapBytes]] with an explicit clamp band — what a prepared
+    * handle calls with the band [[autoBandFor]] resolved from its
+    * session at prepare (the measured defaults unless a deployment that
+    * re-measured its own crossover overrode [[AutoFloorKey]]/
+    * [[AutoCeilKey]]). */
+  def autoCapBytes(totalBytes: Long, cells: Int, floorBytes: Long,
+                   ceilBytes: Long): Long = {
     require(cells > 0, s"autoCapBytes: cells=$cells must be positive")
     require(totalBytes >= 0L,
       s"autoCapBytes: totalBytes=$totalBytes must be non-negative")
+    require(floorBytes > 0L && ceilBytes >= floorBytes,
+      s"autoCapBytes: band must satisfy 0 < floor <= ceil; got " +
+        s"floor=$floorBytes, ceil=$ceilBytes")
     val raw = AutoSafety.toDouble * math.ceil(totalBytes.toDouble / cells)
-    math.max(AutoFloorBytes.toDouble,
-      math.min(AutoCeilBytes.toDouble, raw)).toLong
+    math.max(floorBytes.toDouble, math.min(ceilBytes.toDouble, raw)).toLong
   }
 
   /** Normalize an id/label for the local dial's driver-side map keys:

@@ -256,6 +256,57 @@ class AnnPreparedSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](autoCapBytes(-1L, 4))
   }
 
+  test("the auto band is session-conf overridable at prepare: measured " +
+    "defaults, prepare-time pinning, loud refusals on malformed or " +
+    "inverted overrides") {
+    import graft.ops.PreparedAnnSearch
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val modelRoot = tmp("annm_band")
+    val codesRoot = tmp("annc_band")
+    AnnIndex.trainAndRebuild(spark, emb, m = 16, dsub = 4, modelRoot, codesRoot)
+    val MB = 1024L * 1024
+    // defaults: the measured band
+    val dflt = AnnIndex.prepare(spark, modelRoot, codesRoot).autoLocalBytesCap
+    assert(dflt >= 512L * 1024 && dflt <= 2 * MB)
+    try {
+      // a deployment that re-measured its crossover sets the band
+      // session-wide — still zero per-table tuning
+      spark.conf.set(PreparedAnnSearch.AutoFloorKey, (8 * MB).toString)
+      spark.conf.set(PreparedAnnSearch.AutoCeilKey, (16 * MB).toString)
+      val h = AnnIndex.prepare(spark, modelRoot, codesRoot)
+      assert(h.autoLocalBytesCap == 8 * MB) // tiny snapshot -> new floor
+      // prepare-time snapshot semantics: a live conf change applies
+      // from the NEXT prepare, never to a held handle
+      spark.conf.set(PreparedAnnSearch.AutoFloorKey, "1024")
+      spark.conf.set(PreparedAnnSearch.AutoCeilKey, "2048")
+      assert(h.autoLocalBytesCap == 8 * MB)
+      // with a microscopic band even this table's per-cell ideal
+      // exceeds the ceiling: the next prepare adopts the new band and
+      // clamps to ITS ceil — the band really was re-read
+      assert(AnnIndex.prepare(spark, modelRoot, codesRoot)
+        .autoLocalBytesCap == 2048L)
+      // malformed refuses AT PREPARE, naming the key — a typo must not
+      // silently re-size the serving path
+      spark.conf.set(PreparedAnnSearch.AutoFloorKey, "lots")
+      val e1 = intercept[IllegalArgumentException](
+        AnnIndex.prepare(spark, modelRoot, codesRoot))
+      assert(e1.getMessage.contains(PreparedAnnSearch.AutoFloorKey))
+      // an inverted band refuses too
+      spark.conf.set(PreparedAnnSearch.AutoFloorKey, (4 * MB).toString)
+      spark.conf.set(PreparedAnnSearch.AutoCeilKey, (1 * MB).toString)
+      val e2 = intercept[IllegalArgumentException](
+        AnnIndex.prepare(spark, modelRoot, codesRoot))
+      assert(e2.getMessage.contains("floor <= ceil"))
+    } finally {
+      spark.conf.unset(PreparedAnnSearch.AutoFloorKey)
+      spark.conf.unset(PreparedAnnSearch.AutoCeilKey)
+    }
+    // the explicit-band pure function pins the same contract
+    assert(PreparedAnnSearch.autoCapBytes(0L, 4, 1024L, 2048L) == 1024L)
+    intercept[IllegalArgumentException](
+      PreparedAnnSearch.autoCapBytes(1L, 4, 2048L, 1024L))
+  }
+
   test("AUTO serve dial end-to-end with NO explicit cap: serves locally " +
     "on the pristine layout, declines on the eroded one, re-qualifies " +
     "after recell + re-prepare; other negatives refuse loudly") {
