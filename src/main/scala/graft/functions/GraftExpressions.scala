@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftx.{Bridge, GraftExpectsInputTypes}
 import org.apache.spark.sql.types._
@@ -112,6 +112,35 @@ object GraftExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Fused subspace cosine for PQ encode — see [[Kernels.subCosineFD]].
+    * `dsub` is a plan-time constant (the PQ geometry), so it rides as a
+    * constructor param; `sub` is the exploded subspace column. The result
+    * is nullable beyond its children (mismatched clamped windows / null
+    * elements), hence the boxed-return codegen. */
+  case class SubCosineFDExpr(a: Expression, b: Expression, sub: Expression, dsub: Int)
+      extends TernaryExpression with GraftExpectsInputTypes {
+    override def first: Expression = a
+    override def second: Expression = b
+    override def third: Expression = sub
+    override def graftInputTypes: Seq[DataType] =
+      Seq(ArrayType(FloatType), ArrayType(DoubleType), IntegerType)
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override protected def nullSafeEval(av: Any, bv: Any, sv: Any): Any =
+      Kernels.subCosineFD(
+        av.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        bv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        sv.asInstanceOf[Int], dsub)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (av, bv, sv) => s"""
+        java.lang.Double graftSubCos = graft.functions.Kernels.subCosineFD($av, $bv, $sv, $dsub);
+        if (graftSubCos == null) { ${ev.isNull} = true; } else { ${ev.value} = graftSubCos.doubleValue(); }
+      """)
+    override protected def withNewChildrenInternal(
+        newFirst: Expression, newSecond: Expression, newThird: Expression): SubCosineFDExpr =
+      copy(a = newFirst, b = newSecond, sub = newThird)
+  }
+
   case class ZOrder2Expr(left: Expression, right: Expression) extends BinaryExpression with GraftExpectsInputTypes {
     override def graftInputTypes: Seq[DataType] = Seq(LongType, LongType)
     override def dataType: DataType = LongType
@@ -218,6 +247,9 @@ object GraftExpressions {
   def zorderN(dims: Seq[Column]): Column = Bridge.column(ZOrderNExpr(dims.map(expr)))
   def cosineD(a: Column, b: Column): Column = Bridge.column(CosineExpr(expr(a), expr(b)))
   def cosineFD(a: Column, b: Column): Column = Bridge.column(CosineFDExpr(expr(a), expr(b)))
+
+  def subCosineFD(a: Column, b: Column, sub: Column, dsub: Int): Column =
+    Bridge.column(SubCosineFDExpr(expr(a), expr(b), expr(sub), dsub))
   def kminLongs(c: Column, k: Int): Column =
     Bridge.column(KMinLongs(expr(c), k).toAggregateExpression())
   def topKBy(score: Column, id: Column, k: Int): Column =

@@ -222,6 +222,45 @@ object Kernels {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Subspace cosine for PQ encoding: [[cosineFD]] over the window
+    * [sub·dsub, sub·dsub+dsub) of a FLOAT vector `a` against the same
+    * window of a DOUBLE codeword vector `b` — fused replacement for the
+    * slice + zip_with + aggregate composition that dominated every
+    * corpus encode pass (3 interpreted folds and 5 array allocations per
+    * (vector, subspace, codeword) row). Semantics replicate the
+    * composition EXACTLY, edge cases included:
+    *   - window lengths are clamped to each array's end, like slice();
+    *     unequal clamped lengths → null (zip_with pads the shorter side
+    *     with null, nulling the fold), equal-but-short windows fold over
+    *     the truncated window;
+    *   - any null element inside either window → null (the null product
+    *     nulls the fold);
+    *   - both windows empty → 0/(0·0) = NaN, exactly what the composed
+    *     Divide produces;
+    *   - accumulation is the same sequential left fold per accumulator,
+    *     so finite results are bit-identical (SubCosineSpec pins it).
+    * Returns a boxed Double so null can propagate. */
+  def subCosineFD(a: ArrayData, b: ArrayData, sub: Int, dsub: Int): java.lang.Double = {
+    val off = sub * dsub
+    val la = math.max(0, math.min(dsub, a.numElements() - off))
+    val lb = math.max(0, math.min(dsub, b.numElements() - off))
+    if (la != lb) return null
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < la) {
+      if (a.isNullAt(off + i) || b.isNullAt(off + i)) return null
+      val x = a.getFloat(off + i).toDouble
+      val y = b.getDouble(off + i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
   /** Binary (1-bit/dim) sign fingerprint: word w's bit i is set iff
     * component w·32+i is non-null and > 0. One primitive pass — the
     * equivalent 64-CaseWhen column composition measured ~40 µs/row

@@ -28,6 +28,30 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
+  /** Fan a SMALL single-file scan out across the cluster before an
+    * n·k(·m) expansion pass (centroid assignment, PQ encode): a corpus
+    * that fits one scan split runs those passes in ONE task, serializing
+    * the only compute-bound stages of index training (guide §2.5 "input
+    * skew: one huge unsplittable file … repartition immediately after
+    * the read"). Scale-adaptive, not a local-mode constant: the
+    * repartition fires only when the plan-stats estimate of the input is
+    * at most `spark.graft.fanoutSmallBytes` (default one scan split,
+    * 128 MB — i.e. the scan would yield ~1 task), so a production-scale
+    * corpus with thousands of splits never pays the extra exchange,
+    * while a small one buys full parallelism for ~one tiny shuffle.
+    * Row-identical: every consumer aggregates with order-independent
+    * combiners (exact integer sums, bounded heaps with total
+    * tie-breaks), so partitioning cannot change results. */
+  private[graft] def fanOutSmall(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val cap = spark.conf.getOption("spark.graft.fanoutSmallBytes")
+      .map(_.toLong).getOrElse(128L * 1024 * 1024)
+    if (par <= 1 || cap <= 0L) return df
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= BigInt(cap)) df.repartition(par) else df
+  }
+
   /** Sign-LSH bucket from the first `bits` coordinate signs. */
   def signBucket(emb: Column, bits: Int): Column =
     (0 until bits).map { i =>
@@ -262,7 +286,8 @@ object Similarity {
     * Input columns (label, embedding) -> output (rlabel, cvec). */
   def quantizedCentroids(emb: DataFrame): DataFrame = {
     val Q = 1048576L
-    emb.select(col("label"), posexplode(col("embedding")))
+    fanOutSmall(emb.select(col("label"), col("embedding")))
+      .select(col("label"), posexplode(col("embedding")))
       .groupBy(col("label"), col("pos"))
       .agg(sum(floor(col("col").cast("double") * Q).cast("long")).as("s"))
       .groupBy(col("label"))
@@ -353,7 +378,7 @@ object Similarity {
         s"assignClusters: centroid label type ${t.simpleString} is not " +
           "supported (integral or string)")
     }
-    emb.crossJoin(broadcast(cent))
+    fanOutSmall(emb).crossJoin(broadcast(cent))
       .select(col("vec_id"), col("embedding"),
         heapId.as("__rl"), rcos.as("rcos"))
       .groupBy(col("vec_id"))
@@ -729,13 +754,25 @@ object Similarity {
     import graft.functions.GraftExpressions.topKBy
     import graft.functions.TextFunctions.{cosine, dotDComposed}
     val rlabelType = cent.schema("rlabel").dataType
-    val off = col("sub") * dsub + 1
-    val sa = slice(col("embedding"), off, lit(dsub))
-    val sb = slice(col("cvec"), off, lit(dsub))
-    val score = coalesce(
-      cosine(dotDComposed(sa, sb), dotDComposed(sa, sa), dotDComposed(sb, sb)),
-      lit(Double.NegativeInfinity))
-    emb.select(col("vec_id"), col("embedding"))
+    // subspace scoring: the fused single-pass codegen kernel where the
+    // shapes allow (float embeddings vs double codewords — every trained
+    // book), the interpreted slice/zip_with/aggregate composition for any
+    // other width. Bit-identical by SubCosineSpec, edge cases included —
+    // the composed form walked 5 freshly allocated arrays through 3
+    // interpreted folds per (vector, subspace, codeword) row and was the
+    // dominant cost of every corpus encode pass.
+    val score0 = (emb.schema("embedding").dataType, cent.schema("cvec").dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
+        graft.functions.GraftExpressions.subCosineFD(
+          col("embedding"), col("cvec"), col("sub"), dsub)
+      case _ =>
+        val off = col("sub") * dsub + 1
+        val sa = slice(col("embedding"), off, lit(dsub))
+        val sb = slice(col("cvec"), off, lit(dsub))
+        cosine(dotDComposed(sa, sb), dotDComposed(sa, sa), dotDComposed(sb, sb))
+    }
+    val score = coalesce(score0, lit(Double.NegativeInfinity))
+    fanOutSmall(emb.select(col("vec_id"), col("embedding")))
       .crossJoin(broadcast(cent))
       .select(col("vec_id"),
         explode(sequence(lit(0), lit(m - 1))).as("sub"),

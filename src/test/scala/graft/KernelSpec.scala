@@ -111,6 +111,39 @@ class KernelSpec extends SparkSpecBase {
     assert(bad.count() == 0)
   }
 
+  test("fused subspace cosine == composed slice/zip_with/aggregate form (PQ encode shape)") {
+    import graft.functions.GraftExpressions.subCosineFD
+    val dsub = 4
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val book = graft.ops.Similarity.pqCodebook(
+      emb.select(col("label"), col("embedding")))
+    // edge shapes the kernel must clamp/null exactly like the composed
+    // form: short vectors (clamped windows — equal-short folds, unequal
+    // lengths null), a null element inside one window, empty windows
+    // (off past both ends -> 0/0 = NaN on both sides)
+    val edges = Seq(
+      (9001L, Seq.fill(62)(0.5f).map(Option(_)), 0),        // emb shorter than book in sub 15
+      (9002L, Seq.fill(64)(0.25f).map(Option(_)), 0),       // full width
+      (9003L, (Seq.fill(10)(Some(1.0f)) ++ Seq(None) ++ Seq.fill(53)(Some(2.0f))), 0), // null element in sub 2
+      (9004L, Seq.empty[Option[Float]], 0),                  // empty vector: every window empty on the emb side
+      (9005L, Seq.fill(3)(1.5f).map(Option(_)), 0))          // sub 0 unequal-length window
+      .toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
+    val shapes = emb.select(col("vec_id"), col("embedding"), col("label"))
+      .unionByName(edges)
+    val pairs = shapes.crossJoin(book)
+      .select(col("vec_id"), col("rlabel"), col("embedding"), col("cvec"),
+        explode(sequence(lit(0), lit(15))).as("sub"))
+    val off = col("sub") * dsub + 1
+    val sa = slice(col("embedding"), off, lit(dsub))
+    val sb = slice(col("cvec"), off, lit(dsub))
+    val composed =
+      cosine(dotDComposed(sa, sb), dotDComposed(sa, sa), dotDComposed(sb, sb))
+    val bad = pairs.filter(
+      !(subCosineFD(col("embedding"), col("cvec"), col("sub"), dsub) <=> composed))
+    assert(bad.count() == 0)
+  }
+
   test("dot-product kernel == composed fold over real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val a = emb.select(col("vec_id").as("i"), col("embedding").as("ea"))
