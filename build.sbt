@@ -29,3 +29,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.warehouse.dir=/tmp/graft-warehouse",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Ad-hoc conf injection for measurement runs (e.g.
+// SPARK_GRAFT_JAVA_OPTS="-Dspark.graft.fanoutSmallBytes=0"): forked
+// mains pick spark.* system properties up into SparkConf, so A/B
+// experiments don't need code edits or bench-contract changes.
+javaOptions ++= sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
+  .flatMap(_.trim.split("\\s+").toSeq).filter(_.nonEmpty)

@@ -160,7 +160,13 @@ object AnnIndex {
       .localCheckpoint()
     val cent = centDf
       .select(lit("cent").as("part"), col("rlabel"), col("cvec").as("vec"))
-    val bookDf = Similarity.pqRefineBook(emb, Similarity.pqCodebook(emb), m, dsub)
+    // seed the codebook from the pinned cell centroids when both derive
+    // from the same label column (the default coupled geometry) — the
+    // one-arg pqCodebook would re-run the identical centroid aggregation
+    val book0 =
+      if (cellLabelCol == "label") Similarity.pqCodebook(emb, centDf)
+      else Similarity.pqCodebook(emb)
+    val bookDf = Similarity.pqRefineBook(emb, book0, m, dsub)
       .localCheckpoint()
     val book = bookDf
       .select(lit("book").as("part"), col("rlabel"), col("cvec").as("vec"))
@@ -225,7 +231,11 @@ object AnnIndex {
     val centDf = Similarity.quantizedCentroids(
       emb.select(col(cellLabelCol).as("label"), col("embedding")))
       .localCheckpoint()
-    val bookDf = Similarity.pqRefineBook(emb, Similarity.pqCodebook(emb), m, dsub)
+    // same pinned-centroid codebook seeding as [[train]]
+    val book0 =
+      if (cellLabelCol == "label") Similarity.pqCodebook(emb, centDf)
+      else Similarity.pqCodebook(emb)
+    val bookDf = Similarity.pqRefineBook(emb, book0, m, dsub)
       .localCheckpoint()
     val codes = Similarity.assignClusters(emb, centDf, nprobe = 1)
       .select(col("vec_id"), col("cluster"))

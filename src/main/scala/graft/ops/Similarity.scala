@@ -39,9 +39,17 @@ object Similarity {
     * 128 MB — i.e. the scan would yield ~1 task), so a production-scale
     * corpus with thousands of splits never pays the extra exchange,
     * while a small one buys full parallelism for ~one tiny shuffle.
-    * Row-identical: every consumer aggregates with order-independent
-    * combiners (exact integer sums, bounded heaps with total
-    * tie-breaks), so partitioning cannot change results. */
+    * The width is WORK-proportional, not a blanket defaultParallelism:
+    * ceil(estBytes / spark.graft.fanoutTaskBytes) capped at
+    * defaultParallelism, so a truly tiny corpus (one task's worth of
+    * encode work — where 32 near-empty tasks cost more in launch
+    * overhead than they recover, measured +2-5 s/query at sf0.1) skips
+    * the repartition entirely, and only genuinely task-starved inputs
+    * fan out. `spark.graft.fanoutWidth` overrides the computed width
+    * for measurement runs. Row-identical: every consumer aggregates
+    * with order-independent combiners (exact integer sums, bounded
+    * heaps with total tie-breaks), so partitioning cannot change
+    * results. */
   private[graft] def fanOutSmall(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val par = spark.sparkContext.defaultParallelism
@@ -49,7 +57,12 @@ object Similarity {
       .map(_.toLong).getOrElse(128L * 1024 * 1024)
     if (par <= 1 || cap <= 0L) return df
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (est <= BigInt(cap)) df.repartition(par) else df
+    if (est > BigInt(cap)) return df
+    val taskBytes = spark.conf.getOption("spark.graft.fanoutTaskBytes")
+      .map(_.toLong).getOrElse(2L * 1024 * 1024).max(1L)
+    val width = spark.conf.getOption("spark.graft.fanoutWidth").map(_.toInt)
+      .getOrElse(((est + taskBytes - 1) / taskBytes).min(BigInt(par)).toInt)
+    if (width > 1) df.repartition(width) else df
   }
 
   /** Sign-LSH bucket from the first `bits` coordinate signs. */
@@ -705,11 +718,22 @@ object Similarity {
     * is what makes concatenated codewords a faithful reconstruction
     * (a sum-scale codeword would let large clusters dominate the
     * full-vector cosine). */
-  def pqCodebook(emb: DataFrame): DataFrame = {
+  def pqCodebook(emb: DataFrame): DataFrame =
+    pqCodebook(emb, quantizedCentroids(emb))
+
+  /** [[pqCodebook]] against ALREADY-COMPUTED quantized centroid sums for
+    * the same `label` column — the train-path form: train pins
+    * [[quantizedCentroids]] for the cell table anyway, and recomputing
+    * the identical aggregation inside the codebook (as the one-arg form
+    * must, since a pinned frame is a separate execution no exchange
+    * reuse can see) pays a second full centroid pass per (re)train.
+    * Byte-identical output: the sums are the same exact integers, the
+    * mean division the same one IEEE op per component. */
+  def pqCodebook(emb: DataFrame, cent: DataFrame): DataFrame = {
     val counts = emb.groupBy(col("label"))
       .agg(count(lit(1)).as("__cnt"))
       .select(col("label").as("rlabel"), col("__cnt"))
-    quantizedCentroids(emb).join(broadcast(counts), "rlabel")
+    cent.join(broadcast(counts), "rlabel")
       .select(col("rlabel"),
         transform(col("cvec"), x => x / col("__cnt")).as("cvec"))
   }
