@@ -268,8 +268,18 @@ object Dedup {
                               out: String, maxDist: Int = 1): DataFrame = {
     require(maxDist == 1 || maxDist == 2,
       s"deletion blocking supports maxDist 1 or 2, got $maxDist")
-    val vals = df.select(col(colName).cast(StringType).as(out))
-      .filter(col(out).isNotNull).distinct()
+    // Pin the verify width on task-starved inputs (Widen scaladoc): the
+    // distinct-values exchange is what every heavy downstream stage —
+    // the ~|value| deletion-key explode, the blocked candidate join, the
+    // pair distinct and the levenshtein verify — inherits its
+    // parallelism from, and AQE coalesces it by BYTES to 1-2 tasks while
+    // the candidate volume it feeds is ~|value|·block² larger than the
+    // value list. Expansion prices that multiplier (~16-char keys ×
+    // ~10-candidate blocks). Production-scale value lists skip the pin.
+    val vals = Widen.byKeys(
+      df.select(col(colName).cast(StringType).as(out))
+        .filter(col(out).isNotNull),
+      expansion = 256, col(out)).distinct()
     val s = col(out)
     val deletions = transform(sequence(lit(1), length(s)), i =>
       concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s))))

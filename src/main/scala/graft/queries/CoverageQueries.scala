@@ -1748,9 +1748,16 @@ object CoverageQueries {
   // second shuffle of the fact stream.
   // -------------------------------------------------------------------
   def outlierTrim(spark: SparkSession, sfDir: String): DataFrame = {
-    val v = Tables.lineitem(spark, sfDir)
-      .select(col("l_returnflag").as("flag"),
-        col("l_extendedprice").cast(D).cast(DoubleType).as("v"))
+    // The percentile partial aggregate buffers every value (3 groups, no
+    // map-side reduction) and ran inside the single scan task at sf0.1;
+    // round-robin fan-out at the priced width parallelizes the buffering
+    // and the between-bounds count pass (Widen scaladoc; percentile's
+    // value-count merge is order-independent, so rows are unchanged)
+    val v = graft.ops.Widen.rows(
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_returnflag").as("flag"),
+          col("l_extendedprice").cast(D).cast(DoubleType).as("v")),
+      expansion = 8)
     val bounds = v.groupBy("flag")
       .agg(expr("percentile(v, 0.01)").as("lo"), expr("percentile(v, 0.99)").as("hi"))
     v.join(broadcast(bounds), "flag")

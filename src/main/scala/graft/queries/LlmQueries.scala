@@ -247,10 +247,17 @@ object LlmQueries {
   def ngramJaccardBlocked(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val n = docs.agg(count(lit(1)).as("__n"))
-    val sets = docs.select(col("doc_id"),
+    val sets0 = docs.select(col("doc_id"),
         array_distinct(shingles(tokens(col("text")), 2)).as("sd"))
       .crossJoin(broadcast(n))
       .withColumn("block", col("doc_id") % ceil(col("__n") / lit(50.0)))
+    // Pin the pair-join width on task-starved inputs (Widen scaladoc):
+    // blocks hold ~50 docs, so the join emits ~25× its input rows and
+    // each pair pays an array-intersect Jaccard — AQE's byte-sized
+    // coalescing ran the whole stage in ONE task (4.3 s at sf0.1).
+    // Both join sides derive from the same pinned frame, so the join
+    // reuses the one explicit exchange. Production-scale inputs skip.
+    val sets = graft.ops.Widen.byKeys(sets0, expansion = 32, col("block"))
     val a = sets.select(col("doc_id").as("d1"), col("sd").as("sd1"), col("block"))
     val b = sets.select(col("doc_id").as("d2"), col("sd").as("sd2"), col("block"))
     a.join(b, Seq("block")).filter(col("d1") < col("d2"))

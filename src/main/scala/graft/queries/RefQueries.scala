@@ -102,7 +102,18 @@ object RefQueries {
   // deterministic equivalent the oracle can reproduce).
   // ---------------------------------------------------------------------
   def movementAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
+    // Day-grain movement groups are ~1:1 with input rows (group count ≈
+    // row count at any SF), so the partial aggregate reduces nothing —
+    // it builds a row-count-sized hash map in the SCAN stage, which on a
+    // task-starved single-row-group input runs as ONE task (2.5 s of the
+    // query's 2.7 at sf0.1). Pre-pinning the grouping keys at the priced
+    // width moves the whole aggregate into one explicit W-wide exchange
+    // the groupBy reuses (no second shuffle; guide §2.4), and the
+    // shuffled bytes are the same either way since partial states ≈
+    // rows. Production-scale inputs keep the stock partial+final plan.
+    val li = graft.ops.Widen.byKeys(Tables.lineitem(spark, sfDir),
+      expansion = 4,
+      col("l_partkey"), col("l_suppkey"), to_date(col("l_shipdate")))
     li.groupBy(
         col("l_partkey").as("article"),
         col("l_suppkey").as("site"),
@@ -134,7 +145,10 @@ object RefQueries {
   // any parallelism — true first() semantics without a window or sort.
   // ---------------------------------------------------------------------
   def movementAggFirst(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
+    // same pre-pinned grouping exchange as movementAgg (see there)
+    val li = graft.ops.Widen.byKeys(Tables.lineitem(spark, sfDir),
+      expansion = 4,
+      col("l_partkey"), col("l_suppkey"), to_date(col("l_shipdate")))
     val ord = col("l_orderkey") * lit(100L) + col("l_linenumber") // linenumber < 100
     li.groupBy(
         col("l_partkey").as("article"),

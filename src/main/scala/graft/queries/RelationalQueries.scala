@@ -413,7 +413,12 @@ object RelationalQueries {
   // deterministically constructed SAP-shaped strings.
   // -------------------------------------------------------------------
   def cleanFunctions(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
+    // Pure map-side string/decimal/date formatting over a task-starved
+    // single-row-group scan ran as ONE 3.6 s task at sf0.1 — fan the
+    // rows out at the priced width so the projection uses the cluster
+    // (Widen scaladoc; production-scale scans are already wide and skip)
+    val li = graft.ops.Widen.byKeys(Tables.lineitem(spark, sfDir),
+      expansion = 4, col("l_orderkey"), col("l_linenumber"))
     val qtyStr = col("l_quantity").cast(DecimalType(18, 2)).cast(StringType)
     val taxPct = (col("l_tax").cast(DecimalType(4, 2)) * 100).cast(DecimalType(6, 2))
     li.select(
