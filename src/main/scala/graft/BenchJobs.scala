@@ -33,7 +33,8 @@ object BenchJobs {
       override def onJobStart(e: SparkListenerJobStart): Unit = jobs.synchronized {
         val r = JobRec(e.jobId, e.time)
         r.desc = Option(e.properties)
-          .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
+          .flatMap(p => Option(p.getProperty("spark.job.description"))
+            .orElse(Option(p.getProperty("callSite.short")))).getOrElse("")
         r.stages = e.stageInfos.size
         r.tasks = e.stageInfos.map(_.numTasks).sum
         jobs(e.jobId) = r

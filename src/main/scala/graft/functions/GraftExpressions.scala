@@ -141,6 +141,96 @@ object GraftExpressions {
       copy(a = newFirst, b = newSecond, sub = newThird)
   }
 
+  // Fused whole-codebook ANN kernels (see Kernels scaladoc): the
+  // codeword matrix rides as a driver-collected reference object
+  // (ascending-label order — the tie-break contract), not as child
+  // expressions, so codegen passes one array pointer per row instead of
+  // materializing n·k(·m) crossJoin rows. eval() is deliberately NOT
+  // null-safe on the embedding: a null embedding must still assign /
+  // encode (all scores -Inf → smallest labels), exactly like the
+  // coalesce(score, -Inf) row plans these replace.
+
+  case class NearestKLabelsExpr(child: Expression, cents: Array[Array[Double]],
+                                labels: Array[Long], nprobe: Int)
+      extends UnaryExpression with GraftExpectsInputTypes {
+    override def graftInputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+      Kernels.nearestKLabels(
+        child.eval(input).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        cents, labels, nprobe)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val centsRef = ctx.addReferenceObj("graftCents", cents, "double[][]")
+      val labelsRef = ctx.addReferenceObj("graftLabels", labels, "long[]")
+      val c = child.genCode(ctx)
+      ev.copy(code = code"""
+        ${c.code}
+        boolean ${ev.isNull} = false;
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.functions.Kernels.nearestKLabels(
+            ${c.isNull} ? null : ${c.value}, $centsRef, $labelsRef, $nprobe);""")
+    }
+    override protected def withNewChildInternal(newChild: Expression): NearestKLabelsExpr =
+      copy(child = newChild)
+  }
+
+  case class PqCodesAllExpr(child: Expression, books: Array[Array[Double]],
+                            labels: Array[Long], m: Int, dsub: Int)
+      extends UnaryExpression with GraftExpectsInputTypes {
+    override def graftInputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+      Kernels.pqCodesAll(
+        child.eval(input).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        books, labels, m, dsub)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val booksRef = ctx.addReferenceObj("graftBooks", books, "double[][]")
+      val labelsRef = ctx.addReferenceObj("graftLabels", labels, "long[]")
+      val c = child.genCode(ctx)
+      ev.copy(code = code"""
+        ${c.code}
+        boolean ${ev.isNull} = false;
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.functions.Kernels.pqCodesAll(
+            ${c.isNull} ? null : ${c.value}, $booksRef, $labelsRef, $m, $dsub);""")
+    }
+    override protected def withNewChildInternal(newChild: Expression): PqCodesAllExpr =
+      copy(child = newChild)
+  }
+
+  case class PqReconCosQExpr(child: Expression, books: Array[Array[Double]],
+                             labels: Array[Long], m: Int, dsub: Int)
+      extends UnaryExpression with GraftExpectsInputTypes {
+    override def graftInputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val r = Kernels.pqReconCosQ(
+        child.eval(input).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        books, labels, m, dsub)
+      if (r == null) null else r.longValue()
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val booksRef = ctx.addReferenceObj("graftBooks", books, "double[][]")
+      val labelsRef = ctx.addReferenceObj("graftLabels", labels, "long[]")
+      val c = child.genCode(ctx)
+      val tmp = ctx.freshName("graftReconQ")
+      ev.copy(code = code"""
+        ${c.code}
+        java.lang.Long $tmp = graft.functions.Kernels.pqReconCosQ(
+          ${c.isNull} ? null : ${c.value}, $booksRef, $labelsRef, $m, $dsub);
+        boolean ${ev.isNull} = ($tmp == null);
+        long ${ev.value} = ${ev.isNull} ? 0L : $tmp.longValue();""")
+    }
+    override protected def withNewChildInternal(newChild: Expression): PqReconCosQExpr =
+      copy(child = newChild)
+  }
+
   case class ZOrder2Expr(left: Expression, right: Expression) extends BinaryExpression with GraftExpectsInputTypes {
     override def graftInputTypes: Seq[DataType] = Seq(LongType, LongType)
     override def dataType: DataType = LongType
@@ -250,6 +340,15 @@ object GraftExpressions {
 
   def subCosineFD(a: Column, b: Column, sub: Column, dsub: Int): Column =
     Bridge.column(SubCosineFDExpr(expr(a), expr(b), expr(sub), dsub))
+  def nearestKLabels(emb: Column, cents: Array[Array[Double]],
+                     labels: Array[Long], nprobe: Int): Column =
+    Bridge.column(NearestKLabelsExpr(expr(emb), cents, labels, nprobe))
+  def pqCodesAll(emb: Column, books: Array[Array[Double]],
+                 labels: Array[Long], m: Int, dsub: Int): Column =
+    Bridge.column(PqCodesAllExpr(expr(emb), books, labels, m, dsub))
+  def pqReconCosQ(emb: Column, books: Array[Array[Double]],
+                  labels: Array[Long], m: Int, dsub: Int): Column =
+    Bridge.column(PqReconCosQExpr(expr(emb), books, labels, m, dsub))
   def kminLongs(c: Column, k: Int): Column =
     Bridge.column(KMinLongs(expr(c), k).toAggregateExpression())
   def topKBy(score: Column, id: Column, k: Int): Column =

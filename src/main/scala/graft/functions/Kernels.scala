@@ -287,6 +287,176 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  // -------------------------------------------------------------------
+  // Fused whole-codebook kernels: the per-(vector, codeword[, subspace])
+  // scoring that the crossJoin+explode+bounded-heap plans materialized
+  // as n·k(·m) ROWS runs here as one primitive loop per VECTOR against
+  // a driver-collected codeword matrix — zero row expansion, zero
+  // exchange (the consumer plans become narrow map-side projections).
+  // Selection semantics replicate the heap aggregate (graft_topk /
+  // TopKPairs) EXACTLY: scores compare by java.lang.Double.compare
+  // (NaN greatest, -0.0 < 0.0), ties break to the SMALLEST label —
+  // implemented by iterating labels in ascending order and replacing
+  // only on strictly-greater score; a null score (null embedding, null
+  // window, clamped-window mismatch) scores -Infinity, exactly the
+  // coalesce(score, -Inf) the row plans applied. FusedAnnSpec pins
+  // row-identity against the crossJoin paths, edge cases included.
+  // -------------------------------------------------------------------
+
+  /** Score of `emb` (float, may be null) against full codeword `c`
+    * (double components boxed-null-free by the caller's collect guard):
+    * [[cosineFD]], with the null-emb → -Inf substitution inlined. */
+  private def fullScore(emb: ArrayData, c: Array[Double]): Double =
+    if (emb == null) Double.NegativeInfinity
+    else {
+      // same element reads as [[cosineFD]] (no per-element null checks —
+      // the expression path was null-safe per ARRAY only), so results
+      // are bit-identical to coalesce(cosineFD(emb, cvec), -Inf)
+      val m = emb.numElements()
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < m) {
+        val x = emb.getFloat(i).toDouble
+        val y = c(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+  /** The `nprobe` nearest labels of `emb` among `cents` (rows aligned
+    * with ascending `labels`), best-first by (cosineFD DESC, label ASC)
+    * — the fused form of assignClusters' crossJoin + graft_topk. */
+  def nearestKLabels(emb: ArrayData, cents: Array[Array[Double]],
+                     labels: Array[Long], nprobe: Int): ArrayData = {
+    val k = cents.length
+    val keep = math.min(nprobe, k)
+    // insertion into a tiny descending-sorted array: nprobe is 1-2 on
+    // every call path; labels ascend, so equal scores keep earlier labels
+    val bestS = new Array[Double](keep)
+    val bestL = new Array[Long](keep)
+    var size = 0
+    var j = 0
+    while (j < k) {
+      val s = fullScore(emb, cents(j))
+      // find insert position: strictly greater than entries above it
+      if (size < keep || java.lang.Double.compare(s, bestS(size - 1)) > 0) {
+        var pos = if (size < keep) size else size - 1
+        while (pos > 0 && java.lang.Double.compare(s, bestS(pos - 1)) > 0) {
+          bestS(pos) = bestS(pos - 1); bestL(pos) = bestL(pos - 1); pos -= 1
+        }
+        bestS(pos) = s; bestL(pos) = labels(j)
+        if (size < keep) size += 1
+      }
+      j += 1
+    }
+    val out = new Array[Any](size)
+    var i = 0
+    while (i < size) { out(i) = bestL(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** [[subCosineFD]] against codeword `c` with the null-window → -Inf
+    * substitution inlined (caller guarantees c has no null elements). */
+  private def subScore(emb: ArrayData, c: Array[Double],
+                       sub: Int, dsub: Int): Double = {
+    if (emb == null) return Double.NegativeInfinity
+    val off = sub * dsub
+    val la = math.max(0, math.min(dsub, emb.numElements() - off))
+    val lb = math.max(0, math.min(dsub, c.length - off))
+    if (la != lb) return Double.NegativeInfinity
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < la) {
+      if (emb.isNullAt(off + i)) return Double.NegativeInfinity
+      val x = emb.getFloat(off + i).toDouble
+      val y = c(off + i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** The m PQ codes of `emb` under the codebook (rows aligned with
+    * ascending `labels`): argmax subspace cosine per sub, ties to the
+    * smallest label — the fused form of pqEncode's crossJoin + explode
+    * + graft_topk(1). Returns array[m] of labels. */
+  def pqCodesAll(emb: ArrayData, books: Array[Array[Double]],
+                 labels: Array[Long], m: Int, dsub: Int): ArrayData = {
+    val k = books.length
+    val out = new Array[Any](m)
+    var sub = 0
+    while (sub < m) {
+      var bestS = Double.NegativeInfinity
+      var bestL = 0L
+      var first = true
+      var j = 0
+      while (j < k) {
+        val s = subScore(emb, books(j), sub, dsub)
+        if (first || java.lang.Double.compare(s, bestS) > 0) {
+          bestS = s; bestL = labels(j); first = false
+        }
+        j += 1
+      }
+      out(sub) = bestL
+      sub += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Quantized reconstruction cosine of `emb` under the codebook: encode
+    * ([[pqCodesAll]] selection), assemble xhat from the chosen codeword
+    * windows, then floor(cosineFD(emb, xhat) · 2^20) with Spark's
+    * floor-to-long semantics — the fused form of pqEncode →
+    * pqReconstruct → join → cosineFD → floor. Null embedding → null
+    * (the join path's cosineFD(null, xhat)). `byLabel` maps label →
+    * codebook row (aligned with `labels`' ascending order). */
+  def pqReconCosQ(emb: ArrayData, books: Array[Array[Double]],
+                  labels: Array[Long], m: Int, dsub: Int): java.lang.Long = {
+    if (emb == null) return null
+    val k = books.length
+    val d = m * dsub
+    val xhat = new Array[Double](d)
+    var sub = 0
+    while (sub < m) {
+      var bestS = Double.NegativeInfinity
+      var bestIdx = 0
+      var first = true
+      var j = 0
+      while (j < k) {
+        val s = subScore(emb, books(j), sub, dsub)
+        if (first || java.lang.Double.compare(s, bestS) > 0) {
+          bestS = s; bestIdx = j; first = false
+        }
+        j += 1
+      }
+      val cw = books(bestIdx)
+      var t = 0
+      while (t < dsub) {
+        val idx = sub * dsub + t
+        xhat(idx) = if (idx < cw.length) cw(idx) else 0.0
+        t += 1
+      }
+      sub += 1
+    }
+    // cosineFD(emb, xhat): same sequential fold, over emb's length —
+    // null elements null the fold exactly as the expression's null-safe
+    // element access did (CosineFDExpr is null-safe per ARRAY, and the
+    // kernel reads raw floats; a null ELEMENT reads as 0f there — keep
+    // identical by reading through the same accessor)
+    val n = emb.numElements()
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = emb.getFloat(i).toDouble
+      val y = if (i < d) xhat(i) else 0.0
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val cos = dot / (math.sqrt(na) * math.sqrt(nb))
+    java.lang.Long.valueOf(math.floor(cos * 1048576d).toLong)
+  }
+
   /** Hamming distance between two [[signWords]] fingerprints. STRICT on
     * word count: comparing fingerprints of different widths (an index
     * built at one dim probed with queries fingerprinted at another)

@@ -714,7 +714,8 @@ object Versioned {
              replace: Boolean = false, tag: Option[String] = None,
              statsCols: Seq[String] = Nil,
              bloomCols: Seq[String] = Nil,
-             validateChecks: Boolean = true): Long = {
+             validateChecks: Boolean = true): Long =
+      graft.JobDesc(spark, s"versioned commit: $root") {
     val mdir = manifestDir(root)
     val f = fs(spark, mdir)
     f.mkdirs(mdir)
@@ -3170,7 +3171,8 @@ object Versioned {
     * construction. Returns the new version. */
   def compactLatest(spark: SparkSession, root: String, nFiles: Int,
                     sortCols: Seq[String] = Nil,
-                    statsCols: Option[Seq[String]] = None): Long = {
+                    statsCols: Option[Seq[String]] = None): Long =
+      graft.JobDesc(spark, s"versioned compactLatest: $root") {
     import org.apache.spark.sql.functions.col
     val curFiles = snapshotFiles(spark, root, None)
     val df = read(spark, root)
@@ -3208,7 +3210,8 @@ object Versioned {
                    smallBytes: Long = 32L * 1024 * 1024,
                    targetBytes: Long = 128L * 1024 * 1024,
                    sortCols: Seq[String] = Nil,
-                   minInputFiles: Int = 2): Long = {
+                   minInputFiles: Int = 2): Long =
+      graft.JobDesc(spark, s"versioned compactSmall: $root") {
     import org.apache.spark.sql.functions.col
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no committed versions at $root")

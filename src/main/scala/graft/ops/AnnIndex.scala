@@ -54,10 +54,31 @@ object AnnIndex {
     * under the broadcast book; the reconstruct groupBy and the vec_id
     * join are the only exchanges, both on the narrow id). */
   private def reconCosQ(emb: DataFrame, book: DataFrame,
-                        m: Int, dsub: Int): DataFrame =
+                        m: Int, dsub: Int): DataFrame = {
+    // FUSED path (Similarity.collectCodebook): encode → reconstruct →
+    // cosine → quantize runs as ONE narrow map-side projection per
+    // vector — the encode's crossJoin + heap exchange, the reconstruct
+    // groupBy and the vec_id join (three corpus exchanges) disappear.
+    // Recompute-not-join: the kernel re-derives the codes from the same
+    // frozen book (deterministic ⇒ identical codes ⇒ identical xhat ⇒
+    // bit-identical qcos), trading k·m dots per vector for corpus
+    // shuffles — the cheap side at any scale where encode is map-side.
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    emb.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) =>
+        Similarity.collectCodebook(book) match {
+          case Some((labels, books)) =>
+            return Similarity.fanOutSmall(emb.select(col("embedding")))
+              .select(graft.functions.GraftExpressions.pqReconCosQ(
+                col("embedding"), books, labels, m, dsub).as("qcos"))
+          case None => ()
+        }
+      case _ => ()
+    }
     reconCosQFromCodes(emb,
       Similarity.pqEncode(emb.select(col("vec_id"), col("embedding")),
         book, m, dsub), book, dsub)
+  }
 
   /** [[reconCosQ]] with the encode already done — the shared-pass form
     * [[trainAndRebuild]] uses so the codes computed for the index also
@@ -87,14 +108,34 @@ object AnnIndex {
     // excludes them identically (WHERE qcos IS NOT NULL); without the
     // filter a null group would sort FIRST in Spark and shift every
     // cumulative position
+    //
+    // The histogram is ONE bounded object by construction (the quantized
+    // domain holds ≤ 2^21 + 1 distinct values however large the corpus),
+    // so the order statistics run DRIVER-side off a single collect: the
+    // previous shape's two partition-less window passes + probe join +
+    // final aggregate cost 4-5 AQE stage-jobs per call on what is
+    // arithmetically a cumulative scan over ≤ 2M integers. Same exact
+    // integer arithmetic (position = ceil(p·n/100), value = smallest
+    // qcos whose cumulative count reaches it), same rows out.
     val hist = qcos.filter(col("qcos").isNotNull)
       .groupBy(col("qcos")).agg(count(lit(1)).as("__c"))
-      .withColumn("__cum", sum(col("__c")).over(Window.orderBy(col("qcos"))))
-      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(lit(1))))
-    hist.crossJoin(broadcast(driftPcts.toDF("pct")))
-      .filter(col("__cum") >=
-        floor((col("pct") * col("__n") + lit(99)) / lit(100)))
-      .groupBy(col("pct")).agg(min(col("qcos")).as("q"))
+      .collect()
+    val sorted = hist.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var n = 0L
+    sorted.foreach(n += _._2)
+    val out = Seq.newBuilder[(Int, Long)]
+    if (n > 0) driftPcts.foreach { pct =>
+      val target = (pct.toLong * n + 99L) / 100L
+      var cum = 0L
+      var i = 0
+      var done = false
+      while (i < sorted.length && !done) {
+        cum += sorted(i)._2
+        if (cum >= target) { out += ((pct, sorted(i)._1)); done = true }
+        i += 1
+      }
+    }
+    out.result().toDF("pct", "q")
   }
 
   /** [[positionQuantiles]] per `batch_id` group — the windows partition
@@ -154,10 +195,14 @@ object AnnIndex {
     // pin the trained artifacts (k rows each): the codebook's refinement
     // step contains a full corpus encode, and both the model's book rows
     // and the drift baseline consume it — without the pin each branch
-    // would recompute that encode
-    val centDf = Similarity.quantizedCentroids(
-      emb.select(col(cellLabelCol).as("label"), col("embedding")))
-      .localCheckpoint()
+    // would recompute that encode. Driver-LOCAL pin (Iterate.pinLocal):
+    // these are bounded k-row frames, and every downstream broadcast /
+    // commit-union / guard read then plans against a LocalRelation with
+    // no per-consumer fetch job — the job-count floor that dominated
+    // the train-sized lifecycle queries.
+    val centDf = graft.JobDesc(spark, "ann train: centroids")(
+      Iterate.pinLocal(Similarity.quantizedCentroids(
+        emb.select(col(cellLabelCol).as("label"), col("embedding")))))
     val cent = centDf
       .select(lit("cent").as("part"), col("rlabel"), col("cvec").as("vec"))
     // seed the codebook from the pinned cell centroids when both derive
@@ -166,12 +211,12 @@ object AnnIndex {
     val book0 =
       if (cellLabelCol == "label") Similarity.pqCodebook(emb, centDf)
       else Similarity.pqCodebook(emb)
-    val bookDf = Similarity.pqRefineBook(emb, book0, m, dsub)
-      .localCheckpoint()
+    val bookDf = graft.JobDesc(spark, "ann train: book refine")(
+      Iterate.pinLocal(Similarity.pqRefineBook(emb, book0, m, dsub)))
     val book = bookDf
       .select(lit("book").as("part"), col("rlabel"), col("cvec").as("vec"))
     val rlabelType = cent.schema("rlabel").dataType
-    val meta = spark.range(1).select(lit("meta").as("part"),
+    val meta = spark.range(0, 1, 1, 1).select(lit("meta").as("part"),
       lit(m).cast(rlabelType).as("rlabel"),
       array(lit(dsub.toDouble)).as("vec"))
     val drift = positionQuantiles(reconCosQ(emb, bookDf, m, dsub))
@@ -227,30 +272,70 @@ object AnnIndex {
                       cellLabelCol: String = "label"): (Long, Long) = {
     // pin the k-row trained artifacts for the same reason as in [[train]]
     // — every consumer branch would otherwise re-pay the refinement's
-    // embedded corpus encode
-    val centDf = Similarity.quantizedCentroids(
-      emb.select(col(cellLabelCol).as("label"), col("embedding")))
-      .localCheckpoint()
+    // embedded corpus encode. Driver-local pins (see [[train]]): the
+    // k-row frames' many downstream consumers stop paying per-use
+    // cluster jobs, and the codes-commit file count below comes free.
+    val centDf = graft.JobDesc(spark, "ann train: centroids")(
+      Iterate.pinLocal(Similarity.quantizedCentroids(
+        emb.select(col(cellLabelCol).as("label"), col("embedding")))))
     // same pinned-centroid codebook seeding as [[train]]
     val book0 =
       if (cellLabelCol == "label") Similarity.pqCodebook(emb, centDf)
       else Similarity.pqCodebook(emb)
-    val bookDf = Similarity.pqRefineBook(emb, book0, m, dsub)
-      .localCheckpoint()
-    val codes = Similarity.assignClusters(emb, centDf, nprobe = 1)
-      .select(col("vec_id"), col("cluster"))
-      .join(Similarity.pqEncode(emb.select(col("vec_id"), col("embedding")),
-        bookDf, m, dsub), Seq("vec_id"))
-      .localCheckpoint()
+    val bookDf = graft.JobDesc(spark, "ann train: book refine")(
+      Iterate.pinLocal(Similarity.pqRefineBook(emb, book0, m, dsub)))
+    // codes frame: assign AND encode in ONE map-side projection when the
+    // fused kernels apply (float embeddings, collectible k-row frames) —
+    // the old shape's assign heap exchange, encode heap exchange and
+    // vec_id equi-join (three corpus shuffles) collapse into a narrow
+    // scan; rows are identical (both sides of the old join held every
+    // vec_id, and the kernels replicate the heap selection bit-for-bit).
+    val fusedCodes: Option[DataFrame] = {
+      import org.apache.spark.sql.types.{ArrayType, FloatType}
+      emb.schema("embedding").dataType match {
+        case ArrayType(FloatType, _) =>
+          for {
+            (clabels, cents) <- Similarity.collectCodebook(centDf)
+            (blabels, books) <- Similarity.collectCodebook(bookDf)
+          } yield {
+            val rlt = centDf.schema("rlabel").dataType
+            Similarity.fanOutSmall(emb.select(col("vec_id"), col("embedding")))
+              .select(col("vec_id"),
+                element_at(graft.functions.GraftExpressions.nearestKLabels(
+                  col("embedding"), cents, clabels, 1), 1)
+                  .cast(rlt).as("cluster"),
+                posexplode(graft.functions.GraftExpressions.pqCodesAll(
+                  col("embedding"), books, blabels, m, dsub))
+                  .as(Seq("sub", "code")))
+              .select(col("vec_id"), col("cluster"), col("sub"),
+                col("code").cast(rlt).as("code"))
+          }
+        case _ => None
+      }
+    }
+    val codes = graft.JobDesc(spark, "ann train: codes encode")(
+      fusedCodes.getOrElse(
+        Similarity.assignClusters(emb, centDf, nprobe = 1)
+          .select(col("vec_id"), col("cluster"))
+          .join(Similarity.pqEncode(emb.select(col("vec_id"), col("embedding")),
+            bookDf, m, dsub), Seq("vec_id")))
+        .localCheckpoint())
     val cent = centDf
       .select(lit("cent").as("part"), col("rlabel"), col("cvec").as("vec"))
     val book = bookDf
       .select(lit("book").as("part"), col("rlabel"), col("cvec").as("vec"))
     val rlabelType = cent.schema("rlabel").dataType
-    val meta = spark.range(1).select(lit("meta").as("part"),
+    val meta = spark.range(0, 1, 1, 1).select(lit("meta").as("part"),
       lit(m).cast(rlabelType).as("rlabel"),
       array(lit(dsub.toDouble)).as("vec"))
-    val drift = positionQuantiles(reconCosQFromCodes(emb, codes, bookDf, dsub))
+    // drift baseline: with the fused kernels the whole measurement is a
+    // map-side recompute under the same frozen book (identical codes ⇒
+    // bit-identical quantiles — see reconCosQ), cheaper than joining
+    // the pinned codes back to the corpus by vec_id; without them the
+    // shared-pass FromCodes form keeps saving the second encode.
+    val drift = positionQuantiles(
+      if (fusedCodes.isDefined) reconCosQ(emb, bookDf, m, dsub)
+      else reconCosQFromCodes(emb, codes, bookDf, dsub))
       .select(lit("drift").as("part"),
         col("pct").cast(rlabelType).as("rlabel"),
         array(col("q").cast("double")).as("vec"))
@@ -264,7 +349,8 @@ object AnnIndex {
         .unionByName(occ),
       modelRoot, replace = true, tag = Some(s"ann-train-m$m-dsub$dsub"))
     val cv = commitCodes(spark, codes, codesRoot, emb,
-      math.min(centDf.count(), 4096L).toInt.max(1))
+      math.min(Iterate.localRowCount(centDf).getOrElse(centDf.count()),
+        4096L).toInt.max(1))
     (mv, cv)
   }
 
@@ -291,16 +377,64 @@ object AnnIndex {
       bloomCols = Seq("vec_id").filter(c => graft.io.FileStats
         .bloomSupported(emb.schema(c).dataType)))
 
-  /** Read the persisted model: (centroids, codebook, m, dsub). */
+  /** Read the persisted model: (centroids, codebook, m, dsub).
+    *
+    * ONE bounded collect of the k-row artifact parts serves all four —
+    * centroids and codebook come back as driver-LOCAL relations, so
+    * every downstream broadcast/guard/count plans with no cluster jobs
+    * (the per-consumer fetch-job floor that dominated the train-sized
+    * lifecycle queries), and the geometry needs no extra head() job.
+    * Same single-snapshot consistency as before (one Versioned.read).
+    * NOTE the collect runs at CALL time — callers get materialized
+    * artifacts, not lazy scans (the model is read eagerly either way;
+    * only the timing moved from first downstream action to here).
+    * A model outside the bounded build contract (> 2·65536 artifact
+    * rows) keeps the old distributed shape. */
   def model(spark: SparkSession, modelRoot: String)
       : (DataFrame, DataFrame, Int, Int) = {
     val t = Versioned.read(spark, modelRoot)
-    val metaRow = t.filter(col("part") === "meta")
-      .select(col("rlabel").cast("int"), element_at(col("vec"), 1).cast("int"))
-      .head()
-    (t.filter(col("part") === "cent").select(col("rlabel"), col("vec").as("cvec")),
-      t.filter(col("part") === "book").select(col("rlabel"), col("vec").as("cvec")),
-      metaRow.getInt(0), metaRow.getInt(1))
+    val cap = 2 * 65536 + 1
+    val rows = graft.JobDesc(spark, s"ann model read: $modelRoot")(
+      t.filter(col("part").isin("cent", "book", "meta"))
+        .select(col("part"), col("rlabel"), col("vec"))
+        .collect())
+    if (rows.length > cap) {
+      val metaRow = t.filter(col("part") === "meta")
+        .select(col("rlabel").cast("int"), element_at(col("vec"), 1).cast("int"))
+        .head()
+      return (t.filter(col("part") === "cent")
+          .select(col("rlabel"), col("vec").as("cvec")),
+        t.filter(col("part") === "book")
+          .select(col("rlabel"), col("vec").as("cvec")),
+        metaRow.getInt(0), metaRow.getInt(1))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      t.schema("rlabel"), t.schema("vec").copy(name = "cvec")))
+    def slice(part: String): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(
+        rows.filter(_.getString(0) == part).map(r =>
+          org.apache.spark.sql.Row(r.get(1), r.get(2))): _*), schema)
+    val metaR = rows.find(_.getString(0) == "meta").getOrElse(
+      throw new IllegalStateException(
+        s"model at $modelRoot has no meta row (not a trained model table)"))
+    (slice("cent"), slice("book"),
+      asInt(metaR.get(1)),
+      metaR.getSeq[Double](2).head.toInt)
+  }
+
+  /** The widening the model parts' `CAST(rlabel AS INT)` performed,
+    * driver-side — for rows already collected by the bounded reads. */
+  private def asInt(a: Any): Int = a match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case s: Short => s.toInt
+    case b: Byte => b.toInt
+    case d: Double => d.toInt
+    case f: Float => f.toInt
+    case s: String => s.trim.toDouble.toInt
+    case d: java.math.BigDecimal => d.intValue
+    case other => throw new IllegalStateException(
+      s"model rlabel of unsupported type: $other")
   }
 
   /** Drift of the CURRENT corpus against the model's training-time
@@ -324,26 +458,33 @@ object AnnIndex {
     // single-table model design exists to forbid (the monitor sink
     // calls this per trigger while a retrain may be running).
     val t = Versioned.read(spark, modelRoot)
-    val metaRow = t.filter(col("part") === "meta")
-      .select(col("rlabel").cast("int"), element_at(col("vec"), 1).cast("int"))
-      .head()
-    val (m, dsub) = (metaRow.getInt(0), metaRow.getInt(1))
-    val book = t.filter(col("part") === "book")
-      .select(col("rlabel"), col("vec").as("cvec"))
-    // baseline rows collect up front (≤ |driftPcts| rows — a guard read,
-    // not a data path): a model committed without a drift baseline (a
-    // hand-built or pre-baseline table) must fail HERE, loudly and
-    // BEFORE the corpus-scale encode below is paid — without this probe
-    // the join would just produce an empty frame and needsRebuild would
-    // die post-encode on an opaque empty-head
-    val baselineRows = t.filter(col("part") === "drift")
-      .select(col("rlabel").cast("int"), element_at(col("vec"), 1).cast("long"))
+    // ONE bounded collect serves geometry, codebook AND baseline (same
+    // single-snapshot read as before, one job instead of three + the
+    // downstream per-broadcast fetch jobs — the book comes back as a
+    // driver-local relation). The baseline guard below still fails
+    // loudly BEFORE the corpus-scale encode is paid.
+    val parts = t.filter(col("part").isin("book", "meta", "drift"))
+      .select(col("part"), col("rlabel"), col("vec"))
       .collect()
+    require(parts.length <= 65536,
+      s"driftStats: model at $modelRoot holds more than 65536 " +
+        "book/meta/drift rows — not a table the build paths wrote")
+    val metaR = parts.find(_.getString(0) == "meta").getOrElse(
+      throw new IllegalStateException(
+        s"driftStats: model at $modelRoot has no meta row"))
+    val (m, dsub) = (asInt(metaR.get(1)), metaR.getSeq[Double](2).head.toInt)
+    val bookSchema = org.apache.spark.sql.types.StructType(Seq(
+      t.schema("rlabel"), t.schema("vec").copy(name = "cvec")))
+    val book = spark.createDataFrame(java.util.Arrays.asList(
+      parts.filter(_.getString(0) == "book").map(r =>
+        org.apache.spark.sql.Row(r.get(1), r.get(2))): _*), bookSchema)
+    val baselineRows = parts.filter(_.getString(0) == "drift")
     if (baselineRows.isEmpty) throw new IllegalStateException(
       s"driftStats: the model at $modelRoot has no drift baseline " +
         "(no part='drift' rows) — retrain with AnnIndex.train to " +
         "establish one before measuring drift against it")
-    val baseline = baselineRows.map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val baseline = baselineRows
+      .map(r => (asInt(r.get(1)), r.getSeq[Double](2).head.toLong)).toSeq
       .toDF("pct", "baseline_q")
     val current = positionQuantiles(reconCosQ(emb, book, m, dsub))
       .select(col("pct"), col("q").as("current_q"))
@@ -397,20 +538,29 @@ object AnnIndex {
       "driftSeries: the corpus frame must carry a batch_id column " +
         "(the per-batch grouping the series is computed over)")
     val t = Versioned.read(spark, modelRoot)
-    val metaRow = t.filter(col("part") === "meta")
-      .select(col("rlabel").cast("int"), element_at(col("vec"), 1).cast("int"))
-      .head()
-    val (m, dsub) = (metaRow.getInt(0), metaRow.getInt(1))
-    val book = t.filter(col("part") === "book")
-      .select(col("rlabel"), col("vec").as("cvec"))
-    val baselineRows = t.filter(col("part") === "drift")
-      .select(col("rlabel").cast("int"), element_at(col("vec"), 1).cast("long"))
+    // same one-bounded-collect model read as [[driftStats]]
+    val parts = t.filter(col("part").isin("book", "meta", "drift"))
+      .select(col("part"), col("rlabel"), col("vec"))
       .collect()
+    require(parts.length <= 65536,
+      s"driftSeries: model at $modelRoot holds more than 65536 " +
+        "book/meta/drift rows — not a table the build paths wrote")
+    val metaR = parts.find(_.getString(0) == "meta").getOrElse(
+      throw new IllegalStateException(
+        s"driftSeries: model at $modelRoot has no meta row"))
+    val (m, dsub) = (asInt(metaR.get(1)), metaR.getSeq[Double](2).head.toInt)
+    val bookSchema = org.apache.spark.sql.types.StructType(Seq(
+      t.schema("rlabel"), t.schema("vec").copy(name = "cvec")))
+    val book = spark.createDataFrame(java.util.Arrays.asList(
+      parts.filter(_.getString(0) == "book").map(r =>
+        org.apache.spark.sql.Row(r.get(1), r.get(2))): _*), bookSchema)
+    val baselineRows = parts.filter(_.getString(0) == "drift")
     if (baselineRows.isEmpty) throw new IllegalStateException(
       s"driftSeries: the model at $modelRoot has no drift baseline " +
         "(no part='drift' rows) — retrain with AnnIndex.train to " +
         "establish one before measuring drift against it")
-    val baseline = baselineRows.map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val baseline = baselineRows
+      .map(r => (asInt(r.get(1)), r.getSeq[Double](2).head.toLong)).toSeq
       .toDF("pct", "baseline_q")
     val qcos = Similarity.pqReconstruct(
       Similarity.pqEncode(emb.select(col("vec_id"), col("embedding")),
@@ -588,16 +738,29 @@ object AnnIndex {
   def cellStats(spark: SparkSession, codesRoot: String,
                 modelRoot: String): DataFrame = {
     val t = Versioned.read(spark, modelRoot)
-    val occ = t.filter(col("part") === "occ")
+    // one bounded collect: the occupancy baseline is k-row-bounded like
+    // every artifact part, and the driver-local relation saves the
+    // separate guard probe plus the join side's fetch jobs
+    val occRowsC = t.filter(col("part") === "occ")
       .select(col("rlabel").as("cluster"),
         element_at(col("vec"), 1).cast("long").as("baseline_cnt"))
+      .collect()
+    require(occRowsC.length <= 65536,
+      s"cellStats: model at $modelRoot holds more than 65536 occ rows — " +
+        "not a table the build paths wrote")
     // same fail-before-the-work probe as driftStats' baseline guard: a
     // model with no occupancy rows (pre-baseline or hand-built) must say
     // so, not silently report every trained cell as baseline 0
-    if (occ.limit(1).collect().isEmpty) throw new IllegalStateException(
+    if (occRowsC.isEmpty) throw new IllegalStateException(
       s"cellStats: the model at $modelRoot has no occupancy baseline " +
         "(no part='occ' rows) — retrain with AnnIndex.train to " +
         "establish one before measuring cell balance against it")
+    val occ = spark.createDataFrame(
+      java.util.Arrays.asList(occRowsC: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        t.schema("rlabel").copy(name = "cluster"),
+        org.apache.spark.sql.types.StructField("baseline_cnt",
+          org.apache.spark.sql.types.LongType))))
     val cur = Versioned.read(spark, codesRoot).filter(col("sub") === 0)
       .groupBy(col("cluster")).agg(count(lit(1)).as("current_cnt"))
     val wAll = Window.partitionBy(lit(1))
@@ -655,7 +818,9 @@ object AnnIndex {
         .select(col("vec_id"), col("cluster"))
         .join(Similarity.pqEncode(emb.select(col("vec_id"), col("embedding")),
           book, m, dsub), Seq("vec_id")),
-      codesRoot, emb, math.min(cent.count(), 4096L).toInt.max(1))
+      codesRoot, emb, math.min(
+        Iterate.localRowCount(cent).getOrElse(cent.count()),
+        4096L).toInt.max(1))
   }
 
   /** LAYOUT-ONLY index maintenance — restore the one-file-per-cell
@@ -951,7 +1116,9 @@ object AnnIndex {
     * the layout exists for. */
   def buildBinaryIndex(spark: SparkSession, emb: DataFrame, dim: Int,
                        fpRoot: String, cent: DataFrame): Long = {
-    val files = math.min(cent.count(), 4096L).toInt.max(1)
+    val files = math.min(
+      Iterate.localRowCount(cent).getOrElse(cent.count()),
+      4096L).toInt.max(1)
     Versioned.commit(spark,
       Similarity.assignClusters(emb.select(col("vec_id"), col("embedding")),
         cent, nprobe = 1)

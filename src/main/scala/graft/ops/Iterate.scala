@@ -35,4 +35,39 @@ private[graft] object Iterate {
         ()
       }
     } else df.localCheckpoint()
+
+  /** Materialize a BOUNDED-by-design frame (trained centroids/codebooks,
+    * model metadata — k-row artifacts, never corpus-sized data) as a
+    * driver-local relation: one collect job now, then every downstream
+    * consumer — broadcast builds, unions into commits, guard reads,
+    * counts — plans against a LocalRelation and pays NO cluster jobs.
+    * The eager-pin alternatives each keep the rows on executors, so
+    * every later broadcast/head/count schedules tasks to fetch them;
+    * for the many-small-jobs ANN lifecycle paths that per-consumer job
+    * floor (~30-100 ms each at local mode, a scheduler round-trip on a
+    * cluster) dominated the train-sized inputs (measured: ann_recell =
+    * 69 jobs, none over 0.32 s). Row-identical: the same rows, driver-
+    * hosted. Frames larger than `maxRows` fall back to [[pin]] — the
+    * bounded contract was violated, keep it distributed. */
+  def pinLocal(df: DataFrame, maxRows: Int = 65536): DataFrame = {
+    // collect(), not limit(n).collect(): CollectLimitExec fetches the
+    // final stage's partitions in incremental rounds (1, 4, 16, …) —
+    // extra jobs, the exact floor this pin removes. maxRows is an
+    // after-the-fact bounded-contract check on frames that are k-row by
+    // design, not memory protection.
+    val rows = df.collect()
+    if (rows.length > maxRows) pin(df)
+    else df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
+  /** Row count of a [[pinLocal]]-pinned frame without a job, when the
+    * pin stayed local (None after the over-cap distributed fallback —
+    * callers pay their count() only on that path). */
+  def localRowCount(df: DataFrame): Option[Long] =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        Some(lr.data.length.toLong)
+      case _ => None
+    }
 }

@@ -315,6 +315,44 @@ object Similarity {
   def cosineGeneric(a: Column, b: Column): Column =
     cosine(dotDComposed(a, b), dotDComposed(a, a), dotDComposed(b, b))
 
+  /** Driver-collect a (rlabel, cvec) centroid/codebook frame into the
+    * (ascending labels, codeword matrix) shape the fused whole-codebook
+    * kernels take — the seam that turns the n·k(·m) crossJoin + explode
+    * + bounded-heap ENCODE/ASSIGN plans into single narrow map-side
+    * projections (no row expansion, no exchange: at scale the corpus is
+    * never shuffled for an encode pass at all; the k-row artifact moves
+    * to the tasks once, in the task binary, like a broadcast). None —
+    * and the row plans keep serving — when the frame is outside the
+    * fused kernels' shape: non-integral labels, non-double codewords,
+    * empty, over the 4096-cell layout cap, or carrying nulls. The
+    * collect is bounded by the same broadcast-small contract every
+    * caller already imposed on these frames (they were broadcast before;
+    * a LocalRelation-pinned frame collects driver-side with no job). */
+  private[graft] def collectCodebook(cent: DataFrame)
+      : Option[(Array[Long], Array[Array[Double]])] = {
+    import org.apache.spark.sql.types.{ArrayType, ByteType, DoubleType, IntegerType, LongType, ShortType}
+    // kill-switch (default on): lets operators fall back to the row
+    // plans wholesale, and lets the equivalence spec A/B the two paths
+    if (!cent.sparkSession.conf.getOption("spark.graft.fusedAnn")
+      .forall(_.toBoolean)) return None
+    cent.schema("rlabel").dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case _ => return None
+    }
+    cent.schema("cvec").dataType match {
+      case ArrayType(DoubleType, _) => ()
+      case _ => return None
+    }
+    val rows = cent.select(col("rlabel").cast("long"), col("cvec")).collect()
+    if (rows.isEmpty || rows.length > 4096 ||
+      rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
+    val pairs = rows.map(r => (r.getLong(0), r.getSeq[Any](1)))
+    if (pairs.exists(_._2.contains(null))) return None
+    val sorted = pairs.sortBy(_._1)
+    Some((sorted.map(_._1),
+      sorted.map(_._2.iterator.map(_.asInstanceOf[Double]).toArray)))
+  }
+
   /** Run `iters` full Lloyd iterations from the seed `label` column:
     * recompute quantized centroids from the current assignment, reassign
     * each vector to its nearest centroid (spherical k-means — the sum
@@ -353,6 +391,28 @@ object Similarity {
     * assignment — not the pair join — the dominant cost past k≈100. */
   def assignClusters(emb: DataFrame, cent: DataFrame, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType}
+    // FUSED path (float embeddings × double quantized centroids — every
+    // trained geometry): one narrow map-side projection per vector via
+    // the whole-codebook kernel, no n·k crossJoin rows, no heap
+    // exchange. Row-identical to the heap plan by the kernel's
+    // replicated (Double.compare DESC, label ASC) selection with the
+    // null-score → -Inf substitution (FusedAnnSpec pins it, null
+    // embeddings included — they still assign to the smallest labels).
+    (emb.schema("embedding").dataType, cent.schema("cvec").dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
+        collectCodebook(cent) match {
+          case Some((labels, cents)) =>
+            val rlabelType = cent.schema("rlabel").dataType
+            return fanOutSmall(emb.select(col("vec_id"), col("embedding")))
+              .select(col("vec_id"), col("embedding"),
+                explode(graft.functions.GraftExpressions.nearestKLabels(
+                  col("embedding"), cents, labels, nprobe)).as("__cl"))
+              .select(col("vec_id"), col("embedding"),
+                col("__cl").cast(rlabelType).as("cluster"))
+          case None => ()
+        }
+      case _ => ()
+    }
     // fused kernels where the shapes allow; the interpreted generic fold
     // keeps serving every other numeric width the old form accepted
     val rcos0 = (emb.schema("embedding").dataType, cent.schema("cvec").dataType) match {
@@ -749,12 +809,36 @@ object Similarity {
     * never shrinks and ids stay stable. */
   def pqRefineBook(emb: DataFrame, book: DataFrame, m: Int, dsub: Int): DataFrame = {
     val Q = 1048576L
-    val codes = pqEncode(emb, book, m, dsub)
-    val refined = emb.select(col("vec_id"), col("embedding"))
-      .join(codes, "vec_id")
-      .select(col("sub"), col("code"),
-        posexplode(slice(col("embedding"), col("sub") * dsub + 1, lit(dsub)))
-          .as(Seq("j", "v")))
+    // FUSED path (see assignClusters): the per-vector codes come from
+    // the whole-codebook kernel IN the same projection that explodes
+    // the subvectors, so the encode's crossJoin rows, its heap exchange
+    // AND the codes-back-to-embedding join by vec_id (two more corpus
+    // exchanges) all disappear; the (code, sub, j) aggregation below is
+    // unchanged and sees identical input rows.
+    val subcoded: Option[DataFrame] =
+      (emb.schema("embedding").dataType, book.schema("cvec").dataType) match {
+        case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
+          collectCodebook(book).map { case (labels, books) =>
+            val rlt = book.schema("rlabel").dataType
+            fanOutSmall(emb.select(col("vec_id"), col("embedding")))
+              .select(col("embedding"),
+                posexplode(graft.functions.GraftExpressions.pqCodesAll(
+                  col("embedding"), books, labels, m, dsub))
+                  .as(Seq("sub", "code")))
+              .select(col("sub"), col("code").cast(rlt).as("code"),
+                posexplode(slice(col("embedding"), col("sub") * dsub + 1,
+                  lit(dsub))).as(Seq("j", "v")))
+          }
+        case _ => None
+      }
+    val refined = subcoded.getOrElse {
+      val codes = pqEncode(emb, book, m, dsub)
+      emb.select(col("vec_id"), col("embedding"))
+        .join(codes, "vec_id")
+        .select(col("sub"), col("code"),
+          posexplode(slice(col("embedding"), col("sub") * dsub + 1, lit(dsub)))
+            .as(Seq("j", "v")))
+    }
       .groupBy(col("code"), col("sub"), col("j"))
       .agg(sum(floor(col("v").cast("double") * Q).cast("long")).as("__s"),
         count(lit(1)).as("__c"))
@@ -777,6 +861,26 @@ object Similarity {
   def pqEncode(emb: DataFrame, cent: DataFrame, m: Int, dsub: Int): DataFrame = {
     import graft.functions.GraftExpressions.topKBy
     import graft.functions.TextFunctions.{cosine, dotDComposed}
+    // FUSED path (see assignClusters): all m argmax-subspace-cosine
+    // codes in one kernel call per vector — the n·k·m crossJoin rows
+    // and the (vec_id, sub) heap exchange disappear; output rows are
+    // identical (posexplode yields the same (sub, code) pairs).
+    (emb.schema("embedding").dataType, cent.schema("cvec").dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
+        collectCodebook(cent) match {
+          case Some((labels, books)) =>
+            val rlt = cent.schema("rlabel").dataType
+            return fanOutSmall(emb.select(col("vec_id"), col("embedding")))
+              .select(col("vec_id"),
+                posexplode(graft.functions.GraftExpressions.pqCodesAll(
+                  col("embedding"), books, labels, m, dsub))
+                  .as(Seq("sub", "code")))
+              .select(col("vec_id"), col("sub"),
+                col("code").cast(rlt).as("code"))
+          case None => ()
+        }
+      case _ => ()
+    }
     val rlabelType = cent.schema("rlabel").dataType
     // subspace scoring: the fused single-pass codegen kernel where the
     // shapes allow (float embeddings vs double codewords — every trained
