@@ -1347,7 +1347,14 @@ object AnnIndex {
   def search(spark: SparkSession, queries: DataFrame, modelRoot: String,
              codesRoot: String, k: Int, nprobe: Int = 1): DataFrame = {
     val (cent, book, _, dsub) = model(spark, modelRoot)
-    val qa = Similarity.assignClusters(queries, cent, nprobe = nprobe)
+    // one result set per DISTINCT query id, however duplicate-heavy the
+    // raw batch (the prepared handle's documented posture): the heap
+    // aggregate inside the old assignClusters deduplicated implicitly
+    // by grouping on vec_id; the fused map-side assignment preserves
+    // input rows, so the dedup is explicit here — same rows out
+    // (AnnPreparedSpec's dup-heavy case pins handle == direct).
+    val qa = Similarity.assignClusters(
+      queries.dropDuplicates(Seq("vec_id")), cent, nprobe = nprobe)
     // The assigned query set is MATERIALIZED once (bounded: queries are
     // the broadcast-small side by contract; a cap guards the collect
     // like the sink's id collect) and serves three consumers that would

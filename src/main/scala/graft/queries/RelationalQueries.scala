@@ -29,8 +29,15 @@ object RelationalQueries {
   // — a total order, so the keeper is deterministic at any parallelism.
   // -------------------------------------------------------------------
   def dedupKeepLast(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
-      .withColumn("l_shipdate", to_date(col("l_shipdate")))
+    // ~1:1 group-to-row cardinality at (partkey, suppkey) grain: the
+    // argmax partial agg reduces little and ran inside the single scan
+    // task (1.35 s of the query's 1.6 at sf0.1) — pre-pin the grouping
+    // keys at the priced width so the keeper selection parallelizes and
+    // the groupBy reuses the one exchange (Widen scaladoc)
+    val li = graft.ops.Widen.byKeys(
+      Tables.lineitem(spark, sfDir)
+        .withColumn("l_shipdate", to_date(col("l_shipdate"))),
+      expansion = 4, col("l_partkey"), col("l_suppkey"))
     Relational.dedupKeepLast(
       Seq("l_partkey", "l_suppkey"),
       Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))(li)
@@ -156,8 +163,16 @@ object RelationalQueries {
   // All post-agg arithmetic in double (exact inputs, IEEE-identical ops).
   // -------------------------------------------------------------------
   def storeRpReport(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
-      .withColumn("l_shipdate", to_date(col("l_shipdate")))
+    // both aggregation branches (weekly base: (article, week); keep-last
+    // latest: article) cluster by l_partkey, so ONE pre-pinned hash
+    // exchange on it satisfies every groupBy downstream — no second
+    // shuffle in either branch, no round-robin sort, and the partial
+    // aggregates run at the priced width instead of inside the single
+    // scan task (Widen scaladoc)
+    val li = graft.ops.Widen.byKeys(
+      Tables.lineitem(spark, sfDir)
+        .withColumn("l_shipdate", to_date(col("l_shipdate"))),
+      expansion = 4, col("l_partkey"))
 
     // Base: weekly signed qty per article (returns count negative)
     val base = li
