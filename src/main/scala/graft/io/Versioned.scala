@@ -2431,7 +2431,11 @@ object Versioned {
     import org.apache.spark.sql.functions.{col, count, lit, sum, when}
     import org.apache.spark.sql.expressions.Window
     require(keys.nonEmpty, "diffVersionsKeyed needs at least one key column")
-    val d = diffVersions(spark, root, fromV, toV)
+    // pin the file-bounded diff once: the eager dup guard below and the
+    // classification window are two consumers that would otherwise each
+    // re-derive it (re-reading every changed file); the pin reads them
+    // once and the guard runs off the materialized rows
+    val d = graft.ops.Iterate.pin(diffVersions(spark, root, fromV, toV))
     val missing = keys.filterNot(d.columns.contains)
     require(missing.isEmpty,
       s"key column(s) not in the table: ${missing.mkString(", ")}")
