@@ -123,13 +123,91 @@ object Dedup {
     * `checkpoint()` when the session has a checkpoint dir, else
     * `localCheckpoint()`. At extreme diameters, swap in the
     * large-star/small-star contraction — same contract, fewer rounds. */
+  /** Driver-local union-find over a PINNED (u, v) edge frame — the
+    * small-graph fast path both CC forms take under
+    * `spark.graft.localCcMaxEdges` (default 1M edges ≈ 32 MB of
+    * endpoint pairs): near-dup graphs at interactive scales are tiny
+    * next to the corpus that produced them, and the distributed
+    * fixpoint pays 6-10 exchange stage-jobs PER ROUND for what is one
+    * linear union-find pass. Same posture as the ANN serve dial: an
+    * explicit cap, a driver path under it, the distributed rounds
+    * (unchanged, the 100 TB shape) above it or on non-integral /
+    * null-bearing ids. Labels are bit-identical by definition — the CC
+    * fixpoint IS "min node id per component", algorithm-independent
+    * (DedupSpec A/Bs the paths on random graphs). Returns (node,
+    * cluster) as LONGS; callers cast back to their id type. */
+  private def localCc(pinnedEdges: DataFrame): Option[Array[(Long, Long)]] = {
+    val spark = pinnedEdges.sparkSession
+    val cap = spark.conf.getOption("spark.graft.localCcMaxEdges")
+      .map(_.toLong).getOrElse(1000000L)
+    if (cap <= 0) return None
+    val integral = pinnedEdges.schema.fields.forall(_.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    })
+    if (!integral) return None
+    if (pinnedEdges.count() > cap) return None // pinned: a cheap block scan
+    val rows = pinnedEdges.collect()
+    if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
+    def long(a: Any): Long = a match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case s: Short => s.toLong
+      case b: Byte => b.toLong
+    }
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) { // path halving
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp)
+        x = gp
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    // union by MIN root: the surviving root is the component's smallest
+    // id, so find(x) at the end IS the cluster label
+    def union(a: Long, b: Long): Unit = {
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val nodes = new java.util.TreeSet[java.lang.Long]()
+    rows.foreach { r =>
+      val u = long(r.get(0)); val v = long(r.get(1))
+      nodes.add(u); nodes.add(v)
+      if (u != v) union(u, v)
+    }
+    val out = new Array[(Long, Long)](nodes.size)
+    var i = 0
+    val it = nodes.iterator()
+    while (it.hasNext) { val n = it.next().longValue(); out(i) = (n, find(n)); i += 1 }
+    Some(out)
+  }
+
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 50): DataFrame = {
-    // materialize the edge list once: every iteration joins against it,
-    // and the upstream pair query (LSH, cosine blocking, ...) must not
-    // re-execute per round
-    val sym = Iterate.pin(edges.select(col(aCol).as("a"), col(bCol).as("b"))
-      .union(edges.select(col(bCol).as("a"), col(aCol).as("b"))))
+    val spark = edges.sparkSession
+    // materialize the RAW endpoint pairs once: the symmetric view, the
+    // fast-path probe and every iteration derive from the pin, so the
+    // upstream pair query (LSH, cosine blocking, ...) runs exactly once
+    // (the previous shape's two-branch union evaluated it twice inside
+    // the one pinning job)
+    val raw = Iterate.pin(edges.select(col(aCol).as("a"), col(bCol).as("b")))
+    localCc(raw).foreach { labels =>
+      // output type = what the symmetric union coerces a/b to
+      val t = raw.select(col("a")).union(raw.select(col("b")))
+        .schema.head.dataType
+      import spark.implicits._
+      return labels.toSeq.toDF("node", "cluster")
+        .select(col("node").cast(t).as("node"),
+          col("cluster").cast(t).as("cluster"))
+    }
+    val sym = raw
+      .union(raw.select(col("b").as("a"), col("a").as("b")))
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("lab", col("node"))
     var iter = 0
@@ -168,14 +246,25 @@ object Dedup {
     * canonical distinct edge set per round. */
   def connectedComponentsStar(edges: DataFrame, aCol: String, bCol: String,
                               maxIter: Int = 50): DataFrame = {
+    // ONE pin of the raw endpoint pairs: the node set, the fast-path
+    // probe and the canonical edge set all derive from it (previously
+    // allNodes and e each pinned their own evaluation of the upstream
+    // pair query)
+    val raw = Iterate.pin(edges.select(col(aCol).cast("long").as("u"),
+      col(bCol).cast("long").as("v")))
+    localCc(raw).foreach { labels =>
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return labels.toSeq.toDF("node", "cluster")
+    }
     // full node set BEFORE dropping self-loops: a node whose only edges
     // are self-loops must still appear in the output (parity with
     // connectedComponents)
-    val allNodes = Iterate.pin(edges.select(col(aCol).cast("long").as("node"))
-      .union(edges.select(col(bCol).cast("long").as("node")))
-      .distinct())
+    val allNodes = raw.select(col("u").as("node"))
+      .union(raw.select(col("v").as("node")))
+      .distinct()
     // canonical undirected edge set as (hi, lo) pairs, self-loops dropped
-    var e = Iterate.pin(edges.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+    var e = Iterate.pin(raw
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct())

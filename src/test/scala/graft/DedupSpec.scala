@@ -60,7 +60,37 @@ class DedupSpec extends SparkSpecBase {
     assert(df.select(Dedup.hamming(col("a"), col("b"))).head.getInt(0) == 4)
   }
 
+  /** Force the distributed CC rounds (the 100 TB shape) regardless of
+    * graph size, so the fixpoint machinery keeps its test coverage now
+    * that small graphs take the driver-local union-find fast path. */
+  private def distributedCc[A](body: => A): A = {
+    spark.conf.set("spark.graft.localCcMaxEdges", "0")
+    try body finally spark.conf.unset("spark.graft.localCcMaxEdges")
+  }
+
+  test("driver-local CC fast path equals the distributed rounds (property)") {
+    val rnd = new scala.util.Random(23)
+    (1 to 5).foreach { trial =>
+      val n = 80
+      val random = Seq.fill(60)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val chain = (500L until 530L).map(i => (i, i + 1))
+      val loops = Seq((900L, 900L))
+      val edges = (random ++ chain ++ loops).toDF("d1", "d2")
+      val fast = Dedup.connectedComponentsStar(edges, "d1", "d2")
+        .as[(Long, Long)].collect().toMap
+      val dist = distributedCc(Dedup.connectedComponentsStar(edges, "d1", "d2")
+        .as[(Long, Long)].collect().toMap)
+      val fastProp = Dedup.connectedComponents(edges, "d1", "d2")
+        .as[(Long, Long)].collect().toMap
+      val distProp = distributedCc(Dedup.connectedComponents(edges, "d1", "d2")
+        .as[(Long, Long)].collect().toMap)
+      assert(fast == dist, s"trial $trial: star fast path != distributed")
+      assert(fastProp == distProp, s"trial $trial: propagation fast path != distributed")
+    }
+  }
+
   test("star-contraction CC equals min-label propagation on random graphs (property)") {
+    distributedCc {
     val rnd = new scala.util.Random(11)
     (1 to 5).foreach { trial =>
       // mix of random edges + a long chain (the diameter case star
@@ -78,6 +108,7 @@ class DedupSpec extends SparkSpecBase {
       val viaStar = Dedup.connectedComponentsStar(edges, "d1", "d2")
         .as[(Long, Long)].collect().toMap
       assert(viaStar == viaLabel, s"trial $trial: star CC != min-label CC")
+    }
     }
   }
 
