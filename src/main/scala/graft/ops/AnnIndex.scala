@@ -227,9 +227,14 @@ object AnnIndex {
       Similarity.assignClusters(emb.select(col("vec_id"), col("embedding")),
         centDf, nprobe = 1),
       rlabelType)
+    // ONE file for the k-row artifact table: the union's branches each
+    // contribute their own partitions (the occ aggregate alone ~10), so
+    // the model landed as ~25 near-empty files and every model read
+    // paid a 25-task scan — coalesce(1) is right at any scale (≤ 2·4096
+    // rows by the layout cap)
     Versioned.commit(spark,
       cent.unionByName(book).unionByName(meta).unionByName(drift)
-        .unionByName(occ),
+        .unionByName(occ).coalesce(1),
       modelRoot, replace = true, tag = Some(s"ann-train-m$m-dsub$dsub"))
   }
 
@@ -344,9 +349,10 @@ object AnnIndex {
     // counts [[train]] derives from its own assignment
     val occ = occRows(codes.filter(col("sub") === 0).select(col("cluster")),
       rlabelType)
+    // one-file artifact commit — see [[train]]
     val mv = Versioned.commit(spark,
       cent.unionByName(book).unionByName(meta).unionByName(drift)
-        .unionByName(occ),
+        .unionByName(occ).coalesce(1),
       modelRoot, replace = true, tag = Some(s"ann-train-m$m-dsub$dsub"))
     val cv = commitCodes(spark, codes, codesRoot, emb,
       math.min(Iterate.localRowCount(centDf).getOrElse(centDf.count()),

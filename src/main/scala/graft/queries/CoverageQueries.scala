@@ -1750,14 +1750,16 @@ object CoverageQueries {
   def outlierTrim(spark: SparkSession, sfDir: String): DataFrame = {
     // The percentile partial aggregate buffers every value (3 groups, no
     // map-side reduction) and ran inside the single scan task at sf0.1;
-    // round-robin fan-out at the priced width parallelizes the buffering
-    // and the between-bounds count pass (Widen scaladoc; percentile's
-    // value-count merge is order-independent, so rows are unchanged)
-    val v = graft.ops.Widen.rows(
-      Tables.lineitem(spark, sfDir)
-        .select(col("l_returnflag").as("flag"),
-          col("l_extendedprice").cast(D).cast(DoubleType).as("v")),
-      expansion = 8)
+    // fan out at the priced width on a deterministic high-cardinality
+    // hash key (guide §2.5 — NOT round-robin, whose retry-safety sort
+    // cost ~0.4 s inside the single scan task) so the buffering and the
+    // between-bounds count pass parallelize (percentile's value-count
+    // merge is order-independent, so rows are unchanged)
+    val v = graft.ops.Widen.byKeys(
+      Tables.lineitem(spark, sfDir),
+      expansion = 8, col("l_orderkey"), col("l_linenumber"))
+      .select(col("l_returnflag").as("flag"),
+        col("l_extendedprice").cast(D).cast(DoubleType).as("v"))
     val bounds = v.groupBy("flag")
       .agg(expr("percentile(v, 0.01)").as("lo"), expr("percentile(v, 0.99)").as("hi"))
     v.join(broadcast(bounds), "flag")
