@@ -351,6 +351,8 @@ object GraftExpressions {
     Bridge.column(PqReconCosQExpr(expr(emb), books, labels, m, dsub))
   def kminLongs(c: Column, k: Int): Column =
     Bridge.column(KMinLongs(expr(c), k).toAggregateExpression())
+  def quantVecSum(c: Column): Column =
+    Bridge.column(QuantVecSum(expr(c)).toAggregateExpression())
   def topKBy(score: Column, id: Column, k: Int): Column =
     Bridge.column(TopKPairs(expr(score), expr(id), k).toAggregateExpression())
   def argMaxRow(ord: Column, payload: Column): Column =

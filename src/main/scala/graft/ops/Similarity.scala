@@ -298,6 +298,23 @@ object Similarity {
     * division, whose decimal rounding differs across engines).
     * Input columns (label, embedding) -> output (rlabel, cvec). */
   def quantizedCentroids(emb: DataFrame): DataFrame = {
+    // float embeddings (every trained path): ONE partial+final hash
+    // aggregate via the whole-vector quantized-sum accumulator — the
+    // posexplode form materialized n·d component rows and shuffled them
+    // twice. Same exact integer sums, same per-component null/presence
+    // semantics (QuantVecSum scaladoc); a group whose every vector is
+    // null/empty never produced a group in the exploded form, hence the
+    // empty-array filter. Other element widths keep the exploded plan.
+    emb.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) =>
+        return fanOutSmall(emb.select(col("label"), col("embedding")))
+          .groupBy(col("label"))
+          .agg(graft.functions.GraftExpressions.quantVecSum(col("embedding"))
+            .as("cvec"))
+          .filter(size(col("cvec")) > 0)
+          .select(col("label").as("rlabel"), col("cvec"))
+      case _ => ()
+    }
     val Q = 1048576L
     fanOutSmall(emb.select(col("label"), col("embedding")))
       .select(col("label"), posexplode(col("embedding")))
