@@ -1680,7 +1680,12 @@ object CoverageQueries {
   // (returnflag, linestatus) plus which-dimensions-aggregated marker.
   // -------------------------------------------------------------------
   def salesCube(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.lineitem(spark, sfDir)
+    // the cube's Expand (4 grouping sets per row) + partial aggregate
+    // ran inside the single scan task — fan out on a deterministic
+    // high-cardinality key (Widen scaladoc); the tiny per-set partial
+    // states still combine map-side before one exchange
+    graft.ops.Widen.byKeys(Tables.lineitem(spark, sfDir),
+        expansion = 4, col("l_orderkey"), col("l_linenumber"))
       .cube(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
       .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
         dsum(col("l_quantity")).as("qty"))
@@ -1900,7 +1905,9 @@ object CoverageQueries {
   // for the union-of-group-bys a naive port would write.
   // -------------------------------------------------------------------
   def groupingSetsAgg(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.lineitem(spark, sfDir)
+    // same Expand fan-out as salesCube
+    graft.ops.Widen.byKeys(Tables.lineitem(spark, sfDir),
+        expansion = 4, col("l_orderkey"), col("l_linenumber"))
       .groupingSets(
         Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
         col("l_returnflag"), col("l_linestatus"))

@@ -425,7 +425,10 @@ object LlmQueries {
   // Quality statistics + composite score per document.
   // -------------------------------------------------------------------
   def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+    // tokenize/score is pure map work that ran in the single scan task
+    // (0.83 s at sf0.1) — fan out at the priced width (Widen scaladoc)
+    val docs = graft.ops.Widen.byKeys(Tables.documents(spark, sfDir),
+      expansion = 8, col("doc_id"))
     val t = tokens(col("text"))
     docs.select(
       col("doc_id"),
@@ -468,7 +471,9 @@ object LlmQueries {
   // composite pass every web-scale curation pipeline screens with.
   // -------------------------------------------------------------------
   def gopherQuality(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+    // same starved-scan fan-out as textQuality
+    val docs = graft.ops.Widen.byKeys(Tables.documents(spark, sfDir),
+      expansion = 8, col("doc_id"))
     val t = tokens(col("text"))
     docs.select(
       col("doc_id"),
@@ -503,7 +508,9 @@ object LlmQueries {
     * The strict gate is thus true for some rows and false for others
     * across three different rule arms, all hash-matched by the oracle. */
   def gopherQualityPaper(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+    // same starved-scan fan-out as textQuality
+    val docs = graft.ops.Widen.byKeys(Tables.documents(spark, sfDir),
+      expansion = 8, col("doc_id"))
     val stopTail = " and that is to be of note with the others"
     val dirty =
       when(pmod(col("doc_id"), lit(3)) === 0, concat(col("text"), lit(stopTail)))
@@ -732,7 +739,10 @@ object LlmQueries {
     val t = tokens(col("text"))
     val quality = TextAnalysis.qualityScore(t, col("text"))
 
-    val gated = Tables.documents(spark, sfDir)
+    // tokenize + quality gate + shingle/minhash are the pipeline's map
+    // floor — fan the starved scan out once at the head (Widen scaladoc)
+    val gated = graft.ops.Widen.byKeys(Tables.documents(spark, sfDir),
+        expansion = 8, col("doc_id"))
       .filter(size(t) >= MinTokens && quality >= lit(MinQuality))
     val exactDeduped = Dedup.exactDedupByContent(col("text"), col("doc_id"))(gated)
 
@@ -1192,7 +1202,12 @@ object LlmQueries {
     // element_at over an inlined tokens(text) expression re-tokenizes per
     // bigram position — O(len^2) regex work per doc (measured 18.8s at
     // sf0.1; 0.6s this way)
-    val base = Tables.documents(spark, sfDir)
+    // tokenize + bigram explode + the per-(doc, bigram) collapse all ran
+    // inside the single scan task; a doc_id-keyed fan-out parallelizes
+    // them AND satisfies the (doc_id, w1, w2) clustering, so the first
+    // aggregation needs no second exchange (Widen scaladoc)
+    val base = graft.ops.Widen.byKeys(Tables.documents(spark, sfDir),
+        expansion = 16, col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
     val bi = base

@@ -131,7 +131,12 @@ object RelationalQueries {
 
   def regionRollup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val li = Tables.lineitem(spark, sfDir)
+    // broadcast-join probe + the (region, article) partial aggregate ran
+    // inside the single scan task; hash-pinning l_partkey parallelizes
+    // both and satisfies the rollup's clustering (subset key), so no
+    // second exchange (Widen scaladoc)
+    val li = graft.ops.Widen.byKeys(Tables.lineitem(spark, sfDir),
+      expansion = 4, col("l_partkey"))
     val supp = Tables.supplier(spark, sfDir)
     val membership = regionGroups.toDF("s_nationkey", "region")
     val enriched = li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
