@@ -7,9 +7,18 @@ import org.apache.spark.sql.SparkSession
   * Usage: runMain graft.Prof [queryName ...] (default: flagship set). */
 object Prof {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
+    // SPARK_GRAFT_PROF_CONFS="k=v;k=v" applies session confs before the
+    // dump — e.g. the optimization kill-switches (spark.graft.fusedAnn,
+    // spark.graft.fanoutSmallBytes=0, spark.graft.localCcMaxEdges=0) to
+    // print the pre-optimization plan of the same query for comparison.
+    val builder = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    sys.env.get("SPARK_GRAFT_PROF_CONFS").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      builder.config(k.trim, v.trim)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val names =
