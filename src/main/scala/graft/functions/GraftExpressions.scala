@@ -353,6 +353,8 @@ object GraftExpressions {
     Bridge.column(KMinLongs(expr(c), k).toAggregateExpression())
   def quantVecSum(c: Column): Column =
     Bridge.column(QuantVecSum(expr(c)).toAggregateExpression())
+  def quantVecSumCnt(c: Column): Column =
+    Bridge.column(QuantVecSumCnt(expr(c)).toAggregateExpression())
   def topKBy(score: Column, id: Column, k: Int): Column =
     Bridge.column(TopKPairs(expr(score), expr(id), k).toAggregateExpression())
   def argMaxRow(ord: Column, payload: Column): Column =

@@ -50,37 +50,11 @@ case class QuantVecSum(child: Expression,
 
   override def createAggregationBuffer(): QuantVecSum.Buf = new QuantVecSum.Buf
 
-  override def update(buf: QuantVecSum.Buf, input: InternalRow): QuantVecSum.Buf = {
-    val v = child.eval(input)
-    if (v != null) {
-      val arr = v.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      buf.ensure(n)
-      var i = 0
-      while (i < n) {
-        if (!arr.isNullAt(i)) {
-          // floor(CAST(v AS DOUBLE) * 1048576) CAST LONG — the exploded
-          // form's exact arithmetic (float→double is exact; 2^20 scaling
-          // is exact IEEE)
-          buf.sums(i) += math.floor(arr.getFloat(i).toDouble * 1048576d).toLong
-          buf.hasVal(i) = true
-        }
-        i += 1
-      }
-    }
-    buf
-  }
+  override def update(buf: QuantVecSum.Buf, input: InternalRow): QuantVecSum.Buf =
+    QuantVecSum.updateBuf(buf, child.eval(input))
 
-  override def merge(b1: QuantVecSum.Buf, b2: QuantVecSum.Buf): QuantVecSum.Buf = {
-    b1.ensure(b2.len)
-    var i = 0
-    while (i < b2.len) {
-      b1.sums(i) += b2.sums(i)
-      b1.hasVal(i) = b1.hasVal(i) || b2.hasVal(i)
-      i += 1
-    }
-    b1
-  }
+  override def merge(b1: QuantVecSum.Buf, b2: QuantVecSum.Buf): QuantVecSum.Buf =
+    QuantVecSum.mergeBuf(b1, b2)
 
   override def eval(buf: QuantVecSum.Buf): Any = {
     val out = new Array[Any](buf.len)
@@ -121,18 +95,134 @@ case class QuantVecSum(child: Expression,
 
 object QuantVecSum {
   /** Growable per-component accumulator (presence is prefix-contiguous:
-    * a component exists iff some vector was at least that long). */
+    * a component exists iff some vector was at least that long). `cnts`
+    * tracks how many vectors REACHED each component (null elements
+    * included) — what the exploded form's count(*) per position was. */
   final class Buf {
     var len: Int = 0
     var sums: Array[Long] = Array.emptyLongArray
     var hasVal: Array[Boolean] = Array.empty[Boolean]
+    var cnts: Array[Long] = Array.emptyLongArray
     def ensure(n: Int): Unit = if (n > len) {
       if (n > sums.length) {
         val cap = math.max(n, math.max(8, sums.length * 2))
         sums = java.util.Arrays.copyOf(sums, cap)
         hasVal = java.util.Arrays.copyOf(hasVal, cap)
+        cnts = java.util.Arrays.copyOf(cnts, cap)
       }
       len = n
     }
+  }
+
+  private[functions] def updateBuf(buf: Buf, v: Any): Buf = {
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      buf.ensure(n)
+      var i = 0
+      while (i < n) {
+        buf.cnts(i) += 1L
+        if (!arr.isNullAt(i)) {
+          // floor(CAST(v AS DOUBLE) * 1048576) CAST LONG — the exploded
+          // form's exact arithmetic (float→double is exact; 2^20 scaling
+          // is exact IEEE)
+          buf.sums(i) += math.floor(arr.getFloat(i).toDouble * 1048576d).toLong
+          buf.hasVal(i) = true
+        }
+        i += 1
+      }
+    }
+    buf
+  }
+
+  private[functions] def mergeBuf(b1: Buf, b2: Buf): Buf = {
+    b1.ensure(b2.len)
+    var i = 0
+    while (i < b2.len) {
+      b1.sums(i) += b2.sums(i)
+      b1.hasVal(i) = b1.hasVal(i) || b2.hasVal(i)
+      b1.cnts(i) += b2.cnts(i)
+      i += 1
+    }
+    b1
+  }
+}
+
+/** [[QuantVecSum]] emitting (sum, count) structs per component — the
+  * PQ-refinement shape: the per-(codeword, subspace, position) mean is
+  * sum/count where count is the number of member subvectors REACHING
+  * the position (null elements included, exactly the exploded form's
+  * count(*)); a position no vector reached is absent (prefix rule), an
+  * all-null position carries a null sum. */
+case class QuantVecSumCnt(child: Expression,
+                          mutableAggBufferOffset: Int = 0,
+                          inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[QuantVecSum.Buf]
+  with GraftExpectsInputTypes {
+
+  override def graftInputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): QuantVecSumCnt =
+    copy(child = c.head)
+  override def withNewMutableAggBufferOffset(o: Int): QuantVecSumCnt =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): QuantVecSumCnt =
+    copy(inputAggBufferOffset = o)
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("s", LongType, nullable = true),
+    StructField("c", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_quant_vec_sum_cnt"
+
+  override def createAggregationBuffer(): QuantVecSum.Buf = new QuantVecSum.Buf
+
+  override def update(buf: QuantVecSum.Buf, input: InternalRow): QuantVecSum.Buf =
+    QuantVecSum.updateBuf(buf, child.eval(input))
+
+  override def merge(b1: QuantVecSum.Buf, b2: QuantVecSum.Buf): QuantVecSum.Buf =
+    QuantVecSum.mergeBuf(b1, b2)
+
+  override def eval(buf: QuantVecSum.Buf): Any = {
+    val out = new Array[Any](buf.len)
+    var i = 0
+    while (i < buf.len) {
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](if (buf.hasVal(i)) buf.sums(i) else null, buf.cnts(i)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: QuantVecSum.Buf): Array[Byte] = QuantVecSumCnt.ser(buf)
+  override def deserialize(bytes: Array[Byte]): QuantVecSum.Buf = QuantVecSumCnt.de(bytes)
+}
+
+object QuantVecSumCnt {
+  private[functions] def ser(buf: QuantVecSum.Buf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 17 * buf.len)
+    bb.putInt(buf.len)
+    var i = 0
+    while (i < buf.len) {
+      bb.putLong(buf.sums(i))
+      bb.putLong(buf.cnts(i))
+      bb.put(if (buf.hasVal(i)) 1.toByte else 0.toByte)
+      i += 1
+    }
+    bb.array()
+  }
+  private[functions] def de(bytes: Array[Byte]): QuantVecSum.Buf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new QuantVecSum.Buf
+    buf.ensure(n)
+    var i = 0
+    while (i < n) {
+      buf.sums(i) = bb.getLong
+      buf.cnts(i) = bb.getLong
+      buf.hasVal(i) = bb.get() == 1.toByte
+      i += 1
+    }
+    buf
   }
 }

@@ -832,7 +832,15 @@ object Similarity {
     // AND the codes-back-to-embedding join by vec_id (two more corpus
     // exchanges) all disappear; the (code, sub, j) aggregation below is
     // unchanged and sees identical input rows.
-    val subcoded: Option[DataFrame] =
+    // FUSED path: codes from the whole-codebook kernel in the same
+    // projection, then ONE (code, sub) aggregation of the subvector
+    // slices via the (sum, count)-struct accumulator — the exchange
+    // carries k·m per-task buffers instead of n·m·dsub exploded
+    // component rows, and the per-position sums/counts are the exploded
+    // form's exactly (QuantVecSumCnt scaladoc: count = rows reaching
+    // the position, null elements included; all-null positions carry a
+    // null sum; unreached positions are absent).
+    val refined0: Option[DataFrame] =
       (emb.schema("embedding").dataType, book.schema("cvec").dataType) match {
         case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
           collectCodebook(book).map { case (labels, books) =>
@@ -842,27 +850,36 @@ object Similarity {
                 posexplode(graft.functions.GraftExpressions.pqCodesAll(
                   col("embedding"), books, labels, m, dsub))
                   .as(Seq("sub", "code")))
-              .select(col("sub"), col("code").cast(rlt).as("code"),
-                posexplode(slice(col("embedding"), col("sub") * dsub + 1,
-                  lit(dsub))).as(Seq("j", "v")))
+              .groupBy(col("code").cast(rlt).as("code"), col("sub"))
+              .agg(graft.functions.GraftExpressions.quantVecSumCnt(
+                slice(col("embedding"), col("sub") * dsub + 1, lit(dsub)))
+                .as("__sc"))
+              .select(col("code"), col("sub"),
+                posexplode(col("__sc")).as(Seq("j", "__e")))
+              .filter(col("__e.c") > 0L)
+              .groupBy(col("code"))
+              .agg(map_from_entries(collect_list(struct(
+                (col("sub") * dsub + col("j")).as("i"),
+                (col("__e.s").cast("double") / col("__e.c")).as("v"))))
+                .as("__mv"))
           }
         case _ => None
       }
-    val refined = subcoded.getOrElse {
+    val refined = refined0.getOrElse {
       val codes = pqEncode(emb, book, m, dsub)
       emb.select(col("vec_id"), col("embedding"))
         .join(codes, "vec_id")
         .select(col("sub"), col("code"),
           posexplode(slice(col("embedding"), col("sub") * dsub + 1, lit(dsub)))
             .as(Seq("j", "v")))
+        .groupBy(col("code"), col("sub"), col("j"))
+        .agg(sum(floor(col("v").cast("double") * Q).cast("long")).as("__s"),
+          count(lit(1)).as("__c"))
+        .groupBy(col("code"))
+        .agg(map_from_entries(collect_list(struct(
+          (col("sub") * dsub + col("j")).as("i"),
+          (col("__s").cast("double") / col("__c")).as("v")))).as("__mv"))
     }
-      .groupBy(col("code"), col("sub"), col("j"))
-      .agg(sum(floor(col("v").cast("double") * Q).cast("long")).as("__s"),
-        count(lit(1)).as("__c"))
-      .groupBy(col("code"))
-      .agg(map_from_entries(collect_list(struct(
-        (col("sub") * dsub + col("j")).as("i"),
-        (col("__s").cast("double") / col("__c")).as("v")))).as("__mv"))
     book.join(broadcast(refined), book("rlabel") === refined("code"), "left")
       .select(col("rlabel"),
         transform(sequence(lit(0), lit(m * dsub - 1)), i =>

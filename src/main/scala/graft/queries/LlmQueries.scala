@@ -1476,12 +1476,19 @@ object LlmQueries {
   // sentences, and the operator is w-parameterized).
   // -------------------------------------------------------------------
   def substringDupSpans(spark: SparkSession, sfDir: String): DataFrame =
+    // window-hash map pass ran in the single starved scan task — same
+    // doc_id-keyed fan-out as text_quality (Widen scaladoc)
     Dedup.mergeWindowSpans(
-      Dedup.duplicateWindows(Tables.documents(spark, sfDir),
+      Dedup.duplicateWindows(
+        graft.ops.Widen.byKeys(Tables.documents(spark, sfDir),
+          expansion = 8, col("doc_id")),
         col("text"), col("doc_id"), w = 8), w = 8)
 
   def substringDedup(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.removeDuplicateSpans(Tables.documents(spark, sfDir),
+    // same starved-scan fan-out as substringDupSpans
+    Dedup.removeDuplicateSpans(
+      graft.ops.Widen.byKeys(Tables.documents(spark, sfDir),
+        expansion = 8, col("doc_id")),
       col("text"), col("doc_id"), w = 8)
 
   /** Incremental substring dedup: new batch (doc_id % 10 = 7, the
@@ -1489,7 +1496,9 @@ object LlmQueries {
     * corpus — corpus text contributes first occurrences but is never
     * rewritten. */
   def substringDedupIncr(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+    // same starved-scan fan-out as substringDupSpans
+    val docs = graft.ops.Widen.byKeys(Tables.documents(spark, sfDir),
+      expansion = 8, col("doc_id"))
     Dedup.removeDuplicateSpansAgainst(
       docs.filter(col("doc_id") % 10 === 7),
       docs.filter(col("doc_id") % 10 =!= 7),
