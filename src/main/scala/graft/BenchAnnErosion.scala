@@ -135,10 +135,7 @@ object BenchAnnErosion {
         .select((col("vec_id") + 10000000L + w * 1000000L).as("vec_id"),
           col("embedding"))
       graft.io.Versioned.commit(spark,
-        Similarity.assignClusters(late, cent, nprobe = 1)
-          .select(col("vec_id"), col("cluster"))
-          .join(Similarity.pqEncode(late, book, m, dsub), Seq("vec_id"))
-          .coalesce(1),
+        AnnIndex.encodeCodes(late, cent, book, m, dsub).coalesce(1),
         codesRoot, statsCols = Seq("vec_id", "cluster"))
       ()
     }

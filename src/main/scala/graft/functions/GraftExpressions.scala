@@ -150,9 +150,42 @@ object GraftExpressions {
   // encode (all scores -Inf → smallest labels), exactly like the
   // coalesce(score, -Inf) row plans these replace.
 
+  /** CONTENT-stable identity for the whole-codebook expressions, which
+    * embed driver-collected Java arrays: arrays compare and print by
+    * REFERENCE, so two plans over equal codebooks would canonicalize
+    * differently — defeating the prepared handle's plan-stability
+    * contract (codegen cache keyed on plan structure) and sorting
+    * commutative predicate operands nondeterministically. equals /
+    * hashCode / the printed args all derive from the array CONTENTS. */
+  sealed trait CodebookArgs { self: Expression =>
+    protected def cbMatrix: Array[Array[Double]]
+    protected def cbLabels: Array[Long]
+    protected lazy val cbHash: Int = {
+      var h = java.util.Arrays.hashCode(cbLabels)
+      cbMatrix.foreach(b => h = h * 31 + java.util.Arrays.hashCode(b))
+      h
+    }
+    protected def cbEquals(m: Array[Array[Double]], l: Array[Long]): Boolean =
+      java.util.Arrays.equals(cbLabels, l) &&
+        cbMatrix.length == m.length &&
+        cbMatrix.indices.forall(i => java.util.Arrays.equals(cbMatrix(i), m(i)))
+    protected def cbTag: String =
+      s"book#${java.lang.Integer.toHexString(cbHash)}"
+  }
+
   case class NearestKLabelsExpr(child: Expression, cents: Array[Array[Double]],
                                 labels: Array[Long], nprobe: Int)
-      extends UnaryExpression with GraftExpectsInputTypes {
+      extends UnaryExpression with GraftExpectsInputTypes with CodebookArgs {
+    override protected def cbMatrix: Array[Array[Double]] = cents
+    override protected def cbLabels: Array[Long] = labels
+    override def stringArgs: Iterator[Any] = Iterator(child, cbTag, nprobe)
+    override def equals(o: Any): Boolean = o match {
+      case e: NearestKLabelsExpr =>
+        child == e.child && nprobe == e.nprobe && cbEquals(e.cents, e.labels)
+      case _ => false
+    }
+    override def hashCode(): Int =
+      java.util.Objects.hash(getClass, child, Int.box(nprobe), Int.box(cbHash))
     override def graftInputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = false
@@ -178,7 +211,18 @@ object GraftExpressions {
 
   case class PqCodesAllExpr(child: Expression, books: Array[Array[Double]],
                             labels: Array[Long], m: Int, dsub: Int)
-      extends UnaryExpression with GraftExpectsInputTypes {
+      extends UnaryExpression with GraftExpectsInputTypes with CodebookArgs {
+    override protected def cbMatrix: Array[Array[Double]] = books
+    override protected def cbLabels: Array[Long] = labels
+    override def stringArgs: Iterator[Any] = Iterator(child, cbTag, m, dsub)
+    override def equals(o: Any): Boolean = o match {
+      case e: PqCodesAllExpr =>
+        child == e.child && m == e.m && dsub == e.dsub &&
+          cbEquals(e.books, e.labels)
+      case _ => false
+    }
+    override def hashCode(): Int = java.util.Objects.hash(getClass, child,
+      Int.box(m), Int.box(dsub), Int.box(cbHash))
     override def graftInputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = false
@@ -204,7 +248,18 @@ object GraftExpressions {
 
   case class PqReconCosQExpr(child: Expression, books: Array[Array[Double]],
                              labels: Array[Long], m: Int, dsub: Int)
-      extends UnaryExpression with GraftExpectsInputTypes {
+      extends UnaryExpression with GraftExpectsInputTypes with CodebookArgs {
+    override protected def cbMatrix: Array[Array[Double]] = books
+    override protected def cbLabels: Array[Long] = labels
+    override def stringArgs: Iterator[Any] = Iterator(child, cbTag, m, dsub)
+    override def equals(o: Any): Boolean = o match {
+      case e: PqReconCosQExpr =>
+        child == e.child && m == e.m && dsub == e.dsub &&
+          cbEquals(e.books, e.labels)
+      case _ => false
+    }
+    override def hashCode(): Int = java.util.Objects.hash(getClass, child,
+      Int.box(m), Int.box(dsub), Int.box(cbHash))
     override def graftInputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
     override def dataType: DataType = LongType
     override def nullable: Boolean = true
@@ -228,6 +283,48 @@ object GraftExpressions {
         long ${ev.value} = ${ev.isNull} ? 0L : $tmp.longValue();""")
     }
     override protected def withNewChildInternal(newChild: Expression): PqReconCosQExpr =
+      copy(child = newChild)
+  }
+
+  /** [[Kernels.pqReconstructK]] over a packed codes array — the map-side
+    * reconstruction that replaces the row-shape codes⋈book join +
+    * per-vector groupBy in the packed-codes search path. Null in → null
+    * out; null also when no element found a codeword (the row plan's
+    * vanished group — callers filter those rows out to match the inner
+    * join). */
+  case class PqReconstructKExpr(child: Expression, books: Array[Array[Double]],
+                                labels: Array[Long], dsub: Int)
+      extends UnaryExpression with GraftExpectsInputTypes with CodebookArgs {
+    override protected def cbMatrix: Array[Array[Double]] = books
+    override protected def cbLabels: Array[Long] = labels
+    override def stringArgs: Iterator[Any] = Iterator(child, cbTag, dsub)
+    override def equals(o: Any): Boolean = o match {
+      case e: PqReconstructKExpr =>
+        child == e.child && dsub == e.dsub && cbEquals(e.books, e.labels)
+      case _ => false
+    }
+    override def hashCode(): Int = java.util.Objects.hash(getClass, child,
+      Int.box(dsub), Int.box(cbHash))
+    override def graftInputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = true
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.pqReconstructK(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        books, labels, dsub)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val booksRef = ctx.addReferenceObj("graftBooks", books, "double[][]")
+      val labelsRef = ctx.addReferenceObj("graftLabels", labels, "long[]")
+      val c = child.genCode(ctx)
+      ev.copy(code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.functions.Kernels.pqReconstructK(
+            ${c.isNull} ? null : ${c.value}, $booksRef, $labelsRef, $dsub);
+        boolean ${ev.isNull} = (${ev.value} == null);""")
+    }
+    override protected def withNewChildInternal(newChild: Expression): PqReconstructKExpr =
       copy(child = newChild)
   }
 
@@ -349,6 +446,9 @@ object GraftExpressions {
   def pqReconCosQ(emb: Column, books: Array[Array[Double]],
                   labels: Array[Long], m: Int, dsub: Int): Column =
     Bridge.column(PqReconCosQExpr(expr(emb), books, labels, m, dsub))
+  def pqReconstructK(codes: Column, books: Array[Array[Double]],
+                     labels: Array[Long], dsub: Int): Column =
+    Bridge.column(PqReconstructKExpr(expr(codes), books, labels, dsub))
   def kminLongs(c: Column, k: Int): Column =
     Bridge.column(KMinLongs(expr(c), k).toAggregateExpression())
   def quantVecSum(c: Column): Column =

@@ -457,6 +457,51 @@ object Kernels {
     java.lang.Long.valueOf(math.floor(cos * 1048576d).toLong)
   }
 
+  /** Reconstruction from a PACKED codes array (element i = subquantizer
+    * i's code label): xhat assembled exactly as the row-shape plan's
+    * codes⋈book inner join + slice(cvec, sub·dsub+1, dsub) +
+    * sub-ordered flatten —
+    *   - a null element or a label absent from the book contributes
+    *     NOTHING (the inner join's drop of that (sub) row);
+    *   - a found codeword appends min(dsub, max(0, len−off)) components
+    *     (Spark slice semantics on a short row);
+    *   - null when NO element found a codeword (such a vector never
+    *     produced a reconstruction group in the row plan) and for a
+    *     null codes array (no rows to join at all).
+    * `books` rows align with ascending `labels` (the collectCodebook
+    * shape); the caller guarantees labels are DISTINCT — duplicate book
+    * labels would need the join's row multiplication, which this lookup
+    * cannot replicate. */
+  def pqReconstructK(codes: ArrayData, books: Array[Array[Double]],
+                     labels: Array[Long], dsub: Int): ArrayData = {
+    if (codes == null) return null
+    val m = codes.numElements()
+    val out = new Array[Double](m * dsub)
+    var n = 0
+    var found = false
+    var sub = 0
+    while (sub < m) {
+      if (!codes.isNullAt(sub)) {
+        val idx = java.util.Arrays.binarySearch(labels, codes.getLong(sub))
+        if (idx >= 0) {
+          found = true
+          val cw = books(idx)
+          val off = sub * dsub
+          var lim = cw.length - off
+          if (lim > dsub) lim = dsub
+          var t = 0
+          while (t < lim) { out(n) = cw(off + t); n += 1; t += 1 }
+        }
+      }
+      sub += 1
+    }
+    if (!found) return null
+    val vals = new Array[Any](n)
+    var i = 0
+    while (i < n) { vals(i) = out(i); i += 1 }
+    new GenericArrayData(vals)
+  }
+
   /** Hamming distance between two [[signWords]] fingerprints. STRICT on
     * word count: comparing fingerprints of different widths (an index
     * built at one dim probed with queries fingerprinted at another)

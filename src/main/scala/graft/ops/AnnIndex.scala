@@ -45,6 +45,15 @@ object AnnIndex {
   /** Baseline/current quantile probes: median, tail, far tail. */
   private val driftPcts = Seq(50, 90, 99)
 
+  private val seriesLog = org.slf4j.LoggerFactory.getLogger(
+    "graft.ops.AnnIndex")
+
+  /** Most recent monitor-series size warning — the testable half of the
+    * [[breachRuns]] bound (spec asserts it fires; production reads the
+    * WARN). */
+  private[graft] val lastSeriesWarn =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
   /** Quantized reconstruction cosine per corpus vector under `book`:
     * floor(cosine(raw, PQ reconstruction) · 2^20) as LONG — the same
     * integer-quantization discipline as [[Similarity.quantizedCentroids]]
@@ -91,6 +100,70 @@ object AnnIndex {
       .select(floor(graft.functions.GraftExpressions.cosineFD(
         col("embedding"), col("xhat")) * lit(1048576d))
         .cast("long").as("qcos"))
+
+  /** [[reconCosQFromCodes]] over the PACKED codes shape — the exploded
+    * rows are exactly what the packed row compresses, so the quantiles
+    * are unchanged. Non-fused trainAndRebuild path only. */
+  private def reconCosQFromPacked(emb: DataFrame, codes: DataFrame,
+                                  book: DataFrame, dsub: Int): DataFrame =
+    reconCosQFromCodes(emb,
+      codes.select(col("vec_id"),
+        posexplode(col("codes")).as(Seq("sub", "code"))), book, dsub)
+
+  /** ONE (vec_id, cluster, codes) row per corpus vector under the frozen
+    * (centroids, book) pair — THE index row shape every codes-table
+    * writer shares ([[trainAndRebuild]], [[rebuild]], the streaming
+    * maintenance sink, fixture late-appends), so build and maintenance
+    * rows can never drift apart. codes[i] is subquantizer i's label
+    * (packed: m× fewer rows and no per-vector grouping anywhere
+    * downstream — guide §2.3/§6). Fused kernels when they apply (float
+    * embeddings, collectible k-row frames): assignment AND encode in one
+    * narrow map-side projection — no corpus shuffle at all; fallback:
+    * the heap assignment joined to the packed heap encode by vec_id.
+    * Row-identical across the paths (FusedAnnSpec/PackedCodesSpec). */
+  private[graft] def encodeCodes(emb: DataFrame, cent: DataFrame,
+                                 book: DataFrame, m: Int,
+                                 dsub: Int): DataFrame =
+    encodeCodesEx(emb, cent, book, m, dsub)._1
+
+  /** [[encodeCodes]] plus whether the fused one-projection path applied
+    * — [[trainAndRebuild]] uses the flag to pick the cheaper drift
+    * recompute. */
+  private def encodeCodesEx(emb: DataFrame, cent: DataFrame,
+                            book: DataFrame, m: Int,
+                            dsub: Int): (DataFrame, Boolean) = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    emb.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) =>
+        (for {
+          (clabels, cents) <- Similarity.collectCodebook(cent)
+          (blabels, books) <- Similarity.collectCodebook(book)
+        } yield {
+          val clt = cent.schema("rlabel").dataType
+          val blt = book.schema("rlabel").dataType
+          (Similarity.fanOutSmall(emb.select(col("vec_id"), col("embedding")))
+            .select(col("vec_id"),
+              element_at(graft.functions.GraftExpressions.nearestKLabels(
+                col("embedding"), cents, clabels, 1), 1)
+                .cast(clt).as("cluster"),
+              graft.functions.GraftExpressions.pqCodesAll(
+                col("embedding"), books, blabels, m, dsub)
+                .cast(ArrayType(blt)).as("codes")), true)
+        }).getOrElse((encodeCodesRowFallback(emb, cent, book, m, dsub), false))
+      case _ => (encodeCodesRowFallback(emb, cent, book, m, dsub), false)
+    }
+  }
+
+  /** The non-fused [[encodeCodes]] shape: heap assignment joined to the
+    * packed heap encode — the kill-switch / exotic-type path. */
+  private def encodeCodesRowFallback(emb: DataFrame, cent: DataFrame,
+                                     book: DataFrame, m: Int,
+                                     dsub: Int): DataFrame =
+    Similarity.assignClusters(emb, cent, nprobe = 1)
+      .select(col("vec_id"), col("cluster"))
+      .join(Similarity.pqEncodePacked(
+        emb.select(col("vec_id"), col("embedding")), book, m, dsub),
+        Seq("vec_id"))
 
   /** Deterministic position quantiles of the quantized cosine column:
     * the value at ascending position ceil(p·n/100) — an exact order
@@ -200,16 +273,20 @@ object AnnIndex {
     // commit-union / guard read then plans against a LocalRelation with
     // no per-consumer fetch job — the job-count floor that dominated
     // the train-sized lifecycle queries.
-    val centDf = graft.JobDesc(spark, "ann train: centroids")(
-      Iterate.pinLocal(Similarity.quantizedCentroids(
+    // counts ride the SAME centroid aggregation ([[Similarity
+    // .quantizedCentroidsWithCounts]]), so the codebook's mean division
+    // below needs no second corpus aggregation and no join
+    val centWc = graft.JobDesc(spark, "ann train: centroids")(
+      Iterate.pinLocal(Similarity.quantizedCentroidsWithCounts(
         emb.select(col(cellLabelCol).as("label"), col("embedding")))))
+    val centDf = Iterate.pinLocal(centWc.select(col("rlabel"), col("cvec")))
     val cent = centDf
       .select(lit("cent").as("part"), col("rlabel"), col("cvec").as("vec"))
     // seed the codebook from the pinned cell centroids when both derive
     // from the same label column (the default coupled geometry) — the
     // one-arg pqCodebook would re-run the identical centroid aggregation
     val book0 =
-      if (cellLabelCol == "label") Similarity.pqCodebook(emb, centDf)
+      if (cellLabelCol == "label") Similarity.pqCodebookFromCounts(centWc)
       else Similarity.pqCodebook(emb)
     val bookDf = graft.JobDesc(spark, "ann train: book refine")(
       Iterate.pinLocal(Similarity.pqRefineBook(emb, book0, m, dsub)))
@@ -280,12 +357,14 @@ object AnnIndex {
     // embedded corpus encode. Driver-local pins (see [[train]]): the
     // k-row frames' many downstream consumers stop paying per-use
     // cluster jobs, and the codes-commit file count below comes free.
-    val centDf = graft.JobDesc(spark, "ann train: centroids")(
-      Iterate.pinLocal(Similarity.quantizedCentroids(
+    val centWc = graft.JobDesc(spark, "ann train: centroids")(
+      Iterate.pinLocal(Similarity.quantizedCentroidsWithCounts(
         emb.select(col(cellLabelCol).as("label"), col("embedding")))))
-    // same pinned-centroid codebook seeding as [[train]]
+    val centDf = Iterate.pinLocal(centWc.select(col("rlabel"), col("cvec")))
+    // same pinned-centroid codebook seeding as [[train]] — counts ride
+    // the centroid aggregation, so the mean division is join-free
     val book0 =
-      if (cellLabelCol == "label") Similarity.pqCodebook(emb, centDf)
+      if (cellLabelCol == "label") Similarity.pqCodebookFromCounts(centWc)
       else Similarity.pqCodebook(emb)
     val bookDf = graft.JobDesc(spark, "ann train: book refine")(
       Iterate.pinLocal(Similarity.pqRefineBook(emb, book0, m, dsub)))
@@ -293,38 +372,12 @@ object AnnIndex {
     // fused kernels apply (float embeddings, collectible k-row frames) —
     // the old shape's assign heap exchange, encode heap exchange and
     // vec_id equi-join (three corpus shuffles) collapse into a narrow
-    // scan; rows are identical (both sides of the old join held every
-    // vec_id, and the kernels replicate the heap selection bit-for-bit).
-    val fusedCodes: Option[DataFrame] = {
-      import org.apache.spark.sql.types.{ArrayType, FloatType}
-      emb.schema("embedding").dataType match {
-        case ArrayType(FloatType, _) =>
-          for {
-            (clabels, cents) <- Similarity.collectCodebook(centDf)
-            (blabels, books) <- Similarity.collectCodebook(bookDf)
-          } yield {
-            val rlt = centDf.schema("rlabel").dataType
-            Similarity.fanOutSmall(emb.select(col("vec_id"), col("embedding")))
-              .select(col("vec_id"),
-                element_at(graft.functions.GraftExpressions.nearestKLabels(
-                  col("embedding"), cents, clabels, 1), 1)
-                  .cast(rlt).as("cluster"),
-                posexplode(graft.functions.GraftExpressions.pqCodesAll(
-                  col("embedding"), books, blabels, m, dsub))
-                  .as(Seq("sub", "code")))
-              .select(col("vec_id"), col("cluster"), col("sub"),
-                col("code").cast(rlt).as("code"))
-          }
-        case _ => None
-      }
-    }
+    // scan — PACKED: one (vec_id, cluster, codes) row per vector (m×
+    // fewer rows than the exploded (vec_id, sub, code) shape the table
+    // stored before; exploding the array reproduces those rows exactly).
+    val (codes0, fusedCodes) = encodeCodesEx(emb, centDf, bookDf, m, dsub)
     val codes = graft.JobDesc(spark, "ann train: codes encode")(
-      fusedCodes.getOrElse(
-        Similarity.assignClusters(emb, centDf, nprobe = 1)
-          .select(col("vec_id"), col("cluster"))
-          .join(Similarity.pqEncode(emb.select(col("vec_id"), col("embedding")),
-            bookDf, m, dsub), Seq("vec_id")))
-        .localCheckpoint())
+      codes0.localCheckpoint())
     val cent = centDf
       .select(lit("cent").as("part"), col("rlabel"), col("cvec").as("vec"))
     val book = bookDf
@@ -339,16 +392,15 @@ object AnnIndex {
     // the pinned codes back to the corpus by vec_id; without them the
     // shared-pass FromCodes form keeps saving the second encode.
     val drift = positionQuantiles(
-      if (fusedCodes.isDefined) reconCosQ(emb, bookDf, m, dsub)
-      else reconCosQFromCodes(emb, codes, bookDf, dsub))
+      if (fusedCodes) reconCosQ(emb, bookDf, m, dsub)
+      else reconCosQFromPacked(emb, codes, bookDf, dsub))
       .select(lit("drift").as("part"),
         col("pct").cast(rlabelType).as("rlabel"),
         array(col("q").cast("double")).as("vec"))
-    // occupancy baseline from the SAME pinned codes frame (one row per
-    // vector at sub=0) — no extra assignment pass, byte-identical to the
+    // occupancy baseline from the SAME pinned codes frame (one packed
+    // row per vector) — no extra assignment pass, byte-identical to the
     // counts [[train]] derives from its own assignment
-    val occ = occRows(codes.filter(col("sub") === 0).select(col("cluster")),
-      rlabelType)
+    val occ = occRows(codes.select(col("cluster")), rlabelType)
     // one-file artifact commit — see [[train]]
     val mv = Versioned.commit(spark,
       cent.unionByName(book).unionByName(meta).unionByName(drift)
@@ -613,6 +665,27 @@ object AnnIndex {
     * windows only, like both callers. */
   private def breachRuns(series: DataFrame, breach: org.apache.spark.sql.Column,
                          minRun: Int): DataFrame = {
+    // the partition-less windows below are bounded by the SERIES length
+    // by contract (one row per batch per probe — the monitor time
+    // series, not a per-vector frame). Nothing structural enforces
+    // that, so warn — from the optimizer's size ESTIMATE, zero extra
+    // jobs — when the input is far past any plausible monitor series:
+    // a runaway caller's plan will serialize on one task, and the warn
+    // names the cause instead of leaving a silent single-partition
+    // stall (r18 verdict wrong #4). Conf-gated; 0 disables.
+    val warnBytes = series.sparkSession.conf
+      .getOption("spark.graft.monitorSeriesWarnBytes")
+      .map(_.toLong).getOrElse(64L * 1024 * 1024)
+    if (warnBytes > 0 &&
+      series.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(warnBytes)) {
+      val msg = s"breachRuns: the monitor series estimates over " +
+        s"$warnBytes bytes — this is series-sized machinery (one row " +
+        "per batch per probe); a per-vector frame here serializes on " +
+        "one task. Check the caller; raise/disable " +
+        "spark.graft.monitorSeriesWarnBytes if the series is real."
+      lastSeriesWarn.set(msg)
+      seriesLog.warn(msg)
+    }
     val pos = series
       .withColumn("__rn", row_number().over(Window.orderBy(col("batch_id"))))
       .filter(breach)
@@ -767,7 +840,11 @@ object AnnIndex {
         t.schema("rlabel").copy(name = "cluster"),
         org.apache.spark.sql.types.StructField("baseline_cnt",
           org.apache.spark.sql.types.LongType))))
-    val cur = Versioned.read(spark, codesRoot).filter(col("sub") === 0)
+    // PACKED codes tables carry one row per vector already; the exploded
+    // pre-packing layout (compatibility) counts its sub=0 row per vector
+    val curT = Versioned.read(spark, codesRoot)
+    val cur = (if (curT.columns.contains("sub"))
+        curT.filter(col("sub") === 0) else curT)
       .groupBy(col("cluster")).agg(count(lit(1)).as("current_cnt"))
     val wAll = Window.partitionBy(lit(1))
     occ.join(cur, Seq("cluster"), "full_outer")
@@ -818,12 +895,11 @@ object AnnIndex {
     // harvest the same vec_id stats/bloom sidecars the maintenance sink
     // writes, so its bounded re-delivery guard keeps pruning after a
     // rebuild replaces every file; the cell-range layout + cluster
-    // stats come from [[commitCodes]]
+    // stats come from [[commitCodes]]; rows are the shared PACKED
+    // [[encodeCodes]] shape
     commitCodes(spark,
-      Similarity.assignClusters(emb, cent, nprobe = 1)
-        .select(col("vec_id"), col("cluster"))
-        .join(Similarity.pqEncode(emb.select(col("vec_id"), col("embedding")),
-          book, m, dsub), Seq("vec_id")),
+      encodeCodes(emb.select(col("vec_id"), col("embedding")),
+        cent, book, m, dsub),
       codesRoot, emb, math.min(
         Iterate.localRowCount(cent).getOrElse(cent.count()),
         4096L).toInt.max(1))
@@ -1600,11 +1676,12 @@ object AnnIndex {
         org.apache.spark.sql.Row(r.get(1), r.getSeq[Double](2))): _*),
       bookSchema)
     val codes = spark.read.format("graft-versioned").load(codesRoot)
-    require(Seq("vec_id", "cluster", "sub", "code")
-      .forall(codes.columns.contains),
+    require(Seq("vec_id", "cluster").forall(codes.columns.contains) &&
+      (codes.columns.contains("codes") ||
+        Seq("sub", "code").forall(codes.columns.contains)),
       s"prepare: the codes table at $codesRoot is not an IVF-PQ codes " +
-        s"table (needs vec_id, cluster, sub, code; has " +
-        s"${codes.columns.mkString(",")})")
+        s"table (needs vec_id, cluster and codes — or the exploded " +
+        s"sub, code pair; has ${codes.columns.mkString(",")})")
     val (codesRel, codesTable) = versionedRelOf(codes, "prepare", codesRoot)
     // the local-serve dial's driver-held inputs: the codebook as a map
     // (keys normalized so an int code column still hits a long-labeled
@@ -2055,9 +2132,14 @@ final class PreparedAnnSearch private[ops] (
       case one if one.size == 1 => one.head
       case _ => return None // mixed-width book rows: malformed model
     }
-    val prunedDf = org.apache.spark.sql.graftx.Bridge.ofRows(spark,
+    val prunedAll = org.apache.spark.sql.graftx.Bridge.ofRows(spark,
       codesRel.copy(table = codesTable.withKeep(keep)))
-      .select(col("vec_id"), col("cluster"), col("sub"), col("code"))
+    // PACKED codes tables (the build/maintenance shape) collect one row
+    // per vector; the exploded pre-packing layout keeps its row shape
+    val packed = prunedAll.columns.contains("codes")
+    val prunedDf =
+      if (packed) prunedAll.select(col("vec_id"), col("cluster"), col("codes"))
+      else prunedAll.select(col("vec_id"), col("cluster"), col("sub"), col("code"))
     val nidType = prunedDf.schema("vec_id").dataType
     val clType = prunedDf.schema("cluster").dataType
     val qidType = qaLocal.schema("vec_id").dataType
@@ -2101,7 +2183,6 @@ final class PreparedAnnSearch private[ops] (
       if (!r.isNullAt(0) && !r.isNullAt(1)) {
         val cl = r.get(1)
         if (probedSet.contains(normId(cl))) {
-          if (r.isNullAt(2) || r.isNullAt(3)) return None // malformed codes
           val nid = r.get(0)
           val key = (normId(nid), normId(cl))
           var e = acc.get(key)
@@ -2109,7 +2190,24 @@ final class PreparedAnnSearch private[ops] (
             e = (nid, cl, scala.collection.mutable.ArrayBuffer.empty[(Int, Any)])
             acc.put(key, e)
           }
-          e._3 += ((r.getAs[Number](2).intValue(), r.get(3)))
+          if (packed) {
+            // one packed row per vector: element i is sub i's code. A
+            // null array or null element is not a shape this replica
+            // models — decline into the distributed path (which filters
+            // or skips them by its own join/kernel semantics).
+            if (r.isNullAt(2)) return None
+            val it = r.getSeq[Any](2).iterator
+            var si = 0
+            while (it.hasNext) {
+              val cv = it.next()
+              if (cv == null) return None
+              e._3 += ((si, cv))
+              si += 1
+            }
+          } else {
+            if (r.isNullAt(2) || r.isNullAt(3)) return None // malformed codes
+            e._3 += ((r.getAs[Number](2).intValue(), r.get(3)))
+          }
         }
       }
       ci += 1

@@ -326,6 +326,42 @@ object Similarity {
       .select(col("label").as("rlabel"), col("cvec"))
   }
 
+  /** [[quantizedCentroids]] with each label's member COUNT riding along
+    * — (rlabel, cvec, __cnt) out of the SAME single hash aggregation
+    * (one extra count per group, no extra pass): the train path derives
+    * the PQ codebook's mean division from the pinned centroid frame
+    * with no second corpus aggregation and no join — the
+    * groupBy-count + broadcast join `pqCodebook(emb, cent)` paid was
+    * two cluster jobs per (re)train. Counts match pqCodebook's
+    * groupBy-count exactly (every row of the label group, null/empty
+    * embeddings included); the survivors are exactly
+    * [[quantizedCentroids]]' (empty-sum groups filtered). Non-float
+    * element widths keep the two-pass join shape. */
+  def quantizedCentroidsWithCounts(emb: DataFrame): DataFrame = {
+    emb.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) =>
+        return fanOutSmall(emb.select(col("label"), col("embedding")))
+          .groupBy(col("label"))
+          .agg(graft.functions.GraftExpressions.quantVecSum(col("embedding"))
+            .as("cvec"),
+            count(lit(1)).as("__cnt"))
+          .filter(size(col("cvec")) > 0)
+          .select(col("label").as("rlabel"), col("cvec"), col("__cnt"))
+      case _ => ()
+    }
+    val counts = emb.groupBy(col("label"))
+      .agg(count(lit(1)).as("__cnt"))
+      .select(col("label").as("rlabel"), col("__cnt"))
+    quantizedCentroids(emb).join(broadcast(counts), "rlabel")
+  }
+
+  /** The codebook mean division over a [[quantizedCentroidsWithCounts]]
+    * frame — [[pqCodebook]]'s one IEEE op per component, no join (the
+    * counts already ride the frame). */
+  def pqCodebookFromCounts(centWc: DataFrame): DataFrame =
+    centWc.select(col("rlabel"),
+      transform(col("cvec"), x => x / col("__cnt")).as("cvec"))
+
   /** Cosine via the generic interpreted fold — for mixed-width vectors
     * (float embeddings vs double centroids) where the float-array kernel
     * doesn't apply. Assignment-sized work only; probes use the kernel. */
@@ -349,25 +385,51 @@ object Similarity {
       : Option[(Array[Long], Array[Array[Double]])] = {
     import org.apache.spark.sql.types.{ArrayType, ByteType, DoubleType, IntegerType, LongType, ShortType}
     // kill-switch (default on): lets operators fall back to the row
-    // plans wholesale, and lets the equivalence spec A/B the two paths
+    // plans wholesale, and lets the equivalence spec A/B the two paths.
+    // A deliberate switch-off is NOT logged below — only shape declines
+    // are, so a production layout that silently outgrew the fused
+    // kernels (e.g. a > 4096-cell retrain) is visible in the logs
+    // instead of quietly serving the slow row plans (r18 verdict #5).
     if (!cent.sparkSession.conf.getOption("spark.graft.fusedAnn")
       .forall(_.toBoolean)) return None
     cent.schema("rlabel").dataType match {
       case ByteType | ShortType | IntegerType | LongType => ()
-      case _ => return None
+      case t => return declineFused(
+        s"codebook label type ${t.simpleString} is not integral")
     }
     cent.schema("cvec").dataType match {
       case ArrayType(DoubleType, _) => ()
-      case _ => return None
+      case t => return declineFused(
+        s"codeword type ${t.simpleString} is not array<double>")
     }
     val rows = cent.select(col("rlabel").cast("long"), col("cvec")).collect()
-    if (rows.isEmpty || rows.length > 4096 ||
-      rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
+    if (rows.isEmpty) return declineFused("codebook is empty")
+    if (rows.length > 4096) return declineFused(
+      s"codebook holds ${rows.length} rows (> 4096 fused-path cap)")
+    if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1)))
+      return declineFused("codebook carries null labels or codewords")
     val pairs = rows.map(r => (r.getLong(0), r.getSeq[Any](1)))
-    if (pairs.exists(_._2.contains(null))) return None
+    if (pairs.exists(_._2.contains(null)))
+      return declineFused("codebook carries null codeword components")
     val sorted = pairs.sortBy(_._1)
     Some((sorted.map(_._1),
       sorted.map(_._2.iterator.map(_.asInstanceOf[Double]).toArray)))
+  }
+
+  private val fusedLog = org.slf4j.LoggerFactory.getLogger(
+    "graft.ops.Similarity")
+
+  /** Most recent fused-path decline reason — the testable half of the
+    * decline logging (the spec asserts the signal fires; production
+    * reads the WARN). Never set by the deliberate kill-switch. */
+  private[graft] val lastFusedDecline =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  private def declineFused(reason: String): Option[Nothing] = {
+    lastFusedDecline.set(reason)
+    fusedLog.warn(s"fused ANN kernels declined ($reason) — " +
+      "serving the row plans for this call")
+    None
   }
 
   /** Run `iters` full Lloyd iterations from the seed `label` column:
@@ -840,32 +902,28 @@ object Similarity {
     // form's exactly (QuantVecSumCnt scaladoc: count = rows reaching
     // the position, null elements included; all-null positions carry a
     // null sum; unreached positions are absent).
-    val refined0: Option[DataFrame] =
-      (emb.schema("embedding").dataType, book.schema("cvec").dataType) match {
-        case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
-          collectCodebook(book).map { case (labels, books) =>
-            val rlt = book.schema("rlabel").dataType
-            fanOutSmall(emb.select(col("vec_id"), col("embedding")))
-              .select(col("embedding"),
-                posexplode(graft.functions.GraftExpressions.pqCodesAll(
-                  col("embedding"), books, labels, m, dsub))
-                  .as(Seq("sub", "code")))
-              .groupBy(col("code").cast(rlt).as("code"), col("sub"))
-              .agg(graft.functions.GraftExpressions.quantVecSumCnt(
-                slice(col("embedding"), col("sub") * dsub + 1, lit(dsub)))
-                .as("__sc"))
-              .select(col("code"), col("sub"),
-                posexplode(col("__sc")).as(Seq("j", "__e")))
-              .filter(col("__e.c") > 0L)
-              .groupBy(col("code"))
-              .agg(map_from_entries(collect_list(struct(
-                (col("sub") * dsub + col("j")).as("i"),
-                (col("__e.s").cast("double") / col("__e.c")).as("v"))))
-                .as("__mv"))
-          }
-        case _ => None
-      }
-    val refined = refined0.getOrElse {
+    (emb.schema("embedding").dataType, book.schema("cvec").dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
+        collectCodebook(book) match {
+          case Some((labels, books)) =>
+            // ONE cluster action: the (code, sub) slice-sum aggregation
+            // collects its k·m bounded buffers; the per-position mean
+            // map and the left join back onto the k-row book assemble
+            // DRIVER-side (the book is already collected) — replacing
+            // the exploded-position re-aggregation + broadcast-join
+            // subtree that cost 4-6 AQE stage-jobs per (re)train. The
+            // arithmetic is the row plan's exactly: mean =
+            // s.cast(double) / c per reached position with c > 0
+            // (a null sum — all-null elements — falls back to the old
+            // codeword component, as the null map entry did), absent
+            // positions keep the old component, positions past the old
+            // codeword's length stay null.
+            return pqRefineBookDriver(emb, book, labels, books, m, dsub)
+          case None => ()
+        }
+      case _ => ()
+    }
+    val refined = {
       val codes = pqEncode(emb, book, m, dsub)
       emb.select(col("vec_id"), col("embedding"))
         .join(codes, "vec_id")
@@ -885,6 +943,70 @@ object Similarity {
         transform(sequence(lit(0), lit(m * dsub - 1)), i =>
           coalesce(element_at(col("__mv"), i),
             element_at(col("cvec"), i + 1))).as("cvec"))
+  }
+
+  /** The fused [[pqRefineBook]] tail: one distributed slice-sum
+    * aggregation, then driver-side assembly against the collected book.
+    * Bit-identical to the join plan (PackedCodesSpec/FusedAnnSpec A/B):
+    * same integer sums, same one-IEEE-op means, same fallback to the
+    * old component for absent/all-null positions. */
+  private def pqRefineBookDriver(emb: DataFrame, book: DataFrame,
+                                 labels: Array[Long],
+                                 books: Array[Array[Double]],
+                                 m: Int, dsub: Int): DataFrame = {
+    val aggRows = fanOutSmall(emb.select(col("vec_id"), col("embedding")))
+      .select(col("embedding"),
+        posexplode(graft.functions.GraftExpressions.pqCodesAll(
+          col("embedding"), books, labels, m, dsub))
+          .as(Seq("sub", "code")))
+      .groupBy(col("code"), col("sub"))
+      .agg(graft.functions.GraftExpressions.quantVecSumCnt(
+        slice(col("embedding"), col("sub") * dsub + 1, lit(dsub)))
+        .as("__sc"))
+      .collect()
+    // code -> (position -> mean); a position with count 0 never appears
+    // (the filter), a reached position whose sum is null (all elements
+    // null) maps to null — both land on the old component below,
+    // exactly like the join plan's null map entries
+    val means = new java.util.HashMap[Long, java.util.HashMap[Int, java.lang.Double]]()
+    aggRows.foreach { r =>
+      if (!r.isNullAt(0) && !r.isNullAt(2)) {
+        val code = r.getLong(0)
+        val sub = r.getInt(1)
+        var mp = means.get(code)
+        if (mp == null) { mp = new java.util.HashMap(); means.put(code, mp) }
+        val sc = r.getSeq[org.apache.spark.sql.Row](2)
+        var j = 0
+        sc.foreach { e =>
+          if (e != null && !e.isNullAt(1) && e.getLong(1) > 0L) {
+            val v: java.lang.Double =
+              if (e.isNullAt(0)) null
+              else Double.box(e.getLong(0).toDouble / e.getLong(1))
+            mp.put(sub * dsub + j, v)
+          }
+          j += 1
+        }
+      }
+    }
+    val bookRows = book.select(col("rlabel"), col("cvec")).collect()
+    val out = bookRows.map { r =>
+      val rl = r.get(0)
+      val cv = r.getSeq[Any](1)
+      val mp = means.get(r.getAs[Number](0).longValue())
+      val cvec: Seq[Any] = (0 until m * dsub).map { i =>
+        val refinedV = if (mp != null && mp.containsKey(i)) mp.get(i) else null
+        if (refinedV != null) refinedV
+        else if (i < cv.length) cv(i)
+        else null
+      }
+      org.apache.spark.sql.Row(rl, cvec)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      book.schema("rlabel"),
+      org.apache.spark.sql.types.StructField("cvec",
+        ArrayType(DoubleType, containsNull = true))))
+    book.sparkSession.createDataFrame(
+      java.util.Arrays.asList(out.toSeq: _*), schema)
   }
 
   /** Encode each vector as m codebook labels: (vec_id, sub, code) with
@@ -946,6 +1068,42 @@ object Similarity {
         element_at(col("__top"), 1).getField("id").cast(rlabelType).as("code"))
   }
 
+  /** [[pqEncode]] in the PACKED row shape: ONE (vec_id, codes) row per
+    * vector, codes[i] = subquantizer i's label — the index row shape the
+    * persisted codes table stores (m× fewer rows than the exploded
+    * (vec_id, sub, code) form; guide §2.3 shuffle fewer bytes / §6 I/O).
+    * Values are exactly [[pqEncode]]'s: the fused path drops the
+    * posexplode the row form adds; the fallback groups the row form's
+    * output back up ((sub, code) pairs sorted by sub — subs are unique
+    * per vector, so the packing is a bijection). */
+  def pqEncodePacked(emb: DataFrame, cent: DataFrame, m: Int, dsub: Int): DataFrame = {
+    (emb.schema("embedding").dataType, cent.schema("cvec").dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
+        collectCodebook(cent) match {
+          case Some((labels, books)) =>
+            val rlt = cent.schema("rlabel").dataType
+            return fanOutSmall(emb.select(col("vec_id"), col("embedding")))
+              .select(col("vec_id"),
+                graft.functions.GraftExpressions.pqCodesAll(
+                  col("embedding"), books, labels, m, dsub)
+                  .cast(ArrayType(rlt)).as("codes"))
+          case None => ()
+        }
+      case _ => ()
+    }
+    packCodeRows(pqEncode(emb, cent, m, dsub))
+  }
+
+  /** Pack an exploded (vec_id, sub, code) frame into (vec_id, codes) —
+    * the fallback seam of [[pqEncodePacked]] and the A/B twin the packed
+    * spec pins: codes ride in ascending-sub order, so element i is
+    * subquantizer i's code whenever subs are the dense 0..m−1 the
+    * encoders emit. */
+  private[graft] def packCodeRows(rows: DataFrame): DataFrame =
+    rows.groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        x => x.getField("code")).as("codes"))
+
   /** Reconstruct the quantized vector from its codes: (vec_id, xhat)
     * where xhat is the concatenation of the m chosen codewords. */
   def pqReconstruct(codes: DataFrame, cent: DataFrame, dsub: Int): DataFrame =
@@ -966,20 +1124,55 @@ object Similarity {
     * IVF indexing); multiprobe belongs on the QUERY side, where a
     * multi-assigned query just probes more cells. */
   def ivfPqTopK(corpusAssigned: DataFrame, queryAssigned: DataFrame,
-                book: DataFrame, m: Int, dsub: Int, k: Int): DataFrame =
+                book: DataFrame, m: Int, dsub: Int, k: Int): DataFrame = {
+    // FUSED path: the codes column rides the assignment frame as ONE
+    // map-side projection (the corpus already carries its home cell from
+    // assignClusters) — the assign⋈encode equi-join by vec_id the row
+    // shape paid disappears. Row-identical: both join sides held every
+    // vec_id, and pqCodesAll replicates the heap selection bit-for-bit.
+    (corpusAssigned.schema("embedding").dataType, book.schema("cvec").dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
+        collectCodebook(book) match {
+          case Some((labels, books)) =>
+            val rlt = book.schema("rlabel").dataType
+            return ivfPqTopKIndexed(
+              corpusAssigned.select(col("vec_id"), col("cluster"),
+                graft.functions.GraftExpressions.pqCodesAll(
+                  col("embedding"), books, labels, m, dsub)
+                  .cast(ArrayType(rlt)).as("codes")),
+              queryAssigned, book, dsub, k)
+          case None => ()
+        }
+      case _ => ()
+    }
     ivfPqTopKIndexed(
       corpusAssigned.select(col("vec_id"), col("cluster")).join(
         pqEncode(corpusAssigned.select(col("vec_id"), col("embedding")),
           book, m, dsub), Seq("vec_id")),
       queryAssigned, book, dsub, k)
+  }
 
-  /** [[ivfPqTopK]] against a PREBUILT codes frame (vec_id, cluster, sub,
-    * code) — the persisted-index search path: raw corpus embeddings are
-    * never touched, only the m-byte codes plus the broadcast codebook.
-    * This is what makes the index maintainable incrementally (new
-    * vectors encode map-side against the frozen book and append — see
+  /** [[ivfPqTopK]] against a PREBUILT codes frame — the persisted-index
+    * search path: raw corpus embeddings are never touched, only the
+    * m-byte codes plus the broadcast codebook. This is what makes the
+    * index maintainable incrementally (new vectors encode map-side
+    * against the frozen book and append — see
     * `Streams.versionedAnnIndexSink`) and searchable at 100 TB where
-    * the raw vectors don't fit anywhere. */
+    * the raw vectors don't fit anywhere.
+    *
+    * TWO accepted codes shapes, detected by schema:
+    *   - PACKED (vec_id, cluster, codes) — one row per vector, codes[i]
+    *     = subquantizer i's label (what [[graft.ops.AnnIndex]] builds
+    *     and the maintenance sink appends): reconstruction is a narrow
+    *     MAP-SIDE projection per candidate (the fused
+    *     [[graft.functions.Kernels.pqReconstructK]] lookup against the
+    *     collected book), so the per-search reconstruct groupBy exchange
+    *     is GONE — scan → broadcast-join → heap agg is the whole plan.
+    *   - exploded (vec_id, cluster, sub, code) — m rows per vector (the
+    *     pre-packing table layout, still served for compatibility):
+    *     codes⋈book join + (nid, cluster) groupBy, as before.
+    * Rows out are identical across the shapes (PackedCodesSpec A/Bs
+    * them, the oracle pins the packed path end to end). */
   def ivfPqTopKIndexed(codes: DataFrame, queryAssigned: DataFrame,
                        book: DataFrame, dsub: Int, k: Int): DataFrame = {
     val q = queryAssigned.select(col("vec_id").as("qid"),
@@ -991,27 +1184,32 @@ object Similarity {
     // filter injection through an Aggregate). So prune structurally: a
     // broadcast LEFT SEMI join of the codes table against the distinct
     // probed clusters (≤ |queries|·nprobe values — always broadcastable)
-    // keeps all-or-none of a vector's m (sub, code) rows (its cluster is
-    // constant across them), so reconstruction is exact for survivors and
-    // never runs for vectors the final cluster equi-join would discard.
-    // Result-invisible by construction; work is O(probed cells), not O(n).
+    // keeps the candidate rows exactly as the final cluster equi-join
+    // would. Result-invisible by construction; work is O(probed cells),
+    // not O(n).
     val probed = q.select(col("cluster")).distinct()
     val cand = codes.join(broadcast(probed), Seq("cluster"), "left_semi")
-    // FUSED reconstruct: the home cell rides INSIDE the reconstruction
-    // groupBy (a vector's cluster is constant across its m code rows, so
-    // grouping by (nid, cluster) groups exactly by nid) — one exchange on
-    // the candidate codes, where the previous shape paid a distinct
-    // exchange + the pqReconstruct exchange + a shuffle join to glue the
-    // cell back on. Same rows out; per-call stage count drops by one —
-    // part of the fixed per-search floor the prepared handle attacks.
-    val compressed = cand
-      .join(broadcast(book), cand("code") === book("rlabel"))
-      .select(col("vec_id").as("nid"), col("cluster"), col("sub"),
-        slice(col("cvec"), col("sub") * dsub + 1, lit(dsub)).as("__piece"))
-      .groupBy(col("nid"), col("cluster"))
-      .agg(flatten(transform(
-        array_sort(collect_list(struct(col("sub"), col("__piece")))),
-        x => x.getField("__piece"))).as("xhat"))
+    val compressed =
+      if (codes.columns.contains("codes")) {
+        // PACKED reconstruct: map-side codeword lookup per candidate when
+        // the book collects (labels must be distinct — the join's
+        // duplicate-label row multiplication has no lookup equivalent);
+        // otherwise explode back to the row shape and take the join plan
+        // below. The isNotNull filter mirrors the inner join: a vector
+        // none of whose codes hit the book never produced a
+        // reconstruction group.
+        collectCodebook(book) match {
+          case Some((labels, books)) if labels.length == labels.distinct.length =>
+            cand.select(col("vec_id").as("nid"), col("cluster"),
+              graft.functions.GraftExpressions.pqReconstructK(
+                col("codes").cast("array<long>"), books, labels, dsub)
+                .as("xhat"))
+              .filter(col("xhat").isNotNull)
+          case _ =>
+            reconstructRows(cand.select(col("vec_id"), col("cluster"),
+              posexplode(col("codes")).as(Seq("sub", "code"))), book, dsub)
+        }
+      } else reconstructRows(cand, book, dsub)
     // final rank via the MIXED-direction bounded heap, not a window: the
     // (cos_pq DESC, nid ASC) ordering made this the one ranker
     // RewriteKeepFirst/TopKPairs couldn't serve, so every search paid an
@@ -1035,4 +1233,20 @@ object Similarity {
         col("col.cluster").as("cluster"), col("col.cos_pq").as("cos_pq"),
         (col("pos") + 1).cast("int").as("rank"))
   }
+
+  /** The exploded-shape reconstruction: the home cell rides INSIDE the
+    * reconstruction groupBy (a vector's cluster is constant across its m
+    * code rows, so grouping by (nid, cluster) groups exactly by nid) —
+    * one exchange on the candidate codes. Serves the compatibility row
+    * shape and the packed shape's non-collectible-book fallback. */
+  private def reconstructRows(cand: DataFrame, book: DataFrame,
+                              dsub: Int): DataFrame =
+    cand
+      .join(broadcast(book), cand("code") === book("rlabel"))
+      .select(col("vec_id").as("nid"), col("cluster"), col("sub"),
+        slice(col("cvec"), col("sub") * dsub + 1, lit(dsub)).as("__piece"))
+      .groupBy(col("nid"), col("cluster"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("sub"), col("__piece")))),
+        x => x.getField("__piece"))).as("xhat"))
 }

@@ -913,10 +913,7 @@ object CoverageQueries {
     val late = emb.filter(col("vec_id") % 2 =!= 0)
     val (cent, book, m, dsub) = AnnIndex.model(spark, modelRoot)
     graft.io.Versioned.commit(spark,
-      Similarity.assignClusters(late, cent, nprobe = 1)
-        .select(col("vec_id"), col("cluster"))
-        .join(Similarity.pqEncode(late.select(col("vec_id"), col("embedding")),
-          book, m, dsub), Seq("vec_id")),
+      AnnIndex.encodeCodes(late, cent, book, m, dsub),
       codesRoot, statsCols = Seq("vec_id", "cluster"),
       bloomCols = Seq("vec_id"))
     AnnIndex.recell(spark, codesRoot)

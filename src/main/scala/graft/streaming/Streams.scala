@@ -403,13 +403,13 @@ object Streams {
                             m: Int, dsub: Int, codesRoot: String,
                             checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    import org.apache.spark.sql.functions.col
     guardedVectorIndexSink(embs, codesRoot, checkpointDir, "anncodes") { b =>
-      graft.ops.Similarity.assignClusters(b, cent, nprobe = 1)
-        .select(col("vec_id"), col("cluster"))
-        .join(graft.ops.Similarity.pqEncode(
-          b.select(col("vec_id"), col("embedding")), book, m, dsub),
-          Seq("vec_id"))
+      // the shared PACKED encode ([[graft.ops.AnnIndex.encodeCodes]]):
+      // one (vec_id, cluster, codes) row per arrival, assignment and
+      // encode in a single map-side projection under the fused kernels —
+      // the per-trigger assign⋈encode equi-join the row shape paid is
+      // gone, and batch rows are byte-identical to what a rebuild writes
+      graft.ops.AnnIndex.encodeCodes(b, cent, book, m, dsub)
     }
   }
 

@@ -178,11 +178,7 @@ class AnnPreparedSpec extends SparkSpecBase {
       val late = emb.select((col("vec_id") + 10000L + w * 1000L).as("vec_id"),
         col("embedding"))
       graft.io.Versioned.commit(spark,
-        graft.ops.Similarity.assignClusters(late, cent, nprobe = 1)
-          .select(col("vec_id"), col("cluster"))
-          .join(graft.ops.Similarity.pqEncode(late, book, m, dsub),
-            Seq("vec_id"))
-          .coalesce(1),
+        AnnIndex.encodeCodes(late, cent, book, m, dsub).coalesce(1),
         codesRoot, statsCols = Seq("vec_id", "cluster"))
       ()
     }
@@ -360,11 +356,7 @@ class AnnPreparedSpec extends SparkSpecBase {
       val late = bigVecs(50000L, 1000000L + w * 100000L)
         .select(col("vec_id"), col("embedding"))
       graft.io.Versioned.commit(spark,
-        graft.ops.Similarity.assignClusters(late, cent, nprobe = 1)
-          .select(col("vec_id"), col("cluster"))
-          .join(graft.ops.Similarity.pqEncode(late, book, m, dsub),
-            Seq("vec_id"))
-          .coalesce(1),
+        AnnIndex.encodeCodes(late, cent, book, m, dsub).coalesce(1),
         codesRoot, statsCols = Seq("vec_id", "cluster"))
       w += 1
     }

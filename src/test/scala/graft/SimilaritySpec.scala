@@ -390,18 +390,17 @@ class SimilaritySpec extends SparkSpecBase {
     } finally q.stop()
 
     val streamed = graft.io.Versioned.read(spark, codesRoot)
-    // exact row count, not just set equality: a duplicate (vec_id, sub)
-    // row from the re-delivered wave would vanish in a set compare but
-    // double pqReconstruct's assembled vector
-    assert(streamed.count() == rows.length.toLong * 8)
-    val batchCodes = Similarity.assignClusters(emb, cent, 1)
-      .select(col("vec_id"), col("cluster"))
-      .join(Similarity.pqEncode(emb.select(col("vec_id"), col("embedding")),
-        book, m = 8, dsub = 8), Seq("vec_id"))
-    assert(streamed.select("vec_id", "cluster", "sub", "code")
-      .as[(Long, Int, Int, Int)].collect().toSet ==
-      batchCodes.select("vec_id", "cluster", "sub", "code")
-        .as[(Long, Int, Int, Int)].collect().toSet)
+    // exact row count, not just set equality: a duplicate vec_id row
+    // from the re-delivered wave would vanish in a set compare but
+    // double the reconstruction's candidate rows (PACKED shape: one
+    // (vec_id, cluster, codes) row per vector)
+    assert(streamed.count() == rows.length.toLong)
+    val batchCodes = graft.ops.AnnIndex.encodeCodes(emb, cent, book,
+      m = 8, dsub = 8)
+    assert(streamed.select("vec_id", "cluster", "codes")
+      .as[(Long, Int, Seq[Int])].collect().toSet ==
+      batchCodes.select("vec_id", "cluster", "codes")
+        .as[(Long, Int, Seq[Int])].collect().toSet)
 
     // searching the persisted index returns exactly the from-raw result
     val corpus = Similarity.assignClusters(emb, cent, 1)
@@ -732,7 +731,8 @@ class SimilaritySpec extends SparkSpecBase {
       src.addData(Seq(rows(0), rows(0), rows(1)))
       q.processAllAvailable()
     } finally q.stop()
-    assert(graft.io.Versioned.read(spark, okRoot).count() == 2L * 8)
+    // PACKED shape: one (vec_id, cluster, codes) row per distinct vector
+    assert(graft.io.Versioned.read(spark, okRoot).count() == 2L)
 
     // the same vec_id with DIFFERING embeddings in one batch fails loudly
     val badRoot = java.nio.file.Files.createTempDirectory("anncodes_bad").toString
