@@ -1433,13 +1433,14 @@ object Versioned {
     val vs = versions(spark, root)
     if (tag.isDefined && vs.nonEmpty && committedTag(spark, root) == tag)
       return vs.last
-    val keyed = keys.map(col(_).isNotNull).reduce(_ && _)
-    val dupKeys = source.filter(keyed).groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
-    require(dupKeys == 0,
-      s"source has multiple rows per key (${keys.mkString(", ")}): " +
-        "MERGE would update the same target row twice")
-    if (vs.isEmpty) return commit(spark, source, root, tag = tag)
+    if (vs.isEmpty) {
+      // CREATE path: standalone dup check, as in [[mergeInto]]
+      val keyed = keys.map(col(_).isNotNull).reduce(_ && _)
+      val dupKeys = source.filter(keyed).groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
+      require(dupKeys == 0, dupKeyMsg(keys))
+      return commit(spark, source, root, tag = tag)
+    }
     val current = vs.last
     val next = current + 1
     val schema = snapshotSchema(spark, root, Some(current))
@@ -1470,7 +1471,13 @@ object Versioned {
     val aligned = source.select(snapshotCols.map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (aligned.isEmpty) return current
+      // ONE aggregation serves the dup check, the emptiness check and
+      // the probe bounds — see [[sourceKeyProbe]] (previously three
+      // separate actions per merge); the dup check reports after the
+      // shape requires, as in [[mergeInto]]
+      val (dupMax, totalRows, minKey, maxKey) = sourceKeyProbe(aligned, keys)
+      require(dupMax <= 1L, dupKeyMsg(keys))
+      if (totalRows == 0L) return current
       val srcKeys = aligned.select(keys.map(col): _*).distinct()
       // probe pruning: identical shape to mergeInto's (single
       // stats-tracked non-float key -> range-pruned probe set)
@@ -1488,12 +1495,9 @@ object Versioned {
           keyType == org.apache.spark.sql.types.FloatType)
       val probeFiles: Seq[String] =
         if (keys.size != 1 || floatKey || !statsCols.contains(keys.head)) files
-        else {
-          import org.apache.spark.sql.functions.{max => maxF, min => minF}
-          val bounds = aligned.agg(minF(col(keys.head)), maxF(col(keys.head))).head()
-          if (bounds.isNullAt(0)) Seq.empty
-          else prunedByStats(f, files, keys.head,
-            Some(bounds.get(0)), Some(bounds.get(1)))
+        else minKey match {
+          case None => Seq.empty
+          case Some(mn) => prunedByStats(f, files, keys.head, Some(mn), maxKey)
         }
       val batchDir = new Path(dataDir(root), s"b$next")
       requireBatchDirFree(f, batchDir, next)
@@ -1872,16 +1876,17 @@ object Versioned {
     val vs = versions(spark, root)
     if (tag.isDefined && vs.nonEmpty && committedTag(spark, root) == tag)
       return vs.last
-    // a row with ANY null key component can never match a target row (SQL
-    // join semantics — it always inserts), so only fully-keyed rows can
-    // collide; groupBy would wrongly pool the null-keyed rows into one group
-    val keyed = keys.map(col(_).isNotNull).reduce(_ && _)
-    val dupKeys = source.filter(keyed).groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
-    require(dupKeys == 0,
-      s"source has multiple rows per key (${keys.mkString(", ")}): " +
-        "MERGE would update the same target row twice")
-    if (vs.isEmpty) return commit(spark, source, root, tag = tag)
+    if (vs.isEmpty) {
+      // CREATE path: no table schema to align/probe against — the dup
+      // check runs standalone here (a row with ANY null key component
+      // never matches, SQL join semantics, so only fully-keyed rows can
+      // collide; groupBy would wrongly pool null-keyed rows together)
+      val keyed = keys.map(col(_).isNotNull).reduce(_ && _)
+      val dupKeys = source.filter(keyed).groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
+      require(dupKeys == 0, dupKeyMsg(keys))
+      return commit(spark, source, root, tag = tag)
+    }
     val current = vs.last
     val tableSchema = snapshotSchema(spark, root, Some(current))
     val files = snapshotFiles(spark, root, Some(current))
@@ -1926,6 +1931,13 @@ object Versioned {
         col(c).cast(snapshot.schema(c).dataType).as(c)): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // ONE aggregation serves the dup check, the emptiness check and
+      // the probe bounds (previously three separate actions), and warms
+      // the pin — see [[sourceKeyProbe]]. The dup check moved after the
+      // schema requires (it needs the aligned frame): a source that is
+      // both mis-shaped and dup-keyed now reports the shape first.
+      val (dupMax, totalRows, minKey, maxKey) = sourceKeyProbe(aligned, keys)
+      require(dupMax <= 1L, dupKeyMsg(keys))
       val srcKeys = aligned.select(keys.map(col): _*).distinct()
       val statsCols = trackedStatsCols(spark, root, files)
         .filter(c => schema.forall(_.fieldNames.contains(c)))
@@ -1943,12 +1955,10 @@ object Versioned {
           snapshot.schema(keys.head).dataType == org.apache.spark.sql.types.FloatType)
       val probeFiles: Seq[String] =
         if (keys.size != 1 || floatKey || !statsCols.contains(keys.head)) files
-        else {
-          import org.apache.spark.sql.functions.{max => maxF, min => minF}
-          val bounds = aligned.agg(minF(col(keys.head)), maxF(col(keys.head))).head()
-          if (bounds.isNullAt(0)) Seq.empty // every source key is null: no match possible
-          else prunedByStats(fs(spark, new Path(root)), files, keys.head,
-            Some(bounds.get(0)), Some(bounds.get(1)))
+        else minKey match {
+          case None => Seq.empty // every source key is null: no match possible
+          case Some(mn) => prunedByStats(fs(spark, new Path(root)), files,
+            keys.head, Some(mn), maxKey)
         }
       // one scan finds the files holding matched keys; the file name must be
       // captured BELOW the join — input_file_name() above a join returns ""
@@ -1962,8 +1972,9 @@ object Versioned {
       if (touchedUris.isEmpty) {
         // pure insert (or empty source): no file rewritten, plain append —
         // which must still re-harvest tracked blooms, or merge-appended
-        // batches silently lose point-lookup pruning
-        if (aligned.isEmpty) return current
+        // batches silently lose point-lookup pruning. Emptiness comes
+        // from the fused probe — no extra action.
+        if (totalRows == 0L) return current
         return commit(spark, aligned, root, tag = tag, statsCols = statsCols,
           bloomCols = trackedBloomCols(spark, root, files)
             .filter(c => aligned.columns.contains(c) &&
@@ -2104,14 +2115,12 @@ object Versioned {
     // see ONE evaluation (same rationale as mergeInto)
     val pinned = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (matched.nonEmpty) {
-        val fullyKeyed = keys.map(col(_).isNotNull).reduce(_ && _)
-        val dupKeys = pinned.filter(fullyKeyed).groupBy(keys.map(col): _*)
-          .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
-        require(dupKeys == 0,
-          s"source has multiple rows per key (${keys.mkString(", ")}): " +
-            "MERGE would update the same target row twice")
-      }
+      // ONE aggregation serves the dup check and the probe bounds — see
+      // [[sourceKeyProbe]] (previously two separate actions). The dup
+      // rule only binds when a matched clause exists (duplicate source
+      // keys are legal for insert-/NMBS-only merges).
+      val (dupMax, _, minKey, maxKey) = sourceKeyProbe(pinned, keys)
+      if (matched.nonEmpty) require(dupMax <= 1L, dupKeyMsg(keys))
       val srcKeys = pinned.select(keys.map(col): _*).distinct()
       val statsCols = trackedStatsCols(spark, root, files)
         .filter(c => schema.forall(_.fieldNames.contains(c)))
@@ -2123,12 +2132,10 @@ object Versioned {
       val probeFiles: Seq[String] =
         if (files.isEmpty) Seq.empty
         else if (keys.size != 1 || floatKey || !statsCols.contains(keys.head)) files
-        else {
-          import org.apache.spark.sql.functions.{max => maxF, min => minF}
-          val bounds = pinned.agg(minF(col(keys.head)), maxF(col(keys.head))).head()
-          if (bounds.isNullAt(0)) Seq.empty
-          else prunedByStats(fs(spark, new Path(root)), files, keys.head,
-            Some(bounds.get(0)), Some(bounds.get(1)))
+        else minKey match {
+          case None => Seq.empty
+          case Some(mn) => prunedByStats(fs(spark, new Path(root)), files,
+            keys.head, Some(mn), maxKey)
         }
       val matchedTouched: Set[String] =
         if (matched.isEmpty || probeFiles.isEmpty) Set.empty
@@ -2479,6 +2486,42 @@ object Versioned {
     * accepts) the operation fails LOUDLY with a rewrite-in-ranges hint
     * instead of silently stressing the driver; the limit also bounds the
     * fetch itself. */
+  /** ONE source-probe aggregation serving the three separate actions
+    * every merge writer paid per call — the duplicate-fully-keyed-key
+    * check, the source emptiness check and the single-key min/max
+    * bounds for the stats-pruned file probe (guide §1.2: remove
+    * passes; each action was its own 1-3 stage-job round trip).
+    * Grouping by the key columns pools EVERY row into some group (a
+    * null key groups too), so sum(n) is the total row count; max(n)
+    * over fully-keyed groups is the dup check's maximum multiplicity
+    * (null-keyed rows never match a target row, so their multiplicity
+    * is legal — SQL join semantics); and min/max of the first key over
+    * the groups equal the row-level bounds (min/max skip nulls either
+    * way). Run on the PINNED source, so the probe also warms the
+    * persist. Returns (dupMax, totalRows, minKey, maxKey); minKey None
+    * = every key null (or empty source). */
+  private def sourceKeyProbe(pinned: DataFrame, keys: Seq[String])
+      : (Long, Long, Option[Any], Option[Any]) = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, sum, when}
+    val keyed = keys.map(col(_).isNotNull).reduce(_ && _)
+    val r = pinned.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .agg(max(when(keyed, col("__n"))).as("__dup"),
+        sum(col("__n")).as("__total"),
+        min(col(keys.head)).as("__min"),
+        max(col(keys.head)).as("__max"))
+      .head()
+    (if (r.isNullAt(0)) 0L else r.getLong(0),
+      if (r.isNullAt(1)) 0L else r.getLong(1),
+      if (r.isNullAt(2)) None else Some(r.get(2)),
+      if (r.isNullAt(3)) None else Some(r.get(3)))
+  }
+
+  /** The merge writers' shared duplicate-key message. */
+  private def dupKeyMsg(keys: Seq[String]): String =
+    s"source has multiple rows per key (${keys.mkString(", ")}): " +
+      "MERGE would update the same target row twice"
+
   private def collectTouched(spark: SparkSession,
                              fileUris: DataFrame, what: String): Set[String] = {
     val cap = spark.conf.get("spark.graft.maxTouchedFiles", "1000000").toInt

@@ -54,7 +54,17 @@ object MediaQueries {
     * on the wire are real PNG streams only a real decoder can read. */
   def imageDecode(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val media = Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+    // fan the id scan out before the codec stage (guide §2.5): the ids
+    // are one scan split, so the whole PNG encode+decode ran in ONE
+    // task (measured 0.33 s single-task at sf0.1/local[32]). The codec
+    // work per 8-byte id is ~10^3-10^4 byte-equivalents (a real ImageIO
+    // round trip per row), hence the expansion multiplier; the Widen
+    // guards keep production-scale inputs untouched and price the width
+    // by work, not cores.
+    val ids = graft.ops.Widen.byKeys(
+      Tables.documents(spark, sfDir).select(col("doc_id")),
+      expansion = 4096.0, col("doc_id"))
+    val media = ids.as[Long]
       .mapPartitions(_.map { id =>
         val w = (id % 16).toInt + 1
         val h = (id % 8).toInt + 1
@@ -90,6 +100,12 @@ object MediaQueries {
     * streams only a real parser can read. */
   def audioDecode(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // DELIBERATELY not widened like [[imageDecode]]: measured at
+    // sf0.1/local[32], a 32-task fan-out made this stage 5x SLOWER
+    // (0.33 s single-task -> 1.63 s at 33 tasks) — the JDK sampled-audio
+    // stack serializes on process-global service/provider state, so
+    // parallel decoders contend instead of scaling. The single-task scan
+    // is the faster shape for this codec on any core count.
     val media = Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val n = (id % 200).toInt + 50
