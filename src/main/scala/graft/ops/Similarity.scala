@@ -858,7 +858,10 @@ object Similarity {
     * (a sum-scale codeword would let large clusters dominate the
     * full-vector cosine). */
   def pqCodebook(emb: DataFrame): DataFrame =
-    pqCodebook(emb, quantizedCentroids(emb))
+    // counts ride the centroid aggregation (one pass, no join) — same
+    // sums, same counts, same one-IEEE-op division as the two-pass
+    // groupBy-count + broadcast-join shape this replaces
+    pqCodebookFromCounts(quantizedCentroidsWithCounts(emb))
 
   /** [[pqCodebook]] against ALREADY-COMPUTED quantized centroid sums for
     * the same `label` column — the train-path form: train pins
